@@ -1,0 +1,38 @@
+"""rayraster — a Ray-Data-native rasterization + spatial-join engine.
+
+A from-scratch reimplementation of the capabilities of SEraster
+(JEFworks-Lab/SEraster, reference at /root/reference) re-expressed as
+streaming Ray Data pipelines over Arrow batches:
+
+- point → grid-pixel binning (square / hex) with SEraster's border
+  tie-break and bbox-padding semantics     (reference R/main.R:98-197)
+- per-pixel feature aggregation sum/mean   (reference R/main.R:139-162)
+- categorical (cell-type / lang) rasterization → counts / proportions
+                                           (reference R/main.R:466-559)
+- rotation permutations about the midrange (reference R/main.R:616-707)
+- point-in-polygon tile clipping, kNN pixel neighborhoods,
+  raster↔vector round-trip, checkpoint/resume — the scale extensions
+  mandated by BASELINE.json north_rule.
+
+Plus web-scale training-data operators over the same engine: exact and
+near deduplication (MinHash-LSH, SimHash, n-gram Jaccard), similarity
+search (brute-force + bucketed cosine top-k), text analysis
+(lang-id, quality score, token counts, fingerprints) and multimodal
+stub stages.
+
+None of the modules call ray.init(); the caller owns the Ray session.
+"""
+
+from rayraster.grid import GridSpec, derive_bbox
+from rayraster.rasterize import rasterize_features, rasterize_categories
+from rayraster.rotate import permutate_by_rotation
+
+__all__ = [
+    "GridSpec",
+    "derive_bbox",
+    "rasterize_features",
+    "rasterize_categories",
+    "permutate_by_rotation",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,119 @@
+"""Deterministic synthetic geocoding — observation id → (x, y).
+
+The reference's observations carry real spatial coordinates
+(spatialCoords, /root/reference/R/main.R:16-18).  The graft table is
+web pages, so coordinates are *derived*: a deterministic synthetic
+geocode of the row id / url (BASELINE.json north_star).  Two variants:
+
+* :func:`geocode_id` — pure modular arithmetic on an int64 id.  Has an
+  exact ANSI-SQL twin (see ``GEOCODE_SQL``) so DuckDB oracles reproduce
+  coordinates bit-for-bit.  Used for the correctness-gate queries over
+  the driver's ``documents`` table.
+
+* :func:`geocode_url` — 64-bit FNV-1a hash of the url string, with a
+  configurable fraction of rows redirected into a few small hotspot
+  clusters to exercise skew-aware aggregation (FIXTURES.md F1).  Used
+  for the synthetic pages table (synth.py) and scale benches; not
+  SQL-reproducible (string hashing), so those queries are rows-only.
+
+All ops are int64-exact; float ops are ordered identically to the SQL
+twins so IEEE doubles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# World-ish domain used by both geocodes (a fixed global frame means the
+# 100-TB path never needs a min/max pass over the input).
+XMIN, XMAX = -180.0, 180.0
+YMIN, YMAX = -90.0, 90.0
+
+_PX, _MX = 2654435761, 1000003  # x: Knuth multiplicative hash, prime modulus
+_PY, _QY, _MY = 97003, 7919, 1000033
+
+
+def geocode_id(ids: np.ndarray):
+    """(x, y) doubles from an int64 id column.
+
+    SQL twin (keep operation order identical):
+      x = -180.0 + (((id * 2654435761) % 1000003) / 1000003.0) * 360.0
+      y =  -90.0 + (((id * 97003 + 7919) % 1000033) / 1000033.0) * 180.0
+    """
+    ids = np.asarray(ids, dtype=np.int64)
+    ux = (ids * np.int64(_PX)) % np.int64(_MX)
+    uy = (ids * np.int64(_PY) + np.int64(_QY)) % np.int64(_MY)
+    x = -180.0 + (ux / float(_MX)) * 360.0
+    y = -90.0 + (uy / float(_MY)) * 180.0
+    return x, y
+
+
+GEOCODE_SQL_X = "(-180.0 + (((({id}) * 2654435761) % 1000003) / 1000003.0) * 360.0)"
+GEOCODE_SQL_Y = "(-90.0 + (((({id}) * 97003 + 7919) % 1000033) / 1000033.0) * 180.0)"
+
+
+def geocode_sql(id_expr: str) -> tuple[str, str]:
+    """The SQL twins of :func:`geocode_id` for a given id expression."""
+    return GEOCODE_SQL_X.format(id=id_expr), GEOCODE_SQL_Y.format(id=id_expr)
+
+
+# --------------------------------------------------------------------------
+# url hashing geocode with injected hotspots (skew exercise)
+# --------------------------------------------------------------------------
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+# Hotspot cluster centers (deterministic, arbitrary): dense "cities".
+HOTSPOTS = np.array(
+    [(-73.99, 40.73), (2.35, 48.86), (139.69, 35.68), (-0.13, 51.51)]
+)
+HOTSPOT_FRACTION = 0.25  # of rows land in a hotspot
+HOTSPOT_SIGMA = 0.05  # cluster radius in degrees
+
+
+def fnv1a64(strings) -> np.ndarray:
+    """Vectorized-ish 64-bit FNV-1a over a sequence of strings.
+
+    Python-loop over rows but only over *hash input* bytes — this runs
+    inside map_batches on modest batch sizes; for the scale path the
+    synthetic generator derives ids arithmetically instead.
+    """
+    out = np.empty(len(strings), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k, s in enumerate(strings):
+            h = _FNV_OFFSET
+            for b in s.encode("utf-8"):
+                h = (h ^ np.uint64(b)) * _FNV_PRIME
+            out[k] = h
+    return out
+
+
+def geocode_hash(h: np.ndarray):
+    """(x, y) from precomputed uint64 hashes, with hotspot injection.
+
+    Rows whose hash falls in the lowest HOTSPOT_FRACTION of the hash
+    space are pulled into one of the HOTSPOTS with a small deterministic
+    offset — this is what makes some tiles "hot" so skew handling is
+    actually exercised (SURVEY.md §4 salting row).
+    """
+    h = np.asarray(h, dtype=np.uint64)
+    u1 = (h & np.uint64(0xFFFFFFFF)).astype(np.float64) / 4294967296.0
+    u2 = (h >> np.uint64(32)).astype(np.float64) / 4294967296.0
+    x = XMIN + u1 * (XMAX - XMIN)
+    y = YMIN + u2 * (YMAX - YMIN)
+    hot = u1 < HOTSPOT_FRACTION
+    if hot.any():
+        idx = (h[hot] % np.uint64(len(HOTSPOTS))).astype(np.int64)
+        cx = HOTSPOTS[idx, 0]
+        cy = HOTSPOTS[idx, 1]
+        # deterministic jitter from the high bits
+        j1 = ((h[hot] >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.float64) / 65536.0
+        j2 = ((h[hot] >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.float64) / 65536.0
+        x[hot] = cx + (j1 - 0.5) * 2.0 * HOTSPOT_SIGMA
+        y[hot] = cy + (j2 - 0.5) * 2.0 * HOTSPOT_SIGMA
+    return x, y
+
+
+def geocode_url(urls) -> tuple[np.ndarray, np.ndarray]:
+    return geocode_hash(fnv1a64(urls))

@@ -1,0 +1,310 @@
+"""Grid geometry: closed-form cell encoding, centroids, polygons.
+
+Replaces the reference's materialized ``sf::st_make_grid`` polygon grid
+(/root/reference/R/main.R:118) with pure arithmetic so the grid is
+never materialized — mandatory at 10^12 rows.  Two cell shapes:
+
+* square  — side length = ``resolution`` (R/main.R:25-28)
+* hexagon — ``resolution`` = distance between opposite edges
+            (R/main.R:29-31); pointy-top axial coordinates.  (sf's
+            exact hex offset convention is opaque; pixel identity is
+            compared on centroids, SURVEY.md §1.1, so we fix our own
+            deterministic convention and document it.)
+
+Border tie-break parity with ``st_intersects`` + take-first
+(R/main.R:132-136): a point exactly on a shared edge belongs to the
+*lower-index* (left / below) cell, i.e. ``ix = ceil(t) - 1`` clamped to
+0 at the bbox minimum, NOT ``floor(t)``.
+
+Every formula here has an exact ANSI-SQL twin used by the DuckDB
+oracles in __ray_entry__.py — keep operation ORDER identical on both
+sides so IEEE doubles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+SQRT3 = math.sqrt(3.0)
+
+# --------------------------------------------------------------------------
+# bbox derivation — SEraster pad rule (R/main.R:303-308, 346-351):
+#   xmin = floor(min_x - res/2), xmax = ceil(max_x + res/2), same for y.
+# --------------------------------------------------------------------------
+
+
+def derive_bbox(
+    min_x: float, max_x: float, min_y: float, max_y: float, resolution: float
+) -> tuple[float, float, float, float]:
+    """Padded bbox (xmin, ymin, xmax, ymax) per R/main.R:346-351."""
+    h = resolution / 2.0
+    return (
+        math.floor(min_x - h),
+        math.floor(min_y - h),
+        math.ceil(max_x + h),
+        math.ceil(max_y + h),
+    )
+
+
+@dataclass(frozen=True)
+class GridSpec:
+    """A shared pixel frame: origin + resolution + shape.
+
+    ``origin`` is the bbox (xmin, ymin) — every dataset rasterized with
+    the same GridSpec lands on the same pixel frame (the Ray analog of
+    the reference's common-bbox list semantics, R/main.R:294-308).
+    """
+
+    x0: float
+    y0: float
+    resolution: float
+    square: bool = True
+    level: int = 0  # hierarchy level for packed ids (0 = this resolution)
+
+    # -- square assignment --------------------------------------------------
+    def assign_square(self, x: np.ndarray, y: np.ndarray):
+        """(ix, iy) int64 cell indices with left/below tie-break.
+
+        SQL twin:  CAST(greatest(ceiling((x - x0)/res) - 1, 0) AS BIGINT)
+        """
+        res = self.resolution
+        tx = (x - self.x0) / res
+        ty = (y - self.y0) / res
+        ix = np.maximum(np.ceil(tx) - 1.0, 0.0).astype(np.int64)
+        iy = np.maximum(np.ceil(ty) - 1.0, 0.0).astype(np.int64)
+        return ix, iy
+
+    def centroid_square(self, ix: np.ndarray, iy: np.ndarray):
+        """Closed-form centroid (R/main.R:127-129 analog).
+
+        SQL twin:  x0 + (ix + 0.5) * res
+        """
+        res = self.resolution
+        cx = self.x0 + (ix + 0.5) * res
+        cy = self.y0 + (iy + 0.5) * res
+        return cx, cy
+
+    # -- hexagon assignment -------------------------------------------------
+    # Pointy-top hexes; resolution = distance across flats = sqrt(3)*R
+    # where R is the circumradius.  Axial (q, r) with cube rounding.
+    @property
+    def hex_R(self) -> float:
+        return self.resolution / SQRT3
+
+    def _hex_fractional(self, x: np.ndarray, y: np.ndarray):
+        R = self.hex_R
+        xr = x - self.x0
+        yr = y - self.y0
+        # qf = (sqrt(3)/3 * xr - yr/3) / R ; rf = (2/3 * yr) / R — written
+        # as single-multiply constants so the SQL twin is literal-identical.
+        A = SQRT3 / (3.0 * R)
+        C = 1.0 / (3.0 * R)
+        D = 2.0 / (3.0 * R)
+        qf = xr * A - yr * C
+        rf = yr * D
+        return qf, rf
+
+    def assign_hex(self, x: np.ndarray, y: np.ndarray):
+        """(q, r) int64 axial hex coordinates via cube rounding.
+
+        Rounding uses floor(v + 0.5) (NOT banker's rounding) so the
+        DuckDB twin is bit-identical.
+        """
+        qf, rf = self._hex_fractional(x, y)
+        return hex_cube_round(qf, rf)
+
+    def centroid_hex(self, q: np.ndarray, r: np.ndarray):
+        """SQL twin: x0 + q*W + r*(W/2) ; y0 + r*H  with
+        W = sqrt(3)*R (= resolution), H = 1.5*R."""
+        R = self.hex_R
+        W = SQRT3 * R
+        H = 1.5 * R
+        cx = self.x0 + q * W + r * (W / 2.0)
+        cy = self.y0 + r * H
+        return cx, cy
+
+    # -- unified ------------------------------------------------------------
+    def assign(self, x: np.ndarray, y: np.ndarray):
+        return self.assign_square(x, y) if self.square else self.assign_hex(x, y)
+
+    def centroid(self, i: np.ndarray, j: np.ndarray):
+        return self.centroid_square(i, j) if self.square else self.centroid_hex(i, j)
+
+    def polygon(self, i: int, j: int) -> np.ndarray:
+        """Vertex ring (closed, CCW) of one cell as an (n,2) float array —
+        the raster→vector direction (R/main.R:191-193 analog)."""
+        if self.square:
+            res = self.resolution
+            x0 = self.x0 + i * res
+            y0 = self.y0 + j * res
+            return np.array(
+                [
+                    (x0, y0),
+                    (x0 + res, y0),
+                    (x0 + res, y0 + res),
+                    (x0, y0 + res),
+                    (x0, y0),
+                ]
+            )
+        cx, cy = self.centroid_hex(np.asarray([i]), np.asarray([j]))
+        cx, cy = float(cx[0]), float(cy[0])
+        R = self.hex_R
+        # pointy-top: vertices at 30°, 90°, ..., 330°, closed explicitly
+        ang = np.deg2rad(30.0 + 60.0 * np.arange(6))
+        ring = np.column_stack([cx + R * np.cos(ang), cy + R * np.sin(ang)])
+        return np.vstack([ring, ring[:1]])
+
+    def polygon_wkb(self, i: int, j: int) -> bytes:
+        return wkb_polygon(self.polygon(i, j))
+
+
+# --------------------------------------------------------------------------
+# hex cube rounding — shared by GridSpec and clip-side helpers
+# --------------------------------------------------------------------------
+
+
+def hex_cube_round(qf: np.ndarray, rf: np.ndarray):
+    """Standard cube-coordinate rounding, vectorized; floor(v+0.5) ties.
+
+    Mirrors the SQL CASE cascade in __ray_entry__.py exactly.
+    """
+    cxv = qf
+    czv = rf
+    cyv = -qf - rf
+    rx = np.floor(cxv + 0.5)
+    ry = np.floor(cyv + 0.5)
+    rz = np.floor(czv + 0.5)
+    dx = np.abs(rx - cxv)
+    dy = np.abs(ry - cyv)
+    dz = np.abs(rz - czv)
+    first = (dx > dy) & (dx > dz)
+    third = (~first) & ~(dy > dz)
+    q = np.where(first, -ry - rz, rx)
+    r = np.where(third, -rx - ry, rz)
+    return q.astype(np.int64), r.astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# hierarchical packed int64 cell ids (H3/S2-style: level + 2×29-bit index)
+# --------------------------------------------------------------------------
+
+_OFF = 1 << 28  # bias so signed hex axial coords pack into 29 unsigned bits
+_MASK29 = (1 << 29) - 1
+
+
+def pack_cell_id(level, ix, iy):
+    """int64 id = level(5 bits) << 58 | (ix+OFF) << 29 | (iy+OFF).
+
+    Works for both square (ix,iy ≥ 0) and hex (q,r possibly negative)
+    indices; |index| < 2^28.  Vectorized over numpy int64 arrays.
+    """
+    lv = np.int64(level)
+    return (lv << np.int64(58)) | ((np.int64(0) + ix + _OFF) << np.int64(29)) | (iy + _OFF)
+
+
+def unpack_cell_id(cell_id):
+    cell_id = np.asarray(cell_id, dtype=np.int64)
+    level = cell_id >> np.int64(58)
+    ix = ((cell_id >> np.int64(29)) & _MASK29) - _OFF
+    iy = (cell_id & _MASK29) - _OFF
+    return level, ix, iy
+
+
+def parent_cell(cell_id, levels_up: int = 1):
+    """Quad-tree parent for square grids: each level doubles the cell
+    side, so parent index = floor-div by 2 per level.  (Hex grids have
+    no exact nesting — same as real H3 — so hex parents are approximate
+    by centroid re-encoding; use ``GridSpec.assign`` at the coarser
+    resolution for that.)"""
+    level, ix, iy = unpack_cell_id(cell_id)
+    return pack_cell_id(level + levels_up, ix >> levels_up, iy >> levels_up)
+
+
+def children_cells(cell_id):
+    """The 4 quad-tree children of a square cell, one level down."""
+    level, ix, iy = unpack_cell_id(cell_id)
+    level = np.asarray(level) - 1
+    out = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            out.append(pack_cell_id(level, (ix << 1) + dx, (iy << 1) + dy))
+    return np.stack(out, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# WKB (the only geometry wire format we emit; analog of sfc_POLYGON)
+# --------------------------------------------------------------------------
+
+
+def wkb_polygon(ring: np.ndarray) -> bytes:
+    """Little-endian WKB POLYGON with one exterior ring (closed)."""
+    n = len(ring)
+    head = struct.pack("<BII", 1, 3, 1) + struct.pack("<I", n)
+    body = np.ascontiguousarray(ring, dtype="<f8").tobytes()
+    return head + body
+
+
+def parse_wkb_polygon(wkb: bytes) -> np.ndarray:
+    """Inverse of :func:`wkb_polygon` (exterior ring only)."""
+    byte_order, geom_type, nrings = struct.unpack_from("<BII", wkb, 0)
+    if byte_order != 1 or geom_type != 3 or nrings < 1:
+        raise ValueError("only little-endian single-ring WKB POLYGON supported")
+    (n,) = struct.unpack_from("<I", wkb, 9)
+    ring = np.frombuffer(wkb, dtype="<f8", count=2 * n, offset=13)
+    return ring.reshape(n, 2).copy()
+
+
+# --------------------------------------------------------------------------
+# polyfill: vector → raster (cells whose centroid falls inside a polygon)
+# --------------------------------------------------------------------------
+
+
+def polyfill_bbox(spec: GridSpec, xmin, ymin, xmax, ymax):
+    """All (ix, iy) whose centroid lies in [xmin,xmax]×[ymin,ymax].
+
+    SQL twin: generate_series over index ranges + centroid arithmetic.
+    """
+    if spec.square:
+        res = spec.resolution
+        i_lo = int(np.ceil((xmin - spec.x0) / res - 0.5))
+        i_hi = int(np.floor((xmax - spec.x0) / res - 0.5))
+        j_lo = int(np.ceil((ymin - spec.y0) / res - 0.5))
+        j_hi = int(np.floor((ymax - spec.y0) / res - 0.5))
+        ii, jj = np.meshgrid(
+            np.arange(i_lo, i_hi + 1, dtype=np.int64),
+            np.arange(j_lo, j_hi + 1, dtype=np.int64),
+            indexing="ij",
+        )
+        return ii.ravel(), jj.ravel()
+    # hex: over-scan candidate axial range, filter by centroid
+    R = spec.hex_R
+    r_lo = int(np.floor((ymin - spec.y0) / (1.5 * R))) - 1
+    r_hi = int(np.ceil((ymax - spec.y0) / (1.5 * R))) + 1
+    W = SQRT3 * R
+    q_lo = int(np.floor((xmin - spec.x0) / W)) - abs(r_hi) - abs(r_lo) - 2
+    q_hi = int(np.ceil((xmax - spec.x0) / W)) + abs(r_hi) + abs(r_lo) + 2
+    qq, rr = np.meshgrid(
+        np.arange(q_lo, q_hi + 1, dtype=np.int64),
+        np.arange(r_lo, r_hi + 1, dtype=np.int64),
+        indexing="ij",
+    )
+    qq, rr = qq.ravel(), rr.ravel()
+    cx, cy = spec.centroid_hex(qq, rr)
+    keep = (cx >= xmin) & (cx <= xmax) & (cy >= ymin) & (cy <= ymax)
+    return qq[keep], rr[keep]
+
+
+def polyfill_polygon(spec: GridSpec, ring: np.ndarray):
+    """Cells whose centroid is inside the polygon ring (vector→raster)."""
+    from rayraster.clip import points_in_ring
+
+    xmin, ymin = ring.min(axis=0)
+    xmax, ymax = ring.max(axis=0)
+    ii, jj = polyfill_bbox(spec, xmin, ymin, xmax, ymax)
+    cx, cy = spec.centroid(ii, jj)
+    keep = points_in_ring(cx, cy, ring)
+    return ii[keep], jj[keep]

@@ -1,0 +1,144 @@
+"""Pure-geometry unit tests: encoding, tie-break, hierarchy, WKB.
+
+Golden semantics from the reference:
+- border tie-break: point exactly on a shared edge → left/below cell
+  (/root/reference/R/main.R:132-136)
+- bbox pad rule floor(min-res/2) / ceil(max+res/2)
+  (/root/reference/R/main.R:346-351)
+"""
+
+import numpy as np
+import pytest
+
+from rayraster.grid import (
+    GridSpec,
+    children_cells,
+    derive_bbox,
+    pack_cell_id,
+    parent_cell,
+    parse_wkb_polygon,
+    polyfill_bbox,
+    polyfill_polygon,
+    unpack_cell_id,
+    wkb_polygon,
+)
+
+
+def test_bbox_pad_rule():
+    # floor(10.2 - 2.5) = 7, ceil(20.4 + 2.5) = 23  (res=5)
+    assert derive_bbox(10.2, 20.4, 0.6, 9.1, 5.0) == (7, -2, 23, 12)
+
+
+def test_square_assign_interior():
+    spec = GridSpec(0.0, 0.0, 1.0)
+    ix, iy = spec.assign(np.array([0.5, 1.5, 2.999]), np.array([0.5, 0.5, 2.001]))
+    assert ix.tolist() == [0, 1, 2]
+    assert iy.tolist() == [0, 0, 2]
+
+
+def test_square_tiebreak_left_below_wins():
+    """x exactly on the shared edge of cells k-1 | k → cell k-1."""
+    spec = GridSpec(0.0, 0.0, 1.0)
+    ix, iy = spec.assign(np.array([1.0, 2.0, 0.0]), np.array([3.0, 0.5, 0.0]))
+    assert ix.tolist() == [0, 1, 0]  # edge points → left cell; bbox min → cell 0
+    assert iy.tolist() == [2, 0, 0]
+
+
+def test_square_centroid_closed_form():
+    spec = GridSpec(-2.0, 3.0, 0.5)
+    cx, cy = spec.centroid(np.array([0, 3]), np.array([1, 0]))
+    assert cx.tolist() == [-1.75, -0.25]
+    assert cy.tolist() == [3.75, 3.25]
+
+
+def test_hex_roundtrip_centroids():
+    """Every hex centroid must map back to its own cell."""
+    spec = GridSpec(0.0, 0.0, 2.0, square=False)
+    q = np.arange(-10, 11, dtype=np.int64)
+    qq, rr = np.meshgrid(q, q, indexing="ij")
+    qq, rr = qq.ravel(), rr.ravel()
+    cx, cy = spec.centroid(qq, rr)
+    q2, r2 = spec.assign(cx, cy)
+    np.testing.assert_array_equal(q2, qq)
+    np.testing.assert_array_equal(r2, rr)
+
+
+def test_hex_nearest_center():
+    """Points near a centroid must land in that hex (distance to the
+    assigned center is minimal over all centers)."""
+    rng = np.random.default_rng(7)
+    spec = GridSpec(0.0, 0.0, 1.0, square=False)
+    x = rng.uniform(-5, 5, 500)
+    y = rng.uniform(-5, 5, 500)
+    q, r = spec.assign(x, y)
+    cx, cy = spec.centroid(q, r)
+    d0 = np.hypot(x - cx, y - cy)
+    # compare against all candidate centers in a neighborhood
+    qs = np.arange(-12, 13)
+    qq, rr = np.meshgrid(qs, qs, indexing="ij")
+    ax, ay = spec.centroid(qq.ravel(), rr.ravel())
+    dmin = np.min(
+        np.hypot(x[:, None] - ax[None, :], y[:, None] - ay[None, :]), axis=1
+    )
+    np.testing.assert_allclose(d0, dmin, rtol=0, atol=1e-9)
+
+
+def test_pack_unpack_roundtrip():
+    ix = np.array([0, 5, -100, 2**27], dtype=np.int64)
+    iy = np.array([3, -7, 100, -(2**27)], dtype=np.int64)
+    cid = pack_cell_id(3, ix, iy)
+    lv, ix2, iy2 = unpack_cell_id(cid)
+    assert (lv == 3).all()
+    np.testing.assert_array_equal(ix2, ix)
+    np.testing.assert_array_equal(iy2, iy)
+
+
+def test_parent_child_hierarchy():
+    cid = pack_cell_id(0, np.array([5]), np.array([3]))
+    par = parent_cell(cid)
+    lv, px, py = unpack_cell_id(par)
+    assert (lv == 1).all() and px[0] == 2 and py[0] == 1
+    kids = children_cells(par)
+    assert cid[0] in kids.ravel().tolist()
+    assert kids.shape[-1] == 4
+
+
+def test_wkb_roundtrip_square_and_hex():
+    for square in (True, False):
+        spec = GridSpec(1.0, -2.0, 3.0, square=square)
+        wkb = spec.polygon_wkb(2, 1)
+        ring = parse_wkb_polygon(wkb)
+        assert ring[0].tolist() == ring[-1].tolist()  # closed
+        # ring vertices re-assign to the same cell via centroid
+        cx, cy = ring[:-1].mean(axis=0)
+        i, j = spec.assign(np.array([cx]), np.array([cy]))
+        assert (i[0], j[0]) == (2, 1)
+
+
+def test_polyfill_bbox_square():
+    spec = GridSpec(0.0, 0.0, 1.0)
+    ii, jj = polyfill_bbox(spec, 0.0, 0.0, 3.0, 2.0)
+    # centroids at 0.5,1.5,2.5 × 0.5,1.5 → 3×2 cells
+    assert len(ii) == 6
+    assert set(zip(ii.tolist(), jj.tolist())) == {
+        (a, b) for a in (0, 1, 2) for b in (0, 1)
+    }
+
+
+def test_polyfill_polygon_triangle():
+    spec = GridSpec(0.0, 0.0, 1.0)
+    tri = np.array([(0.0, 0.0), (4.0, 0.0), (0.0, 4.0), (0.0, 0.0)])
+    ii, jj = polyfill_polygon(spec, tri)
+    # centroid (i+.5, j+.5) inside x+y<4 ⇒ i+j<3
+    assert set(zip(ii.tolist(), jj.tolist())) == {
+        (i, j) for i in range(4) for j in range(4) if i + j + 1.0 < 4.0
+    }
+
+
+def test_hex_polyfill_contains_all_near_cells():
+    spec = GridSpec(0.0, 0.0, 1.0, square=False)
+    ii, jj = polyfill_bbox(spec, -3.0, -3.0, 3.0, 3.0)
+    cx, cy = spec.centroid(ii, jj)
+    assert ((cx >= -3) & (cx <= 3) & (cy >= -3) & (cy <= 3)).all()
+    # spot-check: origin cell present
+    assert (0, 0) in set(zip(ii.tolist(), jj.tolist()))
