@@ -1,0 +1,58 @@
+"""End-to-end pipeline builders used by the driver contract and bench.
+
+The flagship pipeline is the web-scale analog of SEraster's E1
+(SURVEY.md §3): read pages/documents parquet → geocode each row to a
+deterministic (x, y) → rasterize into grid pixels with per-pixel
+feature aggregates.  Everything is lazy Ray Data; nothing here calls
+ray.init().
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data import Dataset
+
+from rayraster.geo import geocode_id, geocode_url
+
+
+def add_geocode_id(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Stateless map: SQL-twin geocode of an int64 id column."""
+    x, y = geocode_id(batch[id_col].to_numpy(zero_copy_only=False))
+    return batch.append_column("x", pa.array(x)).append_column("y", pa.array(y))
+
+
+def add_geocode_url(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Stateless map: FNV-1a url geocode with hotspot skew injection."""
+    x, y = geocode_url(batch[url_col].to_pylist())
+    return batch.append_column("x", pa.array(x)).append_column("y", pa.array(y))
+
+
+def load_doc_points(
+    sf_dir: str,
+    columns: tuple = ("doc_id", "lang", "n_chars"),
+) -> Dataset:
+    """documents.parquet → point Dataset with (x, y).
+
+    Columns are pruned AT THE READ (only the requested ones leave
+    storage) — the 100-TB rule in the task brief."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return ds.map_batches(add_geocode_id, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def load_page_points(pages_path: str, columns: tuple = ("url", "lang", "text")) -> Dataset:
+    """Synthetic pages table (synth.py) → point Dataset via url hash
+    geocode, with derived continuous features (text_len)."""
+
+    def _feat(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = add_geocode_url(t)
+        if "text" in t.column_names:
+            t = t.append_column("text_len", pc.utf8_length(t["text"]))
+            t = t.drop_columns(["text"])
+        return t
+
+    ds = rd.read_parquet(pages_path, columns=list(columns))
+    return ds.map_batches(_feat, batch_format="pyarrow", zero_copy_batch=True)

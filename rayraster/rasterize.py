@@ -297,6 +297,60 @@ def pivot_categories(
     return cells_long.groupby("cell_id").map_groups(_pivot, batch_format="pandas")
 
 
+def rollup_quadtree(
+    cells: Dataset,
+    spec: GridSpec,
+    sum_cols: Sequence[str],
+    levels_up: int = 1,
+    count_col: str = "num_cell",
+) -> tuple[Dataset, GridSpec]:
+    """Hierarchical re-aggregation: roll a fine pixel table up the
+    quad-tree (multi-resolution consistency, SURVEY.md §5 invariant 5).
+
+    Because sums/counts are algebraic, the coarse raster is computed
+    from the (already tiny) fine pixel table — no second pass over the
+    input rows.  Coarse origin/frame = fine origin, resolution doubled
+    per level (square grids only; hex has no exact nesting)."""
+    if not spec.square:
+        raise ValueError("quad-tree rollup requires a square grid")
+    coarse = GridSpec(
+        spec.x0,
+        spec.y0,
+        spec.resolution * (2**levels_up),
+        square=True,
+        level=spec.level + levels_up,
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ix = pc.shift_right(t["ix"], levels_up)
+        iy = pc.shift_right(t["iy"], levels_up)
+        cols = {"ix": ix, "iy": iy}
+        for c in sum_cols:
+            cols[c] = t[c]
+        cols[count_col] = t[count_col]
+        tt = pa.table(cols)
+        out = tt.group_by(["ix", "iy"]).aggregate(
+            [(c, "sum") for c in sum_cols] + [(count_col, "sum")]
+        )
+        return out.rename_columns(["ix", "iy", *sum_cols, count_col])
+
+    partial = cells.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    aggs.append(Sum(count_col, alias_name=count_col))
+    agg = partial.groupby(["ix", "iy"]).aggregate(*aggs)
+
+    def _project(t: pa.Table) -> pa.Table:
+        ix = t["ix"].to_numpy(zero_copy_only=False)
+        iy = t["iy"].to_numpy(zero_copy_only=False)
+        cx, cy = coarse.centroid(ix, iy)
+        t = t.append_column("cell_id", pa.array(pack_cell_id(coarse.level, ix, iy)))
+        t = t.append_column("cx", pa.array(cx))
+        t = t.append_column("cy", pa.array(cy))
+        return t
+
+    return agg.map_batches(_project, batch_format="pyarrow", zero_copy_batch=True), coarse
+
+
 def collect_cell_ids(
     ds: Dataset,
     spec: GridSpec,

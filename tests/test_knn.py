@@ -1,0 +1,73 @@
+"""kNN: GridIndex exactness vs brute force; KnnStage actor semantics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data as rd
+
+from rayraster.knn import GridIndex, KnnStage, brute_force_knn
+
+
+def test_grid_index_matches_brute_force():
+    rng = np.random.default_rng(11)
+    rx = rng.uniform(-100, 100, 800)
+    ry = rng.uniform(-50, 50, 800)
+    qx = rng.uniform(-110, 110, 300)
+    qy = rng.uniform(-60, 60, 300)
+    gi = GridIndex(rx, ry)
+    for k in (1, 5, 17):
+        gidx, gd2 = gi.query(qx, qy, k)
+        bidx, bd2 = brute_force_knn(qx, qy, rx, ry, k)
+        np.testing.assert_array_equal(gidx, bidx)
+        np.testing.assert_allclose(gd2, bd2)
+
+
+def test_grid_index_clustered_points():
+    """Heavy clustering (hotspot shape) must stay exact."""
+    rng = np.random.default_rng(3)
+    rx = np.concatenate([rng.normal(0, 0.01, 500), rng.uniform(-100, 100, 50)])
+    ry = np.concatenate([rng.normal(0, 0.01, 500), rng.uniform(-100, 100, 50)])
+    gi = GridIndex(rx, ry)
+    gidx, _ = gi.query(rx[:50], ry[:50], 7)
+    bidx, _ = brute_force_knn(rx[:50], ry[:50], rx, ry, 7)
+    np.testing.assert_array_equal(gidx, bidx)
+
+
+def test_knn_k_larger_than_refs():
+    rx = np.array([0.0, 1.0, 2.0])
+    ry = np.zeros(3)
+    gi = GridIndex(rx, ry)
+    idx, d2 = gi.query(np.array([0.1]), np.array([0.0]), 5)
+    assert idx[0, :3].tolist() == [0, 1, 2]
+    assert (idx[0, 3:] == -1).all()
+
+
+def test_knn_stage_actor_pool_and_self_exclusion():
+    pix = pd.DataFrame(
+        {
+            "ix": [0, 1, 2, 3],
+            "iy": [0, 0, 0, 0],
+            "cx": [0.5, 1.5, 2.5, 3.5],
+            "cy": [0.5, 0.5, 0.5, 0.5],
+        }
+    )
+    ref = ray.put(
+        {"x": pix.cx.to_numpy(), "y": pix.cy.to_numpy(),
+         "ix": pix.ix.to_numpy(), "iy": pix.iy.to_numpy()}
+    )
+    ds = rd.from_pandas(pix)
+    out = ds.map_batches(
+        KnnStage(ref, k=2, exclude_self=True),
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    # 4 queries × 2 ranks
+    assert len(out) == 8
+    g = out[out.ix == 0].sort_values("rank")
+    assert g.n_ix.tolist() == [1, 2]  # nearest two, self excluded
+    assert g.dist2.tolist() == [1.0, 4.0]
+    # deterministic tie-break: query 1 is equidistant to 0 and 2 → lower row first
+    g1 = out[out.ix == 1].sort_values("rank")
+    assert g1.n_ix.tolist() == [0, 2]
