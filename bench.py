@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round; also the local feedback loop).
+
+Plain run: ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32) →
+  headline: synthetic pages table (generated once under /tmp, untimed)
+  → extract(html)→text (invariant-checked) → text features → url
+  geocode (hotspot-skewed) → square rasterize (sum) → pixel parquet.
+  Plus per-query timings of the SURVEY §2 queries over $GRAFT_SF_DIR.
+  Prints ONE JSON line on stdout.
+
+--scaling: same headline at num_cpus=8 and num_cpus=32 in FRESH
+  processes on the SAME input (the sandbox evidence protocol for the
+  north_rule's N→4N cluster criterion) → prints both throughputs and
+  the scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+PAGES_N = int(os.environ.get("GRAFT_PAGES_N", 2_000_000))
+PAGES_DIR = f"/tmp/rayraster_bench/pages_{PAGES_N}"
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+HEADLINE_RES = float(os.environ.get("GRAFT_HEADLINE_RES", "0.5"))
+
+
+def _init_ray():
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def _ensure_pages():
+    """Generate the deterministic pages input once (untimed)."""
+    done = os.path.join(PAGES_DIR, "_DONE")
+    if os.path.exists(done):
+        return
+    from rayraster.synth import write_pages_parquet_ray
+
+    os.makedirs(PAGES_DIR, exist_ok=True)
+    write_pages_parquet_ray(PAGES_DIR, PAGES_N, parallelism=max(64, NUM_CPUS * 4))
+    with open(done, "w") as f:
+        f.write(str(PAGES_N))
+
+
+def _warm_cache():
+    import ray.data as rd
+
+    rd.read_parquet(PAGES_DIR).count()
+
+
+def headline() -> dict:
+    """Flagship: pages → extract → features → geocode → rasterize."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayraster.extract import ExtractStage, text_features
+    from rayraster.grid import GridSpec
+    from rayraster.pipelines import add_geocode_url
+    from rayraster.rasterize import rasterize_features
+
+    out_dir = f"/tmp/rayraster_bench/pixels_{NUM_CPUS}"
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(PAGES_DIR, columns=["url", "html", "text"])
+    ds = ds.map_batches(ExtractStage(verify_against="text"), batch_format="pyarrow")
+    ds = ds.map_batches(text_features, batch_format="pyarrow")
+    ds = ds.map_batches(add_geocode_url, batch_format="pyarrow")
+    ds = ds.drop_columns(["html", "text", "url"])
+    spec = GridSpec(-180.0, -90.0, HEADLINE_RES)  # fixed frame: no min/max pass
+    pixels, _ = rasterize_features(
+        ds, HEADLINE_RES, ["text_len", "token_count", "digit_count"],
+        spec=spec, fun="mean",
+    )
+    pixels.write_parquet(out_dir)
+    sec = time.perf_counter() - t0
+    return {"sec": sec, "rows": PAGES_N, "rows_per_sec": PAGES_N / sec}
+
+
+def run_queries() -> dict:
+    import pyarrow as pa
+
+    import __ray_entry__ as e
+    from ray.data import Dataset
+
+    out = {}
+    for name, fn in e.queries().items():
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        if isinstance(res, Dataset):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main():
+    import ray
+
+    _init_ray()
+    _ensure_pages()
+    _warm_cache()
+    h = headline()
+    queries = {} if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else run_queries()
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "pages_extract_geocode_rasterize_sec",
+                "value": round(h["sec"], 3),
+                "unit": "sec",
+                "rows": h["rows"],
+                "rows_per_sec": round(h["rows_per_sec"]),
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling():
+    """Run headline at 8 and 32 CPUs in fresh processes, same input."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_HEADLINE_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_8_to_32_cpus",
+                "rows": results[8]["rows"],
+                "sec_8": t8,
+                "sec_32": t32,
+                "rows_per_sec_8": results[8]["rows_per_sec"],
+                "rows_per_sec_32": results[32]["rows_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

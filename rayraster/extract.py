@@ -1,0 +1,68 @@
+"""html → text extraction (the per-row byte-identical invariant).
+
+BASELINE.json input_hint: "per-row invariant vs the reference:
+byte-identical extracted text per url".  The extractor is the inverse
+of synth.py's page template: body substring + entity unescape.  It is
+deliberately trivial and deterministic (SURVEY.md §7 hard-part (e)) —
+the contract is EXACT reproduction of the stored ``text`` column.
+"""
+
+from __future__ import annotations
+
+import html as _html
+
+import numpy as np
+import pyarrow as pa
+
+_OPEN = b"<body>"
+_CLOSE = b"</body>"
+
+
+def extract_text(html: bytes) -> str:
+    """Byte-exact inverse of the synth page template."""
+    i = html.index(_OPEN) + len(_OPEN)
+    j = html.rindex(_CLOSE)
+    return _html.unescape(html[i:j].decode("utf-8"))
+
+
+class ExtractStage:
+    """map_batches callable: html binary → ``text`` column.
+
+    ``verify_against``: optional column name holding golden text; when
+    set, any row where extraction is not byte-identical raises — this
+    is how the invariant is enforced in-pipeline.
+    """
+
+    def __init__(self, html_col: str = "html", out_col: str = "text",
+                 verify_against: str | None = None):
+        self.html_col = html_col
+        self.out_col = out_col
+        self.verify_against = verify_against
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [extract_text(h) for h in batch[self.html_col].to_pylist()]
+        if self.verify_against is not None:
+            golden = batch[self.verify_against].to_pylist()
+            bad = [k for k, (a, b) in enumerate(zip(texts, golden)) if a != b]
+            if bad:
+                url = batch["url"][bad[0]].as_py() if "url" in batch.column_names else bad[0]
+                raise AssertionError(
+                    f"extract(html) != text for {len(bad)} rows (first: {url!r})"
+                )
+        if self.out_col in batch.column_names:
+            batch = batch.drop_columns([self.out_col])
+        return batch.append_column(self.out_col, pa.array(texts, type=pa.string()))
+
+
+def text_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Continuous features derived from text (≙ gene expression,
+    FIXTURES.md F1): text_len, token_count, digit_count — vectorized."""
+    import pyarrow.compute as pc
+
+    t = batch[text_col]
+    batch = batch.append_column("text_len", pc.utf8_length(t))
+    toks = pc.count_substring_regex(t, r"\S+")
+    batch = batch.append_column("token_count", toks.cast(pa.int64()))
+    digs = pc.count_substring_regex(t, r"[0-9]")
+    batch = batch.append_column("digit_count", digs.cast(pa.int64()))
+    return batch

@@ -73,19 +73,41 @@ HOTSPOT_SIGMA = 0.05  # cluster radius in degrees
 
 
 def fnv1a64(strings) -> np.ndarray:
-    """Vectorized-ish 64-bit FNV-1a over a sequence of strings.
+    """Vectorized 64-bit FNV-1a over a sequence of strings.
 
-    Python-loop over rows but only over *hash input* bytes — this runs
-    inside map_batches on modest batch sizes; for the scale path the
-    synthetic generator derives ids arithmetically instead.
+    Rows are grouped by byte length and each group is hashed with ONE
+    vectorized pass per byte *position* (≤ url length iterations of
+    numpy ops), not per row — this is the hot path of the url geocode
+    at bench scale.
     """
-    out = np.empty(len(strings), dtype=np.uint64)
+    n = len(strings)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    # numpy 'S' dtype gives a zero-padded fixed-width byte matrix in C
+    try:
+        arr = np.asarray(strings, dtype="S")
+    except UnicodeEncodeError:  # rare non-ASCII url: slow per-row path
+        with np.errstate(over="ignore"):
+            for k, s in enumerate(strings):
+                h = _FNV_OFFSET
+                for b in s.encode("utf-8"):
+                    h = (h ^ np.uint64(b)) * _FNV_PRIME
+                out[k] = h
+        return out
+    width = arr.dtype.itemsize
+    mat = arr.view(np.uint8).reshape(n, width)
+    lengths = width - (mat[:, ::-1] != 0).argmax(axis=1)
+    lengths[mat[:, -1] != 0] = width
+    lengths[~(mat != 0).any(axis=1)] = 0
     with np.errstate(over="ignore"):
-        for k, s in enumerate(strings):
-            h = _FNV_OFFSET
-            for b in s.encode("utf-8"):
-                h = (h ^ np.uint64(b)) * _FNV_PRIME
-            out[k] = h
+        for ln in np.unique(lengths):
+            sel = lengths == ln
+            h = np.full(sel.sum(), _FNV_OFFSET, dtype=np.uint64)
+            sub = mat[sel]
+            for j in range(ln):
+                h = (h ^ sub[:, j].astype(np.uint64)) * _FNV_PRIME
+            out[sel] = h
     return out
 
 

@@ -4,28 +4,32 @@ Ray-Data-first re-expression of SEraster's ``rasterizeMatrix`` /
 ``rasterizeGeneExpression`` / ``rasterizeCellType``
 (/root/reference/R/main.R:98-197, 291-375, 466-559):
 
-  read → map_batches[assign cell + PARTIAL aggregate]  (stateless, Arrow)
-       → groupby(cell keys).aggregate(Sum of partials)   (the ONE shuffle)
-       → map_batches[final projection: mean, centroid, packed id]
+  read → map_batches[assign cell + PARTIAL aggregate + hash part]
+       → groupby("part").map_groups[vectorized pyarrow finalize]
+       → final projection (mean, centroid, packed id)
 
-Scale notes (the whole point of the redesign):
+Why not ``ds.groupby(keys).aggregate(Sum(...))``: Ray's built-in
+aggregate pays per-GROUP Python overhead in its reduce — measured
+~16 s for 100k cells on this node — which is unusable at H3-res-7
+cell counts (10^8 groups).  Instead the ONE shuffle here is on a
+small integer ``part = hash(cell) % P`` key, and each partition is
+finalized with a single vectorized ``pyarrow.Table.group_by`` (C++).
+This is the textbook partial/final decomposition:
 
-* The reference forks one task per non-empty pixel and subsets a
-  resident matrix per task (R/main.R:139-162).  Here assignment is a
-  closed-form vectorized computation per Arrow batch and aggregation is
-  a partial/final decomposition: each batch is pre-aggregated with
-  ``pyarrow.Table.group_by`` before the shuffle, so the exchange moves
-  at most (#distinct cells in batch) rows per batch — a hot tile
-  contributes ONE row per batch regardless of how many points hit it.
-  This per-block pre-reduction is exactly the "salting" defense the
-  north_rule asks for: the implicit salt is the block id, and the
-  final reduce per cell is over ≤ #blocks tiny partials.
-* Empty pixels never exist (groupby only sees present keys) — matching
-  the reference's drop of empty pixels (R/main.R:174-179).
-* ``fun`` is validated up front; the reference silently yields NULLs
-  for unknown ``fun`` (R/main.R:146-150) — a sharp edge we reject.
-* mean = sum / count computed in the final projection — exact
-  partial/final decomposition, no double-rounding drift.
+* partial: each Arrow batch is pre-aggregated per cell before the
+  exchange, so a hot tile contributes ONE row per batch regardless of
+  how many points hit it — the block-local pre-reduction that defuses
+  the skew the north_rule's "salting" requirement targets (the salt is
+  the block id); the final per-cell reduce sees ≤ #blocks rows per
+  cell, spread over partitions by hash.
+* final: group count per partition is bounded by cells/P; P
+  (``num_partitions``) is the knob to size for the cluster.
+
+Other reference semantics preserved: empty pixels never exist
+(groupby sees only present keys — R/main.R:174-179 drop), ``fun``
+validated up front (the reference silently NULLs unknown ``fun``,
+R/main.R:146-150), mean = sum/count computed once in the final
+projection (exact partial/final decomposition).
 """
 
 from __future__ import annotations
@@ -37,12 +41,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ray.data import Dataset
-from ray.data.aggregate import Max, Min, Sum
+from ray.data.aggregate import Max, Min
 
 from rayraster.grid import GridSpec, derive_bbox, pack_cell_id
 
 VALID_FUNS = ("mean", "sum")
 _PARTIAL_COUNT = "_pn"
+_PART = "_part"
+DEFAULT_PARTITIONS = 64
 
 
 def derive_grid_spec(
@@ -71,11 +77,18 @@ def derive_grid_spec(
     return GridSpec(x0=float(x0), y0=float(y0), resolution=resolution, square=square, level=level)
 
 
-class _AssignAndPartial:
-    """map_batches callable: cell assignment + per-batch partial aggregate.
+def _hash_part(ix: np.ndarray, iy: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Deterministic cell → partition hash (same cell, same partition)."""
+    h = ix * np.int64(73856093) ^ iy * np.int64(19349663)
+    return np.abs(h) % np.int64(num_partitions)
 
-    Emits one row per (cell keys…) per batch:
-    ``ix, iy, [extra keys…], <c>_sum…, _pn``.
+
+class _AssignAndPartial:
+    """map_batches callable: cell assignment + per-batch partial
+    aggregate + partition hash.
+
+    Emits one row per cell (×extra keys) per batch:
+    ``ix, iy, [extra…], <c>_sum…, _pn, _part``.
     """
 
     def __init__(
@@ -85,16 +98,16 @@ class _AssignAndPartial:
         y_col: str,
         value_cols: Sequence[str],
         extra_keys: Sequence[str] = (),
+        num_partitions: int = DEFAULT_PARTITIONS,
     ):
         self.spec = spec
         self.x_col = x_col
         self.y_col = y_col
         self.value_cols = list(value_cols)
         self.extra_keys = list(extra_keys)
+        self.num_partitions = num_partitions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _empty_partial_table(self.value_cols, self.extra_keys)
         x = batch[self.x_col].to_numpy(zero_copy_only=False)
         y = batch[self.y_col].to_numpy(zero_copy_only=False)
         ix, iy = self.spec.assign(x, y)
@@ -107,21 +120,41 @@ class _AssignAndPartial:
         t = pa.table(cols)
         aggs = [(c, "sum") for c in self.value_cols] + [(_PARTIAL_COUNT, "sum")]
         out = t.group_by(["ix", "iy", *self.extra_keys]).aggregate(aggs)
-        # pyarrow names results "<col>_sum"; normalize the count column
-        return out.rename_columns(
+        out = out.rename_columns(
             [
                 _PARTIAL_COUNT if c == f"{_PARTIAL_COUNT}_sum" else c
                 for c in out.column_names
             ]
         )
+        part = _hash_part(
+            out["ix"].to_numpy(zero_copy_only=False),
+            out["iy"].to_numpy(zero_copy_only=False),
+            self.num_partitions,
+        )
+        return out.append_column(_PART, pa.array(part))
 
 
-def _empty_partial_table(value_cols, extra_keys):
-    fields = [("ix", pa.int64()), ("iy", pa.int64())]
-    fields += [(k, pa.string()) for k in extra_keys]
-    fields += [(f"{c}_sum", pa.int64()) for c in value_cols]
-    fields += [(_PARTIAL_COUNT, pa.int64())]
-    return pa.table({n: pa.array([], type=t) for n, t in fields})
+def _make_finalize_partition(value_cols, extra_keys):
+    """map_groups fn over one hash partition: merge partials with ONE
+    vectorized pyarrow group_by (no per-cell Python)."""
+    value_cols = list(value_cols)
+    keys = ["ix", "iy", *extra_keys]
+
+    def finalize_partition(part: pa.Table) -> pa.Table:
+        aggs = [(f"{c}_sum", "sum") for c in value_cols]
+        aggs.append((_PARTIAL_COUNT, "sum"))
+        out = part.group_by(keys).aggregate(aggs)
+        rename = []
+        for c in out.column_names:
+            if c == f"{_PARTIAL_COUNT}_sum":
+                rename.append("num_cell")
+            elif c.endswith("_sum_sum"):
+                rename.append(f"sum_{c[: -len('_sum_sum')]}")
+            else:
+                rename.append(c)
+        return out.rename_columns(rename)
+
+    return finalize_partition
 
 
 class _FinalProject:
@@ -157,6 +190,28 @@ class _FinalProject:
         return t
 
 
+def _partial_then_finalize(
+    ds: Dataset,
+    spec: GridSpec,
+    x_col: str,
+    y_col: str,
+    value_cols: Sequence[str],
+    extra_keys: Sequence[str],
+    num_partitions: int,
+    batch_size: int | None,
+) -> Dataset:
+    partial = ds.map_batches(
+        _AssignAndPartial(spec, x_col, y_col, value_cols, extra_keys, num_partitions),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    # the finalize group_by drops _PART (it only emits grouped keys)
+    return partial.groupby(_PART).map_groups(
+        _make_finalize_partition(value_cols, extra_keys), batch_format="pyarrow"
+    )
+
+
 def rasterize_features(
     ds: Dataset,
     resolution: float,
@@ -169,6 +224,7 @@ def rasterize_features(
     extra_keys: Sequence[str] = (),
     with_meta: bool = True,
     batch_size: int | None = 65536,
+    num_partitions: int = DEFAULT_PARTITIONS,
 ) -> tuple[Dataset, GridSpec]:
     """Continuous-feature rasterization (``rasterizeGeneExpression``,
     R/main.R:291-375).
@@ -184,21 +240,36 @@ def rasterize_features(
         raise ValueError(f"fun must be one of {VALID_FUNS}, got {fun!r}")
     if spec is None:
         spec = derive_grid_spec(ds, resolution, square, x_col, y_col)
-    partial = ds.map_batches(
-        _AssignAndPartial(spec, x_col, y_col, value_cols, extra_keys),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        zero_copy_batch=True,
+    cells = _partial_then_finalize(
+        ds, spec, x_col, y_col, value_cols, extra_keys, num_partitions, batch_size
     )
-    aggs = [Sum(f"{c}_sum", alias_name=f"sum_{c}") for c in value_cols]
-    aggs.append(Sum(_PARTIAL_COUNT, alias_name="num_cell"))
-    cells = partial.groupby(["ix", "iy", *extra_keys]).aggregate(*aggs)
     out = cells.map_batches(
         _FinalProject(spec, value_cols, fun, with_meta),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
     return out, spec
+
+
+def _make_finalize_categorical(cat_col: str, extra_keys):
+    """map_groups fn for one hash partition of the categorical path:
+    per-cell per-label counts, per-cell totals and proportions — all
+    vectorized (partitioning is by cell hash, so every label of a cell
+    is local to the partition)."""
+    cell_keys = ["ix", "iy", *extra_keys]
+    keys = [*cell_keys, cat_col]
+
+    def finalize_categorical(part: pa.Table) -> pa.Table:
+        long = part.group_by(keys).aggregate([(_PARTIAL_COUNT, "sum")])
+        long = long.rename_columns([*keys, "n"])
+        tot = long.group_by(cell_keys).aggregate([("n", "sum")])
+        tot = tot.rename_columns([*cell_keys, "num_cell"])
+        joined = long.join(tot, keys=cell_keys, join_type="inner")
+        n = joined["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nc = joined["num_cell"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return joined.append_column("prop", pa.array(n / nc))
+
+    return finalize_categorical
 
 
 def rasterize_categories(
@@ -212,18 +283,19 @@ def rasterize_categories(
     y_col: str = "y",
     extra_keys: Sequence[str] = (),
     batch_size: int | None = 65536,
+    num_partitions: int = DEFAULT_PARTITIONS,
 ) -> tuple[Dataset, GridSpec]:
     """Categorical rasterization (``rasterizeCellType``, R/main.R:466-559).
 
     The reference one-hot encodes labels into a sparse 0/1 matrix and
     sums it (R/main.R:538-541).  Here the encoding is *implicit*: the
-    label is just another group key — ``groupby(ix, iy, cat)`` with a
-    count — so no indicator matrix ever exists.  Output is LONG format
-    ``(cell_id, ix, iy, cx, cy, <cat_col>, n, num_cell[, prop])``:
+    label is just another group key — no indicator matrix ever exists.
+    Output is LONG format
+    ``(cell_id, ix, iy, cx, cy, <cat_col>, n, num_cell, prop)``:
 
-    * ``n``        = per-cell per-label count      (fun="sum" semantics)
-    * ``prop``     = n / num_cell                  (fun="mean" → proportions,
-                                                    R/main.R:405-409)
+    * ``n``    = per-cell per-label count       (fun="sum" semantics)
+    * ``prop`` = n / num_cell                   (fun="mean" → proportions,
+                                                 R/main.R:405-409)
     Use :func:`pivot_categories` for the wide SEraster-matrix layout.
     """
     if fun not in VALID_FUNS:
@@ -231,26 +303,15 @@ def rasterize_categories(
     if spec is None:
         spec = derive_grid_spec(ds, resolution, square, x_col, y_col)
     partial = ds.map_batches(
-        _AssignAndPartial(spec, x_col, y_col, [], [*extra_keys, cat_col]),
+        _AssignAndPartial(
+            spec, x_col, y_col, [], [*extra_keys, cat_col], num_partitions
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
     )
-    long = partial.groupby(["ix", "iy", *extra_keys, cat_col]).aggregate(
-        Sum(_PARTIAL_COUNT, alias_name="n")
-    )
-
-    # attach per-cell totals (num_cell) and proportions without a second
-    # full shuffle: the aggregated long table is tiny (cells × labels),
-    # group it per cell with map_groups.
-    def _per_cell(g):
-        g = g.copy()
-        g["num_cell"] = int(g["n"].sum())
-        g["prop"] = g["n"] / g["num_cell"]
-        return g
-
-    long = long.groupby(["ix", "iy", *extra_keys]).map_groups(
-        _per_cell, batch_format="pandas"
+    long = partial.groupby(_PART).map_groups(
+        _make_finalize_categorical(cat_col, extra_keys), batch_format="pyarrow"
     )
 
     def _project(t: pa.Table) -> pa.Table:
@@ -303,14 +364,16 @@ def rollup_quadtree(
     sum_cols: Sequence[str],
     levels_up: int = 1,
     count_col: str = "num_cell",
+    num_partitions: int = DEFAULT_PARTITIONS,
 ) -> tuple[Dataset, GridSpec]:
     """Hierarchical re-aggregation: roll a fine pixel table up the
     quad-tree (multi-resolution consistency, SURVEY.md §5 invariant 5).
 
     Because sums/counts are algebraic, the coarse raster is computed
-    from the (already tiny) fine pixel table — no second pass over the
-    input rows.  Coarse origin/frame = fine origin, resolution doubled
-    per level (square grids only; hex has no exact nesting)."""
+    from the (already reduced) fine pixel table — no second pass over
+    the input rows.  Coarse origin/frame = fine origin, resolution
+    doubled per level (square grids only; hex has no exact nesting).
+    """
     if not spec.square:
         raise ValueError("quad-tree rollup requires a square grid")
     coarse = GridSpec(
@@ -332,14 +395,26 @@ def rollup_quadtree(
         out = tt.group_by(["ix", "iy"]).aggregate(
             [(c, "sum") for c in sum_cols] + [(count_col, "sum")]
         )
+        out = out.rename_columns(["ix", "iy", *sum_cols, count_col])
+        part = _hash_part(
+            out["ix"].to_numpy(zero_copy_only=False),
+            out["iy"].to_numpy(zero_copy_only=False),
+            num_partitions,
+        )
+        return out.append_column(_PART, pa.array(part))
+
+    def _finalize(part: pa.Table) -> pa.Table:
+        out = part.group_by(["ix", "iy"]).aggregate(
+            [(c, "sum") for c in sum_cols] + [(count_col, "sum")]
+        )
         return out.rename_columns(["ix", "iy", *sum_cols, count_col])
 
     partial = cells.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-    aggs = [Sum(c, alias_name=c) for c in sum_cols]
-    aggs.append(Sum(count_col, alias_name=count_col))
-    agg = partial.groupby(["ix", "iy"]).aggregate(*aggs)
+    agg = partial.groupby(_PART).map_groups(_finalize, batch_format="pyarrow")
 
     def _project(t: pa.Table) -> pa.Table:
+        if _PART in t.column_names:
+            t = t.drop_columns([_PART])
         ix = t["ix"].to_numpy(zero_copy_only=False)
         iy = t["iy"].to_numpy(zero_copy_only=False)
         cx, cy = coarse.centroid(ix, iy)

@@ -1,0 +1,89 @@
+"""Pages synthesis determinism + the byte-identical extract invariant."""
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from rayraster.extract import ExtractStage, extract_text, text_features
+from rayraster.geo import fnv1a64, geocode_url
+from rayraster.synth import make_pages_batch, pages_dataset, write_pages_parquet_local
+
+
+def test_pages_deterministic_and_chunk_invariant():
+    a = make_pages_batch(np.arange(0, 100))
+    b1 = make_pages_batch(np.arange(0, 37))
+    b2 = make_pages_batch(np.arange(37, 100))
+    import pyarrow as pa
+
+    assert pa.concat_tables([b1, b2]).equals(a)
+    # schema matches the input_hint shape
+    assert [f.name for f in a.schema] == ["url", "warc_ts", "html", "text", "lang"]
+    assert str(a.schema.field("warc_ts").type) == "timestamp[us]"
+    assert a.schema.field("html").type == "binary"
+
+
+def test_extract_invariant_byte_identical():
+    t = make_pages_batch(np.arange(0, 500))
+    for h, txt in zip(t["html"].to_pylist(), t["text"].to_pylist()):
+        assert extract_text(h) == txt
+    # rows with escapable chars actually exercise escaping
+    assert any(b"&lt;" in h or b"&amp;" in h for h in t["html"].to_pylist())
+
+
+def test_extract_stage_verifies(tmp_path, ray_session):
+    p = str(tmp_path / "pages.parquet")
+    write_pages_parquet_local(p, 300)
+    ds = rd.read_parquet(p)
+    out = ds.map_batches(
+        ExtractStage(verify_against="text"), batch_format="pyarrow"
+    ).map_batches(text_features, batch_format="pyarrow")
+    df = out.to_pandas()
+    assert len(df) == 300
+    assert (df["text_len"] == df["text"].str.len()).all()
+    assert (df["token_count"] == df["text"].str.split().str.len()).all()
+
+
+def test_extract_stage_raises_on_corruption(ray_session):
+    import pyarrow as pa
+
+    t = make_pages_batch(np.arange(5))
+    bad = t.set_column(
+        t.schema.get_field_index("text"),
+        "text",
+        pa.array(["WRONG"] * 5, type=pa.string()),
+    )
+    stage = ExtractStage(verify_against="text")
+    with pytest.raises(AssertionError, match="extract"):
+        stage(bad)
+
+
+def test_fnv_vectorized_matches_reference_scalar():
+    urls = [f"https://example-{i:08d}.test/page" for i in range(50)]
+    urls += ["a", "", "xy", "longer-string-here"]
+    got = fnv1a64(urls)
+
+    def slow(s):
+        h = 14695981039346656037
+        for b in s.encode():
+            h = ((h ^ b) * 1099511628211) % (1 << 64)
+        return h
+
+    want = np.array([slow(s) for s in urls], dtype=np.uint64)
+    # empty string: vectorized path defines length 0 → offset basis
+    np.testing.assert_array_equal(got, want)
+
+
+def test_geocode_url_hotspots_create_skew():
+    urls = [f"https://example-{i:08d}.test/page" for i in range(20000)]
+    x, y = geocode_url(urls)
+    assert ((x >= -180.5) & (x <= 180.5)).all()
+    # hotspot near Paris (2.35, 48.86) should be dense
+    near = ((np.abs(x - 2.35) < 0.2) & (np.abs(y - 48.86) < 0.2)).sum()
+    assert near > 500  # ~6% of rows in one 0.4°×0.4° window = heavy skew
+
+
+def test_pages_dataset_streaming(ray_session):
+    df = pages_dataset(1000, parallelism=4).to_pandas()
+    assert len(df) == 1000
+    assert df["url"].is_unique
