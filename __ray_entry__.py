@@ -398,6 +398,321 @@ FROM c"""
 
 
 # --------------------------------------------------------------------------
+# training-data operators (dedup / text / similarity / windows / join /
+# multimodal) — corpora derived deterministically from the driver tables
+# so near-dup answers are analytic (the base tables have no duplicates)
+# --------------------------------------------------------------------------
+
+_DUP_OFFSET = 1_000_000
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _with_exact_copies(ds, id_col="doc_id"):
+    """ds ∪ (ds with id + OFFSET) — every text appears exactly twice."""
+
+    def bump(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.schema.get_field_index(id_col),
+            id_col,
+            pc.add(t[id_col], _DUP_OFFSET),
+        )
+
+    return ds.union(ds.map_batches(bump, batch_format="pyarrow"))
+
+
+def _q_exact_dedup(sf_dir: str):
+    from rayraster.dedup import exact_dedup_keep_ids
+
+    corpus = _with_exact_copies(_docs(sf_dir))
+    return exact_dedup_keep_ids(corpus)
+
+
+def _synth_neardup_text(ids: np.ndarray) -> list[str]:
+    """Per-id text of 40 hash-random hex tokens: cross-doc shingle
+    overlap ≈ 0, so the ONLY near-dup pairs in the constructed corpus
+    are the injected copies — this is what makes the SQL oracle
+    analytic (the real documents table contains organic near-dups that
+    SQL cannot enumerate; those corpora are covered in pytest)."""
+    out = []
+    with np.errstate(over="ignore"):
+        for i in ids.tolist():
+            toks = []
+            for j in range(40):
+                z = np.uint64(i * 64 + j) + np.uint64(0x9E3779B97F4A7C15)
+                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                toks.append(f"{int(z ^ (z >> np.uint64(31))):016x}")
+            out.append(" ".join(toks))
+    return out
+
+
+def _neardup_corpus(sf_dir: str, perturb: bool):
+    base = _docs(sf_dir, ("doc_id",))
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(_synth_neardup_text(ids))}
+        )
+
+    base = base.map_batches(synth, batch_format="pyarrow")
+
+    def copy(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"]
+        if perturb:
+            texts = pc.binary_join_element_wise(texts, " qz9xqz9x", "")
+        return pa.table({"doc_id": pa.array(ids + _DUP_OFFSET), "text": texts})
+
+    return base.union(base.map_batches(copy, batch_format="pyarrow"))
+
+
+def _q_minhash(sf_dir: str):
+    from rayraster.dedup import minhash_lsh_pairs
+
+    corpus = _neardup_corpus(sf_dir, perturb=True)
+    pairs = minhash_lsh_pairs(corpus, threshold=0.8)
+    return pairs.select_columns(["a", "b"])
+
+
+def _q_simhash(sf_dir: str):
+    from rayraster.dedup import simhash_pairs
+
+    corpus = _neardup_corpus(sf_dir, perturb=False)
+    return simhash_pairs(corpus, max_dist=3).select_columns(["a", "b"])
+
+
+def _q_embed_neardup(sf_dir: str):
+    from rayraster.dedup import embedding_neardup_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def copies(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % 5 == 0))
+        sids = sub["vec_id"].to_numpy(zero_copy_only=False)
+        return sub.set_column(
+            sub.schema.get_field_index("vec_id"),
+            "vec_id",
+            pa.array(sids + _DUP_OFFSET),
+        )
+
+    corpus = emb.union(emb.map_batches(copies, batch_format="pyarrow"))
+    pairs = embedding_neardup_pairs(corpus, threshold=0.99, dim=64)
+    return pairs.select_columns(["a", "b"])
+
+
+def _q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from rayraster.similarity import brute_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    qt = qt[qt.vec_id < 5].sort_values("vec_id")
+    out = brute_topk(
+        emb, qt.vec_id.to_numpy(), np.stack(qt.embedding.values), k=10
+    )
+    return out.select(["qid", "vec_id", "rank"])
+
+
+def _q_token_metrics(sf_dir: str):
+    from rayraster.textops import token_metrics
+
+    ds = _docs(sf_dir)
+    out = ds.map_batches(token_metrics, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(
+        ["doc_id", "n_chars_m", "token_count", "digit_count", "punct_count", "upper_count"]
+    )
+
+
+def _q_quality(sf_dir: str):
+    from rayraster.textops import quality_score
+
+    ds = _docs(sf_dir)
+    out = ds.map_batches(quality_score, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "quality"])
+
+
+def _q_langid(sf_dir: str):
+    from rayraster.textops import LangIdStage
+
+    ds = _docs(sf_dir)
+    out = ds.map_batches(
+        LangIdStage(), batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+    return out.select_columns(["doc_id", "lang_pred", "lang_conf"])
+
+
+def _q_fingerprint(sf_dir: str):
+    from rayraster.textops import fingerprint_md5
+
+    ds = _docs(sf_dir)
+    out = ds.map_batches(fingerprint_md5, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+def _q_window(sf_dir: str):
+    from rayraster.windows import tumbling_aggregate
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return tumbling_aggregate(ev).select_columns(
+        ["event_type", "window", "min_value", "max_value", "n"]
+    )
+
+
+def _q_join(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from rayraster.agg import hash_aggregate
+    from rayraster.join import broadcast_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    # key names differ → rename the small side to the probe key
+    cust = cust.rename_columns(["o_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, cust, keys=["o_custkey"])
+    return hash_aggregate(
+        joined,
+        ["c_mktsegment"],
+        min_cols=["o_totalprice"],
+        max_cols=["o_totalprice"],
+        count=True,
+    )
+
+
+def _q_multimodal(sf_dir: str):
+    from rayraster.multimodal import ImageDecodeStage
+
+    ds = _docs(sf_dir)
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"doc_id": t["doc_id"], "payload": t["text"].cast(pa.binary())}
+        )
+
+    payloads = ds.map_batches(to_payload, batch_format="pyarrow")
+    out = payloads.map_batches(
+        ImageDecodeStage(bin_col="payload"),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+    return out.select_columns(["doc_id", "width", "height", "channels"])
+
+
+def _sql_exact_dedup() -> str:
+    return f"""WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET} AS doc_id, text FROM documents
+)
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM corpus
+) WHERE rn = 1"""
+
+
+def _sql_minhash() -> str:
+    return f"""SELECT doc_id AS a, doc_id + {_DUP_OFFSET} AS b
+FROM documents"""
+
+
+def _sql_simhash() -> str:
+    return _sql_minhash()
+
+
+def _sql_embed_neardup() -> str:
+    return f"""SELECT vec_id AS a, vec_id + {_DUP_OFFSET} AS b
+FROM embeddings WHERE vec_id % 5 = 0"""
+
+
+def _sql_ann_topk() -> str:
+    return """SELECT qid, vec_id, "rank" FROM (
+  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                    e.vec_id
+         ) AS "rank"
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < 5
+) WHERE "rank" <= 10"""
+
+
+def _sql_token_metrics() -> str:
+    return r"""SELECT doc_id,
+       length(text) AS n_chars_m,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS token_count,
+       CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_count,
+       CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct_count,
+       CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS upper_count
+FROM documents"""
+
+
+def _sql_quality() -> str:
+    return r"""WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS chars,
+         CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toks,
+         CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS digs,
+         CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS pun
+  FROM documents
+)
+SELECT doc_id,
+       0.4 * least(1.0, toks / 100.0)
+       + 0.3 * (1.0 - least(1.0, digs / greatest(chars, 1.0) * 5.0))
+       + 0.3 * (1.0 - least(1.0, pun / greatest(chars, 1.0) * 10.0)) AS quality
+FROM m"""
+
+
+def _sql_fingerprint() -> str:
+    return "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def _sql_window() -> str:
+    return """SELECT event_type, epoch_us(ts) // 3600000000 AS window,
+       min(value) AS min_value, max(value) AS max_value,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2"""
+
+
+def _sql_join() -> str:
+    return """SELECT c.c_mktsegment,
+       min(o.o_totalprice) AS min_o_totalprice,
+       max(o.o_totalprice) AS max_o_totalprice,
+       COUNT(*) AS n
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1"""
+
+
+def _sql_multimodal() -> str:
+    return """SELECT doc_id,
+       64 + octet_length(encode(text)) % 960 AS width,
+       64 + (octet_length(encode(text)) * 7) % 960 AS height,
+       CAST(3 AS BIGINT) AS channels
+FROM documents"""
+
+
+# --------------------------------------------------------------------------
 # driver entry points
 # --------------------------------------------------------------------------
 
@@ -422,6 +737,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r8_knn": _q_knn,
         "r9_polyfill": _q_polyfill,
         "r10_raster_to_vector": _q_raster_to_vector,
+        "d1_exact_dedup": _q_exact_dedup,
+        "d2_minhash_neardup": _q_minhash,
+        "d3_simhash_neardup": _q_simhash,
+        "d5_embed_neardup": _q_embed_neardup,
+        "s1_ann_cosine_topk": _q_ann_topk,
+        "t1_token_metrics": _q_token_metrics,
+        "t2_quality_score": _q_quality,
+        "t3_lang_id": _q_langid,
+        "t4_fingerprint": _q_fingerprint,
+        "w1_tumbling_window": _q_window,
+        "j1_broadcast_join": _q_join,
+        "m1_multimodal_decode": _q_multimodal,
     }
 
 
@@ -439,4 +766,16 @@ def oracle_sql() -> dict[str, str]:
         "r8_knn": _sql_knn(),
         "r9_polyfill": _sql_polyfill(),
         "r10_raster_to_vector": _sql_raster_to_vector(),
+        "d1_exact_dedup": _sql_exact_dedup(),
+        "d2_minhash_neardup": _sql_minhash(),
+        "d3_simhash_neardup": _sql_simhash(),
+        "d5_embed_neardup": _sql_embed_neardup(),
+        "s1_ann_cosine_topk": _sql_ann_topk(),
+        "t1_token_metrics": _sql_token_metrics(),
+        "t2_quality_score": _sql_quality(),
+        # t3_lang_id: heuristic scoring — not SQL-expressible (rows-only)
+        "t4_fingerprint": _sql_fingerprint(),
+        "w1_tumbling_window": _sql_window(),
+        "j1_broadcast_join": _sql_join(),
+        "m1_multimodal_decode": _sql_multimodal(),
     }

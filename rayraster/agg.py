@@ -1,0 +1,112 @@
+"""Generic hash-partitioned grouped aggregation (partial → final).
+
+The same pattern rasterize.py uses for cells, generalized to arbitrary
+keys and (sum / count / min / max) aggregates — all algebraic, so the
+partial/final decomposition is exact:
+
+  map_batches[per-batch pyarrow group_by + part = hash(keys) % P]
+  → groupby(part).map_groups[one vectorized pyarrow group_by]
+
+The shuffle key is the small int ``part``; group count per finalize
+task is bounded by |keys|/P.  Never uses Ray's per-group-Python
+aggregate reduce (see rasterize.py module docstring for the numbers).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from rayraster.geo import fnv1a64
+
+_PART = "_part"
+_ONES = "_n1"
+
+
+def _part_of(t: pa.Table, keys: Sequence[str], num_partitions: int) -> np.ndarray:
+    """Deterministic partition id from arbitrary-typed key columns."""
+    h = np.zeros(t.num_rows, dtype=np.int64)
+    for k in keys:
+        col = t[k]
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        elif pa.types.is_floating(col.type):
+            v = col.to_numpy(zero_copy_only=False).view(np.int64)
+        else:
+            v = fnv1a64([str(s) for s in col.to_pylist()]).view(np.int64)
+        h = h * np.int64(1000003) ^ v
+    return np.abs(h) % np.int64(num_partitions)
+
+
+def _aggs_for(sum_cols, min_cols, max_cols, count):
+    aggs = [(c, "sum") for c in sum_cols]
+    aggs += [(c, "min") for c in min_cols]
+    aggs += [(c, "max") for c in max_cols]
+    if count:
+        aggs.append((_ONES, "sum"))
+    return aggs
+
+
+def hash_aggregate(
+    ds: Dataset,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    count: bool = True,
+    count_name: str = "n",
+    num_partitions: int = 64,
+    batch_size: int | None = 65536,
+) -> Dataset:
+    """Grouped aggregate: one row per distinct key combination with
+    ``sum_<c>``, ``min_<c>``, ``max_<c>`` and a count column.
+
+    Output column names are stable regardless of pyarrow's internal
+    naming: ``[*keys, sum_*…, min_*…, max_*…, count_name]``.
+    """
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+    min_cols = list(min_cols)
+    max_cols = list(max_cols)
+    out_names = (
+        keys
+        + [f"sum_{c}" for c in sum_cols]
+        + [f"min_{c}" for c in min_cols]
+        + [f"max_{c}" for c in max_cols]
+        + ([count_name] if count else [])
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {k: batch[k] for k in keys}
+        for c in set(sum_cols + min_cols + max_cols):
+            cols[c] = batch[c]
+        if count:
+            cols[_ONES] = pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        t = pa.table(cols)
+        out = t.group_by(keys).aggregate(_aggs_for(sum_cols, min_cols, max_cols, count))
+        out = out.rename_columns(out_names)
+        return out.append_column(_PART, pa.array(_part_of(out, keys, num_partitions)))
+
+    def finalize(part: pa.Table) -> pa.Table:
+        # merge partials: sum of sums/counts, min of mins, max of maxes
+        aggs = [(f"sum_{c}", "sum") for c in sum_cols]
+        aggs += [(f"min_{c}", "min") for c in min_cols]
+        aggs += [(f"max_{c}", "max") for c in max_cols]
+        if count:
+            aggs.append((count_name, "sum"))
+        out = part.group_by(keys).aggregate(aggs)
+        return out.rename_columns(out_names)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    return partials.groupby(_PART).map_groups(finalize, batch_format="pyarrow")
+
+
+def distinct(ds: Dataset, keys: Sequence[str], num_partitions: int = 64) -> Dataset:
+    """Distinct key combinations (a hash-partitioned dedup of keys)."""
+    return hash_aggregate(ds, keys, count=False, num_partitions=num_partitions)

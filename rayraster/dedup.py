@@ -1,0 +1,503 @@
+"""Deduplication operators for training-data pipelines.
+
+All from scratch on Ray Data (no reference analog — SEraster has no
+set ops, SURVEY.md §2 "Set ops / dedup: none" — these are the
+training-pipeline extensions the task brief mandates):
+
+* exact_dedup        — content-hash → hash-partitioned keep-first
+* minhash_lsh_pairs  — char-shingle MinHash → banded LSH buckets →
+                       candidate pairs → exact-Jaccard verification
+* simhash_pairs      — 64-bit SimHash → 4×16-bit band buckets
+                       (pigeonhole: hamming ≤ 3 ⇒ ≥1 equal band) →
+                       verified by exact Hamming distance
+* ngram_jaccard      — exact word-n-gram Jaccard (the verifier, also
+                       exposed standalone)
+* embedding_neardup_pairs — random-hyperplane LSH over an embedding
+                       column → candidate pairs → exact cosine ≥ τ
+
+Scale notes: candidate generation shuffles only (bucket_key, id)
+rows; verification joins text/vectors back via a broadcast object
+(``ray.put``) — right for corpora whose *fingerprint table* fits one
+node.  At 10^12 rows, swap the broadcast for a hash-partitioned join
+on id (same bucket → pair → partition-by-pair-hash), which this
+module's bucket stages already produce the keys for.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from rayraster.agg import distinct, hash_aggregate
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def add_content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "_h") -> pa.Table:
+    h = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in batch[text_col].to_pylist()]
+    return batch.append_column(out_col, pa.array(h, type=pa.string()))
+
+
+def exact_dedup_keep_ids(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id", num_partitions: int = 64
+) -> Dataset:
+    """ids of the kept (minimum-id) representative per distinct text.
+
+    hash-partition + per-group first — the exact-dedup shape from the
+    task brief.  md5 collisions are ignored (2^-64 scale)."""
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, text_col).select(["_h", id_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = hash_aggregate(
+        hashed, ["_h"], min_cols=[id_col], count=False, num_partitions=num_partitions
+    )
+    return agg.map_batches(
+        lambda t: pa.table({id_col: t[f"min_{id_col}"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles / minhash
+# ---------------------------------------------------------------------------
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """uint64 hashes of the k-byte shingles of ``text`` (unique,
+    sorted).  Rolling-window vectorized (one multiply per offset)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)))
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = np.zeros(win.shape[0], dtype=np.uint64)
+        for j in range(k):
+            h = h * np.uint64(1099511628211) + win[:, j]
+        h = (h ^ (h >> np.uint64(33))) * _MIX
+    return np.unique(h)
+
+
+def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """uint64 hashes of word n-grams (unique, sorted)."""
+    words = text.split()
+    if len(words) < n:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    out = np.empty(len(grams), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, g in enumerate(grams):
+            hh = np.uint64(14695981039346656037)
+            for c in g.encode("utf-8"):
+                hh = (hh ^ np.uint64(c)) * np.uint64(1099511628211)
+            out[i] = hh
+    return np.unique(out)
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique hash arrays."""
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / (len(a) + len(b) - inter)
+
+
+_SALTS = None
+
+
+def _perm_salts(num_perm: int) -> np.ndarray:
+    global _SALTS
+    if _SALTS is None or len(_SALTS) < num_perm:
+        # deterministic splitmix64 stream
+        s = np.uint64(0x123456789ABCDEF)
+        out = []
+        with np.errstate(over="ignore"):
+            for _ in range(num_perm):
+                s = s + np.uint64(0x9E3779B97F4A7C15)
+                z = s
+                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                out.append(z ^ (z >> np.uint64(31)))
+        _SALTS = np.array(out, dtype=np.uint64)
+    return _SALTS[:num_perm]
+
+
+def minhash_signature(shingles: np.ndarray, num_perm: int = 64) -> np.ndarray:
+    """num_perm × uint64 signature: min over shingles of mixed hashes."""
+    salts = _perm_salts(num_perm)
+    if len(shingles) == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        m = (shingles[:, None] ^ salts[None, :]) * _MIX
+    return m.min(axis=0)
+
+
+class MinHashStage:
+    """map_batches actor: text → (id, band, band_hash) bucket rows.
+
+    Stateful (salts precomputed once per actor); emits
+    bands × rows-per-signature rows per document."""
+
+    def __init__(self, text_col="text", id_col="doc_id", num_perm=64, bands=16, k=5):
+        assert num_perm % bands == 0
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.k = k
+        _perm_salts(num_perm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        n = len(texts)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sigs[i] = minhash_signature(char_shingle_hashes(t, self.k), self.num_perm)
+        # band hash: FNV-combine the band's signature components
+        r = self.rows_per_band
+        bh = np.empty((n, self.bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(self.bands):
+                h = np.full(n, np.uint64(14695981039346656037))
+                for j in range(r):
+                    h = (h ^ sigs[:, b * r + j]) * np.uint64(1099511628211)
+                bh[:, b] = h
+        out_id = np.repeat(ids, self.bands)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int64), n)
+        out_hash = bh.reshape(-1).view(np.int64)
+        return pa.table(
+            {self.id_col: out_id, "band": out_band, "bhash": out_hash}
+        )
+
+
+def candidate_pairs(
+    bucket_rows: Dataset,
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+    max_bucket: int = 2000,
+) -> Dataset:
+    """(band, bhash) bucket rows → distinct candidate pairs (a < b).
+
+    Hash-partitioned on the bucket key (NOT one task per bucket — a
+    bucket is usually tiny and there are millions of them); pairs are
+    emitted per bucket segment inside each partition, vectorized, with
+    a ``max_bucket`` guard so one degenerate hot bucket (e.g. all-empty
+    documents) cannot emit O(n²) pairs."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        band = t["band"].to_numpy(zero_copy_only=False)
+        bh = t["bhash"].to_numpy(zero_copy_only=False)
+        part = np.abs(band * np.int64(1000003) ^ bh) % np.int64(num_partitions)
+        return t.append_column("_part", pa.array(part))
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("band", "ascending"), ("bhash", "ascending")])
+        band = g["band"].to_numpy(zero_copy_only=False)
+        bh = g["bhash"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+            )
+        new_seg = np.empty(len(ids), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new_seg)
+        ends = np.append(starts[1:], len(ids))
+        outs_a, outs_b = [], []
+        for s, t_ in zip(starts, ends):
+            if t_ - s < 2 or t_ - s > max_bucket:
+                continue
+            u = np.unique(ids[s:t_])
+            if len(u) < 2:
+                continue
+            ai, bi = np.triu_indices(len(u), k=1)
+            outs_a.append(u[ai])
+            outs_b.append(u[bi])
+        if not outs_a:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {"a": pa.array(np.concatenate(outs_a)), "b": pa.array(np.concatenate(outs_b))}
+        )
+
+    parted = bucket_rows.map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = parted.groupby("_part").map_groups(emit_pairs, batch_format="pyarrow")
+    return distinct(pairs, ["a", "b"])
+
+
+class _VerifyJaccard:
+    """map_batches actor: exact shingle-Jaccard for candidate pairs via
+    a broadcast {id: shingle hashes} map (built once per actor)."""
+
+    def __init__(self, shingles_ref, threshold: float, kind: str = "char", k: int = 5, n: int = 3):
+        self._ref = shingles_ref
+        self._map = None
+        self.threshold = threshold
+        self.kind = kind
+        self.k = k
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._map is None:
+            obj = ray.get(self._ref) if isinstance(self._ref, ray.ObjectRef) else self._ref
+            fn = (
+                (lambda t: char_shingle_hashes(t, self.k))
+                if self.kind == "char"
+                else (lambda t: word_ngram_hashes(t, self.n))
+            )
+            self._map = {i: fn(t) for i, t in obj.items()}
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        jac = np.array(
+            [jaccard(self._map[x], self._map[y]) for x, y in zip(a, b)]
+        )
+        keep = jac >= self.threshold
+        return pa.table(
+            {"a": pa.array(a[keep]), "b": pa.array(b[keep]), "jac": pa.array(jac[keep])}
+        )
+
+
+def minhash_lsh_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    texts_ref=None,
+) -> Dataset:
+    """Near-duplicate pairs with exact-verified char-shingle Jaccard ≥
+    threshold.  ``texts_ref``: optional pre-broadcast {id: text} for
+    the verify stage; if None it is built by materializing (id, text)
+    — fine up to ~10^7 docs/node, see module docstring for the scale
+    swap."""
+    buckets = ds.map_batches(
+        MinHashStage(text_col, id_col, num_perm, bands, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=4,
+    )
+    pairs = candidate_pairs(buckets, id_col)
+    if texts_ref is None:
+        pdf = ds.select_columns([id_col, text_col]).to_pandas()
+        texts_ref = ray.put(dict(zip(pdf[id_col], pdf[text_col])))
+    return pairs.map_batches(
+        _VerifyJaccard(texts_ref, threshold, kind="char", k=k),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> np.uint64:
+    """64-bit SimHash over word-unigram hashes."""
+    toks = word_ngram_hashes(text, n=1)
+    if len(toks) == 0:
+        return np.uint64(0)
+    bits = np.unpackbits(toks.view(np.uint8).reshape(len(toks), 8), axis=1)
+    score = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)  # ±1 vote per bit
+    return np.uint64(np.packbits(score > 0).view(np.uint64)[0])
+
+
+class SimHashStage:
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        sigs = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        # 4 bands × 16 bits: hamming ≤ 3 ⇒ at least one band equal
+        out = {
+            self.id_col: np.repeat(ids, 4),
+            "band": np.tile(np.arange(4, dtype=np.int64), len(ids)),
+            "bhash": np.empty(4 * len(ids), dtype=np.int64),
+            "sig": np.repeat(sigs.view(np.int64), 4),
+        }
+        for b in range(4):
+            chunk = (sigs >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            out["bhash"][b::4] = chunk.astype(np.int64)
+        return pa.table(out)
+
+
+def simhash_pairs(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id", max_dist: int = 3
+) -> Dataset:
+    """Near-dup pairs with Hamming(simhash) ≤ max_dist (≤ 3 for exact
+    recall with the 4×16 banding; larger max_dist is best-effort)."""
+    rows = ds.map_batches(
+        SimHashStage(text_col, id_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+    sig_rows = distinct(rows, [id_col, "sig"])
+    sig_pdf = sig_rows.to_pandas()
+    sig_ref = ray.put(dict(zip(sig_pdf[id_col], sig_pdf["sig"].astype(np.int64))))
+    pairs = candidate_pairs(rows, id_col)
+
+    class _VerifyHamming:
+        def __init__(self):
+            self.sigs = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.sigs is None:
+                self.sigs = ray.get(sig_ref)
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            dist = np.array(
+                [
+                    int(self.sigs[x] ^ self.sigs[y]).bit_count()
+                    for x, y in zip(a.tolist(), b.tolist())
+                ],
+                dtype=np.int64,
+            )
+            keep = dist <= max_dist
+            return pa.table(
+                {
+                    "a": pa.array(a[keep]),
+                    "b": pa.array(b[keep]),
+                    "hamming": pa.array(dist[keep]),
+                }
+            )
+
+    return pairs.map_batches(_VerifyHamming, batch_format="pyarrow", concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine LSH)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, table: int) -> np.ndarray:
+    rng = np.random.default_rng(8675309 + table)
+    return rng.standard_normal((dim, n_planes))
+
+
+class HyperplaneLSHStage:
+    """embedding → (id, band=table, bhash=sign-bit bucket) rows."""
+
+    def __init__(self, vec_col="embedding", id_col="vec_id", n_planes=16, n_tables=4, dim=64):
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.planes = [_hyperplanes(dim, n_planes, t) for t in range(n_tables)]
+        self.n_tables = n_tables
+        self.pow2 = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch[self.vec_col].to_pylist()).astype(np.float64)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        parts = []
+        for t, P in enumerate(self.planes):
+            bits = (vecs @ P) > 0
+            bh = bits @ self.pow2
+            parts.append(
+                pa.table(
+                    {
+                        self.id_col: ids,
+                        "band": np.full(len(ids), t, dtype=np.int64),
+                        "bhash": bh,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+
+def embedding_neardup_pairs(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    dim: int = 64,
+) -> Dataset:
+    """Pairs with exact cosine ≥ threshold, candidates from
+    random-hyperplane LSH (4 tables × 16 planes)."""
+    rows = ds.map_batches(
+        HyperplaneLSHStage(vec_col, id_col, dim=dim),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=4,
+    )
+    pairs = candidate_pairs(rows, id_col)
+    pdf = ds.select_columns([id_col, vec_col]).to_pandas()
+    mat = np.stack(pdf[vec_col].values).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    vec_ref = ray.put({"ids": pdf[id_col].to_numpy(), "mat": mat})
+
+    class _VerifyCosine:
+        def __init__(self):
+            self.row = None
+            self.mat = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.mat is None:
+                obj = ray.get(vec_ref)
+                self.mat = obj["mat"]
+                self.row = {int(i): k for k, i in enumerate(obj["ids"])}
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            ra = np.array([self.row[int(x)] for x in a])
+            rb = np.array([self.row[int(x)] for x in b])
+            cos = np.einsum("ij,ij->i", self.mat[ra], self.mat[rb]) if len(a) else np.zeros(0)
+            keep = cos >= threshold
+            return pa.table(
+                {"a": pa.array(a[keep]), "b": pa.array(b[keep]), "cos": pa.array(cos[keep])}
+            )
+
+    return pairs.map_batches(_VerifyCosine, batch_format="pyarrow", concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# exact word-n-gram Jaccard over candidate pairs (standalone operator)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+) -> Dataset:
+    """Near-dup pairs by exact word-n-gram Jaccard ≥ threshold;
+    candidates from an aggressive MinHash banding (32 bands × 2 rows —
+    high recall at moderate thresholds)."""
+    buckets = ds.map_batches(
+        MinHashStage(text_col, id_col, num_perm, bands, k=5),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=4,
+    )
+    pairs = candidate_pairs(buckets, id_col)
+    pdf = ds.select_columns([id_col, text_col]).to_pandas()
+    texts_ref = ray.put(dict(zip(pdf[id_col], pdf[text_col])))
+    return pairs.map_batches(
+        _VerifyJaccard(texts_ref, threshold, kind="word", n=n),
+        batch_format="pyarrow",
+        concurrency=2,
+    )

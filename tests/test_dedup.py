@@ -1,0 +1,112 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding near-dup — over constructed corpora with known answers."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from rayraster.dedup import (
+    char_shingle_hashes,
+    embedding_neardup_pairs,
+    exact_dedup_keep_ids,
+    jaccard,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_pairs,
+    word_ngram_hashes,
+)
+
+
+def _corpus(n=60, dup_every=3):
+    """n base docs; every dup_every-th doc gets an exact copy with
+    id + 1000."""
+    rng = np.random.default_rng(5)
+    words = [f"w{k:03d}" for k in range(400)]
+    rows = []
+    for i in range(n):
+        text = " ".join(rng.choice(words, size=80))
+        rows.append({"doc_id": i, "text": text})
+        if i % dup_every == 0:
+            rows.append({"doc_id": i + 1000, "text": text})
+    return pd.DataFrame(rows)
+
+
+def test_exact_dedup(ray_session):
+    df = _corpus()
+    keep = exact_dedup_keep_ids(rd.from_pandas(df)).to_pandas()
+    # kept = min id per text = exactly the base ids
+    assert sorted(keep.doc_id) == sorted(df[df.doc_id < 1000].doc_id)
+
+
+def test_jaccard_and_signatures():
+    a = char_shingle_hashes("the quick brown fox jumps", 5)
+    b = char_shingle_hashes("the quick brown fox jumped", 5)
+    c = char_shingle_hashes("completely different words", 5)
+    assert jaccard(a, a) == 1.0
+    assert jaccard(a, b) > 0.6 > jaccard(a, c)
+    # minhash similarity approximates jaccard
+    sa = minhash_signature(a, 256)
+    sb = minhash_signature(b, 256)
+    est = (sa == sb).mean()
+    assert abs(est - jaccard(a, b)) < 0.15
+    # determinism
+    assert (minhash_signature(a, 64) == minhash_signature(a, 64)).all()
+
+
+def test_minhash_lsh_finds_neardups(ray_session):
+    df = _corpus(40, dup_every=2)
+    # perturb the copies slightly (near-dup, not exact)
+    df.loc[df.doc_id >= 1000, "text"] = df.loc[df.doc_id >= 1000, "text"] + " xtra"
+    pairs = minhash_lsh_pairs(rd.from_pandas(df), threshold=0.8).to_pandas()
+    want = {(i, i + 1000) for i in df[df.doc_id < 1000].doc_id if (df.doc_id == i + 1000).any()}
+    got = {(a, b) for a, b in zip(pairs.a, pairs.b)}
+    assert got == want
+    assert (pairs.jac >= 0.8).all()
+
+
+def test_simhash_pairs(ray_session):
+    df = _corpus(40, dup_every=2)
+    pairs = simhash_pairs(rd.from_pandas(df), max_dist=3).to_pandas()
+    want = {(i, i + 1000) for i in df[df.doc_id < 1000].doc_id if (df.doc_id == i + 1000).any()}
+    got = {(a, b) for a, b in zip(pairs.a, pairs.b)}
+    assert want <= got  # exact copies: hamming 0, guaranteed found
+    assert (pairs.hamming <= 3).all()
+
+
+def test_simhash_determinism_and_locality():
+    t = "some reasonably long text with many words appearing here"
+    assert simhash64(t) == simhash64(t)
+    h1 = int(simhash64(t))
+    h2 = int(simhash64(t + " tail"))
+    assert bin(h1 ^ h2).count("1") < 20  # similar docs → close hashes
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    df = _corpus(30, dup_every=2)
+    df.loc[df.doc_id >= 1000, "text"] = df.loc[df.doc_id >= 1000, "text"] + " zz"
+    pairs = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.5, n=3).to_pandas()
+    want = {(i, i + 1000) for i in df[df.doc_id < 1000].doc_id if (df.doc_id == i + 1000).any()}
+    got = {(a, b) for a, b in zip(pairs.a, pairs.b)}
+    assert got == want
+
+
+def test_embedding_neardup(ray_session):
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((50, 64)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": base[i]} for i in range(50)]
+    rows += [{"vec_id": i + 1000, "embedding": base[i]} for i in range(0, 50, 5)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = embedding_neardup_pairs(ds, threshold=0.99, dim=64).to_pandas()
+    want = {(i, i + 1000) for i in range(0, 50, 5)}
+    got = {(a, b) for a, b in zip(pairs.a, pairs.b)}
+    assert got == want
+    assert (pairs.cos >= 0.99).all()
+
+
+def test_word_ngram_short_texts():
+    assert len(word_ngram_hashes("", 3)) == 0
+    assert len(word_ngram_hashes("one two", 3)) == 1

@@ -1,0 +1,143 @@
+"""Text analysis + similarity search + windows + broadcast join."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from rayraster.similarity import brute_topk, ivf_topk, seeded_centroids
+from rayraster.textops import LangIdStage, fingerprint_md5, quality_score, token_metrics
+from rayraster.windows import tumbling_aggregate
+from rayraster.join import broadcast_join, semi_join_filter
+from rayraster.agg import hash_aggregate
+
+
+def test_token_metrics_vectorized():
+    t = pa.table({"text": ["Hello, world! 42", "", "a b  c"]})
+    out = token_metrics(t)
+    assert out["token_count"].to_pylist() == [3, 0, 3]
+    assert out["digit_count"].to_pylist() == [2, 0, 0]
+    assert out["punct_count"].to_pylist() == [2, 0, 0]
+    assert out["upper_count"].to_pylist() == [1, 0, 0]
+
+
+def test_quality_score_bounds():
+    t = pa.table(
+        {"text": ["good " * 120, "1234567890" * 10, "!!!???" * 30, ""]}
+    )
+    q = quality_score(t)["quality"].to_pylist()
+    assert all(0.0 <= v <= 1.0 for v in q)
+    assert q[0] > q[1] and q[0] > q[2]
+
+
+def test_lang_id_heuristic():
+    t = pa.table(
+        {
+            "text": [
+                "the cat and the dog sat in the yard for a while and it was good",
+                "der hund und die katze ist nicht in den garten mit ein ball zu",
+                "el perro y la casa de los gatos es una cosa que por las noches",
+                "这是一个中文文本的示例 内容足够长以便检测 这是一个中文文本",
+                "",
+            ]
+        }
+    )
+    out = LangIdStage()(t)
+    assert out["lang_pred"].to_pylist() == ["en", "de", "es", "zh", "und"]
+
+
+def test_fingerprint_matches_hashlib():
+    import hashlib
+
+    t = pa.table({"text": ["abc", "déjà vu"]})
+    fp = fingerprint_md5(t)["fingerprint"].to_pylist()
+    assert fp[0] == hashlib.md5(b"abc").hexdigest()
+    assert fp[1] == hashlib.md5("déjà vu".encode()).hexdigest()
+
+
+def _emb_ds(n=300, dim=32, seed=3):
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    return (
+        rd.from_pandas(pd.DataFrame({"vec_id": range(n), "embedding": list(mat)})),
+        mat,
+    )
+
+
+def test_brute_topk_exact(ray_session):
+    ds, mat = _emb_ds()
+    qids = np.array([0, 1])
+    out = brute_topk(ds, qids, mat[:2], k=5, vec_col="embedding").to_pandas()
+    # oracle: numpy full cosine
+    M = mat.astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for q in (0, 1):
+        sims = M[q] @ M.T
+        want = np.lexsort((np.arange(len(sims)), -sims))[:5]
+        got = out[out.qid == q].sort_values("rank").vec_id.to_numpy()
+        np.testing.assert_array_equal(got, want)
+    # self is rank 1 with cos ~1
+    assert (out[out["rank"] == 1].vec_id.to_numpy() == qids).all()
+
+
+def test_ivf_topk_recall(ray_session):
+    ds, mat = _emb_ds(500, 32)
+    qids = np.arange(5)
+    brute = brute_topk(ds, qids, mat[:5], k=10, vec_col="embedding").to_pandas()
+    ivf = ivf_topk(
+        ds, qids, mat[:5], k=10, n_centroids=8, nprobe=4, dim=32
+    ).to_pandas()
+    recalls = []
+    for q in qids:
+        b = set(brute[brute.qid == q].vec_id)
+        i = set(ivf[ivf.qid == q].vec_id)
+        recalls.append(len(b & i) / len(b))
+    assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 buckets
+
+
+def test_tumbling_window(ray_session):
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(np.arange(0, 7200, 10), unit="s")
+    df = pd.DataFrame(
+        {
+            "ts": ts,
+            "event_type": ["a" if i % 2 else "b" for i in range(len(ts))],
+            "value": np.arange(len(ts), dtype=np.float64),
+        }
+    )
+    out = tumbling_aggregate(rd.from_pandas(df)).to_pandas()
+    assert out["n"].sum() == len(df)
+    assert len(out) == 4  # 2 types × 2 hours
+    first = out[(out.event_type == "b") & (out.window == out.window.min())].iloc[0]
+    assert first["min_value"] == 0.0 and first["n"] == 180
+
+
+def test_broadcast_join_and_semi(ray_session):
+    big = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 2, 5], "v": range(5)}))
+    small = pa.table({"k": [1, 2], "name": ["one", "two"]})
+    j = broadcast_join(big, small, "k").to_pandas().sort_values("v")
+    assert j.name.tolist() == ["one", "two", "two"]
+    s = semi_join_filter(big, [2, 5], "k").to_pandas()
+    assert sorted(s.k) == [2, 2, 5]
+    a = semi_join_filter(big, [2, 5], "k", invert=True).to_pandas()
+    assert sorted(a.k) == [1, 3]
+
+
+def test_hash_aggregate_generic(ray_session):
+    df = pd.DataFrame(
+        {"g": ["x", "y"] * 50, "h": [1, 1, 2, 2] * 25, "v": np.arange(100)}
+    )
+    out = hash_aggregate(
+        rd.from_pandas(df), ["g", "h"], sum_cols=["v"], min_cols=["v"], max_cols=["v"]
+    ).to_pandas()
+    want = (
+        df.groupby(["g", "h"])
+        .agg(sum_v=("v", "sum"), min_v=("v", "min"), max_v=("v", "max"), n=("v", "count"))
+        .reset_index()
+    )
+    got = out.sort_values(["g", "h"]).reset_index(drop=True)
+    want = want.sort_values(["g", "h"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["g", "h", "sum_v", "min_v", "max_v", "n"]], want, check_dtype=False
+    )
