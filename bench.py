@@ -76,15 +76,18 @@ def headline() -> dict:
 
     out_dir = f"/tmp/rayraster_bench/pixels_{NUM_CPUS}"
     t0 = time.perf_counter()
+    bs = int(os.environ.get("GRAFT_BATCH_SIZE", "16384"))
     ds = rd.read_parquet(PAGES_DIR, columns=["url", "html", "text"])
-    ds = ds.map_batches(ExtractStage(verify_against="text"), batch_format="pyarrow")
-    ds = ds.map_batches(text_features, batch_format="pyarrow")
-    ds = ds.map_batches(add_geocode_url, batch_format="pyarrow")
+    ds = ds.map_batches(
+        ExtractStage(verify_against="text"), batch_format="pyarrow", batch_size=bs
+    )
+    ds = ds.map_batches(text_features, batch_format="pyarrow", batch_size=bs)
+    ds = ds.map_batches(add_geocode_url, batch_format="pyarrow", batch_size=bs)
     ds = ds.drop_columns(["html", "text", "url"])
     spec = GridSpec(-180.0, -90.0, HEADLINE_RES)  # fixed frame: no min/max pass
     pixels, _ = rasterize_features(
         ds, HEADLINE_RES, ["text_len", "token_count", "digit_count"],
-        spec=spec, fun="mean",
+        spec=spec, fun="mean", batch_size=bs,
     )
     pixels.write_parquet(out_dir)
     sec = time.perf_counter() - t0

@@ -24,7 +24,13 @@ None of the modules call ray.init(); the caller owns the Ray session.
 """
 
 from rayraster.grid import GridSpec, derive_bbox
-from rayraster.rasterize import rasterize_features, rasterize_categories
+from rayraster.rasterize import (
+    collect_cell_ids,
+    pivot_categories,
+    rasterize_categories,
+    rasterize_features,
+    rollup_quadtree,
+)
 from rayraster.rotate import permutate_by_rotation
 
 __all__ = [
@@ -32,6 +38,9 @@ __all__ = [
     "derive_bbox",
     "rasterize_features",
     "rasterize_categories",
+    "pivot_categories",
+    "rollup_quadtree",
+    "collect_cell_ids",
     "permutate_by_rotation",
 ]
 

@@ -1,0 +1,142 @@
+"""CLI entry — the ``ray job submit`` surface of the engine.
+
+    python -m rayraster.cli rasterize --input '<glob>' --out /tmp/out \
+        --resolution 0.5 [--hex] [--fun mean] [--value-cols a,b] \
+        [--geocode id|url] [--resume]
+    python -m rayraster.cli synth --out /tmp/pages --rows 1000000
+    python -m rayraster.cli plot --pixels /tmp/out/pixels --png /tmp/r.png
+
+On a real cluster: ``ray job submit --working-dir . -- python -m
+rayraster.cli rasterize ...`` — the code only ever talks to Ray Data,
+so the same invocation scales from this sandbox to N nodes.  This is
+the ONLY module (besides bench.py/tests) that owns a Ray session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_rasterize(args) -> int:
+    from rayraster.checkpoint import rasterize_checkpointed
+    from rayraster.extract import ExtractStage, text_features
+    from rayraster.grid import GridSpec
+    from rayraster.pipelines import add_geocode_id, add_geocode_url
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    spec = GridSpec(args.x0, args.y0, args.resolution, square=not args.hex)
+    value_cols = args.value_cols.split(",") if args.value_cols else ["text_len"]
+
+    if args.geocode == "url":
+        def prepare(t):
+            t = ExtractStage(verify_against=None)(t) if "html" in t.column_names else t
+            t = text_features(t)
+            t = add_geocode_url(t)
+            return t.drop_columns(
+                [c for c in ("html", "text", "url") if c in t.column_names]
+            )
+    else:
+        def prepare(t):
+            return add_geocode_id(t, id_col=args.id_col)
+
+    summary = rasterize_checkpointed(
+        files,
+        args.out,
+        spec,
+        value_cols,
+        fun=args.fun,
+        prepare=prepare,
+        files_per_shard=args.files_per_shard,
+    )
+    print(json.dumps(summary))
+    return 0 if summary["complete"] else 3
+
+
+def cmd_synth(args) -> int:
+    from rayraster.synth import write_pages_parquet_ray
+
+    _init_ray(args.num_cpus)
+    os.makedirs(args.out, exist_ok=True)
+    write_pages_parquet_ray(args.out, args.rows, parallelism=args.parallelism)
+    print(json.dumps({"out": args.out, "rows": args.rows}))
+    return 0
+
+
+def cmd_plot(args) -> int:
+    import ray.data as rd
+
+    from rayraster.plot import plot_raster
+
+    _init_ray(args.num_cpus)
+    pdf = rd.read_parquet(args.pixels).to_pandas()
+    path, w, h = plot_raster(pdf, args.png, feature_name=args.feature)
+    print(json.dumps({"png": path, "width": w, "height": h, "pixels": len(pdf)}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rayraster")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("rasterize", help="checkpointed rasterization run")
+    r.add_argument("--input", required=True, help="input parquet glob")
+    r.add_argument("--out", required=True)
+    r.add_argument("--resolution", type=float, required=True)
+    r.add_argument("--hex", action="store_true")
+    r.add_argument("--fun", choices=["sum", "mean"], default="mean")
+    r.add_argument("--value-cols", default="")
+    r.add_argument("--geocode", choices=["id", "url"], default="url")
+    r.add_argument("--id-col", default="doc_id")
+    r.add_argument("--x0", type=float, default=-180.0)
+    r.add_argument("--y0", type=float, default=-90.0)
+    r.add_argument("--files-per-shard", type=int, default=8)
+    r.set_defaults(fn=cmd_rasterize)
+
+    s = sub.add_parser("synth", help="generate the synthetic pages table")
+    s.add_argument("--out", required=True)
+    s.add_argument("--rows", type=int, default=1_000_000)
+    s.add_argument("--parallelism", type=int, default=64)
+    s.set_defaults(fn=cmd_synth)
+
+    g = sub.add_parser("plot", help="render a pixel table to PNG")
+    g.add_argument("--pixels", required=True)
+    g.add_argument("--png", required=True)
+    g.add_argument("--feature", default="sum")
+    g.set_defaults(fn=cmd_plot)
+
+    args = p.parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -223,7 +223,7 @@ def rasterize_features(
     y_col: str = "y",
     extra_keys: Sequence[str] = (),
     with_meta: bool = True,
-    batch_size: int | None = 65536,
+    batch_size: int | None = 16384,
     num_partitions: int = DEFAULT_PARTITIONS,
 ) -> tuple[Dataset, GridSpec]:
     """Continuous-feature rasterization (``rasterizeGeneExpression``,
@@ -282,7 +282,7 @@ def rasterize_categories(
     x_col: str = "x",
     y_col: str = "y",
     extra_keys: Sequence[str] = (),
-    batch_size: int | None = 65536,
+    batch_size: int | None = 16384,
     num_partitions: int = DEFAULT_PARTITIONS,
 ) -> tuple[Dataset, GridSpec]:
     """Categorical rasterization (``rasterizeCellType``, R/main.R:466-559).

@@ -1,0 +1,88 @@
+"""plotRaster analog (PNG sink) + CLI surface."""
+
+import json
+import struct
+import subprocess
+import sys
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rayraster.plot import plot_raster, viridis, write_png
+
+
+def test_write_png_valid(tmp_path):
+    img = np.zeros((4, 5, 3), dtype=np.uint8)
+    img[0, 0] = (255, 0, 0)
+    p = str(tmp_path / "t.png")
+    write_png(p, img)
+    raw = open(p, "rb").read()
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    # IHDR dims
+    w, h = struct.unpack(">II", raw[16:24])
+    assert (w, h) == (5, 4)
+    # IDAT decompresses to h*(1+w*3) bytes
+    idat_pos = raw.index(b"IDAT")
+    ln = struct.unpack(">I", raw[idat_pos - 4 : idat_pos])[0]
+    payload = raw[idat_pos + 4 : idat_pos + 4 + ln]
+    assert len(zlib.decompress(payload)) == 4 * (1 + 5 * 3)
+
+
+def test_viridis_endpoints():
+    c = viridis(np.array([0.0, 1.0]))
+    assert tuple(c[0]) == (68, 1, 84)
+    assert tuple(c[1]) == (253, 231, 37)
+
+
+def test_plot_raster_reductions(tmp_path):
+    df = pd.DataFrame(
+        {
+            "ix": [0, 1, 2],
+            "iy": [0, 1, 0],
+            "sum_a": [1.0, 5.0, 3.0],
+            "sum_b": [0.0, 1.0, 2.0],
+        }
+    )
+    path, w, h = plot_raster(df, str(tmp_path / "r.png"), feature_name="sum")
+    assert w > 0 and h > 0
+    plot_raster(df, str(tmp_path / "r2.png"), feature_name="sum_a")
+    with pytest.raises(ValueError):
+        plot_raster(df[["ix", "iy"]].assign(zz=1.0), str(tmp_path / "r3.png"))
+
+
+def test_cli_end_to_end(tmp_path):
+    """synth → rasterize (checkpointed) → plot, through the real CLI."""
+    import pyarrow.parquet as pq
+
+    from rayraster.synth import write_pages_parquet_local
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    for k in range(2):
+        write_pages_parquet_local(str(pages / f"p{k}.parquet"), 400)
+    out = tmp_path / "run"
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "rasterize", "--input", str(pages / "*.parquet"), "--out", str(out),
+         "--resolution", "10", "--fun", "sum", "--geocode", "url",
+         "--value-cols", "text_len,token_count"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["complete"]
+    px = pq.read_table(summary["pixels_dir"])
+    assert px.num_rows > 0
+    assert sum(pq.read_table(summary["pixels_dir"])["num_cell"].to_pylist()) == 800
+    g = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "plot", "--pixels", summary["pixels_dir"],
+         "--png", str(tmp_path / "out.png")],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert g.returncode == 0, g.stderr[-2000:]
+    assert json.loads(g.stdout.strip().splitlines()[-1])["width"] > 0
