@@ -397,6 +397,87 @@ SELECT ix, iy,
 FROM c"""
 
 
+def _q_cell_id_list(sf_dir: str):
+    """Opt-in cellID_list (R/main.R:153-155): per-cell observation id
+    roster, joined to a comma string so the oracle can compare it."""
+    from rayraster.rasterize import collect_cell_ids, derive_grid_spec
+
+    pts = load_doc_points(sf_dir, columns=("doc_id",))
+    spec = derive_grid_spec(pts, RES)
+    lists = collect_cell_ids(pts, spec, "doc_id")
+
+    def _fmt(t: pa.Table) -> pa.Table:
+        ids = [",".join(str(v) for v in row) for row in t["cell_ids"].to_pylist()]
+        return pa.table(
+            {
+                "ix": t["ix"],
+                "iy": t["iy"],
+                "num_cell": t["num_cell"],
+                "cell_ids_str": pa.array(ids, type=pa.string()),
+            }
+        )
+
+    return lists.map_batches(_fmt, batch_format="pyarrow")
+
+
+def _sql_cell_id_list() -> str:
+    return f"""WITH {_PTS}, {_bb(RES)}, {_square_cells(RES)}
+SELECT ix, iy, COUNT(*) AS num_cell,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS cell_ids_str
+FROM cells2 GROUP BY ix, iy"""
+
+
+def _q_multidataset(sf_dir: str):
+    """List-of-SPE shared-frame semantics (R/main.R:294-308): two
+    'datasets' (doc_id parity) in ONE Dataset with a dataset_id key,
+    common bbox derived over the union, ONE shuffle for both."""
+    from rayraster.rasterize import derive_grid_spec
+
+    pts = load_doc_points(sf_dir)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        tagv = np.where(ids % 2 == 0, "even", "odd")
+        return t.append_column("dataset_id", pa.array(tagv.tolist(), type=pa.string()))
+
+    tagged = pts.map_batches(tag, batch_format="pyarrow")
+    spec = derive_grid_spec(tagged, RES)  # common bbox over the union
+    out, _ = rasterize_features(
+        tagged, RES, ["n_chars"], spec=spec, fun="sum",
+        extra_keys=("dataset_id",), with_meta=False,
+    )
+    return out.select_columns(
+        ["dataset_id", "ix", "iy", "cx", "cy", "num_cell", "sum_n_chars"]
+    )
+
+
+def _sql_multidataset() -> str:
+    return f"""WITH {_PTS}, {_bb(RES)}, {_square_cells(RES)}
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS dataset_id,
+       ix, iy, cx, cy, COUNT(*) AS num_cell,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM cells2 GROUP BY 1, ix, iy, cx, cy"""
+
+
+def _q_ivf_topk(sf_dir: str):
+    """IVF bucketed ANN (scale path; approximate → rows-only check,
+    recall vs brute force asserted in tests/test_textops_similarity)."""
+    import pyarrow.parquet as pq
+
+    from rayraster.similarity import ivf_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    qt = qt[qt.vec_id < 5].sort_values("vec_id")
+    out = ivf_topk(
+        emb, qt.vec_id.to_numpy(), np.stack(qt.embedding.values),
+        k=10, n_centroids=16, nprobe=6, dim=64,
+    )
+    return out.select(["qid", "vec_id", "rank"])
+
+
 # --------------------------------------------------------------------------
 # training-data operators (dedup / text / similarity / windows / join /
 # multimodal) — corpora derived deterministically from the driver tables
@@ -737,11 +818,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r8_knn": _q_knn,
         "r9_polyfill": _q_polyfill,
         "r10_raster_to_vector": _q_raster_to_vector,
+        "r11_cell_id_list": _q_cell_id_list,
+        "r12_multidataset_shared_frame": _q_multidataset,
         "d1_exact_dedup": _q_exact_dedup,
         "d2_minhash_neardup": _q_minhash,
         "d3_simhash_neardup": _q_simhash,
         "d5_embed_neardup": _q_embed_neardup,
         "s1_ann_cosine_topk": _q_ann_topk,
+        "s2_ivf_ann_topk": _q_ivf_topk,
         "t1_token_metrics": _q_token_metrics,
         "t2_quality_score": _q_quality,
         "t3_lang_id": _q_langid,
@@ -766,6 +850,8 @@ def oracle_sql() -> dict[str, str]:
         "r8_knn": _sql_knn(),
         "r9_polyfill": _sql_polyfill(),
         "r10_raster_to_vector": _sql_raster_to_vector(),
+        "r11_cell_id_list": _sql_cell_id_list(),
+        "r12_multidataset_shared_frame": _sql_multidataset(),
         "d1_exact_dedup": _sql_exact_dedup(),
         "d2_minhash_neardup": _sql_minhash(),
         "d3_simhash_neardup": _sql_simhash(),

@@ -92,20 +92,25 @@ def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
 
 
 def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
-    """uint64 hashes of word n-grams (unique, sorted)."""
+    """uint64 hashes of word n-grams (unique, sorted).
+
+    Tokens are hashed with the vectorized FNV (one numpy pass per byte
+    position); n-grams combine consecutive token hashes with a
+    mix-and-shift — no per-character Python."""
+    from rayraster.geo import fnv1a64
+
     words = text.split()
+    if not words:
+        return np.zeros(0, dtype=np.uint64)
+    h = fnv1a64(words)
     if len(words) < n:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
+        n = len(words)
     with np.errstate(over="ignore"):
-        for i, g in enumerate(grams):
-            hh = np.uint64(14695981039346656037)
-            for c in g.encode("utf-8"):
-                hh = (hh ^ np.uint64(c)) * np.uint64(1099511628211)
-            out[i] = hh
-    return np.unique(out)
+        g = h[: len(h) - n + 1].copy()
+        for j in range(1, n):
+            g = (g * np.uint64(0x100000001B3)) ^ h[j : len(h) - n + 1 + j]
+        g = (g ^ (g >> np.uint64(33))) * _MIX
+    return np.unique(g)
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
