@@ -166,7 +166,9 @@ def _q_knn(sf_dir: str):
         }
     )
     out = rd.from_pandas(pix).map_batches(
-        KnnStage(ref, k=4, exclude_self=True),
+        KnnStage,  # class → actor pool: grid index built once per actor
+        fn_constructor_args=(ref, 4),
+        fn_constructor_kwargs={"exclude_self": True},
         batch_format="pyarrow",
         concurrency=2,
     )

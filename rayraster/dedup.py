@@ -251,30 +251,36 @@ def candidate_pairs(
 
 
 class _VerifyJaccard:
-    """map_batches actor: exact shingle-Jaccard for candidate pairs via
-    a broadcast {id: shingle hashes} map (built once per actor)."""
+    """Exact shingle-Jaccard for candidate pairs.
 
-    def __init__(self, shingles_ref, threshold: float, kind: str = "char", k: int = 5, n: int = 3):
-        self._ref = shingles_ref
-        self._map = None
+    MUST be passed to map_batches as a CLASS (with
+    ``fn_constructor_args``) so Ray makes an actor pool — an instance
+    would run as stateless tasks and refetch/rehash per task.  The
+    broadcast {id: text} map is fetched once per actor; shingle hash
+    sets are computed LAZILY per id and cached (pairs usually touch a
+    small subset of the corpus)."""
+
+    def __init__(self, texts_ref, threshold: float, kind: str = "char", k: int = 5, n: int = 3):
+        self._texts = ray.get(texts_ref) if isinstance(texts_ref, ray.ObjectRef) else texts_ref
+        self._cache: dict = {}
         self.threshold = threshold
-        self.kind = kind
-        self.k = k
-        self.n = n
+        self._fn = (
+            (lambda t: char_shingle_hashes(t, k))
+            if kind == "char"
+            else (lambda t: word_ngram_hashes(t, n))
+        )
+
+    def _sh(self, i):
+        s = self._cache.get(i)
+        if s is None:
+            s = self._cache[i] = self._fn(self._texts[i])
+        return s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._map is None:
-            obj = ray.get(self._ref) if isinstance(self._ref, ray.ObjectRef) else self._ref
-            fn = (
-                (lambda t: char_shingle_hashes(t, self.k))
-                if self.kind == "char"
-                else (lambda t: word_ngram_hashes(t, self.n))
-            )
-            self._map = {i: fn(t) for i, t in obj.items()}
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
         jac = np.array(
-            [jaccard(self._map[x], self._map[y]) for x, y in zip(a, b)]
+            [jaccard(self._sh(x), self._sh(y)) for x, y in zip(a, b)]
         )
         keep = jac >= self.threshold
         return pa.table(
@@ -308,9 +314,10 @@ def minhash_lsh_pairs(
         pdf = ds.select_columns([id_col, text_col]).to_pandas()
         texts_ref = ray.put(dict(zip(pdf[id_col], pdf[text_col])))
     return pairs.map_batches(
-        _VerifyJaccard(texts_ref, threshold, kind="char", k=k),
+        _VerifyJaccard,
+        fn_constructor_args=(texts_ref, threshold, "char", k),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
 
@@ -389,7 +396,7 @@ def simhash_pairs(
                 }
             )
 
-    return pairs.map_batches(_VerifyHamming, batch_format="pyarrow", concurrency=2)
+    return pairs.map_batches(_VerifyHamming, batch_format="pyarrow", concurrency=(1, 2))
 
 
 # ---------------------------------------------------------------------------
@@ -472,7 +479,7 @@ def embedding_neardup_pairs(
                 {"a": pa.array(a[keep]), "b": pa.array(b[keep]), "cos": pa.array(cos[keep])}
             )
 
-    return pairs.map_batches(_VerifyCosine, batch_format="pyarrow", concurrency=2)
+    return pairs.map_batches(_VerifyCosine, batch_format="pyarrow", concurrency=(1, 2))
 
 
 # ---------------------------------------------------------------------------
@@ -502,7 +509,8 @@ def ngram_jaccard_pairs(
     pdf = ds.select_columns([id_col, text_col]).to_pandas()
     texts_ref = ray.put(dict(zip(pdf[id_col], pdf[text_col])))
     return pairs.map_batches(
-        _VerifyJaccard(texts_ref, threshold, kind="word", n=n),
+        _VerifyJaccard,
+        fn_constructor_args=(texts_ref, threshold, "word", 5, n),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )

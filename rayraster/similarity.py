@@ -74,11 +74,13 @@ def brute_topk(
     Returns a small arrow table (qid, vec_id, rank, cos), rank 1-based,
     deterministic order (cos desc, vec_id asc)."""
     qref = ray.put({"ids": np.asarray(query_ids), "mat": np.asarray(query_mat)})
+    # instance → task pool: the per-task state (normalizing a tiny query
+    # matrix) is far cheaper than actor-pool spin-up; contrast KnnStage /
+    # _VerifyJaccard whose heavy per-actor state justifies a pool
     cand = ds.map_batches(
         _BatchTopK(qref, k, vec_col, id_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=4,
     )
     t = cand.to_arrow_refs()
     tbl = pa.concat_tables([ray.get(r) for r in t])
@@ -156,7 +158,6 @@ def ivf_topk(
         IVFAssignStage(cref, vec_col, id_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=4,
     )
     Q = _normalize(np.asarray(query_mat, dtype=np.float64))
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
@@ -175,7 +176,6 @@ def ivf_topk(
         _BatchTopK(qref, k, vec_col, id_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=4,
     )
     tbl = pa.concat_tables([ray.get(r) for r in cand.to_arrow_refs()])
     return _final_topk(tbl, k, id_col)

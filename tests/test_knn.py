@@ -59,7 +59,9 @@ def test_knn_stage_actor_pool_and_self_exclusion():
     )
     ds = rd.from_pandas(pix)
     out = ds.map_batches(
-        KnnStage(ref, k=2, exclude_self=True),
+        KnnStage,
+        fn_constructor_args=(ref, 2),
+        fn_constructor_kwargs={"exclude_self": True},
         batch_format="pyarrow",
         concurrency=2,
     ).to_pandas()
