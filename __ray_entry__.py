@@ -679,6 +679,74 @@ def _q_join(sf_dir: str):
     )
 
 
+def _q_grouped_topk(sf_dir: str):
+    from rayraster.agg import grouped_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    out = grouped_topk(docs, ["lang"], "n_chars", k=3, descending=True, tie_col="doc_id")
+    return out.select_columns(["lang", "doc_id", "n_chars", "rnk"])
+
+
+def _sql_grouped_topk() -> str:
+    return """SELECT lang, doc_id, n_chars, rnk FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents
+) WHERE rnk <= 3"""
+
+
+def _q_sliding_window(sf_dir: str):
+    from rayraster.windows import sliding_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    out = sliding_aggregate(ev, size_us=7_200_000_000, step_us=3_600_000_000)
+    return out.select_columns(["event_type", "window", "min_value", "max_value", "n"])
+
+
+def _sql_sliding_window() -> str:
+    arms = []
+    for j in range(2):  # size = 2 steps
+        arms.append(
+            f"""SELECT event_type, epoch_us(ts) // 3600000000 - {j} AS "window", value
+FROM events"""
+        )
+    u = "\nUNION ALL\n".join(arms)
+    return f"""WITH fan AS (
+{u}
+)
+SELECT event_type, "window", min(value) AS min_value, max(value) AS max_value,
+       COUNT(*) AS n
+FROM fan GROUP BY 1, 2"""
+
+
+def _q_session_windows(sf_dir: str):
+    from rayraster.windows import session_windows
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
+    return session_windows(ev, gap_us=1_800_000_000).select_columns(
+        ["user_id", "session_start", "n", "min_value", "max_value"]
+    )
+
+
+def _sql_session_windows() -> str:
+    return """WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, value FROM events
+),
+m AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, CAST(min(us) AS BIGINT) AS session_start, COUNT(*) AS n,
+       min(value) AS min_value, max(value) AS max_value
+FROM s GROUP BY user_id, sid"""
+
+
 def _q_multimodal(sf_dir: str):
     from rayraster.multimodal import ImageDecodeStage
 
@@ -833,6 +901,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t3_lang_id": _q_langid,
         "t4_fingerprint": _q_fingerprint,
         "w1_tumbling_window": _q_window,
+        "w2_sliding_window": _q_sliding_window,
+        "w3_session_windows": _q_session_windows,
+        "t5_grouped_topk": _q_grouped_topk,
         "j1_broadcast_join": _q_join,
         "m1_multimodal_decode": _q_multimodal,
     }
@@ -864,6 +935,9 @@ def oracle_sql() -> dict[str, str]:
         # t3_lang_id: heuristic scoring — not SQL-expressible (rows-only)
         "t4_fingerprint": _sql_fingerprint(),
         "w1_tumbling_window": _sql_window(),
+        "w2_sliding_window": _sql_sliding_window(),
+        "w3_session_windows": _sql_session_windows(),
+        "t5_grouped_topk": _sql_grouped_topk(),
         "j1_broadcast_join": _sql_join(),
         "m1_multimodal_decode": _sql_multimodal(),
     }

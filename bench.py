@@ -91,7 +91,24 @@ def headline() -> dict:
     )
     pixels.write_parquet(out_dir)
     sec = time.perf_counter() - t0
-    return {"sec": sec, "rows": PAGES_N, "rows_per_sec": PAGES_N / sec}
+    return {
+        "sec": sec,
+        "rows": PAGES_N,
+        "rows_per_sec": PAGES_N / sec,
+        "stages": _stage_times(pixels.stats()),
+    }
+
+
+def _stage_times(stats: str) -> dict:
+    """Per-stage wall seconds parsed from ds.stats() — the per-stage
+    throughput metrics the north_rule asks runs to emit."""
+    import re
+
+    out = {}
+    for m in re.finditer(r"Operator (\d+) (\S+):.*? in ([\d.]+)s", stats):
+        name = m.group(2)[:70]
+        out[f"{m.group(1)}:{name}"] = float(m.group(3))
+    return out
 
 
 def run_queries() -> dict:
@@ -127,6 +144,7 @@ def main():
                 "unit": "sec",
                 "rows": h["rows"],
                 "rows_per_sec": round(h["rows_per_sec"]),
+                "stages": h.get("stages", {}),
                 "queries": queries,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "num_cpus": NUM_CPUS,

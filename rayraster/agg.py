@@ -110,3 +110,63 @@ def hash_aggregate(
 def distinct(ds: Dataset, keys: Sequence[str], num_partitions: int = 64) -> Dataset:
     """Distinct key combinations (a hash-partitioned dedup of keys)."""
     return hash_aggregate(ds, keys, count=False, num_partitions=num_partitions)
+
+
+def grouped_topk(
+    ds: Dataset,
+    keys: Sequence[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tie_col: str | None = None,
+    num_partitions: int = 64,
+    batch_size: int | None = 65536,
+) -> Dataset:
+    """Top-k rows per key group by ``order_col`` (deterministic ties via
+    ``tie_col``), with a ``rnk`` column (1-based).
+
+    Partial top-k is taken per batch BEFORE the shuffle (a batch can
+    only contribute k rows per key), then per-partition finalize sorts
+    each group — both steps vectorized via pyarrow sort + numpy
+    segment logic, never one task per key."""
+    keys = list(keys)
+
+    def _topk_table(t: pa.Table, with_rank: bool) -> pa.Table:
+        order = [(kc, "ascending") for kc in keys]
+        order.append((order_col, "descending" if descending else "ascending"))
+        if tie_col:
+            order.append((tie_col, "ascending"))
+        t = t.sort_by(order)
+        import numpy as _np
+
+        n = t.num_rows
+        if n == 0:
+            return t.append_column("rnk", pa.array([], type=pa.int64())) if with_rank else t
+        new_grp = _np.zeros(n, dtype=bool)
+        new_grp[0] = True
+        for kc in keys:
+            col = t[kc].to_numpy(zero_copy_only=False)
+            new_grp[1:] |= col[1:] != col[:-1]
+        # rank within group = index - start_of_group
+        starts = _np.maximum.accumulate(_np.where(new_grp, _np.arange(n), 0))
+        rnk = _np.arange(n) - starts + 1
+        keep = rnk <= k
+        t = t.filter(pa.array(keep))
+        if with_rank:
+            t = t.append_column("rnk", pa.array(rnk[keep]))
+        return t
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = _topk_table(batch, with_rank=False)
+        return out.append_column(
+            _PART, pa.array(_part_of(out, keys, num_partitions))
+        )
+
+    def finalize(part: pa.Table) -> pa.Table:
+        part = part.drop_columns([_PART])
+        return _topk_table(part, with_rank=True)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    return partials.groupby(_PART).map_groups(finalize, batch_format="pyarrow")

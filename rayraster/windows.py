@@ -57,3 +57,116 @@ def tumbling_aggregate(
         count=True,
         num_partitions=num_partitions,
     )
+
+
+def sliding_aggregate(
+    ds: Dataset,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    size_us: int = 7_200_000_000,
+    step_us: int = 3_600_000_000,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Sliding windows (size = m·step): each event fans out to the m
+    windows covering it, then the same hash-partitioned aggregate.
+    ``window`` = start step index of the window."""
+    if size_us % step_us:
+        raise ValueError("size_us must be a multiple of step_us")
+    m = size_us // step_us
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        us = (
+            batch[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        step_idx = us // np.int64(step_us)
+        pieces = []
+        for j in range(m):
+            t = batch.append_column("window", pa.array(step_idx - j))
+            pieces.append(t)
+        return pa.concat_tables(pieces)
+
+    wds = ds.map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_aggregate(
+        wds,
+        [key_col, "window"],
+        min_cols=[value_col],
+        max_cols=[value_col],
+        count=True,
+        num_partitions=num_partitions,
+    )
+
+
+def session_windows(
+    ds: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_us: int = 1_800_000_000,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Gap-based session windows per key.
+
+    Hash-partition by key, then sessionize the WHOLE partition in one
+    vectorized pass (sort by key,ts; session breaks = key change OR
+    gap > gap_us; session id = cumsum; one pyarrow group_by) — never a
+    task per key.  Output per session:
+    ``key, session_start (us), n, min_<v>, max_<v>``."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        us = (
+            batch[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.abs(keys * np.int64(1000003)) % np.int64(num_partitions)
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "_us": pa.array(us),
+                value_col: batch[value_col],
+                "_part": pa.array(part),
+            }
+        )
+
+    def sessionize(part: pa.Table) -> pa.Table:
+        part = part.sort_by([(key_col, "ascending"), ("_us", "ascending")])
+        keys = part[key_col].to_numpy(zero_copy_only=False)
+        us = part["_us"].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=part[key_col].type),
+                    "session_start": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    f"min_{value_col}": pa.array([], type=part[value_col].type),
+                    f"max_{value_col}": pa.array([], type=part[value_col].type),
+                }
+            )
+        brk = np.ones(n, dtype=np.int64)
+        brk[1:] = (keys[1:] != keys[:-1]) | (us[1:] - us[:-1] > gap_us)
+        sid = np.cumsum(brk)
+        t = pa.table(
+            {
+                key_col: part[key_col],
+                "_sid": pa.array(sid),
+                "_us": part["_us"],
+                value_col: part[value_col],
+            }
+        )
+        out = t.group_by([key_col, "_sid"]).aggregate(
+            [("_us", "min"), ("_us", "count"), (value_col, "min"), (value_col, "max")]
+        )
+        out = out.rename_columns(
+            [key_col, "_sid", "session_start", "n", f"min_{value_col}", f"max_{value_col}"]
+        )
+        return out.drop_columns(["_sid"])
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return parted.groupby("_part").map_groups(sessionize, batch_format="pyarrow")
