@@ -520,18 +520,19 @@ def _synth_neardup_text(ids: np.ndarray) -> list[str]:
     overlap ≈ 0, so the ONLY near-dup pairs in the constructed corpus
     are the injected copies — this is what makes the SQL oracle
     analytic (the real documents table contains organic near-dups that
-    SQL cannot enumerate; those corpora are covered in pytest)."""
-    out = []
+    SQL cannot enumerate; those corpora are covered in pytest).
+    Splitmix64 vectorized over the whole (ids × 40) token matrix."""
+    ids = np.asarray(ids, dtype=np.int64)
+    j = np.arange(40, dtype=np.int64)
     with np.errstate(over="ignore"):
-        for i in ids.tolist():
-            toks = []
-            for j in range(40):
-                z = np.uint64(i * 64 + j) + np.uint64(0x9E3779B97F4A7C15)
-                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-                z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-                toks.append(f"{int(z ^ (z >> np.uint64(31))):016x}")
-            out.append(" ".join(toks))
-    return out
+        z = (ids[:, None] * 64 + j[None, :]).astype(np.uint64) + np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    flat = [f"{v:016x}" for v in z.ravel().tolist()]
+    return [" ".join(flat[k * 40 : (k + 1) * 40]) for k in range(len(ids))]
 
 
 def _neardup_corpus(sf_dir: str, perturb: bool):

@@ -91,12 +91,50 @@ def plot_raster(
     else:
         v = pixel_df[feature_name].to_numpy(dtype=np.float64)
 
+    return _paint(ix, iy, values=v, path=path, max_px=max_px, background=background)
+
+
+def plot_raster_categorical(
+    pixel_df,
+    path: str,
+    cat_col: str,
+    factor_levels=None,
+    max_px: int = 800,
+    background=(255, 255, 255),
+):
+    """Categorical fill (reference ``factor_levels`` + viridis_d,
+    R/main.R:820-828): one row per cell with a label column; each
+    level gets an evenly-spaced viridis color.  Returns
+    (path, width, height, {level: rgb})."""
+    levels = sorted(factor_levels) if factor_levels else sorted(set(pixel_df[cat_col]))
+    lut = {
+        lv: tuple(int(c) for c in viridis(np.array([k / max(1, len(levels) - 1)]))[0])
+        for k, lv in enumerate(levels)
+    }
+    codes = pixel_df[cat_col].map({lv: k for k, lv in enumerate(levels)}).to_numpy()
+    norm = codes / max(1, len(levels) - 1)
+    path, w, h = _paint(
+        pixel_df["ix"].to_numpy(),
+        pixel_df["iy"].to_numpy(),
+        values=norm,
+        path=path,
+        max_px=max_px,
+        background=background,
+        prenormalized=True,
+    )
+    return path, w, h, lut
+
+
+def _paint(ix, iy, values, path, max_px, background, prenormalized=False):
     nx = int(ix.max() - ix.min()) + 1
     ny = int(iy.max() - iy.min()) + 1
     scale = max(1, int(np.ceil(max(nx, ny) / max_px)))
     # value → color (min-max normalized, like a continuous fill scale)
-    lo, hi = float(v.min()), float(v.max())
-    norm = (v - lo) / (hi - lo) if hi > lo else np.full(len(v), 0.5)
+    if prenormalized:
+        norm = np.asarray(values, dtype=np.float64)
+    else:
+        lo, hi = float(values.min()), float(values.max())
+        norm = (values - lo) / (hi - lo) if hi > lo else np.full(len(values), 0.5)
     rgb_vals = viridis(norm)
 
     img = np.full((ny, nx, 3), background, dtype=np.uint8)

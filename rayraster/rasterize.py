@@ -225,9 +225,15 @@ def rasterize_features(
     with_meta: bool = True,
     batch_size: int | None = 16384,
     num_partitions: int = DEFAULT_PARTITIONS,
+    ordered: bool = False,
 ) -> tuple[Dataset, GridSpec]:
     """Continuous-feature rasterization (``rasterizeGeneExpression``,
     R/main.R:291-375).
+
+    ``ordered=True`` sorts the (small, aggregated) pixel table by
+    ``cell_id`` — the reference's sorted-grid-index output order
+    (R/main.R:139,175-176); costs a sort of the pixel table only, and
+    tests/oracles compare order-insensitively so the default is off.
 
     Returns (pixel_table, spec).  Pixel table columns:
     ``cell_id, ix, iy, cx, cy, num_cell, sum_<c>…[, mean_<c>…]
@@ -248,6 +254,8 @@ def rasterize_features(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    if ordered:
+        out = out.sort("cell_id")
     return out, spec
 
 

@@ -86,3 +86,14 @@ def test_cli_end_to_end(tmp_path):
     )
     assert g.returncode == 0, g.stderr[-2000:]
     assert json.loads(g.stdout.strip().splitlines()[-1])["width"] > 0
+
+
+def test_plot_categorical(tmp_path):
+    from rayraster.plot import plot_raster_categorical
+
+    df = pd.DataFrame(
+        {"ix": [0, 1, 2, 0], "iy": [0, 0, 0, 1], "lang": ["en", "de", "en", "fr"]}
+    )
+    path, w, h, lut = plot_raster_categorical(df, str(tmp_path / "c.png"), "lang")
+    assert set(lut) == {"en", "de", "fr"} and len(set(lut.values())) == 3
+    assert w > 0 and h > 0

@@ -195,3 +195,12 @@ def test_multires_nesting(micro_df):
     direct = c.to_pandas().set_index(["ix", "iy"])["sum_f1"].sort_index()
     direct.index.names = ["pix", "piy"]
     pd.testing.assert_series_equal(rolled, direct)
+
+
+def test_ordered_output(micro_df):
+    ds = rd.from_pandas(micro_df)
+    out, _ = rasterize_features(
+        ds, 1.0, ["f1"], spec=GridSpec(0.0, 0.0, 1.0), fun="sum", ordered=True
+    )
+    ids = out.to_pandas()["cell_id"].tolist()
+    assert ids == sorted(ids)  # reference sorted-grid-index order
