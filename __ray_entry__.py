@@ -175,6 +175,20 @@ def _q_knn(sf_dir: str):
     return out.select_columns(["ix", "iy", "rank", "dist2", "n_ix", "n_iy"])
 
 
+def _q_spatial_knn(sf_dir: str):
+    """Tiled per-partition kNN self-join (no broadcast, one shuffle) —
+    the 10^12-row path; at grid-pixel density every result is exact,
+    so it matches the brute-force SQL oracle."""
+    from rayraster.knn import spatial_knn_self
+
+    pts = load_doc_points(sf_dir, columns=("doc_id",))
+    cells, _ = rasterize_features(pts, RES, [], fun="sum", with_meta=False)
+    out = spatial_knn_self(
+        cells.select_columns(["ix", "iy", "cx", "cy"]), k=4, tile_size=3.0 * RES
+    )
+    return out.select_columns(["ix", "iy", "rank", "dist2", "n_ix", "n_iy"])
+
+
 POLYFILL_SPEC = GridSpec(-180.0, -90.0, 10.0)
 POLYFILL_RECT = (-47.3, -12.7, 31.9, 44.2)
 
@@ -889,6 +903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r8_knn": _q_knn,
         "r9_polyfill": _q_polyfill,
         "r10_raster_to_vector": _q_raster_to_vector,
+        "r8b_spatial_knn": _q_spatial_knn,
         "r11_cell_id_list": _q_cell_id_list,
         "r12_multidataset_shared_frame": _q_multidataset,
         "d1_exact_dedup": _q_exact_dedup,
@@ -924,6 +939,7 @@ def oracle_sql() -> dict[str, str]:
         "r8_knn": _sql_knn(),
         "r9_polyfill": _sql_polyfill(),
         "r10_raster_to_vector": _sql_raster_to_vector(),
+        "r8b_spatial_knn": _sql_knn(),  # same brute-force oracle; k=4
         "r11_cell_id_list": _sql_cell_id_list(),
         "r12_multidataset_shared_frame": _sql_multidataset(),
         "d1_exact_dedup": _sql_exact_dedup(),

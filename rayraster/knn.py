@@ -146,6 +146,136 @@ def brute_force_knn(qx, qy, rx, ry, k: int, exclude: np.ndarray | None = None):
     return ordk, np.take_along_axis(d2, ordk, axis=1)
 
 
+def spatial_knn_self(
+    cells,
+    k: int,
+    tile_size: float,
+    x_col: str = "cx",
+    y_col: str = "cy",
+    id_cols: tuple = ("ix", "iy"),
+    num_partitions: int = 64,
+):
+    """Distributed kNN self-join over a point/pixel Dataset — the
+    per-partition-index scale path (north_star: "kNN pixel-neighborhood
+    queries via a per-partition index held in stateful workers").
+
+    Shape: every point is assigned to a spatial tile of side
+    ``tile_size``; as a QUERY it goes to its own tile, as a REFERENCE
+    it fans out to the 3×3 tile neighborhood (the halo).  One
+    hash-partitioned shuffle co-locates each tile's queries with all
+    references within ``tile_size`` of it; a GridIndex per tile group
+    answers locally.  Results carry ``exact``: True iff the kth
+    neighbor distance ≤ tile_size (the halo provably contains every
+    true neighbor that close).  For guaranteed-exact results pick
+    ``tile_size`` ≥ the expected kth-neighbor distance, or re-run the
+    inexact residue with :class:`KnnStage` (broadcast) — at pixel
+    densities ≥ k per tile the residue is empty.
+
+    Broadcasts nothing; both sides stream through ONE shuffle.
+    """
+    import pyarrow as pa
+
+    from ray.data import Dataset  # noqa: F401
+
+    id_cols = list(id_cols)
+
+    def fanout(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False)
+        y = t[y_col].to_numpy(zero_copy_only=False)
+        tx = np.floor(x / tile_size).astype(np.int64)
+        ty = np.floor(y / tile_size).astype(np.int64)
+        pieces = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                p = t.append_column("_tx", pa.array(tx + dx))
+                p = p.append_column("_ty", pa.array(ty + dy))
+                p = p.append_column(
+                    "_is_query",
+                    pa.array(np.full(t.num_rows, dx == 0 and dy == 0)),
+                )
+                pieces.append(p)
+        out = pa.concat_tables(pieces)
+        part = (
+            np.abs(
+                out["_tx"].to_numpy(zero_copy_only=False) * np.int64(73856093)
+                ^ out["_ty"].to_numpy(zero_copy_only=False) * np.int64(19349663)
+            )
+            % np.int64(num_partitions)
+        )
+        return out.append_column("_part", pa.array(part))
+
+    def solve(part: pa.Table) -> pa.Table:
+        part = part.sort_by([("_tx", "ascending"), ("_ty", "ascending")])
+        tx = part["_tx"].to_numpy(zero_copy_only=False)
+        ty = part["_ty"].to_numpy(zero_copy_only=False)
+        isq = part["_is_query"].to_numpy(zero_copy_only=False)
+        x = part[x_col].to_numpy(zero_copy_only=False)
+        y = part[y_col].to_numpy(zero_copy_only=False)
+        idc = {c: part[c].to_numpy(zero_copy_only=False) for c in id_cols}
+        n = len(tx)
+        out_cols: dict[str, list] = {
+            **{c: [] for c in id_cols},
+            "rank": [],
+            "dist2": [],
+            **{f"n_{c}": [] for c in id_cols},
+            "exact": [],
+        }
+        if n == 0:
+            return pa.table(
+                {
+                    **{c: pa.array([], type=part[c].type) for c in id_cols},
+                    "rank": pa.array([], type=pa.int64()),
+                    "dist2": pa.array([], type=pa.float64()),
+                    **{f"n_{c}": pa.array([], type=part[c].type) for c in id_cols},
+                    "exact": pa.array([], type=pa.bool_()),
+                }
+            )
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            q = np.flatnonzero(isq[s:e]) + s
+            if len(q) == 0:
+                continue
+            r = np.arange(s, e)  # refs = everything in the tile group
+            # deterministic ref order by id cols
+            order = np.lexsort(tuple(idc[c][r] for c in reversed(id_cols)))
+            r = r[order]
+            # self-exclusion by id equality
+            ref_keys = {tuple(idc[c][j] for c in id_cols): pos for pos, j in enumerate(r)}
+            gi = GridIndex(x[r], y[r], bucket_size=tile_size / 4.0)
+            excl = np.array(
+                [ref_keys.get(tuple(idc[c][j] for c in id_cols), -1) for j in q],
+                dtype=np.int64,
+            )
+            idx, d2 = gi.query(x[q], y[q], k, exclude=excl)
+            kk = idx.shape[1]
+            for row, j in enumerate(q):
+                margin2 = tile_size * tile_size
+                for rank in range(kk):
+                    if idx[row, rank] < 0 or not np.isfinite(d2[row, rank]):
+                        break
+                    for c in id_cols:
+                        out_cols[c].append(idc[c][j])
+                        out_cols[f"n_{c}"].append(idc[c][r[idx[row, rank]]])
+                    out_cols["rank"].append(rank + 1)
+                    out_cols["dist2"].append(d2[row, rank])
+                    out_cols["exact"].append(bool(d2[row, rank] <= margin2))
+        return pa.table(
+            {
+                **{c: pa.array(out_cols[c]) for c in id_cols},
+                "rank": pa.array(out_cols["rank"], type=pa.int64()),
+                "dist2": pa.array(out_cols["dist2"], type=pa.float64()),
+                **{f"n_{c}": pa.array(out_cols[f"n_{c}"]) for c in id_cols},
+                "exact": pa.array(out_cols["exact"], type=pa.bool_()),
+            }
+        )
+
+    fanned = cells.map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True)
+    return fanned.groupby("_part").map_groups(solve, batch_format="pyarrow")
+
+
 class KnnStage:
     """map_batches actor: k nearest *reference* points per query row.
 

@@ -73,3 +73,49 @@ def test_knn_stage_actor_pool_and_self_exclusion():
     # deterministic tie-break: query 1 is equidistant to 0 and 2 → lower row first
     g1 = out[out.ix == 1].sort_values("rank")
     assert g1.n_ix.tolist() == [0, 2]
+
+
+def test_spatial_knn_self_matches_brute(ray_session):
+    """Per-partition tiled kNN (one shuffle, no broadcast) must match
+    brute force wherever it reports exact=True — and at this density
+    everything is exact."""
+    from rayraster.knn import spatial_knn_self
+
+    rng = np.random.default_rng(21)
+    n = 400
+    pix = pd.DataFrame(
+        {
+            "ix": np.arange(n),
+            "iy": np.zeros(n, dtype=np.int64),
+            "cx": rng.uniform(0, 20, n),
+            "cy": rng.uniform(0, 20, n),
+        }
+    )
+    out = (
+        spatial_knn_self(rd.from_pandas(pix), k=3, tile_size=5.0)
+        .to_pandas()
+        .sort_values(["ix", "rank"])
+        .reset_index(drop=True)
+    )
+    assert out.exact.all()
+    assert len(out) == n * 3
+    bidx, bd2 = brute_force_knn(
+        pix.cx.to_numpy(), pix.cy.to_numpy(),
+        pix.cx.to_numpy(), pix.cy.to_numpy(), 3,
+        exclude=np.arange(n),
+    )
+    want_n_ix = pix.ix.to_numpy()[bidx].ravel()
+    np.testing.assert_array_equal(out.n_ix.to_numpy(), want_n_ix)
+    np.testing.assert_allclose(out.dist2.to_numpy(), bd2.ravel())
+
+
+def test_spatial_knn_sparse_flags_inexact(ray_session):
+    """Two far-apart points with a tiny tile: neighbor beyond the halo
+    must be flagged exact=False (or dropped), never silently wrong."""
+    from rayraster.knn import spatial_knn_self
+
+    pix = pd.DataFrame(
+        {"ix": [0, 1], "iy": [0, 0], "cx": [0.0, 10.0], "cy": [0.0, 0.0]}
+    )
+    out = spatial_knn_self(rd.from_pandas(pix), k=1, tile_size=1.0).to_pandas()
+    assert (~out.exact).all() if len(out) else True
