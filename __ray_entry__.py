@@ -175,6 +175,65 @@ def _q_knn(sf_dir: str):
     return out.select_columns(["ix", "iy", "rank", "dist2", "n_ix", "n_iy"])
 
 
+def _q_filtered_stats(sf_dir: str):
+    """Composite: predicate PUSHDOWN at the parquet read (lang='en'
+    row-group filter), quality-score filter (the user-subsetting
+    analog, vignette:152-157), then rasterize with per-cell sum AND
+    min/max stats (extension beyond the reference's mean|sum)."""
+    import pyarrow.compute as _pc
+
+    from rayraster.pipelines import add_geocode_id
+    from rayraster.textops import quality_score
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars", "text"],
+        filter=(_pc.field("lang") == "en"),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = quality_score(t)
+        t = t.filter(_pc.greater(t["quality"], 0.75))
+        t = add_geocode_id(t)
+        return t.select(["doc_id", "n_chars", "x", "y"])
+
+    pts = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out, _ = rasterize_features(
+        pts, RES, ["n_chars"], fun="sum", with_meta=False,
+        extra_stats=("min", "max"),
+    )
+    return out.select_columns(
+        ["ix", "iy", "cx", "cy", "num_cell", "sum_n_chars", "min_n_chars", "max_n_chars"]
+    )
+
+
+def _sql_filtered_stats() -> str:
+    return rf"""WITH q AS (
+  SELECT doc_id, n_chars,
+         CAST(length(text) AS DOUBLE) AS chars,
+         CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toks,
+         CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS digs,
+         CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS pun
+  FROM documents WHERE lang = 'en'
+),
+keepers AS (
+  SELECT doc_id, n_chars FROM q
+  WHERE 0.4 * least(1.0, toks / 100.0)
+        + 0.3 * (1.0 - least(1.0, digs / greatest(chars, 1.0) * 5.0))
+        + 0.3 * (1.0 - least(1.0, pun / greatest(chars, 1.0) * 10.0)) > 0.75
+),
+pts AS (
+  SELECT doc_id, n_chars, {_GX} AS x, {_GY} AS y
+  FROM keepers
+),
+{_bb(RES)}, {_square_cells(RES).replace("p.lang, ", "")}
+SELECT ix, iy, cx, cy, COUNT(*) AS num_cell,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_n_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_n_chars
+FROM cells2 GROUP BY ix, iy, cx, cy"""
+
+
 def _q_spatial_knn(sf_dir: str):
     """Tiled per-partition kNN self-join (no broadcast, one shuffle) —
     the 10^12-row path; at grid-pixel density every result is exact,
@@ -904,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r9_polyfill": _q_polyfill,
         "r10_raster_to_vector": _q_raster_to_vector,
         "r8b_spatial_knn": _q_spatial_knn,
+        "r13_filtered_stats": _q_filtered_stats,
         "r11_cell_id_list": _q_cell_id_list,
         "r12_multidataset_shared_frame": _q_multidataset,
         "d1_exact_dedup": _q_exact_dedup,
@@ -940,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
         "r9_polyfill": _sql_polyfill(),
         "r10_raster_to_vector": _sql_raster_to_vector(),
         "r8b_spatial_knn": _sql_knn(),  # same brute-force oracle; k=4
+        "r13_filtered_stats": _sql_filtered_stats(),
         "r11_cell_id_list": _sql_cell_id_list(),
         "r12_multidataset_shared_frame": _sql_multidataset(),
         "d1_exact_dedup": _sql_exact_dedup(),

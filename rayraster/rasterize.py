@@ -99,6 +99,7 @@ class _AssignAndPartial:
         value_cols: Sequence[str],
         extra_keys: Sequence[str] = (),
         num_partitions: int = DEFAULT_PARTITIONS,
+        extra_stats: Sequence[str] = (),
     ):
         self.spec = spec
         self.x_col = x_col
@@ -106,6 +107,7 @@ class _AssignAndPartial:
         self.value_cols = list(value_cols)
         self.extra_keys = list(extra_keys)
         self.num_partitions = num_partitions
+        self.extra_stats = list(extra_stats)  # subset of {"min", "max"}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         x = batch[self.x_col].to_numpy(zero_copy_only=False)
@@ -118,7 +120,10 @@ class _AssignAndPartial:
             cols[c] = batch[c]
         cols[_PARTIAL_COUNT] = pa.array(np.ones(batch.num_rows, dtype=np.int64))
         t = pa.table(cols)
-        aggs = [(c, "sum") for c in self.value_cols] + [(_PARTIAL_COUNT, "sum")]
+        aggs = [(c, "sum") for c in self.value_cols]
+        for st in self.extra_stats:
+            aggs += [(c, st) for c in self.value_cols]
+        aggs.append((_PARTIAL_COUNT, "sum"))
         out = t.group_by(["ix", "iy", *self.extra_keys]).aggregate(aggs)
         out = out.rename_columns(
             [
@@ -134,14 +139,18 @@ class _AssignAndPartial:
         return out.append_column(_PART, pa.array(part))
 
 
-def _make_finalize_partition(value_cols, extra_keys):
+def _make_finalize_partition(value_cols, extra_keys, extra_stats=()):
     """map_groups fn over one hash partition: merge partials with ONE
-    vectorized pyarrow group_by (no per-cell Python)."""
+    vectorized pyarrow group_by (no per-cell Python).  min/max merge as
+    min-of-mins / max-of-maxes — exact algebraic decomposition."""
     value_cols = list(value_cols)
+    extra_stats = list(extra_stats)
     keys = ["ix", "iy", *extra_keys]
 
     def finalize_partition(part: pa.Table) -> pa.Table:
         aggs = [(f"{c}_sum", "sum") for c in value_cols]
+        for st in extra_stats:
+            aggs += [(f"{c}_{st}", st) for c in value_cols]
         aggs.append((_PARTIAL_COUNT, "sum"))
         out = part.group_by(keys).aggregate(aggs)
         rename = []
@@ -150,6 +159,10 @@ def _make_finalize_partition(value_cols, extra_keys):
                 rename.append("num_cell")
             elif c.endswith("_sum_sum"):
                 rename.append(f"sum_{c[: -len('_sum_sum')]}")
+            elif c.endswith("_min_min"):
+                rename.append(f"min_{c[: -len('_min_min')]}")
+            elif c.endswith("_max_max"):
+                rename.append(f"max_{c[: -len('_max_max')]}")
             else:
                 rename.append(c)
         return out.rename_columns(rename)
@@ -199,16 +212,20 @@ def _partial_then_finalize(
     extra_keys: Sequence[str],
     num_partitions: int,
     batch_size: int | None,
+    extra_stats: Sequence[str] = (),
 ) -> Dataset:
     partial = ds.map_batches(
-        _AssignAndPartial(spec, x_col, y_col, value_cols, extra_keys, num_partitions),
+        _AssignAndPartial(
+            spec, x_col, y_col, value_cols, extra_keys, num_partitions, extra_stats
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
     )
     # the finalize group_by drops _PART (it only emits grouped keys)
     return partial.groupby(_PART).map_groups(
-        _make_finalize_partition(value_cols, extra_keys), batch_format="pyarrow"
+        _make_finalize_partition(value_cols, extra_keys, extra_stats),
+        batch_format="pyarrow",
     )
 
 
@@ -226,6 +243,7 @@ def rasterize_features(
     batch_size: int | None = 16384,
     num_partitions: int = DEFAULT_PARTITIONS,
     ordered: bool = False,
+    extra_stats: Sequence[str] = (),
 ) -> tuple[Dataset, GridSpec]:
     """Continuous-feature rasterization (``rasterizeGeneExpression``,
     R/main.R:291-375).
@@ -246,8 +264,11 @@ def rasterize_features(
         raise ValueError(f"fun must be one of {VALID_FUNS}, got {fun!r}")
     if spec is None:
         spec = derive_grid_spec(ds, resolution, square, x_col, y_col)
+    if not set(extra_stats) <= {"min", "max"}:
+        raise ValueError(f"extra_stats must be within {{'min','max'}}, got {extra_stats}")
     cells = _partial_then_finalize(
-        ds, spec, x_col, y_col, value_cols, extra_keys, num_partitions, batch_size
+        ds, spec, x_col, y_col, value_cols, extra_keys, num_partitions, batch_size,
+        extra_stats,
     )
     out = cells.map_batches(
         _FinalProject(spec, value_cols, fun, with_meta),
