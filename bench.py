@@ -75,6 +75,9 @@ def headline() -> dict:
     from rayraster.rasterize import rasterize_features
 
     out_dir = f"/tmp/rayraster_bench/pixels_{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)  # write_parquet APPENDS to existing dirs
     t0 = time.perf_counter()
     bs = int(os.environ.get("GRAFT_BATCH_SIZE", "16384"))
     ds = rd.read_parquet(PAGES_DIR, columns=["url", "html", "text"])
@@ -155,23 +158,43 @@ def main():
 
 
 def scaling():
-    """Run headline at 8 and 32 CPUs in fresh processes, same input."""
+    """Run headline at 8 and 32 CPUs in fresh processes, same input.
+
+    Each level runs REPS times (fresh process each) and the median is
+    reported — single-shot wall times on this sandbox vary ±30%."""
+    import statistics
+
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    # larger input for the scaling protocol (same input at BOTH levels):
+    # fixed per-run latency (~2 s: pipeline start, sort barrier, sink
+    # finalize) is noise at 4M rows but caps efficiency at 2M
+    pages_n = os.environ.get("GRAFT_PAGES_N", str(4_000_000))
     results = {}
     for ncpu in (8, 32):
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_HEADLINE_ONLY="1",
+            GRAFT_PAGES_N=pages_n,
+            # one Arrow IO thread per 1-CPU worker: otherwise each of
+            # the "8-node" workers runs an 8-thread parquet-decode pool
+            # on this 32-core box and the small leg is unfairly fast
+            ARROW_IO_THREADS="1",
         )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        runs = []
+        for _ in range(reps):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            runs.append(json.loads(out.strip().splitlines()[-1]))
+        med = sorted(runs, key=lambda r: r["value"])[len(runs) // 2]
+        med["all_sec"] = [r["value"] for r in runs]
+        results[ncpu] = med
     t8, t32 = results[8]["value"], results[32]["value"]
     eff = (t8 / t32) / (32 / 8)
     print(
@@ -181,6 +204,8 @@ def scaling():
                 "rows": results[8]["rows"],
                 "sec_8": t8,
                 "sec_32": t32,
+                "all_sec_8": results[8]["all_sec"],
+                "all_sec_32": results[32]["all_sec"],
                 "rows_per_sec_8": results[8]["rows_per_sec"],
                 "rows_per_sec_32": results[32]["rows_per_sec"],
                 "scaling_efficiency": round(eff, 3),

@@ -92,7 +92,9 @@ def cmd_plot(args) -> int:
 
     _init_ray(args.num_cpus)
     pdf = rd.read_parquet(args.pixels).to_pandas()
-    path, w, h = plot_raster(pdf, args.png, feature_name=args.feature)
+    path, w, h = plot_raster(
+        pdf, args.png, feature_name=args.feature, log_scale=args.log_scale
+    )
     print(json.dumps({"png": path, "width": w, "height": h, "pixels": len(pdf)}))
     return 0
 
@@ -126,6 +128,7 @@ def main(argv=None) -> int:
     g.add_argument("--pixels", required=True)
     g.add_argument("--png", required=True)
     g.add_argument("--feature", default="sum")
+    g.add_argument("--log-scale", action="store_true")
     g.set_defaults(fn=cmd_plot)
 
     args = p.parse_args(argv)

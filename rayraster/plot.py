@@ -72,6 +72,7 @@ def plot_raster(
     value_prefix: str = "sum_",
     max_px: int = 800,
     background=(255, 255, 255),
+    log_scale: bool = False,
 ):
     """Render a pixel table (pandas DataFrame with ix, iy and value
     columns) to a PNG heatmap.
@@ -90,6 +91,8 @@ def plot_raster(
         v = vals.sum(axis=1) if feature_name == "sum" else vals.mean(axis=1)
     else:
         v = pixel_df[feature_name].to_numpy(dtype=np.float64)
+    if log_scale:  # heavy-tailed fills (hot tiles) wash out linearly
+        v = np.log1p(np.maximum(v, 0.0))
 
     return _paint(ix, iy, values=v, path=path, max_px=max_px, background=background)
 
