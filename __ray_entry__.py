@@ -821,6 +821,61 @@ SELECT user_id, CAST(min(us) AS BIGINT) AS session_start, COUNT(*) AS n,
 FROM s GROUP BY user_id, sid"""
 
 
+def _q_bucket_join(sf_dir: str):
+    """Large × large partitioned hash join (no broadcast): lineitem ⨝
+    orders on orderkey, then grouped stats per order priority."""
+    from rayraster.agg import hash_aggregate
+    from rayraster.join import bucket_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = bucket_join(li, orders, "l_orderkey", "o_orderkey", num_buckets=32)
+    return hash_aggregate(
+        joined,
+        ["o_orderpriority"],
+        min_cols=["l_extendedprice"],
+        max_cols=["l_extendedprice"],
+        count=True,
+    )
+
+
+def _sql_bucket_join() -> str:
+    return """SELECT o.o_orderpriority,
+       min(l.l_extendedprice) AS min_l_extendedprice,
+       max(l.l_extendedprice) AS max_l_extendedprice,
+       COUNT(*) AS n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1"""
+
+
+def _q_distinct_users(sf_dir: str):
+    """Exact distinct count via hash-partitioned dedup (the exact twin
+    of the HLL sketch query d7)."""
+    from rayraster.agg import distinct, hash_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    pairs = distinct(ev, ["event_type", "user_id"])
+    return hash_aggregate(pairs, ["event_type"], count=True, count_name="n_users")
+
+
+def _sql_distinct_users() -> str:
+    return """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1"""
+
+
+def _q_approx_distinct(sf_dir: str):
+    """HLL sketch distinct count (approximate → rows-only check; the
+    exact answer is d6, accuracy asserted in tests/test_join_sketch)."""
+    from rayraster.sketch import approx_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return approx_distinct(ev, "user_id", group_col="event_type")
+
+
 def _q_multimodal(sf_dir: str):
     from rayraster.multimodal import ImageDecodeStage
 
@@ -981,6 +1036,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w3_session_windows": _q_session_windows,
         "t5_grouped_topk": _q_grouped_topk,
         "j1_broadcast_join": _q_join,
+        "j2_bucket_join": _q_bucket_join,
+        "d6_distinct_users": _q_distinct_users,
+        "d7_approx_distinct_hll": _q_approx_distinct,
         "m1_multimodal_decode": _q_multimodal,
     }
 
@@ -1017,5 +1075,8 @@ def oracle_sql() -> dict[str, str]:
         "w3_session_windows": _sql_session_windows(),
         "t5_grouped_topk": _sql_grouped_topk(),
         "j1_broadcast_join": _sql_join(),
+        "j2_bucket_join": _sql_bucket_join(),
+        "d6_distinct_users": _sql_distinct_users(),
+        # d7_approx_distinct_hll: approximate sketch — rows-only
         "m1_multimodal_decode": _sql_multimodal(),
     }

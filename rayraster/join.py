@@ -63,6 +63,86 @@ def broadcast_join(
     )
 
 
+def bucket_join(
+    left: Dataset,
+    right: Dataset,
+    left_key: str,
+    right_key: str,
+    num_buckets: int = 64,
+    join_type: str = "inner",
+) -> Dataset:
+    """Large × large equi-join: the explicit partitioned hash join —
+    add ``bucket = hash(key) % B`` to BOTH sides, tag the side, union,
+    co-locate with ONE groupby(bucket) shuffle, then join each bucket
+    with pyarrow's C++ hash join.  No broadcast; both sides stream.
+
+    Output: left columns + right columns (right key dropped; name
+    collisions suffixed ``_r``).  A single hot KEY still lands in one
+    bucket — salt or pre-aggregate a dominating key upstream
+    (SURVEY.md §4)."""
+    import numpy as np
+
+    l_schema, r_schema = left.schema(), right.schema()
+    left_cols = list(l_schema.names)
+    right_cols = list(r_schema.names)
+    types = {**dict(zip(r_schema.names, r_schema.types)),
+             **dict(zip(l_schema.names, l_schema.types))}
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    right_carry = [c for c in right_cols if c != right_key]
+    all_cols = [*left_cols, *right_carry]
+
+    def bucket_of(keys: pa.ChunkedArray) -> np.ndarray:
+        if pa.types.is_integer(keys.type):
+            kv = keys.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            from rayraster.geo import fnv1a64
+
+            kv = fnv1a64([str(v) for v in keys.to_pylist()]).view(np.int64)
+        return np.abs(kv * np.int64(2654435761)) % np.int64(num_buckets)
+
+    def unify(side_is_left: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            key = left_key if side_is_left else right_key
+            cols = {}
+            for name in all_cols:
+                if side_is_left and name in t.column_names:
+                    cols[name] = t[name]
+                elif not side_is_left and name == left_key:
+                    cols[name] = t[right_key]  # key under the left name
+                elif not side_is_left and name in t.column_names and name in right_carry:
+                    cols[name] = t[name]
+                else:
+                    typ = r_types[name] if name in right_carry else types[name]
+                    if not isinstance(typ, pa.DataType):
+                        # Ray Schema may report Python types for pandas
+                        # object columns
+                        typ = {str: pa.string(), int: pa.int64(),
+                               float: pa.float64(), bytes: pa.binary()}.get(
+                            typ, pa.string()
+                        )
+                    cols[name] = pa.nulls(t.num_rows, type=typ)
+            out = pa.table(cols)
+            out = out.append_column("_bucket", pa.array(bucket_of(t[key])))
+            return out.append_column(
+                "_side_l", pa.array(np.full(t.num_rows, side_is_left))
+            )
+
+        return fn
+
+    lt = left.map_batches(unify(True), batch_format="pyarrow")
+    rt = right.map_batches(unify(False), batch_format="pyarrow")
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        mask = g["_side_l"].to_numpy(zero_copy_only=False)
+        lg = g.filter(pa.array(mask)).select(left_cols)
+        rg = g.filter(pa.array(~mask)).select([left_key, *right_carry])
+        jt = "inner" if join_type == "inner" else "left outer"
+        return lg.join(rg, keys=[left_key], join_type=jt, right_suffix="_r")
+
+    both = lt.union(rt)
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
 def semi_join_filter(ds: Dataset, key_values, key_col: str, invert: bool = False) -> Dataset:
     """Semi/anti join: keep rows whose key is (not) in the broadcast
     key set — vectorized ``pc.is_in`` per batch."""

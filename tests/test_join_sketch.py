@@ -1,0 +1,77 @@
+"""Bucketed large×large join + HyperLogLog sketch."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from rayraster.join import bucket_join
+from rayraster.sketch import HLL, approx_distinct
+
+
+def test_bucket_join_matches_pandas(ray_session):
+    rng = np.random.default_rng(4)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 50, 300), "lv": np.arange(300)}
+    )
+    right = pd.DataFrame(
+        {"rk": rng.integers(0, 50, 120), "rv": np.arange(120) * 10}
+    )
+    out = (
+        bucket_join(rd.from_pandas(left), rd.from_pandas(right), "k", "rk",
+                    num_buckets=8)
+        .to_pandas()
+        .sort_values(["lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk")
+        .drop(columns=["rk"])
+        .sort_values(["lv", "rv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[["k", "lv", "rv"]], want[["k", "lv", "rv"]])
+
+
+def test_bucket_join_string_keys(ray_session):
+    left = pd.DataFrame({"k": ["a", "b", "c", "a"], "lv": [1, 2, 3, 4]})
+    right = pd.DataFrame({"k2": ["a", "c"], "name": ["alpha", "gamma"]})
+    out = bucket_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", "k2", num_buckets=4
+    ).to_pandas()
+    assert len(out) == 3
+    assert set(out[out.k == "a"].name) == {"alpha"}
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(6)
+    vals = rng.integers(0, 10**12, 50000)
+    true = len(np.unique(vals))
+    h = HLL(12).add_values(vals.tolist())
+    assert abs(h.estimate() - true) / true < 0.05
+    # merge equivalence: split input, merge sketches
+    h1 = HLL(12).add_values(vals[:25000].tolist())
+    h2 = HLL(12).add_values(vals[25000:].tolist())
+    merged = h1.merge(h2)
+    assert merged.estimate() == HLL(12).add_values(vals.tolist()).estimate()
+    # serialization round trip
+    assert HLL.from_bytes(merged.to_bytes()).estimate() == merged.estimate()
+
+
+def test_hll_small_range_linear_counting():
+    h = HLL(12).add_values(list(range(10)))
+    assert abs(h.estimate() - 10) < 1
+
+
+def test_approx_distinct_grouped(ray_session):
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 5000 + ["b"] * 3000,
+            "v": list(range(5000)) + list(range(1000)) * 3,
+        }
+    )
+    out = approx_distinct(rd.from_pandas(df), "v", group_col="g").to_pandas()
+    est = dict(zip(out.g, out.approx_distinct))
+    assert abs(est["a"] - 5000) / 5000 < 0.05
+    assert abs(est["b"] - 1000) / 1000 < 0.05
