@@ -852,6 +852,46 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1"""
 
 
+def _q_asof_join(sf_dir: str):
+    """As-of join: each click joined to the user's most recent prior
+    (inclusive) purchase — hash-partitioned merge_asof, oracle is
+    DuckDB's native ASOF JOIN."""
+    import pyarrow.compute as _pc
+
+    from rayraster.join import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value", "event_type"]
+    )
+
+    def split(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(_pc.equal(t["event_type"], kind)).drop_columns(["event_type"])
+
+        return fn
+
+    clicks = ev.map_batches(split("click"), batch_format="pyarrow")
+    purchases = ev.map_batches(split("purchase"), batch_format="pyarrow")
+    out = asof_join(clicks, purchases, key="user_id")
+    return out.select_columns(
+        ["ts_us", "event_id", "user_id", "value", "event_id_r", "value_r"]
+    )
+
+
+def _sql_asof_join() -> str:
+    return """WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT event_id AS event_id_r, user_id, epoch_us(ts) AS r_ts_us,
+         value AS value_r
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.ts_us, l.event_id, l.user_id, l.value, r.event_id_r, r.value_r
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.r_ts_us"""
+
+
 def _q_distinct_users(sf_dir: str):
     """Exact distinct count via hash-partitioned dedup (the exact twin
     of the HLL sketch query d7)."""
@@ -1037,6 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t5_grouped_topk": _q_grouped_topk,
         "j1_broadcast_join": _q_join,
         "j2_bucket_join": _q_bucket_join,
+        "j3_asof_join": _q_asof_join,
         "d6_distinct_users": _q_distinct_users,
         "d7_approx_distinct_hll": _q_approx_distinct,
         "m1_multimodal_decode": _q_multimodal,
@@ -1076,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
         "t5_grouped_topk": _sql_grouped_topk(),
         "j1_broadcast_join": _sql_join(),
         "j2_bucket_join": _sql_bucket_join(),
+        "j3_asof_join": _sql_asof_join(),
         "d6_distinct_users": _sql_distinct_users(),
         # d7_approx_distinct_hll: approximate sketch — rows-only
         "m1_multimodal_decode": _sql_multimodal(),

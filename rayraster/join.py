@@ -143,6 +143,96 @@ def bucket_join(
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    ts_col: str = "ts",
+    num_partitions: int = 64,
+    suffix: str = "_r",
+) -> Dataset:
+    """As-of (backward, inclusive) join: for each left row, the most
+    recent right row with the same ``key`` and ``ts ≤`` the left ts —
+    the task-brief custom-operator example.
+
+    Shape: tag side, hash-partition BOTH sides by key (all rows of a
+    key co-locate), then one vectorized ``pandas.merge_asof`` per
+    partition (sorted by ts, ``by=key`` — per-key semantics without
+    per-key tasks).  INNER semantics: unmatched left rows are dropped
+    (no null-typed columns to reconcile).  Output: left columns
+    (ts as ``ts_us`` int64) + right columns suffixed.
+    """
+    import numpy as np
+    import pandas as pd
+
+    l_cols = [c for c in left.schema().names if c not in (ts_col,)]
+    r_cols = [c for c in right.schema().names if c not in (ts_col,)]
+
+    def unify(is_left: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            us = (
+                t[ts_col]
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            cols = {"_ts_us": pa.array(us)}
+            mine = l_cols if is_left else r_cols
+            for name in set(l_cols) | set(r_cols):
+                if name in mine and name in t.column_names:
+                    cols[name] = t[name]
+                else:
+                    src = left if name in l_cols else right
+                    typ = dict(zip(src.schema().names, src.schema().types))[name]
+                    if not isinstance(typ, pa.DataType):
+                        typ = {str: pa.string(), int: pa.int64(),
+                               float: pa.float64()}.get(typ, pa.string())
+                    cols[name] = pa.nulls(t.num_rows, type=typ)
+            out = pa.table(cols)
+            kv = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            out = out.append_column(
+                "_part", pa.array(np.abs(kv * np.int64(1000003)) % np.int64(num_partitions))
+            )
+            return out.append_column(
+                "_side_l", pa.array(np.full(t.num_rows, is_left))
+            )
+
+        return fn
+
+    lt = left.map_batches(unify(True), batch_format="pyarrow")
+    rt = right.map_batches(unify(False), batch_format="pyarrow")
+    order = sorted(set(lt.schema().names))
+    lt = lt.map_batches(lambda t: t.select(order), batch_format="pyarrow")
+    rt = rt.map_batches(lambda t: t.select(order), batch_format="pyarrow")
+
+    def solve(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side_l"]].sort_values("_ts_us", kind="mergesort")
+        rg = g[~g["_side_l"]].sort_values("_ts_us", kind="mergesort")
+        lg = lg[["_ts_us", *l_cols]].rename(columns={"_ts_us": "ts_us"})
+        rg = rg[["_ts_us", *r_cols]].rename(columns={"_ts_us": "ts_us"})
+        if lg.empty or rg.empty:
+            return pd.DataFrame(
+                columns=["ts_us", *l_cols, *[f"{c}{suffix}" for c in r_cols if c != key]]
+            )
+        m = pd.merge_asof(
+            lg, rg, on="ts_us", by=key, direction="backward", suffixes=("", suffix)
+        )
+        carry = [f"{c}{suffix}" if f"{c}{suffix}" in m.columns else c
+                 for c in r_cols if c != key]
+        m = m.dropna(subset=[carry[0]]) if carry else m
+        for c in carry:
+            if m[c].dtype.kind == "f" and c.endswith(suffix):
+                base = c[: -len(suffix)]
+                src = right.schema()
+                typ = dict(zip(src.names, src.types)).get(base)
+                if str(typ) in ("int64", "int32") or typ in (int,):
+                    m[c] = m[c].astype("int64")
+        return m[["ts_us", *l_cols, *carry]]
+
+    both = lt.union(rt)
+    return both.groupby("_part").map_groups(solve, batch_format="pandas")
+
+
 def semi_join_filter(ds: Dataset, key_values, key_col: str, invert: bool = False) -> Dataset:
     """Semi/anti join: keep rows whose key is (not) in the broadcast
     key set — vectorized ``pc.is_in`` per batch."""

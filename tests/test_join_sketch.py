@@ -75,3 +75,35 @@ def test_approx_distinct_grouped(ray_session):
     est = dict(zip(out.g, out.approx_distinct))
     assert abs(est["a"] - 5000) / 5000 < 0.05
     assert abs(est["b"] - 1000) / 1000 < 0.05
+
+
+def test_asof_join_matches_pandas(ray_session):
+    from rayraster.join import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "ts": base + pd.to_timedelta([10, 20, 30, 5, 25, 7], unit="m"),
+            "value": [1.0] * 6,
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "event_id": [100, 101, 102],
+            "user_id": [1, 1, 2],
+            "ts": base + pd.to_timedelta([15, 28, 20], unit="m"),
+            "value": [10.0, 20.0, 30.0],
+        }
+    )
+    out = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), key="user_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # user1: e1(t20)→100, e2(t30)→101; user2: e4(t25)→102; others drop
+    assert out.event_id.tolist() == [1, 2, 4]
+    assert out.event_id_r.tolist() == [100, 101, 102]
+    assert out.value_r.tolist() == [10.0, 20.0, 30.0]
