@@ -33,6 +33,10 @@ from rayraster.rasterize import (
 )
 from rayraster.rotate import permutate_by_rotation
 
+# heavier operator families live in their modules (imported lazily by
+# queries/pipelines): rayraster.clip, .knn, .agg, .dedup, .similarity,
+# .textops, .windows, .join, .sketch, .multimodal, .checkpoint, .plot
+
 __all__ = [
     "GridSpec",
     "derive_bbox",
