@@ -892,6 +892,43 @@ SELECT l.ts_us, l.event_id, l.user_id, l.value, r.event_id_r, r.value_r
 FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.r_ts_us"""
 
 
+PRICE_BANDS = [
+    ("tiny", 0.0, 40000.0),
+    ("mid", 40000.0, 150000.0),  # overlapping boundary with tiny at 40k
+    ("large", 150000.0, 10_000_000.0),
+]
+
+
+def _q_range_join(sf_dir: str):
+    """Range join: orders matched to (possibly overlapping) price
+    bands, counted per band — broadcast interval table, vectorized
+    containment per batch."""
+    from rayraster.agg import hash_aggregate
+    from rayraster.join import range_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    bands = pa.table(
+        {
+            "band": pa.array([b[0] for b in PRICE_BANDS]),
+            "lo": pa.array([b[1] for b in PRICE_BANDS]),
+            "hi": pa.array([b[2] for b in PRICE_BANDS]),
+        }
+    )
+    joined = range_join(orders, bands, "o_totalprice")
+    return hash_aggregate(
+        joined, ["band"], min_cols=["o_totalprice"], max_cols=["o_totalprice"], count=True
+    )
+
+
+def _sql_range_join() -> str:
+    vals = ", ".join(f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in PRICE_BANDS)
+    return f"""WITH bands(band, lo, hi) AS (VALUES {vals})
+SELECT b.band, min(o.o_totalprice) AS min_o_totalprice,
+       max(o.o_totalprice) AS max_o_totalprice, COUNT(*) AS n
+FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi
+GROUP BY 1"""
+
+
 def _q_distinct_users(sf_dir: str):
     """Exact distinct count via hash-partitioned dedup (the exact twin
     of the HLL sketch query d7)."""
@@ -1078,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j1_broadcast_join": _q_join,
         "j2_bucket_join": _q_bucket_join,
         "j3_asof_join": _q_asof_join,
+        "j4_range_join": _q_range_join,
         "d6_distinct_users": _q_distinct_users,
         "d7_approx_distinct_hll": _q_approx_distinct,
         "m1_multimodal_decode": _q_multimodal,
@@ -1118,6 +1156,7 @@ def oracle_sql() -> dict[str, str]:
         "j1_broadcast_join": _sql_join(),
         "j2_bucket_join": _sql_bucket_join(),
         "j3_asof_join": _sql_asof_join(),
+        "j4_range_join": _sql_range_join(),
         "d6_distinct_users": _sql_distinct_users(),
         # d7_approx_distinct_hll: approximate sketch — rows-only
         "m1_multimodal_decode": _sql_multimodal(),

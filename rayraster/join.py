@@ -233,6 +233,51 @@ def asof_join(
     return both.groupby("_part").map_groups(solve, batch_format="pandas")
 
 
+class RangeJoinStage:
+    """map_batches actor: join each batch row to every broadcast
+    interval containing its value (``lo ≤ v ≤ hi``) — the range-join
+    custom operator (task brief).  The interval table is small-side by
+    construction (bands, buckets, SLA tiers); emits one row per
+    (row, matching interval).
+
+    Vectorized: a (batch × intervals) containment mask per chunk of
+    intervals — right for up to ~10^4 intervals; beyond that sort and
+    bucket the interval endpoints."""
+
+    def __init__(self, intervals_ref, value_col: str, lo_col: str = "lo", hi_col: str = "hi"):
+        import numpy as np
+
+        iv = ray.get(intervals_ref) if isinstance(intervals_ref, ray.ObjectRef) else intervals_ref
+        self.iv = iv.combine_chunks() if isinstance(iv, pa.Table) else iv
+        self.lo = np.asarray(self.iv[lo_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        self.hi = np.asarray(self.iv[hi_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        self.value_col = value_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = batch[self.value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        mask = (v[:, None] >= self.lo[None, :]) & (v[:, None] <= self.hi[None, :])
+        rows, ivs = np.nonzero(mask)
+        out = batch.take(pa.array(rows))
+        for name in self.iv.column_names:
+            out = out.append_column(name, self.iv[name].take(pa.array(ivs)))
+        return out
+
+
+def range_join(ds: Dataset, intervals: pa.Table, value_col: str,
+               lo_col: str = "lo", hi_col: str = "hi", concurrency=(1, 2)) -> Dataset:
+    """ds ⨝ intervals on ``lo ≤ ds[value_col] ≤ hi`` (broadcast side)."""
+    ref = ray.put(intervals)
+    return ds.map_batches(
+        RangeJoinStage,
+        fn_constructor_args=(ref, value_col, lo_col, hi_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
 def semi_join_filter(ds: Dataset, key_values, key_col: str, invert: bool = False) -> Dataset:
     """Semi/anti join: keep rows whose key is (not) in the broadcast
     key set — vectorized ``pc.is_in`` per batch."""

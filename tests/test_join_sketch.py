@@ -107,3 +107,19 @@ def test_asof_join_matches_pandas(ray_session):
     assert out.event_id.tolist() == [1, 2, 4]
     assert out.event_id_r.tolist() == [100, 101, 102]
     assert out.value_r.tolist() == [10.0, 20.0, 30.0]
+
+
+def test_range_join_overlapping_bands(ray_session):
+    import pyarrow as pa
+
+    from rayraster.join import range_join
+
+    ds = rd.from_pandas(pd.DataFrame({"id": range(5), "v": [5.0, 15.0, 25.0, 15.0, 99.0]}))
+    bands = pa.table(
+        {"band": ["lo", "mid", "wide"], "lo": [0.0, 10.0, 0.0], "hi": [10.0, 20.0, 30.0]}
+    )
+    out = range_join(ds, bands, "v").to_pandas()
+    got = sorted(zip(out.id, out.band))
+    # v=5→lo+wide; v=15→mid+wide (×2 rows); v=25→wide; v=99→nothing
+    assert got == [(0, "lo"), (0, "wide"), (1, "mid"), (1, "wide"),
+                   (2, "wide"), (3, "mid"), (3, "wide")]
