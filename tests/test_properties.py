@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis) for the pure-geometry core.
+
+These pin the engine's algebraic invariants over arbitrary inputs —
+the reference's testthat suite asserts structure on one fixture
+(SURVEY.md §5); properties cover the input space.
+"""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from rayraster.dedup import char_shingle_hashes, jaccard, minhash_signature
+from rayraster.geo import fnv1a64, geocode_id
+from rayraster.grid import (
+    GridSpec,
+    derive_bbox,
+    hex_cube_round,
+    pack_cell_id,
+    parent_cell,
+    unpack_cell_id,
+)
+
+coord = st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False)
+res_st = st.floats(0.01, 1000.0, allow_nan=False, allow_infinity=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(coord, min_size=1, max_size=50), st.lists(coord, min_size=1, max_size=50), res_st)
+def test_square_assignment_is_containment(xs, ys, res):
+    """Every point lies inside (or on the boundary of) its assigned
+    cell, and never left/below its cell's lower edge."""
+    n = min(len(xs), len(ys))
+    x = np.array(xs[:n])
+    y = np.array(ys[:n])
+    x0 = math.floor(x.min() - res / 2)
+    y0 = math.floor(y.min() - res / 2)
+    spec = GridSpec(float(x0), float(y0), res)
+    ix, iy = spec.assign(x, y)
+    lo_x = x0 + ix * res
+    lo_y = y0 + iy * res
+    eps = 1e-9 * max(1.0, res) + 1e-6 * np.maximum(np.abs(x), 1.0)
+    assert (x >= lo_x - eps).all() and (x <= lo_x + res + eps).all()
+    assert (y >= lo_y - eps).all() and (y <= lo_y + res + eps).all()
+    assert (ix >= 0).all() and (iy >= 0).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(-1e5, 1e5), st.floats(-1e5, 1e5), res_st)
+def test_bbox_pad_rule_contains_min(mn, mx, res):
+    lo, _, hi, _ = derive_bbox(min(mn, mx), max(mn, mx), min(mn, mx), max(mn, mx), res)
+    assert lo <= min(mn, mx) and hi >= max(mn, mx)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.floats(-1e4, 1e4), min_size=1, max_size=30),
+    st.lists(st.floats(-1e4, 1e4), min_size=1, max_size=30),
+    st.floats(0.1, 100.0),
+)
+def test_hex_assignment_nearest_center_property(xs, ys, res):
+    """Assigned hex center is within circumradius of the point (every
+    point of a hexagon is ≤ R from its center)."""
+    n = min(len(xs), len(ys))
+    x = np.array(xs[:n])
+    y = np.array(ys[:n])
+    spec = GridSpec(0.0, 0.0, res, square=False)
+    q, r = spec.assign(x, y)
+    cx, cy = spec.centroid(q, r)
+    d = np.hypot(x - cx, y - cy)
+    assert (d <= spec.hex_R * (1 + 1e-9) + 1e-6).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(-(2**27), 2**27 - 1),
+    st.integers(-(2**27), 2**27 - 1),
+    st.integers(0, 20),
+)
+def test_pack_unpack_parent_properties(ix, iy, level):
+    cid = pack_cell_id(level, np.array([ix]), np.array([iy]))
+    lv, ix2, iy2 = unpack_cell_id(cid)
+    assert (lv[0], ix2[0], iy2[0]) == (level, ix, iy)
+    if 0 <= ix and 0 <= iy:
+        par = parent_cell(cid)
+        _, px, py = unpack_cell_id(par)
+        assert px[0] == ix // 2 and py[0] == iy // 2
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(-50, 50), min_size=2, max_size=40))
+def test_hex_cube_round_is_valid_cube(vals):
+    """Cube rounding returns integer axial coords (x+y+z=0 respected)."""
+    n = len(vals) // 2
+    qf = np.array(vals[:n])
+    rf = np.array(vals[n : 2 * n])
+    q, r = hex_cube_round(qf, rf)
+    # rounding distance bounded: |q-qf| ≤ 1, |r-rf| ≤ 1
+    assert (np.abs(q - qf) <= 1.0 + 1e-9).all()
+    assert (np.abs(r - rf) <= 1.0 + 1e-9).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 10**12))
+def test_geocode_in_domain(i):
+    x, y = geocode_id(np.array([i]))
+    assert -180.0 <= x[0] < 180.0
+    assert -90.0 <= y[0] < 90.0
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=20))
+def test_fnv_vectorized_equals_scalar(strings):
+    got = fnv1a64(strings)
+
+    def slow(s):
+        h = 14695981039346656037
+        for b in s.encode("utf-8"):
+            h = ((h ^ b) * 1099511628211) % (1 << 64)
+        return h
+
+    want = np.array([slow(s) for s in strings], dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(min_size=0, max_size=200), st.text(min_size=0, max_size=200))
+def test_jaccard_bounds_and_symmetry(a, b):
+    ha = char_shingle_hashes(a, 5)
+    hb = char_shingle_hashes(b, 5)
+    j1 = jaccard(ha, hb)
+    j2 = jaccard(hb, ha)
+    assert 0.0 <= j1 <= 1.0 and j1 == j2
+    assert jaccard(ha, ha) == 1.0
+    # minhash equality share is a [0,1] estimate
+    if len(ha) and len(hb):
+        est = (minhash_signature(ha, 64) == minhash_signature(hb, 64)).mean()
+        assert 0.0 <= est <= 1.0
