@@ -248,6 +248,25 @@ def _q_spatial_knn(sf_dir: str):
     return out.select_columns(["ix", "iy", "rank", "dist2", "n_ix", "n_iy"])
 
 
+def _q_sort_limit(sf_dir: str):
+    """Native Dataset.sort + limit: densest 20 pixels, fully-keyed
+    deterministic order (covers the sorts/limits checklist row with
+    Ray's own sort operator rather than grouped_topk)."""
+    pts = load_doc_points(sf_dir, columns=("doc_id",))
+    cells, _ = rasterize_features(pts, RES, [], fun="sum", with_meta=False)
+    top = cells.select_columns(["ix", "iy", "num_cell"]).sort(
+        ["num_cell", "ix", "iy"], descending=[True, False, False]
+    ).limit(20)
+    return top
+
+
+def _sql_sort_limit() -> str:
+    return f"""WITH {_PTS}, {_bb(RES)}, {_square_cells(RES)},
+c AS (SELECT ix, iy, COUNT(*) AS num_cell FROM cells2 GROUP BY ix, iy)
+SELECT ix, iy, num_cell FROM c
+ORDER BY num_cell DESC, ix, iy LIMIT 20"""
+
+
 POLYFILL_SPEC = GridSpec(-180.0, -90.0, 10.0)
 POLYFILL_RECT = (-47.3, -12.7, 31.9, 44.2)
 
@@ -1096,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r10_raster_to_vector": _q_raster_to_vector,
         "r8b_spatial_knn": _q_spatial_knn,
         "r13_filtered_stats": _q_filtered_stats,
+        "r14_sort_limit": _q_sort_limit,
         "r11_cell_id_list": _q_cell_id_list,
         "r12_multidataset_shared_frame": _q_multidataset,
         "d1_exact_dedup": _q_exact_dedup,
@@ -1138,6 +1158,7 @@ def oracle_sql() -> dict[str, str]:
         "r10_raster_to_vector": _sql_raster_to_vector(),
         "r8b_spatial_knn": _sql_knn(),  # same brute-force oracle; k=4
         "r13_filtered_stats": _sql_filtered_stats(),
+        "r14_sort_limit": _sql_sort_limit(),
         "r11_cell_id_list": _sql_cell_id_list(),
         "r12_multidataset_shared_frame": _sql_multidataset(),
         "d1_exact_dedup": _sql_exact_dedup(),

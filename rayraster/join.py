@@ -6,9 +6,14 @@ maps) the right distributed shape at 100 TB is: ``ray.put`` the small
 side ONCE, then an actor-pool map_batches doing a vectorized pyarrow
 join per batch — no shuffle, no re-ship per batch.
 
-For large×large equi-joins use the bucket pattern (add hash-bucket
-column to both sides, groupby bucket, join per bucket) — not needed by
-any current operator, documented here for completeness.
+Four join shapes, smallest-movement-first:
+
+* :func:`broadcast_join` — small side broadcast once, C++ join/batch
+* :func:`semi_join_filter` — broadcast key set, vectorized is_in
+* :func:`bucket_join` — large × large equi-join, one co-location
+  shuffle, C++ join per bucket
+* :func:`asof_join` / :func:`range_join` — temporal and interval
+  joins (custom operators per the task brief)
 """
 
 from __future__ import annotations
