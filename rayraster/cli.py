@@ -34,6 +34,11 @@ def _init_ray(num_cpus: int | None):
             logging_level="ERROR",
         )
     DataContext.get_current().enable_progress_bars = False
+    from ray.data.context import ShuffleStrategy
+
+    DataContext.get_current().shuffle_strategy = (
+        ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    )
 
 
 def cmd_rasterize(args) -> int:
