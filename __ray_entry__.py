@@ -737,6 +737,34 @@ def _q_fingerprint(sf_dir: str):
     return out.select_columns(["doc_id", "fingerprint"])
 
 
+def _q_json_extract(sf_dir: str):
+    """JSON field extraction from the events props column + grouped
+    stats (the scalar-function family the reference lacks entirely —
+    SURVEY.md §2 'no date/json/map functions')."""
+    from rayraster.agg import hash_aggregate
+    from rayraster.textops import json_extract_int
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    parsed = ev.map_batches(
+        lambda t: json_extract_int(t, "props", "k", "k").drop_columns(["props"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return hash_aggregate(
+        parsed, ["event_type"], sum_cols=["k"], min_cols=["k"], max_cols=["k"], count=True
+    )
+
+
+def _sql_json_extract() -> str:
+    return """WITH p AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k, COUNT(*) AS n
+FROM p GROUP BY 1"""
+
+
 def _q_window(sf_dir: str):
     from rayraster.windows import tumbling_aggregate
 
@@ -1132,6 +1160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w2_sliding_window": _q_sliding_window,
         "w3_session_windows": _q_session_windows,
         "t5_grouped_topk": _q_grouped_topk,
+        "t6_json_extract": _q_json_extract,
         "j1_broadcast_join": _q_join,
         "j2_bucket_join": _q_bucket_join,
         "j3_asof_join": _q_asof_join,
@@ -1174,6 +1203,7 @@ def oracle_sql() -> dict[str, str]:
         "w2_sliding_window": _sql_sliding_window(),
         "w3_session_windows": _sql_session_windows(),
         "t5_grouped_topk": _sql_grouped_topk(),
+        "t6_json_extract": _sql_json_extract(),
         "j1_broadcast_join": _sql_join(),
         "j2_bucket_join": _sql_bucket_join(),
         "j3_asof_join": _sql_asof_join(),

@@ -2,7 +2,7 @@
 
     python -m rayraster.cli rasterize --input '<glob>' --out /tmp/out \
         --resolution 0.5 [--hex] [--fun mean] [--value-cols a,b] \
-        [--geocode id|url] [--resume]
+        [--geocode id|url]   # resume is automatic via the manifest
     python -m rayraster.cli synth --out /tmp/pages --rows 1000000
     python -m rayraster.cli plot --pixels /tmp/out/pixels --png /tmp/r.png
 

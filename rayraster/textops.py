@@ -116,6 +116,22 @@ class LangIdStage:
 # ---------------------------------------------------------------------------
 
 
+def json_extract_int(batch: pa.Table, json_col: str, key: str, out_col: str) -> pa.Table:
+    """Extract an integer field from a JSON string column (stdlib
+    json per row — no JSON kernel in pyarrow 16; rows that lack the
+    key or fail to parse yield null)."""
+    import json as _json
+
+    out = []
+    for s in batch[json_col].to_pylist():
+        try:
+            v = _json.loads(s).get(key)
+            out.append(int(v) if v is not None else None)
+        except (ValueError, TypeError, AttributeError):
+            out.append(None)
+    return batch.append_column(out_col, pa.array(out, type=pa.int64()))
+
+
 def fingerprint_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Hex md5 per document — SQL twin: duckdb ``md5(text)``."""
     fp = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in batch[text_col].to_pylist()]
