@@ -665,6 +665,28 @@ def _q_simhash(sf_dir: str):
     return simhash_pairs(corpus, max_dist=3).select_columns(["a", "b"])
 
 
+def _q_neardup_dedup_pipeline(sf_dir: str):
+    """End-to-end near-dup dedup: MinHash-LSH pairs → connected
+    components (min-label propagation) → keep one representative per
+    cluster.  On the constructed corpus every cluster is
+    {i, i+OFFSET} so the keep list is exactly the original ids —
+    analytic oracle."""
+    from rayraster.dedup import (
+        connected_components,
+        dedup_keep_from_clusters,
+        minhash_lsh_pairs,
+    )
+
+    corpus = _neardup_corpus(sf_dir, perturb=True)
+    pairs = minhash_lsh_pairs(corpus, threshold=0.8).select_columns(["a", "b"])
+    clusters = connected_components(pairs)
+    return dedup_keep_from_clusters(clusters)
+
+
+def _sql_neardup_dedup_pipeline() -> str:
+    return "SELECT doc_id FROM documents"
+
+
 def _q_embed_neardup(sf_dir: str):
     from rayraster.dedup import embedding_neardup_pairs
 
@@ -1150,6 +1172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d2_minhash_neardup": _q_minhash,
         "d3_simhash_neardup": _q_simhash,
         "d5_embed_neardup": _q_embed_neardup,
+        "d8_neardup_dedup_cc": _q_neardup_dedup_pipeline,
         "s1_ann_cosine_topk": _q_ann_topk,
         "s2_ivf_ann_topk": _q_ivf_topk,
         "t1_token_metrics": _q_token_metrics,
@@ -1194,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         "d2_minhash_neardup": _sql_minhash(),
         "d3_simhash_neardup": _sql_simhash(),
         "d5_embed_neardup": _sql_embed_neardup(),
+        "d8_neardup_dedup_cc": _sql_neardup_dedup_pipeline(),
         "s1_ann_cosine_topk": _sql_ann_topk(),
         "t1_token_metrics": _sql_token_metrics(),
         "t2_quality_score": _sql_quality(),

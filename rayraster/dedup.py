@@ -483,6 +483,88 @@ def embedding_neardup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# connected components over near-dup pairs → dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 20,
+    num_partitions: int = 64,
+) -> pa.Table:
+    """Cluster ids for every node appearing in a pair: iterative
+    min-label propagation — each round broadcasts the (small) label
+    table and reduces per-node mins with the hash-partitioned grouped
+    aggregate; converges in O(component diameter) rounds.
+
+    The label table holds only nodes that appear in near-dup PAIRS —
+    tiny relative to the corpus — so driver-side label state is the
+    right trade (the Ray-guide dedup pattern); the edge set streams
+    through the cluster every round.  Returns an arrow table
+    (node, cluster), cluster = min reachable node id."""
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False)
+        b = t[b_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b])),
+                "peer": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # reused every round; 2 rows per pair
+
+    from rayraster.agg import hash_aggregate
+    from rayraster.join import broadcast_join
+
+    def collect(ds: Dataset) -> pa.Table:
+        return pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()]).combine_chunks()
+
+    # init: label(node) = min(node, min direct peer)
+    init = collect(
+        hash_aggregate(edges, ["node"], min_cols=["peer"], count=False,
+                       num_partitions=num_partitions)
+    )
+    nodes = np.asarray(init["node"].to_numpy(zero_copy_only=False))
+    order = np.argsort(nodes)
+    nodes = nodes[order]
+    labels = np.minimum(
+        nodes, np.asarray(init["min_peer"].to_numpy(zero_copy_only=False))[order]
+    )
+
+    for _ in range(max_rounds):
+        peer_labels = pa.table(
+            {"peer": pa.array(nodes), "peer_label": pa.array(labels)}
+        )
+        msgs = broadcast_join(edges, peer_labels, keys=["peer"], concurrency=2)
+        new_min = collect(
+            hash_aggregate(msgs, ["node"], min_cols=["peer_label"], count=False,
+                           num_partitions=num_partitions)
+        )
+        nn = new_min["node"].to_numpy(zero_copy_only=False)
+        nv = new_min["min_peer_label"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nodes, nn)
+        merged = labels.copy()
+        np.minimum.at(merged, pos, nv)
+        if np.array_equal(merged, labels):
+            break
+        labels = merged
+    return pa.table({"node": pa.array(nodes), "cluster": pa.array(labels)})
+
+
+def dedup_keep_from_clusters(clusters: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Keep-list from a cluster assignment: one representative (the
+    cluster label = min id) per cluster."""
+    reps = np.unique(clusters["cluster"].to_numpy(zero_copy_only=False))
+    return pa.table({id_col: pa.array(reps)})
+
+
+# ---------------------------------------------------------------------------
 # exact word-n-gram Jaccard over candidate pairs (standalone operator)
 # ---------------------------------------------------------------------------
 

@@ -110,3 +110,21 @@ def test_embedding_neardup(ray_session):
 def test_word_ngram_short_texts():
     assert len(word_ngram_hashes("", 3)) == 0
     assert len(word_ngram_hashes("one two", 3)) == 1
+
+
+def test_connected_components_chains(ray_session):
+    """Chains and separate components: min-label propagation converges
+    to the smallest node id per component."""
+    from rayraster.dedup import connected_components, dedup_keep_from_clusters
+
+    # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star)
+    pairs = pd.DataFrame(
+        {"a": [1, 2, 3, 10, 20, 20], "b": [2, 3, 4, 11, 21, 22]}
+    )
+    out = connected_components(rd.from_pandas(pairs)).to_pandas()
+    got = dict(zip(out.node, out.cluster))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    keep = dedup_keep_from_clusters(
+        connected_components(rd.from_pandas(pairs))
+    ).to_pandas()
+    assert sorted(keep.doc_id) == [1, 10, 20]
