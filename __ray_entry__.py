@@ -491,6 +491,43 @@ SELECT ix, iy,
 FROM c"""
 
 
+def _q_hex_vector(sf_dir: str):
+    """Hex raster→vector: centroid + first polygon vertex per occupied
+    hex cell, generated through the WKB path and compared against
+    closed-form SQL (the hex analog of r10)."""
+    pts = load_doc_points(sf_dir, columns=("doc_id",))
+    cells, spec = rasterize_features(
+        pts, RES, [], square=False, fun="sum", with_meta=False
+    )
+
+    def _vec(t: pa.Table) -> pa.Table:
+        ix = t["ix"].to_numpy(zero_copy_only=False)
+        iy = t["iy"].to_numpy(zero_copy_only=False)
+        v1x = np.empty(len(ix))
+        v1y = np.empty(len(ix))
+        for k in range(len(ix)):
+            ring = parse_wkb_polygon(spec.polygon_wkb(int(ix[k]), int(iy[k])))
+            v1x[k], v1y[k] = ring[0]
+        return pa.table(
+            {"ix": ix, "iy": iy, "cx": t["cx"], "cy": t["cy"],
+             "v1x": v1x, "v1y": v1y}
+        )
+
+    return cells.map_batches(_vec, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_hex_vector() -> str:
+    # first vertex of the pointy-top hex ring: centroid + R·(cos30°, sin30°)
+    R = RES / math.sqrt(3.0)
+    dx = R * math.cos(math.radians(30.0))
+    dy = R * math.sin(math.radians(30.0))
+    base = _sql_hex_sum()
+    # reuse the hex CTE chain, replace the final aggregate projection
+    head = base[: base.rindex("SELECT ix, iy, cx, cy")]
+    return f"""{head}SELECT ix, iy, cx, cy, cx + {dx!r} AS v1x, cy + {dy!r} AS v1y
+FROM (SELECT ix, iy, cx, cy FROM hcells GROUP BY ix, iy, cx, cy)"""
+
+
 def _q_cell_id_list(sf_dir: str):
     """Opt-in cellID_list (R/main.R:153-155): per-cell observation id
     roster, joined to a comma string so the oracle can compare it."""
@@ -1166,6 +1203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r8b_spatial_knn": _q_spatial_knn,
         "r13_filtered_stats": _q_filtered_stats,
         "r14_sort_limit": _q_sort_limit,
+        "r10b_hex_vector": _q_hex_vector,
         "r11_cell_id_list": _q_cell_id_list,
         "r12_multidataset_shared_frame": _q_multidataset,
         "d1_exact_dedup": _q_exact_dedup,
@@ -1211,6 +1249,7 @@ def oracle_sql() -> dict[str, str]:
         "r8b_spatial_knn": _sql_knn(),  # same brute-force oracle; k=4
         "r13_filtered_stats": _sql_filtered_stats(),
         "r14_sort_limit": _sql_sort_limit(),
+        "r10b_hex_vector": _sql_hex_vector(),
         "r11_cell_id_list": _sql_cell_id_list(),
         "r12_multidataset_shared_frame": _sql_multidataset(),
         "d1_exact_dedup": _sql_exact_dedup(),

@@ -90,6 +90,63 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Dedup a parquet corpus: exact (content hash) or near (MinHash →
+    verified pairs → connected components); writes the keep-list
+    parquet + a JSON summary line."""
+    import ray.data as rd
+
+    from rayraster.dedup import (
+        connected_components,
+        dedup_keep_from_clusters,
+        exact_dedup_keep_ids,
+        minhash_lsh_pairs,
+    )
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    ds = rd.read_parquet(files, columns=[args.id_col, args.text_col])
+    n_in = ds.count()
+    if args.method == "exact":
+        keep = exact_dedup_keep_ids(ds, args.text_col, args.id_col)
+    else:
+        pairs = minhash_lsh_pairs(
+            ds, args.text_col, args.id_col, threshold=args.threshold
+        ).select_columns(["a", "b"])
+        clusters = connected_components(pairs)
+        cluster_nodes = set(clusters["node"].to_pylist())
+        reps = set(dedup_keep_from_clusters(clusters)[args.id_col].to_pylist())
+
+        def keep_fn(t):
+            import pyarrow.compute as pc
+            import numpy as np
+
+            ids = t[args.id_col].to_numpy(zero_copy_only=False)
+            mask = np.array(
+                [i not in cluster_nodes or i in reps for i in ids.tolist()]
+            )
+            return t.filter(__import__("pyarrow").array(mask)).select([args.id_col])
+
+        keep = ds.map_batches(keep_fn, batch_format="pyarrow")
+    import shutil
+
+    shutil.rmtree(args.out, ignore_errors=True)
+    keep.write_parquet(args.out)
+    import pyarrow.parquet as pq
+
+    n_keep = sum(
+        pq.read_metadata(os.path.join(args.out, f)).num_rows
+        for f in os.listdir(args.out)
+        if f.endswith(".parquet")
+    )
+    print(json.dumps({"method": args.method, "rows_in": n_in, "rows_kept": n_keep,
+                      "out": args.out}))
+    return 0
+
+
 def cmd_plot(args) -> int:
     import ray.data as rd
 
@@ -128,6 +185,15 @@ def main(argv=None) -> int:
     s.add_argument("--rows", type=int, default=1_000_000)
     s.add_argument("--parallelism", type=int, default=64)
     s.set_defaults(fn=cmd_synth)
+
+    d = sub.add_parser("dedup", help="exact or near dedup of a corpus")
+    d.add_argument("--input", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--method", choices=["exact", "minhash"], default="exact")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--threshold", type=float, default=0.8)
+    d.set_defaults(fn=cmd_dedup)
 
     g = sub.add_parser("plot", help="render a pixel table to PNG")
     g.add_argument("--pixels", required=True)

@@ -103,3 +103,25 @@ def test_plan_shards_deterministic(sharded_input):
     a = plan_shards(sharded_input, 2)
     b = plan_shards(list(reversed(sharded_input)), 2)
     assert a == b and len(a) == 3
+
+
+def test_resume_cleans_corrupt_tmp(sharded_input, tmp_path, ray_session):
+    """A leftover .tmp dir from a mid-write crash must not poison the
+    resumed run (atomic publish = tmp → rename)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "ckpt4")
+    os.makedirs(os.path.join(out, "partials", "shard=0.tmp"), exist_ok=True)
+    pq.write_table(  # garbage partial from a "crashed" writer
+        pa.table({"junk": [1]}),
+        os.path.join(out, "partials", "shard=0.tmp", "part.parquet"),
+    )
+    s = rasterize_checkpointed(
+        sharded_input, out, SPEC, ["n_chars"], fun="sum",
+        prepare=add_geocode_id, files_per_shard=3,
+    )
+    assert s["complete"]
+    got = load_pixels(out).to_pandas()
+    assert got["num_cell"].sum() == 500  # all rows accounted for
+    assert not os.path.exists(os.path.join(out, "partials", "shard=0.tmp"))

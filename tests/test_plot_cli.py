@@ -97,3 +97,30 @@ def test_plot_categorical(tmp_path):
     path, w, h, lut = plot_raster_categorical(df, str(tmp_path / "c.png"), "lang")
     assert set(lut) == {"en", "de", "fr"} and len(set(lut.values())) == 3
     assert w > 0 and h > 0
+
+
+def test_cli_dedup(tmp_path):
+    """CLI dedup surface: exact method over a corpus with known dupes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    texts = [f"document number {i}" for i in range(50)] * 2  # every text twice
+    pq.write_table(
+        pa.table({"doc_id": list(range(100)), "text": texts}),
+        str(corpus / "d.parquet"),
+    )
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "dedup", "--input", str(corpus / "*.parquet"),
+         "--out", str(tmp_path / "keep")],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rows_in"] == 100 and summary["rows_kept"] == 50
+    kept = pq.read_table(str(tmp_path / "keep")).to_pandas()
+    assert sorted(kept.doc_id) == list(range(50))
