@@ -47,8 +47,11 @@ class GridIndex:
         self.y0 = float(self.y.min())
         bx = np.floor((self.x - self.x0) / self.s).astype(np.int64)
         by = np.floor((self.y - self.y0) / self.s).astype(np.int64)
-        self.nbx = int(bx.max()) + 1
-        key = bx * np.int64(self.nbx + 1) + by
+        # collision-free bucket key: by ≥ 0 and < 2^32 (both axes are
+        # offset from their minima), so (bx << 32) | by is injective —
+        # a row-count-based multiplier can collide when the y-extent
+        # exceeds the x-extent
+        key = (bx << np.int64(32)) | by
         order = np.argsort(key, kind="stable")
         self._order = order
         skey = key[order]
@@ -57,7 +60,9 @@ class GridIndex:
         self._starts = np.append(starts, n)
 
     def _bucket_members(self, bx: int, by: int) -> np.ndarray:
-        k = bx * (self.nbx + 1) + by
+        if by < 0:
+            return np.empty(0, dtype=np.int64)
+        k = (bx << 32) | by
         i = self._bucket_of.get(k)
         if i is None:
             return np.empty(0, dtype=np.int64)
@@ -78,7 +83,10 @@ class GridIndex:
         out_d2 = np.full((nq, k), np.inf)
         qbx = np.floor((qx - self.x0) / self.s).astype(np.int64)
         qby = np.floor((qy - self.y0) / self.s).astype(np.int64)
-        qkey = qbx * np.int64(self.nbx + 1) + qby
+        # group queries by their (possibly out-of-range) bucket; offset
+        # qby to non-negative so the 32-bit packing stays injective
+        qoff = np.int64(min(int(qby.min()), 0))
+        qkey = (qbx << np.int64(32)) | (qby - qoff)
         order = np.argsort(qkey, kind="stable")
         skey = qkey[order]
         uniq, starts = np.unique(skey, return_index=True)

@@ -119,3 +119,17 @@ def test_spatial_knn_sparse_flags_inexact(ray_session):
     )
     out = spatial_knn_self(rd.from_pandas(pix), k=1, tile_size=1.0).to_pandas()
     assert (~out.exact).all() if len(out) else True
+
+
+def test_grid_index_skewed_extent():
+    """y-extent ≫ x-extent: bucket keys must stay collision-free."""
+    rng = np.random.default_rng(31)
+    rx = rng.uniform(0, 1, 500)       # tiny x range
+    ry = rng.uniform(0, 1000, 500)    # huge y range
+    qx = rng.uniform(0, 1, 100)
+    qy = rng.uniform(0, 1000, 100)
+    gi = GridIndex(rx, ry)
+    gidx, gd2 = gi.query(qx, qy, 5)
+    bidx, bd2 = brute_force_knn(qx, qy, rx, ry, 5)
+    np.testing.assert_array_equal(gidx, bidx)
+    np.testing.assert_allclose(gd2, bd2)
