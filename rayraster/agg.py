@@ -35,7 +35,10 @@ def _part_of(t: pa.Table, keys: Sequence[str], num_partitions: int) -> np.ndarra
         if pa.types.is_integer(col.type):
             v = col.to_numpy(zero_copy_only=False).astype(np.int64)
         elif pa.types.is_floating(col.type):
-            v = col.to_numpy(zero_copy_only=False).view(np.int64)
+            f = col.to_numpy(zero_copy_only=False)
+            # normalize -0.0 → +0.0 so bit-hashing agrees with value
+            # equality (group_by would merge them; the partition must too)
+            v = (f + 0.0).view(np.int64)
         else:
             v = fnv1a64([str(s) for s in col.to_pylist()]).view(np.int64)
         h = h * np.int64(1000003) ^ v

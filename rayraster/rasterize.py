@@ -361,6 +361,7 @@ def pivot_categories(
     cat_col: str,
     value_col: str = "n",
     keys: Sequence[str] = ("cell_id", "ix", "iy", "cx", "cy"),
+    num_partitions: int = DEFAULT_PARTITIONS,
 ) -> Dataset:
     """LONG → WIDE pivot: one row per cell, one column per label
     (``<value_col>_<label>``) — the SEraster features×pixels layout
@@ -368,23 +369,39 @@ def pivot_categories(
 
     ``levels`` must be the global label set (small; get it with
     ``ds.unique(cat_col)`` or pass it — analog of factor levels).
+    Hash-partitioned on cell_id; each partition pivots in ONE pandas
+    ``pivot_table`` call (never a task per cell).
     """
     levels = sorted(levels)
     keys = list(keys)
 
-    def _pivot(g):
+    def add_part(t: pa.Table) -> pa.Table:
+        cid = t["cell_id"].to_numpy(zero_copy_only=False)
+        part = np.abs(cid * np.int64(1000003)) % np.int64(num_partitions)
+        return t.append_column(_PART, pa.array(part))
+
+    def pivot_partition(g):
         import pandas as pd
 
-        first = g.iloc[0]
-        row = {k: first[k] for k in keys}
-        row["num_cell"] = int(g["n"].sum()) if "n" in g else int(first["num_cell"])
-        vals = dict(zip(g[cat_col], g[value_col]))
-        zero = 0 if g[value_col].dtype.kind in "iu" else 0.0
-        for lv in levels:
-            row[f"{value_col}_{lv}"] = vals.get(lv, zero)
-        return pd.DataFrame([row])
+        g = g.drop(columns=[_PART])
+        wide = g.pivot_table(
+            index=keys, columns=cat_col, values=value_col,
+            aggfunc="sum", fill_value=0,
+        )
+        for lv in levels:  # absent levels → zero columns
+            if lv not in wide.columns:
+                wide[lv] = 0
+        wide = wide[levels]
+        wide.columns = [f"{value_col}_{lv}" for lv in levels]
+        wide["num_cell"] = (
+            g.groupby(keys)["n"].sum().reindex(wide.index)
+            if "n" in g
+            else g.groupby(keys)["num_cell"].first().reindex(wide.index)
+        )
+        return wide.reset_index()
 
-    return cells_long.groupby("cell_id").map_groups(_pivot, batch_format="pandas")
+    parted = cells_long.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return parted.groupby(_PART).map_groups(pivot_partition, batch_format="pandas")
 
 
 def rollup_quadtree(
@@ -472,21 +489,50 @@ def collect_cell_ids(
         x = t[x_col].to_numpy(zero_copy_only=False)
         y = t[y_col].to_numpy(zero_copy_only=False)
         ix, iy = spec.assign(x, y)
-        return pa.table({"ix": pa.array(ix), "iy": pa.array(iy), id_col: t[id_col]})
+        part = _hash_part(ix, iy, DEFAULT_PARTITIONS)
+        return pa.table(
+            {
+                "ix": pa.array(ix),
+                "iy": pa.array(iy),
+                id_col: t[id_col],
+                _PART: pa.array(part),
+            }
+        )
 
-    def _collect(g):
-        import pandas as pd
-
-        return pd.DataFrame(
-            [
+    def _collect(g: pa.Table) -> pa.Table:
+        # one vectorized pass per partition: sort, find cell segment
+        # boundaries, build the list column straight from offsets
+        g = g.sort_by(
+            [("ix", "ascending"), ("iy", "ascending"), (id_col, "ascending")]
+        )
+        ix = g["ix"].to_numpy(zero_copy_only=False)
+        iy = g["iy"].to_numpy(zero_copy_only=False)
+        n = len(ix)
+        if n == 0:
+            return pa.table(
                 {
-                    "ix": g["ix"].iloc[0],
-                    "iy": g["iy"].iloc[0],
-                    "num_cell": len(g),
-                    "cell_ids": sorted(g[id_col].tolist()),
+                    "ix": pa.array([], type=pa.int64()),
+                    "iy": pa.array([], type=pa.int64()),
+                    "num_cell": pa.array([], type=pa.int64()),
+                    "cell_ids": pa.array([], type=pa.list_(g[id_col].type)),
                 }
-            ]
+            )
+        new = np.ones(n, dtype=bool)
+        new[1:] = (ix[1:] != ix[:-1]) | (iy[1:] != iy[:-1])
+        starts = np.flatnonzero(new)
+        offsets = np.append(starts, n).astype(np.int32)
+        values = g[id_col].combine_chunks()
+        if isinstance(values, pa.ChunkedArray):
+            values = values.chunk(0) if values.num_chunks else pa.array([], type=values.type)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), values)
+        return pa.table(
+            {
+                "ix": pa.array(ix[starts]),
+                "iy": pa.array(iy[starts]),
+                "num_cell": pa.array(np.diff(np.append(starts, n))),
+                "cell_ids": lists,
+            }
         )
 
     assigned = ds.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
-    return assigned.groupby(["ix", "iy"]).map_groups(_collect, batch_format="pandas")
+    return assigned.groupby(_PART).map_groups(_collect, batch_format="pyarrow")
