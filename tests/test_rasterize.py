@@ -204,3 +204,36 @@ def test_ordered_output(micro_df):
     )
     ids = out.to_pandas()["cell_id"].tolist()
     assert ids == sorted(ids)  # reference sorted-grid-index order
+
+
+def test_seraster_api_dict_input_shared_frame(micro_df, ray_session):
+    """dict[name, Dataset] ≙ list-of-SPE: one shared frame, names
+    preserved, per-member results equal member-filtered union."""
+    from rayraster.seraster_api import rasterize_gene_expression
+
+    a = rd.from_pandas(micro_df.iloc[:5])
+    b = rd.from_pandas(micro_df.iloc[5:])
+    named, spec = rasterize_gene_expression(
+        {"first": a, "second": b}, ["f1"], resolution=2.0, fun="sum"
+    )
+    assert set(named) == {"first", "second"}
+    fa = named["first"].to_pandas()
+    fb = named["second"].to_pandas()
+    # shared frame: both use the union-derived origin; totals conserved
+    assert fa.sum_f1.sum() == micro_df.iloc[:5].f1.sum()
+    assert fb.sum_f1.sum() == micro_df.iloc[5:].f1.sum()
+    # spec equals the one derived over ALL rows (common-bbox semantics)
+    from rayraster.rasterize import derive_grid_spec
+
+    want_spec = derive_grid_spec(rd.from_pandas(micro_df), 2.0)
+    assert (spec.x0, spec.y0, spec.resolution) == (
+        want_spec.x0, want_spec.y0, want_spec.resolution,
+    )
+
+
+def test_seraster_api_cell_type(micro_df, ray_session):
+    from rayraster.seraster_api import rasterize_cell_type
+
+    long, spec = rasterize_cell_type(rd.from_pandas(micro_df), "lang", resolution=1.0)
+    pdf = long.to_pandas()
+    assert pdf.n.sum() == len(micro_df)
