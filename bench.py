@@ -121,6 +121,32 @@ def _stage_times(stats: str) -> dict:
     return out
 
 
+def ref_fixture() -> dict:
+    """The reference's own fixture shape (6,509 cells × 155 features,
+    MERFISH mPOA — /root/reference/R/data.R) rasterized at res 50:
+    the single-node apples-to-apples anchor vs SEraster."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rayraster.rasterize import rasterize_features
+
+    n, f = 6509, 155
+    rng = np.random.default_rng(42)
+    data = {"x": rng.uniform(0, 6000, n), "y": rng.uniform(0, 6000, n)}
+    cols = [f"g{k:03d}" for k in range(f)]
+    for c in cols:
+        data[c] = rng.integers(0, 20, n)
+    ds = rd.from_pandas(pd.DataFrame(data)).materialize()
+    t0 = time.perf_counter()
+    out, _ = rasterize_features(ds, 50.0, cols, fun="mean")
+    n_pix = out.count()
+    return {
+        "ref_fixture_sec": round(time.perf_counter() - t0, 3),
+        "ref_fixture_pixels": n_pix,
+    }
+
+
 def run_queries() -> dict:
     import pyarrow as pa
 
@@ -144,7 +170,11 @@ def main():
     _ensure_pages()
     _warm_cache()
     h = headline()
-    queries = {} if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else run_queries()
+    if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        h.update(ref_fixture())
+        queries = run_queries()
+    else:
+        queries = {}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -155,6 +185,8 @@ def main():
                 "rows": h["rows"],
                 "rows_per_sec": round(h["rows_per_sec"]),
                 "stages": h.get("stages", {}),
+                "ref_fixture_sec": h.get("ref_fixture_sec"),
+                "ref_fixture_pixels": h.get("ref_fixture_pixels"),
                 "queries": queries,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "num_cpus": NUM_CPUS,

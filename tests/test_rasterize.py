@@ -237,3 +237,31 @@ def test_seraster_api_cell_type(micro_df, ray_session):
     long, spec = rasterize_cell_type(rd.from_pandas(micro_df), "lang", resolution=1.0)
     pdf = long.to_pandas()
     assert pdf.n.sum() == len(micro_df)
+
+
+def test_wide_feature_matrix_reference_shape(ray_session):
+    """The reference fixture shape: 6,509 observations × 155 features
+    (MERFISH mPOA, R/data.R) — exercises the wide-matrix aggregate path
+    and the reference's cells→pixels reduction."""
+    import time
+
+    n, f = 6509, 155
+    rng = np.random.default_rng(42)
+    data = {"x": rng.uniform(0, 6000, n), "y": rng.uniform(0, 6000, n)}
+    for k in range(f):
+        data[f"g{k:03d}"] = rng.integers(0, 20, n)
+    df = pd.DataFrame(data)
+    ds = rd.from_pandas(df)
+    t0 = time.perf_counter()
+    out, _ = rasterize_features(
+        ds, 50.0, [f"g{k:03d}" for k in range(f)], fun="mean"
+    )
+    pdf = out.to_pandas()
+    sec = time.perf_counter() - t0
+    assert len(pdf) <= n  # pixels ≤ cells (test-main.R:46)
+    assert pdf["num_cell"].sum() == n
+    # every feature column aggregated, mass conserved
+    for k in (0, 77, 154):
+        col = f"g{k:03d}"
+        assert pdf[f"sum_{col}"].sum() == df[col].sum()
+    assert sec < 30  # the whole reference-scale workload in seconds
