@@ -313,6 +313,15 @@ def minhash_lsh_pairs(
     if texts_ref is None:
         pdf = ds.select_columns([id_col, text_col]).to_pandas()
         texts_ref = ray.put(dict(zip(pdf[id_col], pdf[text_col])))
+        small = len(pdf) <= 50_000
+    else:
+        small = False
+    if small:
+        # tiny corpus: task form beats actor-pool spin-up (~2-4 s)
+        return pairs.map_batches(
+            _VerifyJaccard(texts_ref, threshold, "char", k),
+            batch_format="pyarrow",
+        )
     return pairs.map_batches(
         _VerifyJaccard,
         fn_constructor_args=(texts_ref, threshold, "char", k),
@@ -396,6 +405,8 @@ def simhash_pairs(
                 }
             )
 
+    if len(sig_pdf) <= 50_000:
+        return pairs.map_batches(_VerifyHamming(), batch_format="pyarrow")
     return pairs.map_batches(_VerifyHamming, batch_format="pyarrow", concurrency=(1, 2))
 
 
@@ -479,6 +490,8 @@ def embedding_neardup_pairs(
                 {"a": pa.array(a[keep]), "b": pa.array(b[keep]), "cos": pa.array(cos[keep])}
             )
 
+    if len(pdf) <= 50_000:
+        return pairs.map_batches(_VerifyCosine(), batch_format="pyarrow")
     return pairs.map_batches(_VerifyCosine, batch_format="pyarrow", concurrency=(1, 2))
 
 
@@ -590,6 +603,11 @@ def ngram_jaccard_pairs(
     pairs = candidate_pairs(buckets, id_col)
     pdf = ds.select_columns([id_col, text_col]).to_pandas()
     texts_ref = ray.put(dict(zip(pdf[id_col], pdf[text_col])))
+    if len(pdf) <= 50_000:
+        return pairs.map_batches(
+            _VerifyJaccard(texts_ref, threshold, "word", 5, n),
+            batch_format="pyarrow",
+        )
     return pairs.map_batches(
         _VerifyJaccard,
         fn_constructor_args=(texts_ref, threshold, "word", 5, n),
