@@ -76,9 +76,8 @@ def headline() -> dict:
     import pyarrow as pa
     import ray.data as rd
 
-    from rayraster.extract import ExtractStage, text_features
     from rayraster.grid import GridSpec
-    from rayraster.pipelines import add_geocode_url
+    from rayraster.pipelines import prepare_pages
     from rayraster.rasterize import rasterize_features
 
     out_dir = f"/tmp/rayraster_bench/pixels_{NUM_CPUS}"
@@ -88,12 +87,7 @@ def headline() -> dict:
     t0 = time.perf_counter()
     bs = int(os.environ.get("GRAFT_BATCH_SIZE", "16384"))
     ds = rd.read_parquet(PAGES_DIR, columns=["url", "html", "text"])
-    ds = ds.map_batches(
-        ExtractStage(verify_against="text"), batch_format="pyarrow", batch_size=bs
-    )
-    ds = ds.map_batches(text_features, batch_format="pyarrow", batch_size=bs)
-    ds = ds.map_batches(add_geocode_url, batch_format="pyarrow", batch_size=bs)
-    ds = ds.drop_columns(["html", "text", "url"])
+    ds = ds.map_batches(prepare_pages, batch_format="pyarrow", batch_size=bs)
     spec = GridSpec(-180.0, -90.0, HEADLINE_RES)  # fixed frame: no min/max pass
     pixels, _ = rasterize_features(
         ds, HEADLINE_RES, ["text_len", "token_count", "digit_count"],

@@ -87,3 +87,22 @@ def test_pages_dataset_streaming(ray_session):
     df = pages_dataset(1000, parallelism=4).to_pandas()
     assert len(df) == 1000
     assert df["url"].is_unique
+
+
+def test_prepare_pages_fused(ray_session):
+    from rayraster.pipelines import prepare_pages
+    from rayraster.synth import make_pages_batch
+
+    t = make_pages_batch(np.arange(200))
+    out = prepare_pages(t)
+    assert out.column_names == ["text_len", "token_count", "digit_count", "x", "y"]
+    assert out.num_rows == 200
+    # invariant enforcement still active in the fused path
+    import pyarrow as pa
+
+    bad = t.set_column(
+        t.schema.get_field_index("text"), "text",
+        pa.array(["X"] * 200, type=pa.string()),
+    )
+    with pytest.raises(AssertionError):
+        prepare_pages(bad)
