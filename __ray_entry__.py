@@ -248,6 +248,21 @@ def _q_spatial_knn(sf_dir: str):
     return out.select_columns(["ix", "iy", "rank", "dist2", "n_ix", "n_iy"])
 
 
+def _q_sample(sf_dir: str):
+    """Deterministic ~10% sample of documents (pure id arithmetic —
+    identical across runs/chunkings/cluster sizes, unlike seeded RNG
+    which depends on block layout)."""
+    from rayraster.agg import deterministic_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return deterministic_sample(docs, "doc_id", rate_num=100000)
+
+
+def _sql_sample() -> str:
+    return """SELECT doc_id, n_chars FROM documents
+WHERE (doc_id * 2654435761) % 1000003 < 100000"""
+
+
 def _q_sort_limit(sf_dir: str):
     """Native Dataset.sort + limit: densest 20 pixels, fully-keyed
     deterministic order (covers the sorts/limits checklist row with
@@ -1203,6 +1218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r8b_spatial_knn": _q_spatial_knn,
         "r13_filtered_stats": _q_filtered_stats,
         "r14_sort_limit": _q_sort_limit,
+        "r15_deterministic_sample": _q_sample,
         "r10b_hex_vector": _q_hex_vector,
         "r11_cell_id_list": _q_cell_id_list,
         "r12_multidataset_shared_frame": _q_multidataset,
@@ -1249,6 +1265,7 @@ def oracle_sql() -> dict[str, str]:
         "r8b_spatial_knn": _sql_knn(),  # same brute-force oracle; k=4
         "r13_filtered_stats": _sql_filtered_stats(),
         "r14_sort_limit": _sql_sort_limit(),
+        "r15_deterministic_sample": _sql_sample(),
         "r10b_hex_vector": _sql_hex_vector(),
         "r11_cell_id_list": _sql_cell_id_list(),
         "r12_multidataset_shared_frame": _sql_multidataset(),

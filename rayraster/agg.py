@@ -115,6 +115,23 @@ def distinct(ds: Dataset, keys: Sequence[str], num_partitions: int = 64) -> Data
     return hash_aggregate(ds, keys, count=False, num_partitions=num_partitions)
 
 
+def deterministic_sample(
+    ds: Dataset, id_col: str, rate_num: int, rate_den: int = 1000003
+) -> Dataset:
+    """Reproducible row sample: keep rows where
+    ``(id * 2654435761) % rate_den < rate_num`` — a pure function of
+    the id, so the sample is identical across runs, chunkings and
+    cluster sizes (unlike seeded RNG sampling, which depends on block
+    layout), and exactly reproducible in SQL."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = (ids * np.int64(2654435761)) % np.int64(rate_den) < np.int64(rate_num)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def grouped_topk(
     ds: Dataset,
     keys: Sequence[str],
