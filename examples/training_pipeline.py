@@ -1,0 +1,145 @@
+"""End-to-end training-data pipeline over a Common-Crawl-style corpus.
+
+Composes the engine's operator families the way a 100-TB preprocessing
+job would, all streaming Ray Data:
+
+  synth pages → extract (byte-invariant) → text features →
+  quality filter → exact dedup → MinHash near-dup dedup (LSH →
+  verified pairs → connected components → drop non-representatives) →
+  url geocode → square rasterize (density + mean quality per tile) →
+  pixel parquet + PNG heatmap + per-stage summary JSON.
+
+Run:  PYTHONPATH=. python examples/training_pipeline.py [--rows 200000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+import time
+
+
+def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None = None):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from rayraster.agg import deterministic_sample
+    from rayraster.dedup import (
+        connected_components,
+        dedup_keep_from_clusters,
+        exact_dedup_keep_ids,
+        minhash_lsh_pairs,
+    )
+    from rayraster.extract import ExtractStage
+    from rayraster.grid import GridSpec
+    from rayraster.join import semi_join_filter
+    from rayraster.pipelines import add_geocode_url
+    from rayraster.rasterize import rasterize_features
+    from rayraster.synth import pages_dataset
+    from rayraster.textops import quality_score
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="rayraster_demo_")
+    summary: dict = {"rows_in": rows}
+    t0 = time.perf_counter()
+
+    # 1. corpus (synthetic; swap for read_parquet of real WARC-derived data)
+    pages = pages_dataset(rows)
+
+    # inject exact duplicates (every 10th page repeated with a new url)
+    def dup_some(t: pa.Table) -> pa.Table:
+        keep = t.filter(pa.array(np.arange(t.num_rows) % 10 == 0))
+        bumped = keep.set_column(
+            keep.schema.get_field_index("url"),
+            "url",
+            pc.binary_join_element_wise(keep["url"], "?copy", ""),
+        )
+        return pa.concat_tables([t, bumped])
+
+    pages = pages.map_batches(dup_some, batch_format="pyarrow")
+
+    # 2. extract + features + quality
+    docs = pages.map_batches(
+        ExtractStage(verify_against="text"), batch_format="pyarrow"
+    )
+    docs = docs.map_batches(quality_score, batch_format="pyarrow")
+    docs = docs.map_batches(
+        lambda t: t.filter(pc.greater(t["quality"], 0.5)).select(
+            ["url", "text", "quality"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    # ids for dedup (deterministic from url)
+    def add_id(t: pa.Table) -> pa.Table:
+        from rayraster.geo import fnv1a64
+
+        ids = fnv1a64(t["url"].to_pylist()).view(np.int64)
+        return t.append_column("doc_id", pa.array(ids))
+
+    docs = docs.map_batches(add_id, batch_format="pyarrow").materialize()
+    summary["rows_after_quality"] = docs.count()
+
+    # 3. exact dedup (content hash, keep min id)
+    keep_exact = exact_dedup_keep_ids(docs)
+    keep_ids = [r["doc_id"] for r in keep_exact.iter_rows()]
+    docs = semi_join_filter(docs, keep_ids, "doc_id").materialize()
+    summary["rows_after_exact_dedup"] = docs.count()
+
+    # 4. near-dup dedup: LSH pairs → verified → CC → drop dupes
+    pairs = minhash_lsh_pairs(docs, threshold=0.85).select_columns(["a", "b"])
+    clusters = connected_components(pairs)
+    cluster_nodes = set(clusters["node"].to_pylist())
+    reps = set(dedup_keep_from_clusters(clusters)["doc_id"].to_pylist())
+    drop = list(cluster_nodes - reps)
+    docs = semi_join_filter(docs, drop, "doc_id", invert=True).materialize()
+    summary["rows_after_near_dedup"] = docs.count()
+
+    # 5. geocode + rasterize (density + mean quality per 1° tile)
+    pts = docs.map_batches(add_geocode_url, batch_format="pyarrow")
+    spec = GridSpec(-180.0, -90.0, 1.0)
+    pixels, _ = rasterize_features(
+        pts, 1.0, ["quality"], spec=spec, fun="mean", with_meta=False
+    )
+    pixels.write_parquet(os.path.join(out_dir, "pixels"))
+
+    # 6. plot
+    from rayraster.plot import plot_raster
+
+    pdf = rd.read_parquet(os.path.join(out_dir, "pixels")).to_pandas()
+    png, w, h = plot_raster(
+        pdf, os.path.join(out_dir, "density.png"),
+        feature_name="num_cell", log_scale=True,
+    )
+    summary["pixels"] = len(pdf)
+    summary["png"] = png
+    summary["wall_sec"] = round(time.perf_counter() - t0, 2)
+    summary["out_dir"] = out_dir
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=100_000)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    a = ap.parse_args()
+    main(a.rows, a.out, a.num_cpus)

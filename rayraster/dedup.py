@@ -538,11 +538,19 @@ def connected_components(
     def collect(ds: Dataset) -> pa.Table:
         return pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()]).combine_chunks()
 
+    empty = pa.table(
+        {"node": pa.array([], type=pa.int64()), "cluster": pa.array([], type=pa.int64())}
+    )
+    if edges.count() == 0:  # no pairs → no clusters
+        return empty
+
     # init: label(node) = min(node, min direct peer)
     init = collect(
         hash_aggregate(edges, ["node"], min_cols=["peer"], count=False,
                        num_partitions=num_partitions)
     )
+    if init.num_rows == 0:
+        return empty
     nodes = np.asarray(init["node"].to_numpy(zero_copy_only=False))
     order = np.argsort(nodes)
     nodes = nodes[order]

@@ -43,7 +43,16 @@ def make_pages_batch(ids: np.ndarray) -> pa.Table:
     n_words = 20 + (ids * 7919) % 120
     max_w = int(n_words.max()) if n else 0
     j = np.arange(max_w, dtype=np.int64)
-    idx = (ids[:, None] * 31 + j[None, :] * 2654435761) % len(VOCAB)
+    # per-(row, position) splitmix so word sequences do NOT cycle with
+    # a short period in i — an affine index (i*a + j*b) % V repeats
+    # whole texts every few thousand rows, flooding large corpora with
+    # accidental exact duplicates (found via the dedup demo pipeline)
+    with np.errstate(over="ignore"):
+        z = (ids[:, None] * np.int64(256) + j[None, :]).astype(np.uint64)
+        z = (z + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    idx = (z % np.uint64(len(VOCAB))).astype(np.int64)
     words = VOCAB[idx]
     texts = []
     for r in range(n):

@@ -128,3 +128,21 @@ def test_connected_components_chains(ray_session):
         connected_components(rd.from_pandas(pairs))
     ).to_pandas()
     assert sorted(keep.doc_id) == [1, 10, 20]
+
+
+def test_connected_components_empty_pairs(ray_session):
+    from rayraster.dedup import connected_components
+
+    out = connected_components(
+        rd.from_pandas(pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                     "b": pd.Series([], dtype="int64")}))
+    )
+    assert out.num_rows == 0
+
+
+def test_synth_texts_unique_at_scale():
+    from rayraster.synth import make_pages_batch
+
+    t = make_pages_batch(np.arange(30000))
+    texts = t["text"].to_pylist()
+    assert len(set(texts)) == len(texts)  # no accidental duplicates

@@ -1,6 +1,7 @@
 """plotRaster analog (PNG sink) + CLI surface."""
 
 import json
+import os
 import struct
 import subprocess
 import sys
@@ -124,3 +125,20 @@ def test_cli_dedup(tmp_path):
     assert summary["rows_in"] == 100 and summary["rows_kept"] == 50
     kept = pq.read_table(str(tmp_path / "keep")).to_pandas()
     assert sorted(kept.doc_id) == list(range(50))
+
+
+def test_training_pipeline_example(tmp_path):
+    """The examples/ flagship composition runs end-to-end."""
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "/root/repo/examples/training_pipeline.py",
+         "--rows", "3000", "--num-cpus", "4", "--out", str(tmp_path / "demo")],
+        capture_output=True, text=True, env=env, timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    # injected exact dups removed, nothing else lost to near-dedup
+    assert s["rows_after_exact_dedup"] == 3000
+    assert s["rows_after_near_dedup"] == 3000
+    assert s["pixels"] > 0 and os.path.exists(s["png"])
