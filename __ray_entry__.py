@@ -1,10 +1,24 @@
 """Driver contract for the rayraster engine.
 
 ``queries()`` exposes one callable per implemented operator/pipeline
-(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB twin over the same
-parquet tables.  Every float formula in the SQL is the literal twin of
-the numpy formula (same constants via repr, same operation order) so
-value hashes match bit-for-bit.
+(SURVEY.md §2 — full map in COVERAGE.md); ``oracle_sql()`` gives the
+DuckDB twin over the same parquet tables.  Every float formula in the
+SQL is the literal twin of the numpy formula (same constants via repr,
+same operation order) so value hashes match bit-for-bit.
+
+Query families (41 total; 38 with bit-exact oracles):
+  r*  rasterization / spatial (square, hex, rotations, multires,
+      clip, kNN broadcast + tiled, polyfill, raster↔vector, cell-id
+      lists, multi-dataset shared frame, filtered stats, sort+limit,
+      deterministic sample)
+  d*  dedup (exact, MinHash-LSH, SimHash, embedding near-dup,
+      connected-components pipeline, exact + HLL distinct)
+  s*  similarity search (brute cosine top-k, IVF ANN)
+  t*  text analysis (token metrics, quality, lang-id, fingerprints,
+      grouped top-k, JSON extraction)
+  w*  windows (tumbling, sliding, session)
+  j*  joins (broadcast, bucketed large×large, as-of, range)
+  m*  multimodal (stubbed decode with real Ray plumbing)
 
 Ray is initialised by the driver BEFORE this module is imported; no
 ray.init()/ray.shutdown() here or below.
