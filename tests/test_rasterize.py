@@ -265,3 +265,28 @@ def test_wide_feature_matrix_reference_shape(ray_session):
         col = f"g{k:03d}"
         assert pdf[f"sum_{col}"].sum() == df[col].sum()
     assert sec < 30  # the whole reference-scale workload in seconds
+
+
+def test_hot_cell_partial_aggregation_bounds_shuffle(ray_session):
+    """Skew defense (north_rule 'salting'): a cell hit by EVERY row
+    contributes one row per batch to the exchange, never one per
+    point — the shuffle volume is bounded by #batches, not #rows."""
+    from rayraster.rasterize import _AssignAndPartial
+
+    spec = GridSpec(0.0, 0.0, 1.0)
+    stage = _AssignAndPartial(spec, "x", "y", ["f"], (), 64)
+    import pyarrow as pa
+
+    total_partial_rows = 0
+    n_batches = 20
+    for _ in range(n_batches):
+        batch = pa.table(
+            {
+                "x": np.full(10_000, 0.5),  # every point → cell (0,0)
+                "y": np.full(10_000, 0.5),
+                "f": np.ones(10_000, dtype=np.int64),
+            }
+        )
+        out = stage(batch)
+        total_partial_rows += out.num_rows
+    assert total_partial_rows == n_batches  # 200k points → 20 shuffle rows
