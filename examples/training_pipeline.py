@@ -41,7 +41,6 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
 
     DataContext.get_current().enable_progress_bars = False
 
-    from rayraster.agg import deterministic_sample
     from rayraster.dedup import (
         connected_components,
         dedup_keep_from_clusters,
