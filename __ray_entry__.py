@@ -27,8 +27,16 @@ ray.init()/ray.shutdown() here or below.
 from __future__ import annotations
 
 import math
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# rayraster must be importable even if the driver loads this module by
+# file path without putting the repo dir on sys.path
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 import numpy as np
 import pyarrow as pa
