@@ -30,7 +30,7 @@ class ExtractStage:
 
     Per-row slice+unescape (CPython str.index/slice are C-speed:
     measured ~2 µs/row, on par with an Arrow offset-arithmetic carve,
-    and extraction is <5%% of headline wall time — the shuffle and the
+    and extraction is <5% of headline wall time — the shuffle and the
     read dominate); the invariant VERIFY is vectorized (``pc.equal``).
     ``verify_against``: optional column holding golden text; any row
     where extraction is not byte-identical raises — this is how the
