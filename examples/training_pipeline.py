@@ -98,7 +98,7 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
 
     # 3. exact dedup (content hash, keep min id)
     keep_exact = exact_dedup_keep_ids(docs)
-    keep_ids = [r["doc_id"] for r in keep_exact.iter_rows()]
+    keep_ids = keep_exact.to_pandas()["doc_id"].tolist()
     docs = semi_join_filter(docs, keep_ids, "doc_id").materialize()
     summary["rows_after_exact_dedup"] = docs.count()
 
