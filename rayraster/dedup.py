@@ -74,9 +74,14 @@ def exact_dedup_keep_ids(
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
-def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+def char_shingle_hashes(text: str, k: int = 8) -> np.ndarray:
     """uint64 hashes of the k-byte shingles of ``text`` (unique,
-    sorted).  Rolling-window vectorized (one multiply per offset)."""
+    sorted).  Rolling-window vectorized (one multiply per offset).
+
+    Default k=8: shingles span word boundaries, so cross-document
+    Jaccard on small-vocabulary text stays low (measured on the synth
+    corpus: random-pair J ≈ 0.20 at k=5 — which floods LSH with ~10^7
+    false candidates at 10^5 docs — vs 0.035 at k=8)."""
     b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     if len(b) == 0:
         return np.zeros(0, dtype=np.uint64)
@@ -157,7 +162,7 @@ class MinHashStage:
     Stateful (salts precomputed once per actor); emits
     bands × rows-per-signature rows per document."""
 
-    def __init__(self, text_col="text", id_col="doc_id", num_perm=64, bands=16, k=5):
+    def __init__(self, text_col="text", id_col="doc_id", num_perm=64, bands=16, k=8):
         assert num_perm % bands == 0
         self.text_col = text_col
         self.id_col = id_col
@@ -260,7 +265,7 @@ class _VerifyJaccard:
     sets are computed LAZILY per id and cached (pairs usually touch a
     small subset of the corpus)."""
 
-    def __init__(self, texts_ref, threshold: float, kind: str = "char", k: int = 5, n: int = 3):
+    def __init__(self, texts_ref, threshold: float, kind: str = "char", k: int = 8, n: int = 3):
         self._texts = ray.get(texts_ref) if isinstance(texts_ref, ray.ObjectRef) else texts_ref
         self._cache: dict = {}
         self.threshold = threshold
@@ -295,7 +300,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
-    k: int = 5,
+    k: int = 8,
     texts_ref=None,
 ) -> Dataset:
     """Near-duplicate pairs with exact-verified char-shingle Jaccard ≥
@@ -598,12 +603,13 @@ def ngram_jaccard_pairs(
     n: int = 3,
     num_perm: int = 64,
     bands: int = 32,
+    k: int = 8,
 ) -> Dataset:
     """Near-dup pairs by exact word-n-gram Jaccard ≥ threshold;
     candidates from an aggressive MinHash banding (32 bands × 2 rows —
     high recall at moderate thresholds)."""
     buckets = ds.map_batches(
-        MinHashStage(text_col, id_col, num_perm, bands, k=5),
+        MinHashStage(text_col, id_col, num_perm, bands, k=k),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=4,
