@@ -1184,6 +1184,18 @@ SELECT doc_id,
 FROM m"""
 
 
+def _sql_langid() -> str:
+    from rayraster.textops import langid_sql
+
+    cte_cols, pred, conf = langid_sql("text")
+    return f"""WITH m AS (
+  SELECT doc_id, {cte_cols}
+  FROM documents
+)
+SELECT doc_id, {pred} AS lang_pred, {conf} AS lang_conf
+FROM m"""
+
+
 def _sql_fingerprint() -> str:
     return "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 
@@ -1299,7 +1311,7 @@ def oracle_sql() -> dict[str, str]:
         "s1_ann_cosine_topk": _sql_ann_topk(),
         "t1_token_metrics": _sql_token_metrics(),
         "t2_quality_score": _sql_quality(),
-        # t3_lang_id: heuristic scoring — not SQL-expressible (rows-only)
+        "t3_lang_id": _sql_langid(),
         "t4_fingerprint": _sql_fingerprint(),
         "w1_tumbling_window": _sql_window(),
         "w2_sliding_window": _sql_sliding_window(),

@@ -62,53 +62,116 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
-# language ID — character-frequency heuristic (pure-python-free scoring)
+# language ID — vectorized stopword-count + script-range heuristic
 # ---------------------------------------------------------------------------
 
 # tiny per-language stopword profiles (top function words); heuristic
 # n-gram/stopword scoring per the task brief — not a trained model.
-_PROFILES = {
-    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
-    "de": {"der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"},
-    "fr": {"le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"},
-    "es": {"el", "la", "de", "que", "los", "las", "es", "un", "una", "por"},
-    "zh": set(),  # CJK handled by the script-range rule below
-}
+# Order matters: ties break to the FIRST language in this list.
+_PROFILES = [
+    ("en", ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")),
+    ("de", ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den")),
+    ("fr", ("le", "la", "et", "les", "des", "est", "un", "une", "dans", "que")),
+    ("es", ("el", "la", "de", "que", "los", "las", "es", "un", "una", "por")),
+]
+
+_CJK_RE = "[一-鿿]"
+_CJK_MIN = 5  # > this many CJK codepoints → zh
+
+
+def _profile_regex(words) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
 
 
 class LangIdStage:
-    """map_batches actor: stopword-vote + script-range language guess.
+    """map_batches stage: stopword-count vote + CJK script-range rule.
 
-    Stateful: profiles → hash sets built once per actor.  Emits
-    ``lang_pred`` and ``lang_conf`` (vote share)."""
+    Fully vectorized: one RE2 ``count_substring_regex`` pass per
+    language profile plus one CJK codepoint-range count — no per-row
+    Python.  Emits ``lang_pred`` and ``lang_conf`` (winning stopword
+    count over \\S+ token count).  Deterministic decision rule (the
+    SQL twin in __ray_entry__ reproduces it bit-for-bit):
+
+      cjk > 5                  → zh, conf 1.0
+      max(count) = 0 or toks=0 → und, conf 0.0
+      else                     → first profile with the max count,
+                                 conf = max_count / toks
+    """
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.profiles = {k: frozenset(v) for k, v in _PROFILES.items()}
+        self.patterns = [(lang, _profile_regex(ws)) for lang, ws in _PROFILES]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds, confs = [], []
-        for s in batch[self.text_col].to_pylist():
-            # CJK script range → zh (deterministic unicode rule)
-            cjk = sum(1 for ch in s[:400] if "一" <= ch <= "鿿")
-            if cjk > 5:
-                preds.append("zh")
-                confs.append(1.0)
-                continue
-            words = s.lower().split()[:300]
-            if not words:
-                preds.append("und")
-                confs.append(0.0)
-                continue
-            best, best_v = "und", 0
-            for lang, prof in self.profiles.items():
-                v = sum(1 for w in words if w in prof)
-                if v > best_v:
-                    best, best_v = lang, v
-            preds.append(best)
-            confs.append(best_v / len(words))
-        batch = batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
-        return batch.append_column("lang_conf", pa.array(confs, type=pa.float64()))
+        t = batch[self.text_col]
+        lower = pc.utf8_lower(t)
+        cjk = pc.count_substring_regex(t, _CJK_RE).to_numpy(zero_copy_only=False)
+        toks = (
+            pc.count_substring_regex(t, r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        counts = np.stack(
+            [
+                pc.count_substring_regex(lower, pat)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                for _, pat in self.patterns
+            ],
+            axis=1,
+        )  # (n, n_langs)
+        best_idx = counts.argmax(axis=1)  # first max wins (profile order)
+        best_v = counts[np.arange(len(toks)), best_idx]
+        langs = np.array([lang for lang, _ in self.patterns])
+        pred = langs[best_idx]
+        is_zh = cjk > _CJK_MIN
+        is_und = (~is_zh) & ((best_v == 0) | (toks == 0))
+        pred = np.where(is_zh, "zh", np.where(is_und, "und", pred))
+        conf = np.where(
+            is_zh,
+            1.0,
+            np.where(
+                is_und,
+                0.0,
+                best_v.astype(np.float64) / np.maximum(toks, 1).astype(np.float64),
+            ),
+        )
+        batch = batch.append_column("lang_pred", pa.array(pred.tolist(), type=pa.string()))
+        return batch.append_column("lang_conf", pa.array(conf, type=pa.float64()))
+
+
+def langid_sql(text_col: str = "text") -> tuple[str, str, str]:
+    """(CTE column list, lang_pred CASE, lang_conf CASE) — the DuckDB
+    twin of :class:`LangIdStage` (both sides RE2, identical patterns
+    and decision order ⇒ bit-exact)."""
+    count_cols = ", ".join(
+        rf"CAST(length(regexp_extract_all(lower({text_col}), '{_profile_regex(ws)}')) AS BIGINT) AS c_{lang}"
+        for lang, ws in _PROFILES
+    )
+    cte_cols = (
+        rf"CAST(length(regexp_extract_all({text_col}, '{_CJK_RE}')) AS BIGINT) AS cjk, "
+        rf"CAST(length(regexp_extract_all({text_col}, '\S+')) AS BIGINT) AS toks, "
+        + count_cols
+    )
+    names = [lang for lang, _ in _PROFILES]
+    gmax = "greatest(" + ", ".join(f"c_{lang}" for lang in names) + ")"
+    # first-wins argmax: lang i wins when its count >= all later counts
+    arms = []
+    for i, lang in enumerate(names[:-1]):
+        cond = " AND ".join(f"c_{lang} >= c_{o}" for o in names[i + 1 :])
+        arms.append(f"WHEN {cond} THEN '{lang}'")
+    pred = (
+        f"CASE WHEN cjk > {_CJK_MIN} THEN 'zh' "
+        f"WHEN {gmax} = 0 OR toks = 0 THEN 'und' "
+        + " ".join(arms)
+        + f" ELSE '{names[-1]}' END"
+    )
+    conf = (
+        f"CASE WHEN cjk > {_CJK_MIN} THEN 1.0 "
+        f"WHEN {gmax} = 0 OR toks = 0 THEN 0.0 "
+        f"ELSE CAST({gmax} AS DOUBLE) / CAST(greatest(toks, 1) AS DOUBLE) END"
+    )
+    return cte_cols, pred, conf
 
 
 # ---------------------------------------------------------------------------
