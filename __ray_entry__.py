@@ -732,6 +732,66 @@ def _q_minhash(sf_dir: str):
     return pairs.select_columns(["a", "b"])
 
 
+# d2b: the partitioned-verify proof — a corpus ABOVE the 50k broadcast
+# threshold (sf-independent: each base doc_id is fanned out to K
+# replicas so 2·n·K ≈ 52_000 docs), verified through the two-hop
+# bucket-join path with no driver materialization and no broadcast.
+_D2B_TARGET = 26_000
+_D2B_STRIDE = 1_000_000
+_D2B_OFFSET = 10**12
+
+
+def _q_minhash_partitioned(sf_dir: str):
+    from rayraster.dedup import minhash_lsh_pairs
+
+    base_ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = base_ids.count()
+    K = (_D2B_TARGET + n - 1) // n
+
+    def fan(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        k = np.arange(K, dtype=np.int64)
+        rid = (ids[:, None] + k[None, :] * _D2B_STRIDE).ravel()
+        return pa.table({"doc_id": pa.array(rid)})
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"], "text": pa.array(_synth_neardup_text(ids))})
+
+    def copy(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], _D2B_OFFSET),
+                "text": pc.binary_join_element_wise(t["text"], " qz9xqz9x", ""),
+            }
+        )
+
+    base = base_ids.map_batches(fan, batch_format="pyarrow").map_batches(
+        synth, batch_format="pyarrow"
+    )
+    # materialize + repartition: the synthesized corpus is INPUT
+    # generation (a real pipeline reads parquet); without it each lazy
+    # consumer (buckets + two join hops) would re-synthesize
+    corpus = (
+        base.union(base.map_batches(copy, batch_format="pyarrow"))
+        .materialize()
+        .repartition(16)
+    )
+    pairs = minhash_lsh_pairs(corpus, threshold=0.8, verify_mode="partitioned")
+    return pairs.select_columns(["a", "b"])
+
+
+def _sql_minhash_partitioned() -> str:
+    return f"""WITH n AS (SELECT COUNT(*) AS c FROM documents),
+ks AS (SELECT t.k FROM generate_series(0, {_D2B_TARGET - 1}) AS t(k), n
+       WHERE t.k < ({_D2B_TARGET} + n.c - 1) // n.c),
+rids AS (SELECT d.doc_id + ks.k * {_D2B_STRIDE} AS rid
+         FROM documents d CROSS JOIN ks)
+SELECT rid AS a, rid + {_D2B_OFFSET} AS b FROM rids"""
+
+
 def _q_simhash(sf_dir: str):
     from rayraster.dedup import simhash_pairs
 
@@ -1258,6 +1318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r12_multidataset_shared_frame": _q_multidataset,
         "d1_exact_dedup": _q_exact_dedup,
         "d2_minhash_neardup": _q_minhash,
+        "d2b_minhash_partitioned": _q_minhash_partitioned,
         "d3_simhash_neardup": _q_simhash,
         "d5_embed_neardup": _q_embed_neardup,
         "d8_neardup_dedup_cc": _q_neardup_dedup_pipeline,
@@ -1305,6 +1366,7 @@ def oracle_sql() -> dict[str, str]:
         "r12_multidataset_shared_frame": _sql_multidataset(),
         "d1_exact_dedup": _sql_exact_dedup(),
         "d2_minhash_neardup": _sql_minhash(),
+        "d2b_minhash_partitioned": _sql_minhash_partitioned(),
         "d3_simhash_neardup": _sql_simhash(),
         "d5_embed_neardup": _sql_embed_neardup(),
         "d8_neardup_dedup_cc": _sql_neardup_dedup_pipeline(),

@@ -16,11 +16,19 @@ training-pipeline extensions the task brief mandates):
                        column → candidate pairs → exact cosine ≥ τ
 
 Scale notes: candidate generation shuffles only (bucket_key, id)
-rows; verification joins text/vectors back via a broadcast object
-(``ray.put``) — right for corpora whose *fingerprint table* fits one
-node.  At 10^12 rows, swap the broadcast for a hash-partitioned join
-on id (same bucket → pair → partition-by-pair-hash), which this
-module's bucket stages already produce the keys for.
+rows.  Verification has TWO paths, selected by ``verify_mode``:
+
+* ``broadcast`` — {id: payload} in the object store via ``ray.put``,
+  fetched once per verify actor.  Fastest when the payload table fits
+  one node (≤ ``broadcast_threshold`` docs).
+* ``partitioned`` — the 10^12-row path: candidate pairs are resolved
+  against the (id, payload) table with TWO hash-partitioned bucket
+  joins (:func:`attach_pair_payloads` — join on ``a``, then on
+  ``b``), then verified vectorized per batch.  Nothing is
+  materialized on the driver and nothing is broadcast; both sides
+  stream through co-location shuffles.
+
+``verify_mode="auto"`` (default) counts the corpus and picks.
 """
 
 from __future__ import annotations
@@ -230,9 +238,20 @@ def candidate_pairs(
         new_seg[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
         starts = np.flatnonzero(new_seg)
         ends = np.append(starts[1:], len(ids))
+        sizes = ends - starts
         outs_a, outs_b = [], []
-        for s, t_ in zip(starts, ends):
-            if t_ - s < 2 or t_ - s > max_bucket:
+        # vectorized fast path for 2-member buckets — the overwhelming
+        # majority on a healthy banding (the Python loop below was the
+        # hot spot at 10^5+ docs: ~4e5 segments/partition)
+        s2 = starts[sizes == 2]
+        if len(s2):
+            x, y = ids[s2], ids[s2 + 1]
+            lo, hi = np.minimum(x, y), np.maximum(x, y)
+            keep = lo != hi
+            outs_a.append(lo[keep])
+            outs_b.append(hi[keep])
+        for s, t_ in zip(starts[sizes > 2], ends[sizes > 2]):
+            if t_ - s > max_bucket:
                 continue
             u = np.unique(ids[s:t_])
             if len(u) < 2:
@@ -253,6 +272,146 @@ def candidate_pairs(
     )
     pairs = parted.groupby("_part").map_groups(emit_pairs, batch_format="pyarrow")
     return distinct(pairs, ["a", "b"])
+
+
+def attach_pair_payloads(
+    pairs: Dataset,
+    payload: Dataset,
+    id_col: str,
+    payload_col: str,
+    num_buckets: int = 64,
+) -> Dataset:
+    """(a, b) candidate pairs ⨝ (id, payload) → (a, b, _pa, _pb).
+
+    The partitioned pair-resolution stage: two hash-partitioned
+    :func:`rayraster.join.bucket_join` hops (on ``a``, then on ``b``)
+    co-locate each pair with both payloads.  No driver
+    materialization, no broadcast — the verify-side 10^12-row shape
+    promised by the module docstring."""
+    from rayraster.join import bucket_join
+
+    def _rename(col_from: str, col_to: str):
+        def fn(t: pa.Table) -> pa.Table:
+            names = [col_to if c == col_from else c for c in t.column_names]
+            return t.rename_columns(names)
+
+        return fn
+
+    # schemas passed explicitly: pairs/h1 lineage contains shuffles, and
+    # Dataset.schema() on those would re-execute the whole candidate
+    # pipeline per probe (see bucket_join docstring)
+    pay_schema = payload.schema()
+    pay_type = dict(zip(pay_schema.names, pay_schema.types))[payload_col]
+    if not isinstance(pay_type, pa.DataType):
+        pay_type = {str: pa.string(), bytes: pa.binary(), int: pa.int64()}.get(
+            pay_type, pa.string()
+        )
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    h1_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("_pa", pay_type)]
+    )
+    r_schema = pa.schema([(id_col, pa.int64()), (payload_col, pay_type)])
+
+    h1 = bucket_join(
+        pairs, payload, "a", id_col, num_buckets=num_buckets,
+        left_schema=pair_schema, right_schema=r_schema,
+    )
+    h1 = h1.map_batches(
+        _rename(payload_col, "_pa"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    h2 = bucket_join(
+        h1, payload, "b", id_col, num_buckets=num_buckets,
+        left_schema=h1_schema, right_schema=r_schema,
+    )
+    return h2.map_batches(
+        _rename(payload_col, "_pb"), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+class _VerifyJaccardPartitioned:
+    """Exact Jaccard over pairs carrying their own payloads
+    (``_pa``/``_pb`` from :func:`attach_pair_payloads`).  Shingle sets
+    are cached per id (bounded), so a hub document re-verified against
+    many candidates is shingled once per task."""
+
+    def __init__(self, threshold: float, kind: str = "char", k: int = 8, n: int = 3):
+        self.threshold = threshold
+        self._cache: dict = {}
+        self._fn = (
+            (lambda t: char_shingle_hashes(t, k))
+            if kind == "char"
+            else (lambda t: word_ngram_hashes(t, n))
+        )
+
+    def _sh(self, i, text):
+        s = self._cache.get(i)
+        if s is None:
+            if len(self._cache) > 100_000:
+                self._cache.clear()
+            s = self._cache[i] = self._fn(text)
+        return s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        ta = batch["_pa"].to_pylist()
+        tb = batch["_pb"].to_pylist()
+        jac = np.array(
+            [jaccard(self._sh(x, tx), self._sh(y, ty))
+             for x, y, tx, ty in zip(a, b, ta, tb)]
+        )
+        keep = jac >= self.threshold if len(a) else np.zeros(0, dtype=bool)
+        return pa.table(
+            {"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+             "jac": pa.array(jac[keep], type=pa.float64())}
+        )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    bits = np.unpackbits(np.ascontiguousarray(x).view(np.uint8))
+    return bits.reshape(len(x), 64).sum(axis=1).astype(np.int64)
+
+
+def _verify_hamming_partitioned(batch: pa.Table, max_dist: int) -> pa.Table:
+    a = batch["a"].to_numpy(zero_copy_only=False)
+    b = batch["b"].to_numpy(zero_copy_only=False)
+    sa = batch["_pa"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    sb = batch["_pb"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    dist = _popcount64(np.bitwise_xor(sa, sb))
+    keep = dist <= max_dist
+    return pa.table(
+        {"a": pa.array(a[keep]), "b": pa.array(b[keep]), "hamming": pa.array(dist[keep])}
+    )
+
+
+def _verify_cosine_partitioned(batch: pa.Table, threshold: float) -> pa.Table:
+    a = batch["a"].to_numpy(zero_copy_only=False)
+    b = batch["b"].to_numpy(zero_copy_only=False)
+    if len(a) == 0:
+        return pa.table(
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
+             "cos": pa.array([], type=pa.float64())}
+        )
+    va = np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["_pa"].to_pylist()])
+    vb = np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["_pb"].to_pylist()])
+    va /= np.maximum(np.linalg.norm(va, axis=1, keepdims=True), 1e-30)
+    vb /= np.maximum(np.linalg.norm(vb, axis=1, keepdims=True), 1e-30)
+    cos = np.einsum("ij,ij->i", va, vb)
+    keep = cos >= threshold
+    return pa.table(
+        {"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+         "cos": pa.array(cos[keep], type=pa.float64())}
+    )
+
+
+def _pick_verify_mode(ds: Dataset, verify_mode: str, broadcast_threshold: int) -> str:
+    if verify_mode == "auto":
+        return "broadcast" if ds.count() <= broadcast_threshold else "partitioned"
+    if verify_mode not in ("broadcast", "partitioned"):
+        raise ValueError(f"verify_mode must be auto|broadcast|partitioned, got {verify_mode!r}")
+    return verify_mode
 
 
 class _VerifyJaccard:
@@ -302,12 +461,14 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k: int = 8,
     texts_ref=None,
+    verify_mode: str = "auto",
+    broadcast_threshold: int = 50_000,
+    num_buckets: int = 64,
 ) -> Dataset:
     """Near-duplicate pairs with exact-verified char-shingle Jaccard ≥
-    threshold.  ``texts_ref``: optional pre-broadcast {id: text} for
-    the verify stage; if None it is built by materializing (id, text)
-    — fine up to ~10^7 docs/node, see module docstring for the scale
-    swap."""
+    threshold.  ``verify_mode`` picks the verify shape (module
+    docstring); ``texts_ref`` (optional pre-broadcast {id: text})
+    forces the broadcast path."""
     buckets = ds.map_batches(
         MinHashStage(text_col, id_col, num_perm, bands, k),
         batch_format="pyarrow",
@@ -315,10 +476,20 @@ def minhash_lsh_pairs(
         concurrency=4,
     )
     pairs = candidate_pairs(buckets, id_col)
+    if texts_ref is None and _pick_verify_mode(
+        ds, verify_mode, broadcast_threshold
+    ) == "partitioned":
+        joined = attach_pair_payloads(
+            pairs, ds.select_columns([id_col, text_col]), id_col, text_col, num_buckets
+        )
+        return joined.map_batches(
+            _VerifyJaccardPartitioned(threshold, "char", k),
+            batch_format="pyarrow",
+        )
     if texts_ref is None:
         pdf = ds.select_columns([id_col, text_col]).to_pandas()
         texts_ref = ray.put(dict(zip(pdf[id_col], pdf[text_col])))
-        small = len(pdf) <= 50_000
+        small = len(pdf) <= broadcast_threshold
     else:
         small = False
     if small:
@@ -373,17 +544,29 @@ class SimHashStage:
 
 
 def simhash_pairs(
-    ds: Dataset, text_col: str = "text", id_col: str = "doc_id", max_dist: int = 3
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 3,
+    verify_mode: str = "auto",
+    broadcast_threshold: int = 50_000,
+    num_buckets: int = 64,
 ) -> Dataset:
     """Near-dup pairs with Hamming(simhash) ≤ max_dist (≤ 3 for exact
     recall with the 4×16 banding; larger max_dist is best-effort)."""
     rows = ds.map_batches(
         SimHashStage(text_col, id_col), batch_format="pyarrow", zero_copy_batch=True
     )
+    pairs = candidate_pairs(rows, id_col)
     sig_rows = distinct(rows, [id_col, "sig"])
+    if _pick_verify_mode(ds, verify_mode, broadcast_threshold) == "partitioned":
+        joined = attach_pair_payloads(pairs, sig_rows, id_col, "sig", num_buckets)
+        return joined.map_batches(
+            lambda t: _verify_hamming_partitioned(t, max_dist),
+            batch_format="pyarrow",
+        )
     sig_pdf = sig_rows.to_pandas()
     sig_ref = ray.put(dict(zip(sig_pdf[id_col], sig_pdf["sig"].astype(np.int64))))
-    pairs = candidate_pairs(rows, id_col)
 
     class _VerifyHamming:
         def __init__(self):
@@ -410,7 +593,7 @@ def simhash_pairs(
                 }
             )
 
-    if len(sig_pdf) <= 50_000:
+    if len(sig_pdf) <= broadcast_threshold:
         return pairs.map_batches(_VerifyHamming(), batch_format="pyarrow")
     return pairs.map_batches(_VerifyHamming, batch_format="pyarrow", concurrency=(1, 2))
 
@@ -460,6 +643,9 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.99,
     dim: int = 64,
+    verify_mode: str = "auto",
+    broadcast_threshold: int = 50_000,
+    num_buckets: int = 64,
 ) -> Dataset:
     """Pairs with exact cosine ≥ threshold, candidates from
     random-hyperplane LSH (4 tables × 16 planes)."""
@@ -470,6 +656,24 @@ def embedding_neardup_pairs(
         concurrency=4,
     )
     pairs = candidate_pairs(rows, id_col)
+    if _pick_verify_mode(ds, verify_mode, broadcast_threshold) == "partitioned":
+        # serialize vectors to fixed float64 bytes: Arrow's hash join
+        # can't carry list columns (pyarrow 16), binary it can
+        def to_bytes(t: pa.Table) -> pa.Table:
+            vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "_vb": pa.array([r.tobytes() for r in vecs], type=pa.binary()),
+                }
+            )
+
+        payload = ds.map_batches(to_bytes, batch_format="pyarrow", zero_copy_batch=True)
+        joined = attach_pair_payloads(pairs, payload, id_col, "_vb", num_buckets)
+        return joined.map_batches(
+            lambda t: _verify_cosine_partitioned(t, threshold),
+            batch_format="pyarrow",
+        )
     pdf = ds.select_columns([id_col, vec_col]).to_pandas()
     mat = np.stack(pdf[vec_col].values).astype(np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
@@ -495,7 +699,7 @@ def embedding_neardup_pairs(
                 {"a": pa.array(a[keep]), "b": pa.array(b[keep]), "cos": pa.array(cos[keep])}
             )
 
-    if len(pdf) <= 50_000:
+    if len(pdf) <= broadcast_threshold:
         return pairs.map_batches(_VerifyCosine(), batch_format="pyarrow")
     return pairs.map_batches(_VerifyCosine, batch_format="pyarrow", concurrency=(1, 2))
 
@@ -604,6 +808,9 @@ def ngram_jaccard_pairs(
     num_perm: int = 64,
     bands: int = 32,
     k: int = 8,
+    verify_mode: str = "auto",
+    broadcast_threshold: int = 50_000,
+    num_buckets: int = 64,
 ) -> Dataset:
     """Near-dup pairs by exact word-n-gram Jaccard ≥ threshold;
     candidates from an aggressive MinHash banding (32 bands × 2 rows —
@@ -615,9 +822,17 @@ def ngram_jaccard_pairs(
         concurrency=4,
     )
     pairs = candidate_pairs(buckets, id_col)
+    if _pick_verify_mode(ds, verify_mode, broadcast_threshold) == "partitioned":
+        joined = attach_pair_payloads(
+            pairs, ds.select_columns([id_col, text_col]), id_col, text_col, num_buckets
+        )
+        return joined.map_batches(
+            _VerifyJaccardPartitioned(threshold, "word", 5, n),
+            batch_format="pyarrow",
+        )
     pdf = ds.select_columns([id_col, text_col]).to_pandas()
     texts_ref = ray.put(dict(zip(pdf[id_col], pdf[text_col])))
-    if len(pdf) <= 50_000:
+    if len(pdf) <= broadcast_threshold:
         return pairs.map_batches(
             _VerifyJaccard(texts_ref, threshold, "word", 5, n),
             batch_format="pyarrow",

@@ -75,6 +75,8 @@ def bucket_join(
     right_key: str,
     num_buckets: int = 64,
     join_type: str = "inner",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> Dataset:
     """Large × large equi-join: the explicit partitioned hash join —
     add ``bucket = hash(key) % B`` to BOTH sides, tag the side, union,
@@ -84,10 +86,17 @@ def bucket_join(
     Output: left columns + right columns (right key dropped; name
     collisions suffixed ``_r``).  A single hot KEY still lands in one
     bucket — salt or pre-aggregate a dominating key upstream
-    (SURVEY.md §4)."""
+    (SURVEY.md §4).
+
+    ``left_schema`` / ``right_schema``: pass the (known) schema when a
+    side's lineage contains a shuffle — ``Dataset.schema()`` on such a
+    dataset EXECUTES the upstream pipeline just to fetch one block, so
+    a lazy chain of joins would re-run its inputs once per schema
+    probe (measured 3× wall on a minhash verify chain)."""
     import numpy as np
 
-    l_schema, r_schema = left.schema(), right.schema()
+    l_schema = left.schema() if left_schema is None else left_schema
+    r_schema = right.schema() if right_schema is None else right_schema
     left_cols = list(l_schema.names)
     right_cols = list(r_schema.names)
     types = {**dict(zip(r_schema.names, r_schema.types)),

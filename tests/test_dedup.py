@@ -140,6 +140,77 @@ def test_connected_components_empty_pairs(ray_session):
     assert out.num_rows == 0
 
 
+def _collect_pairs(ds):
+    """Collect a pairs Dataset WITHOUT Dataset.to_pandas (which the
+    no-materialization guard below disables)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    t = pa.concat_tables([_ray.get(r) for r in ds.to_arrow_refs()])
+    return sorted(zip(t["a"].to_pylist(), t["b"].to_pylist()))
+
+
+def test_partitioned_verify_matches_broadcast(ray_session):
+    """The 10^12-row verify path (two-hop bucket join) must produce
+    bit-identical pairs to the broadcast path, for every near-dup op."""
+    df = _corpus(40, dup_every=2)
+    df.loc[df.doc_id >= 1000, "text"] = df.loc[df.doc_id >= 1000, "text"] + " xtra"
+    for fn in (
+        lambda m: minhash_lsh_pairs(rd.from_pandas(df), threshold=0.8, verify_mode=m),
+        lambda m: simhash_pairs(rd.from_pandas(df), max_dist=16, verify_mode=m),
+        lambda m: ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.5, n=3, verify_mode=m),
+    ):
+        assert _collect_pairs(fn("broadcast")) == _collect_pairs(fn("partitioned"))
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((50, 64)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": base[i]} for i in range(50)]
+    rows += [{"vec_id": i + 1000, "embedding": base[i]} for i in range(0, 50, 5)]
+    eds = pd.DataFrame(rows)
+    b = _collect_pairs(
+        embedding_neardup_pairs(rd.from_pandas(eds), threshold=0.99, verify_mode="broadcast")
+    )
+    p = _collect_pairs(
+        embedding_neardup_pairs(rd.from_pandas(eds), threshold=0.99, verify_mode="partitioned")
+    )
+    assert b == p and len(b) == 10
+
+
+def test_partitioned_verify_never_materializes_on_driver(ray_session, monkeypatch):
+    """Hard guard for the scale property: the partitioned path must not
+    call Dataset.to_pandas (driver materialization) anywhere."""
+    from ray.data import Dataset
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver materialization (to_pandas) in partitioned path")
+
+    monkeypatch.setattr(Dataset, "to_pandas", _boom)
+    df = _corpus(20, dup_every=2)
+    got = _collect_pairs(
+        minhash_lsh_pairs(rd.from_pandas(df), threshold=0.8, verify_mode="partitioned")
+    )
+    want = sorted(
+        (i, i + 1000) for i in df[df.doc_id < 1000].doc_id if (df.doc_id == i + 1000).any()
+    )
+    assert got == want
+
+
+def test_verify_mode_auto_picks_partitioned_above_threshold(ray_session, monkeypatch):
+    """auto must flip to the partitioned path once the corpus exceeds
+    broadcast_threshold (proved by forbidding to_pandas)."""
+    from ray.data import Dataset
+
+    def _boom(self, *a, **k):
+        raise AssertionError("auto chose broadcast above the threshold")
+
+    monkeypatch.setattr(Dataset, "to_pandas", _boom)
+    df = _corpus(20, dup_every=2)
+    got = _collect_pairs(
+        minhash_lsh_pairs(rd.from_pandas(df), threshold=0.8, broadcast_threshold=10)
+    )
+    assert len(got) > 0
+
+
 def test_synth_texts_unique_at_scale():
     from rayraster.synth import make_pages_batch
 
