@@ -821,6 +821,22 @@ def _sql_neardup_dedup_pipeline() -> str:
     return "SELECT doc_id FROM documents"
 
 
+def _q_neardup_dedup_distributed(sf_dir: str):
+    """d8's scale twin: connected components with labels kept in a
+    Dataset (hash-partitioned min-label joins + pointer jumping) — no
+    driver-side label state; same analytic keep-list oracle."""
+    from rayraster.dedup import (
+        connected_components_distributed,
+        dedup_keep_from_clusters_ds,
+        minhash_lsh_pairs,
+    )
+
+    corpus = _neardup_corpus(sf_dir, perturb=True)
+    pairs = minhash_lsh_pairs(corpus, threshold=0.8).select_columns(["a", "b"])
+    clusters = connected_components_distributed(pairs)
+    return dedup_keep_from_clusters_ds(clusters)
+
+
 def _q_embed_neardup(sf_dir: str):
     from rayraster.dedup import embedding_neardup_pairs
 
@@ -1322,6 +1338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d3_simhash_neardup": _q_simhash,
         "d5_embed_neardup": _q_embed_neardup,
         "d8_neardup_dedup_cc": _q_neardup_dedup_pipeline,
+        "d8b_neardup_cc_distributed": _q_neardup_dedup_distributed,
         "s1_ann_cosine_topk": _q_ann_topk,
         "s2_ivf_ann_topk": _q_ivf_topk,
         "t1_token_metrics": _q_token_metrics,
@@ -1370,6 +1387,7 @@ def oracle_sql() -> dict[str, str]:
         "d3_simhash_neardup": _sql_simhash(),
         "d5_embed_neardup": _sql_embed_neardup(),
         "d8_neardup_dedup_cc": _sql_neardup_dedup_pipeline(),
+        "d8b_neardup_cc_distributed": _sql_neardup_dedup_pipeline(),
         "s1_ann_cosine_topk": _sql_ann_topk(),
         "t1_token_metrics": _sql_token_metrics(),
         "t2_quality_score": _sql_quality(),

@@ -767,6 +767,7 @@ def connected_components(
         nodes, np.asarray(init["min_peer"].to_numpy(zero_copy_only=False))[order]
     )
 
+    converged = False
     for _ in range(max_rounds):
         peer_labels = pa.table(
             {"peer": pa.array(nodes), "peer_label": pa.array(labels)}
@@ -781,10 +782,137 @@ def connected_components(
         pos = np.searchsorted(nodes, nn)
         merged = labels.copy()
         np.minimum.at(merged, pos, nv)
+        # pointer jump: label(node) ← label(label(node)) — keeps round
+        # count O(log diameter) so max_rounds is a safety cap, not a
+        # silent truncation on long chains (templated near-dup text)
+        lpos = np.searchsorted(nodes, merged)
+        hit = (lpos < len(nodes)) & (nodes[np.minimum(lpos, len(nodes) - 1)] == merged)
+        np.minimum.at(merged, np.flatnonzero(hit), labels[lpos[hit]])
         if np.array_equal(merged, labels):
+            converged = True
             break
         labels = merged
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "raise max_rounds (labels were still changing)"
+        )
     return pa.table({"node": pa.array(nodes), "cluster": pa.array(labels)})
+
+
+def connected_components_distributed(
+    pairs: Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 64,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Connected components with NO driver-side label state — the
+    10^12-pair scale path (:func:`connected_components` keeps a numpy
+    label table on the driver, right only while paired nodes are few).
+
+    Labels live in a Dataset; each round combines, via hash-partitioned
+    bucket joins + grouped min:
+
+      label(v) ← min(label(v), min_{(v,u)∈E} label(u), label(label(v)))
+
+    The ``label(label(v))`` term is pointer jumping: a chain of
+    diameter d converges in O(log d) rounds instead of O(d).  The only
+    driver-side value per round is one int64 checksum (labels are
+    monotone non-increasing, so Σlabel is constant iff fixpoint).
+    Raises RuntimeError if ``max_rounds`` pass without convergence.
+    Returns a Dataset (node, cluster)."""
+    from rayraster.join import bucket_join
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False)
+        b = t[b_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b])),
+                "peer": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # reused every round; 2 rows per pair
+
+    i64 = pa.int64()
+    edge_schema = pa.schema([("node", i64), ("peer", i64)])
+    label_schema = pa.schema([("node", i64), ("label", i64)])
+
+    def _rename(names):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(names)
+
+        return fn
+
+    # init: label(node) = min(node, min direct peer)
+    init = hash_aggregate(
+        edges, ["node"], min_cols=["peer"], count=False, num_partitions=num_partitions
+    )
+
+    def clamp(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        lab = np.minimum(node, t["min_peer"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(node), "label": pa.array(lab)})
+
+    labels = init.map_batches(clamp, batch_format="pyarrow").materialize()
+    checksum = labels.sum("label") if labels.count() else 0
+
+    for _ in range(max_rounds):
+        # neighbor minimum: edges ⨝ labels on peer
+        nbr = bucket_join(
+            edges,
+            labels.map_batches(_rename(["peer", "label"]), batch_format="pyarrow"),
+            "peer",
+            "peer",
+            num_buckets=num_partitions,
+            left_schema=edge_schema,
+            right_schema=pa.schema([("peer", i64), ("label", i64)]),
+        ).map_batches(
+            lambda t: t.select(["node", "label"]), batch_format="pyarrow"
+        )
+        # pointer jump: labels ⨝ labels on label = node
+        jump = bucket_join(
+            labels,
+            labels.map_batches(_rename(["lnode", "label2"]), batch_format="pyarrow"),
+            "label",
+            "lnode",
+            num_buckets=num_partitions,
+            left_schema=label_schema,
+            right_schema=pa.schema([("lnode", i64), ("label2", i64)]),
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["label2"]}),
+            batch_format="pyarrow",
+        )
+        cand = labels.union(nbr).union(jump)
+        merged = hash_aggregate(
+            cand, ["node"], min_cols=["label"], count=False, num_partitions=num_partitions
+        )
+        labels = merged.map_batches(
+            _rename(["node", "label"]), batch_format="pyarrow"
+        ).materialize()
+        new_sum = labels.sum("label") if labels.count() else 0
+        if new_sum == checksum:
+            return labels.map_batches(
+                _rename(["node", "cluster"]), batch_format="pyarrow"
+            )
+        checksum = new_sum
+    raise RuntimeError(
+        f"connected_components_distributed did not converge in {max_rounds} rounds"
+    )
+
+
+def dedup_keep_from_clusters_ds(clusters: Dataset, id_col: str = "doc_id") -> Dataset:
+    """Distributed keep-list: one representative (cluster label = min
+    id) per cluster, as a Dataset (pairs with
+    :func:`connected_components_distributed`)."""
+    reps = distinct(clusters.select_columns(["cluster"]), ["cluster"])
+    return reps.map_batches(
+        lambda t: pa.table({id_col: t["cluster"]}), batch_format="pyarrow"
+    )
 
 
 def dedup_keep_from_clusters(clusters: pa.Table, id_col: str = "doc_id") -> pa.Table:

@@ -130,6 +130,64 @@ def test_connected_components_chains(ray_session):
     assert sorted(keep.doc_id) == [1, 10, 20]
 
 
+def test_connected_components_distributed_matches_driver(ray_session):
+    from rayraster.dedup import (
+        connected_components_distributed,
+        dedup_keep_from_clusters_ds,
+    )
+
+    pairs = pd.DataFrame({"a": [1, 2, 3, 10, 20, 20], "b": [2, 3, 4, 11, 21, 22]})
+    out = connected_components_distributed(rd.from_pandas(pairs)).to_pandas()
+    got = dict(zip(out.node, out.cluster))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    keep = dedup_keep_from_clusters_ds(
+        connected_components_distributed(rd.from_pandas(pairs))
+    ).to_pandas()
+    assert sorted(keep.doc_id) == [1, 10, 20]
+
+
+def test_connected_components_distributed_star_and_chain(ray_session):
+    """The scale shapes the driver-side version can't hold: a 10^6-edge
+    star (hub key skew) and a 4096-node chain (diameter beyond any
+    fixed round budget without pointer jumping) — labels stay in a
+    Dataset; the only per-round driver value is one checksum."""
+    from rayraster.dedup import connected_components_distributed
+
+    n_star = 1_000_000
+    star = pd.DataFrame(
+        {
+            "a": np.full(n_star, 20_000_000, dtype=np.int64),
+            "b": np.arange(1, n_star + 1, dtype=np.int64) + 20_000_000,
+        }
+    )
+    lab = connected_components_distributed(rd.from_pandas(star)).to_pandas()
+    assert (lab.cluster == 20_000_000).all() and len(lab) == n_star + 1
+
+    n = 4096
+    chain = pd.DataFrame(
+        {
+            "a": np.arange(n - 1, dtype=np.int64) + 10_000_000,
+            "b": np.arange(n - 1, dtype=np.int64) + 10_000_001,
+        }
+    )
+    lab = connected_components_distributed(rd.from_pandas(chain)).to_pandas()
+    assert (lab.cluster == 10_000_000).all() and len(lab) == n
+
+
+def test_connected_components_long_chain_converges(ray_session):
+    """Driver-side CC on a chain longer than the old 20-round budget:
+    pointer jumping must converge it (and non-convergence now raises
+    instead of silently returning partial clusters)."""
+    from rayraster.dedup import connected_components
+
+    n = 300  # diameter 300 ≫ 20 rounds of plain propagation
+    pairs = pd.DataFrame({"a": np.arange(n - 1), "b": np.arange(1, n)})
+    out = connected_components(rd.from_pandas(pairs)).to_pandas()
+    assert (out.cluster == 0).all() and len(out) == n
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(rd.from_pandas(pairs), max_rounds=2)
+
+
 def test_connected_components_empty_pairs(ray_session):
     from rayraster.dedup import connected_components
 
