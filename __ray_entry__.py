@@ -627,23 +627,72 @@ SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS dataset_id,
 FROM cells2 GROUP BY 1, ix, iy, cx, cy"""
 
 
+_IVF_SEEDS = 16  # centroids = embeddings of vec_id < 16 (SQL-reproducible)
+_IVF_NPROBE = 6
+
+
 def _q_ivf_topk(sf_dir: str):
-    """IVF bucketed ANN (scale path; approximate → rows-only check,
-    recall vs brute force asserted in tests/test_textops_similarity)."""
+    """IVF bucketed ANN, oracle-exact: centroids are the (normalized)
+    embeddings of vec_id < 16, so assignment, probing and the probed
+    exact top-k are all reproducible in SQL.  Per-query bucket masks =
+    honest IVF (a query never scans another query's buckets).  The
+    trained scale path (kmeans_centroids) is exercised in
+    tests/test_textops_similarity."""
     import pyarrow.parquet as pq
 
-    from rayraster.similarity import ivf_topk
+    from rayraster.similarity import _normalize, ivf_topk
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).to_pandas()
-    qt = qt[qt.vec_id < 5].sort_values("vec_id")
+    seeds = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", _IVF_SEEDS)],
+    ).to_pandas().sort_values("vec_id")
+    C = _normalize(np.stack(seeds.embedding.values).astype(np.float64))
+    qt = seeds[seeds.vec_id < 5]
     out = ivf_topk(
         emb, qt.vec_id.to_numpy(), np.stack(qt.embedding.values),
-        k=10, n_centroids=16, nprobe=6, dim=64,
+        k=10, nprobe=_IVF_NPROBE, dim=64, centroids=C,
     )
     return out.select(["qid", "vec_id", "rank"])
+
+
+def _sql_ivf_topk() -> str:
+    return f"""WITH c AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {_IVF_SEEDS}
+),
+assign AS (
+  SELECT vec_id, bucket FROM (
+    SELECT e.vec_id, c.cid AS bucket,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT q_vec_id, bucket FROM (
+    SELECT q.vec_id AS q_vec_id, c.cid AS bucket,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.cid
+           ) AS rn
+    FROM embeddings q CROSS JOIN c WHERE q.vec_id < 5
+  ) WHERE rn <= {_IVF_NPROBE}
+)
+SELECT qid, vec_id, "rank" FROM (
+  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+         ) AS "rank"
+  FROM embeddings q
+  CROSS JOIN embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN probes p ON p.q_vec_id = q.vec_id AND p.bucket = a.bucket
+  WHERE q.vec_id < 5
+) WHERE "rank" <= 10"""
 
 
 # --------------------------------------------------------------------------
@@ -1164,12 +1213,35 @@ FROM events GROUP BY 1"""
 
 
 def _q_approx_distinct(sf_dir: str):
-    """HLL sketch distinct count (approximate → rows-only check; the
-    exact answer is d6, accuracy asserted in tests/test_join_sketch)."""
+    """HLL sketch distinct count, made oracle-checkable without faking
+    exactness: the query emits the EXACT per-group count (hash-
+    partitioned dedup, = d6) plus ``hll_ok`` = the sketch estimate is
+    within 5% of it.  The oracle asserts the same exact counts and
+    TRUE — so a drifting sketch turns the row red."""
+    from rayraster.agg import distinct, hash_aggregate
     from rayraster.sketch import approx_distinct
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
-    return approx_distinct(ev, "user_id", group_col="event_type")
+    est = approx_distinct(ev, "user_id", group_col="event_type").to_pandas()
+    exact = hash_aggregate(
+        distinct(ev, ["event_type", "user_id"]), ["event_type"],
+        count=True, count_name="n_users_exact",
+    ).to_pandas()  # post-aggregation: one row per event_type
+    m = exact.merge(est, on="event_type").sort_values("event_type")
+    ok = (m.approx_distinct - m.n_users_exact).abs() / m.n_users_exact <= 0.05
+    return pa.table(
+        {
+            "event_type": pa.array(m.event_type, type=pa.string()),
+            "n_users_exact": pa.array(m.n_users_exact, type=pa.int64()),
+            "hll_ok": pa.array(ok.to_numpy(), type=pa.bool_()),
+        }
+    )
+
+
+def _sql_approx_distinct() -> str:
+    return """SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS hll_ok
+FROM events GROUP BY 1"""
 
 
 def _q_multimodal(sf_dir: str):
@@ -1389,6 +1461,7 @@ def oracle_sql() -> dict[str, str]:
         "d8_neardup_dedup_cc": _sql_neardup_dedup_pipeline(),
         "d8b_neardup_cc_distributed": _sql_neardup_dedup_pipeline(),
         "s1_ann_cosine_topk": _sql_ann_topk(),
+        "s2_ivf_ann_topk": _sql_ivf_topk(),
         "t1_token_metrics": _sql_token_metrics(),
         "t2_quality_score": _sql_quality(),
         "t3_lang_id": _sql_langid(),
@@ -1403,6 +1476,6 @@ def oracle_sql() -> dict[str, str]:
         "j3_asof_join": _sql_asof_join(),
         "j4_range_join": _sql_range_join(),
         "d6_distinct_users": _sql_distinct_users(),
-        # d7_approx_distinct_hll: approximate sketch — rows-only
+        "d7_approx_distinct_hll": _sql_approx_distinct(),
         "m1_multimodal_decode": _sql_multimodal(),
     }

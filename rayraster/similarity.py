@@ -27,12 +27,18 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 class _BatchTopK:
     """map_batches actor: cosine of every batch row vs the broadcast
-    query matrix; emits per-batch top-k candidates per query."""
+    query matrix; emits per-batch top-k candidates per query.
+
+    With ``probe`` in the broadcast object (nq × n_centroids bool) and
+    a ``bucket`` column in the batch, each query only sees rows in its
+    OWN probed buckets (honest IVF semantics — without the mask a
+    query would scan every bucket any other query probed)."""
 
     def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
         self._ref = queries_ref
         self.Q = None
         self.qids = None
+        self.probe = None
         self.k = k
         self.vec_col = vec_col
         self.id_col = id_col
@@ -42,21 +48,27 @@ class _BatchTopK:
             obj = ray.get(self._ref) if isinstance(self._ref, ray.ObjectRef) else self._ref
             self.qids = np.asarray(obj["ids"])
             self.Q = _normalize(np.asarray(obj["mat"], dtype=np.float64))
+            self.probe = obj.get("probe")
         vecs = np.stack(batch[self.vec_col].to_pylist()).astype(np.float64)
         vecs = _normalize(vecs)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         sims = self.Q @ vecs.T  # (nq, nbatch)
+        if self.probe is not None:
+            bucket = batch["bucket"].to_numpy(zero_copy_only=False)
+            sims = np.where(self.probe[:, bucket], sims, -np.inf)
         kk = min(self.k, sims.shape[1])
         # per-query partial top-k (ties resolved in the final merge)
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         nq = sims.shape[0]
         rows = np.repeat(np.arange(nq), kk)
         cols = part.ravel()
+        cos = sims[rows, cols]
+        keep = np.isfinite(cos)  # drop masked-out filler candidates
         return pa.table(
             {
-                "qid": pa.array(self.qids[rows]),
-                self.id_col: pa.array(ids[cols]),
-                "cos": pa.array(sims[rows, cols]),
+                "qid": pa.array(self.qids[rows[keep]]),
+                self.id_col: pa.array(ids[cols[keep]]),
+                "cos": pa.array(cos[keep]),
             }
         )
 
@@ -122,6 +134,41 @@ def seeded_centroids(dim: int, n_centroids: int, seed: int = 424242) -> np.ndarr
     return _normalize(rng.standard_normal((n_centroids, dim)))
 
 
+def kmeans_centroids(
+    ds: Dataset,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    sample_size: int = 65536,
+    iters: int = 5,
+    seed: int = 424242,
+) -> np.ndarray:
+    """One-pass sampled spherical k-means: a bounded deterministic
+    sample (``Dataset.limit`` — block order is deterministic for
+    parquet reads) trains Lloyd iterations on the driver; the sample,
+    not the corpus, bounds driver memory.  Init = first n_centroids
+    sample vectors (deterministic).  Returns unit-norm (C, dim)."""
+    sample = np.stack(
+        [r[vec_col] for r in ds.limit(sample_size).take_all()]
+    ).astype(np.float64)
+    X = _normalize(sample)
+    C = _normalize(X[:n_centroids].copy())
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_objective(vecs: np.ndarray, centroids: np.ndarray) -> float:
+    """Mean max-cosine of vectors to their nearest centroid — the
+    spherical-kmeans objective (higher = tighter buckets)."""
+    X = _normalize(np.asarray(vecs, dtype=np.float64))
+    return float(np.max(X @ centroids.T, axis=1).mean())
+
+
 class IVFAssignStage:
     """map_batches actor: vector → nearest-centroid bucket id."""
 
@@ -149,10 +196,18 @@ def ivf_topk(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
 ) -> pa.Table:
     """Approximate cosine top-k probing the ``nprobe`` nearest centroid
-    buckets per query.  Same output schema as :func:`brute_topk`."""
-    C = seeded_centroids(dim, n_centroids)
+    buckets per query (per-query bucket mask — a query never scans a
+    bucket probed only by another query).  Same output schema as
+    :func:`brute_topk`.
+
+    ``centroids``: pass :func:`kmeans_centroids` output (the trained
+    scale path) or data-derived seed vectors (SQL-reproducible — the
+    s2 oracle path); default falls back to seeded random."""
+    C = seeded_centroids(dim, n_centroids) if centroids is None else np.asarray(centroids)
+    n_centroids = len(C)
     cref = ray.put(C)
     assigned = ds.map_batches(
         IVFAssignStage(cref, vec_col, id_col),
@@ -160,8 +215,11 @@ def ivf_topk(
         zero_copy_batch=True,
     )
     Q = _normalize(np.asarray(query_mat, dtype=np.float64))
-    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    wanted = sorted({int(b) for row in probe for b in row})
+    nprobe = min(nprobe, n_centroids)
+    probe_idx = np.argsort(-(Q @ C.T), kind="stable", axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe = np.zeros((len(Q), n_centroids), dtype=bool)
+    np.put_along_axis(probe, probe_idx, True, axis=1)
+    wanted = sorted({int(b) for row in probe_idx for b in row})
     wset = pa.array(wanted, type=pa.int64())
 
     def _probe_filter(t: pa.Table) -> pa.Table:
@@ -170,8 +228,7 @@ def ivf_topk(
         return t.filter(pc.is_in(t["bucket"], value_set=wset))
 
     sub = assigned.map_batches(_probe_filter, batch_format="pyarrow", zero_copy_batch=True)
-    # per-query probe masks applied in the final merge
-    qref = ray.put({"ids": np.asarray(query_ids), "mat": Q})
+    qref = ray.put({"ids": np.asarray(query_ids), "mat": Q, "probe": probe})
     cand = sub.map_batches(
         _BatchTopK(qref, k, vec_col, id_col),
         batch_format="pyarrow",

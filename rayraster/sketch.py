@@ -105,14 +105,27 @@ def approx_distinct(
             return pa.table(
                 {"_g": pa.array(["_all"]), "sketch": pa.array([hll.to_bytes()], type=pa.binary())}
             )
-        groups: dict = {}
-        for g, v in zip(t[group_col].to_pylist(), vals):
-            groups.setdefault(g, []).append(v)
+        if t.num_rows == 0:
+            return pa.table(
+                {"_g": pa.array([], type=pa.string()),
+                 "sketch": pa.array([], type=pa.binary())}
+            )
+        # vectorized grouping: dictionary-encode the key, one stable
+        # argsort, then ONE add_hashes per group segment (the Python
+        # loop is per distinct group per batch, not per row)
+        h = fnv1a64([str(v) for v in vals])
+        enc = t[group_col].combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        dic = enc.dictionary.to_pylist()
+        order = np.argsort(idx, kind="stable")
+        sidx, sh = idx[order], h[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(sidx)) + 1])
+        ends = np.append(starts[1:], len(sidx))
         return pa.table(
             {
-                "_g": pa.array([str(g) for g in groups]),
+                "_g": pa.array([str(dic[sidx[s]]) for s in starts]),
                 "sketch": pa.array(
-                    [HLL(p).add_values(vs).to_bytes() for vs in groups.values()],
+                    [HLL(p).add_hashes(sh[s:e]).to_bytes() for s, e in zip(starts, ends)],
                     type=pa.binary(),
                 ),
             }

@@ -97,6 +97,45 @@ def test_ivf_topk_recall(ray_session):
     assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 buckets
 
 
+def test_kmeans_centroids_train_and_improve(ray_session):
+    """One-pass sampled k-means: deterministic, unit-norm, and a
+    better spherical objective (mean max-cosine) than both its own
+    init and random centroids on clustered data."""
+    from rayraster.similarity import ivf_objective, kmeans_centroids
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((6, 32)) * 3
+    mat = np.concatenate(
+        [c + rng.standard_normal((80, 32)) * 0.3 for c in centers]
+    ).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": range(len(mat)), "embedding": list(mat)}))
+    C1 = kmeans_centroids(ds, 6, iters=0)
+    C2 = kmeans_centroids(ds, 6, iters=8)
+    C2b = kmeans_centroids(ds, 6, iters=8)
+    np.testing.assert_array_equal(C2, C2b)  # deterministic
+    np.testing.assert_allclose(np.linalg.norm(C2, axis=1), 1.0, rtol=1e-12)
+    assert ivf_objective(mat, C2) > ivf_objective(mat, C1)
+    assert ivf_objective(mat, C2) > ivf_objective(mat, seeded_centroids(32, 6))
+
+
+def test_ivf_trained_centroids_recall(ray_session):
+    """Trained centroids must not regress recall vs the brute answer
+    (the kmeans-centroid scale path of ivf_topk)."""
+    from rayraster.similarity import kmeans_centroids
+
+    ds, mat = _emb_ds(500, 32)
+    C = kmeans_centroids(ds, 8, iters=5)
+    qids = np.arange(5)
+    brute = brute_topk(ds, qids, mat[:5], k=10, vec_col="embedding").to_pandas()
+    ivf = ivf_topk(ds, qids, mat[:5], k=10, nprobe=4, dim=32, centroids=C).to_pandas()
+    recalls = []
+    for q in qids:
+        b = set(brute[brute.qid == q].vec_id)
+        i = set(ivf[ivf.qid == q].vec_id)
+        recalls.append(len(b & i) / len(b))
+    assert np.mean(recalls) >= 0.6
+
+
 def test_tumbling_window(ray_session):
     ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(np.arange(0, 7200, 10), unit="s")
     df = pd.DataFrame(
