@@ -103,6 +103,17 @@ def rasterize_checkpointed(
     processed = 0
     for k, files in enumerate(shards):
         if k in done:
+            # lineage guard: a completed shard is only skippable if it
+            # was built from EXACTLY this file group — if the input set
+            # changed between invocations, shard indexes remap and
+            # silently mixing lineages would corrupt the merge
+            prev = list(done[k].get("inputs", ()))
+            if prev != list(files):
+                raise RuntimeError(
+                    f"checkpoint resume mismatch for shard {k}: manifest records "
+                    f"inputs {prev} but the current plan assigns {list(files)}; "
+                    "the input file set changed — use a fresh out_dir"
+                )
             continue
         if max_shards is not None and processed >= max_shards:
             break

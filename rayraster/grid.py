@@ -200,8 +200,15 @@ def pack_cell_id(level, ix, iy):
     """int64 id = level(5 bits) << 58 | (ix+OFF) << 29 | (iy+OFF).
 
     Works for both square (ix,iy ≥ 0) and hex (q,r possibly negative)
-    indices; |index| < 2^28.  Vectorized over numpy int64 arrays.
+    indices; |index| < 2^28 — checked, so an ultra-fine global grid
+    fails loudly instead of silently aliasing cell ids.
+    Vectorized over numpy int64 arrays.
     """
+    if np.any(np.abs(np.asarray(ix)) >= _OFF) or np.any(np.abs(np.asarray(iy)) >= _OFF):
+        raise ValueError(
+            "pack_cell_id: |index| >= 2^28 would alias packed ids — "
+            "use a coarser resolution or a wider id scheme"
+        )
     lv = np.int64(level)
     return (lv << np.int64(58)) | ((np.int64(0) + ix + _OFF) << np.int64(29)) | (iy + _OFF)
 

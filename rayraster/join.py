@@ -228,12 +228,17 @@ def asof_join(
             return pd.DataFrame(
                 columns=["ts_us", *l_cols, *[f"{c}{suffix}" for c in r_cols if c != key]]
             )
+        # always-non-null match indicator: inner semantics must not
+        # depend on a data column (a legitimately-NULL carry value
+        # would wrongly drop its row, and a carry-less right side
+        # would silently turn the join left-outer)
+        rg = rg.assign(_match_ts=rg["ts_us"])
         m = pd.merge_asof(
             lg, rg, on="ts_us", by=key, direction="backward", suffixes=("", suffix)
         )
+        m = m[m["_match_ts"].notna()].drop(columns=["_match_ts"])
         carry = [f"{c}{suffix}" if f"{c}{suffix}" in m.columns else c
                  for c in r_cols if c != key]
-        m = m.dropna(subset=[carry[0]]) if carry else m
         for c in carry:
             if m[c].dtype.kind == "f" and c.endswith(suffix):
                 base = c[: -len(suffix)]

@@ -54,6 +54,11 @@ def _tag_union(members: Mapping[str, Dataset]) -> Dataset:
 def _split_named(pixels: Dataset, names) -> dict[str, Dataset]:
     import pyarrow.compute as pc
 
+    # materialize ONCE: each returned member filters the same pixel
+    # Dataset, and without this, consuming N members would re-execute
+    # the whole rasterize pipeline N times (pixels are post-aggregation
+    # — small by construction)
+    pixels = pixels.materialize()
     out = {}
     for name in names:
         def keep(t: pa.Table, _name=name) -> pa.Table:

@@ -73,6 +73,22 @@ def test_interrupt_resume_equals_direct(sharded_input, tmp_path, ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_resume_rejects_changed_inputs(sharded_input, tmp_path, ray_session):
+    """If the input file set changes between invocations, completed
+    shard indexes map to different file groups — resume must refuse to
+    skip them rather than silently mixing lineages."""
+    out = str(tmp_path / "ckpt_changed")
+    rasterize_checkpointed(
+        sharded_input, out, SPEC, ["n_chars"], fun="sum",
+        prepare=add_geocode_id, files_per_shard=2, max_shards=1,
+    )
+    with pytest.raises(RuntimeError, match="resume mismatch"):
+        rasterize_checkpointed(
+            sharded_input[1:], out, SPEC, ["n_chars"], fun="sum",
+            prepare=add_geocode_id, files_per_shard=2,
+        )
+
+
 def test_manifest_lineage(sharded_input, tmp_path, ray_session):
     out = str(tmp_path / "ckpt2")
     rasterize_checkpointed(

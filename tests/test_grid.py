@@ -93,6 +93,15 @@ def test_pack_unpack_roundtrip():
     np.testing.assert_array_equal(iy2, iy)
 
 
+def test_pack_cell_id_range_check():
+    from rayraster.grid import pack_cell_id
+
+    with pytest.raises(ValueError, match="alias"):
+        pack_cell_id(0, np.array([1 << 28]), np.array([0]))
+    with pytest.raises(ValueError, match="alias"):
+        pack_cell_id(0, np.array([0]), np.array([-(1 << 28) - 1]))
+
+
 def test_parent_child_hierarchy():
     cid = pack_cell_id(0, np.array([5]), np.array([3]))
     par = parent_cell(cid)

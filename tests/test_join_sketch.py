@@ -109,6 +109,35 @@ def test_asof_join_matches_pandas(ray_session):
     assert out.value_r.tolist() == [10.0, 20.0, 30.0]
 
 
+def test_asof_join_null_carry_and_carry_less_right(ray_session):
+    """Inner semantics must use the match indicator, not a data
+    column: a matched right row whose carry value is NULL is KEPT, and
+    a right side with no carry columns still drops unmatched lefts."""
+    import pyarrow as pa
+
+    from rayraster.join import asof_join
+
+    left = pd.DataFrame(
+        {"k": [1, 1, 2], "ts": pd.to_datetime([10, 20, 30], unit="s"), "lv": [1, 2, 3]}
+    )
+    right = pd.DataFrame(
+        {"k": [1, 2], "ts": pd.to_datetime([5, 40], unit="s"), "rv": [None, 7.0]}
+    )
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right), key="k"
+    ).to_pandas().sort_values("ts_us")
+    # k=1 rows match the NULL-carry right row (kept); k=2 has no prior
+    # right row (dropped)
+    assert out.lv.tolist() == [1, 2]
+    assert out.rv.isna().all()
+
+    right2 = right[["k", "ts"]]  # no carry columns at all
+    out2 = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right2), key="k"
+    ).to_pandas().sort_values("ts_us")
+    assert out2.lv.tolist() == [1, 2]  # still inner: k=2 dropped
+
+
 def test_range_join_overlapping_bands(ray_session):
     import pyarrow as pa
 
