@@ -1245,15 +1245,25 @@ FROM events GROUP BY 1"""
 
 
 def _q_multimodal(sf_dir: str):
-    from rayraster.multimodal import ImageDecodeStage
+    """Every doc_id % 3 == 0 row carries a REAL crafted BMP (parsed by
+    the from-scratch header decoder); other rows carry raw text bytes
+    and exercise the deterministic-fake fallback — both paths are
+    SQL-predictable, so the whole query stays hash-exact."""
+    from rayraster.multimodal import ImageDecodeStage, make_bmp
 
     ds = _docs(sf_dir)
 
     def to_payload(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out = [
+            make_bmp(int(i % 13) + 1, int((i * 7) % 11) + 1, seed=int(i))
+            if i % 3 == 0
+            else s.encode("utf-8")
+            for i, s in zip(ids, texts)
+        ]
         return pa.table(
-            {"doc_id": t["doc_id"], "payload": t["text"].cast(pa.binary())}
+            {"doc_id": t["doc_id"], "payload": pa.array(out, type=pa.binary())}
         )
 
     payloads = ds.map_batches(to_payload, batch_format="pyarrow")
@@ -1366,8 +1376,10 @@ GROUP BY 1"""
 
 def _sql_multimodal() -> str:
     return """SELECT doc_id,
-       64 + octet_length(encode(text)) % 960 AS width,
-       64 + (octet_length(encode(text)) * 7) % 960 AS height,
+       CASE WHEN doc_id % 3 = 0 THEN (doc_id % 13) + 1
+            ELSE 64 + octet_length(encode(text)) % 960 END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN ((doc_id * 7) % 11) + 1
+            ELSE 64 + (octet_length(encode(text)) * 7) % 960 END AS height,
        CAST(3 AS BIGINT) AS channels
 FROM documents"""
 

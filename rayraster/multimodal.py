@@ -2,10 +2,11 @@
 
 Images/audio/video are carried as ``binary`` columns with metadata;
 decode / feature-extract / resize / frame-sample are actor-pool
-map_batches stages.  The sandbox has no image/audio libraries, so the
-decode kernels are STUBBED behind an import-try with a deterministic
-fake (as the task brief directs) — the Ray-side plumbing (schema,
-batch sizing, actor signature, output layout) is real and tested.
+map_batches stages.  The decode kernel is REAL for BMP and binary PPM
+payloads (from-scratch stdlib header parsers — the sandbox has no
+image libraries); any other byte pattern falls back to a clearly
+deterministic fake so the plumbing stays exercised on arbitrary
+binaries (as the task brief directs).
 
 Scale note: binary payloads dominate block size — these stages should
 run with small ``batch_size`` (e.g. 256) and ``num_cpus=1`` actors so
@@ -14,42 +15,82 @@ a batch × concurrency of decoded frames fits worker heaps.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pyarrow as pa
 
-try:  # real decoder if ever present (not in this container)
-    from PIL import Image  # noqa: F401
 
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Minimal valid 24-bit bottom-up BMP (BITMAPINFOHEADER), with
+    deterministic pixel bytes — the test/bench payload generator."""
+    row = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+    img_size = row * height
+    header = b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    px = bytes((seed + k * 37) % 256 for k in range(img_size))
+    return header + info + px
+
+
+def decode_image_header(p: bytes):
+    """(width, height, channels) from a BMP or binary-PPM payload, or
+    None if the bytes are neither.  Pure stdlib; never raises."""
+    try:
+        if len(p) >= 54 and p[:2] == b"BM":
+            (hdr_size,) = struct.unpack_from("<I", p, 14)
+            if hdr_size < 40:
+                return None  # ancient BITMAPCOREHEADER — not supported
+            w, h = struct.unpack_from("<ii", p, 18)
+            (bpp,) = struct.unpack_from("<H", p, 28)
+            if w <= 0 or h == 0 or bpp not in (8, 24, 32):
+                return None
+            return int(w), abs(int(h)), bpp // 8
+        if p[:2] == b"P6":
+            # header: P6 <ws> width <ws> height <ws> maxval, '#' comments
+            vals, i, tok = [], 2, b""
+            while len(vals) < 3 and i < min(len(p), 256):
+                c = p[i : i + 1]
+                if c == b"#":
+                    while i < len(p) and p[i : i + 1] != b"\n":
+                        i += 1
+                elif c.isdigit():
+                    tok += c
+                elif tok:
+                    vals.append(int(tok))
+                    tok = b""
+                i += 1
+            if len(vals) >= 2 and vals[0] > 0 and vals[1] > 0:
+                return vals[0], vals[1], 3
+        return None
+    except (struct.error, ValueError):
+        return None
 
 
 class ImageDecodeStage:
     """binary payload → (width, height, channels) metadata + optional
-    tiny feature vector.  Deterministic fake when PIL is absent:
-    dimensions derived from payload length, features from byte stats.
-    """
+    tiny feature vector.  BMP / binary-PPM headers are parsed for
+    real; unrecognized payloads get the deterministic fake (dimensions
+    derived from payload length) so arbitrary binaries still flow."""
 
     def __init__(self, bin_col: str = "payload", with_features: bool = False):
         self.bin_col = bin_col
         self.with_features = with_features
-        if _HAVE_PIL:
-            raise NotImplementedError(
-                "real image decode not wired in this sandbox build; "
-                "the deterministic fake is the tested path"
-            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.bin_col].to_pylist()
         n = len(payloads)
         width = np.empty(n, dtype=np.int64)
         height = np.empty(n, dtype=np.int64)
+        channels = np.full(n, 3, dtype=np.int64)
         feats = np.zeros((n, 8), dtype=np.float64) if self.with_features else None
         for i, p in enumerate(payloads):
             nb = len(p)
-            width[i] = 64 + nb % 960
-            height[i] = 64 + (nb * 7) % 960
+            real = decode_image_header(p)
+            if real is not None:
+                width[i], height[i], channels[i] = real
+            else:
+                width[i] = 64 + nb % 960
+                height[i] = 64 + (nb * 7) % 960
             if self.with_features and nb:
                 arr = np.frombuffer(p, dtype=np.uint8)
                 feats[i, :] = [
@@ -58,9 +99,7 @@ class ImageDecodeStage:
                 ]
         batch = batch.append_column("width", pa.array(width))
         batch = batch.append_column("height", pa.array(height))
-        batch = batch.append_column(
-            "channels", pa.array(np.full(n, 3, dtype=np.int64))
-        )
+        batch = batch.append_column("channels", pa.array(channels))
         if self.with_features:
             batch = batch.append_column(
                 "img_feat", pa.array(list(feats), type=pa.list_(pa.float64()))
