@@ -65,6 +65,144 @@ def write_png(path: str, rgb: np.ndarray) -> None:
         f.write(png)
 
 
+# --------------------------------------------------------------------------
+# 5×7 bitmap font (from-scratch; enough for titles, axis + legend labels)
+# --------------------------------------------------------------------------
+
+_FONT = {
+    "0": (0x0E, 0x11, 0x13, 0x15, 0x19, 0x11, 0x0E),
+    "1": (0x04, 0x0C, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "2": (0x0E, 0x11, 0x01, 0x02, 0x04, 0x08, 0x1F),
+    "3": (0x1F, 0x02, 0x04, 0x02, 0x01, 0x11, 0x0E),
+    "4": (0x02, 0x06, 0x0A, 0x12, 0x1F, 0x02, 0x02),
+    "5": (0x1F, 0x10, 0x1E, 0x01, 0x01, 0x11, 0x0E),
+    "6": (0x06, 0x08, 0x10, 0x1E, 0x11, 0x11, 0x0E),
+    "7": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x08, 0x08),
+    "8": (0x0E, 0x11, 0x11, 0x0E, 0x11, 0x11, 0x0E),
+    "9": (0x0E, 0x11, 0x11, 0x0F, 0x01, 0x02, 0x0C),
+    "A": (0x0E, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "B": (0x1E, 0x11, 0x11, 0x1E, 0x11, 0x11, 0x1E),
+    "C": (0x0E, 0x11, 0x10, 0x10, 0x10, 0x11, 0x0E),
+    "D": (0x1C, 0x12, 0x11, 0x11, 0x11, 0x12, 0x1C),
+    "E": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x1F),
+    "F": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x10),
+    "G": (0x0E, 0x11, 0x10, 0x17, 0x11, 0x11, 0x0F),
+    "H": (0x11, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "I": (0x0E, 0x04, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "J": (0x07, 0x02, 0x02, 0x02, 0x02, 0x12, 0x0C),
+    "K": (0x11, 0x12, 0x14, 0x18, 0x14, 0x12, 0x11),
+    "L": (0x10, 0x10, 0x10, 0x10, 0x10, 0x10, 0x1F),
+    "M": (0x11, 0x1B, 0x15, 0x15, 0x11, 0x11, 0x11),
+    "N": (0x11, 0x19, 0x15, 0x13, 0x11, 0x11, 0x11),
+    "O": (0x0E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "P": (0x1E, 0x11, 0x11, 0x1E, 0x10, 0x10, 0x10),
+    "Q": (0x0E, 0x11, 0x11, 0x11, 0x15, 0x12, 0x0D),
+    "R": (0x1E, 0x11, 0x11, 0x1E, 0x14, 0x12, 0x11),
+    "S": (0x0F, 0x10, 0x10, 0x0E, 0x01, 0x01, 0x1E),
+    "T": (0x1F, 0x04, 0x04, 0x04, 0x04, 0x04, 0x04),
+    "U": (0x11, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "V": (0x11, 0x11, 0x11, 0x11, 0x11, 0x0A, 0x04),
+    "W": (0x11, 0x11, 0x11, 0x15, 0x15, 0x1B, 0x11),
+    "X": (0x11, 0x11, 0x0A, 0x04, 0x0A, 0x11, 0x11),
+    "Y": (0x11, 0x11, 0x0A, 0x04, 0x04, 0x04, 0x04),
+    "Z": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x10, 0x1F),
+    ".": (0x00, 0x00, 0x00, 0x00, 0x00, 0x0C, 0x0C),
+    "-": (0x00, 0x00, 0x00, 0x1F, 0x00, 0x00, 0x00),
+    "+": (0x00, 0x04, 0x04, 0x1F, 0x04, 0x04, 0x00),
+    ":": (0x00, 0x0C, 0x0C, 0x00, 0x0C, 0x0C, 0x00),
+    "_": (0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x1F),
+    "(": (0x02, 0x04, 0x08, 0x08, 0x08, 0x04, 0x02),
+    ")": (0x08, 0x04, 0x02, 0x02, 0x02, 0x04, 0x08),
+    "=": (0x00, 0x00, 0x1F, 0x00, 0x1F, 0x00, 0x00),
+    "/": (0x01, 0x01, 0x02, 0x04, 0x08, 0x10, 0x10),
+    " ": (0, 0, 0, 0, 0, 0, 0),
+}
+
+
+def draw_text(img: np.ndarray, x: int, y: int, text, color=(0, 0, 0)) -> np.ndarray:
+    """Stamp 5×7 glyphs (uppercased; unknown chars → space) onto an
+    RGB array in place; silently clips at the edges."""
+    h, w, _ = img.shape
+    for ch in str(text).upper():
+        g = _FONT.get(ch, _FONT[" "])
+        for r in range(7):
+            if not (0 <= y + r < h):
+                continue
+            row = g[r]
+            for c in range(5):
+                if row & (1 << (4 - c)) and 0 <= x + c < w:
+                    img[y + r, x + c] = color
+        x += 6
+    return img
+
+
+def text_width(text) -> int:
+    return 6 * len(str(text))
+
+
+def _compose(
+    heat: np.ndarray,
+    plot_title=None,
+    show_axis: bool = False,
+    axis_ranges=None,
+    legend=None,
+    background=(255, 255, 255),
+) -> np.ndarray:
+    """Assemble the final canvas: optional title band, axis frame +
+    index labels, and a legend (continuous color bar with lo/hi
+    labels, or categorical swatches) — plotRaster's showLegend /
+    plotTitle / showAxis options (R/main.R:791-849)."""
+    h, w, _ = heat.shape
+    pad = 6
+    top = 22 if plot_title is not None else pad
+    bottom = 16 if show_axis else pad
+    left = 8 + (10 if show_axis else 0)
+    legend_w = 0
+    if legend is not None:
+        kind = legend[0]
+        if kind == "continuous":
+            legend_w = 24 + max(text_width(f"{v:.4g}") for v in legend[1:3]) + pad
+        else:
+            legend_w = 24 + max((text_width(lv) for lv, _ in legend[1]), default=0) + pad
+    W = left + w + pad + legend_w
+    H = top + h + bottom
+    canvas = np.full((H, W, 3), background, dtype=np.uint8)
+    canvas[top : top + h, left : left + w] = heat
+    if plot_title is not None:
+        draw_text(canvas, max(pad, (W - text_width(plot_title)) // 2), 7, plot_title)
+    if show_axis:
+        black = (0, 0, 0)
+        canvas[top - 1, left - 1 : left + w + 1] = black
+        canvas[top + h, left - 1 : left + w + 1] = black
+        canvas[top - 1 : top + h + 1, left - 1] = black
+        canvas[top - 1 : top + h + 1, left + w] = black
+        if axis_ranges is not None:
+            (x0, x1), (y0, y1) = axis_ranges
+            draw_text(canvas, left - 1, top + h + 4, f"{x0}")
+            xm = f"{x1}"
+            draw_text(canvas, left + w - text_width(xm), top + h + 4, xm)
+            draw_text(canvas, 1, top + h - 8, f"{y0}")
+            draw_text(canvas, 1, top, f"{y1}")
+    if legend is not None:
+        lx = left + w + pad
+        if legend[0] == "continuous":
+            lo, hi = legend[1], legend[2]
+            bar_h = min(h, 100)
+            ramp = viridis(np.linspace(1.0, 0.0, bar_h))
+            canvas[top : top + bar_h, lx : lx + 12] = ramp[:, None, :]
+            draw_text(canvas, lx + 16, top, f"{hi:.4g}")
+            draw_text(canvas, lx + 16, top + bar_h - 7, f"{lo:.4g}")
+        else:
+            y = top
+            for lv, rgb in legend[1]:
+                canvas[y : y + 8, lx : lx + 8] = rgb
+                draw_text(canvas, lx + 12, y, lv)
+                y += 12
+                if y + 8 > H:
+                    break
+    return canvas
+
+
 def plot_raster(
     pixel_df,
     path: str,
@@ -73,13 +211,18 @@ def plot_raster(
     max_px: int = 800,
     background=(255, 255, 255),
     log_scale: bool = False,
+    plot_title=None,
+    show_legend: bool = False,
+    show_axis: bool = False,
 ):
     """Render a pixel table (pandas DataFrame with ix, iy and value
     columns) to a PNG heatmap.
 
     ``feature_name``: "sum" / "mean" reduce across all ``value_prefix``
     columns (R/main.R:806-808 colSums/colMeans analog); any other name
-    plots that exact column.  Returns (path, width, height).
+    plots that exact column.  ``plot_title`` / ``show_legend`` /
+    ``show_axis`` mirror plotTitle / showLegend / showAxis
+    (R/main.R:791-849).  Returns (path, width, height).
     """
     ix = pixel_df["ix"].to_numpy()
     iy = pixel_df["iy"].to_numpy()
@@ -94,7 +237,13 @@ def plot_raster(
     if log_scale:  # heavy-tailed fills (hot tiles) wash out linearly
         v = np.log1p(np.maximum(v, 0.0))
 
-    return _paint(ix, iy, values=v, path=path, max_px=max_px, background=background)
+    legend = ("continuous", float(v.min()), float(v.max())) if show_legend else None
+    axis_ranges = ((int(ix.min()), int(ix.max())), (int(iy.min()), int(iy.max())))
+    return _paint(
+        ix, iy, values=v, path=path, max_px=max_px, background=background,
+        plot_title=plot_title, show_axis=show_axis, axis_ranges=axis_ranges,
+        legend=legend,
+    )
 
 
 def plot_raster_categorical(
@@ -104,31 +253,43 @@ def plot_raster_categorical(
     factor_levels=None,
     max_px: int = 800,
     background=(255, 255, 255),
+    plot_title=None,
+    show_legend: bool = False,
+    show_axis: bool = False,
 ):
     """Categorical fill (reference ``factor_levels`` + viridis_d,
     R/main.R:820-828): one row per cell with a label column; each
-    level gets an evenly-spaced viridis color.  Returns
+    level gets an evenly-spaced viridis color.  ``factor_levels``
+    also fixes the legend order.  Returns
     (path, width, height, {level: rgb})."""
-    levels = sorted(factor_levels) if factor_levels else sorted(set(pixel_df[cat_col]))
+    levels = list(factor_levels) if factor_levels else sorted(set(pixel_df[cat_col]))
     lut = {
         lv: tuple(int(c) for c in viridis(np.array([k / max(1, len(levels) - 1)]))[0])
         for k, lv in enumerate(levels)
     }
     codes = pixel_df[cat_col].map({lv: k for k, lv in enumerate(levels)}).to_numpy()
     norm = codes / max(1, len(levels) - 1)
+    ixv, iyv = pixel_df["ix"].to_numpy(), pixel_df["iy"].to_numpy()
+    legend = ("categorical", [(lv, lut[lv]) for lv in levels]) if show_legend else None
+    axis_ranges = ((int(ixv.min()), int(ixv.max())), (int(iyv.min()), int(iyv.max())))
     path, w, h = _paint(
-        pixel_df["ix"].to_numpy(),
-        pixel_df["iy"].to_numpy(),
+        ixv,
+        iyv,
         values=norm,
         path=path,
         max_px=max_px,
         background=background,
         prenormalized=True,
+        plot_title=plot_title,
+        show_axis=show_axis,
+        axis_ranges=axis_ranges,
+        legend=legend,
     )
     return path, w, h, lut
 
 
-def _paint(ix, iy, values, path, max_px, background, prenormalized=False):
+def _paint(ix, iy, values, path, max_px, background, prenormalized=False,
+           plot_title=None, show_axis=False, axis_ranges=None, legend=None):
     nx = int(ix.max() - ix.min()) + 1
     ny = int(iy.max() - iy.min()) + 1
     scale = max(1, int(np.ceil(max(nx, ny) / max_px)))
@@ -150,5 +311,10 @@ def _paint(ix, iy, values, path, max_px, background, prenormalized=False):
         up = max(1, max_px // max(nx, ny, 1))
         if up > 1:
             img = np.kron(img, np.ones((up, up, 1), dtype=np.uint8))
+    if plot_title is not None or show_axis or legend is not None:
+        img = _compose(
+            np.ascontiguousarray(img), plot_title=plot_title, show_axis=show_axis,
+            axis_ranges=axis_ranges, legend=legend, background=background,
+        )
     write_png(path, np.ascontiguousarray(img))
     return path, img.shape[1], img.shape[0]

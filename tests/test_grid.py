@@ -93,6 +93,47 @@ def test_pack_unpack_roundtrip():
     np.testing.assert_array_equal(iy2, iy)
 
 
+def test_hex_convention_explicit_deviation_from_sf():
+    """EXPLICIT hex-layout decision (round-2 review item): this engine
+    fixes its own deterministic pointy-top axial convention rather
+    than reproducing sf::st_make_grid(square=FALSE)'s offset layout
+    (/root/reference/R/main.R:118) — sf's hex origin/offset is an
+    implementation detail the reference's own testthat suite never
+    pins (tests/testthat/test-main.R checks structure only), and
+    SURVEY.md §1.1 compares pixel identity on centroids.  A user
+    replaying a reference hex workload gets an equally-valid tiling
+    whose hexes may be offset from sf's; this test pins OUR layout's
+    invariants so any drift is caught:
+
+      * resolution = distance across flats (R/main.R:29-31 semantics)
+      * adjacent same-row centroids are exactly `resolution` apart
+      * adjacent rows are 1.5·R apart vertically, offset W/2
+      * every point maps to its nearest hex centroid
+    """
+    from rayraster.grid import GridSpec
+
+    res = 30.0
+    spec = GridSpec(0.0, 0.0, res, square=False)
+    R = res / np.sqrt(3.0)
+    cx0, cy0 = spec.centroid(np.array([0]), np.array([0]))
+    cx1, cy1 = spec.centroid(np.array([1]), np.array([0]))
+    cxr, cyr = spec.centroid(np.array([0]), np.array([1]))
+    # across-flats spacing within a row
+    assert np.isclose(np.hypot(cx1 - cx0, cy1 - cy0), res)
+    # row offset: +W/2 horizontally, +1.5R vertically
+    assert np.isclose(cxr - cx0, res / 2.0) and np.isclose(cyr - cy0, 1.5 * R)
+    # nearest-centroid assignment over a point cloud
+    rng = np.random.default_rng(7)
+    px = rng.uniform(-100, 100, 300)
+    py = rng.uniform(-100, 100, 300)
+    q, r = spec.assign(px, py)
+    cx, cy = spec.centroid(q, r)
+    d_own = np.hypot(px - cx, py - cy)
+    for dq, dr in [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]:
+        nx, ny = spec.centroid(q + dq, r + dr)
+        assert (d_own <= np.hypot(px - nx, py - ny) + 1e-9).all()
+
+
 def test_pack_cell_id_range_check():
     from rayraster.grid import pack_cell_id
 

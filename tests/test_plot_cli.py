@@ -53,6 +53,48 @@ def test_plot_raster_reductions(tmp_path):
         plot_raster(df[["ix", "iy"]].assign(zz=1.0), str(tmp_path / "r3.png"))
 
 
+def test_plot_options_title_legend_axis(tmp_path):
+    """plotTitle / showLegend / showAxis parity (R/main.R:791-849):
+    the decorated canvas is strictly larger, stays a valid PNG, and
+    the legend actually paints the colormap endpoints."""
+    df = pd.DataFrame(
+        {"ix": [0, 1, 2], "iy": [0, 1, 0], "sum_a": [1.0, 5.0, 3.0]}
+    )
+    _, w0, h0 = plot_raster(df, str(tmp_path / "bare.png"))
+    p, w, h = plot_raster(
+        df, str(tmp_path / "full.png"), plot_title="DENSITY",
+        show_legend=True, show_axis=True,
+    )
+    assert w > w0 and h > h0
+    raw = open(p, "rb").read()
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    iw, ih = struct.unpack(">II", raw[16:24])
+    assert (iw, ih) == (w, h)
+    idat = raw.index(b"IDAT")
+    ln = struct.unpack(">I", raw[idat - 4 : idat])[0]
+    px = np.frombuffer(
+        zlib.decompress(raw[idat + 4 : idat + 4 + ln]), dtype=np.uint8
+    )
+    img = px.reshape(ih, 1 + iw * 3)[:, 1:].reshape(ih, iw, 3)
+    flat = set(map(tuple, img.reshape(-1, 3)))
+    assert (68, 1, 84) in flat and (253, 231, 37) in flat  # legend bar ends
+    assert (0, 0, 0) in flat  # axis frame / text ink
+
+
+def test_plot_categorical_legend_order(tmp_path):
+    from rayraster.plot import plot_raster_categorical
+
+    df = pd.DataFrame(
+        {"ix": [0, 1, 2, 0], "iy": [0, 0, 0, 1], "lang": ["en", "de", "en", "fr"]}
+    )
+    p, w, h, lut = plot_raster_categorical(
+        df, str(tmp_path / "cl.png"), "lang", factor_levels=["fr", "en", "de"],
+        plot_title="LANGS", show_legend=True, show_axis=True,
+    )
+    assert list(lut) == ["fr", "en", "de"]  # factor_levels fixes order
+    assert w > 0 and h > 0 and os.path.getsize(p) > 0
+
+
 def test_cli_end_to_end(tmp_path):
     """synth → rasterize (checkpointed) → plot, through the real CLI."""
     import pyarrow.parquet as pq
