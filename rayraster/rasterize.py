@@ -203,6 +203,35 @@ class _FinalProject:
         return t
 
 
+def _make_combine(value_cols, extra_keys, extra_stats=()):
+    """Pre-shuffle combiner: merge partial rows across many original
+    batches (same algebraic merge as finalize, keyed WITH ``_part``),
+    emitting the exact partial-row schema — run with a large
+    ``batch_size`` so each task folds ~16 map outputs into ≤ one row
+    per live cell before the exchange."""
+    value_cols = list(value_cols)
+    extra_stats = list(extra_stats)
+    keys = ["ix", "iy", *extra_keys, _PART]
+
+    def combine(part: pa.Table) -> pa.Table:
+        aggs = [(f"{c}_sum", "sum") for c in value_cols]
+        for st in extra_stats:
+            aggs += [(f"{c}_{st}", st) for c in value_cols]
+        aggs.append((_PARTIAL_COUNT, "sum"))
+        out = part.group_by(keys).aggregate(aggs)
+        rename = []
+        for c in out.column_names:
+            if c == f"{_PARTIAL_COUNT}_sum":
+                rename.append(_PARTIAL_COUNT)
+            elif c.endswith("_sum_sum") or c.endswith("_min_min") or c.endswith("_max_max"):
+                rename.append(c[: -4])
+            else:
+                rename.append(c)
+        return out.rename_columns(rename)
+
+    return combine
+
+
 def _partial_then_finalize(
     ds: Dataset,
     spec: GridSpec,
@@ -213,6 +242,7 @@ def _partial_then_finalize(
     num_partitions: int,
     batch_size: int | None,
     extra_stats: Sequence[str] = (),
+    combine_batch_size: int | None = 262144,
 ) -> Dataset:
     partial = ds.map_batches(
         _AssignAndPartial(
@@ -222,6 +252,26 @@ def _partial_then_finalize(
         batch_size=batch_size,
         zero_copy_batch=True,
     )
+    if combine_batch_size:
+        # second pre-reduce: per-batch partials compress poorly when
+        # live cells ≈ batch size (measured 2M rows → 1.46M partial
+        # rows at 194k cells); folding ~16 map outputs per combine
+        # task bounds the exchange at ~cells × (rows / combine_batch).
+        # num_cpus deliberately differs (by ε) from the map stage so
+        # Ray does NOT fuse the two operators — fused, each combine
+        # call sees only one map output and folds nothing.  Measured
+        # at 2M rows / 32 cpus: fused wall 7.0s → unfused 4.85s.
+        # ε = 0.01 (not a whole extra CPU): a 2-cpu request starves
+        # small clusters — the 8-cpu scaling leg degraded 2× with
+        # num_cpus=2 because only 4 combine slots fit alongside the
+        # map wave.
+        partial = partial.map_batches(
+            _make_combine(value_cols, extra_keys, extra_stats),
+            batch_format="pyarrow",
+            batch_size=combine_batch_size,
+            zero_copy_batch=True,
+            num_cpus=1.01,
+        )
     # the finalize group_by drops _PART (it only emits grouped keys)
     return partial.groupby(_PART).map_groups(
         _make_finalize_partition(value_cols, extra_keys, extra_stats),
@@ -244,6 +294,7 @@ def rasterize_features(
     num_partitions: int = DEFAULT_PARTITIONS,
     ordered: bool = False,
     extra_stats: Sequence[str] = (),
+    combine_batch_size: int | None = 262144,
 ) -> tuple[Dataset, GridSpec]:
     """Continuous-feature rasterization (``rasterizeGeneExpression``,
     R/main.R:291-375).
@@ -268,7 +319,7 @@ def rasterize_features(
         raise ValueError(f"extra_stats must be within {{'min','max'}}, got {extra_stats}")
     cells = _partial_then_finalize(
         ds, spec, x_col, y_col, value_cols, extra_keys, num_partitions, batch_size,
-        extra_stats,
+        extra_stats, combine_batch_size,
     )
     out = cells.map_batches(
         _FinalProject(spec, value_cols, fun, with_meta),
