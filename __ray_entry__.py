@@ -657,6 +657,35 @@ def _q_ivf_topk(sf_dir: str):
     return out.select(["qid", "vec_id", "rank"])
 
 
+def _q_ivf_persisted(sf_dir: str):
+    """s2's storage twin: the corpus is written bucket-partitioned
+    (hive ``bucket=<b>`` dirs) and the query reads ONLY probed bucket
+    directories — unprobed bytes never leave storage.  Same centroids
+    ⇒ same oracle as s2."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from rayraster.similarity import _normalize, ivf_build_index, ivf_query_index
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    seeds = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", _IVF_SEEDS)],
+    ).to_pandas().sort_values("vec_id")
+    C = _normalize(np.stack(seeds.embedding.values).astype(np.float64))
+    idx = f"/tmp/rayraster_ivf_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(idx, ignore_errors=True)  # write_parquet appends otherwise
+    ivf_build_index(emb, idx, C)
+    qt = seeds[seeds.vec_id < 5]
+    out = ivf_query_index(
+        idx, qt.vec_id.to_numpy(), np.stack(qt.embedding.values), C,
+        k=10, nprobe=_IVF_NPROBE,
+    )
+    return out.select(["qid", "vec_id", "rank"])
+
+
 def _sql_ivf_topk() -> str:
     return f"""WITH c AS (
   SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {_IVF_SEEDS}
@@ -1425,6 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d8b_neardup_cc_distributed": _q_neardup_dedup_distributed,
         "s1_ann_cosine_topk": _q_ann_topk,
         "s2_ivf_ann_topk": _q_ivf_topk,
+        "s2b_ivf_persisted_index": _q_ivf_persisted,
         "t1_token_metrics": _q_token_metrics,
         "t2_quality_score": _q_quality,
         "t3_lang_id": _q_langid,
@@ -1474,6 +1504,7 @@ def oracle_sql() -> dict[str, str]:
         "d8b_neardup_cc_distributed": _sql_neardup_dedup_pipeline(),
         "s1_ann_cosine_topk": _sql_ann_topk(),
         "s2_ivf_ann_topk": _sql_ivf_topk(),
+        "s2b_ivf_persisted_index": _sql_ivf_topk(),
         "t1_token_metrics": _sql_token_metrics(),
         "t2_quality_score": _sql_quality(),
         "t3_lang_id": _sql_langid(),

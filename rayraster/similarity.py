@@ -94,9 +94,20 @@ def brute_topk(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    t = cand.to_arrow_refs()
-    tbl = pa.concat_tables([ray.get(r) for r in t])
-    return _final_topk(tbl, k, id_col)
+    return _final_topk(_collect_candidates(cand, id_col), k, id_col)
+
+
+def _collect_candidates(cand: Dataset, id_col: str) -> pa.Table:
+    """Gather per-batch candidate blocks, skipping the zero-column
+    empty blocks a union boundary can emit (they have no schema and
+    break concat_tables)."""
+    tbls = [t for t in (ray.get(r) for r in cand.to_arrow_refs()) if t.num_columns > 0]
+    if not tbls:
+        return pa.table(
+            {"qid": pa.array([], type=pa.int64()), id_col: pa.array([], type=pa.int64()),
+             "cos": pa.array([], type=pa.float64())}
+        )
+    return pa.concat_tables(tbls)
 
 
 def _final_topk(tbl: pa.Table, k: int, id_col: str) -> pa.Table:
@@ -186,6 +197,85 @@ class IVFAssignStage:
         return batch.append_column("bucket", pa.array(bucket))
 
 
+def ivf_build_index(
+    ds: Dataset,
+    out_dir: str,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Write the corpus bucket-partitioned by nearest centroid
+    (hive-style ``bucket=<b>/`` dirs) — the persisted IVF index.  At
+    query time only probed bucket directories are read (partition
+    pruning), so a probe touches nprobe/C of the corpus bytes instead
+    of filtering all rows post-read."""
+    cref = ray.put(np.asarray(centroids))
+    assigned = ds.map_batches(
+        IVFAssignStage(cref, vec_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    assigned.write_parquet(out_dir, partition_cols=["bucket"])
+    return out_dir
+
+
+def ivf_query_index(
+    index_dir: str,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Top-k over a persisted IVF index: reads ONLY the probed bucket
+    directories (explicit ``bucket=<b>`` path pruning — unprobed
+    buckets' bytes never leave storage), then the same
+    per-query-masked partial top-k as :func:`ivf_topk` — bit-identical
+    results to the in-flight path with the same centroids."""
+    import os
+
+    import ray.data as rd
+
+    C = np.asarray(centroids)
+    n_centroids = len(C)
+    Q = _normalize(np.asarray(query_mat, dtype=np.float64))
+    nprobe = min(nprobe, n_centroids)
+    probe_idx = np.argsort(-(Q @ C.T), kind="stable", axis=1)[:, :nprobe]
+    probe = np.zeros((len(Q), n_centroids), dtype=bool)
+    np.put_along_axis(probe, probe_idx, True, axis=1)
+    wanted = sorted({int(b) for row in probe_idx for b in row})
+    parts = []
+    for b in wanted:
+        bdir = os.path.join(index_dir, f"bucket={b}")
+        if not os.path.isdir(bdir):
+            continue  # empty bucket: no rows assigned
+        d = rd.read_parquet(bdir, columns=[id_col, vec_col])
+        parts.append(
+            d.map_batches(
+                lambda t, _b=b: t.append_column(
+                    "bucket", pa.array(np.full(t.num_rows, _b, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+    if not parts:
+        return pa.table(
+            {"qid": pa.array([], type=pa.int64()), id_col: pa.array([], type=pa.int64()),
+             "rank": pa.array([], type=pa.int64()), "cos": pa.array([], type=pa.float64())}
+        )
+    sub = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    qref = ray.put({"ids": np.asarray(query_ids), "mat": Q, "probe": probe})
+    cand = sub.map_batches(
+        _BatchTopK(qref, k, vec_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _final_topk(_collect_candidates(cand, id_col), k, id_col)
+
+
 def ivf_topk(
     ds: Dataset,
     query_ids: np.ndarray,
@@ -234,5 +324,4 @@ def ivf_topk(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    tbl = pa.concat_tables([ray.get(r) for r in cand.to_arrow_refs()])
-    return _final_topk(tbl, k, id_col)
+    return _final_topk(_collect_candidates(cand, id_col), k, id_col)

@@ -118,6 +118,35 @@ def test_kmeans_centroids_train_and_improve(ray_session):
     assert ivf_objective(mat, C2) > ivf_objective(mat, seeded_centroids(32, 6))
 
 
+def test_ivf_persisted_index_matches_inflight(ray_session, tmp_path):
+    """Bucket-partitioned index on disk: querying it (partition-pruned
+    read of only probed buckets) must return bit-identical top-k to
+    the in-flight ivf_topk with the same centroids — and the read must
+    actually prune (touch fewer rows than the corpus)."""
+    from rayraster.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+        kmeans_centroids,
+    )
+
+    ds, mat = _emb_ds(400, 32)
+    C = kmeans_centroids(ds, 8, iters=4)
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(ds, idx, C)
+    qids = np.arange(3)
+    inflight = ivf_topk(ds, qids, mat[:3], k=7, nprobe=3, dim=32, centroids=C).to_pandas()
+    persisted = ivf_query_index(idx, qids, mat[:3], C, k=7, nprobe=3).to_pandas()
+    pd.testing.assert_frame_equal(
+        inflight.sort_values(["qid", "rank"]).reset_index(drop=True),
+        persisted.sort_values(["qid", "rank"]).reset_index(drop=True),
+    )
+    # pruning: each bucket dir holds only its slice of the corpus
+    import ray.data as rd
+
+    probed = rd.read_parquet(str(tmp_path / "ivf" / "bucket=0")).count()
+    assert 0 < probed < 400
+
+
 def test_ivf_trained_centroids_recall(ray_session):
     """Trained centroids must not regress recall vs the brute answer
     (the kmeans-centroid scale path of ivf_topk)."""
