@@ -1149,6 +1149,60 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1"""
 
 
+def _q_salted_join(sf_dir: str):
+    """Skew-aware bucket join: ~1/3 of left rows are remapped to ONE
+    hot key, which the salted path spreads across 8 sub-buckets
+    (right side replicated 8×) — output must equal the plain SQL
+    join, proving salting changes the distribution, not the answer."""
+    import pyarrow.compute as _pc
+
+    from rayraster.agg import distinct, hash_aggregate
+    from rayraster.join import bucket_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
+
+    def remap(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        k = np.where(eid % 3 == 0, 1, uid)
+        return pa.table({"k": pa.array(k), "value": t["value"]})
+
+    left = ev.map_batches(remap, batch_format="pyarrow")
+    users = distinct(ev.select_columns(["user_id"]), ["user_id"])
+    right = users.map_batches(
+        lambda t: pa.table({"k": t["user_id"], "uscore": _pc.multiply(t["user_id"], 7)}),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(
+        left, right, "k", "k", num_buckets=32, salt=8, hot_keys=[1],
+        left_schema=pa.schema([("k", pa.int64()), ("value", pa.float64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("uscore", pa.int64())]),
+    )
+
+    def kb(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "kb", pa.array(t["k"].to_numpy(zero_copy_only=False) % 10)
+        )
+
+    return hash_aggregate(
+        joined.map_batches(kb, batch_format="pyarrow"),
+        ["kb"], sum_cols=["uscore"], min_cols=["value"], max_cols=["value"], count=True,
+    )
+
+
+def _sql_salted_join() -> str:
+    return """WITH l AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN 1 ELSE user_id END AS k, value
+  FROM events
+),
+r AS (SELECT DISTINCT user_id FROM events),
+r2 AS (SELECT user_id AS k, user_id * 7 AS uscore FROM r),
+j AS (SELECT l.k, l.value, r2.uscore FROM l JOIN r2 ON l.k = r2.k)
+SELECT k % 10 AS kb, CAST(SUM(uscore) AS BIGINT) AS sum_uscore,
+       min(value) AS min_value, max(value) AS max_value, COUNT(*) AS n
+FROM j GROUP BY 1"""
+
+
 def _q_asof_join(sf_dir: str):
     """As-of join: each click joined to the user's most recent prior
     (inclusive) purchase — hash-partitioned merge_asof, oracle is
@@ -1466,6 +1520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t6_json_extract": _q_json_extract,
         "j1_broadcast_join": _q_join,
         "j2_bucket_join": _q_bucket_join,
+        "j2b_salted_skew_join": _q_salted_join,
         "j3_asof_join": _q_asof_join,
         "j4_range_join": _q_range_join,
         "d6_distinct_users": _q_distinct_users,
@@ -1516,6 +1571,7 @@ def oracle_sql() -> dict[str, str]:
         "t6_json_extract": _sql_json_extract(),
         "j1_broadcast_join": _sql_join(),
         "j2_bucket_join": _sql_bucket_join(),
+        "j2b_salted_skew_join": _sql_salted_join(),
         "j3_asof_join": _sql_asof_join(),
         "j4_range_join": _sql_range_join(),
         "d6_distinct_users": _sql_distinct_users(),

@@ -68,6 +68,32 @@ def broadcast_join(
     )
 
 
+def detect_hot_keys(
+    ds: Dataset, key: str, num_buckets: int, sample_rows: int = 65536
+) -> list:
+    """Keys whose sampled frequency would overload one bucket: a
+    bounded prefix sample (a key hot enough to skew a bucket is hot in
+    any prefix), counted vectorized; threshold = 2× the even-spread
+    share.  Missing a hot key only costs balance, never correctness."""
+    import collections
+
+    import pyarrow.compute as pc
+
+    counts: collections.Counter = collections.Counter()
+    seen = 0
+    for t in ds.select_columns([key]).limit(sample_rows).iter_batches(
+        batch_format="pyarrow", batch_size=16384
+    ):
+        vc = t[key].value_counts()
+        for rec in vc.to_pylist():
+            counts[rec["values"]] += rec["counts"]
+        seen += t.num_rows
+    if not seen:
+        return []
+    thresh = max(2 * seen / num_buckets, 2)
+    return [k for k, c in counts.items() if c >= thresh]
+
+
 def bucket_join(
     left: Dataset,
     right: Dataset,
@@ -77,6 +103,8 @@ def bucket_join(
     join_type: str = "inner",
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    salt: int = 1,
+    hot_keys=None,
 ) -> Dataset:
     """Large × large equi-join: the explicit partitioned hash join —
     add ``bucket = hash(key) % B`` to BOTH sides, tag the side, union,
@@ -84,9 +112,15 @@ def bucket_join(
     with pyarrow's C++ hash join.  No broadcast; both sides stream.
 
     Output: left columns + right columns (right key dropped; name
-    collisions suffixed ``_r``).  A single hot KEY still lands in one
-    bucket — salt or pre-aggregate a dominating key upstream
-    (SURVEY.md §4).
+    collisions suffixed ``_r``).
+
+    **Hot-key salting** (``salt`` > 1): rows of the listed
+    ``hot_keys`` (or ``hot_keys="auto"`` → :func:`detect_hot_keys` on
+    a bounded left sample) are spread across ``salt`` sub-buckets on
+    the left and REPLICATED ``salt``× on the right, so one dominating
+    key no longer lands in a single reduce bucket.  Each left row
+    still meets every right row of its key exactly once ⇒ output is
+    identical to the unsalted join.  Non-hot keys pay nothing.
 
     ``left_schema`` / ``right_schema``: pass the (known) schema when a
     side's lineage contains a shuffle — ``Dataset.schema()`` on such a
@@ -97,6 +131,10 @@ def bucket_join(
 
     l_schema = left.schema() if left_schema is None else left_schema
     r_schema = right.schema() if right_schema is None else right_schema
+    if salt > 1 and isinstance(hot_keys, str) and hot_keys == "auto":
+        hot_keys = detect_hot_keys(left, left_key, num_buckets)
+    use_salt = salt > 1 and bool(hot_keys)
+    hot_set = pa.array(sorted(set(hot_keys))) if use_salt else None
     left_cols = list(l_schema.names)
     right_cols = list(r_schema.names)
     types = {**dict(zip(r_schema.names, r_schema.types)),
@@ -105,14 +143,23 @@ def bucket_join(
     right_carry = [c for c in right_cols if c != right_key]
     all_cols = [*left_cols, *right_carry]
 
-    def bucket_of(keys: pa.ChunkedArray) -> np.ndarray:
+    def bucket_of(keys: pa.ChunkedArray, salt_ids: np.ndarray | None = None) -> np.ndarray:
         if pa.types.is_integer(keys.type):
             kv = keys.to_numpy(zero_copy_only=False).astype(np.int64)
         else:
             from rayraster.geo import fnv1a64
 
             kv = fnv1a64([str(v) for v in keys.to_pylist()]).view(np.int64)
-        return np.abs(kv * np.int64(2654435761)) % np.int64(num_buckets)
+        h = kv * np.int64(2654435761)
+        if salt_ids is not None:
+            h = h ^ (salt_ids * np.int64(0x9E37))
+        return np.abs(h) % np.int64(num_buckets)
+
+    def _hot_mask(keys) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        m = pc.is_in(keys, value_set=hot_set)
+        return m.to_numpy(zero_copy_only=False).astype(bool)
 
     def unify(side_is_left: bool):
         def fn(t: pa.Table) -> pa.Table:
@@ -136,9 +183,34 @@ def bucket_join(
                         )
                     cols[name] = pa.nulls(t.num_rows, type=typ)
             out = pa.table(cols)
-            out = out.append_column("_bucket", pa.array(bucket_of(t[key])))
+            keys_arr = t[key].combine_chunks() if t.num_rows else t[key]
+            salt_ids = None
+            if use_salt:
+                hot = _hot_mask(keys_arr)
+                n = t.num_rows
+                if side_is_left:
+                    # spread hot left rows across salt sub-buckets
+                    # (which sub-bucket is irrelevant to correctness)
+                    salt_ids = np.where(hot, np.arange(n, dtype=np.int64) % salt, 0)
+                else:
+                    # replicate hot right rows once per sub-bucket
+                    hot_idx = np.flatnonzero(hot)
+                    if len(hot_idx):
+                        take = np.concatenate(
+                            [np.arange(n, dtype=np.int64),
+                             np.repeat(hot_idx, salt - 1)]
+                        )
+                        salt_ids = np.concatenate(
+                            [np.zeros(n, dtype=np.int64),
+                             np.tile(np.arange(1, salt, dtype=np.int64), len(hot_idx))]
+                        )
+                        out = out.take(pa.array(take))
+                        keys_arr = keys_arr.take(pa.array(take))
+                    else:
+                        salt_ids = np.zeros(n, dtype=np.int64)
+            out = out.append_column("_bucket", pa.array(bucket_of(keys_arr, salt_ids)))
             return out.append_column(
-                "_side_l", pa.array(np.full(t.num_rows, side_is_left))
+                "_side_l", pa.array(np.full(out.num_rows, side_is_left))
             )
 
         return fn

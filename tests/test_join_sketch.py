@@ -109,6 +109,40 @@ def test_asof_join_matches_pandas(ray_session):
     assert out.value_r.tolist() == [10.0, 20.0, 30.0]
 
 
+def test_bucket_join_salted_hot_key(ray_session):
+    """One key holding 40% of the left side: the salted join must give
+    identical output to the unsalted join (and to pandas), with hot
+    rows spread across salt sub-buckets and right hot rows replicated."""
+    rng = np.random.default_rng(3)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.4, 7, rng.integers(0, 500, n))
+    left = pd.DataFrame({"k": keys, "lv": np.arange(n)})
+    right = pd.DataFrame({"k": np.arange(500), "rv": np.arange(500) * 3})
+    want = left.merge(right, on="k").sort_values(["k", "lv"]).reset_index(drop=True)
+
+    for kwargs in (
+        {},
+        {"salt": 8, "hot_keys": [7]},
+        {"salt": 8, "hot_keys": "auto"},
+    ):
+        got = (
+            bucket_join(rd.from_pandas(left), rd.from_pandas(right), "k", "k",
+                        num_buckets=16, **kwargs)
+            .to_pandas()
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["k", "lv", "rv"]], want[["k", "lv", "rv"]])
+
+
+def test_detect_hot_keys(ray_session):
+    from rayraster.join import detect_hot_keys
+
+    df = pd.DataFrame({"k": [9] * 5000 + list(range(1000))})
+    hot = detect_hot_keys(rd.from_pandas(df), "k", num_buckets=16)
+    assert hot == [9]
+
+
 def test_asof_join_null_carry_and_carry_less_right(ray_session):
     """Inner semantics must use the match indicator, not a data
     column: a matched right row whose carry value is NULL is KEPT, and
