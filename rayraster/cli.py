@@ -94,14 +94,18 @@ def cmd_dedup(args) -> int:
     """Dedup a parquet corpus: exact (content hash) or near (MinHash →
     verified pairs → connected components); writes the keep-list
     parquet + a JSON summary line."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
     import ray.data as rd
 
     from rayraster.dedup import (
-        connected_components,
-        dedup_keep_from_clusters,
+        connected_components_distributed,
         exact_dedup_keep_ids,
         minhash_lsh_pairs,
     )
+    from rayraster.join import semi_join_filter
 
     _init_ray(args.num_cpus)
     files = sorted(glob.glob(args.input))
@@ -114,23 +118,26 @@ def cmd_dedup(args) -> int:
         keep = exact_dedup_keep_ids(ds, args.text_col, args.id_col)
     else:
         pairs = minhash_lsh_pairs(
-            ds, args.text_col, args.id_col, threshold=args.threshold
+            ds, args.text_col, args.id_col, threshold=args.threshold,
+            verify_mode=args.verify_mode,
         ).select_columns(["a", "b"])
-        clusters = connected_components(pairs)
-        cluster_nodes = set(clusters["node"].to_pylist())
-        reps = set(dedup_keep_from_clusters(clusters)[args.id_col].to_pylist())
-
-        def keep_fn(t):
-            import pyarrow.compute as pc
-            import numpy as np
-
-            ids = t[args.id_col].to_numpy(zero_copy_only=False)
-            mask = np.array(
-                [i not in cluster_nodes or i in reps for i in ids.tolist()]
-            )
-            return t.filter(__import__("pyarrow").array(mask)).select([args.id_col])
-
-        keep = ds.map_batches(keep_fn, batch_format="pyarrow")
+        clusters = connected_components_distributed(pairs)
+        # losers = nodes whose cluster label is another doc; the loser
+        # list is bounded by the duplicate count (≪ corpus), so a
+        # broadcast anti-join is the right shape for the final filter
+        losers = clusters.map_batches(
+            lambda t: t.filter(pc.not_equal(t["node"], t["cluster"])).select(["node"]),
+            batch_format="pyarrow",
+        )
+        loser_tbls = [
+            t for t in (ray.get(r) for r in losers.to_arrow_refs()) if t.num_columns
+        ]
+        drop_ids = (
+            pa.concat_tables(loser_tbls)["node"].to_pylist() if loser_tbls else []
+        )
+        keep = semi_join_filter(ds, drop_ids, args.id_col, invert=True).map_batches(
+            lambda t: t.select([args.id_col]), batch_format="pyarrow"
+        )
     import shutil
 
     shutil.rmtree(args.out, ignore_errors=True)
@@ -155,7 +162,8 @@ def cmd_plot(args) -> int:
     _init_ray(args.num_cpus)
     pdf = rd.read_parquet(args.pixels).to_pandas()
     path, w, h = plot_raster(
-        pdf, args.png, feature_name=args.feature, log_scale=args.log_scale
+        pdf, args.png, feature_name=args.feature, log_scale=args.log_scale,
+        plot_title=args.title, show_legend=args.legend, show_axis=args.axis,
     )
     print(json.dumps({"png": path, "width": w, "height": h, "pixels": len(pdf)}))
     return 0
@@ -193,6 +201,8 @@ def main(argv=None) -> int:
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--text-col", default="text")
     d.add_argument("--threshold", type=float, default=0.8)
+    d.add_argument("--verify-mode", choices=["auto", "broadcast", "partitioned"],
+                   default="auto")
     d.set_defaults(fn=cmd_dedup)
 
     g = sub.add_parser("plot", help="render a pixel table to PNG")
@@ -200,6 +210,9 @@ def main(argv=None) -> int:
     g.add_argument("--png", required=True)
     g.add_argument("--feature", default="sum")
     g.add_argument("--log-scale", action="store_true")
+    g.add_argument("--title", default=None)
+    g.add_argument("--legend", action="store_true")
+    g.add_argument("--axis", action="store_true")
     g.set_defaults(fn=cmd_plot)
 
     args = p.parse_args(argv)

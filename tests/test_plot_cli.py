@@ -169,6 +169,45 @@ def test_cli_dedup(tmp_path):
     assert sorted(kept.doc_id) == list(range(50))
 
 
+def test_cli_dedup_minhash_partitioned(tmp_path):
+    """Near-dup CLI path: distributed CC + vectorized anti-filter,
+    partitioned verify — the exactly-one-survivor-per-cluster
+    invariant over a corpus with perturbed copies."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    rng = np.random.default_rng(17)
+    words = [f"tok{k:03d}" for k in range(500)]
+    rows = []
+    for i in range(60):
+        text = " ".join(rng.choice(words, size=90))
+        rows.append({"doc_id": i, "text": text})
+        if i % 2 == 0:
+            rows.append({"doc_id": i + 5000, "text": text + " zz9y"})
+    pq.write_table(
+        pa.table({"doc_id": [r["doc_id"] for r in rows],
+                  "text": [r["text"] for r in rows]}),
+        str(corpus / "d.parquet"),
+    )
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "dedup", "--input", str(corpus / "*.parquet"),
+         "--out", str(tmp_path / "keep"), "--method", "minhash",
+         "--threshold", "0.8", "--verify-mode", "partitioned"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rows_in"] == 90 and summary["rows_kept"] == 60
+    kept = pq.read_table(str(tmp_path / "keep")).to_pandas()
+    assert sorted(kept.doc_id) == list(range(60))  # originals win (min id)
+
+
 def test_training_pipeline_example(tmp_path):
     """The examples/ flagship composition runs end-to-end."""
     env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
