@@ -49,7 +49,11 @@ from rayraster.agg import distinct, hash_aggregate
 
 
 def add_content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "_h") -> pa.Table:
-    h = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in batch[text_col].to_pylist()]
+    # cast-to-binary hands hashlib the utf-8 buffers directly (no
+    # str decode + re-encode per row); md5 itself is oracle-bound
+    # (DuckDB md5() twin)
+    data = batch[text_col].cast(pa.binary()).to_pylist()
+    h = [hashlib.md5(b).hexdigest() for b in data]
     return batch.append_column(out_col, pa.array(h, type=pa.string()))
 
 

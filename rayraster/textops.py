@@ -196,8 +196,11 @@ def json_extract_int(batch: pa.Table, json_col: str, key: str, out_col: str) -> 
 
 
 def fingerprint_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Hex md5 per document — SQL twin: duckdb ``md5(text)``."""
-    fp = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in batch[text_col].to_pylist()]
+    """Hex md5 per document — SQL twin: duckdb ``md5(text)``.  The
+    binary cast hands hashlib the utf-8 buffers without a str
+    decode/encode round-trip."""
+    data = batch[text_col].cast(pa.binary()).to_pylist()
+    fp = [hashlib.md5(b).hexdigest() for b in data]
     return batch.append_column("fingerprint", pa.array(fp, type=pa.string()))
 
 
