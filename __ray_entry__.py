@@ -1015,6 +1015,32 @@ SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k,
 FROM p GROUP BY 1"""
 
 
+_QUANTILE_QS = (0.01, 0.25, 0.5, 0.75, 0.99)
+
+
+def _q_exact_quantiles(sf_dir: str):
+    """Exact distributed order statistics with NO shuffle: iterative
+    histogram refinement (one fixed-size bin blob per batch per
+    round, all ranks sharing each pass) — the quantile path that
+    still works at 10^12 rows.  Values are actual elements, so the
+    quantile_disc oracle is bit-exact."""
+    from rayraster.agg import exact_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    vals = exact_quantiles(ev, "value", list(_QUANTILE_QS))
+    return pa.table(
+        {"q": pa.array(list(_QUANTILE_QS), type=pa.float64()),
+         "value": pa.array(vals, type=pa.float64())}
+    )
+
+
+def _sql_exact_quantiles() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT {q!r} AS q, quantile_disc(value, {q!r}) AS value FROM events"
+        for q in _QUANTILE_QS
+    )
+
+
 def _q_window(sf_dir: str):
     from rayraster.windows import tumbling_aggregate
 
@@ -1088,6 +1114,37 @@ FROM events"""
 SELECT event_type, "window", min(value) AS min_value, max(value) AS max_value,
        COUNT(*) AS n
 FROM fan GROUP BY 1, 2"""
+
+
+_W4_DELAY = 1_800_000_000  # 30 min allowed lateness
+
+
+def _q_watermark_window(sf_dir: str):
+    """Streaming-window semantics replayed batch: rows whose event
+    time is more than 30 min behind the watermark (max event time of
+    earlier ARRIVALS, arrival = event_id order) are dropped before the
+    tumbling aggregate.  The watermark is a distributed prefix scan —
+    no global sort; driver state is one int64 per chunk."""
+    from rayraster.windows import watermark_tumbling
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
+    )
+    out = watermark_tumbling(ev, delay_us=_W4_DELAY)
+    return out.select_columns(["event_type", "window", "min_value", "max_value", "n"])
+
+
+def _sql_watermark_window() -> str:
+    return f"""WITH m AS (
+  SELECT event_type, value, epoch_us(ts) AS ts_us,
+         max(epoch_us(ts)) OVER (ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events
+),
+k AS (SELECT * FROM m WHERE wm IS NULL OR ts_us >= wm - {_W4_DELAY})
+SELECT event_type, ts_us // 3600000000 AS "window",
+       min(value) AS min_value, max(value) AS max_value, COUNT(*) AS n
+FROM k GROUP BY 1, 2"""
 
 
 def _q_session_windows(sf_dir: str):
@@ -1516,8 +1573,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "w1_tumbling_window": _q_window,
         "w2_sliding_window": _q_sliding_window,
         "w3_session_windows": _q_session_windows,
+        "w4_watermark_window": _q_watermark_window,
         "t5_grouped_topk": _q_grouped_topk,
         "t6_json_extract": _q_json_extract,
+        "t7_exact_quantiles": _q_exact_quantiles,
         "j1_broadcast_join": _q_join,
         "j2_bucket_join": _q_bucket_join,
         "j2b_salted_skew_join": _q_salted_join,
@@ -1567,8 +1626,10 @@ def oracle_sql() -> dict[str, str]:
         "w1_tumbling_window": _sql_window(),
         "w2_sliding_window": _sql_sliding_window(),
         "w3_session_windows": _sql_session_windows(),
+        "w4_watermark_window": _sql_watermark_window(),
         "t5_grouped_topk": _sql_grouped_topk(),
         "t6_json_extract": _sql_json_extract(),
+        "t7_exact_quantiles": _sql_exact_quantiles(),
         "j1_broadcast_join": _sql_join(),
         "j2_bucket_join": _sql_bucket_join(),
         "j2b_salted_skew_join": _sql_salted_join(),

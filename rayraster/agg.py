@@ -132,6 +132,144 @@ def deterministic_sample(
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def exact_quantiles(
+    ds: Dataset,
+    col: str,
+    qs: Sequence[float],
+    num_bins: int = 4096,
+    collect_threshold: int = 262144,
+    max_rounds: int = 64,
+) -> list[float]:
+    """EXACT order statistics of a numeric column at any scale with NO
+    shuffle: iterative histogram refinement.
+
+    Rank semantics: ``k = ceil(n·q) − 1`` 0-based (clamped to
+    [0, n−1]) — empirically identical to DuckDB ``quantile_disc`` and
+    to SQL ``ORDER BY col LIMIT 1 OFFSET k``.
+
+    Shape: each round is one streaming map-only pass emitting ONE
+    fixed-size bin-count blob per batch (num_bins × 8 B); the driver
+    folds blobs and narrows each target rank to one bin.  All ranks
+    refine in the SAME pass (shared histograms over per-rank
+    intervals).  When a rank's bin holds ≤ ``collect_threshold`` rows
+    (or the interval stops shrinking — duplicate mass), a final filter
+    pass collects just those candidate rows and selects the k-th
+    locally.  Rounds needed ≈ log_B(range/precision): 2–3 for doubles
+    at the default 4096 bins.  Driver state: num_bins × |qs| counters.
+    """
+    qs = list(qs)
+
+    def _bins_of(v: np.ndarray, lo: float, hi: float) -> np.ndarray:
+        w = hi - lo
+        if w <= 0:
+            return np.zeros(len(v), dtype=np.int64)
+        return np.clip(((v - lo) * (num_bins / w)).astype(np.int64), 0, num_bins - 1)
+
+    def _mask_for(v: np.ndarray, path) -> np.ndarray:
+        # membership via the SAME bin function that counted the rows —
+        # recomputing interval bounds in floats would let boundary rows
+        # drift between rounds and corrupt the rank accounting
+        m = np.ones(len(v), dtype=bool)
+        for lo, hi, b in path:
+            m &= _bins_of(v, lo, hi) == b
+        return m
+
+    def stats_batch(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(v) == 0:
+            return pa.table({"lo": pa.array([], type=pa.float64()),
+                             "hi": pa.array([], type=pa.float64()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table({"lo": [float(v.min())], "hi": [float(v.max())],
+                         "n": [int(len(v))]})
+
+    gmin, gmax, n = np.inf, -np.inf, 0
+    for t in ds.map_batches(stats_batch, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        for lo, hi, cnt in zip(t["lo"].to_pylist(), t["hi"].to_pylist(), t["n"].to_pylist()):
+            gmin, gmax, n = min(gmin, lo), max(gmax, hi), n + cnt
+    if n == 0:
+        raise ValueError("exact_quantiles on an empty dataset")
+
+    # path = list of (lo, hi, chosen_bin) refinement levels; the live
+    # interval of the deepest level is subdivided next round
+    states = [
+        {"path": [], "lo": gmin, "hi": gmax,
+         "k": min(max(int(np.ceil(n * q)) - 1, 0), n - 1),
+         "val": None, "collect": False}
+        for q in qs
+    ]
+
+    for _ in range(max_rounds):
+        act = [i for i, s in enumerate(states) if s["val"] is None and not s["collect"]]
+        if not act:
+            break
+        specs = [(tuple(states[i]["path"]), states[i]["lo"], states[i]["hi"])
+                 for i in act]
+
+        def hist_batch(t: pa.Table, _specs=specs) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            blobs = []
+            for path, lo, hi in _specs:
+                m = _mask_for(v, path)
+                counts = np.bincount(
+                    _bins_of(v[m], lo, hi), minlength=num_bins
+                ).astype(np.int64)
+                blobs.append(counts)
+            return pa.table({"h": pa.array([np.concatenate(blobs).tobytes()],
+                                           type=pa.binary())})
+
+        total = np.zeros(len(act) * num_bins, dtype=np.int64)
+        for t in ds.map_batches(hist_batch, batch_format="pyarrow",
+                                zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+            for blob in t["h"].to_pylist():
+                total += np.frombuffer(blob, dtype=np.int64)
+        for j, i in enumerate(act):
+            s = states[i]
+            counts = total[j * num_bins : (j + 1) * num_bins]
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, s["k"] + 1))
+            below = int(cum[b - 1]) if b else 0
+            s["k"] -= below
+            w = s["hi"] - s["lo"]
+            new_lo = s["lo"] + b * (w / num_bins)
+            new_hi = s["hi"] if b == num_bins - 1 else s["lo"] + (b + 1) * (w / num_bins)
+            s["path"].append((s["lo"], s["hi"], b))
+            s["lo"], s["hi"] = new_lo, new_hi
+            if counts[b] <= collect_threshold or (new_hi - new_lo) >= w or new_hi == new_lo:
+                s["collect"] = True
+    pending = [i for i, s in enumerate(states) if s["val"] is None]
+    if any(not states[i]["collect"] for i in pending):
+        raise RuntimeError(f"exact_quantiles did not converge in {max_rounds} rounds")
+    if pending:
+        paths = [tuple(states[i]["path"]) for i in pending]
+
+        def collect_batch(t: pa.Table, _paths=paths) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            tags, vals = [], []
+            for j, path in enumerate(_paths):
+                m = _mask_for(v, path)
+                vals.append(v[m])
+                tags.append(np.full(int(m.sum()), j, dtype=np.int64))
+            return pa.table({"tag": pa.array(np.concatenate(tags)),
+                             "v": pa.array(np.concatenate(vals))})
+
+        buf: dict[int, list[np.ndarray]] = {j: [] for j in range(len(pending))}
+        for t in ds.map_batches(collect_batch, batch_format="pyarrow",
+                                zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+            tg = t["tag"].to_numpy(zero_copy_only=False)
+            vv = t["v"].to_numpy(zero_copy_only=False)
+            for j in range(len(pending)):
+                buf[j].append(vv[tg == j])
+        for j, i in enumerate(pending):
+            cand = np.concatenate(buf[j]) if buf[j] else np.zeros(0)
+            s = states[i]
+            if len(cand) == 0:
+                raise RuntimeError("exact_quantiles: empty candidate interval")
+            s["val"] = float(np.partition(cand, s["k"])[s["k"]])
+    return [s["val"] for s in states]
+
+
 def grouped_topk(
     ds: Dataset,
     keys: Sequence[str],

@@ -100,6 +100,113 @@ def sliding_aggregate(
     )
 
 
+def add_late_flag(
+    ds: Dataset,
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    delay_us: int = 1_800_000_000,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Event-time late-data detection over an arrival log — the
+    watermark semantics of a streaming engine, replayed batch.
+
+    Arrival order = ``order_col`` (the ingest sequence, unique).  The
+    watermark before row i is the max event-time seen over all rows
+    that ARRIVED earlier, minus ``delay_us``; a row is ``late`` iff
+    its own event time is below that.  SQL twin:
+    ``ts_us < max(ts_us) OVER (ORDER BY order ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING) - delay``.
+
+    Distributed prefix scan (a global running max with no global
+    sort): range-partition the arrival axis into contiguous chunks,
+    per-chunk max (one grouped aggregate), prefix-fold the P chunk
+    maxes on the driver (the ONLY driver state: P int64s), then one
+    vectorized shifted-cummax per chunk seeded with its prefix.
+    Output: input columns + ``ts_us`` + ``late`` (bool)."""
+    import ray
+
+    _MIN = np.iinfo(np.int64).min
+
+    def stats(t: pa.Table) -> pa.Table:
+        o = t[order_col].to_numpy(zero_copy_only=False)
+        if len(o) == 0:
+            return pa.table({"lo": pa.array([], type=pa.int64()),
+                             "hi": pa.array([], type=pa.int64())})
+        return pa.table({"lo": [int(o.min())], "hi": [int(o.max())]})
+
+    lo, hi = None, None
+    for t in ds.map_batches(stats, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        for a, b in zip(t["lo"].to_pylist(), t["hi"].to_pylist()):
+            lo = a if lo is None else min(lo, a)
+            hi = b if hi is None else max(hi, b)
+    if lo is None:
+        return ds
+    chunk = max((hi - lo + num_partitions) // num_partitions, 1)
+
+    def tag(t: pa.Table) -> pa.Table:
+        o = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = (
+            t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        t = t.append_column("ts_us", pa.array(us))
+        return t.append_column("_wpart", pa.array((o - lo) // chunk))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    part_max = hash_aggregate(
+        tagged, ["_wpart"], max_cols=["ts_us"], count=False,
+        num_partitions=num_partitions,
+    ).to_pandas()  # ≤ num_partitions rows — the prefix fold input
+    part_max = part_max.sort_values("_wpart")
+    seeds = {}
+    running = _MIN
+    for p, m in zip(part_max["_wpart"], part_max["max_ts_us"]):
+        seeds[int(p)] = running
+        running = max(running, int(m))
+    seeds_ref = ray.put(seeds)
+
+    def scan(group: pa.Table) -> pa.Table:
+        s = ray.get(seeds_ref)
+        group = group.sort_by([(order_col, "ascending")])
+        us = group["ts_us"].to_numpy(zero_copy_only=False)
+        n = len(us)
+        seed = s.get(int(group["_wpart"][0].as_py()), _MIN)
+        wm = np.maximum.accumulate(np.concatenate([[np.int64(seed)], us[:-1]]))
+        late = np.zeros(n, dtype=bool)
+        valid = wm != _MIN  # rows with no prior arrival have no watermark
+        late[valid] = us[valid] < wm[valid] - np.int64(delay_us)
+        group = group.append_column("late", pa.array(late))
+        return group.drop_columns(["_wpart"])
+
+    return tagged.groupby("_wpart").map_groups(scan, batch_format="pyarrow")
+
+
+def watermark_tumbling(
+    ds: Dataset,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    window_us: int = 3_600_000_000,
+    delay_us: int = 1_800_000_000,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Tumbling windows over on-time rows only: rows arriving after
+    the watermark passed their event time (by > delay) are dropped —
+    what a streaming engine's window operator emits at close."""
+    import pyarrow.compute as pc
+
+    flagged = add_late_flag(ds, ts_col, order_col, delay_us, num_partitions)
+    on_time = flagged.map_batches(
+        lambda t: t.filter(pc.invert(t["late"])), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return tumbling_aggregate(
+        on_time, key_col, ts_col, value_col, window_us, num_partitions
+    )
+
+
 def session_windows(
     ds: Dataset,
     key_col: str = "user_id",

@@ -73,3 +73,92 @@ def test_grouped_topk_ascending(ray_session):
         rd.from_pandas(df), ["g"], "v", k=2, descending=False, tie_col="id"
     ).to_pandas()
     assert sorted(out.v) == [1, 2]
+
+
+def test_exact_quantiles_matches_numpy(ray_session):
+    """Histogram-refinement order statistics vs a local sort, across
+    distributions that stress the refinement: uniform floats, heavy
+    duplicates, skewed integers, and a tiny corpus."""
+    from rayraster.agg import exact_quantiles
+
+    rng = np.random.default_rng(23)
+    cases = [
+        rng.uniform(-1000, 1000, 50_000),
+        np.repeat([1.5, 2.5, 2.5, 9.0], [20_000, 15_000, 10_000, 5_000]).astype(float),
+        rng.zipf(1.5, 30_000).astype(float),
+        np.array([4.0, 1.0, 3.0]),
+    ]
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    for vals in cases:
+        ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+        got = exact_quantiles(ds, "v", qs, collect_threshold=512)
+        s = np.sort(vals)
+        n = len(s)
+        want = [s[min(max(int(np.ceil(n * q)) - 1, 0), n - 1)] for q in qs]
+        assert got == want, (got, want)
+
+
+def test_exact_quantiles_duplicate_mass_converges(ray_session):
+    """A single value holding more rows than collect_threshold must
+    still converge (interval stops shrinking -> collected)."""
+    from rayraster.agg import exact_quantiles
+
+    vals = np.full(40_000, 7.25)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+    assert exact_quantiles(ds, "v", [0.5], collect_threshold=100) == [7.25]
+
+
+def test_add_late_flag_prefix_scan(ray_session):
+    """Watermark late-data detection vs a local sequential replay,
+    with out-of-order arrivals crossing chunk boundaries."""
+    from rayraster.windows import add_late_flag
+
+    rng = np.random.default_rng(31)
+    n = 5000
+    # event times wander forward with occasional big backward jumps
+    ts_us = np.cumsum(rng.integers(0, 60_000_000, n))
+    jump = rng.random(n) < 0.02
+    ts_us[jump] -= 3_000_000_000
+    ts_us = np.maximum(ts_us, 0)
+    df = pd.DataFrame(
+        {"event_id": np.arange(n), "ts": pd.to_datetime(ts_us, unit="us"),
+         "value": rng.random(n)}
+    )
+    delay = 1_000_000_000
+    got = (
+        add_late_flag(rd.from_pandas(df).repartition(8), delay_us=delay,
+                      num_partitions=7)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # oracle: sequential scan
+    wm = np.int64(np.iinfo(np.int64).min)
+    want = []
+    for t in ts_us:
+        want.append(wm != np.iinfo(np.int64).min and t < wm - delay)
+        wm = max(wm, np.int64(t))
+    assert got.late.tolist() == want
+    assert got.late.any()  # the corpus actually exercises lateness
+
+
+def test_watermark_tumbling_drops_late_rows(ray_session):
+    from rayraster.windows import tumbling_aggregate, watermark_tumbling
+
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3],
+            "ts": pd.to_datetime(
+                [3_600_000_000, 7_200_000_000, 100, 7_300_000_000], unit="us"
+            ),
+            "event_type": ["a"] * 4,
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    out = watermark_tumbling(
+        rd.from_pandas(df), delay_us=1_000_000
+    ).to_pandas().sort_values("window").reset_index(drop=True)
+    # event 2 (ts=100) is hours behind the watermark -> dropped
+    assert out.n.sum() == 3 and 0 not in out.window.tolist()
+    full = tumbling_aggregate(rd.from_pandas(df)).to_pandas()
+    assert full.n.sum() == 4  # sanity: without the watermark it stays
