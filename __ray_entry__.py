@@ -1116,6 +1116,43 @@ SELECT event_type, "window", min(value) AS min_value, max(value) AS max_value,
 FROM fan GROUP BY 1, 2"""
 
 
+def _q_grouped_quantiles(sf_dir: str):
+    """Per-group exact order statistics (hash-partitioned, one
+    vectorized sorted pass per partition, never a task per group)."""
+    from rayraster.agg import grouped_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_quantiles(ev, ["event_type"], "value", list(_QUANTILE_QS))
+
+
+def _sql_grouped_quantiles() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT event_type, {q!r} AS q, quantile_disc(value, {q!r}) AS value "
+        "FROM events GROUP BY event_type"
+        for q in _QUANTILE_QS
+    )
+
+
+def _q_anti_join(sf_dir: str):
+    """Large × large ANTI join through the bucketed shuffle (orders
+    with no lineitems) — existence joins need only the right keys per
+    bucket, no broadcast of either side."""
+    from rayraster.join import bucket_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    out = bucket_join(orders, li, "o_orderkey", "l_orderkey",
+                      num_buckets=32, join_type="anti")
+    return out.select_columns(["o_orderkey", "o_totalprice"])
+
+
+def _sql_anti_join() -> str:
+    return """SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)"""
+
+
 _W4_DELAY = 1_800_000_000  # 30 min allowed lateness
 
 
@@ -1577,6 +1614,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t5_grouped_topk": _q_grouped_topk,
         "t6_json_extract": _q_json_extract,
         "t7_exact_quantiles": _q_exact_quantiles,
+        "t8_grouped_quantiles": _q_grouped_quantiles,
+        "j5_anti_join": _q_anti_join,
         "j1_broadcast_join": _q_join,
         "j2_bucket_join": _q_bucket_join,
         "j2b_salted_skew_join": _q_salted_join,
@@ -1630,6 +1669,8 @@ def oracle_sql() -> dict[str, str]:
         "t5_grouped_topk": _sql_grouped_topk(),
         "t6_json_extract": _sql_json_extract(),
         "t7_exact_quantiles": _sql_exact_quantiles(),
+        "t8_grouped_quantiles": _sql_grouped_quantiles(),
+        "j5_anti_join": _sql_anti_join(),
         "j1_broadcast_join": _sql_join(),
         "j2_bucket_join": _sql_bucket_join(),
         "j2b_salted_skew_join": _sql_salted_join(),

@@ -270,6 +270,64 @@ def exact_quantiles(
     return [s["val"] for s in states]
 
 
+def grouped_quantiles(
+    ds: Dataset,
+    group_cols: Sequence[str],
+    value_col: str,
+    qs: Sequence[float],
+    num_partitions: int = 64,
+) -> Dataset:
+    """Exact per-group order statistics (quantile_disc rank rule,
+    ``k = ceil(n·q) − 1``): hash-partition by group so every group is
+    local, then ONE vectorized sorted pass per partition — segment
+    boundaries + fancy indexing, never a task per group.  Assumes each
+    group's rows fit a partition (the contract of every grouped
+    operator here); for one giant group use :func:`exact_quantiles`
+    on the filtered dataset.  Output: group cols + ``q`` + ``value``,
+    one row per (group, q)."""
+    group_cols = list(group_cols)
+    qs = list(qs)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        keep = t.select([*group_cols, value_col])
+        return keep.append_column(
+            _PART, pa.array(_part_of(t, group_cols, num_partitions))
+        )
+
+    def solve(part: pa.Table) -> pa.Table:
+        part = part.sort_by(
+            [*[(g, "ascending") for g in group_cols], (value_col, "ascending")]
+        )
+        n = part.num_rows
+        if n == 0:
+            cols = {g: pa.array([], type=part[g].type) for g in group_cols}
+            cols["q"] = pa.array([], type=pa.float64())
+            cols["value"] = pa.array([], type=part[value_col].type)
+            return pa.table(cols)
+        new_grp = np.zeros(n, dtype=bool)
+        new_grp[0] = True
+        for g in group_cols:
+            col = part[g].to_numpy(zero_copy_only=False)
+            new_grp[1:] |= col[1:] != col[:-1]
+        starts = np.flatnonzero(new_grp)
+        sizes = np.append(starts[1:], n) - starts
+        idxs, q_out = [], []
+        for q in qs:
+            k = np.minimum(np.maximum(np.ceil(sizes * q).astype(np.int64) - 1, 0),
+                           sizes - 1)
+            idxs.append(starts + k)
+            q_out.append(np.full(len(starts), q))
+        idx = np.concatenate(idxs)
+        cols = {g: part[g].take(pa.array(starts.tolist() * len(qs)))
+                for g in group_cols}
+        cols["q"] = pa.array(np.concatenate(q_out))
+        cols["value"] = part[value_col].take(pa.array(idx))
+        return pa.table(cols)
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return parted.groupby(_PART).map_groups(solve, batch_format="pyarrow")
+
+
 def grouped_topk(
     ds: Dataset,
     keys: Sequence[str],

@@ -218,11 +218,20 @@ def bucket_join(
     lt = left.map_batches(unify(True), batch_format="pyarrow")
     rt = right.map_batches(unify(False), batch_format="pyarrow")
 
+    jt = {
+        "inner": "inner", "left": "left outer", "left outer": "left outer",
+        "semi": "left semi", "anti": "left anti", "full": "full outer",
+    }.get(join_type)
+    if jt is None:
+        raise ValueError(f"join_type must be inner|left|semi|anti|full, got {join_type!r}")
+
     def join_bucket(g: pa.Table) -> pa.Table:
         mask = g["_side_l"].to_numpy(zero_copy_only=False)
         lg = g.filter(pa.array(mask)).select(left_cols)
         rg = g.filter(pa.array(~mask)).select([left_key, *right_carry])
-        jt = "inner" if join_type == "inner" else "left outer"
+        if jt in ("left semi", "left anti"):
+            # existence joins: only the right KEYS matter; no carries
+            return lg.join(rg.select([left_key]), keys=[left_key], join_type=jt)
         return lg.join(rg, keys=[left_key], join_type=jt, right_suffix="_r")
 
     both = lt.union(rt)

@@ -186,3 +186,20 @@ def test_range_join_overlapping_bands(ray_session):
     # v=5→lo+wide; v=15→mid+wide (×2 rows); v=25→wide; v=99→nothing
     assert got == [(0, "lo"), (0, "wide"), (1, "mid"), (1, "wide"),
                    (2, "wide"), (3, "mid"), (3, "wide")]
+
+
+def test_bucket_join_semi_anti_full(ray_session):
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "lv": [10, 20, 30, 40]})
+    right = pd.DataFrame({"k": [2, 2, 4, 5], "rv": [1.0, 2.0, 3.0, 4.0]})
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+
+    semi = bucket_join(lds, rds, "k", "k", num_buckets=4, join_type="semi").to_pandas()
+    assert sorted(semi.k) == [2, 4] and list(semi.columns) == ["k", "lv"]
+
+    anti = bucket_join(lds, rds, "k", "k", num_buckets=4, join_type="anti").to_pandas()
+    assert sorted(anti.k) == [1, 3]
+
+    full = bucket_join(lds, rds, "k", "k", num_buckets=4, join_type="full").to_pandas()
+    # 2 matches for k=2, 1 for k=4, unmatched left 1,3, unmatched right 5
+    assert len(full) == 6 and sorted(full.k) == [1, 2, 2, 3, 4, 5]
+    assert full[full.k == 5].lv.isna().all()

@@ -162,3 +162,30 @@ def test_watermark_tumbling_drops_late_rows(ray_session):
     assert out.n.sum() == 3 and 0 not in out.window.tolist()
     full = tumbling_aggregate(rd.from_pandas(df)).to_pandas()
     assert full.n.sum() == 4  # sanity: without the watermark it stays
+
+
+def test_grouped_quantiles_matches_pandas(ray_session):
+    from rayraster.agg import grouped_quantiles
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame(
+        {"g": rng.choice(["a", "b", "c"], 9000), "v": rng.uniform(-5, 5, 9000)}
+    )
+    qs = [0.25, 0.5, 0.9]
+    got = (
+        grouped_quantiles(rd.from_pandas(df).repartition(6), ["g"], "v", qs)
+        .to_pandas()
+        .sort_values(["g", "q"])
+        .reset_index(drop=True)
+    )
+    want_rows = []
+    for g, sub in df.groupby("g"):
+        s = np.sort(sub.v.to_numpy())
+        n = len(s)
+        for q in qs:
+            k = min(max(int(np.ceil(n * q)) - 1, 0), n - 1)
+            want_rows.append((g, q, s[k]))
+    want = pd.DataFrame(want_rows, columns=["g", "q", "value"]).sort_values(
+        ["g", "q"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
