@@ -961,6 +961,24 @@ def _q_token_metrics(sf_dir: str):
     )
 
 
+def _q_bpe_tokens(sf_dir: str):
+    from rayraster.textops import bpe_token_count
+
+    ds = _docs(sf_dir)
+    out = ds.map_batches(bpe_token_count, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "bpe_token_count"])
+
+
+def _sql_bpe_tokens() -> str:
+    from rayraster.textops import BPE_SPLIT_RE
+
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return (
+        f"SELECT doc_id, CAST(length(regexp_extract_all(text, '{pat}')) AS BIGINT) "
+        "AS bpe_token_count FROM documents"
+    )
+
+
 def _q_quality(sf_dir: str):
     from rayraster.textops import quality_score
 
@@ -1615,6 +1633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t6_json_extract": _q_json_extract,
         "t7_exact_quantiles": _q_exact_quantiles,
         "t8_grouped_quantiles": _q_grouped_quantiles,
+        "t9_bpe_token_count": _q_bpe_tokens,
         "j5_anti_join": _q_anti_join,
         "j1_broadcast_join": _q_join,
         "j2_bucket_join": _q_bucket_join,
@@ -1670,6 +1689,7 @@ def oracle_sql() -> dict[str, str]:
         "t6_json_extract": _sql_json_extract(),
         "t7_exact_quantiles": _sql_exact_quantiles(),
         "t8_grouped_quantiles": _sql_grouped_quantiles(),
+        "t9_bpe_token_count": _sql_bpe_tokens(),
         "j5_anti_join": _sql_anti_join(),
         "j1_broadcast_join": _sql_join(),
         "j2_bucket_join": _sql_bucket_join(),

@@ -61,6 +61,22 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return b.append_column("quality", pa.array(score))
 
 
+# GPT-2-style pre-tokenizer split pattern, RE2-compatible (no
+# lookahead — the original's `\s+(?!\S)` arm is folded into `\s+`),
+# ASCII classes so pyarrow and DuckDB count identically.  This counts
+# BPE pre-tokens (the units a byte-pair encoder would then merge) —
+# the "BPE-ish regex" token count the training-data brief asks for.
+BPE_SPLIT_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """``bpe_token_count`` column: non-overlapping matches of the BPE
+    pre-tokenizer split regex (vectorized RE2; DuckDB twin uses the
+    same pattern)."""
+    c = pc.count_substring_regex(batch[text_col], BPE_SPLIT_RE).cast(pa.int64())
+    return batch.append_column("bpe_token_count", c)
+
+
 # ---------------------------------------------------------------------------
 # language ID — vectorized stopword-count + script-range heuristic
 # ---------------------------------------------------------------------------

@@ -209,3 +209,12 @@ def test_hash_aggregate_generic(ray_session):
     pd.testing.assert_frame_equal(
         got[["g", "h", "sum_v", "min_v", "max_v", "n"]], want, check_dtype=False
     )
+
+
+def test_bpe_token_count():
+    from rayraster.textops import bpe_token_count
+
+    t = pa.table({"text": ["I'll don't co-op 42x", "", "hello   world"]})
+    out = bpe_token_count(t)["bpe_token_count"].to_pylist()
+    # "I"+"'ll"+" don"+"'t"+" co"+"-"+"op"+" 42"+"x" = 9
+    assert out == [9, 0, 3]
