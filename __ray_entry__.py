@@ -799,7 +799,10 @@ def _neardup_corpus(sf_dir: str, perturb: bool):
             texts = pc.binary_join_element_wise(texts, " qz9xqz9x", "")
         return pa.table({"doc_id": pa.array(ids + _DUP_OFFSET), "text": texts})
 
-    return base.union(base.map_batches(copy, batch_format="pyarrow"))
+    # materialize: this synthesized corpus is INPUT generation (a real
+    # pipeline reads parquet); lazily it would re-synthesize once per
+    # consumer (count + payload hops + buckets)
+    return base.union(base.map_batches(copy, batch_format="pyarrow")).materialize()
 
 
 def _q_minhash(sf_dir: str):

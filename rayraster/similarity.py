@@ -208,14 +208,26 @@ def ivf_build_index(
     (hive-style ``bucket=<b>/`` dirs) — the persisted IVF index.  At
     query time only probed bucket directories are read (partition
     pruning), so a probe touches nprobe/C of the corpus bytes instead
-    of filtering all rows post-read."""
+    of filtering all rows post-read.
+
+    The assigned rows are SORTED by bucket before the write: without
+    the clustering shuffle every input block writes one fragment per
+    bucket it touches (blocks × buckets tiny files — measured 895
+    files / 57 s probe at 10k vectors; clustered: ~1 file per bucket).
+    ``bucket`` is kept as an in-file column too (``partition_cols``
+    moves it into the dir name only), so probed dirs can be read in
+    ONE ``read_parquet`` call."""
     cref = ray.put(np.asarray(centroids))
     assigned = ds.map_batches(
         IVFAssignStage(cref, vec_col, id_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    ).map_batches(
+        lambda t: t.append_column("bucket_id", t["bucket"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
-    assigned.write_parquet(out_dir, partition_cols=["bucket"])
+    assigned.sort("bucket").write_parquet(out_dir, partition_cols=["bucket"])
     return out_dir
 
 
@@ -246,27 +258,31 @@ def ivf_query_index(
     probe = np.zeros((len(Q), n_centroids), dtype=bool)
     np.put_along_axis(probe, probe_idx, True, axis=1)
     wanted = sorted({int(b) for row in probe_idx for b in row})
-    parts = []
-    for b in wanted:
-        bdir = os.path.join(index_dir, f"bucket={b}")
-        if not os.path.isdir(bdir):
-            continue  # empty bucket: no rows assigned
-        d = rd.read_parquet(bdir, columns=[id_col, vec_col])
-        parts.append(
-            d.map_batches(
-                lambda t, _b=b: t.append_column(
-                    "bucket", pa.array(np.full(t.num_rows, _b, dtype=np.int64))
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-        )
-    if not parts:
+    dirs = [
+        d for d in (os.path.join(index_dir, f"bucket={b}") for b in wanted)
+        if os.path.isdir(d)  # a bucket with no assigned rows has no dir
+    ]
+    if not dirs:
         return pa.table(
             {"qid": pa.array([], type=pa.int64()), id_col: pa.array([], type=pa.int64()),
              "rank": pa.array([], type=pa.int64()), "cos": pa.array([], type=pa.float64())}
         )
-    sub = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    # ONE read over all probed dirs' files (bucket carried as the
+    # in-file bucket_id column) — a per-dir read loop pays
+    # dataset-creation metadata cost per bucket
+    files = [
+        os.path.join(d, f)
+        for d in dirs
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    sub = rd.read_parquet(files, columns=[id_col, vec_col, "bucket_id"]).map_batches(
+        lambda t: t.rename_columns(
+            ["bucket" if c == "bucket_id" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     qref = ray.put({"ids": np.asarray(query_ids), "mat": Q, "probe": probe})
     cand = sub.map_batches(
         _BatchTopK(qref, k, vec_col, id_col),
