@@ -631,6 +631,22 @@ _IVF_SEEDS = 16  # centroids = embeddings of vec_id < 16 (SQL-reproducible)
 _IVF_NPROBE = 6
 
 
+def _ivf_seed_centroids(sf_dir: str):
+    """(seed dataframe, normalized centroid matrix) — shared by s2 and
+    s2b so both stay twins of the one _sql_ivf_topk oracle."""
+    import pyarrow.parquet as pq
+
+    from rayraster.similarity import _normalize
+
+    seeds = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", _IVF_SEEDS)],
+    ).to_pandas().sort_values("vec_id")
+    C = _normalize(np.stack(seeds.embedding.values).astype(np.float64))
+    return seeds, C
+
+
 def _q_ivf_topk(sf_dir: str):
     """IVF bucketed ANN, oracle-exact: centroids are the (normalized)
     embeddings of vec_id < 16, so assignment, probing and the probed
@@ -638,17 +654,10 @@ def _q_ivf_topk(sf_dir: str):
     honest IVF (a query never scans another query's buckets).  The
     trained scale path (kmeans_centroids) is exercised in
     tests/test_textops_similarity."""
-    import pyarrow.parquet as pq
-
-    from rayraster.similarity import _normalize, ivf_topk
+    from rayraster.similarity import ivf_topk
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    seeds = pq.read_table(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", _IVF_SEEDS)],
-    ).to_pandas().sort_values("vec_id")
-    C = _normalize(np.stack(seeds.embedding.values).astype(np.float64))
+    seeds, C = _ivf_seed_centroids(sf_dir)
     qt = seeds[seeds.vec_id < 5]
     out = ivf_topk(
         emb, qt.vec_id.to_numpy(), np.stack(qt.embedding.values),
@@ -664,17 +673,10 @@ def _q_ivf_persisted(sf_dir: str):
     ⇒ same oracle as s2."""
     import shutil
 
-    import pyarrow.parquet as pq
-
-    from rayraster.similarity import _normalize, ivf_build_index, ivf_query_index
+    from rayraster.similarity import ivf_build_index, ivf_query_index
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    seeds = pq.read_table(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", _IVF_SEEDS)],
-    ).to_pandas().sort_values("vec_id")
-    C = _normalize(np.stack(seeds.embedding.values).astype(np.float64))
+    seeds, C = _ivf_seed_centroids(sf_dir)
     idx = f"/tmp/rayraster_ivf_index_{os.path.basename(sf_dir.rstrip('/'))}"
     shutil.rmtree(idx, ignore_errors=True)  # write_parquet appends otherwise
     ivf_build_index(emb, idx, C)

@@ -284,6 +284,7 @@ def attach_pair_payloads(
     id_col: str,
     payload_col: str,
     num_buckets: int = 64,
+    payload_type: pa.DataType | None = None,
 ) -> Dataset:
     """(a, b) candidate pairs ⨝ (id, payload) → (a, b, _pa, _pb).
 
@@ -303,13 +304,18 @@ def attach_pair_payloads(
 
     # schemas passed explicitly: pairs/h1 lineage contains shuffles, and
     # Dataset.schema() on those would re-execute the whole candidate
-    # pipeline per probe (see bucket_join docstring)
-    pay_schema = payload.schema()
-    pay_type = dict(zip(pay_schema.names, pay_schema.types))[payload_col]
-    if not isinstance(pay_type, pa.DataType):
-        pay_type = {str: pa.string(), bytes: pa.binary(), int: pa.int64()}.get(
-            pay_type, pa.string()
-        )
+    # pipeline per probe (see bucket_join docstring).  ``payload_type``
+    # skips even the payload schema probe — pass it when the payload's
+    # OWN lineage contains a shuffle (e.g. a distinct() sig table).
+    if payload_type is None:
+        pay_schema = payload.schema()
+        pay_type = dict(zip(pay_schema.names, pay_schema.types))[payload_col]
+        if not isinstance(pay_type, pa.DataType):
+            pay_type = {str: pa.string(), bytes: pa.binary(), int: pa.int64()}.get(
+                pay_type, pa.string()
+            )
+    else:
+        pay_type = payload_type
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     h1_schema = pa.schema(
         [("a", pa.int64()), ("b", pa.int64()), ("_pa", pay_type)]
@@ -564,7 +570,14 @@ def simhash_pairs(
     pairs = candidate_pairs(rows, id_col)
     sig_rows = distinct(rows, [id_col, "sig"])
     if _pick_verify_mode(ds, verify_mode, broadcast_threshold) == "partitioned":
-        joined = attach_pair_payloads(pairs, sig_rows, id_col, "sig", num_buckets)
+        # materialize: the sig table (one small row per doc) feeds BOTH
+        # join hops and its lineage contains the SimHash map + a
+        # shuffle — unmaterialized, each hop (plus the schema probe)
+        # would recompute signatures for the whole corpus
+        sig_rows = sig_rows.materialize()
+        joined = attach_pair_payloads(
+            pairs, sig_rows, id_col, "sig", num_buckets, payload_type=pa.int64()
+        )
         return joined.map_batches(
             lambda t: _verify_hamming_partitioned(t, max_dist),
             batch_format="pyarrow",

@@ -134,6 +134,12 @@ def bucket_join(
     if salt > 1 and isinstance(hot_keys, str) and hot_keys == "auto":
         hot_keys = detect_hot_keys(left, left_key, num_buckets)
     use_salt = salt > 1 and bool(hot_keys)
+    if use_salt and join_type == "full":
+        # replicated right hot rows would each surface as a spurious
+        # unmatched row in every sub-bucket without a left match
+        raise ValueError("hot-key salting does not support join_type='full'")
+    if use_salt and salt > num_buckets:
+        raise ValueError(f"salt ({salt}) must be <= num_buckets ({num_buckets})")
     hot_set = pa.array(sorted(set(hot_keys))) if use_salt else None
     left_cols = list(l_schema.names)
     right_cols = list(r_schema.names)
@@ -150,10 +156,14 @@ def bucket_join(
             from rayraster.geo import fnv1a64
 
             kv = fnv1a64([str(v) for v in keys.to_pylist()]).view(np.int64)
-        h = kv * np.int64(2654435761)
+        base = np.abs(kv * np.int64(2654435761)) % np.int64(num_buckets)
         if salt_ids is not None:
-            h = h ^ (salt_ids * np.int64(0x9E37))
-        return np.abs(h) % np.int64(num_buckets)
+            # additive mod-B salt injection: distinct salt ids < salt
+            # <= B can never collide into one sub-bucket (an XOR mix
+            # could — verified collision at num_buckets=10, salt=8 —
+            # and colliding sub-buckets would double right replicas)
+            base = (base + salt_ids) % np.int64(num_buckets)
+        return base
 
     def _hot_mask(keys) -> np.ndarray:
         import pyarrow.compute as pc

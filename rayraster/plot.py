@@ -234,10 +234,11 @@ def plot_raster(
         v = vals.sum(axis=1) if feature_name == "sum" else vals.mean(axis=1)
     else:
         v = pixel_df[feature_name].to_numpy(dtype=np.float64)
+    # legend labels carry the DATA range even under log_scale — the
+    # log transform shapes the colors, not what the reader is told
+    legend = ("continuous", float(v.min()), float(v.max())) if show_legend else None
     if log_scale:  # heavy-tailed fills (hot tiles) wash out linearly
         v = np.log1p(np.maximum(v, 0.0))
-
-    legend = ("continuous", float(v.min()), float(v.max())) if show_legend else None
     axis_ranges = ((int(ix.min()), int(ix.max())), (int(iy.min()), int(iy.max())))
     return _paint(
         ix, iy, values=v, path=path, max_px=max_px, background=background,

@@ -253,6 +253,13 @@ def _partial_then_finalize(
         zero_copy_batch=True,
     )
     if combine_batch_size:
+        # the combine's 1.01-CPU request is infeasible on a 1-CPU
+        # cluster — it would hang the pipeline rather than degrade
+        import ray as _ray
+
+        if _ray.is_initialized() and _ray.cluster_resources().get("CPU", 0) < 2:
+            combine_batch_size = None
+    if combine_batch_size:
         # second pre-reduce: per-batch partials compress poorly when
         # live cells ≈ batch size (measured 2M rows → 1.46M partial
         # rows at 194k cells); folding ~16 map outputs per combine

@@ -115,8 +115,17 @@ def approx_distinct(
         # loop is per distinct group per batch, not per row)
         h = fnv1a64([str(v) for v in vals])
         enc = t[group_col].combine_chunks().dictionary_encode()
-        idx = enc.indices.to_numpy(zero_copy_only=False)
         dic = enc.dictionary.to_pylist()
+        indices = enc.indices
+        if indices.null_count:
+            # null group keys: fold into a sentinel code so they form
+            # their own group (str(None) == "None", matching the old
+            # per-row path) instead of NaN-promoting the index array
+            import pyarrow.compute as pc
+
+            indices = pc.fill_null(indices, len(dic))
+            dic = dic + [None]
+        idx = indices.to_numpy(zero_copy_only=False)
         order = np.argsort(idx, kind="stable")
         sidx, sh = idx[order], h[order]
         starts = np.concatenate([[0], np.flatnonzero(np.diff(sidx)) + 1])

@@ -203,3 +203,38 @@ def test_bucket_join_semi_anti_full(ray_session):
     # 2 matches for k=2, 1 for k=4, unmatched left 1,3, unmatched right 5
     assert len(full) == 6 and sorted(full.k) == [1, 2, 2, 3, 4, 5]
     assert full[full.k == 5].lv.isna().all()
+
+
+def test_bucket_join_salted_non_power_of_two_buckets(ray_session):
+    """Regression: XOR salt mixing collided sub-buckets at
+    num_buckets=10/salt=8 (duplicate right replicas in one bucket →
+    duplicated output rows); additive mod-B injection cannot collide."""
+    n = 2000
+    left = pd.DataFrame({"k": np.where(np.arange(n) % 2 == 0, 1, np.arange(n) % 97),
+                         "lv": np.arange(n)})
+    right = pd.DataFrame({"k": np.arange(97), "rv": np.arange(97) * 3})
+    want = left.merge(right, on="k").sort_values(["k", "lv"]).reset_index(drop=True)
+    got = (
+        bucket_join(rd.from_pandas(left), rd.from_pandas(right), "k", "k",
+                    num_buckets=10, salt=8, hot_keys=[1])
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "lv", "rv"]], want[["k", "lv", "rv"]])
+
+
+def test_bucket_join_salt_rejects_full_and_oversalt(ray_session):
+    left = rd.from_pandas(pd.DataFrame({"k": [1], "lv": [1]}))
+    right = rd.from_pandas(pd.DataFrame({"k": [1], "rv": [1]}))
+    with pytest.raises(ValueError, match="full"):
+        bucket_join(left, right, "k", "k", join_type="full", salt=4, hot_keys=[1])
+    with pytest.raises(ValueError, match="num_buckets"):
+        bucket_join(left, right, "k", "k", num_buckets=2, salt=4, hot_keys=[1])
+
+
+def test_approx_distinct_null_group(ray_session):
+    """Regression: a null group key NaN-promoted the dictionary index
+    array and crashed; nulls must form their own group."""
+    df = pd.DataFrame({"g": ["a"] * 50 + [None] * 30, "v": list(range(50)) + list(range(30))})
+    out = approx_distinct(rd.from_pandas(df), "v", group_col="g").to_pandas()
+    est = dict(zip(out.g, out.approx_distinct))
+    assert abs(est["a"] - 50) < 3 and abs(est["None"] - 30) < 3
