@@ -4,10 +4,13 @@ Composes the engine's operator families the way a 100-TB preprocessing
 job would, all streaming Ray Data:
 
   synth pages → extract (byte-invariant) → text features →
-  quality filter → exact dedup → MinHash near-dup dedup (LSH →
-  verified pairs → connected components → drop non-representatives) →
-  url geocode → square rasterize (density + mean quality per tile) →
-  pixel parquet + PNG heatmap + per-stage summary JSON.
+  data-driven quality gate (exact distributed 25th percentile — no
+  magic constant, no shuffle) → exact dedup → MinHash near-dup dedup
+  (LSH → verified pairs [partitioned verify above the broadcast
+  threshold] → DISTRIBUTED connected components → drop
+  non-representatives) → BPE token budget → url geocode → square
+  rasterize (density + mean quality per tile) → pixel parquet +
+  decorated PNG heatmap + per-stage summary JSON.
 
 Run:  PYTHONPATH=. python examples/training_pipeline.py [--rows 200000]
 """
@@ -41,9 +44,9 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
 
     DataContext.get_current().enable_progress_bars = False
 
+    from rayraster.agg import exact_quantiles
     from rayraster.dedup import (
-        connected_components,
-        dedup_keep_from_clusters,
+        connected_components_distributed,
         exact_dedup_keep_ids,
         minhash_lsh_pairs,
     )
@@ -80,10 +83,7 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
     )
     docs = docs.map_batches(quality_score, batch_format="pyarrow")
     docs = docs.map_batches(
-        lambda t: t.filter(pc.greater(t["quality"], 0.5)).select(
-            ["url", "text", "quality"]
-        ),
-        batch_format="pyarrow",
+        lambda t: t.select(["url", "text", "quality"]), batch_format="pyarrow"
     )
 
     # ids for dedup (deterministic from url)
@@ -94,6 +94,16 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
         return t.append_column("doc_id", pa.array(ids))
 
     docs = docs.map_batches(add_id, batch_format="pyarrow").materialize()
+
+    # data-driven gate: drop the bottom quality quartile — the exact
+    # distributed 25th percentile (histogram refinement, map-only
+    # passes) instead of a hand-picked constant
+    q25 = exact_quantiles(docs, "quality", [0.25])[0]
+    summary["quality_q25"] = round(q25, 6)
+    docs = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["quality"], q25)),
+        batch_format="pyarrow",
+    ).materialize()
     summary["rows_after_quality"] = docs.count()
 
     # 3. exact dedup (content hash, keep min id)
@@ -102,14 +112,28 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
     docs = semi_join_filter(docs, keep_ids, "doc_id").materialize()
     summary["rows_after_exact_dedup"] = docs.count()
 
-    # 4. near-dup dedup: LSH pairs → verified → CC → drop dupes
+    # 4. near-dup dedup: LSH pairs → verified (partitioned above the
+    # broadcast threshold) → DISTRIBUTED connected components (labels
+    # stay in a Dataset) → drop non-representatives
     pairs = minhash_lsh_pairs(docs, threshold=0.85).select_columns(["a", "b"])
-    clusters = connected_components(pairs)
-    cluster_nodes = set(clusters["node"].to_pylist())
-    reps = set(dedup_keep_from_clusters(clusters)["doc_id"].to_pylist())
-    drop = list(cluster_nodes - reps)
+    clusters = connected_components_distributed(pairs)
+    losers = clusters.map_batches(
+        lambda t: t.filter(pc.not_equal(t["node"], t["cluster"])).select(["node"]),
+        batch_format="pyarrow",
+    )
+    loser_tbls = [
+        t for t in (ray.get(r) for r in losers.to_arrow_refs()) if t.num_columns
+    ]
+    drop = pa.concat_tables(loser_tbls)["node"].to_pylist() if loser_tbls else []
     docs = semi_join_filter(docs, drop, "doc_id", invert=True).materialize()
     summary["rows_after_near_dedup"] = docs.count()
+
+    # 4b. token budget of the surviving corpus (BPE pre-token count)
+    from rayraster.textops import bpe_token_count
+
+    summary["bpe_tokens_total"] = int(
+        docs.map_batches(bpe_token_count, batch_format="pyarrow").sum("bpe_token_count")
+    )
 
     # 5. geocode + rasterize (density + mean quality per 1° tile)
     pts = docs.map_batches(add_geocode_url, batch_format="pyarrow")
@@ -126,6 +150,7 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
     png, w, h = plot_raster(
         pdf, os.path.join(out_dir, "density.png"),
         feature_name="num_cell", log_scale=True,
+        plot_title="DOC DENSITY PER TILE", show_legend=True, show_axis=True,
     )
     summary["pixels"] = len(pdf)
     summary["png"] = png

@@ -219,7 +219,13 @@ def test_training_pipeline_example(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     s = json.loads(r.stdout.strip().splitlines()[-1])
-    # injected exact dups removed, nothing else lost to near-dedup
-    assert s["rows_after_exact_dedup"] == 3000
-    assert s["rows_after_near_dedup"] == 3000
+    # 3000 rows + 300 injected dups; the quantile gate drops ~the
+    # bottom quartile (ties may keep a few extra)
+    assert 0.70 * 3300 <= s["rows_after_quality"] <= 0.80 * 3300
+    # dup pairs share a text → same quality → both survive the gate,
+    # and exact dedup then removes exactly one of each
+    assert s["rows_after_exact_dedup"] < s["rows_after_quality"]
+    # synth texts are unique → near-dedup loses nothing further
+    assert s["rows_after_near_dedup"] == s["rows_after_exact_dedup"]
+    assert s["bpe_tokens_total"] > 0
     assert s["pixels"] > 0 and os.path.exists(s["png"])
