@@ -252,37 +252,47 @@ def _partial_then_finalize(
         batch_size=batch_size,
         zero_copy_batch=True,
     )
-    if combine_batch_size:
-        # the combine's 1.01-CPU request is infeasible on a 1-CPU
-        # cluster — it would hang the pipeline rather than degrade
-        import ray as _ray
-
-        if _ray.is_initialized() and _ray.cluster_resources().get("CPU", 0) < 2:
-            combine_batch_size = None
-    if combine_batch_size:
-        # second pre-reduce: per-batch partials compress poorly when
-        # live cells ≈ batch size (measured 2M rows → 1.46M partial
-        # rows at 194k cells); folding ~16 map outputs per combine
-        # task bounds the exchange at ~cells × (rows / combine_batch).
-        # num_cpus deliberately differs (by ε) from the map stage so
-        # Ray does NOT fuse the two operators — fused, each combine
-        # call sees only one map output and folds nothing.  Measured
-        # at 2M rows / 32 cpus: fused wall 7.0s → unfused 4.85s.
-        # ε = 0.01 (not a whole extra CPU): a 2-cpu request starves
-        # small clusters — the 8-cpu scaling leg degraded 2× with
-        # num_cpus=2 because only 4 combine slots fit alongside the
-        # map wave.
-        partial = partial.map_batches(
-            _make_combine(value_cols, extra_keys, extra_stats),
-            batch_format="pyarrow",
-            batch_size=combine_batch_size,
-            zero_copy_batch=True,
-            num_cpus=1.01,
-        )
+    partial = _maybe_combine(partial, value_cols, extra_keys, extra_stats,
+                             combine_batch_size)
     # the finalize group_by drops _PART (it only emits grouped keys)
     return partial.groupby(_PART).map_groups(
         _make_finalize_partition(value_cols, extra_keys, extra_stats),
         batch_format="pyarrow",
+    )
+
+
+def _maybe_combine(
+    partial: Dataset,
+    value_cols: Sequence[str],
+    extra_keys: Sequence[str],
+    extra_stats: Sequence[str],
+    combine_batch_size: int | None,
+) -> Dataset:
+    """Insert the pre-shuffle combiner when it can help.
+
+    Second pre-reduce: per-batch partials compress poorly when live
+    cells ≈ batch size (measured 2M rows → 1.46M partial rows at 194k
+    cells); folding ~16 map outputs per combine task bounds the
+    exchange at ~cells × (rows / combine_batch).  num_cpus
+    deliberately differs (by ε) from the map stage so Ray does NOT
+    fuse the two operators — fused, each combine call sees only one
+    map output and folds nothing.  Measured at 2M rows / 32 cpus:
+    fused wall 7.0s → unfused 4.85s.  ε = 0.01 (not a whole extra
+    CPU): a 2-cpu request starves small clusters — the 8-cpu scaling
+    leg degraded 2× with num_cpus=2.  Skipped on a <2-CPU cluster
+    where the 1.01-CPU request could never schedule (hang)."""
+    if not combine_batch_size:
+        return partial
+    import ray as _ray
+
+    if _ray.is_initialized() and _ray.cluster_resources().get("CPU", 0) < 2:
+        return partial
+    return partial.map_batches(
+        _make_combine(value_cols, extra_keys, extra_stats),
+        batch_format="pyarrow",
+        batch_size=combine_batch_size,
+        zero_copy_batch=True,
+        num_cpus=1.01,
     )
 
 
@@ -371,6 +381,7 @@ def rasterize_categories(
     extra_keys: Sequence[str] = (),
     batch_size: int | None = 16384,
     num_partitions: int = DEFAULT_PARTITIONS,
+    combine_batch_size: int | None = 262144,
 ) -> tuple[Dataset, GridSpec]:
     """Categorical rasterization (``rasterizeCellType``, R/main.R:466-559).
 
@@ -397,6 +408,7 @@ def rasterize_categories(
         batch_size=batch_size,
         zero_copy_batch=True,
     )
+    partial = _maybe_combine(partial, [], [*extra_keys, cat_col], (), combine_batch_size)
     long = partial.groupby(_PART).map_groups(
         _make_finalize_categorical(cat_col, extra_keys), batch_format="pyarrow"
     )
