@@ -136,3 +136,27 @@ def test_jaccard_bounds_and_symmetry(a, b):
     if len(ha) and len(hb):
         est = (minhash_signature(ha, 64) == minhash_signature(hb, 64)).mean()
         assert 0.0 <= est <= 1.0
+
+
+@given(
+    st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=400),
+    st.floats(0.01, 0.99),
+)
+@settings(max_examples=25, deadline=None)
+def test_exact_quantiles_property(vals, q):
+    """exact_quantiles == the k-th smallest element (quantile_disc rank
+    rule) for arbitrary float corpora, including duplicates and
+    single-element inputs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rayraster.agg import exact_quantiles
+
+    got = exact_quantiles(
+        rd.from_pandas(pd.DataFrame({"v": vals})), "v", [q],
+        num_bins=64, collect_threshold=8, max_rounds=64,
+    )[0]
+    s = sorted(vals)
+    n = len(s)
+    k = min(max(int(np.ceil(n * q)) - 1, 0), n - 1)
+    assert got == s[k]
