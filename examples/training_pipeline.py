@@ -121,10 +121,8 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
         lambda t: t.filter(pc.not_equal(t["node"], t["cluster"])).select(["node"]),
         batch_format="pyarrow",
     )
-    loser_tbls = [
-        t for t in (ray.get(r) for r in losers.to_arrow_refs()) if t.num_columns
-    ]
-    drop = pa.concat_tables(loser_tbls)["node"].to_pylist() if loser_tbls else []
+    ldf = losers.to_pandas()  # bounded by duplicate count
+    drop = ldf["node"].tolist() if "node" in ldf.columns else []  # empty ds loses schema
     docs = semi_join_filter(docs, drop, "doc_id", invert=True).materialize()
     summary["rows_after_near_dedup"] = docs.count()
 

@@ -148,14 +148,19 @@ def exact_quantiles(
     to SQL ``ORDER BY col LIMIT 1 OFFSET k``.
 
     Shape: each round is one streaming map-only pass emitting ONE
-    fixed-size bin-count blob per batch (num_bins × 8 B); the driver
+    fixed-size blob per batch (per-bin count + min + max); the driver
     folds blobs and narrows each target rank to one bin.  All ranks
     refine in the SAME pass (shared histograms over per-rank
-    intervals).  When a rank's bin holds ≤ ``collect_threshold`` rows
-    (or the interval stops shrinking — duplicate mass), a final filter
-    pass collects just those candidate rows and selects the k-th
-    locally.  Rounds needed ≈ log_B(range/precision): 2–3 for doubles
-    at the default 4096 bins.  Driver state: num_bins × |qs| counters.
+    intervals).  The next interval is the chosen bin's ACTUAL
+    [min, max] — data-adaptive bounds, so a bin that is one repeated
+    value terminates immediately (min == max ⇒ the answer), a
+    duplicate mass can never spin the refinement, and an extreme
+    outlier collapses the empty range in one round.  When a rank's
+    bin holds ≤ ``collect_threshold`` rows, a final filter pass
+    collects just those candidates and selects the k-th locally.
+    Rounds needed ≈ log_B(distinct values in the bin path).  Driver
+    state: num_bins × |qs| counters.  NULL/NaN rows are ignored
+    (quantile_disc semantics).
     """
     qs = list(qs)
 
@@ -174,8 +179,12 @@ def exact_quantiles(
             m &= _bins_of(v, lo, hi) == b
         return m
 
-    def stats_batch(t: pa.Table) -> pa.Table:
+    def _values(t: pa.Table) -> np.ndarray:
         v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return v[~np.isnan(v)]  # nulls → NaN; quantile_disc ignores them
+
+    def stats_batch(t: pa.Table) -> pa.Table:
+        v = _values(t)
         if len(v) == 0:
             return pa.table({"lo": pa.array([], type=pa.float64()),
                              "hi": pa.array([], type=pa.float64()),
@@ -208,35 +217,53 @@ def exact_quantiles(
                  for i in act]
 
         def hist_batch(t: pa.Table, _specs=specs) -> pa.Table:
-            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = _values(t)
             blobs = []
             for path, lo, hi in _specs:
                 m = _mask_for(v, path)
-                counts = np.bincount(
-                    _bins_of(v[m], lo, hi), minlength=num_bins
-                ).astype(np.int64)
-                blobs.append(counts)
+                bv = v[m]
+                bins = _bins_of(bv, lo, hi)
+                # float64 counts are exact below 2^53 — keeps the blob
+                # a single homogeneous array with the min/max planes
+                counts = np.bincount(bins, minlength=num_bins).astype(np.float64)
+                bmin = np.full(num_bins, np.inf)
+                bmax = np.full(num_bins, -np.inf)
+                if len(bv):
+                    np.minimum.at(bmin, bins, bv)
+                    np.maximum.at(bmax, bins, bv)
+                blobs += [counts, bmin, bmax]
             return pa.table({"h": pa.array([np.concatenate(blobs).tobytes()],
                                            type=pa.binary())})
 
-        total = np.zeros(len(act) * num_bins, dtype=np.int64)
+        stride = 3 * num_bins
+        tot_counts = np.zeros((len(act), num_bins))
+        tot_min = np.full((len(act), num_bins), np.inf)
+        tot_max = np.full((len(act), num_bins), -np.inf)
         for t in ds.map_batches(hist_batch, batch_format="pyarrow",
                                 zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
             for blob in t["h"].to_pylist():
-                total += np.frombuffer(blob, dtype=np.int64)
+                part = np.frombuffer(blob, dtype=np.float64).reshape(len(act), stride)
+                tot_counts += part[:, :num_bins]
+                np.minimum(tot_min, part[:, num_bins : 2 * num_bins], out=tot_min)
+                np.maximum(tot_max, part[:, 2 * num_bins :], out=tot_max)
         for j, i in enumerate(act):
             s = states[i]
-            counts = total[j * num_bins : (j + 1) * num_bins]
+            counts = tot_counts[j].astype(np.int64)
+            bmin = tot_min[j]
+            bmax = tot_max[j]
             cum = np.cumsum(counts)
             b = int(np.searchsorted(cum, s["k"] + 1))
             below = int(cum[b - 1]) if b else 0
             s["k"] -= below
-            w = s["hi"] - s["lo"]
-            new_lo = s["lo"] + b * (w / num_bins)
-            new_hi = s["hi"] if b == num_bins - 1 else s["lo"] + (b + 1) * (w / num_bins)
             s["path"].append((s["lo"], s["hi"], b))
-            s["lo"], s["hi"] = new_lo, new_hi
-            if counts[b] <= collect_threshold or (new_hi - new_lo) >= w or new_hi == new_lo:
+            if bmin[b] == bmax[b]:
+                # the bin is one repeated value — the k-th of equal
+                # values IS that value; no collect, no further rounds
+                s["val"] = float(bmin[b])
+                continue
+            # data-adaptive bounds: the chosen bin's ACTUAL value range
+            s["lo"], s["hi"] = float(bmin[b]), float(bmax[b])
+            if counts[b] <= collect_threshold:
                 s["collect"] = True
     pending = [i for i, s in enumerate(states) if s["val"] is None]
     if any(not states[i]["collect"] for i in pending):
@@ -245,7 +272,7 @@ def exact_quantiles(
         paths = [tuple(states[i]["path"]) for i in pending]
 
         def collect_batch(t: pa.Table, _paths=paths) -> pa.Table:
-            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = _values(t)
             tags, vals = [], []
             for j, path in enumerate(_paths):
                 m = _mask_for(v, path)

@@ -94,10 +94,8 @@ def cmd_dedup(args) -> int:
     """Dedup a parquet corpus: exact (content hash) or near (MinHash →
     verified pairs → connected components); writes the keep-list
     parquet + a JSON summary line."""
-    import pyarrow as pa
     import pyarrow.compute as pc
 
-    import ray
     import ray.data as rd
 
     from rayraster.dedup import (
@@ -129,12 +127,9 @@ def cmd_dedup(args) -> int:
             lambda t: t.filter(pc.not_equal(t["node"], t["cluster"])).select(["node"]),
             batch_format="pyarrow",
         )
-        loser_tbls = [
-            t for t in (ray.get(r) for r in losers.to_arrow_refs()) if t.num_columns
-        ]
-        drop_ids = (
-            pa.concat_tables(loser_tbls)["node"].to_pylist() if loser_tbls else []
-        )
+        ldf = losers.to_pandas()
+        # an all-empty Dataset comes back schema-less from to_pandas
+        drop_ids = ldf["node"].tolist() if "node" in ldf.columns else []
         keep = semi_join_filter(ds, drop_ids, args.id_col, invert=True).map_batches(
             lambda t: t.select([args.id_col]), batch_format="pyarrow"
         )

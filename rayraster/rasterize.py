@@ -34,6 +34,7 @@ projection (exact partial/final decomposition).
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import numpy as np
@@ -285,7 +286,14 @@ def _maybe_combine(
         return partial
     import ray as _ray
 
-    if _ray.is_initialized() and _ray.cluster_resources().get("CPU", 0) < 2:
+    if _ray.is_initialized():
+        cpus = _ray.cluster_resources().get("CPU", 0)
+    else:
+        # Ray will auto-init on THIS machine at execution time — judge
+        # feasibility by its core count, not by skipping the check
+        # (building the graph before ray.init is the common lazy path)
+        cpus = os.cpu_count() or 1
+    if cpus < 2:
         return partial
     return partial.map_batches(
         _make_combine(value_cols, extra_keys, extra_stats),

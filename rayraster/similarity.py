@@ -3,10 +3,13 @@
 * :func:`brute_topk` — exact cosine top-k: per-batch numpy matmul
   against a broadcast query matrix, per-batch partial top-k, tiny
   final merge.  The correctness baseline.
-* :class:`IVFIndex` / :func:`ivf_topk` — IVF-style bucketed variant:
-  vectors assigned to their nearest of C seeded centroids in one pass;
-  queries probe the ``nprobe`` nearest centroid buckets.  The scale
-  path (approximate; recall measured in tests).
+* :func:`ivf_topk` — IVF-style bucketed variant: vectors assigned to
+  their nearest of C centroids in one pass (seeded random, data seed
+  vectors, or :func:`kmeans_centroids`); queries probe only their
+  ``nprobe`` nearest centroid buckets (per-query masks).
+* :func:`ivf_build_index` / :func:`ivf_query_index` — the persisted
+  form: corpus written bucket-partitioned (clustered, one file per
+  bucket), probes read only probed bucket directories.
 
 All distances in float64 with fixed op order (matmul then division by
 precomputed norms) so results are deterministic.

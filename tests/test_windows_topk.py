@@ -189,3 +189,31 @@ def test_grouped_quantiles_matches_pandas(ray_session):
         ["g", "q"]
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_exact_quantiles_duplicate_atom_and_outlier(ray_session):
+    """Regression (review-confirmed crashes): a zero-value duplicate
+    mass larger than collect_threshold, and an extreme outlier, must
+    both converge quickly — the chosen bin's ACTUAL [min,max] bounds
+    terminate pure-value bins instantly and collapse empty range."""
+    from rayraster.agg import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([np.zeros(300_000), rng.uniform(0.5, 2.0, 300_000)])
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    assert exact_quantiles(ds, "v", [0.25]) == [0.0]  # inside the zero atom
+
+    vals2 = np.concatenate([rng.uniform(0, 1, 50_000), [1e300, -1e300]])
+    ds2 = rd.from_pandas(pd.DataFrame({"v": vals2}))
+    got = exact_quantiles(ds2, "v", [0.5], collect_threshold=1024)[0]
+    s = np.sort(vals2)
+    assert got == s[int(np.ceil(len(s) * 0.5)) - 1]
+
+
+def test_exact_quantiles_ignores_nulls(ray_session):
+    """NULLs are ignored (quantile_disc semantics), not poisoning the
+    range scan."""
+    from rayraster.agg import exact_quantiles
+
+    df = pd.DataFrame({"v": [1.0, 2.0, None, 3.0, None, 4.0, 5.0]})
+    assert exact_quantiles(rd.from_pandas(df), "v", [0.5]) == [3.0]
