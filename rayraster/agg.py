@@ -139,6 +139,8 @@ def exact_quantiles(
     num_bins: int = 4096,
     collect_threshold: int = 262144,
     max_rounds: int = 64,
+    batch_size: int = 262144,
+    fold_batch: int = 512,
 ) -> list[float]:
     """EXACT order statistics of a numeric column at any scale with NO
     shuffle: iterative histogram refinement.
@@ -161,6 +163,12 @@ def exact_quantiles(
     Rounds needed ≈ log_B(distinct values in the bin path).  Driver
     state: num_bins × |qs| counters.  NULL/NaN rows are ignored
     (quantile_disc semantics).
+
+    Blob traffic is bounded at any row count: one blob per
+    ``batch_size`` input rows, then a distributed fold stage merges
+    ``fold_batch`` blobs per task before the driver sees them — at
+    10^12 rows the driver folds ~rows/(batch_size·fold_batch) ≈ 10^4
+    blobs per round, not millions.
     """
     qs = list(qs)
 
@@ -193,7 +201,7 @@ def exact_quantiles(
                          "n": [int(len(v))]})
 
     gmin, gmax, n = np.inf, -np.inf, 0
-    for t in ds.map_batches(stats_batch, batch_format="pyarrow",
+    for t in ds.map_batches(stats_batch, batch_format="pyarrow", batch_size=batch_size,
                             zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
         for lo, hi, cnt in zip(t["lo"].to_pylist(), t["hi"].to_pylist(), t["n"].to_pylist()):
             gmin, gmax, n = min(gmin, lo), max(gmax, hi), n + cnt
@@ -236,13 +244,28 @@ def exact_quantiles(
                                            type=pa.binary())})
 
         stride = 3 * num_bins
-        tot_counts = np.zeros((len(act), num_bins))
-        tot_min = np.full((len(act), num_bins), np.inf)
-        tot_max = np.full((len(act), num_bins), -np.inf)
-        for t in ds.map_batches(hist_batch, batch_format="pyarrow",
-                                zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        n_act = len(act)
+
+        def fold_blobs(t: pa.Table) -> pa.Table:
+            parts = np.stack(
+                [np.frombuffer(b, dtype=np.float64) for b in t["h"].to_pylist()]
+            ).reshape(-1, n_act, stride)
+            merged = np.empty((n_act, stride))
+            merged[:, :num_bins] = parts[:, :, :num_bins].sum(axis=0)
+            merged[:, num_bins : 2 * num_bins] = parts[:, :, num_bins : 2 * num_bins].min(axis=0)
+            merged[:, 2 * num_bins :] = parts[:, :, 2 * num_bins :].max(axis=0)
+            return pa.table({"h": pa.array([merged.tobytes()], type=pa.binary())})
+
+        hist = ds.map_batches(hist_batch, batch_format="pyarrow",
+                              batch_size=batch_size, zero_copy_batch=True)
+        folded = hist.map_batches(fold_blobs, batch_format="pyarrow",
+                                  batch_size=fold_batch, zero_copy_batch=True)
+        tot_counts = np.zeros((n_act, num_bins))
+        tot_min = np.full((n_act, num_bins), np.inf)
+        tot_max = np.full((n_act, num_bins), -np.inf)
+        for t in folded.iter_batches(batch_format="pyarrow"):
             for blob in t["h"].to_pylist():
-                part = np.frombuffer(blob, dtype=np.float64).reshape(len(act), stride)
+                part = np.frombuffer(blob, dtype=np.float64).reshape(n_act, stride)
                 tot_counts += part[:, :num_bins]
                 np.minimum(tot_min, part[:, num_bins : 2 * num_bins], out=tot_min)
                 np.maximum(tot_max, part[:, 2 * num_bins :], out=tot_max)
@@ -282,7 +305,7 @@ def exact_quantiles(
                              "v": pa.array(np.concatenate(vals))})
 
         buf: dict[int, list[np.ndarray]] = {j: [] for j in range(len(pending))}
-        for t in ds.map_batches(collect_batch, batch_format="pyarrow",
+        for t in ds.map_batches(collect_batch, batch_format="pyarrow", batch_size=batch_size,
                                 zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
             tg = t["tag"].to_numpy(zero_copy_only=False)
             vv = t["v"].to_numpy(zero_copy_only=False)
