@@ -170,6 +170,20 @@ def _q_clip(sf_dir: str):
     return inside.select_columns(["doc_id"])
 
 
+def _q_clip_joined(sf_dir: str):
+    """r7's scale twin: point-in-polygon via the cell-indexed JOIN
+    (polyfill candidate index + one co-location shuffle + exact test
+    per candidate pair) instead of broadcasting the polygon set —
+    the many-polygons path; same oracle as r7."""
+    from rayraster.clip import spatial_join_polygons
+    from rayraster.grid import GridSpec
+
+    pts = load_doc_points(sf_dir, columns=("doc_id",))
+    spec = GridSpec(-180.0, -90.0, RES)
+    out = spatial_join_polygons(pts, [(0, CLIP_RING)], spec)
+    return out.select_columns(["doc_id"])
+
+
 def _q_knn(sf_dir: str):
     pts = load_doc_points(sf_dir, columns=("doc_id", "n_chars"))
     cells, _ = rasterize_features(pts, RES, ["n_chars"], fun="sum", with_meta=False)
@@ -1606,6 +1620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r5_rotations": _q_rotations,
         "r6_multires": _q_multires,
         "r7_clip": _q_clip,
+        "r7b_clip_cell_join": _q_clip_joined,
         "r8_knn": _q_knn,
         "r9_polyfill": _q_polyfill,
         "r10_raster_to_vector": _q_raster_to_vector,
@@ -1662,6 +1677,7 @@ def oracle_sql() -> dict[str, str]:
         "r5_rotations": _sql_rotations(),
         "r6_multires": _sql_multires(),
         "r7_clip": _sql_clip(),
+        "r7b_clip_cell_join": _sql_clip(),
         "r8_knn": _sql_knn(),
         "r9_polyfill": _sql_polyfill(),
         "r10_raster_to_vector": _sql_raster_to_vector(),

@@ -192,3 +192,32 @@ def test_hex_polyfill_contains_all_near_cells():
     assert ((cx >= -3) & (cx <= 3) & (cy >= -3) & (cy <= 3)).all()
     # spot-check: origin cell present
     assert (0, 0) in set(zip(ii.tolist(), jj.tolist()))
+
+
+def test_spatial_join_polygons_matches_brute(ray_session):
+    """Cell-indexed distributed PIP join == brute-force per-ring test,
+    including a point inside two overlapping polygons (2 rows)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rayraster.clip import points_in_ring, spatial_join_polygons
+    from rayraster.grid import GridSpec
+
+    rng = np.random.default_rng(13)
+    px = rng.uniform(-100, 100, 2000)
+    py = rng.uniform(-100, 100, 2000)
+    tri = np.array([(-80.1, -80.2), (70.3, -60.1), (0.2, 75.4), (-80.1, -80.2)])
+    box = np.array([(-30.1, -30.2), (90.3, -30.2), (90.3, 50.1), (-30.1, 50.1),
+                    (-30.1, -30.2)])
+    polys = [(0, tri), (1, box)]
+    pts = rd.from_pandas(pd.DataFrame({"pid": np.arange(2000), "x": px, "y": py}))
+    out = spatial_join_polygons(pts, polys, GridSpec(-180.0, -90.0, 15.0)).to_pandas()
+    got = sorted(zip(out.pid, out.poly_id))
+    want = []
+    for poly_id, ring in polys:
+        inside = points_in_ring(px, py, ring)
+        want += [(int(i), poly_id) for i in np.flatnonzero(inside)]
+    assert got == sorted(want)
+    # overlap region produces two rows for the same point
+    counts = out.pid.value_counts()
+    assert (counts == 2).any()
