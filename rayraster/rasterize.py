@@ -278,10 +278,11 @@ def _maybe_combine(
     deliberately differs (by ε) from the map stage so Ray does NOT
     fuse the two operators — fused, each combine call sees only one
     map output and folds nothing.  Measured at 2M rows / 32 cpus:
-    fused wall 7.0s → unfused 4.85s.  ε = 0.01 (not a whole extra
-    CPU): a 2-cpu request starves small clusters — the 8-cpu scaling
-    leg degraded 2× with num_cpus=2.  Skipped on a <2-CPU cluster
-    where the 1.01-CPU request could never schedule (hang)."""
+    fused wall 7.0s → unfused 4.85s.  ε is BELOW 1 cpu (0.99, not
+    1.01): a request above 1.0 strands a fractional cpu on small
+    clusters (8-cpu leg: 7×1.01 leaves 0.93 — no 1.0-cpu map task
+    fits), and a 2-cpu request degraded the 8-cpu scaling leg 2×.
+    Skipped on a <2-CPU cluster (a lone cpu should not split)."""
     if not combine_batch_size:
         return partial
     import ray as _ray
@@ -300,7 +301,7 @@ def _maybe_combine(
         batch_format="pyarrow",
         batch_size=combine_batch_size,
         zero_copy_batch=True,
-        num_cpus=1.01,
+        num_cpus=0.99,
     )
 
 
