@@ -97,13 +97,28 @@ def brute_topk(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return _final_topk(_collect_candidates(cand, id_col), k, id_col)
+    return _final_topk(_collect_candidates(cand, id_col, k=k), k, id_col)
 
 
-def _collect_candidates(cand: Dataset, id_col: str) -> pa.Table:
+def _collect_candidates(
+    cand: Dataset, id_col: str, k: int | None = None, fold_batch: int = 65536
+) -> pa.Table:
     """Gather per-batch candidate blocks, skipping the zero-column
     empty blocks a union boundary can emit (they have no schema and
-    break concat_tables)."""
+    break concat_tables).
+
+    With ``k``, a distributed fold keeps only each query's top-k per
+    ~fold_batch candidate rows BEFORE the driver concat — without it,
+    driver traffic grows with block count (k × nq per map task)."""
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return _final_topk(t, k, id_col).drop_columns(["rank"])
+
+    if k is not None:
+        cand = cand.map_batches(fold, batch_format="pyarrow",
+                                batch_size=fold_batch, zero_copy_batch=True)
     tbls = [t for t in (ray.get(r) for r in cand.to_arrow_refs()) if t.num_columns > 0]
     if not tbls:
         return pa.table(
@@ -292,7 +307,7 @@ def ivf_query_index(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return _final_topk(_collect_candidates(cand, id_col), k, id_col)
+    return _final_topk(_collect_candidates(cand, id_col, k=k), k, id_col)
 
 
 def ivf_topk(
@@ -343,4 +358,4 @@ def ivf_topk(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return _final_topk(_collect_candidates(cand, id_col), k, id_col)
+    return _final_topk(_collect_candidates(cand, id_col, k=k), k, id_col)
