@@ -52,7 +52,7 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
     )
     from rayraster.extract import ExtractStage
     from rayraster.grid import GridSpec
-    from rayraster.join import semi_join_filter
+    from rayraster.join import bucket_join
     from rayraster.pipelines import add_geocode_url
     from rayraster.rasterize import rasterize_features
     from rayraster.synth import pages_dataset
@@ -106,24 +106,39 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
     ).materialize()
     summary["rows_after_quality"] = docs.count()
 
-    # 3. exact dedup (content hash, keep min id)
+    # 3. exact dedup (content hash, keep min id): the keep-list STAYS
+    # a Dataset — a distributed semi bucket-join (one co-location
+    # shuffle) filters the corpus; on a real crawl the keep list is
+    # O(corpus), so a driver to_pandas broadcast here would be the
+    # pipeline's scale ceiling
+    docs_schema = docs.schema()  # docs is materialized — probe is free
     keep_exact = exact_dedup_keep_ids(docs)
-    keep_ids = keep_exact.to_pandas()["doc_id"].tolist()
-    docs = semi_join_filter(docs, keep_ids, "doc_id").materialize()
-    summary["rows_after_exact_dedup"] = docs.count()
+    docs = bucket_join(
+        docs, keep_exact, "doc_id", "doc_id", join_type="semi",
+        left_schema=docs_schema,
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    ).materialize()
+    n_docs = docs.count()
+    summary["rows_after_exact_dedup"] = n_docs
 
     # 4. near-dup dedup: LSH pairs → verified (partitioned above the
     # broadcast threshold) → DISTRIBUTED connected components (labels
-    # stay in a Dataset) → drop non-representatives
-    pairs = minhash_lsh_pairs(docs, threshold=0.85).select_columns(["a", "b"])
+    # stay in a Dataset) → anti bucket-join drops non-representatives
+    # (duplicates are 30-50% of a real crawl — the loser list is
+    # O(corpus) too, so it must never land on the driver)
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.85, corpus_count=n_docs
+    ).select_columns(["a", "b"])
     clusters = connected_components_distributed(pairs)
     losers = clusters.map_batches(
         lambda t: t.filter(pc.not_equal(t["node"], t["cluster"])).select(["node"]),
         batch_format="pyarrow",
     )
-    ldf = losers.to_pandas()  # bounded by duplicate count
-    drop = ldf["node"].tolist() if "node" in ldf.columns else []  # empty ds loses schema
-    docs = semi_join_filter(docs, drop, "doc_id", invert=True).materialize()
+    docs = bucket_join(
+        docs, losers, "doc_id", "node", join_type="anti",
+        left_schema=docs_schema,
+        right_schema=pa.schema([("node", pa.int64())]),
+    ).materialize()
     summary["rows_after_near_dedup"] = docs.count()
 
     # 4b. token budget of the surviving corpus (BPE pre-token count)

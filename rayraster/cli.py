@@ -94,6 +94,7 @@ def cmd_dedup(args) -> int:
     """Dedup a parquet corpus: exact (content hash) or near (MinHash →
     verified pairs → connected components); writes the keep-list
     parquet + a JSON summary line."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     import ray.data as rd
@@ -103,7 +104,7 @@ def cmd_dedup(args) -> int:
         exact_dedup_keep_ids,
         minhash_lsh_pairs,
     )
-    from rayraster.join import semi_join_filter
+    from rayraster.join import bucket_join
 
     _init_ray(args.num_cpus)
     files = sorted(glob.glob(args.input))
@@ -111,26 +112,30 @@ def cmd_dedup(args) -> int:
         print(f"no input files match {args.input}", file=sys.stderr)
         return 2
     ds = rd.read_parquet(files, columns=[args.id_col, args.text_col])
+    ds_schema = ds.schema()  # raw read — probe reads one block's metadata
     n_in = ds.count()
     if args.method == "exact":
         keep = exact_dedup_keep_ids(ds, args.text_col, args.id_col)
     else:
         pairs = minhash_lsh_pairs(
             ds, args.text_col, args.id_col, threshold=args.threshold,
-            verify_mode=args.verify_mode,
+            verify_mode=args.verify_mode, corpus_count=n_in,
         ).select_columns(["a", "b"])
         clusters = connected_components_distributed(pairs)
-        # losers = nodes whose cluster label is another doc; the loser
-        # list is bounded by the duplicate count (≪ corpus), so a
-        # broadcast anti-join is the right shape for the final filter
+        # losers = nodes whose cluster label is another doc.  On a real
+        # crawl duplicates are 30-50% of the corpus, so the loser list
+        # is O(corpus): it stays a Dataset and the final filter is a
+        # distributed anti bucket-join (one co-location shuffle),
+        # never a driver to_pandas broadcast
         losers = clusters.map_batches(
             lambda t: t.filter(pc.not_equal(t["node"], t["cluster"])).select(["node"]),
             batch_format="pyarrow",
         )
-        ldf = losers.to_pandas()
-        # an all-empty Dataset comes back schema-less from to_pandas
-        drop_ids = ldf["node"].tolist() if "node" in ldf.columns else []
-        keep = semi_join_filter(ds, drop_ids, args.id_col, invert=True).map_batches(
+        keep = bucket_join(
+            ds, losers, args.id_col, "node", join_type="anti",
+            left_schema=ds_schema,
+            right_schema=pa.schema([("node", pa.int64())]),
+        ).map_batches(
             lambda t: t.select([args.id_col]), batch_format="pyarrow"
         )
     import shutil

@@ -28,7 +28,9 @@ rows.  Verification has TWO paths, selected by ``verify_mode``:
   materialized on the driver and nothing is broadcast; both sides
   stream through co-location shuffles.
 
-``verify_mode="auto"`` (default) counts the corpus and picks.
+``verify_mode="auto"`` (default) picks via a BOUNDED row probe
+(``limit(threshold+1).count()`` — never a full corpus pass) or a
+caller-supplied ``corpus_count``.
 """
 
 from __future__ import annotations
@@ -416,9 +418,27 @@ def _verify_cosine_partitioned(batch: pa.Table, threshold: float) -> pa.Table:
     )
 
 
-def _pick_verify_mode(ds: Dataset, verify_mode: str, broadcast_threshold: int) -> str:
+def _pick_verify_mode(
+    ds: Dataset, verify_mode: str, broadcast_threshold: int,
+    corpus_count: int | None = None,
+) -> str:
+    """Pick broadcast vs partitioned verify.
+
+    ``auto`` only needs to know whether the corpus EXCEEDS the
+    broadcast threshold — a full ``ds.count()`` would execute the
+    whole upstream lineage of a lazy input just to pick a code path
+    (an extra corpus pass, measured on d2/d2b).  Instead: use the
+    caller-supplied ``corpus_count`` when given, else a BOUNDED probe
+    ``ds.limit(threshold+1).count()`` — the streaming executor stops
+    feeding upstream operators once the limit is satisfied, so the
+    probe reads at most threshold+1 rows regardless of corpus size."""
     if verify_mode == "auto":
-        return "broadcast" if ds.count() <= broadcast_threshold else "partitioned"
+        n = (
+            corpus_count
+            if corpus_count is not None
+            else ds.limit(broadcast_threshold + 1).count()
+        )
+        return "broadcast" if n <= broadcast_threshold else "partitioned"
     if verify_mode not in ("broadcast", "partitioned"):
         raise ValueError(f"verify_mode must be auto|broadcast|partitioned, got {verify_mode!r}")
     return verify_mode
@@ -474,11 +494,13 @@ def minhash_lsh_pairs(
     verify_mode: str = "auto",
     broadcast_threshold: int = 50_000,
     num_buckets: int = 64,
+    corpus_count: int | None = None,
 ) -> Dataset:
     """Near-duplicate pairs with exact-verified char-shingle Jaccard ≥
     threshold.  ``verify_mode`` picks the verify shape (module
     docstring); ``texts_ref`` (optional pre-broadcast {id: text})
-    forces the broadcast path."""
+    forces the broadcast path; ``corpus_count`` (if known) skips the
+    auto-mode row probe entirely."""
     buckets = ds.map_batches(
         MinHashStage(text_col, id_col, num_perm, bands, k),
         batch_format="pyarrow",
@@ -487,7 +509,7 @@ def minhash_lsh_pairs(
     )
     pairs = candidate_pairs(buckets, id_col)
     if texts_ref is None and _pick_verify_mode(
-        ds, verify_mode, broadcast_threshold
+        ds, verify_mode, broadcast_threshold, corpus_count
     ) == "partitioned":
         joined = attach_pair_payloads(
             pairs, ds.select_columns([id_col, text_col]), id_col, text_col, num_buckets
@@ -561,6 +583,7 @@ def simhash_pairs(
     verify_mode: str = "auto",
     broadcast_threshold: int = 50_000,
     num_buckets: int = 64,
+    corpus_count: int | None = None,
 ) -> Dataset:
     """Near-dup pairs with Hamming(simhash) ≤ max_dist (≤ 3 for exact
     recall with the 4×16 banding; larger max_dist is best-effort)."""
@@ -569,7 +592,7 @@ def simhash_pairs(
     )
     pairs = candidate_pairs(rows, id_col)
     sig_rows = distinct(rows, [id_col, "sig"])
-    if _pick_verify_mode(ds, verify_mode, broadcast_threshold) == "partitioned":
+    if _pick_verify_mode(ds, verify_mode, broadcast_threshold, corpus_count) == "partitioned":
         # materialize: the sig table (one small row per doc) feeds BOTH
         # join hops and its lineage contains the SimHash map + a
         # shuffle — unmaterialized, each hop (plus the schema probe)
@@ -663,6 +686,7 @@ def embedding_neardup_pairs(
     verify_mode: str = "auto",
     broadcast_threshold: int = 50_000,
     num_buckets: int = 64,
+    corpus_count: int | None = None,
 ) -> Dataset:
     """Pairs with exact cosine ≥ threshold, candidates from
     random-hyperplane LSH (4 tables × 16 planes)."""
@@ -673,7 +697,7 @@ def embedding_neardup_pairs(
         concurrency=4,
     )
     pairs = candidate_pairs(rows, id_col)
-    if _pick_verify_mode(ds, verify_mode, broadcast_threshold) == "partitioned":
+    if _pick_verify_mode(ds, verify_mode, broadcast_threshold, corpus_count) == "partitioned":
         # serialize vectors to fixed float64 bytes: Arrow's hash join
         # can't carry list columns (pyarrow 16), binary it can
         def to_bytes(t: pa.Table) -> pa.Table:
@@ -956,6 +980,7 @@ def ngram_jaccard_pairs(
     verify_mode: str = "auto",
     broadcast_threshold: int = 50_000,
     num_buckets: int = 64,
+    corpus_count: int | None = None,
 ) -> Dataset:
     """Near-dup pairs by exact word-n-gram Jaccard ≥ threshold;
     candidates from an aggressive MinHash banding (32 bands × 2 rows —
@@ -967,7 +992,7 @@ def ngram_jaccard_pairs(
         concurrency=4,
     )
     pairs = candidate_pairs(buckets, id_col)
-    if _pick_verify_mode(ds, verify_mode, broadcast_threshold) == "partitioned":
+    if _pick_verify_mode(ds, verify_mode, broadcast_threshold, corpus_count) == "partitioned":
         joined = attach_pair_payloads(
             pairs, ds.select_columns([id_col, text_col]), id_col, text_col, num_buckets
         )

@@ -255,6 +255,8 @@ def asof_join(
     ts_col: str = "ts",
     num_partitions: int = 64,
     suffix: str = "_r",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> Dataset:
     """As-of (backward, inclusive) join: for each left row, the most
     recent right row with the same ``key`` and ``ts ≤`` the left ts —
@@ -266,12 +268,42 @@ def asof_join(
     per-key tasks).  INNER semantics: unmatched left rows are dropped
     (no null-typed columns to reconcile).  Output: left columns
     (ts as ``ts_us`` int64) + right columns suffixed.
-    """
+
+    ``left_schema`` / ``right_schema``: pass them when a side's
+    lineage contains a shuffle — ``Dataset.schema()`` on such a
+    dataset EXECUTES the upstream pipeline (same trap as
+    :func:`bucket_join`).  All type information is resolved ONCE here
+    on the driver; the per-batch/per-group UDFs capture only plain
+    dicts, never the Dataset objects."""
     import numpy as np
     import pandas as pd
 
-    l_cols = [c for c in left.schema().names if c not in (ts_col,)]
-    r_cols = [c for c in right.schema().names if c not in (ts_col,)]
+    l_schema = left.schema() if left_schema is None else left_schema
+    r_schema = right.schema() if right_schema is None else right_schema
+    l_cols = [c for c in l_schema.names if c not in (ts_col,)]
+    r_cols = [c for c in r_schema.names if c not in (ts_col,)]
+
+    def _pa_type(typ) -> pa.DataType:
+        if not isinstance(typ, pa.DataType):
+            # Ray Schema may report Python types for pandas object cols
+            typ = {str: pa.string(), int: pa.int64(),
+                   float: pa.float64()}.get(typ, pa.string())
+        return typ
+
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    # null-fill type per column, resolved on the driver (left wins for
+    # shared names, matching the output projection)
+    null_types = {
+        name: _pa_type(l_types[name] if name in l_cols else r_types[name])
+        for name in set(l_cols) | set(r_cols)
+    }
+    # right carry columns that must come back int64 after merge_asof's
+    # float promotion (matched rows only, so the cast is lossless)
+    r_int_cols = {
+        c for c in r_cols
+        if str(r_types.get(c)) in ("int64", "int32") or r_types.get(c) in (int,)
+    }
 
     def unify(is_left: bool):
         def fn(t: pa.Table) -> pa.Table:
@@ -283,15 +315,10 @@ def asof_join(
             )
             cols = {"_ts_us": pa.array(us)}
             mine = l_cols if is_left else r_cols
-            for name in set(l_cols) | set(r_cols):
+            for name, typ in null_types.items():
                 if name in mine and name in t.column_names:
                     cols[name] = t[name]
                 else:
-                    src = left if name in l_cols else right
-                    typ = dict(zip(src.schema().names, src.schema().types))[name]
-                    if not isinstance(typ, pa.DataType):
-                        typ = {str: pa.string(), int: pa.int64(),
-                               float: pa.float64()}.get(typ, pa.string())
                     cols[name] = pa.nulls(t.num_rows, type=typ)
             out = pa.table(cols)
             kv = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -306,7 +333,7 @@ def asof_join(
 
     lt = left.map_batches(unify(True), batch_format="pyarrow")
     rt = right.map_batches(unify(False), batch_format="pyarrow")
-    order = sorted(set(lt.schema().names))
+    order = sorted({"_ts_us", "_part", "_side_l", *null_types})
     lt = lt.map_batches(lambda t: t.select(order), batch_format="pyarrow")
     rt = rt.map_batches(lambda t: t.select(order), batch_format="pyarrow")
 
@@ -332,10 +359,7 @@ def asof_join(
                  for c in r_cols if c != key]
         for c in carry:
             if m[c].dtype.kind == "f" and c.endswith(suffix):
-                base = c[: -len(suffix)]
-                src = right.schema()
-                typ = dict(zip(src.names, src.types)).get(base)
-                if str(typ) in ("int64", "int32") or typ in (int,):
+                if c[: -len(suffix)] in r_int_cols:
                     m[c] = m[c].astype("int64")
         return m[["ts_us", *l_cols, *carry]]
 

@@ -269,6 +269,56 @@ def test_verify_mode_auto_picks_partitioned_above_threshold(ray_session, monkeyp
     assert len(got) > 0
 
 
+def test_dedup_filter_chain_never_materializes_on_driver(ray_session, monkeypatch):
+    """The END-TO-END dedup filter (exact-keep semi bucket-join →
+    near-dup pairs → distributed CC → loser anti bucket-join) must
+    keep every list distributed: on a real crawl both the keep list
+    and the loser list are O(corpus).  to_pandas is forbidden for the
+    whole chain (the guard the example/CLI glue is held to)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray as _ray
+    from ray.data import Dataset
+
+    from rayraster.dedup import connected_components_distributed
+    from rayraster.join import bucket_join
+
+    df = _corpus(30, dup_every=3)  # exact copies at id+1000 for i%3==0
+    extra = df[(df.doc_id < 1000) & (df.doc_id % 5 == 0)].copy()
+    extra["doc_id"] += 5000
+    extra["text"] = extra["text"] + " zz9y"  # near (not exact) dups
+    df = pd.concat([df, extra], ignore_index=True)
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver materialization (to_pandas) in dedup filter chain")
+
+    monkeypatch.setattr(Dataset, "to_pandas", _boom)
+
+    docs = rd.from_pandas(df).materialize()
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    keep_exact = exact_dedup_keep_ids(docs)
+    docs = bucket_join(
+        docs, keep_exact, "doc_id", "doc_id", join_type="semi",
+        left_schema=schema, right_schema=pa.schema([("doc_id", pa.int64())]),
+    ).materialize()
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.8, verify_mode="partitioned"
+    ).select_columns(["a", "b"])
+    clusters = connected_components_distributed(pairs)
+    losers = clusters.map_batches(
+        lambda t: t.filter(pc.not_equal(t["node"], t["cluster"])).select(["node"]),
+        batch_format="pyarrow",
+    )
+    final = bucket_join(
+        docs, losers, "doc_id", "node", join_type="anti",
+        left_schema=schema, right_schema=pa.schema([("node", pa.int64())]),
+    )
+    t = pa.concat_tables([_ray.get(r) for r in final.to_arrow_refs()])
+    # exact dedup removes the +1000 copies; near-dup CC removes the
+    # +5000 perturbed copies (originals win as min-id cluster reps)
+    assert sorted(t["doc_id"].to_pylist()) == sorted(df[df.doc_id < 1000].doc_id)
+
+
 def test_synth_texts_unique_at_scale():
     from rayraster.synth import make_pages_batch
 

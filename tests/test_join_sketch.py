@@ -172,6 +172,55 @@ def test_asof_join_null_carry_and_carry_less_right(ray_session):
     assert out2.lv.tolist() == [1, 2]  # still inner: k=2 dropped
 
 
+def test_asof_join_explicit_schemas_no_build_time_execution(ray_session, tmp_path):
+    """With explicit schemas, CONSTRUCTING an asof_join over a
+    shuffle-derived side must not execute the upstream pipeline
+    (Dataset.schema() on such lineage runs it — the bucket_join trap),
+    and the worker UDFs must not re-execute it per batch via captured
+    Dataset objects.  Proof: a counting map in the left lineage runs
+    zero times at graph build and exactly once per batch overall."""
+    from rayraster.join import asof_join
+
+    marker = tmp_path / "exec_count"
+
+    def touch(t):
+        with open(marker, "a") as f:
+            f.write("x" * len(t) + "\n")
+        return t
+
+    left = pd.DataFrame(
+        {"k": [1, 1, 2], "ts": pd.to_datetime([10, 20, 30], unit="s"), "lv": [1, 2, 3]}
+    )
+    right = pd.DataFrame(
+        {"k": [1, 2], "ts": pd.to_datetime([5, 25], unit="s"), "rv": [7.0, 8.0]}
+    )
+    # shuffle-derived left: sort puts an all-to-all in the lineage
+    lds = (
+        rd.from_pandas(left)
+        .map_batches(touch, batch_format="pandas")
+        .sort("lv")
+    )
+    import pyarrow as pa
+
+    l_schema = pa.schema(
+        [("k", pa.int64()), ("ts", pa.timestamp("us")), ("lv", pa.int64())]
+    )
+    r_schema = pa.schema(
+        [("k", pa.int64()), ("ts", pa.timestamp("us")), ("rv", pa.float64())]
+    )
+    joined = asof_join(
+        lds, rd.from_pandas(right), key="k",
+        left_schema=l_schema, right_schema=r_schema,
+    )
+    assert not marker.exists(), "graph build executed the upstream pipeline"
+    out = joined.to_pandas().sort_values("ts_us")
+    assert out.lv.tolist() == [1, 2, 3]
+    assert out.rv.tolist() == [7.0, 7.0, 8.0]
+    # upstream ran exactly once: 3 left rows touched in total
+    runs = marker.read_text().splitlines()
+    assert sum(len(r) for r in runs) == 3, f"upstream re-executed: {runs}"
+
+
 def test_range_join_overlapping_bands(ray_session):
     import pyarrow as pa
 
