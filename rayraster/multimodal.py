@@ -2,11 +2,22 @@
 
 Images/audio/video are carried as ``binary`` columns with metadata;
 decode / feature-extract / resize / frame-sample are actor-pool
-map_batches stages.  The decode kernel is REAL for BMP and binary PPM
-payloads (from-scratch stdlib header parsers — the sandbox has no
-image libraries); any other byte pattern falls back to a clearly
-deterministic fake so the plumbing stays exercised on arbitrary
-binaries (as the task brief directs).
+map_batches stages.  The kernels are REAL for BMP and binary-PPM
+payloads — from-scratch stdlib/numpy parsers and pixel transforms
+(the sandbox has no image libraries):
+
+* :func:`decode_image_pixels` — 24-bit BMP (bottom-up or top-down,
+  uncompressed) and binary PPM (``P6``) → an (H, W, 3) uint8 RGB
+  array
+* :class:`ResizeStage` — exact area-average (box-filter) downscale on
+  decoded pixels via an integral image, re-encoded to BMP
+* :class:`FrameSampleStage` — PPM *stream* payloads (concatenated P6
+  frames, the ``ffmpeg image2pipe`` wire format) → one row per
+  sampled frame
+
+Any other byte pattern falls back to a clearly deterministic fake so
+the plumbing stays exercised on arbitrary binaries (as the task brief
+directs).
 
 Scale note: binary payloads dominate block size — these stages should
 run with small ``batch_size`` (e.g. 256) and ``num_cpus=1`` actors so
@@ -32,35 +43,128 @@ def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
     return header + info + px
 
 
-def decode_image_header(p: bytes):
-    """(width, height, channels) from a BMP or binary-PPM payload, or
-    None if the bytes are neither.  Pure stdlib; never raises."""
-    try:
-        if len(p) >= 54 and p[:2] == b"BM":
-            (hdr_size,) = struct.unpack_from("<I", p, 14)
-            if hdr_size < 40:
-                return None  # ancient BITMAPCOREHEADER — not supported
-            w, h = struct.unpack_from("<ii", p, 18)
-            (bpp,) = struct.unpack_from("<H", p, 28)
-            if w <= 0 or h == 0 or bpp not in (8, 24, 32):
-                return None
-            return int(w), abs(int(h)), bpp // 8
-        if p[:2] == b"P6":
-            # header: P6 <ws> width <ws> height <ws> maxval, '#' comments
-            vals, i, tok = [], 2, b""
-            while len(vals) < 3 and i < min(len(p), 256):
-                c = p[i : i + 1]
-                if c == b"#":
-                    while i < len(p) and p[i : i + 1] != b"\n":
-                        i += 1
-                elif c.isdigit():
-                    tok += c
-                elif tok:
-                    vals.append(int(tok))
-                    tok = b""
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB array → 24-bit bottom-up BMP bytes (the
+    inverse of :func:`decode_image_pixels` for BMP payloads)."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError(f"encode_bmp needs (H, W, 3), got {img.shape}")
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    header = b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + info + rows.tobytes()
+
+
+def _parse_bmp(p: bytes):
+    """(width, height, bpp, data_offset, stride, topdown) for a
+    PLAUSIBLE uncompressed BITMAPINFOHEADER BMP, else None.
+
+    Plausibility (beyond the magic): sane data offset and the payload
+    actually containing the full pixel array — random binaries that
+    merely start with 'BM' must not parse (they would silently diverge
+    from the deterministic-fake formula and its SQL oracle twin)."""
+    if len(p) < 54 or p[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack_from("<I", p, 10)
+    (hdr_size,) = struct.unpack_from("<I", p, 14)
+    if hdr_size < 40:
+        return None  # ancient BITMAPCOREHEADER — not supported
+    w, h = struct.unpack_from("<ii", p, 18)
+    (bpp,) = struct.unpack_from("<H", p, 28)
+    (compression,) = struct.unpack_from("<I", p, 30)
+    if w <= 0 or h == 0 or bpp not in (8, 24, 32) or compression != 0:
+        return None
+    if not (54 <= data_off <= len(p)):
+        return None
+    stride = (w * (bpp // 8) + 3) & ~3
+    if data_off + stride * abs(h) > len(p):
+        return None  # declared pixel array doesn't fit the payload
+    return int(w), abs(int(h)), int(bpp), int(data_off), int(stride), h < 0
+
+
+def _parse_ppm(p: bytes, start: int = 0):
+    """(width, height, maxval, data_start) for a plausible binary PPM
+    at ``start``, else None.  Requires whitespace right after 'P6'
+    (any text starting with 'P6' followed by digits must not parse)
+    and the full ``3*w*h`` pixel bytes to be present."""
+    if p[start : start + 2] != b"P6":
+        return None
+    i = start + 2
+    if i >= len(p) or not p[i : i + 1].isspace():
+        return None
+    vals = []
+    limit = min(len(p), start + 256)
+    while len(vals) < 3 and i < limit:
+        c = p[i : i + 1]
+        if c == b"#":
+            while i < len(p) and p[i : i + 1] != b"\n":
                 i += 1
-            if len(vals) >= 2 and vals[0] > 0 and vals[1] > 0:
-                return vals[0], vals[1], 3
+            i += 1
+            continue
+        if c.isspace():
+            i += 1
+            continue
+        if not c.isdigit():
+            return None
+        tok = b""
+        while i < len(p) and p[i : i + 1].isdigit():
+            tok += p[i : i + 1]
+            i += 1
+        vals.append(int(tok))
+    if len(vals) < 3 or i >= len(p) or not p[i : i + 1].isspace():
+        return None
+    w, h, maxval = vals
+    data = i + 1  # exactly one whitespace byte after maxval
+    if w <= 0 or h <= 0 or not (0 < maxval < 65536):
+        return None
+    if data + 3 * w * h > len(p):
+        return None
+    return w, h, maxval, data
+
+
+def decode_image_header(p: bytes):
+    """(width, height, channels) from a plausible BMP or binary-PPM
+    payload, or None.  Pure stdlib; never raises."""
+    try:
+        bmp = _parse_bmp(p)
+        if bmp is not None:
+            w, h, bpp, *_ = bmp
+            return w, h, bpp // 8
+        ppm = _parse_ppm(p)
+        if ppm is not None:
+            return ppm[0], ppm[1], 3
+        return None
+    except (struct.error, ValueError):
+        return None
+
+
+def decode_image_pixels(p: bytes) -> np.ndarray | None:
+    """REAL pixel decode: (H, W, 3) uint8 RGB for a 24-bit BMP or an
+    8-bit binary PPM payload, else None.  Pure numpy — no image libs."""
+    try:
+        bmp = _parse_bmp(p)
+        if bmp is not None:
+            w, h, bpp, off, stride, topdown = bmp
+            if bpp != 24:
+                return None  # pixel kernel covers the 24-bit common case
+            rows = np.frombuffer(p, dtype=np.uint8, count=stride * h, offset=off)
+            rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+            if not topdown:
+                rows = rows[::-1]  # bottom-up file order → top-down array
+            return np.ascontiguousarray(rows[:, :, ::-1])  # BGR → RGB
+        ppm = _parse_ppm(p)
+        if ppm is not None:
+            w, h, maxval, data = ppm
+            if maxval > 255:
+                return None  # 16-bit samples out of scope
+            return (
+                np.frombuffer(p, dtype=np.uint8, count=3 * w * h, offset=data)
+                .reshape(h, w, 3)
+                .copy()
+            )
         return None
     except (struct.error, ValueError):
         return None
@@ -68,13 +172,21 @@ def decode_image_header(p: bytes):
 
 class ImageDecodeStage:
     """binary payload → (width, height, channels) metadata + optional
-    tiny feature vector.  BMP / binary-PPM headers are parsed for
-    real; unrecognized payloads get the deterministic fake (dimensions
-    derived from payload length) so arbitrary binaries still flow."""
+    tiny feature vector / pixel statistics.  BMP / binary-PPM payloads
+    are decoded for real; unrecognized payloads get the deterministic
+    fake (dimensions and stats derived from payload length) so
+    arbitrary binaries still flow.
 
-    def __init__(self, bin_col: str = "payload", with_features: bool = False):
+    ``with_pixel_stats`` adds ``px_mean`` — the mean decoded pixel
+    value, computed from an EXACT int64 sum so the float is
+    bit-reproducible against a SQL oracle; fake path:
+    ``float((len(payload) * 37) % 256)``."""
+
+    def __init__(self, bin_col: str = "payload", with_features: bool = False,
+                 with_pixel_stats: bool = False):
         self.bin_col = bin_col
         self.with_features = with_features
+        self.with_pixel_stats = with_pixel_stats
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.bin_col].to_pylist()
@@ -83,6 +195,7 @@ class ImageDecodeStage:
         height = np.empty(n, dtype=np.int64)
         channels = np.full(n, 3, dtype=np.int64)
         feats = np.zeros((n, 8), dtype=np.float64) if self.with_features else None
+        px_mean = np.zeros(n, dtype=np.float64) if self.with_pixel_stats else None
         for i, p in enumerate(payloads):
             nb = len(p)
             real = decode_image_header(p)
@@ -91,6 +204,13 @@ class ImageDecodeStage:
             else:
                 width[i] = 64 + nb % 960
                 height[i] = 64 + (nb * 7) % 960
+            if self.with_pixel_stats:
+                px = decode_image_pixels(p) if real is not None else None
+                if px is not None:
+                    # exact integer sum → one double division
+                    px_mean[i] = int(px.astype(np.int64).sum()) / px.size
+                else:
+                    px_mean[i] = float((nb * 37) % 256)
             if self.with_features and nb:
                 arr = np.frombuffer(p, dtype=np.uint8)
                 feats[i, :] = [
@@ -100,6 +220,8 @@ class ImageDecodeStage:
         batch = batch.append_column("width", pa.array(width))
         batch = batch.append_column("height", pa.array(height))
         batch = batch.append_column("channels", pa.array(channels))
+        if self.with_pixel_stats:
+            batch = batch.append_column("px_mean", pa.array(px_mean))
         if self.with_features:
             batch = batch.append_column(
                 "img_feat", pa.array(list(feats), type=pa.list_(pa.float64()))
@@ -107,33 +229,114 @@ class ImageDecodeStage:
         return batch
 
 
-class ResizeStage:
-    """Stub resize: rewrites metadata to the target box preserving
-    aspect (the real kernel would transform the payload)."""
+def resize_box(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Exact area-average (box-filter) resample of an (H, W, C) uint8
+    array to (new_h, new_w, C).
 
-    def __init__(self, max_side: int = 256):
+    Each output pixel is the EXACT mean of its fractional source box:
+    the integral image is piecewise bilinear, so bilinear sampling of
+    it at fractional box edges gives exact box integrals — fully
+    vectorized, no per-pixel Python."""
+    h, w, c = img.shape
+    # integral image with a zero top row / left column: S[y, x] = sum
+    # of img[:y, :x]
+    S = np.zeros((h + 1, w + 1, c), dtype=np.float64)
+    S[1:, 1:] = img.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
+
+    ys = np.linspace(0.0, float(h), new_h + 1)
+    xs = np.linspace(0.0, float(w), new_w + 1)
+
+    def integral_at(yy: np.ndarray, xx: np.ndarray) -> np.ndarray:
+        yi = np.clip(np.floor(yy).astype(np.int64), 0, h - 1) if h > 0 else np.zeros_like(yy, int)
+        xi = np.clip(np.floor(xx).astype(np.int64), 0, w - 1) if w > 0 else np.zeros_like(xx, int)
+        fy = (yy - yi)[:, None, None]
+        fx = (xx - xi)[None, :, None]
+        S00 = S[yi][:, xi]
+        S01 = S[yi][:, xi + 1]
+        S10 = S[yi + 1][:, xi]
+        S11 = S[yi + 1][:, xi + 1]
+        return (
+            S00 * (1 - fy) * (1 - fx) + S01 * (1 - fy) * fx
+            + S10 * fy * (1 - fx) + S11 * fy * fx
+        )
+
+    G = integral_at(ys, xs)  # (new_h+1, new_w+1, c)
+    box = G[1:, 1:] - G[:-1, 1:] - G[1:, :-1] + G[:-1, :-1]
+    area = (ys[1:] - ys[:-1])[:, None, None] * (xs[1:] - xs[:-1])[None, :, None]
+    out = box / area
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+class ResizeStage:
+    """REAL resize: decode the payload, box-filter downscale so the
+    longest side is ≤ ``max_side`` (aspect preserved, never upscales),
+    re-encode as BMP, and update the metadata columns.  Payloads that
+    don't decode keep their bytes and get the metadata-only rewrite
+    (the plumbing-stays-exercised fallback for arbitrary binaries)."""
+
+    def __init__(self, max_side: int = 256, bin_col: str = "payload"):
         self.max_side = max_side
+        self.bin_col = bin_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
-        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.float64)
-        scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
+        payloads = batch[self.bin_col].to_pylist()
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64).copy()
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64).copy()
+        out_payloads = []
+        for i, p in enumerate(payloads):
+            px = decode_image_pixels(p)
+            if px is None:
+                # metadata-only fallback (aspect-preserving box fit)
+                scale = min(1.0, self.max_side / max(float(w[i]), float(h[i]), 1.0))
+                w[i] = int(w[i] * scale)
+                h[i] = int(h[i] * scale)
+                out_payloads.append(p)
+                continue
+            ih, iw = px.shape[:2]
+            scale = min(1.0, self.max_side / max(iw, ih))
+            nw = max(1, int(round(iw * scale)))
+            nh = max(1, int(round(ih * scale)))
+            if (nw, nh) != (iw, ih):
+                px = resize_box(px, nw, nh)
+            w[i], h[i] = nw, nh
+            out_payloads.append(encode_bmp(px))
         batch = batch.set_column(
-            batch.schema.get_field_index("width"),
-            "width",
-            pa.array((w * scale).astype(np.int64)),
+            batch.schema.get_field_index(self.bin_col),
+            self.bin_col, pa.array(out_payloads, type=pa.binary()),
+        )
+        batch = batch.set_column(
+            batch.schema.get_field_index("width"), "width", pa.array(w)
         )
         return batch.set_column(
-            batch.schema.get_field_index("height"),
-            "height",
-            pa.array((h * scale).astype(np.int64)),
+            batch.schema.get_field_index("height"), "height", pa.array(h)
         )
+
+
+def _ppm_stream_frames(p: bytes) -> list[tuple[int, int, int]]:
+    """Offsets/dims of consecutive P6 frames in a PPM-stream payload
+    (the ``ffmpeg image2pipe -vcodec ppm`` wire format): list of
+    (data_offset, width, height).  Empty if the payload isn't a PPM
+    stream."""
+    frames = []
+    pos = 0
+    while pos < len(p):
+        hdr = _parse_ppm(p, pos)
+        if hdr is None:
+            break
+        w, h, _maxval, data = hdr
+        frames.append((data, w, h))
+        pos = data + 3 * w * h
+    # only a real stream if the frames tile the payload exactly
+    return frames if frames and pos == len(p) else []
 
 
 class FrameSampleStage:
-    """Stub video frame sampler: emits one row per sampled frame index
-    (every ``stride``-th of ``n_frames`` derived from payload length).
-    Demonstrates the row-expansion layout for video pipelines."""
+    """Video frame sampler: REAL for PPM-stream payloads (concatenated
+    binary-PPM frames — every ``stride``-th frame is decoded and
+    emitted as one row with its dims and mean pixel value); other
+    payloads fall back to the deterministic fake frame count derived
+    from payload length.  Demonstrates the row-expansion layout for
+    video pipelines."""
 
     def __init__(self, bin_col: str = "payload", stride: int = 10):
         self.bin_col = bin_col
@@ -141,11 +344,32 @@ class FrameSampleStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.bin_col].to_pylist()
-        n_frames = np.array([1 + len(p) % 100 for p in payloads], dtype=np.int64)
-        counts = (n_frames + self.stride - 1) // self.stride
-        rows = np.repeat(np.arange(len(payloads)), counts)
-        frame_idx = np.concatenate(
-            [np.arange(0, nf, self.stride, dtype=np.int64) for nf in n_frames]
-        )
-        out = batch.drop_columns([self.bin_col]).take(pa.array(rows))
-        return out.append_column("frame_idx", pa.array(frame_idx))
+        take_rows: list[int] = []
+        frame_idx: list[int] = []
+        fw: list[int] = []
+        fh: list[int] = []
+        fmean: list[float] = []
+        for i, p in enumerate(payloads):
+            frames = _ppm_stream_frames(p)
+            if frames:
+                for j in range(0, len(frames), self.stride):
+                    off, w, h = frames[j]
+                    px = np.frombuffer(p, dtype=np.uint8, count=3 * w * h, offset=off)
+                    take_rows.append(i)
+                    frame_idx.append(j)
+                    fw.append(w)
+                    fh.append(h)
+                    fmean.append(int(px.astype(np.int64).sum()) / px.size)
+            else:
+                nf = 1 + len(p) % 100  # deterministic fake frame count
+                for j in range(0, nf, self.stride):
+                    take_rows.append(i)
+                    frame_idx.append(j)
+                    fw.append(0)
+                    fh.append(0)
+                    fmean.append(float((len(p) * 37) % 256))
+        out = batch.drop_columns([self.bin_col]).take(pa.array(take_rows, type=pa.int64()))
+        out = out.append_column("frame_idx", pa.array(frame_idx, type=pa.int64()))
+        out = out.append_column("frame_w", pa.array(fw, type=pa.int64()))
+        out = out.append_column("frame_h", pa.array(fh, type=pa.int64()))
+        return out.append_column("frame_mean", pa.array(fmean, type=pa.float64()))

@@ -1,5 +1,6 @@
-"""Multimodal decode: real BMP/PPM header parsing + deterministic
-fallback, and the Ray-side stage plumbing."""
+"""Multimodal decode: real BMP/PPM pixel parsing + deterministic
+fallback, box-filter resize, PPM-stream frame sampling, and the
+Ray-side stage plumbing."""
 
 import numpy as np
 import pandas as pd
@@ -12,7 +13,10 @@ from rayraster.multimodal import (
     ImageDecodeStage,
     ResizeStage,
     decode_image_header,
+    decode_image_pixels,
+    encode_bmp,
     make_bmp,
+    resize_box,
 )
 
 
@@ -34,11 +38,9 @@ def test_bmp_topdown_and_invalid():
 
 
 def test_ppm_header():
-    assert decode_image_header(b"P6\n# a comment\n320 240\n255\n" + b"\x00" * 10) == (
-        320,
-        240,
-        3,
-    )
+    assert decode_image_header(
+        b"P6\n# a comment\n3 2\n255\n" + b"\x00" * 18
+    ) == (3, 2, 3)
     assert decode_image_header(b"P6 2 3 255 " + b"\x00" * 18) == (2, 3, 3)
 
 
@@ -46,6 +48,75 @@ def test_garbage_falls_back_to_fake():
     assert decode_image_header(b"hello world") is None
     assert decode_image_header(b"") is None
     assert decode_image_header(b"BMxx") is None  # too short for a header
+
+
+def test_implausible_magic_rejected():
+    """Advisor item: bytes that merely START like an image must not
+    parse — the declared pixel array has to fit the payload and 'P6'
+    needs immediate whitespace."""
+    # text that happens to start with 'BM' and is ≥54 bytes
+    assert decode_image_header(b"BM" + b"lorem ipsum dolor sit amet " * 3) is None
+    # truncated BMP: header fine, pixel array missing
+    assert decode_image_header(make_bmp(16, 16)[:100]) is None
+    # 'P6' glued to digits (no whitespace) — e.g. a part number string
+    assert decode_image_header(b"P6123 77 255 " + b"\x00" * 100) is None
+    # P6 header whose declared dims exceed the payload
+    assert decode_image_header(b"P6 320 240 255 " + b"\x00" * 10) is None
+
+
+def test_bmp_pixel_decode_exact():
+    """decode_image_pixels must invert make_bmp exactly (bottom-up file
+    order, BGR, row padding stripped)."""
+    w, h = 5, 3  # stride 16 → 1 pad byte per row
+    p = make_bmp(w, h, seed=7)
+    px = decode_image_pixels(p)
+    assert px.shape == (h, w, 3)
+    stride = (w * 3 + 3) & ~3
+    # reconstruct the expected array from the generator formula
+    flat = np.array([(7 + k * 37) % 256 for k in range(stride * h)], dtype=np.uint8)
+    rows = flat.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    want = rows[::-1, :, ::-1]  # bottom-up → top-down, BGR → RGB
+    assert (px == want).all()
+
+
+def test_encode_decode_roundtrip():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(7, 10, 3), dtype=np.uint8)
+    assert (decode_image_pixels(encode_bmp(img)) == img).all()
+
+
+def test_ppm_pixel_decode():
+    img = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    p = b"P6\n4 2\n255\n" + img.tobytes()
+    assert (decode_image_pixels(p) == img).all()
+
+
+def test_resize_box_exact_block_mean():
+    """Integer 2x downscale = exact 2x2 block means."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    out = resize_box(img, 3, 4)
+    want = img.astype(np.float64).reshape(4, 2, 3, 2, 3).mean(axis=(1, 3))
+    assert (out == np.clip(np.rint(want), 0, 255).astype(np.uint8)).all()
+
+
+def test_resize_box_mass_conservation_fractional():
+    """Any-scale box filter conserves total mass (sum × area scale)."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    h, w = 10, 7
+    nh, nw = 4, 3
+    ys = np.linspace(0.0, h, nh + 1)
+    xs = np.linspace(0.0, w, nw + 1)
+    # un-rounded means × areas must sum to the image total per channel
+    S = np.zeros((h + 1, w + 1, 3))
+    S[1:, 1:] = img.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
+    total = img.astype(np.float64).sum(axis=(0, 1))
+    out = resize_box(img, nw, nh).astype(np.float64)
+    area = (ys[1:] - ys[:-1])[:, None, None] * (xs[1:] - xs[:-1])[None, :, None]
+    got = (out * area).sum(axis=(0, 1))
+    # rounding to uint8 can move each box mean by ≤0.5
+    assert np.abs(got - total).max() <= 0.5 * area.sum() + 1e-6
 
 
 def test_decode_stage_mixed_payloads(ray_session):
@@ -65,7 +136,7 @@ def test_decode_stage_mixed_payloads(ray_session):
     assert out.channels.tolist() == [3, 3, 3]
 
 
-def test_resize_and_frame_sample(ray_session):
+def test_resize_and_frame_sample_fallback(ray_session):
     rows = [{"doc_id": i, "payload": bytes(range(i + 1)) * 40} for i in range(8)]
     ds = rd.from_pandas(pd.DataFrame(rows)).map_batches(
         ImageDecodeStage(bin_col="payload"), batch_format="pyarrow"
@@ -78,3 +149,68 @@ def test_resize_and_frame_sample(ray_session):
         .to_pandas()
     )
     assert (frames.frame_idx % 10 == 0).all() and len(frames) >= len(rows)
+
+
+def test_resize_stage_real_pixels(ray_session):
+    """ResizeStage must actually transform the payload: the output is
+    a valid BMP of the reduced size whose pixels are the box means."""
+    img = np.repeat(
+        np.repeat(np.arange(12, dtype=np.uint8).reshape(3, 4), 16, axis=0), 16, axis=1
+    )
+    img3 = np.stack([img, img + 1, img + 2], axis=-1)  # 48 × 64 × 3
+    rows = [{"doc_id": 0, "payload": encode_bmp(img3)}]
+    out = (
+        rd.from_pandas(pd.DataFrame(rows))
+        .map_batches(ImageDecodeStage(bin_col="payload"), batch_format="pyarrow")
+        .map_batches(ResizeStage(max_side=16), batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert out.width.tolist() == [16] and out.height.tolist() == [12]
+    px = decode_image_pixels(out.payload[0])
+    assert px.shape == (12, 16, 3)
+    # 4x downscale of a 16x16-block-constant image = the block values
+    want = resize_box(img3, 16, 12)
+    assert (px == want).all()
+
+
+def test_frame_sample_real_ppm_stream(ray_session):
+    """FrameSampleStage decodes PPM-stream payloads for real: frame
+    count, dims, and mean pixel values come from the actual frames."""
+    def frame(v, w=4, h=2):
+        return b"P6\n%d %d\n255\n" % (w, h) + bytes([v]) * (3 * w * h)
+
+    stream = b"".join(frame(10 * j) for j in range(25))
+    rows = [{"doc_id": 0, "payload": stream},
+            {"doc_id": 1, "payload": b"not a stream at all"}]
+    out = (
+        rd.from_pandas(pd.DataFrame(rows))
+        .map_batches(FrameSampleStage(bin_col="payload", stride=10), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+    )
+    real = out[out.doc_id == 0]
+    assert real.frame_idx.tolist() == [0, 10, 20]
+    assert real.frame_w.tolist() == [4, 4, 4] and real.frame_h.tolist() == [2, 2, 2]
+    assert real.frame_mean.tolist() == [0.0, 100.0, 200.0]
+    fake = out[out.doc_id == 1]
+    assert (fake.frame_w == 0).all() and len(fake) >= 1
+
+
+def test_decode_stage_pixel_stats(ray_session):
+    """px_mean: exact decoded mean for real payloads, the documented
+    deterministic formula for fakes."""
+    p_real = make_bmp(4, 2, seed=5)  # w%4==0 → no row padding
+    p_fake = b"some text payload"
+    out = (
+        rd.from_pandas(pd.DataFrame([{"doc_id": 0, "payload": p_real},
+                                     {"doc_id": 1, "payload": p_fake}]))
+        .map_batches(
+            ImageDecodeStage(bin_col="payload", with_pixel_stats=True),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    n = 4 * 2 * 3
+    want_real = sum((5 + 37 * k) % 256 for k in range(n)) / n
+    assert out.px_mean.tolist() == [want_real, float((len(p_fake) * 37) % 256)]
