@@ -169,6 +169,14 @@ def exact_quantiles(
     ``fold_batch`` blobs per task before the driver sees them — at
     10^12 rows the driver folds ~rows/(batch_size·fold_batch) ≈ 10^4
     blobs per round, not millions.
+
+    Precision bound: values refine in float64, so int64 columns are
+    exact up to |v| < 2^53 — beyond that, neighbouring large integers
+    collapse to one double and the returned value may be the rounded
+    double rather than a column element.  (Hash/id columns near
+    int64-max want min/max/topk, not quantiles; an integer-space
+    refinement would double the blob width for a case no pipeline
+    here has.)
     """
     qs = list(qs)
 
@@ -320,21 +328,49 @@ def exact_quantiles(
     return [s["val"] for s in states]
 
 
+def _detect_giant_groups(sample: pa.Table, group_cols: Sequence[str],
+                         giant_frac: float) -> list[tuple]:
+    """Group tuples holding ≥ giant_frac of the bounded sample.
+    Tuples containing NULL keys are never routed (NULL equality can't
+    drive a safe vectorized split) — they stay on the normal path."""
+    if sample.num_rows == 0:
+        return []
+    import collections
+
+    cnt = collections.Counter(zip(*[sample[g].to_pylist() for g in group_cols]))
+    thresh = giant_frac * sample.num_rows
+    return [k for k, c in cnt.items() if c >= thresh and None not in k]
+
+
 def grouped_quantiles(
     ds: Dataset,
     group_cols: Sequence[str],
     value_col: str,
     qs: Sequence[float],
     num_partitions: int = 64,
+    giant_frac: float | None = 0.5,
+    sample_rows: int = 65536,
 ) -> Dataset:
     """Exact per-group order statistics (quantile_disc rank rule,
     ``k = ceil(n·q) − 1``): hash-partition by group so every group is
     local, then ONE vectorized sorted pass per partition — segment
     boundaries + fancy indexing, never a task per group.  Assumes each
     group's rows fit a partition (the contract of every grouped
-    operator here); for one giant group use :func:`exact_quantiles`
-    on the filtered dataset.  Output: group cols + ``q`` + ``value``,
-    one row per (group, q)."""
+    operator here).
+
+    **Giant-group escape hatch**: a group holding most of the corpus
+    would serialize the whole dataset into ONE partition.  A bounded
+    prefix sample (``sample_rows`` rows — never a full pass) detects
+    groups at ≥ ``giant_frac`` of the sample; their rows are routed
+    through :func:`exact_quantiles` (map-only histogram refinement,
+    NO shuffle, group never co-located) and the remaining groups take
+    the normal partitioned path; results are unioned.  Missing a
+    giant in the sample costs only balance, never correctness — the
+    partitioned path is exact for any group that fits a partition.
+    ``giant_frac=None`` disables detection.  Like
+    :func:`exact_quantiles`, the escape path is exact for integer
+    values up to 2^53 (float64 refinement).  Output: group cols +
+    ``q`` + ``value``, one row per (group, q)."""
     group_cols = list(group_cols)
     qs = list(qs)
 
@@ -374,8 +410,67 @@ def grouped_quantiles(
         cols["value"] = part[value_col].take(pa.array(idx))
         return pa.table(cols)
 
-    parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-    return parted.groupby(_PART).map_groups(solve, batch_format="pyarrow")
+    def partitioned(dsx: Dataset) -> Dataset:
+        parted = dsx.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        return parted.groupby(_PART).map_groups(solve, batch_format="pyarrow")
+
+    giants: list[tuple] = []
+    smp = None
+    if giant_frac is not None and 0 < giant_frac <= 1:
+        import ray as _ray
+
+        smp = pa.concat_tables(
+            _ray.get(
+                ds.select_columns([*group_cols, value_col])
+                .limit(sample_rows)
+                .to_arrow_refs()
+            )
+        )
+        giants = _detect_giant_groups(smp, group_cols, giant_frac)
+    if not giants:
+        return partitioned(ds)
+
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    def _mask_tuple(t: pa.Table, tup: tuple):
+        mm = None
+        for g, v in zip(group_cols, tup):
+            e = pc.equal(t[g], pa.scalar(v, type=t[g].type))
+            mm = e if mm is None else pc.and_(mm, e)
+        return mm
+
+    def drop_giants(t: pa.Table) -> pa.Table:
+        m = None
+        for tup in giants:
+            mm = _mask_tuple(t, tup)
+            m = mm if m is None else pc.or_(m, mm)
+        return t.filter(pc.invert(m))
+
+    out = partitioned(
+        ds.map_batches(drop_giants, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    vt = smp[value_col].type
+    gtabs = []
+    for tup in giants:
+        sub = ds.map_batches(
+            lambda t, _tup=tup: t.filter(_mask_tuple(t, _tup)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        vals = exact_quantiles(sub, value_col, qs)
+        cols = {
+            g: pa.array([v] * len(qs), type=smp[g].type)
+            for g, v in zip(group_cols, tup)
+        }
+        cols["q"] = pa.array([float(q) for q in qs], type=pa.float64())
+        # quantile_disc picks an actual element, so the float64 from
+        # the refinement converts back to the column type exactly
+        cols["value"] = pa.array(
+            [int(v) for v in vals] if pa.types.is_integer(vt) else vals, type=vt
+        )
+        gtabs.append(pa.table(cols))
+    return out.union(rd.from_arrow(pa.concat_tables(gtabs)))
 
 
 def grouped_topk(

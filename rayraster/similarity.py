@@ -129,6 +129,15 @@ def _collect_candidates(
 
 
 def _final_topk(tbl: pa.Table, k: int, id_col: str) -> pa.Table:
+    if tbl.num_rows == 0:
+        # the typed empty-candidate table must survive to an empty
+        # RESULT (np.concatenate of zero arrays raises)
+        return pa.table(
+            {"qid": pa.array([], type=pa.int64()),
+             id_col: pa.array([], type=pa.int64()),
+             "rank": pa.array([], type=pa.int64()),
+             "cos": pa.array([], type=pa.float64())}
+        )
     qid = tbl["qid"].to_numpy(zero_copy_only=False)
     vid = tbl[id_col].to_numpy(zero_copy_only=False)
     cos = tbl["cos"].to_numpy(zero_copy_only=False)

@@ -82,6 +82,16 @@ def test_brute_topk_exact(ray_session):
     assert (out[out["rank"] == 1].vec_id.to_numpy() == qids).all()
 
 
+def test_brute_topk_empty_corpus(ray_session):
+    """Advisor item: a 0-row corpus must return a typed EMPTY result,
+    not crash in the final merge."""
+    ds, mat = _emb_ds(10)
+    empty = ds.filter(lambda r: False)
+    out = brute_topk(empty, np.array([0, 1]), mat[:2], k=5, vec_col="embedding")
+    assert out.num_rows == 0
+    assert out.column_names == ["qid", "vec_id", "rank", "cos"]
+
+
 def test_ivf_topk_recall(ray_session):
     ds, mat = _emb_ds(500, 32)
     qids = np.arange(5)

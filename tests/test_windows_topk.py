@@ -191,6 +191,52 @@ def test_grouped_quantiles_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_grouped_quantiles_giant_group_escape(ray_session):
+    """One group holding 90% of the rows: the escape hatch must route
+    it through exact_quantiles (no single-partition serialization) and
+    produce EXACTLY the same (group, q, value) rows as the normal rank
+    rule — including integer value types surviving the float path."""
+    from rayraster.agg import grouped_quantiles
+
+    rng = np.random.default_rng(43)
+    n = 20_000
+    g = np.where(rng.random(n) < 0.9, "big", rng.choice(["s1", "s2"], n))
+    df = pd.DataFrame({"g": g, "v": rng.integers(0, 10_000, n)})
+    qs = [0.1, 0.5, 0.99]
+    got = (
+        grouped_quantiles(rd.from_pandas(df).repartition(8), ["g"], "v", qs,
+                          sample_rows=4096)
+        .to_pandas()
+        .sort_values(["g", "q"])
+        .reset_index(drop=True)
+    )
+    want_rows = []
+    for gg, sub in df.groupby("g"):
+        s = np.sort(sub.v.to_numpy())
+        m = len(s)
+        for q in qs:
+            k = min(max(int(np.ceil(m * q)) - 1, 0), m - 1)
+            want_rows.append((gg, q, s[k]))
+    want = pd.DataFrame(want_rows, columns=["g", "q", "value"]).sort_values(
+        ["g", "q"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert got.value.dtype == np.int64  # giant path kept the int type
+
+
+def test_grouped_quantiles_single_group_all_giant(ray_session):
+    """Degenerate case: ONE group = the whole dataset (the partitioned
+    remainder is empty)."""
+    from rayraster.agg import grouped_quantiles
+
+    df = pd.DataFrame({"g": ["only"] * 5000, "v": np.arange(5000.0)})
+    got = (
+        grouped_quantiles(rd.from_pandas(df), ["g"], "v", [0.5], sample_rows=1024)
+        .to_pandas()
+    )
+    assert got.g.tolist() == ["only"] and got.value.tolist() == [2499.0]
+
+
 def test_exact_quantiles_duplicate_atom_and_outlier(ray_session):
     """Regression (review-confirmed crashes): a zero-value duplicate
     mass larger than collect_threshold, and an extreme outlier, must
