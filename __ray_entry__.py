@@ -830,7 +830,7 @@ def _q_minhash(sf_dir: str):
     from rayraster.dedup import minhash_lsh_pairs
 
     corpus = _neardup_corpus(sf_dir, perturb=True)
-    pairs = minhash_lsh_pairs(corpus, threshold=0.8)
+    pairs = minhash_lsh_pairs(corpus, threshold=0.8, corpus_count=corpus.count())
     return pairs.select_columns(["a", "b"])
 
 
@@ -881,7 +881,9 @@ def _q_minhash_partitioned(sf_dir: str):
         .materialize()
         .repartition(16)
     )
-    pairs = minhash_lsh_pairs(corpus, threshold=0.8, verify_mode="partitioned")
+    pairs = minhash_lsh_pairs(
+        corpus, threshold=0.8, verify_mode="partitioned", corpus_count=2 * n * K
+    )
     return pairs.select_columns(["a", "b"])
 
 
@@ -898,7 +900,9 @@ def _q_simhash(sf_dir: str):
     from rayraster.dedup import simhash_pairs
 
     corpus = _neardup_corpus(sf_dir, perturb=False)
-    return simhash_pairs(corpus, max_dist=3).select_columns(["a", "b"])
+    return simhash_pairs(
+        corpus, max_dist=3, corpus_count=corpus.count()
+    ).select_columns(["a", "b"])
 
 
 def _q_neardup_dedup_pipeline(sf_dir: str):
@@ -914,7 +918,9 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
     )
 
     corpus = _neardup_corpus(sf_dir, perturb=True)
-    pairs = minhash_lsh_pairs(corpus, threshold=0.8).select_columns(["a", "b"])
+    pairs = minhash_lsh_pairs(
+        corpus, threshold=0.8, corpus_count=corpus.count()
+    ).select_columns(["a", "b"])
     clusters = connected_components(pairs)
     return dedup_keep_from_clusters(clusters)
 
@@ -934,7 +940,9 @@ def _q_neardup_dedup_distributed(sf_dir: str):
     )
 
     corpus = _neardup_corpus(sf_dir, perturb=True)
-    pairs = minhash_lsh_pairs(corpus, threshold=0.8).select_columns(["a", "b"])
+    pairs = minhash_lsh_pairs(
+        corpus, threshold=0.8, corpus_count=corpus.count()
+    ).select_columns(["a", "b"])
     clusters = connected_components_distributed(pairs)
     return dedup_keep_from_clusters_ds(clusters)
 
@@ -954,8 +962,11 @@ def _q_embed_neardup(sf_dir: str):
             pa.array(sids + _DUP_OFFSET),
         )
 
+    n = emb.count()  # parquet metadata count
     corpus = emb.union(emb.map_batches(copies, batch_format="pyarrow"))
-    pairs = embedding_neardup_pairs(corpus, threshold=0.99, dim=64)
+    pairs = embedding_neardup_pairs(
+        corpus, threshold=0.99, dim=64, corpus_count=n + (n + 4) // 5
+    )
     return pairs.select_columns(["a", "b"])
 
 

@@ -210,6 +210,19 @@ class MinHashStage:
         )
 
 
+def _adaptive_parts(corpus_count: int | None, cap: int) -> int:
+    """Exchange partition count scaled to the (caller-known) corpus
+    size: every exchange has a per-partition fixed cost (measured on
+    the CC loop: 2.7 s → 0.7 s per run going 64 → 16 partitions on a
+    toy graph), so small corpora run their candidate/verify shuffles
+    at ≥8 partitions and ``cap`` is the production setting callers
+    raise for 10^12-row inputs.  Unknown count → cap (never guess
+    small at scale)."""
+    if corpus_count is None:
+        return cap
+    return min(cap, max(8, corpus_count // 4096))
+
+
 def candidate_pairs(
     bucket_rows: Dataset,
     id_col: str = "doc_id",
@@ -277,7 +290,7 @@ def candidate_pairs(
         add_part, batch_format="pyarrow", zero_copy_batch=True
     )
     pairs = parted.groupby("_part").map_groups(emit_pairs, batch_format="pyarrow")
-    return distinct(pairs, ["a", "b"])
+    return distinct(pairs, ["a", "b"], num_partitions=num_partitions)
 
 
 def attach_pair_payloads(
@@ -501,18 +514,19 @@ def minhash_lsh_pairs(
     docstring); ``texts_ref`` (optional pre-broadcast {id: text})
     forces the broadcast path; ``corpus_count`` (if known) skips the
     auto-mode row probe entirely."""
+    parts = _adaptive_parts(corpus_count, num_buckets)
     buckets = ds.map_batches(
         MinHashStage(text_col, id_col, num_perm, bands, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=4,
     )
-    pairs = candidate_pairs(buckets, id_col)
+    pairs = candidate_pairs(buckets, id_col, num_partitions=parts)
     if texts_ref is None and _pick_verify_mode(
         ds, verify_mode, broadcast_threshold, corpus_count
     ) == "partitioned":
         joined = attach_pair_payloads(
-            pairs, ds.select_columns([id_col, text_col]), id_col, text_col, num_buckets
+            pairs, ds.select_columns([id_col, text_col]), id_col, text_col, parts
         )
         return joined.map_batches(
             _VerifyJaccardPartitioned(threshold, "char", k),
@@ -587,11 +601,12 @@ def simhash_pairs(
 ) -> Dataset:
     """Near-dup pairs with Hamming(simhash) ≤ max_dist (≤ 3 for exact
     recall with the 4×16 banding; larger max_dist is best-effort)."""
+    parts = _adaptive_parts(corpus_count, num_buckets)
     rows = ds.map_batches(
         SimHashStage(text_col, id_col), batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = candidate_pairs(rows, id_col)
-    sig_rows = distinct(rows, [id_col, "sig"])
+    pairs = candidate_pairs(rows, id_col, num_partitions=parts)
+    sig_rows = distinct(rows, [id_col, "sig"], num_partitions=parts)
     if _pick_verify_mode(ds, verify_mode, broadcast_threshold, corpus_count) == "partitioned":
         # materialize: the sig table (one small row per doc) feeds BOTH
         # join hops and its lineage contains the SimHash map + a
@@ -599,7 +614,7 @@ def simhash_pairs(
         # would recompute signatures for the whole corpus
         sig_rows = sig_rows.materialize()
         joined = attach_pair_payloads(
-            pairs, sig_rows, id_col, "sig", num_buckets, payload_type=pa.int64()
+            pairs, sig_rows, id_col, "sig", parts, payload_type=pa.int64()
         )
         return joined.map_batches(
             lambda t: _verify_hamming_partitioned(t, max_dist),
@@ -690,13 +705,14 @@ def embedding_neardup_pairs(
 ) -> Dataset:
     """Pairs with exact cosine ≥ threshold, candidates from
     random-hyperplane LSH (4 tables × 16 planes)."""
+    parts = _adaptive_parts(corpus_count, num_buckets)
     rows = ds.map_batches(
         HyperplaneLSHStage(vec_col, id_col, dim=dim),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=4,
     )
-    pairs = candidate_pairs(rows, id_col)
+    pairs = candidate_pairs(rows, id_col, num_partitions=parts)
     if _pick_verify_mode(ds, verify_mode, broadcast_threshold, corpus_count) == "partitioned":
         # serialize vectors to fixed float64 bytes: Arrow's hash join
         # can't carry list columns (pyarrow 16), binary it can
@@ -710,7 +726,7 @@ def embedding_neardup_pairs(
             )
 
         payload = ds.map_batches(to_bytes, batch_format="pyarrow", zero_copy_batch=True)
-        joined = attach_pair_payloads(pairs, payload, id_col, "_vb", num_buckets)
+        joined = attach_pair_payloads(pairs, payload, id_col, "_vb", parts)
         return joined.map_batches(
             lambda t: _verify_cosine_partitioned(t, threshold),
             batch_format="pyarrow",
@@ -998,16 +1014,17 @@ def ngram_jaccard_pairs(
     """Near-dup pairs by exact word-n-gram Jaccard ≥ threshold;
     candidates from an aggressive MinHash banding (32 bands × 2 rows —
     high recall at moderate thresholds)."""
+    parts = _adaptive_parts(corpus_count, num_buckets)
     buckets = ds.map_batches(
         MinHashStage(text_col, id_col, num_perm, bands, k=k),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=4,
     )
-    pairs = candidate_pairs(buckets, id_col)
+    pairs = candidate_pairs(buckets, id_col, num_partitions=parts)
     if _pick_verify_mode(ds, verify_mode, broadcast_threshold, corpus_count) == "partitioned":
         joined = attach_pair_payloads(
-            pairs, ds.select_columns([id_col, text_col]), id_col, text_col, num_buckets
+            pairs, ds.select_columns([id_col, text_col]), id_col, text_col, parts
         )
         return joined.map_batches(
             _VerifyJaccardPartitioned(threshold, "word", 5, n),
