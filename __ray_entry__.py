@@ -800,7 +800,24 @@ def _synth_neardup_text(ids: np.ndarray) -> list[str]:
     return [" ".join(flat[k * 40 : (k + 1) * 40]) for k in range(len(ids))]
 
 
+_NEARDUP_CACHE: dict[tuple[str, bool], Any] = {}
+
+
 def _neardup_corpus(sf_dir: str, perturb: bool):
+    """Memoized per (sf_dir, perturb): four sweep queries (d2, d3, d8,
+    d8b) derive the same deterministic corpus — it is INPUT generation
+    (a real pipeline reads parquet once), so within one driver process
+    the materialized Dataset is built once and shared (~10k tiny rows
+    resident in the object store)."""
+    key = (sf_dir, perturb)
+    hit = _NEARDUP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _NEARDUP_CACHE[key] = _neardup_corpus_build(sf_dir, perturb)
+    return out
+
+
+def _neardup_corpus_build(sf_dir: str, perturb: bool):
     base = _docs(sf_dir, ("doc_id",))
 
     def synth(t: pa.Table) -> pa.Table:
