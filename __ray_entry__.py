@@ -6,7 +6,8 @@ DuckDB twin over the same parquet tables.  Every float formula in the
 SQL is the literal twin of the numpy formula (same constants via repr,
 same operation order) so value hashes match bit-for-bit.
 
-Query families (51 total; ALL 51 with bit-exact oracles):
+Query families (50 total — sized to the driver sweep's 50-row record
+cap; ALL 50 with bit-exact oracles):
   r*  rasterization / spatial (square, hex, rotations, multires,
       clip broadcast + cell-indexed join, kNN broadcast + tiled,
       polyfill, raster↔vector, cell-id lists, multi-dataset shared
@@ -334,12 +335,19 @@ def _q_polyfill(sf_dir: str):
 
 
 def _q_raster_to_vector(sf_dir: str):
-    """Pixel table → WKB polygons → parsed corner coordinates: the
-    raster↔vector round trip, kept SQL-comparable by emitting corners."""
+    """Raster→vector for BOTH grid shapes through the WKB path in ONE
+    query (square rows carry the lo/hi corners, hexagon rows carry
+    centroid + first ring vertex), unified to
+    (grid, ix, iy, px1, py1, px2, py2) — one recorded sweep row covers
+    both code paths, so nothing in the registry is sacrificial to the
+    driver's 50-row sweep cap."""
     pts = load_doc_points(sf_dir, columns=("doc_id",))
-    cells, spec = rasterize_features(pts, RES, [], fun="sum", with_meta=False)
+    sq_cells, sq_spec = rasterize_features(pts, RES, [], fun="sum", with_meta=False)
+    hx_cells, hx_spec = rasterize_features(
+        pts, RES, [], square=False, fun="sum", with_meta=False
+    )
 
-    def _vec(t: pa.Table) -> pa.Table:
+    def vec_square(t: pa.Table) -> pa.Table:
         ix = t["ix"].to_numpy(zero_copy_only=False)
         iy = t["iy"].to_numpy(zero_copy_only=False)
         lo_x = np.empty(len(ix))
@@ -347,14 +355,33 @@ def _q_raster_to_vector(sf_dir: str):
         hi_x = np.empty(len(ix))
         hi_y = np.empty(len(ix))
         for k in range(len(ix)):
-            ring = parse_wkb_polygon(spec.polygon_wkb(int(ix[k]), int(iy[k])))
+            ring = parse_wkb_polygon(sq_spec.polygon_wkb(int(ix[k]), int(iy[k])))
             lo_x[k], lo_y[k] = ring[0]
             hi_x[k], hi_y[k] = ring[2]
         return pa.table(
-            {"ix": ix, "iy": iy, "x_lo": lo_x, "y_lo": lo_y, "x_hi": hi_x, "y_hi": hi_y}
+            {"grid": pa.array(["square"] * len(ix), type=pa.string()),
+             "ix": ix, "iy": iy,
+             "px1": lo_x, "py1": lo_y, "px2": hi_x, "py2": hi_y}
         )
 
-    return cells.map_batches(_vec, batch_format="pyarrow", zero_copy_batch=True)
+    def vec_hex(t: pa.Table) -> pa.Table:
+        ix = t["ix"].to_numpy(zero_copy_only=False)
+        iy = t["iy"].to_numpy(zero_copy_only=False)
+        v1x = np.empty(len(ix))
+        v1y = np.empty(len(ix))
+        for k in range(len(ix)):
+            ring = parse_wkb_polygon(hx_spec.polygon_wkb(int(ix[k]), int(iy[k])))
+            v1x[k], v1y[k] = ring[0]
+        return pa.table(
+            {"grid": pa.array(["hexagon"] * len(ix), type=pa.string()),
+             "ix": ix, "iy": iy,
+             "px1": t["cx"], "py1": t["cy"],
+             "px2": pa.array(v1x), "py2": pa.array(v1y)}
+        )
+
+    sq = sq_cells.map_batches(vec_square, batch_format="pyarrow", zero_copy_batch=True)
+    hx = hx_cells.map_batches(vec_hex, batch_format="pyarrow", zero_copy_batch=True)
+    return sq.union(hx)
 
 
 # --------------------------------------------------------------------------
@@ -539,12 +566,18 @@ FROM ii CROSS JOIN jj"""
 
 
 def _sql_raster_to_vector() -> str:
-    return f"""WITH {_PTS}, {_bb(RES)}, {_square_cells(RES)},
+    sq = f"""WITH {_PTS}, {_bb(RES)}, {_square_cells(RES)},
 c AS (SELECT ix, iy, min(x0) AS x0, min(y0) AS y0 FROM cells2 GROUP BY ix, iy)
 SELECT ix, iy,
        x0 + ix * {RES!r} AS x_lo, y0 + iy * {RES!r} AS y_lo,
        (x0 + ix * {RES!r}) + {RES!r} AS x_hi, (y0 + iy * {RES!r}) + {RES!r} AS y_hi
 FROM c"""
+    hx = _sql_hex_vector()
+    return f"""SELECT 'square' AS grid, ix, iy,
+       x_lo AS px1, y_lo AS py1, x_hi AS px2, y_hi AS py2 FROM ({sq})
+UNION ALL
+SELECT 'hexagon' AS grid, ix, iy,
+       cx AS px1, cy AS py1, v1x AS px2, v1y AS py2 FROM ({hx})"""
 
 
 def _q_hex_vector(sf_dir: str):
@@ -1714,11 +1747,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j4_range_join": _q_range_join,
         "d6_distinct_users": _q_distinct_users,
         "d7_approx_distinct_hll": _q_approx_distinct,
-        # last slot: the round-2 driver sweep recorded exactly 50 of 51
-        # registered queries (tail-capped) — keep a query whose
-        # families (hex grid r4, raster→vector r10) are independently
-        # green in this position
-        "r10b_hex_vector": _q_hex_vector,
+        # exactly 50 entries: the round-2 driver sweep recorded only
+        # the first 50 of 51 registered queries (tail-capped), so
+        # r10b's hex vectorization was folded INTO r10 (grid column +
+        # UNION ALL oracle) instead of sacrificing any query to the cap
     }
 
 
@@ -1741,7 +1773,6 @@ def oracle_sql() -> dict[str, str]:
         "r13_filtered_stats": _sql_filtered_stats(),
         "r14_sort_limit": _sql_sort_limit(),
         "r15_deterministic_sample": _sql_sample(),
-        "r10b_hex_vector": _sql_hex_vector(),
         "r11_cell_id_list": _sql_cell_id_list(),
         "r12_multidataset_shared_frame": _sql_multidataset(),
         "d1_exact_dedup": _sql_exact_dedup(),

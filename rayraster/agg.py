@@ -434,10 +434,20 @@ def grouped_quantiles(
 
     import ray.data as rd
 
+    # the giant branch reads ds several times (drop_giants pass + one
+    # multi-round exact_quantiles per giant) — materialize ONCE so a
+    # lazy/shuffle-derived lineage is not re-executed per pass (the
+    # same convention as simhash_pairs' sig table)
+    ds = ds.materialize()
+
     def _mask_tuple(t: pa.Table, tup: tuple):
+        # fill_null(False): giant tuples never contain NULL (filtered
+        # in detection), so a null key is NOT this giant — without the
+        # fill, the null mask would propagate through or_/invert and
+        # filter would silently drop every NULL-keyed row
         mm = None
         for g, v in zip(group_cols, tup):
-            e = pc.equal(t[g], pa.scalar(v, type=t[g].type))
+            e = pc.fill_null(pc.equal(t[g], pa.scalar(v, type=t[g].type)), False)
             mm = e if mm is None else pc.and_(mm, e)
         return mm
 

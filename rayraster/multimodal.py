@@ -100,7 +100,7 @@ def _parse_ppm(p: bytes, start: int = 0):
     while len(vals) < 3 and i < limit:
         c = p[i : i + 1]
         if c == b"#":
-            while i < len(p) and p[i : i + 1] != b"\n":
+            while i < limit and p[i : i + 1] != b"\n":
                 i += 1
             i += 1
             continue
@@ -110,9 +110,14 @@ def _parse_ppm(p: bytes, start: int = 0):
         if not c.isdigit():
             return None
         tok = b""
-        while i < len(p) and p[i : i + 1].isdigit():
+        while i < limit and p[i : i + 1].isdigit():
             tok += p[i : i + 1]
             i += 1
+            if len(tok) > 7:
+                # dims/maxval are never 8+ digits; a longer run is a
+                # binary false positive (and int() of a huge digit run
+                # would raise — this parser must never raise)
+                return None
         vals.append(int(tok))
     if len(vals) < 3 or i >= len(p) or not p[i : i + 1].isspace():
         return None
@@ -180,7 +185,9 @@ class ImageDecodeStage:
     ``with_pixel_stats`` adds ``px_mean`` — the mean decoded pixel
     value, computed from an EXACT int64 sum so the float is
     bit-reproducible against a SQL oracle; fake path:
-    ``float((len(payload) * 37) % 256)``."""
+    ``float((len(payload) * 37) % 256)``; NULL when the header parses
+    but the pixel kernel doesn't cover the variant (8/32-bit BMP,
+    16-bit PPM)."""
 
     def __init__(self, bin_col: str = "payload", with_features: bool = False,
                  with_pixel_stats: bool = False):
@@ -195,7 +202,7 @@ class ImageDecodeStage:
         height = np.empty(n, dtype=np.int64)
         channels = np.full(n, 3, dtype=np.int64)
         feats = np.zeros((n, 8), dtype=np.float64) if self.with_features else None
-        px_mean = np.zeros(n, dtype=np.float64) if self.with_pixel_stats else None
+        px_mean: list[float | None] | None = [] if self.with_pixel_stats else None
         for i, p in enumerate(payloads):
             nb = len(p)
             real = decode_image_header(p)
@@ -205,12 +212,19 @@ class ImageDecodeStage:
                 width[i] = 64 + nb % 960
                 height[i] = 64 + (nb * 7) % 960
             if self.with_pixel_stats:
-                px = decode_image_pixels(p) if real is not None else None
-                if px is not None:
-                    # exact integer sum → one double division
-                    px_mean[i] = int(px.astype(np.int64).sum()) / px.size
+                if real is not None:
+                    px = decode_image_pixels(p)
+                    # exact integer sum → one double division; a
+                    # header-decodable payload whose PIXELS the kernel
+                    # doesn't cover (8/32-bit BMP, 16-bit PPM) gets an
+                    # honest NULL — never the fake formula beside real
+                    # dimensions
+                    px_mean.append(
+                        int(px.astype(np.int64).sum()) / px.size
+                        if px is not None else None
+                    )
                 else:
-                    px_mean[i] = float((nb * 37) % 256)
+                    px_mean.append(float((nb * 37) % 256))
             if self.with_features and nb:
                 arr = np.frombuffer(p, dtype=np.uint8)
                 feats[i, :] = [
@@ -221,7 +235,9 @@ class ImageDecodeStage:
         batch = batch.append_column("height", pa.array(height))
         batch = batch.append_column("channels", pa.array(channels))
         if self.with_pixel_stats:
-            batch = batch.append_column("px_mean", pa.array(px_mean))
+            batch = batch.append_column(
+                "px_mean", pa.array(px_mean, type=pa.float64())
+            )
         if self.with_features:
             batch = batch.append_column(
                 "img_feat", pa.array(list(feats), type=pa.list_(pa.float64()))
@@ -312,20 +328,25 @@ class ResizeStage:
         )
 
 
-def _ppm_stream_frames(p: bytes) -> list[tuple[int, int, int]]:
+def _ppm_stream_frames(p: bytes) -> list[tuple[int, int, int, int]]:
     """Offsets/dims of consecutive P6 frames in a PPM-stream payload
     (the ``ffmpeg image2pipe -vcodec ppm`` wire format): list of
-    (data_offset, width, height).  Empty if the payload isn't a PPM
-    stream."""
+    (data_offset, width, height, bytes_per_sample).  16-bit frames
+    (maxval > 255) occupy ``6*w*h`` bytes — the tiling walk must
+    account for that or it would land mid-pixel-data and misparse.
+    Empty if the payload isn't a PPM stream."""
     frames = []
     pos = 0
     while pos < len(p):
         hdr = _parse_ppm(p, pos)
         if hdr is None:
             break
-        w, h, _maxval, data = hdr
-        frames.append((data, w, h))
-        pos = data + 3 * w * h
+        w, h, maxval, data = hdr
+        bps = 2 if maxval > 255 else 1
+        if data + 3 * w * h * bps > len(p):
+            break  # _parse_ppm checked 1-byte samples; recheck for 2
+        frames.append((data, w, h, bps))
+        pos = data + 3 * w * h * bps
     # only a real stream if the frames tile the payload exactly
     return frames if frames and pos == len(p) else []
 
@@ -353,8 +374,10 @@ class FrameSampleStage:
             frames = _ppm_stream_frames(p)
             if frames:
                 for j in range(0, len(frames), self.stride):
-                    off, w, h = frames[j]
-                    px = np.frombuffer(p, dtype=np.uint8, count=3 * w * h, offset=off)
+                    off, w, h, bps = frames[j]
+                    # PPM 16-bit samples are big-endian (netpbm spec)
+                    dt = np.dtype(">u2") if bps == 2 else np.dtype(np.uint8)
+                    px = np.frombuffer(p, dtype=dt, count=3 * w * h, offset=off)
                     take_rows.append(i)
                     frame_idx.append(j)
                     fw.append(w)

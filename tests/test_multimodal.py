@@ -196,6 +196,61 @@ def test_frame_sample_real_ppm_stream(ray_session):
     assert (fake.frame_w == 0).all() and len(fake) >= 1
 
 
+def test_parse_never_raises_on_long_digit_runs():
+    """Review-confirmed crash: 'P6 ' + 4301+ digits hit CPython's
+    int() digit limit inside _parse_ppm; the parser must treat any
+    8+-digit run as a binary false positive, silently."""
+    from rayraster.multimodal import _ppm_stream_frames
+
+    p = b"P6 " + b"9" * 5000 + b" 255 " + b"\x00" * 64
+    assert decode_image_header(p) is None
+    assert _ppm_stream_frames(p) == []
+
+
+def test_frame_sample_16bit_ppm_stream(ray_session):
+    """16-bit (maxval>255) frames occupy 6wh bytes: the stream tiling
+    must account for that, and the mean comes from big-endian u16
+    samples."""
+    import struct
+
+    w, h = 2, 2
+    vals16 = list(range(1000, 1000 + 3 * w * h))
+    f16 = b"P6\n2 2\n65535\n" + b"".join(struct.pack(">H", v) for v in vals16)
+    f8 = b"P6\n2 2\n255\n" + bytes([9] * 12)
+    stream = f16 + f8
+    out = (
+        rd.from_pandas(pd.DataFrame([{"doc_id": 0, "payload": stream}]))
+        .map_batches(FrameSampleStage(bin_col="payload", stride=1), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("frame_idx")
+    )
+    assert out.frame_idx.tolist() == [0, 1]
+    assert out.frame_mean.tolist() == [sum(vals16) / len(vals16), 9.0]
+
+
+def test_pixel_stats_null_for_uncovered_variant(ray_session):
+    """A header-decodable payload whose pixels the kernel doesn't
+    cover (8-bit BMP) gets px_mean NULL — never the fake formula
+    beside real dimensions."""
+    import struct
+
+    w, h = 4, 1  # 8bpp, stride 4
+    header = b"BM" + struct.pack("<IHHI", 54 + 4, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, 4, 2835, 2835, 0, 0)
+    p8 = header + info + bytes([1, 2, 3, 4])
+    assert decode_image_header(p8) == (4, 1, 1)
+    out = (
+        rd.from_pandas(pd.DataFrame([{"doc_id": 0, "payload": p8}]))
+        .map_batches(
+            ImageDecodeStage(bin_col="payload", with_pixel_stats=True),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    assert out.width.tolist() == [4] and out.channels.tolist() == [1]
+    assert out.px_mean.isna().all()
+
+
 def test_decode_stage_pixel_stats(ray_session):
     """px_mean: exact decoded mean for real payloads, the documented
     deterministic formula for fakes."""

@@ -224,6 +224,28 @@ def test_grouped_quantiles_giant_group_escape(ray_session):
     assert got.value.dtype == np.int64  # giant path kept the int type
 
 
+def test_grouped_quantiles_giant_keeps_null_group(ray_session):
+    """Review-confirmed bug: NULL-keyed rows vanished when a giant was
+    detected (null equality propagated through the drop mask).  The
+    NULL group must survive on the normal path."""
+    import pyarrow as pa
+
+    from rayraster.agg import grouped_quantiles
+
+    g = ["big"] * 9000 + [None] * 500 + ["s1"] * 500
+    v = list(range(10000))
+    ds = rd.from_arrow(pa.table({"g": pa.array(g, type=pa.string()),
+                                 "v": pa.array(v, type=pa.int64())}))
+    got = (
+        grouped_quantiles(ds, ["g"], "v", [0.5], sample_rows=2048)
+        .to_pandas()
+    )
+    assert set(got.g.fillna("<null>")) == {"big", "<null>", "s1"}
+    # null-group median: values 9000..9499 → k = ceil(500*0.5)-1 = 249
+    assert got[got.g.isna()].value.tolist() == [9249]
+    assert got[got.g == "big"].value.tolist() == [4499]
+
+
 def test_grouped_quantiles_single_group_all_giant(ray_session):
     """Degenerate case: ONE group = the whole dataset (the partitioned
     remainder is empty)."""
