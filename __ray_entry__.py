@@ -17,9 +17,10 @@ cap; ALL 50 with bit-exact oracles):
       driver-state + fully distributed, exact + HLL distinct)
   s*  similarity search (brute cosine top-k, IVF ANN, persisted
       partition-pruned IVF index)
-  t*  text analysis (token metrics, quality, lang-id, fingerprints,
+  t*  text analysis (token metrics + quality, lang-id, fingerprints,
       grouped top-k, JSON extraction, exact + grouped quantiles,
-      BPE pre-token counts)
+      BPE pre-token counts, context-window chunking, vocabulary
+      top-k)
   w*  windows (tumbling, sliding, session, watermark/late-data)
   j*  joins (broadcast, bucketed large×large, salted skew, semi/anti,
       as-of, range)
@@ -1037,12 +1038,17 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_token_metrics(sf_dir: str):
-    from rayraster.textops import token_metrics
+    """Token metrics AND the quality score in one recorded row set
+    (merged from the former t2 in round 3 — quality derives from the
+    same RE2 counts, and one row set covers both operators within the
+    driver's 50-row sweep cap)."""
+    from rayraster.textops import quality_score
 
     ds = _docs(sf_dir)
-    out = ds.map_batches(token_metrics, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(quality_score, batch_format="pyarrow", zero_copy_batch=True)
     return out.select_columns(
-        ["doc_id", "n_chars_m", "token_count", "digit_count", "punct_count", "upper_count"]
+        ["doc_id", "n_chars_m", "token_count", "digit_count", "punct_count",
+         "upper_count", "quality"]
     )
 
 
@@ -1064,12 +1070,54 @@ def _sql_bpe_tokens() -> str:
     )
 
 
-def _q_quality(sf_dir: str):
-    from rayraster.textops import quality_score
+def _q_chunk_windows(sf_dir: str):
+    """Context-window packing: each document split into 512-codepoint
+    windows at stride 384 (128 overlap) — the training-data chunking
+    operator.  One row per chunk; the chunk BYTES are pinned by md5 so
+    the oracle row stays narrow while still proving the exact slices."""
+    from rayraster.textops import chunk_text_windows
 
     ds = _docs(sf_dir)
-    out = ds.map_batches(quality_score, batch_format="pyarrow", zero_copy_batch=True)
-    return out.select_columns(["doc_id", "quality"])
+    return ds.map_batches(
+        lambda t: chunk_text_windows(t, window=512, stride=384),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _sql_chunk_windows() -> str:
+    # substr is 1-based and codepoint-counted like utf8_slice_codeunits;
+    # the k-range bound (1024 chunks ≈ 393k chars) far exceeds any
+    # driver document — range() can't take a correlated bound in this
+    # DuckDB, so the WHERE clause does the real bounding
+    return """WITH d AS (
+  SELECT doc_id, text, greatest(length(text), 1) AS eff FROM documents
+)
+SELECT d.doc_id, t.k AS chunk_idx,
+       (d.eff + 383) // 384 AS n_chunks,
+       length(substr(d.text, t.k * 384 + 1, 512)) AS chunk_len,
+       md5(substr(d.text, t.k * 384 + 1, 512)) AS chunk_md5
+FROM d, range(0, 1024) t(k)
+WHERE t.k * 384 < d.eff"""
+
+
+def _q_vocab_topk(sf_dir: str):
+    """Global vocabulary top-100 by frequency (tokenizer-training
+    wordcount): RE2 whitespace split → per-batch combine → partitioned
+    grouped sum → native sort+limit; ties break on the word."""
+    from rayraster.textops import vocab_topk
+
+    ds = _docs(sf_dir)
+    return vocab_topk(ds, k=100)
+
+
+def _sql_vocab_topk() -> str:
+    return r"""WITH toks AS (
+  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents
+),
+c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM toks
+      WHERE word <> '' GROUP BY word)
+SELECT word, n FROM c ORDER BY n DESC, word LIMIT 100"""
 
 
 def _q_langid(sf_dir: str):
@@ -1477,27 +1525,14 @@ FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi
 GROUP BY 1"""
 
 
-def _q_distinct_users(sf_dir: str):
-    """Exact distinct count via hash-partitioned dedup (the exact twin
-    of the HLL sketch query d7)."""
-    from rayraster.agg import distinct, hash_aggregate
-
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
-    pairs = distinct(ev, ["event_type", "user_id"])
-    return hash_aggregate(pairs, ["event_type"], count=True, count_name="n_users")
-
-
-def _sql_distinct_users() -> str:
-    return """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
-FROM events GROUP BY 1"""
-
-
 def _q_approx_distinct(sf_dir: str):
     """HLL sketch distinct count, made oracle-checkable without faking
-    exactness: the query emits the EXACT per-group count (hash-
-    partitioned dedup, = d6) plus ``hll_ok`` = the sketch estimate is
-    within 5% of it.  The oracle asserts the same exact counts and
-    TRUE — so a drifting sketch turns the row red."""
+    exactness: the query emits the EXACT per-group count
+    (hash-partitioned ``distinct`` + grouped count — the exact-distinct
+    operator, which this row therefore also evidences; the separate d6
+    query was folded in here in round 3) plus ``hll_ok`` = the sketch
+    estimate is within 5% of it.  The oracle asserts the same exact
+    counts and TRUE — so a drifting sketch turns the row red."""
     from rayraster.agg import distinct, hash_aggregate
     from rayraster.sketch import approx_distinct
 
@@ -1600,28 +1635,25 @@ def _sql_ann_topk() -> str:
 
 
 def _sql_token_metrics() -> str:
-    return r"""SELECT doc_id,
+    # the quality expression is the literal float twin of
+    # textops.quality_score (same constants, same op order) over the
+    # same integer counts — merged t1+t2 row set
+    return r"""WITH m AS (
+  SELECT doc_id,
        length(text) AS n_chars_m,
        CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS token_count,
        CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_count,
        CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct_count,
        CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS upper_count
-FROM documents"""
-
-
-def _sql_quality() -> str:
-    return r"""WITH m AS (
-  SELECT doc_id,
-         CAST(length(text) AS DOUBLE) AS chars,
-         CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toks,
-         CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS digs,
-         CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS pun
   FROM documents
 )
-SELECT doc_id,
-       0.4 * least(1.0, toks / 100.0)
-       + 0.3 * (1.0 - least(1.0, digs / greatest(chars, 1.0) * 5.0))
-       + 0.3 * (1.0 - least(1.0, pun / greatest(chars, 1.0) * 10.0)) AS quality
+SELECT doc_id, n_chars_m, token_count, digit_count, punct_count, upper_count,
+       0.4 * least(1.0, CAST(token_count AS DOUBLE) / 100.0)
+       + 0.3 * (1.0 - least(1.0, CAST(digit_count AS DOUBLE)
+                                 / greatest(CAST(n_chars_m AS DOUBLE), 1.0) * 5.0))
+       + 0.3 * (1.0 - least(1.0, CAST(punct_count AS DOUBLE)
+                                 / greatest(CAST(n_chars_m AS DOUBLE), 1.0) * 10.0))
+       AS quality
 FROM m"""
 
 
@@ -1726,7 +1758,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_ivf_ann_topk": _q_ivf_topk,
         "s2b_ivf_persisted_index": _q_ivf_persisted,
         "t1_token_metrics": _q_token_metrics,
-        "t2_quality_score": _q_quality,
         "t3_lang_id": _q_langid,
         "t4_fingerprint": _q_fingerprint,
         "m1_multimodal_decode": _q_multimodal,
@@ -1739,18 +1770,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t7_exact_quantiles": _q_exact_quantiles,
         "t8_grouped_quantiles": _q_grouped_quantiles,
         "t9_bpe_token_count": _q_bpe_tokens,
+        "t10_chunk_windows": _q_chunk_windows,
+        "t11_vocab_topk": _q_vocab_topk,
         "j5_anti_join": _q_anti_join,
         "j1_broadcast_join": _q_join,
         "j2_bucket_join": _q_bucket_join,
         "j2b_salted_skew_join": _q_salted_join,
         "j3_asof_join": _q_asof_join,
         "j4_range_join": _q_range_join,
-        "d6_distinct_users": _q_distinct_users,
         "d7_approx_distinct_hll": _q_approx_distinct,
         # exactly 50 entries: the round-2 driver sweep recorded only
-        # the first 50 of 51 registered queries (tail-capped), so
-        # r10b's hex vectorization was folded INTO r10 (grid column +
-        # UNION ALL oracle) instead of sacrificing any query to the cap
+        # the first 50 of 51 registered queries (tail-capped).  Round 3
+        # folded r10b into r10 (grid column + UNION ALL oracle), t2
+        # into t1 (quality column) and d6 into d7 (its exact count),
+        # freeing slots for t10 (chunking) and t11 (vocabulary) while
+        # keeping every registered query inside the recorded sweep.
     }
 
 
@@ -1786,7 +1820,6 @@ def oracle_sql() -> dict[str, str]:
         "s2_ivf_ann_topk": _sql_ivf_topk(),
         "s2b_ivf_persisted_index": _sql_ivf_topk(),
         "t1_token_metrics": _sql_token_metrics(),
-        "t2_quality_score": _sql_quality(),
         "t3_lang_id": _sql_langid(),
         "t4_fingerprint": _sql_fingerprint(),
         "w1_tumbling_window": _sql_window(),
@@ -1798,13 +1831,14 @@ def oracle_sql() -> dict[str, str]:
         "t7_exact_quantiles": _sql_exact_quantiles(),
         "t8_grouped_quantiles": _sql_grouped_quantiles(),
         "t9_bpe_token_count": _sql_bpe_tokens(),
+        "t10_chunk_windows": _sql_chunk_windows(),
+        "t11_vocab_topk": _sql_vocab_topk(),
         "j5_anti_join": _sql_anti_join(),
         "j1_broadcast_join": _sql_join(),
         "j2_bucket_join": _sql_bucket_join(),
         "j2b_salted_skew_join": _sql_salted_join(),
         "j3_asof_join": _sql_asof_join(),
         "j4_range_join": _sql_range_join(),
-        "d6_distinct_users": _sql_distinct_users(),
         "d7_approx_distinct_hll": _sql_approx_distinct(),
         "m1_multimodal_decode": _sql_multimodal(),
     }

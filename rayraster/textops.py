@@ -230,3 +230,110 @@ def rolling_fingerprint(batch: pa.Table, text_col: str = "text", window: int = 6
         h = char_shingle_hashes(s, k=min(window, max(1, len(s))))
         out[i] = np.int64(h.min().astype(np.int64)) if len(h) else 0
     return batch.append_column("rfp", pa.array(out))
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking + vocabulary — corpus-preparation operators
+# ---------------------------------------------------------------------------
+
+
+def chunk_text_windows(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 512,
+    stride: int = 384,
+) -> pa.Table:
+    """Split each document into fixed-size codepoint windows (training
+    context-window packing): chunk ``k`` covers codepoints
+    ``[k·stride, k·stride + window)`` and is emitted while
+    ``k·stride < max(len, 1)`` (an empty document still yields its one
+    empty chunk — a row in, at least a row out).
+
+    Row-expansion is vectorized per window INDEX, not per row: one
+    ``utf8_slice_codeunits`` (codepoint-based, like SQL ``substr``)
+    over the surviving rows per k, with k bounded by the batch's
+    longest document.  Output: ``id_col, chunk_idx, n_chunks,
+    chunk_len, chunk_md5`` — the md5 keeps the oracle row narrow while
+    pinning the exact chunk BYTES.
+
+    SQL twin: ``JOIN generate_series ON k*stride < greatest(len, 1)``
+    + ``substr`` + ``md5``."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    lens = pc.utf8_length(batch[text_col]).cast(pa.int64())
+    ln = lens.to_numpy(zero_copy_only=False)
+    eff = np.maximum(ln, 1)
+    n_chunks = (eff + stride - 1) // stride  # ceil(eff/stride)
+    max_k = int(n_chunks.max()) if len(n_chunks) else 0
+    parts = []
+    for k in range(max_k):
+        alive = np.flatnonzero(n_chunks > k)
+        sub = batch.take(pa.array(alive))
+        piece = pc.utf8_slice_codeunits(
+            sub[text_col], start=k * stride, stop=k * stride + window
+        )
+        data = piece.cast(pa.binary()).to_pylist()
+        md5 = [hashlib.md5(b).hexdigest() for b in data]
+        parts.append(
+            pa.table(
+                {
+                    id_col: sub[id_col],
+                    "chunk_idx": pa.array(np.full(len(alive), k, dtype=np.int64)),
+                    "n_chunks": pa.array(n_chunks[alive]),
+                    "chunk_len": pc.utf8_length(piece).cast(pa.int64()),
+                    "chunk_md5": pa.array(md5, type=pa.string()),
+                }
+            )
+        )
+    if not parts:
+        return pa.table(
+            {
+                id_col: pa.array([], type=batch[id_col].type),
+                "chunk_idx": pa.array([], type=pa.int64()),
+                "n_chunks": pa.array([], type=pa.int64()),
+                "chunk_len": pa.array([], type=pa.int64()),
+                "chunk_md5": pa.array([], type=pa.string()),
+            }
+        )
+    return pa.concat_tables(parts)
+
+
+def word_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch word counts — the map-side COMBINER of the wordcount:
+    RE2 ``\\s+`` split (vectorized; the SAME regex engine and pattern
+    as the DuckDB twin, so tokenization is bit-identical), flatten,
+    drop empty boundary tokens, and pre-aggregate inside the batch so
+    the exchange ships one row per (batch, distinct word), not one
+    per token."""
+    words = pc.list_flatten(pc.split_pattern_regex(batch[text_col], _WS))
+    words = words.filter(pc.not_equal(words, ""))
+    t = pa.table({"word": words, "_c": np.ones(len(words), dtype=np.int64)})
+    out = t.group_by(["word"]).aggregate([("_c", "sum")])
+    return pa.table({"word": out["word"], "n": out["_c_sum"]})
+
+
+def vocab_topk(ds, text_col: str = "text", k: int = 100, num_partitions: int = 64):
+    """Global vocabulary top-k by frequency: per-batch partial counts
+    (combiner above) → hash-partitioned grouped sum → native
+    ``sort(count desc, word asc).limit(k)`` — the classic wordcount,
+    shaped so the exchange carries distinct words only.  Deterministic
+    tie-break on the word itself.
+
+    SQL twin: ``unnest(string_split_regex(text, '\\s+'))`` (empty
+    tokens filtered) + GROUP BY + ORDER BY/LIMIT."""
+    from rayraster.agg import hash_aggregate
+
+    partial = ds.map_batches(
+        lambda t: word_count_partial(t, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    counts = hash_aggregate(
+        partial, ["word"], sum_cols=["n"], count=False, num_partitions=num_partitions
+    )
+    counts = counts.map_batches(
+        lambda t: pa.table({"word": t["word"], "n": t["sum_n"]}),
+        batch_format="pyarrow",
+    )
+    return counts.sort(["n", "word"], descending=[True, False]).limit(k)

@@ -57,6 +57,50 @@ def test_fingerprint_matches_hashlib():
     assert fp[1] == hashlib.md5("déjà vu".encode()).hexdigest()
 
 
+def test_chunk_text_windows_exact_slices():
+    import hashlib
+
+    from rayraster.textops import chunk_text_windows
+
+    texts = ["x" * 1000, "short", "", "é" * 400]  # incl. empty + non-ASCII
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                  "text": texts})
+    out = chunk_text_windows(t, window=300, stride=250)
+    rows = sorted(zip(out["doc_id"].to_pylist(), out["chunk_idx"].to_pylist(),
+                      out["chunk_len"].to_pylist(), out["chunk_md5"].to_pylist()))
+    want = []
+    for i, s in enumerate(texts):
+        eff = max(len(s), 1)
+        n = (eff + 249) // 250
+        for k in range(n):
+            piece = s[k * 250 : k * 250 + 300]
+            want.append((i, k, len(piece), hashlib.md5(piece.encode()).hexdigest()))
+    assert rows == sorted(want)
+    # n_chunks constant per doc and equal to the emitted row count
+    df = out.to_pandas()
+    for i, grp in df.groupby("doc_id"):
+        assert (grp.n_chunks == len(grp)).all()
+
+
+def test_chunk_text_windows_overlap():
+    from rayraster.textops import chunk_text_windows
+
+    t = pa.table({"doc_id": pa.array([7], type=pa.int64()), "text": ["abcdefghij"]})
+    out = chunk_text_windows(t, window=6, stride=4).to_pandas().sort_values("chunk_idx")
+    # chunks: [0:6]='abcdef', [4:10]='efghij', [8:14]='ij'
+    assert out.chunk_len.tolist() == [6, 6, 2]
+
+
+def test_vocab_topk_wordcount(ray_session):
+    from rayraster.textops import vocab_topk
+
+    docs = pd.DataFrame({"doc_id": range(4), "text": [
+        "the cat sat", "the cat", "the\t dog\nran", "  the "]})
+    out = vocab_topk(rd.from_pandas(docs), k=3).to_pandas()
+    assert out.word.tolist() == ["the", "cat", "dog"]  # count desc, word asc
+    assert out.n.tolist() == [4, 2, 1]
+
+
 def _emb_ds(n=300, dim=32, seed=3):
     rng = np.random.default_rng(seed)
     mat = rng.standard_normal((n, dim)).astype(np.float32)
