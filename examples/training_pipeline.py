@@ -7,10 +7,11 @@ job would, all streaming Ray Data:
   data-driven quality gate (exact distributed 25th percentile — no
   magic constant, no shuffle) → exact dedup → MinHash near-dup dedup
   (LSH → verified pairs [partitioned verify above the broadcast
-  threshold] → DISTRIBUTED connected components → drop
-  non-representatives) → BPE token budget → url geocode → square
-  rasterize (density + mean quality per tile) → pixel parquet +
-  decorated PNG heatmap + per-stage summary JSON.
+  threshold] → DISTRIBUTED connected components → anti-join drops
+  non-representatives) → BPE token budget → context-window chunking
+  + vocabulary top-k → url geocode → square rasterize (density +
+  mean quality per tile) → pixel parquet + decorated PNG heatmap +
+  per-stage summary JSON.
 
 Run:  PYTHONPATH=. python examples/training_pipeline.py [--rows 200000]
 """
@@ -147,6 +148,19 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
     summary["bpe_tokens_total"] = int(
         docs.map_batches(bpe_token_count, batch_format="pyarrow").sum("bpe_token_count")
     )
+
+    # 4c. context-window packing + corpus vocabulary (the training-set
+    # deliverables: chunk count for the packed dataset, top words for
+    # tokenizer sanity)
+    from rayraster.textops import chunk_text_windows, vocab_topk
+
+    chunks = docs.map_batches(
+        lambda t: chunk_text_windows(t, window=512, stride=384),
+        batch_format="pyarrow",
+    )
+    summary["chunks_total"] = chunks.count()
+    top_words = vocab_topk(docs, k=10).to_pandas()  # k rows, post-agg
+    summary["vocab_top3"] = top_words.word.head(3).tolist()
 
     # 5. geocode + rasterize (density + mean quality per 1° tile)
     pts = docs.map_batches(add_geocode_url, batch_format="pyarrow")

@@ -228,4 +228,7 @@ def test_training_pipeline_example(tmp_path):
     # synth texts are unique → near-dedup loses nothing further
     assert s["rows_after_near_dedup"] == s["rows_after_exact_dedup"]
     assert s["bpe_tokens_total"] > 0
+    # every surviving doc yields >= 1 chunk
+    assert s["chunks_total"] >= s["rows_after_near_dedup"]
+    assert len(s["vocab_top3"]) == 3
     assert s["pixels"] > 0 and os.path.exists(s["png"])
