@@ -1087,18 +1087,23 @@ def _q_chunk_windows(sf_dir: str):
 
 def _sql_chunk_windows() -> str:
     # substr is 1-based and codepoint-counted like utf8_slice_codeunits;
-    # the k-range bound (1024 chunks ≈ 393k chars) far exceeds any
-    # driver document — range() can't take a correlated bound in this
-    # DuckDB, so the WHERE clause does the real bounding
+    # n_chunks = standard packing count (1 if the doc fits one window,
+    # else 1 + ceil((len-512)/384) — no redundant tail windows).
+    # DuckDB's range() takes neither correlated nor subquery bounds,
+    # so the k-range is a constant 4096 (docs up to ~1.57M codepoints
+    # — far beyond the corpus) and WHERE does the real bounding.
     return """WITH d AS (
-  SELECT doc_id, text, greatest(length(text), 1) AS eff FROM documents
+  SELECT doc_id, text,
+         CASE WHEN greatest(length(text), 1) <= 512 THEN 1
+              ELSE (greatest(length(text), 1) - 512 + 383) // 384 + 1
+         END AS n_chunks
+  FROM documents
 )
-SELECT d.doc_id, t.k AS chunk_idx,
-       (d.eff + 383) // 384 AS n_chunks,
+SELECT d.doc_id, t.k AS chunk_idx, d.n_chunks,
        length(substr(d.text, t.k * 384 + 1, 512)) AS chunk_len,
        md5(substr(d.text, t.k * 384 + 1, 512)) AS chunk_md5
-FROM d, range(0, 1024) t(k)
-WHERE t.k * 384 < d.eff"""
+FROM d, range(0, 4096) t(k)
+WHERE t.k < d.n_chunks"""
 
 
 def _q_vocab_topk(sf_dir: str):
@@ -1108,7 +1113,7 @@ def _q_vocab_topk(sf_dir: str):
     from rayraster.textops import vocab_topk
 
     ds = _docs(sf_dir)
-    return vocab_topk(ds, k=100)
+    return vocab_topk(ds, k=100, corpus_count=ds.count())
 
 
 def _sql_vocab_topk() -> str:

@@ -151,15 +151,26 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
 
     # 4c. context-window packing + corpus vocabulary (the training-set
     # deliverables: chunk count for the packed dataset, top words for
-    # tokenizer sanity)
-    from rayraster.textops import chunk_text_windows, vocab_topk
+    # tokenizer sanity).  The chunk COUNT is a closed-form function of
+    # the lengths — no need to expand (and md5) every chunk just to
+    # count them; a real run would write chunk_text_windows output to
+    # parquet instead.
+    from rayraster.textops import chunk_count, vocab_topk
 
-    chunks = docs.map_batches(
-        lambda t: chunk_text_windows(t, window=512, stride=384),
-        batch_format="pyarrow",
+    def n_chunks_batch(t: pa.Table) -> pa.Table:
+        ln = (
+            pc.utf8_length(pc.fill_null(t["text"], ""))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"n_chunks": pa.array(chunk_count(ln, 512, 384))})
+
+    summary["chunks_total"] = int(
+        docs.map_batches(n_chunks_batch, batch_format="pyarrow").sum("n_chunks")
     )
-    summary["chunks_total"] = chunks.count()
-    top_words = vocab_topk(docs, k=10).to_pandas()  # k rows, post-agg
+    top_words = vocab_topk(
+        docs, k=10, corpus_count=summary["rows_after_near_dedup"]
+    ).to_pandas()  # k rows, post-agg
     summary["vocab_top3"] = top_words.word.head(3).tolist()
 
     # 5. geocode + rasterize (density + mean quality per 1° tile)

@@ -212,11 +212,8 @@ def json_extract_int(batch: pa.Table, json_col: str, key: str, out_col: str) -> 
 
 
 def fingerprint_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Hex md5 per document — SQL twin: duckdb ``md5(text)``.  The
-    binary cast hands hashlib the utf-8 buffers without a str
-    decode/encode round-trip."""
-    data = batch[text_col].cast(pa.binary()).to_pylist()
-    fp = [hashlib.md5(b).hexdigest() for b in data]
+    """Hex md5 per document — SQL twin: duckdb ``md5(text)``."""
+    fp = _md5_hex(batch[text_col])
     return batch.append_column("fingerprint", pa.array(fp, type=pa.string()))
 
 
@@ -237,6 +234,24 @@ def rolling_fingerprint(batch: pa.Table, text_col: str = "text", window: int = 6
 # ---------------------------------------------------------------------------
 
 
+def _md5_hex(strings) -> list[str]:
+    """Hex md5 per value of a string array — the binary cast hands
+    hashlib the utf-8 buffers without a str decode/encode round trip
+    (shared by fingerprint_md5 and chunk_text_windows)."""
+    return [hashlib.md5(b).hexdigest() for b in strings.cast(pa.binary()).to_pylist()]
+
+
+def chunk_count(lens: np.ndarray, window: int, stride: int) -> np.ndarray:
+    """Standard packing chunk count: one window if the doc fits,
+    else 1 + ceil((len − window)/stride) — the LAST window always
+    reaches the end of the document and no window is a pure subset of
+    the previous one (a tail shorter than the overlap adds no chunk)."""
+    eff = np.maximum(lens, 1)
+    return np.where(
+        eff <= window, 1, (eff - window + stride - 1) // stride + 1
+    ).astype(np.int64)
+
+
 def chunk_text_windows(
     batch: pa.Table,
     text_col: str = "text",
@@ -246,9 +261,12 @@ def chunk_text_windows(
 ) -> pa.Table:
     """Split each document into fixed-size codepoint windows (training
     context-window packing): chunk ``k`` covers codepoints
-    ``[k·stride, k·stride + window)`` and is emitted while
-    ``k·stride < max(len, 1)`` (an empty document still yields its one
-    empty chunk — a row in, at least a row out).
+    ``[k·stride, k·stride + window)``; the number of chunks is the
+    standard packing count (:func:`chunk_count`) — the last window
+    reaches the document end and a tail already covered by the
+    previous window emits NO duplicate chunk.  An empty or NULL
+    document still yields its one empty chunk (a row in, at least a
+    row out).
 
     Row-expansion is vectorized per window INDEX, not per row: one
     ``utf8_slice_codeunits`` (codepoint-based, like SQL ``substr``)
@@ -257,24 +275,22 @@ def chunk_text_windows(
     chunk_len, chunk_md5`` — the md5 keeps the oracle row narrow while
     pinning the exact chunk BYTES.
 
-    SQL twin: ``JOIN generate_series ON k*stride < greatest(len, 1)``
-    + ``substr`` + ``md5``."""
+    SQL twin: per-doc ``n_chunks`` CTE + ``range`` + ``substr`` +
+    ``md5``."""
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
-    lens = pc.utf8_length(batch[text_col]).cast(pa.int64())
-    ln = lens.to_numpy(zero_copy_only=False)
-    eff = np.maximum(ln, 1)
-    n_chunks = (eff + stride - 1) // stride  # ceil(eff/stride)
+    texts = pc.fill_null(batch[text_col], "")  # NULL doc ≡ empty doc
+    ln = pc.utf8_length(texts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n_chunks = chunk_count(ln, window, stride)
     max_k = int(n_chunks.max()) if len(n_chunks) else 0
     parts = []
     for k in range(max_k):
         alive = np.flatnonzero(n_chunks > k)
         sub = batch.take(pa.array(alive))
         piece = pc.utf8_slice_codeunits(
-            sub[text_col], start=k * stride, stop=k * stride + window
+            pc.fill_null(sub[text_col], ""), start=k * stride, stop=k * stride + window
         )
-        data = piece.cast(pa.binary()).to_pylist()
-        md5 = [hashlib.md5(b).hexdigest() for b in data]
+        md5 = _md5_hex(piece)
         parts.append(
             pa.table(
                 {
@@ -313,16 +329,21 @@ def word_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return pa.table({"word": out["word"], "n": out["_c_sum"]})
 
 
-def vocab_topk(ds, text_col: str = "text", k: int = 100, num_partitions: int = 64):
+def vocab_topk(ds, text_col: str = "text", k: int = 100, num_partitions: int = 64,
+               corpus_count: int | None = None):
     """Global vocabulary top-k by frequency: per-batch partial counts
     (combiner above) → hash-partitioned grouped sum → native
     ``sort(count desc, word asc).limit(k)`` — the classic wordcount,
     shaped so the exchange carries distinct words only.  Deterministic
-    tie-break on the word itself.
+    tie-break on the word itself.  ``corpus_count`` (doc count, if the
+    caller knows it) scales the exchange partition count down for
+    small corpora — same per-partition fixed-cost rationale as
+    :func:`rayraster.dedup._adaptive_parts`.
 
     SQL twin: ``unnest(string_split_regex(text, '\\s+'))`` (empty
     tokens filtered) + GROUP BY + ORDER BY/LIMIT."""
     from rayraster.agg import hash_aggregate
+    from rayraster.dedup import _adaptive_parts
 
     partial = ds.map_batches(
         lambda t: word_count_partial(t, text_col),
@@ -330,7 +351,8 @@ def vocab_topk(ds, text_col: str = "text", k: int = 100, num_partitions: int = 6
         zero_copy_batch=True,
     )
     counts = hash_aggregate(
-        partial, ["word"], sum_cols=["n"], count=False, num_partitions=num_partitions
+        partial, ["word"], sum_cols=["n"], count=False,
+        num_partitions=_adaptive_parts(corpus_count, num_partitions),
     )
     counts = counts.map_batches(
         lambda t: pa.table({"word": t["word"], "n": t["sum_n"]}),

@@ -62,16 +62,19 @@ def test_chunk_text_windows_exact_slices():
 
     from rayraster.textops import chunk_text_windows
 
-    texts = ["x" * 1000, "short", "", "é" * 400]  # incl. empty + non-ASCII
-    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
-                  "text": texts})
+    # empty + NULL + non-ASCII + exact-window-fit lengths
+    texts = ["x" * 1000, "short", "", None, "é" * 400, "y" * 300]
+    t = pa.table({"doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
     out = chunk_text_windows(t, window=300, stride=250)
     rows = sorted(zip(out["doc_id"].to_pylist(), out["chunk_idx"].to_pylist(),
                       out["chunk_len"].to_pylist(), out["chunk_md5"].to_pylist()))
     want = []
     for i, s in enumerate(texts):
+        s = s or ""
         eff = max(len(s), 1)
-        n = (eff + 249) // 250
+        # standard packing: last window reaches the end, no duplicate tail
+        n = 1 if eff <= 300 else (eff - 300 + 249) // 250 + 1
         for k in range(n):
             piece = s[k * 250 : k * 250 + 300]
             want.append((i, k, len(piece), hashlib.md5(piece.encode()).hexdigest()))
@@ -87,8 +90,10 @@ def test_chunk_text_windows_overlap():
 
     t = pa.table({"doc_id": pa.array([7], type=pa.int64()), "text": ["abcdefghij"]})
     out = chunk_text_windows(t, window=6, stride=4).to_pandas().sort_values("chunk_idx")
-    # chunks: [0:6]='abcdef', [4:10]='efghij', [8:14]='ij'
-    assert out.chunk_len.tolist() == [6, 6, 2]
+    # chunks: [0:6]='abcdef', [4:10]='efghij'; NO [8:14]='ij' — that
+    # tail is already fully inside the previous window
+    assert out.chunk_len.tolist() == [6, 6]
+    assert out.n_chunks.tolist() == [2, 2]
 
 
 def test_vocab_topk_wordcount(ray_session):
