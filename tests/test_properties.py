@@ -160,3 +160,31 @@ def test_exact_quantiles_property(vals, q):
     n = len(s)
     k = min(max(int(np.ceil(n * q)) - 1, 0), n - 1)
     assert got == s[k]
+
+
+@given(
+    st.integers(0, 5000),   # doc length
+    st.integers(1, 600),    # window
+    st.integers(1, 600),    # stride
+)
+@settings(max_examples=100, deadline=None)
+def test_chunk_count_covers_document(length, window, stride):
+    """Packing invariants for any (len, window, stride): the emitted
+    windows exactly cover [0, len) with no window a pure subset of its
+    predecessor, and the count matches the closed form."""
+    from rayraster.textops import chunk_count
+
+    n = int(chunk_count(np.array([length]), window, stride)[0])
+    eff = max(length, 1)
+    starts = [k * stride for k in range(n)]
+    ends = [min(s + window, eff) for s in starts]
+    # coverage: first window starts at 0, consecutive windows overlap
+    # or touch, last window reaches the end of the document
+    assert starts[0] == 0
+    if stride <= window:  # overlap mode: gapless cover (sampling mode
+        for a, b in zip(ends, starts[1:]):  # with stride>window may gap)
+            assert b <= a  # no gap
+    assert ends[-1] == eff or (n == 1 and window >= eff)
+    # no redundant tail: every window past the first adds new content
+    for prev_end, s in zip(ends, starts[1:]):
+        assert s + window > prev_end
