@@ -4,6 +4,11 @@
         --resolution 0.5 [--hex] [--fun mean] [--value-cols a,b] \
         [--geocode id|url]   # resume is automatic via the manifest
     python -m rayraster.cli synth --out /tmp/pages --rows 1000000
+    python -m rayraster.cli dedup --input '<glob>' --out /tmp/keep \
+        [--method exact|minhash] [--verify-mode auto|broadcast|partitioned]
+    python -m rayraster.cli chunk --input '<glob>' --out /tmp/chunks \
+        [--window 512 --stride 384]
+    python -m rayraster.cli vocab --input '<glob>' --out /tmp/vocab [--k 100]
     python -m rayraster.cli plot --pixels /tmp/out/pixels --png /tmp/r.png
 
 On a real cluster: ``ray job submit --working-dir . -- python -m
@@ -154,6 +159,64 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_chunk(args) -> int:
+    """Context-window packing of a parquet corpus: one output row per
+    chunk (id, chunk_idx, n_chunks, chunk_len, chunk_md5) — swap the
+    md5 projection for the chunk text itself when feeding a trainer."""
+    import shutil
+
+    import ray.data as rd
+
+    from rayraster.textops import chunk_text_windows
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    ds = rd.read_parquet(files, columns=[args.id_col, args.text_col])
+    chunks = ds.map_batches(
+        lambda t: chunk_text_windows(
+            t, args.text_col, args.id_col, args.window, args.stride
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    shutil.rmtree(args.out, ignore_errors=True)
+    chunks.write_parquet(args.out)
+    n = rd.read_parquet(args.out).count()  # metadata count of the sink
+    print(json.dumps({"out": args.out, "chunks": n,
+                      "window": args.window, "stride": args.stride}))
+    return 0
+
+
+def cmd_vocab(args) -> int:
+    """Corpus vocabulary top-k by frequency (tokenizer-training
+    wordcount): writes the (word, n) table and prints the head."""
+    import shutil
+
+    import ray.data as rd
+
+    from rayraster.textops import vocab_topk
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    ds = rd.read_parquet(files, columns=[args.text_col])
+    n_docs = ds.count()  # raw read → parquet metadata count
+    top = vocab_topk(ds, args.text_col, k=args.k, corpus_count=n_docs)
+    shutil.rmtree(args.out, ignore_errors=True)
+    top.write_parquet(args.out)
+    head = rd.read_parquet(args.out).sort(
+        ["n", "word"], descending=[True, False]
+    ).limit(5).to_pandas()
+    print(json.dumps({"out": args.out, "docs": n_docs, "k": args.k,
+                      "head": [[r.word, int(r.n)] for r in head.itertuples()]}))
+    return 0
+
+
 def cmd_plot(args) -> int:
     import ray.data as rd
 
@@ -204,6 +267,22 @@ def main(argv=None) -> int:
     d.add_argument("--verify-mode", choices=["auto", "broadcast", "partitioned"],
                    default="auto")
     d.set_defaults(fn=cmd_dedup)
+
+    c = sub.add_parser("chunk", help="context-window packing of a corpus")
+    c.add_argument("--input", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--window", type=int, default=512)
+    c.add_argument("--stride", type=int, default=384)
+    c.set_defaults(fn=cmd_chunk)
+
+    v = sub.add_parser("vocab", help="vocabulary top-k wordcount")
+    v.add_argument("--input", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--text-col", default="text")
+    v.add_argument("--k", type=int, default=100)
+    v.set_defaults(fn=cmd_vocab)
 
     g = sub.add_parser("plot", help="render a pixel table to PNG")
     g.add_argument("--pixels", required=True)

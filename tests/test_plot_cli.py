@@ -208,6 +208,41 @@ def test_cli_dedup_minhash_partitioned(tmp_path):
     assert sorted(kept.doc_id) == list(range(60))  # originals win (min id)
 
 
+def test_cli_chunk_and_vocab(tmp_path):
+    """The chunk/vocab CLI surface over a small corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    texts = ["alpha beta gamma " * 40, "alpha beta", "alpha"]
+    pq.write_table(
+        pa.table({"doc_id": [0, 1, 2], "text": texts}),
+        str(corpus / "d.parquet"),
+    )
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "chunk", "--input", str(corpus / "*.parquet"),
+         "--out", str(tmp_path / "chunks"), "--window", "100", "--stride", "80"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    # doc0 len 680: 1 + ceil((680-100)/80) = 9 chunks; docs 1-2: 1 each
+    assert s["chunks"] == 9 + 1 + 1
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "vocab", "--input", str(corpus / "*.parquet"),
+         "--out", str(tmp_path / "vocab"), "--k", "2"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["head"][0] == ["alpha", 42] and s["head"][1] == ["beta", 41]
+
+
 def test_training_pipeline_example(tmp_path):
     """The examples/ flagship composition runs end-to-end."""
     env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
