@@ -173,10 +173,12 @@ def exact_quantiles(
     Precision bound: values refine in float64, so int64 columns are
     exact up to |v| < 2^53 — beyond that, neighbouring large integers
     collapse to one double and the returned value may be the rounded
-    double rather than a column element.  (Hash/id columns near
-    int64-max want min/max/topk, not quantiles; an integer-space
-    refinement would double the blob width for a case no pipeline
-    here has.)
+    double rather than a column element.  An INTEGER column whose
+    range reaches 2^53 is DETECTED in the first stats pass and raises
+    (hash/id columns near int64-max want min/max/topk, not quantiles;
+    an integer-space refinement would double the blob width for a
+    case no pipeline here has).  Float columns of any magnitude are
+    fine — they are already doubles.
     """
     qs = list(qs)
 
@@ -201,20 +203,33 @@ def exact_quantiles(
 
     def stats_batch(t: pa.Table) -> pa.Table:
         v = _values(t)
+        wide_int = bool(
+            pa.types.is_integer(t[col].type)
+            and len(v)
+            and max(abs(float(v.min())), abs(float(v.max()))) >= 2.0**53
+        )
         if len(v) == 0:
             return pa.table({"lo": pa.array([], type=pa.float64()),
                              "hi": pa.array([], type=pa.float64()),
-                             "n": pa.array([], type=pa.int64())})
+                             "n": pa.array([], type=pa.int64()),
+                             "wide": pa.array([], type=pa.bool_())})
         return pa.table({"lo": [float(v.min())], "hi": [float(v.max())],
-                         "n": [int(len(v))]})
+                         "n": [int(len(v))], "wide": [wide_int]})
 
-    gmin, gmax, n = np.inf, -np.inf, 0
+    gmin, gmax, n, wide = np.inf, -np.inf, 0, False
     for t in ds.map_batches(stats_batch, batch_format="pyarrow", batch_size=batch_size,
                             zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
-        for lo, hi, cnt in zip(t["lo"].to_pylist(), t["hi"].to_pylist(), t["n"].to_pylist()):
-            gmin, gmax, n = min(gmin, lo), max(gmax, hi), n + cnt
+        for lo, hi, cnt, w in zip(t["lo"].to_pylist(), t["hi"].to_pylist(),
+                                  t["n"].to_pylist(), t["wide"].to_pylist()):
+            gmin, gmax, n, wide = min(gmin, lo), max(gmax, hi), n + cnt, wide or w
     if n == 0:
         raise ValueError("exact_quantiles on an empty dataset")
+    if wide:
+        raise ValueError(
+            f"exact_quantiles: integer column {col!r} reaches |v| >= 2^53, "
+            "where float64 refinement can no longer separate neighbouring "
+            "values — use min/max/grouped_topk for id/hash-scale integers"
+        )
 
     # path = list of (lo, hi, chosen_bin) refinement levels; the live
     # interval of the deepest level is subdivided next round

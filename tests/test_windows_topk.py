@@ -259,6 +259,19 @@ def test_grouped_quantiles_single_group_all_giant(ray_session):
     assert got.g.tolist() == ["only"] and got.value.tolist() == [2499.0]
 
 
+def test_exact_quantiles_rejects_wide_integers(ray_session):
+    """Advisor item: an int64 column at hash/id magnitude (>= 2^53)
+    must raise instead of silently returning a rounded double."""
+    from rayraster.agg import exact_quantiles
+
+    df = pd.DataFrame({"v": np.array([2**60, 2**60 + 1, 5], dtype=np.int64)})
+    with pytest.raises(ValueError, match="2\\^53"):
+        exact_quantiles(rd.from_pandas(df), "v", [0.5])
+    # floats of any magnitude stay fine (already doubles)
+    fdf = pd.DataFrame({"v": [1e300, -1e300, 0.0]})
+    assert exact_quantiles(rd.from_pandas(fdf), "v", [0.5]) == [0.0]
+
+
 def test_exact_quantiles_duplicate_atom_and_outlier(ray_session):
     """Regression (review-confirmed crashes): a zero-value duplicate
     mass larger than collect_threshold, and an extreme outlier, must
