@@ -401,11 +401,120 @@ class RangeJoinStage:
 
 def range_join(ds: Dataset, intervals: pa.Table, value_col: str,
                lo_col: str = "lo", hi_col: str = "hi", concurrency=(1, 2)) -> Dataset:
-    """ds ⨝ intervals on ``lo ≤ ds[value_col] ≤ hi`` (broadcast side)."""
+    """ds ⨝ intervals on ``lo ≤ ds[value_col] ≤ hi`` (broadcast side).
+    Dense O(batch × intervals) mask — right up to ~10^4 intervals; use
+    :func:`range_join_indexed` beyond that."""
     ref = ray.put(intervals)
     return ds.map_batches(
         RangeJoinStage,
         fn_constructor_args=(ref, value_col, lo_col, hi_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+class RangeJoinIndexedStage:
+    """The scale path past :class:`RangeJoinStage`'s dense-mask limit:
+    a BUCKET INDEX over the interval table, built once per actor.
+
+    Value space is cut into buckets of width ``granularity``; each
+    interval registers in every bucket it touches, except intervals
+    spanning more than ``wide_buckets`` buckets, which go to a small
+    "wide" list tested against the whole batch (a handful of
+    catch-alls is typical; registering them everywhere would blow the
+    index).  Per batch: rows group by their bucket (vectorized), each
+    present bucket tests its rows against ONLY that bucket's
+    candidates — work is O(rows × candidates-per-bucket), independent
+    of the total interval count."""
+
+    def __init__(self, intervals_ref, value_col: str, lo_col: str = "lo",
+                 hi_col: str = "hi", granularity: float | None = None,
+                 wide_buckets: int = 64):
+        import numpy as np
+
+        iv = ray.get(intervals_ref) if isinstance(intervals_ref, ray.ObjectRef) else intervals_ref
+        self.iv = iv.combine_chunks() if isinstance(iv, pa.Table) else iv
+        self.lo = np.asarray(self.iv[lo_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        self.hi = np.asarray(self.iv[hi_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        self.value_col = value_col
+        if granularity is None:
+            # median interval width: a typical interval touches ~2 buckets
+            width = np.maximum(self.hi - self.lo, 0.0)
+            med = float(np.median(width)) if len(width) else 1.0
+            granularity = med if med > 0 else 1.0
+        self.g = float(granularity)
+        b_lo = np.floor(self.lo / self.g).astype(np.int64)
+        b_hi = np.floor(self.hi / self.g).astype(np.int64)
+        spans = b_hi - b_lo + 1
+        wide = spans > wide_buckets
+        self.wide_ids = np.flatnonzero(wide)
+        self.index: dict[int, np.ndarray] = {}
+        narrow = np.flatnonzero(~wide)
+        if len(narrow):
+            reg_iv = np.repeat(narrow, spans[narrow])
+            reg_b = np.concatenate(
+                [np.arange(b_lo[i], b_hi[i] + 1, dtype=np.int64) for i in narrow]
+            )
+            order = np.argsort(reg_b, kind="stable")
+            reg_b, reg_iv = reg_b[order], reg_iv[order]
+            cuts = np.flatnonzero(np.diff(reg_b)) + 1
+            for b, ids in zip(reg_b[np.concatenate([[0], cuts])],
+                              np.split(reg_iv, cuts)):
+                self.index[int(b)] = ids
+
+    def _emit(self, batch: pa.Table, rows, ivs) -> pa.Table:
+        import numpy as np
+
+        rows = np.concatenate(rows) if rows else np.zeros(0, dtype=np.int64)
+        ivs = np.concatenate(ivs) if ivs else np.zeros(0, dtype=np.int64)
+        order = np.lexsort((ivs, rows))  # deterministic output order
+        out = batch.take(pa.array(rows[order]))
+        for name in self.iv.column_names:
+            out = out.append_column(name, self.iv[name].take(pa.array(ivs[order])))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = batch[self.value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        vb = np.floor(v / self.g).astype(np.int64)
+        out_rows, out_ivs = [], []
+        # narrow intervals: per present bucket, rows × that bucket's list
+        uniq, inv = np.unique(vb, return_inverse=True)
+        for u_idx, b in enumerate(uniq):
+            cand = self.index.get(int(b))
+            if cand is None:
+                continue
+            rows = np.flatnonzero(inv == u_idx)
+            m = (v[rows, None] >= self.lo[cand][None, :]) & (
+                v[rows, None] <= self.hi[cand][None, :]
+            )
+            r, c = np.nonzero(m)
+            out_rows.append(rows[r])
+            out_ivs.append(cand[c])
+        # wide intervals: tested against the whole batch (few by design)
+        if len(self.wide_ids):
+            m = (v[:, None] >= self.lo[self.wide_ids][None, :]) & (
+                v[:, None] <= self.hi[self.wide_ids][None, :]
+            )
+            r, c = np.nonzero(m)
+            out_rows.append(r)
+            out_ivs.append(self.wide_ids[c])
+        return self._emit(batch, out_rows, out_ivs)
+
+
+def range_join_indexed(ds: Dataset, intervals: pa.Table, value_col: str,
+                       lo_col: str = "lo", hi_col: str = "hi",
+                       granularity: float | None = None,
+                       concurrency=(1, 2)) -> Dataset:
+    """ds ⨝ intervals on ``lo ≤ v ≤ hi`` via the per-actor bucket
+    index — for interval tables past :func:`range_join`'s ~10^4 dense
+    limit.  Same output as :func:`range_join` up to row order."""
+    ref = ray.put(intervals)
+    return ds.map_batches(
+        RangeJoinIndexedStage,
+        fn_constructor_args=(ref, value_col, lo_col, hi_col, granularity),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,

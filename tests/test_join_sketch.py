@@ -237,6 +237,31 @@ def test_range_join_overlapping_bands(ray_session):
                    (2, "wide"), (3, "mid"), (3, "wide")]
 
 
+def test_range_join_indexed_matches_dense(ray_session):
+    """The bucket-indexed interval join must produce the exact same
+    (row, interval) pairs as the dense-mask path — random overlapping
+    intervals plus a catch-all wide interval (the wide-list path)."""
+    import pyarrow as pa
+
+    from rayraster.join import range_join, range_join_indexed
+
+    rng = np.random.default_rng(23)
+    n_iv = 3000
+    lo = rng.uniform(-100, 100, n_iv)
+    hi = lo + rng.exponential(2.0, n_iv)
+    lo[0], hi[0] = -1e6, 1e6  # catch-all: spans every bucket → wide list
+    iv = pa.table({"iv_id": pa.array(np.arange(n_iv)),
+                   "lo": pa.array(lo), "hi": pa.array(hi)})
+    ds = rd.from_pandas(pd.DataFrame(
+        {"id": np.arange(5000), "v": rng.uniform(-120, 120, 5000)}
+    ))
+    dense = range_join(ds, iv, "v").to_pandas()
+    idx = range_join_indexed(ds, iv, "v").to_pandas()
+    key = lambda df: sorted(zip(df.id, df.iv_id))
+    assert key(idx) == key(dense)
+    assert len(idx) > 5000  # catch-all matches every row at least once
+
+
 def test_bucket_join_semi_anti_full(ray_session):
     left = pd.DataFrame({"k": [1, 2, 3, 4], "lv": [10, 20, 30, 40]})
     right = pd.DataFrame({"k": [2, 2, 4, 5], "rv": [1.0, 2.0, 3.0, 4.0]})
