@@ -203,18 +203,18 @@ def exact_quantiles(
 
     def stats_batch(t: pa.Table) -> pa.Table:
         v = _values(t)
-        wide_int = bool(
-            pa.types.is_integer(t[col].type)
-            and len(v)
-            and max(abs(float(v.min())), abs(float(v.max()))) >= 2.0**53
-        )
         if len(v) == 0:
             return pa.table({"lo": pa.array([], type=pa.float64()),
                              "hi": pa.array([], type=pa.float64()),
                              "n": pa.array([], type=pa.int64()),
                              "wide": pa.array([], type=pa.bool_())})
-        return pa.table({"lo": [float(v.min())], "hi": [float(v.max())],
-                         "n": [int(len(v))], "wide": [wide_int]})
+        lo, hi = float(v.min()), float(v.max())
+        wide_int = bool(
+            pa.types.is_integer(t[col].type)
+            and max(abs(lo), abs(hi)) >= 2.0**53
+        )
+        return pa.table({"lo": [lo], "hi": [hi], "n": [int(len(v))],
+                         "wide": [wide_int]})
 
     gmin, gmax, n, wide = np.inf, -np.inf, 0, False
     for t in ds.map_batches(stats_batch, batch_format="pyarrow", batch_size=batch_size,

@@ -387,16 +387,21 @@ class RangeJoinStage:
         self.hi = np.asarray(self.iv[hi_col].to_numpy(zero_copy_only=False), dtype=np.float64)
         self.value_col = value_col
 
+    def _emit(self, batch: pa.Table, rows, ivs) -> pa.Table:
+        """Assemble (row, interval) pairs — shared by both range-join
+        paths so output layout can never diverge between them."""
+        out = batch.take(pa.array(rows))
+        for name in self.iv.column_names:
+            out = out.append_column(name, self.iv[name].take(pa.array(ivs)))
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
 
         v = batch[self.value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         mask = (v[:, None] >= self.lo[None, :]) & (v[:, None] <= self.hi[None, :])
         rows, ivs = np.nonzero(mask)
-        out = batch.take(pa.array(rows))
-        for name in self.iv.column_names:
-            out = out.append_column(name, self.iv[name].take(pa.array(ivs)))
-        return out
+        return self._emit(batch, rows, ivs)
 
 
 def range_join(ds: Dataset, intervals: pa.Table, value_col: str,
@@ -414,43 +419,55 @@ def range_join(ds: Dataset, intervals: pa.Table, value_col: str,
     )
 
 
-class RangeJoinIndexedStage:
+class RangeJoinIndexedStage(RangeJoinStage):
     """The scale path past :class:`RangeJoinStage`'s dense-mask limit:
-    a BUCKET INDEX over the interval table, built once per actor.
+    a BUCKET INDEX over the interval table, built once per actor
+    (table unpacking and output assembly inherited from the dense
+    stage — the two paths cannot diverge).
 
     Value space is cut into buckets of width ``granularity``; each
     interval registers in every bucket it touches, except intervals
-    spanning more than ``wide_buckets`` buckets, which go to a small
-    "wide" list tested against the whole batch (a handful of
-    catch-alls is typical; registering them everywhere would blow the
-    index).  Per batch: rows group by their bucket (vectorized), each
-    present bucket tests its rows against ONLY that bucket's
-    candidates — work is O(rows × candidates-per-bucket), independent
-    of the total interval count."""
+    spanning more than ``wide_buckets`` buckets — including ±inf or
+    sentinel catch-alls, whose clipped span is astronomically wide —
+    which go to a small "wide" list tested against the whole batch.
+    Degenerate intervals (NaN bounds, lo > hi) match nothing in the
+    dense path and are dropped here for the same result.  Per batch:
+    rows are grouped by bucket with one argsort (NOT a per-bucket
+    scan), and each present bucket tests its rows against ONLY that
+    bucket's candidates — work is O(rows·log(rows) +
+    rows × candidates-per-bucket), independent of total interval
+    count."""
+
+    # bucket ids are clipped here before the int cast: ±inf / huge
+    # sentinels would overflow int64 and silently mis-register.  ±2^31
+    # buckets keeps every span arithmetic safely inside int64; values
+    # and bounds clip CONSISTENTLY, and clipped collisions only add
+    # candidates that the exact containment test then filters
+    _BMAX = float(2**31)
 
     def __init__(self, intervals_ref, value_col: str, lo_col: str = "lo",
                  hi_col: str = "hi", granularity: float | None = None,
                  wide_buckets: int = 64):
         import numpy as np
 
-        iv = ray.get(intervals_ref) if isinstance(intervals_ref, ray.ObjectRef) else intervals_ref
-        self.iv = iv.combine_chunks() if isinstance(iv, pa.Table) else iv
-        self.lo = np.asarray(self.iv[lo_col].to_numpy(zero_copy_only=False), dtype=np.float64)
-        self.hi = np.asarray(self.iv[hi_col].to_numpy(zero_copy_only=False), dtype=np.float64)
-        self.value_col = value_col
+        super().__init__(intervals_ref, value_col, lo_col, hi_col)
         if granularity is None:
             # median interval width: a typical interval touches ~2 buckets
-            width = np.maximum(self.hi - self.lo, 0.0)
-            med = float(np.median(width)) if len(width) else 1.0
+            with np.errstate(invalid="ignore"):
+                width = np.maximum(self.hi - self.lo, 0.0)
+            finite = width[np.isfinite(width)]
+            med = float(np.median(finite)) if len(finite) else 1.0
             granularity = med if med > 0 else 1.0
         self.g = float(granularity)
-        b_lo = np.floor(self.lo / self.g).astype(np.int64)
-        b_hi = np.floor(self.hi / self.g).astype(np.int64)
-        spans = b_hi - b_lo + 1
-        wide = spans > wide_buckets
+        with np.errstate(invalid="ignore"):
+            valid = ~(np.isnan(self.lo) | np.isnan(self.hi)) & (self.lo <= self.hi)
+        b_lo = np.floor(np.clip(self.lo / self.g, -self._BMAX, self._BMAX)).astype(np.int64)
+        b_hi = np.floor(np.clip(self.hi / self.g, -self._BMAX, self._BMAX)).astype(np.int64)
+        spans = np.where(valid, b_hi - b_lo + 1, 0)
+        wide = valid & (spans > wide_buckets)
         self.wide_ids = np.flatnonzero(wide)
         self.index: dict[int, np.ndarray] = {}
-        narrow = np.flatnonzero(~wide)
+        narrow = np.flatnonzero(valid & ~wide)
         if len(narrow):
             reg_iv = np.repeat(narrow, spans[narrow])
             reg_b = np.concatenate(
@@ -463,30 +480,25 @@ class RangeJoinIndexedStage:
                               np.split(reg_iv, cuts)):
                 self.index[int(b)] = ids
 
-    def _emit(self, batch: pa.Table, rows, ivs) -> pa.Table:
-        import numpy as np
-
-        rows = np.concatenate(rows) if rows else np.zeros(0, dtype=np.int64)
-        ivs = np.concatenate(ivs) if ivs else np.zeros(0, dtype=np.int64)
-        order = np.lexsort((ivs, rows))  # deterministic output order
-        out = batch.take(pa.array(rows[order]))
-        for name in self.iv.column_names:
-            out = out.append_column(name, self.iv[name].take(pa.array(ivs[order])))
-        return out
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
 
         v = batch[self.value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        vb = np.floor(v / self.g).astype(np.int64)
+        vb = np.floor(np.clip(v / self.g, -self._BMAX, self._BMAX)).astype(np.int64)
         out_rows, out_ivs = [], []
-        # narrow intervals: per present bucket, rows × that bucket's list
-        uniq, inv = np.unique(vb, return_inverse=True)
-        for u_idx, b in enumerate(uniq):
+        # group rows by bucket with ONE argsort (a per-unique-bucket
+        # boolean scan would be O(unique × rows) — quadratic when
+        # values are spread over many buckets)
+        order = np.argsort(vb, kind="stable")
+        svb = vb[order]
+        cuts = np.flatnonzero(np.diff(svb)) + 1
+        for b, rows in zip(
+            svb[np.concatenate([[0], cuts])] if len(svb) else [],
+            np.split(order, cuts) if len(svb) else [],
+        ):
             cand = self.index.get(int(b))
             if cand is None:
                 continue
-            rows = np.flatnonzero(inv == u_idx)
             m = (v[rows, None] >= self.lo[cand][None, :]) & (
                 v[rows, None] <= self.hi[cand][None, :]
             )
@@ -501,20 +513,26 @@ class RangeJoinIndexedStage:
             r, c = np.nonzero(m)
             out_rows.append(r)
             out_ivs.append(self.wide_ids[c])
-        return self._emit(batch, out_rows, out_ivs)
+        rows = np.concatenate(out_rows) if out_rows else np.zeros(0, dtype=np.int64)
+        ivs = np.concatenate(out_ivs) if out_ivs else np.zeros(0, dtype=np.int64)
+        fin = np.lexsort((ivs, rows))  # deterministic output order
+        return self._emit(batch, rows[fin], ivs[fin])
 
 
 def range_join_indexed(ds: Dataset, intervals: pa.Table, value_col: str,
                        lo_col: str = "lo", hi_col: str = "hi",
                        granularity: float | None = None,
+                       wide_buckets: int = 64,
                        concurrency=(1, 2)) -> Dataset:
     """ds ⨝ intervals on ``lo ≤ v ≤ hi`` via the per-actor bucket
     index — for interval tables past :func:`range_join`'s ~10^4 dense
-    limit.  Same output as :func:`range_join` up to row order."""
+    limit.  Same pairs as :func:`range_join` up to row order;
+    ``wide_buckets`` tunes when an interval moves to the batch-wide
+    catch-all list."""
     ref = ray.put(intervals)
     return ds.map_batches(
         RangeJoinIndexedStage,
-        fn_constructor_args=(ref, value_col, lo_col, hi_col, granularity),
+        fn_constructor_args=(ref, value_col, lo_col, hi_col, granularity, wide_buckets),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,

@@ -262,6 +262,29 @@ def test_range_join_indexed_matches_dense(ray_session):
     assert len(idx) > 5000  # catch-all matches every row at least once
 
 
+def test_range_join_indexed_inf_nan_and_inverted(ray_session):
+    """Review-confirmed traps: ±inf sentinel bounds must route to the
+    wide list (int64 overflow mis-registered them), and degenerate
+    intervals (NaN bound, lo > hi) must match nothing instead of
+    crashing the actor — same pairs as the dense path throughout."""
+    import pyarrow as pa
+
+    from rayraster.join import range_join, range_join_indexed
+
+    iv = pa.table({
+        "iv_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "lo": pa.array([float("-inf"), 0.0, 10.0, float("nan")]),
+        "hi": pa.array([float("inf"), 1.0, 2.0, 5.0]),  # 2: inverted
+    })
+    ds = rd.from_pandas(pd.DataFrame({"id": [0, 1, 2], "v": [0.5, 5.0, -3.0]}))
+    dense = range_join(ds, iv, "v").to_pandas()
+    idx = range_join_indexed(ds, iv, "v").to_pandas()
+    key = lambda df: sorted(zip(df.id, df.iv_id))
+    assert key(idx) == key(dense)
+    # the catch-all matched every row; inverted/NaN matched none
+    assert key(idx) == [(0, 0), (0, 1), (1, 0), (2, 0)]
+
+
 def test_bucket_join_semi_anti_full(ray_session):
     left = pd.DataFrame({"k": [1, 2, 3, 4], "lv": [10, 20, 30, 40]})
     right = pd.DataFrame({"k": [2, 2, 4, 5], "rv": [1.0, 2.0, 3.0, 4.0]})
