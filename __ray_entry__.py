@@ -1136,11 +1136,26 @@ def _q_langid(sf_dir: str):
 
 
 def _q_fingerprint(sf_dir: str):
-    from rayraster.textops import fingerprint_md5
+    """Document fingerprint AND the PII-scrubbed fingerprint in one
+    row set: ``redacted_md5`` pins the exact bytes produced by the
+    vectorized RE2 redaction (emails/IPs/phones → placeholders), so
+    the scrubbing operator is oracle-evidenced without a new sweep
+    slot."""
+    from rayraster.textops import _md5_hex, redact_pii
 
     ds = _docs(sf_dir)
-    out = ds.map_batches(fingerprint_md5, batch_format="pyarrow", zero_copy_batch=True)
-    return out.select_columns(["doc_id", "fingerprint"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        red = redact_pii(t)["text_redacted"]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fingerprint": pa.array(_md5_hex(t["text"]), type=pa.string()),
+                "redacted_md5": pa.array(_md5_hex(red), type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_json_extract(sf_dir: str):
@@ -1675,7 +1690,12 @@ FROM m"""
 
 
 def _sql_fingerprint() -> str:
-    return "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+    from rayraster.textops import pii_sql_expr
+
+    return (
+        "SELECT doc_id, md5(text) AS fingerprint, "
+        f"md5({pii_sql_expr('text')}) AS redacted_md5 FROM documents"
+    )
 
 
 def _sql_window() -> str:

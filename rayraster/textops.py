@@ -211,6 +211,42 @@ def json_extract_int(batch: pa.Table, json_col: str, key: str, out_col: str) -> 
     return batch.append_column(out_col, pa.array(out, type=pa.int64()))
 
 
+# PII scrubbing patterns — RE2-compatible, ASCII classes, ordered
+# (email first so its user/host digits can't be half-eaten by the
+# phone rule).  DuckDB twins use the same patterns via
+# regexp_replace(..., 'g'), same engine ⇒ identical rewrites.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    (r"\+?[0-9][0-9()\-\s]{6,}[0-9]\b", "[PHONE]"),
+]
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text",
+               out_col: str = "text_redacted") -> pa.Table:
+    """PII scrubbing (training-data hygiene): emails, IPv4 addresses
+    and phone-shaped digit runs replaced by typed placeholders — one
+    vectorized RE2 ``replace_substring_regex`` pass per pattern, in a
+    fixed order."""
+    t = batch[text_col]
+    for pat, repl in PII_PATTERNS:
+        t = pc.replace_substring_regex(t, pattern=pat, replacement=repl)
+    return batch.append_column(out_col, t)
+
+
+def pii_sql_expr(col: str) -> str:
+    """The DuckDB twin of :func:`redact_pii`: nested
+    ``regexp_replace(..., 'g')`` in the same pattern order."""
+    expr = col
+    for pat, repl in PII_PATTERNS:
+        # DuckDB single-quoted literals keep backslashes verbatim —
+        # only quotes need escaping (doubling backslashes would turn
+        # \b into an RE2 literal-backslash + b)
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return expr
+
+
 def fingerprint_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Hex md5 per document — SQL twin: duckdb ``md5(text)``."""
     fp = _md5_hex(batch[text_col])

@@ -57,6 +57,26 @@ def test_fingerprint_matches_hashlib():
     assert fp[1] == hashlib.md5("déjà vu".encode()).hexdigest()
 
 
+def test_redact_pii_patterns():
+    """Emails, IPv4s and phone-shaped runs become typed placeholders;
+    clean text and short digit runs are untouched."""
+    from rayraster.textops import redact_pii
+
+    t = pa.table({"text": [
+        "mail bob.smith+x@foo-bar.co.uk thanks",
+        "from 192.168.0.1 call +1 (555) 123-4567 today",
+        "clean text 123 v2.0",
+        "two emails a@b.io and c.d@e-f.org here",
+    ]})
+    got = redact_pii(t)["text_redacted"].to_pylist()
+    assert got == [
+        "mail [EMAIL] thanks",
+        "from [IP] call [PHONE] today",
+        "clean text 123 v2.0",
+        "two emails [EMAIL] and [EMAIL] here",
+    ]
+
+
 def test_chunk_text_windows_exact_slices():
     import hashlib
 
