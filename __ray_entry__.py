@@ -291,19 +291,48 @@ def _q_spatial_knn(sf_dir: str):
     return out.select_columns(["ix", "iy", "rank", "dist2", "n_ix", "n_iy"])
 
 
-def _q_sample(sf_dir: str):
-    """Deterministic ~10% sample of documents (pure id arithmetic —
-    identical across runs/chunkings/cluster sizes, unlike seeded RNG
-    which depends on block layout)."""
-    from rayraster.agg import deterministic_sample
+_STRAT_RATES = {"en": 200000, "de": 50000}
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
-    return deterministic_sample(docs, "doc_id", rate_num=100000)
+
+def _q_sample(sf_dir: str):
+    """Deterministic sampling, BOTH modes in one recorded row set
+    (pure id arithmetic — identical across runs/chunkings/cluster
+    sizes, unlike seeded RNG which depends on block layout): a
+    ~10% uniform sample plus a per-language STRATIFIED sample
+    (en upweighted, de downweighted — the class-rebalancing
+    operator), tagged by a ``method`` column."""
+    from rayraster.agg import deterministic_sample, stratified_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def tag(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "method", pa.array([name] * t.num_rows, type=pa.string())
+            )
+
+        return fn
+
+    uni = deterministic_sample(docs, "doc_id", rate_num=100000).map_batches(
+        tag("uniform"), batch_format="pyarrow"
+    )
+    strat = stratified_sample(
+        docs, "doc_id", "lang", _STRAT_RATES, default_num=100000
+    ).map_batches(tag("stratified"), batch_format="pyarrow")
+    return uni.union(strat)
 
 
 def _sql_sample() -> str:
-    return """SELECT doc_id, n_chars FROM documents
-WHERE (doc_id * 2654435761) % 1000003 < 100000"""
+    case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_STRAT_RATES.items())
+    )
+    return f"""SELECT doc_id, lang, n_chars, 'uniform' AS method FROM documents
+WHERE (doc_id * 2654435761) % 1000003 < 100000
+UNION ALL
+SELECT doc_id, lang, n_chars, 'stratified' AS method FROM documents
+WHERE (doc_id * 2654435761) % 1000003 < CASE lang {case} ELSE 100000 END"""
 
 
 def _q_sort_limit(sf_dir: str):

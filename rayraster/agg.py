@@ -132,6 +132,36 @@ def deterministic_sample(
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def stratified_sample(
+    ds: Dataset, id_col: str, group_col: str, rates: dict,
+    default_num: int = 0, rate_den: int = 1000003,
+) -> Dataset:
+    """Per-group deterministic sampling (class rebalancing): keep a
+    row of group ``g`` when ``(id·2654435761) % rate_den <
+    rates.get(g, default_num)`` — the same chunk/cluster-invariant id
+    arithmetic as :func:`deterministic_sample`, with a per-group
+    threshold.  Vectorized: one equality mask per listed group (the
+    rates dict is small by construction); unlisted and NULL groups get
+    ``default_num``."""
+    import pyarrow.compute as pc
+
+    items = sorted(rates.items())
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * np.int64(2654435761)) % np.int64(rate_den)
+        thr = np.full(t.num_rows, default_num, dtype=np.int64)
+        g = t[group_col]
+        for key, num in items:
+            m = pc.fill_null(
+                pc.equal(g, pa.scalar(key, type=g.type)), False
+            ).to_numpy(zero_copy_only=False).astype(bool)
+            thr[m] = num
+        return t.filter(pa.array(h < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def exact_quantiles(
     ds: Dataset,
     col: str,

@@ -164,6 +164,26 @@ def test_watermark_tumbling_drops_late_rows(ray_session):
     assert full.n.sum() == 4  # sanity: without the watermark it stays
 
 
+def test_stratified_sample_rates(ray_session):
+    """Per-group thresholds applied exactly; NULL/unlisted groups get
+    the default; union with the uniform rule stays deterministic."""
+    from rayraster.agg import stratified_sample
+
+    n = 30_000
+    g = np.where(np.arange(n) % 3 == 0, "a", np.where(np.arange(n) % 3 == 1, "b", None))
+    df = pd.DataFrame({"id": np.arange(n), "g": g})
+    out = stratified_sample(
+        rd.from_pandas(df), "id", "g", {"a": 500000, "b": 50000}, default_num=100000
+    ).to_pandas()
+    h = (df.id.to_numpy().astype(np.int64) * 2654435761) % 1000003
+    thr = np.where(df.g == "a", 500000, np.where(df.g == "b", 50000, 100000))
+    want = df[h < thr]
+    assert sorted(out.id) == sorted(want.id)
+    # rates actually differ per group
+    frac = out.groupby(out.g.fillna("<null>")).size() / df.groupby(df.g.fillna("<null>")).size()
+    assert frac["a"] > 0.4 and frac["b"] < 0.1 and 0.05 < frac["<null>"] < 0.15
+
+
 def test_grouped_quantiles_matches_pandas(ray_session):
     from rayraster.agg import grouped_quantiles
 
