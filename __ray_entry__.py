@@ -821,6 +821,15 @@ def _docs(sf_dir: str, columns=("doc_id", "text")):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
+def _parts_for(n_rows: int, cap: int = 32) -> int:
+    """Exchange partition count sized to the input (≥8, ~64k rows per
+    partition, capped): every shuffle carries a per-partition fixed
+    cost (measured repeatedly — CC 2.7→0.7 s/run and j2 5.7→2.0 s
+    going 64→~10 partitions on sf0.1 inputs), and these queries KNOW
+    their input sizes from parquet metadata."""
+    return min(cap, max(8, n_rows // 65536))
+
+
 def _with_exact_copies(ds, id_col="doc_id"):
     """ds ∪ (ds with id + OFFSET) — every text appears exactly twice."""
 
@@ -839,8 +848,11 @@ def _with_exact_copies(ds, id_col="doc_id"):
 def _q_exact_dedup(sf_dir: str):
     from rayraster.dedup import exact_dedup_keep_ids
 
-    corpus = _with_exact_copies(_docs(sf_dir))
-    return exact_dedup_keep_ids(corpus)
+    base = _docs(sf_dir)
+    corpus = _with_exact_copies(base)
+    return exact_dedup_keep_ids(
+        corpus, num_partitions=_parts_for(2 * base.count())
+    )
 
 
 def _synth_neardup_text(ids: np.ndarray) -> list[str]:
@@ -1273,6 +1285,7 @@ def _q_join(sf_dir: str):
         min_cols=["o_totalprice"],
         max_cols=["o_totalprice"],
         count=True,
+        num_partitions=_parts_for(orders.count()),
     )
 
 
@@ -1280,7 +1293,8 @@ def _q_grouped_topk(sf_dir: str):
     from rayraster.agg import grouped_topk
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
-    out = grouped_topk(docs, ["lang"], "n_chars", k=3, descending=True, tie_col="doc_id")
+    out = grouped_topk(docs, ["lang"], "n_chars", k=3, descending=True, tie_col="doc_id",
+                       num_partitions=_parts_for(docs.count()))
     return out.select_columns(["lang", "doc_id", "n_chars", "rnk"])
 
 
@@ -1344,7 +1358,7 @@ def _q_anti_join(sf_dir: str):
     )
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
     out = bucket_join(orders, li, "o_orderkey", "l_orderkey",
-                      num_buckets=32, join_type="anti")
+                      num_buckets=_parts_for(li.count()), join_type="anti")
     return out.select_columns(["o_orderkey", "o_totalprice"])
 
 
@@ -1424,13 +1438,15 @@ def _q_bucket_join(sf_dir: str):
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    joined = bucket_join(li, orders, "l_orderkey", "o_orderkey", num_buckets=32)
+    parts = _parts_for(li.count())
+    joined = bucket_join(li, orders, "l_orderkey", "o_orderkey", num_buckets=parts)
     return hash_aggregate(
         joined,
         ["o_orderpriority"],
         min_cols=["l_extendedprice"],
         max_cols=["l_extendedprice"],
         count=True,
+        num_partitions=parts,
     )
 
 
@@ -1461,14 +1477,17 @@ def _q_salted_join(sf_dir: str):
         k = np.where(eid % 3 == 0, 1, uid)
         return pa.table({"k": pa.array(k), "value": t["value"]})
 
+    n_ev = ev.count()
+    parts = _parts_for(n_ev)
     left = ev.map_batches(remap, batch_format="pyarrow")
-    users = distinct(ev.select_columns(["user_id"]), ["user_id"])
+    users = distinct(ev.select_columns(["user_id"]), ["user_id"],
+                     num_partitions=parts)
     right = users.map_batches(
         lambda t: pa.table({"k": t["user_id"], "uscore": _pc.multiply(t["user_id"], 7)}),
         batch_format="pyarrow",
     )
     joined = bucket_join(
-        left, right, "k", "k", num_buckets=32, salt=8, hot_keys=[1],
+        left, right, "k", "k", num_buckets=parts, salt=8, hot_keys=[1],
         left_schema=pa.schema([("k", pa.int64()), ("value", pa.float64())]),
         right_schema=pa.schema([("k", pa.int64()), ("uscore", pa.int64())]),
     )
@@ -1481,6 +1500,7 @@ def _q_salted_join(sf_dir: str):
     return hash_aggregate(
         joined.map_batches(kb, batch_format="pyarrow"),
         ["kb"], sum_cols=["uscore"], min_cols=["value"], max_cols=["value"], count=True,
+        num_partitions=parts,
     )
 
 
@@ -1517,7 +1537,11 @@ def _q_asof_join(sf_dir: str):
 
     clicks = ev.map_batches(split("click"), batch_format="pyarrow")
     purchases = ev.map_batches(split("purchase"), batch_format="pyarrow")
-    out = asof_join(clicks, purchases, key="user_id")
+    sch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                     ("ts", pa.timestamp("us")), ("value", pa.float64())])
+    out = asof_join(clicks, purchases, key="user_id",
+                    num_partitions=_parts_for(ev.count()),
+                    left_schema=sch, right_schema=sch)
     return out.select_columns(
         ["ts_us", "event_id", "user_id", "value", "event_id_r", "value_r"]
     )
@@ -1561,7 +1585,8 @@ def _q_range_join(sf_dir: str):
     )
     joined = range_join(orders, bands, "o_totalprice")
     return hash_aggregate(
-        joined, ["band"], min_cols=["o_totalprice"], max_cols=["o_totalprice"], count=True
+        joined, ["band"], min_cols=["o_totalprice"], max_cols=["o_totalprice"],
+        count=True, num_partitions=_parts_for(orders.count()),
     )
 
 
