@@ -203,7 +203,7 @@ def _q_clip_joined(sf_dir: str):
 
     pts = load_doc_points(sf_dir, columns=("doc_id",))
     spec = GridSpec(-180.0, -90.0, RES)
-    out = spatial_join_polygons(pts, [(0, CLIP_RING)], spec)
+    out = spatial_join_polygons(pts, [(0, CLIP_RING)], spec, num_buckets=8)
     return out.select_columns(["doc_id"])
 
 
