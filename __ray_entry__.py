@@ -60,6 +60,8 @@ from rayraster.rasterize import (
     rollup_quadtree,
 )
 from rayraster.rotate import permutate_by_rotation
+from rayraster.clip import ClipStage
+from rayraster.knn import KnnStage
 
 
 def _rf(*a, **k):
@@ -76,8 +78,6 @@ def _rc(*a, **k):
     """rasterize_categories, sized like :func:`_rf`."""
     k.setdefault("num_partitions", 8)
     return rasterize_categories(*a, **k)
-from rayraster.clip import ClipStage
-from rayraster.knn import KnnStage
 
 # --------------------------------------------------------------------------
 # shared SQL fragments (twins of rayraster.geo / rayraster.grid formulas)
@@ -319,9 +319,11 @@ def _q_sample(sf_dir: str):
     operator), tagged by a ``method`` column."""
     from rayraster.agg import deterministic_sample, stratified_sample
 
+    # materialize: both sampler branches consume the SAME blocks (one
+    # parquet scan, not one per mode)
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
-    )
+    ).materialize()
 
     def tag(name):
         def fn(t: pa.Table) -> pa.Table:
@@ -1553,8 +1555,13 @@ def _q_asof_join(sf_dir: str):
 
     clicks = ev.map_batches(split("click"), batch_format="pyarrow")
     purchases = ev.map_batches(split("purchase"), batch_format="pyarrow")
-    sch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
-                     ("ts", pa.timestamp("us")), ("value", pa.float64())])
+    # schema from parquet METADATA (no pipeline execution), minus the
+    # dropped column — stays in lockstep with the read projection
+    import pyarrow.parquet as _pq
+
+    full = _pq.read_schema(f"{sf_dir}/events.parquet")
+    sch = pa.schema([full.field(n) for n in
+                     ("event_id", "user_id", "ts", "value")])
     out = asof_join(clicks, purchases, key="user_id",
                     num_partitions=_parts_for(ev.count()),
                     left_schema=sch, right_schema=sch)

@@ -115,6 +115,13 @@ def distinct(ds: Dataset, keys: Sequence[str], num_partitions: int = 64) -> Data
     return hash_aggregate(ds, keys, count=False, num_partitions=num_partitions)
 
 
+def _sample_hash(ids: np.ndarray, rate_den: int) -> np.ndarray:
+    """The shared Knuth-hash sampling rule — ONE definition so the
+    uniform and stratified samplers (and their SQL twins) can never
+    desync."""
+    return (ids.astype(np.int64) * np.int64(2654435761)) % np.int64(rate_den)
+
+
 def deterministic_sample(
     ds: Dataset, id_col: str, rate_num: int, rate_den: int = 1000003
 ) -> Dataset:
@@ -125,8 +132,8 @@ def deterministic_sample(
     layout), and exactly reproducible in SQL."""
 
     def keep(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        mask = (ids * np.int64(2654435761)) % np.int64(rate_den) < np.int64(rate_num)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        mask = _sample_hash(ids, rate_den) < np.int64(rate_num)
         return t.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
@@ -148,8 +155,8 @@ def stratified_sample(
     items = sorted(rates.items())
 
     def keep(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (ids * np.int64(2654435761)) % np.int64(rate_den)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = _sample_hash(ids, rate_den)
         thr = np.full(t.num_rows, default_num, dtype=np.int64)
         g = t[group_col]
         for key, num in items:
