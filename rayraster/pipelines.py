@@ -59,6 +59,42 @@ def prepare_pages(batch: pa.Table, verify: bool = True) -> pa.Table:
     return batch.select(keep)
 
 
+def rasterize_temporal(
+    ds: Dataset,
+    resolution: float,
+    value_cols,
+    ts_col: str = "ts",
+    window_us: int = 3_600_000_000,
+    **kwargs,
+):
+    """Spatiotemporal raster: one pixel row per (cell, time window) —
+    the composition of the tumbling-window id (a pure function of the
+    timestamp, no pre-shuffle) with the rasterize exchange, so the
+    WHOLE cube costs the same single shuffle as a plain raster
+    (window id rides along as an ``extra_keys`` column).
+
+    Returns (pixel_table, spec); pixel rows carry a ``window`` column
+    (floor(epoch_us / window_us))."""
+    import numpy as np
+
+    from rayraster.rasterize import rasterize_features
+
+    def add_window(t: pa.Table) -> pa.Table:
+        us = (
+            t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return t.append_column(
+            "window", pa.array(us // np.int64(window_us))
+        )
+
+    windowed = ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+    return rasterize_features(
+        windowed, resolution, list(value_cols),
+        extra_keys=("window",), **kwargs,
+    )
+
+
 def load_page_points(pages_path: str, columns: tuple = ("url", "lang", "text")) -> Dataset:
     """Synthetic pages table (synth.py) → point Dataset via url hash
     geocode, with derived continuous features (text_len)."""
