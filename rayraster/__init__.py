@@ -15,10 +15,17 @@ streaming Ray Data pipelines over Arrow batches:
   mandated by BASELINE.json north_rule.
 
 Plus web-scale training-data operators over the same engine: exact and
-near deduplication (MinHash-LSH, SimHash, n-gram Jaccard), similarity
-search (brute-force + bucketed cosine top-k), text analysis
-(lang-id, quality score, token counts, fingerprints) and multimodal
-stub stages.
+near deduplication (MinHash-LSH, SimHash, n-gram Jaccard, embedding
+cosine; distributed connected components), similarity search
+(brute-force + IVF with a persisted partition-pruned index), text
+analysis (lang-id, quality score, token counts, BPE pre-tokens,
+fingerprints, PII redaction, context-window chunking, vocabulary
+top-k), exact/grouped/stratified sampling and quantiles, windowed
+aggregation (tumbling/sliding/session/watermark), joins (broadcast,
+bucketed, salted-skew, semi/anti, as-of, dense + bucket-indexed
+range), sketches (HLL), real from-scratch multimodal kernels
+(BMP/PPM pixel decode, box-filter resize, PPM-stream frame
+sampling), CSV/JSONL sources and a spatiotemporal raster cube.
 
 None of the modules call ray.init(); the caller owns the Ray session.
 """
@@ -35,7 +42,8 @@ from rayraster.rotate import permutate_by_rotation
 
 # heavier operator families live in their modules (imported lazily by
 # queries/pipelines): rayraster.clip, .knn, .agg, .dedup, .similarity,
-# .textops, .windows, .join, .sketch, .multimodal, .checkpoint, .plot
+# .textops, .windows, .join, .sketch, .multimodal, .checkpoint, .plot,
+# .sources, .pipelines
 
 __all__ = [
     "GridSpec",
