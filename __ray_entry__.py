@@ -628,31 +628,6 @@ SELECT 'hexagon' AS grid, ix, iy,
        cx AS px1, cy AS py1, v1x AS px2, v1y AS py2 FROM ({hx})"""
 
 
-def _q_hex_vector(sf_dir: str):
-    """Hex raster→vector: centroid + first polygon vertex per occupied
-    hex cell, generated through the WKB path and compared against
-    closed-form SQL (the hex analog of r10)."""
-    pts = load_doc_points(sf_dir, columns=("doc_id",))
-    cells, spec = _rf(
-        pts, RES, [], square=False, fun="sum", with_meta=False
-    )
-
-    def _vec(t: pa.Table) -> pa.Table:
-        ix = t["ix"].to_numpy(zero_copy_only=False)
-        iy = t["iy"].to_numpy(zero_copy_only=False)
-        v1x = np.empty(len(ix))
-        v1y = np.empty(len(ix))
-        for k in range(len(ix)):
-            ring = parse_wkb_polygon(spec.polygon_wkb(int(ix[k]), int(iy[k])))
-            v1x[k], v1y[k] = ring[0]
-        return pa.table(
-            {"ix": ix, "iy": iy, "cx": t["cx"], "cy": t["cy"],
-             "v1x": v1x, "v1y": v1y}
-        )
-
-    return cells.map_batches(_vec, batch_format="pyarrow", zero_copy_batch=True)
-
-
 def _sql_hex_vector() -> str:
     # first vertex of the pointy-top hex ring: centroid + R·(cos30°, sin30°)
     R = RES / math.sqrt(3.0)
