@@ -519,7 +519,6 @@ def minhash_lsh_pairs(
         MinHashStage(text_col, id_col, num_perm, bands, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=4,
     )
     pairs = candidate_pairs(buckets, id_col, num_partitions=parts)
     if texts_ref is None and _pick_verify_mode(
@@ -710,7 +709,6 @@ def embedding_neardup_pairs(
         HyperplaneLSHStage(vec_col, id_col, dim=dim),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=4,
     )
     pairs = candidate_pairs(rows, id_col, num_partitions=parts)
     if _pick_verify_mode(ds, verify_mode, broadcast_threshold, corpus_count) == "partitioned":
@@ -1019,7 +1017,6 @@ def ngram_jaccard_pairs(
         MinHashStage(text_col, id_col, num_perm, bands, k=k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=4,
     )
     pairs = candidate_pairs(buckets, id_col, num_partitions=parts)
     if _pick_verify_mode(ds, verify_mode, broadcast_threshold, corpus_count) == "partitioned":
