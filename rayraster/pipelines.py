@@ -73,25 +73,23 @@ def rasterize_temporal(
     WHOLE cube costs the same single shuffle as a plain raster
     (window id rides along as an ``extra_keys`` column).
 
+    Composes with the other key-riding transforms: a caller-supplied
+    ``extra_keys`` (e.g. ``("rotation",)`` from permutate_by_rotation,
+    or ``("dataset_id",)``) is appended after ``window``.
+
     Returns (pixel_table, spec); pixel rows carry a ``window`` column
     (floor(epoch_us / window_us))."""
-    import numpy as np
-
     from rayraster.rasterize import rasterize_features
+    from rayraster.windows import add_tumbling_window
 
-    def add_window(t: pa.Table) -> pa.Table:
-        us = (
-            t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-        )
-        return t.append_column(
-            "window", pa.array(us // np.int64(window_us))
-        )
-
-    windowed = ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+    windowed = ds.map_batches(
+        lambda t: add_tumbling_window(t, ts_col=ts_col, window_us=window_us),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    extra = ("window", *kwargs.pop("extra_keys", ()))
     return rasterize_features(
         windowed, resolution, list(value_cols),
-        extra_keys=("window",), **kwargs,
+        extra_keys=extra, **kwargs,
     )
 
 

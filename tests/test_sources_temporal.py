@@ -56,6 +56,55 @@ def test_read_table_rejects_unknown_format(ray_session, tmp_path):
         read_table(str(tmp_path), fmt="orc")
 
 
+def test_write_table_replaces_existing_dir(ray_session, tmp_path):
+    """A rerun must not stack a second run's files into the target dir
+    (every Ray sink appends uniquely-named files)."""
+    df = _points(500)
+    d = str(tmp_path / "out")
+    for _ in range(2):
+        write_table(rd.from_pandas(df), d, fmt="parquet")
+    assert read_table(d).count() == len(df)
+
+
+def test_read_table_list_of_dirs(ray_session, tmp_path):
+    """A list that CONTAINS directories is expanded to files (Ray 2.49
+    read_parquet rejects dir entries inside a list)."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_table(rd.from_pandas(_points(300, seed=1)), a)
+    write_table(rd.from_pandas(_points(200, seed=2)), b)
+    ds = read_table([a, b], columns=["id", "v"])
+    assert ds.count() == 500
+    assert sorted(ds.schema().names) == ["id", "v"]
+
+
+def test_csv_prunes_at_decode(ray_session, tmp_path):
+    """columns= on CSV rides pyarrow ConvertOptions(include_columns) —
+    unwanted columns never become Arrow data."""
+    d = str(tmp_path / "c")
+    write_table(rd.from_pandas(_points(400)), d, fmt="csv")
+    ds = read_table(d, fmt="csv", columns=["x", "v"])
+    assert sorted(ds.schema().names) == ["v", "x"]
+    assert ds.count() == 400
+
+
+def test_json_interchange_fidelity_bounds(ray_session, tmp_path):
+    """JSONL is documented LOSSY: doubles survive to 15 significant
+    digits (the pandas sink maximum) and timestamps come back as
+    ISO-8601 microsecond STRINGS — assert the documented contract so a
+    silent downgrade (10-digit / epoch-ms default) is caught."""
+    df = pd.DataFrame(
+        {
+            "x": [1 / 3],
+            "ts": pd.to_datetime(["2026-01-02 03:04:05.123456"]),
+        }
+    )
+    d = str(tmp_path / "j")
+    write_table(rd.from_pandas(df), d, fmt="json")
+    back = read_table(d, fmt="json").to_pandas()
+    assert abs(back.x[0] - 1 / 3) < 1e-15  # 15 digits, NOT 10
+    assert back.ts[0] == "2026-01-02T03:04:05.123456"  # µs ISO string
+
+
 def test_rasterize_temporal_cube(ray_session):
     """One pixel row per (cell, hour window); counts match a pandas
     groupby over the same window id + cell assignment."""
@@ -98,3 +147,38 @@ def test_rasterize_temporal_cube(ray_session):
     pd.testing.assert_frame_equal(got, want)
     # the cube has multiple windows per cell (the extra_keys axis is real)
     assert got.groupby(["ix", "iy"]).size().max() > 1
+
+
+def test_rasterize_temporal_composes_extra_keys(ray_session):
+    """A caller-supplied extra_keys (the engine's documented
+    composition pattern, e.g. rotation/dataset_id) rides alongside the
+    window axis instead of raising TypeError."""
+    rng = np.random.default_rng(5)
+    n = 1200
+    df = pd.DataFrame(
+        {
+            "x": rng.uniform(0, 2, n),
+            "y": rng.uniform(0, 2, n),
+            "v": rng.integers(0, 10, n),
+            "src": rng.integers(0, 2, n),
+            "ts": pd.to_datetime(
+                rng.integers(0, 2 * 3600, n) * 1_000_000, unit="us"
+            ),
+        }
+    )
+    spec = GridSpec(0.0, 0.0, 1.0)
+    px, _ = rasterize_temporal(
+        rd.from_pandas(df), 1.0, ["v"], ts_col="ts",
+        window_us=3_600_000_000, spec=spec, fun="sum", with_meta=False,
+        num_partitions=8, extra_keys=("src",),
+    )
+    got = px.to_pandas()
+    assert {"window", "src"} <= set(got.columns)
+    assert got.num_cell.sum() == n
+    ix, iy = spec.assign(df.x.to_numpy(), df.y.to_numpy())
+    w = (df.ts.astype("int64") // 1000) // 3_600_000_000
+    assert len(got) == len(
+        df.assign(ix=ix, iy=iy, window=w)
+        .groupby(["ix", "iy", "window", "src"])
+        .size()
+    )
