@@ -20,10 +20,12 @@ cosine; distributed connected components), similarity search
 (brute-force + IVF with a persisted partition-pruned index), text
 analysis (lang-id, quality score, token counts, BPE pre-tokens,
 fingerprints, PII redaction, context-window chunking, vocabulary
-top-k), exact/grouped/stratified sampling and quantiles, windowed
+top-k), exact/grouped/stratified/weighted-priority sampling and
+quantiles, windowed
 aggregation (tumbling/sliding/session/watermark), joins (broadcast,
 bucketed, salted-skew, semi/anti, as-of, dense + bucket-indexed
-range), sketches (HLL), real from-scratch multimodal kernels
+range), sketches (HLL distinct counts, mergeable Bloom membership
+for cross-snapshot dedup), real from-scratch multimodal kernels
 (BMP/PPM pixel decode, box-filter resize, PPM-stream frame
 sampling), CSV/JSONL sources and a spatiotemporal raster cube.
 

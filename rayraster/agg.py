@@ -169,6 +169,80 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def priority_sample(
+    ds: Dataset,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    rate_den: int = 1000003,
+    fold_batch: int = 65536,
+) -> pa.Table:
+    """Weighted sample WITHOUT replacement of size ``k`` via priority
+    sampling (Duffield–Lund–Thorup, JACM 2007): each row gets priority
+    ``q = w / u`` with a per-row uniform ``u``; the ``k`` largest
+    priorities are the sample, and the (k+1)-th priority ``tau`` gives
+    the unbiased Horvitz–Thompson weight ``max(w, tau)`` (returned as
+    ``ht_weight``; its sum estimates the population total of ``w``).
+
+    ``u`` comes from the shared deterministic sampling hash
+    (:func:`_sample_hash`): ``u = ((id·2654435761) % rate_den + 0.5)
+    / rate_den`` — priority needs only DIVISION (no log/pow), so
+    unlike Efraimidis–Spirakis exponential keys the whole rule is
+    bit-exact in SQL::
+
+        ORDER BY w / ((((id*2654435761) % 1000003) + 0.5)/1000003.0)
+          DESC, id ASC LIMIT k
+
+    and the sample is identical across runs, chunkings and cluster
+    sizes.  Requires non-negative ids (SQL ``%`` keeps the dividend's
+    sign) and positive weights (rows with ``w <= 0`` or non-finite
+    priority are never sampled).  Ties broken by id ascending.
+
+    Distributed shape: per-batch partial top-(k+1) → fold stage
+    (top-(k+1) per ~``fold_batch`` candidate rows, so driver traffic
+    is bounded by k, not block count) → tiny driver merge.  Returns an
+    arrow table of the winners' rows + ``_priority``/``tau``/
+    ``ht_weight`` columns."""
+    import ray
+
+    if k < 1:
+        raise ValueError("priority_sample: k must be >= 1")
+    kp = k + 1
+    order = [("_priority", "descending"), (id_col, "ascending")]
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (_sample_hash(ids, rate_den) + 0.5) / float(rate_den)
+        q = w / u
+        t = t.append_column("_priority", pa.array(q))
+        t = t.filter(pa.array((w > 0.0) & np.isfinite(q)))
+        return t.sort_by(order).slice(0, kp)
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return t.sort_by(order).slice(0, kp)
+
+    folded = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        fold, batch_format="pyarrow", batch_size=fold_batch, zero_copy_batch=True
+    )
+    tbls = [t for t in (ray.get(r) for r in folded.to_arrow_refs())
+            if t.num_columns > 0 and t.num_rows > 0]
+    if not tbls:
+        raise ValueError("priority_sample: no rows with positive weight")
+    allc = pa.concat_tables(tbls).sort_by(order)
+    tau = (
+        float(allc["_priority"][k].as_py()) if allc.num_rows > kp - 1 else 0.0
+    )
+    win = allc.slice(0, k)
+    w_win = win[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    return win.append_column("tau", pa.array(np.full(win.num_rows, tau))) \
+              .append_column("ht_weight", pa.array(np.maximum(w_win, tau)))
+
+
 def exact_quantiles(
     ds: Dataset,
     col: str,

@@ -1,4 +1,4 @@
-"""Mergeable sketches — approximate distinct counting (HyperLogLog).
+"""Mergeable sketches: HyperLogLog distinct counting + Bloom membership.
 
 The reference has no sketches ("no distinct-count, no sketches
 anywhere", SURVEY.md §2) — this is the task-brief custom-operator
@@ -14,6 +14,13 @@ shuffle every distinct key.  From-scratch vectorized HLL:
 Accuracy ~1.04/sqrt(2^p) (p=12 → ~1.6%).  The exact path for the same
 question is ``agg.distinct`` + count (used by the SQL-parity query);
 HLL is the scale path, tested against exact in pytest.
+
+:class:`Bloom` / :func:`build_bloom` / :func:`bloom_filter` follow the
+same mergeable shape (bitwise-OR fold instead of register max) for
+cross-snapshot membership — "drop documents whose url was already in
+last month's crawl" without shuffling either corpus; see
+``bloom_filter`` for the exact-finish composition with the bucketed
+semi-join.
 """
 
 from __future__ import annotations
@@ -24,6 +31,17 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from rayraster.geo import fnv1a64
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — FNV's high bits avalanche poorly on
+    short keys (measured: 5000 short strings hit only ~170 of 4096 HLL
+    registers unmixed); shared by the HLL and Bloom index derivations."""
+    h = np.asarray(h, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
 
 
 def _alpha(m: int) -> float:
@@ -47,14 +65,7 @@ class HLL:
         )
 
     def add_hashes(self, h: np.ndarray) -> "HLL":
-        h = np.asarray(h, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            # splitmix64 finalizer: FNV's high bits avalanche poorly on
-            # short keys, which empties most registers (measured: 5000
-            # short strings hit only ~170 of 4096 registers unmixed)
-            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            h = h ^ (h >> np.uint64(31))
+        h = _mix64(h)
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         with np.errstate(over="ignore"):
             # sentinel bit caps the rank at 64-p+1 (standard trick)
@@ -155,3 +166,134 @@ def approx_distinct(
     if group_col is not None:
         return pa.table({group_col: pa.array(names), **out})
     return pa.table(out)
+
+
+def _col_hashes(t: pa.Table, col: str) -> np.ndarray:
+    """uint64 hash input for a column: integer columns are taken as
+    their two's-complement bits (no string formatting in the hot
+    path); everything else goes through the vectorized FNV-1a used by
+    the url geocode.  ``_mix64`` is applied by the consumers."""
+    c = t[col]
+    if pa.types.is_integer(c.type):
+        return c.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+    return fnv1a64([str(v) for v in c.to_pylist()])
+
+
+_BIT_LUT = np.uint8(1) << np.arange(8, dtype=np.uint8)
+
+
+class Bloom:
+    """Mergeable Bloom filter: ``2^log2_bits`` bits, ``num_hashes``
+    probes per key via double hashing (Kirsch–Mitzenmacher: the i-th
+    index is ``h1 + i·h2`` mod m, as good as i independent hashes).
+
+    Membership is one-sided: ``contains`` is ALWAYS true for added
+    keys (no false negatives); false-positive rate is approximately
+    ``(1 - e^(-j·n/m))^j``.  Merging two filters of the same shape is
+    a bitwise OR (associative/commutative — the mergeable-sketch
+    pattern, like :class:`HLL`)."""
+
+    def __init__(self, log2_bits: int = 23, num_hashes: int = 5,
+                 bits: np.ndarray | None = None):
+        if not 3 <= log2_bits <= 36:
+            raise ValueError("log2_bits out of range [3, 36]")
+        self.log2_bits = log2_bits
+        self.m = np.uint64(1 << log2_bits)
+        self.j = num_hashes
+        nbytes = (1 << log2_bits) // 8
+        self.bits = bits.copy() if bits is not None else np.zeros(nbytes, np.uint8)
+
+    def _indices(self, h: np.ndarray):
+        h1 = _mix64(h)
+        h2 = _mix64(h1 ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        mask = self.m - np.uint64(1)
+        for i in range(self.j):
+            with np.errstate(over="ignore"):
+                yield ((h1 + np.uint64(i) * h2) & mask).astype(np.int64)
+
+    def add_hashes(self, h: np.ndarray) -> "Bloom":
+        for idx in self._indices(h):
+            np.bitwise_or.at(self.bits, idx >> 3, _BIT_LUT[idx & 7])
+        return self
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        """Boolean mask: True = possibly present, False = DEFINITELY
+        absent."""
+        out = np.ones(len(h), dtype=bool)
+        for idx in self._indices(np.asarray(h, np.uint64)):
+            out &= (self.bits[idx >> 3] & _BIT_LUT[idx & 7]) != 0
+        return out
+
+    def merge(self, other: "Bloom") -> "Bloom":
+        if (self.log2_bits, self.j) != (other.log2_bits, other.j):
+            raise ValueError("Bloom shapes differ — cannot merge")
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, log2_bits: int, num_hashes: int = 5) -> "Bloom":
+        return cls(log2_bits, num_hashes, np.frombuffer(b, dtype=np.uint8))
+
+
+def build_bloom(
+    ds: Dataset, col: str, log2_bits: int = 23, num_hashes: int = 5,
+    fold_batch: int = 32,
+) -> Bloom:
+    """Distributed Bloom build over ``ds[col]`` — the membership side
+    of cross-snapshot dedup ("drop documents whose url was already in
+    last month's crawl") without shuffling either corpus: per batch
+    one filter blob leaves the node, an OR-fold stage collapses
+    ~``fold_batch`` blobs into one, and the driver merges the
+    remaining handful (at the default 2^23 bits a blob is 1 MiB — the
+    driver sees ceil(batches / fold_batch) of them, never the corpus).
+    """
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        b = Bloom(log2_bits, num_hashes).add_hashes(_col_hashes(t, col))
+        return pa.table({"blob": pa.array([b.to_bytes()], type=pa.binary())})
+
+    def or_fold(t: pa.Table) -> pa.Table:
+        acc = Bloom(log2_bits, num_hashes)
+        for blob in t["blob"].to_pylist():
+            acc.merge(Bloom.from_bytes(blob, log2_bits, num_hashes))
+        return pa.table({"blob": pa.array([acc.to_bytes()], type=pa.binary())})
+
+    folded = ds.map_batches(
+        sketch_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        or_fold, batch_format="pyarrow", batch_size=fold_batch, zero_copy_batch=True
+    )
+    out = Bloom(log2_bits, num_hashes)
+    for t in folded.iter_batches(batch_format="pyarrow", batch_size=fold_batch):
+        for blob in t["blob"].to_pylist():
+            out.merge(Bloom.from_bytes(blob, log2_bits, num_hashes))
+    return out
+
+
+def bloom_filter(ds: Dataset, bloom: Bloom, col: str, keep: str = "hits") -> Dataset:
+    """Filter ``ds`` by Bloom membership of ``col``.
+
+    ``keep="hits"`` keeps POSSIBLE members (a superset of true
+    members — chain a ``bucket_join(..., join_type="semi")`` on the
+    survivors for exactness; the Bloom pass shrinks that exchange to
+    the candidate set).  ``keep="misses"`` keeps DEFINITE non-members
+    (no exact pass needed — Bloom has no false negatives).
+
+    The filter ships to workers once via ``ray.put`` (zero-copy plasma
+    numpy view per task), never per batch."""
+    import ray
+
+    if keep not in ("hits", "misses"):
+        raise ValueError('keep must be "hits" or "misses"')
+    bref = ray.put(bloom.bits)
+    log2_bits, num_hashes, want_hits = bloom.log2_bits, bloom.j, keep == "hits"
+
+    def keep_fn(t: pa.Table) -> pa.Table:
+        b = Bloom(log2_bits, num_hashes, bits=ray.get(bref))
+        mask = b.contains_hashes(_col_hashes(t, col))
+        return t.filter(pa.array(mask if want_hits else ~mask))
+
+    return ds.map_batches(keep_fn, batch_format="pyarrow", zero_copy_batch=True)

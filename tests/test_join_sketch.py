@@ -335,3 +335,127 @@ def test_approx_distinct_null_group(ray_session):
     out = approx_distinct(rd.from_pandas(df), "v", group_col="g").to_pandas()
     est = dict(zip(out.g, out.approx_distinct))
     assert abs(est["a"] - 50) < 3 and abs(est["None"] - 30) < 3
+
+
+def test_priority_sample_matches_duckdb_twin(ray_session):
+    """The winners of priority_sample are EXACTLY the k rows DuckDB
+    picks with the documented division-only priority rule (bit-exact:
+    no log/pow in the key)."""
+    import duckdb
+
+    from rayraster.agg import priority_sample
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "n_chars"])
+    k = 25
+    got = priority_sample(ds, "doc_id", "n_chars", k=k)
+    want = duckdb.sql(
+        f"""
+        SELECT doc_id,
+               n_chars / ((((doc_id*2654435761) % 1000003) + 0.5)/1000003.0)
+                 AS _priority
+        FROM read_parquet('{sf}/documents.parquet')
+        WHERE n_chars > 0
+        ORDER BY _priority DESC, doc_id ASC LIMIT {k}
+        """
+    ).df()
+    assert got.num_rows == k
+    assert got["doc_id"].to_pylist() == want.doc_id.tolist()
+    assert got["_priority"].to_pylist() == want._priority.tolist()  # bit-exact
+    # Horvitz-Thompson columns: tau = (k+1)-th priority, weight >= w
+    tau = got["tau"][0].as_py()
+    assert tau > 0 and all(v == tau for v in got["tau"].to_pylist())
+    assert all(
+        hw >= w for hw, w in zip(got["ht_weight"].to_pylist(),
+                                 got["n_chars"].to_pylist())
+    )
+    assert min(got["_priority"].to_pylist()) >= tau
+
+
+def test_priority_sample_weight_monotone_and_invariant(ray_session):
+    """Doubling every weight keeps tau-relative structure sane and the
+    sample is chunking-invariant (pure function of id and weight)."""
+    import pandas as pd
+
+    from rayraster.agg import priority_sample
+
+    n = 20000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "w": (np.arange(n) % 97 + 1).astype(np.float64)})
+    a = priority_sample(rd.from_pandas(df), "id", "w", k=50)
+    b = priority_sample(
+        rd.from_pandas(df).repartition(13), "id", "w", k=50, fold_batch=256
+    )
+    assert a["id"].to_pylist() == b["id"].to_pylist()
+    # heavier rows are sampled far above their uniform share
+    mean_w_sample = np.mean(a["w"].to_numpy(zero_copy_only=False))
+    assert mean_w_sample > df.w.mean() * 1.3
+    # w <= 0 rows can never win
+    df2 = df.copy(); df2.loc[df2.index[:10000], "w"] = 0.0
+    c = priority_sample(rd.from_pandas(df2), "id", "w", k=50)
+    assert all(i >= 10000 for i in c["id"].to_pylist())
+
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    from rayraster.sketch import Bloom
+
+    rng = np.random.default_rng(11)
+    present = rng.choice(2**62, 20000, replace=False).astype(np.uint64)
+    b = Bloom(log2_bits=18, num_hashes=5).add_hashes(present)
+    assert b.contains_hashes(present).all()  # one-sided guarantee
+    absent = (present + np.uint64(2**62)).astype(np.uint64)
+    fp = b.contains_hashes(absent).mean()
+    n, m, j = 20000, 2**18, 5
+    theory = (1 - np.exp(-j * n / m)) ** j
+    assert fp < 2.5 * theory + 0.01
+    # merge == build-on-union (associative OR)
+    b1 = Bloom(18, 5).add_hashes(present[:10000])
+    b2 = Bloom(18, 5).add_hashes(present[10000:])
+    assert (b1.merge(b2).bits == b.bits).all()
+    rt = Bloom.from_bytes(b.to_bytes(), 18, 5)
+    assert (rt.bits == b.bits).all()
+
+
+def test_bloom_cross_snapshot_filter_composes_exact(ray_session):
+    """Cross-snapshot dedup: bloom prefilter (superset of true dupes)
+    + exact bucketed semi-join on the survivors == plain exact
+    semi-join; keep='misses' rows are definitely-new and skip the
+    exchange entirely."""
+    import pandas as pd
+
+    from rayraster.join import bucket_join
+    from rayraster.sketch import build_bloom, bloom_filter
+
+    old = pd.DataFrame({"url_id": np.arange(0, 30000, 3, dtype=np.int64)})
+    new = pd.DataFrame({"url_id": np.arange(0, 20000, dtype=np.int64),
+                        "v": np.arange(20000)})
+    bl = build_bloom(rd.from_pandas(old).repartition(7), "url_id",
+                     log2_bits=17, num_hashes=5, fold_batch=4)
+    hits = bloom_filter(rd.from_pandas(new), bl, "url_id", keep="hits")
+    misses = bloom_filter(rd.from_pandas(new), bl, "url_id", keep="misses")
+    truly_old = {u for u in new.url_id if u % 3 == 0 and u < 30000}
+    hit_ids = set(hits.to_pandas().url_id)
+    assert truly_old <= hit_ids  # no false negatives
+    assert set(misses.to_pandas().url_id).isdisjoint(truly_old)
+    assert len(hit_ids) + misses.count() == len(new)
+    # exact finish on the (much smaller) candidate set
+    confirmed = bucket_join(
+        hits, rd.from_pandas(old), "url_id", "url_id",
+        num_buckets=8, join_type="semi",
+    ).to_pandas()
+    assert set(confirmed.url_id) == truly_old
+    # the prefilter actually shrank the exchange input
+    assert len(hit_ids) < len(new)
+
+
+def test_bloom_string_column(ray_session):
+    import pandas as pd
+
+    from rayraster.sketch import build_bloom, bloom_filter
+
+    old = pd.DataFrame({"url": [f"https://a.example/{i}" for i in range(0, 4000, 2)]})
+    new = pd.DataFrame({"url": [f"https://a.example/{i}" for i in range(4000)]})
+    bl = build_bloom(rd.from_pandas(old), "url", log2_bits=16)
+    kept = bloom_filter(rd.from_pandas(new), bl, "url", keep="misses").to_pandas()
+    assert all(int(u.rsplit("/", 1)[1]) % 2 == 1 for u in kept.url)
+    assert len(kept) > 1000  # most odd urls survive (FP rate small)
