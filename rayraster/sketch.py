@@ -168,14 +168,27 @@ def approx_distinct(
     return pa.table(out)
 
 
+_NULL_INT_SENTINEL = -(2**63)  # int64 min — nulls hash as this value
+
+
 def _col_hashes(t: pa.Table, col: str) -> np.ndarray:
     """uint64 hash input for a column: integer columns are taken as
     their two's-complement bits (no string formatting in the hot
     path); everything else goes through the vectorized FNV-1a used by
-    the url geocode.  ``_mix64`` is applied by the consumers."""
+    the url geocode.  ``_mix64`` is applied by the consumers.
+
+    Nulls in an integer column are filled with int64-min BEFORE
+    ``to_numpy`` — otherwise pyarrow promotes the whole batch to
+    float64/NaN and every id in a null-containing batch would hash by
+    its FLOAT bit pattern, different from the same id in a null-free
+    batch (which would break Bloom's no-false-negatives guarantee
+    batch-dependently).  Null keys therefore all hash like int64-min."""
+    import pyarrow.compute as pc
+
     c = t[col]
     if pa.types.is_integer(c.type):
-        return c.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+        c = pc.fill_null(c.cast(pa.int64()), _NULL_INT_SENTINEL)
+        return c.to_numpy(zero_copy_only=False).view(np.uint64)
     return fnv1a64([str(v) for v in c.to_pylist()])
 
 
@@ -194,14 +207,28 @@ class Bloom:
     pattern, like :class:`HLL`)."""
 
     def __init__(self, log2_bits: int = 23, num_hashes: int = 5,
-                 bits: np.ndarray | None = None):
+                 bits: np.ndarray | None = None, copy: bool = True):
+        """``copy=False`` adopts ``bits`` as a (possibly read-only)
+        view — for probe-only use over a plasma/frombuffer buffer
+        (``contains_hashes`` never mutates; ``add``/``merge``-into
+        such a filter raises numpy's read-only error)."""
         if not 3 <= log2_bits <= 36:
             raise ValueError("log2_bits out of range [3, 36]")
+        if num_hashes < 1:
+            raise ValueError("num_hashes must be >= 1")
         self.log2_bits = log2_bits
         self.m = np.uint64(1 << log2_bits)
         self.j = num_hashes
         nbytes = (1 << log2_bits) // 8
-        self.bits = bits.copy() if bits is not None else np.zeros(nbytes, np.uint8)
+        if bits is None:
+            self.bits = np.zeros(nbytes, np.uint8)
+        else:
+            if len(bits) != nbytes:
+                raise ValueError(
+                    f"bits buffer is {len(bits)} bytes; 2^{log2_bits} bits "
+                    f"needs {nbytes} — wrong log2_bits or truncated blob"
+                )
+            self.bits = bits.copy() if copy else np.asarray(bits)
 
     def _indices(self, h: np.ndarray):
         h1 = _mix64(h)
@@ -212,6 +239,14 @@ class Bloom:
                 yield ((h1 + np.uint64(i) * h2) & mask).astype(np.int64)
 
     def add_hashes(self, h: np.ndarray) -> "Bloom":
+        if not self.bits.flags.writeable:
+            # ufunc.at does NOT honor the read-only flag (numpy 1.26
+            # silently writes through it — measured: it mutates the
+            # underlying immutable bytes/plasma buffer), so the guard
+            # must be explicit or a copy=False probe filter could
+            # corrupt the SHARED object-store buffer for every worker
+            raise ValueError("Bloom bits are read-only (copy=False) — "
+                             "probe-only; build into a writable filter")
         for idx in self._indices(h):
             np.bitwise_or.at(self.bits, idx >> 3, _BIT_LUT[idx & 7])
         return self
@@ -234,8 +269,13 @@ class Bloom:
         return self.bits.tobytes()
 
     @classmethod
-    def from_bytes(cls, b: bytes, log2_bits: int, num_hashes: int = 5) -> "Bloom":
-        return cls(log2_bits, num_hashes, np.frombuffer(b, dtype=np.uint8))
+    def from_bytes(cls, b: bytes, log2_bits: int, num_hashes: int = 5,
+                   copy: bool = True) -> "Bloom":
+        """``copy=False`` wraps the blob read-only (frombuffer view) —
+        fine as a merge SOURCE or probe filter, not as a mutation
+        target."""
+        return cls(log2_bits, num_hashes, np.frombuffer(b, dtype=np.uint8),
+                   copy=copy)
 
 
 def build_bloom(
@@ -258,7 +298,8 @@ def build_bloom(
     def or_fold(t: pa.Table) -> pa.Table:
         acc = Bloom(log2_bits, num_hashes)
         for blob in t["blob"].to_pylist():
-            acc.merge(Bloom.from_bytes(blob, log2_bits, num_hashes))
+            # copy=False: a merge SOURCE is read-only — no blob memcpy
+            acc.merge(Bloom.from_bytes(blob, log2_bits, num_hashes, copy=False))
         return pa.table({"blob": pa.array([acc.to_bytes()], type=pa.binary())})
 
     folded = ds.map_batches(
@@ -269,7 +310,7 @@ def build_bloom(
     out = Bloom(log2_bits, num_hashes)
     for t in folded.iter_batches(batch_format="pyarrow", batch_size=fold_batch):
         for blob in t["blob"].to_pylist():
-            out.merge(Bloom.from_bytes(blob, log2_bits, num_hashes))
+            out.merge(Bloom.from_bytes(blob, log2_bits, num_hashes, copy=False))
     return out
 
 
@@ -292,7 +333,10 @@ def bloom_filter(ds: Dataset, bloom: Bloom, col: str, keep: str = "hits") -> Dat
     log2_bits, num_hashes, want_hits = bloom.log2_bits, bloom.j, keep == "hits"
 
     def keep_fn(t: pa.Table) -> pa.Table:
-        b = Bloom(log2_bits, num_hashes, bits=ray.get(bref))
+        # copy=False: probe directly against the read-only plasma view
+        # (ray.get of the same ref is cached per worker; no per-batch
+        # memcpy of the bit array)
+        b = Bloom(log2_bits, num_hashes, bits=ray.get(bref), copy=False)
         mask = b.contains_hashes(_col_hashes(t, col))
         return t.filter(pa.array(mask if want_hits else ~mask))
 

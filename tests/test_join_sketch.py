@@ -1,7 +1,8 @@
-"""Bucketed large×large join + HyperLogLog sketch."""
+"""Bucketed large×large join + sketches (HLL, Bloom) + priority sampling."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 import ray.data as rd
@@ -459,3 +460,41 @@ def test_bloom_string_column(ray_session):
     kept = bloom_filter(rd.from_pandas(new), bl, "url", keep="misses").to_pandas()
     assert all(int(u.rsplit("/", 1)[1]) % 2 == 1 for u in kept.url)
     assert len(kept) > 1000  # most odd urls survive (FP rate small)
+
+
+def test_bloom_int_column_null_batch_consistency(ray_session):
+    """An id must hash identically whether its batch contains nulls or
+    not (pyarrow's to_numpy promotes null-bearing int batches to
+    float64 — unguarded, the float BIT PATTERN would be hashed and
+    seen ids in null-bearing batches would be missed)."""
+    import pandas as pd
+
+    from rayraster.sketch import build_bloom, bloom_filter
+
+    old = pd.DataFrame({"url_id": np.arange(1000, dtype=np.int64)})
+    bl = build_bloom(rd.from_pandas(old), "url_id", log2_bits=16)
+    new = pa.table({"url_id": pa.array(
+        [5, None, 999, 1500], type=pa.int64()
+    ), "v": pa.array([1, 2, 3, 4])})
+    kept = bloom_filter(
+        rd.from_arrow(new), bl, "url_id", keep="hits"
+    ).to_pandas()
+    assert {5, 999} <= set(kept.url_id.dropna().astype(int))  # no false negatives
+
+
+def test_bloom_validates_shape_and_hash_count():
+    import pytest
+
+    from rayraster.sketch import Bloom
+
+    b = Bloom(log2_bits=16, num_hashes=4)
+    blob = b.to_bytes()
+    with pytest.raises(ValueError, match="bits buffer"):
+        Bloom.from_bytes(blob, log2_bits=17)
+    with pytest.raises(ValueError, match="num_hashes"):
+        Bloom(16, 0)
+    # read-only adoption: probing works, mutating raises
+    ro = Bloom.from_bytes(blob, 16, 4, copy=False)
+    assert ro.contains_hashes(np.array([1], np.uint64)).shape == (1,)
+    with pytest.raises(ValueError):
+        ro.add_hashes(np.array([1], np.uint64))
