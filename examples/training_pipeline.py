@@ -5,11 +5,13 @@ job would, all streaming Ray Data:
 
   synth pages → extract (byte-invariant) → text features →
   data-driven quality gate (exact distributed 25th percentile — no
-  magic constant, no shuffle) → exact dedup → MinHash near-dup dedup
-  (LSH → verified pairs [partitioned verify above the broadcast
-  threshold] → DISTRIBUTED connected components → anti-join drops
-  non-representatives) → BPE token budget → context-window chunking
-  + vocabulary top-k → url geocode → square rasterize (density +
+  magic constant, no shuffle) → exact dedup → cross-snapshot filter
+  (Bloom prefilter + exact anti-join finish on the hits only) →
+  MinHash near-dup dedup (LSH → verified pairs [partitioned verify
+  above the broadcast threshold] → DISTRIBUTED connected components
+  → anti-join drops non-representatives) → BPE token budget →
+  context-window chunking + vocabulary top-k → weighted eval holdout
+  (priority sampling) → url geocode → square rasterize (density +
   mean quality per tile) → pixel parquet + decorated PNG heatmap +
   per-stage summary JSON.
 
@@ -119,8 +121,35 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
         left_schema=docs_schema,
         right_schema=pa.schema([("doc_id", pa.int64())]),
     ).materialize()
+    summary["rows_after_exact_dedup"] = docs.count()
+
+    # 3b. cross-snapshot dedup: drop documents already present in the
+    # previous crawl snapshot (simulated: ids ≡ 0 mod 7).  The old
+    # corpus is never shuffled — its ids fold into a mergeable Bloom
+    # (one blob per batch, OR-fold, driver sees a handful of blobs)
+    # and the probe broadcasts once via ray.put; keep="misses" rows
+    # are DEFINITELY new (Bloom has no false negatives) and skip the
+    # exchange entirely, so only the hits (true olds + an FP-rate
+    # sliver) pay the exact anti-join finish.
+    from rayraster.sketch import build_bloom, bloom_filter
+
+    old_ids = docs.map_batches(
+        lambda t: t.select(["doc_id"]).filter(
+            pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 7 == 0)
+        ),
+        batch_format="pyarrow",
+    )
+    snap_bloom = build_bloom(old_ids, "doc_id", log2_bits=20)
+    definitely_new = bloom_filter(docs, snap_bloom, "doc_id", keep="misses")
+    candidates = bloom_filter(docs, snap_bloom, "doc_id", keep="hits")
+    new_from_candidates = bucket_join(
+        candidates, old_ids, "doc_id", "doc_id", join_type="anti",
+        left_schema=docs_schema,
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
+    docs = definitely_new.union(new_from_candidates).materialize()
     n_docs = docs.count()
-    summary["rows_after_exact_dedup"] = n_docs
+    summary["rows_after_snapshot_filter"] = n_docs
 
     # 4. near-dup dedup: LSH pairs → verified (partitioned above the
     # broadcast threshold) → DISTRIBUTED connected components (labels
@@ -172,6 +201,16 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
         docs, k=10, corpus_count=summary["rows_after_near_dedup"]
     ).to_pandas()  # k rows, post-agg
     summary["vocab_top3"] = top_words.word.head(3).tolist()
+
+    # 4d. weighted eval holdout: 64 docs sampled ∝ quality WITHOUT
+    # replacement (deterministic priority sampling — identical pick
+    # across runs and cluster sizes; ht_weight sums give unbiased
+    # corpus totals)
+    from rayraster.agg import priority_sample
+
+    hold = priority_sample(docs, "doc_id", "quality", k=64)
+    summary["holdout_rows"] = hold.num_rows
+    summary["holdout_tau"] = round(float(hold["tau"][0].as_py()), 4)
 
     # 5. geocode + rasterize (density + mean quality per 1° tile)
     pts = docs.map_batches(add_geocode_url, batch_format="pyarrow")

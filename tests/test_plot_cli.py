@@ -260,8 +260,18 @@ def test_training_pipeline_example(tmp_path):
     # dup pairs share a text → same quality → both survive the gate,
     # and exact dedup then removes exactly one of each
     assert s["rows_after_exact_dedup"] < s["rows_after_quality"]
+    # cross-snapshot filter drops the ~1/7 of hash-distributed ids
+    # simulated as last snapshot's crawl (bloom prefilter + exact
+    # anti-join on the hits)
+    assert (
+        0.80 * s["rows_after_exact_dedup"]
+        <= s["rows_after_snapshot_filter"]
+        <= 0.92 * s["rows_after_exact_dedup"]
+    )
     # synth texts are unique → near-dedup loses nothing further
-    assert s["rows_after_near_dedup"] == s["rows_after_exact_dedup"]
+    assert s["rows_after_near_dedup"] == s["rows_after_snapshot_filter"]
+    # weighted holdout: full k picked, threshold priority recorded
+    assert s["holdout_rows"] == 64 and s["holdout_tau"] > 0
     assert s["bpe_tokens_total"] > 0
     # every surviving doc yields >= 1 chunk
     assert s["chunks_total"] >= s["rows_after_near_dedup"]
