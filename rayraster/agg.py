@@ -667,3 +667,42 @@ def grouped_topk(
         partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
     return partials.groupby(_PART).map_groups(finalize, batch_format="pyarrow")
+
+
+def cap_per_group(
+    ds: Dataset,
+    keys: Sequence[str],
+    id_col: str,
+    cap: int,
+    rate_den: int = 1000003,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Keep at most ``cap`` rows per key group (per-domain corpus caps
+    — the CCNet/Dolma "max N pages per host" rule), deterministically:
+    rows win by ascending ``(id·2654435761) % rate_den`` (the shared
+    Knuth sampling hash, :func:`_sample_hash`) with the id itself as
+    tie-break, so the kept set is a pure function of ids — independent
+    of chunking, partitioning and cluster size.
+
+    Rides :func:`grouped_topk` (per-batch partial top-``cap`` before
+    the one hash-partition shuffle).  SQL twin::
+
+        ROW_NUMBER() OVER (PARTITION BY <keys>
+                           ORDER BY (id*2654435761) % 1000003, id) <= cap
+
+    The hash column is dropped from the output; ``rnk`` (1-based) is
+    kept and equals the twin's row number.
+    """
+
+    def _add_h(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_cap_h", pa.array(_sample_hash(ids, rate_den)))
+
+    withh = ds.map_batches(_add_h, batch_format="pyarrow", zero_copy_batch=True)
+    kept = grouped_topk(
+        withh, keys, "_cap_h", cap,
+        descending=False, tie_col=id_col, num_partitions=num_partitions,
+    )
+    return kept.map_batches(
+        lambda t: t.drop_columns(["_cap_h"]), batch_format="pyarrow"
+    )

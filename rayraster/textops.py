@@ -15,6 +15,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 _WS = r"\s+"
 
@@ -395,3 +396,208 @@ def vocab_topk(ds, text_col: str = "text", k: int = 100, num_partitions: int = 6
         batch_format="pyarrow",
     )
     return counts.sort(["n", "word"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style quality rules), domain extraction,
+# n-gram blocklist decontamination — web-pipeline curation staples
+# ---------------------------------------------------------------------------
+
+
+def _combined(col) -> pa.Array:
+    """One contiguous Array from a possibly-chunked table column (a
+    shared dictionary requires a single array — per-chunk dictionaries
+    would not share codes)."""
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+def repetition_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition quality metrics, fully vectorized.
+
+    Appends per document:
+
+    * ``n_lines``            — ``\\n``-split line count (≥ 1)
+    * ``dup_line_frac``      — (lines − distinct lines) / lines
+    * ``dup_line_char_frac`` — codepoints in repeat occurrences of a
+      line / total line codepoints (0 when the doc is empty)
+    * ``top_word_frac``      — occurrences of the most frequent
+      ``\\s+`` token / total tokens (0 when there are no tokens)
+
+    Exact string equality comes from ``dictionary_encode`` (shared
+    integer codes — no hash collisions), distinct/max counts from one
+    ``lexsort`` + segment reductions; every fraction is a single IEEE
+    division of exact integer counts, so the DuckDB twin
+    (``string_split`` + GROUP BY, same divisions) matches bit-for-bit.
+    Rules follow Rae et al. 2021 (Gopher) §A1.1; no reference analog
+    (SEraster is spatial-only) — task-brief training-data extension.
+    """
+    n = batch.num_rows
+    if n == 0:
+        for name in ("n_lines", "dup_line_frac", "dup_line_char_frac", "top_word_frac"):
+            typ = pa.int64() if name == "n_lines" else pa.float64()
+            batch = batch.append_column(name, pa.array([], type=typ))
+        return batch
+    t = _combined(batch[text_col])
+
+    # --- line-level: split on literal \n (DuckDB string_split(text, chr(10)))
+    lines = pc.split_pattern(t, "\n")
+    lens = pc.list_value_length(lines).cast(pa.int64()).to_numpy()
+    flat = _combined(pc.list_flatten(lines))
+    doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+    codes = pc.dictionary_encode(flat).indices.to_numpy().astype(np.int64)
+    order = np.lexsort((codes, doc))
+    sc = codes[order]
+    sd = doc[order]
+    first = np.ones(len(sc), dtype=bool)
+    first[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+    line_chars = pc.utf8_length(flat).cast(pa.int64()).to_numpy()[order]
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    distinct = np.add.reduceat(first.astype(np.int64), offs)
+    rep_chars = np.add.reduceat(np.where(first, 0, line_chars), offs)
+    tot_chars = np.add.reduceat(line_chars, offs)
+    dup_line_frac = (lens - distinct).astype(np.float64) / lens.astype(np.float64)
+    dup_line_char_frac = rep_chars.astype(np.float64) / np.maximum(tot_chars, 1).astype(np.float64)
+
+    # --- word-level: \s+ split, empty boundary tokens dropped (same
+    # filter as the twin's list_filter(x -> x <> ''))
+    wlists = pc.split_pattern_regex(t, _WS)
+    wlens = pc.list_value_length(wlists).cast(pa.int64()).to_numpy()
+    wflat = _combined(pc.list_flatten(wlists))
+    wdoc = np.repeat(np.arange(n, dtype=np.int64), wlens)
+    ne = pc.not_equal(wflat, "")
+    ne_np = ne.to_numpy(zero_copy_only=False)
+    wflat = wflat.filter(ne)
+    wdoc = wdoc[ne_np]
+    top = np.zeros(n, dtype=np.int64)
+    tot_words = np.bincount(wdoc, minlength=n).astype(np.int64)
+    if len(wdoc):
+        wcodes = pc.dictionary_encode(wflat).indices.to_numpy().astype(np.int64)
+        worder = np.lexsort((wcodes, wdoc))
+        swc = wcodes[worder]
+        swd = wdoc[worder]
+        newrun = np.ones(len(swc), dtype=bool)
+        newrun[1:] = (swd[1:] != swd[:-1]) | (swc[1:] != swc[:-1])
+        run_starts = np.flatnonzero(newrun)
+        run_len = np.diff(np.append(run_starts, len(swc)))
+        run_doc = swd[run_starts]
+        newdoc = np.ones(len(run_doc), dtype=bool)
+        newdoc[1:] = run_doc[1:] != run_doc[:-1]
+        doc_off = np.flatnonzero(newdoc)
+        top[run_doc[doc_off]] = np.maximum.reduceat(run_len, doc_off)
+    top_word_frac = np.where(
+        tot_words > 0,
+        top.astype(np.float64) / np.maximum(tot_words, 1).astype(np.float64),
+        0.0,
+    )
+
+    batch = batch.append_column("n_lines", pa.array(lens))
+    batch = batch.append_column("dup_line_frac", pa.array(dup_line_frac))
+    batch = batch.append_column("dup_line_char_frac", pa.array(dup_line_char_frac))
+    batch = batch.append_column("top_word_frac", pa.array(top_word_frac))
+    return batch
+
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+
+
+def url_host(batch: pa.Table, url_col: str = "url", out_col: str = "host") -> pa.Table:
+    """Extract the authority (host[:port]) from a URL column — the
+    grouping key for per-domain corpus caps.  One vectorized RE2
+    ``extract_regex``; non-URL strings get ``''`` to match DuckDB's
+    ``regexp_extract(url, pattern, 1)`` no-match convention."""
+    got = pc.extract_regex(batch[url_col], r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<h>[^/?#]+)")
+    host = pc.if_else(pc.is_valid(got), pc.struct_field(got, "h"), "")
+    return batch.append_column(out_col, host.cast(pa.string()))
+
+
+def build_ngram_blocklist(texts, n: int = 8) -> pa.Array:
+    """DISTINCT word ``n``-grams (space-joined) of the given benchmark
+    texts — the broadcast side of :func:`decontaminate`.  Tokenization
+    is the shared ``\\s+`` split with empties dropped, identical to the
+    document side and to the SQL twin."""
+    t = pa.array(list(texts), type=pa.string())
+    flat, doc = _split_words_flat(t)
+    grams, gdoc = _ngrams_of(flat, doc, n)
+    return pc.unique(grams)
+
+
+def _split_words_flat(t: pa.Array):
+    """(flat nonempty \\s+ tokens, int64 doc index per token)."""
+    wlists = pc.split_pattern_regex(t, _WS)
+    wlens = pc.list_value_length(wlists).cast(pa.int64()).to_numpy()
+    flat = _combined(pc.list_flatten(wlists))
+    doc = np.repeat(np.arange(len(t), dtype=np.int64), wlens)
+    ne = pc.not_equal(flat, "")
+    return flat.filter(ne), doc[ne.to_numpy(zero_copy_only=False)]
+
+
+def _ngrams_of(flat: pa.Array, doc: np.ndarray, n: int):
+    """Space-joined word n-grams from a flat token array.
+
+    An n-gram starting at position ``k`` is valid iff token ``k`` and
+    token ``k+n−1`` belong to the same document — one vectorized
+    equality on the shifted doc-index array; the join itself is one
+    ``binary_join_element_wise`` over ``n`` zero-copy slices."""
+    m = len(flat)
+    cnt = m - n + 1
+    if cnt <= 0:
+        return pa.array([], type=pa.string()), np.array([], dtype=np.int64)
+    parts = [flat.slice(i, cnt) for i in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    valid = doc[:cnt] == doc[n - 1:]
+    return grams.filter(pa.array(valid)), doc[:cnt][valid]
+
+
+class DecontaminateStage:
+    """``map_batches`` callable: flag documents sharing any word
+    ``n``-gram with a broadcast benchmark blocklist (test-set
+    decontamination, à la GPT-3 appendix C / Dolma).
+
+    The blocklist n-gram array is ``ray.put`` ONCE on the driver and
+    fetched lazily per worker; membership is one C++ hash-set probe
+    (``pc.is_in``) over all n-grams of the batch.  Exact strings are
+    compared (no hash collisions).  Appends ``ngram_hits`` (count of
+    blocked n-gram OCCURRENCES) and ``contaminated``.
+    """
+
+    def __init__(self, blocked_ref, n: int = 8, text_col: str = "text"):
+        self._ref = blocked_ref
+        self._blocked = None
+        self.n = n
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._blocked is None:
+            obj = self._ref
+            self._blocked = ray.get(obj) if isinstance(obj, ray.ObjectRef) else obj
+        nrows = batch.num_rows
+        hits = np.zeros(nrows, dtype=np.int64)
+        if nrows:
+            flat, doc = _split_words_flat(_combined(batch[self.text_col]))
+            grams, gdoc = _ngrams_of(flat, doc, self.n)
+            if len(grams):
+                hit = pc.is_in(grams, value_set=self._blocked).to_numpy(
+                    zero_copy_only=False
+                )
+                hits = np.bincount(gdoc[hit], minlength=nrows).astype(np.int64)
+        batch = batch.append_column("ngram_hits", pa.array(hits))
+        batch = batch.append_column("contaminated", pa.array(hits > 0))
+        return batch
+
+
+def decontaminate(ds, blocklist_texts, n: int = 8, text_col: str = "text"):
+    """Dataset-level decontamination: build the distinct n-gram
+    blocklist from ``blocklist_texts`` (small side — benchmark suites
+    are MBs, not TBs), broadcast it once, and probe every batch.
+    Returns the input with ``ngram_hits`` / ``contaminated`` appended;
+    filter on ``contaminated == False`` to scrub."""
+    blocked = build_ngram_blocklist(blocklist_texts, n=n)
+    ref = ray.put(blocked)
+    return ds.map_batches(
+        DecontaminateStage(ref, n=n, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -1,0 +1,311 @@
+"""Corpus-curation operators: Gopher repetition metrics, per-domain
+caps, n-gram blocklist decontamination — each proven bit-exact against
+its DuckDB twin on corpora written to parquet (both engines read the
+same bytes), plus property tests on crafted edge cases."""
+
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from rayraster.agg import cap_per_group
+from rayraster.textops import (
+    DecontaminateStage,
+    build_ngram_blocklist,
+    decontaminate,
+    repetition_metrics,
+    url_host,
+)
+
+
+def _write(tmp_path, name, table):
+    p = os.path.join(str(tmp_path), name)
+    pq.write_table(table, p)
+    return p
+
+
+def _rep_corpus():
+    """Docs exercising every repetition edge: repeats, all-unique,
+    empty doc, whitespace-only, single line, unicode lengths."""
+    texts = [
+        "alpha beta\nalpha beta\ngamma",          # dup line, dup words
+        "one\ntwo\nthree\nfour",                   # all unique
+        "",                                         # empty (1 empty line)
+        "   \n\t",                                  # whitespace only
+        "solo solo solo solo",                      # one line, one word
+        "héllo wörld\nhéllo wörld\nhéllo",          # unicode codepoints
+        "x\nx\nx\nx\nx\ny",                         # heavy line dup
+        "a b c a b c a a a",                        # top-word dominance
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                     "text": pa.array(texts, type=pa.string())})
+
+
+REP_TWIN = r"""
+WITH l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM read_parquet('{p}')
+), lg AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS len
+  FROM l GROUP BY doc_id, line
+), la AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT)            AS n_lines,
+         CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_lines,
+         CAST(SUM((c-1)*len) AS BIGINT)    AS rep_chars,
+         CAST(SUM(c*len) AS BIGINT)        AS tot_chars
+  FROM lg GROUP BY doc_id
+), w AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+  FROM read_parquet('{p}')
+), wg AS (
+  SELECT doc_id, word, count(*) AS c
+  FROM w WHERE word <> '' GROUP BY doc_id, word
+), wa AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_c,
+         CAST(SUM(c) AS BIGINT) AS tot_w
+  FROM wg GROUP BY doc_id
+)
+SELECT la.doc_id,
+       n_lines,
+       CAST(dup_lines AS DOUBLE) / n_lines                AS dup_line_frac,
+       CAST(rep_chars AS DOUBLE) / GREATEST(tot_chars, 1) AS dup_line_char_frac,
+       COALESCE(CAST(max_c AS DOUBLE) / tot_w, 0.0)       AS top_word_frac
+FROM la LEFT JOIN wa USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def test_repetition_metrics_matches_duckdb_twin(ray_session, tmp_path):
+    p = _write(tmp_path, "rep.parquet", _rep_corpus())
+    got = (
+        rd.read_parquet(p)
+        .map_batches(repetition_metrics, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(REP_TWIN.format(p=p)).df()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    for col in ("n_lines", "dup_line_frac", "dup_line_char_frac", "top_word_frac"):
+        assert got[col].tolist() == want[col].tolist(), col  # bit-exact
+
+
+def test_repetition_metrics_matches_twin_on_documents(ray_session):
+    """Same twin on the driver-shaped documents table (organic text)."""
+    p = "/root/testdata/sf0.001/documents.parquet"
+    got = (
+        rd.read_parquet(p, columns=["doc_id", "text"])
+        .map_batches(repetition_metrics, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(REP_TWIN.format(p=p)).df()
+    assert len(got) == len(want) > 0
+    for col in ("n_lines", "dup_line_frac", "dup_line_char_frac", "top_word_frac"):
+        assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_repetition_metrics_values_by_hand():
+    out = repetition_metrics(_rep_corpus())
+    r = {d: (nl, dl, dc, tw) for d, nl, dl, dc, tw in zip(
+        out["doc_id"].to_pylist(), out["n_lines"].to_pylist(),
+        out["dup_line_frac"].to_pylist(), out["dup_line_char_frac"].to_pylist(),
+        out["top_word_frac"].to_pylist())}
+    assert r[0] == (3, 1 / 3, 10 / 25, 2 / 5)       # "alpha beta" repeats
+    assert r[1] == (4, 0.0, 0.0, 1 / 4)
+    assert r[2] == (1, 0.0, 0.0, 0.0)                # empty doc
+    assert r[3][3] == 0.0                            # whitespace-only: no words
+    assert r[4] == (1, 0.0, 0.0, 1.0)                # all the same word
+    assert r[6] == (6, 4 / 6, 4 / 6, 5 / 6)          # x×5 + y
+    assert r[7][3] == 5 / 9                          # 'a' 5 of 9
+
+
+def test_repetition_metrics_empty_batch():
+    t = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "text": pa.array([], type=pa.string())})
+    out = repetition_metrics(t)
+    assert out.num_rows == 0
+    assert out.schema.field("dup_line_frac").type == pa.float64()
+
+
+# ---------------------------------------------------------------------------
+# url_host + cap_per_group
+# ---------------------------------------------------------------------------
+
+
+def _domains_corpus(n=400, hosts=7):
+    ids = np.arange(n, dtype=np.int64)
+    urls = [f"https://host-{int(i) % hosts:02d}.test/p/{int(i)}" for i in ids]
+    urls[3] = "not a url"                      # no-match row → host ''
+    urls[5] = "ftp://files.test:2121/x"        # scheme+port
+    return pa.table({"doc_id": ids, "url": pa.array(urls, type=pa.string())})
+
+
+def test_url_host_matches_duckdb_twin(ray_session, tmp_path):
+    p = _write(tmp_path, "urls.parquet", _domains_corpus())
+    got = url_host(pq.read_table(p))
+    want = duckdb.sql(
+        f"""SELECT regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)
+            AS host FROM read_parquet('{p}') ORDER BY doc_id"""
+    ).df()
+    assert got["host"].to_pylist() == want.host.tolist()
+    assert got["host"][3].as_py() == ""               # no-match convention
+    assert got["host"][5].as_py() == "files.test:2121"
+
+
+def test_cap_per_group_matches_duckdb_twin(ray_session, tmp_path):
+    tbl = url_host(_domains_corpus())
+    p = _write(tmp_path, "hosts.parquet", tbl)
+    cap = 9
+    got = (
+        cap_per_group(rd.read_parquet(p), ["host"], "doc_id", cap,
+                      num_partitions=8)
+        .to_pandas()
+        .sort_values(["host", "rnk"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""SELECT * FROM (
+              SELECT doc_id, host,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY host
+                       ORDER BY (doc_id*2654435761) % 1000003, doc_id) AS rnk
+              FROM read_parquet('{p}'))
+            WHERE rnk <= {cap} ORDER BY host, rnk"""
+    ).df()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert got.rnk.tolist() == want.rnk.tolist()
+    assert (got.groupby("host").size() <= cap).all()
+
+
+def test_cap_per_group_chunking_invariant(ray_session):
+    """The kept set is a pure function of ids — identical under
+    different block structures."""
+    tbl = url_host(_domains_corpus())
+    a = cap_per_group(rd.from_arrow(tbl), ["host"], "doc_id", 5,
+                      num_partitions=4).to_pandas()
+    b = cap_per_group(rd.from_arrow(tbl).repartition(13), ["host"], "doc_id", 5,
+                      num_partitions=16).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["host", "doc_id", "rnk"]].values.tolist()))
+    assert key(a) == key(b)
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def _decon_corpus():
+    bench = [
+        "the quick brown fox jumps over the lazy dog today",
+        "pack my box with five dozen liquor jugs right now ok",
+    ]
+    texts = [
+        # contains an 8-gram of bench[0]
+        "intro words then the quick brown fox jumps over the lazy dog and more",
+        "totally clean document with no benchmark overlap at all in any window",
+        # contains an 8-gram of bench[1] twice
+        "pack my box with five dozen liquor jugs again pack my box with five dozen liquor jugs",
+        "short doc",
+        "",
+        # 7 shared words only (below n=8) → clean
+        "quick brown fox jumps over the lazy cat here",
+    ]
+    docs = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                     "text": pa.array(texts, type=pa.string())})
+    bl = pa.table({"bench_id": pa.array(range(len(bench)), type=pa.int64()),
+                   "text": pa.array(bench, type=pa.string())})
+    return docs, bl, bench
+
+
+DECON_TWIN = r"""
+WITH bw AS (
+  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM read_parquet('{bl}')
+), bg AS (
+  SELECT DISTINCT array_to_string(ws[k+1:k+{n}], ' ') AS ng
+  FROM bw, range(0, {kmax}) t(k) WHERE k + {n} <= len(ws)
+), dw AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM read_parquet('{docs}')
+), dg AS (
+  SELECT doc_id, array_to_string(ws[k+1:k+{n}], ' ') AS ng
+  FROM dw, range(0, {kmax}) t(k) WHERE k + {n} <= len(ws)
+), h AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS ngram_hits
+  FROM dg JOIN bg USING (ng) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.ngram_hits, 0)     AS ngram_hits,
+       COALESCE(h.ngram_hits, 0) > 0 AS contaminated
+FROM read_parquet('{docs}') d LEFT JOIN h USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def test_decontaminate_matches_duckdb_twin(ray_session, tmp_path):
+    docs, bl, bench = _decon_corpus()
+    pd_ = _write(tmp_path, "docs.parquet", docs)
+    pb = _write(tmp_path, "bl.parquet", bl)
+    got = (
+        decontaminate(rd.read_parquet(pd_), bench, n=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        DECON_TWIN.format(docs=pd_, bl=pb, n=8, kmax=64)
+    ).df()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert got.ngram_hits.tolist() == want.ngram_hits.tolist()
+    assert got.contaminated.tolist() == want.contaminated.tolist()
+    # the hand-expected pattern
+    assert got.contaminated.tolist() == [True, False, True, False, False, False]
+    assert got.ngram_hits[2] == want.ngram_hits[2] >= 2  # two occurrences count
+
+
+def test_decontaminate_twin_on_documents_table(ray_session):
+    """Twin parity on the organic documents table, blocklist drawn
+    from the corpus itself (guaranteed hits)."""
+    p = "/root/testdata/sf0.001/documents.parquet"
+    bench = duckdb.sql(
+        f"SELECT text FROM read_parquet('{p}') WHERE doc_id % 97 = 3"
+    ).df().text.tolist()
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        pb = os.path.join(td, "bl.parquet")
+        pq.write_table(pa.table({"text": pa.array(bench)}), pb)
+        got = (
+            decontaminate(rd.read_parquet(p, columns=["doc_id", "text"]), bench, n=8)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        want = duckdb.sql(DECON_TWIN.format(docs=p, bl=pb, n=8, kmax=256)).df()
+    assert got.ngram_hits.tolist() == want.ngram_hits.tolist()
+    assert got.contaminated.sum() >= len(bench)  # sources are flagged
+
+
+def test_ngram_blocklist_dedup_and_boundaries():
+    bl = build_ngram_blocklist(["a b c d", "a b c d"], n=3)
+    assert sorted(bl.to_pylist()) == ["a b c", "b c d"]  # distinct, in-doc only
+    # n-grams never cross document boundaries
+    bl2 = build_ngram_blocklist(["a b", "c d"], n=2)
+    assert sorted(bl2.to_pylist()) == ["a b", "c d"]
+
+
+def test_decontaminate_stage_broadcast_ref(ray_session):
+    """The actor-pool form: blocklist via ray.put, fetched once."""
+    import ray as _ray
+
+    docs, _, bench = _decon_corpus()
+    ref = _ray.put(build_ngram_blocklist(bench, n=8))
+    out = (
+        rd.from_arrow(docs)
+        .map_batches(DecontaminateStage(ref, n=8), batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id")
+    )
+    assert out.contaminated.tolist() == [True, False, True, False, False, False]
