@@ -7,20 +7,29 @@ SQL is the literal twin of the numpy formula (same constants via repr,
 same operation order) so value hashes match bit-for-bit.
 
 Query families (50 total — sized to the driver sweep's 50-row record
-cap; ALL 50 with bit-exact oracles):
+cap; ALL 50 with bit-exact oracles.  Same-oracle scale twins are
+merged into ONE recorded row set with a ``path`` tag so both
+execution paths stay under the gate: r7 = broadcast clip +
+cell-indexed join, s2 = in-memory IVF + persisted partition-pruned
+index, d8 = driver-labeled + fully distributed connected
+components):
   r*  rasterization / spatial (square, hex, rotations, multires,
       clip broadcast + cell-indexed join, kNN broadcast + tiled,
       polyfill, raster↔vector, cell-id lists, multi-dataset shared
-      frame, filtered stats, sort+limit, deterministic sample)
+      frame, filtered stats, sort+limit, deterministic + stratified
+      sample)
   d*  dedup (exact, MinHash-LSH broadcast + partitioned verify,
       SimHash, embedding near-dup, connected-components pipeline
       driver-state + fully distributed, exact + HLL distinct)
-  s*  similarity search (brute cosine top-k, IVF ANN, persisted
-      partition-pruned IVF index)
-  t*  text analysis (token metrics + quality, lang-id, fingerprints,
-      grouped top-k, JSON extraction, exact + grouped quantiles,
-      BPE pre-token counts, context-window chunking, vocabulary
-      top-k)
+  s*  similarity search (brute cosine top-k, IVF ANN in-memory +
+      persisted partition-pruned index)
+  t*  text analysis (token metrics + quality + Gopher repetition,
+      lang-id, fingerprints + PII redaction, grouped top-k, JSON
+      extraction, exact + grouped quantiles, BPE pre-token counts,
+      context-window chunking, vocabulary top-k)
+  c*  corpus curation (per-domain caps via URL host, n-gram
+      blocklist decontamination, DLT priority sampling with
+      Horvitz–Thompson weights)
   w*  windows (tumbling, sliding, session, watermark/late-data)
   j*  joins (broadcast, bucketed large×large, salted skew, semi/anti,
       as-of, range)
@@ -187,24 +196,39 @@ CLIP_RING = np.array(
 
 
 def _q_clip(sf_dir: str):
-    pts = load_doc_points(sf_dir, columns=("doc_id",))
-    ref = ray.put([CLIP_RING])
-    inside = pts.map_batches(ClipStage(ref, "x", "y"), batch_format="pyarrow")
-    return inside.select_columns(["doc_id"])
-
-
-def _q_clip_joined(sf_dir: str):
-    """r7's scale twin: point-in-polygon via the cell-indexed JOIN
-    (polyfill candidate index + one co-location shuffle + exact test
-    per candidate pair) instead of broadcasting the polygon set —
-    the many-polygons path; same oracle as r7."""
+    """Point-in-polygon, BOTH execution paths in one recorded row set
+    (merged from the former r7b to stay inside the driver's 50-row
+    sweep cap): the broadcast ``ClipStage`` (polygon set via
+    ``ray.put``, probed per batch) and the cell-indexed JOIN scale
+    path (polyfill candidate index + one co-location shuffle + exact
+    test per candidate pair — the many-polygons path), tagged by a
+    ``path`` column.  Both must match the same half-plane oracle."""
     from rayraster.clip import spatial_join_polygons
     from rayraster.grid import GridSpec
 
-    pts = load_doc_points(sf_dir, columns=("doc_id",))
+    pts = load_doc_points(sf_dir, columns=("doc_id",)).materialize()
+
+    def tag(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "path", pa.array([name] * t.num_rows, type=pa.string())
+            )
+
+        return fn
+
+    ref = ray.put([CLIP_RING])
+    broadcast = (
+        pts.map_batches(ClipStage(ref, "x", "y"), batch_format="pyarrow")
+        .select_columns(["doc_id"])
+        .map_batches(tag("broadcast"), batch_format="pyarrow")
+    )
     spec = GridSpec(-180.0, -90.0, RES)
-    out = spatial_join_polygons(pts, [(0, CLIP_RING)], spec, num_buckets=8)
-    return out.select_columns(["doc_id"])
+    joined = (
+        spatial_join_polygons(pts, [(0, CLIP_RING)], spec, num_buckets=8)
+        .select_columns(["doc_id"])
+        .map_batches(tag("celljoin"), batch_format="pyarrow")
+    )
+    return broadcast.union(joined)
 
 
 def _q_knn(sf_dir: str):
@@ -575,8 +599,11 @@ def _sql_clip() -> str:
             f"(({x2!r} - {x1!r}) * (y - {y1!r}) - ({y2!r} - {y1!r}) * (x - {x1!r})) > 0"
         )
     cond = " AND ".join(conds)
-    return f"""WITH {_PTS}
-SELECT doc_id FROM pts WHERE {cond}"""
+    return f"""WITH {_PTS},
+inside AS (SELECT doc_id FROM pts WHERE {cond})
+SELECT doc_id, 'broadcast' AS path FROM inside
+UNION ALL
+SELECT doc_id, 'celljoin' AS path FROM inside"""
 
 
 def _sql_knn() -> str:
@@ -723,47 +750,52 @@ def _ivf_seed_centroids(sf_dir: str):
 
 
 def _q_ivf_topk(sf_dir: str):
-    """IVF bucketed ANN, oracle-exact: centroids are the (normalized)
-    embeddings of vec_id < 16, so assignment, probing and the probed
-    exact top-k are all reproducible in SQL.  Per-query bucket masks =
-    honest IVF (a query never scans another query's buckets).  The
-    trained scale path (kmeans_centroids) is exercised in
-    tests/test_textops_similarity."""
-    from rayraster.similarity import ivf_topk
+    """IVF bucketed ANN, oracle-exact, BOTH storage paths in one
+    recorded row set (merged from the former s2b for the 50-row sweep
+    cap): the in-memory bucketed scan AND the persisted
+    bucket-partitioned index (hive ``bucket=<b>`` dirs — probes read
+    ONLY probed bucket directories, unprobed bytes never leave
+    storage), tagged by a ``path`` column.  Centroids are the
+    (normalized) embeddings of vec_id < 16, so assignment, probing
+    and the probed exact top-k are all reproducible in SQL.
+    Per-query bucket masks = honest IVF (a query never scans another
+    query's buckets).  The trained scale path (kmeans_centroids) is
+    exercised in tests/test_textops_similarity."""
+    import shutil
+
+    from rayraster.similarity import ivf_build_index, ivf_query_index, ivf_topk
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     seeds, C = _ivf_seed_centroids(sf_dir)
     qt = seeds[seeds.vec_id < 5]
-    out = ivf_topk(
-        emb, qt.vec_id.to_numpy(), np.stack(qt.embedding.values),
-        k=10, nprobe=_IVF_NPROBE, dim=64, centroids=C,
-    )
-    return out.select(["qid", "vec_id", "rank"])
+    qids, Q = qt.vec_id.to_numpy(), np.stack(qt.embedding.values)
+    inmem = ivf_topk(
+        emb, qids, Q, k=10, nprobe=_IVF_NPROBE, dim=64, centroids=C
+    ).select(["qid", "vec_id", "rank"])
 
-
-def _q_ivf_persisted(sf_dir: str):
-    """s2's storage twin: the corpus is written bucket-partitioned
-    (hive ``bucket=<b>`` dirs) and the query reads ONLY probed bucket
-    directories — unprobed bytes never leave storage.  Same centroids
-    ⇒ same oracle as s2."""
-    import shutil
-
-    from rayraster.similarity import ivf_build_index, ivf_query_index
-
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    seeds, C = _ivf_seed_centroids(sf_dir)
     idx = f"/tmp/rayraster_ivf_index_{os.path.basename(sf_dir.rstrip('/'))}"
     shutil.rmtree(idx, ignore_errors=True)  # write_parquet appends otherwise
     ivf_build_index(emb, idx, C)
-    qt = seeds[seeds.vec_id < 5]
-    out = ivf_query_index(
-        idx, qt.vec_id.to_numpy(), np.stack(qt.embedding.values), C,
-        k=10, nprobe=_IVF_NPROBE,
-    )
-    return out.select(["qid", "vec_id", "rank"])
+    persisted = ivf_query_index(
+        idx, qids, Q, C, k=10, nprobe=_IVF_NPROBE
+    ).select(["qid", "vec_id", "rank"])
+
+    def tag(t: pa.Table, name: str) -> pa.Table:
+        return t.append_column(
+            "path", pa.array([name] * t.num_rows, type=pa.string())
+        )
+
+    return pa.concat_tables([tag(inmem, "inmem"), tag(persisted, "persisted")])
 
 
 def _sql_ivf_topk() -> str:
+    base = _sql_ivf_base()
+    return f"""SELECT qid, vec_id, "rank", 'inmem' AS path FROM ({base})
+UNION ALL
+SELECT qid, vec_id, "rank", 'persisted' AS path FROM ({base})"""
+
+
+def _sql_ivf_base() -> str:
     return f"""WITH c AS (
   SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {_IVF_SEEDS}
 ),
@@ -992,34 +1024,19 @@ def _q_simhash(sf_dir: str):
 
 def _q_neardup_dedup_pipeline(sf_dir: str):
     """End-to-end near-dup dedup: MinHash-LSH pairs → connected
-    components (min-label propagation) → keep one representative per
-    cluster.  On the constructed corpus every cluster is
+    components → keep one representative per cluster — BOTH label
+    engines in one recorded row set (merged from the former d8b for
+    the 50-row sweep cap): the driver-labeled union-find AND the
+    fully distributed one (labels stay a Dataset; hash-partitioned
+    min-label joins + pointer jumping, no driver-side label state),
+    tagged by a ``path`` column.  The LSH pair table is computed ONCE
+    and shared.  On the constructed corpus every cluster is
     {i, i+OFFSET} so the keep list is exactly the original ids —
     analytic oracle."""
     from rayraster.dedup import (
         connected_components,
-        dedup_keep_from_clusters,
-        minhash_lsh_pairs,
-    )
-
-    corpus = _neardup_corpus(sf_dir, perturb=True)
-    pairs = minhash_lsh_pairs(
-        corpus, threshold=0.8, corpus_count=corpus.count()
-    ).select_columns(["a", "b"])
-    clusters = connected_components(pairs)
-    return dedup_keep_from_clusters(clusters)
-
-
-def _sql_neardup_dedup_pipeline() -> str:
-    return "SELECT doc_id FROM documents"
-
-
-def _q_neardup_dedup_distributed(sf_dir: str):
-    """d8's scale twin: connected components with labels kept in a
-    Dataset (hash-partitioned min-label joins + pointer jumping) — no
-    driver-side label state; same analytic keep-list oracle."""
-    from rayraster.dedup import (
         connected_components_distributed,
+        dedup_keep_from_clusters,
         dedup_keep_from_clusters_ds,
         minhash_lsh_pairs,
     )
@@ -1027,9 +1044,27 @@ def _q_neardup_dedup_distributed(sf_dir: str):
     corpus = _neardup_corpus(sf_dir, perturb=True)
     pairs = minhash_lsh_pairs(
         corpus, threshold=0.8, corpus_count=corpus.count()
-    ).select_columns(["a", "b"])
-    clusters = connected_components_distributed(pairs)
-    return dedup_keep_from_clusters_ds(clusters)
+    ).select_columns(["a", "b"]).materialize()
+
+    driver_keep = dedup_keep_from_clusters(connected_components(pairs))
+    driver_keep = driver_keep.append_column(
+        "path", pa.array(["driver"] * driver_keep.num_rows, type=pa.string())
+    )
+    dist_keep = dedup_keep_from_clusters_ds(
+        connected_components_distributed(pairs)
+    ).map_batches(
+        lambda t: t.append_column(
+            "path", pa.array(["distributed"] * t.num_rows, type=pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+    return rd.from_arrow(driver_keep).union(dist_keep)
+
+
+def _sql_neardup_dedup_pipeline() -> str:
+    return """SELECT doc_id, 'driver' AS path FROM documents
+UNION ALL
+SELECT doc_id, 'distributed' AS path FROM documents"""
 
 
 def _q_embed_neardup(sf_dir: str):
@@ -1072,17 +1107,21 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_token_metrics(sf_dir: str):
-    """Token metrics AND the quality score in one recorded row set
-    (merged from the former t2 in round 3 — quality derives from the
-    same RE2 counts, and one row set covers both operators within the
-    driver's 50-row sweep cap)."""
-    from rayraster.textops import quality_score
+    """Token metrics, the quality score AND the Gopher-style
+    repetition metrics in one recorded row set (merged from the
+    former t2 in round 3; repetition added late round 3 — all derive
+    per document from the same text column, and one row set covers
+    three operators within the driver's 50-row sweep cap)."""
+    from rayraster.textops import quality_score, repetition_metrics
 
     ds = _docs(sf_dir)
-    out = ds.map_batches(quality_score, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(
+        quality_score, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(repetition_metrics, batch_format="pyarrow", zero_copy_batch=True)
     return out.select_columns(
         ["doc_id", "n_chars_m", "token_count", "digit_count", "punct_count",
-         "upper_count", "quality"]
+         "upper_count", "quality", "n_lines", "dup_line_frac",
+         "dup_line_char_frac", "top_word_frac"]
     )
 
 
@@ -1138,6 +1177,133 @@ SELECT d.doc_id, t.k AS chunk_idx, d.n_chunks,
        md5(substr(d.text, t.k * 384 + 1, 512)) AS chunk_md5
 FROM d, range(0, 4096) t(k)
 WHERE t.k < d.n_chunks"""
+
+
+_CAP = 20          # c1 per-domain cap (binds at every sf: ≥ 38 docs/host)
+_PRIO_K = 60       # c3 sample size
+
+
+def _q_domain_cap(sf_dir: str):
+    """Per-domain corpus cap (the CCNet/Dolma "max N pages per host"
+    rule): synthesize a deterministic URL per document, extract the
+    host with the vectorized RE2 authority regex, keep at most _CAP
+    docs per host by the shared Knuth sampling hash (pure id
+    arithmetic — the kept set is independent of chunking,
+    partitioning and cluster size; one hash-partition shuffle via
+    grouped_topk)."""
+    from rayraster.agg import cap_per_group
+    from rayraster.textops import url_host
+
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, columns=("doc_id",))
+    n = ds.count()  # parquet metadata count — no execution
+
+    def add_url(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        host_n = pa.array(ids % 13).cast(pa.string())
+        id_s = t["doc_id"].cast(pa.string())
+        url = pc.binary_join_element_wise(
+            "https://host-", host_n, ".example/p/", id_s, ""
+        )
+        return url_host(t.append_column("url", url))
+
+    capped = cap_per_group(
+        ds.map_batches(add_url, batch_format="pyarrow", zero_copy_batch=True),
+        ["host"], "doc_id", _CAP, num_partitions=_parts_for(n),
+    )
+    return capped.select_columns(["doc_id", "host", "rnk"])
+
+
+def _sql_domain_cap() -> str:
+    return f"""WITH u AS (
+  SELECT doc_id,
+         'host-' || CAST(doc_id % 13 AS VARCHAR) || '.example' AS host
+  FROM documents
+)
+SELECT doc_id, host, rnk FROM (
+  SELECT doc_id, host,
+         ROW_NUMBER() OVER (
+           PARTITION BY host
+           ORDER BY (doc_id*2654435761) % 1000003, doc_id) AS rnk
+  FROM u) WHERE rnk <= {_CAP}"""
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: the blocklist is the distinct word
+    8-grams of the docs with doc_id % 97 = 3 (drawn from the corpus
+    itself so hits are guaranteed), broadcast once via ray.put; every
+    batch's n-grams are probed with one C++ hash-set membership
+    kernel.  Exact strings — no hash collisions."""
+    import pyarrow.parquet as pq
+
+    from rayraster.textops import decontaminate
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    bench = t.filter(pa.array(ids % 97 == 3))["text"].to_pylist()
+    out = decontaminate(_docs(sf_dir), bench, n=8)
+    return out.select_columns(["doc_id", "ngram_hits", "contaminated"])
+
+
+def _sql_decontaminate() -> str:
+    # kmax=256 is a constant range bound (docs cap at ~100 words —
+    # DuckDB range() takes no correlated bounds); WHERE does the real
+    # bounding, exactly like the chunk-windows twin.
+    return r"""WITH bw AS (
+  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 97 = 3
+), bg AS (
+  SELECT DISTINCT array_to_string(ws[k+1:k+8], ' ') AS ng
+  FROM bw, range(0, 256) t(k) WHERE k + 8 <= len(ws)
+), dw AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+), dg AS (
+  SELECT doc_id, array_to_string(ws[k+1:k+8], ' ') AS ng
+  FROM dw, range(0, 256) t(k) WHERE k + 8 <= len(ws)
+), h AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS ngram_hits
+  FROM dg JOIN bg USING (ng) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.ngram_hits, 0)     AS ngram_hits,
+       COALESCE(h.ngram_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"""
+
+
+def _q_priority_sample(sf_dir: str):
+    """Weighted sample without replacement (Duffield–Lund–Thorup
+    priority sampling) with unbiased Horvitz–Thompson weights —
+    division-only priorities from the shared deterministic hash, so
+    the whole rule (winners, tau, ht_weight) is bit-exact in SQL and
+    identical across runs, chunkings and cluster sizes."""
+    from rayraster.agg import priority_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return priority_sample(docs, "doc_id", "n_chars", k=_PRIO_K)
+
+
+def _sql_priority_sample() -> str:
+    # literal float twin of agg.priority_sample: u = (h + 0.5)/D then
+    # q = w/u — two IEEE divisions in the same order
+    return f"""WITH p AS (
+  SELECT doc_id, n_chars,
+         CAST(n_chars AS DOUBLE)
+         / ((CAST((doc_id*2654435761) % 1000003 AS DOUBLE) + 0.5) / 1000003.0)
+           AS "_priority"
+  FROM documents WHERE n_chars > 0
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY "_priority" DESC, doc_id) AS rn FROM p
+), t AS (
+  SELECT COALESCE(
+           (SELECT "_priority" FROM r WHERE rn = {_PRIO_K + 1}), 0.0) AS tau
+)
+SELECT doc_id, n_chars, "_priority", t.tau AS tau,
+       greatest(CAST(n_chars AS DOUBLE), t.tau) AS ht_weight
+FROM r, t WHERE rn <= {_PRIO_K}"""
 
 
 def _q_vocab_topk(sf_dir: str):
@@ -1709,7 +1875,9 @@ def _sql_ann_topk() -> str:
 def _sql_token_metrics() -> str:
     # the quality expression is the literal float twin of
     # textops.quality_score (same constants, same op order) over the
-    # same integer counts — merged t1+t2 row set
+    # same integer counts — merged t1+t2 row set; the repetition
+    # fractions are the literal twin of textops.repetition_metrics
+    # (exact integer line/word counts, one IEEE division each)
     return r"""WITH m AS (
   SELECT doc_id,
        length(text) AS n_chars_m,
@@ -1718,15 +1886,40 @@ def _sql_token_metrics() -> str:
        CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct_count,
        CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS upper_count
   FROM documents
+), l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+), lg AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS len
+  FROM l GROUP BY doc_id, line
+), la AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT)            AS n_lines,
+         CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_lines,
+         CAST(SUM((c-1)*len) AS BIGINT)    AS rep_chars,
+         CAST(SUM(c*len) AS BIGINT)        AS tot_chars
+  FROM lg GROUP BY doc_id
+), w AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word FROM documents
+), wg AS (
+  SELECT doc_id, word, count(*) AS c
+  FROM w WHERE word <> '' GROUP BY doc_id, word
+), wa AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_c,
+         CAST(SUM(c) AS BIGINT) AS tot_w
+  FROM wg GROUP BY doc_id
 )
-SELECT doc_id, n_chars_m, token_count, digit_count, punct_count, upper_count,
+SELECT m.doc_id, n_chars_m, token_count, digit_count, punct_count, upper_count,
        0.4 * least(1.0, CAST(token_count AS DOUBLE) / 100.0)
        + 0.3 * (1.0 - least(1.0, CAST(digit_count AS DOUBLE)
                                  / greatest(CAST(n_chars_m AS DOUBLE), 1.0) * 5.0))
        + 0.3 * (1.0 - least(1.0, CAST(punct_count AS DOUBLE)
                                  / greatest(CAST(n_chars_m AS DOUBLE), 1.0) * 10.0))
-       AS quality
-FROM m"""
+       AS quality,
+       n_lines,
+       CAST(dup_lines AS DOUBLE) / n_lines                AS dup_line_frac,
+       CAST(rep_chars AS DOUBLE) / GREATEST(tot_chars, 1) AS dup_line_char_frac,
+       COALESCE(CAST(max_c AS DOUBLE) / tot_w, 0.0)       AS top_word_frac
+FROM m JOIN la ON m.doc_id = la.doc_id LEFT JOIN wa ON m.doc_id = wa.doc_id"""
 
 
 def _sql_langid() -> str:
@@ -1814,7 +2007,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r5_rotations": _q_rotations,
         "r6_multires": _q_multires,
         "r7_clip": _q_clip,
-        "r7b_clip_cell_join": _q_clip_joined,
         "r8_knn": _q_knn,
         "r9_polyfill": _q_polyfill,
         "r10_raster_to_vector": _q_raster_to_vector,
@@ -1830,10 +2022,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d3_simhash_neardup": _q_simhash,
         "d5_embed_neardup": _q_embed_neardup,
         "d8_neardup_dedup_cc": _q_neardup_dedup_pipeline,
-        "d8b_neardup_cc_distributed": _q_neardup_dedup_distributed,
         "s1_ann_cosine_topk": _q_ann_topk,
         "s2_ivf_ann_topk": _q_ivf_topk,
-        "s2b_ivf_persisted_index": _q_ivf_persisted,
         "t1_token_metrics": _q_token_metrics,
         "t3_lang_id": _q_langid,
         "t4_fingerprint": _q_fingerprint,
@@ -1849,6 +2039,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t9_bpe_token_count": _q_bpe_tokens,
         "t10_chunk_windows": _q_chunk_windows,
         "t11_vocab_topk": _q_vocab_topk,
+        "c1_domain_cap": _q_domain_cap,
+        "c2_decontaminate": _q_decontaminate,
+        "c3_priority_sample": _q_priority_sample,
         "j5_anti_join": _q_anti_join,
         "j1_broadcast_join": _q_join,
         "j2_bucket_join": _q_bucket_join,
@@ -1859,9 +2052,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exactly 50 entries: the round-2 driver sweep recorded only
         # the first 50 of 51 registered queries (tail-capped).  Round 3
         # folded r10b into r10 (grid column + UNION ALL oracle), t2
-        # into t1 (quality column) and d6 into d7 (its exact count),
-        # freeing slots for t10 (chunking) and t11 (vocabulary) while
-        # keeping every registered query inside the recorded sweep.
+        # into t1 (quality column), d6 into d7 (its exact count), and
+        # the three same-oracle scale twins r7b/s2b/d8b into their
+        # parents (path-tagged unions — both paths still execute and
+        # must hash-match), freeing slots for t10 (chunking), t11
+        # (vocabulary) and c1–c3 (curation) while keeping every
+        # registered query inside the recorded sweep.
     }
 
 
@@ -1876,7 +2072,6 @@ def oracle_sql() -> dict[str, str]:
         "r5_rotations": _sql_rotations(),
         "r6_multires": _sql_multires(),
         "r7_clip": _sql_clip(),
-        "r7b_clip_cell_join": _sql_clip(),
         "r8_knn": _sql_knn(),
         "r9_polyfill": _sql_polyfill(),
         "r10_raster_to_vector": _sql_raster_to_vector(),
@@ -1892,10 +2087,8 @@ def oracle_sql() -> dict[str, str]:
         "d3_simhash_neardup": _sql_simhash(),
         "d5_embed_neardup": _sql_embed_neardup(),
         "d8_neardup_dedup_cc": _sql_neardup_dedup_pipeline(),
-        "d8b_neardup_cc_distributed": _sql_neardup_dedup_pipeline(),
         "s1_ann_cosine_topk": _sql_ann_topk(),
         "s2_ivf_ann_topk": _sql_ivf_topk(),
-        "s2b_ivf_persisted_index": _sql_ivf_topk(),
         "t1_token_metrics": _sql_token_metrics(),
         "t3_lang_id": _sql_langid(),
         "t4_fingerprint": _sql_fingerprint(),
@@ -1910,6 +2103,9 @@ def oracle_sql() -> dict[str, str]:
         "t9_bpe_token_count": _sql_bpe_tokens(),
         "t10_chunk_windows": _sql_chunk_windows(),
         "t11_vocab_topk": _sql_vocab_topk(),
+        "c1_domain_cap": _sql_domain_cap(),
+        "c2_decontaminate": _sql_decontaminate(),
+        "c3_priority_sample": _sql_priority_sample(),
         "j5_anti_join": _sql_anti_join(),
         "j1_broadcast_join": _sql_join(),
         "j2_bucket_join": _sql_bucket_join(),
