@@ -88,6 +88,21 @@ def _rc(*a, **k):
     k.setdefault("num_partitions", 8)
     return rasterize_categories(*a, **k)
 
+
+def _tag_table(t: pa.Table, name: str, col: str = "path") -> pa.Table:
+    """Append a constant string column — THE convention for merging two
+    engine variants of one query under a single UNION ALL oracle."""
+    return t.append_column(col, pa.array([name] * t.num_rows, type=pa.string()))
+
+
+def _tagger(name: str, col: str = "path"):
+    """``map_batches``-ready closure form of :func:`_tag_table`."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return _tag_table(t, name, col)
+
+    return fn
+
 # --------------------------------------------------------------------------
 # shared SQL fragments (twins of rayraster.geo / rayraster.grid formulas)
 # --------------------------------------------------------------------------
@@ -208,14 +223,7 @@ def _q_clip(sf_dir: str):
 
     pts = load_doc_points(sf_dir, columns=("doc_id",)).materialize()
 
-    def tag(name):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "path", pa.array([name] * t.num_rows, type=pa.string())
-            )
-
-        return fn
-
+    tag = _tagger
     ref = ray.put([CLIP_RING])
     broadcast = (
         pts.map_batches(ClipStage(ref, "x", "y"), batch_format="pyarrow")
@@ -350,12 +358,7 @@ def _q_sample(sf_dir: str):
     ).materialize()
 
     def tag(name):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "method", pa.array([name] * t.num_rows, type=pa.string())
-            )
-
-        return fn
+        return _tagger(name, col="method")
 
     uni = deterministic_sample(docs, "doc_id", rate_num=100000).map_batches(
         tag("uniform"), batch_format="pyarrow"
@@ -780,12 +783,9 @@ def _q_ivf_topk(sf_dir: str):
         idx, qids, Q, C, k=10, nprobe=_IVF_NPROBE
     ).select(["qid", "vec_id", "rank"])
 
-    def tag(t: pa.Table, name: str) -> pa.Table:
-        return t.append_column(
-            "path", pa.array([name] * t.num_rows, type=pa.string())
-        )
-
-    return pa.concat_tables([tag(inmem, "inmem"), tag(persisted, "persisted")])
+    return pa.concat_tables(
+        [_tag_table(inmem, "inmem"), _tag_table(persisted, "persisted")]
+    )
 
 
 def _sql_ivf_topk() -> str:
@@ -1046,18 +1046,12 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
         corpus, threshold=0.8, corpus_count=corpus.count()
     ).select_columns(["a", "b"]).materialize()
 
-    driver_keep = dedup_keep_from_clusters(connected_components(pairs))
-    driver_keep = driver_keep.append_column(
-        "path", pa.array(["driver"] * driver_keep.num_rows, type=pa.string())
+    driver_keep = _tag_table(
+        dedup_keep_from_clusters(connected_components(pairs)), "driver"
     )
     dist_keep = dedup_keep_from_clusters_ds(
         connected_components_distributed(pairs)
-    ).map_batches(
-        lambda t: t.append_column(
-            "path", pa.array(["distributed"] * t.num_rows, type=pa.string())
-        ),
-        batch_format="pyarrow",
-    )
+    ).map_batches(_tagger("distributed"), batch_format="pyarrow")
     return rd.from_arrow(driver_keep).union(dist_keep)
 
 
@@ -1235,13 +1229,19 @@ def _q_decontaminate(sf_dir: str):
     itself so hits are guaranteed), broadcast once via ray.put; every
     batch's n-grams are probed with one C++ hash-set membership
     kernel.  Exact strings — no hash collisions."""
-    import pyarrow.parquet as pq
+    import duckdb
 
     from rayraster.textops import decontaminate
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ids = t["doc_id"].to_numpy(zero_copy_only=False)
-    bench = t.filter(pa.array(ids % 97 == 3))["text"].to_pylist()
+    # pushdown filter at the read — only the ~1 % benchmark slice ever
+    # reaches the driver, never the corpus
+    bench = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT text FROM read_parquet(?) WHERE doc_id % 97 = 3",
+            params=[f"{sf_dir}/documents.parquet"],
+        ).fetchall()
+    ]
     out = decontaminate(_docs(sf_dir), bench, n=8)
     return out.select_columns(["doc_id", "ngram_hits", "contaminated"])
 

@@ -131,23 +131,34 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
     # are DEFINITELY new (Bloom has no false negatives) and skip the
     # exchange entirely, so only the hits (true olds + an FP-rate
     # sliver) pay the exact anti-join finish.
-    from rayraster.sketch import build_bloom, bloom_filter
+    from rayraster.sketch import build_bloom, bloom_mark
 
     old_ids = docs.map_batches(
         lambda t: t.select(["doc_id"]).filter(
             pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 7 == 0)
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()  # one int64 col; consumed twice (bloom + anti-join)
     snap_bloom = build_bloom(old_ids, "doc_id", log2_bits=20)
-    definitely_new = bloom_filter(docs, snap_bloom, "doc_id", keep="misses")
-    candidates = bloom_filter(docs, snap_bloom, "doc_id", keep="hits")
+    # mark once (one hashing pass), then split with two boolean
+    # filters — the transient marked copy is spillable; re-hashing the
+    # corpus twice is not recoverable work
+    marked = bloom_mark(docs, snap_bloom, "doc_id").materialize()
+
+    def side(hit: bool):
+        return marked.map_batches(
+            lambda t, h=hit: t.filter(
+                pc.equal(t["bloom_hit"], h)
+            ).drop_columns(["bloom_hit"]),
+            batch_format="pyarrow",
+        )
+
     new_from_candidates = bucket_join(
-        candidates, old_ids, "doc_id", "doc_id", join_type="anti",
+        side(True), old_ids, "doc_id", "doc_id", join_type="anti",
         left_schema=docs_schema,
         right_schema=pa.schema([("doc_id", pa.int64())]),
     )
-    docs = definitely_new.union(new_from_candidates).materialize()
+    docs = side(False).union(new_from_candidates).materialize()
     n_docs = docs.count()
     summary["rows_after_snapshot_filter"] = n_docs
 

@@ -341,3 +341,27 @@ def bloom_filter(ds: Dataset, bloom: Bloom, col: str, keep: str = "hits") -> Dat
         return t.filter(pa.array(mask if want_hits else ~mask))
 
     return ds.map_batches(keep_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bloom_mark(
+    ds: Dataset, bloom: Bloom, col: str, out_col: str = "bloom_hit"
+) -> Dataset:
+    """Append the Bloom membership mask of ``col`` as a bool column
+    instead of filtering on it.
+
+    Use when BOTH partitions of the split are needed downstream (e.g.
+    hits go through an exact anti-join finish while misses bypass it):
+    one hashing pass over the corpus, then two trivial boolean filters
+    on the marked result — versus two full hashing passes with paired
+    ``keep="hits"`` / ``keep="misses"`` :func:`bloom_filter` calls."""
+    import ray
+
+    bref = ray.put(bloom.bits)
+    log2_bits, num_hashes = bloom.log2_bits, bloom.j
+
+    def mark_fn(t: pa.Table) -> pa.Table:
+        b = Bloom(log2_bits, num_hashes, bits=ray.get(bref), copy=False)
+        mask = b.contains_hashes(_col_hashes(t, col))
+        return t.append_column(out_col, pa.array(mask))
+
+    return ds.map_batches(mark_fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -439,7 +439,10 @@ def repetition_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
             typ = pa.int64() if name == "n_lines" else pa.float64()
             batch = batch.append_column(name, pa.array([], type=typ))
         return batch
-    t = _combined(batch[text_col])
+    # NULL text ≡ '' (one line, zero tokens) — a null list from
+    # split_pattern would otherwise abort the whole task at the
+    # zero-copy to_numpy below
+    t = _combined(pc.fill_null(batch[text_col], ""))
 
     # --- line-level: split on literal \n (DuckDB string_split(text, chr(10)))
     lines = pc.split_pattern(t, "\n")
@@ -463,14 +466,7 @@ def repetition_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
     # --- word-level: \s+ split, empty boundary tokens dropped (same
     # filter as the twin's list_filter(x -> x <> ''))
-    wlists = pc.split_pattern_regex(t, _WS)
-    wlens = pc.list_value_length(wlists).cast(pa.int64()).to_numpy()
-    wflat = _combined(pc.list_flatten(wlists))
-    wdoc = np.repeat(np.arange(n, dtype=np.int64), wlens)
-    ne = pc.not_equal(wflat, "")
-    ne_np = ne.to_numpy(zero_copy_only=False)
-    wflat = wflat.filter(ne)
-    wdoc = wdoc[ne_np]
+    wflat, wdoc = _split_words_flat(t)
     top = np.zeros(n, dtype=np.int64)
     tot_words = np.bincount(wdoc, minlength=n).astype(np.int64)
     if len(wdoc):
@@ -500,15 +496,16 @@ def repetition_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch
 
 
-_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<h>[^/?#]+)"
 
 
 def url_host(batch: pa.Table, url_col: str = "url", out_col: str = "host") -> pa.Table:
     """Extract the authority (host[:port]) from a URL column — the
     grouping key for per-domain corpus caps.  One vectorized RE2
-    ``extract_regex``; non-URL strings get ``''`` to match DuckDB's
-    ``regexp_extract(url, pattern, 1)`` no-match convention."""
-    got = pc.extract_regex(batch[url_col], r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<h>[^/?#]+)")
+    ``extract_regex`` (:data:`_HOST_RE`); non-URL strings get ``''``
+    to match DuckDB's ``regexp_extract(url, pattern, 1)`` no-match
+    convention."""
+    got = pc.extract_regex(batch[url_col], _HOST_RE)
     host = pc.if_else(pc.is_valid(got), pc.struct_field(got, "h"), "")
     return batch.append_column(out_col, host.cast(pa.string()))
 
@@ -525,8 +522,9 @@ def build_ngram_blocklist(texts, n: int = 8) -> pa.Array:
 
 
 def _split_words_flat(t: pa.Array):
-    """(flat nonempty \\s+ tokens, int64 doc index per token)."""
-    wlists = pc.split_pattern_regex(t, _WS)
+    """(flat nonempty \\s+ tokens, int64 doc index per token).
+    NULL text ≡ '' (zero tokens)."""
+    wlists = pc.split_pattern_regex(pc.fill_null(t, ""), _WS)
     wlens = pc.list_value_length(wlists).cast(pa.int64()).to_numpy()
     flat = _combined(pc.list_flatten(wlists))
     doc = np.repeat(np.arange(len(t), dtype=np.int64), wlens)
