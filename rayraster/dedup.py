@@ -39,6 +39,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -53,8 +54,8 @@ from rayraster.agg import distinct, hash_aggregate
 def add_content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "_h") -> pa.Table:
     # cast-to-binary hands hashlib the utf-8 buffers directly (no
     # str decode + re-encode per row); md5 itself is oracle-bound
-    # (DuckDB md5() twin)
-    data = batch[text_col].cast(pa.binary()).to_pylist()
+    # (DuckDB twin: md5(coalesce(text, '')) — NULL text ≡ '')
+    data = pc.fill_null(batch[text_col], "").cast(pa.binary()).to_pylist()
     h = [hashlib.md5(b).hexdigest() for b in data]
     return batch.append_column(out_col, pa.array(h, type=pa.string()))
 
@@ -187,7 +188,8 @@ class MinHashStage:
         _perm_salts(num_perm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
+        # NULL text ≡ '' (zero shingles → the all-max signature)
+        texts = pc.fill_null(batch[self.text_col], "").to_pylist()
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         n = len(texts)
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
@@ -373,7 +375,7 @@ class _VerifyJaccardPartitioned:
         if s is None:
             if len(self._cache) > 100_000:
                 self._cache.clear()
-            s = self._cache[i] = self._fn(text)
+            s = self._cache[i] = self._fn(text or "")  # NULL text ≡ ''
         return s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -480,7 +482,7 @@ class _VerifyJaccard:
     def _sh(self, i):
         s = self._cache.get(i)
         if s is None:
-            s = self._cache[i] = self._fn(self._texts[i])
+            s = self._cache[i] = self._fn(self._texts[i] or "")  # NULL ≡ ''
         return s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -572,7 +574,8 @@ class SimHashStage:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
+        # NULL text ≡ '' (zero tokens → signature 0)
+        texts = pc.fill_null(batch[self.text_col], "").to_pylist()
         sigs = np.array([simhash64(t) for t in texts], dtype=np.uint64)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         # 4 bands × 16 bits: hamming ≤ 3 ⇒ at least one band equal

@@ -25,8 +25,10 @@ def token_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ws-token mean length — all vectorized RE2 counts.
 
     SQL twins use duckdb ``regexp_extract_all`` lengths with the same
-    patterns (RE2 on both sides ⇒ identical counts)."""
-    t = batch[text_col]
+    patterns (RE2 on both sides ⇒ identical counts).  NULL text ≡ ''
+    (all counts 0) — null counts would otherwise NaN-poison every
+    downstream ratio (quality_score)."""
+    t = pc.fill_null(batch[text_col], "")
     n_chars = pc.utf8_length(t).cast(pa.int64())
     tokens = pc.count_substring_regex(t, r"\S+").cast(pa.int64())
     digits = pc.count_substring_regex(t, r"[0-9]").cast(pa.int64())
@@ -74,7 +76,9 @@ def bpe_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """``bpe_token_count`` column: non-overlapping matches of the BPE
     pre-tokenizer split regex (vectorized RE2; DuckDB twin uses the
     same pattern)."""
-    c = pc.count_substring_regex(batch[text_col], BPE_SPLIT_RE).cast(pa.int64())
+    c = pc.count_substring_regex(
+        pc.fill_null(batch[text_col], ""), BPE_SPLIT_RE
+    ).cast(pa.int64())
     return batch.append_column("bpe_token_count", c)
 
 
@@ -120,7 +124,9 @@ class LangIdStage:
         self.patterns = [(lang, _profile_regex(ws)) for lang, ws in _PROFILES]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        t = batch[self.text_col]
+        # NULL text ≡ '' → und/0.0 (a null count_substring_regex result
+        # would NaN-cast to an arbitrary int and mispredict)
+        t = pc.fill_null(batch[self.text_col], "")
         lower = pc.utf8_lower(t)
         cjk = pc.count_substring_regex(t, _CJK_RE).to_numpy(zero_copy_only=False)
         toks = (
@@ -261,6 +267,7 @@ def rolling_fingerprint(batch: pa.Table, text_col: str = "text", window: int = 6
 
     out = np.empty(batch.num_rows, dtype=np.int64)
     for i, s in enumerate(batch[text_col].to_pylist()):
+        s = s or ""  # NULL text ≡ '' → fingerprint 0
         h = char_shingle_hashes(s, k=min(window, max(1, len(s))))
         out[i] = np.int64(h.min().astype(np.int64)) if len(h) else 0
     return batch.append_column("rfp", pa.array(out))
@@ -274,8 +281,12 @@ def rolling_fingerprint(batch: pa.Table, text_col: str = "text", window: int = 6
 def _md5_hex(strings) -> list[str]:
     """Hex md5 per value of a string array — the binary cast hands
     hashlib the utf-8 buffers without a str decode/encode round trip
-    (shared by fingerprint_md5 and chunk_text_windows)."""
-    return [hashlib.md5(b).hexdigest() for b in strings.cast(pa.binary()).to_pylist()]
+    (shared by fingerprint_md5 and chunk_text_windows).  NULL → NULL,
+    matching DuckDB ``md5(NULL)``."""
+    return [
+        None if b is None else hashlib.md5(b).hexdigest()
+        for b in strings.cast(pa.binary()).to_pylist()
+    ]
 
 
 def chunk_count(lens: np.ndarray, window: int, stride: int) -> np.ndarray:
