@@ -1224,14 +1224,20 @@ SELECT doc_id, host, rnk FROM (
 
 
 def _q_decontaminate(sf_dir: str):
-    """Benchmark decontamination: the blocklist is the distinct word
-    8-grams of the docs with doc_id % 97 = 3 (drawn from the corpus
-    itself so hits are guaranteed), broadcast once via ray.put; every
-    batch's n-grams are probed with one C++ hash-set membership
-    kernel.  Exact strings — no hash collisions."""
+    """Merged twin (path column): 'bench' = benchmark decontamination
+    (the blocklist is the distinct word 8-grams of the docs with
+    doc_id % 97 = 3, broadcast once via ray.put, probed with one C++
+    hash-set membership kernel per batch); 'crossdoc' = Lee et al.
+    2021 cross-document duplicate n-grams (textops.
+    cross_doc_ngram_stats — 2 hash-partitioned shuffles, gram strings
+    exact).  Shared schema: (doc_id, ngram_hits, ngram_total, frac,
+    flagged, path)."""
     import duckdb
 
-    from rayraster.textops import decontaminate
+    import pyarrow.compute as pc
+
+    from rayraster.join import bucket_join
+    from rayraster.textops import cross_doc_ngram_stats, decontaminate
 
     # pushdown filter at the read — only the ~1 % benchmark slice ever
     # reaches the driver, never the corpus
@@ -1242,14 +1248,75 @@ def _q_decontaminate(sf_dir: str):
             params=[f"{sf_dir}/documents.parquet"],
         ).fetchall()
     ]
-    out = decontaminate(_docs(sf_dir), bench, n=8)
-    return out.select_columns(["doc_id", "ngram_hits", "contaminated"])
+    docs = _docs(sf_dir)
+    n_docs = docs.count()  # parquet metadata count — no execution
+    dec = decontaminate(docs, bench, n=8)
+
+    def norm(hits: np.ndarray, tot: np.ndarray, ids) -> pa.Table:
+        frac = hits.astype(np.float64) / np.maximum(tot, 1).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "ngram_hits": pa.array(hits),
+                "ngram_total": pa.array(tot),
+                "frac": pa.array(frac),
+                "flagged": pa.array(hits > 0),
+            }
+        )
+
+    def bench_path(t: pa.Table) -> pa.Table:
+        hits = t["ngram_hits"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = t["ngram_total"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _tag_table(norm(hits, tot, t["doc_id"]), "bench")
+
+    b = dec.map_batches(bench_path, batch_format="pyarrow")
+
+    # path 2: Lee et al. 2021 cross-document duplicate n-grams — same
+    # tokenization/ngram rule, 2 hash-partitioned shuffles, LEFT join
+    # back to all ids (docs with < 8 words have no stats row)
+    stats = cross_doc_ngram_stats(_docs(sf_dir), n=8, corpus_count=n_docs)
+    joined = bucket_join(
+        _docs(sf_dir, columns=("doc_id",)),
+        stats,
+        "doc_id",
+        "doc_id",
+        join_type="left",
+        num_buckets=_parts_for(n_docs),
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("shared_ngrams", pa.int64()),
+                ("total_ngrams", pa.int64()),
+            ]
+        ),
+    )
+
+    def cross_path(t: pa.Table) -> pa.Table:
+        sh = (
+            pc.fill_null(t["shared_ngrams"], 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        tot = (
+            pc.fill_null(t["total_ngrams"], 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return _tag_table(norm(sh, tot, t["doc_id"]), "crossdoc")
+
+    c = joined.map_batches(cross_path, batch_format="pyarrow")
+    return b.union(c)
 
 
 def _sql_decontaminate() -> str:
     # kmax=256 is a constant range bound (docs cap at ~100 words —
     # DuckDB range() takes no correlated bounds); WHERE does the real
-    # bounding, exactly like the chunk-windows twin.
+    # bounding, exactly like the chunk-windows twin.  Two paths:
+    # 'bench' = blocklist decontamination (occurrence hits),
+    # 'crossdoc' = Lee et al. cross-document duplicate n-grams
+    # (DISTINCT grams shared with ≥1 other doc).  frac is ONE IEEE
+    # division of exact integer counts on both engines.
     return r"""WITH bw AS (
   SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
   FROM documents WHERE doc_id % 97 = 3
@@ -1265,11 +1332,39 @@ def _sql_decontaminate() -> str:
 ), h AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS ngram_hits
   FROM dg JOIN bg USING (ng) GROUP BY doc_id
+), tb AS (
+  SELECT doc_id, CAST(GREATEST(len(ws) - 7, 0) AS BIGINT) AS tot FROM dw
+), bench AS (
+  SELECT d.doc_id,
+         COALESCE(h.ngram_hits, 0) AS ngram_hits,
+         tb.tot                    AS ngram_total,
+         CAST(COALESCE(h.ngram_hits, 0) AS DOUBLE)
+           / CAST(GREATEST(tb.tot, 1) AS DOUBLE) AS frac,
+         COALESCE(h.ngram_hits, 0) > 0 AS flagged,
+         'bench' AS path
+  FROM documents d
+  JOIN tb ON d.doc_id = tb.doc_id
+  LEFT JOIN h ON d.doc_id = h.doc_id
+), dd AS (
+  SELECT DISTINCT doc_id, ng FROM dg
+), gc AS (
+  SELECT ng, count(*) AS ndocs FROM dd GROUP BY ng
+), cd AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared,
+         CAST(count(*) AS BIGINT) AS total
+  FROM dd JOIN gc USING (ng) GROUP BY doc_id
+), crossdoc AS (
+  SELECT d.doc_id,
+         COALESCE(cd.shared, 0) AS ngram_hits,
+         COALESCE(cd.total, 0)  AS ngram_total,
+         CAST(COALESCE(cd.shared, 0) AS DOUBLE)
+           / CAST(GREATEST(COALESCE(cd.total, 0), 1) AS DOUBLE) AS frac,
+         COALESCE(cd.shared, 0) > 0 AS flagged,
+         'crossdoc' AS path
+  FROM documents d LEFT JOIN cd ON d.doc_id = cd.doc_id
 )
-SELECT d.doc_id,
-       COALESCE(h.ngram_hits, 0)     AS ngram_hits,
-       COALESCE(h.ngram_hits, 0) > 0 AS contaminated
-FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"""
+SELECT * FROM bench UNION ALL SELECT * FROM crossdoc"""
 
 
 def _q_priority_sample(sf_dir: str):

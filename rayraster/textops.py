@@ -569,7 +569,8 @@ class DecontaminateStage:
     fetched lazily per worker; membership is one C++ hash-set probe
     (``pc.is_in``) over all n-grams of the batch.  Exact strings are
     compared (no hash collisions).  Appends ``ngram_hits`` (count of
-    blocked n-gram OCCURRENCES) and ``contaminated``.
+    blocked n-gram OCCURRENCES), ``ngram_total`` (n-gram occurrences
+    of the doc — normalize hits with it) and ``contaminated``.
     """
 
     def __init__(self, blocked_ref, n: int = 8, text_col: str = "text"):
@@ -584,15 +585,18 @@ class DecontaminateStage:
             self._blocked = ray.get(obj) if isinstance(obj, ray.ObjectRef) else obj
         nrows = batch.num_rows
         hits = np.zeros(nrows, dtype=np.int64)
+        total = np.zeros(nrows, dtype=np.int64)
         if nrows:
             flat, doc = _split_words_flat(_combined(batch[self.text_col]))
             grams, gdoc = _ngrams_of(flat, doc, self.n)
             if len(grams):
+                total = np.bincount(gdoc, minlength=nrows).astype(np.int64)
                 hit = pc.is_in(grams, value_set=self._blocked).to_numpy(
                     zero_copy_only=False
                 )
                 hits = np.bincount(gdoc[hit], minlength=nrows).astype(np.int64)
         batch = batch.append_column("ngram_hits", pa.array(hits))
+        batch = batch.append_column("ngram_total", pa.array(total))
         batch = batch.append_column("contaminated", pa.array(hits > 0))
         return batch
 
@@ -609,4 +613,121 @@ def decontaminate(ds, blocklist_texts, n: int = 8, text_col: str = "text"):
         DecontaminateStage(ref, n=n, text_col=text_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def cross_doc_ngram_stats(
+    ds,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+    corpus_count: int | None = None,
+):
+    """Per-document cross-document duplicate n-gram statistics — the
+    substring-level duplication signal of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) over word ``n``-grams instead of suffix-array
+    byte spans.
+
+    Per document: ``total_ngrams`` = its DISTINCT word n-grams;
+    ``shared_ngrams`` = how many of those occur in ≥ 1 OTHER document.
+    ``shared_ngrams / total_ngrams`` is the doc's memorization-risk
+    fraction.  Documents with < ``n`` words emit no row — LEFT JOIN +
+    COALESCE 0 downstream (the SQL twin in __ray_entry__ does).
+
+    Plan (2 shuffles, nothing on the driver):
+      1. ``map_batches``: distinct ``(gram, doc)`` pairs (lexsort +
+         first-occurrence mask on dictionary codes), partitioned by
+         ``fnv1a64(gram) % P`` — every occurrence of a gram lands in
+         ONE partition regardless of doc;
+      2. ``groupby(part).map_groups``: gram doc-counts via dictionary
+         codes + bincount, mark pairs whose gram has doc_count > 1,
+         fold per-doc partial (shared, total) sums — one small row
+         per (partition, doc);
+      3. :func:`~rayraster.agg.hash_aggregate` by doc merges partials.
+
+    The gram STRINGS ride the first exchange (oracle-bound: the DuckDB
+    twin joins on strings).  At 10^12-doc scale substitute
+    ``dedup.word_ngram_hashes`` int64s for the strings to cut exchange
+    bytes — documented trade: 64-bit collisions can over-mark
+    ~|grams|²/2⁶⁵ pairs.
+    """
+    from rayraster.agg import hash_aggregate
+    from rayraster.dedup import _adaptive_parts
+    from rayraster.geo import fnv1a64
+
+    P = _adaptive_parts(corpus_count, num_partitions)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gram": pa.array([], type=pa.string()),
+                id_col: pa.array([], type=pa.int64()),
+                "_part": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        t = _combined(pc.fill_null(batch[text_col], ""))
+        flat, doc = _split_words_flat(t)
+        grams, gdoc = _ngrams_of(flat, doc, n)
+        if len(grams) == 0:
+            return empty
+        # distinct within doc (docs are single rows, so within-batch
+        # distinct per doc IS global distinct per doc)
+        codes = pc.dictionary_encode(grams).indices.to_numpy().astype(np.int64)
+        order = np.lexsort((codes, gdoc))
+        sc, sd = codes[order], gdoc[order]
+        first = np.ones(len(sc), dtype=bool)
+        first[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+        kept = order[first]
+        g = grams.take(pa.array(kept, type=pa.int64()))
+        part = (fnv1a64(g.to_pylist()) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {
+                "gram": g,
+                id_col: pa.array(ids[gdoc[kept]]),
+                "_part": pa.array(part),
+            }
+        )
+
+    pairs = ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+    def mark(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "shared": pa.array([], type=pa.int64()),
+                    "total": pa.array([], type=pa.int64()),
+                }
+            )
+        codes = (
+            pc.dictionary_encode(_combined(group["gram"]))
+            .indices.to_numpy()
+            .astype(np.int64)
+        )
+        ndocs = np.bincount(codes)  # rows are distinct (gram, doc)
+        shared = ndocs[codes] > 1
+        d = group[id_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(d, return_inverse=True)
+        sh = np.bincount(inv, weights=shared.astype(np.int64)).astype(np.int64)
+        tot = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {id_col: pa.array(uniq), "shared": pa.array(sh), "total": pa.array(tot)}
+        )
+
+    partials = pairs.groupby("_part").map_groups(mark, batch_format="pyarrow")
+    agg = hash_aggregate(
+        partials,
+        [id_col],
+        sum_cols=["shared", "total"],
+        count=False,
+        num_partitions=P,
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns([id_col, "shared_ngrams", "total_ngrams"]),
+        batch_format="pyarrow",
     )

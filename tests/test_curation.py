@@ -309,3 +309,103 @@ def test_decontaminate_stage_broadcast_ref(ray_session):
         .to_pandas().sort_values("doc_id")
     )
     assert out.contaminated.tolist() == [True, False, True, False, False, False]
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicate n-grams (Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+CROSSDOC_TWIN = r"""
+WITH dw AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS ws
+  FROM read_parquet('{docs}')
+), dg AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[k+1:k+{n}], ' ') AS ng
+  FROM dw, range(0, {kmax}) t(k) WHERE k + {n} <= len(ws)
+), gc AS (SELECT ng, count(*) AS ndocs FROM dg GROUP BY ng)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS shared_ngrams,
+       CAST(count(*) AS BIGINT) AS total_ngrams
+FROM dg JOIN gc USING (ng) GROUP BY doc_id ORDER BY doc_id"""
+
+
+def test_cross_doc_ngram_stats_matches_twin(ray_session, tmp_path):
+    from rayraster.textops import cross_doc_ngram_stats
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(6), type=pa.int64()),
+            "text": [
+                "a b c d e f g h i j",        # shares with doc 1
+                "a b c d e f g h i j k",      # superset of doc 0
+                "z y x w v u t s r q",        # all unique
+                "short doc",                  # < n words → no row
+                None,                         # NULL ≡ ''
+                "a b c d e f g h a b c d e f g h",  # in-doc repeat, shares
+            ],
+        }
+    )
+    p = _write(tmp_path, "cross.parquet", docs)
+    got = (
+        cross_doc_ngram_stats(rd.read_parquet(p), n=8, corpus_count=6)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = duckdb.sql(CROSSDOC_TWIN.format(docs=p, n=8, kmax=64)).df()
+    assert got.equals(want)
+    by = got.set_index("doc_id")
+    # a full duplicate pair would have shared == total; doc 0 ⊂ doc 1
+    assert by.loc[0, "shared_ngrams"] == by.loc[0, "total_ngrams"] == 3
+    assert by.loc[2, "shared_ngrams"] == 0
+    assert 3 not in by.index and 4 not in by.index  # no-gram docs absent
+    # in-doc repetition does NOT make a gram shared (distinct per doc)
+    assert by.loc[5, "shared_ngrams"] < by.loc[5, "total_ngrams"]
+
+
+def test_cross_doc_stats_chunking_invariant(ray_session, tmp_path):
+    """Identical results at 1 block and many blocks (the partial
+    per-partition sums must fold associatively)."""
+    from rayraster.textops import cross_doc_ngram_stats
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(40), type=pa.int64()),
+            "text": [
+                " ".join(f"w{(i * 7 + j) % 23}" for j in range(12))
+                for i in range(40)
+            ],
+        }
+    )
+    p = _write(tmp_path, "inv.parquet", docs)
+    one = (
+        cross_doc_ngram_stats(rd.read_parquet(p), n=4, corpus_count=40)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    many = (
+        cross_doc_ngram_stats(
+            rd.read_parquet(p).repartition(13), n=4, num_partitions=11,
+            corpus_count=None,
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert one.equals(many)
+
+
+def test_exact_duplicates_fully_shared(ray_session):
+    """The Lee et al. signal: an exact duplicate pair has frac 1.0."""
+    from rayraster.textops import cross_doc_ngram_stats
+
+    t = "the quick brown fox jumps over the lazy dog today"
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 20], type=pa.int64()),
+                "text": [t, t],
+            }
+        )
+    )
+    got = cross_doc_ngram_stats(ds, n=5, corpus_count=2).to_pandas()
+    assert (got.shared_ngrams == got.total_ngrams).all()
+    assert (got.total_ngrams > 0).all()
