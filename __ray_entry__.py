@@ -1101,22 +1101,85 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_token_metrics(sf_dir: str):
-    """Token metrics, the quality score AND the Gopher-style
-    repetition metrics in one recorded row set (merged from the
-    former t2 in round 3; repetition added late round 3 — all derive
-    per document from the same text column, and one row set covers
-    three operators within the driver's 50-row sweep cap)."""
-    from rayraster.textops import quality_score, repetition_metrics
+    """The per-document feature vector: token metrics, the quality
+    score, the Gopher-style repetition metrics AND the CCNet-style
+    corpus-frequency fluency score in one recorded row set (merged
+    from the former t2 in round 3; repetition + mean_freq added later
+    — all derive per document from the same text column, and one row
+    set covers four operators within the driver's 50-row sweep
+    cap)."""
+    from rayraster.join import bucket_join
+    from rayraster.textops import (
+        corpus_freq_score,
+        quality_score,
+        repetition_metrics,
+    )
+
+    import pyarrow.compute as pc
 
     ds = _docs(sf_dir)
+    n_docs = ds.count()  # parquet metadata count — no execution
     out = ds.map_batches(
         quality_score, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(repetition_metrics, batch_format="pyarrow", zero_copy_batch=True)
-    return out.select_columns(
+    out = out.select_columns(
         ["doc_id", "n_chars_m", "token_count", "digit_count", "punct_count",
          "upper_count", "quality", "n_lines", "dup_line_frac",
          "dup_line_char_frac", "top_word_frac"]
     )
+
+    # + the CCNet-style LM-lite fluency signal (mean corpus frequency
+    # of the doc's tokens) — LEFT join of the 2-shuffle distributed
+    # wordcount-score back onto the per-doc feature rows
+    stats = corpus_freq_score(_docs(sf_dir), corpus_count=n_docs).map_batches(
+        lambda t: t.select(["doc_id", "freq_sum", "mean_freq"]),
+        batch_format="pyarrow",
+    )
+    left_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_chars_m", pa.int64()),
+            ("token_count", pa.int64()),
+            ("digit_count", pa.int64()),
+            ("punct_count", pa.int64()),
+            ("upper_count", pa.int64()),
+            ("quality", pa.float64()),
+            ("n_lines", pa.int64()),
+            ("dup_line_frac", pa.float64()),
+            ("dup_line_char_frac", pa.float64()),
+            ("top_word_frac", pa.float64()),
+        ]
+    )
+    joined = bucket_join(
+        out,
+        stats,
+        "doc_id",
+        "doc_id",
+        join_type="left",
+        num_buckets=_parts_for(n_docs),
+        left_schema=left_schema,
+        right_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("freq_sum", pa.int64()),
+                ("mean_freq", pa.float64()),
+            ]
+        ),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.schema.get_field_index("freq_sum"),
+            "freq_sum",
+            pc.fill_null(t["freq_sum"], 0),
+        )
+        return t.set_column(
+            t.schema.get_field_index("mean_freq"),
+            "mean_freq",
+            pc.fill_null(t["mean_freq"], 0.0),
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow")
 
 
 def _q_bpe_tokens(sf_dir: str):
@@ -2002,6 +2065,13 @@ def _sql_token_metrics() -> str:
   SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_c,
          CAST(SUM(c) AS BIGINT) AS tot_w
   FROM wg GROUP BY doc_id
+), wcq AS (
+  SELECT word, CAST(SUM(c) AS BIGINT) AS cc FROM wg GROUP BY word
+), fq AS (
+  SELECT wg.doc_id,
+         CAST(SUM(wg.c * wcq.cc) AS BIGINT) AS freq_sum,
+         CAST(SUM(wg.c) AS BIGINT)          AS tcq
+  FROM wg JOIN wcq USING (word) GROUP BY wg.doc_id
 )
 SELECT m.doc_id, n_chars_m, token_count, digit_count, punct_count, upper_count,
        0.4 * least(1.0, CAST(token_count AS DOUBLE) / 100.0)
@@ -2013,8 +2083,12 @@ SELECT m.doc_id, n_chars_m, token_count, digit_count, punct_count, upper_count,
        n_lines,
        CAST(dup_lines AS DOUBLE) / n_lines                AS dup_line_frac,
        CAST(rep_chars AS DOUBLE) / GREATEST(tot_chars, 1) AS dup_line_char_frac,
-       COALESCE(CAST(max_c AS DOUBLE) / tot_w, 0.0)       AS top_word_frac
-FROM m JOIN la ON m.doc_id = la.doc_id LEFT JOIN wa ON m.doc_id = wa.doc_id"""
+       COALESCE(CAST(max_c AS DOUBLE) / tot_w, 0.0)       AS top_word_frac,
+       COALESCE(fq.freq_sum, 0) AS freq_sum,
+       COALESCE(CAST(fq.freq_sum AS DOUBLE)
+                / CAST(GREATEST(fq.tcq, 1) AS DOUBLE), 0.0) AS mean_freq
+FROM m JOIN la ON m.doc_id = la.doc_id LEFT JOIN wa ON m.doc_id = wa.doc_id
+LEFT JOIN fq ON m.doc_id = fq.doc_id"""
 
 
 def _sql_langid() -> str:

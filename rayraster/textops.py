@@ -731,3 +731,111 @@ def cross_doc_ngram_stats(
         lambda t: t.rename_columns([id_col, "shared_ngrams", "total_ngrams"]),
         batch_format="pyarrow",
     )
+
+
+def corpus_freq_score(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+    corpus_count: int | None = None,
+):
+    """CCNet-style LM-lite fluency signal: per document, the mean
+    CORPUS frequency of its token occurrences.
+
+    A count-based stand-in for language-model perplexity scoring
+    (CCNet, Wenzek et al. 2020 buckets docs by LM score; no model
+    libraries in this environment): documents made of common corpus
+    tokens score high, documents full of rare/garbled tokens score
+    low.  All-integer counts + ONE IEEE division ⇒ bit-exact SQL twin.
+
+    Output per doc (docs with ≥ 1 token): ``token_count``,
+    ``freq_sum`` = Σ over the doc's token occurrences of that token's
+    total corpus occurrence count, ``mean_freq`` =
+    freq_sum / token_count.
+
+    Plan (2 shuffles, nothing on the driver): (word, doc) occurrence
+    pairs partitioned by ``fnv1a64(word) % P`` — ALL occurrences of a
+    word land in one partition, so the per-partition group computes
+    exact global word counts locally (dictionary codes + bincount),
+    scores each occurrence, and folds per-doc partials; a final
+    :func:`~rayraster.agg.hash_aggregate` by doc merges partitions.
+    """
+    from rayraster.agg import hash_aggregate
+    from rayraster.dedup import _adaptive_parts
+    from rayraster.geo import fnv1a64
+
+    P = _adaptive_parts(corpus_count, num_partitions)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "word": pa.array([], type=pa.string()),
+                id_col: pa.array([], type=pa.int64()),
+                "_part": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        flat, doc = _split_words_flat(_combined(batch[text_col]))
+        if len(flat) == 0:
+            return empty
+        part = (fnv1a64(flat.to_pylist()) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {"word": flat, id_col: pa.array(ids[doc]), "_part": pa.array(part)}
+        )
+
+    pairs = ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+    def score(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "freq_sum": pa.array([], type=pa.int64()),
+                    "token_count": pa.array([], type=pa.int64()),
+                }
+            )
+        codes = (
+            pc.dictionary_encode(_combined(group["word"]))
+            .indices.to_numpy()
+            .astype(np.int64)
+        )
+        freq = np.bincount(codes)  # exact global count: word ⊆ one partition
+        occ_freq = freq[codes]
+        d = group[id_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(d, return_inverse=True)
+        fs = np.bincount(inv, weights=occ_freq).astype(np.int64)
+        tc = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(uniq),
+                "freq_sum": pa.array(fs),
+                "token_count": pa.array(tc),
+            }
+        )
+
+    partials = pairs.groupby("_part").map_groups(score, batch_format="pyarrow")
+    agg = hash_aggregate(
+        partials,
+        [id_col],
+        sum_cols=["freq_sum", "token_count"],
+        count=False,
+        num_partitions=P,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        fs = t["sum_freq_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = t["sum_token_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mean = fs.astype(np.float64) / np.maximum(tc, 1).astype(np.float64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "token_count": pa.array(tc),
+                "freq_sum": pa.array(fs),
+                "mean_freq": pa.array(mean),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

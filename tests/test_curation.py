@@ -409,3 +409,80 @@ def test_exact_duplicates_fully_shared(ray_session):
     got = cross_doc_ngram_stats(ds, n=5, corpus_count=2).to_pandas()
     assert (got.shared_ngrams == got.total_ngrams).all()
     assert (got.total_ngrams > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency fluency score (CCNet-style LM-lite)
+# ---------------------------------------------------------------------------
+
+FREQ_TWIN = r"""
+WITH dw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                            x -> x <> '')) AS w
+  FROM read_parquet('{docs}')
+), wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM dw GROUP BY w)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS token_count,
+       CAST(SUM(c) AS BIGINT) AS freq_sum,
+       CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+         / CAST(GREATEST(CAST(count(*) AS BIGINT), 1) AS DOUBLE) AS mean_freq
+FROM dw JOIN wc USING (w) GROUP BY doc_id ORDER BY doc_id"""
+
+
+def test_corpus_freq_score_matches_twin(ray_session, tmp_path):
+    from rayraster.textops import corpus_freq_score
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(5), type=pa.int64()),
+            "text": [
+                "the cat sat on the mat",
+                "the dog",
+                "rare wordzzz here",
+                None,
+                "",
+            ],
+        }
+    )
+    p = _write(tmp_path, "freq.parquet", docs)
+    got = (
+        corpus_freq_score(rd.read_parquet(p), corpus_count=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = duckdb.sql(FREQ_TWIN.format(docs=p)).df()
+    assert got.equals(want)
+    by = got.set_index("doc_id")
+    # common-token doc scores above the rare-token doc
+    assert by.loc[0, "mean_freq"] > by.loc[2, "mean_freq"] == 1.0
+    assert 3 not in by.index and 4 not in by.index  # token-less docs absent
+
+
+def test_corpus_freq_score_partition_invariant(ray_session, tmp_path):
+    """Word counts must be exact regardless of block layout and
+    partition count (each word's occurrences co-locate by hash)."""
+    from rayraster.textops import corpus_freq_score
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(60), type=pa.int64()),
+            "text": [
+                " ".join(f"tok{(i * 5 + j) % 17}" for j in range(9))
+                for i in range(60)
+            ],
+        }
+    )
+    p = _write(tmp_path, "freqinv.parquet", docs)
+    one = (
+        corpus_freq_score(rd.read_parquet(p), corpus_count=60)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    many = (
+        corpus_freq_score(
+            rd.read_parquet(p).repartition(17), num_partitions=13,
+            corpus_count=None,
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert one.equals(many)
+    want = duckdb.sql(FREQ_TWIN.format(docs=p)).df()
+    assert one.equals(want)
