@@ -1201,17 +1201,39 @@ def _sql_bpe_tokens() -> str:
 
 
 def _q_chunk_windows(sf_dir: str):
-    """Context-window packing: each document split into 512-codepoint
-    windows at stride 384 (128 overlap) — the training-data chunking
-    operator.  One row per chunk; the chunk BYTES are pinned by md5 so
-    the oracle row stays narrow while still proving the exact slices."""
+    """Context-window chunking + token-budget shard packing: each
+    document split into 512-codepoint windows at stride 384 (128
+    overlap), one row per chunk with md5-pinned bytes, then every
+    chunk assigned to its fixed-budget training shard by the
+    distributed exclusive prefix sum of chunk lengths in global
+    (doc_id, chunk_idx) order (agg.pack_by_budget — range-partitioned
+    scan, driver folds P int64s)."""
+    from rayraster.agg import pack_by_budget
     from rayraster.textops import chunk_text_windows
 
     ds = _docs(sf_dir)
-    return ds.map_batches(
+    chunks = ds.map_batches(
         lambda t: chunk_text_windows(t, window=512, stride=384),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+    def add_ord(t: pa.Table) -> pa.Table:
+        # unique global order: chunk_idx < 4096 (the oracle's range
+        # bound enforces the same limit)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ci = t["chunk_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_ord", pa.array(ids * 4096 + ci))
+
+    packed = pack_by_budget(
+        chunks.map_batches(add_ord, batch_format="pyarrow", zero_copy_batch=True),
+        budget=2048,
+        len_col="chunk_len",
+        order_col="_ord",
+        num_partitions=8,
+    )
+    return packed.map_batches(
+        lambda t: t.drop_columns(["_ord"]), batch_format="pyarrow"
     )
 
 
@@ -1228,12 +1250,24 @@ def _sql_chunk_windows() -> str:
               ELSE (greatest(length(text), 1) - 512 + 383) // 384 + 1
          END AS n_chunks
   FROM documents
+), c AS (
+  SELECT d.doc_id, t.k AS chunk_idx, d.n_chunks,
+         length(substr(d.text, t.k * 384 + 1, 512)) AS chunk_len,
+         md5(substr(d.text, t.k * 384 + 1, 512)) AS chunk_md5
+  FROM d, range(0, 4096) t(k)
+  WHERE t.k < d.n_chunks
 )
-SELECT d.doc_id, t.k AS chunk_idx, d.n_chunks,
-       length(substr(d.text, t.k * 384 + 1, 512)) AS chunk_len,
-       md5(substr(d.text, t.k * 384 + 1, 512)) AS chunk_md5
-FROM d, range(0, 4096) t(k)
-WHERE t.k < d.n_chunks"""
+SELECT doc_id, chunk_idx, n_chunks, chunk_len, chunk_md5,
+       COALESCE(SUM(chunk_len) OVER (ORDER BY doc_id, chunk_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS tokens_before,
+       COALESCE(SUM(chunk_len) OVER (ORDER BY doc_id, chunk_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+         AS bin_id,
+       COALESCE(SUM(chunk_len) OVER (ORDER BY doc_id, chunk_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 2048
+         AS bin_offset
+FROM c"""
 
 
 _CAP = 20          # c1 per-domain cap (binds at every sf: ≥ 38 docs/host)

@@ -706,3 +706,97 @@ def cap_per_group(
     return kept.map_batches(
         lambda t: t.drop_columns(["_cap_h"]), batch_format="pyarrow"
     )
+
+
+def pack_by_budget(
+    ds: Dataset,
+    budget: int,
+    len_col: str,
+    order_col: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Token-budget contiguous packing: assign every row (a chunk /
+    sequence) to a fixed-budget training shard by the EXCLUSIVE
+    prefix sum of ``len_col`` over the global ``order_col`` order —
+    the sharding rule of a streaming training-data loader (each shard
+    holds ``budget`` tokens of consecutive chunks; a chunk straddling
+    a boundary starts writing at ``bin_offset``).
+
+    Appends (all exact int64 — no floats anywhere):
+
+    * ``tokens_before`` — exclusive prefix sum of ``len_col``
+    * ``bin_id``        — ``tokens_before // budget``
+    * ``bin_offset``    — ``tokens_before %  budget``
+
+    SQL twin: ``COALESCE(SUM(len) OVER (ORDER BY ord ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING), 0)`` then integer ``//`` and
+    ``%`` — identical integer arithmetic on both engines.
+
+    ``order_col`` must be unique int64 (callers typically synthesize
+    ``doc_id * K + chunk_idx``).
+
+    Distributed prefix scan with NO global sort (same shape as
+    ``windows.add_late_flag``): range-partition the order axis into
+    contiguous chunks, per-chunk sums via one grouped aggregate,
+    prefix-fold the P chunk sums on the driver (the ONLY driver
+    state: P int64s), then one seeded vectorized cumsum per chunk.
+    """
+    import ray
+
+    def stats(t: pa.Table) -> pa.Table:
+        o = t[order_col].to_numpy(zero_copy_only=False)
+        if len(o) == 0:
+            return pa.table({"lo": pa.array([], type=pa.int64()),
+                             "hi": pa.array([], type=pa.int64())})
+        return pa.table({"lo": [int(o.min())], "hi": [int(o.max())]})
+
+    lo, hi = None, None
+    for t in ds.map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for a, b in zip(t["lo"].to_pylist(), t["hi"].to_pylist()):
+            lo = a if lo is None else min(lo, a)
+            hi = b if hi is None else max(hi, b)
+    if lo is None:
+        for name in ("tokens_before", "bin_id", "bin_offset"):
+            ds = ds.map_batches(
+                lambda t, n=name: t.append_column(
+                    n, pa.array([], type=pa.int64())
+                ),
+                batch_format="pyarrow",
+            )
+        return ds
+    chunk = max((hi - lo + num_partitions) // num_partitions, 1)
+
+    def tag(t: pa.Table) -> pa.Table:
+        o = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_ppart", pa.array((o - lo) // chunk))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    part_sum = hash_aggregate(
+        tagged, ["_ppart"], sum_cols=[len_col], count=False,
+        num_partitions=num_partitions,
+    ).to_pandas()  # ≤ num_partitions rows — the prefix fold input
+    part_sum = part_sum.sort_values("_ppart")
+    seeds = {}
+    running = 0
+    for p, s in zip(part_sum["_ppart"], part_sum[f"sum_{len_col}"]):
+        seeds[int(p)] = running
+        running += int(s)
+    seeds_ref = ray.put(seeds)
+    b = np.int64(budget)
+
+    def scan(group: pa.Table) -> pa.Table:
+        s = ray.get(seeds_ref)
+        group = group.sort_by([(order_col, "ascending")])
+        ln = (
+            group[len_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        seed = np.int64(s.get(int(group["_ppart"][0].as_py()), 0))
+        before = seed + np.cumsum(ln) - ln
+        group = group.append_column("tokens_before", pa.array(before))
+        group = group.append_column("bin_id", pa.array(before // b))
+        group = group.append_column("bin_offset", pa.array(before % b))
+        return group.drop_columns(["_ppart"])
+
+    return tagged.groupby("_ppart").map_groups(scan, batch_format="pyarrow")

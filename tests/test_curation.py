@@ -486,3 +486,62 @@ def test_corpus_freq_score_partition_invariant(ray_session, tmp_path):
     assert one.equals(many)
     want = duckdb.sql(FREQ_TWIN.format(docs=p)).df()
     assert one.equals(want)
+
+
+# ---------------------------------------------------------------------------
+# token-budget shard packing (distributed exclusive prefix sum)
+# ---------------------------------------------------------------------------
+
+PACK_TWIN = """
+SELECT ord, chunk_len,
+  COALESCE(SUM(chunk_len) OVER w, 0)          AS tokens_before,
+  COALESCE(SUM(chunk_len) OVER w, 0) // {b}   AS bin_id,
+  COALESCE(SUM(chunk_len) OVER w, 0) %  {b}   AS bin_offset
+FROM read_parquet('{p}')
+WINDOW w AS (ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+ORDER BY ord"""
+
+
+def test_pack_by_budget_matches_window_twin(ray_session, tmp_path):
+    from rayraster.agg import pack_by_budget
+
+    rng = np.random.default_rng(11)
+    n = 700
+    tab = pa.table(
+        {
+            "ord": pa.array(np.arange(n) * 7 + 3, type=pa.int64()),
+            "chunk_len": pa.array(rng.integers(1, 600, n).astype(np.int64)),
+        }
+    )
+    p = _write(tmp_path, "pack.parquet", tab)
+    got = (
+        pack_by_budget(
+            rd.read_parquet(p).repartition(9), 2048, "chunk_len", "ord",
+            num_partitions=5,
+        )
+        .to_pandas().sort_values("ord").reset_index(drop=True)
+    )
+    want = duckdb.sql(PACK_TWIN.format(p=p, b=2048)).df()
+    for c in ("tokens_before", "bin_id", "bin_offset"):
+        want[c] = want[c].astype("int64")
+    assert got.equals(want)
+    # packing invariants: prefix strictly consistent, bins contiguous
+    assert (got.tokens_before.diff().dropna() == got.chunk_len[:-1].values).all()
+    assert (got.bin_id.diff().dropna() >= 0).all()
+    assert got.bin_offset.between(0, 2047).all()
+
+
+def test_pack_by_budget_empty_and_single(ray_session):
+    from rayraster.agg import pack_by_budget
+
+    empty = rd.from_arrow(
+        pa.table({"ord": pa.array([], type=pa.int64()),
+                  "chunk_len": pa.array([], type=pa.int64())})
+    )
+    assert pack_by_budget(empty, 100, "chunk_len", "ord").count() == 0
+    one = rd.from_arrow(
+        pa.table({"ord": pa.array([9], type=pa.int64()),
+                  "chunk_len": pa.array([42], type=pa.int64())})
+    )
+    row = pack_by_budget(one, 100, "chunk_len", "ord").to_pandas().iloc[0]
+    assert (row.tokens_before, row.bin_id, row.bin_offset) == (0, 0, 0)
