@@ -1217,23 +1217,12 @@ def _q_chunk_windows(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-
-    def add_ord(t: pa.Table) -> pa.Table:
-        # unique global order: chunk_idx < 4096 (the oracle's range
-        # bound enforces the same limit)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ci = t["chunk_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.append_column("_ord", pa.array(ids * 4096 + ci))
-
-    packed = pack_by_budget(
-        chunks.map_batches(add_ord, batch_format="pyarrow", zero_copy_batch=True),
+    return pack_by_budget(
+        chunks,
         budget=2048,
         len_col="chunk_len",
-        order_col="_ord",
+        order_cols=["doc_id", "chunk_idx"],
         num_partitions=8,
-    )
-    return packed.map_batches(
-        lambda t: t.drop_columns(["_ord"]), batch_format="pyarrow"
     )
 
 

@@ -107,7 +107,32 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
         lambda t: t.filter(pc.greater_equal(t["quality"], q25)),
         batch_format="pyarrow",
     ).materialize()
-    summary["rows_after_quality"] = docs.count()
+    n_q = docs.count()
+    summary["rows_after_quality"] = n_q
+
+    # 2b. fluency gate (CCNet LM-lite): drop docs whose mean corpus
+    # token frequency falls below the exact 5th percentile — rare/
+    # garbled-token pages.  The score is a 2-shuffle distributed
+    # wordcount join; the keep set comes back via a semi bucket-join
+    # (never a driver list).
+    from rayraster.textops import corpus_freq_score
+
+    freq = corpus_freq_score(docs, corpus_count=n_q).materialize()
+    f05 = exact_quantiles(freq, "mean_freq", [0.05])[0]
+    summary["mean_freq_p05"] = round(f05, 4)
+    fluent_ids = freq.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["mean_freq"], f05)).select(
+            ["doc_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    docs_schema = docs.schema()  # docs is materialized — probe is free
+    docs = bucket_join(
+        docs, fluent_ids, "doc_id", "doc_id", join_type="semi",
+        left_schema=docs_schema,
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    ).materialize()
+    summary["rows_after_fluency"] = docs.count()
 
     # 3. exact dedup (content hash, keep min id): the keep-list STAYS
     # a Dataset — a distributed semi bucket-join (one co-location
@@ -208,6 +233,25 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
     summary["chunks_total"] = int(
         docs.map_batches(n_chunks_batch, batch_format="pyarrow").sum("n_chunks")
     )
+
+    # …and assign every real chunk to its 1M-token training shard via
+    # the distributed exclusive prefix sum (no global sort; the driver
+    # folds P partial sums) — the composite (doc_id, chunk_idx) order
+    # handles the hash ids without a synthetic packed key
+    from rayraster.agg import pack_by_budget
+    from rayraster.textops import chunk_text_windows
+
+    chunk_rows = docs.map_batches(
+        lambda t: chunk_text_windows(t, window=512, stride=384).select(
+            ["doc_id", "chunk_idx", "chunk_len"]
+        ),
+        batch_format="pyarrow",
+    )
+    packed = pack_by_budget(
+        chunk_rows, budget=1_000_000, len_col="chunk_len",
+        order_cols=["doc_id", "chunk_idx"], num_partitions=16,
+    )
+    summary["train_shards"] = int(packed.max("bin_id")) + 1
     top_words = vocab_topk(
         docs, k=10, corpus_count=summary["rows_after_near_dedup"]
     ).to_pandas()  # k rows, post-agg

@@ -712,15 +712,16 @@ def pack_by_budget(
     ds: Dataset,
     budget: int,
     len_col: str,
-    order_col: str,
+    order_cols,
     num_partitions: int = 64,
 ) -> Dataset:
     """Token-budget contiguous packing: assign every row (a chunk /
     sequence) to a fixed-budget training shard by the EXCLUSIVE
-    prefix sum of ``len_col`` over the global ``order_col`` order —
-    the sharding rule of a streaming training-data loader (each shard
-    holds ``budget`` tokens of consecutive chunks; a chunk straddling
-    a boundary starts writing at ``bin_offset``).
+    prefix sum of ``len_col`` over the global ``order_cols``
+    lexicographic order — the sharding rule of a streaming
+    training-data loader (each shard holds ``budget`` tokens of
+    consecutive chunks; a chunk straddling a boundary starts writing
+    at ``bin_offset``).
 
     Appends (all exact int64 — no floats anywhere):
 
@@ -728,23 +729,33 @@ def pack_by_budget(
     * ``bin_id``        — ``tokens_before // budget``
     * ``bin_offset``    — ``tokens_before %  budget``
 
-    SQL twin: ``COALESCE(SUM(len) OVER (ORDER BY ord ROWS BETWEEN
-    UNBOUNDED PRECEDING AND 1 PRECEDING), 0)`` then integer ``//`` and
-    ``%`` — identical integer arithmetic on both engines.
+    SQL twin: ``COALESCE(SUM(len) OVER (ORDER BY <order_cols> ROWS
+    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)`` then integer
+    ``//`` and ``%`` — identical integer arithmetic on both engines.
 
-    ``order_col`` must be unique int64 (callers typically synthesize
-    ``doc_id * K + chunk_idx``).
+    ``order_cols``: a column name or a sequence of them (e.g.
+    ``["doc_id", "chunk_idx"]``); the COMPOSITE must be unique int64s
+    (a duplicate composite makes the prefix order ambiguous).  No
+    synthetic packed key is needed, so arbitrary (hash) id ranges
+    can't overflow.
 
     Distributed prefix scan with NO global sort (same shape as
-    ``windows.add_late_flag``): range-partition the order axis into
-    contiguous chunks, per-chunk sums via one grouped aggregate,
-    prefix-fold the P chunk sums on the driver (the ONLY driver
-    state: P int64s), then one seeded vectorized cumsum per chunk.
+    ``windows.add_late_flag``): range-partition the FIRST order
+    column into contiguous chunks (ties land in one partition, so the
+    composite order never straddles a boundary), per-chunk sums via
+    one grouped aggregate, prefix-fold the P chunk sums on the driver
+    (the ONLY driver state: P int64s), then one seeded vectorized
+    cumsum per chunk.
     """
     import ray
 
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    order_cols = list(order_cols)
+    primary = order_cols[0]
+
     def stats(t: pa.Table) -> pa.Table:
-        o = t[order_col].to_numpy(zero_copy_only=False)
+        o = t[primary].to_numpy(zero_copy_only=False)
         if len(o) == 0:
             return pa.table({"lo": pa.array([], type=pa.int64()),
                              "hi": pa.array([], type=pa.int64())})
@@ -767,10 +778,18 @@ def pack_by_budget(
             )
         return ds
     chunk = max((hi - lo + num_partitions) // num_partitions, 1)
+    # hash ids can span nearly the whole int64 range, so (o - lo) can
+    # exceed int64 — the unsigned reinterpretation makes the wrapping
+    # subtraction exact (0 ≤ o − lo < 2⁶⁴ always)
+    lo_u = np.uint64(lo & 0xFFFFFFFFFFFFFFFF)
+    chunk_u = np.uint64(chunk)
 
     def tag(t: pa.Table) -> pa.Table:
-        o = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.append_column("_ppart", pa.array((o - lo) // chunk))
+        o = t[primary].to_numpy(zero_copy_only=False).astype(np.int64)
+        diff = o.view(np.uint64) - lo_u
+        return t.append_column(
+            "_ppart", pa.array((diff // chunk_u).astype(np.int64))
+        )
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     part_sum = hash_aggregate(
@@ -788,7 +807,7 @@ def pack_by_budget(
 
     def scan(group: pa.Table) -> pa.Table:
         s = ray.get(seeds_ref)
-        group = group.sort_by([(order_col, "ascending")])
+        group = group.sort_by([(c, "ascending") for c in order_cols])
         ln = (
             group[len_col].to_numpy(zero_copy_only=False).astype(np.int64)
         )

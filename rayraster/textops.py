@@ -739,6 +739,8 @@ def corpus_freq_score(
     id_col: str = "doc_id",
     num_partitions: int = 64,
     corpus_count: int | None = None,
+    mode: str = "auto",
+    broadcast_threshold: int = 2_000_000,
 ):
     """CCNet-style LM-lite fluency signal: per document, the mean
     CORPUS frequency of its token occurrences.
@@ -754,18 +756,94 @@ def corpus_freq_score(
     total corpus occurrence count, ``mean_freq`` =
     freq_sum / token_count.
 
-    Plan (2 shuffles, nothing on the driver): (word, doc) occurrence
-    pairs partitioned by ``fnv1a64(word) % P`` — ALL occurrences of a
-    word land in one partition, so the per-partition group computes
-    exact global word counts locally (dictionary codes + bincount),
-    scores each occurrence, and folds per-doc partials; a final
-    :func:`~rayraster.agg.hash_aggregate` by doc merges partitions.
+    Two execution paths with IDENTICAL output:
+
+    * ``broadcast`` (the Zipf path — real vocabularies are tiny next
+      to the corpus): per-batch combiner wordcount → one SMALL
+      grouped sum (the only exchange carries distinct words per
+      batch) → the (word, count) table broadcast once via ``ray.put``
+      → ONE scoring map pass (``pc.index_in`` C++ hash lookup; a doc
+      is a single row, so per-doc sums never leave the batch).  The
+      driver holds O(vocab), never O(corpus).
+    * ``partitioned`` (the adversarial path — unique-garbage tokens
+      make vocab O(corpus)): (word, doc) occurrence pairs partitioned
+      by ``fnv1a64(word) % P`` — ALL occurrences of a word land in
+      one partition, so exact global counts are computed locally —
+      then per-doc partials fold through
+      :func:`~rayraster.agg.hash_aggregate`.  2 shuffles, nothing on
+      the driver.
+
+    ``mode="auto"`` builds the count table (needed by both paths'
+    semantics anyway) and broadcasts iff its row count ≤
+    ``broadcast_threshold``; the rare fallback re-derives counts
+    inside partitions (one wasted combiner pass, documented).
     """
     from rayraster.agg import hash_aggregate
     from rayraster.dedup import _adaptive_parts
     from rayraster.geo import fnv1a64
 
+    if mode not in ("auto", "broadcast", "partitioned"):
+        raise ValueError(f"mode must be auto|broadcast|partitioned, got {mode!r}")
     P = _adaptive_parts(corpus_count, num_partitions)
+
+    if mode in ("auto", "broadcast"):
+        partial = ds.map_batches(
+            lambda t: word_count_partial(t, text_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        counts = hash_aggregate(
+            partial, ["word"], sum_cols=["n"], count=False, num_partitions=P
+        ).materialize()
+        n_vocab = counts.count()
+        if mode == "broadcast" or n_vocab <= broadcast_threshold:
+            wc = counts.to_pandas()  # O(vocab) on the driver — the
+            # documented broadcast side, NOT the corpus
+            words = pa.array(wc["word"].tolist(), type=pa.string())
+            cnts = wc["sum_n"].to_numpy().astype(np.int64)
+            ref = ray.put((words, cnts))
+
+            def score_broadcast(batch: pa.Table) -> pa.Table:
+                w, c = ray.get(ref)  # plasma-cached per worker
+                empty = pa.table(
+                    {
+                        id_col: pa.array([], type=pa.int64()),
+                        "token_count": pa.array([], type=pa.int64()),
+                        "freq_sum": pa.array([], type=pa.int64()),
+                        "mean_freq": pa.array([], type=pa.float64()),
+                    }
+                )
+                if batch.num_rows == 0:
+                    return empty
+                ids = batch[id_col].to_numpy(zero_copy_only=False)
+                flat, doc = _split_words_flat(_combined(batch[text_col]))
+                if len(flat) == 0:
+                    return empty
+                pos = (
+                    pc.fill_null(pc.index_in(flat, value_set=w), -1)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                occ = np.where(pos >= 0, c[np.clip(pos, 0, len(c) - 1)], 0)
+                nrows = batch.num_rows
+                fs = np.bincount(doc, weights=occ, minlength=nrows).astype(
+                    np.int64
+                )
+                tc = np.bincount(doc, minlength=nrows).astype(np.int64)
+                keep = tc > 0  # token-less docs emit no row (both paths)
+                mean = fs[keep].astype(np.float64) / tc[keep].astype(np.float64)
+                return pa.table(
+                    {
+                        id_col: pa.array(ids[keep]),
+                        "token_count": pa.array(tc[keep]),
+                        "freq_sum": pa.array(fs[keep]),
+                        "mean_freq": pa.array(mean),
+                    }
+                )
+
+            return ds.map_batches(
+                score_broadcast, batch_format="pyarrow", zero_copy_batch=True
+            )
 
     def emit(batch: pa.Table) -> pa.Table:
         empty = pa.table(

@@ -143,6 +143,11 @@ def add_late_flag(
     if lo is None:
         return ds
     chunk = max((hi - lo + num_partitions) // num_partitions, 1)
+    # unsigned reinterpretation: (o − lo) can exceed int64 when the
+    # order axis spans most of the hash-id range (wrapping subtraction
+    # is exact since 0 ≤ o − lo < 2⁶⁴)
+    lo_u = np.uint64(lo & 0xFFFFFFFFFFFFFFFF)
+    chunk_u = np.uint64(chunk)
 
     def tag(t: pa.Table) -> pa.Table:
         o = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -151,7 +156,8 @@ def add_late_flag(
             .to_numpy(zero_copy_only=False)
         )
         t = t.append_column("ts_us", pa.array(us))
-        return t.append_column("_wpart", pa.array((o - lo) // chunk))
+        part = (o.view(np.uint64) - lo_u) // chunk_u
+        return t.append_column("_wpart", pa.array(part.astype(np.int64)))
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     part_max = hash_aggregate(

@@ -545,3 +545,63 @@ def test_pack_by_budget_empty_and_single(ray_session):
     )
     row = pack_by_budget(one, 100, "chunk_len", "ord").to_pandas().iloc[0]
     assert (row.tokens_before, row.bin_id, row.bin_offset) == (0, 0, 0)
+
+
+def test_pack_by_budget_composite_order(ray_session):
+    """Composite (doc_id, chunk_idx) order with huge/negative hash
+    ids — no synthetic packed key, no overflow."""
+    from rayraster.agg import pack_by_budget
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array(
+                [-(2**62), -(2**62), 5, 2**62, 2**62], type=pa.int64()
+            ),
+            "chunk_idx": pa.array([0, 1, 0, 0, 1], type=pa.int64()),
+            "chunk_len": pa.array([100, 50, 70, 30, 10], type=pa.int64()),
+        }
+    )
+    got = (
+        pack_by_budget(
+            rd.from_arrow(tab).repartition(3), 128, "chunk_len",
+            ["doc_id", "chunk_idx"], num_partitions=3,
+        )
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    )
+    assert got.tokens_before.tolist() == [0, 100, 150, 220, 250]
+    assert got.bin_id.tolist() == [0, 0, 1, 1, 1]
+    assert got.bin_offset.tolist() == [0, 100, 22, 92, 122]
+
+
+def test_corpus_freq_modes_identical(ray_session, tmp_path):
+    """broadcast and partitioned paths produce IDENTICAL rows; auto
+    picks broadcast under the threshold and partitioned above it."""
+    from rayraster.textops import corpus_freq_score
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(30), type=pa.int64()),
+            "text": [
+                " ".join(f"v{(i * 3 + j) % 11}" for j in range(7))
+                for i in range(30)
+            ],
+        }
+    )
+    p = _write(tmp_path, "modes.parquet", docs)
+    outs = {}
+    for mode in ("broadcast", "partitioned"):
+        outs[mode] = (
+            corpus_freq_score(rd.read_parquet(p), corpus_count=30, mode=mode)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    assert outs["broadcast"].equals(outs["partitioned"])
+    # auto with a tiny threshold must fall back to partitioned and
+    # still match
+    forced = (
+        corpus_freq_score(
+            rd.read_parquet(p), corpus_count=30, mode="auto",
+            broadcast_threshold=2,
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert forced.equals(outs["broadcast"])
