@@ -1247,16 +1247,14 @@ def _sql_chunk_windows() -> str:
   WHERE t.k < d.n_chunks
 )
 SELECT doc_id, chunk_idx, n_chunks, chunk_len, chunk_md5,
-       COALESCE(SUM(chunk_len) OVER (ORDER BY doc_id, chunk_idx
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         AS tokens_before,
-       COALESCE(SUM(chunk_len) OVER (ORDER BY doc_id, chunk_idx
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+       CAST(COALESCE(SUM(chunk_len) OVER w, 0) AS BIGINT) AS tokens_before,
+       CAST(COALESCE(SUM(chunk_len) OVER w, 0) AS BIGINT) // 2048
          AS bin_id,
-       COALESCE(SUM(chunk_len) OVER (ORDER BY doc_id, chunk_idx
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 2048
+       CAST(COALESCE(SUM(chunk_len) OVER w, 0) AS BIGINT) % 2048
          AS bin_offset
-FROM c"""
+FROM c
+WINDOW w AS (ORDER BY doc_id, chunk_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
 
 
 _CAP = 20          # c1 per-domain cap (binds at every sf: ≥ 38 docs/host)

@@ -120,15 +120,17 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
     freq = corpus_freq_score(docs, corpus_count=n_q).materialize()
     f05 = exact_quantiles(freq, "mean_freq", [0.05])[0]
     summary["mean_freq_p05"] = round(f05, 4)
-    fluent_ids = freq.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["mean_freq"], f05)).select(
-            ["doc_id"]
-        ),
+    # ANTI-join on the scored losers: token-less docs have no score
+    # row and pass through this gate explicitly (the quality gate
+    # already penalizes empty text) — a semi-join on keepers would
+    # silently drop them
+    unfluent_ids = freq.map_batches(
+        lambda t: t.filter(pc.less(t["mean_freq"], f05)).select(["doc_id"]),
         batch_format="pyarrow",
     )
     docs_schema = docs.schema()  # docs is materialized — probe is free
     docs = bucket_join(
-        docs, fluent_ids, "doc_id", "doc_id", join_type="semi",
+        docs, unfluent_ids, "doc_id", "doc_id", join_type="anti",
         left_schema=docs_schema,
         right_schema=pa.schema([("doc_id", pa.int64())]),
     ).materialize()
@@ -251,7 +253,8 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
         chunk_rows, budget=1_000_000, len_col="chunk_len",
         order_cols=["doc_id", "chunk_idx"], num_partitions=16,
     )
-    summary["train_shards"] = int(packed.max("bin_id")) + 1
+    max_bin = packed.max("bin_id")  # None when every doc was filtered
+    summary["train_shards"] = int(max_bin) + 1 if max_bin is not None else 0
     top_words = vocab_topk(
         docs, k=10, corpus_count=summary["rows_after_near_dedup"]
     ).to_pandas()  # k rows, post-agg

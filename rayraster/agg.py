@@ -754,6 +754,11 @@ def pack_by_budget(
     order_cols = list(order_cols)
     primary = order_cols[0]
 
+    # three consumers below (lo/hi stats scan, partial-sum aggregate,
+    # final scan) — pin the input once so an expensive lazy lineage
+    # (e.g. a chunk expansion) executes once, not three times
+    ds = ds.materialize()
+
     def stats(t: pa.Table) -> pa.Table:
         o = t[primary].to_numpy(zero_copy_only=False)
         if len(o) == 0:

@@ -314,6 +314,24 @@ def build_bloom(
     return out
 
 
+def _bloom_probe(bloom: Bloom, col: str):
+    """The shared broadcast probe: ship the bit array once via
+    ``ray.put`` (zero-copy plasma numpy view per task, cached per
+    worker — no per-batch memcpy), return a closure computing the
+    membership mask of ``col`` for a batch."""
+    import ray
+
+    bref = ray.put(bloom.bits)
+    log2_bits, num_hashes = bloom.log2_bits, bloom.j
+
+    def mask_of(t: pa.Table) -> np.ndarray:
+        # copy=False: probe directly against the read-only plasma view
+        b = Bloom(log2_bits, num_hashes, bits=ray.get(bref), copy=False)
+        return b.contains_hashes(_col_hashes(t, col))
+
+    return mask_of
+
+
 def bloom_filter(ds: Dataset, bloom: Bloom, col: str, keep: str = "hits") -> Dataset:
     """Filter ``ds`` by Bloom membership of ``col``.
 
@@ -321,23 +339,14 @@ def bloom_filter(ds: Dataset, bloom: Bloom, col: str, keep: str = "hits") -> Dat
     members — chain a ``bucket_join(..., join_type="semi")`` on the
     survivors for exactness; the Bloom pass shrinks that exchange to
     the candidate set).  ``keep="misses"`` keeps DEFINITE non-members
-    (no exact pass needed — Bloom has no false negatives).
-
-    The filter ships to workers once via ``ray.put`` (zero-copy plasma
-    numpy view per task), never per batch."""
-    import ray
-
+    (no exact pass needed — Bloom has no false negatives)."""
     if keep not in ("hits", "misses"):
         raise ValueError('keep must be "hits" or "misses"')
-    bref = ray.put(bloom.bits)
-    log2_bits, num_hashes, want_hits = bloom.log2_bits, bloom.j, keep == "hits"
+    mask_of = _bloom_probe(bloom, col)
+    want_hits = keep == "hits"
 
     def keep_fn(t: pa.Table) -> pa.Table:
-        # copy=False: probe directly against the read-only plasma view
-        # (ray.get of the same ref is cached per worker; no per-batch
-        # memcpy of the bit array)
-        b = Bloom(log2_bits, num_hashes, bits=ray.get(bref), copy=False)
-        mask = b.contains_hashes(_col_hashes(t, col))
+        mask = mask_of(t)
         return t.filter(pa.array(mask if want_hits else ~mask))
 
     return ds.map_batches(keep_fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -354,14 +363,9 @@ def bloom_mark(
     one hashing pass over the corpus, then two trivial boolean filters
     on the marked result — versus two full hashing passes with paired
     ``keep="hits"`` / ``keep="misses"`` :func:`bloom_filter` calls."""
-    import ray
-
-    bref = ray.put(bloom.bits)
-    log2_bits, num_hashes = bloom.log2_bits, bloom.j
+    mask_of = _bloom_probe(bloom, col)
 
     def mark_fn(t: pa.Table) -> pa.Table:
-        b = Bloom(log2_bits, num_hashes, bits=ray.get(bref), copy=False)
-        mask = b.contains_hashes(_col_hashes(t, col))
-        return t.append_column(out_col, pa.array(mask))
+        return t.append_column(out_col, pa.array(mask_of(t)))
 
     return ds.map_batches(mark_fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -494,9 +494,9 @@ def test_corpus_freq_score_partition_invariant(ray_session, tmp_path):
 
 PACK_TWIN = """
 SELECT ord, chunk_len,
-  COALESCE(SUM(chunk_len) OVER w, 0)          AS tokens_before,
-  COALESCE(SUM(chunk_len) OVER w, 0) // {b}   AS bin_id,
-  COALESCE(SUM(chunk_len) OVER w, 0) %  {b}   AS bin_offset
+  CAST(COALESCE(SUM(chunk_len) OVER w, 0) AS BIGINT)          AS tokens_before,
+  CAST(COALESCE(SUM(chunk_len) OVER w, 0) AS BIGINT) // {b}   AS bin_id,
+  CAST(COALESCE(SUM(chunk_len) OVER w, 0) AS BIGINT) %  {b}   AS bin_offset
 FROM read_parquet('{p}')
 WINDOW w AS (ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 ORDER BY ord"""
@@ -522,8 +522,8 @@ def test_pack_by_budget_matches_window_twin(ray_session, tmp_path):
         .to_pandas().sort_values("ord").reset_index(drop=True)
     )
     want = duckdb.sql(PACK_TWIN.format(p=p, b=2048)).df()
-    for c in ("tokens_before", "bin_id", "bin_offset"):
-        want[c] = want[c].astype("int64")
+    # no dtype coercion: the CAST ... AS BIGINT twin must come back
+    # int64, exactly like the engine (the driver gate compares schema)
     assert got.equals(want)
     # packing invariants: prefix strictly consistent, bins contiguous
     assert (got.tokens_before.diff().dropna() == got.chunk_len[:-1].values).all()
