@@ -1085,9 +1085,14 @@ def _q_embed_neardup(sf_dir: str):
 
 
 def _q_ann_topk(sf_dir: str):
+    """Merged twin (path column): 'query' = exact cosine top-10 of 5
+    external query vectors over the corpus (brute broadcast matmul);
+    'self' = the all-pairs top-10 SELF-join (similarity.self_topk —
+    every vector's neighbours within the same table, self-matches
+    dropped by id, ranks recomputed)."""
     import pyarrow.parquet as pq
 
-    from rayraster.similarity import brute_topk
+    from rayraster.similarity import brute_topk, self_topk
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qt = pq.read_table(
@@ -1097,7 +1102,13 @@ def _q_ann_topk(sf_dir: str):
     out = brute_topk(
         emb, qt.vec_id.to_numpy(), np.stack(qt.embedding.values), k=10
     )
-    return out.select(["qid", "vec_id", "rank"])
+    selfj = self_topk(emb, k=10)
+    return pa.concat_tables(
+        [
+            _tag_table(out.select(["qid", "vec_id", "rank"]), "query"),
+            _tag_table(selfj.select(["qid", "vec_id", "rank"]), "self"),
+        ]
+    )
 
 
 def _q_token_metrics(sf_dir: str):
@@ -2039,7 +2050,7 @@ FROM embeddings WHERE vec_id % 5 = 0"""
 
 
 def _sql_ann_topk() -> str:
-    return """SELECT qid, vec_id, "rank" FROM (
+    return """SELECT qid, vec_id, "rank", 'query' AS path FROM (
   SELECT q.vec_id AS qid, e.vec_id AS vec_id,
          row_number() OVER (
            PARTITION BY q.vec_id
@@ -2048,6 +2059,17 @@ def _sql_ann_topk() -> str:
          ) AS "rank"
   FROM embeddings q CROSS JOIN embeddings e
   WHERE q.vec_id < 5
+) WHERE "rank" <= 10
+UNION ALL
+SELECT qid, vec_id, "rank", 'self' AS path FROM (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                    b.vec_id
+         ) AS "rank"
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
 ) WHERE "rank" <= 10"""
 
 

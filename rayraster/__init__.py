@@ -20,8 +20,11 @@ cosine; distributed connected components), similarity search
 (brute-force + IVF with a persisted partition-pruned index), text
 analysis (lang-id, quality score, token counts, BPE pre-tokens,
 fingerprints, PII redaction, context-window chunking, vocabulary
-top-k), exact/grouped/stratified/weighted-priority sampling and
-quantiles, windowed
+top-k), corpus curation (Gopher repetition metrics, per-domain caps,
+benchmark decontamination, Lee-et-al cross-document duplicate
+n-grams, CCNet-style corpus-frequency fluency scoring, token-budget
+shard packing), exact/grouped/stratified/weighted-priority sampling
+and quantiles, windowed
 aggregation (tumbling/sliding/session/watermark), joins (broadcast,
 bucketed, salted-skew, semi/anti, as-of, dense + bucket-indexed
 range), sketches (HLL distinct counts, mergeable Bloom membership

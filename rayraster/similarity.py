@@ -160,6 +160,68 @@ def _final_topk(tbl: pa.Table, k: int, id_col: str) -> pa.Table:
     )
 
 
+def self_topk(
+    ds: Dataset,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> pa.Table:
+    """All-pairs cosine top-k SELF-join: each vector's k nearest
+    neighbours within the same dataset (near-duplicate ranking,
+    related-item discovery) — exact.
+
+    Broadcast formulation: the full (ids, matrix) pair ships once via
+    ``ray.put`` and every batch scores against it — ONE streaming pass
+    over the corpus side; right whenever the N×d query matrix fits a
+    worker (the brute/oracle baseline, same duality as the r8
+    broadcast kNN vs the r8b tiled-halo kNN).  At 10⁹+ vectors use
+    the IVF path (:func:`ivf_build_index` + :func:`ivf_query_index`
+    probed per corpus slab) or the threshold semantics of
+    ``dedup.embedding_neardup_pairs``.
+
+    Self-matches are dropped by ID, not by cosine — an exact
+    duplicate under a DIFFERENT id stays (and ranks first).  Ranks
+    are recomputed after the self-drop, so the result equals a
+    ``ROW_NUMBER`` over the a ≠ b cross join (cos desc, id asc).
+    """
+    q = ds.select_columns([id_col, vec_col]).to_pandas()
+    # ^ O(N·d) on the driver — this IS the broadcast side (the whole
+    # point of the brute formulation); the docstring names the scale
+    # escape hatches
+    ids = q[id_col].to_numpy().astype(np.int64)
+    mat = np.stack(q[vec_col].values).astype(np.float64)
+    kk = k + 1 if exclude_self else k
+    out = brute_topk(ds, ids, mat, k=kk, vec_col=vec_col, id_col=id_col)
+    if not exclude_self:
+        return out
+    qid = out["qid"].to_numpy(zero_copy_only=False)
+    vid = out[id_col].to_numpy(zero_copy_only=False)
+    cos = out["cos"].to_numpy(zero_copy_only=False)
+    rank = out["rank"].to_numpy(zero_copy_only=False)
+    keep = qid != vid
+    qid, vid, cos, rank = qid[keep], vid[keep], cos[keep], rank[keep]
+    # re-rank within qid preserving the (cos desc, id asc) order the
+    # incoming rank encodes, then cut to k
+    order = np.lexsort((rank, qid))
+    qs, rs = qid[order], np.empty(len(order), dtype=np.int64)
+    new_q = np.ones(len(order), dtype=bool)
+    new_q[1:] = qs[1:] != qs[:-1]
+    idx = np.arange(len(order), dtype=np.int64)
+    starts = np.maximum.accumulate(np.where(new_q, idx, 0))
+    rs = idx - starts + 1
+    keep2 = rs <= k
+    inv = order[keep2]
+    return pa.table(
+        {
+            "qid": pa.array(qid[inv]),
+            id_col: pa.array(vid[inv]),
+            "rank": pa.array(rs[keep2]),
+            "cos": pa.array(cos[inv]),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-style bucketed ANN (the scale path)
 # ---------------------------------------------------------------------------

@@ -297,3 +297,55 @@ def test_bpe_token_count():
     out = bpe_token_count(t)["bpe_token_count"].to_pylist()
     # "I"+"'ll"+" don"+"'t"+" co"+"-"+"op"+" 42"+"x" = 9
     assert out == [9, 0, 3]
+
+
+# ---------------------------------------------------------------------------
+# all-pairs top-k self-similarity join
+# ---------------------------------------------------------------------------
+
+
+def test_self_topk_matches_cross_join_twin(ray_session):
+    import duckdb
+
+    from rayraster.similarity import self_topk
+
+    p = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = rd.read_parquet(p, columns=["vec_id", "embedding"])
+    got = (
+        self_topk(ds, k=5)
+        .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+        [["qid", "vec_id", "rank"]]
+    )
+    want = duckdb.sql(f"""
+SELECT qid, vec_id, "rank" FROM (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                    b.vec_id) AS "rank"
+  FROM read_parquet('{p}') a CROSS JOIN read_parquet('{p}') b
+  WHERE a.vec_id <> b.vec_id
+) WHERE "rank" <= 5 ORDER BY qid, "rank" """).df()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_self_topk_duplicate_vector_and_self_handling(ray_session):
+    from rayraster.similarity import self_topk
+
+    v = [1.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0]
+    tab = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], type=pa.int64()),
+            "embedding": [v, v, w],  # 1 and 2 are exact duplicates
+        }
+    )
+    out = self_topk(rd.from_arrow(tab), k=2).to_pandas()
+    by = out.set_index(["qid", "rank"])
+    # each duplicate ranks the OTHER duplicate first (cos 1.0), never
+    # itself — exclusion is by id, not by cosine
+    assert by.loc[(1, 1), "vec_id"] == 2 and by.loc[(1, 1), "cos"] == 1.0
+    assert by.loc[(2, 1), "vec_id"] == 1 and by.loc[(2, 1), "cos"] == 1.0
+    assert (out.vec_id != out.qid).all()
+    # without exclusion, self (or the tied lower id) ranks first
+    raw = self_topk(rd.from_arrow(tab), k=1, exclude_self=False).to_pandas()
+    assert raw.set_index("qid")["vec_id"].to_dict() == {1: 1, 2: 1, 3: 3}
