@@ -217,6 +217,97 @@ def cmd_vocab(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Corpus curation metrics in one pass over a parquet corpus:
+    per-doc quality + Gopher repetition + corpus-frequency fluency
+    score, written as a feature table to join back on id."""
+    import shutil
+
+    import ray.data as rd
+
+    from rayraster.join import bucket_join
+    from rayraster.textops import corpus_freq_score, quality_score, repetition_metrics
+
+    import pyarrow as pa
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    ds = rd.read_parquet(files, columns=[args.id_col, args.text_col])
+    n_docs = ds.count()  # raw read → parquet metadata count
+    feats = ds.map_batches(
+        lambda t: quality_score(t, args.text_col), batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(
+        lambda t: repetition_metrics(t, args.text_col).drop_columns(
+            [args.text_col]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    freq = corpus_freq_score(
+        rd.read_parquet(files, columns=[args.id_col, args.text_col]),
+        text_col=args.text_col, id_col=args.id_col, corpus_count=n_docs,
+    ).map_batches(
+        lambda t: t.select([args.id_col, "freq_sum", "mean_freq"]),
+        batch_format="pyarrow",
+    )
+    out = bucket_join(
+        feats, freq, args.id_col, args.id_col, join_type="left",
+        right_schema=pa.schema(
+            [(args.id_col, pa.int64()), ("freq_sum", pa.int64()),
+             ("mean_freq", pa.float64())]
+        ),
+    )
+    shutil.rmtree(args.out, ignore_errors=True)
+    out.write_parquet(args.out)
+    n = rd.read_parquet(args.out).count()
+    print(json.dumps({"out": args.out, "docs": n}))
+    return 0
+
+
+def cmd_pack(args) -> int:
+    """Chunk a corpus and assign every chunk to its token-budget
+    training shard (tokens_before / bin_id / bin_offset) — the
+    loader-ready packing table."""
+    import shutil
+
+    import ray.data as rd
+
+    from rayraster.agg import pack_by_budget
+    from rayraster.textops import chunk_text_windows
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    ds = rd.read_parquet(files, columns=[args.id_col, args.text_col])
+    chunks = ds.map_batches(
+        lambda t: chunk_text_windows(
+            t, args.text_col, args.id_col, args.window, args.stride
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    packed = pack_by_budget(
+        chunks, budget=args.budget, len_col="chunk_len",
+        order_cols=[args.id_col, "chunk_idx"],
+    )
+    shutil.rmtree(args.out, ignore_errors=True)
+    packed.write_parquet(args.out)
+    sink = rd.read_parquet(args.out)
+    n = sink.count()
+    max_bin = sink.max("bin_id") if n else None
+    print(json.dumps({
+        "out": args.out, "chunks": n, "budget": args.budget,
+        "shards": int(max_bin) + 1 if max_bin is not None else 0,
+    }))
+    return 0
+
+
 def cmd_plot(args) -> int:
     import ray.data as rd
 
@@ -283,6 +374,23 @@ def main(argv=None) -> int:
     v.add_argument("--text-col", default="text")
     v.add_argument("--k", type=int, default=100)
     v.set_defaults(fn=cmd_vocab)
+
+    u = sub.add_parser("curate", help="per-doc quality/repetition/fluency features")
+    u.add_argument("--input", required=True)
+    u.add_argument("--out", required=True)
+    u.add_argument("--id-col", default="doc_id")
+    u.add_argument("--text-col", default="text")
+    u.set_defaults(fn=cmd_curate)
+
+    k = sub.add_parser("pack", help="chunk + token-budget shard packing")
+    k.add_argument("--input", required=True)
+    k.add_argument("--out", required=True)
+    k.add_argument("--id-col", default="doc_id")
+    k.add_argument("--text-col", default="text")
+    k.add_argument("--window", type=int, default=512)
+    k.add_argument("--stride", type=int, default=384)
+    k.add_argument("--budget", type=int, default=1_000_000)
+    k.set_defaults(fn=cmd_pack)
 
     g = sub.add_parser("plot", help="render a pixel table to PNG")
     g.add_argument("--pixels", required=True)

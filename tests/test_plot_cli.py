@@ -277,3 +277,57 @@ def test_training_pipeline_example(tmp_path):
     assert s["chunks_total"] >= s["rows_after_near_dedup"]
     assert len(s["vocab_top3"]) == 3
     assert s["pixels"] > 0 and os.path.exists(s["png"])
+
+
+def test_cli_curate_and_pack(tmp_path):
+    """The curate/pack CLI surface over a small corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    texts = ["common words common words " * 20, "common words", None]
+    pq.write_table(
+        pa.table({"doc_id": [0, 1, 2], "text": texts}),
+        str(corpus / "d.parquet"),
+    )
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "curate", "--input", str(corpus / "*.parquet"),
+         "--out", str(tmp_path / "feats")],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["docs"] == 3  # NULL-text doc survives with und features
+    import pandas as pd
+
+    feats = pd.read_parquet(str(tmp_path / "feats"))
+    assert {"quality", "dup_line_frac", "top_word_frac", "mean_freq"} <= set(
+        feats.columns
+    )
+    by = feats.set_index("doc_id")
+    assert by.loc[0, "mean_freq"] > 0  # common tokens score
+    assert pd.isna(by.loc[2, "mean_freq"])  # token-less: unscored
+
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "pack", "--input", str(corpus / "*.parquet"),
+         "--out", str(tmp_path / "packed"),
+         "--window", "100", "--stride", "80", "--budget", "200"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    packed = pd.read_parquet(str(tmp_path / "packed")).sort_values(
+        ["doc_id", "chunk_idx"]
+    )
+    assert s["chunks"] == len(packed)
+    assert s["shards"] == int(packed.bin_id.max()) + 1
+    # prefix consistency across the shard table
+    assert (
+        packed.tokens_before.diff().dropna()
+        == packed.chunk_len[:-1].values
+    ).all()
