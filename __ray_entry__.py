@@ -366,18 +366,74 @@ def _q_sample(sf_dir: str):
     strat = stratified_sample(
         docs, "doc_id", "lang", _STRAT_RATES, default_num=100000
     ).map_batches(tag("stratified"), batch_format="pyarrow")
-    return uni.union(strat)
+
+    # + the deterministic corpus MIXTURE (Pile/Dolma source weighting):
+    # en upsampled 1.6 epochs, the rest kept at 0.5 — upsampling shows
+    # as literal duplicate rows distinguished by the epoch in `method`
+    from rayraster.agg import mixture_sample
+
+    import pyarrow.compute as pc
+
+    def lang_slice(want_en: bool):
+        return docs.map_batches(
+            lambda t, w=want_en: t.filter(
+                pc.fill_null(pc.equal(t["lang"], "en"), False)
+                if w
+                else pc.invert(pc.fill_null(pc.equal(t["lang"], "en"), False))
+            ),
+            batch_format="pyarrow",
+        )
+
+    mix = mixture_sample(
+        {"en": lang_slice(True), "rest": lang_slice(False)}, _MIX_W
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_chars": t["n_chars"],
+                "method": pc.binary_join_element_wise(
+                    "mix:", t["source"], ":", t["epoch"].cast(pa.string()), ""
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return uni.union(strat).union(mix)
+
+
+def _mix_thr(w: float, rate_den: int = 1_000_003) -> int:
+    """The LITERAL threshold formula of agg.mixture_sample's
+    fractional epoch (same float ops, same round) — keeps the SQL
+    twin's integer identical to the engine's."""
+    import math
+
+    return int(round((w - math.floor(w)) * rate_den))
+
+
+_MIX_W = {"en": 1.6, "rest": 0.5}
 
 
 def _sql_sample() -> str:
     case = " ".join(
         f"WHEN '{k}' THEN {v}" for k, v in sorted(_STRAT_RATES.items())
     )
+    thr_en, thr_rest = _mix_thr(_MIX_W["en"]), _mix_thr(_MIX_W["rest"])
     return f"""SELECT doc_id, lang, n_chars, 'uniform' AS method FROM documents
 WHERE (doc_id * 2654435761) % 1000003 < 100000
 UNION ALL
 SELECT doc_id, lang, n_chars, 'stratified' AS method FROM documents
-WHERE (doc_id * 2654435761) % 1000003 < CASE lang {case} ELSE 100000 END"""
+WHERE (doc_id * 2654435761) % 1000003 < CASE lang {case} ELSE 100000 END
+UNION ALL
+SELECT doc_id, lang, n_chars,
+       'mix:en:' || CAST(k AS VARCHAR) AS method
+FROM documents, range(0, 2) r(k)
+WHERE lang = 'en'
+  AND (k < 1 OR (doc_id * 2654435761) % 1000003 < {thr_en})
+UNION ALL
+SELECT doc_id, lang, n_chars, 'mix:rest:0' AS method FROM documents
+WHERE lang IS DISTINCT FROM 'en'
+  AND (doc_id * 2654435761) % 1000003 < {thr_rest}"""
 
 
 def _q_sort_limit(sf_dir: str):

@@ -824,3 +824,68 @@ def pack_by_budget(
         return group.drop_columns(["_ppart"])
 
     return tagged.groupby("_ppart").map_groups(scan, batch_format="pyarrow")
+
+
+def mixture_sample(
+    sources: dict,
+    weights: dict,
+    id_col: str = "doc_id",
+    rate_den: int = 1_000_003,
+) -> Dataset:
+    """Deterministic corpus mixture (the Pile/Dolma source-weighting
+    operator): each source contributes ``floor(w)`` full epochs plus a
+    deterministic fractional epoch sampled at rate ``w - floor(w)`` by
+    the shared Knuth hash — so a weight of 2.4 means every document
+    appears twice and a fixed 40% slice appears a third time.
+
+    ``sources``: ``{name: Dataset}`` (same schema); ``weights``:
+    ``{name: float ≥ 0}``.  Appends ``source`` (str) and ``epoch``
+    (int64, 0-based).  Pure id arithmetic — identical mix across
+    runs, chunkings and cluster sizes (unlike seeded RNG, which
+    depends on block layout), and bit-exact in SQL: the fractional
+    threshold is computed ONCE as the integer
+    ``round(frac · rate_den)`` so both engines compare the same ints.
+
+    Map-only (no shuffle): epoch fan-out happens inside each batch and
+    the union streams.  Upsampling multiplies bytes, not exchanges.
+    """
+    import math
+
+    names = sorted(sources)
+    if set(names) != set(weights):
+        raise ValueError("sources and weights must have identical keys")
+    outs = []
+    for name in names:
+        w = float(weights[name])
+        if w < 0 or not math.isfinite(w):
+            raise ValueError(f"weight for {name!r} must be finite and ≥ 0: {w}")
+        full = math.floor(w)
+        thr = int(round((w - full) * rate_den))
+
+        def fan(t: pa.Table, full=full, thr=thr, name=name) -> pa.Table:
+            def with_tags(tbl: pa.Table, k: int) -> pa.Table:
+                tbl = tbl.append_column(
+                    "source", pa.array([name] * tbl.num_rows, type=pa.string())
+                )
+                return tbl.append_column(
+                    "epoch", pa.array(np.full(tbl.num_rows, k, dtype=np.int64))
+                )
+
+            parts = [with_tags(t, k) for k in range(full)]
+            if thr > 0:
+                ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                keep = _sample_hash(ids, rate_den) < np.int64(thr)
+                parts.append(with_tags(t.filter(pa.array(keep)), full))
+            if not parts:  # weight 0 (or fractional rounds to 0)
+                return with_tags(t.slice(0, 0), 0)
+            return pa.concat_tables(parts)
+
+        outs.append(
+            sources[name].map_batches(
+                fan, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    mix = outs[0]
+    for o in outs[1:]:
+        mix = mix.union(o)
+    return mix

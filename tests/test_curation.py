@@ -605,3 +605,58 @@ def test_corpus_freq_modes_identical(ray_session, tmp_path):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert forced.equals(outs["broadcast"])
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus mixture (source weighting with upsampling epochs)
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_sample_matches_twin_and_invariants(ray_session, tmp_path):
+    from rayraster.agg import mixture_sample
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(1000), type=pa.int64()),
+            "v": pa.array(range(1000), type=pa.int64()),
+        }
+    )
+    p = _write(tmp_path, "mix.parquet", tab)
+    a = rd.read_parquet(p).repartition(4)
+    b = rd.read_parquet(p)
+    mix = (
+        mixture_sample({"a": a, "b": b}, {"a": 2.4, "b": 0.3})
+        .to_pandas().sort_values(["source", "epoch", "doc_id"])
+        .reset_index(drop=True)
+    )
+    den = 1_000_003
+    thr_a, thr_b = int(round(0.4 * den)), int(round(0.3 * den))
+    want = duckdb.sql(f"""
+SELECT doc_id, v, 'a' AS source, k AS epoch
+FROM read_parquet('{p}'), range(0, 3) r(k)
+WHERE k < 2 OR (doc_id*2654435761) % {den} < {thr_a}
+UNION ALL
+SELECT doc_id, v, 'b' AS source, 0 AS epoch FROM read_parquet('{p}')
+WHERE (doc_id*2654435761) % {den} < {thr_b}
+ORDER BY source, epoch, doc_id""").df()
+    want["epoch"] = want["epoch"].astype("int64")
+    assert mix.equals(want)
+    # invariants: full epochs are complete copies; fractional epoch
+    # rate ≈ frac; weight 0 contributes nothing
+    sizes = mix.groupby(["source", "epoch"]).size()
+    assert sizes[("a", 0)] == sizes[("a", 1)] == 1000
+    assert 300 < sizes[("a", 2)] < 500
+    zero = mixture_sample({"a": rd.read_parquet(p)}, {"a": 0.0})
+    assert zero.count() == 0
+
+
+def test_mixture_sample_validates_inputs(ray_session):
+    import pytest as _pytest
+
+    from rayraster.agg import mixture_sample
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], type=pa.int64())}))
+    with _pytest.raises(ValueError):
+        mixture_sample({"a": ds}, {"b": 1.0})
+    with _pytest.raises(ValueError):
+        mixture_sample({"a": ds}, {"a": -0.5})
