@@ -1151,14 +1151,17 @@ def _q_ann_topk(sf_dir: str):
     from rayraster.similarity import brute_topk, self_topk
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qt = pq.read_table(
+    full = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).to_pandas()
-    qt = qt[qt.vec_id < 5].sort_values("vec_id")
+    ).to_pandas()  # one local read feeds BOTH broadcast sides
+    qt = full[full.vec_id < 5].sort_values("vec_id")
     out = brute_topk(
         emb, qt.vec_id.to_numpy(), np.stack(qt.embedding.values), k=10
     )
-    selfj = self_topk(emb, k=10)
+    selfj = self_topk(
+        emb, k=10,
+        ids=full.vec_id.to_numpy(), mat=np.stack(full.embedding.values),
+    )
     return pa.concat_tables(
         [
             _tag_table(out.select(["qid", "vec_id", "rank"]), "query"),

@@ -119,6 +119,10 @@ def _collect_candidates(
     if k is not None:
         cand = cand.map_batches(fold, batch_format="pyarrow",
                                 batch_size=fold_batch, zero_copy_batch=True)
+    # pin before pulling refs: to_arrow_refs' schema resolution runs a
+    # limit-1 probe that re-executes the whole candidate pipeline
+    # (measured: 2× wall on the s1 self-join path)
+    cand = cand.materialize()
     tbls = [t for t in (ray.get(r) for r in cand.to_arrow_refs()) if t.num_columns > 0]
     if not tbls:
         return pa.table(
@@ -141,21 +145,25 @@ def _final_topk(tbl: pa.Table, k: int, id_col: str) -> pa.Table:
     qid = tbl["qid"].to_numpy(zero_copy_only=False)
     vid = tbl[id_col].to_numpy(zero_copy_only=False)
     cos = tbl["cos"].to_numpy(zero_copy_only=False)
-    out_q, out_v, out_r, out_c = [], [], [], []
-    for q in np.unique(qid):
-        m = qid == q
-        v, c = vid[m], cos[m]
-        order = np.lexsort((v, -c))[:k]
-        out_q.append(np.full(len(order), q))
-        out_v.append(v[order])
-        out_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
-        out_c.append(c[order])
+    # one vectorized pass for ALL queries (a per-query Python loop here
+    # cost s1's self-join path ~7 s at 5k queries): lexsort by
+    # (qid, cos desc, id asc), then segment ranks + cut to k
+    order = np.lexsort((vid, -cos, qid))
+    sq = qid[order]
+    n = len(order)
+    new_q = np.ones(n, dtype=bool)
+    new_q[1:] = sq[1:] != sq[:-1]
+    idx = np.arange(n, dtype=np.int64)
+    starts = np.maximum.accumulate(np.where(new_q, idx, 0))
+    rank = idx - starts + 1
+    keep = rank <= k
+    sel = order[keep]
     return pa.table(
         {
-            "qid": pa.array(np.concatenate(out_q)),
-            id_col: pa.array(np.concatenate(out_v)),
-            "rank": pa.array(np.concatenate(out_r)),
-            "cos": pa.array(np.concatenate(out_c)),
+            "qid": pa.array(qid[sel]),
+            id_col: pa.array(vid[sel]),
+            "rank": pa.array(rank[keep]),
+            "cos": pa.array(cos[sel]),
         }
     )
 
@@ -166,6 +174,8 @@ def self_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     exclude_self: bool = True,
+    ids: np.ndarray | None = None,
+    mat: np.ndarray | None = None,
 ) -> pa.Table:
     """All-pairs cosine top-k SELF-join: each vector's k nearest
     neighbours within the same dataset (near-duplicate ranking,
@@ -185,12 +195,18 @@ def self_topk(
     are recomputed after the self-drop, so the result equals a
     ``ROW_NUMBER`` over the a ≠ b cross join (cos desc, id asc).
     """
-    q = ds.select_columns([id_col, vec_col]).to_pandas()
-    # ^ O(N·d) on the driver — this IS the broadcast side (the whole
-    # point of the brute formulation); the docstring names the scale
-    # escape hatches
-    ids = q[id_col].to_numpy().astype(np.int64)
-    mat = np.stack(q[vec_col].values).astype(np.float64)
+    if ids is None or mat is None:
+        q = ds.select_columns([id_col, vec_col]).to_pandas()
+        # ^ O(N·d) on the driver — this IS the broadcast side (the
+        # whole point of the brute formulation); the docstring names
+        # the scale escape hatches.  Callers holding the (ids, matrix)
+        # pair already (e.g. from a local parquet read) pass it in and
+        # skip this pipeline execution.
+        ids = q[id_col].to_numpy().astype(np.int64)
+        mat = np.stack(q[vec_col].values).astype(np.float64)
+    else:
+        ids = np.asarray(ids).astype(np.int64)
+        mat = np.asarray(mat, dtype=np.float64)
     kk = k + 1 if exclude_self else k
     out = brute_topk(ds, ids, mat, k=kk, vec_col=vec_col, id_col=id_col)
     if not exclude_self:
