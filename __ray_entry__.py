@@ -1585,22 +1585,26 @@ def _q_langid(sf_dir: str):
 
 
 def _q_fingerprint(sf_dir: str):
-    """Document fingerprint AND the PII-scrubbed fingerprint in one
-    row set: ``redacted_md5`` pins the exact bytes produced by the
-    vectorized RE2 redaction (emails/IPs/phones → placeholders), so
-    the scrubbing operator is oracle-evidenced without a new sweep
-    slot."""
-    from rayraster.textops import _md5_hex, redact_pii
+    """Document fingerprint, the PII-scrubbed fingerprint AND the
+    canonical-normalization fingerprint in one row set:
+    ``redacted_md5`` pins the exact bytes produced by the vectorized
+    RE2 redaction (emails/IPs/phones → placeholders) and ``norm_md5``
+    pins textops.normalize_text (lower + whitespace collapse + edge
+    strip) — two more operators oracle-evidenced without new sweep
+    slots."""
+    from rayraster.textops import _md5_hex, normalize_text, redact_pii
 
     ds = _docs(sf_dir)
 
     def fp(t: pa.Table) -> pa.Table:
         red = redact_pii(t)["text_redacted"]
+        norm = normalize_text(t)["text_norm"]
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "fingerprint": pa.array(_md5_hex(t["text"]), type=pa.string()),
                 "redacted_md5": pa.array(_md5_hex(red), type=pa.string()),
+                "norm_md5": pa.array(_md5_hex(norm), type=pa.string()),
             }
         )
 
@@ -2206,11 +2210,12 @@ FROM m"""
 
 
 def _sql_fingerprint() -> str:
-    from rayraster.textops import pii_sql_expr
+    from rayraster.textops import normalize_sql_expr, pii_sql_expr
 
     return (
         "SELECT doc_id, md5(text) AS fingerprint, "
-        f"md5({pii_sql_expr('text')}) AS redacted_md5 FROM documents"
+        f"md5({pii_sql_expr('text')}) AS redacted_md5, "
+        f"md5({normalize_sql_expr('text')}) AS norm_md5 FROM documents"
     )
 
 

@@ -254,6 +254,38 @@ def pii_sql_expr(col: str) -> str:
     return expr
 
 
+def normalize_text(
+    batch: pa.Table, text_col: str = "text", out_col: str = "text_norm"
+) -> pa.Table:
+    """Canonical text normalization (dedup/matching preprocessing):
+    lowercase, collapse every ``\\s+`` run to one space, strip the
+    boundary spaces — all vectorized RE2/utf8 kernels, NULL → NULL.
+
+    The edge trim is itself an RE2 replace (``^ +| +$``) rather than
+    ``utf8_trim_whitespace`` so the DuckDB twin
+    (:func:`normalize_sql_expr`) is the same engine end-to-end —
+    Arrow's trim strips UNICODE whitespace (e.g. NBSP, which ``\\s``
+    leaves in place) while SQL ``trim`` strips ASCII spaces only.
+
+    Unicode NFC composition is deliberately NOT applied:
+    ``pc.utf8_normalize`` in pyarrow 16 returns decomposed output for
+    form="NFC" (measured), so composition-sensitive pipelines should
+    normalize at ingest.
+    """
+    t = pc.utf8_lower(batch[text_col])
+    t = pc.replace_substring_regex(t, _WS, " ")
+    t = pc.replace_substring_regex(t, r"^ +| +$", "")
+    return batch.append_column(out_col, t)
+
+
+def normalize_sql_expr(col: str) -> str:
+    """The DuckDB twin of :func:`normalize_text`."""
+    return (
+        f"regexp_replace(regexp_replace(lower({col}), '\\s+', ' ', 'g'),"
+        " '^ +| +$', '', 'g')"
+    )
+
+
 def fingerprint_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Hex md5 per document — SQL twin: duckdb ``md5(text)``."""
     fp = _md5_hex(batch[text_col])

@@ -660,3 +660,36 @@ def test_mixture_sample_validates_inputs(ray_session):
         mixture_sample({"a": ds}, {"b": 1.0})
     with _pytest.raises(ValueError):
         mixture_sample({"a": ds}, {"a": -0.5})
+
+
+def test_normalize_text_matches_twin_and_edges(ray_session, tmp_path):
+    from rayraster.textops import normalize_text, normalize_sql_expr
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(7), type=pa.int64()),
+            "text": [
+                "Héllo   Wörld",
+                "  tabs\tand\nnewlines  ",
+                "Mixed\r\nCRLF  spaces",
+                None,
+                "",
+                "Straße ÅNGSTRÖM",
+                "nbsp stays",  # \s is ASCII-only on both engines
+            ],
+        }
+    )
+    p = _write(tmp_path, "norm.parquet", docs)
+    got = normalize_text(pq.read_table(p))["text_norm"].to_pylist()
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {normalize_sql_expr('text')} FROM read_parquet('{p}') "
+            "ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert got == want
+    assert got[0] == "héllo wörld"
+    assert got[1] == "tabs and newlines"
+    assert got[3] is None and got[4] == ""
+    assert got[6] == "nbsp stays"
