@@ -188,3 +188,74 @@ def test_chunk_count_covers_document(length, window, stride):
     # no redundant tail: every window past the first adds new content
     for prev_end, s in zip(ends, starts[1:]):
         assert s + window > prev_end
+
+
+# ---------------------------------------------------------------------------
+# curation kernel properties (pure batch ops — no Ray)
+# ---------------------------------------------------------------------------
+
+import pyarrow as pa
+
+text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.one_of(text_st, st.none()), min_size=1, max_size=20))
+def test_normalize_text_idempotent_and_shaped(texts):
+    from rayraster.textops import normalize_text
+
+    t = pa.table({"text": pa.array(texts, type=pa.string())})
+    once = normalize_text(t)["text_norm"]
+    twice = normalize_text(
+        pa.table({"text": once}), text_col="text"
+    )["text_norm"]
+    assert once.to_pylist() == twice.to_pylist()  # idempotent
+    for src, out in zip(texts, once.to_pylist()):
+        if src is None:
+            assert out is None
+        else:
+            assert "  " not in out  # no double spaces survive
+            assert out == out.strip(" ")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.one_of(text_st, st.none()), min_size=1, max_size=20))
+def test_repetition_metrics_bounds(texts):
+    from rayraster.textops import repetition_metrics
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    out = repetition_metrics(t)
+    assert all(v >= 1 for v in out["n_lines"].to_pylist())
+    for col in ("dup_line_frac", "dup_line_char_frac", "top_word_frac"):
+        assert all(0.0 <= v <= 1.0 for v in out[col].to_pylist()), col
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), max_size=12).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(1, 6),
+)
+def test_ngram_counts_per_doc(texts, n):
+    from rayraster.textops import _ngrams_of, _split_words_flat
+
+    t = pa.array(texts, type=pa.string())
+    flat, doc = _split_words_flat(t)
+    grams, gdoc = _ngrams_of(flat, doc, n)
+    words_per_doc = np.bincount(doc, minlength=len(texts))
+    grams_per_doc = np.bincount(gdoc, minlength=len(texts))
+    expect = np.maximum(words_per_doc - n + 1, 0)
+    assert (grams_per_doc == expect).all()  # grams never cross docs
+    # every gram has exactly n space-separated tokens
+    for g in grams.to_pylist()[:20]:
+        assert len(g.split(" ")) == n
