@@ -402,38 +402,37 @@ def _q_sample(sf_dir: str):
     return uni.union(strat).union(mix)
 
 
-def _mix_thr(w: float, rate_den: int = 1_000_003) -> int:
-    """The LITERAL threshold formula of agg.mixture_sample's
-    fractional epoch (same float ops, same round) — keeps the SQL
-    twin's integer identical to the engine's."""
-    import math
-
-    return int(round((w - math.floor(w)) * rate_den))
-
-
 _MIX_W = {"en": 1.6, "rest": 0.5}
+
+
+def _mix_arm(name: str, lang_pred: str) -> str:
+    """One UNION arm of the mixture twin, DERIVED from _MIX_W through
+    agg.mixture_epochs — the engine's own epoch/threshold split — so
+    editing a weight can never desync the oracle."""
+    from rayraster.agg import mixture_epochs
+
+    full, thr = mixture_epochs(_MIX_W[name])
+    n_ep = full + (1 if thr > 0 else 0)
+    return f"""SELECT doc_id, lang, n_chars,
+       'mix:{name}:' || CAST(k AS VARCHAR) AS method
+FROM documents, range(0, {n_ep}) r(k)
+WHERE {lang_pred}
+  AND (k < {full} OR (doc_id * 2654435761) % 1000003 < {thr})"""
 
 
 def _sql_sample() -> str:
     case = " ".join(
         f"WHEN '{k}' THEN {v}" for k, v in sorted(_STRAT_RATES.items())
     )
-    thr_en, thr_rest = _mix_thr(_MIX_W["en"]), _mix_thr(_MIX_W["rest"])
     return f"""SELECT doc_id, lang, n_chars, 'uniform' AS method FROM documents
 WHERE (doc_id * 2654435761) % 1000003 < 100000
 UNION ALL
 SELECT doc_id, lang, n_chars, 'stratified' AS method FROM documents
 WHERE (doc_id * 2654435761) % 1000003 < CASE lang {case} ELSE 100000 END
 UNION ALL
-SELECT doc_id, lang, n_chars,
-       'mix:en:' || CAST(k AS VARCHAR) AS method
-FROM documents, range(0, 2) r(k)
-WHERE lang = 'en'
-  AND (k < 1 OR (doc_id * 2654435761) % 1000003 < {thr_en})
+{_mix_arm("en", "lang = 'en'")}
 UNION ALL
-SELECT doc_id, lang, n_chars, 'mix:rest:0' AS method FROM documents
-WHERE lang IS DISTINCT FROM 'en'
-  AND (doc_id * 2654435761) % 1000003 < {thr_rest}"""
+{_mix_arm("rest", "lang IS DISTINCT FROM 'en'")}"""
 
 
 def _q_sort_limit(sf_dir: str):

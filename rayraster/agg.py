@@ -859,8 +859,7 @@ def mixture_sample(
         w = float(weights[name])
         if w < 0 or not math.isfinite(w):
             raise ValueError(f"weight for {name!r} must be finite and ≥ 0: {w}")
-        full = math.floor(w)
-        thr = int(round((w - full) * rate_den))
+        full, thr = mixture_epochs(w, rate_den)
 
         def fan(t: pa.Table, full=full, thr=thr, name=name) -> pa.Table:
             def with_tags(tbl: pa.Table, k: int) -> pa.Table:
@@ -889,3 +888,15 @@ def mixture_sample(
     for o in outs[1:]:
         mix = mix.union(o)
     return mix
+
+
+def mixture_epochs(w: float, rate_den: int = 1_000_003) -> tuple:
+    """(full_epochs, fractional_threshold) of a mixture weight — the
+    ONE definition of the epoch split, shared by
+    :func:`mixture_sample` and any SQL twin (the threshold is the
+    integer ``round((w - floor(w)) · rate_den)`` so both engines
+    compare identical ints)."""
+    import math
+
+    full = math.floor(w)
+    return full, int(round((w - full) * rate_den))

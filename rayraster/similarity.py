@@ -60,11 +60,15 @@ class _BatchTopK:
             bucket = batch["bucket"].to_numpy(zero_copy_only=False)
             sims = np.where(self.probe[:, bucket], sims, -np.inf)
         kk = min(self.k, sims.shape[1])
-        # per-query partial top-k (ties resolved in the final merge)
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        nq = sims.shape[0]
-        rows = np.repeat(np.arange(nq), kk)
-        cols = part.ravel()
+        # per-query partial top-k with TIE-SAFE cut: argpartition's
+        # tie order is unspecified, so cutting at exactly kk can drop
+        # a tied lower-id candidate the (cos desc, id asc) contract
+        # requires (exact duplicates at cos=1.0 are the EXPECTED input
+        # of the self-join).  Emit every candidate ≥ the kk-th value —
+        # the deterministic final merge resolves the ties; the
+        # overshoot is bounded by duplicates of the cut value.
+        cut = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
+        rows, cols = np.nonzero(sims >= cut[:, None])
         cos = sims[rows, cols]
         keep = np.isfinite(cos)  # drop masked-out filler candidates
         return pa.table(
@@ -214,27 +218,20 @@ def self_topk(
     qid = out["qid"].to_numpy(zero_copy_only=False)
     vid = out[id_col].to_numpy(zero_copy_only=False)
     cos = out["cos"].to_numpy(zero_copy_only=False)
-    rank = out["rank"].to_numpy(zero_copy_only=False)
     keep = qid != vid
-    qid, vid, cos, rank = qid[keep], vid[keep], cos[keep], rank[keep]
-    # re-rank within qid preserving the (cos desc, id asc) order the
-    # incoming rank encodes, then cut to k
-    order = np.lexsort((rank, qid))
-    qs, rs = qid[order], np.empty(len(order), dtype=np.int64)
-    new_q = np.ones(len(order), dtype=bool)
-    new_q[1:] = qs[1:] != qs[:-1]
-    idx = np.arange(len(order), dtype=np.int64)
-    starts = np.maximum.accumulate(np.where(new_q, idx, 0))
-    rs = idx - starts + 1
-    keep2 = rs <= k
-    inv = order[keep2]
-    return pa.table(
-        {
-            "qid": pa.array(qid[inv]),
-            id_col: pa.array(vid[inv]),
-            "rank": pa.array(rs[keep2]),
-            "cos": pa.array(cos[inv]),
-        }
+    # re-rank the survivors with the SAME (cos desc, id asc) rule and
+    # cut to k — one shared implementation, no second copy of the
+    # segment-rank idiom
+    return _final_topk(
+        pa.table(
+            {
+                "qid": pa.array(qid[keep]),
+                id_col: pa.array(vid[keep]),
+                "cos": pa.array(cos[keep]),
+            }
+        ),
+        k,
+        id_col,
     )
 
 

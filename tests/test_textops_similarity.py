@@ -349,3 +349,42 @@ def test_self_topk_duplicate_vector_and_self_handling(ray_session):
     # without exclusion, self (or the tied lower id) ranks first
     raw = self_topk(rd.from_arrow(tab), k=1, exclude_self=False).to_pandas()
     assert raw.set_index("qid")["vec_id"].to_dict() == {1: 1, 2: 1, 3: 3}
+
+
+def test_self_topk_tie_exact_under_duplicate_blocks(ray_session):
+    """8 exact duplicates + 8 distinct vectors in one batch: the
+    per-batch top-k cut must not drop tied lower-id candidates — the
+    result must equal the (cos desc, id asc) ROW_NUMBER twin even when
+    every candidate of a query is cosine-tied."""
+    import duckdb
+
+    from rayraster.similarity import self_topk
+
+    dup = [1.0, 0.0]
+    vecs = [dup] * 8 + [
+        [float(np.cos(i * 0.3)), float(np.sin(i * 0.3))] for i in range(1, 9)
+    ]
+    tab = pa.table(
+        {
+            "vec_id": pa.array(range(1, 17), type=pa.int64()),
+            "embedding": vecs,
+        }
+    )
+    got = (
+        self_topk(rd.from_arrow(tab), k=4)
+        .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+        [["qid", "vec_id", "rank"]]
+    )
+    con = duckdb.connect()
+    con.register("e", tab)
+    want = con.sql("""
+SELECT qid, vec_id, "rank" FROM (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                    b.vec_id) AS "rank"
+  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id
+) WHERE "rank" <= 4 ORDER BY qid, "rank" """).df()
+    pd.testing.assert_frame_equal(got, want)
+    # every duplicate ranks the OTHER lowest-id duplicates first
+    assert got[got.qid == 5].vec_id.tolist() == [1, 2, 3, 4]
