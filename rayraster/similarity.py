@@ -68,14 +68,17 @@ class _BatchTopK:
         # the deterministic final merge resolves the ties; the
         # overshoot is bounded by duplicates of the cut value.
         cut = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
-        rows, cols = np.nonzero(sims >= cut[:, None])
-        cos = sims[rows, cols]
-        keep = np.isfinite(cos)  # drop masked-out filler candidates
+        mask = sims >= cut[:, None]
+        # drop masked-out -inf entries BEFORE nonzero — a query whose
+        # probed buckets are all masked has cut = -inf, and -inf >=
+        # -inf would otherwise materialize every index of its row
+        np.logical_and(mask, np.isfinite(sims), out=mask)
+        rows, cols = np.nonzero(mask)
         return pa.table(
             {
-                "qid": pa.array(self.qids[rows[keep]]),
-                self.id_col: pa.array(ids[cols[keep]]),
-                "cos": pa.array(cos[keep]),
+                "qid": pa.array(self.qids[rows]),
+                self.id_col: pa.array(ids[cols]),
+                "cos": pa.array(sims[rows, cols]),
             }
         )
 
