@@ -1838,10 +1838,14 @@ FROM s GROUP BY user_id, sid"""
 
 
 def _q_bucket_join(sf_dir: str):
-    """Large × large partitioned hash join (no broadcast): lineitem ⨝
-    orders on orderkey, then grouped stats per order priority."""
+    """Merged twin (path column): 'shuffle' = the one-exchange
+    bucket_join (lineitem ⨝ orders on orderkey, grouped stats per
+    order priority); 'prebucketed' = the SAME join over persisted
+    write_bucketed layouts — co-location bought once at write time,
+    ZERO shuffle at join time (the bucketBy fact-table pattern).  Both
+    paths must aggregate to identical rows."""
     from rayraster.agg import hash_aggregate
-    from rayraster.join import bucket_join
+    from rayraster.join import bucket_join, bucket_join_prebucketed, write_bucketed
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
@@ -1850,24 +1854,44 @@ def _q_bucket_join(sf_dir: str):
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
     parts = _parts_for(li.count())
-    joined = bucket_join(li, orders, "l_orderkey", "o_orderkey", num_buckets=parts)
-    return hash_aggregate(
-        joined,
-        ["o_orderpriority"],
-        min_cols=["l_extendedprice"],
-        max_cols=["l_extendedprice"],
-        count=True,
-        num_partitions=parts,
+
+    def agg(joined):
+        return hash_aggregate(
+            joined,
+            ["o_orderpriority"],
+            min_cols=["l_extendedprice"],
+            max_cols=["l_extendedprice"],
+            count=True,
+            num_partitions=parts,
+        )
+
+    shuffled = agg(
+        bucket_join(li, orders, "l_orderkey", "o_orderkey", num_buckets=parts)
+    ).map_batches(_tagger("shuffle"), batch_format="pyarrow")
+
+    # fixed scratch: write_bucketed rmtree-firsts, so repeat sweep runs
+    # replace the layout instead of leaking one mkdtemp dir per run
+    scratch = "/tmp/rayraster_prebucket_j2"
+    write_bucketed(li, "l_orderkey", f"{scratch}/li", num_buckets=parts)
+    write_bucketed(orders, "o_orderkey", f"{scratch}/orders", num_buckets=parts)
+    pre = agg(bucket_join_prebucketed(f"{scratch}/li", f"{scratch}/orders")).map_batches(
+        _tagger("prebucketed"), batch_format="pyarrow"
     )
+    return shuffled.union(pre)
 
 
 def _sql_bucket_join() -> str:
-    return """SELECT o.o_orderpriority,
-       min(l.l_extendedprice) AS min_l_extendedprice,
-       max(l.l_extendedprice) AS max_l_extendedprice,
-       COUNT(*) AS n
-FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-GROUP BY 1"""
+    return """WITH j AS (
+  SELECT o.o_orderpriority,
+         min(l.l_extendedprice) AS min_l_extendedprice,
+         max(l.l_extendedprice) AS max_l_extendedprice,
+         COUNT(*) AS n
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT *, 'shuffle' AS path FROM j
+UNION ALL
+SELECT *, 'prebucketed' AS path FROM j"""
 
 
 def _q_salted_join(sf_dir: str):

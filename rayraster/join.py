@@ -94,6 +94,24 @@ def detect_hot_keys(
     return [k for k, c in counts.items() if c >= thresh]
 
 
+def key_bucket(keys, num_buckets: int):
+    """THE bucket hash — shared by :func:`bucket_join`, the persisted
+    bucketed layout (:func:`write_bucketed`) and its zero-shuffle join
+    (:func:`bucket_join_prebucketed`).  Co-location depends on every
+    writer and reader agreeing on this function, so there is exactly
+    one definition.  Integer keys hash by value (key NAME is
+    irrelevant — sides may call the column differently)."""
+    import numpy as np
+
+    if pa.types.is_integer(keys.type):
+        kv = keys.to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        from rayraster.geo import fnv1a64
+
+        kv = fnv1a64([str(v) for v in keys.to_pylist()]).view(np.int64)
+    return np.abs(kv * np.int64(2654435761)) % np.int64(num_buckets)
+
+
 def bucket_join(
     left: Dataset,
     right: Dataset,
@@ -150,13 +168,7 @@ def bucket_join(
     all_cols = [*left_cols, *right_carry]
 
     def bucket_of(keys: pa.ChunkedArray, salt_ids: np.ndarray | None = None) -> np.ndarray:
-        if pa.types.is_integer(keys.type):
-            kv = keys.to_numpy(zero_copy_only=False).astype(np.int64)
-        else:
-            from rayraster.geo import fnv1a64
-
-            kv = fnv1a64([str(v) for v in keys.to_pylist()]).view(np.int64)
-        base = np.abs(kv * np.int64(2654435761)) % np.int64(num_buckets)
+        base = key_bucket(keys, num_buckets)
         if salt_ids is not None:
             # additive mod-B salt injection: distinct salt ids < salt
             # <= B can never collide into one sub-bucket (an XOR mix
@@ -560,3 +572,122 @@ def semi_join_filter(ds: Dataset, key_values, key_col: str, invert: bool = False
             return t.filter(mask)
 
     return ds.map_batches(_Semi, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# persisted bucketed layout: pay the exchange ONCE at ingest, then every
+# equi-join on the bucketing key is zero-shuffle (the bucketBy pattern)
+# ---------------------------------------------------------------------------
+
+_BUCKET_MANIFEST = "_BUCKETS.json"
+
+
+def write_bucketed(ds: Dataset, key: str, path: str, num_buckets: int = 64) -> str:
+    """Persist ``ds`` hash-bucketed by ``key`` into hive-style
+    ``path/_bucket=<b>/`` dirs plus a ``_BUCKETS.json`` manifest.
+
+    The one exchange this costs (sort by bucket before the partitioned
+    write — an unsorted write fragments blocks × buckets: measured 895
+    files / 57 s probe vs ~1 file per bucket clustered) is paid ONCE;
+    afterwards :func:`bucket_join_prebucketed` joins two layouts that
+    share ``num_buckets`` with NO shuffle at all — the fact-table
+    pattern for repeated joins at 100 TB.
+    """
+    import json
+    import os
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)  # appends stack otherwise
+
+    def addb(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(key_bucket(t[key], num_buckets)))
+
+    tagged = ds.map_batches(addb, batch_format="pyarrow", zero_copy_batch=True)
+    tagged.sort("_bucket").write_parquet(path, partition_cols=["_bucket"])
+    with open(os.path.join(path, _BUCKET_MANIFEST), "w") as f:
+        json.dump({"key": key, "num_buckets": num_buckets, "hash": "knuth-fnv"}, f)
+    return path
+
+
+def _read_bucket_manifest(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, _BUCKET_MANIFEST)) as f:
+        return json.load(f)
+
+
+def bucket_join_prebucketed(
+    left_path: str,
+    right_path: str,
+    join_type: str = "inner",
+) -> Dataset:
+    """ZERO-shuffle large × large equi-join over two
+    :func:`write_bucketed` layouts: bucket ``b`` of the left joins
+    bucket ``b`` of the right in one independent task — co-location
+    was bought at write time, so nothing moves between nodes here and
+    a failed bucket retries alone.
+
+    Both layouts must share ``num_buckets`` (validated from the
+    manifests); the bucketing keys may have different NAMES — the
+    shared :func:`key_bucket` hashes values only.  Output: pyarrow's
+    C++ join per bucket (keys coalesced, right collisions suffixed
+    ``_r``), exactly :func:`bucket_join`'s per-bucket kernel.
+    """
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    lm, rm = _read_bucket_manifest(left_path), _read_bucket_manifest(right_path)
+    if lm["num_buckets"] != rm["num_buckets"]:
+        raise ValueError(
+            f"bucket counts differ: {lm['num_buckets']} vs {rm['num_buckets']}"
+            " — rewrite one side (co-location requires identical hashing)"
+        )
+    pa_join = {
+        "inner": "inner",
+        "left": "left outer",
+        "semi": "left semi",
+        "anti": "left anti",
+        "full": "full outer",
+    }.get(join_type)
+    if pa_join is None:
+        raise ValueError(f"join_type must be inner|left|semi|anti|full, got {join_type!r}")
+    B = lm["num_buckets"]
+    l_key, r_key = lm["key"], rm["key"]
+
+    def _schema(path: str) -> pa.Schema:
+        files = sorted(_glob.glob(os.path.join(path, "_bucket=*", "*.parquet")))
+        if not files:
+            raise ValueError(f"no bucket files under {path}")
+        return pq.read_schema(files[0])
+
+    l_schema, r_schema = _schema(left_path), _schema(right_path)
+
+    def join_buckets(batch: pa.Table) -> pa.Table:
+        def read_side(path: str, schema: pa.Schema, b: int) -> pa.Table:
+            files = sorted(
+                _glob.glob(os.path.join(path, f"_bucket={b}", "*.parquet"))
+            )
+            if not files:
+                return schema.empty_table()
+            return pa.concat_tables(pq.read_table(f) for f in files)
+
+        outs = []
+        for b in batch["b"].to_pylist():
+            lt = read_side(left_path, l_schema, int(b))
+            rt = read_side(right_path, r_schema, int(b))
+            outs.append(
+                lt.join(
+                    rt, keys=[l_key], right_keys=[r_key],
+                    join_type=pa_join, right_suffix="_r",
+                )
+            )
+        return pa.concat_tables(outs)
+
+    # one block per bucket → one independent task per bucket
+    ids = rd.from_items([{"b": b} for b in range(B)], override_num_blocks=B)
+    return ids.map_batches(join_buckets, batch_format="pyarrow")

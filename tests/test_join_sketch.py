@@ -498,3 +498,90 @@ def test_bloom_validates_shape_and_hash_count():
     assert ro.contains_hashes(np.array([1], np.uint64)).shape == (1,)
     with pytest.raises(ValueError):
         ro.add_hashes(np.array([1], np.uint64))
+
+
+# ---------------------------------------------------------------------------
+# persisted bucketed layout + zero-shuffle join
+# ---------------------------------------------------------------------------
+
+
+def test_prebucketed_join_equals_bucket_join(ray_session, tmp_path):
+    from rayraster.join import (
+        bucket_join,
+        bucket_join_prebucketed,
+        write_bucketed,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 500, n).astype(np.int64)),
+            "v": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    # right covers only part of the key space → some buckets have
+    # unmatched left rows; plus keys absent from the left entirely
+    right = pa.table(
+        {
+            "rk": pa.array(np.arange(0, 700, 2, dtype=np.int64)),
+            "tag": pa.array([f"t{i % 7}" for i in range(350)]),
+        }
+    )
+    lp, rp = str(tmp_path / "L"), str(tmp_path / "R")
+    write_bucketed(rd.from_arrow(left).repartition(7), "k", lp, num_buckets=12)
+    write_bucketed(rd.from_arrow(right), "rk", rp, num_buckets=12)
+    for jt in ("inner", "left", "semi", "anti"):
+        got = (
+            bucket_join_prebucketed(lp, rp, join_type=jt)
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        want = (
+            bucket_join(
+                rd.from_arrow(left), rd.from_arrow(right), "k", "rk",
+                num_buckets=12, join_type=jt,
+            )
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        assert len(got) == len(want), jt
+        cols = [c for c in ("k", "v", "tag") if c in got.columns]
+        assert got[cols].equals(want[cols]), jt
+
+
+def test_prebucketed_join_validates_bucket_counts(ray_session, tmp_path):
+    from rayraster.join import bucket_join_prebucketed, write_bucketed
+
+    t = pa.table({"k": pa.array([1, 2, 3], type=pa.int64())})
+    a, b = str(tmp_path / "A"), str(tmp_path / "B")
+    write_bucketed(rd.from_arrow(t), "k", a, num_buckets=4)
+    write_bucketed(rd.from_arrow(t), "k", b, num_buckets=8)
+    with pytest.raises(ValueError, match="bucket counts differ"):
+        bucket_join_prebucketed(a, b)
+
+
+def test_write_bucketed_layout_and_overwrite(ray_session, tmp_path):
+    """One dir per touched bucket, manifest present, and a re-write
+    REPLACES the layout (no stacked duplicate runs)."""
+    import glob
+    import os
+
+    from rayraster.join import write_bucketed
+
+    t = pa.table({"k": pa.array(range(100), type=pa.int64()),
+                  "v": pa.array(range(100), type=pa.int64())})
+    p = str(tmp_path / "W")
+    write_bucketed(rd.from_arrow(t), "k", p, num_buckets=8)
+    dirs = sorted(glob.glob(os.path.join(p, "_bucket=*")))
+    assert 1 <= len(dirs) <= 8
+    assert os.path.exists(os.path.join(p, "_BUCKETS.json"))
+    write_bucketed(rd.from_arrow(t), "k", p, num_buckets=8)
+    total = sum(
+        len(glob.glob(os.path.join(d, "*.parquet")))
+        for d in glob.glob(os.path.join(p, "_bucket=*"))
+    )
+    import pyarrow.parquet as pq
+    rows = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(p, "_bucket=*", "*.parquet"))
+    )
+    assert rows == 100  # overwrite, not append
