@@ -1869,9 +1869,13 @@ def _q_bucket_join(sf_dir: str):
         bucket_join(li, orders, "l_orderkey", "o_orderkey", num_buckets=parts)
     ).map_batches(_tagger("shuffle"), batch_format="pyarrow")
 
-    # fixed scratch: write_bucketed rmtree-firsts, so repeat sweep runs
-    # replace the layout instead of leaking one mkdtemp dir per run
-    scratch = "/tmp/rayraster_prebucket_j2"
+    # pid-suffixed scratch: process-unique so a concurrent sweep cannot
+    # rmtree the layout out from under this run's lazy reads, while a
+    # repeat run in the SAME process replaces it (write_bucketed
+    # rmtree-firsts) instead of leaking one mkdtemp dir per run
+    import os as _os
+
+    scratch = f"/tmp/rayraster_prebucket_j2_{_os.getpid()}"
     write_bucketed(li, "l_orderkey", f"{scratch}/li", num_buckets=parts)
     write_bucketed(orders, "o_orderkey", f"{scratch}/orders", num_buckets=parts)
     pre = agg(bucket_join_prebucketed(f"{scratch}/li", f"{scratch}/orders")).map_batches(

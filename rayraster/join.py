@@ -104,6 +104,15 @@ def key_bucket(keys, num_buckets: int):
     import numpy as np
 
     if pa.types.is_integer(keys.type):
+        import pyarrow.compute as pc
+
+        # fill_null BEFORE to_numpy: a null-bearing int batch promotes
+        # to float64 and keys >= 2^53 round — the same key would then
+        # bucket differently depending on whether its BATCH contains a
+        # null, silently breaking co-location.  Nulls never match in an
+        # equi-join; bucketing them as 0 is deterministic and harmless.
+        if keys.null_count:
+            keys = pc.fill_null(keys, 0)
         kv = keys.to_numpy(zero_copy_only=False).astype(np.int64)
     else:
         from rayraster.geo import fnv1a64
@@ -580,6 +589,7 @@ def semi_join_filter(ds: Dataset, key_values, key_col: str, invert: bool = False
 # ---------------------------------------------------------------------------
 
 _BUCKET_MANIFEST = "_BUCKETS.json"
+_BUCKET_HASH = "knuth-fnv"  # bump if key_bucket's definition ever changes
 
 
 def write_bucketed(ds: Dataset, key: str, path: str, num_buckets: int = 64) -> str:
@@ -593,9 +603,13 @@ def write_bucketed(ds: Dataset, key: str, path: str, num_buckets: int = 64) -> s
     share ``num_buckets`` with NO shuffle at all — the fact-table
     pattern for repeated joins at 100 TB.
     """
+    import base64
+    import glob as _glob
     import json
     import os
     import shutil
+
+    import pyarrow.parquet as pq
 
     shutil.rmtree(path, ignore_errors=True)  # appends stack otherwise
 
@@ -604,8 +618,34 @@ def write_bucketed(ds: Dataset, key: str, path: str, num_buckets: int = 64) -> s
 
     tagged = ds.map_batches(addb, batch_format="pyarrow", zero_copy_batch=True)
     tagged.sort("_bucket").write_parquet(path, partition_cols=["_bucket"])
+    # a 0-row write creates nothing — the manifest still must land
+    os.makedirs(path, exist_ok=True)
+    # record WHICH buckets were written (a join-time glob cannot tell a
+    # genuinely-empty bucket from a lost/unreachable one — e.g. a
+    # node-local path on a multi-node cluster — without this) and the
+    # schema (so an all-empty layout still joins with correct columns).
+    written = sorted(
+        int(os.path.basename(d).split("=", 1)[1])
+        for d in _glob.glob(os.path.join(path, "_bucket=*"))
+    )
+    if written:
+        first = sorted(
+            _glob.glob(os.path.join(path, f"_bucket={written[0]}", "*.parquet"))
+        )[0]
+        schema = pq.read_schema(first)
+    else:
+        schema = ds.schema().base_schema  # empty dataset: lineage is cheap
     with open(os.path.join(path, _BUCKET_MANIFEST), "w") as f:
-        json.dump({"key": key, "num_buckets": num_buckets, "hash": "knuth-fnv"}, f)
+        json.dump(
+            {
+                "key": key,
+                "num_buckets": num_buckets,
+                "hash": _BUCKET_HASH,
+                "buckets_written": written,
+                "schema_b64": base64.b64encode(schema.serialize().to_pybytes()).decode(),
+            },
+            f,
+        )
     return path
 
 
@@ -647,6 +687,13 @@ def bucket_join_prebucketed(
             f"bucket counts differ: {lm['num_buckets']} vs {rm['num_buckets']}"
             " — rewrite one side (co-location requires identical hashing)"
         )
+    for m, p in ((lm, left_path), (rm, right_path)):
+        if m.get("hash", _BUCKET_HASH) != _BUCKET_HASH:
+            raise ValueError(
+                f"layout at {p} was bucketed with hash {m['hash']!r}; this"
+                f" engine uses {_BUCKET_HASH!r} — rewrite the layout"
+                " (joining across hash versions silently mis-co-locates)"
+            )
     pa_join = {
         "inner": "inner",
         "left": "left outer",
@@ -659,27 +706,47 @@ def bucket_join_prebucketed(
     B = lm["num_buckets"]
     l_key, r_key = lm["key"], rm["key"]
 
-    def _schema(path: str) -> pa.Schema:
+    def _schema(path: str, manifest: dict) -> pa.Schema:
+        if "schema_b64" in manifest:
+            import base64
+
+            return pa.ipc.read_schema(
+                pa.py_buffer(base64.b64decode(manifest["schema_b64"]))
+            )
         files = sorted(_glob.glob(os.path.join(path, "_bucket=*", "*.parquet")))
         if not files:
             raise ValueError(f"no bucket files under {path}")
         return pq.read_schema(files[0])
 
-    l_schema, r_schema = _schema(left_path), _schema(right_path)
+    l_schema, r_schema = _schema(left_path, lm), _schema(right_path, rm)
+    # existence joins need only the right KEY — prune at the parquet read
+    # (bucket_join's kernel ships right keys only for semi/anti too)
+    r_cols = [r_key] if pa_join in ("left semi", "left anti") else None
+    if r_cols is not None:
+        r_schema = pa.schema([r_schema.field(r_key)])
+    l_written = set(lm.get("buckets_written", range(B)))
+    r_written = set(rm.get("buckets_written", range(B)))
 
     def join_buckets(batch: pa.Table) -> pa.Table:
-        def read_side(path: str, schema: pa.Schema, b: int) -> pa.Table:
+        def read_side(path, schema, b, written, columns=None) -> pa.Table:
             files = sorted(
                 _glob.glob(os.path.join(path, f"_bucket={b}", "*.parquet"))
             )
             if not files:
+                if b in written:
+                    raise FileNotFoundError(
+                        f"bucket {b} is in {path}'s manifest but has no"
+                        " files — the layout is partially lost or not"
+                        " visible from this node; refusing to silently"
+                        " drop its rows"
+                    )
                 return schema.empty_table()
-            return pa.concat_tables(pq.read_table(f) for f in files)
+            return pa.concat_tables(pq.read_table(f, columns=columns) for f in files)
 
         outs = []
         for b in batch["b"].to_pylist():
-            lt = read_side(left_path, l_schema, int(b))
-            rt = read_side(right_path, r_schema, int(b))
+            lt = read_side(left_path, l_schema, int(b), l_written)
+            rt = read_side(right_path, r_schema, int(b), r_written, r_cols)
             outs.append(
                 lt.join(
                     rt, keys=[l_key], right_keys=[r_key],

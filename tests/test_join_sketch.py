@@ -531,17 +531,20 @@ def test_prebucketed_join_equals_bucket_join(ray_session, tmp_path):
     lp, rp = str(tmp_path / "L"), str(tmp_path / "R")
     write_bucketed(rd.from_arrow(left).repartition(7), "k", lp, num_buckets=12)
     write_bucketed(rd.from_arrow(right), "rk", rp, num_buckets=12)
-    for jt in ("inner", "left", "semi", "anti"):
+    for jt in ("inner", "left", "semi", "anti", "full"):
+        sort_cols = ["k", "v"] if jt != "full" else ["k", "v", "tag"]
         got = (
             bucket_join_prebucketed(lp, rp, join_type=jt)
-            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+            .to_pandas().sort_values(sort_cols, na_position="last")
+            .reset_index(drop=True)
         )
         want = (
             bucket_join(
                 rd.from_arrow(left), rd.from_arrow(right), "k", "rk",
                 num_buckets=12, join_type=jt,
             )
-            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+            .to_pandas().sort_values(sort_cols, na_position="last")
+            .reset_index(drop=True)
         )
         assert len(got) == len(want), jt
         cols = [c for c in ("k", "v", "tag") if c in got.columns]
@@ -575,13 +578,98 @@ def test_write_bucketed_layout_and_overwrite(ray_session, tmp_path):
     assert 1 <= len(dirs) <= 8
     assert os.path.exists(os.path.join(p, "_BUCKETS.json"))
     write_bucketed(rd.from_arrow(t), "k", p, num_buckets=8)
+    bucket_dirs = glob.glob(os.path.join(p, "_bucket=*"))
     total = sum(
-        len(glob.glob(os.path.join(d, "*.parquet")))
-        for d in glob.glob(os.path.join(p, "_bucket=*"))
+        len(glob.glob(os.path.join(d, "*.parquet"))) for d in bucket_dirs
     )
+    # clustered write: the sort("_bucket") keeps fragmentation at ~1
+    # file per bucket (a block straddling a bucket border adds one) —
+    # an unsorted partitioned write fragments blocks × buckets
+    assert total <= 2 * len(bucket_dirs)
     import pyarrow.parquet as pq
     rows = sum(
         pq.ParquetFile(f).metadata.num_rows
         for f in glob.glob(os.path.join(p, "_bucket=*", "*.parquet"))
     )
     assert rows == 100  # overwrite, not append
+
+
+def test_key_bucket_null_bearing_batch_matches_null_free(ray_session):
+    """A null in the BATCH must not change other keys' buckets: without
+    fill_null, to_numpy promotes int64→float64 and keys ≥ 2^53 round to
+    a different bucket than the same key in a null-free batch —
+    silently breaking co-location (and persisted layouts)."""
+    from rayraster.join import key_bucket
+
+    big = (1 << 60) + 1
+    clean = pa.chunked_array([pa.array([big, 7, 12], type=pa.int64())])
+    dirty = pa.chunked_array([pa.array([big, None, 12], type=pa.int64())])
+    b_clean = key_bucket(clean, 64)
+    b_dirty = key_bucket(dirty, 64)
+    assert b_clean[0] == b_dirty[0]  # the big key
+    assert b_clean[2] == b_dirty[2]  # the small key
+
+
+def test_prebucketed_join_empty_right_side(ray_session, tmp_path):
+    """An EMPTY side still writes a valid layout (manifest + schema);
+    left/anti joins against it keep every left row — matching
+    bucket_join's semantics, not crashing."""
+    from rayraster.join import bucket_join_prebucketed, write_bucketed
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 3], type=pa.int64()),
+         "v": pa.array([10, 20, 30], type=pa.int64())}
+    )
+    empty = pa.table(
+        {"rk": pa.array([], type=pa.int64()), "tag": pa.array([], type=pa.string())}
+    )
+    lp, rp = str(tmp_path / "L"), str(tmp_path / "E")
+    write_bucketed(rd.from_arrow(left), "k", lp, num_buckets=4)
+    write_bucketed(rd.from_arrow(empty), "rk", rp, num_buckets=4)
+    out = bucket_join_prebucketed(lp, rp, join_type="left").to_pandas()
+    assert sorted(out["k"]) == [1, 2, 3]
+    assert out["tag"].isna().all()
+    anti = bucket_join_prebucketed(lp, rp, join_type="anti").to_pandas()
+    assert sorted(anti["k"]) == [1, 2, 3]
+    assert bucket_join_prebucketed(lp, rp, join_type="inner").count() == 0
+
+
+def test_prebucketed_join_detects_lost_bucket(ray_session, tmp_path):
+    """A bucket recorded in the manifest whose files are gone is DATA
+    LOSS, not an empty bucket — the join must raise, never silently
+    shrink."""
+    import glob
+    import os
+    import shutil
+
+    from rayraster.join import bucket_join_prebucketed, write_bucketed
+
+    t = pa.table({"k": pa.array(range(64), type=pa.int64()),
+                  "v": pa.array(range(64), type=pa.int64())})
+    lp, rp = str(tmp_path / "L"), str(tmp_path / "R")
+    write_bucketed(rd.from_arrow(t), "k", lp, num_buckets=8)
+    write_bucketed(rd.from_arrow(t), "k", rp, num_buckets=8)
+    victim = sorted(glob.glob(os.path.join(rp, "_bucket=*")))[0]
+    shutil.rmtree(victim)
+    with pytest.raises(Exception, match="manifest but has no"):
+        bucket_join_prebucketed(lp, rp).materialize()
+
+
+def test_prebucketed_join_validates_hash_version(ray_session, tmp_path):
+    """Layouts written under a different bucket-hash version must be
+    rejected — joining across hash versions silently mis-co-locates."""
+    import json
+    import os
+
+    from rayraster.join import bucket_join_prebucketed, write_bucketed
+
+    t = pa.table({"k": pa.array([1, 2, 3], type=pa.int64())})
+    a, b = str(tmp_path / "A"), str(tmp_path / "B")
+    write_bucketed(rd.from_arrow(t), "k", a, num_buckets=4)
+    write_bucketed(rd.from_arrow(t), "k", b, num_buckets=4)
+    mpath = os.path.join(b, "_BUCKETS.json")
+    m = json.load(open(mpath))
+    m["hash"] = "legacy-v0"
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="hash"):
+        bucket_join_prebucketed(a, b)
