@@ -926,12 +926,44 @@ def _with_exact_copies(ds, id_col="doc_id"):
 
 
 def _q_exact_dedup(sf_dir: str):
-    from rayraster.dedup import exact_dedup_keep_ids
+    """Two path-tagged dedup granularities under one oracle: 'exact' =
+    whole-document keep list over the doubled corpus; 'para' =
+    corpus-wide sub-document dedup (C4-style) using 10-word blocks —
+    the SQL twin rebuilds the same blocks from `\\s+` words — with the
+    rebuilt document pinned by its md5 fingerprint."""
+    from rayraster.dedup import (
+        add_content_hash,
+        exact_dedup_keep_ids,
+        paragraph_dedup,
+    )
 
     base = _docs(sf_dir)
-    corpus = _with_exact_copies(base)
-    return exact_dedup_keep_ids(
-        corpus, num_partitions=_parts_for(2 * base.count())
+    n = base.count()
+    keep = exact_dedup_keep_ids(_with_exact_copies(base), num_partitions=_parts_for(2 * n))
+
+    def tag_exact(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "path": pa.array(["exact"] * t.num_rows),
+                "doc_id": t["doc_id"],
+                "fp": pa.nulls(t.num_rows, type=pa.string()),
+            }
+        )
+
+    rebuilt = paragraph_dedup(base, block_words=10, num_partitions=_parts_for(n))
+
+    def tag_para(t: pa.Table) -> pa.Table:
+        h = add_content_hash(t, "text", "_fp")
+        return pa.table(
+            {
+                "path": pa.array(["para"] * t.num_rows),
+                "doc_id": h["doc_id"],
+                "fp": h["_fp"],
+            }
+        )
+
+    return keep.map_batches(tag_exact, batch_format="pyarrow").union(
+        rebuilt.map_batches(tag_para, batch_format="pyarrow")
     )
 
 
@@ -2114,15 +2146,38 @@ def _q_multimodal(sf_dir: str):
 
 
 def _sql_exact_dedup() -> str:
-    return f"""WITH corpus AS (
+    return rf"""WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + {_DUP_OFFSET} AS doc_id, text FROM documents
+),
+exact AS (
+  SELECT 'exact' AS path, doc_id, CAST(NULL AS VARCHAR) AS fp FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM corpus
+  ) WHERE rn = 1
+),
+words AS (
+  SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS idx
+  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents)
+),
+blocks AS (
+  SELECT doc_id, (idx - 1) // 10 AS bidx, string_agg(word, ' ' ORDER BY idx) AS block
+  FROM words GROUP BY doc_id, (idx - 1) // 10
+),
+kept AS (
+  SELECT doc_id, bidx, block FROM (
+    SELECT doc_id, bidx, block,
+           row_number() OVER (PARTITION BY block ORDER BY doc_id, bidx) AS rn
+    FROM blocks
+  ) WHERE rn = 1
+),
+para AS (
+  SELECT 'para' AS path, doc_id,
+         md5(string_agg(block, ' ' ORDER BY bidx)) AS fp
+  FROM kept GROUP BY doc_id
 )
-SELECT doc_id FROM (
-  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-  FROM corpus
-) WHERE rn = 1"""
+SELECT * FROM exact UNION ALL SELECT * FROM para"""
 
 
 def _sql_minhash() -> str:

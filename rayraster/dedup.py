@@ -83,6 +83,134 @@ def exact_dedup_keep_ids(
 
 
 # ---------------------------------------------------------------------------
+# paragraph-level exact dedup + document reassembly (the C4/CCNet
+# preprocessing step: dedup at sub-document granularity ACROSS the
+# corpus, keep the first occurrence, rebuild documents from survivors)
+# ---------------------------------------------------------------------------
+
+
+def _split_units(
+    t: pa.Table, id_col: str, text_col: str, split: str, block_words: int | None
+) -> pa.Table:
+    """Vectorized unit emission: one output row per paragraph (plain
+    ``split`` separator) or per ``block_words``-word block (units
+    rebuilt from ``\\s+`` words — how the SQL twin expresses it).
+    Columns: (id, _uidx position-in-doc, _unit text).  No Python loop:
+    list offsets → numpy repeat/cumsum → ``ListArray`` →
+    ``binary_join``."""
+    txt = pc.fill_null(t[text_col], "")  # NULL text ≡ '' (repo convention)
+    if block_words is None:
+        lists = pc.split_pattern(txt, split)
+    else:
+        lists = pc.split_pattern_regex(txt, r"\s+")
+    la = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+    counts = la.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = la.flatten()
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    if block_words is None:
+        unit = flat
+        doc_idx = np.repeat(np.arange(len(ids)), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        uidx = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(starts, counts)
+    else:
+        nblk = np.maximum((counts + block_words - 1) // block_words, 1)
+        doc_idx = np.repeat(np.arange(len(ids)), nblk)
+        bstart = np.concatenate(([0], np.cumsum(nblk)[:-1]))
+        uidx = np.arange(int(nblk.sum()), dtype=np.int64) - np.repeat(bstart, nblk)
+        wstart = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        offs = wstart[doc_idx] + uidx * block_words
+        offsets = np.append(offs, counts.sum()).astype(np.int32)
+        unit = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat), " "
+        )
+    return pa.table({id_col: ids[doc_idx], "_uidx": uidx, "_unit": unit})
+
+
+def paragraph_dedup(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split: str = "\n",
+    block_words: int | None = None,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Corpus-wide sub-document exact dedup (C4 §2.2 / CCNet-style):
+    split every document into units — paragraphs on the plain ``split``
+    separator, or fixed ``block_words``-word blocks rebuilt from
+    ``\\s+`` words — drop every duplicate unit except its FIRST
+    occurrence (lexicographic min ``(id, position)`` over the whole
+    corpus, duplicates within one document included), then reassemble
+    each document from its surviving units in order.  Returns
+    ``(id_col, text_col)``; documents whose every unit was removed
+    disappear (matching the SQL ``GROUP BY`` twin).
+
+    Distributed shape (100 TB): map-only unit emission → ONE
+    hash-partition shuffle on ``fnv1a64(unit)`` with a vectorized
+    first-of-run winner pass per partition (dictionary codes +
+    lexsort) → ONE hash-partition shuffle on the document id with a
+    vectorized run-length reassembly (``ListArray`` + ``binary_join``).
+    Nothing touches the driver; skew is bounded because a duplicated
+    unit contributes one row per OCCURRENCE to exactly one partition.
+
+    Edge pinned by tests: empty text yields one ``''`` unit (pyarrow's
+    split of ``''``), while DuckDB's ``string_split_regex('', …)`` is
+    ``[]`` — twins therefore only bind on corpora without empty/NULL
+    texts (the driver tables qualify).  Reference has no dedup at all
+    (SURVEY.md §2 "Set ops / dedup: none") — this is a task-brief
+    training-data operator.
+    """
+    from rayraster.geo import fnv1a64
+
+    join_sep = " " if block_words is not None else split
+
+    def emit(t: pa.Table) -> pa.Table:
+        out = _split_units(t, id_col, text_col, split, block_words)
+        part = fnv1a64(out["_unit"].to_pylist()).view(np.int64) % np.int64(
+            num_partitions
+        )
+        return out.append_column("_part", pa.array(np.abs(part)))
+
+    def winners(part_tbl: pa.Table) -> pa.Table:
+        part_tbl = part_tbl.combine_chunks()
+        codes = pc.dictionary_encode(part_tbl["_unit"]).combine_chunks().indices
+        codes = codes.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = part_tbl[id_col].to_numpy(zero_copy_only=False)
+        uidx = part_tbl["_uidx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((uidx, ids, codes))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = codes[order[1:]] != codes[order[:-1]]
+        keep = order[first]
+        return part_tbl.select([id_col, "_uidx", "_unit"]).take(pa.array(keep))
+
+    def rebuild(part_tbl: pa.Table) -> pa.Table:
+        part_tbl = part_tbl.combine_chunks()
+        ids = part_tbl[id_col].to_numpy(zero_copy_only=False)
+        uidx = part_tbl["_uidx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((uidx, ids))
+        ids_s = ids[order]
+        units_s = part_tbl["_unit"].combine_chunks().take(pa.array(order))
+        newdoc = np.ones(len(ids_s), dtype=bool)
+        newdoc[1:] = ids_s[1:] != ids_s[:-1]
+        starts = np.nonzero(newdoc)[0]
+        offsets = np.append(starts, len(ids_s)).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), units_s), join_sep
+        )
+        return pa.table({id_col: ids_s[starts], text_col: joined})
+
+    units = ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+    kept = units.groupby("_part").map_groups(winners, batch_format="pyarrow")
+
+    def repart(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.abs(ids * np.int64(2654435761)) % np.int64(num_partitions)
+        return t.append_column("_part", pa.array(part))
+
+    tagged = kept.map_batches(repart, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_part").map_groups(rebuild, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # shingles / minhash
 # ---------------------------------------------------------------------------
 

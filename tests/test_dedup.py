@@ -325,3 +325,133 @@ def test_synth_texts_unique_at_scale():
     t = make_pages_batch(np.arange(30000))
     texts = t["text"].to_pylist()
     assert len(set(texts)) == len(texts)  # no accidental duplicates
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup + reassembly
+# ---------------------------------------------------------------------------
+
+
+def _brute_paragraph_dedup(docs: dict[int, str], split="\n", block_words=None):
+    """Reference implementation: global keep-first over (doc, position)."""
+    units = []  # (doc_id, uidx, unit)
+    for did in sorted(docs):
+        txt = docs[did] or ""
+        if block_words is None:
+            parts = txt.split(split)
+        else:
+            import re
+
+            words = re.split(r"\s+", txt)
+            parts = [
+                " ".join(words[i : i + block_words])
+                for i in range(0, max(len(words), 1), block_words)
+            ]
+        for i, p in enumerate(parts):
+            units.append((did, i, p))
+    seen = set()
+    kept = []
+    for did, i, p in sorted(units):
+        if p not in seen:
+            seen.add(p)
+            kept.append((did, i, p))
+    sep = " " if block_words is not None else split
+    out = {}
+    for did, i, p in kept:
+        out.setdefault(did, []).append(p)
+    return {did: sep.join(ps) for did, ps in out.items()}
+
+
+def test_paragraph_dedup_matches_brute(ray_session):
+    from rayraster.dedup import paragraph_dedup
+
+    rng = np.random.default_rng(11)
+    pool = [f"para {i} " + "w " * int(rng.integers(1, 6)) for i in range(40)]
+    docs = {
+        did: "\n".join(pool[j] for j in rng.integers(0, 40, rng.integers(1, 9)))
+        for did in range(120)
+    }
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    got = dict(
+        paragraph_dedup(rd.from_pandas(df).repartition(7), num_partitions=8)
+        .to_pandas()[["doc_id", "text"]].itertuples(index=False, name=None)
+    )
+    assert got == _brute_paragraph_dedup(docs)
+
+
+def test_paragraph_dedup_block_mode_matches_brute(ray_session):
+    from rayraster.dedup import paragraph_dedup
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = {
+        did: " ".join(vocab[j] for j in rng.integers(0, 12, rng.integers(3, 40)))
+        for did in range(80)
+    }
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    got = dict(
+        paragraph_dedup(
+            rd.from_pandas(df).repartition(5), block_words=4, num_partitions=8
+        )
+        .to_pandas()[["doc_id", "text"]].itertuples(index=False, name=None)
+    )
+    assert got == _brute_paragraph_dedup(docs, block_words=4)
+
+
+def test_paragraph_dedup_keep_first_and_within_doc(ray_session):
+    """Keep-first is lexicographic (doc_id, position) over the CORPUS,
+    and a paragraph repeated WITHIN one document also dedups; a doc
+    whose every paragraph was seen earlier disappears entirely."""
+    from rayraster.dedup import paragraph_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a\nb\na", "b\nc", "a\nb"],
+        }
+    )
+    got = (
+        paragraph_dedup(rd.from_pandas(df), num_partitions=4)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert dict(zip(got.doc_id, got.text)) == {1: "a\nb", 2: "c"}
+
+
+def test_paragraph_dedup_partition_invariant(ray_session):
+    """Identical output at different partition counts and chunkings —
+    nothing depends on block boundaries or parallelism (the property
+    that makes per-partition checkpointing sound)."""
+    from rayraster.dedup import paragraph_dedup
+
+    rng = np.random.default_rng(3)
+    pool = [f"p{i}" for i in range(10)]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(60),
+            "text": [
+                "\n".join(pool[j] for j in rng.integers(0, 10, 4)) for _ in range(60)
+            ],
+        }
+    )
+    outs = []
+    for parts, chunks in ((4, 1), (16, 9)):
+        outs.append(
+            paragraph_dedup(
+                rd.from_pandas(df).repartition(chunks), num_partitions=parts
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_paragraph_dedup_null_and_empty_text(ray_session):
+    """NULL ≡ '' (repo convention): both produce ONE empty unit; the
+    first such doc keeps text '', later ones vanish."""
+    from rayraster.dedup import paragraph_dedup
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [None, "", "real"]})
+    got = (
+        paragraph_dedup(rd.from_pandas(df), num_partitions=4)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert dict(zip(got.doc_id, got.text)) == {1: "", 3: "real"}
