@@ -1119,7 +1119,18 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
     tagged by a ``path`` column.  The LSH pair table is computed ONCE
     and shared.  On the constructed corpus every cluster is
     {i, i+OFFSET} so the keep list is exactly the original ids —
-    analytic oracle."""
+    analytic oracle.
+
+    Third path ('pagerank'): the graph family's iterative engine —
+    fixed-point distributed PageRank (``rayraster/graph.py``) over a
+    deterministic 3-out-regular link graph on the document ids
+    (``dst = (src*31 + 7 + 101*k) % n``), 3 synchronous rounds.
+    Integer fixed-point arithmetic makes every rank bit-exact against
+    the chained-CTE SQL twin; the edge layout is persisted bucketed by
+    src ONCE (reused across sweep runs) so each round only shuffles
+    the rank table.  ``pr`` is 0 on the keep-list paths (a real rank
+    is always >= the teleport mass, so 0 is unambiguous; NULL would
+    float-promote the int64 column in the pandas compare)."""
     from rayraster.dedup import (
         connected_components,
         connected_components_distributed,
@@ -1127,25 +1138,96 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
         dedup_keep_from_clusters_ds,
         minhash_lsh_pairs,
     )
+    from rayraster.graph import pagerank
 
     corpus = _neardup_corpus(sf_dir, perturb=True)
     pairs = minhash_lsh_pairs(
         corpus, threshold=0.8, corpus_count=corpus.count()
     ).select_columns(["a", "b"]).materialize()
 
+    def null_pr(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "pr", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        )
+
     driver_keep = _tag_table(
-        dedup_keep_from_clusters(connected_components(pairs)), "driver"
+        null_pr(dedup_keep_from_clusters(connected_components(pairs))), "driver"
     )
-    dist_keep = dedup_keep_from_clusters_ds(
-        connected_components_distributed(pairs)
-    ).map_batches(_tagger("distributed"), batch_format="pyarrow")
-    return rd.from_arrow(driver_keep).union(dist_keep)
+    dist_keep = (
+        dedup_keep_from_clusters_ds(connected_components_distributed(pairs))
+        .map_batches(null_pr, batch_format="pyarrow")
+        .map_batches(_tagger("distributed"), batch_format="pyarrow")
+    )
+
+    doc_ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = doc_ids.count()  # parquet metadata count
+
+    def edges3(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.arange(3, dtype=np.int64)
+        dst = (ids[:, None] * 31 + 7 + 101 * k[None, :]) % np.int64(n_docs)
+        return pa.table({"src": np.repeat(ids, 3), "dst": dst.reshape(-1)})
+
+    pr = pagerank(
+        doc_ids.map_batches(edges3, batch_format="pyarrow"),
+        edges_path=f"/tmp/rayraster_gate/pr_edges_v1_{n_docs}",
+        nodes=doc_ids.map_batches(
+            lambda t: pa.table({"node": t["doc_id"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        iterations=3,
+        num_buckets=_parts_for(n_docs),
+        node_count=n_docs,
+    )
+
+    def tag_pr(t: pa.Table) -> pa.Table:
+        return _tag_table(pa.table({"doc_id": t["node"], "pr": t["pr"]}), "pagerank")
+
+    return rd.from_arrow(driver_keep).union(
+        dist_keep, pr.map_batches(tag_pr, batch_format="pyarrow")
+    )
+
+
+def _sql_pagerank_twin(iterations: int = 3) -> str:
+    """Chained-CTE twin of the fixed-point PageRank path: the SAME
+    integer arithmetic per round (per-edge ``(r*85) // (100*d)``
+    contribution, ``150000000`` teleport, SUM cast back from HUGEINT),
+    so ranks match the Ray engine bit-for-bit."""
+    ctes = [
+        """edges AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id*31 + 7 + 101*t.k) % (SELECT COUNT(*) FROM documents) AS dst
+  FROM documents d, range(0, 3) t(k)
+)""",
+        "deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)",
+        "r0 AS (SELECT doc_id AS node, CAST(1000000000 AS BIGINT) AS r FROM documents)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""c{i} AS (
+  SELECT e.dst AS node, CAST(SUM((r.r * 85) // (100 * g.d)) AS BIGINT) AS s
+  FROM edges e JOIN r{i-1} r ON r.node = e.src JOIN deg g ON g.src = e.src
+  GROUP BY e.dst
+)""")
+        ctes.append(f"""r{i} AS (
+  SELECT p.node, CAST(150000000 + COALESCE(c.s, 0) AS BIGINT) AS r
+  FROM r{i-1} p LEFT JOIN c{i} c ON c.node = p.node
+)""")
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT node AS doc_id, r AS pr, 'pagerank' AS path FROM r{iterations}"
+    )
 
 
 def _sql_neardup_dedup_pipeline() -> str:
-    return """SELECT doc_id, 'driver' AS path FROM documents
+    # the CTE chain must head the WHOLE query (WITH cannot start a
+    # UNION ALL arm), so the twin is spliced in as the leading SELECT
+    pr = _sql_pagerank_twin(3)
+    return f"""{pr}
 UNION ALL
-SELECT doc_id, 'distributed' AS path FROM documents"""
+SELECT doc_id, CAST(0 AS BIGINT) AS pr, 'driver' AS path FROM documents
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT) AS pr, 'distributed' AS path FROM documents"""
 
 
 def _q_embed_neardup(sf_dir: str):

@@ -1,0 +1,225 @@
+"""Distributed link-graph operators: fixed-point PageRank.
+
+The reference (SEraster, ``/root/reference/R/main.R``) has no graph
+operators — this family comes from the task's Common-Crawl north rule
+(BASELINE.json ``north_star``: web pages at 10^12-row scale), where
+the canonical iterative whole-corpus computation is PageRank over the
+page link graph.
+
+Design (the 100-TB shape):
+
+* **Edges are persisted bucketed by ``src`` ONCE** via
+  :func:`rayraster.join.write_bucketed` — the big side of the
+  per-iteration join never moves again (the fact-table pattern; an
+  existing layout at ``edges_path`` is reused, which also makes a
+  multi-day run resumable after a restart).
+* **Each iteration shuffles only the rank table** (one row per node):
+  ranks are hash-tagged with the SAME :func:`~rayraster.join.key_bucket`
+  the layout used, co-located with one ``groupby(bucket)`` exchange,
+  and each bucket task reads its edge partition locally, computes
+  out-degrees with a C++ ``group_by`` (all edges of a ``src`` live in
+  its bucket, so the degree is locally complete), fans contributions
+  out to destinations and **pre-aggregates per ``dst`` inside the
+  bucket** before the second exchange (the combiner).
+* **Fixed-point integer arithmetic**: ranks are int64 multiples of
+  ``1/scale``; a node of rank ``r`` and out-degree ``d`` sends
+  ``(r * damping_num) // (damping_den * d)`` to each successor and
+  every node receives ``scale * (damping_den - damping_num) //
+  damping_den`` teleport mass.  Integer sums are order-independent, so
+  the result is bit-identical across partitionings, cluster sizes and
+  a DuckDB twin — float PageRank cannot promise any of that.
+  Dangling nodes (out-degree 0) keep their mass to themselves minus
+  damping, i.e. their outflow is simply dropped (the standard
+  simplified formulation; the SQL twin drops it identically).
+
+Overflow bound (checked, not assumed): a node's rank can never exceed
+the total mass ``num_nodes * scale``, so the per-edge product needs
+``num_nodes * scale * damping_num < 2**63``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from rayraster.agg import hash_aggregate
+from rayraster.dedup import _adaptive_parts
+from rayraster.join import _read_bucket_manifest, key_bucket, write_bucketed
+
+_EMPTY_CONTRIB = pa.schema([("node", pa.int64()), ("c", pa.int64())])
+
+
+def _edge_layout(edges: Dataset, edges_path: str, num_buckets: int) -> str:
+    """Ensure the bucketed edge layout exists at ``edges_path`` and
+    return it.  A layout whose manifest matches ``num_buckets`` (and
+    the engine's bucket-hash version) is reused as-is — re-running a
+    job against the same path skips the only edge exchange."""
+    try:
+        m = _read_bucket_manifest(edges_path)
+        if m["num_buckets"] == num_buckets and m["key"] == "src":
+            return edges_path
+    except (FileNotFoundError, KeyError, ValueError):
+        pass
+    return write_bucketed(edges, "src", edges_path, num_buckets=num_buckets)
+
+
+def _read_edge_bucket(edges_path: str, b: int, written: set[int]) -> pa.Table:
+    files = sorted(glob.glob(os.path.join(edges_path, f"_bucket={b}", "*.parquet")))
+    if not files:
+        if b in written:
+            raise FileNotFoundError(
+                f"edge bucket {b} is in {edges_path}'s manifest but has no"
+                " files visible from this node; refusing to silently drop"
+                " its contributions"
+            )
+        return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    import pyarrow.parquet as pq
+
+    return pa.concat_tables(pq.read_table(f, columns=["src", "dst"]) for f in files)
+
+
+def pagerank(
+    edges: Dataset,
+    edges_path: str,
+    nodes: Dataset | None = None,
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 1_000_000_000,
+    num_buckets: int = 64,
+    node_count: int | None = None,
+) -> Dataset:
+    """Fixed-point PageRank over an int64 ``(src, dst)`` edge Dataset.
+
+    Returns a Dataset of ``(node, pr)`` — ``pr`` is the int64
+    fixed-point rank after ``iterations`` synchronous rounds starting
+    from ``rank_0 = scale`` per node.  Divide by ``scale`` for the
+    conventional float value; keep the integer for bit-exact
+    comparisons.
+
+    ``nodes``: optional ``(node)`` Dataset naming the vertex set; when
+    omitted it is discovered as ``distinct(src) ∪ distinct(dst)`` (one
+    extra exchange).  ``node_count`` skips a ``count()`` when the
+    caller already knows it (used for the overflow check and adaptive
+    exchange sizing).
+
+    Exchanges: 1 (edge layout, skipped when ``edges_path`` already
+    holds a matching layout) + [1 if nodes are discovered] + 2 per
+    iteration (rank co-location; contribution aggregate).  Nothing is
+    ever materialized on the driver.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not (0 < damping_num < damping_den):
+        raise ValueError(
+            f"need 0 < damping_num < damping_den, got {damping_num}/{damping_den}"
+        )
+
+    path = _edge_layout(edges, edges_path, num_buckets)
+    manifest = _read_bucket_manifest(path)
+    written = set(manifest.get("buckets_written", range(num_buckets)))
+
+    if nodes is None:
+        from rayraster.agg import distinct
+
+        def endpoints(t: pa.Table) -> pa.Table:
+            s = t["src"].cast(pa.int64())
+            d = t["dst"].cast(pa.int64())
+            return pa.table(
+                {"node": pa.chunked_array(list(s.chunks) + list(d.chunks), pa.int64())}
+            )
+
+        both = edges.map_batches(endpoints, batch_format="pyarrow")
+        nodes = distinct(
+            both, ["node"], num_partitions=_adaptive_parts(node_count, num_buckets)
+        ).materialize()
+    if node_count is None:
+        nodes = nodes.materialize()
+        node_count = nodes.count()
+
+    if node_count * scale * damping_num >= 2**63:
+        raise ValueError(
+            f"fixed-point overflow: num_nodes*scale*damping_num = "
+            f"{node_count * scale * damping_num} >= 2^63 — lower `scale`"
+        )
+    teleport = scale * (damping_den - damping_num) // damping_den
+    agg_parts = _adaptive_parts(node_count, num_buckets)
+    dn = np.int64(damping_num)
+    dd = np.int64(damping_den)
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        node = t["node"].cast(pa.int64())
+        return pa.table(
+            {"node": node,
+             "rank": pa.array(np.full(t.num_rows, scale, dtype=np.int64))}
+        )
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket", pa.array(key_bucket(t["node"].combine_chunks(), num_buckets))
+        )
+
+    def contribs(g: pa.Table) -> pa.Table:
+        """Rank rows of ONE bucket → per-dst partial contribution sums.
+
+        The edge partition is read locally; out-degrees are complete
+        within it (layout is bucketed by src)."""
+        b = int(g["_bucket"][0].as_py())
+        et = _read_edge_bucket(path, b, written)
+        if et.num_rows == 0:
+            return _EMPTY_CONTRIB.empty_table()
+        deg = et.group_by("src").aggregate([("dst", "count")])
+        rt = pa.table({"src": g["node"], "rank": g["rank"]})
+        per_src = rt.join(deg, keys=["src"], join_type="inner")
+        if per_src.num_rows == 0:
+            return _EMPTY_CONTRIB.empty_table()
+        r = per_src["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = per_src["dst_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        per_src = pa.table(
+            {"src": per_src["src"], "c": pa.array((r * dn) // (d * dd))}
+        )
+        fan = et.join(per_src, keys=["src"], join_type="inner")
+        out = fan.group_by("dst").aggregate([("c", "sum")])
+        return pa.table(
+            {"node": out["dst"].cast(pa.int64()), "c": out["c_sum"].cast(pa.int64())}
+        )
+
+    def zeros(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t["node"], "c": pa.array(np.zeros(t.num_rows, dtype=np.int64))}
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"node": t["node"], "rank": pa.array(s + np.int64(teleport))}
+        )
+
+    for _ in range(iterations):
+        partials = (
+            ranks.map_batches(tag_bucket, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(contribs, batch_format="pyarrow")
+        )
+        # every node appears (zero row from the rank table itself), so
+        # in-link-less nodes still get their teleport row downstream
+        folded = hash_aggregate(
+            partials.union(ranks.map_batches(zeros, batch_format="pyarrow")),
+            keys=["node"],
+            sum_cols=["c"],
+            count=False,
+            num_partitions=agg_parts,
+        )
+        ranks = folded.map_batches(finish, batch_format="pyarrow").materialize()
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "pr": t["rank"]})
+
+    return ranks.map_batches(project, batch_format="pyarrow")

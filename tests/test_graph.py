@@ -1,0 +1,125 @@
+"""Distributed fixed-point PageRank (rayraster/graph.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from rayraster.graph import pagerank
+
+SCALE, DN, DD = 10**9, 85, 100
+
+
+def _local_pagerank(src, dst, n, iterations, scale=SCALE, dn=DN, dd=DD):
+    """Dense local reference of the SAME fixed-point semantics."""
+    rank = np.full(n, scale, dtype=np.int64)
+    outdeg = np.bincount(src, minlength=n).astype(np.int64)
+    tel = scale * (dd - dn) // dd
+    for _ in range(iterations):
+        c = np.zeros(n, dtype=np.int64)
+        has_out = outdeg > 0
+        per_src = np.zeros(n, dtype=np.int64)
+        per_src[has_out] = (rank[has_out] * dn) // (outdeg[has_out] * dd)
+        np.add.at(c, dst, per_src[src])
+        rank = tel + c
+    return rank
+
+
+def _edges_ds(src, dst):
+    return rd.from_arrow(
+        pa.table({"src": src.astype(np.int64), "dst": dst.astype(np.int64)})
+    )
+
+
+def _nodes_ds(n):
+    return rd.from_arrow(pa.table({"node": np.arange(n, dtype=np.int64)}))
+
+
+def _run(src, dst, n, path, iterations=3, **kw):
+    out = (
+        pagerank(_edges_ds(src, dst), edges_path=path, iterations=iterations, **kw)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def test_pagerank_matches_local_reference(tmp_path):
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    src = np.repeat(ids, 3)
+    dst = ((ids[:, None] * 31 + 7 + 101 * np.arange(3)) % n).reshape(-1)
+    want = _local_pagerank(src, dst, n, iterations=3)
+    out = _run(src, dst, n, str(tmp_path / "e1"), nodes=_nodes_ds(n), node_count=n)
+    assert len(out) == n
+    assert (out["node"].to_numpy() == np.arange(n)).all()
+    assert (out["pr"].to_numpy() == want).all()
+
+
+def test_pagerank_bucket_count_invariant(tmp_path):
+    n = 200
+    rng = np.arange(n, dtype=np.int64)
+    src = np.repeat(rng, 2)
+    dst = ((rng[:, None] * 17 + np.array([3, 11])) % n).reshape(-1)
+    a = _run(src, dst, n, str(tmp_path / "b8"), num_buckets=8,
+             nodes=_nodes_ds(n), node_count=n)
+    b = _run(src, dst, n, str(tmp_path / "b16"), num_buckets=16,
+             nodes=_nodes_ds(n), node_count=n)
+    assert (a["pr"].to_numpy() == b["pr"].to_numpy()).all()
+
+
+def test_pagerank_dangling_and_sourceless_nodes(tmp_path):
+    # 0 -> 1 -> 2 ; node 2 dangles (no out-edges), node 0 has no in-links
+    src = np.array([0, 1], dtype=np.int64)
+    dst = np.array([1, 2], dtype=np.int64)
+    want = _local_pagerank(src, dst, 3, iterations=4)
+    out = _run(src, dst, 3, "/tmp/pr_test_dangle", iterations=4,
+               nodes=_nodes_ds(3), node_count=3)
+    assert (out["pr"].to_numpy() == want).all()
+    tel = SCALE * (DD - DN) // DD
+    # the sourceless node holds exactly the teleport mass
+    assert out["pr"].to_numpy()[0] == tel
+
+
+def test_pagerank_node_discovery(tmp_path):
+    # nodes omitted: vertex set discovered from the edges (5 appears
+    # only as a dst)
+    src = np.array([0, 1, 2], dtype=np.int64)
+    dst = np.array([1, 2, 5], dtype=np.int64)
+    out = _run(src, dst, 6, str(tmp_path / "disc"), iterations=2)
+    assert sorted(out["node"].tolist()) == [0, 1, 2, 5]
+    want = _local_pagerank(src, dst, 6, iterations=2)
+    got = dict(zip(out["node"].tolist(), out["pr"].tolist()))
+    for node, pr in got.items():
+        assert pr == want[node]
+
+
+def test_pagerank_star_concentrates_mass(tmp_path):
+    # all nodes point at node 0: its rank dominates
+    n = 50
+    src = np.arange(1, n, dtype=np.int64)
+    dst = np.zeros(n - 1, dtype=np.int64)
+    out = _run(src, dst, n, str(tmp_path / "star"), iterations=3,
+               nodes=_nodes_ds(n), node_count=n)
+    prs = out.set_index("node")["pr"]
+    assert prs.loc[0] > 10 * prs.loc[1]
+    assert (prs.loc[1:] == prs.loc[1]).all()  # symmetric spokes tie exactly
+
+
+def test_pagerank_layout_reuse_and_validation(tmp_path):
+    n = 40
+    ids = np.arange(n, dtype=np.int64)
+    src, dst = ids, (ids + 1) % n
+    p = str(tmp_path / "ring")
+    a = _run(src, dst, n, p, nodes=_nodes_ds(n), node_count=n)
+    # second run reuses the layout (manifest matches) — identical result
+    b = _run(src, dst, n, p, nodes=_nodes_ds(n), node_count=n)
+    assert (a["pr"].to_numpy() == b["pr"].to_numpy()).all()
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(_edges_ds(src, dst), p, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(_edges_ds(src, dst), p, damping_num=100)
+    with pytest.raises(ValueError, match="overflow"):
+        pagerank(_edges_ds(src, dst), p, nodes=_nodes_ds(n), node_count=n,
+                 scale=2**60)
