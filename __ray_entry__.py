@@ -1669,22 +1669,83 @@ FROM r, t WHERE rn <= {_PRIO_K}"""
 
 
 def _q_vocab_topk(sf_dir: str):
-    """Global vocabulary top-100 by frequency (tokenizer-training
-    wordcount): RE2 whitespace split → per-batch combine → partitioned
-    grouped sum → native sort+limit; ties break on the word."""
-    from rayraster.textops import vocab_topk
+    """Merged twin (path column), both term-statistics operators:
+
+    * 'vocab' — global vocabulary top-100 by frequency
+      (tokenizer-training wordcount): RE2 whitespace split → per-batch
+      combine → partitioned grouped sum → native sort+limit; ties
+      break on the word.  ``n`` = global count.
+    * 'tfidf' — per-document top-3 characteristic terms by linear
+      TF-IDF (``tf*N/df``, one IEEE division of exact integers — the
+      log-free variant that twins bit-exactly; see
+      ``textops.tfidf_topk_terms``).  ``n`` = within-doc tf.
+
+    Sentinels on the vocab path: doc_id=-1, df=0, score=0.0, rnk=0."""
+    from rayraster.textops import tfidf_topk_terms, vocab_topk
 
     ds = _docs(sf_dir)
-    return vocab_topk(ds, k=100, corpus_count=ds.count())
+    n_docs = ds.count()
+
+    def vocab_shape(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(m, -1, dtype=np.int64)),
+                "word": t["word"],
+                "n": t["n"],
+                "df": pa.array(np.zeros(m, dtype=np.int64)),
+                "score": pa.array(np.zeros(m, dtype=np.float64)),
+                "rnk": pa.array(np.zeros(m, dtype=np.int64)),
+                "path": pa.array(["vocab"] * m, type=pa.string()),
+            }
+        )
+
+    def tfidf_shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "word": t["word"],
+                "n": t["tf"],
+                "df": t["df"],
+                "score": t["score"],
+                "rnk": t["rnk"],
+                "path": pa.array(["tfidf"] * t.num_rows, type=pa.string()),
+            }
+        )
+
+    vocab = vocab_topk(ds, k=100, corpus_count=n_docs).map_batches(
+        vocab_shape, batch_format="pyarrow"
+    )
+    tfidf = tfidf_topk_terms(
+        _docs(sf_dir), corpus_count=n_docs, k=3,
+        num_partitions=_parts_for(n_docs),
+    ).map_batches(tfidf_shape, batch_format="pyarrow")
+    return vocab.union(tfidf)
 
 
 def _sql_vocab_topk() -> str:
     return r"""WITH toks AS (
-  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word FROM documents
 ),
 c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM toks
-      WHERE word <> '' GROUP BY word)
-SELECT word, n FROM c ORDER BY n DESC, word LIMIT 100"""
+      WHERE word <> '' GROUP BY word),
+tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+       WHERE word <> '' GROUP BY doc_id, word),
+df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+             CAST(tf.tf * (SELECT COUNT(*) FROM documents) AS DOUBLE)
+               / CAST(df.df AS DOUBLE) AS score
+      FROM tf JOIN df USING (word)),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT) AS rnk
+      FROM s)
+SELECT CAST(-1 AS BIGINT) AS doc_id, word, n, CAST(0 AS BIGINT) AS df,
+       CAST(0.0 AS DOUBLE) AS score, CAST(0 AS BIGINT) AS rnk,
+       'vocab' AS path
+FROM (SELECT word, n FROM c ORDER BY n DESC, word LIMIT 100)
+UNION ALL
+SELECT doc_id, word, tf AS n, df, score, rnk, 'tfidf' AS path
+FROM r WHERE rnk <= 3"""
 
 
 def _q_langid(sf_dir: str):

@@ -441,6 +441,116 @@ def vocab_topk(ds, text_col: str = "text", k: int = 100, num_partitions: int = 6
     return counts.sort(["n", "word"], descending=[True, False]).limit(k)
 
 
+def tfidf_topk_terms(
+    ds,
+    corpus_count: int,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+):
+    """Per-document top-``k`` characteristic terms by **linear
+    TF-IDF**: ``score = (tf * N) / df`` with exact integer ``tf``
+    (within-doc term frequency), ``N`` (corpus doc count,
+    caller-supplied — parquet metadata knows it) and ``df`` (number of
+    distinct docs containing the word).
+
+    The classic ``tf * log(N/df)`` is deliberately NOT used: ``log``
+    does not twin bit-exactly across engines (numpy vs DuckDB ``ln``
+    differ in the last ulp), while one IEEE division of exact integers
+    does.  Linear IDF preserves the signal (monotone in ``tf`` and
+    ``1/df``); rankings differ from log-IDF only in how multiple terms
+    trade off rarity against frequency — fine for keyword extraction,
+    documented here for anyone expecting the textbook formula.
+    ``tf * N`` must stay below 2^53 for the float64 conversion to be
+    exact (at web scale that is ~10^12 docs × tf 9000 — beyond it,
+    pre-divide ``tf/df`` first at the cost of twin exactness).
+
+    Plan (2 shuffles, nothing on the driver):
+      1. ``map_batches``: per-doc term frequencies via one C++
+         ``group_by`` (docs are single rows, so within-batch counts
+         are exact global ``tf``), partitioned by ``fnv1a64(word)`` —
+         every row of a word lands in ONE partition;
+      2. ``groupby(part).map_groups``: ``df`` per word is locally
+         complete (rows are distinct ``(doc, word)`` pairs); score
+         each row;
+      3. :func:`rayraster.agg.grouped_topk` by doc — per-batch partial
+         top-k BEFORE the doc exchange, deterministic ``(score DESC,
+         word ASC)`` order (= ``ROW_NUMBER`` twin).
+    """
+    from rayraster.agg import grouped_topk
+    from rayraster.dedup import _adaptive_parts
+    from rayraster.geo import fnv1a64
+
+    P = _adaptive_parts(corpus_count, num_partitions)
+    N = np.int64(corpus_count)
+
+    def tf_pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "word": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+                "_part": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        text = _combined(pc.fill_null(batch[text_col], ""))
+        flat, doc = _split_words_flat(text)
+        if len(flat) == 0:
+            return empty
+        t = pa.table({id_col: pa.array(ids[doc]), "word": flat})
+        out = t.group_by([id_col, "word"]).aggregate([([], "count_all")])
+        part = (fnv1a64(out["word"].to_pylist()) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: out[id_col],
+                "word": out["word"],
+                "tf": out["count_all"].cast(pa.int64()),
+                "_part": pa.array(part),
+            }
+        )
+
+    pairs = ds.map_batches(tf_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def score(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "word": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "df": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        codes = (
+            pc.dictionary_encode(_combined(group["word"]))
+            .indices.to_numpy()
+            .astype(np.int64)
+        )
+        df = np.bincount(codes)[codes]  # rows are distinct (doc, word)
+        tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = (tf * N).astype(np.float64) / df.astype(np.float64)
+        return pa.table(
+            {
+                id_col: group[id_col],
+                "word": group["word"],
+                "tf": pa.array(tf),
+                "df": pa.array(df),
+                "score": pa.array(s),
+            }
+        )
+
+    scored = pairs.groupby("_part").map_groups(score, batch_format="pyarrow")
+    return grouped_topk(
+        scored, [id_col], "score", k, descending=True, tie_col="word",
+        num_partitions=P,
+    )
+
+
 # ---------------------------------------------------------------------------
 # repetition metrics (Gopher-style quality rules), domain extraction,
 # n-gram blocklist decontamination — web-pipeline curation staples

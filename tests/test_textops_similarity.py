@@ -126,6 +126,84 @@ def test_vocab_topk_wordcount(ray_session):
     assert out.n.tolist() == [4, 2, 1]
 
 
+def test_tfidf_topk_terms_matches_brute(ray_session):
+    from rayraster.textops import tfidf_topk_terms
+
+    texts = [
+        "apple banana apple cherry",
+        "banana cherry cherry date",
+        "apple apple apple egg",
+        "fig grape fig  banana",
+        "",            # no tokens → no rows
+        None,          # NULL ≡ '' → no rows
+        "solo",
+        "apple banana cherry date egg fig grape",
+    ]
+    n = len(texts)
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    out = (
+        tfidf_topk_terms(rd.from_pandas(docs), corpus_count=n, k=3, num_partitions=8)
+        .to_pandas()
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+
+    # brute local reference of the SAME division-only score
+    import collections
+
+    tf: dict[tuple[int, str], int] = collections.Counter()
+    df: dict[str, set] = collections.defaultdict(set)
+    for i, t in enumerate(texts):
+        for w in (t or "").split():
+            tf[(i, w)] += 1
+            df[w].add(i)
+    want = []
+    for i in range(n):
+        terms = [(w, c) for (d, w), c in tf.items() if d == i]
+        scored = sorted(
+            ((-(c * n) / len(df[w]), w, c) for w, c in terms)
+        )[:3]
+        for r, (neg, w, c) in enumerate(scored, 1):
+            want.append((i, w, c, len(df[w]), -neg, r))
+    want_df = pd.DataFrame(
+        want, columns=["doc_id", "word", "tf", "df", "score", "rnk"]
+    )
+    pd.testing.assert_frame_equal(
+        out[["doc_id", "word", "tf", "df", "score", "rnk"]],
+        want_df,
+        check_dtype=False,
+    )
+    # empty/NULL docs emit nothing; every other doc has min(3, |vocab|) rows
+    assert set(out.doc_id) == {0, 1, 2, 3, 6, 7}
+    assert (out[out.doc_id == 6].word == "solo").all()
+
+
+def test_tfidf_topk_partition_invariant(ray_session):
+    from rayraster.textops import tfidf_topk_terms
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+        for _ in range(60)
+    ]
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(60, dtype=np.int64), "text": texts}
+    )
+
+    def run(parts, blocks):
+        ds = rd.from_pandas(docs).repartition(blocks)
+        return (
+            tfidf_topk_terms(ds, corpus_count=60, k=2, num_partitions=parts)
+            .to_pandas()
+            .sort_values(["doc_id", "rnk"])
+            .reset_index(drop=True)
+        )
+
+    a, b = run(8, 2), run(16, 7)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def _emb_ds(n=300, dim=32, seed=3):
     rng = np.random.default_rng(seed)
     mat = rng.standard_normal((n, dim)).astype(np.float32)
