@@ -270,10 +270,17 @@ def _q_filtered_stats(sf_dir: str):
     """Composite: predicate PUSHDOWN at the parquet read (lang='en'
     row-group filter), quality-score filter (the user-subsetting
     analog, vignette:152-157), then rasterize with per-cell sum AND
-    min/max stats (extension beyond the reference's mean|sum)."""
+    min/max stats (extension beyond the reference's mean|sum).
+
+    Deepened with the spatial-statistics family
+    (``rayraster/spatial.py``): every pixel row additionally carries
+    its exact rook-neighbor count/value-sum (tiled-halo exchange, ONE
+    shuffle) and the local Moran's I term ``lisa`` — the fixed-order
+    float expression the SQL self-join twin reproduces bit-for-bit."""
     import pyarrow.compute as _pc
 
     from rayraster.pipelines import add_geocode_id
+    from rayraster.spatial import local_moran
     from rayraster.textops import quality_score
 
     ds = rd.read_parquet(
@@ -293,9 +300,10 @@ def _q_filtered_stats(sf_dir: str):
         pts, RES, ["n_chars"], fun="sum", with_meta=False,
         extra_stats=("min", "max"),
     )
-    return out.select_columns(
+    out = out.select_columns(
         ["ix", "iy", "cx", "cy", "num_cell", "sum_n_chars", "min_n_chars", "max_n_chars"]
     )
+    return local_moran(out, "sum_n_chars", num_partitions=8)
 
 
 def _sql_filtered_stats() -> str:
@@ -317,12 +325,29 @@ pts AS (
   SELECT doc_id, n_chars, {_GX} AS x, {_GY} AS y
   FROM keepers
 ),
-{_bb(RES)}, {_square_cells(RES).replace("p.lang, ", "")}
-SELECT ix, iy, cx, cy, COUNT(*) AS num_cell,
-       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
-       CAST(MIN(n_chars) AS BIGINT) AS min_n_chars,
-       CAST(MAX(n_chars) AS BIGINT) AS max_n_chars
-FROM cells2 GROUP BY ix, iy, cx, cy"""
+{_bb(RES)}, {_square_cells(RES).replace("p.lang, ", "")},
+px AS (
+  SELECT ix, iy, cx, cy, COUNT(*) AS num_cell,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+         CAST(MIN(n_chars) AS BIGINT) AS min_n_chars,
+         CAST(MAX(n_chars) AS BIGINT) AS max_n_chars
+  FROM cells2 GROUP BY ix, iy, cx, cy
+),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(sum_n_chars) AS BIGINT) AS s FROM px),
+nb AS (
+  SELECT p.ix, p.iy,
+         CAST(COUNT(q.ix) AS BIGINT) AS nbr_cnt,
+         CAST(COALESCE(SUM(q.sum_n_chars), 0) AS BIGINT) AS nbr_sum
+  FROM px p LEFT JOIN px q ON abs(p.ix - q.ix) + abs(p.iy - q.iy) = 1
+  GROUP BY p.ix, p.iy
+)
+SELECT px.*, nb.nbr_cnt, nb.nbr_sum,
+       (CAST(px.sum_n_chars AS DOUBLE) - CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE))
+       * (CAST(nb.nbr_sum AS DOUBLE)
+          - CAST(nb.nbr_cnt AS DOUBLE)*(CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE)))
+         AS lisa
+FROM px JOIN nb ON px.ix = nb.ix AND px.iy = nb.iy, g"""
 
 
 def _q_spatial_knn(sf_dir: str):

@@ -1,0 +1,230 @@
+"""Spatial statistics over rasters: lattice neighbor aggregates and
+local Moran's I (LISA).
+
+SEraster's whole purpose is preparing rasters for downstream spatial
+statistics (vignette: SpatialDE / nnSVG feed on the pixel matrix —
+``/root/reference/vignettes/getting-started-with-SEraster.Rmd``); this
+module provides the first of those statistics natively so the raster
+never has to leave the engine.
+
+Design (the 100-TB shape): a pixel's rook/queen neighborhood is pure
+(ix, iy) arithmetic, so the neighbor "join" needs no general shuffle
+join — pixels are tiled into ``tile × tile`` blocks, rows on a tile
+edge are additionally copied to the adjacent tile (a ≤ 1-cell halo;
+interior rows ship exactly once), and ONE hash-partitioned exchange
+co-locates every tile with its halo.  Within a tile group the
+neighbor lookup is a vectorized ``searchsorted`` over packed int64
+cell keys.  Mirrors the proven :func:`rayraster.knn.spatial_knn_self`
+tiling; here the halo bound is exact (lattice distance 1), so results
+are always exact.
+
+Float discipline: neighbor sums/counts stay exact int64 through the
+exchange; the single LISA float expression
+``(x_i − mean) · (nbr_sum − nbr_cnt · mean)`` is evaluated in one
+fixed operation order so a SQL twin matches it bit-for-bit (mean is
+the one division, ``S/n`` of exact integers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+_OFFSETS = {
+    4: [(-1, 0), (1, 0), (0, -1), (0, 1)],
+    8: [(-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (-1, 1), (1, -1), (1, 1)],
+}
+
+
+def _pack(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    """Injective int64 key for |ix|,|iy| < 2^31 (checked by caller)."""
+    return ix.astype(np.int64) * np.int64(1 << 32) + iy.astype(np.int64)
+
+
+def neighbor_stats(
+    pixels: Dataset,
+    value_col: str,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    connectivity: int = 4,
+    tile: int = 64,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Append exact ``nbr_cnt`` (existing rook/queen neighbors) and
+    ``nbr_sum`` (int64 sum of their ``value_col``) to every pixel row.
+
+    ONE exchange: tile fan-out with a 1-cell halo (home row → its own
+    tile; edge rows also copied to the adjacent tile(s)), then a
+    vectorized packed-key ``searchsorted`` per tile group.  Missing
+    neighbors (outside the raster's live set) simply don't count —
+    matching a LEFT-JOIN-on-the-lattice SQL twin.
+    """
+    if connectivity not in _OFFSETS:
+        raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
+    offsets = _OFFSETS[connectivity]
+    T = np.int64(tile)
+
+    def fanout(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            e = t.append_column("_home", pa.array([], type=pa.bool_()))
+            return e.append_column("_part", pa.array([], type=pa.int64()))
+        ix = t[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if np.abs(ix).max(initial=0) >= 1 << 31 or np.abs(iy).max(initial=0) >= 1 << 31:
+            raise ValueError("neighbor_stats: |ix|,|iy| must be < 2^31 to pack")
+        tx, ty = ix // T, iy // T
+        lx, ly = ix - tx * T, iy - ty * T  # 0..tile-1 (floor semantics)
+        pieces = []
+        for a in (-1, 0, 1):
+            okx = (lx == 0) if a == -1 else (lx == T - 1) if a == 1 else None
+            for b in (-1, 0, 1):
+                oky = (ly == 0) if b == -1 else (ly == T - 1) if b == 1 else None
+                if a == 0 and b == 0:
+                    sel = None  # every row is home in its own tile
+                else:
+                    sel = np.ones(t.num_rows, dtype=bool)
+                    if okx is not None:
+                        sel &= okx
+                    if oky is not None:
+                        sel &= oky
+                if sel is None:
+                    p, ptx, pty = t, tx, ty
+                else:
+                    idx = np.flatnonzero(sel)
+                    if len(idx) == 0:
+                        continue
+                    p = t.take(pa.array(idx, type=pa.int64()))
+                    ptx, pty = tx[idx], ty[idx]
+                p = p.append_column(
+                    "_home", pa.array(np.full(p.num_rows, a == 0 and b == 0))
+                )
+                part = (
+                    np.abs(
+                        (ptx + a) * np.int64(73856093) ^ (pty + b) * np.int64(19349663)
+                    )
+                    % np.int64(num_partitions)
+                )
+                # the halo copy must land with the NEIGHBOR tile's
+                # group — tag the target tile, not the source
+                p = p.append_column("_ttx", pa.array(ptx + a))
+                p = p.append_column("_tty", pa.array(pty + b))
+                pieces.append(p.append_column("_part", pa.array(part)))
+        return pa.concat_tables(pieces)
+
+    def solve(group: pa.Table) -> pa.Table:
+        base_cols = [
+            c for c in group.column_names
+            if c not in ("_home", "_part", "_ttx", "_tty")
+        ]
+        empty = pa.table(
+            {
+                **{c: pa.array([], type=group[c].type) for c in base_cols},
+                "nbr_cnt": pa.array([], type=pa.int64()),
+                "nbr_sum": pa.array([], type=pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        # a partition may hold several tiles: resolve per tile
+        group = group.sort_by([("_ttx", "ascending"), ("_tty", "ascending")])
+        gtx = group["_ttx"].to_numpy(zero_copy_only=False)
+        gty = group["_tty"].to_numpy(zero_copy_only=False)
+        home = group["_home"].to_numpy(zero_copy_only=False)
+        ix = group[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = group[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = group[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group.num_rows
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (gtx[1:] != gtx[:-1]) | (gty[1:] != gty[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        keep_rows: list[np.ndarray] = []
+        cnts: list[np.ndarray] = []
+        sums: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            rows = np.arange(s, e)
+            h = rows[home[s:e]]
+            if len(h) == 0:
+                continue
+            keys = _pack(ix[rows], iy[rows])
+            order = np.argsort(keys)
+            skeys, svals = keys[order], val[rows][order]
+            cnt = np.zeros(len(h), dtype=np.int64)
+            ssum = np.zeros(len(h), dtype=np.int64)
+            for dx, dy in offsets:
+                want = _pack(ix[h] + dx, iy[h] + dy)
+                pos = np.searchsorted(skeys, want)
+                pos_c = np.minimum(pos, len(skeys) - 1)
+                hit = skeys[pos_c] == want
+                cnt += hit
+                ssum += np.where(hit, svals[pos_c], 0)
+            keep_rows.append(h)
+            cnts.append(cnt)
+            sums.append(ssum)
+        if not keep_rows:
+            return empty
+        take = np.concatenate(keep_rows)
+        out = group.select(base_cols).take(pa.array(take, type=pa.int64()))
+        out = out.append_column("nbr_cnt", pa.array(np.concatenate(cnts)))
+        return out.append_column("nbr_sum", pa.array(np.concatenate(sums)))
+
+    fanned = pixels.map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True)
+    return fanned.groupby("_part").map_groups(solve, batch_format="pyarrow")
+
+
+def local_moran(
+    pixels: Dataset,
+    value_col: str,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    connectivity: int = 4,
+    tile: int = 64,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Append ``nbr_cnt``, ``nbr_sum`` and the (unnormalized) local
+    Moran's I term ``lisa = (x_i − mean) · (nbr_sum − nbr_cnt · mean)``
+    to every pixel row — positive where a pixel and its neighborhood
+    deviate from the corpus mean the same way (hot/cold spots),
+    negative at spatial outliers.  ``Σ lisa`` is the global Moran's I
+    numerator (× n²); the conventional normalization divides by the
+    variance and link count — deliberately left to the caller so every
+    emitted float is ONE fixed-order expression a SQL twin reproduces
+    bit-for-bit.
+
+    The pixel table is a post-aggregation raster (orders of magnitude
+    smaller than the input points), so it is materialized once: the
+    global ``(n, Σx)`` fold and the neighbor exchange both consume it
+    without re-executing upstream lineage.
+    """
+    pixels = pixels.materialize()
+
+    def psum(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"n": pa.array([t.num_rows], type=pa.int64()),
+             "s": pa.array([int(v.sum())], type=pa.int64())}
+        )
+
+    # one tiny row per block on the driver (the scalar-fold pattern)
+    parts = pixels.map_batches(psum, batch_format="pyarrow").take_all()
+    n_px = sum(r["n"] for r in parts)
+    s_px = sum(r["s"] for r in parts)
+    if n_px == 0:
+        raise ValueError("local_moran: empty pixel table")
+    mean = s_px / n_px  # ONE IEEE division of exact ints (< 2^53)
+
+    with_nbrs = neighbor_stats(
+        pixels, value_col, ix_col=ix_col, iy_col=iy_col,
+        connectivity=connectivity, tile=tile, num_partitions=num_partitions,
+    )
+
+    def add_lisa(t: pa.Table) -> pa.Table:
+        xi = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ns = t["nbr_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nc = t["nbr_cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lisa = (xi - mean) * (ns - nc * mean)
+        return t.append_column("lisa", pa.array(lisa))
+
+    return with_nbrs.map_batches(add_lisa, batch_format="pyarrow")

@@ -1,0 +1,131 @@
+"""Lattice neighbor stats + local Moran's I (rayraster/spatial.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from rayraster.spatial import local_moran, neighbor_stats
+
+
+def _brute_nbrs(px: pd.DataFrame, connectivity: int):
+    offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if connectivity == 8:
+        offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    vals = {(r.ix, r.iy): r.v for r in px.itertuples()}
+    cnt, ssum = [], []
+    for r in px.itertuples():
+        ns = [vals.get((r.ix + dx, r.iy + dy)) for dx, dy in offs]
+        ns = [v for v in ns if v is not None]
+        cnt.append(len(ns))
+        ssum.append(sum(ns))
+    return np.array(cnt, dtype=np.int64), np.array(ssum, dtype=np.int64)
+
+
+def _raster(seed=5, m=400, span=60):
+    rng = np.random.default_rng(seed)
+    ix = rng.integers(-span, span, m).astype(np.int64)
+    iy = rng.integers(-span, span, m).astype(np.int64)
+    keys = ix * (1 << 32) + iy
+    _, first = np.unique(keys, return_index=True)
+    return pd.DataFrame(
+        {
+            "ix": ix[first],
+            "iy": iy[first],
+            "v": rng.integers(0, 1000, len(first)).astype(np.int64),
+        }
+    )
+
+
+@pytest.mark.parametrize("connectivity", [4, 8])
+def test_neighbor_stats_matches_brute(ray_session, connectivity):
+    px = _raster()
+    out = (
+        neighbor_stats(
+            rd.from_pandas(px).repartition(4), "v",
+            connectivity=connectivity, tile=16, num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values(["ix", "iy"])
+        .reset_index(drop=True)
+    )
+    want = px.sort_values(["ix", "iy"]).reset_index(drop=True)
+    cnt, ssum = _brute_nbrs(want, connectivity)
+    assert len(out) == len(want)
+    assert (out["v"].to_numpy() == want["v"].to_numpy()).all()
+    assert (out["nbr_cnt"].to_numpy() == cnt).all()
+    assert (out["nbr_sum"].to_numpy() == ssum).all()
+
+
+def test_neighbor_stats_tile_and_partition_invariant(ray_session):
+    px = _raster(seed=9)
+
+    def run(tile, parts, blocks):
+        return (
+            neighbor_stats(
+                rd.from_pandas(px).repartition(blocks), "v",
+                tile=tile, num_partitions=parts,
+            )
+            .to_pandas()
+            .sort_values(["ix", "iy"])
+            .reset_index(drop=True)
+        )
+
+    a = run(16, 8, 2)
+    b = run(7, 16, 5)  # odd tile size exercises different halo splits
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_neighbor_stats_dense_block_edges(ray_session):
+    # a dense 10x10 block straddling a tile boundary: interior pixels
+    # have 4 neighbors, corners 2, edges 3
+    g = np.mgrid[-5:5, -5:5].reshape(2, -1)
+    px = pd.DataFrame(
+        {"ix": g[0].astype(np.int64), "iy": g[1].astype(np.int64),
+         "v": np.ones(100, dtype=np.int64)}
+    )
+    out = neighbor_stats(
+        rd.from_pandas(px), "v", tile=4, num_partitions=8
+    ).to_pandas()
+    assert len(out) == 100
+    assert out["nbr_cnt"].sum() == out["nbr_sum"].sum()  # v ≡ 1
+    counts = out["nbr_cnt"].value_counts().to_dict()
+    assert counts == {4: 64, 3: 32, 2: 4}
+
+
+def test_local_moran_patterns(ray_session):
+    # checkerboard of 0/2 values: every neighbor deviates OPPOSITE to
+    # the pixel → all lisa strictly negative; constant raster → all 0
+    g = np.mgrid[0:8, 0:8].reshape(2, -1)
+    ix, iy = g[0].astype(np.int64), g[1].astype(np.int64)
+    checker = pd.DataFrame(
+        {"ix": ix, "iy": iy, "v": ((ix + iy) % 2 * 2).astype(np.int64)}
+    )
+    out = local_moran(rd.from_pandas(checker), "v", num_partitions=8).to_pandas()
+    assert (out["lisa"] < 0).all()
+    # global Moran numerator from the lisa sum equals the dense formula
+    v = checker.set_index(["ix", "iy"])["v"]
+    mean = v.sum() / len(v)
+    num = 0.0
+    for (a, b), x in v.items():
+        for dx, dy in [(-1, 0), (1, 0), (0, -1), (0, 1)]:
+            if (a + dx, b + dy) in v.index:
+                num += (x - mean) * (v[(a + dx, b + dy)] - mean)
+    assert np.isclose(out["lisa"].sum(), num)
+
+    const = checker.assign(v=np.int64(7))
+    out2 = local_moran(rd.from_pandas(const), "v", num_partitions=8).to_pandas()
+    assert (out2["lisa"] == 0.0).all()
+
+
+def test_neighbor_stats_validation(ray_session):
+    px = _raster(seed=1, m=10)
+    with pytest.raises(ValueError, match="connectivity"):
+        neighbor_stats(rd.from_pandas(px), "v", connectivity=6)
+    bad = pd.DataFrame(
+        {"ix": np.array([1 << 31], dtype=np.int64),
+         "iy": np.array([0], dtype=np.int64),
+         "v": np.array([1], dtype=np.int64)}
+    )
+    with pytest.raises(Exception, match="2\\^31"):
+        neighbor_stats(rd.from_pandas(bad), "v").to_pandas()
