@@ -2014,7 +2014,7 @@ def _q_session_windows(sf_dir: str):
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
     return session_windows(ev, gap_us=1_800_000_000).select_columns(
-        ["user_id", "session_start", "n", "min_value", "max_value"]
+        ["user_id", "session_start", "n", "min_value", "max_value", "max_gap_us"]
     )
 
 
@@ -2024,7 +2024,9 @@ def _sql_session_windows() -> str:
 ),
 m AS (
   SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
-                 THEN 1 ELSE 0 END AS brk
+                 THEN 1 ELSE 0 END AS brk,
+            CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                 THEN 0 ELSE us - lag(us) OVER w END AS gp
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
 ),
 s AS (
@@ -2033,7 +2035,8 @@ s AS (
   FROM m
 )
 SELECT user_id, CAST(min(us) AS BIGINT) AS session_start, COUNT(*) AS n,
-       min(value) AS min_value, max(value) AS max_value
+       min(value) AS min_value, max(value) AS max_value,
+       CAST(max(gp) AS BIGINT) AS max_gap_us
 FROM s GROUP BY user_id, sid"""
 
 

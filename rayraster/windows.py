@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
@@ -213,6 +214,60 @@ def watermark_tumbling(
     )
 
 
+def lag_columns(
+    ds: Dataset,
+    key_col: str,
+    order_col: str,
+    cols: list[str],
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key ordered LAG: append ``lag_<c>`` (the previous row's
+    value within the key, ordered by ``order_col``; NULL on each key's
+    first row) for every ``c`` in ``cols`` — the building block for
+    deltas, inter-event gaps, trajectory steps and change detection.
+
+    ONE hash-partition shuffle on the key, then a vectorized
+    in-partition ``sort_by(key, order) + shift`` — never a task per
+    key, no window state on the driver.  Ties on ``order_col`` within
+    a key break by the existing sort stability (callers needing
+    deterministic ties should pass a unique order column, as the SQL
+    ``LAG ... OVER (PARTITION BY key ORDER BY o)`` twin would).
+    """
+    if not cols:
+        raise ValueError("lag_columns: need at least one column to lag")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.abs(keys * np.int64(1000003)) % np.int64(num_partitions)
+        return batch.append_column("_part", pa.array(part))
+
+    def solve(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["_part"]).sort_by(
+            [(key_col, "ascending"), (order_col, "ascending")]
+        )
+        n = part.num_rows
+        if n == 0:
+            out = part
+            for c in cols:
+                out = out.append_column(f"lag_{c}", pa.array([], type=part[c].type))
+            return out
+        keys = part[key_col].to_numpy(zero_copy_only=False)
+        first = np.ones(n, dtype=bool)
+        first[1:] = keys[1:] != keys[:-1]
+        # previous-row take index; key-first rows get NULL via a mask
+        idx = np.arange(n, dtype=np.int64) - 1
+        take = pa.array(np.where(first, 0, idx), type=pa.int64())
+        out = part
+        for c in cols:
+            shifted = part[c].take(take)
+            lag = pc.if_else(pa.array(first), pa.nulls(n, type=part[c].type), shifted)
+            out = out.append_column(f"lag_{c}", lag)
+        return out
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return parted.groupby("_part").map_groups(solve, batch_format="pyarrow")
+
+
 def session_windows(
     ds: Dataset,
     key_col: str = "user_id",
@@ -227,7 +282,11 @@ def session_windows(
     vectorized pass (sort by key,ts; session breaks = key change OR
     gap > gap_us; session id = cumsum; one pyarrow group_by) — never a
     task per key.  Output per session:
-    ``key, session_start (us), n, min_<v>, max_<v>``."""
+    ``key, session_start (us), n, min_<v>, max_<v>, max_gap_us`` —
+    ``max_gap_us`` is the largest intra-session inter-event gap (0 for
+    single-event sessions), i.e. the LAG-delta statistic computed in
+    the same pass (see :func:`lag_columns` for the standalone
+    primitive)."""
 
     def add_part(batch: pa.Table) -> pa.Table:
         us = (
@@ -260,24 +319,31 @@ def session_windows(
                     "n": pa.array([], type=pa.int64()),
                     f"min_{value_col}": pa.array([], type=part[value_col].type),
                     f"max_{value_col}": pa.array([], type=part[value_col].type),
+                    "max_gap_us": pa.array([], type=pa.int64()),
                 }
             )
         brk = np.ones(n, dtype=np.int64)
         brk[1:] = (keys[1:] != keys[:-1]) | (us[1:] - us[:-1] > gap_us)
         sid = np.cumsum(brk)
+        # intra-session inter-event gap per row (0 at session starts)
+        gap = np.zeros(n, dtype=np.int64)
+        gap[1:] = np.where(brk[1:] == 1, 0, us[1:] - us[:-1])
         t = pa.table(
             {
                 key_col: part[key_col],
                 "_sid": pa.array(sid),
                 "_us": part["_us"],
                 value_col: part[value_col],
+                "_gap": pa.array(gap),
             }
         )
         out = t.group_by([key_col, "_sid"]).aggregate(
-            [("_us", "min"), ("_us", "count"), (value_col, "min"), (value_col, "max")]
+            [("_us", "min"), ("_us", "count"), (value_col, "min"), (value_col, "max"),
+             ("_gap", "max")]
         )
         out = out.rename_columns(
-            [key_col, "_sid", "session_start", "n", f"min_{value_col}", f"max_{value_col}"]
+            [key_col, "_sid", "session_start", "n", f"min_{value_col}",
+             f"max_{value_col}", "max_gap_us"]
         )
         return out.drop_columns(["_sid"])
 

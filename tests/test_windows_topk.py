@@ -40,6 +40,59 @@ def test_session_windows_gap(ray_session):
     assert u1.iloc[0].n == 2 and u1.iloc[0].min_value == 1.0 and u1.iloc[0].max_value == 2.0
     assert u1.iloc[1].n == 1 and u1.iloc[1].min_value == 3.0
     assert len(out[out.user_id == 2]) == 1
+    # max intra-session gap: 10 min for the 2-event session, 0 for the
+    # single-event ones
+    assert u1.iloc[0].max_gap_us == 600_000_000
+    assert u1.iloc[1].max_gap_us == 0
+    assert out[out.user_id == 2].iloc[0].max_gap_us == 0
+
+
+def test_lag_columns_matches_duckdb(ray_session):
+    import duckdb
+
+    from rayraster.windows import lag_columns
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, 300).astype(np.int64),
+            "o": rng.permutation(300).astype(np.int64),  # unique order col
+            "v": rng.integers(0, 100, 300).astype(np.int64),
+            "w": rng.standard_normal(300),
+        }
+    )
+    out = (
+        lag_columns(rd.from_pandas(df).repartition(4), "k", "o", ["v", "w"],
+                    num_partitions=8)
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        """SELECT k, o, v, w,
+                  lag(v) OVER (PARTITION BY k ORDER BY o) AS lag_v,
+                  lag(w) OVER (PARTITION BY k ORDER BY o) AS lag_w
+           FROM t ORDER BY k, o"""
+    ).df()
+    pd.testing.assert_frame_equal(
+        out[["k", "o", "v", "w", "lag_v", "lag_w"]], want, check_dtype=False
+    )
+
+
+def test_lag_columns_single_rows_and_empty(ray_session):
+    from rayraster.windows import lag_columns
+
+    df = pd.DataFrame(
+        {"k": np.array([1, 2, 3], dtype=np.int64),
+         "o": np.array([0, 0, 0], dtype=np.int64),
+         "v": np.array([5, 6, 7], dtype=np.int64)}
+    )
+    out = lag_columns(rd.from_pandas(df), "k", "o", ["v"]).to_pandas()
+    assert out["lag_v"].isna().all()  # every key has one row
+    with pytest.raises(ValueError, match="at least one column"):
+        lag_columns(rd.from_pandas(df), "k", "o", [])
 
 
 def test_grouped_topk_matches_pandas(ray_session):
