@@ -1705,7 +1705,12 @@ def _q_vocab_topk(sf_dir: str):
       log-free variant that twins bit-exactly; see
       ``textops.tfidf_topk_terms``).  ``n`` = within-doc tf.
 
-    Sentinels on the vocab path: doc_id=-1, df=0, score=0.0, rnk=0."""
+    Sentinels on the vocab path: doc_id=-1, df=0, score=0.0, rnk=0.
+
+    Both public operators execute as shipped (the corpus is tokenized
+    twice, deliberately — the gate exercises `vocab_topk` itself, not
+    a vocab derived from tfidf's tf pairs, even though sum(tf) per
+    word would equal the global count)."""
     from rayraster.textops import tfidf_topk_terms, vocab_topk
 
     ds = _docs(sf_dir)

@@ -49,26 +49,73 @@ from ray.data import Dataset
 
 from rayraster.agg import hash_aggregate
 from rayraster.dedup import _adaptive_parts
-from rayraster.join import _read_bucket_manifest, key_bucket, write_bucketed
+from rayraster.join import (
+    _BUCKET_HASH,
+    _read_bucket_manifest,
+    key_bucket,
+    write_bucketed,
+)
 
-_EMPTY_CONTRIB = pa.schema([("node", pa.int64()), ("c", pa.int64())])
+_EMPTY_CONTRIB = pa.schema([("node", pa.int64()), ("c", pa.int64()), ("m", pa.int64())])
 
 
 def _edge_layout(edges: Dataset, edges_path: str, num_buckets: int) -> str:
-    """Ensure the bucketed edge layout exists at ``edges_path`` and
-    return it.  A layout whose manifest matches ``num_buckets`` (and
-    the engine's bucket-hash version) is reused as-is — re-running a
-    job against the same path skips the only edge exchange."""
+    """Ensure the bucketed edge layout (+ per-bucket out-degree
+    sidecars) exists at ``edges_path`` and return it.  A layout whose
+    manifest matches ``num_buckets`` AND the engine's bucket-hash
+    version is reused as-is — re-running a job against the same path
+    skips the only edge exchange.  A hash-version mismatch forces a
+    rewrite (rank rows are tagged with the CURRENT ``key_bucket``;
+    joining them against buckets written by an older hash would
+    silently mis-co-locate — the same failure
+    ``bucket_join_prebucketed`` refuses)."""
+    import ray.data as rd
+
     try:
         m = _read_bucket_manifest(edges_path)
-        if m["num_buckets"] == num_buckets and m["key"] == "src":
-            return edges_path
+        if (
+            m["num_buckets"] == num_buckets
+            and m["key"] == "src"
+            and m.get("hash") == _BUCKET_HASH
+        ):
+            if os.path.isdir(os.path.join(edges_path, "_deg")):
+                return edges_path
+            path = edges_path  # layout fine, only the sidecar missing
+        else:
+            path = write_bucketed(edges, "src", edges_path, num_buckets=num_buckets)
     except (FileNotFoundError, KeyError, ValueError):
-        pass
-    return write_bucketed(edges, "src", edges_path, num_buckets=num_buckets)
+        path = write_bucketed(edges, "src", edges_path, num_buckets=num_buckets)
+
+    # out-degrees are iteration-invariant: compute them ONCE per bucket
+    # at layout time (one independent task per bucket), not once per
+    # bucket per PageRank round
+    manifest = _read_bucket_manifest(path)
+    written = manifest.get("buckets_written", list(range(num_buckets)))
+    deg_dir = os.path.join(path, "_deg")
+    os.makedirs(deg_dir, exist_ok=True)
+
+    def build_deg(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        done = []
+        for b in batch["b"].to_pylist():
+            et = _read_edge_bucket(path, int(b), set(written), columns=["src"])
+            deg = et.group_by("src").aggregate([("src", "count")])
+            deg = deg.rename_columns(["src", "deg"])
+            pq.write_table(deg, os.path.join(deg_dir, f"deg_{int(b)}.parquet"))
+            done.append(int(b))
+        return pa.table({"b": pa.array(done, type=pa.int64())})
+
+    if written:
+        rd.from_items(
+            [{"b": b} for b in written], override_num_blocks=len(written)
+        ).map_batches(build_deg, batch_format="pyarrow").materialize()
+    return path
 
 
-def _read_edge_bucket(edges_path: str, b: int, written: set[int]) -> pa.Table:
+def _read_edge_bucket(
+    edges_path: str, b: int, written: set[int], columns=("src", "dst")
+) -> pa.Table:
     files = sorted(glob.glob(os.path.join(edges_path, f"_bucket={b}", "*.parquet")))
     if not files:
         if b in written:
@@ -77,10 +124,21 @@ def _read_edge_bucket(edges_path: str, b: int, written: set[int]) -> pa.Table:
                 " files visible from this node; refusing to silently drop"
                 " its contributions"
             )
-        return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        return pa.table({c: pa.array([], pa.int64()) for c in columns})
     import pyarrow.parquet as pq
 
-    return pa.concat_tables(pq.read_table(f, columns=["src", "dst"]) for f in files)
+    return pa.concat_tables(
+        pq.read_table(f, columns=list(columns)) for f in files
+    )
+
+
+def _read_deg_bucket(edges_path: str, b: int) -> pa.Table | None:
+    f = os.path.join(edges_path, "_deg", f"deg_{b}.parquet")
+    if not os.path.exists(f):
+        return None
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f)
 
 
 def pagerank(
@@ -169,34 +227,52 @@ def pagerank(
     def contribs(g: pa.Table) -> pa.Table:
         """Rank rows of ONE bucket → per-dst partial contribution sums.
 
-        The edge partition is read locally; out-degrees are complete
-        within it (layout is bucketed by src)."""
+        The edge partition is read locally; out-degrees come from the
+        per-bucket sidecar written once at layout time (they are
+        iteration-invariant — recomputing the group_by every round was
+        pure waste)."""
         b = int(g["_bucket"][0].as_py())
-        et = _read_edge_bucket(path, b, written)
-        if et.num_rows == 0:
+        deg = _read_deg_bucket(path, b)
+        if deg is None:  # bucket with no edges written
             return _EMPTY_CONTRIB.empty_table()
-        deg = et.group_by("src").aggregate([("dst", "count")])
         rt = pa.table({"src": g["node"], "rank": g["rank"]})
         per_src = rt.join(deg, keys=["src"], join_type="inner")
         if per_src.num_rows == 0:
             return _EMPTY_CONTRIB.empty_table()
         r = per_src["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = per_src["dst_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = per_src["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
         per_src = pa.table(
             {"src": per_src["src"], "c": pa.array((r * dn) // (d * dd))}
         )
+        et = _read_edge_bucket(path, b, written)
         fan = et.join(per_src, keys=["src"], join_type="inner")
         out = fan.group_by("dst").aggregate([("c", "sum")])
         return pa.table(
-            {"node": out["dst"].cast(pa.int64()), "c": out["c_sum"].cast(pa.int64())}
+            {
+                "node": out["dst"].cast(pa.int64()),
+                "c": out["c_sum"].cast(pa.int64()),
+                "m": pa.array(np.zeros(out.num_rows, dtype=np.int64)),
+            }
         )
 
     def zeros(t: pa.Table) -> pa.Table:
+        # the membership marker: only nodes present in the CURRENT rank
+        # table carry m=1.  A dst outside the declared vertex set gets
+        # contributions but no marker and is dropped in finish — the
+        # exact semantics of the SQL twin's LEFT JOIN onto r_{i-1}
+        # (without this, phantom nodes would silently enter the ranks)
+        n_rows = t.num_rows
         return pa.table(
-            {"node": t["node"], "c": pa.array(np.zeros(t.num_rows, dtype=np.int64))}
+            {
+                "node": t["node"],
+                "c": pa.array(np.zeros(n_rows, dtype=np.int64)),
+                "m": pa.array(np.ones(n_rows, dtype=np.int64)),
+            }
         )
 
     def finish(t: pa.Table) -> pa.Table:
+        keep = t["sum_m"].to_numpy(zero_copy_only=False).astype(np.int64) >= 1
+        t = t.filter(pa.array(keep))
         s = t["sum_c"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {"node": t["node"], "rank": pa.array(s + np.int64(teleport))}
@@ -213,7 +289,7 @@ def pagerank(
         folded = hash_aggregate(
             partials.union(ranks.map_batches(zeros, batch_format="pyarrow")),
             keys=["node"],
-            sum_cols=["c"],
+            sum_cols=["c", "m"],
             count=False,
             num_partitions=agg_parts,
         )

@@ -15,8 +15,12 @@ interior rows ship exactly once), and ONE hash-partitioned exchange
 co-locates every tile with its halo.  Within a tile group the
 neighbor lookup is a vectorized ``searchsorted`` over packed int64
 cell keys.  Mirrors the proven :func:`rayraster.knn.spatial_knn_self`
-tiling; here the halo bound is exact (lattice distance 1), so results
-are always exact.
+tiling — kept as a separate implementation on purpose: that one fans
+a float-radius 3×3 halo for EVERY row and answers with a GridIndex,
+this one copies only lattice-edge rows and answers with exact key
+lookups (the shared part is just the partition hash and the
+sort-and-segment loop).  Here the halo bound is exact (lattice
+distance 1), so results are always exact.
 
 Float discipline: neighbor sums/counts stay exact int64 through the
 exchange; the single LISA float expression
@@ -67,8 +71,17 @@ def neighbor_stats(
     T = np.int64(tile)
 
     def fanout(t: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(t.schema.field(value_col).type):
+            raise TypeError(
+                f"neighbor_stats: {value_col!r} must be an integer column "
+                f"(got {t.schema.field(value_col).type}) — the exactness "
+                "contract is int64 neighbor sums; pre-scale float rasters "
+                "to fixed-point integers first"
+            )
         if t.num_rows == 0:
             e = t.append_column("_home", pa.array([], type=pa.bool_()))
+            e = e.append_column("_ttx", pa.array([], type=pa.int64()))
+            e = e.append_column("_tty", pa.array([], type=pa.int64()))
             return e.append_column("_part", pa.array([], type=pa.int64()))
         ix = t[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
         iy = t[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -151,6 +164,16 @@ def neighbor_stats(
             keys = _pack(ix[rows], iy[rows])
             order = np.argsort(keys)
             skeys, svals = keys[order], val[rows][order]
+            if len(skeys) > 1 and (skeys[1:] == skeys[:-1]).any():
+                # a pixel's home tile is unique and halo copies target
+                # OTHER tiles, so a repeated key here means duplicate
+                # (ix, iy) rows in the INPUT — searchsorted would match
+                # only one of them, silently diverging from a lattice
+                # self-join's semantics; refuse instead
+                raise ValueError(
+                    "neighbor_stats: duplicate (ix, iy) pixels in the input"
+                    " — the raster must be unique per cell (aggregate first)"
+                )
             cnt = np.zeros(len(h), dtype=np.int64)
             ssum = np.zeros(len(h), dtype=np.int64)
             for dx, dy in offsets:
@@ -201,6 +224,13 @@ def local_moran(
     pixels = pixels.materialize()
 
     def psum(t: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(t.schema.field(value_col).type):
+            raise TypeError(
+                f"local_moran: {value_col!r} must be an integer column "
+                f"(got {t.schema.field(value_col).type}) — exactness "
+                "requires int64 sums; pre-scale float rasters to "
+                "fixed-point integers first"
+            )
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {"n": pa.array([t.num_rows], type=pa.int64()),

@@ -74,7 +74,7 @@ def test_pagerank_dangling_and_sourceless_nodes(tmp_path):
     src = np.array([0, 1], dtype=np.int64)
     dst = np.array([1, 2], dtype=np.int64)
     want = _local_pagerank(src, dst, 3, iterations=4)
-    out = _run(src, dst, 3, "/tmp/pr_test_dangle", iterations=4,
+    out = _run(src, dst, 3, str(tmp_path / "dangle"), iterations=4,
                nodes=_nodes_ds(3), node_count=3)
     assert (out["pr"].to_numpy() == want).all()
     tel = SCALE * (DD - DN) // DD
@@ -105,6 +105,30 @@ def test_pagerank_star_concentrates_mass(tmp_path):
     prs = out.set_index("node")["pr"]
     assert prs.loc[0] > 10 * prs.loc[1]
     assert (prs.loc[1:] == prs.loc[1]).all()  # symmetric spokes tie exactly
+
+
+def test_pagerank_out_of_vertex_set_dst_dropped(tmp_path):
+    # edges pointing OUTSIDE the declared vertex set must not create
+    # phantom rank rows (the SQL twin's LEFT JOIN onto r_{i-1} drops
+    # those contributions) — non-contiguous node ids exercise it
+    src = np.array([10, 20], dtype=np.int64)
+    dst = np.array([20, 999], dtype=np.int64)  # 999 is not a node
+    nodes = rd.from_arrow(
+        pa.table({"node": np.array([10, 20], dtype=np.int64)})
+    )
+    out = _run(src, dst, 2, str(tmp_path / "phantom"), iterations=3,
+               nodes=nodes, node_count=2)
+    assert sorted(out["node"].tolist()) == [10, 20]
+    tel = SCALE * (DD - DN) // DD
+    prs = out.set_index("node")["pr"]
+    # node 10 has no in-links: teleport only after round 1
+    assert prs.loc[10] == tel
+    # node 20 receives 10's full outflow each round; 20's own outflow
+    # (to the non-node 999) vanishes.  Exact recurrence:
+    r10, r20 = SCALE, SCALE
+    for _ in range(3):
+        r10, r20 = tel, tel + (r10 * DN) // DD
+    assert prs.loc[20] == r20
 
 
 def test_pagerank_layout_reuse_and_validation(tmp_path):
