@@ -2252,14 +2252,23 @@ GROUP BY 1"""
 
 
 def _q_approx_distinct(sf_dir: str):
-    """HLL sketch distinct count, made oracle-checkable without faking
-    exactness: the query emits the EXACT per-group count
-    (hash-partitioned ``distinct`` + grouped count — the exact-distinct
-    operator, which this row therefore also evidences; the separate d6
-    query was folded in here in round 3) plus ``hll_ok`` = the sketch
-    estimate is within 5% of it.  The oracle asserts the same exact
-    counts and TRUE — so a drifting sketch turns the row red."""
-    from rayraster.agg import distinct, hash_aggregate
+    """The mergeable-sketch family gate, oracle-checkable without
+    faking exactness — every approximate operator is emitted as an
+    EXACT value plus a deterministic bound flag (a drifting sketch
+    turns the row red):
+
+    * ``n_users_exact`` — hash-partitioned ``distinct`` + grouped
+      count (the exact-distinct operator; the former d6 query);
+    * ``hll_ok`` — the HyperLogLog estimate is within 5% of it;
+    * ``top_user_n`` — exact max per-user event count within the
+      event_type (grouped pair counts + top-1);
+    * ``cms_ok`` — the Count-Min estimate of that hottest
+      (event_type, user) pair's frequency satisfies the sketch's
+      one-sided guarantee: ``exact ≤ est ≤ exact + bound``.  CMS
+      merging is integer addition, so the estimate is bit-identical
+      across partitionings — the flag is deterministic."""
+    from rayraster.agg import distinct, grouped_topk, hash_aggregate
+    from rayraster.sketch import build_cms, cms_estimate
     from rayraster.sketch import approx_distinct
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
@@ -2268,21 +2277,69 @@ def _q_approx_distinct(sf_dir: str):
         distinct(ev, ["event_type", "user_id"]), ["event_type"],
         count=True, count_name="n_users_exact",
     ).to_pandas()  # post-aggregation: one row per event_type
-    m = exact.merge(est, on="event_type").sort_values("event_type")
-    ok = (m.approx_distinct - m.n_users_exact).abs() / m.n_users_exact <= 0.05
+    m = exact.merge(est, on="event_type")
+    m["hll_ok"] = (
+        (m.approx_distinct - m.n_users_exact).abs() / m.n_users_exact <= 0.05
+    )
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_pylist()
+        uid = t["user_id"].to_pylist()
+        return pa.table(
+            {"pair": pa.array([f"{a}|{b}" for a, b in zip(et, uid)])}
+        )
+
+    pair_counts = hash_aggregate(
+        ev, ["event_type", "user_id"], count=True, count_name="n_ev",
+        num_partitions=8,
+    )
+    top = (
+        grouped_topk(pair_counts, ["event_type"], "n_ev", k=1, tie_col="user_id",
+                     num_partitions=8)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )  # post-aggregation: one row per event_type
+    cms = build_cms(
+        ev.map_batches(pair_key, batch_format="pyarrow"), "pair", log2_width=16
+    )
+    top_tbl = pa.table(
+        {"pair": pa.array([f"{a}|{b}" for a, b in zip(top.event_type, top.user_id)])}
+    )
+    e = cms_estimate(cms, top_tbl, "pair")
+    n_total = cms.total()
+    bound = max(16, 4 * n_total // (1 << 16))
+    exact_n = top.n_ev.to_numpy()
+    cms_ok = (e >= exact_n) & (e - exact_n <= bound)
+    import pandas as _pd
+
+    m = m.merge(
+        _pd.DataFrame({"event_type": top.event_type, "top_user_n": exact_n,
+                       "cms_ok": cms_ok}),
+        on="event_type",
+    ).sort_values("event_type")
     return pa.table(
         {
             "event_type": pa.array(m.event_type, type=pa.string()),
             "n_users_exact": pa.array(m.n_users_exact, type=pa.int64()),
-            "hll_ok": pa.array(ok.to_numpy(), type=pa.bool_()),
+            "hll_ok": pa.array(m.hll_ok.to_numpy(), type=pa.bool_()),
+            "top_user_n": pa.array(m.top_user_n, type=pa.int64()),
+            "cms_ok": pa.array(m.cms_ok.to_numpy(), type=pa.bool_()),
         }
     )
 
 
 def _sql_approx_distinct() -> str:
-    return """SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
-       TRUE AS hll_ok
-FROM events GROUP BY 1"""
+    return """WITH pc AS (
+  SELECT event_type, user_id, COUNT(*) AS n_ev
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_type, COUNT(DISTINCT e.user_id) AS n_users_exact,
+       TRUE AS hll_ok,
+       (SELECT CAST(MAX(n_ev) AS BIGINT) FROM pc
+        WHERE pc.event_type = e.event_type) AS top_user_n,
+       TRUE AS cms_ok
+FROM events e GROUP BY 1"""
 
 
 def _q_multimodal(sf_dir: str):

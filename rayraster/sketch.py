@@ -369,3 +369,123 @@ def bloom_mark(
         return t.append_column(out_col, pa.array(mask_of(t)))
 
     return ds.map_batches(mark_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class CMS:
+    """Mergeable Count-Min sketch: ``depth × 2^log2_width`` int64
+    counters; a key's ``depth`` row indices come from Kirsch–
+    Mitzenmacher double hashing (same derivation as :class:`Bloom`).
+
+    Point query = min over the key's ``depth`` counters — an
+    OVERESTIMATE, never an under-estimate: ``true ≤ est ≤ true +
+    ε·N`` with probability ``1 − (1/2)^depth`` where
+    ``ε ≈ 2 / 2^log2_width`` and ``N`` is the total added weight.
+    Merging two sketches of the same shape is elementwise integer
+    addition (associative/commutative → the merged sketch, and every
+    estimate from it, is IDENTICAL regardless of batch/merge order —
+    the property the oracle-checkable gate relies on)."""
+
+    def __init__(self, depth: int = 4, log2_width: int = 14,
+                 counts: np.ndarray | None = None):
+        if not 1 <= depth <= 16:
+            raise ValueError("depth out of range [1, 16]")
+        if not 3 <= log2_width <= 30:
+            raise ValueError("log2_width out of range [3, 30]")
+        self.depth = depth
+        self.log2_width = log2_width
+        self.w = np.uint64(1 << log2_width)
+        shape = (depth, 1 << log2_width)
+        if counts is None:
+            self.counts = np.zeros(shape, np.int64)
+        else:
+            counts = np.asarray(counts)
+            if counts.size != depth << log2_width:
+                raise ValueError(
+                    f"counts buffer has {counts.size} cells; "
+                    f"{depth}x2^{log2_width} needs {depth << log2_width}"
+                )
+            # always copy: np.add.at ignores the read-only flag (numpy
+            # 1.26 writes through frombuffer views — the Bloom lesson)
+            self.counts = counts.reshape(shape).copy()
+
+    def _indices(self, h: np.ndarray):
+        h1 = _mix64(np.asarray(h, np.uint64))
+        h2 = _mix64(h1 ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        mask = self.w - np.uint64(1)
+        for i in range(self.depth):
+            with np.errstate(over="ignore"):
+                yield ((h1 + np.uint64(i) * h2) & mask).astype(np.int64)
+
+    def add_hashes(self, h: np.ndarray, weights: np.ndarray | None = None) -> "CMS":
+        w = (np.ones(len(h), np.int64) if weights is None
+             else np.asarray(weights, np.int64))
+        for i, idx in enumerate(self._indices(h)):
+            np.add.at(self.counts[i], idx, w)
+        return self
+
+    def query_hashes(self, h: np.ndarray) -> np.ndarray:
+        """int64 estimate per key: min over the depth rows."""
+        est = None
+        for i, idx in enumerate(self._indices(h)):
+            row = self.counts[i][idx]
+            est = row if est is None else np.minimum(est, row)
+        return est
+
+    def merge(self, other: "CMS") -> "CMS":
+        if (self.depth, self.log2_width) != (other.depth, other.log2_width):
+            raise ValueError("CMS shapes differ — cannot merge")
+        np.add(self.counts, other.counts, out=self.counts)
+        return self
+
+    def total(self) -> int:
+        """Total added weight N (any row sums to it)."""
+        return int(self.counts[0].sum())
+
+    def to_bytes(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, depth: int = 4, log2_width: int = 14) -> "CMS":
+        return cls(depth, log2_width, np.frombuffer(b, dtype=np.int64))
+
+
+def build_cms(
+    ds: Dataset, col: str, depth: int = 4, log2_width: int = 14,
+    fold_batch: int = 32,
+) -> CMS:
+    """Distributed Count-Min build over ``ds[col]`` — approximate
+    frequencies of EVERY key in one streaming pass with a fixed-size
+    state, no shuffle (the heavy-hitter / hot-key side of the sketch
+    family next to HLL's distinct-count and Bloom's membership).  Same
+    blob plumbing as :func:`build_bloom`: one sketch per batch, an
+    add-fold stage collapses ~``fold_batch`` blobs, the driver merges
+    the remaining handful (2^14 width × depth 4 = 512 KiB per blob).
+    Integer addition is order-independent, so the built sketch is
+    bit-identical across partitionings and cluster sizes."""
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        c = CMS(depth, log2_width).add_hashes(_col_hashes(t, col))
+        return pa.table({"blob": pa.array([c.to_bytes()], type=pa.binary())})
+
+    def add_fold(t: pa.Table) -> pa.Table:
+        acc = CMS(depth, log2_width)
+        for blob in t["blob"].to_pylist():
+            acc.merge(CMS.from_bytes(blob, depth, log2_width))
+        return pa.table({"blob": pa.array([acc.to_bytes()], type=pa.binary())})
+
+    folded = ds.map_batches(
+        sketch_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        add_fold, batch_format="pyarrow", batch_size=fold_batch, zero_copy_batch=True
+    )
+    out = CMS(depth, log2_width)
+    for t in folded.iter_batches(batch_format="pyarrow", batch_size=fold_batch):
+        for blob in t["blob"].to_pylist():
+            out.merge(CMS.from_bytes(blob, depth, log2_width))
+    return out
+
+
+def cms_estimate(cms: CMS, t: pa.Table, col: str) -> np.ndarray:
+    """int64 frequency estimates for ``t[col]`` (hashing exactly as
+    :func:`build_cms` hashed the corpus column)."""
+    return cms.query_hashes(_col_hashes(t, col))

@@ -500,6 +500,73 @@ def test_bloom_validates_shape_and_hash_count():
         ro.add_hashes(np.array([1], np.uint64))
 
 
+def test_cms_overestimates_only_and_bound():
+    from rayraster.sketch import CMS
+
+    rng = np.random.default_rng(13)
+    # Zipf-ish: key k appears ~5000//(k+1) times
+    keys = np.concatenate(
+        [np.full(5000 // (k + 1), k, dtype=np.int64) for k in range(200)]
+    )
+    rng.shuffle(keys)
+    true = {k: int((keys == k).sum()) for k in range(200)}
+    c = CMS(depth=4, log2_width=12).add_hashes(keys.view(np.uint64))
+    est = c.query_hashes(np.arange(200, dtype=np.int64).view(np.uint64))
+    n = c.total()
+    assert n == len(keys)
+    for k in range(200):
+        assert est[k] >= true[k]  # NEVER an underestimate
+        assert est[k] - true[k] <= max(16, 4 * n // (1 << 12))
+    # top-k by estimate matches top-k by truth on this skew
+    top_est = np.argsort(-est)[:10]
+    top_true = sorted(true, key=lambda k: -true[k])[:10]
+    assert set(top_est.tolist()) == set(top_true)
+
+
+def test_cms_merge_order_independent_and_weighted():
+    from rayraster.sketch import CMS
+
+    rng = np.random.default_rng(3)
+    h1 = rng.integers(0, 2**63, 1000).astype(np.uint64)
+    h2 = rng.integers(0, 2**63, 1000).astype(np.uint64)
+    a = CMS(4, 10).add_hashes(h1).merge(CMS(4, 10).add_hashes(h2))
+    b = CMS(4, 10).add_hashes(h2).merge(CMS(4, 10).add_hashes(h1))
+    assert (a.counts == b.counts).all()
+    # weighted add: one add of weight 7 == seven adds of weight 1
+    w = CMS(4, 10).add_hashes(h1[:5], weights=np.full(5, 7, np.int64))
+    u = CMS(4, 10)
+    for _ in range(7):
+        u.add_hashes(h1[:5])
+    assert (w.counts == u.counts).all()
+    # roundtrip + shape validation
+    rt = CMS.from_bytes(a.to_bytes(), 4, 10)
+    assert (rt.counts == a.counts).all()
+    import pytest
+
+    with pytest.raises(ValueError, match="shapes differ"):
+        a.merge(CMS(4, 11))
+    with pytest.raises(ValueError, match="counts buffer"):
+        CMS.from_bytes(a.to_bytes(), 4, 11)
+
+
+def test_build_cms_distributed_matches_local(ray_session):
+    from rayraster.sketch import CMS, build_cms, cms_estimate
+
+    rng = np.random.default_rng(21)
+    ids = rng.integers(0, 300, 20000).astype(np.int64)
+    t = pa.table({"k": pa.array(ids)})
+    ds = rd.from_arrow(t).repartition(6)
+    built = build_cms(ds, "k", depth=4, log2_width=12, fold_batch=4)
+    # local reference over the same hashing path
+    from rayraster.sketch import _col_hashes
+
+    local = CMS(4, 12).add_hashes(_col_hashes(t, "k"))
+    assert (built.counts == local.counts).all()  # bit-identical
+    est = cms_estimate(built, pa.table({"k": pa.array(np.arange(300, dtype=np.int64))}), "k")
+    true = np.bincount(ids, minlength=300)
+    assert (est >= true).all()
+
+
 # ---------------------------------------------------------------------------
 # persisted bucketed layout + zero-shuffle join
 # ---------------------------------------------------------------------------
