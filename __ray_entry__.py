@@ -303,7 +303,7 @@ def _q_filtered_stats(sf_dir: str):
     out = out.select_columns(
         ["ix", "iy", "cx", "cy", "num_cell", "sum_n_chars", "min_n_chars", "max_n_chars"]
     )
-    return local_moran(out, "sum_n_chars", num_partitions=8)
+    return local_moran(out, "sum_n_chars", num_partitions=8, with_focal=True)
 
 
 def _sql_filtered_stats() -> str:
@@ -346,7 +346,9 @@ SELECT px.*, nb.nbr_cnt, nb.nbr_sum,
        (CAST(px.sum_n_chars AS DOUBLE) - CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE))
        * (CAST(nb.nbr_sum AS DOUBLE)
           - CAST(nb.nbr_cnt AS DOUBLE)*(CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE)))
-         AS lisa
+         AS lisa,
+       CAST(px.sum_n_chars + nb.nbr_sum AS DOUBLE)
+         / CAST(1 + nb.nbr_cnt AS DOUBLE) AS focal
 FROM px JOIN nb ON px.ix = nb.ix AND px.iy = nb.iy, g"""
 
 

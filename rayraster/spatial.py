@@ -205,6 +205,7 @@ def local_moran(
     connectivity: int = 4,
     tile: int = 64,
     num_partitions: int = 64,
+    with_focal: bool = False,
 ) -> Dataset:
     """Append ``nbr_cnt``, ``nbr_sum`` and the (unnormalized) local
     Moran's I term ``lisa = (x_i − mean) · (nbr_sum − nbr_cnt · mean)``
@@ -251,10 +252,48 @@ def local_moran(
     )
 
     def add_lisa(t: pa.Table) -> pa.Table:
-        xi = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        ns = t["nbr_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
-        nc = t["nbr_cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        xi_i = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns_i = t["nbr_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc_i = t["nbr_cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xi, ns, nc = (a.astype(np.float64) for a in (xi_i, ns_i, nc_i))
         lisa = (xi - mean) * (ns - nc * mean)
-        return t.append_column("lisa", pa.array(lisa))
+        t = t.append_column("lisa", pa.array(lisa))
+        if with_focal:
+            # same formula as focal_mean, riding this exchange for free
+            fm = (xi_i + ns_i).astype(np.float64) / (1 + nc_i).astype(np.float64)
+            t = t.append_column("focal", pa.array(fm))
+        return t
 
     return with_nbrs.map_batches(add_lisa, batch_format="pyarrow")
+
+
+def focal_mean(
+    pixels: Dataset,
+    value_col: str,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    connectivity: int = 4,
+    tile: int = 64,
+    num_partitions: int = 64,
+    out_col: str = "focal_mean",
+) -> Dataset:
+    """Raster smoothing: append the focal (moving-window) mean —
+    ``(x_i + nbr_sum) / (1 + nbr_cnt)`` over the pixel and its
+    existing rook/queen neighbors.  ONE exchange (rides
+    :func:`neighbor_stats`); the emitted float is one IEEE division of
+    exact integers, so a SQL twin matches it bit-for-bit.  Pixels
+    outside the raster's live set contribute nothing (edge pixels
+    average over fewer cells — the standard boundary rule)."""
+    with_nbrs = neighbor_stats(
+        pixels, value_col, ix_col=ix_col, iy_col=iy_col,
+        connectivity=connectivity, tile=tile, num_partitions=num_partitions,
+    )
+
+    def add_mean(t: pa.Table) -> pa.Table:
+        xi = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = t["nbr_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = t["nbr_cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fm = (xi + ns).astype(np.float64) / (1 + nc).astype(np.float64)
+        return t.append_column(out_col, pa.array(fm))
+
+    return with_nbrs.map_batches(add_mean, batch_format="pyarrow")

@@ -118,6 +118,28 @@ def test_local_moran_patterns(ray_session):
     assert (out2["lisa"] == 0.0).all()
 
 
+def test_focal_mean_matches_brute(ray_session):
+    from rayraster.spatial import focal_mean
+
+    px = _raster(seed=3)
+    out = (
+        focal_mean(rd.from_pandas(px).repartition(3), "v", tile=16,
+                   num_partitions=8)
+        .to_pandas()
+        .sort_values(["ix", "iy"])
+        .reset_index(drop=True)
+    )
+    want = px.sort_values(["ix", "iy"]).reset_index(drop=True)
+    cnt, ssum = _brute_nbrs(want, 4)
+    v = want["v"].to_numpy()
+    np.testing.assert_array_equal(
+        out["focal_mean"].to_numpy(), (v + ssum) / (1 + cnt)
+    )
+    # isolated pixels smooth to themselves
+    iso = out[out.nbr_cnt == 0]
+    assert (iso["focal_mean"].to_numpy() == iso["v"].to_numpy()).all()
+
+
 def test_neighbor_stats_validation(ray_session):
     px = _raster(seed=1, m=10)
     with pytest.raises(ValueError, match="connectivity"):
