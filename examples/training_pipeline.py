@@ -10,7 +10,9 @@ job would, all streaming Ray Data:
   MinHash near-dup dedup (LSH → verified pairs [partitioned verify
   above the broadcast threshold] → DISTRIBUTED connected components
   → anti-join drops non-representatives) → BPE token budget →
-  context-window chunking + vocabulary top-k → weighted eval holdout
+  context-window chunking + vocabulary top-k → link-authority prior
+  (site-hub graph → fixed-point distributed PageRank over a persisted
+  edge layout) → weighted eval holdout
   (priority sampling) → url geocode → square rasterize (density +
   mean quality per tile) → pixel parquet + decorated PNG heatmap +
   per-stage summary JSON.
@@ -259,6 +261,56 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
         docs, k=10, corpus_count=summary["rows_after_near_dedup"]
     ).to_pandas()  # k rows, post-agg
     summary["vocab_top3"] = top_words.word.head(3).tolist()
+
+    # 4c2. link-authority prior: an intra-site link graph (every doc →
+    # its SITE hub; the synthetic corpus has one host per url, so
+    # hosts are clustered into ~1024 "sites" by host hash and the hub
+    # is the site's min doc_id) and 3 rounds of fixed-point
+    # distributed PageRank over it.  All distributed: host extraction
+    # is one RE2 map, hubs come from grouped_topk (per-batch partial
+    # top-1 before ONE shuffle), edges from a bucket join, and
+    # pagerank persists the edge layout once then shuffles only the
+    # rank table per round.  The fnv doc_ids are sparse/non-contiguous
+    # — exactly the vertex-set shape the phantom-node guard covers.
+    from rayraster.agg import grouped_topk
+    from rayraster.geo import fnv1a64
+    from rayraster.graph import pagerank
+    from rayraster.textops import url_host
+
+    def site_of(t: pa.Table) -> pa.Table:
+        h = url_host(t)["host"]
+        site = (fnv1a64(h.to_pylist()) % np.uint64(1024)).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "site": pa.array(site)})
+
+    sites = docs.map_batches(
+        site_of, batch_format="pyarrow"
+    ).materialize()  # consumed twice (hub derivation + edge join)
+    hubs = grouped_topk(
+        sites, ["site"], "doc_id", k=1, descending=False, num_partitions=16,
+    ).map_batches(
+        lambda t: pa.table({"site": t["site"], "hub_id": t["doc_id"]}),
+        batch_format="pyarrow",
+    )
+    edges = bucket_join(
+        sites, hubs, "site", "site", num_buckets=16,
+        left_schema=pa.schema([("doc_id", pa.int64()), ("site", pa.int64())]),
+        right_schema=pa.schema([("site", pa.int64()), ("hub_id", pa.int64())]),
+    ).map_batches(
+        lambda t: pa.table({"src": t["doc_id"], "dst": t["hub_id"]}),
+        batch_format="pyarrow",
+    )
+    pr = pagerank(
+        edges,
+        edges_path=os.path.join(out_dir, "pr_edges"),
+        nodes=docs.map_batches(
+            lambda t: pa.table({"node": t["doc_id"]}), batch_format="pyarrow"
+        ),
+        iterations=3,
+        num_buckets=16,
+        node_count=summary["rows_after_near_dedup"],
+    )
+    top_hub = pr.sort("pr", descending=True).limit(1).to_pandas()
+    summary["top_hub_pagerank"] = round(float(top_hub.pr[0]) / 1e9, 4)
 
     # 4d. weighted eval holdout: 64 docs sampled ∝ quality WITHOUT
     # replacement (deterministic priority sampling — identical pick
