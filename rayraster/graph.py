@@ -151,6 +151,7 @@ def pagerank(
     scale: int = 1_000_000_000,
     num_buckets: int = 64,
     node_count: int | None = None,
+    seeds: "np.ndarray | None" = None,
 ) -> Dataset:
     """Fixed-point PageRank over an int64 ``(src, dst)`` edge Dataset.
 
@@ -165,6 +166,14 @@ def pagerank(
     extra exchange).  ``node_count`` skips a ``count()`` when the
     caller already knows it (used for the overflow check and adaptive
     exchange sizing).
+
+    ``seeds``: optional array of node ids for PERSONALIZED PageRank —
+    teleport mass (and the initial rank) goes only to the seed set, so
+    ranks measure authority *relative to the seeds* (random walk with
+    restart).  The seed array rides each task's closure: it is meant
+    for the usual small personalization sets; for a huge seed set,
+    pre-join a seed flag onto ``nodes`` and run the uniform variant
+    per flag partition instead.
 
     Exchanges: 1 (edge layout, skipped when ``edges_path`` already
     holds a matching layout) + [1 if nodes are discovered] + 2 per
@@ -209,12 +218,22 @@ def pagerank(
     agg_parts = _adaptive_parts(node_count, num_buckets)
     dn = np.int64(damping_num)
     dd = np.int64(damping_den)
+    seed_arr = (
+        None if seeds is None
+        else np.unique(np.asarray(seeds, dtype=np.int64))
+    )
+
+    def _seed_flag(node_col) -> np.ndarray:
+        ids = node_col.to_numpy(zero_copy_only=False).astype(np.int64)
+        if seed_arr is None:
+            return np.ones(len(ids), dtype=np.int64)
+        return np.isin(ids, seed_arr).astype(np.int64)
 
     def init_ranks(t: pa.Table) -> pa.Table:
         node = t["node"].cast(pa.int64())
+        sd = _seed_flag(node)
         return pa.table(
-            {"node": node,
-             "rank": pa.array(np.full(t.num_rows, scale, dtype=np.int64))}
+            {"node": node, "rank": pa.array(sd * np.int64(scale))}
         )
 
     ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
@@ -266,16 +285,19 @@ def pagerank(
             {
                 "node": t["node"],
                 "c": pa.array(np.zeros(n_rows, dtype=np.int64)),
-                "m": pa.array(np.ones(n_rows, dtype=np.int64)),
+                # the marker doubles as the teleport weight: 2 = member
+                # AND seed (gets teleport), 1 = member only
+                "m": pa.array(np.int64(1) + _seed_flag(t["node"])),
             }
         )
 
     def finish(t: pa.Table) -> pa.Table:
-        keep = t["sum_m"].to_numpy(zero_copy_only=False).astype(np.int64) >= 1
-        t = t.filter(pa.array(keep))
+        m = t["sum_m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(m >= 1))
+        m = m[m >= 1]
         s = t["sum_c"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
-            {"node": t["node"], "rank": pa.array(s + np.int64(teleport))}
+            {"node": t["node"], "rank": pa.array(s + (m - 1) * np.int64(teleport))}
         )
 
     for _ in range(iterations):

@@ -131,6 +131,32 @@ def test_pagerank_out_of_vertex_set_dst_dropped(tmp_path):
     assert prs.loc[20] == r20
 
 
+def test_personalized_pagerank_matches_local(tmp_path):
+    # random walk with restart from seeds {0, 1} over a ring+chords
+    n = 60
+    ids = np.arange(n, dtype=np.int64)
+    src = np.concatenate([ids, ids])
+    dst = np.concatenate([(ids + 1) % n, (ids * 7 + 3) % n])
+    seeds = np.array([0, 1], dtype=np.int64)
+
+    # local fixed-point PPR reference (teleport/init only on seeds)
+    rank = np.where(np.isin(ids, seeds), SCALE, 0).astype(np.int64)
+    outdeg = np.bincount(src, minlength=n).astype(np.int64)
+    tel = SCALE * (DD - DN) // DD
+    for _ in range(4):
+        c = np.zeros(n, dtype=np.int64)
+        per_src = (rank * DN) // (outdeg * DD)
+        np.add.at(c, dst, per_src[src])
+        rank = np.where(np.isin(ids, seeds), tel, 0) + c
+
+    out = _run(src, dst, n, str(tmp_path / "ppr"), iterations=4,
+               nodes=_nodes_ds(n), node_count=n, seeds=seeds)
+    got = out.set_index("node")["pr"]
+    assert (got.loc[ids].to_numpy() == rank).all()
+    # seeds dominate their own neighborhood; far nodes hold little mass
+    assert got.loc[0] > got.loc[30]
+
+
 def test_pagerank_layout_reuse_and_validation(tmp_path):
     n = 40
     ids = np.arange(n, dtype=np.int64)
