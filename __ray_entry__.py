@@ -1707,16 +1707,56 @@ def _q_vocab_topk(sf_dir: str):
       log-free variant that twins bit-exactly; see
       ``textops.tfidf_topk_terms``).  ``n`` = within-doc tf.
 
+    * 'search' — boolean AND retrieval over the PERSISTED inverted
+      index (`textops.build_inverted_index` → hash-bucketed posting
+      layout, built once and reused across runs;
+      `textops.search_index` reads ONLY the buckets the query terms
+      hash to).  Query: docs containing ALL of {join, hash, batch};
+      ``n`` = matched-term count (= 3).
+
     Sentinels on the vocab path: doc_id=-1, df=0, score=0.0, rnk=0.
 
-    Both public operators execute as shipped (the corpus is tokenized
-    twice, deliberately — the gate exercises `vocab_topk` itself, not
-    a vocab derived from tfidf's tf pairs, even though sum(tf) per
-    word would equal the global count)."""
-    from rayraster.textops import tfidf_topk_terms, vocab_topk
+    Both tokenizing operators execute as shipped (the corpus is
+    tokenized twice, deliberately — the gate exercises `vocab_topk`
+    itself, not a vocab derived from tfidf's tf pairs, even though
+    sum(tf) per word would equal the global count)."""
+    from rayraster.join import _BUCKET_HASH, _read_bucket_manifest
+    from rayraster.textops import (
+        build_inverted_index,
+        search_index,
+        tfidf_topk_terms,
+        vocab_topk,
+    )
 
     ds = _docs(sf_dir)
     n_docs = ds.count()
+
+    idx_path = f"/tmp/rayraster_gate/inv_index_v1_{n_docs}"
+    try:
+        mm = _read_bucket_manifest(idx_path)
+        assert mm["key"] == "word" and mm.get("hash") == _BUCKET_HASH
+    except Exception:
+        build_inverted_index(_docs(sf_dir), idx_path,
+                             num_buckets=_parts_for(n_docs))
+    _TERMS = ["join", "hash", "batch"]
+
+    def search_shape(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "word": pa.array([" ".join(sorted(_TERMS))] * m, type=pa.string()),
+                "n": t["n_matched"],
+                "df": pa.array(np.zeros(m, dtype=np.int64)),
+                "score": pa.array(np.zeros(m, dtype=np.float64)),
+                "rnk": pa.array(np.zeros(m, dtype=np.int64)),
+                "path": pa.array(["search"] * m, type=pa.string()),
+            }
+        )
+
+    search = search_index(idx_path, _TERMS, mode="and").map_batches(
+        search_shape, batch_format="pyarrow"
+    )
 
     def vocab_shape(t: pa.Table) -> pa.Table:
         m = t.num_rows
@@ -1752,7 +1792,7 @@ def _q_vocab_topk(sf_dir: str):
         _docs(sf_dir), corpus_count=n_docs, k=3,
         num_partitions=_parts_for(n_docs),
     ).map_batches(tfidf_shape, batch_format="pyarrow")
-    return vocab.union(tfidf)
+    return vocab.union(tfidf, search)
 
 
 def _sql_vocab_topk() -> str:
@@ -1777,7 +1817,13 @@ SELECT CAST(-1 AS BIGINT) AS doc_id, word, n, CAST(0 AS BIGINT) AS df,
 FROM (SELECT word, n FROM c ORDER BY n DESC, word LIMIT 100)
 UNION ALL
 SELECT doc_id, word, tf AS n, df, score, rnk, 'tfidf' AS path
-FROM r WHERE rnk <= 3"""
+FROM r WHERE rnk <= 3
+UNION ALL
+SELECT doc_id, 'batch hash join' AS word, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(0 AS BIGINT) AS df, CAST(0.0 AS DOUBLE) AS score,
+       CAST(0 AS BIGINT) AS rnk, 'search' AS path
+FROM tf WHERE word IN ('join', 'hash', 'batch')
+GROUP BY doc_id HAVING COUNT(*) = 3"""
 
 
 def _q_langid(sf_dir: str):

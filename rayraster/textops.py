@@ -551,6 +551,125 @@ def tfidf_topk_terms(
     )
 
 
+def build_inverted_index(
+    docs,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> str:
+    """Persisted inverted index: DISTINCT ``(word, doc_id)`` posting
+    pairs hash-bucketed by word into a
+    :func:`rayraster.join.write_bucketed` layout — the retrieval twin
+    of the persisted IVF index (``similarity.ivf_build_index``): pay
+    the posting exchange once at ingest, then every query reads ONLY
+    the buckets its terms hash to.
+
+    Pairs are emitted fully vectorized (RE2 ``\\s+`` split shared with
+    the oracle, dictionary-code lexsort first-occurrence mask for the
+    within-doc distinct — docs are single rows, so the in-batch
+    distinct IS the global distinct)."""
+    from rayraster.join import write_bucketed
+
+    def posting_pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"word": pa.array([], type=pa.string()),
+             id_col: pa.array([], type=pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        flat, doc = _split_words_flat(_combined(pc.fill_null(batch[text_col], "")))
+        if len(flat) == 0:
+            return empty
+        codes = pc.dictionary_encode(flat).indices.to_numpy().astype(np.int64)
+        order = np.lexsort((codes, doc))
+        sc, sd = codes[order], doc[order]
+        first = np.ones(len(sc), dtype=bool)
+        first[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+        kept = order[first]
+        return pa.table(
+            {"word": flat.take(pa.array(kept, type=pa.int64())),
+             id_col: pa.array(ids[doc[kept]])}
+        )
+
+    pairs = docs.map_batches(
+        posting_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return write_bucketed(pairs, "word", path, num_buckets=num_buckets)
+
+
+def search_index(
+    path: str,
+    terms: list[str],
+    mode: str = "and",
+    id_col: str = "doc_id",
+):
+    """Boolean term search over a :func:`build_inverted_index` layout.
+
+    Reads ONLY the bucket directories the (deduplicated) query terms
+    hash to — partition pruning at the storage layer, exactly like the
+    IVF probe path — with the term filter pushed into the parquet
+    read.  One small hash-partitioned per-doc aggregate finishes:
+    ``mode="and"`` keeps docs matching ALL terms (posting pairs are
+    distinct, so the per-doc row count IS the distinct-term match
+    count), ``mode="or"`` keeps any match.  Returns a Dataset of
+    ``(doc_id, n_matched)``.
+
+    Posting lists stream through tasks — nothing lands on the driver;
+    a stop-word-scale term costs its posting list's read, as in any
+    inverted index (filter such terms from ``terms`` first)."""
+    import glob as _glob
+    import os
+
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+
+    from rayraster.agg import hash_aggregate
+    from rayraster.join import _read_bucket_manifest, key_bucket
+
+    if mode not in ("and", "or"):
+        raise ValueError(f'mode must be "and" or "or", got {mode!r}')
+    terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("search_index: need at least one term")
+    m = _read_bucket_manifest(path)
+    B = m["num_buckets"]
+    written = set(m.get("buckets_written", []))
+    buckets = sorted(
+        set(int(b) for b in key_bucket(pa.array(terms, type=pa.string()), B))
+        & written
+    )
+    files = [
+        f
+        for b in buckets
+        for f in sorted(_glob.glob(os.path.join(path, f"_bucket={b}", "*.parquet")))
+    ]
+    empty = pa.table(
+        {id_col: pa.array([], type=pa.int64()),
+         "n_matched": pa.array([], type=pa.int64())}
+    )
+    if not files:
+        return rd.from_arrow(empty)
+    hits = rd.read_parquet(
+        files,
+        columns=["word", id_col],
+        filter=pads.field("word").isin(terms),
+    )
+    agg = hash_aggregate(
+        hits, [id_col], count=True, count_name="n_matched", num_partitions=8
+    )
+    if mode == "and":
+        need = len(terms)
+        agg = agg.map_batches(
+            lambda t: t.filter(_pc.greater_equal(t["n_matched"], need)),
+            batch_format="pyarrow",
+        )
+    return agg
+
+
 # ---------------------------------------------------------------------------
 # repetition metrics (Gopher-style quality rules), domain extraction,
 # n-gram blocklist decontamination — web-pipeline curation staples

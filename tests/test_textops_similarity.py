@@ -204,6 +204,59 @@ def test_tfidf_topk_partition_invariant(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_inverted_index_search_matches_brute(ray_session, tmp_path):
+    from rayraster.textops import build_inverted_index, search_index
+
+    texts = [
+        "alpha beta gamma",
+        "alpha beta",
+        "beta gamma delta",
+        "alpha alpha alpha",   # duplicate words collapse to one posting
+        "",
+        None,
+        "gamma",
+    ]
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    path = build_inverted_index(
+        rd.from_pandas(docs).repartition(3), str(tmp_path / "idx"), num_buckets=8
+    )
+
+    def brute(terms, mode):
+        out = []
+        for i, t in enumerate(texts):
+            ws = set((t or "").split())
+            hit = len(ws & set(terms))
+            if (mode == "and" and hit == len(set(terms))) or (
+                mode == "or" and hit > 0
+            ):
+                out.append((i, hit))
+        return out
+
+    for terms, mode in [
+        (["alpha", "beta"], "and"),
+        (["alpha", "beta"], "or"),
+        (["gamma"], "and"),
+        (["alpha", "nosuchword"], "and"),
+        (["alpha", "nosuchword"], "or"),
+        (["alpha", "alpha"], "and"),  # duplicate query terms dedupe
+    ]:
+        df = search_index(path, terms, mode=mode).to_pandas()
+        got = (
+            sorted(map(tuple, df[["doc_id", "n_matched"]].to_numpy().tolist()))
+            if len(df) else []
+        )
+        assert got == brute(terms, mode), (terms, mode, got)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one term"):
+        search_index(path, [], mode="and")
+    with pytest.raises(ValueError, match="mode"):
+        search_index(path, ["alpha"], mode="xor")
+
+
 def _emb_ds(n=300, dim=32, seed=3):
     rng = np.random.default_rng(seed)
     mat = rng.standard_normal((n, dim)).astype(np.float32)
