@@ -928,6 +928,16 @@ def _docs(sf_dir: str, columns=("doc_id", "text")):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
+def _gate_cache_path(name: str, sf_dir: str, n: int) -> str:
+    """Reusable-layout cache path BOUND to the corpus identity: two sf
+    dirs can share a row count (sf0.001 and sf0.01 both hold 500 docs)
+    so the key includes an sf_dir fingerprint, not just the size."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"/tmp/rayraster_gate/{name}_{tag}_{n}"
+
+
 def _parts_for(n_rows: int, cap: int = 32) -> int:
     """Exchange partition count sized to the input (≥8, ~64k rows per
     partition, capped): every shuffle carries a per-partition fixed
@@ -1197,7 +1207,9 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
 
     pr = pagerank(
         doc_ids.map_batches(edges3, batch_format="pyarrow"),
-        edges_path=f"/tmp/rayraster_gate/pr_edges_v1_{n_docs}",
+        # (the edge set is a pure function of n_docs, but the cache key
+        # binds the corpus anyway — consistency with the index cache)
+        edges_path=_gate_cache_path("pr_edges_v1", sf_dir, n_docs),
         nodes=doc_ids.map_batches(
             lambda t: pa.table({"node": t["doc_id"].cast(pa.int64())}),
             batch_format="pyarrow",
@@ -1731,11 +1743,17 @@ def _q_vocab_topk(sf_dir: str):
     ds = _docs(sf_dir)
     n_docs = ds.count()
 
-    idx_path = f"/tmp/rayraster_gate/inv_index_v1_{n_docs}"
+    # cache key MUST bind the corpus identity, not just its size:
+    # sf0.001 and sf0.01 both hold 500 docs with different content, so
+    # a count-only key would silently search the other corpus's index
+    idx_path = _gate_cache_path("inv_index_v1", sf_dir, n_docs)
+    rebuild = True
     try:
         mm = _read_bucket_manifest(idx_path)
-        assert mm["key"] == "word" and mm.get("hash") == _BUCKET_HASH
+        rebuild = not (mm["key"] == "word" and mm.get("hash") == _BUCKET_HASH)
     except Exception:
+        pass
+    if rebuild:
         build_inverted_index(_docs(sf_dir), idx_path,
                              num_buckets=_parts_for(n_docs))
     _TERMS = ["join", "hash", "batch"]
@@ -2331,11 +2349,15 @@ def _q_approx_distinct(sf_dir: str):
     )
 
     def pair_key(t: pa.Table) -> pa.Table:
-        et = t["event_type"].to_pylist()
-        uid = t["user_id"].to_pylist()
-        return pa.table(
-            {"pair": pa.array([f"{a}|{b}" for a, b in zip(et, uid)])}
+        import pyarrow.compute as pc
+
+        # vectorized C++ concat — never a per-row Python format loop
+        pair = pc.binary_join_element_wise(
+            pc.cast(t["event_type"], pa.string()),
+            pc.cast(t["user_id"], pa.string()),
+            "|",
         )
+        return pa.table({"pair": pair})
 
     pair_counts = hash_aggregate(
         ev, ["event_type", "user_id"], count=True, count_name="n_ev",

@@ -299,9 +299,16 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
         lambda t: pa.table({"src": t["doc_id"], "dst": t["hub_id"]}),
         batch_format="pyarrow",
     )
+    # the edge set derives from THIS run's surviving docs — an existing
+    # layout (e.g. a re-run with the same --out dir but different
+    # --rows) must never be reused, so clear it first
+    pr_edges_dir = os.path.join(out_dir, "pr_edges")
+    import shutil
+
+    shutil.rmtree(pr_edges_dir, ignore_errors=True)
     pr = pagerank(
         edges,
-        edges_path=os.path.join(out_dir, "pr_edges"),
+        edges_path=pr_edges_dir,
         nodes=docs.map_batches(
             lambda t: pa.table({"node": t["doc_id"]}), batch_format="pyarrow"
         ),

@@ -237,6 +237,14 @@ def pagerank(
         )
 
     ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
+    if seed_arr is not None and ranks.sum("rank") == 0:
+        # a seed set disjoint from the vertex set (wrong id space —
+        # e.g. raw ints against fnv-hashed nodes) would otherwise run
+        # every round and silently return all-zero ranks
+        raise ValueError(
+            "pagerank: no seed id is in the vertex set — seeds must use"
+            " the same id space as the nodes"
+        )
 
     def tag_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(

@@ -44,6 +44,18 @@ def _mix64(h: np.ndarray) -> np.ndarray:
         return h ^ (h >> np.uint64(31))
 
 
+def _km_indices(h: np.ndarray, n_probes: int, mask: np.uint64):
+    """Kirsch–Mitzenmacher double hashing: the i-th probe index is
+    ``h1 + i·h2`` (mod power-of-two via ``mask``) — as good as i
+    independent hashes.  THE shared index derivation for Bloom and
+    CMS; one definition so the two hash streams can never diverge."""
+    h1 = _mix64(np.asarray(h, np.uint64))
+    h2 = _mix64(h1 ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    for i in range(n_probes):
+        with np.errstate(over="ignore"):
+            yield ((h1 + np.uint64(i) * h2) & mask).astype(np.int64)
+
+
 def _alpha(m: int) -> float:
     if m == 16:
         return 0.673
@@ -231,12 +243,7 @@ class Bloom:
             self.bits = bits.copy() if copy else np.asarray(bits)
 
     def _indices(self, h: np.ndarray):
-        h1 = _mix64(h)
-        h2 = _mix64(h1 ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
-        mask = self.m - np.uint64(1)
-        for i in range(self.j):
-            with np.errstate(over="ignore"):
-                yield ((h1 + np.uint64(i) * h2) & mask).astype(np.int64)
+        return _km_indices(h, self.j, self.m - np.uint64(1))
 
     def add_hashes(self, h: np.ndarray) -> "Bloom":
         if not self.bits.flags.writeable:
@@ -386,7 +393,11 @@ class CMS:
     the property the oracle-checkable gate relies on)."""
 
     def __init__(self, depth: int = 4, log2_width: int = 14,
-                 counts: np.ndarray | None = None):
+                 counts: np.ndarray | None = None, copy: bool = True):
+        """``copy=False`` adopts ``counts`` as a (possibly read-only)
+        view — for merge-SOURCE / query-only use over a frombuffer
+        blob (``merge`` into and ``query_hashes`` from such a sketch
+        never mutate it; ``add_hashes`` on it raises)."""
         if not 1 <= depth <= 16:
             raise ValueError("depth out of range [1, 16]")
         if not 3 <= log2_width <= 30:
@@ -404,19 +415,22 @@ class CMS:
                     f"counts buffer has {counts.size} cells; "
                     f"{depth}x2^{log2_width} needs {depth << log2_width}"
                 )
-            # always copy: np.add.at ignores the read-only flag (numpy
-            # 1.26 writes through frombuffer views — the Bloom lesson)
-            self.counts = counts.reshape(shape).copy()
+            self.counts = (
+                counts.reshape(shape).copy() if copy
+                else counts.reshape(shape)
+            )
 
     def _indices(self, h: np.ndarray):
-        h1 = _mix64(np.asarray(h, np.uint64))
-        h2 = _mix64(h1 ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
-        mask = self.w - np.uint64(1)
-        for i in range(self.depth):
-            with np.errstate(over="ignore"):
-                yield ((h1 + np.uint64(i) * h2) & mask).astype(np.int64)
+        return _km_indices(h, self.depth, self.w - np.uint64(1))
 
     def add_hashes(self, h: np.ndarray, weights: np.ndarray | None = None) -> "CMS":
+        if not self.counts.flags.writeable:
+            # np.add.at ignores the read-only flag (numpy 1.26 writes
+            # through frombuffer views — the Bloom lesson); guard
+            # explicitly so a copy=False blob can't be corrupted
+            raise ValueError("CMS counts are read-only (copy=False) — "
+                             "merge-source/query-only; build into a "
+                             "writable sketch")
         w = (np.ones(len(h), np.int64) if weights is None
              else np.asarray(weights, np.int64))
         for i, idx in enumerate(self._indices(h)):
@@ -445,8 +459,12 @@ class CMS:
         return self.counts.tobytes()
 
     @classmethod
-    def from_bytes(cls, b: bytes, depth: int = 4, log2_width: int = 14) -> "CMS":
-        return cls(depth, log2_width, np.frombuffer(b, dtype=np.int64))
+    def from_bytes(cls, b: bytes, depth: int = 4, log2_width: int = 14,
+                   copy: bool = True) -> "CMS":
+        """``copy=False`` wraps the blob read-only — fine as a merge
+        SOURCE or for queries, not as an ``add_hashes`` target."""
+        return cls(depth, log2_width, np.frombuffer(b, dtype=np.int64),
+                   copy=copy)
 
 
 def build_cms(
@@ -470,7 +488,7 @@ def build_cms(
     def add_fold(t: pa.Table) -> pa.Table:
         acc = CMS(depth, log2_width)
         for blob in t["blob"].to_pylist():
-            acc.merge(CMS.from_bytes(blob, depth, log2_width))
+            acc.merge(CMS.from_bytes(blob, depth, log2_width, copy=False))
         return pa.table({"blob": pa.array([acc.to_bytes()], type=pa.binary())})
 
     folded = ds.map_batches(
@@ -481,7 +499,7 @@ def build_cms(
     out = CMS(depth, log2_width)
     for t in folded.iter_batches(batch_format="pyarrow", batch_size=fold_batch):
         for blob in t["blob"].to_pylist():
-            out.merge(CMS.from_bytes(blob, depth, log2_width))
+            out.merge(CMS.from_bytes(blob, depth, log2_width, copy=False))
     return out
 
 

@@ -582,11 +582,7 @@ def build_inverted_index(
         flat, doc = _split_words_flat(_combined(pc.fill_null(batch[text_col], "")))
         if len(flat) == 0:
             return empty
-        codes = pc.dictionary_encode(flat).indices.to_numpy().astype(np.int64)
-        order = np.lexsort((codes, doc))
-        sc, sd = codes[order], doc[order]
-        first = np.ones(len(sc), dtype=bool)
-        first[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+        order, first = _first_occurrence(flat, doc)
         kept = order[first]
         return pa.table(
             {"word": flat.take(pa.array(kept, type=pa.int64())),
@@ -604,6 +600,7 @@ def search_index(
     terms: list[str],
     mode: str = "and",
     id_col: str = "doc_id",
+    num_partitions: int = 8,
 ):
     """Boolean term search over a :func:`build_inverted_index` layout.
 
@@ -614,7 +611,9 @@ def search_index(
     ``mode="and"`` keeps docs matching ALL terms (posting pairs are
     distinct, so the per-doc row count IS the distinct-term match
     count), ``mode="or"`` keeps any match.  Returns a Dataset of
-    ``(doc_id, n_matched)``.
+    ``(doc_id, n_matched)``.  Size ``num_partitions`` to the expected
+    posting volume (a stop-word-scale term streams its whole list
+    through this one exchange).
 
     Posting lists stream through tasks — nothing lands on the driver;
     a stop-word-scale term costs its posting list's read, as in any
@@ -659,7 +658,8 @@ def search_index(
         filter=pads.field("word").isin(terms),
     )
     agg = hash_aggregate(
-        hits, [id_col], count=True, count_name="n_matched", num_partitions=8
+        hits, [id_col], count=True, count_name="n_matched",
+        num_partitions=num_partitions,
     )
     if mode == "and":
         need = len(terms)
@@ -721,12 +721,7 @@ def repetition_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
     lens = pc.list_value_length(lines).cast(pa.int64()).to_numpy()
     flat = _combined(pc.list_flatten(lines))
     doc = np.repeat(np.arange(n, dtype=np.int64), lens)
-    codes = pc.dictionary_encode(flat).indices.to_numpy().astype(np.int64)
-    order = np.lexsort((codes, doc))
-    sc = codes[order]
-    sd = doc[order]
-    first = np.ones(len(sc), dtype=bool)
-    first[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+    order, first = _first_occurrence(flat, doc)
     line_chars = pc.utf8_length(flat).cast(pa.int64()).to_numpy()[order]
     offs = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=offs[1:])
@@ -791,6 +786,20 @@ def build_ngram_blocklist(texts, n: int = 8) -> pa.Array:
     flat, doc = _split_words_flat(t)
     grams, gdoc = _ngrams_of(flat, doc, n)
     return pc.unique(grams)
+
+
+def _first_occurrence(values, seg: np.ndarray):
+    """THE segment-distinct kernel (one definition — four call sites
+    used to hand-roll it): dictionary-encode ``values``, sort rows by
+    ``(segment, code)`` and mark each (segment, value) pair's first
+    occurrence.  Returns ``(order, first)``; the kept GLOBAL indices
+    are ``order[first]``."""
+    codes = pc.dictionary_encode(_combined(values)).indices.to_numpy().astype(np.int64)
+    order = np.lexsort((codes, seg))
+    sc, sd = codes[order], seg[order]
+    first = np.ones(len(sc), dtype=bool)
+    first[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+    return order, first
 
 
 def _split_words_flat(t: pa.Array):
@@ -938,11 +947,7 @@ def cross_doc_ngram_stats(
             return empty
         # distinct within doc (docs are single rows, so within-batch
         # distinct per doc IS global distinct per doc)
-        codes = pc.dictionary_encode(grams).indices.to_numpy().astype(np.int64)
-        order = np.lexsort((codes, gdoc))
-        sc, sd = codes[order], gdoc[order]
-        first = np.ones(len(sc), dtype=bool)
-        first[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+        order, first = _first_occurrence(grams, gdoc)
         kept = order[first]
         g = grams.take(pa.array(kept, type=pa.int64()))
         part = (fnv1a64(g.to_pylist()) % np.uint64(P)).astype(np.int64)
