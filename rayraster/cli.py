@@ -9,6 +9,10 @@
     python -m rayraster.cli chunk --input '<glob>' --out /tmp/chunks \
         [--window 512 --stride 384]
     python -m rayraster.cli vocab --input '<glob>' --out /tmp/vocab [--k 100]
+    python -m rayraster.cli index --input '<glob>' --out /tmp/idx
+    python -m rayraster.cli search --index /tmp/idx --terms join,hash [--mode and|or]
+    python -m rayraster.cli pagerank --input '<edges glob>' --out /tmp/pr \
+        [--iterations 5]
     python -m rayraster.cli plot --pixels /tmp/out/pixels --png /tmp/r.png
 
 On a real cluster: ``ray job submit --working-dir . -- python -m
@@ -217,6 +221,79 @@ def cmd_vocab(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Build the persisted inverted index (posting pairs bucketed by
+    word) — pay the posting exchange once; `search` then reads only
+    probed term buckets."""
+    import ray.data as rd
+
+    from rayraster.textops import build_inverted_index
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    ds = rd.read_parquet(files, columns=[args.id_col, args.text_col])
+    path = build_inverted_index(
+        ds, args.out, text_col=args.text_col, id_col=args.id_col,
+        num_buckets=args.num_buckets,
+    )
+    print(json.dumps({"index": path, "num_buckets": args.num_buckets}))
+    return 0
+
+
+def cmd_search(args) -> int:
+    """Boolean term search over a built index — reads ONLY the buckets
+    the query terms hash to."""
+    from rayraster.textops import search_index
+
+    _init_ray(args.num_cpus)
+    terms = [t for t in args.terms.split(",") if t]
+    out = search_index(
+        args.index, terms, mode=args.mode, id_col=args.id_col
+    ).to_pandas()
+    out = out.sort_values(args.id_col).head(args.limit)
+    print(json.dumps({
+        "terms": sorted(set(terms)), "mode": args.mode,
+        "matches": int(len(out)),
+        "head": out[args.id_col].head(10).tolist() if len(out) else [],
+    }))
+    return 0
+
+
+def cmd_pagerank(args) -> int:
+    """Fixed-point distributed PageRank over an (src, dst) edge
+    parquet; the bucketed edge layout persists beside the output and
+    is reused on re-runs (resumable)."""
+    import shutil
+
+    import ray.data as rd
+
+    from rayraster.graph import pagerank
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    edges = rd.read_parquet(files, columns=["src", "dst"])
+    ranks = pagerank(
+        edges,
+        edges_path=args.out + "_edges",
+        iterations=args.iterations,
+        num_buckets=args.num_buckets,
+    )
+    shutil.rmtree(args.out, ignore_errors=True)
+    ranks.write_parquet(args.out)
+    top = rd.read_parquet(args.out).sort("pr", descending=True).limit(5).to_pandas()
+    print(json.dumps({
+        "out": args.out, "iterations": args.iterations,
+        "top": [[int(r.node), int(r.pr)] for r in top.itertuples()],
+    }))
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Corpus curation metrics in one pass over a parquet corpus:
     per-doc quality + Gopher repetition + corpus-frequency fluency
@@ -391,6 +468,29 @@ def main(argv=None) -> int:
     k.add_argument("--stride", type=int, default=384)
     k.add_argument("--budget", type=int, default=1_000_000)
     k.set_defaults(fn=cmd_pack)
+
+    ix = sub.add_parser("index", help="build the persisted inverted index")
+    ix.add_argument("--input", required=True)
+    ix.add_argument("--out", required=True)
+    ix.add_argument("--id-col", default="doc_id")
+    ix.add_argument("--text-col", default="text")
+    ix.add_argument("--num-buckets", type=int, default=64)
+    ix.set_defaults(fn=cmd_index)
+
+    se = sub.add_parser("search", help="boolean term search over a built index")
+    se.add_argument("--index", required=True)
+    se.add_argument("--terms", required=True, help="comma-separated")
+    se.add_argument("--mode", choices=("and", "or"), default="and")
+    se.add_argument("--id-col", default="doc_id")
+    se.add_argument("--limit", type=int, default=1000)
+    se.set_defaults(fn=cmd_search)
+
+    pr = sub.add_parser("pagerank", help="fixed-point PageRank over (src,dst) edges")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--iterations", type=int, default=5)
+    pr.add_argument("--num-buckets", type=int, default=64)
+    pr.set_defaults(fn=cmd_pagerank)
 
     g = sub.add_parser("plot", help="render a pixel table to PNG")
     g.add_argument("--pixels", required=True)

@@ -331,3 +331,55 @@ def test_cli_curate_and_pack(tmp_path):
         packed.tokens_before.diff().dropna()
         == packed.chunk_len[:-1].values
     ).all()
+
+
+def test_cli_index_search_pagerank(tmp_path):
+    """The index/search/pagerank CLI surface."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [0, 1, 2, 3],
+                  "text": ["alpha beta", "alpha", "beta gamma", "alpha beta x"]}),
+        str(corpus / "d.parquet"),
+    )
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "index", "--input", str(corpus / "*.parquet"),
+         "--out", str(tmp_path / "idx"), "--num-buckets", "8"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "search", "--index", str(tmp_path / "idx"),
+         "--terms", "alpha,beta", "--mode", "and"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["matches"] == 2 and s["head"] == [0, 3]
+
+    edges = tmp_path / "edges"
+    edges.mkdir()
+    ids = np.arange(50, dtype=np.int64)
+    pq.write_table(
+        pa.table({"src": ids, "dst": np.zeros(50, dtype=np.int64)}),
+        str(edges / "e.parquet"),
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "pagerank", "--input", str(edges / "*.parquet"),
+         "--out", str(tmp_path / "pr"), "--iterations", "3",
+         "--num-buckets", "8"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["top"][0][0] == 0  # the star center dominates
+    assert s["top"][0][1] > s["top"][1][1] * 5
