@@ -7,32 +7,38 @@ SQL is the literal twin of the numpy formula (same constants via repr,
 same operation order) so value hashes match bit-for-bit.
 
 Query families (50 total — sized to the driver sweep's 50-row record
-cap; ALL 50 with bit-exact oracles.  Same-oracle scale twins are
-merged into ONE recorded row set with a ``path`` tag so both
-execution paths stay under the gate: r7 = broadcast clip +
-cell-indexed join, s2 = in-memory IVF + persisted partition-pruned
-index, d8 = driver-labeled + fully distributed connected
-components):
+cap; ALL 50 with bit-exact oracles.  Same-oracle scale twins and
+same-family operators are merged into ONE recorded row set with a
+``path`` tag so every execution path stays under the gate: r7 =
+broadcast clip + cell-indexed join, s2 = in-memory IVF + persisted
+partition-pruned index, d8 = driver-labeled CC + fully distributed CC
++ fixed-point PageRank, d1 = whole-doc + paragraph dedup, t11 = vocab
++ TF-IDF + inverted-index search):
   r*  rasterization / spatial (square, hex, rotations, multires,
       clip broadcast + cell-indexed join, kNN broadcast + tiled,
       polyfill, raster↔vector, cell-id lists, multi-dataset shared
-      frame, filtered stats, sort+limit, deterministic + stratified
+      frame, filtered stats + lattice neighbor stats + local Moran +
+      focal mean, sort+limit, deterministic + stratified + mixture
       sample)
-  d*  dedup (exact, MinHash-LSH broadcast + partitioned verify,
-      SimHash, embedding near-dup, connected-components pipeline
-      driver-state + fully distributed, exact + HLL distinct)
-  s*  similarity search (brute cosine top-k, IVF ANN in-memory +
-      persisted partition-pruned index)
-  t*  text analysis (token metrics + quality + Gopher repetition,
-      lang-id, fingerprints + PII redaction, grouped top-k, JSON
-      extraction, exact + grouped quantiles, BPE pre-token counts,
-      context-window chunking, vocabulary top-k)
+  d*  dedup + graph (exact + paragraph dedup, MinHash-LSH broadcast +
+      partitioned verify, SimHash, embedding near-dup,
+      connected-components pipeline driver-state + fully distributed
+      + PageRank, exact + HLL distinct + Count-Min heavy hitters)
+  s*  similarity search (brute cosine top-k + all-pairs self-join,
+      IVF ANN in-memory + persisted partition-pruned index)
+  t*  text analysis (token metrics + quality + Gopher repetition +
+      corpus-frequency fluency, lang-id, fingerprints + PII
+      redaction + normalization, grouped top-k, JSON extraction,
+      exact + grouped quantiles, BPE pre-token counts, context-window
+      chunking + shard packing, vocabulary top-k + TF-IDF +
+      inverted-index boolean search)
   c*  corpus curation (per-domain caps via URL host, n-gram
-      blocklist decontamination, DLT priority sampling with
-      Horvitz–Thompson weights)
-  w*  windows (tumbling, sliding, session, watermark/late-data)
-  j*  joins (broadcast, bucketed large×large, salted skew, semi/anti,
-      as-of, range)
+      blocklist decontamination + cross-doc duplicate n-grams, DLT
+      priority sampling with Horvitz–Thompson weights)
+  w*  windows (tumbling, sliding, session + max intra-session gap,
+      watermark/late-data)
+  j*  joins (broadcast, bucketed large×large shuffle + prebucketed
+      zero-shuffle, salted skew, semi/anti, as-of, range)
   m*  multimodal (REAL from-scratch BMP/PPM pixel decode with exact
       pixel statistics; deterministic fake fallback)
 
