@@ -78,7 +78,11 @@ def _edge_layout(edges: Dataset, edges_path: str, num_buckets: int) -> str:
             and m["key"] == "src"
             and m.get("hash") == _BUCKET_HASH
         ):
-            if os.path.isdir(os.path.join(edges_path, "_deg")):
+            # the sidecar counts only when its completion marker landed
+            # — a crash mid-build would otherwise leave SOME deg files,
+            # and missing ones read as "bucket has no edges", silently
+            # dropping contributions
+            if os.path.exists(os.path.join(edges_path, "_deg", "_DONE")):
                 return edges_path
             path = edges_path  # layout fine, only the sidecar missing
         else:
@@ -110,6 +114,8 @@ def _edge_layout(edges: Dataset, edges_path: str, num_buckets: int) -> str:
         rd.from_items(
             [{"b": b} for b in written], override_num_blocks=len(written)
         ).map_batches(build_deg, batch_format="pyarrow").materialize()
+    with open(os.path.join(deg_dir, "_DONE"), "w") as f:
+        f.write("ok")
     return path
 
 

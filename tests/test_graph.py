@@ -157,6 +157,26 @@ def test_personalized_pagerank_matches_local(tmp_path):
     assert got.loc[0] > got.loc[30]
 
 
+def test_pagerank_partial_sidecar_rebuilt(tmp_path):
+    # a crash mid-sidecar-build leaves some deg files and no _DONE
+    # marker: the next run must rebuild, not silently treat missing
+    # files as empty buckets
+    import glob
+    import os
+
+    n = 80
+    ids = np.arange(n, dtype=np.int64)
+    src, dst = ids, (ids * 13 + 5) % n
+    p = str(tmp_path / "sidecar")
+    a = _run(src, dst, n, p, nodes=_nodes_ds(n), node_count=n)
+    degs = sorted(glob.glob(os.path.join(p, "_deg", "deg_*.parquet")))
+    assert degs and os.path.exists(os.path.join(p, "_deg", "_DONE"))
+    os.remove(degs[0])
+    os.remove(os.path.join(p, "_deg", "_DONE"))
+    b = _run(src, dst, n, p, nodes=_nodes_ds(n), node_count=n)
+    assert (a["pr"].to_numpy() == b["pr"].to_numpy()).all()
+
+
 def test_pagerank_layout_reuse_and_validation(tmp_path):
     n = 40
     ids = np.arange(n, dtype=np.int64)
