@@ -1228,8 +1228,28 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
     def tag_pr(t: pa.Table) -> pa.Table:
         return _tag_table(pa.table({"doc_id": t["node"], "pr": t["pr"]}), "pagerank")
 
+    # fourth path: exact distributed triangle count of the same graph's
+    # undirected support (degree-oriented wedges — see graph.py) as a
+    # single scalar row; the twin is the classic 3-way self-join
+    from rayraster.graph import triangle_count
+
+    tri = triangle_count(
+        doc_ids.map_batches(edges3, batch_format="pyarrow"),
+        num_buckets=_parts_for(n_docs),
+        edge_count=3 * n_docs,
+    )
+    tri_row = pa.table(
+        {
+            "doc_id": pa.array([-1], type=pa.int64()),
+            "pr": pa.array([tri], type=pa.int64()),
+            "path": pa.array(["triangles"], type=pa.string()),
+        }
+    )
+
     return rd.from_arrow(driver_keep).union(
-        dist_keep, pr.map_batches(tag_pr, batch_format="pyarrow")
+        dist_keep,
+        pr.map_batches(tag_pr, batch_format="pyarrow"),
+        rd.from_arrow(tri_row),
     )
 
 
@@ -1245,6 +1265,10 @@ def _sql_pagerank_twin(iterations: int = 3) -> str:
   FROM documents d, range(0, 3) t(k)
 )""",
         "deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)",
+        """und AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM edges WHERE src <> dst
+)""",
         "r0 AS (SELECT doc_id AS node, CAST(1000000000 AS BIGINT) AS r FROM documents)",
     ]
     for i in range(1, iterations + 1):
@@ -1269,6 +1293,15 @@ def _sql_neardup_dedup_pipeline() -> str:
     # UNION ALL arm), so the twin is spliced in as the leading SELECT
     pr = _sql_pagerank_twin(3)
     return f"""{pr}
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(t.cnt AS BIGINT) AS pr,
+       'triangles' AS path
+FROM (
+  SELECT COUNT(*) AS cnt
+  FROM und e1
+  JOIN und e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+  JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+) t
 UNION ALL
 SELECT doc_id, CAST(0 AS BIGINT) AS pr, 'driver' AS path FROM documents
 UNION ALL

@@ -335,3 +335,138 @@ def pagerank(
         return pa.table({"node": t["node"], "pr": t["rank"]})
 
     return ranks.map_batches(project, batch_format="pyarrow")
+
+
+def triangle_count(
+    edges: Dataset,
+    num_buckets: int = 64,
+    edge_count: int | None = None,
+) -> int:
+    """EXACT distributed triangle count of the undirected support of an
+    int64 ``(src, dst)`` edge Dataset (self-loops dropped, duplicate /
+    reverse edges collapsed).
+
+    Skew-safe formulation: edges are oriented from their lower-
+    ``(degree, id)`` endpoint, so a hub of degree d generates wedges
+    only at neighbors that are "heavier" than it — the classic bound
+    of O(m^1.5) wedges total regardless of degree skew (a value-
+    ordered orientation would generate C(d, 2) wedges at every hub).
+
+    Exchanges: distinct-edge dedup (1), degree aggregate (1), two
+    degree-attach joins, one wedge self-join, one closing-edge join —
+    all hash-partitioned bucket joins; the only driver value is the
+    final int64 count.  Node ids must satisfy |id| < 2^31 (wedge
+    endpoints pack into one int64 join key — checked, not assumed).
+    """
+    import pyarrow.compute as pc
+
+    from rayraster.agg import distinct, hash_aggregate
+    from rayraster.join import bucket_join
+
+    P = _adaptive_parts(edge_count, num_buckets)
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(s) and (
+            np.abs(s).max(initial=0) >= 1 << 31
+            or np.abs(d).max(initial=0) >= 1 << 31
+        ):
+            raise ValueError("triangle_count: |node id| must be < 2^31")
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {"lo": pa.array(np.minimum(s, d)), "hi": pa.array(np.maximum(s, d))}
+        )
+
+    und = distinct(
+        edges.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True),
+        ["lo", "hi"],
+        num_partitions=P,
+    ).materialize()  # consumed three times (degrees, orientation, closing)
+    und_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([lo, hi]))})
+
+    deg = hash_aggregate(
+        und.map_batches(endpoints, batch_format="pyarrow"),
+        ["node"], count=True, count_name="deg", num_partitions=P,
+    )
+    deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    with_lo = bucket_join(
+        und, deg, "lo", "node", num_buckets=P,
+        left_schema=und_schema, right_schema=deg_schema,
+    )  # lo, hi, deg
+    lo_schema = pa.schema(
+        [("lo", pa.int64()), ("hi", pa.int64()), ("deg", pa.int64())]
+    )
+    with_both = bucket_join(
+        with_lo.map_batches(
+            lambda t: t.rename_columns(["lo", "hi", "deg_lo"]),
+            batch_format="pyarrow",
+        ),
+        deg, "hi", "node", num_buckets=P,
+        left_schema=pa.schema(
+            [("lo", pa.int64()), ("hi", pa.int64()), ("deg_lo", pa.int64())]
+        ),
+        right_schema=deg_schema,
+    )  # lo, hi, deg_lo, deg (deg of hi)
+
+    def orient(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = t["deg_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dh = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # lighter (deg, id) endpoint becomes the wedge center
+        lo_first = (dl < dh) | ((dl == dh) & (lo < hi))
+        return pa.table(
+            {
+                "c": pa.array(np.where(lo_first, lo, hi)),
+                "o": pa.array(np.where(lo_first, hi, lo)),
+            }
+        )
+
+    oriented = with_both.map_batches(orient, batch_format="pyarrow").materialize()
+    o_schema = pa.schema([("c", pa.int64()), ("o", pa.int64())])
+
+    # wedges: two oriented edges sharing the center; dedupe the
+    # (b, c) / (c, b) double-count by requiring o < o_r
+    wedges = bucket_join(
+        oriented, oriented, "c", "c", num_buckets=P,
+        left_schema=o_schema, right_schema=o_schema,
+    ).map_batches(
+        lambda t: _pack_pairs(t), batch_format="pyarrow"
+    )
+
+    und_packed = und.map_batches(
+        lambda t: pa.table(
+            {"pk": pa.array(
+                t["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+                * np.int64(1 << 32)
+                + t["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )}
+        ),
+        batch_format="pyarrow",
+    )
+    closed = bucket_join(
+        wedges, und_packed, "pk", "pk", num_buckets=P, join_type="semi",
+        left_schema=pa.schema([("pk", pa.int64())]),
+        right_schema=pa.schema([("pk", pa.int64())]),
+    )
+    return closed.count()
+
+
+def _pack_pairs(t: pa.Table) -> pa.Table:
+    """Wedge rows (c, o, o_r) → packed (min, max) closing-edge keys,
+    dropping the self/double-counted half (o < o_r)."""
+    o = t["o"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o2 = t["o_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = o < o2
+    o, o2 = o[keep], o2[keep]
+    lo = np.minimum(o, o2)
+    hi = np.maximum(o, o2)
+    return pa.table({"pk": pa.array(lo * np.int64(1 << 32) + hi)})

@@ -157,6 +157,45 @@ def test_personalized_pagerank_matches_local(tmp_path):
     assert got.loc[0] > got.loc[30]
 
 
+def test_triangle_count_matches_brute(ray_session):
+    from rayraster.graph import triangle_count
+
+    rng = np.random.default_rng(5)
+    n, m = 120, 900
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    adj = np.zeros((n, n), dtype=np.int64)
+    for s, d in zip(src, dst):
+        if s != d:
+            adj[s, d] = adj[d, s] = 1
+    want = int(np.trace(adj @ adj @ adj)) // 6
+    got = triangle_count(_edges_ds(src, dst), num_buckets=8, edge_count=m)
+    assert got == want and want > 100  # dense enough to be meaningful
+    # different bucket counts agree (exchange-partitioning invariance)
+    assert triangle_count(_edges_ds(src, dst), num_buckets=16) == want
+
+
+def test_triangle_count_shapes(ray_session):
+    from rayraster.graph import triangle_count
+
+    # star: no triangles (also exercises the degree-skew orientation —
+    # the hub is every edge's HEAVY endpoint, so it centers no wedges)
+    star_src = np.zeros(30, np.int64)
+    star_dst = np.arange(1, 31, dtype=np.int64)
+    assert triangle_count(_edges_ds(star_src, star_dst), num_buckets=4) == 0
+    # single triangle, given as directed cycle + duplicates + self-loop
+    src = np.array([0, 1, 2, 2, 0, 1, 1], dtype=np.int64)
+    dst = np.array([1, 2, 0, 0, 1, 0, 1], dtype=np.int64)
+    assert triangle_count(_edges_ds(src, dst), num_buckets=4) == 1
+    import pytest
+
+    with pytest.raises(Exception, match="2\\^31"):
+        triangle_count(
+            _edges_ds(np.array([1 << 31], np.int64), np.array([0], np.int64)),
+            num_buckets=4,
+        )
+
+
 def test_pagerank_partial_sidecar_rebuilt(tmp_path):
     # a crash mid-sidecar-build leaves some deg files and no _DONE
     # marker: the next run must rebuild, not silently treat missing
