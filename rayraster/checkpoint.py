@@ -45,6 +45,19 @@ from rayraster.rasterize import (
 )
 
 
+def stage_times(stats: str) -> dict:
+    """Per-stage wall seconds parsed from ``Dataset.stats()`` — the
+    per-stage throughput metrics the north_rule asks runs to emit.
+    Shared by the shard manifest below and ``bench.py``."""
+    import re
+
+    out = {}
+    for m in re.finditer(r"Operator (\d+) (\S+):.*? in ([\d.]+)s", stats):
+        name = m.group(2)[:70]
+        out[f"{m.group(1)}:{name}"] = float(m.group(3))
+    return out
+
+
 def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "manifest.jsonl")
 
@@ -144,6 +157,9 @@ def rasterize_checkpointed(
                 "inputs": files,  # lineage: exactly these files produced it
                 "rows_out": rows_out,
                 "wall_sec": round(time.perf_counter() - t0, 3),
+                # per-stage throughput metrics (north_rule): read/map/
+                # partial wall per operator for THIS shard's pipeline
+                "stages": stage_times(partial.stats()),
             },
         )
         processed += 1

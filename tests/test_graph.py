@@ -57,6 +57,21 @@ def test_pagerank_matches_local_reference(tmp_path):
     assert (out["pr"].to_numpy() == want).all()
 
 
+def test_pagerank_random_graphs_match_local(tmp_path):
+    # randomized sweep: varied degree distributions incl. dangling
+    # nodes and multi-edges, all bit-equal to the dense reference
+    for seed in (1, 7, 42):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(20, 150))
+        m = int(rng.integers(n, 6 * n))
+        src = rng.integers(0, n, m).astype(np.int64)
+        dst = rng.integers(0, n, m).astype(np.int64)
+        want = _local_pagerank(src, dst, n, iterations=3)
+        out = _run(src, dst, n, str(tmp_path / f"r{seed}"),
+                   nodes=_nodes_ds(n), node_count=n)
+        assert (out["pr"].to_numpy() == want).all(), seed
+
+
 def test_pagerank_bucket_count_invariant(tmp_path):
     n = 200
     rng = np.arange(n, dtype=np.int64)
