@@ -290,3 +290,31 @@ def test_hot_cell_partial_aggregation_bounds_shuffle(ray_session):
         out = stage(batch)
         total_partial_rows += out.num_rows
     assert total_partial_rows == n_batches  # 200k points → 20 shuffle rows
+
+
+def test_write_pyramid_levels_conserve_mass(micro_df, tmp_path, ray_session):
+    from rayraster.pipelines import write_pyramid
+
+    spec = GridSpec(0.0, 0.0, 1.0)
+    px, _ = rasterize_features(
+        rd.from_pandas(micro_df), 1.0, ["f1"], spec=spec, fun="sum",
+        with_meta=False, num_partitions=8,
+    )
+    summary = write_pyramid(
+        px.select_columns(["ix", "iy", "num_cell", "sum_f1"]), spec,
+        str(tmp_path / "pyr"), sum_cols=("sum_f1",), levels=3,
+        num_partitions=8,
+    )
+    assert sorted(summary) == [0, 1, 2, 3]
+    base = rd.read_parquet(str(tmp_path / "pyr" / "level=0")).to_pandas()
+    for k in range(4):
+        lv = rd.read_parquet(str(tmp_path / "pyr" / f"level={k}")).to_pandas()
+        # mass conservation per level: observation count + feature sum
+        assert lv["num_cell"].sum() == base["num_cell"].sum()
+        assert lv["sum_f1"].sum() == base["sum_f1"].sum()
+        assert summary[k]["rows"] == len(lv)
+        assert summary[k]["resolution"] == 1.0 * (2 ** k)
+        if k:
+            assert len(lv) <= summary[k - 1]["rows"]
+    # deepest level collapses the micro raster to a couple of tiles
+    assert summary[3]["rows"] < summary[0]["rows"]
