@@ -341,6 +341,7 @@ def triangle_count(
     edges: Dataset,
     num_buckets: int = 64,
     edge_count: int | None = None,
+    broadcast_threshold: int = 2_000_000,
 ) -> int:
     """EXACT distributed triangle count of the undirected support of an
     int64 ``(src, dst)`` edge Dataset (self-loops dropped, duplicate /
@@ -352,12 +353,19 @@ def triangle_count(
     of O(m^1.5) wedges total regardless of degree skew (a value-
     ordered orientation would generate C(d, 2) wedges at every hub).
 
-    Exchanges: distinct-edge dedup (1), degree aggregate (1), two
-    degree-attach joins, one wedge self-join, one closing-edge join —
-    all hash-partitioned bucket joins; the only driver value is the
-    final int64 count.  Node ids must satisfy |id| < 2^31 (wedge
-    endpoints pack into one int64 join key — checked, not assumed).
+    Dual path (the near-dup verify pattern): when the distinct edge
+    set fits the broadcast threshold, the degree map and the closing
+    edge set ship ONCE via ``ray.put`` — exchanges: distinct dedup,
+    degree aggregate, wedge self-join (3 total; every exchange costs
+    a fixed barrier, measured repeatedly).  Above the threshold the
+    fully partitioned path runs: two degree-attach bucket joins and a
+    packed-key closing semi-join instead of the broadcasts (6
+    exchanges, nothing driver- or broadcast-resident).  Both paths
+    return identical counts (tested).  Node ids must satisfy
+    |id| < 2^31 (wedge endpoints pack into one int64 key — checked,
+    not assumed).
     """
+    import ray
     import pyarrow.compute as pc
 
     from rayraster.agg import distinct, hash_aggregate
@@ -397,13 +405,66 @@ def triangle_count(
     )
     deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
 
+    m_edges = edge_count if edge_count is not None else und.count()
+    o_schema = pa.schema([("c", pa.int64()), ("o", pa.int64())])
+
+    if m_edges <= broadcast_threshold:
+        # deg table ≤ 2m rows: ship it once, orient in a pure map
+        deg_pd = deg.to_pandas()
+        order = np.argsort(deg_pd["node"].to_numpy())
+        deg_ref = ray.put(
+            (deg_pd["node"].to_numpy()[order].astype(np.int64),
+             deg_pd["deg"].to_numpy()[order].astype(np.int64))
+        )
+
+        def orient_bc(t: pa.Table) -> pa.Table:
+            nodes, degs = ray.get(deg_ref)
+            lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+            hi = t["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dl = degs[np.searchsorted(nodes, lo)]
+            dh = degs[np.searchsorted(nodes, hi)]
+            lo_first = (dl < dh) | ((dl == dh) & (lo < hi))
+            return pa.table(
+                {"c": pa.array(np.where(lo_first, lo, hi)),
+                 "o": pa.array(np.where(lo_first, hi, lo))}
+            )
+
+        oriented = und.map_batches(orient_bc, batch_format="pyarrow")
+        wedges = bucket_join(
+            oriented, oriented, "c", "c", num_buckets=P,
+            left_schema=o_schema, right_schema=o_schema,
+        ).map_batches(_pack_pairs, batch_format="pyarrow")
+
+        # closing check against the broadcast sorted packed edge set
+        pk_parts = und.map_batches(
+            lambda t: pa.table(
+                {"pk": pa.array(
+                    t["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    * np.int64(1 << 32)
+                    + t["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+                )}
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()["pk"].to_numpy()
+        edge_set_ref = ray.put(np.sort(pk_parts.astype(np.int64)))
+
+        def count_closed(t: pa.Table) -> pa.Table:
+            es = ray.get(edge_set_ref)
+            pk = t["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(es, pk)
+            pos_c = np.minimum(pos, max(len(es) - 1, 0))
+            hit = (es[pos_c] == pk) if len(es) else np.zeros(len(pk), bool)
+            return pa.table({"n": pa.array([int(hit.sum())], type=pa.int64())})
+
+        counts = wedges.map_batches(count_closed, batch_format="pyarrow")
+        total = counts.sum("n")
+        return int(total) if total is not None else 0
+
+    # partitioned path: degree-attach joins + packed-key closing semi
     with_lo = bucket_join(
         und, deg, "lo", "node", num_buckets=P,
         left_schema=und_schema, right_schema=deg_schema,
     )  # lo, hi, deg
-    lo_schema = pa.schema(
-        [("lo", pa.int64()), ("hi", pa.int64()), ("deg", pa.int64())]
-    )
     with_both = bucket_join(
         with_lo.map_batches(
             lambda t: t.rename_columns(["lo", "hi", "deg_lo"]),
@@ -431,16 +492,13 @@ def triangle_count(
         )
 
     oriented = with_both.map_batches(orient, batch_format="pyarrow").materialize()
-    o_schema = pa.schema([("c", pa.int64()), ("o", pa.int64())])
 
     # wedges: two oriented edges sharing the center; dedupe the
     # (b, c) / (c, b) double-count by requiring o < o_r
     wedges = bucket_join(
         oriented, oriented, "c", "c", num_buckets=P,
         left_schema=o_schema, right_schema=o_schema,
-    ).map_batches(
-        lambda t: _pack_pairs(t), batch_format="pyarrow"
-    )
+    ).map_batches(_pack_pairs, batch_format="pyarrow")
 
     und_packed = und.map_batches(
         lambda t: pa.table(

@@ -188,6 +188,12 @@ def test_triangle_count_matches_brute(ray_session):
     assert got == want and want > 100  # dense enough to be meaningful
     # different bucket counts agree (exchange-partitioning invariance)
     assert triangle_count(_edges_ds(src, dst), num_buckets=16) == want
+    # the fully partitioned path (forced below the broadcast threshold)
+    # returns the identical count
+    assert triangle_count(
+        _edges_ds(src, dst), num_buckets=8, edge_count=m,
+        broadcast_threshold=0,
+    ) == want
 
 
 def test_triangle_count_shapes(ray_session):
