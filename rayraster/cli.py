@@ -249,14 +249,21 @@ def cmd_search(args) -> int:
     from rayraster.textops import search_index
 
     _init_ray(args.num_cpus)
-    terms = [t for t in args.terms.split(",") if t]
+    # strip whitespace: "--terms 'alpha, beta'" must not search ' beta'
+    # (no posting word carries spaces — it would silently match nothing)
+    terms = [t.strip() for t in args.terms.split(",") if t.strip()]
     out = search_index(
         args.index, terms, mode=args.mode, id_col=args.id_col
     ).to_pandas()
-    out = out.sort_values(args.id_col).head(args.limit)
+    n_matches = int(len(out))  # the TRUE count, before head truncation
+    out = (
+        out.sort_values(args.id_col).head(args.limit)
+        if n_matches else out
+    )
     print(json.dumps({
         "terms": sorted(set(terms)), "mode": args.mode,
-        "matches": int(len(out)),
+        "matches": n_matches,
+        "truncated": n_matches > args.limit,
         "head": out[args.id_col].head(10).tolist() if len(out) else [],
     }))
     return 0
@@ -278,9 +285,18 @@ def cmd_pagerank(args) -> int:
         print(f"no input files match {args.input}", file=sys.stderr)
         return 2
     edges = rd.read_parquet(files, columns=["src", "dst"])
+    # the persisted layout is reusable ONLY for the same input: key the
+    # path on an input fingerprint (file list + sizes), or a re-run
+    # with --out unchanged but different --input would silently rank
+    # the previous run's graph
+    import hashlib
+
+    fp = hashlib.md5(
+        "|".join(f"{f}:{os.path.getsize(f)}" for f in files).encode()
+    ).hexdigest()[:10]
     ranks = pagerank(
         edges,
-        edges_path=args.out + "_edges",
+        edges_path=f"{args.out}_edges_{fp}",
         iterations=args.iterations,
         num_buckets=args.num_buckets,
     )

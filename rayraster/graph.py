@@ -138,9 +138,22 @@ def _read_edge_bucket(
     )
 
 
-def _read_deg_bucket(edges_path: str, b: int) -> pa.Table | None:
+def _read_deg_bucket(
+    edges_path: str, b: int, written: set[int] | None = None
+) -> pa.Table | None:
+    """Degree sidecar for bucket ``b``; None only when the bucket
+    genuinely has no edges.  A sidecar missing for a bucket the
+    manifest says WAS written is data loss (node-local path on a
+    multi-node cluster, manual deletion) — raise, exactly like
+    :func:`_read_edge_bucket` does for the edges themselves."""
     f = os.path.join(edges_path, "_deg", f"deg_{b}.parquet")
     if not os.path.exists(f):
+        if written is not None and b in written:
+            raise FileNotFoundError(
+                f"degree sidecar for bucket {b} is missing under"
+                f" {edges_path}/_deg though the bucket was written —"
+                " refusing to silently zero its contributions"
+            )
         return None
     import pyarrow.parquet as pq
 
@@ -265,7 +278,7 @@ def pagerank(
         iteration-invariant — recomputing the group_by every round was
         pure waste)."""
         b = int(g["_bucket"][0].as_py())
-        deg = _read_deg_bucket(path, b)
+        deg = _read_deg_bucket(path, b, written)
         if deg is None:  # bucket with no edges written
             return _EMPTY_CONTRIB.empty_table()
         rt = pa.table({"src": g["node"], "rank": g["rank"]})
@@ -366,7 +379,6 @@ def triangle_count(
     not assumed).
     """
     import ray
-    import pyarrow.compute as pc
 
     from rayraster.agg import distinct, hash_aggregate
     from rayraster.join import bucket_join
@@ -429,7 +441,9 @@ def triangle_count(
                  "o": pa.array(np.where(lo_first, hi, lo))}
             )
 
-        oriented = und.map_batches(orient_bc, batch_format="pyarrow")
+        # materialize: bucket_join consumes BOTH sides of the self-join
+        # from this chain — unmaterialized, orient_bc would run twice
+        oriented = und.map_batches(orient_bc, batch_format="pyarrow").materialize()
         wedges = bucket_join(
             oriented, oriented, "c", "c", num_buckets=P,
             left_schema=o_schema, right_schema=o_schema,
@@ -437,14 +451,7 @@ def triangle_count(
 
         # closing check against the broadcast sorted packed edge set
         pk_parts = und.map_batches(
-            lambda t: pa.table(
-                {"pk": pa.array(
-                    t["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
-                    * np.int64(1 << 32)
-                    + t["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
-                )}
-            ),
-            batch_format="pyarrow",
+            _pack_und, batch_format="pyarrow"
         ).to_pandas()["pk"].to_numpy()
         edge_set_ref = ray.put(np.sort(pk_parts.astype(np.int64)))
 
@@ -500,16 +507,7 @@ def triangle_count(
         left_schema=o_schema, right_schema=o_schema,
     ).map_batches(_pack_pairs, batch_format="pyarrow")
 
-    und_packed = und.map_batches(
-        lambda t: pa.table(
-            {"pk": pa.array(
-                t["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
-                * np.int64(1 << 32)
-                + t["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
-            )}
-        ),
-        batch_format="pyarrow",
-    )
+    und_packed = und.map_batches(_pack_und, batch_format="pyarrow")
     closed = bucket_join(
         wedges, und_packed, "pk", "pk", num_buckets=P, join_type="semi",
         left_schema=pa.schema([("pk", pa.int64())]),
@@ -518,13 +516,27 @@ def triangle_count(
     return closed.count()
 
 
+def _pack_lo_hi(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """THE injective (lo, hi) → int64 closing-edge key (|id| < 2^31,
+    callers check).  One definition — the wedge side and both und
+    sides must hash identically or the closing join matches nothing."""
+    return lo.astype(np.int64) * np.int64(1 << 32) + hi.astype(np.int64)
+
+
+def _pack_und(t: pa.Table) -> pa.Table:
+    return pa.table(
+        {"pk": pa.array(_pack_lo_hi(
+            t["lo"].to_numpy(zero_copy_only=False),
+            t["hi"].to_numpy(zero_copy_only=False),
+        ))}
+    )
+
+
 def _pack_pairs(t: pa.Table) -> pa.Table:
-    """Wedge rows (c, o, o_r) → packed (min, max) closing-edge keys,
-    dropping the self/double-counted half (o < o_r)."""
+    """Wedge rows (c, o, o_r) → packed closing-edge keys, dropping the
+    self/double-counted half (keep o < o_r, which already fixes the
+    (lo, hi) order)."""
     o = t["o"].to_numpy(zero_copy_only=False).astype(np.int64)
     o2 = t["o_r"].to_numpy(zero_copy_only=False).astype(np.int64)
     keep = o < o2
-    o, o2 = o[keep], o2[keep]
-    lo = np.minimum(o, o2)
-    hi = np.maximum(o, o2)
-    return pa.table({"pk": pa.array(lo * np.int64(1 << 32) + hi)})
+    return pa.table({"pk": pa.array(_pack_lo_hi(o[keep], o2[keep]))})

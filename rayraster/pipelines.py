@@ -132,16 +132,38 @@ def write_pyramid(
     series), independent of the input row count.  Square grids only
     (hex has no exact nesting).
 
+    Every level shares ONE schema — ``ix, iy, *sum_cols, count_col,
+    cell_id, cx, cy`` (the rollup's projection; level 0 is normalized
+    to it, extra caller columns dropped) — so the whole pyramid also
+    reads as a single hive-partitioned dataset.
+
     Returns ``{level: {"rows": int, "resolution": float}}``.
     """
     import os
     import shutil
 
+    from rayraster.grid import pack_cell_id
     from rayraster.rasterize import rollup_quadtree
 
     shutil.rmtree(out_dir, ignore_errors=True)
+    cols = ["ix", "iy", *sum_cols, count_col, "cell_id", "cx", "cy"]
+
+    def normalize(t: pa.Table, _spec=spec) -> pa.Table:
+        if "cell_id" not in t.column_names:
+            import numpy as np
+
+            ix = t["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+            iy = t["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cx, cy = _spec.centroid(ix, iy)
+            t = t.append_column(
+                "cell_id", pa.array(pack_cell_id(_spec.level, ix, iy))
+            )
+            t = t.append_column("cx", pa.array(cx))
+            t = t.append_column("cy", pa.array(cy))
+        return t.select(cols)
+
     summary: dict = {}
-    cur, cur_spec = pixels, spec
+    cur, cur_spec = pixels.map_batches(normalize, batch_format="pyarrow"), spec
     for k in range(levels + 1):
         path = os.path.join(out_dir, f"level={k}")
         cur = cur.materialize()  # consumed twice: write + next rollup
@@ -155,5 +177,8 @@ def write_pyramid(
         cur, cur_spec = rollup_quadtree(
             cur, cur_spec, list(sum_cols), levels_up=1,
             count_col=count_col, num_partitions=num_partitions,
+        )
+        cur = cur.map_batches(
+            lambda t: t.select(cols), batch_format="pyarrow"
         )
     return summary
