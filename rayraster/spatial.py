@@ -37,8 +37,14 @@ import pyarrow as pa
 from ray.data import Dataset
 
 _OFFSETS = {
+    # square lattice: rook / queen
     4: [(-1, 0), (1, 0), (0, -1), (0, 1)],
     8: [(-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (-1, 1), (1, -1), (1, 1)],
+    # hex lattice (axial coordinates, the engine's pointy-top
+    # convention — rayraster.grid): the 6 ring-1 neighbors.  All hex
+    # offsets are within ±1 in each axis, so the same 1-cell tile halo
+    # is exact for hex too.
+    6: [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)],
 }
 
 
@@ -66,7 +72,9 @@ def neighbor_stats(
     matching a LEFT-JOIN-on-the-lattice SQL twin.
     """
     if connectivity not in _OFFSETS:
-        raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
+        raise ValueError(
+            f"connectivity must be 4, 8 (square) or 6 (hex axial), got {connectivity}"
+        )
     offsets = _OFFSETS[connectivity]
     T = np.int64(tile)
 

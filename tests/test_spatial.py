@@ -9,9 +9,12 @@ from rayraster.spatial import local_moran, neighbor_stats
 
 
 def _brute_nbrs(px: pd.DataFrame, connectivity: int):
-    offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
-    if connectivity == 8:
-        offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    if connectivity == 6:
+        offs = [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]
+    else:
+        offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        if connectivity == 8:
+            offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
     vals = {(r.ix, r.iy): r.v for r in px.itertuples()}
     cnt, ssum = [], []
     for r in px.itertuples():
@@ -37,7 +40,7 @@ def _raster(seed=5, m=400, span=60):
     )
 
 
-@pytest.mark.parametrize("connectivity", [4, 8])
+@pytest.mark.parametrize("connectivity", [4, 8, 6])
 def test_neighbor_stats_matches_brute(ray_session, connectivity):
     px = _raster()
     out = (
@@ -140,10 +143,28 @@ def test_focal_mean_matches_brute(ray_session):
     assert (iso["focal_mean"].to_numpy() == iso["v"].to_numpy()).all()
 
 
+def test_hex_neighbor_ring_counts(ray_session):
+    # a filled axial-coordinate hex patch: the center of ring-1 has all
+    # 6 neighbors; axial "corner" cells of the patch have fewer
+    cells = [(q, r) for q in range(-2, 3) for r in range(-2, 3)
+             if abs(q + r) <= 2]  # hexagon of radius 2 in axial coords
+    px = pd.DataFrame(
+        {"ix": np.array([c[0] for c in cells], dtype=np.int64),
+         "iy": np.array([c[1] for c in cells], dtype=np.int64),
+         "v": np.ones(len(cells), dtype=np.int64)}
+    )
+    out = neighbor_stats(
+        rd.from_pandas(px), "v", connectivity=6, tile=2, num_partitions=4
+    ).to_pandas().set_index(["ix", "iy"])
+    assert out.loc[(0, 0)].nbr_cnt == 6  # interior hex: full ring
+    assert out.loc[(2, 0)].nbr_cnt == 3  # patch corner
+    assert (out["nbr_cnt"] == out["nbr_sum"]).all()  # v ≡ 1
+
+
 def test_neighbor_stats_validation(ray_session):
     px = _raster(seed=1, m=10)
     with pytest.raises(ValueError, match="connectivity"):
-        neighbor_stats(rd.from_pandas(px), "v", connectivity=6)
+        neighbor_stats(rd.from_pandas(px), "v", connectivity=5)
     bad = pd.DataFrame(
         {"ix": np.array([1 << 31], dtype=np.int64),
          "iy": np.array([0], dtype=np.int64),
