@@ -59,17 +59,38 @@ from rayraster.join import (
 _EMPTY_CONTRIB = pa.schema([("node", pa.int64()), ("c", pa.int64()), ("m", pa.int64())])
 
 
-def _edge_layout(edges: Dataset, edges_path: str, num_buckets: int) -> str:
+def _edge_layout(
+    edges: Dataset,
+    edges_path: str,
+    num_buckets: int,
+    weight_col: str | None = None,
+) -> str:
     """Ensure the bucketed edge layout (+ per-bucket out-degree
     sidecars) exists at ``edges_path`` and return it.  A layout whose
     manifest matches ``num_buckets`` AND the engine's bucket-hash
-    version is reused as-is — re-running a job against the same path
-    skips the only edge exchange.  A hash-version mismatch forces a
-    rewrite (rank rows are tagged with the CURRENT ``key_bucket``;
-    joining them against buckets written by an older hash would
-    silently mis-co-locate — the same failure
-    ``bucket_join_prebucketed`` refuses)."""
+    version AND the sidecar's weighting mode is reused as-is —
+    re-running a job against the same path skips the only edge
+    exchange.  A hash-version mismatch forces a rewrite (rank rows are
+    tagged with the CURRENT ``key_bucket``; joining them against
+    buckets written by an older hash would silently mis-co-locate —
+    the same failure ``bucket_join_prebucketed`` refuses).
+
+    ``weight_col``: when set, the layout keeps that int64 column and
+    the sidecar stores per-src WEIGHT SUMS (plus the global max weight
+    in ``_deg/_META.json`` for the caller's overflow check) instead of
+    plain counts."""
+    import json as _json
+
     import ray.data as rd
+
+    meta_path = os.path.join(edges_path, "_deg", "_META.json")
+
+    def _meta_ok() -> bool:
+        try:
+            with open(meta_path) as f:
+                return _json.load(f).get("weight_col") == weight_col
+        except (FileNotFoundError, ValueError):
+            return False
 
     try:
         m = _read_bucket_manifest(edges_path)
@@ -81,8 +102,12 @@ def _edge_layout(edges: Dataset, edges_path: str, num_buckets: int) -> str:
             # the sidecar counts only when its completion marker landed
             # — a crash mid-build would otherwise leave SOME deg files,
             # and missing ones read as "bucket has no edges", silently
-            # dropping contributions
-            if os.path.exists(os.path.join(edges_path, "_deg", "_DONE")):
+            # dropping contributions.  A weighting-mode mismatch also
+            # invalidates it (count sidecars are not weight sums).
+            if (
+                os.path.exists(os.path.join(edges_path, "_deg", "_DONE"))
+                and _meta_ok()
+            ):
                 return edges_path
             path = edges_path  # layout fine, only the sidecar missing
         else:
@@ -90,30 +115,49 @@ def _edge_layout(edges: Dataset, edges_path: str, num_buckets: int) -> str:
     except (FileNotFoundError, KeyError, ValueError):
         path = write_bucketed(edges, "src", edges_path, num_buckets=num_buckets)
 
-    # out-degrees are iteration-invariant: compute them ONCE per bucket
-    # at layout time (one independent task per bucket), not once per
-    # bucket per PageRank round
+    # out-degrees / out-weight-sums are iteration-invariant: compute
+    # them ONCE per bucket at layout time (one independent task per
+    # bucket), not once per bucket per PageRank round
     manifest = _read_bucket_manifest(path)
     written = manifest.get("buckets_written", list(range(num_buckets)))
     deg_dir = os.path.join(path, "_deg")
     os.makedirs(deg_dir, exist_ok=True)
+    wcols = ("src",) if weight_col is None else ("src", weight_col)
 
     def build_deg(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
         done = []
+        maxw = []
         for b in batch["b"].to_pylist():
-            et = _read_edge_bucket(path, int(b), set(written), columns=["src"])
-            deg = et.group_by("src").aggregate([("src", "count")])
+            et = _read_edge_bucket(path, int(b), set(written), columns=wcols)
+            if weight_col is None:
+                deg = et.group_by("src").aggregate([("src", "count")])
+                bucket_max = 1
+            else:
+                w = et[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                if len(w) and w.min() < 1:
+                    raise ValueError("pagerank: edge weights must be >= 1")
+                deg = et.group_by("src").aggregate([(weight_col, "sum")])
+                bucket_max = int(w.max(initial=1))
             deg = deg.rename_columns(["src", "deg"])
             pq.write_table(deg, os.path.join(deg_dir, f"deg_{int(b)}.parquet"))
             done.append(int(b))
-        return pa.table({"b": pa.array(done, type=pa.int64())})
+            maxw.append(bucket_max)
+        return pa.table(
+            {"b": pa.array(done, type=pa.int64()),
+             "maxw": pa.array(maxw, type=pa.int64())}
+        )
 
+    max_w = 1
     if written:
-        rd.from_items(
+        got = rd.from_items(
             [{"b": b} for b in written], override_num_blocks=len(written)
-        ).map_batches(build_deg, batch_format="pyarrow").materialize()
+        ).map_batches(build_deg, batch_format="pyarrow").to_pandas()
+        if len(got):
+            max_w = int(got["maxw"].max())
+    with open(meta_path, "w") as f:
+        _json.dump({"weight_col": weight_col, "max_w": max_w}, f)
     with open(os.path.join(deg_dir, "_DONE"), "w") as f:
         f.write("ok")
     return path
@@ -171,6 +215,7 @@ def pagerank(
     num_buckets: int = 64,
     node_count: int | None = None,
     seeds: "np.ndarray | None" = None,
+    weight_col: str | None = None,
 ) -> Dataset:
     """Fixed-point PageRank over an int64 ``(src, dst)`` edge Dataset.
 
@@ -194,6 +239,14 @@ def pagerank(
     pre-join a seed flag onto ``nodes`` and run the uniform variant
     per flag partition instead.
 
+    ``weight_col``: optional int64 edge-weight column (≥ 1) for
+    WEIGHTED PageRank — an edge of weight ``w`` from a node whose
+    outgoing weights sum to ``W`` carries
+    ``(r * damping_num * w) // (damping_den * W)``; the sidecar stores
+    weight sums and the overflow bound tightens to
+    ``n · scale · damping_num · max_w < 2^63`` (``max_w`` is recorded
+    at layout time, so the check is exact, not assumed).
+
     Exchanges: 1 (edge layout, skipped when ``edges_path`` already
     holds a matching layout) + [1 if nodes are discovered] + 2 per
     iteration (rank co-location; contribution aggregate).  Nothing is
@@ -206,9 +259,15 @@ def pagerank(
             f"need 0 < damping_num < damping_den, got {damping_num}/{damping_den}"
         )
 
-    path = _edge_layout(edges, edges_path, num_buckets)
+    path = _edge_layout(edges, edges_path, num_buckets, weight_col=weight_col)
     manifest = _read_bucket_manifest(path)
     written = set(manifest.get("buckets_written", range(num_buckets)))
+    max_w = 1
+    if weight_col is not None:
+        import json as _json
+
+        with open(os.path.join(path, "_deg", "_META.json")) as f:
+            max_w = int(_json.load(f)["max_w"])
 
     if nodes is None:
         from rayraster.agg import distinct
@@ -228,10 +287,10 @@ def pagerank(
         nodes = nodes.materialize()
         node_count = nodes.count()
 
-    if node_count * scale * damping_num >= 2**63:
+    if node_count * scale * damping_num * max_w >= 2**63:
         raise ValueError(
-            f"fixed-point overflow: num_nodes*scale*damping_num = "
-            f"{node_count * scale * damping_num} >= 2^63 — lower `scale`"
+            "fixed-point overflow: num_nodes*scale*damping_num*max_weight = "
+            f"{node_count * scale * damping_num * max_w} >= 2^63 — lower `scale`"
         )
     teleport = scale * (damping_den - damping_num) // damping_den
     agg_parts = _adaptive_parts(node_count, num_buckets)
@@ -287,11 +346,30 @@ def pagerank(
             return _EMPTY_CONTRIB.empty_table()
         r = per_src["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
         d = per_src["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
-        per_src = pa.table(
-            {"src": per_src["src"], "c": pa.array((r * dn) // (d * dd))}
-        )
-        et = _read_edge_bucket(path, b, written)
-        fan = et.join(per_src, keys=["src"], join_type="inner")
+        if weight_col is None:
+            # unweighted: one contribution value per src, fanned as-is
+            per_src = pa.table(
+                {"src": per_src["src"], "c": pa.array((r * dn) // (d * dd))}
+            )
+            et = _read_edge_bucket(path, b, written)
+            fan = et.join(per_src, keys=["src"], join_type="inner")
+        else:
+            # weighted: contribution differs per EDGE — join rank and
+            # the weight SUM onto the edges, divide per edge
+            per_src = pa.table(
+                {"src": per_src["src"], "rank": pa.array(r), "W": pa.array(d)}
+            )
+            et = _read_edge_bucket(
+                path, b, written, columns=("src", "dst", weight_col)
+            )
+            fan = et.join(per_src, keys=["src"], join_type="inner")
+            fr = fan["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+            fw = fan[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            fW = fan["W"].to_numpy(zero_copy_only=False).astype(np.int64)
+            fan = pa.table(
+                {"dst": fan["dst"],
+                 "c": pa.array((fr * dn * fw) // (dd * fW))}
+            )
         out = fan.group_by("dst").aggregate([("c", "sum")])
         return pa.table(
             {

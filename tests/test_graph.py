@@ -172,6 +172,56 @@ def test_personalized_pagerank_matches_local(tmp_path):
     assert got.loc[0] > got.loc[30]
 
 
+def test_weighted_pagerank_matches_local(tmp_path):
+    rng = np.random.default_rng(9)
+    n, m = 80, 400
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    w = rng.integers(1, 9, m).astype(np.int64)
+
+    # local dense weighted fixed-point reference
+    rank = np.full(n, SCALE, dtype=np.int64)
+    Wsum = np.zeros(n, dtype=np.int64)
+    np.add.at(Wsum, src, w)
+    tel = SCALE * (DD - DN) // DD
+    for _ in range(3):
+        c = np.zeros(n, dtype=np.int64)
+        ce = (rank[src] * DN * w) // (DD * Wsum[src])
+        np.add.at(c, dst, ce)
+        rank = tel + c
+
+    edges = rd.from_arrow(
+        pa.table({"src": src, "dst": dst, "w": w})
+    )
+    out = (
+        pagerank(edges, str(tmp_path / "wpr"), nodes=_nodes_ds(n),
+                 node_count=n, iterations=3, weight_col="w")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert (out["pr"].to_numpy() == rank).all()
+    # weight ≡ 1 equals the unweighted variant exactly
+    ones = rd.from_arrow(
+        pa.table({"src": src, "dst": dst, "w": np.ones(m, np.int64)})
+    )
+    a = pagerank(ones, str(tmp_path / "w1"), nodes=_nodes_ds(n),
+                 node_count=n, iterations=3, weight_col="w").to_pandas()
+    b = pagerank(rd.from_arrow(pa.table({"src": src, "dst": dst})),
+                 str(tmp_path / "w0"), nodes=_nodes_ds(n),
+                 node_count=n, iterations=3).to_pandas()
+    pd_a = a.sort_values("node")["pr"].to_numpy()
+    pd_b = b.sort_values("node")["pr"].to_numpy()
+    assert (pd_a == pd_b).all()
+
+    # weights < 1 rejected at layout time
+    bad = rd.from_arrow(
+        pa.table({"src": src[:3], "dst": dst[:3],
+                  "w": np.array([0, 1, 2], np.int64)})
+    )
+    with pytest.raises(Exception, match="weights must be >= 1"):
+        pagerank(bad, str(tmp_path / "wbad"), nodes=_nodes_ds(n),
+                 node_count=n, weight_col="w")
+
+
 def test_triangle_count_matches_brute(ray_session):
     from rayraster.graph import triangle_count
 
