@@ -335,6 +335,10 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
     pixels, _ = rasterize_features(
         pts, 1.0, ["quality"], spec=spec, fun="mean", with_meta=False
     )
+    # clear first: Ray's write_parquet APPENDS into an existing dir,
+    # and a doubled pixel table would (correctly) make neighbor_stats
+    # refuse on duplicate (ix, iy) rows
+    shutil.rmtree(os.path.join(out_dir, "pixels"), ignore_errors=True)
     pixels.write_parquet(os.path.join(out_dir, "pixels"))
 
     # 5b. spatial hot-spot detection on the density raster: local

@@ -64,7 +64,7 @@ def _edge_layout(
     edges_path: str,
     num_buckets: int,
     weight_col: str | None = None,
-) -> str:
+) -> tuple[str, dict]:
     """Ensure the bucketed edge layout (+ per-bucket out-degree
     sidecars) exists at ``edges_path`` and return it.  A layout whose
     manifest matches ``num_buckets`` AND the engine's bucket-hash
@@ -76,21 +76,23 @@ def _edge_layout(
     the same failure ``bucket_join_prebucketed`` refuses).
 
     ``weight_col``: when set, the layout keeps that int64 column and
-    the sidecar stores per-src WEIGHT SUMS (plus the global max weight
-    in ``_deg/_META.json`` for the caller's overflow check) instead of
-    plain counts."""
+    the sidecar stores per-src WEIGHT SUMS instead of plain counts.
+
+    Returns ``(path, meta)`` — meta holds ``max_w`` (largest single
+    edge weight) and ``max_W`` (largest per-src degree/weight-sum),
+    recorded at build time for the caller's exact overflow checks."""
     import json as _json
 
     import ray.data as rd
 
     meta_path = os.path.join(edges_path, "_deg", "_META.json")
 
-    def _meta_ok() -> bool:
+    def _load_meta() -> dict | None:
         try:
             with open(meta_path) as f:
-                return _json.load(f).get("weight_col") == weight_col
+                return _json.load(f)
         except (FileNotFoundError, ValueError):
-            return False
+            return None
 
     try:
         m = _read_bucket_manifest(edges_path)
@@ -104,11 +106,13 @@ def _edge_layout(
             # and missing ones read as "bucket has no edges", silently
             # dropping contributions.  A weighting-mode mismatch also
             # invalidates it (count sidecars are not weight sums).
+            meta = _load_meta()
             if (
                 os.path.exists(os.path.join(edges_path, "_deg", "_DONE"))
-                and _meta_ok()
+                and meta is not None
+                and meta.get("weight_col") == weight_col
             ):
-                return edges_path
+                return edges_path, meta
             path = edges_path  # layout fine, only the sidecar missing
         else:
             path = write_bucketed(edges, "src", edges_path, num_buckets=num_buckets)
@@ -122,6 +126,15 @@ def _edge_layout(
     written = manifest.get("buckets_written", list(range(num_buckets)))
     deg_dir = os.path.join(path, "_deg")
     os.makedirs(deg_dir, exist_ok=True)
+    # invalidate FIRST: an interrupted rebuild (e.g. weighting-mode
+    # switch that crashes mid-way) must never leave a stale marker/META
+    # beside mixed count/weight-sum files — a later run in the old mode
+    # would silently reuse them
+    for stale in ("_DONE", "_META.json"):
+        try:
+            os.remove(os.path.join(deg_dir, stale))
+        except FileNotFoundError:
+            pass
     wcols = ("src",) if weight_col is None else ("src", weight_col)
 
     def build_deg(batch: pa.Table) -> pa.Table:
@@ -129,6 +142,7 @@ def _edge_layout(
 
         done = []
         maxw = []
+        maxW = []
         for b in batch["b"].to_pylist():
             et = _read_edge_bucket(path, int(b), set(written), columns=wcols)
             if weight_col is None:
@@ -144,23 +158,28 @@ def _edge_layout(
             pq.write_table(deg, os.path.join(deg_dir, f"deg_{int(b)}.parquet"))
             done.append(int(b))
             maxw.append(bucket_max)
+            d = deg["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            maxW.append(int(d.max(initial=1)))
         return pa.table(
             {"b": pa.array(done, type=pa.int64()),
-             "maxw": pa.array(maxw, type=pa.int64())}
+             "maxw": pa.array(maxw, type=pa.int64()),
+             "maxW": pa.array(maxW, type=pa.int64())}
         )
 
-    max_w = 1
+    max_w, max_W = 1, 1
     if written:
         got = rd.from_items(
             [{"b": b} for b in written], override_num_blocks=len(written)
         ).map_batches(build_deg, batch_format="pyarrow").to_pandas()
         if len(got):
             max_w = int(got["maxw"].max())
+            max_W = int(got["maxW"].max())
+    meta = {"weight_col": weight_col, "max_w": max_w, "max_W": max_W}
     with open(meta_path, "w") as f:
-        _json.dump({"weight_col": weight_col, "max_w": max_w}, f)
+        _json.dump(meta, f)
     with open(os.path.join(deg_dir, "_DONE"), "w") as f:
         f.write("ok")
-    return path
+    return path, meta
 
 
 def _read_edge_bucket(
@@ -259,15 +278,19 @@ def pagerank(
             f"need 0 < damping_num < damping_den, got {damping_num}/{damping_den}"
         )
 
-    path = _edge_layout(edges, edges_path, num_buckets, weight_col=weight_col)
+    _RESERVED = {"src", "dst", "rank", "W", "deg", "node", "c", "m"}
+    if weight_col in _RESERVED:
+        raise ValueError(
+            f"weight_col {weight_col!r} collides with an internal join"
+            f" column — rename it (reserved: {sorted(_RESERVED)})"
+        )
+    path, layout_meta = _edge_layout(
+        edges, edges_path, num_buckets, weight_col=weight_col
+    )
     manifest = _read_bucket_manifest(path)
     written = set(manifest.get("buckets_written", range(num_buckets)))
-    max_w = 1
-    if weight_col is not None:
-        import json as _json
-
-        with open(os.path.join(path, "_deg", "_META.json")) as f:
-            max_w = int(_json.load(f)["max_w"])
+    max_w = int(layout_meta.get("max_w", 1))
+    max_W = int(layout_meta.get("max_W", 1))
 
     if nodes is None:
         from rayraster.agg import distinct
@@ -291,6 +314,15 @@ def pagerank(
         raise ValueError(
             "fixed-point overflow: num_nodes*scale*damping_num*max_weight = "
             f"{node_count * scale * damping_num * max_w} >= 2^63 — lower `scale`"
+        )
+    if damping_den * max_W >= 2**63:
+        # the per-edge denominator dd*W must also fit (max_W is the
+        # largest per-src degree/weight-sum, recorded at layout time —
+        # checked, not assumed; a wrap here would flip contributions
+        # negative with no error)
+        raise ValueError(
+            f"fixed-point overflow: damping_den*max_out_weight_sum = "
+            f"{damping_den * max_W} >= 2^63"
         )
     teleport = scale * (damping_den - damping_num) // damping_den
     agg_parts = _adaptive_parts(node_count, num_buckets)

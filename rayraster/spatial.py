@@ -7,8 +7,8 @@ statistics (vignette: SpatialDE / nnSVG feed on the pixel matrix —
 module provides the first of those statistics natively so the raster
 never has to leave the engine.
 
-Design (the 100-TB shape): a pixel's rook/queen neighborhood is pure
-(ix, iy) arithmetic, so the neighbor "join" needs no general shuffle
+Design (the 100-TB shape): a pixel's rook/queen/hex-ring neighborhood
+is pure (ix, iy) arithmetic, so the neighbor "join" needs no general shuffle
 join — pixels are tiled into ``tile × tile`` blocks, rows on a tile
 edge are additionally copied to the adjacent tile (a ≤ 1-cell halo;
 interior rows ship exactly once), and ONE hash-partitioned exchange
@@ -62,8 +62,9 @@ def neighbor_stats(
     tile: int = 64,
     num_partitions: int = 64,
 ) -> Dataset:
-    """Append exact ``nbr_cnt`` (existing rook/queen neighbors) and
-    ``nbr_sum`` (int64 sum of their ``value_col``) to every pixel row.
+    """Append exact ``nbr_cnt`` (existing rook / queen / hex-ring
+    neighbors — ``connectivity`` 4, 8 or 6) and ``nbr_sum`` (int64 sum
+    of their ``value_col``) to every pixel row.
 
     ONE exchange: tile fan-out with a 1-cell halo (home row → its own
     tile; edge rows also copied to the adjacent tile(s)), then a
@@ -287,7 +288,7 @@ def focal_mean(
 ) -> Dataset:
     """Raster smoothing: append the focal (moving-window) mean —
     ``(x_i + nbr_sum) / (1 + nbr_cnt)`` over the pixel and its
-    existing rook/queen neighbors.  ONE exchange (rides
+    existing rook/queen/hex-ring neighbors.  ONE exchange (rides
     :func:`neighbor_stats`); the emitted float is one IEEE division of
     exact integers, so a SQL twin matches it bit-for-bit.  Pixels
     outside the raster's live set contribute nothing (edge pixels
