@@ -57,7 +57,9 @@ def read_table(paths, fmt: str = "parquet", columns=None, **kwargs) -> Dataset:
 
     ``json`` means line-delimited JSON (the crawler interchange
     format).  ``columns`` prunes at the read for parquet, at decode
-    for CSV, and right after decode for JSONL."""
+    for CSV, and right after decode for JSONL.  Gzipped CSV/JSONL
+    (``*.gz`` — the Common-Crawl wire format) decompresses
+    transparently via Arrow's extension inference (pinned by test)."""
     import ray.data as rd
 
     paths = _expand_dirs(paths)

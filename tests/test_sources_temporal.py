@@ -25,6 +25,31 @@ def _points(n=2000, seed=7):
     )
 
 
+def test_read_table_gzip_csv_and_jsonl(ray_session, tmp_path):
+    """Gzipped CSV/JSONL (the Common-Crawl wire format) decompress
+    transparently — Arrow infers the codec from the .gz extension."""
+    import gzip
+
+    with gzip.open(tmp_path / "a.csv.gz", "wt") as f:
+        f.write("doc_id,text\n1,alpha\n2,beta\n")
+    out = (
+        read_table(str(tmp_path / "a.csv.gz"), fmt="csv",
+                   columns=["doc_id", "text"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.doc_id.tolist() == [1, 2]
+    assert out.text.tolist() == ["alpha", "beta"]
+
+    with gzip.open(tmp_path / "b.json.gz", "wt") as f:
+        f.write('{"doc_id": 3, "text": "gamma"}\n{"doc_id": 4, "text": "delta"}\n')
+    out = (
+        read_table(str(tmp_path / "b.json.gz"), fmt="json",
+                   columns=["doc_id", "text"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.doc_id.tolist() == [3, 4]
+
+
 def test_read_table_formats_equivalent(ray_session, tmp_path):
     """The same pipeline off parquet, CSV and JSONL sources produces
     identical pixel tables."""
