@@ -127,3 +127,42 @@ def test_dataset_ops_survive_null_text(ray_session):
 
     dec = T.decontaminate(ds, ["quick brown fox jumps"], n=2).to_pandas()
     assert bool(dec.set_index("doc_id")["contaminated"][2]) is False
+
+
+def test_tfidf_and_index_survive_null_text(ray_session, tmp_path):
+    """The round-3-final text operators follow the NULL ≡ '' rule:
+    NULL/empty docs simply emit no terms / postings."""
+    texts = ["alpha beta", None, "", "alpha gamma"]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), type=pa.int64()), "text": texts})
+    )
+    out = T.tfidf_topk_terms(ds, corpus_count=4, k=2, num_partitions=4).to_pandas()
+    assert set(out.doc_id) == {0, 3}  # null/empty docs emit nothing
+
+    path = T.build_inverted_index(ds, str(tmp_path / "nidx"), num_buckets=4)
+    hits = T.search_index(path, ["alpha"], mode="and").to_pandas()
+    assert sorted(hits.doc_id) == [0, 3]
+
+
+def test_paragraph_dedup_graph_ops_null_ids(ray_session, tmp_path):
+    """pagerank tolerates edges referencing every node id shape the
+    engine produces (no text involvement, but the null-int trap —
+    to_numpy float-promotion — must not bite the rank columns)."""
+    import numpy as np
+
+    from rayraster.graph import pagerank
+
+    src = pa.array([0, 1, None, 2], type=pa.int64())
+    dst = pa.array([1, 2, 0, None], type=pa.int64())
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    # NULL endpoints: key_bucket buckets them as 0; the fill path must
+    # not crash — they surface as node id 0 contributions (documented
+    # "nulls never match in an equi-join" convention upstream).  We
+    # simply require the run completes and real nodes get real ranks.
+    try:
+        out = pagerank(
+            edges, str(tmp_path / "pnull"), iterations=2, num_buckets=4
+        ).to_pandas()
+        assert len(out) >= 3
+    except Exception as e:  # an explicit raise is acceptable; silence is not
+        assert "null" in str(e).lower() or "NULL" in str(e)
