@@ -278,10 +278,17 @@ def asof_join(
     suffix: str = "_r",
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> Dataset:
-    """As-of (backward, inclusive) join: for each left row, the most
-    recent right row with the same ``key`` and ``ts ≤`` the left ts —
-    the task-brief custom-operator example.
+    """As-of join: for each left row, the temporally closest right row
+    with the same ``key`` — the task-brief custom-operator example.
+
+    ``direction``: ``backward`` (default — most recent right ``ts ≤``
+    left ts), ``forward`` (earliest right ``ts ≥``), or ``nearest``.
+    ``tolerance_us``: optional maximum |Δts| in microseconds — rows
+    whose best match is farther are dropped (INNER semantics, like
+    every other unmatched row here).
 
     Shape: tag side, hash-partition BOTH sides by key (all rows of a
     key co-locate), then one vectorized ``pandas.merge_asof`` per
@@ -299,6 +306,10 @@ def asof_join(
     import numpy as np
     import pandas as pd
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     l_schema = left.schema() if left_schema is None else left_schema
     r_schema = right.schema() if right_schema is None else right_schema
     l_cols = [c for c in l_schema.names if c not in (ts_col,)]
@@ -373,7 +384,8 @@ def asof_join(
         # would silently turn the join left-outer)
         rg = rg.assign(_match_ts=rg["ts_us"])
         m = pd.merge_asof(
-            lg, rg, on="ts_us", by=key, direction="backward", suffixes=("", suffix)
+            lg, rg, on="ts_us", by=key, direction=direction,
+            suffixes=("", suffix), tolerance=tolerance_us,
         )
         m = m[m["_match_ts"].notna()].drop(columns=["_match_ts"])
         carry = [f"{c}{suffix}" if f"{c}{suffix}" in m.columns else c

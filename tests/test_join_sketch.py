@@ -109,6 +109,32 @@ def test_asof_join_matches_pandas(ray_session):
     assert out.event_id_r.tolist() == [100, 101, 102]
     assert out.value_r.tolist() == [10.0, 20.0, 30.0]
 
+    # forward: earliest right ts >= left ts
+    fwd = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), key="user_id",
+                  direction="forward")
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    # user1: e0(t10)→100(t15), e1(t20)→101(t28); user2: e3(t5)→102(t20)
+    assert fwd.event_id.tolist() == [0, 1, 3]
+    assert fwd.event_id_r.tolist() == [100, 101, 102]
+
+    # nearest with a 6-minute tolerance: only |Δts| <= 6 min survives
+    near = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), key="user_id",
+                  direction="nearest", tolerance_us=6 * 60 * 1_000_000)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    # e0(t10)→100(t15,Δ5), e1(t20)→100(Δ5), e2(t30)→101(Δ2), e4(t25)→102(Δ5)
+    assert near.event_id.tolist() == [0, 1, 2, 4]
+    assert near.event_id_r.tolist() == [100, 100, 101, 102]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), key="user_id",
+                  direction="sideways")
+
 
 def test_bucket_join_salted_hot_key(ray_session):
     """One key holding 40% of the left side: the salted join must give
