@@ -182,3 +182,76 @@ def write_pyramid(
             lambda t: t.select(cols), batch_format="pyarrow"
         )
     return summary
+
+
+def merge_pixel_stores(
+    stores,
+    spec,
+    out_dir: str,
+    sum_cols: tuple = (),
+    min_cols: tuple = (),
+    max_cols: tuple = (),
+    count_col: str = "num_cell",
+    num_partitions: int = 64,
+):
+    """Incremental ingest: merge N pixel stores (e.g. one per crawl
+    snapshot/day, each produced by ``rasterize_features(fun="sum")``
+    over its own slice) into one combined raster — WITHOUT touching
+    any original input rows.
+
+    Pixel aggregates are algebraic (sums/counts add, mins/maxes fold),
+    so the merge is one hash-partitioned re-aggregate over the pixel
+    tables only: at 100 TB/day this is the difference between
+    re-rasterizing the whole history and a job over ~10^8 pixel rows.
+    Means are NOT mergeable directly — derive them from the merged
+    sum/count downstream (the engine's mean is always sum/count).
+
+    Returns the merged Dataset (also written to ``out_dir`` with the
+    uniform cell_id/cx/cy projection).
+    """
+    import os
+    import shutil
+
+    import numpy as np
+
+    from rayraster.agg import hash_aggregate
+    from rayraster.grid import pack_cell_id
+
+    cols = ["ix", "iy", *sum_cols, *min_cols, *max_cols, count_col]
+    parts = [
+        rd.read_parquet(s, columns=cols) for s in
+        (stores if isinstance(stores, (list, tuple)) else [stores])
+    ]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.union(p)
+    merged = hash_aggregate(
+        union, ["ix", "iy"],
+        sum_cols=[*sum_cols, count_col],
+        min_cols=list(min_cols),
+        max_cols=list(max_cols),
+        count=False,
+        num_partitions=num_partitions,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        out = {"ix": t["ix"], "iy": t["iy"]}
+        for c in sum_cols:
+            out[c] = t[f"sum_{c}"]
+        for c in min_cols:
+            out[c] = t[f"min_{c}"]
+        for c in max_cols:
+            out[c] = t[f"max_{c}"]
+        out[count_col] = t[f"sum_{count_col}"]
+        ix = t["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = spec.centroid(ix, iy)
+        out["cell_id"] = pa.array(pack_cell_id(spec.level, ix, iy))
+        out["cx"] = pa.array(cx)
+        out["cy"] = pa.array(cy)
+        return pa.table(out)
+
+    result = merged.map_batches(project, batch_format="pyarrow").materialize()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    result.write_parquet(out_dir)
+    return result

@@ -318,3 +318,44 @@ def test_write_pyramid_levels_conserve_mass(micro_df, tmp_path, ray_session):
             assert len(lv) <= summary[k - 1]["rows"]
     # deepest level collapses the micro raster to a couple of tiles
     assert summary[3]["rows"] < summary[0]["rows"]
+
+
+def test_merge_pixel_stores_equals_full_rasterize(micro_df, tmp_path, ray_session):
+    from rayraster.pipelines import merge_pixel_stores
+
+    spec = GridSpec(0.0, 0.0, 1.0)
+    half_a, half_b = micro_df.iloc[:5], micro_df.iloc[5:]
+    for name, part in (("a", half_a), ("b", half_b)):
+        px, _ = rasterize_features(
+            rd.from_pandas(part), 1.0, ["f1"], spec=spec, fun="sum",
+            with_meta=False, num_partitions=4,
+            extra_stats=("min", "max"),
+        )
+        px.select_columns(
+            ["ix", "iy", "num_cell", "sum_f1", "min_f1", "max_f1"]
+        ).write_parquet(str(tmp_path / name))
+
+    merged = (
+        merge_pixel_stores(
+            [str(tmp_path / "a"), str(tmp_path / "b")], spec,
+            str(tmp_path / "merged"),
+            sum_cols=("sum_f1",), min_cols=("min_f1",), max_cols=("max_f1",),
+            num_partitions=4,
+        )
+        .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+    )
+    full, _ = rasterize_features(
+        rd.from_pandas(micro_df), 1.0, ["f1"], spec=spec, fun="sum",
+        with_meta=False, num_partitions=4, extra_stats=("min", "max"),
+    )
+    want = (
+        full.select_columns(
+            ["ix", "iy", "num_cell", "sum_f1", "min_f1", "max_f1"]
+        ).to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+    )
+    for c in ["ix", "iy", "num_cell", "sum_f1", "min_f1", "max_f1"]:
+        assert (merged[c].to_numpy() == want[c].to_numpy()).all(), c
+    # the store also landed on disk with the uniform projection
+    disk = rd.read_parquet(str(tmp_path / "merged")).to_pandas()
+    assert {"cell_id", "cx", "cy"} <= set(disk.columns)
+    assert len(disk) == len(want)
