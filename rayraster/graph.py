@@ -35,6 +35,11 @@ Design (the 100-TB shape):
 Overflow bound (checked, not assumed): a node's rank can never exceed
 the total mass ``num_nodes * scale``, so the per-edge product needs
 ``num_nodes * scale * damping_num < 2**63``.
+
+NULL edge endpoints follow the engine-wide convention (NULL keys
+never match in equi-joins): a null-src edge contributes nothing, a
+null-dst contribution lands on a phantom node the membership marker
+drops — deterministic, pinned by test, never silent corruption.
 """
 
 from __future__ import annotations

@@ -324,17 +324,11 @@ def asof_join(
 
     l_types = dict(zip(l_schema.names, l_schema.types))
     r_types = dict(zip(r_schema.names, r_schema.types))
-    # null-fill type per column, resolved on the driver (left wins for
+    # fill type per column, resolved on the driver (left wins for
     # shared names, matching the output projection)
     null_types = {
         name: _pa_type(l_types[name] if name in l_cols else r_types[name])
         for name in set(l_cols) | set(r_cols)
-    }
-    # right carry columns that must come back int64 after merge_asof's
-    # float promotion (matched rows only, so the cast is lossless)
-    r_int_cols = {
-        c for c in r_cols
-        if str(r_types.get(c)) in ("int64", "int32") or r_types.get(c) in (int,)
     }
 
     def unify(is_left: bool):
@@ -350,6 +344,16 @@ def asof_join(
             for name, typ in null_types.items():
                 if name in mine and name in t.column_names:
                     cols[name] = t[name]
+                elif pa.types.is_integer(typ):
+                    # SENTINEL zeros, not nulls: a null-bearing int
+                    # column float-promotes at the pandas group
+                    # conversion, silently corrupting 64-bit ids above
+                    # 2^53 in the rows that DO carry values.  The
+                    # other side never reads these cells (each side
+                    # projects only its own columns in solve).
+                    cols[name] = pa.array(
+                        np.zeros(t.num_rows, dtype=np.int64)
+                    ).cast(typ)
                 else:
                     cols[name] = pa.nulls(t.num_rows, type=typ)
             out = pa.table(cols)
@@ -374,27 +378,36 @@ def asof_join(
         rg = g[~g["_side_l"]].sort_values("_ts_us", kind="mergesort")
         lg = lg[["_ts_us", *l_cols]].rename(columns={"_ts_us": "ts_us"})
         rg = rg[["_ts_us", *r_cols]].rename(columns={"_ts_us": "ts_us"})
+        carry_out = [
+            (c, f"{c}{suffix}" if c in l_cols or c == "ts_us" else c)
+            for c in r_cols if c != key
+        ]
         if lg.empty or rg.empty:
             return pd.DataFrame(
-                columns=["ts_us", *l_cols, *[f"{c}{suffix}" for c in r_cols if c != key]]
+                columns=["ts_us", *l_cols, *[n for _, n in carry_out]]
             )
-        # always-non-null match indicator: inner semantics must not
-        # depend on a data column (a legitimately-NULL carry value
-        # would wrongly drop its row, and a carry-less right side
-        # would silently turn the join left-outer)
-        rg = rg.assign(_match_ts=rg["ts_us"])
+        # merge on ROW POSITIONS, not values: merge_asof NaN-fills its
+        # carry columns for (pre-filter) unmatched rows, float-promoting
+        # int64 carries and corrupting ids above 2^53 even in matched
+        # rows.  Only the position column suffers the promotion (group
+        # positions are < 2^53 by construction); the real carries are
+        # taken from rg afterwards with their ORIGINAL dtypes.  The
+        # position is also the always-non-null match indicator (a
+        # legitimately-NULL carry value must not drop its row).
+        rg = rg.reset_index(drop=True)
+        probe = rg[["ts_us", key]].assign(
+            _ridx=np.arange(len(rg), dtype=np.int64)
+        )
         m = pd.merge_asof(
-            lg, rg, on="ts_us", by=key, direction=direction,
+            lg, probe, on="ts_us", by=key, direction=direction,
             suffixes=("", suffix), tolerance=tolerance_us,
         )
-        m = m[m["_match_ts"].notna()].drop(columns=["_match_ts"])
-        carry = [f"{c}{suffix}" if f"{c}{suffix}" in m.columns else c
-                 for c in r_cols if c != key]
-        for c in carry:
-            if m[c].dtype.kind == "f" and c.endswith(suffix):
-                if c[: -len(suffix)] in r_int_cols:
-                    m[c] = m[c].astype("int64")
-        return m[["ts_us", *l_cols, *carry]]
+        m = m[m["_ridx"].notna()]
+        ridx = m["_ridx"].to_numpy().astype(np.int64)
+        out = m[["ts_us", *l_cols]].reset_index(drop=True)
+        for src_name, out_name in carry_out:
+            out[out_name] = rg[src_name].iloc[ridx].reset_index(drop=True)
+        return out
 
     both = lt.union(rt)
     return both.groupby("_part").map_groups(solve, batch_format="pandas")

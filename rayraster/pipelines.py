@@ -110,6 +110,30 @@ def load_page_points(pages_path: str, columns: tuple = ("url", "lang", "text")) 
     return ds.map_batches(_feat, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _stamp_cell_meta(t: pa.Table, spec) -> pa.Table:
+    """Append the uniform ``cell_id``/``cx``/``cy`` projection derived
+    from (ix, iy) under ``spec`` — THE one definition shared by the
+    pyramid and merge sinks (rollup_quadtree stamps its own coarse
+    spec internally)."""
+    import numpy as np
+
+    from rayraster.grid import pack_cell_id
+
+    ix = t["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+    iy = t["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cx, cy = spec.centroid(ix, iy)
+    t = t.append_column("cell_id", pa.array(pack_cell_id(spec.level, ix, iy)))
+    t = t.append_column("cx", pa.array(cx))
+    return t.append_column("cy", pa.array(cy))
+
+
+def _spec_manifest(spec) -> dict:
+    return {
+        "x0": spec.x0, "y0": spec.y0, "resolution": spec.resolution,
+        "square": spec.square, "level": spec.level,
+    }
+
+
 def write_pyramid(
     pixels: Dataset,
     spec,
@@ -150,16 +174,7 @@ def write_pyramid(
 
     def normalize(t: pa.Table, _spec=spec) -> pa.Table:
         if "cell_id" not in t.column_names:
-            import numpy as np
-
-            ix = t["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
-            iy = t["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
-            cx, cy = _spec.centroid(ix, iy)
-            t = t.append_column(
-                "cell_id", pa.array(pack_cell_id(_spec.level, ix, iy))
-            )
-            t = t.append_column("cx", pa.array(cx))
-            t = t.append_column("cy", pa.array(cy))
+            t = _stamp_cell_meta(t, _spec)
         return t.select(cols)
 
     summary: dict = {}
@@ -206,25 +221,43 @@ def merge_pixel_stores(
     Means are NOT mergeable directly — derive them from the merged
     sum/count downstream (the engine's mean is always sum/count).
 
+    All stores MUST share one GridSpec: (ix, iy) indices from
+    different resolutions/origins name different physical cells and
+    would fold silently into garbage.  A store carrying a
+    ``_SPEC.json`` manifest (this function writes one into its output,
+    so CHAINED merges validate automatically) is checked against
+    ``spec``; manifest-less stores are trusted to the caller — stamp
+    raw rasterize outputs by merging them once, or write the manifest
+    yourself.
+
     Returns the merged Dataset (also written to ``out_dir`` with the
-    uniform cell_id/cx/cy projection).
+    uniform cell_id/cx/cy projection + ``_SPEC.json``).
     """
+    import json
     import os
     import shutil
 
-    import numpy as np
-
     from rayraster.agg import hash_aggregate
-    from rayraster.grid import pack_cell_id
+
+    store_list = list(stores) if isinstance(stores, (list, tuple)) else [stores]
+    if not store_list:
+        raise ValueError("merge_pixel_stores: need at least one store")
+    want = _spec_manifest(spec)
+    for s in store_list:
+        mf = os.path.join(s, "_SPEC.json")
+        if os.path.exists(mf):
+            with open(mf) as f:
+                got = json.load(f)
+            if got != want:
+                raise ValueError(
+                    f"merge_pixel_stores: store {s} was rasterized under"
+                    f" {got}, not the requested {want} — (ix, iy) from"
+                    " different grids name different physical cells"
+                )
 
     cols = ["ix", "iy", *sum_cols, *min_cols, *max_cols, count_col]
-    parts = [
-        rd.read_parquet(s, columns=cols) for s in
-        (stores if isinstance(stores, (list, tuple)) else [stores])
-    ]
-    union = parts[0]
-    for p in parts[1:]:
-        union = union.union(p)
+    parts = [rd.read_parquet(s, columns=cols) for s in store_list]
+    union = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     merged = hash_aggregate(
         union, ["ix", "iy"],
         sum_cols=[*sum_cols, count_col],
@@ -243,15 +276,11 @@ def merge_pixel_stores(
         for c in max_cols:
             out[c] = t[f"max_{c}"]
         out[count_col] = t[f"sum_{count_col}"]
-        ix = t["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
-        iy = t["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cx, cy = spec.centroid(ix, iy)
-        out["cell_id"] = pa.array(pack_cell_id(spec.level, ix, iy))
-        out["cx"] = pa.array(cx)
-        out["cy"] = pa.array(cy)
-        return pa.table(out)
+        return _stamp_cell_meta(pa.table(out), spec)
 
     result = merged.map_batches(project, batch_format="pyarrow").materialize()
     shutil.rmtree(out_dir, ignore_errors=True)
     result.write_parquet(out_dir)
+    with open(os.path.join(out_dir, "_SPEC.json"), "w") as f:
+        json.dump(want, f)
     return result

@@ -136,6 +136,49 @@ def test_asof_join_matches_pandas(ray_session):
                   direction="sideways")
 
 
+def test_asof_join_preserves_int64_precision(ray_session):
+    """Hash-scale int64 ids (> 2^53) must survive the join EXACTLY:
+    merge_asof's NaN-fill float promotion (and the pandas group
+    conversion of null-filled int columns) must never touch real
+    values — the engine merges on row positions and sentinel-fills."""
+    from rayraster.join import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    n = 40
+    left = pd.DataFrame(
+        {
+            "lid": (np.arange(n) + (1 << 60)).astype(np.int64),
+            "user_id": np.arange(n, dtype=np.int64) % 3,
+            "ts": base + pd.to_timedelta(np.arange(n) * 10 + 10, unit="m"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "qty": (np.arange(n) + (1 << 60)).astype(np.int64),
+            "user_id": np.arange(n, dtype=np.int64) % 3,
+            "ts": base + pd.to_timedelta(np.arange(n) * 10 + 5, unit="m"),
+        }
+    )
+    # one left row guaranteed unmatched (before every right ts) —
+    # historically THIS row triggered the whole-column float promotion
+    left = pd.concat(
+        [left, pd.DataFrame({"lid": [np.int64(7 + (1 << 60))],
+                             "user_id": [np.int64(0)], "ts": [base]})],
+        ignore_index=True,
+    )
+    out = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), key="user_id",
+                  num_partitions=4)
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    assert out["lid"].dtype.kind == "i" and out["qty"].dtype.kind == "i"
+    assert len(out) == n  # the pre-range row dropped (inner)
+    assert len(set(out["qty"])) == n  # all 40 distinct 2^60-scale values
+    # the per-key backward match is right row j=i (ts 10i+5 ≤ 10i+10),
+    # so qty equals lid EXACTLY — any precision loss breaks this
+    assert (out["qty"].to_numpy() == out["lid"].to_numpy()).all()
+
+
 def test_bucket_join_salted_hot_key(ray_session):
     """One key holding 40% of the left side: the salted join must give
     identical output to the unsalted join (and to pandas), with hot

@@ -155,14 +155,25 @@ def test_paragraph_dedup_graph_ops_null_ids(ray_session, tmp_path):
     src = pa.array([0, 1, None, 2], type=pa.int64())
     dst = pa.array([1, 2, 0, None], type=pa.int64())
     edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
-    # NULL endpoints: key_bucket buckets them as 0; the fill path must
-    # not crash — they surface as node id 0 contributions (documented
-    # "nulls never match in an equi-join" convention upstream).  We
-    # simply require the run completes and real nodes get real ranks.
-    try:
-        out = pagerank(
-            edges, str(tmp_path / "pnull"), iterations=2, num_buckets=4
-        ).to_pandas()
-        assert len(out) >= 3
-    except Exception as e:  # an explicit raise is acceptable; silence is not
-        assert "null" in str(e).lower() or "NULL" in str(e)
+    # the engine-wide convention: NULL keys never match in equi-joins.
+    # A null-SRC edge therefore contributes nothing (no rank row joins
+    # it) and a null-DST contribution lands on a phantom node the
+    # membership marker drops; the null-dst edge still counts toward
+    # its src's out-degree (mass leak, like any dangling edge).
+    # Deterministic and pinned exactly — never silent corruption.
+    tel = 10**9 * 15 // 100
+    out = (
+        pagerank(edges, str(tmp_path / "pnull"), iterations=2,
+                 num_buckets=4)
+        .to_pandas()
+    )
+    out = out[out["node"].notna()].set_index("node")["pr"]
+    # effective contributing edges: 0→1, 1→2; outdegs 0:1, 1:1, 2:1
+    rank = {n: 10**9 for n in (0, 1, 2)}
+    for _ in range(2):
+        c = {n: 0 for n in (0, 1, 2)}
+        for s, d in ((0, 1), (1, 2)):
+            c[d] += (rank[s] * 85) // 100
+        rank = {n: tel + c[n] for n in (0, 1, 2)}
+    for n in (0, 1, 2):
+        assert out.loc[n] == rank[n], n

@@ -359,3 +359,19 @@ def test_merge_pixel_stores_equals_full_rasterize(micro_df, tmp_path, ray_sessio
     disk = rd.read_parquet(str(tmp_path / "merged")).to_pandas()
     assert {"cell_id", "cx", "cy"} <= set(disk.columns)
     assert len(disk) == len(want)
+
+    # chained merge: the output carries _SPEC.json, so merging it
+    # again validates the spec — and a mismatched spec is refused
+    again = merge_pixel_stores(
+        [str(tmp_path / "merged")], spec, str(tmp_path / "merged2"),
+        sum_cols=("sum_f1",), min_cols=("min_f1",), max_cols=("max_f1",),
+        num_partitions=4,
+    ).to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+    assert (again["sum_f1"].to_numpy() == want["sum_f1"].to_numpy()).all()
+    with pytest.raises(ValueError, match="different grids"):
+        merge_pixel_stores(
+            [str(tmp_path / "merged")], GridSpec(0.0, 0.0, 2.0),
+            str(tmp_path / "bad"), sum_cols=("sum_f1",),
+        )
+    with pytest.raises(ValueError, match="at least one store"):
+        merge_pixel_stores([], spec, str(tmp_path / "none"))
