@@ -259,3 +259,42 @@ def test_ngram_counts_per_doc(texts, n):
     # every gram has exactly n space-separated tokens
     for g in grams.to_pylist()[:20]:
         assert len(g.split(" ")) == n
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abc", min_size=0, max_size=3), min_size=1, max_size=60),
+    st.integers(1, 5),
+)
+def test_first_occurrence_matches_pandas_dedup(values, n_segs):
+    """The shared segment-distinct kernel keeps exactly the first
+    occurrence of every (segment, value) pair — pandas drop_duplicates
+    is the oracle."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from rayraster.textops import _first_occurrence
+
+    seg = np.arange(len(values), dtype=np.int64) % n_segs
+    order, first = _first_occurrence(pa.array(values), seg)
+    kept = sorted(order[first].tolist())
+    df = pd.DataFrame({"seg": seg, "v": values})
+    want = sorted(df.drop_duplicates(["seg", "v"]).index.tolist())
+    assert kept == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(-(2**31) + 1, 2**31 - 1),
+    st.integers(-(2**31) + 1, 2**31 - 1),
+    st.integers(-(2**31) + 1, 2**31 - 1),
+    st.integers(-(2**31) + 1, 2**31 - 1),
+)
+def test_pack_lo_hi_injective(a, b, c, d):
+    """The closing-edge key is injective over |id| < 2^31 — two
+    different (lo, hi) pairs never collide (including negatives)."""
+    from rayraster.graph import _pack_lo_hi
+
+    k1 = _pack_lo_hi(np.array([a], np.int64), np.array([b], np.int64))[0]
+    k2 = _pack_lo_hi(np.array([c], np.int64), np.array([d], np.int64))[0]
+    assert (k1 == k2) == ((a, b) == (c, d))
