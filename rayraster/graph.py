@@ -500,34 +500,12 @@ def triangle_count(
 
     P = _adaptive_parts(edge_count, num_buckets)
 
-    def norm(t: pa.Table) -> pa.Table:
-        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(s) and (
-            np.abs(s).max(initial=0) >= 1 << 31
-            or np.abs(d).max(initial=0) >= 1 << 31
-        ):
-            raise ValueError("triangle_count: |node id| must be < 2^31")
-        keep = s != d
-        s, d = s[keep], d[keep]
-        return pa.table(
-            {"lo": pa.array(np.minimum(s, d)), "hi": pa.array(np.maximum(s, d))}
-        )
-
-    und = distinct(
-        edges.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True),
-        ["lo", "hi"],
-        num_partitions=P,
-    ).materialize()  # consumed three times (degrees, orientation, closing)
+    und = _undirected_distinct(edges, P).materialize()
+    # consumed three times (degrees, orientation, closing)
     und_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
 
-    def endpoints(t: pa.Table) -> pa.Table:
-        lo = t["lo"].to_numpy(zero_copy_only=False)
-        hi = t["hi"].to_numpy(zero_copy_only=False)
-        return pa.table({"node": pa.array(np.concatenate([lo, hi]))})
-
     deg = hash_aggregate(
-        und.map_batches(endpoints, batch_format="pyarrow"),
+        und.map_batches(_edge_endpoints, batch_format="pyarrow"),
         ["node"], count=True, count_name="deg", num_partitions=P,
     )
     deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
@@ -655,3 +633,102 @@ def _pack_pairs(t: pa.Table) -> pa.Table:
     o2 = t["o_r"].to_numpy(zero_copy_only=False).astype(np.int64)
     keep = o < o2
     return pa.table({"pk": pa.array(_pack_lo_hi(o[keep], o2[keep]))})
+
+
+def _norm_undirected(t: pa.Table) -> pa.Table:
+    """(src, dst) batch → (lo, hi) with self-loops dropped; |id| < 2^31
+    enforced (the closing-key packing bound)."""
+    s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(s) and (
+        np.abs(s).max(initial=0) >= 1 << 31
+        or np.abs(d).max(initial=0) >= 1 << 31
+    ):
+        raise ValueError("graph op: |node id| must be < 2^31")
+    keep = s != d
+    s, d = s[keep], d[keep]
+    return pa.table(
+        {"lo": pa.array(np.minimum(s, d)), "hi": pa.array(np.maximum(s, d))}
+    )
+
+
+def _undirected_distinct(edges: Dataset, num_partitions: int) -> Dataset:
+    """Distinct undirected support of an (src, dst) edge Dataset."""
+    from rayraster.agg import distinct
+
+    return distinct(
+        edges.map_batches(
+            _norm_undirected, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["lo", "hi"],
+        num_partitions=num_partitions,
+    )
+
+
+def _edge_endpoints(t: pa.Table) -> pa.Table:
+    lo = t["lo"].to_numpy(zero_copy_only=False)
+    hi = t["hi"].to_numpy(zero_copy_only=False)
+    return pa.table({"node": pa.array(np.concatenate([lo, hi]))})
+
+
+def k_core(
+    edges: Dataset,
+    k: int,
+    num_buckets: int = 64,
+    edge_count: int | None = None,
+    max_rounds: int = 200,
+) -> Dataset:
+    """Nodes of the k-core: the maximal subgraph of the undirected
+    support in which every node has degree ≥ ``k`` (self-loops and
+    duplicate/reverse edges collapsed first) — the standard
+    graph-density filter (spam farms and link rings live in dense
+    cores; isolated tails don't).
+
+    Iterative peeling, all distributed: each round computes degrees
+    over the SURVIVING edge set (one aggregate) and drops every
+    node below ``k`` plus its edges (two anti bucket joins); a round
+    that kills nobody is the fixpoint.  The driver sees one int64
+    (the dying-node count) per round.  Rounds are bounded by the
+    peeling depth (≤ n/2 pathological chains; raises at
+    ``max_rounds`` rather than looping forever).
+
+    Returns a Dataset of ``(node,)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from rayraster.agg import distinct, hash_aggregate
+    from rayraster.join import bucket_join
+
+    P = _adaptive_parts(edge_count, num_buckets)
+    und_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+    node_schema = pa.schema([("node", pa.int64())])
+    cur = _undirected_distinct(edges, P).materialize()
+
+    for _ in range(max_rounds):
+        deg = hash_aggregate(
+            cur.map_batches(_edge_endpoints, batch_format="pyarrow"),
+            ["node"], count=True, count_name="deg", num_partitions=P,
+        )
+        dying = deg.map_batches(
+            lambda t: t.filter(
+                pa.compute.less(t["deg"], k)
+            ).select(["node"]),
+            batch_format="pyarrow",
+        ).materialize()  # consumed twice (both anti joins) + counted
+        if dying.count() == 0:
+            return distinct(
+                cur.map_batches(_edge_endpoints, batch_format="pyarrow"),
+                ["node"], num_partitions=P,
+            )
+        cur = bucket_join(
+            cur, dying, "lo", "node", num_buckets=P, join_type="anti",
+            left_schema=und_schema, right_schema=node_schema,
+        )
+        cur = bucket_join(
+            cur, dying, "hi", "node", num_buckets=P, join_type="anti",
+            left_schema=und_schema, right_schema=node_schema,
+        ).materialize()
+    raise RuntimeError(
+        f"k_core did not converge within {max_rounds} rounds — "
+        "raise max_rounds for pathologically deep peeling chains"
+    )

@@ -267,6 +267,55 @@ def test_triangle_count_shapes(ray_session):
         )
 
 
+def _local_k_core(src, dst, n, k):
+    """Dense peeling reference."""
+    adj = np.zeros((n, n), dtype=bool)
+    for s, d in zip(src, dst):
+        if s != d:
+            adj[s, d] = adj[d, s] = True
+    alive = np.ones(n, dtype=bool)
+    while True:
+        deg = (adj[alive][:, alive]).sum(axis=1)
+        idx = np.flatnonzero(alive)
+        die = idx[deg < k]
+        if len(die) == 0:
+            return sorted(idx[deg >= k].tolist())
+        alive[die] = False
+
+
+def test_k_core_matches_local_peeling(ray_session):
+    from rayraster.graph import k_core
+
+    rng = np.random.default_rng(17)
+    n, m = 100, 350
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    for k in (2, 3, 5):
+        got = sorted(
+            k_core(_edges_ds(src, dst), k=k, num_buckets=8, edge_count=m)
+            .to_pandas()["node"].tolist()
+        )
+        assert got == _local_k_core(src, dst, n, k), k
+
+
+def test_k_core_shapes(ray_session):
+    from rayraster.graph import k_core
+
+    # a ring is exactly its own 2-core; any tree has an empty 2-core
+    n = 20
+    ids = np.arange(n, dtype=np.int64)
+    ring = _edges_ds(ids, (ids + 1) % n)
+    got = sorted(k_core(ring, k=2, num_buckets=4).to_pandas()["node"].tolist())
+    assert got == list(range(n))
+    # star = a tree: peeling the leaves kills the hub too
+    star = _edges_ds(np.zeros(9, np.int64), np.arange(1, 10, dtype=np.int64))
+    assert k_core(star, k=2, num_buckets=4).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(ring, k=0)
+
+
 def test_pagerank_partial_sidecar_rebuilt(tmp_path):
     # a crash mid-sidecar-build leaves some deg files and no _DONE
     # marker: the next run must rebuild, not silently treat missing
