@@ -636,13 +636,23 @@ def _pack_pairs(t: pa.Table) -> pa.Table:
 
 
 def _norm_undirected(t: pa.Table) -> pa.Table:
-    """(src, dst) batch → (lo, hi) with self-loops dropped; |id| < 2^31
-    enforced (the closing-key packing bound)."""
+    """(src, dst) batch → (lo, hi) with self-loops AND null-endpoint
+    edges dropped (engine convention: NULL keys never match — an edge
+    to NULL is no adjacency; without the explicit filter the nullable
+    to_numpy would float-promote and collapse every NULL onto one
+    INT64_MIN phantom node).  |id| < 2^31 enforced (the closing-key
+    packing bound); INT64_MIN's |abs| stays negative, so the bound is
+    checked on both signs explicitly."""
+    import pyarrow.compute as pc
+
+    valid = pc.and_(pc.is_valid(t["src"]), pc.is_valid(t["dst"]))
+    t = t.filter(valid)
     s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
     d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lim = np.int64(1 << 31)
     if len(s) and (
-        np.abs(s).max(initial=0) >= 1 << 31
-        or np.abs(d).max(initial=0) >= 1 << 31
+        s.max(initial=0) >= lim or d.max(initial=0) >= lim
+        or s.min(initial=0) <= -lim or d.min(initial=0) <= -lim
     ):
         raise ValueError("graph op: |node id| must be < 2^31")
     keep = s != d
@@ -696,7 +706,9 @@ def k_core(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    from rayraster.agg import distinct, hash_aggregate
+    import pyarrow.compute as pc
+
+    from rayraster.agg import hash_aggregate
     from rayraster.join import bucket_join
 
     P = _adaptive_parts(edge_count, num_buckets)
@@ -704,21 +716,24 @@ def k_core(
     node_schema = pa.schema([("node", pa.int64())])
     cur = _undirected_distinct(edges, P).materialize()
 
-    for _ in range(max_rounds):
+    # max_rounds KILL-rounds plus one final fixpoint check (without the
+    # +1, a graph converging on exactly the last kill would spuriously
+    # raise before its fixpoint check could run)
+    for _ in range(max_rounds + 1):
+        # deg already holds the surviving node set — it serves BOTH the
+        # dying filter and the fixpoint projection (no extra distinct
+        # pass over the final edge set)
         deg = hash_aggregate(
             cur.map_batches(_edge_endpoints, batch_format="pyarrow"),
             ["node"], count=True, count_name="deg", num_partitions=P,
-        )
+        ).materialize()
         dying = deg.map_batches(
-            lambda t: t.filter(
-                pa.compute.less(t["deg"], k)
-            ).select(["node"]),
+            lambda t: t.filter(pc.less(t["deg"], k)).select(["node"]),
             batch_format="pyarrow",
         ).materialize()  # consumed twice (both anti joins) + counted
         if dying.count() == 0:
-            return distinct(
-                cur.map_batches(_edge_endpoints, batch_format="pyarrow"),
-                ["node"], num_partitions=P,
+            return deg.map_batches(
+                lambda t: t.select(["node"]), batch_format="pyarrow"
             )
         cur = bucket_join(
             cur, dying, "lo", "node", num_buckets=P, join_type="anti",
@@ -729,6 +744,6 @@ def k_core(
             left_schema=und_schema, right_schema=node_schema,
         ).materialize()
     raise RuntimeError(
-        f"k_core did not converge within {max_rounds} rounds — "
+        f"k_core did not converge within {max_rounds} kill-rounds — "
         "raise max_rounds for pathologically deep peeling chains"
     )

@@ -287,14 +287,15 @@ def test_first_occurrence_matches_pandas_dedup(values, n_segs):
 @given(
     st.integers(-(2**31) + 1, 2**31 - 1),
     st.integers(-(2**31) + 1, 2**31 - 1),
-    st.integers(-(2**31) + 1, 2**31 - 1),
-    st.integers(-(2**31) + 1, 2**31 - 1),
 )
-def test_pack_lo_hi_injective(a, b, c, d):
-    """The closing-edge key is injective over |id| < 2^31 — two
-    different (lo, hi) pairs never collide (including negatives)."""
+def test_pack_lo_hi_injective_roundtrip(a, b):
+    """The closing-edge key is injective over |id| < 2^31 (including
+    negatives): proven by DECODING the key back to the exact (lo, hi)
+    pair — random pair-vs-pair collision checks have no power against
+    a ~2^62 key space, a round trip does."""
     from rayraster.graph import _pack_lo_hi
 
-    k1 = _pack_lo_hi(np.array([a], np.int64), np.array([b], np.int64))[0]
-    k2 = _pack_lo_hi(np.array([c], np.int64), np.array([d], np.int64))[0]
-    assert (k1 == k2) == ((a, b) == (c, d))
+    key = int(_pack_lo_hi(np.array([a], np.int64), np.array([b], np.int64))[0])
+    hi = (key + (1 << 31)) % (1 << 32) - (1 << 31)
+    lo = (key - hi) >> 32
+    assert (lo, hi) == (a, b)
