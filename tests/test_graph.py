@@ -310,6 +310,15 @@ def test_k_core_shapes(ray_session):
     # star = a tree: peeling the leaves kills the hub too
     star = _edges_ds(np.zeros(9, np.int64), np.arange(1, 10, dtype=np.int64))
     assert k_core(star, k=2, num_buckets=4).count() == 0
+    # a graph converging on EXACTLY the last allowed kill-round must
+    # succeed (the bound allows max_rounds kills + one fixpoint check)
+    assert k_core(star, k=2, num_buckets=4, max_rounds=1).count() == 0
+    # null endpoints are no adjacency — not an INT64_MIN phantom node
+    nul = rd.from_arrow(pa.table({
+        "src": pa.array([1, 2, 3], type=pa.int64()),
+        "dst": pa.array([None, None, None], type=pa.int64()),
+    }))
+    assert k_core(nul, k=1, num_buckets=4).count() == 0
     import pytest
 
     with pytest.raises(ValueError, match="k must be"):
