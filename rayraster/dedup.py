@@ -804,7 +804,9 @@ class HyperplaneLSHStage:
         self.pow2 = (1 << np.arange(n_planes, dtype=np.int64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.stack(batch[self.vec_col].to_pylist()).astype(np.float64)
+        from rayraster.similarity import list_col_to_matrix
+
+        vecs = list_col_to_matrix(batch[self.vec_col]).astype(np.float64)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         parts = []
         for t, P in enumerate(self.planes):
@@ -844,15 +846,21 @@ def embedding_neardup_pairs(
     pairs = candidate_pairs(rows, id_col, num_partitions=parts)
     if _pick_verify_mode(ds, verify_mode, broadcast_threshold, corpus_count) == "partitioned":
         # serialize vectors to fixed float64 bytes: Arrow's hash join
-        # can't carry list columns (pyarrow 16), binary it can
+        # can't carry list columns (pyarrow 16), binary it can.  The
+        # whole matrix serializes in ONE buffer op — a fixed_size_binary
+        # view over the contiguous row bytes, cast to binary for the
+        # join (no per-row Python .tobytes() loop on the corpus side)
         def to_bytes(t: pa.Table) -> pa.Table:
-            vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
-            return pa.table(
-                {
-                    id_col: t[id_col],
-                    "_vb": pa.array([r.tobytes() for r in vecs], type=pa.binary()),
-                }
+            from rayraster.similarity import list_col_to_matrix
+
+            vecs = np.ascontiguousarray(
+                list_col_to_matrix(t[vec_col]).astype("<f8")
             )
+            n, w = vecs.shape
+            fsb = pa.Array.from_buffers(
+                pa.binary(w * 8), n, [None, pa.py_buffer(vecs.tobytes())]
+            )
+            return pa.table({id_col: t[id_col], "_vb": fsb.cast(pa.binary())})
 
         payload = ds.map_batches(to_bytes, batch_format="pyarrow", zero_copy_batch=True)
         joined = attach_pair_payloads(pairs, payload, id_col, "_vb", parts)

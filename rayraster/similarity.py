@@ -28,6 +28,41 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
 
 
+def list_col_to_matrix(col) -> np.ndarray:
+    """Zero-copy-ish (n, dim) matrix from a ``list<float>`` /
+    ``fixed_size_list`` column: reshape the flat Arrow values buffer
+    instead of a per-row ``to_pylist`` Python round-trip (the hot-path
+    rule — this runs per batch in every vector operator).  Raises on
+    ragged lists or nulls (vector columns are dense by contract)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col.type, pa.ExtensionType):
+        # Ray Data's ArrowTensorArray (in-memory datasets re-encode
+        # list columns as its tensor extension): its to_numpy is the
+        # buffer reshape already
+        mat = col.to_numpy(zero_copy_only=False)
+        if mat.dtype == object:  # variable-shaped tensor fallback
+            mat = np.stack(mat)
+        return mat
+    if col.null_count:
+        raise ValueError("vector column contains nulls")
+    if pa.types.is_fixed_size_list(col.type):
+        w = col.type.list_size
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(col), w)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offs)
+    if len(widths) == 0:
+        return np.empty((0, 0))
+    w = int(widths[0])
+    if not (widths == w).all():
+        raise ValueError("ragged list column — not a vector matrix")
+    # col.values is the RAW child (offsets already include any array
+    # slice offset), so index by the offset window, not [0:n*w]
+    flat = col.values.to_numpy(zero_copy_only=False)
+    return flat[offs[0] : offs[-1]].reshape(len(col), w)
+
+
 class _BatchTopK:
     """map_batches actor: cosine of every batch row vs the broadcast
     query matrix; emits per-batch top-k candidates per query.
@@ -52,7 +87,7 @@ class _BatchTopK:
             self.qids = np.asarray(obj["ids"])
             self.Q = _normalize(np.asarray(obj["mat"], dtype=np.float64))
             self.probe = obj.get("probe")
-        vecs = np.stack(batch[self.vec_col].to_pylist()).astype(np.float64)
+        vecs = list_col_to_matrix(batch[self.vec_col]).astype(np.float64)
         vecs = _normalize(vecs)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         sims = self.Q @ vecs.T  # (nq, nbatch)
@@ -297,7 +332,7 @@ class IVFAssignStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.C is None:
             self.C = ray.get(self._ref) if isinstance(self._ref, ray.ObjectRef) else self._ref
-        vecs = _normalize(np.stack(batch[self.vec_col].to_pylist()).astype(np.float64))
+        vecs = _normalize(list_col_to_matrix(batch[self.vec_col]).astype(np.float64))
         bucket = np.argmax(vecs @ self.C.T, axis=1).astype(np.int64)
         return batch.append_column("bucket", pa.array(bucket))
 

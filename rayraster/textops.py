@@ -203,19 +203,39 @@ def langid_sql(text_col: str = "text") -> tuple[str, str, str]:
 
 
 def json_extract_int(batch: pa.Table, json_col: str, key: str, out_col: str) -> pa.Table:
-    """Extract an integer field from a JSON string column (stdlib
-    json per row — no JSON kernel in pyarrow 16; rows that lack the
-    key or fail to parse yield null)."""
-    import json as _json
+    """Extract an integer field from a JSON string column.
 
-    out = []
-    for s in batch[json_col].to_pylist():
-        try:
-            v = _json.loads(s).get(key)
-            out.append(int(v) if v is not None else None)
-        except (ValueError, TypeError, AttributeError):
-            out.append(None)
-    return batch.append_column(out_col, pa.array(out, type=pa.int64()))
+    Fast path (no JSON kernel in pyarrow 16): one vectorized RE2
+    ``extract_regex`` pass with an ANCHORED whole-string pattern for
+    the single-scalar-key object shape (``{"key": 123}``) — anchoring
+    is what makes the regex sound (an unanchored ``"k": \\d+`` could
+    match inside a nested string VALUE).  Rows the anchor rejects
+    (extra keys, floats, nesting, malformed) fall back to stdlib
+    ``json.loads`` row-by-row — only the misses pay the Python loop.
+    Rows that lack the key or fail to parse yield null."""
+    import re as _re
+
+    col = batch[json_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    pat = r'^\s*\{\s*"' + _re.escape(key) + r'"\s*:\s*(?P<v>-?[0-9]+)\s*\}\s*$'
+    hit = pc.extract_regex(col, pattern=pat)
+    vals = pc.struct_field(hit, "v").cast(pa.int64())
+    misses = pc.and_(pc.is_null(vals), pc.is_valid(col))
+    if pc.any(misses).as_py():
+        import json as _json
+
+        vnp = vals.to_numpy(zero_copy_only=False)
+        out = vnp.astype(object)
+        out[np.asarray(pc.is_null(vals).to_numpy(zero_copy_only=False))] = None
+        for i in np.nonzero(misses.to_numpy(zero_copy_only=False))[0]:
+            try:
+                v = _json.loads(col[int(i)].as_py()).get(key)
+                out[i] = int(v) if v is not None else None
+            except (ValueError, TypeError, AttributeError):
+                out[i] = None
+        vals = pa.array(out.tolist(), type=pa.int64())
+    return batch.append_column(out_col, vals)
 
 
 # PII scrubbing patterns — RE2-compatible, ASCII classes, ordered

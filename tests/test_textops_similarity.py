@@ -519,3 +519,45 @@ SELECT qid, vec_id, "rank" FROM (
     pd.testing.assert_frame_equal(got, want)
     # every duplicate ranks the OTHER lowest-id duplicates first
     assert got[got.qid == 5].vec_id.tolist() == [1, 2, 3, 4]
+
+
+def test_list_col_to_matrix_shapes():
+    from rayraster.similarity import list_col_to_matrix
+
+    a = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], type=pa.list_(pa.float32()))
+    np.testing.assert_array_equal(
+        list_col_to_matrix(a), [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+    )
+    # sliced + chunked views must respect offsets (the raw child
+    # buffer is larger than the logical window)
+    np.testing.assert_array_equal(list_col_to_matrix(a.slice(1, 2)), [[3, 4], [5, 6]])
+    ch = pa.chunked_array([a.slice(0, 1), a.slice(2, 1)])
+    np.testing.assert_array_equal(list_col_to_matrix(ch), [[1, 2], [5, 6]])
+    f = pa.array([[1.0, 2.0], [3.0, 4.0]], type=pa.list_(pa.float64(), 2))
+    np.testing.assert_array_equal(list_col_to_matrix(f.slice(1, 1)), [[3, 4]])
+    with pytest.raises(ValueError, match="ragged"):
+        list_col_to_matrix(pa.array([[1.0], [2.0, 3.0]]))
+    with pytest.raises(ValueError, match="null"):
+        list_col_to_matrix(pa.array([[1.0, 2.0], None], type=pa.list_(pa.float64())))
+
+
+def test_json_extract_int_fast_path_and_fallback():
+    from rayraster.textops import json_extract_int
+
+    t = pa.table(
+        {
+            "j": [
+                '{"k": 69}',          # anchored RE2 fast path
+                '{"k":-3}',
+                '  { "k" : 7 } ',     # whitespace tolerated
+                '{"x": 1}',           # key absent -> null
+                "not json",           # malformed -> null
+                None,                 # null in -> null out
+                '{"k": 2, "z": 1}',   # multi-key -> stdlib fallback
+                '{"k": 4.0}',         # float value -> fallback, int()
+                '{"z": "\\"k\\": 9", "k": 5}',  # key text inside a VALUE
+            ]
+        }
+    )
+    out = json_extract_int(t, "j", "k", "k")
+    assert out["k"].to_pylist() == [69, -3, 7, None, None, None, 2, 4, 5]
