@@ -969,16 +969,26 @@ def _with_exact_copies(ds, id_col="doc_id"):
 
 
 def _q_exact_dedup(sf_dir: str):
-    """Two path-tagged dedup granularities under one oracle: 'exact' =
-    whole-document keep list over the doubled corpus; 'para' =
+    """Three path-tagged dedup granularities under one oracle: 'exact'
+    = whole-document keep list over the doubled corpus; 'para' =
     corpus-wide sub-document dedup (C4-style) using 10-word blocks —
     the SQL twin rebuilds the same blocks from `\\s+` words — with the
-    rebuilt document pinned by its md5 fingerprint."""
+    rebuilt document pinned by its md5 fingerprint; 'bloom' =
+    cross-snapshot dedup (drop docs whose text already appears in the
+    "previous snapshot" = the even-id half) through the mergeable
+    Bloom sketch: definite misses skip the exchange entirely (no false
+    negatives), only bloom HITS pay the exact anti bucket-join — so
+    the composed result is EXACTLY the SQL anti join regardless of the
+    filter's false-positive rate."""
+    import pyarrow.compute as pc
+
     from rayraster.dedup import (
         add_content_hash,
         exact_dedup_keep_ids,
         paragraph_dedup,
     )
+    from rayraster.join import bucket_join
+    from rayraster.sketch import bloom_mark, build_bloom
 
     base = _docs(sf_dir)
     n = base.count()
@@ -1005,8 +1015,57 @@ def _q_exact_dedup(sf_dir: str):
             }
         )
 
+    def halves(t: pa.Table, want_even: bool) -> pa.Table:
+        par = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+        return t.filter(par if want_even else pc.invert(par))
+
+    old_snap = base.map_batches(
+        lambda t: halves(t, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    new_snap = base.map_batches(
+        lambda t: halves(t, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    # 2^10 bits over ~n/2 keys is DELIBERATELY undersized (~15%+ false
+    # positives at sf0.01), so the hits->exact-anti-join branch carries
+    # real rows and the gate proves the composition erases every FP
+    marked = bloom_mark(new_snap, build_bloom(old_snap, "text", log2_bits=10), "text")
+    miss = marked.map_batches(
+        lambda t: t.filter(pc.invert(t["bloom_hit"])).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    hits = marked.map_batches(
+        lambda t: t.filter(t["bloom_hit"]).select(["doc_id", "text"]),
+        batch_format="pyarrow",
+    )
+    survivors = bucket_join(
+        hits,
+        old_snap.map_batches(lambda t: t.select(["text"]), batch_format="pyarrow"),
+        "text",
+        "text",
+        join_type="anti",
+        num_buckets=_parts_for(n),
+        left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        right_schema=pa.schema([("text", pa.string())]),
+    )
+
+    def tag_bloom(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "path": pa.array(["bloom"] * t.num_rows, type=pa.string()),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "fp": pa.nulls(t.num_rows, type=pa.string()),
+            }
+        )
+
+    bloom_rows = miss.union(
+        survivors.map_batches(
+            lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+        )
+    ).map_batches(tag_bloom, batch_format="pyarrow")
+
     return keep.map_batches(tag_exact, batch_format="pyarrow").union(
-        rebuilt.map_batches(tag_para, batch_format="pyarrow")
+        rebuilt.map_batches(tag_para, batch_format="pyarrow"),
+        bloom_rows,
     )
 
 
@@ -1228,6 +1287,44 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
     def tag_pr(t: pa.Table) -> pa.Table:
         return _tag_table(pa.table({"doc_id": t["node"], "pr": t["pr"]}), "pagerank")
 
+    # fifth path ('kcore'): iterative distributed peeling over a
+    # degree-VARIED deterministic graph (out-degree profile
+    # [1,1,1,2,3,5] by doc_id % 6 — the 3-out-regular pagerank graph
+    # peels in 0 rounds, so the kcore gate gets its own skewed graph
+    # that takes 4 kill-rounds at 500 nodes / 7 at 5000); the SQL twin
+    # unrolls 12 peeling rounds (idempotent after convergence)
+    from rayraster.graph import k_core
+
+    _KPROF = np.array([1, 1, 1, 2, 3, 5], dtype=np.int64)
+
+    def edges_var(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_deg = _KPROF[ids % 6]
+        srcs, dsts = [], []
+        for k in range(int(_KPROF.max())):
+            s = ids[out_deg > k]
+            srcs.append(s)
+            dsts.append((s * 31 + 7 + 101 * k) % np.int64(n_docs))
+        return pa.table(
+            {"src": np.concatenate(srcs), "dst": np.concatenate(dsts)}
+        )
+
+    core = k_core(
+        doc_ids.map_batches(edges_var, batch_format="pyarrow"),
+        k=3,
+        num_buckets=_parts_for(n_docs),
+        edge_count=3 * n_docs,
+    )
+
+    def tag_kcore(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["node"].cast(pa.int64()),
+                "pr": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "path": pa.array(["kcore"] * t.num_rows, type=pa.string()),
+            }
+        )
+
     # fourth path: exact distributed triangle count of the same graph's
     # undirected support (degree-oriented wedges — see graph.py) as a
     # single scalar row; the twin is the classic 3-way self-join
@@ -1250,6 +1347,7 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
         dist_keep,
         pr.map_batches(tag_pr, batch_format="pyarrow"),
         rd.from_arrow(tri_row),
+        core.map_batches(tag_kcore, batch_format="pyarrow"),
     )
 
 
@@ -1288,10 +1386,52 @@ def _sql_pagerank_twin(iterations: int = 3) -> str:
     )
 
 
+def _sql_kcore_ctes(k: int = 3, rounds: int = 12) -> tuple[str, str]:
+    """Unrolled-CTE twin of the iterative k-core peeling: round r keeps
+    the edges whose BOTH endpoints had degree >= k in round r-1 —
+    identical iteration to graph.k_core (peel is idempotent once
+    converged, so a generous fixed unroll equals run-to-fixpoint; the
+    deepest gate graph converges in 7 kill-rounds at sf0.1).  Returns
+    (ctes, final_node_cte_name)."""
+    ctes = [
+        """kce AS MATERIALIZED (
+  SELECT d.doc_id AS src,
+         (d.doc_id*31 + 7 + 101*t.k) % (SELECT COUNT(*) FROM documents) AS dst
+  FROM documents d, range(0, 5) t(k)
+  WHERE t.k < CASE d.doc_id % 6 WHEN 3 THEN 2 WHEN 4 THEN 3 WHEN 5 THEN 5 ELSE 1 END
+)""",
+        """kc0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM kce WHERE src <> dst
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""kcs{r} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT lo AS node FROM kc{r-1} UNION ALL SELECT hi AS node FROM kc{r-1}
+  ) GROUP BY node HAVING COUNT(*) >= {k}
+)""")
+        ctes.append(f"""kc{r} AS MATERIALIZED (
+  SELECT e.lo, e.hi FROM kc{r-1} e
+  JOIN kcs{r} a ON a.node = e.lo JOIN kcs{r} b ON b.node = e.hi
+)""")
+    return ",\n".join(ctes), f"kcs{rounds}"
+
+
 def _sql_neardup_dedup_pipeline() -> str:
     # the CTE chain must head the WHOLE query (WITH cannot start a
     # UNION ALL arm), so the twin is spliced in as the leading SELECT
     pr = _sql_pagerank_twin(3)
+    kc_ctes, kc_final = _sql_kcore_ctes()
+    # splice the kcore CTEs into the pagerank WITH chain: the chain
+    # heads the whole UNION, so all arms can reference both families
+    head, tail = pr.split("\nSELECT node AS doc_id", 1)
+    pr = (
+        f"{head},\n{kc_ctes}\nSELECT node AS doc_id{tail}\n"
+        "UNION ALL\n"
+        "SELECT node AS doc_id, CAST(0 AS BIGINT) AS pr, 'kcore' AS path "
+        f"FROM {kc_final}"
+    )
     return f"""{pr}
 UNION ALL
 SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(t.cnt AS BIGINT) AS pr,
@@ -2518,8 +2658,18 @@ para AS (
   SELECT 'para' AS path, doc_id,
          md5(string_agg(block, ' ' ORDER BY bidx)) AS fp
   FROM kept GROUP BY doc_id
+),
+bloom AS (
+  SELECT 'bloom' AS path, d.doc_id, CAST(NULL AS VARCHAR) AS fp
+  FROM documents d
+  WHERE d.doc_id % 2 = 1
+    AND NOT EXISTS (
+      SELECT 1 FROM documents e
+      WHERE e.doc_id % 2 = 0 AND e.text = d.text
+    )
 )
-SELECT * FROM exact UNION ALL SELECT * FROM para"""
+SELECT * FROM exact UNION ALL SELECT * FROM para
+UNION ALL SELECT * FROM bloom"""
 
 
 def _sql_minhash() -> str:
