@@ -66,7 +66,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from rayraster.grid import GridSpec, polyfill_bbox, parse_wkb_polygon
+from rayraster.grid import GridSpec, parse_wkb_polygon
 from rayraster.geo import geocode_sql
 from rayraster.pipelines import load_doc_points
 from rayraster.rasterize import (
@@ -492,9 +492,33 @@ POLYFILL_RECT = (-47.3, -12.7, 31.9, 44.2)
 
 
 def _q_polyfill(sf_dir: str):
-    ii, jj = polyfill_bbox(POLYFILL_SPEC, *POLYFILL_RECT[:2], *POLYFILL_RECT[2:])
-    cx, cy = POLYFILL_SPEC.centroid(ii, jj)
-    return pa.table({"ix": ii, "iy": jj, "cx": cx, "cy": cy})
+    """Vector→raster polyfill as a DISTRIBUTED stage: a WKB polygon
+    table fans out through map_batches, each task rasterizing its
+    polygons via grid.polyfill_polygon (bbox index-range scan +
+    point-in-ring keep) — the recorded rows come from the Ray
+    pipeline, not driver math (round-3 order).  The oracle stays the
+    closed-form generate_series twin: the gate rect's centroids are
+    never ON the ring, so the even-odd interior test equals the
+    closed bbox test."""
+    from rayraster.grid import parse_wkb_polygon, polyfill_polygon, wkb_polygon
+
+    xmin, ymin, xmax, ymax = POLYFILL_RECT
+    ring = np.array(
+        [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax], [xmin, ymin]]
+    )
+    polys = rd.from_items([{"poly_id": 0, "wkb": wkb_polygon(ring)}])
+    spec = POLYFILL_SPEC
+
+    def fill(t: pa.Table) -> pa.Table:
+        outs = []
+        for wkb in t["wkb"].to_pylist():
+            r = parse_wkb_polygon(wkb)
+            ii, jj = polyfill_polygon(spec, r)
+            cx, cy = spec.centroid(ii, jj)
+            outs.append(pa.table({"ix": ii, "iy": jj, "cx": cx, "cy": cy}))
+        return pa.concat_tables(outs)
+
+    return polys.map_batches(fill, batch_format="pyarrow")
 
 
 def _q_raster_to_vector(sf_dir: str):
