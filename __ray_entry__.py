@@ -1500,10 +1500,17 @@ def _q_ann_topk(sf_dir: str):
     external query vectors over the corpus (brute broadcast matmul);
     'self' = the all-pairs top-10 SELF-join (similarity.self_topk —
     every vector's neighbours within the same table, self-matches
-    dropped by id, ranks recomputed)."""
+    dropped by id, ranks recomputed); 'self_dist' = the SAME join
+    through the slab-tiled distributed engine (hash-sliced slab
+    layout on disk, S×S tile fan-out over an actor pool, ≤2 slabs
+    resident per task, distributed candidate fold) — no whole-corpus
+    matrix on the driver or any worker, bit-identical to 'self' under
+    the same cross-join ROW_NUMBER oracle."""
+    import shutil
+
     import pyarrow.parquet as pq
 
-    from rayraster.similarity import brute_topk, self_topk
+    from rayraster.similarity import brute_topk, self_topk, self_topk_distributed
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     full = pq.read_table(
@@ -1517,10 +1524,19 @@ def _q_ann_topk(sf_dir: str):
         emb, k=10,
         ids=full.vec_id.to_numpy(), mat=np.stack(full.embedding.values),
     )
+    n = len(full)
+    sj_dir = f"/tmp/rayraster_selfjoin_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(sj_dir, ignore_errors=True)  # write_parquet appends otherwise
+    selfd = self_topk_distributed(
+        emb, k=10,
+        slab_rows=max(64, -(-n // 4)),  # force a real multi-slab tile grid
+        work_dir=sj_dir, corpus_count=n,
+    )
     return pa.concat_tables(
         [
             _tag_table(out.select(["qid", "vec_id", "rank"]), "query"),
             _tag_table(selfj.select(["qid", "vec_id", "rank"]), "self"),
+            _tag_table(selfd.select(["qid", "vec_id", "rank"]), "self_dist"),
         ]
     )
 
@@ -2722,7 +2738,7 @@ def _sql_ann_topk() -> str:
   WHERE q.vec_id < 5
 ) WHERE "rank" <= 10
 UNION ALL
-SELECT qid, vec_id, "rank", 'self' AS path FROM (
+SELECT qid, vec_id, "rank", p AS path FROM (
   SELECT a.vec_id AS qid, b.vec_id AS vec_id,
          row_number() OVER (
            PARTITION BY a.vec_id
@@ -2731,7 +2747,8 @@ SELECT qid, vec_id, "rank", 'self' AS path FROM (
          ) AS "rank"
   FROM embeddings a CROSS JOIN embeddings b
   WHERE a.vec_id <> b.vec_id
-) WHERE "rank" <= 10"""
+) CROSS JOIN (VALUES ('self'), ('self_dist')) t(p)
+WHERE "rank" <= 10"""
 
 
 def _sql_token_metrics() -> str:

@@ -273,6 +273,176 @@ def self_topk(
     )
 
 
+class _TileSelfTopK:
+    """Actor-pool tile scorer for the distributed self-join: each
+    input row names one (query-slab, corpus-slab) tile; the actor
+    loads both slabs from the slab layout (small per-actor cache —
+    tiles sharing a slab reuse the load), scores the full tile with
+    one float64 matmul, and emits each query's tie-safe per-tile
+    top-k candidates.  Memory per actor = cached slabs × slab_rows ×
+    dim × 8 bytes — slab_rows is the knob that fits a tile to the
+    worker heap."""
+
+    def __init__(self, slab_dir: str, k: int, vec_col: str, id_col: str,
+                 exclude_self: bool, cache_slots: int = 4):
+        self.dir = slab_dir
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.exclude_self = exclude_self
+        self.cache_slots = cache_slots
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _slab(self, s: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._cache.get(s)
+        if hit is not None:
+            return hit
+        import os
+
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.dir, f"slab={s}")
+        files = [
+            os.path.join(d, f) for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+        tbls = [pq.read_table(f, columns=[self.id_col, self.vec_col]) for f in files]
+        t = pa.concat_tables(tbls)
+        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(list_col_to_matrix(t[self.vec_col]).astype(np.float64))
+        if len(self._cache) >= self.cache_slots:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[s] = (ids, mat)
+        return ids, mat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for qs, cs in zip(batch["qs"].to_pylist(), batch["cs"].to_pylist()):
+            qids, Q = self._slab(int(qs))
+            cids, C = self._slab(int(cs))
+            if not len(qids) or not len(cids):
+                continue
+            sims = Q @ C.T
+            if self.exclude_self:
+                sims[qids[:, None] == cids[None, :]] = -np.inf
+            kk = min(self.k, sims.shape[1])
+            # same tie-safe cut as _BatchTopK: emit every candidate >=
+            # the kk-th value; the deterministic global merge resolves
+            cut = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
+            mask = sims >= cut[:, None]
+            np.logical_and(mask, np.isfinite(sims), out=mask)
+            rows, cols = np.nonzero(mask)
+            outs.append(
+                pa.table(
+                    {
+                        "qid": pa.array(qids[rows]),
+                        self.id_col: pa.array(cids[cols]),
+                        "cos": pa.array(sims[rows, cols]),
+                    }
+                )
+            )
+        if not outs:
+            return pa.table(
+                {"qid": pa.array([], type=pa.int64()),
+                 self.id_col: pa.array([], type=pa.int64()),
+                 "cos": pa.array([], type=pa.float64())}
+            )
+        return pa.concat_tables(outs)
+
+
+def write_slab_layout(
+    ds: Dataset,
+    out_dir: str,
+    num_slabs: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Write (id, vector) hash-sliced into ``slab=<s>/`` dirs (shared
+    Knuth bucket hash of the id — deterministic, skew-proof for
+    arbitrary id patterns, cluster-size-invariant).  Rows are
+    CLUSTERED by slab before the write (one exchange) so each slab is
+    ~1 file instead of blocks × slabs fragments — same layout rule as
+    :func:`ivf_build_index`."""
+    from rayraster.join import key_bucket
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = key_bucket(t[id_col], num_slabs)
+        return pa.table(
+            {id_col: t[id_col], vec_col: t[vec_col], "slab": pa.array(b)}
+        )
+
+    ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("slab").write_parquet(out_dir, partition_cols=["slab"])
+    return out_dir
+
+
+def self_topk_distributed(
+    ds: Dataset,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+    slab_rows: int = 65536,
+    work_dir: str | None = None,
+    corpus_count: int | None = None,
+    concurrency: int | None = None,
+) -> pa.Table:
+    """All-pairs cosine top-k self-join, EXACT, with no whole-corpus
+    materialization anywhere: the corpus is hash-sliced into S =
+    ceil(n / slab_rows) slabs on disk, the S×S tile grid fans out as
+    a Ray Data stage over an actor pool (each task holds at most two
+    slabs — the worker-heap bound), and per-tile tie-safe top-k
+    candidates fold distributedly before the deterministic
+    (cos desc, id asc) merge.  Work is the same O(n²·d) as the exact
+    broadcast path (:func:`self_topk`) — all-pairs exactness is
+    irreducibly quadratic — but peak memory per node drops from
+    O(n·d) to O(slab_rows·d), which is what unblocks 10⁹-vector
+    corpora.  Candidate traffic into the final merge is ~k per query
+    per slab-row batch, never the corpus.
+
+    Bit-parity: same normalize → float64 matmul → (cos desc, id asc)
+    rules as :func:`self_topk`, so both paths satisfy the same
+    ROW_NUMBER-over-cross-join oracle."""
+    import math
+    import tempfile
+
+    n = corpus_count if corpus_count is not None else ds.count()
+    S = max(1, math.ceil(n / max(1, slab_rows)))
+    out = work_dir or tempfile.mkdtemp(prefix="rayraster_selfjoin_")
+    write_slab_layout(ds, out, S, vec_col=vec_col, id_col=id_col)
+    cand = _self_tile_candidates(
+        out, S, k, vec_col, id_col, exclude_self, concurrency
+    )
+    return _final_topk(_collect_candidates(cand, id_col, k=k), k, id_col)
+
+
+def _self_tile_candidates(
+    slab_dir: str,
+    num_slabs: int,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    exclude_self: bool,
+    concurrency: int | None = None,
+) -> Dataset:
+    """The S×S tile fan-out as a Dataset of per-tile candidates (split
+    out so tests can bound the folded candidate row count)."""
+    import ray.data as rd
+
+    pairs = [
+        {"qs": q, "cs": c} for q in range(num_slabs) for c in range(num_slabs)
+    ]
+    tiles = rd.from_items(pairs, override_num_blocks=len(pairs))
+    pool = concurrency or min(len(pairs), 8)
+    return tiles.map_batches(
+        _TileSelfTopK(slab_dir, k, vec_col, id_col, exclude_self),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=pool,
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-style bucketed ANN (the scale path)
 # ---------------------------------------------------------------------------

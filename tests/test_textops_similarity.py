@@ -561,3 +561,62 @@ def test_json_extract_int_fast_path_and_fallback():
     )
     out = json_extract_int(t, "j", "k", "k")
     assert out["k"].to_pylist() == [69, -3, 7, None, None, None, 2, 4, 5]
+
+
+def test_self_topk_distributed_exact_and_bounded(tmp_path):
+    """The slab-tiled self-join must equal the broadcast path (and the
+    cross-join ROW_NUMBER oracle) bit-for-bit, while the candidate
+    stream that reaches the final merge stays ~k per query per tile —
+    never the corpus."""
+    import duckdb
+
+    from rayraster.similarity import (
+        _self_tile_candidates,
+        self_topk,
+        self_topk_distributed,
+        write_slab_layout,
+    )
+
+    rng = np.random.default_rng(7)
+    n, k = 120, 5
+    tab = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": [row.tolist() for row in rng.standard_normal((n, 8))],
+        }
+    )
+    ds = rd.from_arrow(tab)
+    work = str(tmp_path / "slabs")
+    got = (
+        self_topk_distributed(ds, k=k, slab_rows=40, work_dir=work)
+        .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    ref = (
+        self_topk(ds, k=k)
+        .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref)
+    con = duckdb.connect()
+    con.register("e", tab)
+    want = con.sql(f"""
+SELECT qid, vec_id, "rank" FROM (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                    b.vec_id) AS "rank"
+  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id
+) WHERE "rank" <= {k} ORDER BY qid, "rank" """).df()
+    pd.testing.assert_frame_equal(got[["qid", "vec_id", "rank"]], want)
+
+    # slab layout exists (S = ceil(120/40) = 3 hive dirs)
+    import os
+
+    slabs = sorted(d for d in os.listdir(work) if d.startswith("slab="))
+    assert slabs == ["slab=0", "slab=1", "slab=2"]
+
+    # candidate-traffic cap: per tile each query emits its tie-safe
+    # top-k only — bounded by N*S*(k+1), nowhere near the N*N cross
+    cand = _self_tile_candidates(work, 3, k, "embedding", "vec_id", True)
+    n_cand = cand.count()
+    assert n_cand <= n * 3 * (k + 1), n_cand
+    assert n_cand < n * n / 2
