@@ -1623,22 +1623,86 @@ def _q_token_metrics(sf_dir: str):
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+_BPE_TRAIN_DOCS = 200  # deterministic training sample: doc_id < N
+_BPE_N_MERGES = 8
+
+
 def _q_bpe_tokens(sf_dir: str):
-    from rayraster.textops import bpe_token_count
+    """Two path-tagged token counts under one oracle: 'pretok' = the
+    GPT-2-style pre-token count (vectorized RE2); 'bpe_merged' = the
+    count after applying a TRAINED byte-pair merge table — merges
+    learned from a bounded deterministic sample (doc_id < 200) by a
+    distributed map-only pair-count fold, then applied corpus-wide
+    with the closed-form vectorized counter (one count_substring per
+    merge + a byte-pass contraction correction; proven equal to the
+    iterative rank-ordered encoder for the disjoint merge universe —
+    see textops.py).  The SQL twin retrains the same table with
+    per-pre-token replace-counting, so training AND application are
+    both oracle-exact."""
+    import pyarrow.compute as pc
+
+    from rayraster.textops import (
+        bpe_merged_token_count,
+        bpe_token_count,
+        bpe_train_merges,
+    )
 
     ds = _docs(sf_dir)
-    out = ds.map_batches(bpe_token_count, batch_format="pyarrow", zero_copy_batch=True)
-    return out.select_columns(["doc_id", "bpe_token_count"])
+    pre = ds.map_batches(
+        bpe_token_count, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda t: t.select(["doc_id", "bpe_token_count"]), batch_format="pyarrow"
+    )
+    sample = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], _BPE_TRAIN_DOCS)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    merges = bpe_train_merges(sample, n_merges=_BPE_N_MERGES)
+    merged = ds.map_batches(
+        lambda t: bpe_merged_token_count(t, merges),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(
+        lambda t: t.select(["doc_id", "bpe_token_count"]), batch_format="pyarrow"
+    )
+    return pre.map_batches(_tagger("pretok"), batch_format="pyarrow").union(
+        merged.map_batches(_tagger("bpe_merged"), batch_format="pyarrow")
+    )
 
 
 def _sql_bpe_tokens() -> str:
-    from rayraster.textops import BPE_SPLIT_RE
+    from rayraster.textops import BPE_CONSONANTS, BPE_SPLIT_RE, BPE_VOWELS
 
     pat = BPE_SPLIT_RE.replace("'", "''")
-    return (
-        f"SELECT doc_id, CAST(length(regexp_extract_all(text, '{pat}')) AS BIGINT) "
-        "AS bpe_token_count FROM documents"
-    )
+    cands = ", ".join(f"'{c}{v}'" for c in BPE_CONSONANTS for v in BPE_VOWELS)
+    return f"""WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{pat}')) AS tok FROM documents
+),
+cnt AS MATERIALIZED (
+  SELECT m.m AS m,
+         SUM((length(t.tok) - length(replace(t.tok, m.m, ''))) // 2) AS c
+  FROM (SELECT unnest([{cands}]) AS m) m
+  CROSS JOIN (SELECT tok FROM toks WHERE doc_id < {_BPE_TRAIN_DOCS}) t
+  GROUP BY m.m
+),
+merges AS MATERIALIZED (SELECT m FROM cnt ORDER BY c DESC, m LIMIT {_BPE_N_MERGES}),
+base AS MATERIALIZED (
+  SELECT d.doc_id, COALESCE(SUM(length(t.tok)), 0) AS chars
+  FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY d.doc_id
+),
+occ AS MATERIALIZED (
+  SELECT t.doc_id,
+         SUM((length(t.tok) - length(replace(t.tok, g.m, ''))) // 2) AS drops
+  FROM toks t CROSS JOIN merges g GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(length(regexp_extract_all(text, '{pat}')) AS BIGINT)
+       AS bpe_token_count, 'pretok' AS path
+FROM documents
+UNION ALL
+SELECT b.doc_id, CAST(b.chars - COALESCE(o.drops, 0) AS BIGINT)
+       AS bpe_token_count, 'bpe_merged' AS path
+FROM base b LEFT JOIN occ o USING (doc_id)"""
 
 
 def _q_chunk_windows(sf_dir: str):

@@ -83,6 +83,262 @@ def bpe_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# trained BPE merges — the merged-token count after applying a learned
+# merge table to the pre-tokens
+# ---------------------------------------------------------------------------
+#
+# The trainable universe is (consonant, vowel) character pairs.  Any
+# merge table drawn from it has disjoint first/second symbol sets, so
+# within a pre-token no two merge occurrences can overlap or chain
+# (an occurrence's second char would have to be another's first), and
+# full rank-ordered BPE application degenerates to ONE round merging
+# every original occurrence: merged_count = chars − Σ occurrences.
+# That closed form is what makes the operator (a) fully vectorized —
+# byte-level bigram counting, no per-row tokenizer loop — and (b)
+# SQL-oracle-exact; the generic iterative applier (`bpe_apply_count`,
+# arbitrary/chaining merges) is the reference the closed form is
+# pytest-proven against.
+
+BPE_CONSONANTS = "bcdfghjklmnpqrstvwxyz"
+BPE_VOWELS = "aeiou"
+
+
+def _texts_as_bytes(col) -> tuple[np.ndarray, np.ndarray]:
+    """(byte array, row offsets) of a string column: one contiguous
+    uint8 view of the concatenated UTF-8 payload.  ASCII-substring
+    counting on bytes equals codepoint counting (multi-byte UTF-8
+    units are ≥ 0x80 and can never alias an ASCII pair)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    joined = "".join(col.to_pylist())
+    b = np.frombuffer(joined.encode("utf-8"), dtype=np.uint8)
+    lens = np.array(
+        [len(s.encode("utf-8")) for s in col.to_pylist()], dtype=np.int64
+    )
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    return b, offs
+
+
+_ALNUM_LUT = np.zeros(256, dtype=bool)
+for _c in (
+    list(range(ord("a"), ord("z") + 1))
+    + list(range(ord("A"), ord("Z") + 1))
+    + list(range(ord("0"), ord("9") + 1))
+):
+    _ALNUM_LUT[_c] = True
+
+
+def _contraction_spans(b: np.ndarray, offs: np.ndarray):
+    """Positions where a contraction arm of BPE_SPLIT_RE splits a
+    letter run, with the (last-arm-letter, following-letter) pair that
+    therefore SPANS a pre-token boundary.  Returns (row_idx,
+    first_byte, second_byte) arrays.
+
+    An apostrophe starts a token iff the previous char is alphanumeric
+    (a letter/digit run just ended) or it sits at a row start — after
+    whitespace or punctuation the punct arm swallows the apostrophe
+    and no contraction match happens.  Arms and their boundary letter:
+    's 't 'm 'd → that letter; 'll → l; 're 've → e."""
+    apos = np.nonzero(b == ord("'"))[0]
+    if len(apos) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.astype(np.uint8), z.astype(np.uint8)
+    row = np.searchsorted(offs, apos, side="right") - 1
+    at_start = apos == offs[row]
+    prev_ok = np.zeros(len(apos), dtype=bool)
+    inner = ~at_start
+    prev_ok[inner] = _ALNUM_LUT[b[apos[inner] - 1]]
+    tok_start = at_start | prev_ok
+    row_end = offs[row + 1]
+
+    def nxt(k: int) -> np.ndarray:
+        """byte at apos+k, 0 where it would cross the row end."""
+        p = apos + k
+        ok = p < row_end
+        out = np.zeros(len(apos), dtype=np.uint8)
+        out[ok] = b[p[ok]]
+        return out
+
+    b1, b2, b3 = nxt(1), nxt(2), nxt(3)
+    rows_out, firsts, seconds = [], [], []
+    # single-letter arms — 's 't 'm 'd (alternation order puts 're/'ve
+    # between 't and 'm, but first bytes are distinct so order is moot)
+    single = np.isin(b1, np.frombuffer(b"stmd", dtype=np.uint8))
+    m = tok_start & single
+    rows_out.append(row[m]); firsts.append(b1[m]); seconds.append(b2[m])
+    # 'll
+    m = tok_start & (b1 == ord("l")) & (b2 == ord("l"))
+    rows_out.append(row[m])
+    firsts.append(np.full(int(m.sum()), ord("l"), dtype=np.uint8))
+    seconds.append(b3[m])
+    # 're / 've
+    m = tok_start & np.isin(b1, np.frombuffer(b"rv", dtype=np.uint8)) & (b2 == ord("e"))
+    rows_out.append(row[m])
+    firsts.append(np.full(int(m.sum()), ord("e"), dtype=np.uint8))
+    seconds.append(b3[m])
+    return (
+        np.concatenate(rows_out),
+        np.concatenate(firsts),
+        np.concatenate(seconds),
+    )
+
+
+def cv_pair_counts(col, firsts: str = BPE_CONSONANTS,
+                   seconds: str = BPE_VOWELS) -> np.ndarray:
+    """(len(firsts), len(seconds)) int64 matrix of WITHIN-pre-token
+    adjacent character-pair counts over a string column — one
+    vectorized byte pass: raw bigram histogram (row-boundary pairs
+    masked) minus the contraction-split boundary pairs.  This is the
+    BPE training statistic."""
+    b, offs = _texts_as_bytes(col)
+    if len(b) < 2:
+        return np.zeros((len(firsts), len(seconds)), dtype=np.int64)
+    idx = b[:-1].astype(np.int64) * 256 + b[1:]
+    # mask pairs that straddle a row boundary
+    starts = offs[1:-1]  # interior row starts
+    valid = np.ones(len(idx), dtype=bool)
+    inb = starts[(starts > 0) & (starts < len(b))]
+    valid[inb - 1] = False
+    hist = np.bincount(idx[valid], minlength=65536)
+    srow, sf, ss = _contraction_spans(b, offs)
+    span = np.zeros(65536, dtype=np.int64)
+    if len(sf):
+        np.add.at(span, sf.astype(np.int64) * 256 + ss, 1)
+    f = np.frombuffer(firsts.encode(), dtype=np.uint8).astype(np.int64)
+    s = np.frombuffer(seconds.encode(), dtype=np.uint8).astype(np.int64)
+    cells = f[:, None] * 256 + s[None, :]
+    return (hist[cells] - span[cells]).astype(np.int64)
+
+
+def bpe_train_merges(
+    ds,
+    text_col: str = "text",
+    n_merges: int = 8,
+    firsts: str = BPE_CONSONANTS,
+    seconds: str = BPE_VOWELS,
+) -> list[str]:
+    """Train a merge table: one distributed map-only pass folds a
+    per-batch (|firsts|×|seconds|) pair-count matrix (the only bytes
+    that ever reach the driver), then the top ``n_merges`` pairs win
+    by (count desc, pair asc) — deterministic for any partitioning
+    because integer partial sums are order-free.  The candidate
+    universe (consonant→vowel) guarantees the disjointness the
+    closed-form applier needs; see the section comment."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = cv_pair_counts(t[text_col], firsts, seconds)
+        return pa.table({"blob": pa.array([m.tobytes()], type=pa.binary())})
+
+    total = np.zeros((len(firsts), len(seconds)), dtype=np.int64)
+    folded = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    for t in folded.iter_batches(batch_format="pyarrow", batch_size=256):
+        for blob in t["blob"].to_pylist():
+            total += np.frombuffer(blob, dtype=np.int64).reshape(total.shape)
+    pairs = [
+        (f + s, int(total[i, j]))
+        for i, f in enumerate(firsts)
+        for j, s in enumerate(seconds)
+    ]
+    pairs.sort(key=lambda kv: (-kv[1], kv[0]))
+    return [p for p, _ in pairs[:n_merges]]
+
+
+def _validate_merges(merges: list[str]) -> None:
+    fs, ss = set(), set()
+    for m in merges:
+        if len(m) != 2 or not m.isascii() or not m.isalpha() or m[0] == m[1]:
+            raise ValueError(f"merge {m!r}: need two distinct ASCII letters")
+        fs.add(m[0]); ss.add(m[1])
+    if fs & ss:
+        raise ValueError(
+            f"merge table firsts∩seconds = {sorted(fs & ss)} — occurrences "
+            "could chain; use bpe_apply_count (iterative) instead"
+        )
+
+
+def bpe_merged_token_count(
+    batch: pa.Table,
+    merges: list[str],
+    text_col: str = "text",
+    out_col: str = "bpe_token_count",
+) -> pa.Table:
+    """Merged-token count after applying ``merges`` to the pre-tokens:
+    chars − Σ within-pre-token occurrences, valid for any merge table
+    with disjoint first/second symbol sets (validated; equals full
+    rank-ordered BPE — proven against :func:`bpe_apply_count`).
+    Vectorized: one C++ ``count_substring`` per merge plus one shared
+    byte pass for the contraction-boundary correction."""
+    _validate_merges(merges)
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    total = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(col)
+    occ = np.zeros(n, dtype=np.int64)
+    for m in merges:
+        occ += pc.count_substring(col, m).to_numpy(zero_copy_only=False)
+    b, offs = _texts_as_bytes(col)
+    srow, sf, ss = _contraction_spans(b, offs)
+    if len(srow):
+        want = {(ord(m[0]), ord(m[1])) for m in merges}
+        hit = np.array(
+            [(int(a), int(c)) in want for a, c in zip(sf, ss)], dtype=bool
+        )
+        if hit.any():
+            # spanning pairs were counted by count_substring but are
+            # NOT within-token merges — remove them from occ
+            np.subtract.at(occ, srow[hit], 1)
+    merged = total - occ
+    return batch.append_column(out_col, pa.array(merged))
+
+
+def bpe_apply_count(texts, merges: list[str]) -> np.ndarray:
+    """Reference ITERATIVE byte-pair encoder: per pre-token, repeatedly
+    merge the lowest-rank adjacent pair (all its occurrences, leftmost
+    first) until none applies — handles arbitrary/chaining merge
+    tables.  Per-unique-token cache (pre-tokens repeat massively).
+    This is the slow correctness reference for the closed form, not a
+    pipeline stage."""
+    import re as _re
+
+    ranks = {m: i for i, m in enumerate(merges)}
+    rx = _re.compile(BPE_SPLIT_RE)
+    cache: dict[str, int] = {}
+
+    def tok_count(tok: str) -> int:
+        hit = cache.get(tok)
+        if hit is not None:
+            return hit
+        syms = list(tok)
+        while len(syms) > 1:
+            best_rank, best = None, None
+            for a, b2 in zip(syms, syms[1:]):
+                r = ranks.get(a + b2)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best = r, a + b2
+            if best is None:
+                break
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] + syms[i + 1] == best:
+                    out.append(best)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[tok] = len(syms)
+        return len(syms)
+
+    return np.array(
+        [sum(tok_count(t) for t in rx.findall(s or "")) for s in texts],
+        dtype=np.int64,
+    )
+
+
+# ---------------------------------------------------------------------------
 # language ID — vectorized stopword-count + script-range heuristic
 # ---------------------------------------------------------------------------
 

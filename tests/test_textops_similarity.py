@@ -620,3 +620,80 @@ SELECT qid, vec_id, "rank" FROM (
     n_cand = cand.count()
     assert n_cand <= n * 3 * (k + 1), n_cand
     assert n_cand < n * n / 2
+
+
+def test_bpe_merged_closed_form_equals_iterative():
+    """The vectorized closed-form counter must equal true rank-ordered
+    BPE application for any disjoint merge table, including across
+    contraction splits, non-ASCII text and empty strings."""
+    from rayraster.textops import bpe_apply_count, bpe_merged_token_count
+
+    texts = [
+        "it's a test of the tokenizer", "don'task me again", "x'sa'sa",
+        "banana bandana", "", "x'lla 'llo", "3't okay",
+        "they've gone, we're here", "he'll sell seashells",
+        "héllo wörld naïve", "Tomato potato",
+    ]
+    merges = ["ba", "to", "he", "se", "na"]
+    got = bpe_merged_token_count(pa.table({"text": texts}), merges)[
+        "bpe_token_count"
+    ].to_pylist()
+    assert got == bpe_apply_count(texts, merges).tolist()
+    # fuzz with contraction-heavy alphabet
+    import random
+    import string
+
+    rng = random.Random(99)
+    alpha = string.ascii_lowercase + "  '.!e'"
+    fuzz = ["".join(rng.choice(alpha) for _ in range(rng.randrange(60)))
+            for _ in range(300)]
+    m2 = ["se", "ta", "le", "ne", "pa"]
+    g = bpe_merged_token_count(pa.table({"text": fuzz}), m2)[
+        "bpe_token_count"
+    ].to_pylist()
+    assert g == bpe_apply_count(fuzz, m2).tolist()
+    # chaining tables are rejected by the closed form, handled iteratively
+    with pytest.raises(ValueError, match="chain"):
+        bpe_merged_token_count(pa.table({"text": texts}), ["th", "he"])
+    assert bpe_apply_count(["the theme"], ["th", "he"]).tolist() == [7]
+    # chaining reference goldens: 'th' alone leaves (th, e); adding the
+    # 'the' merge lets (th)+(e) chain into ONE token
+    assert bpe_apply_count(["the"], ["th"]).tolist() == [2]
+    assert bpe_apply_count(["the"], ["th", "the"]).tolist() == [1]
+
+
+def test_bpe_training_partition_invariant():
+    """Merge training folds integer partials — the learned table must
+    be identical for any partitioning of the same corpus."""
+    from rayraster.textops import bpe_train_merges
+
+    texts = [f"banana bandana tomato potato number {i} don'task" for i in range(64)]
+    tab = pa.table({"doc_id": pa.array(range(64), type=pa.int64()), "text": texts})
+    one = bpe_train_merges(rd.from_arrow(tab), n_merges=6)
+    many = bpe_train_merges(rd.from_arrow(tab).repartition(13), n_merges=6)
+    assert one == many
+    # disjointness by construction: consonant firsts, vowel seconds
+    assert all(len(m) == 2 for m in one)
+    assert not ({m[0] for m in one} & {m[1] for m in one})
+
+
+def test_bpe_merged_counts_feed_pack_by_budget():
+    """The merged counts slot straight into the token-budget shard
+    packer (the downstream consumer of a token counter)."""
+    from rayraster.agg import pack_by_budget
+    from rayraster.textops import bpe_merged_token_count
+
+    texts = ["banana " * (i + 1) for i in range(10)]
+    tab = pa.table({"doc_id": pa.array(range(10), type=pa.int64()), "text": texts})
+    counted = rd.from_arrow(tab).map_batches(
+        lambda t: bpe_merged_token_count(t, ["ba", "na"]).select(
+            ["doc_id", "bpe_token_count"]
+        ),
+        batch_format="pyarrow",
+    )
+    packed = pack_by_budget(counted, 40, "bpe_token_count", "doc_id").to_pandas()
+    packed = packed.sort_values("doc_id").reset_index(drop=True)
+    lens = packed.bpe_token_count.to_numpy()
+    before = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    assert (packed.tokens_before.to_numpy() == before).all()
+    assert (packed.bin_id.to_numpy() == before // 40).all()
