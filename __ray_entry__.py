@@ -895,8 +895,52 @@ def _q_ivf_topk(sf_dir: str):
         idx, qids, Q, C, k=10, nprobe=_IVF_NPROBE
     ).select(["qid", "vec_id", "rank"])
 
+    # third path ('text'): the ANN family end-to-end FROM TEXT — the
+    # documents table embedded in-pipeline by the deterministic hashed
+    # character-trigram count embedder (textops.hashed_ngram_embed),
+    # then integer-dot top-k (bit-exact under any summation order, so
+    # the SQL twin reproduces ranking without float-tie risk); query
+    # side = the embeddings of doc_id < 3, built by the SAME kernel
+    import duckdb as _duckdb
+
+    from rayraster.similarity import brute_topk as _brute
+    from rayraster.textops import hashed_ngram_embed
+
+    docs_emb = _docs(sf_dir).map_batches(
+        hashed_ngram_embed, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda t: t.select(["doc_id", "embedding"]), batch_format="pyarrow"
+    )
+    qdocs = _duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "WHERE doc_id < 3 ORDER BY doc_id"
+    ).arrow()
+    qemb = hashed_ngram_embed(pa.table(qdocs))
+    from rayraster.similarity import list_col_to_matrix
+
+    text_topk = _brute(
+        docs_emb,
+        qemb["doc_id"].to_numpy(),
+        list_col_to_matrix(qemb["embedding"]),
+        k=10,
+        vec_col="embedding",
+        id_col="doc_id",
+        normalize=False,
+    )
+    text_rows = pa.table(
+        {
+            "qid": text_topk["qid"],
+            "vec_id": text_topk["doc_id"],
+            "rank": text_topk["rank"],
+        }
+    )
+
     return pa.concat_tables(
-        [_tag_table(inmem, "inmem"), _tag_table(persisted, "persisted")]
+        [
+            _tag_table(inmem, "inmem"),
+            _tag_table(persisted, "persisted"),
+            _tag_table(text_rows, "text"),
+        ]
     )
 
 
@@ -904,7 +948,46 @@ def _sql_ivf_topk() -> str:
     base = _sql_ivf_base()
     return f"""SELECT qid, vec_id, "rank", 'inmem' AS path FROM ({base})
 UNION ALL
-SELECT qid, vec_id, "rank", 'persisted' AS path FROM ({base})"""
+SELECT qid, vec_id, "rank", 'persisted' AS path FROM ({base})
+UNION ALL
+SELECT qid, vec_id, "rank", 'text' AS path FROM ({_sql_text_embed_topk()})"""
+
+
+def _sql_text_embed_topk(dim: int = 64, k: int = 10, n_queries: int = 3) -> str:
+    """Twin of the hashed-trigram integer-dot top-k: the SAME base-31
+    polynomial hash via unicode(substr(...)) arithmetic, integer count
+    vectors as (doc, h, c) rows, dot products by a grouped join on h —
+    zero-overlap pairs backfilled with dot 0 so ties at zero rank by
+    doc_id exactly like the engine."""
+    return f"""WITH tg AS MATERIALIZED (
+  SELECT doc_id,
+         (unicode(substr(text, CAST(i AS INT), 1)) * 961
+          + unicode(substr(text, CAST(i AS INT) + 1, 1)) * 31
+          + unicode(substr(text, CAST(i AS INT) + 2, 1))) % {dim} AS h
+  FROM documents, unnest(range(1, length(text) - 1)) t(i)
+),
+emb AS MATERIALIZED (
+  SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS c FROM tg GROUP BY doc_id, h
+),
+pairdot AS MATERIALIZED (
+  SELECT q.doc_id AS qid, d.doc_id AS vec_id,
+         CAST(SUM(q.c * d.c) AS BIGINT) AS dp
+  FROM emb q JOIN emb d USING (h)
+  WHERE q.doc_id < {n_queries}
+  GROUP BY q.doc_id, d.doc_id
+),
+alldot AS (
+  SELECT q.doc_id AS qid, d.doc_id AS vec_id, COALESCE(p.dp, 0) AS dp
+  FROM (SELECT doc_id FROM documents WHERE doc_id < {n_queries}) q
+  CROSS JOIN (SELECT doc_id FROM documents) d
+  LEFT JOIN pairdot p ON p.qid = q.doc_id AND p.vec_id = d.doc_id
+)
+SELECT qid, vec_id, "rank" FROM (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY dp DESC, vec_id)
+           AS "rank"
+  FROM alldot
+) WHERE "rank" <= {k}"""
 
 
 def _sql_ivf_base() -> str:

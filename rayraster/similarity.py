@@ -72,7 +72,8 @@ class _BatchTopK:
     OWN probed buckets (honest IVF semantics — without the mask a
     query would scan every bucket any other query probed)."""
 
-    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str,
+                 normalize: bool = True):
         self._ref = queries_ref
         self.Q = None
         self.qids = None
@@ -80,15 +81,19 @@ class _BatchTopK:
         self.k = k
         self.vec_col = vec_col
         self.id_col = id_col
+        self.normalize = normalize  # False => raw dot product scoring
+        # (exact for integer vectors below 2^53 — any summation order)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.Q is None:
             obj = ray.get(self._ref) if isinstance(self._ref, ray.ObjectRef) else self._ref
             self.qids = np.asarray(obj["ids"])
-            self.Q = _normalize(np.asarray(obj["mat"], dtype=np.float64))
+            Q = np.asarray(obj["mat"], dtype=np.float64)
+            self.Q = _normalize(Q) if self.normalize else Q
             self.probe = obj.get("probe")
         vecs = list_col_to_matrix(batch[self.vec_col]).astype(np.float64)
-        vecs = _normalize(vecs)
+        if self.normalize:
+            vecs = _normalize(vecs)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         sims = self.Q @ vecs.T  # (nq, nbatch)
         if self.probe is not None:
@@ -125,8 +130,11 @@ def brute_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    normalize: bool = True,
 ) -> pa.Table:
-    """Exact cosine top-k of each query over the whole dataset.
+    """Exact cosine top-k of each query over the whole dataset
+    (``normalize=False`` scores by raw dot product instead — exact to
+    the bit for integer vectors, e.g. hashed-n-gram counts).
 
     Returns a small arrow table (qid, vec_id, rank, cos), rank 1-based,
     deterministic order (cos desc, vec_id asc)."""
@@ -135,7 +143,7 @@ def brute_topk(
     # matrix) is far cheaper than actor-pool spin-up; contrast KnnStage /
     # _VerifyJaccard whose heavy per-actor state justifies a pool
     cand = ds.map_batches(
-        _BatchTopK(qref, k, vec_col, id_col),
+        _BatchTopK(qref, k, vec_col, id_col, normalize=normalize),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -339,6 +339,47 @@ def bpe_apply_count(texts, merges: list[str]) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# text → embedding: hashed character-n-gram count vectors
+# ---------------------------------------------------------------------------
+
+
+def hashed_ngram_embed(
+    batch: pa.Table,
+    text_col: str = "text",
+    dim: int = 64,
+    out_col: str = "embedding",
+) -> pa.Table:
+    """Deterministic text embedding: the INTEGER count vector of
+    hashed character trigrams — ``h = (c₁·961 + c₂·31 + c₃) mod dim``
+    over codepoints (a polynomial base-31 hash both numpy and ANSI SQL
+    can express: ``unicode(substr(...))`` arithmetic).  Integer counts
+    make downstream dot-product ranking bit-exact under ANY summation
+    order — the property that lets an ANN gate over learned-ish text
+    vectors be oracle-checkable (float embeddings would tie-break on
+    summation order).  One vectorized pass: codepoints via a single
+    utf-32 decode, trigram hashes by array arithmetic, per-(row, dim)
+    scatter-add.  Output: ``fixed_size_list<int64>[dim]``."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    texts = pc.fill_null(col, "").to_pylist()
+    joined = "".join(texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    lens = np.array([len(s) for s in texts], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    n = len(texts)
+    counts = np.zeros(n * dim, dtype=np.int64)
+    if len(cp) >= 3:
+        pos = np.arange(len(cp) - 2, dtype=np.int64)
+        row = np.searchsorted(offs, pos, side="right") - 1
+        valid = pos + 3 <= offs[row + 1]  # trigram fully inside its row
+        h = (cp[:-2] * 961 + cp[1:-1] * 31 + cp[2:]) % dim
+        np.add.at(counts, row[valid] * dim + h[valid], 1)
+    arr = pa.FixedSizeListArray.from_arrays(pa.array(counts, type=pa.int64()), dim)
+    return batch.append_column(out_col, arr)
+
+
+# ---------------------------------------------------------------------------
 # language ID — vectorized stopword-count + script-range heuristic
 # ---------------------------------------------------------------------------
 

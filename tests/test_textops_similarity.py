@@ -697,3 +697,18 @@ def test_bpe_merged_counts_feed_pack_by_budget():
     before = np.concatenate([[0], np.cumsum(lens)[:-1]])
     assert (packed.tokens_before.to_numpy() == before).all()
     assert (packed.bin_id.to_numpy() == before // 40).all()
+
+
+def test_hashed_ngram_embed_matches_naive():
+    from rayraster.textops import hashed_ngram_embed
+
+    texts = ["hello world", "", "ab", "abc", "the quick brown fox", "aaa aaa"]
+    dim = 16
+    out = hashed_ngram_embed(pa.table({"text": texts}), dim=dim)["embedding"]
+    for s, vec in zip(texts, out.to_pylist()):
+        naive = [0] * dim
+        for i in range(len(s) - 2):
+            h = (ord(s[i]) * 961 + ord(s[i + 1]) * 31 + ord(s[i + 2])) % dim
+            naive[h] += 1
+        assert vec == naive, s
+        assert sum(vec) == max(0, len(s) - 2)  # trigram conservation
