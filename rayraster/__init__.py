@@ -16,9 +16,13 @@ streaming Ray Data pipelines over Arrow batches:
 
 Plus web-scale training-data operators over the same engine: exact and
 near deduplication (MinHash-LSH, SimHash, n-gram Jaccard, embedding
-cosine; distributed connected components), similarity search
-(brute-force + IVF with a persisted partition-pruned index), text
-analysis (lang-id, quality score, token counts, BPE pre-tokens,
+cosine; distributed connected components; cross-snapshot Bloom dedup
+with an exact finish), similarity search (brute-force + IVF with a
+persisted partition-pruned index; exact slab-tiled all-pairs
+self-join; hashed-trigram text embeddings), graph analysis
+(fixed-point PageRank, triangle counting, k-core peeling), text
+analysis (lang-id, quality score, token counts, BPE pre-tokens AND a
+trained byte-pair merge table with closed-form merged-token counting,
 fingerprints, PII redaction, context-window chunking, vocabulary
 top-k), corpus curation (Gopher repetition metrics, per-domain caps,
 benchmark decontamination, Lee-et-al cross-document duplicate

@@ -310,6 +310,88 @@ def cmd_pagerank(args) -> int:
     return 0
 
 
+def cmd_embed(args) -> int:
+    """Hashed-trigram count embedding of a text corpus → parquet
+    (id, embedding fixed_size_list<int64>) — the deterministic
+    text→vector stage feeding dedup/ANN/self-join."""
+    import shutil
+
+    import ray.data as rd
+
+    from rayraster.textops import hashed_ngram_embed
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    ds = rd.read_parquet(files, columns=[args.id_col, args.text_col])
+    out = ds.map_batches(
+        lambda t: hashed_ngram_embed(t, text_col=args.text_col, dim=args.dim)
+        .select([args.id_col, "embedding"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    shutil.rmtree(args.out, ignore_errors=True)
+    out.write_parquet(args.out)
+    import ray.data as _rd
+
+    n = _rd.read_parquet(args.out).count()
+    print(json.dumps({"out": args.out, "rows": n, "dim": args.dim}))
+    return 0
+
+
+def cmd_selfjoin(args) -> int:
+    """Exact all-pairs cosine top-k self-join over an embedding
+    parquet via the slab-tiled distributed engine (no whole-corpus
+    matrix anywhere)."""
+    import shutil
+
+    import ray.data as rd
+
+    from rayraster.similarity import self_topk_distributed
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    ds = rd.read_parquet(files, columns=[args.id_col, args.vec_col])
+    work = args.out + "_slabs"
+    shutil.rmtree(work, ignore_errors=True)
+    res = self_topk_distributed(
+        ds, k=args.k, vec_col=args.vec_col, id_col=args.id_col,
+        slab_rows=args.slab_rows, work_dir=work,
+    )
+    shutil.rmtree(args.out, ignore_errors=True)
+    rd.from_arrow(res).write_parquet(args.out)
+    print(json.dumps({"out": args.out, "pairs": res.num_rows, "k": args.k}))
+    return 0
+
+
+def cmd_kcore(args) -> int:
+    """k-core decomposition of an (src, dst) edge parquet — the
+    graph-density filter (dense cores = link rings / spam farms)."""
+    import shutil
+
+    import ray.data as rd
+
+    from rayraster.graph import k_core
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    edges = rd.read_parquet(files, columns=["src", "dst"])
+    core = k_core(edges, args.k, num_buckets=args.num_buckets)
+    shutil.rmtree(args.out, ignore_errors=True)
+    core.write_parquet(args.out)
+    n = rd.read_parquet(args.out).count()
+    print(json.dumps({"out": args.out, "k": args.k, "core_nodes": n}))
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Corpus curation metrics in one pass over a parquet corpus:
     per-doc quality + Gopher repetition + corpus-frequency fluency
@@ -507,6 +589,30 @@ def main(argv=None) -> int:
     pr.add_argument("--iterations", type=int, default=5)
     pr.add_argument("--num-buckets", type=int, default=64)
     pr.set_defaults(fn=cmd_pagerank)
+
+    em = sub.add_parser("embed", help="hashed-trigram text embedding to parquet")
+    em.add_argument("--input", required=True)
+    em.add_argument("--out", required=True)
+    em.add_argument("--id-col", default="doc_id")
+    em.add_argument("--text-col", default="text")
+    em.add_argument("--dim", type=int, default=64)
+    em.set_defaults(fn=cmd_embed)
+
+    sj = sub.add_parser("selfjoin", help="exact all-pairs cosine top-k (slab-tiled)")
+    sj.add_argument("--input", required=True)
+    sj.add_argument("--out", required=True)
+    sj.add_argument("--id-col", default="vec_id")
+    sj.add_argument("--vec-col", default="embedding")
+    sj.add_argument("--k", type=int, default=10)
+    sj.add_argument("--slab-rows", type=int, default=65536)
+    sj.set_defaults(fn=cmd_selfjoin)
+
+    kc = sub.add_parser("kcore", help="k-core decomposition of (src,dst) edges")
+    kc.add_argument("--input", required=True)
+    kc.add_argument("--out", required=True)
+    kc.add_argument("--k", type=int, default=3)
+    kc.add_argument("--num-buckets", type=int, default=64)
+    kc.set_defaults(fn=cmd_kcore)
 
     g = sub.add_parser("plot", help="render a pixel table to PNG")
     g.add_argument("--pixels", required=True)

@@ -383,3 +383,67 @@ def test_cli_index_search_pagerank(tmp_path):
     s = json.loads(r.stdout.strip().splitlines()[-1])
     assert s["top"][0][0] == 0  # the star center dominates
     assert s["top"][0][1] > s["top"][1][1] * 5
+
+
+def test_cli_embed_selfjoin_kcore(tmp_path):
+    """The embed → selfjoin pipeline and the kcore command."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    texts = [f"the quick brown fox number {i} jumps over the lazy dog" for i in range(30)]
+    texts += texts[:5]  # near-identical tails -> meaningful neighbours
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": texts}),
+        str(corpus / "d.parquet"),
+    )
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "embed", "--input", str(corpus / "*.parquet"),
+         "--out", str(tmp_path / "emb"), "--dim", "32"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["rows"] == len(texts)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "selfjoin", "--input", str(tmp_path / "emb") + "/*.parquet",
+         "--out", str(tmp_path / "nn"), "--id-col", "doc_id",
+         "--k", "3", "--slab-rows", "12"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["pairs"] == len(texts) * 3
+    nn = pq.read_table(str(tmp_path / "nn")).to_pandas()
+    # the duplicated docs must rank their exact copies first
+    first = nn[(nn.qid == 30) & (nn["rank"] == 1)]
+    assert first.doc_id.tolist() == [0]
+
+    edges = tmp_path / "edges"
+    edges.mkdir()
+    # a 6-clique plus a dangling path: 5-core = the clique
+    cl = [(a, b) for a in range(6) for b in range(6) if a < b]
+    path = [(6, 7), (7, 8)]
+    src, dst = zip(*(cl + path))
+    pq.write_table(
+        pa.table({"src": pa.array(src, type=pa.int64()),
+                  "dst": pa.array(dst, type=pa.int64())}),
+        str(edges / "e.parquet"),
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "kcore", "--input", str(edges / "*.parquet"),
+         "--out", str(tmp_path / "core"), "--k", "5", "--num-buckets", "4"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["core_nodes"] == 6
+    core = sorted(pq.read_table(str(tmp_path / "core")).to_pandas().node)
+    assert core == [0, 1, 2, 3, 4, 5]
