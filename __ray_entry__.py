@@ -1132,10 +1132,15 @@ def _q_exact_dedup(sf_dir: str):
     new_snap = base.map_batches(
         lambda t: halves(t, False), batch_format="pyarrow", zero_copy_batch=True
     )
-    # 2^10 bits over ~n/2 keys is DELIBERATELY undersized (~15%+ false
-    # positives at sf0.01), so the hits->exact-anti-join branch carries
-    # real rows and the gate proves the composition erases every FP
-    marked = bloom_mark(new_snap, build_bloom(old_snap, "text", log2_bits=10), "text")
+    # the filter is DELIBERATELY undersized — ~2 bits per key at every
+    # sf (FP ≈ 30%), so the hits->exact-anti-join branch carries real
+    # rows and the gate proves the composition erases every FP at any
+    # scale (a fixed size would saturate at bigger sf and degenerate
+    # to a plain anti join)
+    lb = max(9, int(np.ceil(np.log2(max(2, n)))))  # ≈ 2·(n/2) bits
+    marked = bloom_mark(
+        new_snap, build_bloom(old_snap, "text", log2_bits=lb), "text"
+    ).materialize()  # consumed twice (miss + hits): pin the ONE mark pass
     miss = marked.map_batches(
         lambda t: t.filter(pc.invert(t["bloom_hit"])).select(["doc_id"]),
         batch_format="pyarrow",
