@@ -687,6 +687,7 @@ def k_core(
     num_buckets: int = 64,
     edge_count: int | None = None,
     max_rounds: int = 200,
+    broadcast_threshold: int = 100_000,
 ) -> Dataset:
     """Nodes of the k-core: the maximal subgraph of the undirected
     support in which every node has degree ≥ ``k`` (self-loops and
@@ -695,10 +696,21 @@ def k_core(
     cores; isolated tails don't).
 
     Iterative peeling, all distributed: each round computes degrees
-    over the SURVIVING edge set (one aggregate) and drops every
-    node below ``k`` plus its edges (two anti bucket joins); a round
-    that kills nobody is the fixpoint.  The driver sees one int64
-    (the dying-node count) per round.  Rounds are bounded by the
+    over the SURVIVING edge set (one aggregate) and drops every node
+    below ``k`` plus its edges.  The drop has two shapes, picked per
+    ROUND by the dying-node count the driver already has:
+
+    * ``dying ≤ broadcast_threshold`` (the overwhelmingly common
+      case — peeling kills a thin shell per round): the dying ids
+      ship ONCE via ``ray.put`` and both endpoint checks collapse to
+      a map-only ``is_in`` filter — ZERO exchanges for the round
+      (≤ ~800 KB broadcast at the default threshold).
+    * above the threshold (a mass extinction round on an adversarial
+      graph): two anti bucket joins, nothing driver-side.
+
+    A round that kills nobody is the fixpoint.  The driver sees one
+    int64 (the dying count) per round plus the broadcast-path id
+    lists, each bounded by the threshold.  Rounds are bounded by the
     peeling depth (≤ n/2 pathological chains; raises at
     ``max_rounds`` rather than looping forever).
 
@@ -706,6 +718,7 @@ def k_core(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    import ray
     import pyarrow.compute as pc
 
     from rayraster.agg import hash_aggregate
@@ -730,19 +743,41 @@ def k_core(
         dying = deg.map_batches(
             lambda t: t.filter(pc.less(t["deg"], k)).select(["node"]),
             batch_format="pyarrow",
-        ).materialize()  # consumed twice (both anti joins) + counted
-        if dying.count() == 0:
+        ).materialize()  # consumed twice (both drops) + counted
+        n_dying = dying.count()
+        if n_dying == 0:
             return deg.map_batches(
                 lambda t: t.select(["node"]), batch_format="pyarrow"
             )
-        cur = bucket_join(
-            cur, dying, "lo", "node", num_buckets=P, join_type="anti",
-            left_schema=und_schema, right_schema=node_schema,
-        )
-        cur = bucket_join(
-            cur, dying, "hi", "node", num_buckets=P, join_type="anti",
-            left_schema=und_schema, right_schema=node_schema,
-        ).materialize()
+        if n_dying <= broadcast_threshold:
+            ids = np.sort(
+                np.fromiter(
+                    (r["node"] for r in dying.take_all()), dtype=np.int64,
+                    count=n_dying,
+                )
+            )
+            ref = ray.put(ids)
+
+            def drop_bcast(t: pa.Table, _ref=ref) -> pa.Table:
+                vs = pa.array(ray.get(_ref))
+                keep = pc.and_(
+                    pc.invert(pc.is_in(t["lo"], value_set=vs)),
+                    pc.invert(pc.is_in(t["hi"], value_set=vs)),
+                )
+                return t.filter(keep)
+
+            cur = cur.map_batches(
+                drop_bcast, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+        else:
+            cur = bucket_join(
+                cur, dying, "lo", "node", num_buckets=P, join_type="anti",
+                left_schema=und_schema, right_schema=node_schema,
+            )
+            cur = bucket_join(
+                cur, dying, "hi", "node", num_buckets=P, join_type="anti",
+                left_schema=und_schema, right_schema=node_schema,
+            ).materialize()
     raise RuntimeError(
         f"k_core did not converge within {max_rounds} kill-rounds — "
         "raise max_rounds for pathologically deep peeling chains"

@@ -361,3 +361,26 @@ def test_pagerank_layout_reuse_and_validation(tmp_path):
     with pytest.raises(ValueError, match="overflow"):
         pagerank(_edges_ds(src, dst), p, nodes=_nodes_ds(n), node_count=n,
                  scale=2**60)
+
+
+def test_k_core_broadcast_and_partitioned_drops_agree(ray_session):
+    """The per-round drop has two shapes (broadcast is_in filter vs
+    two anti bucket joins, picked by dying count) — same core either
+    way."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayraster.graph import k_core
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 200, 900).astype(np.int64)
+    dst = rng.integers(0, 200, 900).astype(np.int64)
+    edges = pa.table({"src": src, "dst": dst})
+
+    def run(thresh):
+        out = k_core(rd.from_arrow(edges), 4, num_buckets=8,
+                     broadcast_threshold=thresh)
+        return sorted(r["node"] for r in out.take_all())
+
+    assert run(10**6) == run(0)  # all-broadcast == all-bucket-join
