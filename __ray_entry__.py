@@ -1870,34 +1870,71 @@ def _q_domain_cap(sf_dir: str):
     ds = _docs(sf_dir, columns=("doc_id",))
     n = ds.count()  # parquet metadata count — no execution
 
+    from rayraster.textops import canonicalize_url
+
     def add_url(t: pa.Table) -> pa.Table:
+        # MESSY construction on purpose: mixed-case scheme/host,
+        # default port, unsorted query params, fragment — the
+        # canonicalizer must normalize all of it (url_canon is pinned
+        # by the oracle, which canonicalizes generically in SQL)
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         host_n = pa.array(ids % 13).cast(pa.string())
         id_s = t["doc_id"].cast(pa.string())
+        y = pa.array(ids % 7).cast(pa.string())
         url = pc.binary_join_element_wise(
-            "https://host-", host_n, ".example/p/", id_s, ""
+            "HTTPS://Host-", host_n, ".Example:443/p/", id_s,
+            "?z=9&y=", y, "&a=1#f", "",
         )
-        return url_host(t.append_column("url", url))
+        t = canonicalize_url(t.append_column("url", url))
+        return url_host(
+            t.set_column(t.schema.get_field_index("url"), "url", t["url_canon"])
+        )
 
     capped = cap_per_group(
         ds.map_batches(add_url, batch_format="pyarrow", zero_copy_batch=True),
         ["host"], "doc_id", _CAP, num_partitions=_parts_for(n),
     )
-    return capped.select_columns(["doc_id", "host", "rnk"])
+    return capped.select_columns(["doc_id", "host", "rnk", "url_canon"])
 
 
 def _sql_domain_cap() -> str:
+    # the twin canonicalizes the SAME messy URL generically (lowercase
+    # scheme/host, strip default port, sort query params bytewise,
+    # drop fragment) rather than shortcutting to the known answer
     return f"""WITH u AS (
   SELECT doc_id,
-         'host-' || CAST(doc_id % 13 AS VARCHAR) || '.example' AS host
+         'HTTPS://Host-' || CAST(doc_id % 13 AS VARCHAR)
+           || '.Example:443/p/' || CAST(doc_id AS VARCHAR)
+           || '?z=9&y=' || CAST(doc_id % 7 AS VARCHAR) || '&a=1#f' AS url
   FROM documents
+),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#:]+)', 1)) AS host,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#:]+:([0-9]+)', 1) AS port,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u
+),
+qp AS (SELECT doc_id, unnest(string_split(query, '&')) AS p FROM parts WHERE query <> ''),
+sq AS (SELECT doc_id, string_agg(p, '&' ORDER BY p) AS q FROM qp GROUP BY doc_id),
+canon AS (
+  SELECT p.doc_id, p.host,
+    p.scheme || '://' || p.host
+    || CASE WHEN p.port = '' OR (p.scheme = 'https' AND p.port = '443')
+                 OR (p.scheme = 'http' AND p.port = '80')
+            THEN '' ELSE ':' || p.port END
+    || CASE WHEN p.path = '' THEN '/' ELSE p.path END
+    || CASE WHEN s.q IS NULL THEN '' ELSE '?' || s.q END AS url_canon
+  FROM parts p LEFT JOIN sq s USING (doc_id)
 )
-SELECT doc_id, host, rnk FROM (
-  SELECT doc_id, host,
+SELECT doc_id, host, rnk, url_canon FROM (
+  SELECT doc_id, host, url_canon,
          ROW_NUMBER() OVER (
            PARTITION BY host
            ORDER BY (doc_id*2654435761) % 1000003, doc_id) AS rnk
-  FROM u) WHERE rnk <= {_CAP}"""
+  FROM canon) WHERE rnk <= {_CAP}"""
 
 
 def _q_decontaminate(sf_dir: str):
@@ -2229,23 +2266,51 @@ def _q_fingerprint(sf_dir: str):
     """Document fingerprint, the PII-scrubbed fingerprint AND the
     canonical-normalization fingerprint in one row set:
     ``redacted_md5`` pins the exact bytes produced by the vectorized
-    RE2 redaction (emails/IPs/phones → placeholders) and ``norm_md5``
+    RE2 redaction (emails/IPs/phones → placeholders), ``norm_md5``
     pins textops.normalize_text (lower + whitespace collapse + edge
-    strip) — two more operators oracle-evidenced without new sweep
+    strip), and ``c4_md5`` pins the C4-style line filter (Raffel et
+    al. §2.2: keep lines with ≥3 words ending in terminal
+    punctuation, rebuild the doc) applied to a CONSTRUCTED multi-line
+    corpus — the flat doc words regrouped into 8-word lines with '.'
+    appended to every odd line (the base docs are single-line word
+    soup, so line structure is synthesized deterministically, same
+    pattern as the near-dup corpora; the SQL twin rebuilds the same
+    lines) — four operators oracle-evidenced without new sweep
     slots."""
-    from rayraster.textops import _md5_hex, normalize_text, redact_pii
+    import pyarrow.compute as pc
+
+    from rayraster.textops import (
+        _md5_hex,
+        c4_line_filter,
+        normalize_text,
+        redact_pii,
+    )
 
     ds = _docs(sf_dir)
 
     def fp(t: pa.Table) -> pa.Table:
         red = redact_pii(t)["text_redacted"]
         norm = normalize_text(t)["text_norm"]
+        # input construction (not a hot-path operator): 8-word lines,
+        # '.' terminates every odd line
+        lined = []
+        for s in pc.fill_null(t["text"], "").to_pylist():
+            ws = s.split(" ")
+            lines = [
+                " ".join(ws[i : i + 8]) + ("." if (i // 8) % 2 == 1 else "")
+                for i in range(0, len(ws), 8)
+            ]
+            lined.append("\n".join(lines))
+        c4 = c4_line_filter(
+            pa.table({"text": pa.array(lined, type=pa.string())}), min_words=3
+        )["text_c4"]
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "fingerprint": pa.array(_md5_hex(t["text"]), type=pa.string()),
                 "redacted_md5": pa.array(_md5_hex(red), type=pa.string()),
                 "norm_md5": pa.array(_md5_hex(norm), type=pa.string()),
+                "c4_md5": pa.array(_md5_hex(c4), type=pa.string()),
             }
         )
 
@@ -2979,11 +3044,28 @@ FROM m"""
 def _sql_fingerprint() -> str:
     from rayraster.textops import normalize_sql_expr, pii_sql_expr
 
-    return (
-        "SELECT doc_id, md5(text) AS fingerprint, "
-        f"md5({pii_sql_expr('text')}) AS redacted_md5, "
-        f"md5({normalize_sql_expr('text')}) AS norm_md5 FROM documents"
-    )
+    return f"""WITH c4w AS (
+  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS idx
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+c4l AS (
+  SELECT doc_id, (idx - 1) // 8 AS li,
+         string_agg(w, ' ' ORDER BY idx)
+           || CASE WHEN ((idx - 1) // 8) % 2 = 1 THEN '.' ELSE '' END AS line,
+         SUM(CASE WHEN w <> '' THEN 1 ELSE 0 END) AS nw
+  FROM c4w GROUP BY doc_id, (idx - 1) // 8
+),
+c4r AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY li) AS rebuilt
+  FROM c4l
+  WHERE nw >= 3 AND right(line, 1) IN ('.', '!', '?', '"')
+  GROUP BY doc_id
+)
+SELECT d.doc_id, md5(d.text) AS fingerprint,
+       md5({pii_sql_expr('d.text')}) AS redacted_md5,
+       md5({normalize_sql_expr('d.text')}) AS norm_md5,
+       md5(COALESCE(c.rebuilt, '')) AS c4_md5
+FROM documents d LEFT JOIN c4r c USING (doc_id)"""
 
 
 def _sql_window() -> str:

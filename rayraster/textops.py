@@ -338,6 +338,126 @@ def bpe_apply_count(texts, merges: list[str]) -> np.ndarray:
     )
 
 
+# URL canonicalization — the web-crawl dedup key normalizer.
+_URL_PARTS_RE = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#:]+)"
+    r"(?::(?P<port>[0-9]+))?(?P<path>[^?#]*)"
+    r"(?:\?(?P<query>[^#]*))?(?:#(?P<frag>.*))?$"
+)
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonicalize_url(
+    batch: pa.Table, url_col: str = "url", out_col: str = "url_canon"
+) -> pa.Table:
+    """Canonical URL form (crawl-dedup key): lowercase scheme+host,
+    default port stripped, empty path → ``/``, query parameters
+    sorted bytewise, fragment dropped.  Vectorized: one RE2
+    ``extract_regex`` for the parts, one C++ sort for the flattened
+    query parameters, offset-arithmetic rebuild + ``binary_join``
+    (same idiom as :func:`c4_line_filter`).  Rows that don't parse as
+    ``scheme://host...`` pass through UNCHANGED (relative/garbage
+    URLs are not this operator's business)."""
+    col = batch[url_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    filled = pc.fill_null(col, "")
+    parts = pc.extract_regex(filled, pattern=_URL_PARTS_RE)
+    ok = pc.is_valid(parts)
+    scheme = pc.utf8_lower(pc.fill_null(pc.struct_field(parts, "scheme"), ""))
+    host = pc.utf8_lower(pc.fill_null(pc.struct_field(parts, "host"), ""))
+    port = pc.fill_null(pc.struct_field(parts, "port"), "")
+    path = pc.fill_null(pc.struct_field(parts, "path"), "")
+    query = pc.fill_null(pc.struct_field(parts, "query"), "")
+
+    # default/empty port → no ':port'; else keep
+    sch_np = scheme.to_numpy(zero_copy_only=False)
+    port_np = port.to_numpy(zero_copy_only=False)
+    keep_port = np.array(
+        [p != "" and p != _DEFAULT_PORTS.get(s, "") for s, p in zip(sch_np, port_np)],
+        dtype=bool,
+    )
+    port_part = pc.if_else(
+        pa.array(keep_port), pc.binary_join_element_wise(":", port, ""), ""
+    )
+    path = pc.if_else(pc.equal(path, ""), "/", path)
+
+    # sort query params bytewise within each URL: flatten, stable-sort
+    # by (url index, param), rebuild lists from the unchanged counts
+    plist = pc.split_pattern(query, "&")
+    if isinstance(plist, pa.ChunkedArray):
+        plist = plist.combine_chunks()
+    offs = plist.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = plist.values.slice(offs[0], offs[-1] - offs[0])
+    offs = offs - offs[0]
+    seg = np.repeat(np.arange(len(filled), dtype=np.int64), np.diff(offs))
+    order = pa.table({"seg": seg, "p": flat}).sort_by(
+        [("seg", "ascending"), ("p", "ascending")]
+    )
+    sorted_list = pa.ListArray.from_arrays(
+        pa.array(offs, type=pa.int32()), order["p"].combine_chunks()
+    )
+    sorted_q = pc.binary_join(sorted_list, "&")
+    q_part = pc.if_else(
+        pc.equal(query, ""), "", pc.binary_join_element_wise("?", sorted_q, "")
+    )
+    canon = pc.binary_join_element_wise(
+        scheme, "://", host, port_part, path, q_part, ""
+    )
+    out = pc.if_else(ok, canon, col)
+    return batch.append_column(out_col, out)
+
+
+# C4-style line filtering (Raffel et al. 2020 §2.2): keep lines that
+# look like prose — ≥ min_words words AND terminal punctuation — and
+# rebuild the document from the survivors.
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_line_filter(
+    batch: pa.Table,
+    text_col: str = "text",
+    min_words: int = 3,
+    out_col: str = "text_c4",
+) -> pa.Table:
+    """The C4 line-level cleaning rule, vectorized end-to-end: split
+    on newlines (one C++ pass), per-line word counts + terminal-punct
+    checks on the FLATTENED line array, then rebuild each document
+    from its kept lines via offset arithmetic + ``binary_join`` — no
+    per-row Python.  Documents with no surviving line become ``""``
+    (NULL text ≡ '' per the module convention)."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    lines_list = pc.split_pattern(col, "\n")
+    if isinstance(lines_list, pa.ChunkedArray):
+        lines_list = lines_list.combine_chunks()
+    offs = lines_list.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # the list child is RAW (offsets include any slice offset) —
+    # window it so mask indices and list offsets share coordinates
+    flat = lines_list.values.slice(offs[0], offs[-1] - offs[0])
+    offs = offs - offs[0]
+    words = pc.count_substring_regex(flat, r"\S+").to_numpy(zero_copy_only=False)
+    keep = words >= min_words
+    term = pc.ends_with(flat, pattern=C4_TERMINALS[0])
+    for t in C4_TERMINALS[1:]:
+        term = pc.or_(term, pc.ends_with(flat, pattern=t))
+    keep &= term.to_numpy(zero_copy_only=False)
+    # rebuild: kept-line count per doc = prefix-sum difference of the
+    # mask at the doc boundaries → new list offsets over the kept
+    # lines (order-preserving: filter scans left→right and offsets
+    # are monotone)
+    csum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+    new_offs = csum[offs]  # kept lines before each boundary
+    kept_flat = flat.filter(pa.array(keep))
+    rebuilt = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(new_offs, type=pa.int32()), kept_flat),
+        "\n",
+    )
+    return batch.append_column(out_col, rebuilt)
+
+
 # ---------------------------------------------------------------------------
 # text → embedding: hashed character-n-gram count vectors
 # ---------------------------------------------------------------------------

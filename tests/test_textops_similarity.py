@@ -712,3 +712,54 @@ def test_hashed_ngram_embed_matches_naive():
             naive[h] += 1
         assert vec == naive, s
         assert sum(vec) == max(0, len(s) - 2)  # trigram conservation
+
+
+def test_c4_line_filter_rules_and_slices():
+    from rayraster.textops import c4_line_filter
+
+    texts = [
+        "Good line with words here.\nshort.\nno terminal punct\nProper sentence two!",
+        "", None, "one two three",
+        'He said "stop".\nquoted line ends right"',
+        "a.\nb b b b.",
+    ]
+
+    def ref(s):
+        if not s:
+            return ""
+        return "\n".join(
+            l for l in s.split("\n")
+            if len(l.split()) >= 3 and l.endswith((".", "!", "?", '"'))
+        )
+
+    t = pa.table({"text": pa.array(texts, type=pa.string())})
+    assert c4_line_filter(t, min_words=3)["text_c4"].to_pylist() == [
+        ref(s or "") for s in texts
+    ]
+    # sliced + chunked columns must respect list offsets
+    sl = pa.table(
+        {"text": pa.chunked_array([pa.array(texts, type=pa.string()).slice(3, 3)])}
+    )
+    assert c4_line_filter(sl, min_words=3)["text_c4"].to_pylist() == [
+        ref(s or "") for s in texts[3:]
+    ]
+
+
+def test_canonicalize_url_rules():
+    from rayraster.textops import canonicalize_url
+
+    cases = {
+        "HTTPS://WWW.Example.COM:443/Path/To?z=9&a=1&m=5#frag":
+            "https://www.example.com/Path/To?a=1&m=5&z=9",
+        "http://Host.org:80/": "http://host.org/",
+        "http://host.org:8080/x?b=2&a=1": "http://host.org:8080/x?a=1&b=2",
+        "https://h.io": "https://h.io/",          # empty path -> /
+        "ftp://Files.NET:21/pub": "ftp://files.net:21/pub",  # unknown scheme keeps port
+        "not a url": "not a url",                 # unparseable passes through
+        "https://h.io/p?single=1": "https://h.io/p?single=1",
+    }
+    t = pa.table({"url": pa.array(list(cases), type=pa.string())})
+    assert canonicalize_url(t)["url_canon"].to_pylist() == list(cases.values())
+    # null stays null
+    tn = pa.table({"url": pa.array([None], type=pa.string())})
+    assert canonicalize_url(tn)["url_canon"].to_pylist() == [None]
