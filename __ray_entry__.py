@@ -2875,13 +2875,18 @@ def _q_multimodal(sf_dir: str):
 
     payloads = ds.map_batches(to_payload, batch_format="pyarrow")
     out = payloads.map_batches(
-        ImageDecodeStage(bin_col="payload", with_pixel_stats=True),
+        ImageDecodeStage(
+            bin_col="payload", with_pixel_stats=True, with_histogram=True
+        ),
         batch_format="pyarrow",
         batch_size=256,
         concurrency=2,
         num_cpus=1,
     )
-    return out.select_columns(["doc_id", "width", "height", "channels", "px_mean"])
+    return out.select_columns(
+        ["doc_id", "width", "height", "channels", "px_mean",
+         "px_mode_bin", "hist_l2"]
+    )
 
 
 def _sql_exact_dedup() -> str:
@@ -3103,11 +3108,33 @@ sums AS (
   FROM dims d JOIN range(0, 660) t(k) ON t.k < 3 * d.width * d.height
   WHERE d.doc_id % 3 = 0
   GROUP BY d.doc_id
+),
+hb AS (
+  SELECT d.doc_id, ((d.doc_id + 37 * t.k) % 256) // 4 AS bin, COUNT(*) AS c
+  FROM dims d JOIN range(0, 660) t(k) ON t.k < 3 * d.width * d.height
+  WHERE d.doc_id % 3 = 0
+  GROUP BY 1, 2
+),
+hstats AS (
+  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS hist_l2
+  FROM hb GROUP BY doc_id
+),
+hmode AS (
+  SELECT doc_id, bin AS px_mode_bin FROM (
+    SELECT doc_id, bin,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bin) AS rn
+    FROM hb
+  ) WHERE rn = 1
 )
 SELECT d.doc_id, d.width, d.height, CAST(3 AS BIGINT) AS channels,
        CASE WHEN d.doc_id % 3 = 0 THEN s.tot / (3 * d.width * d.height)
-            ELSE CAST((d.nb * 37) % 256 AS DOUBLE) END AS px_mean
-FROM dims d LEFT JOIN sums s USING (doc_id)"""
+            ELSE CAST((d.nb * 37) % 256 AS DOUBLE) END AS px_mean,
+       CASE WHEN d.doc_id % 3 = 0 THEN hm.px_mode_bin
+            ELSE CAST(-1 AS BIGINT) END AS px_mode_bin,
+       CASE WHEN d.doc_id % 3 = 0 THEN hs.hist_l2
+            ELSE CAST(0 AS BIGINT) END AS hist_l2
+FROM dims d LEFT JOIN sums s USING (doc_id)
+LEFT JOIN hstats hs USING (doc_id) LEFT JOIN hmode hm USING (doc_id)"""
 
 
 # --------------------------------------------------------------------------

@@ -190,10 +190,17 @@ class ImageDecodeStage:
     16-bit PPM)."""
 
     def __init__(self, bin_col: str = "payload", with_features: bool = False,
-                 with_pixel_stats: bool = False):
+                 with_pixel_stats: bool = False, with_histogram: bool = False):
         self.bin_col = bin_col
         self.with_features = with_features
         self.with_pixel_stats = with_pixel_stats
+        # with_histogram: 64-bin (value // 4) pixel-value histogram,
+        # surfaced as two exact-int64 scalars so the driver's flat
+        # hash compare covers the whole multiset: px_mode_bin (argmax
+        # bin, ties -> lowest) and hist_l2 (sum of squared counts).
+        # Fake path: (-1, 0); real header with uncovered pixel
+        # variant: NULLs (same contract as px_mean).
+        self.with_histogram = with_histogram
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.bin_col].to_pylist()
@@ -203,6 +210,8 @@ class ImageDecodeStage:
         channels = np.full(n, 3, dtype=np.int64)
         feats = np.zeros((n, 8), dtype=np.float64) if self.with_features else None
         px_mean: list[float | None] | None = [] if self.with_pixel_stats else None
+        mode_bin: list[int | None] | None = [] if self.with_histogram else None
+        hist_l2: list[int | None] | None = [] if self.with_histogram else None
         for i, p in enumerate(payloads):
             nb = len(p)
             real = decode_image_header(p)
@@ -211,9 +220,13 @@ class ImageDecodeStage:
             else:
                 width[i] = 64 + nb % 960
                 height[i] = 64 + (nb * 7) % 960
+            px = (
+                decode_image_pixels(p)
+                if real is not None and (self.with_pixel_stats or self.with_histogram)
+                else None
+            )  # decoded ONCE, shared by stats and histogram
             if self.with_pixel_stats:
                 if real is not None:
-                    px = decode_image_pixels(p)
                     # exact integer sum → one double division; a
                     # header-decodable payload whose PIXELS the kernel
                     # doesn't cover (8/32-bit BMP, 16-bit PPM) gets an
@@ -225,6 +238,17 @@ class ImageDecodeStage:
                     )
                 else:
                     px_mean.append(float((nb * 37) % 256))
+            if self.with_histogram:
+                if real is not None and px is None:
+                    mode_bin.append(None)
+                    hist_l2.append(None)
+                elif px is None:
+                    mode_bin.append(-1)
+                    hist_l2.append(0)
+                else:
+                    h64 = np.bincount(px.reshape(-1) >> 2, minlength=64)
+                    mode_bin.append(int(np.argmax(h64)))  # first max = lowest bin
+                    hist_l2.append(int((h64.astype(np.int64) ** 2).sum()))
             if self.with_features and nb:
                 arr = np.frombuffer(p, dtype=np.uint8)
                 feats[i, :] = [
@@ -237,6 +261,13 @@ class ImageDecodeStage:
         if self.with_pixel_stats:
             batch = batch.append_column(
                 "px_mean", pa.array(px_mean, type=pa.float64())
+            )
+        if self.with_histogram:
+            batch = batch.append_column(
+                "px_mode_bin", pa.array(mode_bin, type=pa.int64())
+            )
+            batch = batch.append_column(
+                "hist_l2", pa.array(hist_l2, type=pa.int64())
             )
         if self.with_features:
             batch = batch.append_column(

@@ -269,3 +269,23 @@ def test_decode_stage_pixel_stats(ray_session):
     n = 4 * 2 * 3
     want_real = sum((5 + 37 * k) % 256 for k in range(n)) / n
     assert out.px_mean.tolist() == [want_real, float((len(p_fake) * 37) % 256)]
+
+
+def test_decode_stage_histogram_scalars():
+    """px_mode_bin / hist_l2 pin the 64-bin pixel-value histogram:
+    real BMP path computed from decoded pixels, fake path (-1, 0)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayraster.multimodal import ImageDecodeStage, make_bmp
+
+    bmp = make_bmp(8, 4, seed=3)
+    t = pa.table({"payload": pa.array([bmp, b"plain bytes"], type=pa.binary())})
+    out = ImageDecodeStage(with_pixel_stats=True, with_histogram=True)(t)
+    # reference: the generator formula (seed + 37k) % 256 over 3wh bytes
+    px = (3 + 37 * np.arange(3 * 8 * 4, dtype=np.int64)) % 256
+    h = np.bincount(px // 4, minlength=64)
+    assert out["px_mode_bin"].to_pylist()[0] == int(np.argmax(h))
+    assert out["hist_l2"].to_pylist()[0] == int((h.astype(np.int64) ** 2).sum())
+    assert out["px_mode_bin"].to_pylist()[1] == -1
+    assert out["hist_l2"].to_pylist()[1] == 0
