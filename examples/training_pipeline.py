@@ -4,12 +4,14 @@ Composes the engine's operator families the way a 100-TB preprocessing
 job would, all streaming Ray Data:
 
   synth pages → extract (byte-invariant) → text features →
-  data-driven quality gate (exact distributed 25th percentile — no
-  magic constant, no shuffle) → exact dedup → cross-snapshot filter
-  (Bloom prefilter + exact anti-join finish on the hits only) →
-  MinHash near-dup dedup (LSH → verified pairs [partitioned verify
+  canonical-url ids (lowercased host, sorted params — the crawl dedup
+  key) → data-driven quality gate (exact distributed 25th percentile
+  — no magic constant, no shuffle) → exact dedup → cross-snapshot
+  filter (Bloom prefilter + exact anti-join finish on the hits only)
+  → MinHash near-dup dedup (LSH → verified pairs [partitioned verify
   above the broadcast threshold] → DISTRIBUTED connected components
-  → anti-join drops non-representatives) → BPE token budget →
+  → anti-join drops non-representatives) → BPE token budget
+  (pre-tokens AND a trained merge table applied closed-form) →
   context-window chunking + vocabulary top-k → link-authority prior
   (site-hub graph → fixed-point distributed PageRank over a persisted
   edge layout) → weighted eval holdout
@@ -91,11 +93,16 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
         lambda t: t.select(["url", "text", "quality"]), batch_format="pyarrow"
     )
 
-    # ids for dedup (deterministic from url)
+    # ids for dedup — deterministic from the CANONICAL url (lowercase
+    # host, default port stripped, params sorted, fragment dropped):
+    # on a real crawl the same page arrives under many url spellings,
+    # and the canonical form is what the id/dedup key must hash
     def add_id(t: pa.Table) -> pa.Table:
         from rayraster.geo import fnv1a64
+        from rayraster.textops import canonicalize_url
 
-        ids = fnv1a64(t["url"].to_pylist()).view(np.int64)
+        canon = canonicalize_url(t)["url_canon"]
+        ids = fnv1a64(canon.to_pylist()).view(np.int64)
         return t.append_column("doc_id", pa.array(ids))
 
     docs = docs.map_batches(add_id, batch_format="pyarrow").materialize()
@@ -211,11 +218,26 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
     ).materialize()
     summary["rows_after_near_dedup"] = docs.count()
 
-    # 4b. token budget of the surviving corpus (BPE pre-token count)
-    from rayraster.textops import bpe_token_count
+    # 4b. token budget of the surviving corpus: the pre-token count
+    # AND the trained-merge count (train a small byte-pair merge table
+    # on the corpus with the distributed pair-count fold, then apply
+    # it with the closed-form vectorized counter — the number a real
+    # tokenizer-budget plan would use)
+    from rayraster.textops import (
+        bpe_merged_token_count,
+        bpe_token_count,
+        bpe_train_merges,
+    )
 
     summary["bpe_tokens_total"] = int(
         docs.map_batches(bpe_token_count, batch_format="pyarrow").sum("bpe_token_count")
+    )
+    merges = bpe_train_merges(docs, n_merges=8)
+    summary["bpe_merges"] = merges
+    summary["bpe_merged_tokens_total"] = int(
+        docs.map_batches(
+            lambda t: bpe_merged_token_count(t, merges), batch_format="pyarrow"
+        ).sum("bpe_token_count")
     )
 
     # 4c. context-window packing + corpus vocabulary (the training-set

@@ -299,3 +299,48 @@ def test_pack_lo_hi_injective_roundtrip(a, b):
     hi = (key + (1 << 31)) % (1 << 32) - (1 << 31)
     lo = (key - hi) >> 32
     assert (lo, hi) == (a, b)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="AaBb01:/?&=.#x-", min_size=0, max_size=40))
+def test_canonicalize_url_idempotent(s):
+    """canon(canon(x)) == canon(x): a canonical form must be a fixed
+    point, for parseable AND unparseable inputs alike."""
+    import pyarrow as pa
+
+    from rayraster.textops import canonicalize_url
+
+    once = canonicalize_url(pa.table({"url": pa.array([s], type=pa.string())}))[
+        "url_canon"
+    ]
+    twice = canonicalize_url(pa.table({"url": once}))["url_canon"]
+    assert once.to_pylist() == twice.to_pylist()
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab .!\n", min_size=0, max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 4),
+)
+def test_c4_line_filter_idempotent_and_subset(texts, min_words):
+    """Filtering is idempotent (kept lines still satisfy the rule) and
+    the output's lines are a subsequence of the input's."""
+    import pyarrow as pa
+
+    from rayraster.textops import c4_line_filter
+
+    t = pa.table({"text": pa.array(texts, type=pa.string())})
+    once = c4_line_filter(t, min_words=min_words)["text_c4"]
+    twice = c4_line_filter(
+        pa.table({"text": once}), min_words=min_words
+    )["text_c4"]
+    assert once.to_pylist() == twice.to_pylist()
+    for src, out in zip(texts, once.to_pylist()):
+        src_lines = src.split("\n")
+        out_lines = out.split("\n") if out else []
+        it = iter(src_lines)
+        assert all(l in it for l in out_lines)  # subsequence
