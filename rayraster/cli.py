@@ -357,15 +357,19 @@ def cmd_selfjoin(args) -> int:
         print(f"no input files match {args.input}", file=sys.stderr)
         return 2
     ds = rd.read_parquet(files, columns=[args.id_col, args.vec_col])
-    work = args.out + "_slabs"
-    shutil.rmtree(work, ignore_errors=True)
+    # the slab layout persists beside the output (resumable: a re-run
+    # skips the slab exchange via its _DONE marker); the result stays
+    # a streaming Dataset end-to-end (output="dataset") — k·N result
+    # rows never gather on the driver
     res = self_topk_distributed(
         ds, k=args.k, vec_col=args.vec_col, id_col=args.id_col,
-        slab_rows=args.slab_rows, work_dir=work,
+        slab_rows=args.slab_rows, work_dir=args.out + "_slabs",
+        output="dataset",
     )
     shutil.rmtree(args.out, ignore_errors=True)
-    rd.from_arrow(res).write_parquet(args.out)
-    print(json.dumps({"out": args.out, "pairs": res.num_rows, "k": args.k}))
+    res.write_parquet(args.out)
+    n = rd.read_parquet(args.out).count()
+    print(json.dumps({"out": args.out, "pairs": n, "k": args.k}))
     return 0
 
 

@@ -370,8 +370,31 @@ def write_slab_layout(
     arbitrary id patterns, cluster-size-invariant).  Rows are
     CLUSTERED by slab before the write (one exchange) so each slab is
     ~1 file instead of blocks × slabs fragments — same layout rule as
-    :func:`ivf_build_index`."""
+    :func:`ivf_build_index`.
+
+    A ``_DONE`` marker (stamped with the slab count) makes the layout
+    RESUMABLE: a re-run with the same ``out_dir``/``num_slabs`` skips
+    the exchange and write entirely (same pattern as the persisted
+    PageRank edge layout)."""
+    import os
+
     from rayraster.join import key_bucket
+
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == str(num_slabs):
+                return out_dir
+        raise ValueError(
+            f"{out_dir} holds a layout with a different slab count — "
+            "remove it or pick another work_dir"
+        )
+    if os.path.isdir(out_dir):
+        # dir without marker = an interrupted write; write_parquet
+        # APPENDS, so a dirty dir must be cleared before the retry
+        import shutil
+
+        shutil.rmtree(out_dir)
 
     def assign(t: pa.Table) -> pa.Table:
         b = key_bucket(t[id_col], num_slabs)
@@ -382,6 +405,8 @@ def write_slab_layout(
     ds.map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True
     ).sort("slab").write_parquet(out_dir, partition_cols=["slab"])
+    with open(marker, "w") as f:
+        f.write(str(num_slabs))
     return out_dir
 
 
@@ -395,7 +420,8 @@ def self_topk_distributed(
     work_dir: str | None = None,
     corpus_count: int | None = None,
     concurrency: int | None = None,
-) -> pa.Table:
+    output: str = "table",
+) -> pa.Table | Dataset:
     """All-pairs cosine top-k self-join, EXACT, with no whole-corpus
     materialization anywhere: the corpus is hash-sliced into S =
     ceil(n / slab_rows) slabs on disk, the S×S tile grid fans out as
@@ -411,10 +437,22 @@ def self_topk_distributed(
 
     Bit-parity: same normalize → float64 matmul → (cos desc, id asc)
     rules as :func:`self_topk`, so both paths satisfy the same
-    ROW_NUMBER-over-cross-join oracle."""
+    ROW_NUMBER-over-cross-join oracle.
+
+    ``output="table"`` merges the folded candidates on the driver (the
+    result is k·N rows — fine while THAT fits); ``output="dataset"``
+    keeps even the result distributed: candidates go through ONE
+    hash-partitioned grouped top-k (``agg.grouped_topk``) and come
+    back as a streaming Dataset of (qid, <id>, rank, cos) ready for
+    ``write_parquet`` — the 10⁹-vector form, where k·N itself is too
+    big for any single node.  The slab layout is resumable: re-runs
+    with the same ``work_dir`` skip the slab exchange (``_DONE``
+    marker)."""
     import math
     import tempfile
 
+    if output not in ("table", "dataset"):
+        raise ValueError('output must be "table" or "dataset"')
     n = corpus_count if corpus_count is not None else ds.count()
     S = max(1, math.ceil(n / max(1, slab_rows)))
     out = work_dir or tempfile.mkdtemp(prefix="rayraster_selfjoin_")
@@ -422,6 +460,19 @@ def self_topk_distributed(
     cand = _self_tile_candidates(
         out, S, k, vec_col, id_col, exclude_self, concurrency
     )
+    if output == "dataset":
+        from rayraster.agg import grouped_topk
+
+        ranked = grouped_topk(
+            cand, ["qid"], "cos", k, descending=True, tie_col=id_col,
+            num_partitions=max(8, min(64, S * 4)),
+        )
+        return ranked.map_batches(
+            lambda t: t.rename_columns(
+                ["rank" if c == "rnk" else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
     return _final_topk(_collect_candidates(cand, id_col, k=k), k, id_col)
 
 

@@ -763,3 +763,45 @@ def test_canonicalize_url_rules():
     # null stays null
     tn = pa.table({"url": pa.array([None], type=pa.string())})
     assert canonicalize_url(tn)["url_canon"].to_pylist() == [None]
+
+
+def test_self_topk_distributed_dataset_output_and_resume(tmp_path):
+    """output='dataset' (distributed grouped-top-k finalize) must equal
+    the driver-merge table; the slab layout must be reused on a second
+    run (resumability marker)."""
+    import os
+
+    from rayraster.similarity import self_topk_distributed
+
+    rng = np.random.default_rng(3)
+    n, k = 90, 4
+    tab = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": [row.tolist() for row in rng.standard_normal((n, 6))],
+        }
+    )
+    ds = rd.from_arrow(tab)
+    work = str(tmp_path / "slabs")
+    as_table = (
+        self_topk_distributed(ds, k=k, slab_rows=30, work_dir=work)
+        .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    files_before = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(work) for f in fs
+    )
+    as_ds = (
+        self_topk_distributed(ds, k=k, slab_rows=30, work_dir=work,
+                              output="dataset")
+        .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        as_table, as_ds[["qid", "vec_id", "rank", "cos"]]
+    )
+    # second run reused the layout byte-for-byte (no new/changed files)
+    files_after = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(work) for f in fs
+    )
+    assert files_before == files_after
+    with pytest.raises(ValueError, match="different slab count"):
+        self_topk_distributed(ds, k=k, slab_rows=10, work_dir=work)
