@@ -2134,6 +2134,15 @@ def _q_vocab_topk(sf_dir: str):
       hash to).  Query: docs containing ALL of {join, hash, batch};
       ``n`` = matched-term count (= 3).
 
+    * 'bm25' — RANKED retrieval over the PERSISTED scored index
+      (`textops.build_scored_index`: (word, doc_id, tf, dl) postings,
+      Lucene-style norm-in-posting → query-time scoring is map-only
+      over the probed buckets; `textops.bm25_search`: division-only
+      idf, one shared float expression tree, per-term-column sums in
+      sorted-term order — all bit-exact vs the twin).  Top-10 docs
+      for the same {join, hash, batch} query; ``score``/``rnk`` carry
+      the BM25 score and rank.
+
     Sentinels on the vocab path: doc_id=-1, df=0, score=0.0, rnk=0.
 
     Both tokenizing operators execute as shipped (the corpus is
@@ -2142,7 +2151,9 @@ def _q_vocab_topk(sf_dir: str):
     sum(tf) per word would equal the global count)."""
     from rayraster.join import _BUCKET_HASH, _read_bucket_manifest
     from rayraster.textops import (
+        bm25_search,
         build_inverted_index,
+        build_scored_index,
         search_index,
         tfidf_topk_terms,
         vocab_topk,
@@ -2218,7 +2229,40 @@ def _q_vocab_topk(sf_dir: str):
         _docs(sf_dir), corpus_count=n_docs, k=3,
         num_partitions=_parts_for(n_docs),
     ).map_batches(tfidf_shape, batch_format="pyarrow")
-    return vocab.union(tfidf, search)
+
+    sidx_path = _gate_cache_path("bm25_index_v1", sf_dir, n_docs)
+    rebuild = True
+    try:
+        mm = _read_bucket_manifest(sidx_path)
+        rebuild = not (
+            mm["key"] == "word"
+            and mm.get("hash") == _BUCKET_HASH
+            and os.path.exists(os.path.join(sidx_path, "_bm25_stats.json"))
+        )
+    except Exception:
+        pass
+    if rebuild:
+        build_scored_index(_docs(sf_dir), sidx_path,
+                           num_buckets=_parts_for(n_docs))
+
+    def bm25_shape(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "word": pa.array([" ".join(sorted(_TERMS))] * m, type=pa.string()),
+                "n": pa.array(np.zeros(m, dtype=np.int64)),
+                "df": pa.array(np.zeros(m, dtype=np.int64)),
+                "score": t["score"],
+                "rnk": t["rank"].cast(pa.int64()),
+                "path": pa.array(["bm25"] * m, type=pa.string()),
+            }
+        )
+
+    bm25 = bm25_search(sidx_path, _TERMS, k=10).map_batches(
+        bm25_shape, batch_format="pyarrow"
+    )
+    return vocab.union(tfidf, search, bm25)
 
 
 def _sql_vocab_topk() -> str:
@@ -2249,7 +2293,44 @@ SELECT doc_id, 'batch hash join' AS word, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(0 AS BIGINT) AS df, CAST(0.0 AS DOUBLE) AS score,
        CAST(0 AS BIGINT) AS rnk, 'search' AS path
 FROM tf WHERE word IN ('join', 'hash', 'batch')
-GROUP BY doc_id HAVING COUNT(*) = 3"""
+GROUP BY doc_id HAVING COUNT(*) = 3
+UNION ALL
+SELECT doc_id, 'batch hash join' AS word, CAST(0 AS BIGINT) AS n,
+       CAST(0 AS BIGINT) AS df, score, rnk, 'bm25' AS path
+FROM (
+  WITH dlt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks
+               WHERE word <> '' GROUP BY doc_id),
+  stt AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                 (SELECT CAST(SUM(dl) AS DOUBLE)
+                    / GREATEST((SELECT COUNT(*) FROM documents), 1)
+                  FROM dlt) AS avgdl),
+  sc AS (
+    -- every constant CAST to DOUBLE (DuckDB parses 1.2 as DECIMAL and
+    -- would compute 3*(1.2+1.0) EXACTLY as 6.6 while IEEE doubles give
+    -- 6.6000000000000005 — a measured last-ulp hash break), and the
+    -- tree mirrors the engine's op order term for term
+    SELECT t.doc_id, t.word,
+           ((stt.n - f.df + CAST(0.5 AS DOUBLE))
+              / (f.df + CAST(0.5 AS DOUBLE)))
+             * (t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                / (t.tf + CAST(1.2 AS DOUBLE)
+                   * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                      + CAST(0.75 AS DOUBLE) * (d.dl / stt.avgdl))))
+             AS s
+    FROM tf t JOIN df f USING (word) JOIN dlt d USING (doc_id), stt
+    WHERE t.word IN ('batch', 'hash', 'join')
+  ),
+  pv AS (
+    SELECT doc_id,
+           COALESCE(MAX(CASE WHEN word = 'batch' THEN s END), 0)
+           + COALESCE(MAX(CASE WHEN word = 'hash' THEN s END), 0)
+           + COALESCE(MAX(CASE WHEN word = 'join' THEN s END), 0) AS score
+    FROM sc GROUP BY doc_id
+  )
+  SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         AS BIGINT) AS rnk
+  FROM pv QUALIFY rnk <= 10
+)"""
 
 
 def _q_langid(sf_dir: str):

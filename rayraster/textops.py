@@ -338,6 +338,210 @@ def bpe_apply_count(texts, merges: list[str]) -> np.ndarray:
     )
 
 
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval over a persisted scored index
+# ---------------------------------------------------------------------------
+
+
+def build_scored_index(
+    docs,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> str:
+    """BM25-ready persisted index: ``(word, doc_id, tf, dl)`` postings
+    hash-bucketed by word (the Lucene norm-in-posting trick — the doc
+    LENGTH rides every posting, so query-time scoring is map-only over
+    the probed buckets with no doc-table join), plus a
+    ``_bm25_stats.json`` sidecar with the corpus doc count and total
+    token count (→ avgdl).  Same bucketed layout/manifest as
+    :func:`build_inverted_index`; pay the posting exchange once at
+    ingest, read only the query terms' buckets forever after."""
+    import json as _json
+    import os
+
+    from rayraster.join import write_bucketed
+
+    def posting_rows(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"word": pa.array([], type=pa.string()),
+             id_col: pa.array([], type=pa.int64()),
+             "tf": pa.array([], type=pa.int64()),
+             "dl": pa.array([], type=pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        text = _combined(pc.fill_null(batch[text_col], ""))
+        flat, doc = _split_words_flat(text)
+        if len(flat) == 0:
+            return empty
+        # tf per (doc, word) via one C++ group_by (docs are single
+        # rows → in-batch counts ARE the global tf); dl = word count
+        t = pa.table({"_d": pa.array(doc), "word": flat})
+        tf = t.group_by(["_d", "word"]).aggregate([("word", "count")])
+        dl = np.bincount(doc, minlength=batch.num_rows).astype(np.int64)
+        d = tf["_d"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "word": tf["word"],
+                id_col: pa.array(ids[d]),
+                "tf": tf["word_count"].cast(pa.int64()),
+                "dl": pa.array(dl[d]),
+            }
+        )
+
+    pairs = docs.map_batches(
+        posting_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = write_bucketed(pairs, "word", path, num_buckets=num_buckets)
+
+    # corpus stats sidecar: one (docs, tokens) int64 pair per batch
+    # reaches the driver
+    def stats(batch: pa.Table) -> pa.Table:
+        text = _combined(pc.fill_null(batch[text_col], ""))
+        flat, _ = _split_words_flat(text)
+        return pa.table(
+            {"n": pa.array([batch.num_rows], type=pa.int64()),
+             "tok": pa.array([len(flat)], type=pa.int64())}
+        )
+
+    n_docs = tokens = 0
+    folded = docs.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+    for t in folded.iter_batches(batch_format="pyarrow", batch_size=1024):
+        n_docs += int(pc.sum(t["n"]).as_py() or 0)
+        tokens += int(pc.sum(t["tok"]).as_py() or 0)
+    with open(os.path.join(path, "_bm25_stats.json"), "w") as f:
+        _json.dump({"n_docs": n_docs, "total_tokens": tokens}, f)
+    return out
+
+
+def bm25_search(
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    num_partitions: int = 8,
+):
+    """BM25 ranked retrieval over a :func:`build_scored_index` layout:
+    reads ONLY the query terms' buckets, scores each posting map-only
+    (idf, tf saturation and length norm all from the posting row +
+    broadcast stats), one hash-partitioned per-doc aggregate, then a
+    distributed top-``k`` by (score desc, id asc).
+
+    Oracle-exactness rules: the division-only idf
+    ``(N − df + ½)/(df + ½)`` (the module's documented log-free trade,
+    see :func:`tfidf_topk_terms`), every float expression written as
+    ONE fixed tree both engines evaluate identically, and the per-doc
+    term sum taken in sorted-term order via per-term columns (a
+    grouped float SUM would be order-nondeterministic; one nonzero per
+    column is exact).  Returns a Dataset of (doc_id, score, rank)."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from rayraster.agg import grouped_topk, hash_aggregate
+    from rayraster.join import _read_bucket_manifest, key_bucket
+
+    terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("bm25_search: need at least one term")
+    with open(os.path.join(path, "_bm25_stats.json")) as f:
+        st = _json.load(f)
+    N = int(st["n_docs"])
+    avgdl = st["total_tokens"] / max(1, N)  # ONE division, shared with the twin
+    m = _read_bucket_manifest(path)
+    B = m["num_buckets"]
+    written = set(m.get("buckets_written", []))
+    buckets = sorted(
+        set(int(x) for x in key_bucket(pa.array(terms, type=pa.string()), B))
+        & written
+    )
+    files = [
+        f
+        for bb in buckets
+        for f in sorted(_glob.glob(os.path.join(path, f"_bucket={bb}", "*.parquet")))
+    ]
+    s_cols = [f"s_{i}" for i in range(len(terms))]
+    empty = pa.table(
+        {id_col: pa.array([], type=pa.int64()),
+         "score": pa.array([], type=pa.float64()),
+         "rank": pa.array([], type=pa.int64())}
+    )
+    if not files:
+        return rd.from_arrow(empty)
+    tset = pa.array(terms, type=pa.string())
+    post = rd.read_parquet(
+        files,
+        columns=["word", id_col, "tf", "dl"],
+        filter=pads.field("word").isin(terms),
+    )
+
+    # df per term — a bounded aggregate (≤ len(terms) rows) computed
+    # from the complete posting lists already being read
+    dfs = {
+        r["word"]: int(r["n"])
+        for r in hash_aggregate(
+            post, ["word"], count=True, num_partitions=num_partitions
+        ).take_all()
+    }
+    idf = {
+        t: (N - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5) for t in terms
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        t = t.filter(_pc.is_in(t["word"], value_set=tset))
+        words = t["word"].to_numpy(zero_copy_only=False)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # the ONE shared expression tree (parens mirror the SQL twin):
+        # idf * ((tf * (k1+1)) / (tf + k1 * ((1-b) + b * (dl/avgdl))))
+        s = tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+        cols = {id_col: t[id_col]}
+        for i, term in enumerate(terms):
+            mask = words == term
+            vals = np.zeros(len(words), dtype=np.float64)
+            vals[mask] = idf[term] * s[mask]
+            cols[s_cols[i]] = pa.array(vals)
+        return pa.table(cols)
+
+    scored = post.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    per_doc = hash_aggregate(
+        scored, [id_col], sum_cols=s_cols, count=False,
+        num_partitions=num_partitions,
+    )
+
+    def total(t: pa.Table) -> pa.Table:
+        acc = t[f"sum_{s_cols[0]}"].to_numpy(zero_copy_only=False).copy()
+        for c in s_cols[1:]:
+            acc = acc + t[f"sum_{c}"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {id_col: t[id_col], "score": pa.array(acc),
+             "_one": pa.array(np.zeros(t.num_rows, dtype=np.int64))}
+        )
+
+    ranked = grouped_topk(
+        per_doc.map_batches(total, batch_format="pyarrow"),
+        ["_one"], "score", k, descending=True, tie_col=id_col,
+        num_partitions=1,
+    )
+    return ranked.map_batches(
+        lambda t: pa.table(
+            {id_col: t[id_col], "score": t["score"],
+             "rank": t["rnk"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # URL canonicalization — the web-crawl dedup key normalizer.
 _URL_PARTS_RE = (
     r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#:]+)"

@@ -805,3 +805,57 @@ def test_self_topk_distributed_dataset_output_and_resume(tmp_path):
     assert files_before == files_after
     with pytest.raises(ValueError, match="different slab count"):
         self_topk_distributed(ds, k=k, slab_rows=10, work_dir=work)
+
+
+def test_bm25_search_matches_local_reference(tmp_path):
+    """BM25 over the persisted scored index equals a local reference
+    computed with the same division-only idf and fixed op order."""
+    from rayraster.textops import bm25_search, build_scored_index
+
+    texts = [
+        "the join hash batch", "join join join table", "hash map batch",
+        "nothing here", "batch batch hash join extra words making this "
+        "doc much longer than all of the rest", "join", "hash hash", "",
+    ]
+    tab = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+    )
+    idx = str(tmp_path / "bm25")
+    build_scored_index(rd.from_arrow(tab), idx, num_buckets=4)
+    got = (
+        bm25_search(idx, ["join", "hash", "batch"], k=5)
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+
+    # local reference, same op order
+    import collections
+
+    k1, b = 1.2, 0.75
+    tf: dict[tuple[int, str], int] = collections.Counter()
+    dl: dict[int, int] = collections.Counter()
+    for i, s in enumerate(texts):
+        for w in s.split():
+            tf[(i, w)] += 1
+            dl[i] += 1
+    df = collections.Counter(w for (_, w) in tf)
+    N = len(texts)
+    avgdl = sum(dl.values()) / N
+    scores = {}
+    for d in range(N):
+        tot = 0.0
+        for t in sorted(["join", "hash", "batch"]):
+            f = tf.get((d, t), 0)
+            if not f:
+                continue
+            idf = (N - df[t] + 0.5) / (df[t] + 0.5)
+            s = f * (k1 + 1.0) / (f + k1 * ((1.0 - b) + b * (dl[d] / avgdl)))
+            tot = tot + idf * s
+        if tot:
+            scores[d] = tot
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got.doc_id.tolist() == [d for d, _ in want]
+    assert got.score.tolist() == [s for _, s in want]  # bit-exact
+    assert got["rank"].tolist() == list(range(1, len(want) + 1))
+
+    with pytest.raises(ValueError, match="at least one term"):
+        bm25_search(idx, [])
