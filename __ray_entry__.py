@@ -2464,6 +2464,12 @@ def _q_window(sf_dir: str):
 
 
 def _q_join(sf_dir: str):
+    """Two path-tagged broadcast-join shapes under one oracle: 'fact'
+    = the fact⋈dim join (orders × customer segment rollup); 'snow' =
+    the CHAINED dimension snowflake (customer ⋈ nation ⋈ region —
+    two small sides broadcast once each, zero shuffles until the
+    final rollup) — the dimension-tree plan every star/snowflake
+    warehouse query needs."""
     import pyarrow.parquet as pq
 
     from rayraster.agg import hash_aggregate
@@ -2476,15 +2482,64 @@ def _q_join(sf_dir: str):
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
     # key names differ → rename the small side to the probe key
-    cust = cust.rename_columns(["o_custkey", "c_mktsegment"])
-    joined = broadcast_join(orders, cust, keys=["o_custkey"])
-    return hash_aggregate(
+    cust_b = cust.rename_columns(["o_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, cust_b, keys=["o_custkey"])
+    fact = hash_aggregate(
         joined,
         ["c_mktsegment"],
         min_cols=["o_totalprice"],
         max_cols=["o_totalprice"],
         count=True,
         num_partitions=_parts_for(orders.count()),
+    )
+
+    def shape_fact(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "grp": t["c_mktsegment"],
+                "min_v": t["min_o_totalprice"],
+                "max_v": t["max_o_totalprice"],
+                "n": t["n"],
+                "path": pa.array(["fact"] * t.num_rows, type=pa.string()),
+            }
+        )
+
+    custf = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).rename_columns(["c_nationkey", "n_regionkey"])
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).rename_columns(["n_regionkey", "r_name"])
+    snow_joined = broadcast_join(
+        broadcast_join(custf, nation, keys=["c_nationkey"]),
+        region,
+        keys=["n_regionkey"],
+    )
+    snow = hash_aggregate(
+        snow_joined,
+        ["r_name"],
+        min_cols=["c_acctbal"],
+        max_cols=["c_acctbal"],
+        count=True,
+        num_partitions=8,
+    )
+
+    def shape_snow(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "grp": t["r_name"],
+                "min_v": t["min_c_acctbal"],
+                "max_v": t["max_c_acctbal"],
+                "n": t["n"],
+                "path": pa.array(["snow"] * t.num_rows, type=pa.string()),
+            }
+        )
+
+    return fact.map_batches(shape_fact, batch_format="pyarrow").union(
+        snow.map_batches(shape_snow, batch_format="pyarrow")
     )
 
 
@@ -3162,11 +3217,20 @@ FROM events GROUP BY 1, 2"""
 
 
 def _sql_join() -> str:
-    return """SELECT c.c_mktsegment,
-       min(o.o_totalprice) AS min_o_totalprice,
-       max(o.o_totalprice) AS max_o_totalprice,
-       COUNT(*) AS n
+    return """SELECT c.c_mktsegment AS grp,
+       min(o.o_totalprice) AS min_v,
+       max(o.o_totalprice) AS max_v,
+       COUNT(*) AS n, 'fact' AS path
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+UNION ALL
+SELECT r.r_name AS grp,
+       min(c.c_acctbal) AS min_v,
+       max(c.c_acctbal) AS max_v,
+       COUNT(*) AS n, 'snow' AS path
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY 1"""
 
 
