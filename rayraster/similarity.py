@@ -323,6 +323,13 @@ class _TileSelfTopK:
         self._cache[s] = (ids, mat)
         return ids, mat
 
+    # query-side chunk: a full slab×slab float64 sims matrix (e.g.
+    # 8192² = 512 MB) plus its partition copy is memory-bandwidth
+    # bound, not compute bound (measured 175 s for a 50k self-join);
+    # chunking the query rows keeps the transient ≈ 2 × CHUNK×slab×8
+    # bytes per actor and the matmuls cache-friendly
+    CHUNK = 2048
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs = []
         for qs, cs in zip(batch["qs"].to_pylist(), batch["cs"].to_pylist()):
@@ -330,25 +337,29 @@ class _TileSelfTopK:
             cids, C = self._slab(int(cs))
             if not len(qids) or not len(cids):
                 continue
-            sims = Q @ C.T
-            if self.exclude_self:
-                sims[qids[:, None] == cids[None, :]] = -np.inf
-            kk = min(self.k, sims.shape[1])
-            # same tie-safe cut as _BatchTopK: emit every candidate >=
-            # the kk-th value; the deterministic global merge resolves
-            cut = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
-            mask = sims >= cut[:, None]
-            np.logical_and(mask, np.isfinite(sims), out=mask)
-            rows, cols = np.nonzero(mask)
-            outs.append(
-                pa.table(
-                    {
-                        "qid": pa.array(qids[rows]),
-                        self.id_col: pa.array(cids[cols]),
-                        "cos": pa.array(sims[rows, cols]),
-                    }
+            nc = len(cids)
+            kk = min(self.k, nc)
+            for q0 in range(0, len(qids), self.CHUNK):
+                q1 = min(q0 + self.CHUNK, len(qids))
+                sims = Q[q0:q1] @ C.T
+                if self.exclude_self:
+                    sims[qids[q0:q1, None] == cids[None, :]] = -np.inf
+                # tie-safe cut (same contract as _BatchTopK): emit every
+                # candidate >= the kk-th LARGEST value; kth-largest via
+                # one ascending partition (no negation copies)
+                cut = np.partition(sims, nc - kk, axis=1)[:, nc - kk]
+                mask = sims >= cut[:, None]
+                np.logical_and(mask, np.isfinite(sims), out=mask)
+                rows, cols = np.nonzero(mask)
+                outs.append(
+                    pa.table(
+                        {
+                            "qid": pa.array(qids[q0 + rows]),
+                            self.id_col: pa.array(cids[cols]),
+                            "cos": pa.array(sims[rows, cols]),
+                        }
+                    )
                 )
-            )
         if not outs:
             return pa.table(
                 {"qid": pa.array([], type=pa.int64()),
