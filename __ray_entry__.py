@@ -1437,6 +1437,28 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
             }
         )
 
+    # sixth path ('bfs'): multi-source BFS hop distance over the SAME
+    # degree-varied graph from seeds {0,1,2} (level-synchronous,
+    # broadcast frontier gather + distributed visited anti-join); the
+    # twin is a depth-bounded RECURSIVE CTE with MIN(depth) per node
+    from rayraster.graph import bfs_depths
+
+    bfs = bfs_depths(
+        doc_ids.map_batches(edges_var, batch_format="pyarrow"),
+        [0, 1, 2],
+        num_buckets=_parts_for(n_docs),
+        edge_count=3 * n_docs,
+    )
+
+    def tag_bfs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["node"].cast(pa.int64()),
+                "pr": t["depth"].cast(pa.int64()),
+                "path": pa.array(["bfs"] * t.num_rows, type=pa.string()),
+            }
+        )
+
     # fourth path: exact distributed triangle count of the same graph's
     # undirected support (degree-oriented wedges — see graph.py) as a
     # single scalar row; the twin is the classic 3-way self-join
@@ -1460,6 +1482,7 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
         pr.map_batches(tag_pr, batch_format="pyarrow"),
         rd.from_arrow(tri_row),
         core.map_batches(tag_kcore, batch_format="pyarrow"),
+        bfs.map_batches(tag_bfs, batch_format="pyarrow"),
     )
 
 
@@ -1535,14 +1558,35 @@ def _sql_neardup_dedup_pipeline() -> str:
     # UNION ALL arm), so the twin is spliced in as the leading SELECT
     pr = _sql_pagerank_twin(3)
     kc_ctes, kc_final = _sql_kcore_ctes()
-    # splice the kcore CTEs into the pagerank WITH chain: the chain
-    # heads the whole UNION, so all arms can reference both families
+    # BFS twin: depth-bounded recursive CTE over the same kcore graph's
+    # undirected support; UNION dedups (node, depth) pairs so cycles
+    # terminate at the bound, MIN(depth) per node = the BFS distance
+    # (bound 12 > the measured diameter 9 at sf0.1)
+    bfs_ctes = """kadj AS (
+  SELECT lo AS a, hi AS b FROM kc0 UNION ALL SELECT hi AS a, lo AS b FROM kc0
+),
+bfsr AS (
+  SELECT node, CAST(0 AS BIGINT) AS depth FROM (
+    VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))
+  ) t(node)
+  UNION
+  SELECT kadj.b AS node, bfsr.depth + 1 AS depth
+  FROM bfsr JOIN kadj ON kadj.a = bfsr.node
+  WHERE bfsr.depth < 12
+)"""
+    # splice the kcore + bfs CTEs into the pagerank WITH chain: the
+    # chain heads the whole UNION, so all arms can reference every
+    # family; RECURSIVE covers the one recursive member
     head, tail = pr.split("\nSELECT node AS doc_id", 1)
+    head = head.replace("WITH ", "WITH RECURSIVE ", 1)
     pr = (
-        f"{head},\n{kc_ctes}\nSELECT node AS doc_id{tail}\n"
+        f"{head},\n{kc_ctes},\n{bfs_ctes}\nSELECT node AS doc_id{tail}\n"
         "UNION ALL\n"
         "SELECT node AS doc_id, CAST(0 AS BIGINT) AS pr, 'kcore' AS path "
-        f"FROM {kc_final}"
+        f"FROM {kc_final}\n"
+        "UNION ALL\n"
+        "SELECT node AS doc_id, CAST(MIN(depth) AS BIGINT) AS pr, "
+        "'bfs' AS path FROM bfsr GROUP BY node"
     )
     return f"""{pr}
 UNION ALL

@@ -681,6 +681,130 @@ def _edge_endpoints(t: pa.Table) -> pa.Table:
     return pa.table({"node": pa.array(np.concatenate([lo, hi]))})
 
 
+def bfs_depths(
+    edges: Dataset,
+    sources,
+    num_buckets: int = 64,
+    edge_count: int | None = None,
+    max_depth: int = 64,
+    broadcast_threshold: int = 1_000_000,
+) -> Dataset:
+    """Multi-source BFS hop distance over the undirected support
+    (self-loops / duplicate edges collapsed): every node reachable
+    from ``sources`` with its minimum hop count — crawl-frontier
+    depth, seed-proximity scoring, reachability layers.
+
+    Level-synchronous iteration, rounds = graph diameter.  Per round
+    the neighbor gather has two shapes picked by the CURRENT frontier
+    size (the driver already holds it as one int64):
+
+    * frontier ≤ ``broadcast_threshold`` (the usual case): the
+      frontier ids ship once via ``ray.put`` and the gather is one
+      map-only ``is_in`` pass over the edge table — the only exchange
+      left in the round is the distinct on the (much smaller)
+      candidate set, plus the anti bucket-join against the visited
+      table (which grows to O(reachable) and is NEVER broadcast).
+    * above it: two semi bucket-joins gather neighbors, nothing
+      driver-side.
+
+    Returns a Dataset of ``(node, depth)``; unreached nodes are
+    absent.  Raises if the graph is deeper than ``max_depth``."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from rayraster.agg import distinct
+    from rayraster.join import bucket_join
+
+    P = _adaptive_parts(edge_count, num_buckets)
+    und = _undirected_distinct(edges, P).materialize()
+    node_schema = pa.schema([("node", pa.int64())])
+
+    src = np.unique(np.asarray(list(sources), dtype=np.int64))
+    if len(src) == 0:
+        raise ValueError("bfs_depths: need at least one source node")
+    frontier = rd.from_arrow(pa.table({"node": pa.array(src)})).materialize()
+    n_frontier = len(src)
+    levels: list[Dataset] = [
+        frontier.map_batches(
+            lambda t: t.append_column(
+                "depth", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+    ]
+    visited = frontier  # union of all frontiers so far (nodes only)
+
+    for depth in range(1, max_depth + 1):
+        if n_frontier <= broadcast_threshold:
+            ids = np.sort(
+                np.fromiter(
+                    (r["node"] for r in frontier.take_all()),
+                    dtype=np.int64,
+                    count=n_frontier,
+                )
+            )
+            ref = ray.put(ids)
+
+            def gather(t: pa.Table, _ref=ref) -> pa.Table:
+                vs = pa.array(ray.get(_ref))
+                lo_hit = t.filter(pc.is_in(t["lo"], value_set=vs))["hi"]
+                hi_hit = t.filter(pc.is_in(t["hi"], value_set=vs))["lo"]
+                return pa.table(
+                    {"node": pa.concat_arrays(
+                        [lo_hit.combine_chunks(), hi_hit.combine_chunks()]
+                    )}
+                )
+
+            cand = und.map_batches(
+                gather, batch_format="pyarrow", zero_copy_batch=True
+            )
+        else:
+            lo_side = bucket_join(
+                und, frontier, "lo", "node", num_buckets=P, join_type="semi",
+                left_schema=pa.schema([("lo", pa.int64()), ("hi", pa.int64())]),
+                right_schema=node_schema,
+            ).map_batches(
+                lambda t: pa.table({"node": t["hi"]}), batch_format="pyarrow"
+            )
+            hi_side = bucket_join(
+                und, frontier, "hi", "node", num_buckets=P, join_type="semi",
+                left_schema=pa.schema([("lo", pa.int64()), ("hi", pa.int64())]),
+                right_schema=node_schema,
+            ).map_batches(
+                lambda t: pa.table({"node": t["lo"]}), batch_format="pyarrow"
+            )
+            cand = lo_side.union(hi_side)
+        nxt = bucket_join(
+            distinct(cand, ["node"], num_partitions=P),
+            visited,
+            "node",
+            "node",
+            num_buckets=P,
+            join_type="anti",
+            left_schema=node_schema,
+            right_schema=node_schema,
+        ).materialize()
+        n_frontier = nxt.count()
+        if n_frontier == 0:
+            out = levels[0]
+            return out.union(*levels[1:]) if len(levels) > 1 else out
+        frontier = nxt
+        levels.append(
+            frontier.map_batches(
+                lambda t, d=depth: t.append_column(
+                    "depth", pa.array(np.full(t.num_rows, d, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        visited = visited.union(frontier)
+    raise RuntimeError(
+        f"bfs_depths did not converge within {max_depth} levels — "
+        "raise max_depth for deeper graphs"
+    )
+
+
 def k_core(
     edges: Dataset,
     k: int,

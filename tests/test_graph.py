@@ -384,3 +384,45 @@ def test_k_core_broadcast_and_partitioned_drops_agree(ray_session):
         return sorted(r["node"] for r in out.take_all())
 
     assert run(10**6) == run(0)  # all-broadcast == all-bucket-join
+
+
+def test_bfs_depths_matches_local_reference(ray_session):
+    """Multi-source BFS hop distances equal a local queue BFS, through
+    BOTH gather shapes (broadcast frontier vs semi bucket-joins)."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayraster.graph import bfs_depths
+
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 120, 400).astype(np.int64)
+    dst = rng.integers(0, 120, 400).astype(np.int64)
+    edges = pa.table({"src": src, "dst": dst})
+    adj: dict[int, set] = collections.defaultdict(set)
+    for a, b in zip(src.tolist(), dst.tolist()):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    want = {0: 0, 5: 0}
+    dq = collections.deque([0, 5])
+    while dq:
+        u = dq.popleft()
+        for v in adj[u]:
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+
+    def run(thresh):
+        out = bfs_depths(rd.from_arrow(edges), [0, 5], num_buckets=8,
+                         broadcast_threshold=thresh)
+        return {r["node"]: r["depth"] for r in out.take_all()}
+
+    assert run(10**6) == want   # broadcast gather
+    assert run(0) == want       # bucket-join gather
+    # isolated node never appears
+    assert 10**9 not in want
+    with pytest.raises(ValueError, match="at least one source"):
+        bfs_depths(rd.from_arrow(edges), [])
