@@ -104,20 +104,23 @@ BPE_VOWELS = "aeiou"
 
 
 def _texts_as_bytes(col) -> tuple[np.ndarray, np.ndarray]:
-    """(byte array, row offsets) of a string column: one contiguous
-    uint8 view of the concatenated UTF-8 payload.  ASCII-substring
-    counting on bytes equals codepoint counting (multi-byte UTF-8
-    units are ≥ 0x80 and can never alias an ASCII pair)."""
+    """(byte array, row offsets) of a string column: ZERO-COPY views of
+    Arrow's own offsets + data buffers (no per-row Python string
+    round-trip — this runs per batch in the BPE kernels).
+    ASCII-substring counting on bytes equals codepoint counting
+    (multi-byte UTF-8 units are ≥ 0x80 and can never alias an ASCII
+    pair)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     col = pc.fill_null(col, "")
-    joined = "".join(col.to_pylist())
-    b = np.frombuffer(joined.encode("utf-8"), dtype=np.uint8)
-    lens = np.array(
-        [len(s.encode("utf-8")) for s in col.to_pylist()], dtype=np.int64
-    )
-    offs = np.concatenate([[0], np.cumsum(lens)])
-    return b, offs
+    if pa.types.is_large_string(col.type):
+        col = col.cast(pa.string())
+    # buffers(): [validity, int32 offsets, utf8 data]; honor the slice
+    # offset — a sliced array's buffers cover the WHOLE parent
+    raw_offs = np.frombuffer(col.buffers()[1], dtype=np.int32)
+    offs = raw_offs[col.offset : col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    return data, offs - offs[0]
 
 
 _ALNUM_LUT = np.zeros(256, dtype=bool)
