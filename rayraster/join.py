@@ -114,6 +114,11 @@ def key_bucket(keys, num_buckets: int):
         if keys.null_count:
             keys = pc.fill_null(keys, 0)
         kv = keys.to_numpy(zero_copy_only=False).astype(np.int64)
+    elif pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
+        from rayraster.geo import fnv1a64
+
+        # buffer path; NULL hashes like "None", same as the str() route
+        kv = fnv1a64(keys).view(np.int64)
     else:
         from rayraster.geo import fnv1a64
 

@@ -25,7 +25,7 @@ def add_geocode_id(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
 
 def add_geocode_url(batch: pa.Table, url_col: str = "url") -> pa.Table:
     """Stateless map: FNV-1a url geocode with hotspot skew injection."""
-    x, y = geocode_url(batch[url_col].to_pylist())
+    x, y = geocode_url(batch[url_col])
     return batch.append_column("x", pa.array(x)).append_column("y", pa.array(y))
 
 

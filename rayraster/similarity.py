@@ -63,6 +63,43 @@ def list_col_to_matrix(col) -> np.ndarray:
     return flat[offs[0] : offs[-1]].reshape(len(col), w)
 
 
+def binary_col_to_matrix(col, dtype=np.float64) -> np.ndarray:
+    """(n, dim) matrix from a ``binary`` column of uniform-width blobs
+    (serialized vectors, e.g. the partitioned-verify payload columns) —
+    the blob bytes are viewed straight out of the Arrow values buffer,
+    no per-row ``frombuffer`` loop.  Raises on nulls or ragged widths.
+    The returned array is a READ-ONLY view; copy before mutating."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError("binary vector column contains nulls")
+    itemsize = np.dtype(dtype).itemsize
+    n = len(col)
+    if pa.types.is_fixed_size_binary(col.type):
+        w = col.type.byte_width
+        data = np.frombuffer(col.buffers()[1], dtype=np.uint8)
+        flat = data[col.offset * w : (col.offset + n) * w]
+        return flat.view(dtype).reshape(n, w // itemsize)
+    if pa.types.is_binary(col.type):
+        off_dt = np.int32
+    elif pa.types.is_large_binary(col.type):
+        off_dt = np.int64
+    else:
+        raise TypeError(f"need a binary column, got {col.type}")
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dt)[col.offset : col.offset + n + 1]
+    widths = np.diff(offs)
+    w = int(widths[0])
+    if not (widths == w).all():
+        raise ValueError("ragged binary column — not a vector matrix")
+    if w % itemsize:
+        raise ValueError(f"blob width {w} is not a multiple of itemsize {itemsize}")
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    return data.view(dtype).reshape(n, w // itemsize)
+
+
 class _BatchTopK:
     """map_batches actor: cosine of every batch row vs the broadcast
     query matrix; emits per-batch top-k candidates per query.

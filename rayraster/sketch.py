@@ -201,6 +201,9 @@ def _col_hashes(t: pa.Table, col: str) -> np.ndarray:
     if pa.types.is_integer(c.type):
         c = pc.fill_null(c.cast(pa.int64()), _NULL_INT_SENTINEL)
         return c.to_numpy(zero_copy_only=False).view(np.uint64)
+    if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+        # buffer path; NULL hashes like "None", same as the str() route
+        return fnv1a64(c)
     return fnv1a64([str(v) for v in c.to_pylist()])
 
 

@@ -1147,7 +1147,7 @@ def tfidf_topk_terms(
             return empty
         t = pa.table({id_col: pa.array(ids[doc]), "word": flat})
         out = t.group_by([id_col, "word"]).aggregate([([], "count_all")])
-        part = (fnv1a64(out["word"].to_pylist()) % np.uint64(P)).astype(np.int64)
+        part = (fnv1a64(out["word"]) % np.uint64(P)).astype(np.int64)
         return pa.table(
             {
                 id_col: out[id_col],
@@ -1594,7 +1594,7 @@ def cross_doc_ngram_stats(
         order, first = _first_occurrence(grams, gdoc)
         kept = order[first]
         g = grams.take(pa.array(kept, type=pa.int64()))
-        part = (fnv1a64(g.to_pylist()) % np.uint64(P)).astype(np.int64)
+        part = (fnv1a64(g) % np.uint64(P)).astype(np.int64)
         return pa.table(
             {
                 "gram": g,
@@ -1769,7 +1769,7 @@ def corpus_freq_score(
         flat, doc = _split_words_flat(_combined(batch[text_col]))
         if len(flat) == 0:
             return empty
-        part = (fnv1a64(flat.to_pylist()) % np.uint64(P)).astype(np.int64)
+        part = (fnv1a64(flat) % np.uint64(P)).astype(np.int64)
         return pa.table(
             {"word": flat, id_col: pa.array(ids[doc]), "_part": pa.array(part)}
         )

@@ -344,3 +344,39 @@ def test_c4_line_filter_idempotent_and_subset(texts, min_words):
         out_lines = out.split("\n") if out else []
         it = iter(src_lines)
         assert all(l in it for l in out_lines)  # subsequence
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=40,
+                        alphabet=st.characters(min_codepoint=1)),
+                min_size=0, max_size=30))
+def test_fnv_arrow_buffer_path_equals_list_path(strings):
+    import pyarrow as pa
+
+    from rayraster.geo import fnv1a64_arrow
+
+    arr = pa.array(strings, type=pa.string())
+    np.testing.assert_array_equal(fnv1a64_arrow(arr), fnv1a64(strings))
+
+
+def test_fnv_arrow_nulls_slices_chunks_and_empties():
+    import pyarrow as pa
+
+    from rayraster.geo import fnv1a64_arrow
+
+    # NULL hashes like the string "None" (legacy str() behavior)
+    arr = pa.array(["a", None, "", "日本語テキスト", "None"])
+    got = fnv1a64_arrow(arr)
+    want = fnv1a64(["a", "None", "", "日本語テキスト", "None"])
+    np.testing.assert_array_equal(got, want)
+    assert got[1] == got[4]
+    # sliced array keeps offsets straight
+    np.testing.assert_array_equal(fnv1a64_arrow(arr.slice(2, 2)), want[2:4])
+    # chunked arrays combine
+    ch = pa.chunked_array([["x", "yy"], ["zzz"]])
+    np.testing.assert_array_equal(fnv1a64_arrow(ch), fnv1a64(["x", "yy", "zzz"]))
+    # all-empty column and zero-row column
+    np.testing.assert_array_equal(fnv1a64_arrow(pa.array(["", ""])), fnv1a64(["", ""]))
+    assert len(fnv1a64_arrow(pa.array([], type=pa.string()))) == 0
+    # fnv1a64 itself dispatches Arrow input to the buffer path
+    np.testing.assert_array_equal(fnv1a64(arr), got)

@@ -859,3 +859,33 @@ def test_bm25_search_matches_local_reference(tmp_path):
 
     with pytest.raises(ValueError, match="at least one term"):
         bm25_search(idx, [])
+
+
+def test_binary_col_to_matrix_views_and_raises():
+    from rayraster.similarity import binary_col_to_matrix
+
+    vecs = np.arange(12, dtype=np.float64).reshape(3, 4)
+    blobs = pa.array([v.tobytes() for v in vecs], type=pa.binary())
+    np.testing.assert_array_equal(binary_col_to_matrix(blobs), vecs)
+    # large_binary, sliced, chunked
+    lb = blobs.cast(pa.large_binary())
+    np.testing.assert_array_equal(binary_col_to_matrix(lb), vecs)
+    np.testing.assert_array_equal(binary_col_to_matrix(blobs.slice(1, 2)), vecs[1:])
+    ch = pa.chunked_array([blobs.slice(0, 1), blobs.slice(1, 2)])
+    np.testing.assert_array_equal(binary_col_to_matrix(ch), vecs)
+    # fixed_size_binary
+    fsb = pa.array([v.tobytes() for v in vecs], type=pa.binary(32))
+    np.testing.assert_array_equal(binary_col_to_matrix(fsb), vecs)
+    np.testing.assert_array_equal(binary_col_to_matrix(fsb.slice(2, 1)), vecs[2:])
+    # other dtypes
+    ints = pa.array([np.arange(2, dtype=np.int32).tobytes()])
+    np.testing.assert_array_equal(binary_col_to_matrix(ints, np.int32), [[0, 1]])
+    # empty
+    assert binary_col_to_matrix(pa.array([], type=pa.binary())).shape == (0, 0)
+    # ragged / nulls / bad width raise
+    with pytest.raises(ValueError):
+        binary_col_to_matrix(pa.array([b"12345678", b"1234567890123456"]))
+    with pytest.raises(ValueError):
+        binary_col_to_matrix(pa.array([b"12345678", None]))
+    with pytest.raises(ValueError):
+        binary_col_to_matrix(pa.array([b"123"]))
