@@ -19,26 +19,74 @@ import zlib
 
 import numpy as np
 
-# 16-stop approximation of viridis (public-domain colormap values)
-_VIRIDIS = np.array(
-    [
-        (68, 1, 84), (72, 26, 108), (71, 47, 125), (65, 68, 135),
-        (57, 86, 140), (49, 104, 142), (42, 120, 142), (35, 136, 142),
-        (31, 152, 139), (34, 168, 132), (53, 183, 121), (84, 197, 104),
-        (122, 209, 81), (165, 219, 54), (210, 226, 27), (253, 231, 37),
-    ],
-    dtype=np.float64,
-)
+# 16-stop approximations of the viridis-family colormaps (the colormap
+# VALUES are public domain, CC0 — van der Walt & Smith).  The reference
+# forwards ``...`` to scale_fill_viridis_c/_d (R/main.R:819,827), whose
+# most-used knobs are option / limits / direction / na.value — mirrored
+# by plot_raster below.
+_CMAPS: dict[str, np.ndarray] = {
+    "viridis": np.array(
+        [
+            (68, 1, 84), (72, 26, 108), (71, 47, 125), (65, 68, 135),
+            (57, 86, 140), (49, 104, 142), (42, 120, 142), (35, 136, 142),
+            (31, 152, 139), (34, 168, 132), (53, 183, 121), (84, 197, 104),
+            (122, 209, 81), (165, 219, 54), (210, 226, 27), (253, 231, 37),
+        ],
+        dtype=np.float64,
+    ),
+    "magma": np.array(
+        [
+            (0, 0, 4), (11, 9, 36), (28, 16, 71), (59, 15, 112),
+            (88, 24, 126), (114, 31, 129), (140, 41, 129), (168, 50, 125),
+            (196, 60, 117), (222, 73, 104), (241, 96, 93), (250, 127, 94),
+            (254, 159, 109), (254, 191, 132), (253, 222, 160), (252, 253, 191),
+        ],
+        dtype=np.float64,
+    ),
+    "plasma": np.array(
+        [
+            (13, 8, 135), (51, 5, 151), (80, 2, 162), (106, 0, 168),
+            (132, 5, 167), (156, 23, 158), (177, 42, 144), (195, 61, 128),
+            (212, 80, 113), (226, 100, 98), (238, 121, 83), (246, 143, 68),
+            (252, 166, 54), (254, 192, 41), (249, 220, 36), (240, 249, 33),
+        ],
+        dtype=np.float64,
+    ),
+    "cividis": np.array(
+        [
+            (0, 32, 77), (0, 42, 100), (14, 52, 111), (51, 62, 110),
+            (74, 73, 109), (92, 84, 110), (109, 94, 113), (125, 105, 117),
+            (141, 116, 117), (158, 128, 113), (175, 140, 106), (192, 153, 96),
+            (210, 166, 83), (229, 180, 65), (248, 194, 42), (255, 234, 70),
+        ],
+        dtype=np.float64,
+    ),
+}
+
+
+def colormap(v: np.ndarray, option: str = "viridis", direction: int = 1) -> np.ndarray:
+    """v in [0,1] → (n,3) uint8 RGB via linear interpolation through a
+    16-stop table.  ``option`` picks the map (viridis/magma/plasma/
+    cividis — scale_fill_viridis_c's option knob); ``direction=-1``
+    reverses it (ggplot's direction)."""
+    table = _CMAPS.get(option)
+    if table is None:
+        raise ValueError(f"unknown colormap {option!r}; have {sorted(_CMAPS)}")
+    if direction == -1:
+        table = table[::-1]
+    elif direction != 1:
+        raise ValueError("direction must be 1 or -1")
+    v = np.clip(np.asarray(v, dtype=np.float64), 0.0, 1.0)
+    pos = v * (len(table) - 1)
+    lo = np.floor(pos).astype(int)
+    hi = np.minimum(lo + 1, len(table) - 1)
+    frac = (pos - lo)[:, None]
+    return (table[lo] * (1 - frac) + table[hi] * frac).astype(np.uint8)
 
 
 def viridis(v: np.ndarray) -> np.ndarray:
     """v in [0,1] → (n,3) uint8 RGB via linear interpolation."""
-    v = np.clip(np.asarray(v, dtype=np.float64), 0.0, 1.0)
-    pos = v * (len(_VIRIDIS) - 1)
-    lo = np.floor(pos).astype(int)
-    hi = np.minimum(lo + 1, len(_VIRIDIS) - 1)
-    frac = (pos - lo)[:, None]
-    return (_VIRIDIS[lo] * (1 - frac) + _VIRIDIS[hi] * frac).astype(np.uint8)
+    return colormap(v, "viridis")
 
 
 def write_png(path: str, rgb: np.ndarray) -> None:
@@ -147,6 +195,8 @@ def _compose(
     axis_ranges=None,
     legend=None,
     background=(255, 255, 255),
+    option: str = "viridis",
+    direction: int = 1,
 ) -> np.ndarray:
     """Assemble the final canvas: optional title band, axis frame +
     index labels, and a legend (continuous color bar with lo/hi
@@ -188,7 +238,7 @@ def _compose(
         if legend[0] == "continuous":
             lo, hi = legend[1], legend[2]
             bar_h = min(h, 100)
-            ramp = viridis(np.linspace(1.0, 0.0, bar_h))
+            ramp = colormap(np.linspace(1.0, 0.0, bar_h), option, direction)
             canvas[top : top + bar_h, lx : lx + 12] = ramp[:, None, :]
             draw_text(canvas, lx + 16, top, f"{hi:.4g}")
             draw_text(canvas, lx + 16, top + bar_h - 7, f"{lo:.4g}")
@@ -214,6 +264,10 @@ def plot_raster(
     plot_title=None,
     show_legend: bool = False,
     show_axis: bool = False,
+    option: str = "viridis",
+    direction: int = 1,
+    limits=None,
+    na_color=(127, 127, 127),
 ):
     """Render a pixel table (pandas DataFrame with ix, iy and value
     columns) to a PNG heatmap.
@@ -222,7 +276,11 @@ def plot_raster(
     columns (R/main.R:806-808 colSums/colMeans analog); any other name
     plots that exact column.  ``plot_title`` / ``show_legend`` /
     ``show_axis`` mirror plotTitle / showLegend / showAxis
-    (R/main.R:791-849).  Returns (path, width, height).
+    (R/main.R:791-849).  ``option`` / ``direction`` / ``limits`` /
+    ``na_color`` mirror the scale_fill_viridis_c(...) pass-through
+    (R/main.R:819): limits fix the fill scale's range and — like
+    ggplot's default oob censor — values OUTSIDE them render as
+    ``na_color`` (as do NaNs).  Returns (path, width, height).
     """
     ix = pixel_df["ix"].to_numpy()
     iy = pixel_df["iy"].to_numpy()
@@ -234,16 +292,33 @@ def plot_raster(
         v = vals.sum(axis=1) if feature_name == "sum" else vals.mean(axis=1)
     else:
         v = pixel_df[feature_name].to_numpy(dtype=np.float64)
-    # legend labels carry the DATA range even under log_scale — the
-    # log transform shapes the colors, not what the reader is told
-    legend = ("continuous", float(v.min()), float(v.max())) if show_legend else None
+    if limits is not None:
+        lo_lim, hi_lim = float(limits[0]), float(limits[1])
+        if not hi_lim > lo_lim:
+            raise ValueError("limits must be (lo, hi) with hi > lo")
+        v = np.where((v < lo_lim) | (v > hi_lim), np.nan, v)
+    finite = v[np.isfinite(v)]
+    # legend labels carry the SCALE range: explicit limits if given,
+    # else the data range — even under log_scale (the log transform
+    # shapes the colors, not what the reader is told)
+    if show_legend:
+        if limits is not None:
+            legend = ("continuous", lo_lim, hi_lim)
+        else:
+            legend = ("continuous", float(finite.min()), float(finite.max()))
+    else:
+        legend = None
     if log_scale:  # heavy-tailed fills (hot tiles) wash out linearly
         v = np.log1p(np.maximum(v, 0.0))
+        if limits is not None:
+            lo_lim, hi_lim = np.log1p(max(lo_lim, 0.0)), np.log1p(max(hi_lim, 0.0))
+    norm_limits = (lo_lim, hi_lim) if limits is not None else None
     axis_ranges = ((int(ix.min()), int(ix.max())), (int(iy.min()), int(iy.max())))
     return _paint(
         ix, iy, values=v, path=path, max_px=max_px, background=background,
         plot_title=plot_title, show_axis=show_axis, axis_ranges=axis_ranges,
-        legend=legend,
+        legend=legend, option=option, direction=direction,
+        norm_limits=norm_limits, na_color=na_color,
     )
 
 
@@ -257,15 +332,19 @@ def plot_raster_categorical(
     plot_title=None,
     show_legend: bool = False,
     show_axis: bool = False,
+    option: str = "viridis",
+    direction: int = 1,
 ):
     """Categorical fill (reference ``factor_levels`` + viridis_d,
     R/main.R:820-828): one row per cell with a label column; each
     level gets an evenly-spaced viridis color.  ``factor_levels``
-    also fixes the legend order.  Returns
-    (path, width, height, {level: rgb})."""
+    also fixes the legend order.  ``option`` / ``direction`` mirror
+    scale_fill_viridis_d's pass-through knobs (R/main.R:827).
+    Returns (path, width, height, {level: rgb})."""
     levels = list(factor_levels) if factor_levels else sorted(set(pixel_df[cat_col]))
     lut = {
-        lv: tuple(int(c) for c in viridis(np.array([k / max(1, len(levels) - 1)]))[0])
+        lv: tuple(int(c) for c in colormap(
+            np.array([k / max(1, len(levels) - 1)]), option, direction)[0])
         for k, lv in enumerate(levels)
     }
     codes = pixel_df[cat_col].map({lv: k for k, lv in enumerate(levels)}).to_numpy()
@@ -285,22 +364,40 @@ def plot_raster_categorical(
         show_axis=show_axis,
         axis_ranges=axis_ranges,
         legend=legend,
+        option=option,
+        direction=direction,
     )
     return path, w, h, lut
 
 
 def _paint(ix, iy, values, path, max_px, background, prenormalized=False,
-           plot_title=None, show_axis=False, axis_ranges=None, legend=None):
+           plot_title=None, show_axis=False, axis_ranges=None, legend=None,
+           option="viridis", direction=1, norm_limits=None,
+           na_color=(127, 127, 127)):
     nx = int(ix.max() - ix.min()) + 1
     ny = int(iy.max() - iy.min()) + 1
     scale = max(1, int(np.ceil(max(nx, ny) / max_px)))
-    # value → color (min-max normalized, like a continuous fill scale)
+    # value → color (normalized to the fill scale: explicit limits when
+    # given, else the finite data range); NaN / censored rows → na_color
+    values = np.asarray(values, dtype=np.float64)
+    na_mask = ~np.isfinite(values)
     if prenormalized:
-        norm = np.asarray(values, dtype=np.float64)
+        norm = values
     else:
-        lo, hi = float(values.min()), float(values.max())
-        norm = (values - lo) / (hi - lo) if hi > lo else np.full(len(values), 0.5)
-    rgb_vals = viridis(norm)
+        finite = values[~na_mask]
+        if norm_limits is not None:
+            lo, hi = norm_limits
+        elif len(finite):
+            lo, hi = float(finite.min()), float(finite.max())
+        else:
+            lo, hi = 0.0, 0.0
+        norm = (
+            (np.where(na_mask, 0.0, values) - lo) / (hi - lo)
+            if hi > lo else np.full(len(values), 0.5)
+        )
+    rgb_vals = colormap(norm, option, direction)
+    if na_mask.any():
+        rgb_vals[na_mask] = np.asarray(na_color, dtype=np.uint8)
 
     img = np.full((ny, nx, 3), background, dtype=np.uint8)
     img[(iy - iy.min()).astype(int), (ix - ix.min()).astype(int)] = rgb_vals
@@ -316,6 +413,7 @@ def _paint(ix, iy, values, path, max_px, background, prenormalized=False,
         img = _compose(
             np.ascontiguousarray(img), plot_title=plot_title, show_axis=show_axis,
             axis_ranges=axis_ranges, legend=legend, background=background,
+            option=option, direction=direction,
         )
     write_png(path, np.ascontiguousarray(img))
     return path, img.shape[1], img.shape[0]

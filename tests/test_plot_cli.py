@@ -447,3 +447,60 @@ def test_cli_embed_selfjoin_kcore(tmp_path):
     assert json.loads(r.stdout.strip().splitlines()[-1])["core_nodes"] == 6
     core = sorted(pq.read_table(str(tmp_path / "core")).to_pandas().node)
     assert core == [0, 1, 2, 3, 4, 5]
+
+
+def test_plot_fill_scale_passthrough_knobs(tmp_path):
+    """option / direction / limits / na_color parity with the
+    reference's scale_fill_viridis_c(...) pass-through (R/main.R:819):
+    magma endpoints paint, direction=-1 flips the ramp, out-of-limits
+    pixels render as na_color, and unknown options raise."""
+    import struct
+    import zlib
+
+    from rayraster.plot import colormap
+
+    df = pd.DataFrame(
+        {"ix": [0, 1, 2, 3], "iy": [0, 0, 0, 0], "sum_a": [1.0, 2.0, 3.0, 99.0]}
+    )
+
+    def pixels_of(path):
+        raw = open(path, "rb").read()
+        iw, ih = struct.unpack(">II", raw[16:24])
+        idat = raw.index(b"IDAT")
+        ln = struct.unpack(">I", raw[idat - 4 : idat])[0]
+        px = np.frombuffer(
+            zlib.decompress(raw[idat + 4 : idat + 4 + ln]), dtype=np.uint8
+        )
+        return set(map(tuple, px.reshape(ih, 1 + iw * 3)[:, 1:].reshape(-1, 3)))
+
+    # magma option: its endpoints (not viridis') appear in the legend bar
+    p, _, _ = plot_raster(
+        df, str(tmp_path / "m.png"), option="magma", show_legend=True
+    )
+    flat = pixels_of(p)
+    assert (0, 0, 4) in flat and (252, 253, 191) in flat
+    assert (68, 1, 84) not in flat
+    # direction=-1 maps the LOW end to the table's last stop
+    lo_rev = tuple(colormap(np.array([0.0]), "viridis", -1)[0])
+    assert lo_rev == (253, 231, 37)
+    p2, _, _ = plot_raster(df, str(tmp_path / "r.png"), direction=-1)
+    assert (253, 231, 37) in pixels_of(p2)
+    # limits censor: 99.0 falls outside (0, 4) and paints na_color;
+    # legend labels carry the explicit limits
+    p3, _, _ = plot_raster(
+        df, str(tmp_path / "lim.png"), limits=(0.0, 4.0),
+        na_color=(255, 0, 0), show_legend=True,
+    )
+    assert (255, 0, 0) in pixels_of(p3)
+    with pytest.raises(ValueError, match="unknown colormap"):
+        plot_raster(df, str(tmp_path / "x.png"), option="jet")
+    with pytest.raises(ValueError, match="limits"):
+        plot_raster(df, str(tmp_path / "x.png"), limits=(4.0, 0.0))
+    # categorical option/direction forwards to the level LUT
+    from rayraster.plot import plot_raster_categorical
+
+    cdf = pd.DataFrame({"ix": [0, 1], "iy": [0, 0], "lab": ["a", "b"]})
+    _, _, _, lut = plot_raster_categorical(
+        cdf, str(tmp_path / "c.png"), "lab", option="plasma"
+    )
+    assert lut["a"] == (13, 8, 135) and lut["b"] == (240, 249, 33)
