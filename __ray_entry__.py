@@ -1175,9 +1175,30 @@ def _q_exact_dedup(sf_dir: str):
         )
     ).map_batches(tag_bloom, batch_format="pyarrow")
 
+    # fourth path ('spanrm'): Lee et al. 2021 ExactSubstr-style
+    # duplicated-span REMOVAL — every word covered by an 8-gram shared
+    # by >= 2 docs is excised from EVERY copy; fp pins the rebuilt
+    # document's md5 (the twin rebuilds the same rule from \s+ words)
+    from rayraster.textops import remove_duplicate_ngram_spans
+
+    cleaned = remove_duplicate_ngram_spans(
+        base, n=8, num_partitions=_parts_for(n), corpus_count=n
+    )
+
+    def tag_spanrm(t: pa.Table) -> pa.Table:
+        h = add_content_hash(t, "text", "_fp")
+        return pa.table(
+            {
+                "path": pa.array(["spanrm"] * t.num_rows, type=pa.string()),
+                "doc_id": h["doc_id"].cast(pa.int64()),
+                "fp": h["_fp"].cast(pa.string()),
+            }
+        )
+
     return keep.map_batches(tag_exact, batch_format="pyarrow").union(
         rebuilt.map_batches(tag_para, batch_format="pyarrow"),
         bloom_rows,
+        cleaned.map_batches(tag_spanrm, batch_format="pyarrow"),
     )
 
 
@@ -3109,9 +3130,40 @@ bloom AS (
       SELECT 1 FROM documents e
       WHERE e.doc_id % 2 = 0 AND e.text = d.text
     )
+),
+sw AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sg AS (
+  -- all 8-gram occurrences with their 0-based start position; the
+  -- constant range bound + WHERE is the chunk-windows twin idiom
+  -- (docs cap well under 256 words)
+  SELECT doc_id, k AS p, array_to_string(ws[k+1:k+8], ' ') AS g
+  FROM sw, range(0, 256) t(k) WHERE k + 8 <= len(ws)
+),
+ssh AS (SELECT g FROM sg GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+scov AS (
+  SELECT DISTINCT sg.doc_id, sg.p + o.j AS cp
+  FROM sg JOIN ssh USING (g), range(0, 8) o(j)
+),
+skept AS (
+  SELECT w.doc_id, w.p, w.word
+  FROM (
+    SELECT doc_id, unnest(ws) AS word, unnest(range(0, len(ws))) AS p FROM sw
+  ) w
+  LEFT JOIN scov c ON c.doc_id = w.doc_id AND c.cp = w.p
+  WHERE c.doc_id IS NULL
+),
+spanrm AS (
+  SELECT 'spanrm' AS path, d.doc_id, md5(COALESCE(s.txt, '')) AS fp
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS txt
+    FROM skept GROUP BY doc_id
+  ) s ON d.doc_id = s.doc_id
 )
 SELECT * FROM exact UNION ALL SELECT * FROM para
-UNION ALL SELECT * FROM bloom"""
+UNION ALL SELECT * FROM bloom UNION ALL SELECT * FROM spanrm"""
 
 
 def _sql_minhash() -> str:

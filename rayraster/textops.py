@@ -1643,6 +1643,211 @@ def cross_doc_ngram_stats(
     )
 
 
+def remove_duplicate_ngram_spans(
+    ds,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+    corpus_count: int | None = None,
+):
+    """Exact duplicated-substring REMOVAL (the deduplication act of
+    Lee et al. 2021, arXiv:2107.06499 §4 "ExactSubstr" — word-granular
+    here instead of suffix-array byte spans): every word position
+    covered by any word ``n``-gram that occurs in ≥ ``min_docs``
+    DISTINCT documents is removed from every document (all copies —
+    Lee et al. drop every occurrence, unlike keep-first document
+    dedup), and each document is rebuilt from its surviving words
+    (single-space joined, the corpus' ``\\s+`` token convention).
+
+    Returns a Dataset of ``(id_col, text_col [rebuilt], n_words,
+    n_removed)`` — one row per input document (unchanged docs pass
+    through; a fully-covered doc rebuilds to ``''``).
+
+    Plan (2 hash-partitioned shuffles, nothing driver-side):
+
+    1. ``map_batches``: ALL word n-gram occurrences as
+       ``(gram, doc, pos)`` rows partitioned by ``fnv1a64(gram)`` —
+       every occurrence of a gram lands in ONE partition;
+    2. ``groupby(part).map_groups``: per-gram DISTINCT-doc counts
+       (dictionary codes + lexsort, partition-complete), keep the
+       occurrences of grams meeting ``min_docs``, emit ``(doc, pos)``
+       covered-start markers re-keyed by ``fnv-mix(doc)``;
+    3. markers UNION the docs table (side-tagged, same partition key)
+       → ``groupby(part).map_groups``: per group, one vectorized
+       interval-coverage pass (+1/−1 deltas at span ends, cumsum > 0)
+       over the flat word array, rebuild via ``ListArray`` offsets +
+       ``binary_join`` — the same reassembly kernel shape as
+       :func:`~rayraster.dedup.paragraph_dedup`.
+
+    The gram STRINGS ride the first exchange (oracle-bound); at
+    10^12-doc scale substitute int64 gram hashes (documented trade:
+    ~|grams|²/2⁶⁵ over-removal risk) or a true distributed suffix
+    array.  No reference analog (SEraster is spatial-only) —
+    task-brief training-data extension.
+    """
+    from rayraster.dedup import _adaptive_parts
+    from rayraster.geo import fnv1a64
+
+    P = _adaptive_parts(corpus_count, num_partitions)
+    _MIX = np.int64(2654435761)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gram": pa.array([], type=pa.string()),
+                "_doc": pa.array([], type=pa.int64()),
+                "_pos": pa.array([], type=pa.int64()),
+                "_part": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = _combined(pc.fill_null(batch[text_col], ""))
+        flat, doc = _split_words_flat(t)
+        m = len(flat)
+        cnt = m - n + 1
+        if cnt <= 0:
+            return empty
+        parts = [flat.slice(i, cnt) for i in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        valid = doc[:cnt] == doc[n - 1 :]
+        grams = grams.filter(pa.array(valid))
+        if len(grams) == 0:
+            return empty
+        gdoc = doc[:cnt][valid]
+        # within-doc start position of each gram: global word index −
+        # the doc's first flat index (docs are contiguous in flat)
+        wcounts = np.bincount(doc, minlength=batch.num_rows)
+        wstarts = np.concatenate(([0], np.cumsum(wcounts)))[:-1]
+        gpos = np.flatnonzero(valid) - wstarts[gdoc]
+        part = (fnv1a64(grams) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {
+                "gram": grams,
+                "_doc": pa.array(ids[gdoc]),
+                "_pos": pa.array(gpos.astype(np.int64)),
+                "_part": pa.array(part),
+            }
+        )
+
+    occurrences = ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+    def mark(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "_doc": pa.array([], type=pa.int64()),
+                "_pos": pa.array([], type=pa.int64()),
+                "_part": pa.array([], type=pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        codes = (
+            pc.dictionary_encode(_combined(group["gram"]))
+            .indices.to_numpy()
+            .astype(np.int64)
+        )
+        d = group["_doc"].to_numpy(zero_copy_only=False)
+        # distinct docs per gram: sort (code, doc), count pair firsts
+        order = np.lexsort((d, codes))
+        cs, dsrt = codes[order], d[order]
+        newpair = np.ones(len(cs), dtype=bool)
+        newpair[1:] = (cs[1:] != cs[:-1]) | (dsrt[1:] != dsrt[:-1])
+        ndocs = np.bincount(cs[newpair])
+        shared = ndocs[codes] >= min_docs
+        if not shared.any():
+            return empty
+        dd = d[shared]
+        part2 = np.abs(dd * _MIX) % np.int64(P)
+        return pa.table(
+            {
+                "_doc": pa.array(dd),
+                "_pos": group["_pos"].filter(pa.array(shared)),
+                "_part": pa.array(part2),
+            }
+        )
+
+    markers = occurrences.groupby("_part").map_groups(mark, batch_format="pyarrow")
+
+    # side-tagged union: markers (text NULL) + the docs table (pos −1),
+    # co-located by the same doc-keyed partition id
+    def doc_side(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.abs(ids * _MIX) % np.int64(P)
+        return pa.table(
+            {
+                "_doc": pa.array(ids),
+                "_pos": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+                "_part": pa.array(part),
+                "_text": pc.fill_null(batch[text_col], "").cast(pa.string()),
+            }
+        )
+
+    def marker_side(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_text", pa.nulls(batch.num_rows, type=pa.string()))
+
+    both = ds.map_batches(doc_side, batch_format="pyarrow").union(
+        markers.map_batches(marker_side, batch_format="pyarrow")
+    )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                text_col: pa.array([], type=pa.string()),
+                "n_words": pa.array([], type=pa.int64()),
+                "n_removed": pa.array([], type=pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        is_doc = (
+            group["_pos"].to_numpy(zero_copy_only=False).astype(np.int64) == -1
+        )
+        docs_t = group.filter(pa.array(is_doc))
+        if docs_t.num_rows == 0:
+            return empty
+        ids = docs_t["_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = _combined(docs_t["_text"])
+        flat, wdoc = _split_words_flat(texts)
+        nd = docs_t.num_rows
+        wcounts = np.bincount(wdoc, minlength=nd)
+        wstarts = np.concatenate(([0], np.cumsum(wcounts)))[:-1]
+        m = len(flat)
+        covered = np.zeros(m, dtype=bool)
+        mk = group.filter(pa.array(~is_doc))
+        if mk.num_rows:
+            mdoc = mk["_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mpos = mk["_pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sids = np.argsort(ids, kind="stable")
+            didx = sids[np.searchsorted(ids, mdoc, sorter=sids)]
+            g0 = wstarts[didx] + mpos
+            delta = np.zeros(m + 1, dtype=np.int64)
+            np.add.at(delta, g0, 1)
+            np.add.at(delta, g0 + n, -1)  # span ends stay inside the doc
+            covered = np.cumsum(delta[:m]) > 0
+        kept = flat.filter(pa.array(~covered))
+        kept_counts = np.bincount(wdoc[~covered], minlength=nd).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(kept_counts)))
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), kept.cast(pa.string())
+        )
+        rebuilt = pc.binary_join(lists, " ")
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                text_col: rebuilt.cast(pa.string()),
+                "n_words": pa.array(wcounts.astype(np.int64)),
+                "n_removed": pa.array((wcounts - kept_counts).astype(np.int64)),
+            }
+        )
+
+    return both.groupby("_part").map_groups(rebuild, batch_format="pyarrow")
+
+
 def corpus_freq_score(
     ds,
     text_col: str = "text",

@@ -693,3 +693,101 @@ def test_normalize_text_matches_twin_and_edges(ray_session, tmp_path):
     assert got[1] == "tabs and newlines"
     assert got[3] is None and got[4] == ""
     assert got[6] == "nbsp stays"
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span removal (Lee et al. 2021 ExactSubstr, word-granular)
+# ---------------------------------------------------------------------------
+
+
+def _spanrm_brute(texts, n=3, min_docs=2):
+    """Local reference: remove every word covered by an n-gram shared
+    by >= min_docs distinct docs; rebuild with single spaces."""
+    words = [t.split() if t else [] for t in texts]
+    from collections import defaultdict
+
+    docs_of = defaultdict(set)
+    for d, ws in enumerate(words):
+        for i in range(len(ws) - n + 1):
+            docs_of[" ".join(ws[i : i + n])].add(d)
+    out = []
+    for d, ws in enumerate(words):
+        cov = [False] * len(ws)
+        for i in range(len(ws) - n + 1):
+            if len(docs_of[" ".join(ws[i : i + n])]) >= min_docs:
+                for j in range(i, i + n):
+                    cov[j] = True
+        out.append(" ".join(w for w, c in zip(ws, cov) if not c))
+    return out
+
+
+def test_remove_duplicate_ngram_spans_matches_brute(ray_session):
+    from rayraster.textops import remove_duplicate_ngram_spans
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{k}" for k in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 40)))
+        for _ in range(120)
+    ]
+    # inject a literal shared run into several docs (mid-span overlap)
+    shared = "alpha beta gamma delta epsilon"
+    texts[3] = texts[3] + " " + shared
+    texts[7] = shared + " " + texts[7]
+    texts[11] = shared  # whole doc removed
+    docs = pa.table({"doc_id": np.arange(len(texts), dtype=np.int64),
+                     "text": texts})
+    want = _spanrm_brute(texts, n=3)
+    out = (
+        remove_duplicate_ngram_spans(rd.from_arrow(docs), n=3, num_partitions=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["text"]) == want
+    assert (out["n_words"] == [len(t.split()) for t in texts]).all()
+    assert (
+        out["n_removed"]
+        == [len(t.split()) - len(w.split()) for t, w in zip(texts, want)]
+    ).all()
+
+
+def test_remove_duplicate_ngram_spans_edges(ray_session):
+    from rayraster.textops import remove_duplicate_ngram_spans
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "a b c d e f g",          # shares 'b c d' with doc 2
+            "x b c d y",
+            "p q p q p q",            # within-ONE-doc repeat: untouched
+            None,                      # NULL text -> ''
+            "s t",                     # shorter than n: untouched
+        ],
+    })
+    out = (
+        remove_duplicate_ngram_spans(rd.from_arrow(docs), n=3, num_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["text"]) == ["a e f g", "x y", "p q p q p q", "", "s t"]
+    assert list(out["n_removed"]) == [3, 3, 0, 0, 0]
+
+
+def test_remove_duplicate_ngram_spans_partition_invariant(ray_session):
+    from rayraster.textops import remove_duplicate_ngram_spans
+
+    rng = np.random.default_rng(5)
+    vocab = [f"t{k}" for k in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=20)) for _ in range(60)]
+    docs = pa.table({"doc_id": np.arange(60, dtype=np.int64), "text": texts})
+
+    def run(parts, blocks):
+        ds = rd.from_arrow(docs)
+        if blocks > 1:
+            ds = ds.repartition(blocks)
+        return (
+            remove_duplicate_ngram_spans(ds, n=4, num_partitions=parts)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+
+    a, b = run(4, 1), run(13, 7)
+    assert list(a["text"]) == list(b["text"])
+    assert list(a["n_removed"]) == list(b["n_removed"])
