@@ -1037,8 +1037,23 @@ SELECT qid, vec_id, "rank" FROM (
 _DUP_OFFSET = 1_000_000
 
 
-def _docs(sf_dir: str, columns=("doc_id", "text")):
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+def _docs(sf_dir: str, columns=("doc_id", "text"), blocks: int | None = None):
+    """documents.parquet, column-pruned, block count sized to the
+    corpus (parquet metadata row count — a local footer read, no
+    execution).  Ray's default SplitBlocks(64) hands every downstream
+    sort exchange 64 tiny blocks and the per-block fixed cost
+    dominates at these corpus sizes (measured on the d1 spanrm path:
+    7.0 s → 1.5 s going 64 → 16 read blocks at sf0.1; d1's four paths
+    27.7 s → 11.2 s)."""
+    if blocks is None:
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        blocks = max(8, min(32, n // 256))
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=list(columns),
+        override_num_blocks=blocks,
+    )
 
 
 def _gate_cache_path(name: str, sf_dir: str, n: int) -> str:
@@ -1098,7 +1113,7 @@ def _q_exact_dedup(sf_dir: str):
     from rayraster.sketch import bloom_mark, build_bloom
 
     base = _docs(sf_dir)
-    n = base.count()
+    n = base.count()  # parquet metadata count — no execution
     keep = exact_dedup_keep_ids(_with_exact_copies(base), num_partitions=_parts_for(2 * n))
 
     def tag_exact(t: pa.Table) -> pa.Table:
