@@ -858,22 +858,25 @@ def k_core(
     cores; isolated tails don't).
 
     Iterative peeling, all distributed: each round computes degrees
-    over the SURVIVING edge set (one aggregate) and drops every node
-    below ``k`` plus its edges.  The drop has two shapes, picked per
-    ROUND by the dying-node count the driver already has:
+    over the SURVIVING edge set and drops every node below ``k`` plus
+    its edges.  Both halves of the round are adaptive to the O(V)
+    state sizes the driver already tracks:
 
-    * ``dying ≤ broadcast_threshold`` (the overwhelmingly common
-      case — peeling kills a thin shell per round): the dying ids
-      ship ONCE via ``ray.put`` and both endpoint checks collapse to
-      a map-only ``is_in`` filter — ZERO exchanges for the round
-      (≤ ~800 KB broadcast at the default threshold).
-    * above the threshold (a mass extinction round on an adversarial
-      graph): two anti bucket joins, nothing driver-side.
+    * degree computation — once the surviving NODE count is known to
+      be ≤ ``broadcast_threshold``, it is a map-only per-batch
+      endpoint-bincount pass folded on the driver (the same
+      small-state-on-driver shape as ``bfs_depths``; driver traffic
+      is bounded by batches × alive nodes) — ZERO exchanges; above
+      the threshold (or on the first round, before the node count is
+      known) it is one hash-partitioned aggregate.
+    * the drop — ``dying ≤ broadcast_threshold`` (the common thin
+      shell): dying ids ship ONCE via ``ray.put``, both endpoint
+      checks collapse to a map-only ``is_in`` filter — zero
+      exchanges; above it: two anti bucket joins, nothing
+      driver-side.
 
-    A round that kills nobody is the fixpoint.  The driver sees one
-    int64 (the dying count) per round plus the broadcast-path id
-    lists, each bounded by the threshold.  Rounds are bounded by the
-    peeling depth (≤ n/2 pathological chains; raises at
+    A round that kills nobody is the fixpoint.  Rounds are bounded by
+    the peeling depth (≤ n/2 pathological chains; raises at
     ``max_rounds`` rather than looping forever).
 
     Returns a Dataset of ``(node,)``.
@@ -881,6 +884,7 @@ def k_core(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     import ray
+    import ray.data as rd
     import pyarrow.compute as pc
 
     from rayraster.agg import hash_aggregate
@@ -890,35 +894,78 @@ def k_core(
     und_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
     node_schema = pa.schema([("node", pa.int64())])
     cur = _undirected_distinct(edges, P).materialize()
+    # surviving node count — exact after the first round; before it,
+    # the 2·|E| endpoint bound lets small graphs skip the aggregate
+    # from round 1
+    alive_n: int | None = 2 * edge_count if edge_count is not None else None
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        ends = np.concatenate([
+            t["lo"].to_numpy(zero_copy_only=False),
+            t["hi"].to_numpy(zero_copy_only=False),
+        ])
+        uniq, cnt = np.unique(ends, return_counts=True)
+        return pa.table({"node": pa.array(uniq), "cnt": pa.array(cnt.astype(np.int64))})
 
     # max_rounds KILL-rounds plus one final fixpoint check (without the
     # +1, a graph converging on exactly the last kill would spuriously
     # raise before its fixpoint check could run)
     for _ in range(max_rounds + 1):
-        # deg already holds the surviving node set — it serves BOTH the
-        # dying filter and the fixpoint projection (no extra distinct
-        # pass over the final edge set)
-        deg = hash_aggregate(
-            cur.map_batches(_edge_endpoints, batch_format="pyarrow"),
-            ["node"], count=True, count_name="deg", num_partitions=P,
-        ).materialize()
-        dying = deg.map_batches(
-            lambda t: t.filter(pc.less(t["deg"], k)).select(["node"]),
-            batch_format="pyarrow",
-        ).materialize()  # consumed twice (both drops) + counted
-        n_dying = dying.count()
-        if n_dying == 0:
-            return deg.map_batches(
-                lambda t: t.select(["node"]), batch_format="pyarrow"
-            )
-        if n_dying <= broadcast_threshold:
-            ids = np.sort(
-                np.fromiter(
-                    (r["node"] for r in dying.take_all()), dtype=np.int64,
-                    count=n_dying,
+        if alive_n is not None and alive_n <= broadcast_threshold:
+            # driver-state round: fold per-batch degree partials
+            nparts, cparts = [], []
+            for b in cur.map_batches(
+                _deg_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow"):
+                nparts.append(b["node"].to_numpy(zero_copy_only=False))
+                cparts.append(b["cnt"].to_numpy(zero_copy_only=False))
+            if nparts:
+                nodes = np.concatenate(nparts)
+                uniq, inv = np.unique(nodes, return_inverse=True)
+                degs = np.bincount(
+                    inv, weights=np.concatenate(cparts)
+                ).astype(np.int64)
+            else:
+                uniq = np.zeros(0, dtype=np.int64)
+                degs = uniq
+            dying_ids = uniq[degs < k]
+            alive_ids = uniq[degs >= k]
+            alive_n = len(alive_ids)
+            n_dying = len(dying_ids)
+            if n_dying == 0:
+                return rd.from_arrow(pa.table({"node": pa.array(alive_ids)}))
+            # dying ≤ uniq ≤ the previous round's alive bound ≤ the
+            # threshold, so the drop in this mode is always broadcast
+            dying = None
+        else:
+            # deg already holds the surviving node set — it serves BOTH
+            # the dying filter and the fixpoint projection (no extra
+            # distinct pass over the final edge set)
+            deg = hash_aggregate(
+                cur.map_batches(_edge_endpoints, batch_format="pyarrow"),
+                ["node"], count=True, count_name="deg", num_partitions=P,
+            ).materialize()
+            alive_n = deg.count()  # metadata count on the materialized set
+            dying = deg.map_batches(
+                lambda t: t.filter(pc.less(t["deg"], k)).select(["node"]),
+                batch_format="pyarrow",
+            ).materialize()  # consumed twice (both drops) + counted
+            n_dying = dying.count()
+            alive_n -= n_dying
+            if n_dying == 0:
+                return deg.map_batches(
+                    lambda t: t.select(["node"]), batch_format="pyarrow"
                 )
-            )
-            ref = ray.put(ids)
+            dying_ids = None
+        if n_dying <= broadcast_threshold:
+            if dying_ids is None:
+                dying_ids = np.sort(
+                    np.fromiter(
+                        (r["node"] for r in dying.take_all()), dtype=np.int64,
+                        count=n_dying,
+                    )
+                )
+            ref = ray.put(dying_ids)
 
             def drop_bcast(t: pa.Table, _ref=ref) -> pa.Table:
                 vs = pa.array(ray.get(_ref))

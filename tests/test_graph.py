@@ -426,3 +426,27 @@ def test_bfs_depths_matches_local_reference(ray_session):
     assert 10**9 not in want
     with pytest.raises(ValueError, match="at least one source"):
         bfs_depths(rd.from_arrow(edges), [])
+
+
+def test_k_core_all_round_shapes_agree(ray_session):
+    """The peel must be identical through every round shape: pure
+    driver-state (edge_count seeds the bound), dataset-mode degrees +
+    anti-join drops (threshold 0), and the mixed driver-degrees →
+    dataset-drop path (threshold between shell size and node count)."""
+    from rayraster.graph import k_core
+
+    rng = np.random.default_rng(41)
+    n, m = 150, 500
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    want = _local_k_core(src, dst, n, 3)
+
+    def run(**kw):
+        return sorted(
+            k_core(_edges_ds(src, dst), k=3, num_buckets=4, **kw)
+            .to_pandas()["node"].tolist()
+        )
+
+    assert run(edge_count=m) == want                      # driver rounds
+    assert run(broadcast_threshold=0) == want             # all-dataset
+    assert run(edge_count=m, broadcast_threshold=2) == want  # mixed
