@@ -218,6 +218,20 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
     ).materialize()
     summary["rows_after_near_dedup"] = docs.count()
 
+    # 4a2. duplicated-SPAN removal (Lee et al. 2021 ExactSubstr):
+    # document-level dedup leaves DISTINCT pages that still share
+    # boilerplate runs (navbars, license blocks, templated footers) —
+    # excise every word run covered by an 8-gram appearing in ≥ 2
+    # surviving docs; url/quality metadata rides the rebuild exchange
+    # (keep_cols), so no join back
+    from rayraster.textops import remove_duplicate_ngram_spans
+
+    docs = remove_duplicate_ngram_spans(
+        docs, n=8, corpus_count=summary["rows_after_near_dedup"],
+        keep_cols=("url", "quality"),
+    ).materialize()
+    summary["span_words_removed"] = int(docs.sum("n_removed") or 0)
+
     # 4b. token budget of the surviving corpus: the pre-token count
     # AND the trained-merge count (train a small byte-pair merge table
     # on the corpus with the distributed pair-count fold, then apply

@@ -123,7 +123,17 @@ def cmd_dedup(args) -> int:
     ds = rd.read_parquet(files, columns=[args.id_col, args.text_col])
     ds_schema = ds.schema()  # raw read — probe reads one block's metadata
     n_in = ds.count()
-    if args.method == "exact":
+    if args.method == "spanrm":
+        # duplicated-SPAN removal: output is the rebuilt corpus (one
+        # row per doc with the cleaned text + removal stats), not a
+        # keep list — every copy of a shared n-gram run is excised
+        from rayraster.textops import remove_duplicate_ngram_spans
+
+        keep = remove_duplicate_ngram_spans(
+            ds, n=args.ngram, text_col=args.text_col, id_col=args.id_col,
+            corpus_count=n_in,
+        )
+    elif args.method == "exact":
         keep = exact_dedup_keep_ids(ds, args.text_col, args.id_col)
     else:
         pairs = minhash_lsh_pairs(
@@ -527,13 +537,15 @@ def main(argv=None) -> int:
     s.add_argument("--parallelism", type=int, default=64)
     s.set_defaults(fn=cmd_synth)
 
-    d = sub.add_parser("dedup", help="exact or near dedup of a corpus")
+    d = sub.add_parser("dedup", help="exact, near, or duplicated-span dedup of a corpus")
     d.add_argument("--input", required=True)
     d.add_argument("--out", required=True)
-    d.add_argument("--method", choices=["exact", "minhash"], default="exact")
+    d.add_argument("--method", choices=["exact", "minhash", "spanrm"], default="exact")
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--text-col", default="text")
     d.add_argument("--threshold", type=float, default=0.8)
+    d.add_argument("--ngram", type=int, default=8,
+                   help="span-removal n-gram width (spanrm only)")
     d.add_argument("--verify-mode", choices=["auto", "broadcast", "partitioned"],
                    default="auto")
     d.set_defaults(fn=cmd_dedup)

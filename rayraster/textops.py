@@ -1651,6 +1651,7 @@ def remove_duplicate_ngram_spans(
     id_col: str = "doc_id",
     num_partitions: int = 64,
     corpus_count: int | None = None,
+    keep_cols: tuple = (),
 ):
     """Exact duplicated-substring REMOVAL (the deduplication act of
     Lee et al. 2021, arXiv:2107.06499 §4 "ExactSubstr" — word-granular
@@ -1662,8 +1663,10 @@ def remove_duplicate_ngram_spans(
     (single-space joined, the corpus' ``\\s+`` token convention).
 
     Returns a Dataset of ``(id_col, text_col [rebuilt], n_words,
-    n_removed)`` — one row per input document (unchanged docs pass
-    through; a fully-covered doc rebuilds to ``''``).
+    n_removed, *keep_cols)`` — one row per input document (unchanged
+    docs pass through; a fully-covered doc rebuilds to ``''``).
+    ``keep_cols`` ride the doc side of the rebuild exchange, so a
+    pipeline keeps its metadata columns without a join back.
 
     Plan (2 hash-partitioned shuffles, nothing driver-side):
 
@@ -1774,10 +1777,16 @@ def remove_duplicate_ngram_spans(
 
     # side-tagged union: markers (text NULL) + the docs table (pos −1),
     # co-located by the same doc-keyed partition id
+    keep_types: dict | None = None
+    if keep_cols:
+        sch = ds.schema()  # metadata probe on the (usually read) input
+        base = sch.base_schema if hasattr(sch, "base_schema") else sch
+        keep_types = {c: base.field(c).type for c in keep_cols}
+
     def doc_side(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         part = np.abs(ids * _MIX) % np.int64(P)
-        return pa.table(
+        t = pa.table(
             {
                 "_doc": pa.array(ids),
                 "_pos": pa.array(np.full(len(ids), -1, dtype=np.int64)),
@@ -1785,9 +1794,15 @@ def remove_duplicate_ngram_spans(
                 "_text": pc.fill_null(batch[text_col], "").cast(pa.string()),
             }
         )
+        for c in keep_cols:
+            t = t.append_column(c, batch[c])
+        return t
 
     def marker_side(batch: pa.Table) -> pa.Table:
-        return batch.append_column("_text", pa.nulls(batch.num_rows, type=pa.string()))
+        batch = batch.append_column("_text", pa.nulls(batch.num_rows, type=pa.string()))
+        for c in keep_cols:
+            batch = batch.append_column(c, pa.nulls(batch.num_rows, type=keep_types[c]))
+        return batch
 
     both = ds.map_batches(doc_side, batch_format="pyarrow").union(
         markers.map_batches(marker_side, batch_format="pyarrow")
@@ -1800,6 +1815,7 @@ def remove_duplicate_ngram_spans(
                 text_col: pa.array([], type=pa.string()),
                 "n_words": pa.array([], type=pa.int64()),
                 "n_removed": pa.array([], type=pa.int64()),
+                **{c: pa.array([], type=keep_types[c]) for c in keep_cols},
             }
         )
         if group.num_rows == 0:
@@ -1842,6 +1858,7 @@ def remove_duplicate_ngram_spans(
                 text_col: rebuilt.cast(pa.string()),
                 "n_words": pa.array(wcounts.astype(np.int64)),
                 "n_removed": pa.array((wcounts - kept_counts).astype(np.int64)),
+                **{c: docs_t[c] for c in keep_cols},
             }
         )
 

@@ -791,3 +791,24 @@ def test_remove_duplicate_ngram_spans_partition_invariant(ray_session):
     a, b = run(4, 1), run(13, 7)
     assert list(a["text"]) == list(b["text"])
     assert list(a["n_removed"]) == list(b["n_removed"])
+
+
+def test_remove_duplicate_ngram_spans_keep_cols(ray_session):
+    from rayraster.textops import remove_duplicate_ngram_spans
+
+    docs = pa.table({
+        "doc_id": [1, 2],
+        "text": ["a b c d", "z a b c q"],
+        "url": ["u1", "u2"],
+        "quality": [0.5, 0.9],
+    })
+    out = (
+        remove_duplicate_ngram_spans(
+            rd.from_arrow(docs), n=3, num_partitions=4,
+            keep_cols=("url", "quality"),
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["url"]) == ["u1", "u2"]
+    assert list(out["quality"]) == [0.5, 0.9]
+    assert list(out["text"]) == ["d", "z q"]

@@ -504,3 +504,36 @@ def test_plot_fill_scale_passthrough_knobs(tmp_path):
         cdf, str(tmp_path / "c.png"), "lab", option="plasma"
     )
     assert lut["a"] == (13, 8, 135) and lut["b"] == (240, 249, 33)
+
+
+def test_cli_dedup_spanrm(tmp_path):
+    """CLI span-removal surface: shared 3-gram runs excised from every
+    copy, rebuilt corpus written with removal stats."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    shared = "alpha beta gamma"
+    pq.write_table(
+        pa.table({
+            "doc_id": [0, 1, 2],
+            "text": [f"one {shared} two", f"{shared} three", "untouched words here"],
+        }),
+        str(corpus / "d.parquet"),
+    )
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "dedup", "--method", "spanrm", "--ngram", "3",
+         "--input", str(corpus / "*.parquet"),
+         "--out", str(tmp_path / "clean")],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rows_in"] == 3 and summary["rows_kept"] == 3
+    got = pq.read_table(str(tmp_path / "clean")).to_pandas().sort_values("doc_id")
+    assert list(got.text) == ["one two", "three", "untouched words here"]
+    assert list(got.n_removed) == [3, 3, 0]
