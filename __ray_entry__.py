@@ -197,10 +197,51 @@ def _q_rotations(sf_dir: str):
 
 
 def _q_multires(sf_dir: str):
+    """Multi-resolution rollup, BOTH grid systems in one recorded row
+    set (path-tagged, same 50-query-cap merge pattern as r7/d8):
+
+    * path='quadtree' — planar: fine rasterize at res 15, packed-id
+      quad-tree rollup one level, vs a direct res-30 oracle.
+    * path='s2' — spherical: vectorized S2-style encode (lon/lat →
+      unit sphere → cube face → quadratic ST → Hilbert position →
+      packed hierarchical int64 id, rayraster/s2cell.py) at level 7,
+      ONE hash-shuffle cell aggregate, then a points-free bit-op
+      rollup 2 levels to level 5 — vs a DuckDB twin that recomputes
+      face/ST/Hilbert at level 5 DIRECTLY (recursive CTE), so the
+      gate proves both the float/trig/Hilbert parity and the
+      fine→coarse nesting property.  Columns are reused: ix=face,
+      iy=packed cell id, cx/cy=dyadic ST cell centers.
+    """
+    from rayraster.s2cell import s2_aggregate, s2_cell_center_st, s2_rollup
+
     pts = load_doc_points(sf_dir, columns=("doc_id", "n_chars"))
     fine, spec = _rf(pts, 15.0, ["n_chars"], fun="sum", with_meta=False)
     coarse, _ = rollup_quadtree(fine, spec, ["sum_n_chars"], levels_up=1)
-    return coarse.select_columns(["ix", "iy", "cx", "cy", "num_cell", "sum_n_chars"])
+    quad = coarse.select_columns(
+        ["ix", "iy", "cx", "cy", "num_cell", "sum_n_chars"]
+    ).map_batches(_tagger("quadtree"), batch_format="pyarrow")
+
+    cells = s2_aggregate(pts, 7, ["n_chars"])
+    rolled = s2_rollup(cells, ["sum_n_chars"], levels_up=2)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ic = t["s2_i"].to_numpy(zero_copy_only=False)
+        jc = t["s2_j"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ix": t["s2_face"],
+                "iy": t["s2_id"],
+                "cx": pa.array(s2_cell_center_st(ic, 5)),
+                "cy": pa.array(s2_cell_center_st(jc, 5)),
+                "num_cell": t["num_cell"],
+                "sum_n_chars": t["sum_n_chars"],
+            }
+        )
+
+    sph = rolled.map_batches(finish, batch_format="pyarrow").map_batches(
+        _tagger("s2"), batch_format="pyarrow"
+    )
+    return quad.union(sph)
 
 
 # clip polygon (CCW ring, vertices chosen so no point lies on an edge)
@@ -684,9 +725,14 @@ FROM cells2 GROUP BY rotation, ix, iy, cx, cy"""
 
 
 def _sql_multires() -> str:
-    # direct coarse binning at 2×15 with the res-15 pad-rule origin —
-    # must equal the engine's fine→parent quad-tree rollup
-    return f"""WITH {_PTS}, {_bb(15.0)},
+    # quadtree arm: direct coarse binning at 2×15 with the res-15
+    # pad-rule origin — must equal the engine's fine→parent rollup.
+    # s2 arm: direct level-5 S2 encode (recursive-CTE Hilbert,
+    # rayraster/s2cell.py:s2_sql_cte) — must equal the engine's
+    # level-7 encode + 2-level bit-op rollup.
+    from rayraster.s2cell import s2_sql_cte
+
+    return f"""WITH RECURSIVE {_PTS}, {_bb(15.0)},
 cells AS (
   SELECT p.n_chars,
          CAST(greatest(ceiling((p.x - b.x0) / 30.0) - 1, 0) AS BIGINT) AS ix,
@@ -697,10 +743,16 @@ cells AS (
 cells2 AS (
   SELECT *, x0 + (ix + 0.5) * 30.0 AS cx, y0 + (iy + 0.5) * 30.0 AS cy
   FROM cells
-)
-SELECT ix, iy, cx, cy, COUNT(*) AS num_cell,
+),
+{s2_sql_cte(5)}
+SELECT 'quadtree' AS path, ix, iy, cx, cy, COUNT(*) AS num_cell,
        CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
-FROM cells2 GROUP BY ix, iy, cx, cy"""
+FROM cells2 GROUP BY ix, iy, cx, cy
+UNION ALL
+SELECT 's2' AS path, face AS ix, cell_id AS iy,
+       (ci + 0.5) / 32.0 AS cx, (cj + 0.5) / 32.0 AS cy,
+       COUNT(*) AS num_cell, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM s2c GROUP BY face, cell_id, ci, cj"""
 
 
 def _sql_clip() -> str:
