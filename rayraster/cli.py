@@ -13,6 +13,8 @@
     python -m rayraster.cli search --index /tmp/idx --terms join,hash [--mode and|or]
     python -m rayraster.cli pagerank --input '<edges glob>' --out /tmp/pr \
         [--iterations 5]
+    python -m rayraster.cli s2 --input '<glob>' --out /tmp/s2cells \
+        [--level 7 --rollup 2 --value-cols n_chars --geocode id|url]
     python -m rayraster.cli plot --pixels /tmp/out/pixels --png /tmp/r.png
 
 On a real cluster: ``ray job submit --working-dir . -- python -m
@@ -406,6 +408,52 @@ def cmd_kcore(args) -> int:
     return 0
 
 
+def cmd_s2(args) -> int:
+    """Spherical S2-style cell aggregate of a points parquet: encode
+    lon/lat to level-`--level` Hilbert cells, one hash-shuffle sum per
+    value column, optional bit-op rollup `--rollup` levels coarser."""
+    import shutil
+
+    import ray.data as rd
+
+    from rayraster.pipelines import add_geocode_id, add_geocode_url
+    from rayraster.s2cell import s2_aggregate, s2_rollup
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    value_cols = [c for c in args.value_cols.split(",") if c]
+    read_cols = None
+    if args.geocode == "id":
+        read_cols = [args.id_col, *value_cols]
+    elif args.geocode == "url":
+        read_cols = ["url", *value_cols]
+    ds = rd.read_parquet(files, columns=read_cols)
+    if args.geocode == "id":
+        ds = ds.map_batches(
+            lambda t: add_geocode_id(t, id_col=args.id_col),
+            batch_format="pyarrow",
+        )
+    elif args.geocode == "url":
+        ds = ds.map_batches(add_geocode_url, batch_format="pyarrow")
+    cells = s2_aggregate(ds, args.level, value_cols)
+    if args.rollup:
+        cells = s2_rollup(
+            cells, [f"sum_{c}" for c in value_cols], levels_up=args.rollup
+        )
+    shutil.rmtree(args.out, ignore_errors=True)
+    cells.write_parquet(args.out)
+    n = rd.read_parquet(args.out).count()
+    print(
+        json.dumps(
+            {"out": args.out, "level": args.level - args.rollup, "cells": n}
+        )
+    )
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Corpus curation metrics in one pass over a parquet corpus:
     per-doc quality + Gopher repetition + corpus-frequency fluency
@@ -629,6 +677,16 @@ def main(argv=None) -> int:
     kc.add_argument("--k", type=int, default=3)
     kc.add_argument("--num-buckets", type=int, default=64)
     kc.set_defaults(fn=cmd_kcore)
+
+    s2 = sub.add_parser("s2", help="spherical S2-style cell aggregate")
+    s2.add_argument("--input", required=True, help="input parquet glob")
+    s2.add_argument("--out", required=True)
+    s2.add_argument("--level", type=int, default=7)
+    s2.add_argument("--rollup", type=int, default=0, help="levels to roll up")
+    s2.add_argument("--value-cols", default="n_chars")
+    s2.add_argument("--geocode", choices=["id", "url", "none"], default="id")
+    s2.add_argument("--id-col", default="doc_id")
+    s2.set_defaults(fn=cmd_s2)
 
     g = sub.add_parser("plot", help="render a pixel table to PNG")
     g.add_argument("--pixels", required=True)

@@ -537,3 +537,49 @@ def test_cli_dedup_spanrm(tmp_path):
     got = pq.read_table(str(tmp_path / "clean")).to_pandas().sort_values("doc_id")
     assert list(got.text) == ["one two", "three", "untouched words here"]
     assert list(got.n_removed) == [3, 3, 0]
+
+
+def test_cli_s2(tmp_path):
+    """s2 subcommand: encode + rollup equals a direct coarse encode."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayraster import s2cell as s2
+    from rayraster.geo import geocode_id
+
+    ids = np.arange(0, 900, dtype=np.int64)
+    nch = (ids % 101).astype(np.int64)
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(pa.table({"doc_id": ids, "n_chars": nch}),
+                   str(src / "d.parquet"))
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "s2", "--input", str(src / "*.parquet"), "--out", str(tmp_path / "cells"),
+         "--level", "6", "--rollup", "1", "--value-cols", "n_chars"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["level"] == 5
+    got = pq.read_table(str(tmp_path / "cells")).to_pandas()
+    assert summary["cells"] == len(got)
+    assert got.num_cell.sum() == 900 and got.sum_n_chars.sum() == nch.sum()
+    # direct level-5 encode oracle
+    x, y = geocode_id(ids)
+    t = s2.s2_encode(pa.table({"doc_id": ids, "n_chars": nch,
+                               "x": x, "y": y}), 5)
+    import pandas as pd
+
+    want = (
+        t.select(["s2_id", "n_chars"]).to_pandas()
+        .groupby("s2_id")
+        .agg(sum_n_chars=("n_chars", "sum"), num_cell=("n_chars", "size"))
+        .reset_index()
+    )
+    g = got[["s2_id", "sum_n_chars", "num_cell"]].sort_values("s2_id").reset_index(drop=True)
+    w = want.astype({"num_cell": "int64"}).sort_values("s2_id").reset_index(drop=True)
+    assert g.equals(w[["s2_id", "sum_n_chars", "num_cell"]])
