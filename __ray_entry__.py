@@ -287,6 +287,23 @@ def _q_clip(sf_dir: str):
 
 
 def _q_knn(sf_dir: str):
+    """kNN pixel neighborhoods, BOTH geometries in one recorded row
+    set (path-tagged under the 50-query sweep cap):
+
+    * path='planar' — squared euclidean over square-grid pixel
+      centroids; `KnnStage` actor pool (grid index built once per
+      actor), expanding-ring exact search.
+    * path='sphere' — great-circle neighborhoods over level-5 S2
+      cells, ranked by the monotone squared CHORD on unit vectors
+      (`S2CellKnnStage`, rayraster/s2cell.py): cell centers broadcast
+      once via ray.put (the aggregated cell table is bounded by
+      6*4^level — the raw points never enter), whole-matrix numpy +
+      vectorized (dist2, face, id) lexsort per batch.  ix/iy =
+      (face, packed cell id).  Oracle = trig/sqrt self-join with
+      ROW_NUMBER, bit-exact.
+    """
+    from rayraster.s2cell import S2CellKnnStage, s2_aggregate
+
     pts = load_doc_points(sf_dir, columns=("doc_id", "n_chars"))
     cells, _ = _rf(pts, RES, ["n_chars"], fun="sum", with_meta=False)
     pix = (
@@ -303,14 +320,45 @@ def _q_knn(sf_dir: str):
             "iy": pix.iy.to_numpy(),
         }
     )
-    out = rd.from_pandas(pix).map_batches(
-        KnnStage,  # class → actor pool: grid index built once per actor
-        fn_constructor_args=(ref, 4),
-        fn_constructor_kwargs={"exclude_self": True},
-        batch_format="pyarrow",
-        concurrency=2,
+    planar = (
+        rd.from_pandas(pix)
+        .map_batches(
+            KnnStage,  # class → actor pool: grid index built once per actor
+            fn_constructor_args=(ref, 4),
+            fn_constructor_kwargs={"exclude_self": True},
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .select_columns(["ix", "iy", "rank", "dist2", "n_ix", "n_iy"])
+        .map_batches(_tagger("planar"), batch_format="pyarrow")
     )
-    return out.select_columns(["ix", "iy", "rank", "dist2", "n_ix", "n_iy"])
+
+    scells = (
+        s2_aggregate(pts, 5, ["n_chars"])
+        .select_columns(["s2_face", "s2_i", "s2_j", "s2_id"])
+        .to_pandas()
+        .sort_values("s2_id")
+        .reset_index(drop=True)
+    )
+    sref = ray.put(
+        {
+            "face": scells.s2_face.to_numpy(),
+            "id": scells.s2_id.to_numpy(),
+            "i": scells.s2_i.to_numpy(),
+            "j": scells.s2_j.to_numpy(),
+        }
+    )
+    sphere = (
+        rd.from_pandas(scells)
+        .map_batches(
+            S2CellKnnStage,
+            fn_constructor_args=(sref, 4, 5),
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .map_batches(_tagger("sphere"), batch_format="pyarrow")
+    )
+    return planar.union(sphere)
 
 
 def _q_filtered_stats(sf_dir: str):
@@ -773,12 +821,17 @@ UNION ALL
 SELECT doc_id, 'celljoin' AS path FROM inside"""
 
 
-def _sql_knn() -> str:
-    return f"""WITH {_PTS}, {_bb(RES)}, {_square_cells(RES)},
-c AS (
-  SELECT ix, iy, cx, cy FROM cells2 GROUP BY ix, iy, cx, cy
-)
-SELECT ix, iy, "rank", dist2, n_ix, n_iy FROM (
+def _sql_knn(sphere: bool = True) -> str:
+    # planar arm: squared-euclidean self-join over square pixel
+    # centroids.  sphere arm (r8 only; r8b's tiled-halo engine is
+    # planar): level-5 S2 cell centers (recursive-CTE encode +
+    # inverse-quadratic/normalize center exprs from
+    # rayraster/s2cell.py) self-joined on squared CHORD distance —
+    # both with ROW_NUMBER (dist2, neighbor-id) tie-break parity.
+    from rayraster.s2cell import s2_center_sql, s2_sql_cte
+
+    planar_cols = '"rank", dist2, n_ix, n_iy'
+    planar = f"""SELECT {{head}}ix, iy, {planar_cols} FROM (
   SELECT a.ix, a.iy, b.ix AS n_ix, b.iy AS n_iy,
          (a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy) AS dist2,
          row_number() OVER (
@@ -787,6 +840,34 @@ SELECT ix, iy, "rank", dist2, n_ix, n_iy FROM (
                     b.ix, b.iy
          ) AS "rank"
   FROM c a JOIN c b ON NOT (a.ix = b.ix AND a.iy = b.iy)
+) WHERE "rank" <= 4"""
+    if not sphere:
+        return f"""WITH {_PTS}, {_bb(RES)}, {_square_cells(RES)},
+c AS (
+  SELECT ix, iy, cx, cy FROM cells2 GROUP BY ix, iy, cx, cy
+)
+{planar.format(head="")}"""
+    d2s = (
+        "(a.ax - b.ax) * (a.ax - b.ax) + (a.ay - b.ay) * (a.ay - b.ay) "
+        "+ (a.az - b.az) * (a.az - b.az)"
+    )
+    return f"""WITH RECURSIVE {_PTS}, {_bb(RES)}, {_square_cells(RES)},
+c AS (
+  SELECT ix, iy, cx, cy FROM cells2 GROUP BY ix, iy, cx, cy
+),
+{s2_sql_cte(5)},
+s2cells AS (SELECT face, ci, cj, cell_id FROM s2c GROUP BY face, ci, cj, cell_id),
+{s2_center_sql(5, "s2cells")}
+{planar.format(head="'planar' AS path, ")}
+UNION ALL
+SELECT 'sphere' AS path, ix, iy, "rank", dist2, n_ix, n_iy FROM (
+  SELECT a.face AS ix, a.cell_id AS iy, b.face AS n_ix, b.cell_id AS n_iy,
+         {d2s} AS dist2,
+         row_number() OVER (
+           PARTITION BY a.face, a.cell_id
+           ORDER BY {d2s}, b.face, b.cell_id
+         ) AS "rank"
+  FROM s2ctr a JOIN s2ctr b ON a.cell_id <> b.cell_id
 ) WHERE "rank" <= 4"""
 
 
@@ -3535,7 +3616,7 @@ def oracle_sql() -> dict[str, str]:
         "r8_knn": _sql_knn(),
         "r9_polyfill": _sql_polyfill(),
         "r10_raster_to_vector": _sql_raster_to_vector(),
-        "r8b_spatial_knn": _sql_knn(),  # same brute-force oracle; k=4
+        "r8b_spatial_knn": _sql_knn(sphere=False),  # same planar brute oracle; k=4
         "r13_filtered_stats": _sql_filtered_stats(),
         "r14_sort_limit": _sql_sort_limit(),
         "r15_deterministic_sample": _sql_sample(),

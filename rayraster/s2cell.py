@@ -323,6 +323,151 @@ def s2_cell_center_st(i: np.ndarray, level: int) -> np.ndarray:
     return (np.asarray(i, dtype=np.float64) + 0.5) / float(1 << level)
 
 
+def st_center_to_uv(s: np.ndarray) -> np.ndarray:
+    """Inverse quadratic ST, SQL twin (same op order):
+    CASE WHEN s >= 0.5 THEN (4.0 * s * s - 1.0) / 3.0
+         ELSE (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0 END"""
+    s = np.asarray(s, dtype=np.float64)
+    return np.where(
+        s >= 0.5,
+        (4.0 * s * s - 1.0) / 3.0,
+        (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0,
+    )
+
+
+# FaceUVtoXYZ table (S2 convention); inverse of face_uv
+_FACE_XYZ = [
+    lambda u, v: (np.ones_like(u), u, v),  # +x
+    lambda u, v: (-u, np.ones_like(u), v),  # +y
+    lambda u, v: (-u, -v, np.ones_like(u)),  # +z
+    lambda u, v: (-np.ones_like(u), -v, -u),  # -x
+    lambda u, v: (v, -np.ones_like(u), -u),  # -y
+    lambda u, v: (v, u, -np.ones_like(u)),  # -z
+]
+
+
+def face_uv_to_xyz(face: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Unit-sphere point of a face/(u,v) — normalized with the exact
+    expression `x / sqrt(x*x + y*y + z*z)` the SQL twin uses."""
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    for f, fn in enumerate(_FACE_XYZ):
+        m = face == f
+        if m.any():
+            x[m], y[m], z[m] = fn(u[m], v[m])
+    n = np.sqrt(x * x + y * y + z * z)
+    return x / n, y / n, z / n
+
+
+def s2_cell_center_xyz(face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int):
+    """Unit-sphere center of cell (face, i, j) at `level`."""
+    u = st_center_to_uv(s2_cell_center_st(i, level))
+    v = st_center_to_uv(s2_cell_center_st(j, level))
+    return face_uv_to_xyz(np.asarray(face), u, v)
+
+
+class S2CellKnnStage:
+    """map_batches actor: k nearest S2 cells per query cell by
+    great-circle distance (ranked via the monotone squared chord
+    ``(ax-bx)^2 + (ay-by)^2 + (az-bz)^2`` on unit vectors — no
+    trig in the distance itself, so the SQL self-join twin matches
+    bit-for-bit).
+
+    ``ref``: ObjectRef (ray.put once, read per actor — the cell table
+    after aggregation is bounded by 6*4^level, so a broadcast side is
+    the right 100-TB shape; the raw points never enter) of
+    ``{"face", "id", "i", "j"}`` arrays.  Centers are computed ONCE in
+    __init__; each __call__ scores one query batch against them with
+    whole-matrix numpy and a vectorized (dist2, face, id) lexsort —
+    tie-break parity with the oracle's ROW_NUMBER ORDER BY.
+    """
+
+    def __init__(self, ref, k: int, level: int, exclude_self: bool = True):
+        import ray as _ray
+
+        ref = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        self.k = k
+        self.level = level
+        self.exclude_self = exclude_self
+        self.rface = np.asarray(ref["face"], dtype=np.int64)
+        self.rid = np.asarray(ref["id"], dtype=np.int64)
+        rx, ry, rz = s2_cell_center_xyz(
+            self.rface,
+            np.asarray(ref["i"], dtype=np.int64),
+            np.asarray(ref["j"], dtype=np.int64),
+            level,
+        )
+        self.rx, self.ry, self.rz = rx, ry, rz
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        face = t["s2_face"].to_numpy(zero_copy_only=False)
+        ids = t["s2_id"].to_numpy(zero_copy_only=False)
+        qi = t["s2_i"].to_numpy(zero_copy_only=False)
+        qj = t["s2_j"].to_numpy(zero_copy_only=False)
+        qx, qy, qz = s2_cell_center_xyz(face, qi, qj, self.level)
+        nq, nr = len(ids), len(self.rid)
+        dx = qx[:, None] - self.rx[None, :]
+        dy = qy[:, None] - self.ry[None, :]
+        dz = qz[:, None] - self.rz[None, :]
+        d2 = dx * dx + dy * dy + dz * dz
+        if self.exclude_self:
+            d2[ids[:, None] == self.rid[None, :]] = np.inf
+        order = np.lexsort(
+            (
+                np.broadcast_to(self.rid, (nq, nr)),
+                np.broadcast_to(self.rface, (nq, nr)),
+                d2,
+            ),
+            axis=-1,
+        )[:, : self.k]
+        rows = np.repeat(np.arange(nq), order.shape[1])
+        cols = order.ravel()
+        return pa.table(
+            {
+                "ix": pa.array(np.repeat(face, order.shape[1])),
+                "iy": pa.array(np.repeat(ids, order.shape[1])),
+                "rank": pa.array(
+                    np.tile(np.arange(1, order.shape[1] + 1), nq).astype(np.int64)
+                ),
+                "dist2": pa.array(d2[rows, cols]),
+                "n_ix": pa.array(self.rface[cols]),
+                "n_iy": pa.array(self.rid[cols]),
+            }
+        )
+
+
+# SQL twin of the cell-center expressions (compose after s2_sql_cte's
+# per-cell GROUP BY): given columns face, ci, cj at `level`, produce
+# unit-vector center columns ax, ay, az.
+def s2_center_sql(level: int, rel: str) -> str:
+    n = float(1 << level)
+    inv = (
+        "CASE WHEN {s} >= 0.5 THEN (4.0 * {s} * {s} - 1.0) / 3.0 "
+        "ELSE (1.0 - 4.0 * (1.0 - {s}) * (1.0 - {s})) / 3.0 END"
+    )
+    su = f"((ci + 0.5) / {n!r})"
+    sv = f"((cj + 0.5) / {n!r})"
+    return f"""s2uvc AS (
+  SELECT *, {inv.format(s=su)} AS cu, {inv.format(s=sv)} AS cv FROM {rel}
+),
+s2xyzc AS (
+  SELECT *, CASE face WHEN 0 THEN 1.0 WHEN 1 THEN -cu WHEN 2 THEN -cu
+                      WHEN 3 THEN -1.0 WHEN 4 THEN cv ELSE cv END AS rxu,
+            CASE face WHEN 0 THEN cu WHEN 1 THEN 1.0 WHEN 2 THEN -cv
+                      WHEN 3 THEN -cv WHEN 4 THEN -1.0 ELSE cu END AS ryu,
+            CASE face WHEN 0 THEN cv WHEN 1 THEN cv WHEN 2 THEN 1.0
+                      WHEN 3 THEN -cu WHEN 4 THEN -cu ELSE -1.0 END AS rzu
+  FROM s2uvc
+),
+s2ctr AS (
+  SELECT *, rxu / sqrt(rxu * rxu + ryu * ryu + rzu * rzu) AS ax,
+            ryu / sqrt(rxu * rxu + ryu * ryu + rzu * rzu) AS ay,
+            rzu / sqrt(rxu * rxu + ryu * ryu + rzu * rzu) AS az
+  FROM s2xyzc
+)"""
+
+
 # --------------------------------------------------------------------------
 # ANSI-SQL twin (DuckDB oracle building blocks)
 # --------------------------------------------------------------------------

@@ -222,3 +222,65 @@ def test_s2_aggregate_and_rollup_conserve_mass(ray_session):
     a = a.sort_values("s2_id").reset_index(drop=True)
     b = b.sort_values("s2_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+# --------------------------------------------------------------------------
+# cell centers / spherical kNN
+# --------------------------------------------------------------------------
+
+
+def test_face_uv_xyz_roundtrip():
+    _, x, y = _geo(8000)
+    px, py, pz = s2.lonlat_to_xyz(x, y)
+    face = s2.xyz_to_face(px, py, pz)
+    u, v = s2.face_uv(face, px, py, pz)
+    rx, ry, rz = s2.face_uv_to_xyz(face, u, v)
+    assert np.allclose(rx, px, atol=1e-14)
+    assert np.allclose(ry, py, atol=1e-14)
+    assert np.allclose(rz, pz, atol=1e-14)
+
+
+def test_st_center_inverse_quadratic():
+    s = np.linspace(0.0, 1.0, 1001)
+    u = s2.st_center_to_uv(s)
+    assert np.allclose(s2.uv_to_st(u), s, atol=1e-15)
+    assert (np.abs(u) <= 1).all()
+
+
+def test_cell_center_xyz_is_unit():
+    rng = np.random.default_rng(5)
+    face = rng.integers(0, 6, 2000)
+    i = rng.integers(0, 1 << 6, 2000)
+    j = rng.integers(0, 1 << 6, 2000)
+    cx, cy, cz = s2.s2_cell_center_xyz(face, i, j, 6)
+    assert np.allclose(cx * cx + cy * cy + cz * cz, 1.0, atol=1e-14)
+
+
+def test_s2_knn_stage_matches_brute():
+    rng = np.random.default_rng(13)
+    n, k, L = 60, 3, 4
+    face = rng.integers(0, 6, n)
+    i = rng.integers(0, 1 << L, n)
+    j = rng.integers(0, 1 << L, n)
+    d = s2.hilbert_d(L, i, j)
+    ids = s2.s2_cell_id(face, d, L)
+    # dedup cells (stage semantics assume unique cell ids)
+    _, keep = np.unique(ids, return_index=True)
+    face, i, j, ids = face[keep], i[keep], j[keep], ids[keep]
+    n = len(ids)
+    ref = {"face": face, "id": ids, "i": i, "j": j}
+    stage = s2.S2CellKnnStage(ref, k, L)
+    out = stage(
+        pa.table({"s2_face": face, "s2_i": i, "s2_j": j, "s2_id": ids})
+    ).to_pandas()
+    assert len(out) == n * k
+    # brute oracle with the same (dist2, face, id) tie-break
+    cx, cy, cz = s2.s2_cell_center_xyz(face, i, j, L)
+    for qi in range(0, n, 7):
+        dx, dy, dz = cx[qi] - cx, cy[qi] - cy, cz[qi] - cz
+        d2 = dx * dx + dy * dy + dz * dz
+        d2[qi] = np.inf
+        order = np.lexsort((ids, face, d2))[:k]
+        got = out[out.iy == ids[qi]].sort_values("rank")
+        assert got.n_iy.tolist() == ids[order].tolist()
+        assert np.array_equal(got.dist2.to_numpy(), d2[order])
