@@ -256,17 +256,36 @@ CLIP_RING = np.array(
     ]
 )
 
+# spherical cap query (r7 third arm): center lon/lat + squared-chord
+# radius (0.19 ≈ 25.2° angular radius).  Fixed literals so the numpy
+# mask and the SQL twin share the exact same doubles.
+CAP_LON, CAP_LAT, CAP_CHORD2 = 10.0, 45.0, 0.19
+
 
 def _q_clip(sf_dir: str):
-    """Point-in-polygon, BOTH execution paths in one recorded row set
-    (merged from the former r7b to stay inside the driver's 50-row
-    sweep cap): the broadcast ``ClipStage`` (polygon set via
-    ``ray.put``, probed per batch) and the cell-indexed JOIN scale
-    path (polyfill candidate index + one co-location shuffle + exact
-    test per candidate pair — the many-polygons path), tagged by a
-    ``path`` column.  Both must match the same half-plane oracle."""
+    """Spatial range selection, THREE execution paths in one recorded
+    row set (merged under the driver's 50-row sweep cap, tagged by a
+    ``path`` column):
+
+    * path='broadcast' — point-in-polygon via the broadcast
+      ``ClipStage`` (polygon set via ``ray.put``, probed per batch).
+    * path='celljoin' — the cell-indexed JOIN scale path (polyfill
+      candidate index + one co-location shuffle + exact test per
+      candidate pair — the many-polygons path).
+    * path='cap' — spherical cap range query with S2 index pruning
+      (``rayraster/s2cell.py``): the cap's covering cells are
+      enumerated closed-form on the driver and broadcast once, each
+      batch is pruned with one C++ ``is_in`` on its encoded cell id,
+      and only candidates pay the exact squared-chord test.  Map-only,
+      no shuffle; the exact test makes the result independent of the
+      covering's looseness.
+
+    The polygon arms must match the same half-plane oracle; the cap
+    arm's oracle is the identical chord expression with the cap
+    center's unit vector inlined as double literals."""
     from rayraster.clip import spatial_join_polygons
     from rayraster.grid import GridSpec
+    from rayraster.s2cell import s2_cap_filter
 
     pts = load_doc_points(sf_dir, columns=("doc_id",)).materialize()
 
@@ -283,7 +302,12 @@ def _q_clip(sf_dir: str):
         .select_columns(["doc_id"])
         .map_batches(tag("celljoin"), batch_format="pyarrow")
     )
-    return broadcast.union(joined)
+    cap = (
+        s2_cap_filter(pts, CAP_LON, CAP_LAT, CAP_CHORD2, level=5)
+        .select_columns(["doc_id"])
+        .map_batches(tag("cap"), batch_format="pyarrow")
+    )
+    return broadcast.union(joined).union(cap)
 
 
 def _q_knn(sf_dir: str):
@@ -814,11 +838,27 @@ def _sql_clip() -> str:
             f"(({x2!r} - {x1!r}) * (y - {y1!r}) - ({y2!r} - {y1!r}) * (x - {x1!r})) > 0"
         )
     cond = " AND ".join(conds)
+    # cap arm: exact squared-chord test with the cap center's unit
+    # vector inlined as the SAME Python-computed double literals the
+    # numpy mask uses (rayraster/s2cell.py cap_chord2_mask twin).
+    from rayraster.s2cell import cap_query_xyz
+
+    qx, qy, qz = cap_query_xyz(CAP_LON, CAP_LAT)
+    px = "cos(radians(y)) * cos(radians(x))"
+    py = "cos(radians(y)) * sin(radians(x))"
+    pz = "sin(radians(y))"
+    cap_cond = (
+        f"({px} - {qx!r}) * ({px} - {qx!r}) "
+        f"+ ({py} - {qy!r}) * ({py} - {qy!r}) "
+        f"+ ({pz} - {qz!r}) * ({pz} - {qz!r}) <= {CAP_CHORD2!r}"
+    )
     return f"""WITH {_PTS},
 inside AS (SELECT doc_id FROM pts WHERE {cond})
 SELECT doc_id, 'broadcast' AS path FROM inside
 UNION ALL
-SELECT doc_id, 'celljoin' AS path FROM inside"""
+SELECT doc_id, 'celljoin' AS path FROM inside
+UNION ALL
+SELECT doc_id, 'cap' AS path FROM pts WHERE {cap_cond}"""
 
 
 def _sql_knn(sphere: bool = True) -> str:

@@ -437,6 +437,109 @@ class S2CellKnnStage:
         )
 
 
+# --------------------------------------------------------------------------
+# spherical cap range query (covering → index prune → exact test)
+# --------------------------------------------------------------------------
+
+
+def s2_cap_covering(lon: float, lat: float, chord2: float, level: int) -> np.ndarray:
+    """Cell ids at `level` whose cells MAY intersect the spherical cap
+    around (lon, lat) with squared-chord radius `chord2` — a guaranteed
+    superset (candidates are kept when the center is within
+    radius + 2×circumradius; chord distance is Euclidean in R^3, so the
+    triangle-inequality prune is exact, and the 2× pads the curved-edge
+    farthest-point case the corner max doesn't capture).
+
+    Closed-form enumeration of all 6*4^level cells — use a COARSE
+    covering level (≤ ~8, ≤ 400k cells) and let the exact per-point
+    test do the boundary work; the covering is computed once on the
+    driver and broadcast, the points are never scanned."""
+    n = 1 << level
+    face = np.repeat(np.arange(6, dtype=np.int64), n * n)
+    i = np.tile(np.repeat(np.arange(n, dtype=np.int64), n), 6)
+    j = np.tile(np.arange(n, dtype=np.int64), 6 * n)
+    cx, cy, cz = s2_cell_center_xyz(face, i, j, level)
+    # per-cell circumradius bound: max chord from center to a corner
+    rc2 = np.zeros(len(face))
+    for di in (0.0, 1.0):
+        for dj in (0.0, 1.0):
+            su = st_center_to_uv((i + di) / float(n))
+            sv = st_center_to_uv((j + dj) / float(n))
+            kx, ky, kz = face_uv_to_xyz(face, su, sv)
+            d2 = (cx - kx) ** 2 + (cy - ky) ** 2 + (cz - kz) ** 2
+            rc2 = np.maximum(rc2, d2)
+    qx, qy, qz = lonlat_to_xyz(np.array([lon]), np.array([lat]))
+    dq = np.sqrt((cx - qx[0]) ** 2 + (cy - qy[0]) ** 2 + (cz - qz[0]) ** 2)
+    keep = dq <= np.sqrt(chord2) + 2.0 * np.sqrt(rc2)
+    d = hilbert_d(level, i[keep], j[keep])
+    return s2_cell_id(face[keep], d, level)
+
+
+def cap_chord2_mask(
+    x: np.ndarray, y: np.ndarray, lon: float, lat: float, chord2: float
+) -> np.ndarray:
+    """Exact cap membership test.  SQL twin (qx/qy/qz inlined as the
+    SAME Python-computed double literals):
+    (px - qx)*(px - qx) + (py - qy)*(py - qy) + (pz - qz)*(pz - qz)
+      <= chord2"""
+    px, py, pz = lonlat_to_xyz(x, y)
+    qx, qy, qz = cap_query_xyz(lon, lat)
+    return (px - qx) * (px - qx) + (py - qy) * (py - qy) + (pz - qz) * (
+        pz - qz
+    ) <= chord2
+
+
+def cap_query_xyz(lon: float, lat: float) -> tuple[float, float, float]:
+    """The cap center's unit vector as plain floats — inline these as
+    literals in BOTH the numpy mask and the SQL twin so the per-point
+    expression is identical on each side."""
+    qx, qy, qz = lonlat_to_xyz(np.array([lon]), np.array([lat]))
+    return float(qx[0]), float(qy[0]), float(qz[0])
+
+
+def s2_cap_filter(
+    ds,
+    lon: float,
+    lat: float,
+    chord2: float,
+    level: int = 6,
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """Points within the spherical cap, the 100-TB shape: the bounded
+    covering-cell id set is broadcast once (`ray.put`), each batch is
+    pruned with one C++ `is_in` on its encoded cell id, and ONLY the
+    candidate rows pay the exact chord test — map-only, no shuffle.
+    The exact test keeps the result independent of the covering's
+    looseness (tested: prune ∘ exact ≡ brute exact)."""
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    cover = _ray.put(pa.array(s2_cap_covering(lon, lat, chord2, level)))
+
+    class CapStage:
+        def __init__(self):
+            self.cover = _ray.get(cover)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            enc = s2_encode(t, level, x_col, y_col)
+            cand = enc.filter(pc.is_in(enc["s2_id"], value_set=self.cover))
+            if cand.num_rows == 0:
+                return cand.drop_columns(["s2_face", "s2_i", "s2_j", "s2_id"])
+            m = cap_chord2_mask(
+                cand[x_col].to_numpy(zero_copy_only=False),
+                cand[y_col].to_numpy(zero_copy_only=False),
+                lon,
+                lat,
+                chord2,
+            )
+            return cand.filter(pa.array(m)).drop_columns(
+                ["s2_face", "s2_i", "s2_j", "s2_id"]
+            )
+
+    return ds.map_batches(CapStage, batch_format="pyarrow", concurrency=2)
+
+
 # SQL twin of the cell-center expressions (compose after s2_sql_cte's
 # per-cell GROUP BY): given columns face, ci, cj at `level`, produce
 # unit-vector center columns ax, ay, az.

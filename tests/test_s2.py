@@ -284,3 +284,81 @@ def test_s2_knn_stage_matches_brute():
         got = out[out.iy == ids[qi]].sort_values("rank")
         assert got.n_iy.tolist() == ids[order].tolist()
         assert np.array_equal(got.dist2.to_numpy(), d2[order])
+
+
+def _sphere_points(seed: int, n: int):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-180.0, 180.0, n)
+    y = np.degrees(np.arcsin(rng.uniform(-1.0, 1.0, n)))  # uniform on sphere
+    return x, y
+
+
+def test_cap_covering_is_superset():
+    """Every point inside the cap lands in a covering cell — the
+    triangle-inequality prune never drops a true member, at any
+    covering level."""
+    x, y = _sphere_points(7, 20000)
+    lon, lat, chord2 = 10.0, 45.0, 0.19
+    inside = s2.cap_chord2_mask(x, y, lon, lat, chord2)
+    assert inside.sum() > 100
+    for level in (3, 4, 5, 6):
+        cover = s2.s2_cap_covering(lon, lat, chord2, level)
+        t = s2.s2_encode(pa.table({"x": x, "y": y}), level)
+        cand = np.isin(t["s2_id"].to_numpy(), cover)
+        assert not np.any(inside & ~cand)  # superset
+        # exact test after the prune reproduces brute exactly
+        assert np.array_equal(cand & inside, inside)
+
+
+def test_cap_covering_shrinks_with_level():
+    """Finer coverings prune more: candidate count is non-increasing
+    in level, and far smaller than the corpus."""
+    x, y = _sphere_points(11, 20000)
+    lon, lat, chord2 = -120.0, -30.0, 0.1
+    counts = []
+    for level in (3, 5, 7):
+        cover = s2.s2_cap_covering(lon, lat, chord2, level)
+        t = s2.s2_encode(pa.table({"x": x, "y": y}), level)
+        counts.append(int(np.isin(t["s2_id"].to_numpy(), cover).sum()))
+    assert counts[0] >= counts[1] >= counts[2]
+    assert counts[2] < len(x) // 4
+
+
+def test_s2_cap_filter_matches_brute(ray_session):
+    """The Ray stage (broadcast covering → is_in prune → exact chord)
+    returns exactly the brute-force cap membership set."""
+    import ray.data as rd
+
+    x, y = _sphere_points(23, 5000)
+    ids = np.arange(5000, dtype=np.int64)
+    lon, lat, chord2 = 60.0, -10.0, 0.15
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "x": x, "y": y}))
+    got = (
+        s2.s2_cap_filter(ds, lon, lat, chord2, level=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = ids[s2.cap_chord2_mask(x, y, lon, lat, chord2)]
+    assert got.doc_id.to_numpy().tolist() == want.tolist()
+    # output schema: the s2 helper columns are dropped
+    assert list(got.columns) == ["doc_id", "x", "y"]
+
+
+def test_cap_poles_and_antimeridian(ray_session):
+    """Caps centered at a pole and across the antimeridian (both cross
+    face boundaries) still match brute exactly."""
+    import ray.data as rd
+
+    x, y = _sphere_points(31, 4000)
+    ids = np.arange(4000, dtype=np.int64)
+    for lon, lat in ((0.0, 89.5), (179.9, 0.0), (0.0, -89.5)):
+        ds = rd.from_arrow(pa.table({"doc_id": ids, "x": x, "y": y}))
+        got = (
+            s2.s2_cap_filter(ds, lon, lat, 0.2, level=4)
+            .to_pandas()
+            .doc_id.sort_values()
+            .to_numpy()
+        )
+        want = ids[s2.cap_chord2_mask(x, y, lon, lat, 0.2)]
+        assert got.tolist() == want.tolist()
