@@ -2813,12 +2813,75 @@ def _sql_grouped_topk() -> str:
 ) WHERE rnk <= 3"""
 
 
+_ROLL_WIN_US = 7_200_000_000  # 2h RANGE frame for the rolling arm
+
+
 def _q_sliding_window(sf_dir: str):
-    from rayraster.windows import sliding_aggregate
+    """Two path-tagged window engines under one oracle:
+
+    * path='sliding' — hopping windows by fan-out + hash aggregate
+      (each event copies to the m windows covering it).
+    * path='rolling' — the per-row GLOBAL time-range rolling sum
+      ``SUM(v) OVER (ORDER BY ts RANGE 2h PRECEDING)`` computed with
+      NO global sort (time-bucket exchange + bounded halo copies,
+      rayraster/windows.py rolling_time_aggregate), then reduced to
+      the gate's (event_type, hour) min/max/n shape.  Values are
+      floor-quantized to int64 thousandths so the rolling sums are
+      order-independent and match the SQL twin bit-for-bit."""
+    import pyarrow.compute as pc
+    from rayraster.agg import hash_aggregate
+    from rayraster.windows import rolling_time_aggregate, sliding_aggregate
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
-    out = sliding_aggregate(ev, size_us=7_200_000_000, step_us=3_600_000_000)
-    return out.select_columns(["event_type", "window", "min_value", "max_value", "n"])
+    slid = (
+        sliding_aggregate(ev, size_us=7_200_000_000, step_us=3_600_000_000)
+        .select_columns(["event_type", "window", "min_value", "max_value", "n"])
+        .map_batches(_tagger("sliding"), batch_format="pyarrow")
+    )
+
+    def quantize(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)), pa.int64())
+        return pa.table({"ts": t["ts"], "event_type": t["event_type"], "vq": q})
+
+    rolled = rolling_time_aggregate(
+        ev.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True),
+        ts_col="ts",
+        value_col="vq",
+        window_us=_ROLL_WIN_US,
+        bucket_us=3 * _ROLL_WIN_US,
+        keep_cols=("event_type",),
+    )
+
+    def hour_of(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        win = pc.divide(us, pa.scalar(3_600_000_000, type=pa.int64()))
+        return pa.table(
+            {"event_type": t["event_type"], "window": win, "rolling_sum": t["rolling_sum"]}
+        )
+
+    roll = hash_aggregate(
+        rolled.map_batches(hour_of, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "window"],
+        min_cols=["rolling_sum"],
+        max_cols=["rolling_sum"],
+        count=True,
+        num_partitions=8,
+    ).map_batches(
+        lambda t: _tag_table(
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "window": t["window"],
+                    "min_value": t["min_rolling_sum"].cast(pa.float64()),
+                    "max_value": t["max_rolling_sum"].cast(pa.float64()),
+                    "n": t["n"],
+                }
+            ),
+            "rolling",
+        ),
+        batch_format="pyarrow",
+    )
+    return slid.union(roll)
 
 
 def _sql_sliding_window() -> str:
@@ -2831,10 +2894,21 @@ FROM events"""
     u = "\nUNION ALL\n".join(arms)
     return f"""WITH fan AS (
 {u}
+),
+rolled AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS "window",
+         SUM(CAST(floor(value * 1000.0) AS BIGINT)) OVER (
+           ORDER BY epoch_us(ts)
+           RANGE BETWEEN {_ROLL_WIN_US} PRECEDING AND CURRENT ROW) AS rs
+  FROM events
 )
 SELECT event_type, "window", min(value) AS min_value, max(value) AS max_value,
-       COUNT(*) AS n
-FROM fan GROUP BY 1, 2"""
+       COUNT(*) AS n, 'sliding' AS path
+FROM fan GROUP BY 1, 2
+UNION ALL
+SELECT event_type, "window", CAST(min(rs) AS DOUBLE) AS min_value,
+       CAST(max(rs) AS DOUBLE) AS max_value, COUNT(*) AS n, 'rolling' AS path
+FROM rolled GROUP BY 1, 2"""
 
 
 def _q_grouped_quantiles(sf_dir: str):

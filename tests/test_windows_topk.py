@@ -371,3 +371,97 @@ def test_exact_quantiles_ignores_nulls(ray_session):
 
     df = pd.DataFrame({"v": [1.0, 2.0, None, 3.0, None, 4.0, 5.0]})
     assert exact_quantiles(rd.from_pandas(df), "v", [0.5]) == [3.0]
+
+
+# --------------------------------------------------------------------------
+# rolling_time_aggregate (global RANGE frame without a global sort)
+# --------------------------------------------------------------------------
+
+
+def _rolling_events(seed: int, n: int, span_us: int):
+    rng = np.random.default_rng(seed)
+    us = np.sort(rng.integers(0, span_us, n))
+    # inject timestamp TIES (RANGE-frame peers) to pin peer semantics
+    us[n // 3] = us[n // 3 + 1]
+    us[2 * n // 3] = us[2 * n // 3 + 1] = us[2 * n // 3 + 2]
+    v = rng.integers(-50, 1000, n)
+    return us.astype(np.int64), v.astype(np.int64)
+
+
+def _brute_rolling(us, v, window_us):
+    order = np.argsort(us, kind="stable")
+    us, v = us[order], v[order]
+    cum = np.cumsum(v)
+    lo = np.searchsorted(us, us - window_us, side="left")
+    hi = np.searchsorted(us, us, side="right")
+    rs = cum[hi - 1] - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+    return us, rs, (hi - lo)
+
+
+def test_rolling_time_aggregate_matches_duckdb(ray_session):
+    import duckdb
+    import pyarrow as pa
+    from rayraster.windows import rolling_time_aggregate
+
+    us, v = _rolling_events(5, 4000, 40 * 3_600_000_000)
+    win = 7_200_000_000
+    t = pa.table({"ts": pa.array(us, type=pa.timestamp("us")), "value": v,
+                  "eid": np.arange(len(us), dtype=np.int64)})
+    out = (
+        rolling_time_aggregate(
+            rd.from_arrow(t), window_us=win, bucket_us=3 * win, keep_cols=("eid",)
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    want = duckdb.connect().execute(
+        """SELECT eid,
+                  SUM(value) OVER (ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW) AS rs,
+                  COUNT(*) OVER (ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW) AS rn
+           FROM t ORDER BY eid"""
+    ).df()
+    assert out.rolling_sum.tolist() == want.rs.astype(int).tolist()
+    assert out.rolling_n.tolist() == want.rn.astype(int).tolist()
+
+
+def test_rolling_bucket_width_invariance(ray_session):
+    """The answer is a pure function of the data — identical across
+    bucket widths, including windows LARGER than the bucket (multi-hop
+    halo) and buckets much larger than the window (no halo at all)."""
+    import pyarrow as pa
+    from rayraster.windows import rolling_time_aggregate
+
+    us, v = _rolling_events(9, 2500, 30 * 3_600_000_000)
+    win = 7_200_000_000
+    t = pa.table({"ts": pa.array(us, type=pa.timestamp("us")), "value": v,
+                  "eid": np.arange(len(us), dtype=np.int64)})
+    ref = None
+    for bucket in (win // 3, win, 2 * win, 100 * win):
+        out = (
+            rolling_time_aggregate(
+                rd.from_arrow(t), window_us=win, bucket_us=bucket, keep_cols=("eid",)
+            )
+            .to_pandas()
+            .sort_values("eid")
+            .reset_index(drop=True)
+        )
+        got = (out.rolling_sum.tolist(), out.rolling_n.tolist())
+        if ref is None:
+            srt, rs, rn = _brute_rolling(us, v, win)
+            assert got == (rs.tolist(), rn.tolist())
+            ref = got
+        assert got == ref
+        assert len(out) == len(us)  # halo rows never emitted
+
+
+def test_rolling_rejects_float_values(ray_session):
+    import pyarrow as pa
+    from rayraster.windows import rolling_time_aggregate
+
+    t = pa.table({"ts": pa.array([0, 1], type=pa.timestamp("us")),
+                  "value": [1.5, 2.5]})
+    with pytest.raises(Exception, match="integer"):
+        rolling_time_aggregate(rd.from_arrow(t)).materialize()
