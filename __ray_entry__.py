@@ -154,8 +154,25 @@ RES = 30.0  # headline resolution for the r-family queries
 
 
 def _q_geocode(sf_dir: str):
-    return load_doc_points(sf_dir, columns=("doc_id",)).select_columns(
-        ["doc_id", "x", "y"]
+    """Geocode + the geohash cell index (rayraster/geohash.py): every
+    point also carries its precision-8 geohash — the base-32 Z-order
+    code whose prefixes are the rollup hierarchy and whose lexicographic
+    sort is the locality-preserving parquet layout.  The SQL twin
+    rebuilds the code bit-by-bit with the same IEEE double ops."""
+    from rayraster.geohash import geohash_encode
+
+    def add_gh(t: pa.Table) -> pa.Table:
+        gh = geohash_encode(
+            t["x"].to_numpy(zero_copy_only=False),
+            t["y"].to_numpy(zero_copy_only=False),
+            precision=8,
+        )
+        return t.append_column("gh8", gh)
+
+    return (
+        load_doc_points(sf_dir, columns=("doc_id",))
+        .select_columns(["doc_id", "x", "y"])
+        .map_batches(add_gh, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -3716,10 +3733,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _sql_geocode() -> str:
+    from rayraster.geohash import geohash_sql
+
+    gx, gy = geocode_sql("doc_id")
+    gh = geohash_sql("x", "y", precision=8)
+    return (
+        f"WITH {_PTS} SELECT doc_id, x, y, {gh} AS gh8 FROM pts"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     gx, gy = geocode_sql("doc_id")
     return {
-        "r0_geocode": f"SELECT doc_id, {gx} AS x, {gy} AS y FROM documents",
+        "r0_geocode": _sql_geocode(),
         "r1_square_sum": _sql_square_sum(),
         "r2_square_mean": _sql_square_mean(),
         "r3_celltype": _sql_celltype(),
