@@ -1909,6 +1909,7 @@ def _q_token_metrics(sf_dir: str):
     cap)."""
     from rayraster.join import bucket_join
     from rayraster.textops import (
+        bigram_lm_score,
         corpus_freq_score,
         quality_score,
         repetition_metrics,
@@ -1932,6 +1933,15 @@ def _q_token_metrics(sf_dir: str):
     # wordcount-score back onto the per-doc feature rows
     stats = corpus_freq_score(_docs(sf_dir), corpus_count=n_docs).map_batches(
         lambda t: t.select(["doc_id", "freq_sum", "mean_freq"]),
+        batch_format="pyarrow",
+    )
+
+    # + the REAL perplexity-style signal: add-one bigram LM trained on
+    # this corpus and scored per doc as an order-independent int64
+    # fixed-point log-likelihood (textops.bigram_lm_score; the SQL twin
+    # retrains the same model in two CTEs)
+    lm = bigram_lm_score(_docs(sf_dir), corpus_count=n_docs).map_batches(
+        lambda t: t.select(["doc_id", "bigram_count", "lm_logprob_q"]),
         batch_format="pyarrow",
     )
     left_schema = pa.schema(
@@ -1966,19 +1976,38 @@ def _q_token_metrics(sf_dir: str):
         ),
     )
 
-    def fin(t: pa.Table) -> pa.Table:
-        t = t.set_column(
-            t.schema.get_field_index("freq_sum"),
-            "freq_sum",
-            pc.fill_null(t["freq_sum"], 0),
-        )
-        return t.set_column(
-            t.schema.get_field_index("mean_freq"),
-            "mean_freq",
-            pc.fill_null(t["mean_freq"], 0.0),
-        )
+    joined2 = bucket_join(
+        joined,
+        lm,
+        "doc_id",
+        "doc_id",
+        join_type="left",
+        num_buckets=_parts_for(n_docs),
+        left_schema=left_schema.append(pa.field("freq_sum", pa.int64())).append(
+            pa.field("mean_freq", pa.float64())
+        ),
+        right_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("bigram_count", pa.int64()),
+                ("lm_logprob_q", pa.int64()),
+            ]
+        ),
+    )
 
-    return joined.map_batches(fin, batch_format="pyarrow")
+    def fin(t: pa.Table) -> pa.Table:
+        for c, z in (
+            ("freq_sum", 0),
+            ("mean_freq", 0.0),
+            ("bigram_count", 0),
+            ("lm_logprob_q", 0),
+        ):
+            t = t.set_column(
+                t.schema.get_field_index(c), c, pc.fill_null(t[c], z)
+            )
+        return t
+
+    return joined2.map_batches(fin, batch_format="pyarrow")
 
 
 _BPE_TRAIN_DOCS = 200  # deterministic training sample: doc_id < N
@@ -3526,6 +3555,27 @@ def _sql_token_metrics() -> str:
          CAST(SUM(wg.c * wcq.cc) AS BIGINT) AS freq_sum,
          CAST(SUM(wg.c) AS BIGINT)          AS tcq
   FROM wg JOIN wcq USING (word) GROUP BY wg.doc_id
+), vv AS (
+  SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM w WHERE word <> ''
+), toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+), bgp AS (
+  SELECT doc_id, unnest(ws[1:length(ws)-1]) AS w1, unnest(ws[2:length(ws)]) AS w2
+  FROM toks WHERE length(ws) >= 2
+), bc2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bgp GROUP BY 1, 2
+), bc1 AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bc2 GROUP BY 1
+), lmq AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS BIGINT) AS bigram_count,
+         CAST(SUM(CAST(floor(1048576.0 * ln((CAST(bc2.c2 AS DOUBLE) + 1.0)
+               / (CAST(bc1.c1 AS DOUBLE) + CAST(vv.v AS DOUBLE)))) AS BIGINT))
+           AS BIGINT) AS lm_logprob_q
+  FROM bgp p JOIN bc2 ON p.w1 = bc2.w1 AND p.w2 = bc2.w2
+  JOIN bc1 ON p.w1 = bc1.w1 CROSS JOIN vv
+  GROUP BY p.doc_id
 )
 SELECT m.doc_id, n_chars_m, token_count, digit_count, punct_count, upper_count,
        0.4 * least(1.0, CAST(token_count AS DOUBLE) / 100.0)
@@ -3540,9 +3590,12 @@ SELECT m.doc_id, n_chars_m, token_count, digit_count, punct_count, upper_count,
        COALESCE(CAST(max_c AS DOUBLE) / tot_w, 0.0)       AS top_word_frac,
        COALESCE(fq.freq_sum, 0) AS freq_sum,
        COALESCE(CAST(fq.freq_sum AS DOUBLE)
-                / CAST(GREATEST(fq.tcq, 1) AS DOUBLE), 0.0) AS mean_freq
+                / CAST(GREATEST(fq.tcq, 1) AS DOUBLE), 0.0) AS mean_freq,
+       COALESCE(lmq.bigram_count, 0) AS bigram_count,
+       COALESCE(lmq.lm_logprob_q, 0) AS lm_logprob_q
 FROM m JOIN la ON m.doc_id = la.doc_id LEFT JOIN wa ON m.doc_id = wa.doc_id
-LEFT JOIN fq ON m.doc_id = fq.doc_id"""
+LEFT JOIN fq ON m.doc_id = fq.doc_id
+LEFT JOIN lmq ON m.doc_id = lmq.doc_id"""
 
 
 def _sql_langid() -> str:

@@ -2049,3 +2049,292 @@ def corpus_freq_score(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# bigram language-model perplexity scoring (CCNet-style quality filter)
+# --------------------------------------------------------------------------
+
+_LM_Q = 1 << 20  # fixed-point scale for quantized log-probs (micro-ish nats)
+
+
+def _floor_q_log(r: np.ndarray, q: int = _LM_Q) -> np.ndarray:
+    """floor(q * ln(r)) matching libm (and therefore the DuckDB twin's
+    ``floor(q * ln(r))``) BIT-FOR-BIT: numpy's SIMD log differs from
+    libm by a few ulps (measured ~20% of values at the last bit), so
+    the vectorized result is used everywhere except values within 1e-6
+    of an integer boundary, which are recomputed with ``math.log``.
+    The ulp error is ~1e-9 at this scale, so only boundary values can
+    flip the floor — the repaired set is exact."""
+    import math
+
+    v = float(q) * np.log(r)
+    out = np.floor(v)
+    sus = np.abs(v - np.rint(v)) < 1e-6
+    if sus.any():
+        idx = np.nonzero(sus)[0]
+        out[idx] = [math.floor(q * math.log(float(r[i]))) for i in idx]
+    return out.astype(np.int64)
+
+
+def _bigram_flat(batch_text):
+    """(w1, w2, doc_row_index) for every consecutive nonempty-token
+    pair within each document — pure Arrow slicing over the flat token
+    stream, no per-row Python."""
+    flat, doc = _split_words_flat(_combined(batch_text))
+    if len(flat) < 2:
+        e = pa.array([], type=pa.string())
+        return e, e, np.array([], dtype=np.int64)
+    m = doc[1:] == doc[:-1]
+    pm = pa.array(m)
+    return (
+        flat.slice(0, len(flat) - 1).filter(pm),
+        flat.slice(1).filter(pm),
+        doc[:-1][m],
+    )
+
+
+def bigram_lm_score(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+    corpus_count: int | None = None,
+    mode: str = "auto",
+    broadcast_threshold: int = 4_000_000,
+):
+    """Per-document bigram language-model log-likelihood — the actual
+    perplexity-style quality filter (CCNet, Wenzek et al. 2020 filter
+    by LM score; :func:`corpus_freq_score` is the unigram-frequency
+    stand-in, this is the real conditional model, trained ON the
+    corpus it scores, from scratch — no model libraries).
+
+    Model: add-one-smoothed bigram over ``\\s+`` tokens,
+    ``P(w2|w1) = (c2(w1,w2)+1) / (c1(w1)+V)`` with ``c1`` the left-
+    context total and ``V`` the corpus distinct-token count.  Scores
+    are order-independent int64 sums of ``floor(2^20 · ln P)`` — the
+    fixed-point trick the graph engine uses — so results are
+    bit-identical across partitionings AND against the SQL twin
+    (the floor is libm-exact, see :func:`_floor_q_log`).
+
+    Output per doc with ≥ 1 bigram: ``bigram_count`` (int64),
+    ``lm_logprob_q`` (int64; divide by ``bigram_count·2^20`` and
+    negate-exp for perplexity).
+
+    Execution paths (same contract as :func:`corpus_freq_score`):
+
+    * ``broadcast`` — per-batch bigram combiner → ONE small grouped
+      sum (distinct bigrams per batch on the wire) → the model
+      quantized on the driver (O(bigram vocab), never O(corpus)) and
+      broadcast once via ``ray.put``; scoring is one map pass with two
+      ``pc.index_in`` C++ hash lookups per token stream.
+    * ``partitioned`` — (w1, w2, doc) occurrence rows exchanged by
+      ``fnv1a64(w1) % P``: every ``(w1, ·)`` lands in one partition, so
+      both ``c2`` and ``c1`` are computed exactly LOCALLY; per-doc
+      partial scores fold through one more hash aggregate.  2
+      shuffles, nothing driver-side but the scalar ``V``.
+
+    ``mode="auto"`` broadcasts iff the bigram vocabulary fits
+    ``broadcast_threshold``.
+    """
+    import ray
+
+    from rayraster.agg import hash_aggregate
+    from rayraster.dedup import _adaptive_parts
+    from rayraster.geo import fnv1a64
+
+    if mode not in ("auto", "broadcast", "partitioned"):
+        raise ValueError(f"mode must be auto|broadcast|partitioned, got {mode!r}")
+    P = _adaptive_parts(corpus_count, num_partitions)
+
+    # V: corpus distinct-token count (both paths; one SMALL exchange —
+    # the combiner ships distinct words per batch)
+    wpartial = ds.map_batches(
+        lambda t: word_count_partial(t, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    vocab = hash_aggregate(
+        wpartial, ["word"], sum_cols=["n"], count=False, num_partitions=P
+    )
+    V = vocab.count()
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        w1, w2, _ = _bigram_flat(batch[text_col])
+        t = pa.table(
+            {"w1": w1, "w2": w2, "_c": np.ones(len(w1), dtype=np.int64)}
+        )
+        out = t.group_by(["w1", "w2"]).aggregate([("_c", "sum")])
+        return pa.table({"w1": out["w1"], "w2": out["w2"], "n": out["_c_sum"]})
+
+    if mode in ("auto", "broadcast"):
+        c2ds = hash_aggregate(
+            ds.map_batches(
+                bigram_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["w1", "w2"],
+            sum_cols=["n"],
+            count=False,
+            num_partitions=P,
+        ).materialize()
+        n_bigram_vocab = c2ds.count()
+        if mode == "broadcast" or n_bigram_vocab <= broadcast_threshold:
+            bt = c2ds.to_pandas()  # O(bigram vocab) on the driver — the
+            # documented broadcast side (the model), NOT the corpus
+            c2 = bt["sum_n"].to_numpy().astype(np.int64)
+            # c1 = left-context totals; vocab ids via two small dictionaries
+            u1, inv1 = np.unique(bt["w1"].to_numpy(), return_inverse=True)
+            u2, inv2 = np.unique(bt["w2"].to_numpy(), return_inverse=True)
+            c1 = np.zeros(len(u1), dtype=np.int64)
+            np.add.at(c1, inv1, c2)
+            r = (c2 + 1.0) / (c1[inv1] + float(V))
+            logq = _floor_q_log(r)
+            keys = inv1.astype(np.int64) * np.int64(len(u2)) + inv2.astype(np.int64)
+            ref = ray.put(
+                (
+                    pa.array(u1, type=pa.string()),
+                    pa.array(u2, type=pa.string()),
+                    pa.array(keys, type=pa.int64()),
+                    logq,
+                )
+            )
+
+            def score_broadcast(batch: pa.Table) -> pa.Table:
+                a1, a2, mkeys, mlog = ray.get(ref)
+                empty = pa.table(
+                    {
+                        id_col: pa.array([], type=pa.int64()),
+                        "bigram_count": pa.array([], type=pa.int64()),
+                        "lm_logprob_q": pa.array([], type=pa.int64()),
+                    }
+                )
+                if batch.num_rows == 0:
+                    return empty
+                ids = batch[id_col].to_numpy(zero_copy_only=False)
+                w1, w2, doc = _bigram_flat(batch[text_col])
+                if len(w1) == 0:
+                    return empty
+                i1 = (
+                    pc.fill_null(pc.index_in(w1, value_set=a1), -1)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                i2 = (
+                    pc.fill_null(pc.index_in(w2, value_set=a2), -1)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                key = i1 * np.int64(len(a2)) + i2
+                pos = (
+                    pc.fill_null(pc.index_in(pa.array(key), value_set=mkeys), -1)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                # scoring the training corpus ⇒ every bigram is in the
+                # model; an out-of-model pair (scoring NEW text) falls
+                # back to the add-one floor P = 1/V
+                oov = _floor_q_log(np.array([1.0 / float(V)]))[0]
+                hit = (i1 >= 0) & (i2 >= 0) & (pos >= 0)
+                lp = np.where(hit, mlog[np.clip(pos, 0, len(mlog) - 1)], oov)
+                nrows = batch.num_rows
+                acc = np.zeros(nrows, dtype=np.int64)
+                np.add.at(acc, doc, lp)
+                cnt = np.bincount(doc, minlength=nrows).astype(np.int64)
+                keep = cnt > 0
+                return pa.table(
+                    {
+                        id_col: pa.array(ids[keep]),
+                        "bigram_count": pa.array(cnt[keep]),
+                        "lm_logprob_q": pa.array(acc[keep]),
+                    }
+                )
+
+            return ds.map_batches(
+                score_broadcast, batch_format="pyarrow", zero_copy_batch=True
+            )
+
+    # partitioned path: exchange (w1, w2, doc) by hash(w1) so c2 AND c1
+    # are exact locally; fold per-doc partials through one more exchange
+    def emit(batch: pa.Table) -> pa.Table:
+        w1, w2, doc = _bigram_flat(batch[text_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        part = fnv1a64(w1) % np.uint64(P)
+        return pa.table(
+            {
+                "w1": w1,
+                "w2": w2,
+                id_col: pa.array(ids[doc] if len(doc) else np.array([], dtype=ids.dtype)),
+                "_part": pa.array(part.astype(np.int64)),
+            }
+        )
+
+    def solve(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "bigram_count": pa.array([], type=pa.int64()),
+                    "lm_logprob_q": pa.array([], type=pa.int64()),
+                }
+            )
+        g = part.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        c2 = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u1, inv1 = np.unique(g["w1"].to_numpy(), return_inverse=True)
+        c1 = np.zeros(len(u1), dtype=np.int64)
+        np.add.at(c1, inv1, c2)
+        logq = _floor_q_log((c2 + 1.0) / (c1[inv1] + float(V)))
+        # per-occurrence score: look each row's (w1,w2) up in g
+        u2, inv2 = np.unique(g["w2"].to_numpy(), return_inverse=True)
+        gkey = inv1.astype(np.int64) * np.int64(len(u2)) + inv2
+        i1 = (
+            pc.fill_null(pc.index_in(part["w1"], value_set=pa.array(u1)), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        i2 = (
+            pc.fill_null(pc.index_in(part["w2"], value_set=pa.array(u2)), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        pos = (
+            pc.fill_null(
+                pc.index_in(
+                    pa.array(i1 * np.int64(len(u2)) + i2), value_set=pa.array(gkey)
+                ),
+                -1,
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        lp = logq[pos]  # every occurrence is in its own partition's model
+        t = pa.table(
+            {id_col: part[id_col], "_lp": pa.array(lp),
+             "_one": pa.array(np.ones(part.num_rows, dtype=np.int64))}
+        )
+        out = t.group_by([id_col]).aggregate([("_lp", "sum"), ("_one", "sum")])
+        return pa.table(
+            {
+                id_col: out[id_col],
+                "bigram_count": out["_one_sum"],
+                "lm_logprob_q": out["_lp_sum"],
+            }
+        )
+
+    pairs = ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+    partials = pairs.groupby("_part").map_groups(solve, batch_format="pyarrow")
+    return hash_aggregate(
+        partials,
+        [id_col],
+        sum_cols=["bigram_count", "lm_logprob_q"],
+        count=False,
+        num_partitions=P,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t[id_col],
+                "bigram_count": t["sum_bigram_count"],
+                "lm_logprob_q": t["sum_lm_logprob_q"],
+            }
+        ),
+        batch_format="pyarrow",
+    )

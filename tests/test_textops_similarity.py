@@ -889,3 +889,113 @@ def test_binary_col_to_matrix_views_and_raises():
         binary_col_to_matrix(pa.array([b"12345678", None]))
     with pytest.raises(ValueError):
         binary_col_to_matrix(pa.array([b"123"]))
+
+
+# --------------------------------------------------------------------------
+# bigram LM perplexity scoring
+# --------------------------------------------------------------------------
+
+
+_LM_DOCS = pa.table(
+    {
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": [
+            "the cat sat on the mat",
+            "the cat ran",
+            "the dog sat on the mat",
+            "cat",                      # 1 token → no bigrams → no row
+            "",                         # empty → no row
+            "  the   cat  sat  ",       # whitespace runs ≡ single spaces
+            "zq xv qqq zq xv",          # rare garbage scores lower
+            "the cat sat on the mat",   # duplicate of doc 0
+        ],
+    }
+)
+
+
+def _lm_brute(table: pa.Table):
+    """Reference model in plain Python: add-one bigram, libm floor."""
+    import math
+    from collections import Counter
+
+    toks = {r["doc_id"]: [w for w in r["text"].split()] for r in table.to_pylist()}
+    vocab = {w for ws in toks.values() for w in ws}
+    c2, c1 = Counter(), Counter()
+    for ws in toks.values():
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    out = {}
+    for d, ws in toks.items():
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            continue
+        s = sum(
+            math.floor((1 << 20) * math.log((c2[p] + 1.0) / (c1[p[0]] + float(len(vocab)))))
+            for p in pairs
+        )
+        out[d] = (len(pairs), s)
+    return out
+
+
+def test_bigram_lm_matches_brute_both_paths(ray_session):
+    from rayraster.textops import bigram_lm_score
+
+    want = _lm_brute(_LM_DOCS)
+    for mode in ("broadcast", "partitioned"):
+        got = (
+            bigram_lm_score(rd.from_arrow(_LM_DOCS), mode=mode, num_partitions=4)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert set(got.index) == set(want)
+        for d, (n, s) in want.items():
+            assert got.loc[d, "bigram_count"] == n, (mode, d)
+            assert got.loc[d, "lm_logprob_q"] == s, (mode, d)
+    # fluent text beats garbage per-bigram
+    g = got
+    fluent = g.loc[0, "lm_logprob_q"] / g.loc[0, "bigram_count"]
+    garbage = g.loc[6, "lm_logprob_q"] / g.loc[6, "bigram_count"]
+    assert fluent > garbage
+    # duplicate docs score identically
+    assert g.loc[0, "lm_logprob_q"] == g.loc[7, "lm_logprob_q"]
+
+
+def test_bigram_lm_partition_invariance(ray_session):
+    """Scores are pure corpus functions — identical at any partition
+    count and either engine (the fixed-point sum is order-free)."""
+    from rayraster.textops import bigram_lm_score
+
+    rng = np.random.default_rng(7)
+    words = np.array(["alpha", "beta", "gamma", "delta", "xq"])
+    texts = [" ".join(rng.choice(words, rng.integers(0, 30))) for _ in range(300)]
+    t = pa.table({"doc_id": np.arange(300, dtype=np.int64), "text": texts})
+    ref = None
+    for mode, P in (("broadcast", 4), ("partitioned", 2), ("partitioned", 16)):
+        got = (
+            bigram_lm_score(rd.from_arrow(t), mode=mode, num_partitions=P)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        if ref is None:
+            ref = got
+        else:
+            pd.testing.assert_frame_equal(got, ref)
+
+
+def test_floor_q_log_matches_libm():
+    """The knife-edge repair: floor(Q·ln r) equals a pure-libm loop on
+    values specifically constructed near floor boundaries."""
+    import math
+    from rayraster.textops import _floor_q_log, _LM_Q
+
+    rng = np.random.default_rng(1)
+    r = rng.uniform(1e-9, 1.0, 20000)
+    # values engineered to sit ~at integer boundaries of Q·ln(r)
+    k = rng.integers(-40 * _LM_Q, -1, 2000)
+    r = np.concatenate([r, np.exp(k / _LM_Q)])
+    got = _floor_q_log(r)
+    want = np.array([math.floor(_LM_Q * math.log(v)) for v in r])
+    assert np.array_equal(got, want)
