@@ -599,22 +599,52 @@ UNION ALL
 
 
 def _q_sort_limit(sf_dir: str):
-    """Native Dataset.sort + limit: densest 20 pixels, fully-keyed
-    deterministic order (covers the sorts/limits checklist row with
-    Ray's own sort operator rather than grouped_topk)."""
+    """Two path-tagged ordering engines under one oracle:
+
+    * path='sort' — native Dataset.sort + limit (Ray's own sort
+      operator): densest 20 pixels, fully-keyed deterministic order.
+    * path='rank' — the same 20 rows through ``agg.global_rank``, the
+      distributed ROW_NUMBER that needs NO all-to-all sort: a coarse
+      monotone bucket key (here ``-num_cell``) + one small histogram +
+      driver prefix offsets + per-bucket local sort.  The arm emits
+      ``rank <= 20`` and must reproduce the sort arm's rows exactly."""
+    import pyarrow.compute as pc
+    from rayraster.agg import global_rank
+
     pts = load_doc_points(sf_dir, columns=("doc_id",))
     cells, _ = _rf(pts, RES, [], fun="sum", with_meta=False)
-    top = cells.select_columns(["ix", "iy", "num_cell"]).sort(
-        ["num_cell", "ix", "iy"], descending=[True, False, False]
-    ).limit(20)
-    return top
+    cells = cells.select_columns(["ix", "iy", "num_cell"])
+    top = (
+        cells.sort(["num_cell", "ix", "iy"], descending=[True, False, False])
+        .limit(20)
+        .map_batches(_tagger("sort"), batch_format="pyarrow")
+    )
+
+    ranked = global_rank(
+        cells,
+        [("num_cell", "descending"), ("ix", "ascending"), ("iy", "ascending")],
+        bucket_fn=lambda t: -t["num_cell"].to_numpy(zero_copy_only=False),
+        num_partitions=8,
+    )
+    rank_top = ranked.map_batches(
+        lambda t: _tag_table(
+            t.filter(pc.less_equal(t["rank"], pa.scalar(20))).drop_columns(["rank"]),
+            "rank",
+        ),
+        batch_format="pyarrow",
+    )
+    return top.union(rank_top)
 
 
 def _sql_sort_limit() -> str:
-    return f"""WITH {_PTS}, {_bb(RES)}, {_square_cells(RES)},
-c AS (SELECT ix, iy, COUNT(*) AS num_cell FROM cells2 GROUP BY ix, iy)
-SELECT ix, iy, num_cell FROM c
-ORDER BY num_cell DESC, ix, iy LIMIT 20"""
+    base = f"""WITH {_PTS}, {_bb(RES)}, {_square_cells(RES)},
+c AS (SELECT ix, iy, COUNT(*) AS num_cell FROM cells2 GROUP BY ix, iy),
+top AS (SELECT ix, iy, num_cell FROM c
+        ORDER BY num_cell DESC, ix, iy LIMIT 20)"""
+    return f"""{base}
+SELECT ix, iy, num_cell, 'sort' AS path FROM top
+UNION ALL
+SELECT ix, iy, num_cell, 'rank' AS path FROM top"""
 
 
 POLYFILL_SPEC = GridSpec(-180.0, -90.0, 10.0)

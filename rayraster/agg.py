@@ -903,3 +903,85 @@ def mixture_epochs(w: float, rate_den: int = 1_000_003) -> tuple:
 
     full = math.floor(w)
     return full, int(round((w - full) * rate_den))
+
+
+def global_rank(
+    ds: Dataset,
+    sort_cols: Sequence[tuple],
+    bucket_fn,
+    rank_col: str = "rank",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Global 1-based ORDER-BY rank WITHOUT an all-to-all sort — the
+    distributed ``ROW_NUMBER() OVER (ORDER BY ...)``.
+
+    ``sort_cols``: ``[(col, "ascending"|"descending"), ...]`` — the
+    COMPOSITE must be a total order (make the last key unique, as the
+    SQL twin would) for a deterministic result.
+    ``bucket_fn(batch) -> int64 ndarray``: a caller-supplied COARSE key
+    that is MONOTONE in the sort order (e.g. the negated primary for a
+    descending sort, a timestamp day, a quantized score).  Rows never
+    compare across buckets, so the global rank decomposes into
+    (exclusive prefix of bucket sizes) + (local rank inside the
+    bucket).
+
+    Plan — the same histogram-offset shape as :func:`pack_by_budget`:
+
+    1. map-only bucket histogram (ONE small grouped count — the only
+       pre-pass; ships one row per distinct bucket per batch),
+    2. exclusive prefix sum of bucket sizes on the driver (driver state
+       = #buckets int64s, broadcast once via ``ray.put``),
+    3. one hash exchange by bucket, then a vectorized in-bucket sort +
+       ``offset + arange`` per bucket.
+
+    Versus ``Dataset.sort``: the exchange is a plain hash shuffle (no
+    sample-and-range-split barrier), the driver never sees row data,
+    and downstream stages keep streaming per bucket.  Keep buckets
+    ≲ a few million (the histogram lands on the driver).
+    """
+    import ray
+
+    sort_cols = [
+        sc if isinstance(sc, tuple) else (sc, "ascending") for sc in sort_cols
+    ]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = np.asarray(bucket_fn(t), dtype=np.int64)
+        return t.append_column("_rbkt", pa.array(b))
+
+    withb = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    hist = (
+        hash_aggregate(
+            withb.select_columns(["_rbkt"]),
+            ["_rbkt"],
+            count=True,
+            num_partitions=num_partitions,
+        )
+        .to_pandas()
+        .sort_values("_rbkt")
+    )
+    sizes = hist["n"].to_numpy(dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+    offsets = ray.put(
+        (hist["_rbkt"].to_numpy(dtype=np.int64), starts)
+    )
+
+    def solve(part: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bkts, offs = ray.get(offsets)
+        out_parts = []
+        # a map_groups partition is ONE bucket (groupby key), but stay
+        # robust to multi-bucket coalescing
+        for b in np.unique(part["_rbkt"].to_numpy(zero_copy_only=False)):
+            sub = part.filter(pc.equal(part["_rbkt"], pa.scalar(int(b))))
+            sub = sub.sort_by(sort_cols)
+            pos = np.searchsorted(bkts, b)
+            base = int(offs[pos])
+            rk = pa.array(base + 1 + np.arange(sub.num_rows, dtype=np.int64))
+            out_parts.append(sub.append_column(rank_col, rk))
+        out = pa.concat_tables(out_parts)
+        return out.drop_columns(["_rbkt"])
+
+    return withb.groupby("_rbkt").map_groups(solve, batch_format="pyarrow")

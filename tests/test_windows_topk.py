@@ -465,3 +465,64 @@ def test_rolling_rejects_float_values(ray_session):
                   "value": [1.5, 2.5]})
     with pytest.raises(Exception, match="integer"):
         rolling_time_aggregate(rd.from_arrow(t)).materialize()
+
+
+# --------------------------------------------------------------------------
+# global_rank (distributed ROW_NUMBER without an all-to-all sort)
+# --------------------------------------------------------------------------
+
+
+def test_global_rank_matches_duckdb(ray_session):
+    import duckdb
+    import pyarrow as pa
+    from rayraster.agg import global_rank
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    t = pa.table(
+        {
+            "score": rng.integers(0, 200, n),          # heavy ties
+            "uid": rng.permutation(n).astype(np.int64),  # unique tiebreak
+        }
+    )
+    out = (
+        global_rank(
+            rd.from_arrow(t),
+            [("score", "descending"), ("uid", "ascending")],
+            bucket_fn=lambda b: -b["score"].to_numpy(zero_copy_only=False),
+            num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values("uid")
+        .reset_index(drop=True)
+    )
+    want = duckdb.connect().execute(
+        """SELECT uid, row_number() OVER (ORDER BY score DESC, uid) AS rank
+           FROM t ORDER BY uid"""
+    ).df()
+    assert out["rank"].tolist() == want["rank"].astype(int).tolist()
+
+
+def test_global_rank_coarse_buckets(ray_session):
+    """A coarser monotone bucket (score // 50) still yields the exact
+    ranks — bucketing only bounds the local-sort width."""
+    import pyarrow as pa
+    from rayraster.agg import global_rank
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    t = pa.table(
+        {"score": rng.integers(0, 1000, n),
+         "uid": rng.permutation(n).astype(np.int64)}
+    )
+    fine = global_rank(
+        rd.from_arrow(t), [("score", "ascending"), ("uid", "ascending")],
+        bucket_fn=lambda b: b["score"].to_numpy(zero_copy_only=False),
+    ).to_pandas().sort_values("uid").reset_index(drop=True)
+    coarse = global_rank(
+        rd.from_arrow(t), [("score", "ascending"), ("uid", "ascending")],
+        bucket_fn=lambda b: b["score"].to_numpy(zero_copy_only=False) // 50,
+        num_partitions=4,
+    ).to_pandas().sort_values("uid").reset_index(drop=True)
+    assert fine["rank"].tolist() == coarse["rank"].tolist()
+    assert sorted(fine["rank"].tolist()) == list(range(1, n + 1))
