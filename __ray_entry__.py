@@ -411,8 +411,12 @@ def _q_filtered_stats(sf_dir: str):
     Deepened with the spatial-statistics family
     (``rayraster/spatial.py``): every pixel row additionally carries
     its exact rook-neighbor count/value-sum (tiled-halo exchange, ONE
-    shuffle) and the local Moran's I term ``lisa`` — the fixed-order
-    float expression the SQL self-join twin reproduces bit-for-bit."""
+    shuffle), the local Moran's I term ``lisa``, the Getis-Ord
+    ``gi_star`` hot-spot z-score, and the QUANTIZED global-Moran
+    per-pixel terms ``lisa_q``/``z2_q`` (int64 — the inputs
+    :func:`rayraster.spatial.global_moran` folds order-independently)
+    — each float a fixed-order expression the SQL self-join twin
+    reproduces bit-for-bit."""
     import pyarrow.compute as _pc
 
     from rayraster.pipelines import add_geocode_id
@@ -439,7 +443,10 @@ def _q_filtered_stats(sf_dir: str):
     out = out.select_columns(
         ["ix", "iy", "cx", "cy", "num_cell", "sum_n_chars", "min_n_chars", "max_n_chars"]
     )
-    return local_moran(out, "sum_n_chars", num_partitions=8, with_focal=True)
+    return local_moran(
+        out, "sum_n_chars", num_partitions=8, with_focal=True,
+        with_gi=True, terms_q=1 << 20,
+    )
 
 
 def _sql_filtered_stats() -> str:
@@ -470,7 +477,9 @@ px AS (
   FROM cells2 GROUP BY ix, iy, cx, cy
 ),
 g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(sum_n_chars) AS BIGINT) AS s FROM px),
+             CAST(SUM(sum_n_chars) AS BIGINT) AS s,
+             SUM(CAST(sum_n_chars AS HUGEINT)
+                 * CAST(sum_n_chars AS HUGEINT)) AS ssq FROM px),
 nb AS (
   SELECT p.ix, p.iy,
          CAST(COUNT(q.ix) AS BIGINT) AS nbr_cnt,
@@ -484,7 +493,30 @@ SELECT px.*, nb.nbr_cnt, nb.nbr_sum,
           - CAST(nb.nbr_cnt AS DOUBLE)*(CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE)))
          AS lisa,
        CAST(px.sum_n_chars + nb.nbr_sum AS DOUBLE)
-         / CAST(1 + nb.nbr_cnt AS DOUBLE) AS focal
+         / CAST(1 + nb.nbr_cnt AS DOUBLE) AS focal,
+       (CAST(px.sum_n_chars + nb.nbr_sum AS DOUBLE)
+        - CAST(1 + nb.nbr_cnt AS DOUBLE)
+          * (CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE)))
+       / (sqrt(CAST(g.ssq AS DOUBLE)/CAST(g.n AS DOUBLE)
+               - (CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE))
+                 * (CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE)))
+          * sqrt((CAST(g.n AS DOUBLE)*CAST(1 + nb.nbr_cnt AS DOUBLE)
+                  - CAST(1 + nb.nbr_cnt AS DOUBLE)
+                    * CAST(1 + nb.nbr_cnt AS DOUBLE))
+                 / (CAST(g.n AS DOUBLE) - 1.0))) AS gi_star,
+       CAST(floor(1048576.0 *
+         ((CAST(px.sum_n_chars AS DOUBLE)
+           - CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE))
+          * (CAST(nb.nbr_sum AS DOUBLE)
+             - CAST(nb.nbr_cnt AS DOUBLE)
+               * (CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE))))) AS BIGINT)
+         AS lisa_q,
+       CAST(floor(1048576.0 *
+         ((CAST(px.sum_n_chars AS DOUBLE)
+           - CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE))
+          * (CAST(px.sum_n_chars AS DOUBLE)
+             - CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE)))) AS BIGINT)
+         AS z2_q
 FROM px JOIN nb ON px.ix = nb.ix AND px.iy = nb.iy, g"""
 
 

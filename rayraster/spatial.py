@@ -31,6 +31,8 @@ the one division, ``S/n`` of exact integers).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
@@ -215,6 +217,8 @@ def local_moran(
     tile: int = 64,
     num_partitions: int = 64,
     with_focal: bool = False,
+    with_gi: bool = False,
+    terms_q: int | None = None,
 ) -> Dataset:
     """Append ``nbr_cnt``, ``nbr_sum`` and the (unnormalized) local
     Moran's I term ``lisa = (x_i − mean) · (nbr_sum − nbr_cnt · mean)``
@@ -226,10 +230,28 @@ def local_moran(
     emitted float is ONE fixed-order expression a SQL twin reproduces
     bit-for-bit.
 
+    ``with_gi=True`` additionally appends the Getis-Ord ``gi_star``
+    hot-spot z-score (Getis & Ord 1992, binary weights incl. self):
+
+        W   = 1 + nbr_cnt                 (link count, int)
+        S1  = x_i + nbr_sum               (windowed sum, int)
+        sd  = sqrt(ssq/n − mean²)         (population sd)
+        gi* = (S1 − W·mean) / (sd · sqrt((n·W − W²)/(n − 1)))
+
+    evaluated in exactly that operation order (every primitive —
+    division, multiply, subtract, sqrt — is IEEE correctly rounded, so
+    a SQL twin spelling the same tree matches bit-for-bit).
+
+    ``terms_q=Q`` appends the QUANTIZED global-Moran per-pixel terms
+    ``lisa_q = floor(Q·lisa)`` and ``z2_q = floor(Q·(x_i − mean)²)``
+    as int64 — integer sums are order-independent, so
+    :func:`global_moran` can fold them into the global statistic with
+    a bit-identical result at any partitioning/cluster size.
+
     The pixel table is a post-aggregation raster (orders of magnitude
     smaller than the input points), so it is materialized once: the
-    global ``(n, Σx)`` fold and the neighbor exchange both consume it
-    without re-executing upstream lineage.
+    global ``(n, Σx, Σx²)`` fold and the neighbor exchange both consume
+    it without re-executing upstream lineage.
     """
     pixels = pixels.materialize()
 
@@ -242,23 +264,39 @@ def local_moran(
                 "fixed-point integers first"
             )
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) and np.abs(v).max() >= np.int64(1) << 31:
+            raise ValueError(
+                "local_moran: |value| must be < 2^31 (the Σx² fold packs "
+                "squares into 31-bit halves for exact int accumulation)"
+            )
+        vv = v * v  # < 2^62, exact in int64
+        lo = vv & ((np.int64(1) << 31) - 1)
+        hi = vv >> 31
+        ssq = (int(hi.sum()) << 31) + int(lo.sum())  # exact Python int
         return pa.table(
             {"n": pa.array([t.num_rows], type=pa.int64()),
-             "s": pa.array([int(v.sum())], type=pa.int64())}
+             "s": pa.array([int(v.sum())], type=pa.int64()),
+             "ssq_hi": pa.array([ssq >> 62], type=pa.int64()),
+             "ssq_lo": pa.array([ssq & ((1 << 62) - 1)], type=pa.int64())}
         )
 
     # one tiny row per block on the driver (the scalar-fold pattern)
     parts = pixels.map_batches(psum, batch_format="pyarrow").take_all()
     n_px = sum(r["n"] for r in parts)
     s_px = sum(r["s"] for r in parts)
+    ssq_px = sum((r["ssq_hi"] << 62) + r["ssq_lo"] for r in parts)
     if n_px == 0:
         raise ValueError("local_moran: empty pixel table")
     mean = s_px / n_px  # ONE IEEE division of exact ints (< 2^53)
+    nf = float(n_px)
+    sd = math.sqrt(float(ssq_px) / nf - mean * mean) if with_gi else 0.0
 
     with_nbrs = neighbor_stats(
         pixels, value_col, ix_col=ix_col, iy_col=iy_col,
         connectivity=connectivity, tile=tile, num_partitions=num_partitions,
     )
+
+    Q = float(terms_q) if terms_q else 0.0
 
     def add_lisa(t: pa.Table) -> pa.Table:
         xi_i = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -271,9 +309,69 @@ def local_moran(
             # same formula as focal_mean, riding this exchange for free
             fm = (xi_i + ns_i).astype(np.float64) / (1 + nc_i).astype(np.float64)
             t = t.append_column("focal", pa.array(fm))
+        if with_gi:
+            w = (1 + nc_i).astype(np.float64)
+            s1 = (xi_i + ns_i).astype(np.float64)
+            num = s1 - w * mean
+            den = sd * np.sqrt((nf * w - w * w) / (nf - 1.0))
+            t = t.append_column("gi_star", pa.array(num / den))
+        if terms_q:
+            lisa_q = np.floor(Q * lisa)
+            z2_q = np.floor(Q * ((xi - mean) * (xi - mean)))
+            if len(lisa_q) and (
+                np.abs(lisa_q).max() >= 2.0**62 or z2_q.max() >= 2.0**62
+            ):
+                raise ValueError(
+                    "local_moran: terms_q overflow — quantized Moran terms "
+                    "exceed 2^62; lower terms_q for this value range"
+                )
+            t = t.append_column("lisa_q", pa.array(lisa_q.astype(np.int64)))
+            t = t.append_column("z2_q", pa.array(z2_q.astype(np.int64)))
         return t
 
     return with_nbrs.map_batches(add_lisa, batch_format="pyarrow")
+
+
+def global_moran(
+    pixels_with_terms: Dataset,
+) -> dict:
+    """Fold the quantized per-pixel Moran terms (``lisa_q``, ``z2_q``
+    from :func:`local_moran` with ``terms_q``) plus the link counts
+    into the GLOBAL Moran's I statistic:
+
+        I = (n / W_tot) · Σ lisa_q / Σ z2_q
+
+    All three folds are int64 sums (order-independent ⇒ bit-identical
+    at any partitioning / cluster size); the returned ``moran_i`` is
+    one float expression over the exact integer totals.  Returns
+    ``{n, w_tot, sum_lisa_q, sum_z2_q, moran_i}``.
+    """
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([t.num_rows], type=pa.int64()),
+             "w": pa.array(
+                 [int(t["nbr_cnt"].to_numpy(zero_copy_only=False).sum())],
+                 type=pa.int64()),
+             "lq": pa.array(
+                 [int(t["lisa_q"].to_numpy(zero_copy_only=False).sum())],
+                 type=pa.int64()),
+             "zq": pa.array(
+                 [int(t["z2_q"].to_numpy(zero_copy_only=False).sum())],
+                 type=pa.int64())}
+        )
+
+    parts = pixels_with_terms.map_batches(fold, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    w_tot = sum(r["w"] for r in parts)
+    sum_lq = sum(r["lq"] for r in parts)
+    sum_zq = sum(r["zq"] for r in parts)
+    if n == 0 or w_tot == 0 or sum_zq == 0:
+        raise ValueError("global_moran: degenerate raster (empty, linkless "
+                         "or constant)")
+    moran_i = (float(n) / float(w_tot)) * (float(sum_lq) / float(sum_zq))
+    return {"n": n, "w_tot": w_tot, "sum_lisa_q": sum_lq,
+            "sum_z2_q": sum_zq, "moran_i": moran_i}
 
 
 def focal_mean(

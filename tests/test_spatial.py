@@ -172,3 +172,70 @@ def test_neighbor_stats_validation(ray_session):
     )
     with pytest.raises(Exception, match="2\\^31"):
         neighbor_stats(rd.from_pandas(bad), "v").to_pandas()
+
+
+def test_gi_star_matches_dense_reference(ray_session):
+    import math
+
+    px = _raster(seed=11)
+    out = (
+        local_moran(rd.from_pandas(px), "v", num_partitions=8,
+                    with_gi=True, terms_q=1 << 20)
+        .to_pandas()
+        .sort_values(["ix", "iy"])
+        .reset_index(drop=True)
+    )
+    ref = px.sort_values(["ix", "iy"]).reset_index(drop=True)
+    cnt, ssum = _brute_nbrs(ref, 4)
+    n = len(ref)
+    s = int(ref.v.sum())
+    ssq = int((ref.v.astype(object) ** 2).sum())
+    mean = s / n
+    sd = math.sqrt(ssq / n - mean * mean)
+    w = (1 + cnt).astype(np.float64)
+    s1 = (ref.v.to_numpy() + ssum).astype(np.float64)
+    want = (s1 - w * mean) / (
+        sd * np.sqrt((float(n) * w - w * w) / (float(n) - 1.0))
+    )
+    np.testing.assert_array_equal(out["gi_star"].to_numpy(), want)
+    # quantized global-Moran terms match the dense formula
+    lisa = (ref.v.to_numpy() - mean) * (ssum - cnt * mean)
+    np.testing.assert_array_equal(
+        out["lisa_q"].to_numpy(), np.floor((1 << 20) * lisa).astype(np.int64)
+    )
+
+
+def test_global_moran_scalar_and_partition_invariance(ray_session):
+    from rayraster.spatial import global_moran
+
+    px = _raster(seed=13)
+    outs = []
+    for parts in (1, 7):
+        terms = local_moran(
+            rd.from_pandas(px).repartition(parts), "v",
+            num_partitions=8, terms_q=1 << 20,
+        )
+        outs.append(global_moran(terms))
+    assert outs[0] == outs[1]  # bit-identical across partitionings
+    g = outs[0]
+    assert g["w_tot"] > 0 and g["sum_z2_q"] > 0
+    # smooth gradient raster → strong positive autocorrelation;
+    # checkerboard → negative
+    m = np.mgrid[0:12, 0:12].reshape(2, -1)
+    grad = pd.DataFrame(
+        {"ix": m[0], "iy": m[1], "v": (m[0] * 100).astype(np.int64)}
+    )
+    checker = pd.DataFrame(
+        {"ix": m[0], "iy": m[1],
+         "v": ((m[0] + m[1]) % 2 * 100).astype(np.int64)}
+    )
+    gi = global_moran(
+        local_moran(rd.from_pandas(grad), "v", num_partitions=8,
+                    terms_q=1 << 20)
+    )
+    ci = global_moran(
+        local_moran(rd.from_pandas(checker), "v", num_partitions=8,
+                    terms_q=1 << 20)
+    )
+    assert gi["moran_i"] > 0.5
+    assert ci["moran_i"] < -0.5
