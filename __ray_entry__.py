@@ -3339,9 +3339,14 @@ def _q_approx_distinct(sf_dir: str):
       (event_type, user) pair's frequency satisfies the sketch's
       one-sided guarantee: ``exact ≤ est ≤ exact + bound``.  CMS
       merging is integer addition, so the estimate is bit-identical
-      across partitionings — the flag is deterministic."""
+      across partitionings — the flag is deterministic;
+    * ``mg_ok`` — the merged Misra-Gries summary's counter for that
+      same hottest pair satisfies the mergeable-summary guarantee
+      ``exact − err ≤ counter ≤ exact`` with ``err ≤ N/(k+1)`` — a
+      theorem on EVERY merge schedule, so the flag is deterministic
+      even though MG counters themselves are schedule-dependent."""
     from rayraster.agg import distinct, grouped_topk, hash_aggregate
-    from rayraster.sketch import build_cms, cms_estimate
+    from rayraster.sketch import build_cms, build_mg, cms_estimate
     from rayraster.sketch import approx_distinct
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
@@ -3377,22 +3382,27 @@ def _q_approx_distinct(sf_dir: str):
         .sort_values("event_type")
         .reset_index(drop=True)
     )  # post-aggregation: one row per event_type
-    cms = build_cms(
-        ev.map_batches(pair_key, batch_format="pyarrow"), "pair", log2_width=16
-    )
-    top_tbl = pa.table(
-        {"pair": pa.array([f"{a}|{b}" for a, b in zip(top.event_type, top.user_id)])}
-    )
+    pairs = ev.map_batches(pair_key, batch_format="pyarrow")
+    cms = build_cms(pairs, "pair", log2_width=16)
+    mg_k = 256
+    mg = build_mg(pairs, "pair", k=mg_k)
+    top_keys = [f"{a}|{b}" for a, b in zip(top.event_type, top.user_id)]
+    top_tbl = pa.table({"pair": pa.array(top_keys)})
     e = cms_estimate(cms, top_tbl, "pair")
     n_total = cms.total()
     bound = max(16, 4 * n_total // (1 << 16))
     exact_n = top.n_ev.to_numpy()
     cms_ok = (e >= exact_n) & (e - exact_n <= bound)
+    lb = np.array([mg.lower_bound(key) for key in top_keys], np.int64)
+    mg_ok = (
+        (lb <= exact_n) & (exact_n - lb <= mg.err)
+        & (mg.err * (mg_k + 1) <= n_total)
+    )
     import pandas as _pd
 
     m = m.merge(
         _pd.DataFrame({"event_type": top.event_type, "top_user_n": exact_n,
-                       "cms_ok": cms_ok}),
+                       "cms_ok": cms_ok, "mg_ok": mg_ok}),
         on="event_type",
     ).sort_values("event_type")
     return pa.table(
@@ -3402,6 +3412,7 @@ def _q_approx_distinct(sf_dir: str):
             "hll_ok": pa.array(m.hll_ok.to_numpy(), type=pa.bool_()),
             "top_user_n": pa.array(m.top_user_n, type=pa.int64()),
             "cms_ok": pa.array(m.cms_ok.to_numpy(), type=pa.bool_()),
+            "mg_ok": pa.array(m.mg_ok.to_numpy(), type=pa.bool_()),
         }
     )
 
@@ -3415,7 +3426,7 @@ SELECT e.event_type, COUNT(DISTINCT e.user_id) AS n_users_exact,
        TRUE AS hll_ok,
        (SELECT CAST(MAX(n_ev) AS BIGINT) FROM pc
         WHERE pc.event_type = e.event_type) AS top_user_n,
-       TRUE AS cms_ok
+       TRUE AS cms_ok, TRUE AS mg_ok
 FROM events e GROUP BY 1"""
 
 

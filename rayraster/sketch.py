@@ -510,3 +510,139 @@ def cms_estimate(cms: CMS, t: pa.Table, col: str) -> np.ndarray:
     """int64 frequency estimates for ``t[col]`` (hashing exactly as
     :func:`build_cms` hashed the corpus column)."""
     return cms.query_hashes(_col_hashes(t, col))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable frequent-items summary)
+# ---------------------------------------------------------------------------
+
+
+class MG:
+    """Mergeable Misra-Gries frequent-items summary: at most ``k``
+    (key, counter) pairs plus one integer ``err`` — the cumulative
+    decrement applied so far.
+
+    Deterministic guarantee (Agarwal/Cormode et al., "Mergeable
+    Summaries", PODS'12), independent of batch boundaries, merge order
+    and cluster size::
+
+        true(x) - err  <=  counter(x)  <=  true(x)      (absent -> 0)
+        err <= N / (k + 1)                               (N = total weight)
+
+    so any key with true frequency above ``N/(k+1)`` is GUARANTEED
+    present — the deterministic-bound flag the d7 oracle gate checks,
+    exactly like CMS's one-sided bound.  (SpaceSaving is the same
+    summary under the substitution ``ss_count = mg_count + err``, so
+    this one class covers both classical algorithms.)
+
+    Unlike HLL/CMS the merged COUNTERS are not bit-identical across
+    partitionings (the decrement schedule differs); the BOUNDS above
+    hold on every schedule, which is what the gate asserts.
+    """
+
+    def __init__(self, k: int = 256,
+                 counters: dict[str, int] | None = None, err: int = 0):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = k
+        self.counters: dict[str, int] = dict(counters) if counters else {}
+        self.err = int(err)
+
+    def _shrink(self) -> None:
+        if len(self.counters) <= self.k:
+            return
+        vals = np.fromiter(self.counters.values(), np.int64,
+                           len(self.counters))
+        # the (k+1)-th largest value is the decrement that leaves at
+        # most k strictly-positive counters
+        m = int(np.partition(vals, len(vals) - self.k - 1)
+                [len(vals) - self.k - 1])
+        self.counters = {key: c - m for key, c in self.counters.items()
+                         if c > m}
+        self.err += m
+
+    def add_counts(self, keys, counts) -> "MG":
+        """Fold EXACT per-key counts of one batch (from
+        ``pc.value_counts`` — the vectorized C++ pre-aggregation; the
+        Python loop below touches distinct keys, not rows)."""
+        c = self.counters
+        for key, n in zip(keys, counts):
+            c[key] = c.get(key, 0) + int(n)
+        self._shrink()
+        return self
+
+    def merge(self, other: "MG") -> "MG":
+        if self.k != other.k:
+            raise ValueError("MG sizes differ — cannot merge")
+        c = self.counters
+        for key, n in other.counters.items():
+            c[key] = c.get(key, 0) + n
+        self.err += other.err
+        self._shrink()
+        return self
+
+    def lower_bound(self, key: str) -> int:
+        """counter(key) — a lower bound on the true count; the true
+        count is at most ``lower_bound(key) + self.err``."""
+        return self.counters.get(key, 0)
+
+    def topk(self, n: int | None = None) -> list[tuple[str, int]]:
+        """(key, counter) pairs, counter descending then key ascending
+        (deterministic for a GIVEN summary)."""
+        items = sorted(self.counters.items(), key=lambda kv: (-kv[1], kv[0]))
+        return items if n is None else items[:n]
+
+    def to_bytes(self) -> bytes:
+        import json
+
+        return json.dumps(
+            {"k": self.k, "err": self.err, "c": self.counters},
+            sort_keys=True, separators=(",", ":"),
+        ).encode("utf-8")
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "MG":
+        import json
+
+        d = json.loads(b.decode("utf-8"))
+        return cls(d["k"], d["c"], d["err"])
+
+
+def build_mg(ds: Dataset, col: str, k: int = 256, fold_batch: int = 32) -> MG:
+    """Distributed Misra-Gries build over ``ds[col]`` — the top-of-
+    stream heavy hitters in one streaming pass with O(k) state per
+    node and NO shuffle (the frequent-ITEMS member of the sketch
+    family: HLL = how many distinct, CMS = how often is this one, MG =
+    which ones are hot).  Same blob plumbing as :func:`build_cms`: one
+    summary per batch (exact in-batch counts via ``pc.value_counts``),
+    an add-fold stage collapses ~``fold_batch`` blobs, the driver
+    merges the remaining handful (a k=256 summary is a few KiB).  At
+    10^12 rows this replaces the full ``groupby(col).count()``
+    exchange whenever only the ``> N/(k+1)``-frequency tail matters
+    (hot-key discovery for salting, mixture monitoring, top domains).
+    """
+    import pyarrow.compute as pc
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(pc.cast(t[col], pa.string()))
+        s = MG(k).add_counts(vc.field("values").to_pylist(),
+                             vc.field("counts").to_numpy())
+        return pa.table({"blob": pa.array([s.to_bytes()], type=pa.binary())})
+
+    def add_fold(t: pa.Table) -> pa.Table:
+        acc = MG(k)
+        for blob in t["blob"].to_pylist():
+            acc.merge(MG.from_bytes(blob))
+        return pa.table({"blob": pa.array([acc.to_bytes()], type=pa.binary())})
+
+    folded = ds.map_batches(
+        sketch_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        add_fold, batch_format="pyarrow", batch_size=fold_batch,
+        zero_copy_batch=True,
+    )
+    out = MG(k)
+    for t in folded.iter_batches(batch_format="pyarrow", batch_size=fold_batch):
+        for blob in t["blob"].to_pylist():
+            out.merge(MG.from_bytes(blob))
+    return out

@@ -809,3 +809,85 @@ def test_prebucketed_join_validates_hash_version(ray_session, tmp_path):
     json.dump(m, open(mpath, "w"))
     with pytest.raises(ValueError, match="hash"):
         bucket_join_prebucketed(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_mg_bounds_and_heavy_hitter_guarantee():
+    from rayraster.sketch import MG
+
+    rng = np.random.default_rng(7)
+    # Zipf-ish stream over 500 keys, summarized with k=16 counters
+    keys = np.concatenate(
+        [np.full(8000 // (k + 1), k, dtype=np.int64) for k in range(500)]
+    )
+    rng.shuffle(keys)
+    true = np.bincount(keys, minlength=500)
+    n = int(true.sum())
+    k = 16
+    s = MG(k)
+    # feed in batches through the exact-count path build_mg uses
+    for chunk in np.array_split(keys, 37):
+        vals, counts = np.unique(chunk, return_counts=True)
+        s.add_counts([str(v) for v in vals], counts)
+    assert len(s.counters) <= k
+    assert s.err <= n // (k + 1)
+    for key in range(500):
+        lb = s.lower_bound(str(key))
+        assert lb <= true[key]  # counter never exceeds truth
+        assert true[key] - lb <= s.err  # within the decrement budget
+        if true[key] > n // (k + 1):
+            assert lb > 0, f"heavy hitter {key} missing from summary"
+
+
+def test_mg_merge_bounds_roundtrip_and_validation():
+    import pytest
+
+    from rayraster.sketch import MG
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 50, 4000)
+    true = np.bincount(keys, minlength=50)
+    n = len(keys)
+    halves = np.array_split(keys, 2)
+    parts = []
+    for h in halves:
+        vals, counts = np.unique(h, return_counts=True)
+        parts.append(MG(8).add_counts([str(v) for v in vals], counts))
+    merged = parts[0].merge(parts[1])
+    assert merged.err <= n // 9
+    for key in range(50):
+        lb = merged.lower_bound(str(key))
+        assert lb <= true[key] and true[key] - lb <= merged.err
+    rt = MG.from_bytes(merged.to_bytes())
+    assert rt.k == merged.k and rt.err == merged.err
+    assert rt.counters == merged.counters
+    assert rt.topk(3) == merged.topk(3)
+    with pytest.raises(ValueError, match="sizes differ"):
+        merged.merge(MG(4))
+    with pytest.raises(ValueError, match="k must be"):
+        MG(0)
+
+
+def test_build_mg_distributed_guarantees(ray_session):
+    from rayraster.sketch import MG, build_mg
+
+    rng = np.random.default_rng(23)
+    # heavy skew: key 0 is ~30% of the stream
+    ids = np.concatenate(
+        [np.zeros(6000, np.int64), rng.integers(1, 400, 14000).astype(np.int64)]
+    )
+    rng.shuffle(ids)
+    t = pa.table({"k": pa.array(ids)})
+    built = build_mg(rd.from_arrow(t).repartition(7), "k", k=32, fold_batch=3)
+    true = np.bincount(ids, minlength=400)
+    n = len(ids)
+    assert built.err <= n // 33
+    for key in range(400):
+        lb = built.lower_bound(str(key))
+        assert lb <= true[key] and true[key] - lb <= built.err
+    # the dominant key is guaranteed present and ranked first
+    assert built.topk(1)[0][0] == "0"
