@@ -760,7 +760,44 @@ def _q_raster_to_vector(sf_dir: str):
 
     sq = sq_cells.map_batches(vec_square, batch_format="pyarrow", zero_copy_batch=True)
     hx = hx_cells.map_batches(vec_hex, batch_format="pyarrow", zero_copy_batch=True)
-    return sq.union(hx)
+
+    # third arm (grid='region'): connected same-value region labeling —
+    # R raster::clump / the front half of GDAL polygonize.  Binary mask
+    # (num_cell >= 2) → tile+halo same-value adjacency edges →
+    # DISTRIBUTED connected components (min-label + pointer jumping) →
+    # join back.  The twin is a data-driven CC in SQL: unrolled
+    # min-label + pointer-jump rounds (rounds are idempotent after
+    # convergence, like the k-core twin's peeling rounds).
+    from rayraster.spatial import label_regions
+
+    reg_cells, _ = _rf(pts, RES, [], fun="sum")  # with_meta → num_cell
+
+    def to_val(t: pa.Table) -> pa.Table:
+        nc = t["num_cell"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"ix": t["ix"], "iy": t["iy"],
+             "val": pa.array((nc >= 2).astype(np.int64))}
+        )
+
+    i64 = pa.int64()
+    labeled = label_regions(
+        reg_cells.map_batches(to_val, batch_format="pyarrow").materialize(),
+        "val", connectivity=4, num_partitions=8,
+        pixels_schema=pa.schema([("ix", i64), ("iy", i64), ("val", i64)]),
+    )
+
+    def vec_region(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"grid": pa.array(["region"] * t.num_rows, type=pa.string()),
+             "ix": t["ix"], "iy": t["iy"],
+             "px1": t["region_ix"].cast(pa.float64()),
+             "py1": t["region_iy"].cast(pa.float64()),
+             "px2": t["val"].cast(pa.float64()),
+             "py2": t["region_n"].cast(pa.float64())}
+        )
+
+    rg = labeled.map_batches(vec_region, batch_format="pyarrow")
+    return sq.union(hx, rg)
 
 
 # --------------------------------------------------------------------------
@@ -1019,7 +1056,51 @@ FROM c"""
        x_lo AS px1, y_lo AS py1, x_hi AS px2, y_hi AS py2 FROM ({sq})
 UNION ALL
 SELECT 'hexagon' AS grid, ix, iy,
-       cx AS px1, cy AS py1, v1x AS px2, v1y AS py2 FROM ({hx})"""
+       cx AS px1, cy AS py1, v1x AS px2, v1y AS py2 FROM ({hx})
+UNION ALL
+SELECT 'region' AS grid, ix, iy, px1, py1, px2, py2 FROM ({_sql_region_label()})"""
+
+
+def _sql_region_label(rounds: int = 16) -> str:
+    """Data-driven connected-component labeling IN SQL: same-value
+    4-adjacency edges over the density mask, then ``rounds`` unrolled
+    min-label + pointer-jump rounds — per round, each node takes the
+    min label over its neighborhood (self-loops included) and then
+    jumps ``lab ← lab(lab)``, so the distance-to-min shrinks
+    exponentially (16 rounds cover component diameters ~2^16; extra
+    rounds are idempotent, the k-core-twin pattern).  Labels are
+    packed ``ix·2^32 + iy`` keys (grid indices are ≥ 0 here), unpacked
+    with `//`/`%` at the end; region size joins back from a final
+    grouped count.  Every round CTE is MATERIALIZED —
+    DuckDB inlines plain CTEs, which explodes an unrolled chain
+    exponentially (observed: fd exhaustion from repeated base scans)."""
+    parts = [f"""WITH {_PTS}, {_bb(RES)}, {_square_cells(RES)},
+c AS (SELECT ix, iy, COUNT(*) AS n FROM cells2 GROUP BY ix, iy),
+v AS MATERIALIZED (SELECT ix, iy, CASE WHEN n >= 2 THEN 1 ELSE 0 END AS val,
+             ix * 4294967296 + iy AS k FROM c),
+e AS MATERIALIZED (
+  SELECT a.k AS node, b.k AS peer
+  FROM v a JOIN v b
+    ON a.val = b.val AND (abs(a.ix - b.ix) + abs(a.iy - b.iy)) = 1
+  UNION ALL SELECT k, k FROM v
+),
+r0 AS MATERIALIZED (SELECT node AS k, MIN(peer) AS lab FROM e GROUP BY node)"""]
+    prev = "r0"
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+r{i}m AS MATERIALIZED (SELECT e.node AS k, MIN(p.lab) AS lab
+          FROM e JOIN {prev} p ON p.k = e.peer GROUP BY e.node),
+r{i} AS MATERIALIZED (SELECT m.k, m2.lab FROM r{i}m m JOIN r{i}m m2 ON m2.k = m.lab)""")
+        prev = f"r{i}"
+    parts.append(f""",
+sz AS (SELECT lab, COUNT(*) AS rn FROM {prev} GROUP BY lab)
+SELECT v.ix, v.iy,
+       CAST(r.lab // 4294967296 AS DOUBLE) AS px1,
+       CAST(r.lab % 4294967296 AS DOUBLE) AS py1,
+       CAST(v.val AS DOUBLE) AS px2,
+       CAST(sz.rn AS DOUBLE) AS py2
+FROM v JOIN {prev} r ON r.k = v.k JOIN sz ON sz.lab = r.lab""")
+    return "".join(parts)
 
 
 def _sql_hex_vector() -> str:

@@ -404,3 +404,271 @@ def focal_mean(
         return t.append_column(out_col, pa.array(fm))
 
     return with_nbrs.map_batches(add_mean, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# raster region labeling ("clump" / polygonize front half)
+# ---------------------------------------------------------------------------
+
+
+def region_edges(
+    pixels: Dataset,
+    value_col: str,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    connectivity: int = 4,
+    tile: int = 64,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Same-value lattice adjacency edges: one ``(a, b)`` row (packed
+    int64 cell keys, ``a < b``) per pair of rook/queen/hex-adjacent
+    pixels whose ``value_col`` is EQUAL, plus one self-loop ``(k, k)``
+    per pixel so isolated pixels still reach the component engine.
+
+    Same tile + 1-cell-halo exchange as :func:`neighbor_stats` (only
+    ``(ix, iy, value)`` ships — columns are pruned before the fan-out);
+    each undirected edge is discovered from both endpoints' home tiles
+    and the ``a < b`` filter keeps exactly one copy.  This is the edge
+    half of GDAL ``polygonize`` / R ``raster::clump``: feed the result
+    to :func:`rayraster.dedup.connected_components_distributed` (or let
+    :func:`label_regions` do both).
+    """
+    if connectivity not in _OFFSETS:
+        raise ValueError(
+            f"connectivity must be 4, 8 (square) or 6 (hex axial), got {connectivity}"
+        )
+    offsets = _OFFSETS[connectivity]
+    T = np.int64(tile)
+
+    def fanout(t: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(t.schema.field(value_col).type):
+            raise TypeError(
+                f"region_edges: {value_col!r} must be an integer column "
+                f"(got {t.schema.field(value_col).type}) — region identity "
+                "is exact equality; quantize float rasters first"
+            )
+        t = t.select([ix_col, iy_col, value_col])
+        if t.num_rows == 0:
+            e = t.append_column("_home", pa.array([], type=pa.bool_()))
+            e = e.append_column("_ttx", pa.array([], type=pa.int64()))
+            e = e.append_column("_tty", pa.array([], type=pa.int64()))
+            return e.append_column("_part", pa.array([], type=pa.int64()))
+        ix = t[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if np.abs(ix).max(initial=0) >= 1 << 31 or np.abs(iy).max(initial=0) >= 1 << 31:
+            raise ValueError("region_edges: |ix|,|iy| must be < 2^31 to pack")
+        tx, ty = ix // T, iy // T
+        lx, ly = ix - tx * T, iy - ty * T
+        pieces = []
+        for a in (-1, 0, 1):
+            okx = (lx == 0) if a == -1 else (lx == T - 1) if a == 1 else None
+            for b in (-1, 0, 1):
+                oky = (ly == 0) if b == -1 else (ly == T - 1) if b == 1 else None
+                if a == 0 and b == 0:
+                    sel = None
+                else:
+                    sel = np.ones(t.num_rows, dtype=bool)
+                    if okx is not None:
+                        sel &= okx
+                    if oky is not None:
+                        sel &= oky
+                if sel is None:
+                    p, ptx, pty = t, tx, ty
+                else:
+                    idx = np.flatnonzero(sel)
+                    if len(idx) == 0:
+                        continue
+                    p = t.take(pa.array(idx, type=pa.int64()))
+                    ptx, pty = tx[idx], ty[idx]
+                p = p.append_column(
+                    "_home", pa.array(np.full(p.num_rows, a == 0 and b == 0))
+                )
+                part = (
+                    np.abs(
+                        (ptx + a) * np.int64(73856093) ^ (pty + b) * np.int64(19349663)
+                    )
+                    % np.int64(num_partitions)
+                )
+                p = p.append_column("_ttx", pa.array(ptx + a))
+                p = p.append_column("_tty", pa.array(pty + b))
+                pieces.append(p.append_column("_part", pa.array(part)))
+        return pa.concat_tables(pieces)
+
+    def solve(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        group = group.sort_by([("_ttx", "ascending"), ("_tty", "ascending")])
+        gtx = group["_ttx"].to_numpy(zero_copy_only=False)
+        gty = group["_tty"].to_numpy(zero_copy_only=False)
+        home = group["_home"].to_numpy(zero_copy_only=False)
+        ix = group[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = group[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = group[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group.num_rows
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (gtx[1:] != gtx[:-1]) | (gty[1:] != gty[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        outs_a: list[np.ndarray] = []
+        outs_b: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            rows = np.arange(s, e)
+            h = rows[home[s:e]]
+            if len(h) == 0:
+                continue
+            keys = _pack(ix[rows], iy[rows])
+            order = np.argsort(keys)
+            skeys, svals = keys[order], val[rows][order]
+            if len(skeys) > 1 and (skeys[1:] == skeys[:-1]).any():
+                raise ValueError(
+                    "region_edges: duplicate (ix, iy) pixels in the input"
+                    " — the raster must be unique per cell (aggregate first)"
+                )
+            hk = _pack(ix[h], iy[h])
+            hv = val[h]
+            outs_a.append(hk)  # self loops: every pixel reaches CC
+            outs_b.append(hk)
+            for dx, dy in offsets:
+                want = _pack(ix[h] + dx, iy[h] + dy)
+                pos = np.searchsorted(skeys, want)
+                pos_c = np.minimum(pos, len(skeys) - 1)
+                hit = (skeys[pos_c] == want) & (svals[pos_c] == hv) & (hk < want)
+                if hit.any():
+                    outs_a.append(hk[hit])
+                    outs_b.append(want[hit])
+        if not outs_a:
+            return empty
+        return pa.table(
+            {"a": pa.array(np.concatenate(outs_a)),
+             "b": pa.array(np.concatenate(outs_b))}
+        )
+
+    fanned = pixels.map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True)
+    return fanned.groupby("_part").map_groups(solve, batch_format="pyarrow")
+
+
+def unpack_cell_key(k: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Invert :func:`_pack` for any signed (ix, iy) with |·| < 2^31:
+    the low 32 bits (mod, always in [0, 2^32)) recover iy's residue;
+    values ≥ 2^31 were a negative iy."""
+    m = np.mod(k, np.int64(1) << 32)
+    iy = np.where(m >= np.int64(1) << 31, m - (np.int64(1) << 32), m)
+    ix = (k - iy) // (np.int64(1) << 32)
+    return ix, iy
+
+
+def label_regions(
+    pixels: Dataset,
+    value_col: str,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    connectivity: int = 4,
+    tile: int = 64,
+    num_partitions: int = 64,
+    max_rounds: int = 64,
+    with_size: bool = True,
+    pixels_schema: pa.Schema | None = None,
+    engine: str = "distributed",
+) -> Dataset:
+    """Label connected same-value raster regions (R ``raster::clump``,
+    the front half of GDAL ``polygonize``): appends ``region_ix`` /
+    ``region_iy`` — the lexicographically smallest (ix, iy) of the
+    pixel's region, a deterministic stable region id — and (with
+    ``with_size``) ``region_n``, the region's pixel count.
+
+    ``engine="distributed"`` (default, the 10^12-pixel path):
+    :func:`region_edges` (tile+halo exchange) →
+    :func:`rayraster.dedup.connected_components_distributed`
+    (min-label + pointer jumping, O(log diameter) rounds, one bucket
+    join per round) → one `bucket_join` back to the pixels (+ one
+    grouped count + join for sizes) — nothing driver-side.
+    ``engine="driver"``: rasters are usually post-aggregation tables
+    orders of magnitude smaller than their inputs, so the label table
+    fits the driver — :func:`rayraster.dedup.connected_components`
+    (broadcast labels, one exchange/round) then ONE map-side
+    broadcast join back; zero join shuffles.  Both engines emit
+    identical rows (pytest-pinned).  Labels are min PACKED keys;
+    packing is strictly (ix, iy)-lexicographic so the unpacked pair is
+    the lex-min member.  Pass ``pixels_schema`` when the pixel
+    lineage contains a shuffle (same rule as every join in the repo).
+    """
+    from rayraster.agg import hash_aggregate
+    from rayraster.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+    from rayraster.join import broadcast_join, bucket_join
+
+    if engine not in ("distributed", "driver"):
+        raise ValueError(f"engine must be 'distributed' or 'driver', got {engine!r}")
+    i64 = pa.int64()
+    edges = region_edges(
+        pixels, value_col, ix_col=ix_col, iy_col=iy_col,
+        connectivity=connectivity, tile=tile, num_partitions=num_partitions,
+    )
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ix = t[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_k", pa.array(_pack(ix, iy)))
+
+    keyed = pixels.map_batches(add_key, batch_format="pyarrow")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        rix, riy = unpack_cell_key(
+            t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        t = t.drop_columns(["_k", "cluster"])
+        t = t.append_column("region_ix", pa.array(rix))
+        return t.append_column("region_iy", pa.array(riy))
+
+    if engine == "driver":
+        lab_tbl = connected_components(
+            edges, max_rounds=max_rounds, num_partitions=num_partitions
+        ).rename_columns(["_k", "cluster"])
+        if with_size:
+            cl = lab_tbl["cluster"].to_numpy(zero_copy_only=False)
+            uniq, inv, cnt = np.unique(cl, return_inverse=True, return_counts=True)
+            lab_tbl = lab_tbl.append_column("region_n", pa.array(cnt[inv]))
+        joined = broadcast_join(keyed, lab_tbl, keys=["_k"])
+        return joined.map_batches(finalize, batch_format="pyarrow")
+
+    labels = connected_components_distributed(
+        edges, max_rounds=max_rounds, num_partitions=num_partitions
+    )
+    def _fields(schema: pa.Schema) -> list[pa.Field]:
+        return [schema.field(i) for i in range(len(schema.names))]
+
+    # explicit schemas only when the caller supplied one (the repo's
+    # join rule: pass it whenever pixel lineage contains a shuffle);
+    # otherwise bucket_join probes once
+    keyed_schema = (
+        pa.schema(_fields(pixels_schema) + [pa.field("_k", i64)])
+        if pixels_schema is not None else None
+    )
+
+    joined = bucket_join(
+        keyed, labels, "_k", "node",
+        num_buckets=num_partitions,
+        left_schema=keyed_schema,
+        right_schema=pa.schema([("node", i64), ("cluster", i64)]),
+    )
+    if with_size:
+        sizes = hash_aggregate(
+            labels, ["cluster"], count=True, count_name="region_n",
+            num_partitions=num_partitions,
+        )
+        joined = bucket_join(
+            joined, sizes, "cluster", "cluster",
+            num_buckets=num_partitions,
+            left_schema=(
+                pa.schema(_fields(keyed_schema) + [pa.field("cluster", i64)])
+                if keyed_schema is not None else None
+            ),
+            right_schema=pa.schema([("cluster", i64), ("region_n", i64)]),
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data as rd
 
@@ -239,3 +240,119 @@ def test_global_moran_scalar_and_partition_invariance(ray_session):
     )
     assert gi["moran_i"] > 0.5
     assert ci["moran_i"] < -0.5
+
+
+# ---------------------------------------------------------------------------
+# region labeling (clump)
+# ---------------------------------------------------------------------------
+
+
+def _clump_reference(cells: dict, offsets) -> dict:
+    """Union-find clump on a {(ix,iy): val} dict; returns cell → lex-min
+    member of its same-value region."""
+    parent = {c: c for c in cells}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (a, b), v in cells.items():
+        for dx, dy in offsets:
+            nb = (a + dx, b + dy)
+            if cells.get(nb) == v:
+                ra, rb = find((a, b)), find(nb)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    return {c: find(c) for c in cells}
+
+
+def _rand_raster(seed: int, shape=(30, 30), density=0.6, nvals=3):
+    rng = np.random.default_rng(seed)
+    mask = rng.random(shape) < density
+    ix, iy = np.nonzero(mask)
+    val = rng.integers(0, nvals, len(ix)).astype(np.int64)
+    return pa.table(
+        {"ix": pa.array(ix.astype(np.int64)), "iy": pa.array(iy.astype(np.int64)),
+         "val": pa.array(val)}
+    )
+
+
+@pytest.mark.parametrize("connectivity,offs", [
+    (4, [(-1, 0), (1, 0), (0, -1), (0, 1)]),
+    (8, [(-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (-1, 1), (1, -1), (1, 1)]),
+    (6, [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]),
+])
+def test_label_regions_matches_union_find(ray_session, connectivity, offs):
+    from collections import Counter
+
+    from rayraster.spatial import label_regions
+
+    t = _rand_raster(17)
+    cells = {
+        (int(a), int(b)): int(v)
+        for a, b, v in zip(t["ix"].to_pylist(), t["iy"].to_pylist(),
+                           t["val"].to_pylist())
+    }
+    ref = _clump_reference(cells, offs)
+    sizes = Counter(ref.values())
+    out = label_regions(
+        rd.from_arrow(t).repartition(4), "val",
+        connectivity=connectivity, tile=8, num_partitions=8,
+    ).to_pandas()
+    assert len(out) == len(cells)
+    for r in out.itertuples():
+        c = (int(r.ix), int(r.iy))
+        assert (r.region_ix, r.region_iy) == ref[c]
+        assert r.region_n == sizes[ref[c]]
+
+
+def test_label_regions_engines_agree_and_negative_coords(ray_session):
+    from rayraster.spatial import label_regions
+
+    t = _rand_raster(29, shape=(24, 24), density=0.7, nvals=2)
+    # shift into negative coordinate territory: packing must stay
+    # injective and the unpack must invert it
+    ixs = pa.array(np.asarray(t["ix"].to_numpy(zero_copy_only=False)) - 12)
+    iys = pa.array(np.asarray(t["iy"].to_numpy(zero_copy_only=False)) - 12)
+    t = pa.table({"ix": ixs, "iy": iys, "val": t["val"]})
+    kw = dict(connectivity=4, tile=8, num_partitions=8)
+    a = (
+        label_regions(rd.from_arrow(t), "val", engine="distributed", **kw)
+        .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+    )
+    b = (
+        label_regions(rd.from_arrow(t), "val", engine="driver", **kw)
+        .to_pandas()[a.columns].sort_values(["ix", "iy"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    with pytest.raises(ValueError, match="engine must be"):
+        label_regions(rd.from_arrow(t), "val", engine="bogus")
+
+
+def test_unpack_cell_key_roundtrip():
+    from rayraster.spatial import _pack, unpack_cell_key
+
+    rng = np.random.default_rng(3)
+    ix = rng.integers(-(1 << 31) + 1, 1 << 31, 1000)
+    iy = rng.integers(-(1 << 31) + 1, 1 << 31, 1000)
+    rx, ry = unpack_cell_key(_pack(ix, iy))
+    assert np.array_equal(rx, ix) and np.array_equal(ry, iy)
+
+
+def test_region_edges_validations(ray_session):
+    from rayraster.spatial import label_regions, region_edges
+
+    t = pa.table({"ix": pa.array([0, 0], type=pa.int64()),
+                  "iy": pa.array([0, 0], type=pa.int64()),
+                  "val": pa.array([1, 1], type=pa.int64())})
+    with pytest.raises(Exception, match="duplicate"):
+        region_edges(rd.from_arrow(t), "val").to_pandas()
+    tf = pa.table({"ix": pa.array([0], type=pa.int64()),
+                   "iy": pa.array([0], type=pa.int64()),
+                   "val": pa.array([1.0])})
+    with pytest.raises(Exception, match="integer column"):
+        region_edges(rd.from_arrow(tf), "val").to_pandas()
+    with pytest.raises(ValueError, match="connectivity"):
+        label_regions(rd.from_arrow(t), "val", connectivity=5)
