@@ -443,14 +443,48 @@ def _q_filtered_stats(sf_dir: str):
     out = out.select_columns(
         ["ix", "iy", "cx", "cy", "num_cell", "sum_n_chars", "min_n_chars", "max_n_chars"]
     )
-    return local_moran(
-        out, "sum_n_chars", num_partitions=8, with_focal=True,
+    # weighted (quantized-Gaussian 5×5) focal convolution FIRST — its
+    # exact int64 conv_sum/conv_wt columns then ride local_moran's
+    # halo exchange as passthrough base columns (no extra join); the
+    # one float `gauss` division happens last (fixed-order twin rule)
+    from rayraster.spatial import focal_convolve
+
+    conv = focal_convolve(
+        out, "sum_n_chars", _R13_KERNEL, num_partitions=8, out_prefix="conv"
+    )
+    lm = local_moran(
+        conv, "sum_n_chars", num_partitions=8, with_focal=True,
         with_gi=True, terms_q=1 << 20,
     )
 
+    def add_gauss(t: pa.Table) -> pa.Table:
+        cs = t["conv_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cw = t["conv_wt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("gauss", pa.array(cs / cw))
+
+    return lm.map_batches(add_gauss, batch_format="pyarrow")
+
+
+def _r13_kernel() -> "np.ndarray":
+    from rayraster.spatial import gaussian_kernel_int
+
+    return gaussian_kernel_int(2, 1.0, scale=100)
+
+
+_R13_KERNEL = _r13_kernel()
+
 
 def _sql_filtered_stats() -> str:
-    return rf"""WITH q AS (
+    # the engine's quantized-Gaussian kernel, spelled as a VALUES table
+    # so engine and twin share ONE source of weights
+    wt_rows = ", ".join(
+        f"({dx}, {dy}, {int(_R13_KERNEL[dx + 2, dy + 2])})"
+        for dx in range(-2, 3)
+        for dy in range(-2, 3)
+        if _R13_KERNEL[dx + 2, dy + 2] != 0
+    )
+    return rf"""WITH wt(dx, dy, w) AS (VALUES {wt_rows}),
+q AS (
   SELECT doc_id, n_chars,
          CAST(length(text) AS DOUBLE) AS chars,
          CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) AS toks,
@@ -486,8 +520,18 @@ nb AS (
          CAST(COALESCE(SUM(q.sum_n_chars), 0) AS BIGINT) AS nbr_sum
   FROM px p LEFT JOIN px q ON abs(p.ix - q.ix) + abs(p.iy - q.iy) = 1
   GROUP BY p.ix, p.iy
+),
+gs AS (
+  SELECT p.ix, p.iy,
+         CAST(COALESCE(SUM(w.w * q.sum_n_chars), 0) AS BIGINT) AS conv_sum,
+         CAST(COALESCE(SUM(CASE WHEN q.ix IS NOT NULL THEN w.w END), 0)
+              AS BIGINT) AS conv_wt
+  FROM px p CROSS JOIN wt w
+       LEFT JOIN px q ON q.ix = p.ix + w.dx AND q.iy = p.iy + w.dy
+  GROUP BY p.ix, p.iy
 )
-SELECT px.*, nb.nbr_cnt, nb.nbr_sum,
+SELECT px.*, gs.conv_sum, gs.conv_wt, nb.nbr_cnt, nb.nbr_sum,
+       CAST(gs.conv_sum AS DOUBLE) / CAST(gs.conv_wt AS DOUBLE) AS gauss,
        (CAST(px.sum_n_chars AS DOUBLE) - CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE))
        * (CAST(nb.nbr_sum AS DOUBLE)
           - CAST(nb.nbr_cnt AS DOUBLE)*(CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE)))
@@ -517,7 +561,8 @@ SELECT px.*, nb.nbr_cnt, nb.nbr_sum,
           * (CAST(px.sum_n_chars AS DOUBLE)
              - CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE)))) AS BIGINT)
          AS z2_q
-FROM px JOIN nb ON px.ix = nb.ix AND px.iy = nb.iy, g"""
+FROM px JOIN nb ON px.ix = nb.ix AND px.iy = nb.iy
+        JOIN gs ON px.ix = gs.ix AND px.iy = gs.iy, g"""
 
 
 def _q_spatial_knn(sf_dir: str):

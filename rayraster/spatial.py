@@ -672,3 +672,200 @@ def label_regions(
         )
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# weighted focal convolution (Gaussian smoothing etc.)
+# ---------------------------------------------------------------------------
+
+
+def gaussian_kernel_int(radius: int, sigma: float, scale: int = 100) -> np.ndarray:
+    """Quantized (2R+1)² integer Gaussian: ``round(scale·exp(−d²/2σ²))``
+    — integer weights keep the convolution's sums exact int64, so the
+    smoothed raster has a bit-exact SQL twin (the repo's fixed-point
+    discipline).  Zero-weight corners are dropped by
+    :func:`focal_convolve` (they ship no halo rows)."""
+    d = np.arange(-radius, radius + 1, dtype=np.float64)
+    g = np.exp(-(d[:, None] ** 2 + d[None, :] ** 2) / (2.0 * sigma * sigma))
+    return np.round(scale * g).astype(np.int64)
+
+
+def focal_convolve(
+    pixels: Dataset,
+    value_col: str,
+    kernel: np.ndarray,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    tile: int = 64,
+    num_partitions: int = 64,
+    out_prefix: str = "conv",
+) -> Dataset:
+    """Weighted moving-window convolution over a sparse raster:
+    appends ``<prefix>_sum = Σ w(dx,dy)·value(ix+dx, iy+dy)`` and
+    ``<prefix>_wt = Σ w(dx,dy)·[cell exists]`` (both exact int64) to
+    every pixel — ``conv_sum / conv_wt`` is the kernel-weighted focal
+    mean with the standard renormalize-at-the-boundary rule, and the
+    caller owns that one float division (bit-exact twin discipline,
+    like :func:`focal_mean`).
+
+    Generalizes :func:`neighbor_stats`'s exchange to a halo of width
+    ``R = kernel.shape[0] // 2``: rows within R cells of a tile edge
+    are copied to the adjacent tile(s) (requires ``R < tile``, so the
+    8-neighbor fan-out stays exact), ONE hash-partitioned exchange
+    co-locates tiles with halos, and each kernel offset is one
+    vectorized packed-key ``searchsorted`` per tile group.  Missing
+    cells contribute nothing — sparse-raster semantics throughout.
+
+    ``kernel``: odd-sided square int array (e.g.
+    :func:`gaussian_kernel_int`); the center weight applies to the
+    pixel itself.  Float kernels are rejected — quantize first.
+    """
+    kernel = np.asarray(kernel)
+    if kernel.ndim != 2 or kernel.shape[0] != kernel.shape[1] or kernel.shape[0] % 2 == 0:
+        raise ValueError(
+            f"kernel must be an odd-sided square array, got shape {kernel.shape}"
+        )
+    if not np.issubdtype(kernel.dtype, np.integer):
+        raise TypeError(
+            "focal_convolve: kernel must be integer (quantize floats first — "
+            "see gaussian_kernel_int); exactness requires int64 sums"
+        )
+    R = kernel.shape[0] // 2
+    if R >= tile:
+        raise ValueError(f"kernel radius {R} must be < tile {tile}")
+    # (dx, dy, w) triples, zero weights dropped (no lookups, no rows)
+    offs = [
+        (dx, dy, int(kernel[dx + R, dy + R]))
+        for dx in range(-R, R + 1)
+        for dy in range(-R, R + 1)
+        if kernel[dx + R, dy + R] != 0
+    ]
+    T = np.int64(tile)
+    Rn = np.int64(R)
+
+    def fanout(t: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(t.schema.field(value_col).type):
+            raise TypeError(
+                f"focal_convolve: {value_col!r} must be an integer column "
+                f"(got {t.schema.field(value_col).type}) — pre-scale float "
+                "rasters to fixed-point integers first"
+            )
+        if t.num_rows == 0:
+            e = t.append_column("_home", pa.array([], type=pa.bool_()))
+            e = e.append_column("_ttx", pa.array([], type=pa.int64()))
+            e = e.append_column("_tty", pa.array([], type=pa.int64()))
+            return e.append_column("_part", pa.array([], type=pa.int64()))
+        ix = t[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if np.abs(ix).max(initial=0) >= 1 << 31 or np.abs(iy).max(initial=0) >= 1 << 31:
+            raise ValueError("focal_convolve: |ix|,|iy| must be < 2^31 to pack")
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        wmax = max(abs(w) for _, _, w in offs)
+        # exact Python-int product — the guard itself must not wrap
+        if len(v) and int(np.abs(v).max()) * wmax * len(offs) >= 1 << 62:
+            raise ValueError(
+                "focal_convolve: |value|·Σ|w| risks int64 overflow — "
+                "shrink the kernel scale or pre-scale values down"
+            )
+        tx, ty = ix // T, iy // T
+        lx, ly = ix - tx * T, iy - ty * T
+        pieces = []
+        for a in (-1, 0, 1):
+            okx = (lx < Rn) if a == -1 else (lx >= T - Rn) if a == 1 else None
+            for b in (-1, 0, 1):
+                oky = (ly < Rn) if b == -1 else (ly >= T - Rn) if b == 1 else None
+                if a == 0 and b == 0:
+                    sel = None
+                else:
+                    sel = np.ones(t.num_rows, dtype=bool)
+                    if okx is not None:
+                        sel &= okx
+                    if oky is not None:
+                        sel &= oky
+                if sel is None:
+                    p, ptx, pty = t, tx, ty
+                else:
+                    idx = np.flatnonzero(sel)
+                    if len(idx) == 0:
+                        continue
+                    p = t.take(pa.array(idx, type=pa.int64()))
+                    ptx, pty = tx[idx], ty[idx]
+                p = p.append_column(
+                    "_home", pa.array(np.full(p.num_rows, a == 0 and b == 0))
+                )
+                part = (
+                    np.abs(
+                        (ptx + a) * np.int64(73856093) ^ (pty + b) * np.int64(19349663)
+                    )
+                    % np.int64(num_partitions)
+                )
+                p = p.append_column("_ttx", pa.array(ptx + a))
+                p = p.append_column("_tty", pa.array(pty + b))
+                pieces.append(p.append_column("_part", pa.array(part)))
+        return pa.concat_tables(pieces)
+
+    sum_col, wt_col = f"{out_prefix}_sum", f"{out_prefix}_wt"
+
+    def solve(group: pa.Table) -> pa.Table:
+        base_cols = [
+            c for c in group.column_names
+            if c not in ("_home", "_part", "_ttx", "_tty")
+        ]
+        empty = pa.table(
+            {
+                **{c: pa.array([], type=group[c].type) for c in base_cols},
+                sum_col: pa.array([], type=pa.int64()),
+                wt_col: pa.array([], type=pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        group = group.sort_by([("_ttx", "ascending"), ("_tty", "ascending")])
+        gtx = group["_ttx"].to_numpy(zero_copy_only=False)
+        gty = group["_tty"].to_numpy(zero_copy_only=False)
+        home = group["_home"].to_numpy(zero_copy_only=False)
+        ix = group[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = group[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = group[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group.num_rows
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (gtx[1:] != gtx[:-1]) | (gty[1:] != gty[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        keep_rows: list[np.ndarray] = []
+        sums: list[np.ndarray] = []
+        wts: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            rows = np.arange(s, e)
+            h = rows[home[s:e]]
+            if len(h) == 0:
+                continue
+            keys = _pack(ix[rows], iy[rows])
+            order = np.argsort(keys)
+            skeys, svals = keys[order], val[rows][order]
+            if len(skeys) > 1 and (skeys[1:] == skeys[:-1]).any():
+                raise ValueError(
+                    "focal_convolve: duplicate (ix, iy) pixels in the input"
+                    " — the raster must be unique per cell (aggregate first)"
+                )
+            csum = np.zeros(len(h), dtype=np.int64)
+            cwt = np.zeros(len(h), dtype=np.int64)
+            for dx, dy, w in offs:
+                want = _pack(ix[h] + dx, iy[h] + dy)
+                pos = np.searchsorted(skeys, want)
+                pos_c = np.minimum(pos, len(skeys) - 1)
+                hit = skeys[pos_c] == want
+                csum += np.where(hit, w * svals[pos_c], 0)
+                cwt += np.where(hit, w, 0)
+            keep_rows.append(h)
+            sums.append(csum)
+            wts.append(cwt)
+        if not keep_rows:
+            return empty
+        take = np.concatenate(keep_rows)
+        out = group.select(base_cols).take(pa.array(take, type=pa.int64()))
+        out = out.append_column(sum_col, pa.array(np.concatenate(sums)))
+        return out.append_column(wt_col, pa.array(np.concatenate(wts)))
+
+    fanned = pixels.map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True)
+    return fanned.groupby("_part").map_groups(solve, batch_format="pyarrow")

@@ -356,3 +356,89 @@ def test_region_edges_validations(ray_session):
         region_edges(rd.from_arrow(tf), "val").to_pandas()
     with pytest.raises(ValueError, match="connectivity"):
         label_regions(rd.from_arrow(t), "val", connectivity=5)
+
+
+# ---------------------------------------------------------------------------
+# weighted focal convolution
+# ---------------------------------------------------------------------------
+
+
+def test_focal_convolve_matches_bruteforce_and_partition_invariant(ray_session):
+    from rayraster.spatial import focal_convolve, gaussian_kernel_int
+
+    rng = np.random.default_rng(9)
+    mask = rng.random((40, 40)) < 0.5
+    ix, iy = np.nonzero(mask)
+    val = rng.integers(-50, 500, len(ix)).astype(np.int64)
+    K = gaussian_kernel_int(2, 1.0)
+    assert K[2, 2] == 100 and K[0, 0] == 2  # pinned quantization
+    t = pa.table(
+        {"ix": pa.array(ix.astype(np.int64)), "iy": pa.array(iy.astype(np.int64)),
+         "v": pa.array(val)}
+    )
+    cells = {(int(a), int(b)): int(v) for a, b, v in zip(ix, iy, val)}
+    R = 2
+    outs = []
+    for parts in (1, 6):
+        out = (
+            focal_convolve(rd.from_arrow(t).repartition(parts), "v", K,
+                           tile=16, num_partitions=8)
+            .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # partition-invariant
+    out = outs[0]
+    assert len(out) == len(cells)
+    for r in out.sample(n=80, random_state=1).itertuples():
+        cs = cw = 0
+        for dx in range(-R, R + 1):
+            for dy in range(-R, R + 1):
+                w = int(K[dx + R, dy + R])
+                nb = cells.get((r.ix + dx, r.iy + dy))
+                if w and nb is not None:
+                    cs += w * nb
+                    cw += w
+        assert (r.conv_sum, r.conv_wt) == (cs, cw)
+
+
+def test_focal_convolve_validations(ray_session):
+    from rayraster.spatial import focal_convolve, gaussian_kernel_int
+
+    t = pa.table({"ix": pa.array([0], type=pa.int64()),
+                  "iy": pa.array([0], type=pa.int64()),
+                  "v": pa.array([1], type=pa.int64())})
+    ds = rd.from_arrow(t)
+    with pytest.raises(TypeError, match="integer"):
+        focal_convolve(ds, "v", np.ones((3, 3)))  # float kernel
+    with pytest.raises(ValueError, match="odd-sided"):
+        focal_convolve(ds, "v", np.ones((2, 2), np.int64))
+    with pytest.raises(ValueError, match="radius"):
+        focal_convolve(ds, "v", np.ones((9, 9), np.int64), tile=4)
+    dup = pa.table({"ix": pa.array([0, 0], type=pa.int64()),
+                    "iy": pa.array([0, 0], type=pa.int64()),
+                    "v": pa.array([1, 1], type=pa.int64())})
+    with pytest.raises(Exception, match="duplicate"):
+        focal_convolve(rd.from_arrow(dup), "v",
+                       gaussian_kernel_int(1, 1.0)).to_pandas()
+    big = pa.table({"ix": pa.array([0], type=pa.int64()),
+                    "iy": pa.array([0], type=pa.int64()),
+                    "v": pa.array([1 << 55], type=pa.int64())})
+    with pytest.raises(Exception, match="overflow"):
+        focal_convolve(rd.from_arrow(big), "v",
+                       gaussian_kernel_int(1, 1.0)).to_pandas()
+
+
+def test_focal_convolve_center_only_kernel_equals_value(ray_session):
+    from rayraster.spatial import focal_convolve
+
+    t = pa.table({"ix": pa.array([0, 5], type=pa.int64()),
+                  "iy": pa.array([0, 5], type=pa.int64()),
+                  "v": pa.array([7, -3], type=pa.int64())})
+    K = np.zeros((3, 3), np.int64)
+    K[1, 1] = 10
+    out = (
+        focal_convolve(rd.from_arrow(t), "v", K)
+        .to_pandas().sort_values("ix").reset_index(drop=True)
+    )
+    assert out.conv_sum.tolist() == [70, -30]
+    assert out.conv_wt.tolist() == [10, 10]
