@@ -821,14 +821,18 @@ def _q_raster_to_vector(sf_dir: str):
         nc = t["num_cell"].to_numpy(zero_copy_only=False)
         return pa.table(
             {"ix": t["ix"], "iy": t["iy"],
-             "val": pa.array((nc >= 2).astype(np.int64))}
+             "val": pa.array((nc >= 2).astype(np.int64)),
+             "num_cell": t["num_cell"].cast(pa.int64())}
         )
 
     i64 = pa.int64()
     labeled = label_regions(
         reg_cells.map_batches(to_val, batch_format="pyarrow").materialize(),
         "val", connectivity=4, num_partitions=8,
-        pixels_schema=pa.schema([("ix", i64), ("iy", i64), ("val", i64)]),
+        sum_cols=("num_cell",),  # zonal stats: Σ num_cell per region
+        pixels_schema=pa.schema(
+            [("ix", i64), ("iy", i64), ("val", i64), ("num_cell", i64)]
+        ),
     )
 
     def vec_region(t: pa.Table) -> pa.Table:
@@ -837,7 +841,7 @@ def _q_raster_to_vector(sf_dir: str):
              "ix": t["ix"], "iy": t["iy"],
              "px1": t["region_ix"].cast(pa.float64()),
              "py1": t["region_iy"].cast(pa.float64()),
-             "px2": t["val"].cast(pa.float64()),
+             "px2": t["sum_num_cell"].cast(pa.float64()),
              "py2": t["region_n"].cast(pa.float64())}
         )
 
@@ -1138,11 +1142,14 @@ r{i}m AS MATERIALIZED (SELECT e.node AS k, MIN(p.lab) AS lab
 r{i} AS MATERIALIZED (SELECT m.k, m2.lab FROM r{i}m m JOIN r{i}m m2 ON m2.k = m.lab)""")
         prev = f"r{i}"
     parts.append(f""",
-sz AS (SELECT lab, COUNT(*) AS rn FROM {prev} GROUP BY lab)
+sz AS (SELECT r.lab, COUNT(*) AS rn, CAST(SUM(c.n) AS BIGINT) AS zs
+       FROM {prev} r JOIN v ON v.k = r.k
+            JOIN c ON c.ix = v.ix AND c.iy = v.iy
+       GROUP BY r.lab)
 SELECT v.ix, v.iy,
        CAST(r.lab // 4294967296 AS DOUBLE) AS px1,
        CAST(r.lab % 4294967296 AS DOUBLE) AS py1,
-       CAST(v.val AS DOUBLE) AS px2,
+       CAST(sz.zs AS DOUBLE) AS px2,
        CAST(sz.rn AS DOUBLE) AS py2
 FROM v JOIN {prev} r ON r.k = v.k JOIN sz ON sz.lab = r.lab""")
     return "".join(parts)

@@ -570,14 +570,19 @@ def label_regions(
     num_partitions: int = 64,
     max_rounds: int = 64,
     with_size: bool = True,
+    sum_cols: tuple = (),
     pixels_schema: pa.Schema | None = None,
     engine: str = "distributed",
 ) -> Dataset:
     """Label connected same-value raster regions (R ``raster::clump``,
     the front half of GDAL ``polygonize``): appends ``region_ix`` /
     ``region_iy`` — the lexicographically smallest (ix, iy) of the
-    pixel's region, a deterministic stable region id — and (with
-    ``with_size``) ``region_n``, the region's pixel count.
+    pixel's region, a deterministic stable region id — plus (with
+    ``with_size``) ``region_n``, the region's pixel count, and (with
+    ``sum_cols``) ZONAL statistics ``sum_<c>`` — the exact int64 sum
+    of each listed pixel column over the whole region (the raster
+    zonal-stats operator, zones = the labeled regions themselves).
+    Sizes and zonal sums share ONE grouped aggregate + ONE join-back.
 
     ``engine="distributed"`` (default, the 10^12-pixel path):
     :func:`region_edges` (tile+halo exchange) →
@@ -625,16 +630,30 @@ def label_regions(
         t = t.append_column("region_ix", pa.array(rix))
         return t.append_column("region_iy", pa.array(riy))
 
+    sum_cols = list(sum_cols)
+
     if engine == "driver":
+        import ray
+
         lab_tbl = connected_components(
             edges, max_rounds=max_rounds, num_partitions=num_partitions
         ).rename_columns(["_k", "cluster"])
-        if with_size:
-            cl = lab_tbl["cluster"].to_numpy(zero_copy_only=False)
-            uniq, inv, cnt = np.unique(cl, return_inverse=True, return_counts=True)
-            lab_tbl = lab_tbl.append_column("region_n", pa.array(cnt[inv]))
-        joined = broadcast_join(keyed, lab_tbl, keys=["_k"])
-        return joined.map_batches(finalize, batch_format="pyarrow")
+        with_lab = broadcast_join(keyed, lab_tbl, keys=["_k"])
+        if with_size or sum_cols:
+            # per-region aggregate runs distributed; the result (one
+            # row per region ≤ one per pixel — and the driver engine is
+            # the small-raster path by contract) is collected and
+            # broadcast back, zero join shuffles
+            with_lab = with_lab.materialize()
+            agg_ds = hash_aggregate(
+                with_lab, ["cluster"], sum_cols=sum_cols, count=with_size,
+                count_name="region_n", num_partitions=num_partitions,
+            )
+            agg = pa.concat_tables(
+                [ray.get(r) for r in agg_ds.to_arrow_refs()]
+            ).combine_chunks()
+            with_lab = broadcast_join(with_lab, agg, keys=["cluster"])
+        return with_lab.map_batches(finalize, batch_format="pyarrow")
 
     labels = connected_components_distributed(
         edges, max_rounds=max_rounds, num_partitions=num_partitions
@@ -656,19 +675,28 @@ def label_regions(
         left_schema=keyed_schema,
         right_schema=pa.schema([("node", i64), ("cluster", i64)]),
     )
-    if with_size:
-        sizes = hash_aggregate(
-            labels, ["cluster"], count=True, count_name="region_n",
-            num_partitions=num_partitions,
+    if with_size or sum_cols:
+        # the labeled pixel table feeds both the aggregate and the
+        # join-back: pin its blocks (object store, spillable) so the
+        # label rounds don't re-execute
+        joined = joined.materialize()
+        agg = hash_aggregate(
+            joined, ["cluster"], sum_cols=sum_cols, count=with_size,
+            count_name="region_n", num_partitions=num_partitions,
+        )
+        agg_fields = (
+            [pa.field("cluster", i64)]
+            + [pa.field(f"sum_{c}", i64) for c in sum_cols]
+            + ([pa.field("region_n", i64)] if with_size else [])
         )
         joined = bucket_join(
-            joined, sizes, "cluster", "cluster",
+            joined, agg, "cluster", "cluster",
             num_buckets=num_partitions,
             left_schema=(
                 pa.schema(_fields(keyed_schema) + [pa.field("cluster", i64)])
                 if keyed_schema is not None else None
             ),
-            right_schema=pa.schema([("cluster", i64), ("region_n", i64)]),
+            right_schema=pa.schema(agg_fields),
         )
 
     return joined.map_batches(finalize, batch_format="pyarrow")

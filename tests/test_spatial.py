@@ -442,3 +442,34 @@ def test_focal_convolve_center_only_kernel_equals_value(ray_session):
     )
     assert out.conv_sum.tolist() == [70, -30]
     assert out.conv_wt.tolist() == [10, 10]
+
+
+@pytest.mark.parametrize("engine", ["distributed", "driver"])
+def test_label_regions_zonal_sums(ray_session, engine):
+    from collections import defaultdict
+
+    from rayraster.spatial import label_regions
+
+    t = _rand_raster(41, shape=(20, 20), density=0.65, nvals=2)
+    rng = np.random.default_rng(2)
+    w = rng.integers(1, 100, t.num_rows).astype(np.int64)
+    t = t.append_column("w", pa.array(w))
+    cells = {
+        (int(a), int(b)): int(v)
+        for a, b, v in zip(t["ix"].to_pylist(), t["iy"].to_pylist(),
+                           t["val"].to_pylist())
+    }
+    wmap = dict(zip(cells.keys(), w.tolist()))
+    ref = _clump_reference(cells, [(-1, 0), (1, 0), (0, -1), (0, 1)])
+    zonal = defaultdict(int)
+    for c, lab in ref.items():
+        zonal[lab] += wmap[c]
+    out = label_regions(
+        rd.from_arrow(t), "val", connectivity=4, tile=8, num_partitions=8,
+        sum_cols=("w",), engine=engine,
+    ).to_pandas()
+    assert len(out) == len(cells)
+    for r in out.itertuples():
+        lab = ref[(int(r.ix), int(r.iy))]
+        assert (r.region_ix, r.region_iy) == lab
+        assert r.sum_w == zonal[lab]
