@@ -233,10 +233,39 @@ def _q_multires(sf_dir: str):
 
     pts = load_doc_points(sf_dir, columns=("doc_id", "n_chars"))
     fine, spec = _rf(pts, 15.0, ["n_chars"], fun="sum", with_meta=False)
+    fine = fine.materialize()  # feeds the rollup AND the resample arm
     coarse, _ = rollup_quadtree(fine, spec, ["sum_n_chars"], levels_up=1)
     quad = coarse.select_columns(
         ["ix", "iy", "cx", "cy", "num_cell", "sum_n_chars"]
     ).map_batches(_tagger("quadtree"), batch_format="pyarrow")
+
+    # third arm (path='resample'): exact area-weighted resampling of
+    # the SAME fine raster to a NON-nesting resolution (15 → 40; the
+    # quadtree handles only ×2^k) — each fine cell splits its mass by
+    # integer overlap areas, sum_n_chars is the resampled value scaled
+    # by res_in² (exact int64; mass conserved).  num_cell counts
+    # contributing fine cells.
+    from rayraster.rasterize import resample_area_weighted
+
+    def drop_meta(t: pa.Table) -> pa.Table:
+        return t.select(["ix", "iy", "sum_n_chars"])
+
+    rs = resample_area_weighted(
+        fine.map_batches(drop_meta, batch_format="pyarrow"),
+        15, 40, ["sum_n_chars"],
+        origin=(spec.x0, spec.y0), num_partitions=8,
+    )
+
+    def fix_rs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"ix": t["ix"], "iy": t["iy"], "cx": t["cx"], "cy": t["cy"],
+             "num_cell": t["num_cell"],
+             "sum_n_chars": t["sum_sum_n_chars"]}
+        )
+
+    rs = rs.map_batches(fix_rs, batch_format="pyarrow").map_batches(
+        _tagger("resample"), batch_format="pyarrow"
+    )
 
     cells = s2_aggregate(pts, 7, ["n_chars"])
     rolled = s2_rollup(cells, ["sum_n_chars"], levels_up=2)
@@ -258,7 +287,7 @@ def _q_multires(sf_dir: str):
     sph = rolled.map_batches(finish, batch_format="pyarrow").map_batches(
         _tagger("s2"), batch_format="pyarrow"
     )
-    return quad.union(sph)
+    return quad.union(sph, rs)
 
 
 # clip polygon (CCW ring, vertices chosen so no point lies on an edge)
@@ -981,7 +1010,27 @@ cells2 AS (
   SELECT *, x0 + (ix + 0.5) * 30.0 AS cx, y0 + (iy + 0.5) * 30.0 AS cy
   FROM cells
 ),
-{s2_sql_cte(5)}
+{s2_sql_cte(5)},
+c15 AS (
+  SELECT CAST(greatest(ceiling((p.x - b.x0) / 15.0) - 1, 0) AS BIGINT) AS ix,
+         CAST(greatest(ceiling((p.y - b.y0) / 15.0) - 1, 0) AS BIGINT) AS iy,
+         p.n_chars, b.x0, b.y0
+  FROM pts p CROSS JOIN bb b
+),
+f AS (
+  SELECT ix, iy, CAST(SUM(n_chars) AS BIGINT) AS v, min(x0) AS x0, min(y0) AS y0
+  FROM c15 GROUP BY ix, iy
+),
+dd(d) AS (VALUES (0), (1)),
+rw AS (
+  SELECT (f.ix * 15) // 40 + dx.d AS jx, (f.iy * 15) // 40 + dy.d AS jy,
+         f.v, f.x0, f.y0,
+         least((f.ix + 1) * 15, ((f.ix * 15) // 40 + dx.d + 1) * 40)
+           - greatest(f.ix * 15, ((f.ix * 15) // 40 + dx.d) * 40) AS ovx,
+         least((f.iy + 1) * 15, ((f.iy * 15) // 40 + dy.d + 1) * 40)
+           - greatest(f.iy * 15, ((f.iy * 15) // 40 + dy.d) * 40) AS ovy
+  FROM f, dd dx, dd dy
+)
 SELECT 'quadtree' AS path, ix, iy, cx, cy, COUNT(*) AS num_cell,
        CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
 FROM cells2 GROUP BY ix, iy, cx, cy
@@ -989,7 +1038,14 @@ UNION ALL
 SELECT 's2' AS path, face AS ix, cell_id AS iy,
        (ci + 0.5) / 32.0 AS cx, (cj + 0.5) / 32.0 AS cy,
        COUNT(*) AS num_cell, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
-FROM s2c GROUP BY face, cell_id, ci, cj"""
+FROM s2c GROUP BY face, cell_id, ci, cj
+UNION ALL
+SELECT 'resample' AS path, jx AS ix, jy AS iy,
+       x0 + (jx + 0.5) * 40.0 AS cx, y0 + (jy + 0.5) * 40.0 AS cy,
+       CAST(COUNT(*) AS BIGINT) AS num_cell,
+       CAST(SUM(v * ovx * ovy) AS BIGINT) AS sum_n_chars
+FROM rw WHERE ovx > 0 AND ovy > 0
+GROUP BY jx, jy, x0, y0"""
 
 
 def _sql_clip() -> str:

@@ -615,3 +615,119 @@ def collect_cell_ids(
 
     assigned = ds.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
     return assigned.groupby(_PART).map_groups(_collect, batch_format="pyarrow")
+
+
+def resample_area_weighted(
+    pixels,
+    res_in: int,
+    res_out: int,
+    value_cols: Sequence[str],
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    origin: tuple | None = None,
+    num_partitions: int = 64,
+):
+    """Exact area-weighted raster resampling to an ARBITRARY new
+    resolution sharing the input grid's origin (gdalwarp ``-tr`` /
+    ``terra::resample(method="sum")``; :func:`rollup_quadtree` covers
+    only the ×2^k special case).  Each input cell distributes its
+    value over the output cells it overlaps, proportional to overlap
+    area — total mass is conserved exactly.
+
+    Fixed-point discipline: ``res_in`` / ``res_out`` must be positive
+    INTEGERS (pre-scale both by a common denominator for fractional
+    resolutions), so every overlap length ``min((i+1)·r1, (j+1)·r2) −
+    max(i·r1, j·r2)`` is an exact integer and each contribution
+    ``v · ovx · ovy`` an exact int64.  The emitted ``sum_<c>`` is the
+    resampled value SCALED BY ``res_in²`` (one int, bit-exact across
+    partitionings; divide by ``float(res_in)**2`` for the physical
+    value — the caller owns that single float op, the repo's twin
+    rule).  ``num_cell`` counts contributing input cells.
+
+    Shape: map-only fan-out (≤ ``(res_in // res_out + 2)²`` output
+    candidates per input cell — 4 when coarsening) + ONE
+    hash-partitioned aggregate; no driver state.  With ``origin=(x0,
+    y0)`` the output carries ``cx``/``cy`` centers of the new grid.
+    """
+    import pyarrow as pa
+
+    from rayraster.agg import hash_aggregate
+
+    if int(res_in) != res_in or int(res_out) != res_out or res_in <= 0 or res_out <= 0:
+        raise ValueError(
+            "resample_area_weighted: res_in/res_out must be positive integers "
+            "(pre-scale fractional resolutions by a common denominator)"
+        )
+    r1, r2 = np.int64(int(res_in)), np.int64(int(res_out))
+    value_cols = list(value_cols)
+    K = int(r1 // r2) + 2  # candidate output cells per axis
+
+    def fanout(t: pa.Table) -> pa.Table:
+        for c in value_cols:
+            if not pa.types.is_integer(t.schema.field(c).type):
+                raise TypeError(
+                    f"resample_area_weighted: {c!r} must be integer "
+                    "(pre-scale float rasters to fixed point)"
+                )
+        ix = t[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = {
+            c: t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in value_cols
+        }
+        for c, v in vals.items():
+            if len(v) and int(np.abs(v).max()) * int(r1) * int(r1) >= 1 << 62:
+                raise ValueError(
+                    f"resample_area_weighted: |{c}|·res_in² risks int64 "
+                    "overflow — pre-scale values down"
+                )
+        n = len(ix)
+        d = np.arange(K, dtype=np.int64)
+        # candidate output indices per axis: (i·r1)//r2 + d
+        jx = (ix * r1) // r2
+        jy = (iy * r1) // r2
+        # grid of (dx, dy) candidates: rows = n·K², vectorized
+        jx2 = (jx[:, None] + d[None, :])  # n × K
+        jy2 = (jy[:, None] + d[None, :])
+        ovx = (
+            np.minimum((ix[:, None] + 1) * r1, (jx2 + 1) * r2)
+            - np.maximum(ix[:, None] * r1, jx2 * r2)
+        )  # n × K
+        ovy = (
+            np.minimum((iy[:, None] + 1) * r1, (jy2 + 1) * r2)
+            - np.maximum(iy[:, None] * r1, jy2 * r2)
+        )
+        # combine axes: n × K × K weights
+        w = ovx[:, :, None] * ovy[:, None, :]
+        keep = (ovx[:, :, None] > 0) & (ovy[:, None, :] > 0)
+        rows, ax, ay = np.nonzero(keep)
+        out = {
+            "ix": jx2[rows, ax],
+            "iy": jy2[rows, ay],
+        }
+        ww = w[rows, ax, ay]
+        for c, v in vals.items():
+            out[f"_w_{c}"] = v[rows] * ww
+        out["_one"] = np.ones(len(rows), dtype=np.int64)
+        return pa.table({k: pa.array(a) for k, a in out.items()})
+
+    fanned = pixels.map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True)
+    agg = hash_aggregate(
+        fanned, ["ix", "iy"], sum_cols=[f"_w_{c}" for c in value_cols] + ["_one"],
+        count=False, num_partitions=num_partitions,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cols = {"ix": t["ix"], "iy": t["iy"]}
+        if origin is not None:
+            ox, oy = origin
+            ixv = t["ix"].to_numpy(zero_copy_only=False).astype(np.float64)
+            iyv = t["iy"].to_numpy(zero_copy_only=False).astype(np.float64)
+            cols["cx"] = pa.array(ox + (ixv + 0.5) * float(int(r2)))
+            cols["cy"] = pa.array(oy + (iyv + 0.5) * float(int(r2)))
+        cols["num_cell"] = t["sum__one"]
+        for c in value_cols:
+            cols[f"sum_{c}"] = t[f"sum__w_{c}"]
+        return pa.table(cols)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

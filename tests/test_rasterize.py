@@ -9,6 +9,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 import pytest
+import pyarrow as pa
 
 import ray.data as rd
 
@@ -375,3 +376,87 @@ def test_merge_pixel_stores_equals_full_rasterize(micro_df, tmp_path, ray_sessio
         )
     with pytest.raises(ValueError, match="at least one store"):
         merge_pixel_stores([], spec, str(tmp_path / "none"))
+
+
+# ---------------------------------------------------------------------------
+# area-weighted resampling
+# ---------------------------------------------------------------------------
+
+
+def _resample_reference(cells, r1, r2):
+    """Brute per-cell overlap split; returns {(jx,jy): (sum, n)}."""
+    from collections import defaultdict
+
+    acc = defaultdict(lambda: [0, 0])
+    for (a, b), val in cells.items():
+        for jx in range((a * r1) // r2, ((a + 1) * r1 - 1) // r2 + 1):
+            for jy in range((b * r1) // r2, ((b + 1) * r1 - 1) // r2 + 1):
+                ovx = min((a + 1) * r1, (jx + 1) * r2) - max(a * r1, jx * r2)
+                ovy = min((b + 1) * r1, (jy + 1) * r2) - max(b * r1, jy * r2)
+                if ovx > 0 and ovy > 0:
+                    acc[(jx, jy)][0] += val * ovx * ovy
+                    acc[(jx, jy)][1] += 1
+    return acc
+
+
+@pytest.mark.parametrize("r1,r2", [(15, 40), (40, 15), (30, 30), (7, 3)])
+def test_resample_area_weighted_matches_brute_and_conserves_mass(
+    ray_session, r1, r2
+):
+    from rayraster.rasterize import resample_area_weighted
+
+    rng = np.random.default_rng(13)
+    ix = rng.integers(-15, 15, 300).astype(np.int64)
+    iy = rng.integers(-15, 15, 300).astype(np.int64)
+    _, u = np.unique(ix * 1000 + iy, return_index=True)
+    ix, iy = ix[u], iy[u]
+    v = rng.integers(-100, 1000, len(ix)).astype(np.int64)
+    t = pa.table({"ix": pa.array(ix), "iy": pa.array(iy), "v": pa.array(v)})
+    ref = _resample_reference(
+        {(int(a), int(b)): int(x) for a, b, x in zip(ix, iy, v)}, r1, r2
+    )
+    out = resample_area_weighted(
+        rd.from_arrow(t).repartition(4), r1, r2, ["v"], origin=(3.0, -2.0),
+        num_partitions=8,
+    ).to_pandas()
+    assert len(out) == len(ref)
+    for r in out.itertuples():
+        s, n = ref[(r.ix, r.iy)]
+        assert (r.sum_v, r.num_cell) == (s, n)
+        assert r.cx == 3.0 + (float(r.ix) + 0.5) * float(r2)
+    assert out.sum_v.sum() == int(v.sum()) * r1 * r1  # exact mass
+
+
+def test_resample_area_weighted_identity_when_same_res(ray_session):
+    from rayraster.rasterize import resample_area_weighted
+
+    t = pa.table({"ix": pa.array([0, 3], type=pa.int64()),
+                  "iy": pa.array([1, -2], type=pa.int64()),
+                  "v": pa.array([10, -4], type=pa.int64())})
+    out = (
+        resample_area_weighted(rd.from_arrow(t), 20, 20, ["v"])
+        .to_pandas().sort_values("ix").reset_index(drop=True)
+    )
+    assert out.sum_v.tolist() == [10 * 400, -4 * 400]
+    assert out.num_cell.tolist() == [1, 1]
+    assert out.ix.tolist() == [0, 3] and out.iy.tolist() == [1, -2]
+
+
+def test_resample_area_weighted_validations(ray_session):
+    from rayraster.rasterize import resample_area_weighted
+
+    t = pa.table({"ix": pa.array([0], type=pa.int64()),
+                  "iy": pa.array([0], type=pa.int64()),
+                  "v": pa.array([1], type=pa.int64())})
+    with pytest.raises(ValueError, match="positive integers"):
+        resample_area_weighted(rd.from_arrow(t), 1.5, 3, ["v"])
+    tf = pa.table({"ix": pa.array([0], type=pa.int64()),
+                   "iy": pa.array([0], type=pa.int64()),
+                   "v": pa.array([1.0])})
+    with pytest.raises(Exception, match="integer"):
+        resample_area_weighted(rd.from_arrow(tf), 2, 3, ["v"]).to_pandas()
+    big = pa.table({"ix": pa.array([0], type=pa.int64()),
+                    "iy": pa.array([0], type=pa.int64()),
+                    "v": pa.array([1 << 50], type=pa.int64())})
+    with pytest.raises(Exception, match="overflow"):
+        resample_area_weighted(rd.from_arrow(big), 1 << 10, 3, ["v"]).to_pandas()
