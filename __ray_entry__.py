@@ -472,14 +472,18 @@ def _q_filtered_stats(sf_dir: str):
     out = out.select_columns(
         ["ix", "iy", "cx", "cy", "num_cell", "sum_n_chars", "min_n_chars", "max_n_chars"]
     )
-    # weighted (quantized-Gaussian 5×5) focal convolution FIRST — its
-    # exact int64 conv_sum/conv_wt columns then ride local_moran's
-    # halo exchange as passthrough base columns (no extra join); the
-    # one float `gauss` division happens last (fixed-order twin rule)
-    from rayraster.spatial import focal_convolve
+    # weighted (quantized-Gaussian 5×5) focal convolution + BOTH Sobel
+    # gradient kernels in ONE exchange (multi-kernel focal_convolve:
+    # the halo ships once at the widest radius, each offset looked up
+    # once) — the exact int64 conv/gx/gy columns then ride
+    # local_moran's halo exchange as passthrough base columns (no
+    # extra join); the one float `gauss` division happens last
+    from rayraster.spatial import focal_convolve, sobel_kernels_int
 
     conv = focal_convolve(
-        out, "sum_n_chars", _R13_KERNEL, num_partitions=8, out_prefix="conv"
+        out, "sum_n_chars",
+        {"conv": _R13_KERNEL, **sobel_kernels_int()},
+        num_partitions=8,
     )
     lm = local_moran(
         conv, "sum_n_chars", num_partitions=8, with_focal=True,
@@ -504,15 +508,25 @@ _R13_KERNEL = _r13_kernel()
 
 
 def _sql_filtered_stats() -> str:
-    # the engine's quantized-Gaussian kernel, spelled as a VALUES table
-    # so engine and twin share ONE source of weights
+    # the engine's quantized-Gaussian + Sobel-pair kernels, spelled as
+    # ONE VALUES table (w, gxw, gyw per offset) so engine and twin
+    # share a single source of weights
+    from rayraster.spatial import sobel_kernels_int
+
+    sk = sobel_kernels_int()
+
+    def _w(k, dx, dy, r):
+        return int(k[dx + r, dy + r]) if abs(dx) <= r and abs(dy) <= r else 0
+
     wt_rows = ", ".join(
-        f"({dx}, {dy}, {int(_R13_KERNEL[dx + 2, dy + 2])})"
+        f"({dx}, {dy}, {_w(_R13_KERNEL, dx, dy, 2)}, "
+        f"{_w(sk['gx'], dx, dy, 1)}, {_w(sk['gy'], dx, dy, 1)})"
         for dx in range(-2, 3)
         for dy in range(-2, 3)
-        if _R13_KERNEL[dx + 2, dy + 2] != 0
+        if _w(_R13_KERNEL, dx, dy, 2) or _w(sk["gx"], dx, dy, 1)
+        or _w(sk["gy"], dx, dy, 1)
     )
-    return rf"""WITH wt(dx, dy, w) AS (VALUES {wt_rows}),
+    return rf"""WITH wt(dx, dy, w, gxw, gyw) AS (VALUES {wt_rows}),
 q AS (
   SELECT doc_id, n_chars,
          CAST(length(text) AS DOUBLE) AS chars,
@@ -554,12 +568,19 @@ gs AS (
   SELECT p.ix, p.iy,
          CAST(COALESCE(SUM(w.w * q.sum_n_chars), 0) AS BIGINT) AS conv_sum,
          CAST(COALESCE(SUM(CASE WHEN q.ix IS NOT NULL THEN w.w END), 0)
-              AS BIGINT) AS conv_wt
+              AS BIGINT) AS conv_wt,
+         CAST(COALESCE(SUM(w.gxw * q.sum_n_chars), 0) AS BIGINT) AS gx_sum,
+         CAST(COALESCE(SUM(CASE WHEN q.ix IS NOT NULL THEN w.gxw END), 0)
+              AS BIGINT) AS gx_wt,
+         CAST(COALESCE(SUM(w.gyw * q.sum_n_chars), 0) AS BIGINT) AS gy_sum,
+         CAST(COALESCE(SUM(CASE WHEN q.ix IS NOT NULL THEN w.gyw END), 0)
+              AS BIGINT) AS gy_wt
   FROM px p CROSS JOIN wt w
        LEFT JOIN px q ON q.ix = p.ix + w.dx AND q.iy = p.iy + w.dy
   GROUP BY p.ix, p.iy
 )
-SELECT px.*, gs.conv_sum, gs.conv_wt, nb.nbr_cnt, nb.nbr_sum,
+SELECT px.*, gs.conv_sum, gs.conv_wt, gs.gx_sum, gs.gx_wt,
+       gs.gy_sum, gs.gy_wt, nb.nbr_cnt, nb.nbr_sum,
        CAST(gs.conv_sum AS DOUBLE) / CAST(gs.conv_wt AS DOUBLE) AS gauss,
        (CAST(px.sum_n_chars AS DOUBLE) - CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE))
        * (CAST(nb.nbr_sum AS DOUBLE)

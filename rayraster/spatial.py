@@ -721,7 +721,7 @@ def gaussian_kernel_int(radius: int, sigma: float, scale: int = 100) -> np.ndarr
 def focal_convolve(
     pixels: Dataset,
     value_col: str,
-    kernel: np.ndarray,
+    kernel: "np.ndarray | dict",
     ix_col: str = "ix",
     iy_col: str = "iy",
     tile: int = 64,
@@ -745,28 +745,48 @@ def focal_convolve(
     cells contribute nothing — sparse-raster semantics throughout.
 
     ``kernel``: odd-sided square int array (e.g.
-    :func:`gaussian_kernel_int`); the center weight applies to the
-    pixel itself.  Float kernels are rejected — quantize first.
+    :func:`gaussian_kernel_int`) — or a ``{prefix: kernel}`` DICT to
+    apply SEVERAL kernels in the SAME exchange (the Sobel-pair /
+    smooth+gradient case: the halo ships once at the widest radius,
+    each unique offset is looked up once, every kernel just adds its
+    weight — per extra kernel the marginal cost is two int64 columns).
+    The center weight applies to the pixel itself.  Float kernels are
+    rejected — quantize first.
     """
-    kernel = np.asarray(kernel)
-    if kernel.ndim != 2 or kernel.shape[0] != kernel.shape[1] or kernel.shape[0] % 2 == 0:
-        raise ValueError(
-            f"kernel must be an odd-sided square array, got shape {kernel.shape}"
-        )
-    if not np.issubdtype(kernel.dtype, np.integer):
-        raise TypeError(
-            "focal_convolve: kernel must be integer (quantize floats first — "
-            "see gaussian_kernel_int); exactness requires int64 sums"
-        )
-    R = kernel.shape[0] // 2
+    kmap = kernel if isinstance(kernel, dict) else {out_prefix: kernel}
+    if not kmap:
+        raise ValueError("focal_convolve: at least one kernel required")
+    prefixes = list(kmap)
+    norm: dict[str, np.ndarray] = {}
+    for name, k in kmap.items():
+        k = np.asarray(k)
+        if k.ndim != 2 or k.shape[0] != k.shape[1] or k.shape[0] % 2 == 0:
+            raise ValueError(
+                f"kernel {name!r} must be an odd-sided square array, "
+                f"got shape {k.shape}"
+            )
+        if not np.issubdtype(k.dtype, np.integer):
+            raise TypeError(
+                f"focal_convolve: kernel {name!r} must be integer (quantize "
+                "floats first — see gaussian_kernel_int); exactness requires "
+                "int64 sums"
+            )
+        norm[name] = k
+    R = max(k.shape[0] // 2 for k in norm.values())
     if R >= tile:
         raise ValueError(f"kernel radius {R} must be < tile {tile}")
-    # (dx, dy, w) triples, zero weights dropped (no lookups, no rows)
+    # union of offsets; per offset the weight of EVERY kernel (0 = skip)
+    offw: dict[tuple, dict[str, int]] = {}
+    for name, k in norm.items():
+        r = k.shape[0] // 2
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                w = int(k[dx + r, dy + r])
+                if w != 0:
+                    offw.setdefault((dx, dy), {})[name] = w
     offs = [
-        (dx, dy, int(kernel[dx + R, dy + R]))
-        for dx in range(-R, R + 1)
-        for dy in range(-R, R + 1)
-        if kernel[dx + R, dy + R] != 0
+        (dx, dy, [wd.get(name, 0) for name in prefixes])
+        for (dx, dy), wd in sorted(offw.items())
     ]
     T = np.int64(tile)
     Rn = np.int64(R)
@@ -788,7 +808,7 @@ def focal_convolve(
         if np.abs(ix).max(initial=0) >= 1 << 31 or np.abs(iy).max(initial=0) >= 1 << 31:
             raise ValueError("focal_convolve: |ix|,|iy| must be < 2^31 to pack")
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        wmax = max(abs(w) for _, _, w in offs)
+        wmax = max(max(abs(w) for w in ws) for _, _, ws in offs)
         # exact Python-int product — the guard itself must not wrap
         if len(v) and int(np.abs(v).max()) * wmax * len(offs) >= 1 << 62:
             raise ValueError(
@@ -832,7 +852,7 @@ def focal_convolve(
                 pieces.append(p.append_column("_part", pa.array(part)))
         return pa.concat_tables(pieces)
 
-    sum_col, wt_col = f"{out_prefix}_sum", f"{out_prefix}_wt"
+    out_cols = [(f"{p}_sum", f"{p}_wt") for p in prefixes]
 
     def solve(group: pa.Table) -> pa.Table:
         base_cols = [
@@ -842,8 +862,8 @@ def focal_convolve(
         empty = pa.table(
             {
                 **{c: pa.array([], type=group[c].type) for c in base_cols},
-                sum_col: pa.array([], type=pa.int64()),
-                wt_col: pa.array([], type=pa.int64()),
+                **{c: pa.array([], type=pa.int64())
+                   for pair in out_cols for c in pair},
             }
         )
         if group.num_rows == 0:
@@ -861,8 +881,8 @@ def focal_convolve(
         starts = np.flatnonzero(brk)
         ends = np.append(starts[1:], n)
         keep_rows: list[np.ndarray] = []
-        sums: list[np.ndarray] = []
-        wts: list[np.ndarray] = []
+        sums: list[list[np.ndarray]] = [[] for _ in prefixes]
+        wts: list[list[np.ndarray]] = [[] for _ in prefixes]
         for s, e in zip(starts, ends):
             rows = np.arange(s, e)
             h = rows[home[s:e]]
@@ -876,24 +896,44 @@ def focal_convolve(
                     "focal_convolve: duplicate (ix, iy) pixels in the input"
                     " — the raster must be unique per cell (aggregate first)"
                 )
-            csum = np.zeros(len(h), dtype=np.int64)
-            cwt = np.zeros(len(h), dtype=np.int64)
-            for dx, dy, w in offs:
+            csum = [np.zeros(len(h), dtype=np.int64) for _ in prefixes]
+            cwt = [np.zeros(len(h), dtype=np.int64) for _ in prefixes]
+            for dx, dy, ws in offs:
                 want = _pack(ix[h] + dx, iy[h] + dy)
                 pos = np.searchsorted(skeys, want)
                 pos_c = np.minimum(pos, len(skeys) - 1)
                 hit = skeys[pos_c] == want
-                csum += np.where(hit, w * svals[pos_c], 0)
-                cwt += np.where(hit, w, 0)
+                hv = np.where(hit, svals[pos_c], 0)
+                for ki, w in enumerate(ws):
+                    if w:
+                        csum[ki] += w * hv
+                        cwt[ki] += np.where(hit, w, 0)
             keep_rows.append(h)
-            sums.append(csum)
-            wts.append(cwt)
+            for ki in range(len(prefixes)):
+                sums[ki].append(csum[ki])
+                wts[ki].append(cwt[ki])
         if not keep_rows:
             return empty
         take = np.concatenate(keep_rows)
         out = group.select(base_cols).take(pa.array(take, type=pa.int64()))
-        out = out.append_column(sum_col, pa.array(np.concatenate(sums)))
-        return out.append_column(wt_col, pa.array(np.concatenate(wts)))
+        for ki, (sc, wc) in enumerate(out_cols):
+            out = out.append_column(sc, pa.array(np.concatenate(sums[ki])))
+            out = out.append_column(wc, pa.array(np.concatenate(wts[ki])))
+        return out
 
     fanned = pixels.map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True)
     return fanned.groupby("_part").map_groups(solve, batch_format="pyarrow")
+
+
+def sobel_kernels_int() -> dict:
+    """The Horn/Sobel gradient pair as integer kernels for
+    :func:`focal_convolve`: ``gx[dx,dy] = dx·(2−|dy|)`` and
+    ``gy[dx,dy] = dy·(2−|dx|)`` (3×3, weights ±1/±2).  ``gx_sum`` /
+    ``gy_sum`` are then exact int64 directional derivatives (×8·res
+    in value·cell units); slope/aspect are the caller's float ops
+    (`atan2` differs between libm and SQL engines in the last ulp, so
+    the engine stops at the exact integers — the repo's twin rule)."""
+    d = np.arange(-1, 2, dtype=np.int64)
+    gx = d[:, None] * (2 - np.abs(d[None, :]))
+    gy = d[None, :] * (2 - np.abs(d[:, None]))
+    return {"gx": gx.astype(np.int64), "gy": np.ascontiguousarray(gy, np.int64)}

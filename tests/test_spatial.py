@@ -473,3 +473,44 @@ def test_label_regions_zonal_sums(ray_session, engine):
         lab = ref[(int(r.ix), int(r.iy))]
         assert (r.region_ix, r.region_iy) == lab
         assert r.sum_w == zonal[lab]
+
+
+def test_focal_convolve_multi_kernel_single_pass(ray_session):
+    from rayraster.spatial import focal_convolve, gaussian_kernel_int, sobel_kernels_int
+
+    t = _rand_raster(51, shape=(25, 25), density=0.6, nvals=1)
+    rng = np.random.default_rng(4)
+    v = rng.integers(0, 300, t.num_rows).astype(np.int64)
+    t = pa.table({"ix": t["ix"], "iy": t["iy"], "v": pa.array(v)})
+    kmap = {"g": gaussian_kernel_int(2, 1.0), **sobel_kernels_int()}
+    multi = (
+        focal_convolve(rd.from_arrow(t), "v", kmap, tile=8, num_partitions=8)
+        .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+    )
+    # multi-kernel single exchange ≡ one call per kernel
+    for name, k in kmap.items():
+        single = (
+            focal_convolve(rd.from_arrow(t), "v", k, tile=8,
+                           num_partitions=8, out_prefix=name)
+            .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+        )
+        assert multi[f"{name}_sum"].tolist() == single[f"{name}_sum"].tolist()
+        assert multi[f"{name}_wt"].tolist() == single[f"{name}_wt"].tolist()
+    # Sobel antisymmetry: a constant raster has zero gradient everywhere
+    const = pa.table({"ix": t["ix"], "iy": t["iy"],
+                      "v": pa.array(np.full(t.num_rows, 7, np.int64))})
+    g = focal_convolve(rd.from_arrow(const), "v", sobel_kernels_int(),
+                       tile=8, num_partitions=8).to_pandas()
+    interior = g[(g.gx_wt == 0) & (g.gy_wt == 0)]  # full-window pixels
+    assert (interior.gx_sum == 0).all() and (interior.gy_sum == 0).all()
+    # gradient of a linear ramp v = 10·ix on a DENSE block: gx = 80, gy = 0
+    m = np.mgrid[0:9, 0:9].reshape(2, -1)
+    ramp = pa.table({"ix": pa.array(m[0].astype(np.int64)),
+                     "iy": pa.array(m[1].astype(np.int64)),
+                     "v": pa.array((m[0] * 10).astype(np.int64))})
+    gr = focal_convolve(rd.from_arrow(ramp), "v", sobel_kernels_int(),
+                        tile=8, num_partitions=8).to_pandas()
+    inner = gr[(gr.ix > 0) & (gr.ix < 8) & (gr.iy > 0) & (gr.iy < 8)]
+    assert (inner.gx_sum == 80).all() and (inner.gy_sum == 0).all()
+    with pytest.raises(ValueError, match="at least one kernel"):
+        focal_convolve(rd.from_arrow(t), "v", {})
