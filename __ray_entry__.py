@@ -3005,20 +3005,37 @@ def _q_exact_quantiles(sf_dir: str):
     histogram refinement (one fixed-size bin blob per batch per
     round, all ranks sharing each pass) — the quantile path that
     still works at 10^12 rows.  Values are actual elements, so the
-    quantile_disc oracle is bit-exact."""
-    from rayraster.agg import exact_quantiles
+    quantile_disc oracle is bit-exact.
+
+    Second arm under the same gate: the ONE-PASS mergeable q-digest
+    (`sketch.QDigest`) estimates the same quantiles, and each
+    estimate's exact rank interval (one map-only `rank_interval`
+    pass) must land within the digest's deterministic `err_bound()`
+    of ceil(q·N) — a theorem on every merge schedule (Agarwal et al.,
+    Mergeable Summaries), so `qd_ok` is deterministic even though the
+    digest's node set is not."""
+    from rayraster.agg import exact_quantiles, rank_interval
+    from rayraster.sketch import build_qdigest
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
     vals = exact_quantiles(ev, "value", list(_QUANTILE_QS))
+    qd = build_qdigest(ev, "value", k=4096)
+    ests = qd.quantiles(list(_QUANTILE_QS))
+    lo, hi = rank_interval(ev, "value", ests)
+    n, eb = qd.n, qd.err_bound()
+    targets = np.maximum(1, np.ceil(np.array(_QUANTILE_QS) * n)).astype(np.int64)
+    qd_ok = (lo - eb <= targets) & (targets <= hi + eb)
     return pa.table(
         {"q": pa.array(list(_QUANTILE_QS), type=pa.float64()),
-         "value": pa.array(vals, type=pa.float64())}
+         "value": pa.array(vals, type=pa.float64()),
+         "qd_ok": pa.array(qd_ok, type=pa.bool_())}
     )
 
 
 def _sql_exact_quantiles() -> str:
     return "\nUNION ALL\n".join(
-        f"SELECT {q!r} AS q, quantile_disc(value, {q!r}) AS value FROM events"
+        f"SELECT {q!r} AS q, quantile_disc(value, {q!r}) AS value, "
+        f"TRUE AS qd_ok FROM events"
         for q in _QUANTILE_QS
     )
 

@@ -985,3 +985,40 @@ def global_rank(
         return out.drop_columns(["_rbkt"])
 
     return withb.groupby("_rbkt").map_groups(solve, batch_format="pyarrow")
+
+
+def rank_interval(
+    ds: Dataset, col: str, values: Sequence[float], batch_size: int = 262144,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact rank intervals ``(lo, hi) = (#rows < v, #rows <= v)`` for
+    a handful of threshold ``values`` in ONE map-only streaming pass —
+    no shuffle, one fixed-width int64 row per batch, summed on the
+    driver (the verification half of a sketch-estimated quantile:
+    :class:`rayraster.sketch.QDigest` answers, this certifies).
+    NULL/NaN rows are ignored (rank semantics of ``quantile_disc``)."""
+    import pyarrow.compute as pc
+
+    v = np.asarray(list(values), np.float64)
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        x = pc.drop_null(c).to_numpy(zero_copy_only=False).astype(np.float64)
+        x = np.sort(x[~np.isnan(x)])
+        row = np.concatenate([np.searchsorted(x, v, side="left"),
+                              np.searchsorted(x, v, side="right")])
+        return pa.table(
+            {"blob": pa.array([row.astype(np.int64).tobytes()],
+                              type=pa.binary())}
+        )
+
+    acc = np.zeros(2 * len(v), np.int64)
+    counted = ds.map_batches(
+        count_batch, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    for t in counted.iter_batches(batch_format="pyarrow", batch_size=4096):
+        for blob in t["blob"].to_pylist():
+            acc += np.frombuffer(blob, np.int64)
+    return acc[: len(v)].copy(), acc[len(v):].copy()

@@ -646,3 +646,273 @@ def build_mg(ds: Dataset, col: str, k: int = 256, fold_batch: int = 32) -> MG:
         for blob in t["blob"].to_pylist():
             out.merge(MG.from_bytes(blob))
     return out
+
+
+# ---------------------------------------------------------------------------
+# q-digest — mergeable quantile summary
+# ---------------------------------------------------------------------------
+
+
+_SIGN = np.uint64(1) << np.uint64(63)
+_U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _f64_key(v: np.ndarray) -> np.ndarray:
+    """Order-preserving float64 → uint64 bijection (IEEE-754 total
+    order): non-negative floats get the sign bit set, negative floats
+    get ALL bits flipped, so uint64 comparison == float comparison
+    (−0.0 sorts just below +0.0; NaNs land above +inf)."""
+    bits = np.ascontiguousarray(v, np.float64).view(np.int64)
+    u = bits.view(np.uint64).copy()
+    neg = bits < 0
+    u[neg] = ~u[neg]
+    u[~neg] ^= _SIGN
+    return u
+
+
+def _key_f64(u: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_f64_key`."""
+    u = np.asarray(u, np.uint64).copy()
+    nonneg = (u & _SIGN) != 0
+    u[nonneg] ^= _SIGN
+    u[~nonneg] = ~u[~nonneg]
+    return u.view(np.float64)
+
+
+class QDigest:
+    """Mergeable q-digest quantile summary (Shrivastava et al. 2004)
+    over the 64-bit order-preserving float key universe.
+
+    Nodes are dyadic intervals ``[base, base + 2^lev)`` with int64
+    counts; a canonical bottom-up compress merges a sibling group into
+    its parent whenever the combined count fits under ``N // k`` —
+    leaves keep exact counts for heavy repeated values.  Merging two
+    digests is concat + group-sum + compress.
+
+    Deterministic guarantee (Agarwal/Cormode et al., "Mergeable
+    Summaries", PODS'12 — q-digest is their canonical mergeable
+    quantile summary), independent of batch boundaries, merge order
+    and cluster size: for ``est = quantile(q)`` and the true rank
+    interval ``[lo, hi] = [#values < est, #values <= est]``::
+
+        lo − err_bound()  <=  ceil(q·N)  <=  hi + err_bound()
+        err_bound() == 64 · (N // k + 1)        (≈ 64·N/k)
+
+    (the interval form, not ``|rank − q·N|``, because a heavy repeated
+    value legitimately spans many ranks — its leaf count is exact)
+
+    so ``k=4096`` answers every quantile to ~1.6% rank error in ONE
+    streaming pass with O(k) state and NO shuffle — the quantile
+    member of the sketch family (HLL = distinct, CMS = frequency,
+    MG = heavy hitters, q-digest = ranks).  Like MG, the merged NODE
+    SET is schedule-dependent but the bound above holds on every
+    schedule — the flag the t7 oracle gate asserts.  (The exact
+    multi-pass alternative is :func:`rayraster.agg.exact_quantiles`;
+    the q-digest is the one-pass/mergeable/checkpointable trade.)
+    """
+
+    LEVELS = 64
+
+    def __init__(self, k: int = 4096,
+                 lev: np.ndarray | None = None,
+                 base: np.ndarray | None = None,
+                 cnt: np.ndarray | None = None):
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = int(k)
+        self.lev = (np.empty(0, np.uint8) if lev is None
+                    else np.asarray(lev, np.uint8))
+        self.base = (np.empty(0, np.uint64) if base is None
+                     else np.asarray(base, np.uint64))
+        self.cnt = (np.empty(0, np.int64) if cnt is None
+                    else np.asarray(cnt, np.int64))
+
+    @property
+    def n(self) -> int:
+        """Total weight N."""
+        return int(self.cnt.sum())
+
+    def err_bound(self) -> int:
+        """Deterministic rank-error bound (holds on every merge
+        schedule): one ≤ N//k + 1 ancestor count per level."""
+        return self.LEVELS * (self.n // self.k + 1)
+
+    # -- internals ---------------------------------------------------
+
+    def _canon(self) -> None:
+        """Group-sum duplicate (lev, base) nodes, drop zeros, sort."""
+        if len(self.lev) == 0:
+            return
+        order = np.lexsort((self.base, self.lev))
+        lev, base, cnt = self.lev[order], self.base[order], self.cnt[order]
+        head = np.empty(len(lev), bool)
+        head[0] = True
+        head[1:] = (lev[1:] != lev[:-1]) | (base[1:] != base[:-1])
+        idx = np.nonzero(head)[0]
+        cnt = np.add.reduceat(cnt, idx)
+        keep = cnt > 0
+        self.lev, self.base, self.cnt = lev[idx][keep], base[idx][keep], cnt[keep]
+
+    def _compress(self) -> None:
+        """Canonical bottom-up compress: per level, absorb each parent
+        block's children (and the existing parent count) into the
+        parent node when the combined count ≤ N // k."""
+        self._canon()
+        t = self.n // self.k
+        if t < 1 or len(self.lev) == 0:
+            return
+        lev, base, cnt = self.lev, self.base, self.cnt
+        for lvl in range(self.LEVELS):
+            child = lev == lvl
+            if not child.any():
+                continue
+            pmask = (np.uint64(0) if lvl >= 63
+                     else ~((np.uint64(1) << np.uint64(lvl + 1)) - np.uint64(1)))
+            cb, cc = base[child], cnt[child]
+            pb = cb & pmask
+            order = np.argsort(pb, kind="stable")
+            pb_s, cc_s = pb[order], cc[order]
+            head = np.empty(len(pb_s), bool)
+            if len(pb_s):
+                head[0] = True
+                head[1:] = pb_s[1:] != pb_s[:-1]
+            gidx = np.nonzero(head)[0]
+            gbase = pb_s[gidx]                       # parent base per group
+            gsum = np.add.reduceat(cc_s, gidx)       # children total per group
+            # existing parent counts (level lvl+1, same base)
+            par = lev == lvl + 1
+            par_b, par_c = base[par], cnt[par]
+            pord = np.argsort(par_b, kind="stable")
+            par_b, par_c = par_b[pord], par_c[pord]
+            pos = np.searchsorted(par_b, gbase)
+            hit = (pos < len(par_b))
+            hit[hit] &= par_b[pos[hit]] == gbase[hit]
+            pexist = np.zeros(len(gbase), np.int64)
+            pexist[hit] = par_c[pos[hit]]
+            mergeable = gsum + pexist <= t           # absorb whole block
+            if not mergeable.any():
+                continue
+            # children to drop: those whose parent group is mergeable
+            grp_of_child = np.cumsum(head) - 1       # group index per sorted child
+            drop_sorted = mergeable[grp_of_child]
+            drop = np.zeros(len(cb), bool)
+            drop[order] = drop_sorted
+            keep_mask = np.ones(len(lev), bool)
+            keep_mask[np.nonzero(child)[0]] = ~drop
+            add_b = gbase[mergeable]
+            add_c = gsum[mergeable]
+            lev = np.concatenate([lev[keep_mask],
+                                  np.full(len(add_b), lvl + 1, np.uint8)])
+            base = np.concatenate([base[keep_mask], add_b])
+            cnt = np.concatenate([cnt[keep_mask], add_c])
+            # re-canonicalize the touched parent level before moving up
+            self.lev, self.base, self.cnt = lev, base, cnt
+            self._canon()
+            lev, base, cnt = self.lev, self.base, self.cnt
+        self.lev, self.base, self.cnt = lev, base, cnt
+
+    # -- public API ---------------------------------------------------
+
+    def add_values(self, v: np.ndarray) -> "QDigest":
+        """Fold a batch of float64 values (NaNs rejected — mask first)."""
+        v = np.asarray(v, np.float64)
+        if np.isnan(v).any():
+            raise ValueError("NaNs are not rankable — filter them first")
+        keys, counts = np.unique(_f64_key(v), return_counts=True)
+        self.lev = np.concatenate([self.lev, np.zeros(len(keys), np.uint8)])
+        self.base = np.concatenate([self.base, keys])
+        self.cnt = np.concatenate([self.cnt, counts.astype(np.int64)])
+        self._compress()
+        return self
+
+    def merge(self, other: "QDigest") -> "QDigest":
+        if self.k != other.k:
+            raise ValueError("QDigest k differ — cannot merge")
+        self.lev = np.concatenate([self.lev, other.lev])
+        self.base = np.concatenate([self.base, other.base])
+        self.cnt = np.concatenate([self.cnt, other.cnt])
+        self._compress()
+        return self
+
+    def _uppers(self) -> np.ndarray:
+        width = np.where(
+            self.lev >= 64, _U64MAX,
+            (np.uint64(1) << self.lev.astype(np.uint64)) - np.uint64(1),
+        )
+        return self.base + width
+
+    def quantiles(self, qs) -> np.ndarray:
+        """Value estimates at ranks ``ceil(q·N)`` — the estimate's
+        true rank interval ``[#< est, #<= est]`` comes within
+        :meth:`err_bound` of ``ceil(q·N)`` (see class docstring).
+        Estimates are dyadic interval bounds: rank-space guarantees,
+        not necessarily data elements."""
+        if len(self.lev) == 0:
+            raise ValueError("empty QDigest")
+        up = self._uppers()
+        order = np.lexsort((self.lev, up))   # postorder: by upper, deeper first
+        csum = np.cumsum(self.cnt[order])
+        n = csum[-1]
+        qs = np.asarray(qs, np.float64)
+        targets = np.maximum(1, np.ceil(qs * n)).astype(np.int64)
+        pos = np.searchsorted(csum, targets, side="left")
+        pos = np.minimum(pos, len(csum) - 1)
+        return _key_f64(up[order][pos])
+
+    def node_count(self) -> int:
+        return len(self.lev)
+
+    def to_bytes(self) -> bytes:
+        m = np.int64(len(self.lev)).tobytes()
+        return m + self.lev.tobytes() + self.base.tobytes() + self.cnt.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, k: int = 4096) -> "QDigest":
+        m = int(np.frombuffer(b[:8], np.int64)[0])
+        o = 8
+        lev = np.frombuffer(b[o:o + m], np.uint8); o += m
+        base = np.frombuffer(b[o:o + 8 * m], np.uint64); o += 8 * m
+        cnt = np.frombuffer(b[o:o + 8 * m], np.int64)
+        return cls(k, lev.copy(), base.copy(), cnt.copy())
+
+
+def build_qdigest(ds: Dataset, col: str, k: int = 4096,
+                  fold_batch: int = 32) -> QDigest:
+    """Distributed q-digest build over ``ds[col]`` — every quantile of
+    a 10^12-row column from ONE streaming pass with O(k·log U) state
+    per node and NO shuffle, mergeable across partitions/snapshots
+    (the rank member of the sketch family; checkpoint the blob and
+    fold tomorrow's data in).  Same blob plumbing as
+    :func:`build_cms`/:func:`build_mg`: one digest per batch, an
+    add-fold stage collapses ~``fold_batch`` blobs, the driver merges
+    the remaining handful.  Nulls are skipped (SQL rank semantics)."""
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col_arr = t[col]
+        if isinstance(col_arr, pa.ChunkedArray):
+            col_arr = col_arr.combine_chunks()
+        v = pc.drop_null(col_arr).to_numpy(zero_copy_only=False)
+        d = QDigest(k)
+        if len(v):
+            d.add_values(np.asarray(v, np.float64))
+        return pa.table({"blob": pa.array([d.to_bytes()], type=pa.binary())})
+
+    def add_fold(t: pa.Table) -> pa.Table:
+        acc = QDigest(k)
+        for blob in t["blob"].to_pylist():
+            acc.merge(QDigest.from_bytes(blob, k))
+        return pa.table({"blob": pa.array([acc.to_bytes()], type=pa.binary())})
+
+    folded = ds.map_batches(
+        sketch_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        add_fold, batch_format="pyarrow", batch_size=fold_batch,
+        zero_copy_batch=True,
+    )
+    out = QDigest(k)
+    for t in folded.iter_batches(batch_format="pyarrow", batch_size=fold_batch):
+        for blob in t["blob"].to_pylist():
+            out.merge(QDigest.from_bytes(blob, k))
+    return out
