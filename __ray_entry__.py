@@ -883,7 +883,7 @@ def _q_raster_to_vector(sf_dir: str):
         pixels_schema=pa.schema(
             [("ix", i64), ("iy", i64), ("val", i64), ("num_cell", i64)]
         ),
-    )
+    ).materialize()  # feeds two arms — don't re-run the CC per consumer
 
     def vec_region(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -896,7 +896,27 @@ def _q_raster_to_vector(sf_dir: str):
         )
 
     rg = labeled.map_batches(vec_region, batch_format="pyarrow")
-    return sq.union(hx, rg)
+
+    # fourth arm (grid='perimeter'): zonal boundary length — one row
+    # per labeled region with its rook perimeter (exposed faces),
+    # intra-region adjacent pairs, size and mask value; the twin
+    # recomputes all four from the same data-driven CC chain
+    from rayraster.spatial import zonal_perimeter
+
+    per = zonal_perimeter(labeled, "val", connectivity=4, num_partitions=8)
+
+    def vec_perim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"grid": pa.array(["perimeter"] * t.num_rows, type=pa.string()),
+             "ix": t["region_ix"], "iy": t["region_iy"],
+             "px1": t["perimeter"].cast(pa.float64()),
+             "py1": t["region_n"].cast(pa.float64()),
+             "px2": t["adj_pairs"].cast(pa.float64()),
+             "py2": t["val"].cast(pa.float64())}
+        )
+
+    pm = per.map_batches(vec_perim, batch_format="pyarrow")
+    return sq.union(hx, rg, pm)
 
 
 # --------------------------------------------------------------------------
@@ -1184,7 +1204,7 @@ UNION ALL
 SELECT 'hexagon' AS grid, ix, iy,
        cx AS px1, cy AS py1, v1x AS px2, v1y AS py2 FROM ({hx})
 UNION ALL
-SELECT 'region' AS grid, ix, iy, px1, py1, px2, py2 FROM ({_sql_region_label()})"""
+SELECT grid, ix, iy, px1, py1, px2, py2 FROM ({_sql_region_label()})"""
 
 
 def _sql_region_label(rounds: int = 16) -> str:
@@ -1197,7 +1217,10 @@ def _sql_region_label(rounds: int = 16) -> str:
     rounds are idempotent, the k-core-twin pattern).  Labels are
     packed ``ix·2^32 + iy`` keys (grid indices are ≥ 0 here), unpacked
     with `//`/`%` at the end; region size joins back from a final
-    grouped count.  Every round CTE is MATERIALIZED —
+    grouped count.  Emits BOTH the per-pixel 'region' arm and the
+    per-region 'perimeter' arm (rook perimeter = 4·n − adj2 where
+    adj2 counts ordered same-value adjacent pairs from ``e``) off one
+    shared CC chain.  Every round CTE is MATERIALIZED —
     DuckDB inlines plain CTEs, which explodes an unrolled chain
     exponentially (observed: fd exhaustion from repeated base scans)."""
     parts = [f"""WITH {_PTS}, {_bb(RES)}, {_square_cells(RES)},
@@ -1222,13 +1245,26 @@ r{i} AS MATERIALIZED (SELECT m.k, m2.lab FROM r{i}m m JOIN r{i}m m2 ON m2.k = m.
 sz AS (SELECT r.lab, COUNT(*) AS rn, CAST(SUM(c.n) AS BIGINT) AS zs
        FROM {prev} r JOIN v ON v.k = r.k
             JOIN c ON c.ix = v.ix AND c.iy = v.iy
-       GROUP BY r.lab)
-SELECT v.ix, v.iy,
+       GROUP BY r.lab),
+bcnt AS (SELECT r.lab, COUNT(*) AS adj2
+         FROM e JOIN {prev} r ON r.k = e.node
+         WHERE e.node != e.peer GROUP BY r.lab)
+SELECT 'region' AS grid, v.ix, v.iy,
        CAST(r.lab // 4294967296 AS DOUBLE) AS px1,
        CAST(r.lab % 4294967296 AS DOUBLE) AS py1,
        CAST(sz.zs AS DOUBLE) AS px2,
        CAST(sz.rn AS DOUBLE) AS py2
-FROM v JOIN {prev} r ON r.k = v.k JOIN sz ON sz.lab = r.lab""")
+FROM v JOIN {prev} r ON r.k = v.k JOIN sz ON sz.lab = r.lab
+UNION ALL
+SELECT 'perimeter' AS grid,
+       CAST(sz.lab // 4294967296 AS BIGINT) AS ix,
+       CAST(sz.lab % 4294967296 AS BIGINT) AS iy,
+       CAST(4 * sz.rn - COALESCE(b.adj2, 0) AS DOUBLE) AS px1,
+       CAST(sz.rn AS DOUBLE) AS py1,
+       CAST(COALESCE(b.adj2, 0) // 2 AS DOUBLE) AS px2,
+       CAST(vv.val AS DOUBLE) AS py2
+FROM sz LEFT JOIN bcnt b ON b.lab = sz.lab
+        JOIN v vv ON vv.k = sz.lab""")
     return "".join(parts)
 
 

@@ -702,6 +702,163 @@ def label_regions(
     return joined.map_batches(finalize, batch_format="pyarrow")
 
 
+def zonal_perimeter(
+    labeled: Dataset,
+    value_col: str,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    region_cols: tuple = ("region_ix", "region_iy"),
+    connectivity: int = 4,
+    tile: int = 64,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-region boundary length over a labeled raster (the zonal
+    companion of R ``raster::clump`` + GDAL polygonize's ring length,
+    and the landscape-ecology perimeter metric): for every pixel,
+    ``connectivity − (#same-value neighbors present)`` exposed faces —
+    grid boundary and different-value neighbors both count — summed
+    per region.
+
+    Input is :func:`label_regions` output (pixels carrying
+    ``region_ix``/``region_iy``).  Same tile + 1-cell-halo exchange as
+    :func:`region_edges` (same-value adjacency ⇒ same region — valid
+    when ``connectivity`` is ≤ the connectivity the labels were built
+    with, so the per-pixel count needs no label lookup on the halo
+    side), then one grouped aggregate.  Output: one row per region
+    with
+
+    * ``perimeter``  — Σ exposed faces (= ``connectivity·n − adj2``)
+    * ``adj_pairs``  — intra-region adjacent pairs (``adj2 / 2``)
+    * ``region_n``   — pixel count
+    * ``val``        — the region's (constant) value
+    """
+    from rayraster.agg import hash_aggregate
+
+    if connectivity not in _OFFSETS:
+        raise ValueError(
+            f"connectivity must be 4, 8 (square) or 6 (hex axial), got {connectivity}"
+        )
+    offsets = _OFFSETS[connectivity]
+    T = np.int64(tile)
+    rix_col, riy_col = region_cols
+
+    def fanout(t: pa.Table) -> pa.Table:
+        t = t.select([ix_col, iy_col, value_col, rix_col, riy_col])
+        if t.num_rows == 0:
+            e = t.append_column("_home", pa.array([], type=pa.bool_()))
+            e = e.append_column("_ttx", pa.array([], type=pa.int64()))
+            e = e.append_column("_tty", pa.array([], type=pa.int64()))
+            return e.append_column("_part", pa.array([], type=pa.int64()))
+        ix = t[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tx, ty = ix // T, iy // T
+        lx, ly = ix - tx * T, iy - ty * T
+        pieces = []
+        for a in (-1, 0, 1):
+            okx = (lx == 0) if a == -1 else (lx == T - 1) if a == 1 else None
+            for b in (-1, 0, 1):
+                oky = (ly == 0) if b == -1 else (ly == T - 1) if b == 1 else None
+                if a == 0 and b == 0:
+                    sel = None
+                else:
+                    sel = np.ones(t.num_rows, dtype=bool)
+                    if okx is not None:
+                        sel &= okx
+                    if oky is not None:
+                        sel &= oky
+                if sel is None:
+                    p, ptx, pty = t, tx, ty
+                else:
+                    idx = np.flatnonzero(sel)
+                    if len(idx) == 0:
+                        continue
+                    p = t.take(pa.array(idx, type=pa.int64()))
+                    ptx, pty = tx[idx], ty[idx]
+                p = p.append_column(
+                    "_home", pa.array(np.full(p.num_rows, a == 0 and b == 0))
+                )
+                part = (
+                    np.abs(
+                        (ptx + a) * np.int64(73856093) ^ (pty + b) * np.int64(19349663)
+                    )
+                    % np.int64(num_partitions)
+                )
+                p = p.append_column("_ttx", pa.array(ptx + a))
+                p = p.append_column("_tty", pa.array(pty + b))
+                pieces.append(p.append_column("_part", pa.array(part)))
+        return pa.concat_tables(pieces)
+
+    n_faces = np.int64(len(offsets))
+
+    def solve(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {rix_col: pa.array([], type=pa.int64()),
+             riy_col: pa.array([], type=pa.int64()),
+             value_col: pa.array([], type=pa.int64()),
+             "_bnd": pa.array([], type=pa.int64()),
+             "_adj": pa.array([], type=pa.int64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        group = group.sort_by([("_ttx", "ascending"), ("_tty", "ascending")])
+        gtx = group["_ttx"].to_numpy(zero_copy_only=False)
+        gty = group["_tty"].to_numpy(zero_copy_only=False)
+        home = group["_home"].to_numpy(zero_copy_only=False)
+        ix = group[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = group[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = group[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rix = group[rix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        riy = group[riy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group.num_rows
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (gtx[1:] != gtx[:-1]) | (gty[1:] != gty[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        out = []
+        for s, e in zip(starts, ends):
+            rows = np.arange(s, e)
+            h = rows[home[s:e]]
+            if len(h) == 0:
+                continue
+            keys = _pack(ix[rows], iy[rows])
+            order = np.argsort(keys)
+            skeys, svals = keys[order], val[rows][order]
+            hk = _pack(ix[h], iy[h])
+            hv = val[h]
+            same = np.zeros(len(h), np.int64)
+            for dx, dy in offsets:
+                want = _pack(ix[h] + dx, iy[h] + dy)
+                pos = np.searchsorted(skeys, want)
+                pos_c = np.minimum(pos, len(skeys) - 1)
+                same += ((skeys[pos_c] == want) & (svals[pos_c] == hv)).astype(np.int64)
+            out.append(pa.table(
+                {rix_col: pa.array(rix[h]), riy_col: pa.array(riy[h]),
+                 value_col: pa.array(hv),
+                 "_bnd": pa.array(n_faces - same), "_adj": pa.array(same)}
+            ))
+        return pa.concat_tables(out) if out else empty
+
+    fanned = labeled.map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True)
+    per_pixel = fanned.groupby("_part").map_groups(solve, batch_format="pyarrow")
+    agg = hash_aggregate(
+        per_pixel, [rix_col, riy_col],
+        sum_cols=["_bnd", "_adj"], min_cols=[value_col],
+        count=True, count_name="region_n", num_partitions=num_partitions,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        adj2 = t["sum__adj"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {rix_col: t[rix_col], riy_col: t[riy_col],
+             "perimeter": t["sum__bnd"],
+             "adj_pairs": pa.array(adj2 // 2),
+             "region_n": t["region_n"],
+             "val": t[f"min_{value_col}"]}
+        )
+
+    return agg.map_batches(project, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # weighted focal convolution (Gaussian smoothing etc.)
 # ---------------------------------------------------------------------------

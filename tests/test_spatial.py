@@ -514,3 +514,75 @@ def test_focal_convolve_multi_kernel_single_pass(ray_session):
     assert (inner.gx_sum == 80).all() and (inner.gy_sum == 0).all()
     with pytest.raises(ValueError, match="at least one kernel"):
         focal_convolve(rd.from_arrow(t), "v", {})
+
+
+@pytest.mark.parametrize("connectivity,offs", [
+    (4, [(-1, 0), (1, 0), (0, -1), (0, 1)]),
+    (6, [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]),
+])
+def test_zonal_perimeter_matches_brute(ray_session, connectivity, offs):
+    from collections import Counter, defaultdict
+
+    from rayraster.spatial import label_regions, zonal_perimeter
+
+    t = _rand_raster(23, shape=(26, 26), density=0.55, nvals=2)
+    cells = {
+        (int(a), int(b)): int(v)
+        for a, b, v in zip(t["ix"].to_pylist(), t["iy"].to_pylist(),
+                           t["val"].to_pylist())
+    }
+    ref = _clump_reference(cells, offs)
+    sizes = Counter(ref.values())
+    perim = defaultdict(int)
+    pairs = defaultdict(int)
+    for c, v in cells.items():
+        for dx, dy in offs:
+            nb = (c[0] + dx, c[1] + dy)
+            if cells.get(nb) == v:
+                pairs[ref[c]] += 1  # counted from both ends → /2 below
+            else:
+                perim[ref[c]] += 1
+    labeled = label_regions(
+        rd.from_arrow(t).repartition(4), "val",
+        connectivity=connectivity, tile=8, num_partitions=8,
+    ).materialize()
+    out = zonal_perimeter(
+        labeled, "val", connectivity=connectivity, tile=8, num_partitions=8,
+    ).to_pandas()
+    assert len(out) == len(sizes)
+    for r in out.itertuples():
+        key = (int(r.region_ix), int(r.region_iy))
+        assert r.perimeter == perim[key]
+        assert r.adj_pairs == pairs[key] // 2
+        assert r.region_n == sizes[key]
+        assert r.val == cells[key]
+        # identity: faces·n == perimeter + 2·adj_pairs
+        assert len(offs) * r.region_n == r.perimeter + 2 * r.adj_pairs
+
+
+def test_zonal_perimeter_single_cells_and_tile_invariance(ray_session):
+    from rayraster.spatial import label_regions, zonal_perimeter
+
+    # isolated pixels: perimeter = 4 each, no pairs
+    t = pa.table(
+        {"ix": pa.array([0, 5, 10], type=pa.int64()),
+         "iy": pa.array([0, 5, 10], type=pa.int64()),
+         "val": pa.array([1, 1, 1], type=pa.int64())}
+    )
+    labeled = label_regions(rd.from_arrow(t), "val", tile=8).materialize()
+    out = zonal_perimeter(labeled, "val", tile=8).to_pandas()
+    assert (out.perimeter == 4).all() and (out.adj_pairs == 0).all()
+
+    # tile-size invariance on a random raster
+    t = _rand_raster(31, shape=(20, 20), density=0.7, nvals=2)
+    labeled = label_regions(rd.from_arrow(t), "val", tile=64).materialize()
+    a = (zonal_perimeter(labeled, "val", tile=4, num_partitions=16)
+         .to_pandas().sort_values(["region_ix", "region_iy"])
+         .reset_index(drop=True))
+    b = (zonal_perimeter(labeled, "val", tile=512, num_partitions=2)
+         .to_pandas()[a.columns].sort_values(["region_ix", "region_iy"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+    with pytest.raises(ValueError, match="connectivity"):
+        zonal_perimeter(labeled, "val", connectivity=5)
