@@ -1849,12 +1849,52 @@ SELECT rid AS a, rid + {_D2B_OFFSET} AS b FROM rids"""
 
 
 def _q_simhash(sf_dir: str):
-    from rayraster.dedup import simhash_pairs
+    """Two Hamming-LSH near-dup arms under one analytic oracle:
+    'text' = SimHash over the doped text corpus; 'image' = perceptual
+    dHash over a planted IMAGE corpus — every doc_id % 3 == 0 gets a
+    deterministic pseudo-random BMP and a one-bit-perturbed twin at
+    id+OFFSET (`multimodal.synth_image`), decoded to pixels, box-
+    resized, dHashed, then the generic `hamming_neardup_pairs` banded
+    engine (8×8-bit bands, exact recall ≤ 7, verify at ≤ 4; planted
+    twins measure ≤ 2 apart, independent images ≥ 11) must return
+    exactly the planted pairs."""
+    from rayraster.dedup import hamming_neardup_pairs, simhash_pairs
+    from rayraster.multimodal import ImagePHashStage, encode_bmp, synth_image
 
     corpus = _neardup_corpus(sf_dir, perturb=False)
-    return simhash_pairs(
+    text_pairs = simhash_pairs(
         corpus, max_dist=3, corpus_count=corpus.count()
     ).select_columns(["a", "b"])
+
+    base = _docs(sf_dir, ("doc_id",))
+
+    def to_images(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ids = ids[ids % 3 == 0]
+        out_ids, payloads = [], []
+        for i in ids.tolist():
+            out_ids += [i, i + _DUP_OFFSET]
+            payloads += [encode_bmp(synth_image(i)),
+                         encode_bmp(synth_image(i, perturb=True))]
+        return pa.table(
+            {"doc_id": pa.array(out_ids, type=pa.int64()),
+             "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    hashed = (
+        base.map_batches(to_images, batch_format="pyarrow")
+        .map_batches(
+            ImagePHashStage(), batch_format="pyarrow",
+            batch_size=256, concurrency=2, num_cpus=1,
+        )
+        .materialize()  # feeds the banding AND the verify-sig table
+    )
+    img_pairs = hamming_neardup_pairs(
+        hashed, max_dist=4, corpus_count=hashed.count()
+    ).select_columns(["a", "b"])
+    return text_pairs.map_batches(_tagger("text"), batch_format="pyarrow").union(
+        img_pairs.map_batches(_tagger("image"), batch_format="pyarrow")
+    )
 
 
 def _q_neardup_dedup_pipeline(sf_dir: str):
@@ -3816,7 +3856,11 @@ FROM documents"""
 
 
 def _sql_simhash() -> str:
-    return _sql_minhash()
+    return f"""SELECT 'text' AS path, doc_id AS a, doc_id + {_DUP_OFFSET} AS b
+FROM documents
+UNION ALL
+SELECT 'image' AS path, doc_id AS a, doc_id + {_DUP_OFFSET} AS b
+FROM documents WHERE doc_id % 3 = 0"""
 
 
 def _sql_embed_neardup() -> str:

@@ -738,9 +738,89 @@ def simhash_pairs(
     rows = ds.map_batches(
         SimHashStage(text_col, id_col), batch_format="pyarrow", zero_copy_batch=True
     )
+    return _banded_hamming_pairs(
+        rows, ds, id_col, max_dist, verify_mode, broadcast_threshold,
+        parts, corpus_count,
+    )
+
+
+def hamming_neardup_pairs(
+    ds: Dataset,
+    sig_col: str = "phash",
+    id_col: str = "doc_id",
+    max_dist: int = 4,
+    n_bands: int = 8,
+    verify_mode: str = "auto",
+    broadcast_threshold: int = 50_000,
+    num_buckets: int = 64,
+    corpus_count: int | None = None,
+) -> Dataset:
+    """Near-dup pairs over a PRECOMPUTED 64-bit signature column:
+    Hamming(sig) ≤ ``max_dist`` — the generic banded-LSH engine behind
+    any fingerprint family (perceptual image hashes from
+    :class:`rayraster.multimodal.ImagePHashStage`, SimHash from other
+    tooling, …).
+
+    Bits split into ``n_bands`` equal chunks (64 % n_bands == 0);
+    a pair within ``max_dist`` differs in ≤ max_dist bands, so with
+    ``max_dist < n_bands`` at least one band matches — EXACT recall
+    (pigeonhole), then exact popcount verification kills band-collision
+    false positives.  Same dual verify path as every near-dup family
+    here: broadcast signature dict under ``broadcast_threshold`` docs,
+    two hash-partitioned ``bucket_join`` hops above it.  Band-width
+    trade at scale: 8 bands × 8 bits leaves 256 buckets per band —
+    fine to ~10^5 docs; at corpus scale use 4 bands × 16 bits with
+    ``max_dist ≤ 3`` (or shard the band key by a signature prefix) so
+    bucket sizes stay bounded (``candidate_pairs``'s ``max_bucket``
+    guard drops degenerate buckets rather than emitting O(n²))."""
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    if max_dist >= n_bands:
+        raise ValueError(
+            f"exact recall needs max_dist < n_bands (pigeonhole); "
+            f"got max_dist={max_dist}, n_bands={n_bands}"
+        )
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    parts = _adaptive_parts(corpus_count, num_buckets)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        sigs = batch[sig_col].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out = {
+            id_col: np.repeat(ids, n_bands),
+            "band": np.tile(np.arange(n_bands, dtype=np.int64), len(ids)),
+            "bhash": np.empty(n_bands * len(ids), dtype=np.int64),
+            "sig": np.repeat(sigs.view(np.int64), n_bands),
+        }
+        for b in range(n_bands):
+            chunk = (sigs >> np.uint64(width * b)) & mask
+            out["bhash"][b::n_bands] = chunk.astype(np.int64)
+        return pa.table(out)
+
+    rows = ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return _banded_hamming_pairs(
+        rows, ds, id_col, max_dist, verify_mode, broadcast_threshold,
+        parts, corpus_count,
+    )
+
+
+def _banded_hamming_pairs(
+    rows: Dataset,
+    probe_ds: Dataset,
+    id_col: str,
+    max_dist: int,
+    verify_mode: str,
+    broadcast_threshold: int,
+    parts: int,
+    corpus_count: int | None,
+) -> Dataset:
+    """Shared tail of the Hamming near-dup families: banded rows
+    ``(id, band, bhash, sig)`` → candidate pairs → exact-popcount
+    verify (broadcast dict or two partitioned join hops)."""
     pairs = candidate_pairs(rows, id_col, num_partitions=parts)
     sig_rows = distinct(rows, [id_col, "sig"], num_partitions=parts)
-    if _pick_verify_mode(ds, verify_mode, broadcast_threshold, corpus_count) == "partitioned":
+    if _pick_verify_mode(probe_ds, verify_mode, broadcast_threshold, corpus_count) == "partitioned":
         # materialize: the sig table (one small row per doc) feeds BOTH
         # join hops and its lineage contains the SimHash map + a
         # shuffle — unmaterialized, each hop (plus the schema probe)

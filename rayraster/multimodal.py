@@ -427,3 +427,81 @@ class FrameSampleStage:
         out = out.append_column("frame_w", pa.array(fw, type=pa.int64()))
         out = out.append_column("frame_h", pa.array(fh, type=pa.int64()))
         return out.append_column("frame_mean", pa.array(fmean, type=pa.float64()))
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (image near-dup front end)
+# ---------------------------------------------------------------------------
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash: exact box-resize to 9×8, integer
+    grayscale (R+G+B channel sum per cell), bit = cell brighter than
+    its left neighbor.  Robust to uniform brightness/scale changes —
+    the standard perceptual-hash trade (vs byte hashing, which a
+    single re-encode defeats).  Deterministic pure numpy."""
+    small = resize_box(img, 9, 8).astype(np.int64).sum(axis=2)  # (8, 9)
+    bits = (small[:, 1:] > small[:, :-1]).reshape(-1)
+    return int(np.packbits(bits).view("<u8")[0])
+
+
+def ahash64(img: np.ndarray) -> int:
+    """64-bit average hash: exact box-resize to 8×8, integer
+    grayscale, bit = cell brighter than the 64-cell mean."""
+    small = resize_box(img, 8, 8).astype(np.int64).sum(axis=2)  # (8, 8)
+    bits = (small > (small.sum() // 64)).reshape(-1)
+    return int(np.packbits(bits).view("<u8")[0])
+
+
+class ImagePHashStage:
+    """binary payload → (id, phash) rows: decode (BMP/PPM pixel
+    kernels above) + perceptual hash, one row per DECODABLE payload
+    (non-images drop out — they have no perceptual identity).  The
+    actor-pool front end of image near-dup: feed the output to
+    :func:`rayraster.dedup.hamming_neardup_pairs`.  Decode/resize are
+    inherently per-payload (images differ in size); everything else is
+    vectorized."""
+
+    def __init__(self, bin_col: str = "payload", id_col: str = "doc_id",
+                 method: str = "dhash"):
+        if method not in ("dhash", "ahash"):
+            raise ValueError(f"method must be 'dhash' or 'ahash', got {method!r}")
+        self.bin_col = bin_col
+        self.id_col = id_col
+        self.fn = dhash64 if method == "dhash" else ahash64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        keep_ids, hashes = [], []
+        for i, p in zip(ids, batch[self.bin_col].to_pylist()):
+            px = decode_image_pixels(p)
+            if px is None:
+                continue
+            keep_ids.append(int(i))
+            hashes.append(np.int64(np.uint64(self.fn(px))))
+        return pa.table(
+            {self.id_col: pa.array(keep_ids, type=pa.int64()),
+             "phash": pa.array(hashes, type=pa.int64())}
+        )
+
+
+def synth_image(doc_id: int, perturb: bool = False) -> np.ndarray:
+    """Deterministic pseudo-random (H, W, 3) test image per id
+    (splitmix64-mixed pixels, dims 8–20 × 8–16 varying with the id);
+    ``perturb=True`` flips ONE low pixel bit — a near-duplicate every
+    perceptual hash must still match (planted ground truth for the
+    image near-dup gate) and byte hashing cannot."""
+    w = 8 + 4 * (doc_id % 4)
+    h = 8 + 2 * (doc_id % 5)
+    k = np.arange(h * w * 3, dtype=np.uint64)
+    v = (np.uint64(doc_id + 1) * np.uint64(0x9E3779B97F4A7C15)) ^ (
+        k * np.uint64(0xBF58476D1CE4E5B9)
+    )
+    v ^= v >> np.uint64(29)
+    v *= np.uint64(0x94D049BB133111EB)
+    v ^= v >> np.uint64(32)
+    px = (v % np.uint64(256)).astype(np.uint8).reshape(h, w, 3)
+    if perturb:
+        px = px.copy()
+        px[0, 0, 0] ^= 1
+    return px

@@ -4,6 +4,7 @@ Ray-side stage plumbing."""
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 
 import ray.data as rd
@@ -289,3 +290,87 @@ def test_decode_stage_histogram_scalars():
     assert out["hist_l2"].to_pylist()[0] == int((h.astype(np.int64) ** 2).sum())
     assert out["px_mode_bin"].to_pylist()[1] == -1
     assert out["hist_l2"].to_pylist()[1] == 0
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing + image near-dup
+# ---------------------------------------------------------------------------
+
+
+from rayraster.multimodal import synth_image as _rand_img  # noqa: E402
+
+
+def test_dhash_ahash_are_deterministic_and_brightness_tolerant():
+    from rayraster.multimodal import ahash64, dhash64
+
+    px = _rand_img(7)
+    assert dhash64(px) == dhash64(px.copy())
+    assert 0 <= dhash64(px) < 1 << 64 and 0 <= ahash64(px) < 1 << 64
+    # uniform brightness shift: dhash compares neighbors, so small
+    # uniform shifts move few bits (byte hashing would change ALL)
+    lifted = np.clip(px.astype(np.int64) + 8, 0, 255).astype(np.uint8)
+    d = bin(dhash64(px) ^ dhash64(lifted)).count("1")
+    assert d <= 8
+
+
+def test_phash_stage_drops_non_images(ray_session):
+    import ray.data as rd
+
+    from rayraster.multimodal import ImagePHashStage, encode_bmp
+
+    t = pa.table(
+        {"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+         "payload": pa.array(
+             [encode_bmp(_rand_img(1)), b"not an image", encode_bmp(_rand_img(3))],
+             type=pa.binary())}
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(ImagePHashStage(), batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert sorted(out.doc_id) == [1, 3]
+    with pytest.raises(ValueError, match="method"):
+        ImagePHashStage(method="md5")
+
+
+@pytest.mark.parametrize("verify_mode", ["broadcast", "partitioned"])
+def test_image_neardup_finds_planted_pairs_exactly(ray_session, verify_mode):
+    import ray.data as rd
+
+    from rayraster.dedup import hamming_neardup_pairs
+    from rayraster.multimodal import ImagePHashStage, encode_bmp
+
+    ids, payloads = [], []
+    for i in range(0, 120, 3):
+        ids += [i, i + 1_000_000]
+        payloads += [encode_bmp(_rand_img(i)), encode_bmp(_rand_img(i, True))]
+    t = pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "payload": pa.array(payloads, type=pa.binary())}
+    )
+    hashed = (
+        rd.from_arrow(t).repartition(4)
+        .map_batches(ImagePHashStage(), batch_format="pyarrow")
+        .materialize()
+    )
+    pairs = hamming_neardup_pairs(
+        hashed, max_dist=4, verify_mode=verify_mode, corpus_count=len(ids),
+    ).to_pandas().sort_values("a").reset_index(drop=True)
+    want = sorted(range(0, 120, 3))
+    assert list(pairs.a) == want
+    assert list(pairs.b) == [i + 1_000_000 for i in want]
+    assert (pairs.hamming <= 4).all()
+
+
+def test_hamming_neardup_validations(ray_session):
+    import ray.data as rd
+
+    from rayraster.dedup import hamming_neardup_pairs
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                                 "phash": pa.array([0], type=pa.int64())}))
+    with pytest.raises(ValueError, match="divide 64"):
+        hamming_neardup_pairs(ds, n_bands=7)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_neardup_pairs(ds, max_dist=8, n_bands=8)
