@@ -495,7 +495,14 @@ def _q_filtered_stats(sf_dir: str):
         cw = t["conv_wt"].to_numpy(zero_copy_only=False).astype(np.float64)
         return t.append_column("gauss", pa.array(cs / cw))
 
-    return lm.map_batches(add_gauss, batch_format="pyarrow")
+    # Horn hillshade over the Sobel gradient pair — trig-free
+    # fixed-order float expression, bit-exact vs hillshade_sql's twin
+    from rayraster.spatial import hillshade
+
+    return hillshade(
+        lm.map_batches(add_gauss, batch_format="pyarrow"),
+        gx_col="gx_sum", gy_col="gy_sum",
+    )
 
 
 def _r13_kernel() -> "np.ndarray":
@@ -610,9 +617,16 @@ SELECT px.*, gs.conv_sum, gs.conv_wt, gs.gx_sum, gs.gx_wt,
            - CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE))
           * (CAST(px.sum_n_chars AS DOUBLE)
              - CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE)))) AS BIGINT)
-         AS z2_q
+         AS z2_q,
+       {_hillshade_twin()} AS shade
 FROM px JOIN nb ON px.ix = nb.ix AND px.iy = nb.iy
         JOIN gs ON px.ix = gs.ix AND px.iy = gs.iy, g"""
+
+
+def _hillshade_twin() -> str:
+    from rayraster.spatial import hillshade_sql
+
+    return hillshade_sql("gs.gx_sum", "gs.gy_sum")
 
 
 def _q_spatial_knn(sf_dir: str):

@@ -1094,3 +1094,107 @@ def sobel_kernels_int() -> dict:
     gx = d[:, None] * (2 - np.abs(d[None, :]))
     gy = d[None, :] * (2 - np.abs(d[:, None]))
     return {"gx": gx.astype(np.int64), "gy": np.ascontiguousarray(gy, np.int64)}
+
+
+# ---------------------------------------------------------------------------
+# hillshade (Horn 1981 analytic shading over Sobel gradients)
+# ---------------------------------------------------------------------------
+
+
+def _hillshade_constants(azimuth_deg: float, altitude_deg: float):
+    import math
+
+    zen = math.radians(90.0 - altitude_deg)
+    az = math.radians(azimuth_deg)
+    return math.cos(zen), math.sin(zen), math.cos(az), math.sin(az)
+
+
+def hillshade(
+    ds: Dataset,
+    gx_col: str = "gx_sum",
+    gy_col: str = "gy_sum",
+    cellsize: float = 1.0,
+    z_factor: float = 1.0,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    out_col: str = "shade",
+) -> Dataset:
+    """Horn (1981) analytic hillshading from the int64 Sobel gradient
+    sums :func:`sobel_kernels_int` + :func:`focal_convolve` produce:
+    illumination = 255·(cos zenith·cos slope + sin zenith·sin slope·
+    cos(azimuth − aspect)), clamped at 0 — the classic DEM
+    visualization, map-only on the already-convolved pixel table.
+
+    Trig-free formulation (the oracle-parity trick): aspect and slope
+    never materialize as angles — ``cos/sin(aspect)`` come from the
+    normalized gradient vector and ``cos/sin(slope)`` from
+    ``1/sqrt(1+m²)``, so the whole shade is one fixed-order
+    ``+ − × ÷ sqrt`` expression over (gx, gy).  numpy and DuckDB share
+    libm for sqrt (bit-exact, unlike their atan/atan2) —
+    :func:`hillshade_sql` emits the identical expression, making the
+    column hash-exact under a SQL twin.  Flat cells (zero gradient)
+    shade to ``255·cos(zenith)`` (aspect undefined ⇒ no directional
+    term), per the convention GDAL uses."""
+    cz, sz, ca, sa = _hillshade_constants(azimuth_deg, altitude_deg)
+    c8 = 8.0 * cellsize
+    zf = float(z_factor)
+
+    def add_shade(t: pa.Table) -> pa.Table:
+        gx = t[gx_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        gy = t[gy_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        dx = gx / c8
+        dy = gy / c8
+        r = np.sqrt(dx * dx + dy * dy)
+        m = zf * r
+        denom = np.sqrt(1.0 + m * m)
+        flat = r == 0.0
+        rsafe = np.where(flat, 1.0, r)
+        shade = 255.0 * (
+            cz / denom
+            + (sz * (m / denom))
+            * (ca * ((0.0 - dx) / rsafe) + sa * (dy / rsafe))
+        )
+        shade = np.where(flat, 255.0 * cz, shade)
+        shade = np.maximum(shade, 0.0)
+        return t.append_column(out_col, pa.array(shade))
+
+    return ds.map_batches(add_shade, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _flit(x: float) -> str:
+    """Double literal DuckDB parses EXACTLY: plain decimals route
+    through DECIMAL (observed 1-ulp drift on e.g. 180.31222920256963);
+    an exponent forces the DOUBLE parser, which is correctly rounded."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
+def hillshade_sql(
+    gx_expr: str,
+    gy_expr: str,
+    cellsize: float = 1.0,
+    z_factor: float = 1.0,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+) -> str:
+    """The DuckDB twin of :func:`hillshade` — same constants (inlined
+    as e-notation double literals so DuckDB's DOUBLE parser, not its
+    DECIMAL route, reads them — see :func:`_flit`), same fixed
+    evaluation order, so the resulting column is bit-exact against the
+    engine's."""
+    cz, sz, ca, sa = _hillshade_constants(azimuth_deg, altitude_deg)
+    c8 = 8.0 * cellsize
+    zf = float(z_factor)
+    dx = f"(CAST({gx_expr} AS DOUBLE) / {_flit(c8)})"
+    dy = f"(CAST({gy_expr} AS DOUBLE) / {_flit(c8)})"
+    r = f"sqrt({dx} * {dx} + {dy} * {dy})"
+    m = f"({_flit(zf)} * {r})"
+    denom = f"sqrt(1.0 + {m} * {m})"
+    shade = (
+        f"(255.0 * ({_flit(cz)} / {denom} + ({_flit(sz)} * ({m} / {denom}))"
+        f" * ({_flit(ca)} * ((0.0 - {dx}) / {r}) + {_flit(sa)} * ({dy} / {r}))))"
+    )
+    return (
+        f"CASE WHEN {r} = 0.0 THEN {_flit(255.0 * cz)} "
+        f"ELSE greatest({shade}, 0.0) END"
+    )

@@ -586,3 +586,51 @@ def test_zonal_perimeter_single_cells_and_tile_invariance(ray_session):
 
     with pytest.raises(ValueError, match="connectivity"):
         zonal_perimeter(labeled, "val", connectivity=5)
+
+
+def test_hillshade_matches_trig_reference_and_flat_convention(ray_session):
+    import math
+
+    from rayraster.spatial import hillshade
+
+    rng = np.random.default_rng(41)
+    gx = rng.integers(-4000, 4000, 500).astype(np.int64)
+    gy = rng.integers(-4000, 4000, 500).astype(np.int64)
+    gx[:5] = 0
+    gy[:5] = 0  # flat cells
+    ds = rd.from_arrow(pa.table({"gx_sum": pa.array(gx), "gy_sum": pa.array(gy)}))
+    out = hillshade(ds, cellsize=2.0, z_factor=3.0, azimuth_deg=300.0,
+                    altitude_deg=40.0).to_pandas()
+    # straight-trig Horn reference
+    zen = math.radians(50.0)
+    az = math.radians(300.0)
+    dx = gx / 16.0
+    dy = gy / 16.0
+    slope = np.arctan(3.0 * np.hypot(dx, dy))
+    aspect = np.arctan2(dy, -dx)
+    ref = 255.0 * (np.cos(zen) * np.cos(slope)
+                   + np.sin(zen) * np.sin(slope) * np.cos(az - aspect))
+    ref = np.maximum(ref, 0.0)
+    ref[:5] = 255.0 * math.cos(zen)  # flat convention
+    assert np.allclose(out.shade.to_numpy(), ref, atol=1e-9)
+    assert (out.shade >= 0).all() and (out.shade <= 255.0 + 1e-9).all()
+
+
+def test_hillshade_sql_twin_is_bit_exact(ray_session):
+    import duckdb
+
+    from rayraster.spatial import hillshade, hillshade_sql
+
+    rng = np.random.default_rng(43)
+    gx = rng.integers(-100000, 100000, 4000).astype(np.int64)
+    gy = rng.integers(-100000, 100000, 4000).astype(np.int64)
+    gx[::97] = 0
+    gy[::97] = 0
+    t = pa.table({"gx_sum": pa.array(gx), "gy_sum": pa.array(gy)})
+    mine = hillshade(rd.from_arrow(t)).to_pandas().shade.to_numpy()
+    con = duckdb.connect()
+    con.register("g", t)
+    theirs = con.sql(
+        f"SELECT {hillshade_sql('gx_sum', 'gy_sum')} AS shade FROM g"
+    ).df().shade.to_numpy()
+    assert np.array_equal(mine.view(np.int64), theirs.view(np.int64))
