@@ -560,6 +560,32 @@ def cmd_plot(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Column profile of a parquet table (n / nulls / distinct /
+    min / max per column) — the first pass of any ingest audit."""
+    import ray.data as rd
+
+    from rayraster.agg import profile_table
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    cols = args.columns.split(",")
+    ds = rd.read_parquet(files, columns=cols)
+    prof = profile_table(ds, cols, distinct_mode=args.distinct)
+    print(json.dumps({
+        "input": args.input, "distinct_mode": args.distinct,
+        "profile": {
+            r["column"]: {k: r[k] for k in
+                          ("n", "nulls", "n_distinct", "min_v", "max_v")}
+            for r in prof.to_pylist()
+        },
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rayraster")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -687,6 +713,12 @@ def main(argv=None) -> int:
     s2.add_argument("--geocode", choices=["id", "url", "none"], default="id")
     s2.add_argument("--id-col", default="doc_id")
     s2.set_defaults(fn=cmd_s2)
+
+    pf = sub.add_parser("profile", help="column profile (n/nulls/distinct/min/max)")
+    pf.add_argument("--input", required=True)
+    pf.add_argument("--columns", required=True, help="comma-separated column list")
+    pf.add_argument("--distinct", default="exact", choices=["exact", "approx", "none"])
+    pf.set_defaults(fn=cmd_profile)
 
     g = sub.add_parser("plot", help="render a pixel table to PNG")
     g.add_argument("--pixels", required=True)

@@ -583,3 +583,28 @@ def test_cli_s2(tmp_path):
     g = got[["s2_id", "sum_n_chars", "num_cell"]].sort_values("s2_id").reset_index(drop=True)
     w = want.astype({"num_cell": "int64"}).sort_values("s2_id").reset_index(drop=True)
     assert g.equals(w[["s2_id", "sum_n_chars", "num_cell"]])
+
+
+def test_cli_profile(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {"doc_id": pa.array(list(range(300)), type=pa.int64()),
+         "lang": pa.array((["en", "fr", None] * 100), type=pa.string())}
+    )
+    pq.write_table(t, str(tmp_path / "d.parquet"))
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "profile", "--input", str(tmp_path / "d.parquet"),
+         "--columns", "doc_id,lang"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])["profile"]
+    assert out["doc_id"] == {"n": 300, "nulls": 0, "n_distinct": 300,
+                             "min_v": "0", "max_v": "299"}
+    assert out["lang"] == {"n": 300, "nulls": 100, "n_distinct": 2,
+                           "min_v": "en", "max_v": "fr"}
