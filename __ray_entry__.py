@@ -3338,17 +3338,47 @@ FROM rolled GROUP BY 1, 2"""
 
 def _q_grouped_quantiles(sf_dir: str):
     """Per-group exact order statistics (hash-partitioned, one
-    vectorized sorted pass per partition, never a task per group)."""
-    from rayraster.agg import grouped_quantiles
+    vectorized sorted pass per partition, never a task per group).
+
+    Second arm under the same gate (the t7 pattern, grouped): one-pass
+    per-group q-digests (`sketch.build_qdigest_grouped` — one blob
+    shuffle bounded by groups×k, never a row shuffle) estimate the
+    same quantiles; each estimate's exact per-group rank interval
+    (`agg.rank_interval_grouped`, one map-only pass for ALL groups ×
+    ranks) must land within the digest's deterministic err_bound —
+    `qd_ok` is a theorem on every merge schedule."""
+    from rayraster.agg import grouped_quantiles, rank_interval_grouped
+    from rayraster.sketch import build_qdigest_grouped
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
-    return grouped_quantiles(ev, ["event_type"], "value", list(_QUANTILE_QS))
+    exact = grouped_quantiles(
+        ev, ["event_type"], "value", list(_QUANTILE_QS)
+    ).to_pandas()  # post-aggregation: groups × ranks rows
+    qds = build_qdigest_grouped(ev, "event_type", "value", k=4096)
+    ests = {g: d.quantiles(list(_QUANTILE_QS)) for g, d in qds.items()}
+    lo, hi = rank_interval_grouped(ev, "event_type", "value", ests)
+    qs = np.array(_QUANTILE_QS)
+    ok = {}
+    for g, d in qds.items():
+        targets = np.maximum(1, np.ceil(qs * d.n)).astype(np.int64)
+        eb = d.err_bound()
+        ok[g] = (lo[g] - eb <= targets) & (targets <= hi[g] + eb)
+    qd_ok = [
+        bool(ok[g][list(_QUANTILE_QS).index(q)])
+        for g, q in zip(exact.event_type, exact.q)
+    ]
+    return pa.table(
+        {"event_type": pa.array(exact.event_type, type=pa.string()),
+         "q": pa.array(exact.q, type=pa.float64()),
+         "value": pa.array(exact.value, type=pa.float64()),
+         "qd_ok": pa.array(qd_ok, type=pa.bool_())}
+    )
 
 
 def _sql_grouped_quantiles() -> str:
     return "\nUNION ALL\n".join(
-        f"SELECT event_type, {q!r} AS q, quantile_disc(value, {q!r}) AS value "
-        "FROM events GROUP BY event_type"
+        f"SELECT event_type, {q!r} AS q, quantile_disc(value, {q!r}) AS value, "
+        "TRUE AS qd_ok FROM events GROUP BY event_type"
         for q in _QUANTILE_QS
     )
 

@@ -1139,3 +1139,60 @@ def profile_table(
          "max_v": pa.array([_s(acc[f"max_{c}"]) for c in columns],
                            type=pa.string())}
     )
+
+
+def rank_interval_grouped(
+    ds: Dataset, group_col: str, col: str, thresholds: dict,
+    batch_size: int = 262144,
+) -> tuple[dict, dict]:
+    """Per-group :func:`rank_interval`: for each group key in
+    ``thresholds`` (→ array of values), exact ``(#< v, #<= v)`` within
+    that group — still ONE map-only pass (per-batch sorted-segment
+    ``searchsorted`` per present group, fixed-width blob rows summed
+    on the driver).  Returns ``({group: lo}, {group: hi})``."""
+    import pyarrow.compute as pc
+
+    keys = sorted(thresholds)
+    kidx = {key: i for i, key in enumerate(keys)}
+    vlists = [np.asarray(thresholds[key], np.float64) for key in keys]
+    offs = np.concatenate([[0], np.cumsum([len(v) for v in vlists])])
+    total = int(offs[-1])
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        t = pa.table({group_col: t[group_col], col: t[col]})
+        t = t.drop_null().combine_chunks()
+        row = np.zeros(2 * total, np.int64)
+        if t.num_rows:
+            t = t.sort_by([(group_col, "ascending"), (col, "ascending")])
+            g = t[group_col]
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            eq = pc.equal(g.slice(1), g.slice(0, len(g) - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            starts = np.concatenate([[0], np.nonzero(~eq)[0] + 1])
+            ends = np.append(starts[1:], len(g))
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                key = g[s].as_py()
+                i = kidx.get(key)
+                if i is None:
+                    continue
+                x = v[s:e]
+                x = x[~np.isnan(x)]
+                lo = np.searchsorted(x, vlists[i], side="left")
+                hi = np.searchsorted(x, vlists[i], side="right")
+                row[offs[i]:offs[i + 1]] += lo
+                row[total + offs[i]:total + offs[i + 1]] += hi
+        return pa.table({"blob": pa.array([row.tobytes()], type=pa.binary())})
+
+    acc = np.zeros(2 * total, np.int64)
+    counted = ds.map_batches(
+        count_batch, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    for t in counted.iter_batches(batch_format="pyarrow", batch_size=4096):
+        for blob in t["blob"].to_pylist():
+            acc += np.frombuffer(blob, np.int64)
+    lo = {key: acc[offs[i]:offs[i + 1]].copy() for i, key in enumerate(keys)}
+    hi = {key: acc[total + offs[i]:total + offs[i + 1]].copy()
+          for i, key in enumerate(keys)}
+    return lo, hi

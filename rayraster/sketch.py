@@ -916,3 +916,86 @@ def build_qdigest(ds: Dataset, col: str, k: int = 4096,
         for blob in t["blob"].to_pylist():
             out.merge(QDigest.from_bytes(blob, k))
     return out
+
+
+def build_qdigest_grouped(
+    ds: Dataset, group_col: str, col: str, k: int = 4096,
+    num_partitions: int = 32,
+) -> dict:
+    """Per-group q-digests in ONE streaming pass + one tiny blob
+    shuffle: per batch, one digest per group PRESENT in the batch
+    (sorted-segment build, no per-row Python); the partial blobs are
+    hash-partitioned by group and merged per group inside each
+    partition (`groupby(_part).map_groups`), so the driver receives
+    exactly ONE blob per group — the grouped companion of
+    :func:`build_qdigest` (grouped EXACT quantiles pay a full row
+    shuffle; this pays a ``groups × k``-bounded one).  Returns
+    ``{group: QDigest}``; the per-group rank guarantee is QDigest's.
+    NULL values are skipped; NULL groups are skipped (SQL GROUP BY
+    semantics would give them their own group — pre-fill if wanted)."""
+    import pyarrow.compute as pc
+
+    from rayraster.agg import _part_of
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        t = pa.table({group_col: t[group_col], col: t[col]})
+        t = t.drop_null().combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], type=t[group_col].type),
+                             "blob": pa.array([], type=pa.binary())})
+        t = t.sort_by([(group_col, "ascending")])
+        g = t[group_col]
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # segment boundaries over the sorted group column (C++ compare)
+        eq = pc.equal(g.slice(1), g.slice(0, len(g) - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate([[0], np.nonzero(~eq)[0] + 1])
+        ends = np.append(starts[1:], len(g))
+        groups, blobs = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            vv = v[s:e]
+            vv = vv[~np.isnan(vv)]
+            if len(vv) == 0:
+                continue
+            groups.append(g[s].as_py())
+            blobs.append(QDigest(k).add_values(vv).to_bytes())
+        return pa.table({group_col: pa.array(groups, type=g.type),
+                         "blob": pa.array(blobs, type=pa.binary())})
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_part", pa.array(_part_of(t, [group_col], num_partitions))
+        )
+
+    def merge_groups(part: pa.Table) -> pa.Table:
+        part = part.sort_by([(group_col, "ascending")])
+        g = part[group_col].combine_chunks()
+        groups, blobs = [], []
+        cur, acc = None, None
+        for i in range(part.num_rows):
+            key = g[i].as_py()
+            if key != cur:
+                if acc is not None:
+                    groups.append(cur)
+                    blobs.append(acc.to_bytes())
+                cur, acc = key, QDigest(k)
+            acc.merge(QDigest.from_bytes(part["blob"][i].as_py(), k))
+        if acc is not None:
+            groups.append(cur)
+            blobs.append(acc.to_bytes())
+        return pa.table({group_col: pa.array(groups, type=g.type),
+                         "blob": pa.array(blobs, type=pa.binary())})
+
+    folded = (
+        ds.map_batches(sketch_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(merge_groups, batch_format="pyarrow")
+    )
+    out: dict = {}
+    for t in folded.iter_batches(batch_format="pyarrow", batch_size=1024):
+        for key, blob in zip(t[group_col].to_pylist(), t["blob"].to_pylist()):
+            d = QDigest.from_bytes(blob, k)
+            out[key] = d if key not in out else out[key].merge(d)
+    return out

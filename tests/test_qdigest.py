@@ -139,3 +139,47 @@ def test_build_qdigest_over_dataset_matches_bound(ray_session):
     sv = np.sort(v)
     assert np.array_equal(lo, np.searchsorted(sv, ests, side="left"))
     assert np.array_equal(hi, np.searchsorted(sv, ests, side="right"))
+
+
+def test_build_qdigest_grouped_bounds_per_group(ray_session):
+    import ray.data as rd
+
+    from rayraster.agg import rank_interval_grouped
+    from rayraster.sketch import build_qdigest_grouped
+
+    rng = np.random.default_rng(23)
+    n = 60_000
+    groups = rng.choice(["a", "b", "c"], n, p=[0.6, 0.3, 0.1])
+    vals = np.where(groups == "a", rng.normal(0, 10, n),
+                    np.where(groups == "b", rng.zipf(1.6, n).astype(float),
+                             rng.random(n) * 1e6))
+    t = pa.table({"g": pa.array(groups.tolist()), "v": pa.array(vals)})
+    ds = rd.from_arrow(t).repartition(8)
+    qds = build_qdigest_grouped(ds, "g", "v", k=1024)
+    assert set(qds) == {"a", "b", "c"}
+    ests = {g: d.quantiles(QS) for g, d in qds.items()}
+    lo, hi = rank_interval_grouped(ds, "g", "v", ests)
+    for g, d in qds.items():
+        gv = np.sort(vals[groups == g])
+        assert d.n == len(gv)
+        eb = d.err_bound()
+        # rank_interval_grouped must agree with local searchsorted
+        assert np.array_equal(lo[g], np.searchsorted(gv, ests[g], side="left"))
+        assert np.array_equal(hi[g], np.searchsorted(gv, ests[g], side="right"))
+        for i, q in enumerate(QS):
+            tgt = max(1, int(np.ceil(q * len(gv))))
+            assert lo[g][i] - eb <= tgt <= hi[g][i] + eb, (g, q)
+
+
+def test_build_qdigest_grouped_skips_nulls(ray_session):
+    import ray.data as rd
+
+    from rayraster.sketch import build_qdigest_grouped
+
+    t = pa.table(
+        {"g": pa.array(["a", "a", None, "b"], type=pa.string()),
+         "v": pa.array([1.0, None, 3.0, 4.0], type=pa.float64())}
+    )
+    qds = build_qdigest_grouped(rd.from_arrow(t), "g", "v", k=64)
+    assert set(qds) == {"a", "b"}
+    assert qds["a"].n == 1 and qds["b"].n == 1
