@@ -300,7 +300,18 @@ def exact_quantiles(
         w = hi - lo
         if w <= 0:
             return np.zeros(len(v), dtype=np.int64)
-        return np.clip(((v - lo) * (num_bins / w)).astype(np.int64), 0, num_bins - 1)
+        if not np.isfinite(w):
+            # |lo| + |hi| overflows double (±~1e308 extremes): one
+            # midpoint split still halves the interval every round
+            mid = lo / 2.0 + hi / 2.0
+            return np.where(v >= mid, num_bins - 1, 0).astype(np.int64)
+        # divide BEFORE scaling: (v-lo)/w is always finite in [0, 1],
+        # whereas num_bins/w overflows to inf for subnormal widths
+        # (found by hypothesis: {-2.2e-309, 0.0, 1.2e-38} corpora made
+        # 0·inf = NaN bins and the refinement never converged)
+        return np.clip(
+            ((v - lo) / w * num_bins).astype(np.int64), 0, num_bins - 1
+        )
 
     def _mask_for(v: np.ndarray, path) -> np.ndarray:
         # membership via the SAME bin function that counted the rows —

@@ -758,3 +758,118 @@ def ivf_topk(
         zero_copy_batch=True,
     )
     return _final_topk(_collect_candidates(cand, id_col, k=k), k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# PCA / whitening (embedding post-processing)
+# ---------------------------------------------------------------------------
+
+
+def embedding_pca(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    d_out: int | None = None,
+    batch_size: int = 65536,
+    fold_batch: int = 64,
+):
+    """Distributed PCA over an embedding column — the standard vector
+    post-processing step (decorrelate / whiten / reduce before ANN or
+    near-dup; e.g. the whitening in "Whitening Sentence Representations"
+    and IVF-PQ preprocessing).
+
+    Shape at 10^12 rows: the covariance is assembled from ONE map-only
+    streaming pass — each batch emits a fixed-size blob (n, Σx, XᵀX:
+    d² + d + 1 doubles, ~2 MB at d=512), an add-fold stage collapses
+    ``fold_batch`` blobs, the driver sums the handful and runs the d×d
+    ``eigh`` locally (d is model width, never corpus-sized).  No
+    shuffle, no row materialization.  Float sums are schedule-dependent
+    at the ulp level (documented — this is a numeric operator, not a
+    hash-exact one; tests pin to numpy within tolerance).
+
+    Returns ``(components, mean, explained_var)``: rows of
+    ``components`` are the top ``d_out`` eigenvectors (descending
+    eigenvalue; sign fixed so each row's largest-|entry| is positive —
+    deterministic given the covariance), ``explained_var`` the
+    matching eigenvalues (sample covariance, ddof=1)."""
+
+    def gram_batch(t: pa.Table) -> pa.Table:
+        X = list_col_to_matrix(t[vec_col]).astype(np.float64)
+        blob = np.concatenate(
+            [[float(len(X))], X.sum(axis=0), (X.T @ X).reshape(-1)]
+        )
+        return pa.table({"blob": pa.array([blob.tobytes()], type=pa.binary())})
+
+    def add_fold(t: pa.Table) -> pa.Table:
+        acc = None
+        for b in t["blob"].to_pylist():
+            v = np.frombuffer(b, np.float64)
+            acc = v.copy() if acc is None else acc + v
+        return pa.table({"blob": pa.array([acc.tobytes()], type=pa.binary())})
+
+    folded = ds.map_batches(
+        gram_batch, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).map_batches(
+        add_fold, batch_format="pyarrow", batch_size=fold_batch,
+        zero_copy_batch=True,
+    )
+    acc = None
+    for t in folded.iter_batches(batch_format="pyarrow", batch_size=fold_batch):
+        for b in t["blob"].to_pylist():
+            v = np.frombuffer(b, np.float64)
+            acc = v.copy() if acc is None else acc + v
+    if acc is None:
+        raise ValueError("embedding_pca: empty dataset")
+    n = acc[0]
+    if n < 2:
+        raise ValueError("embedding_pca needs at least 2 rows")
+    d = int(round((-1 + np.sqrt(1 + 4 * (len(acc) - 1))) / 2))
+    s = acc[1:1 + d]
+    G = acc[1 + d:].reshape(d, d)
+    mean = s / n
+    cov = (G - np.outer(s, mean)) / (n - 1.0)
+    cov = (cov + cov.T) / 2.0  # symmetrize fp drift before eigh
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    w, V = w[order], V[:, order]
+    k = d if d_out is None else min(d_out, d)
+    comps = V[:, :k].T.copy()
+    # deterministic sign: the largest-|entry| of each component is +
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, mean, np.maximum(w[:k], 0.0)
+
+
+class PCATransformStage:
+    """Project (and optionally whiten) an embedding column with the
+    components from :func:`embedding_pca`: ``y = C(x − μ)[ / √λ]`` —
+    a stateless vectorized batch map (one matmul per batch); the
+    components/mean ship once per task as captured arrays (a few KB —
+    use ``ray.put`` handles for very wide models)."""
+
+    def __init__(self, components: np.ndarray, mean: np.ndarray,
+                 explained_var: np.ndarray | None = None,
+                 vec_col: str = "embedding", out_col: str = "embedding_pca",
+                 whiten: bool = False, eps: float = 1e-12):
+        self.C = np.asarray(components, np.float64)
+        self.mu = np.asarray(mean, np.float64)
+        self.vec_col = vec_col
+        self.out_col = out_col
+        if whiten:
+            if explained_var is None:
+                raise ValueError("whiten=True needs explained_var")
+            self.scale = 1.0 / np.sqrt(np.asarray(explained_var, np.float64) + eps)
+        else:
+            self.scale = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = list_col_to_matrix(batch[self.vec_col]).astype(np.float64)
+        Y = (X - self.mu) @ self.C.T
+        if self.scale is not None:
+            Y = Y * self.scale
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(Y.reshape(-1), type=pa.float64()), Y.shape[1]
+        )
+        return batch.append_column(self.out_col, arr)

@@ -8,7 +8,7 @@ the reference's testthat suite asserts structure on one fixture
 import math
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from rayraster.dedup import char_shingle_hashes, jaccard, minhash_signature
 from rayraster.geo import fnv1a64, geocode_id
@@ -143,6 +143,13 @@ def test_jaccard_bounds_and_symmetry(a, b):
     st.floats(0.01, 0.99),
 )
 @settings(max_examples=25, deadline=None)
+@example(
+    # regression: subnormal-width refinement interval — num_bins/w
+    # overflowed to inf and the bin map degenerated (0*inf = NaN)
+    vals=[-2.225073858507203e-309, 1.1754943508222875e-38] + [0.0] * 27,
+    q=0.5,
+)
+@example(vals=[-1e6, 1e6], q=0.5)
 def test_exact_quantiles_property(vals, q):
     """exact_quantiles == the k-th smallest element (quantile_disc rank
     rule) for arbitrary float corpora, including duplicates and

@@ -999,3 +999,73 @@ def test_floor_q_log_matches_libm():
     got = _floor_q_log(r)
     want = np.array([math.floor(_LM_Q * math.log(v)) for v in r])
     assert np.array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# PCA / whitening
+# ---------------------------------------------------------------------------
+
+
+def _pca_fixture(n=4000, d=16, seed=7):
+    rng = np.random.default_rng(seed)
+    # anisotropic: a few dominant directions + noise floor
+    basis = np.linalg.qr(rng.normal(size=(d, d)))[0]
+    scales = np.concatenate([[10.0, 6.0, 3.0], np.full(d - 3, 0.3)])
+    X = rng.normal(size=(n, d)) * scales @ basis.T + rng.normal(2.0, 0.1, d)
+    return X
+
+
+def test_embedding_pca_matches_numpy_reference(ray_session):
+    from rayraster.similarity import embedding_pca
+
+    X = _pca_fixture()
+    t = pa.table({"embedding": pa.array(
+        [row for row in X.astype(np.float32)], type=pa.list_(pa.float32())
+    )})
+    ds = rd.from_arrow(t).repartition(8)
+    comps, mean, ev = embedding_pca(ds, d_out=4)
+    Xf = X.astype(np.float32).astype(np.float64)  # the stored precision
+    assert np.allclose(mean, Xf.mean(axis=0), atol=1e-8)
+    cov = np.cov(Xf, rowvar=False)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    w, V = w[order], V[:, order]
+    assert np.allclose(ev, w[:4], rtol=1e-8)
+    for i in range(4):
+        ref = V[:, i]
+        j = int(np.argmax(np.abs(comps[i])))
+        if ref[j] < 0:
+            ref = -ref
+        assert np.allclose(comps[i], ref, atol=1e-6), i
+    # orthonormal rows
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-10)
+
+
+def test_pca_transform_stage_projects_and_whitens(ray_session):
+    from rayraster.similarity import PCATransformStage, embedding_pca
+
+    X = _pca_fixture(n=3000)
+    t = pa.table({"embedding": pa.array(
+        [row for row in X.astype(np.float32)], type=pa.list_(pa.float32())
+    )})
+    ds = rd.from_arrow(t).repartition(4)
+    comps, mean, ev = embedding_pca(ds, d_out=3)
+    out = ds.map_batches(
+        PCATransformStage(comps, mean, ev, whiten=True),
+        batch_format="pyarrow",
+    ).to_pandas()
+    Y = np.stack(out.embedding_pca.to_numpy())
+    assert Y.shape == (3000, 3)
+    # whitened: unit variance per component, near-zero mean
+    assert np.allclose(Y.mean(axis=0), 0.0, atol=1e-6)
+    assert np.allclose(Y.var(axis=0, ddof=1), 1.0, atol=1e-3)
+    with pytest.raises(ValueError, match="whiten"):
+        PCATransformStage(comps, mean, whiten=True)
+
+
+def test_embedding_pca_validations(ray_session):
+    from rayraster.similarity import embedding_pca
+
+    one = pa.table({"embedding": pa.array([[1.0, 2.0]], type=pa.list_(pa.float64()))})
+    with pytest.raises(ValueError, match="at least 2"):
+        embedding_pca(rd.from_arrow(one))
