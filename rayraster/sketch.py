@@ -877,7 +877,7 @@ class QDigest:
 
 
 def build_qdigest(ds: Dataset, col: str, k: int = 4096,
-                  fold_batch: int = 32) -> QDigest:
+                  fold_batch: int = 32, batch_size: int = 131072) -> QDigest:
     """Distributed q-digest build over ``ds[col]`` — every quantile of
     a 10^12-row column from ONE streaming pass with O(k·log U) state
     per node and NO shuffle, mergeable across partitions/snapshots
@@ -906,7 +906,8 @@ def build_qdigest(ds: Dataset, col: str, k: int = 4096,
         return pa.table({"blob": pa.array([acc.to_bytes()], type=pa.binary())})
 
     folded = ds.map_batches(
-        sketch_batch, batch_format="pyarrow", zero_copy_batch=True
+        sketch_batch, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
     ).map_batches(
         add_fold, batch_format="pyarrow", batch_size=fold_batch,
         zero_copy_batch=True,
@@ -920,7 +921,7 @@ def build_qdigest(ds: Dataset, col: str, k: int = 4096,
 
 def build_qdigest_grouped(
     ds: Dataset, group_col: str, col: str, k: int = 4096,
-    num_partitions: int = 32,
+    num_partitions: int = 32, batch_size: int = 131072,
 ) -> dict:
     """Per-group q-digests in ONE streaming pass + one tiny blob
     shuffle: per batch, one digest per group PRESENT in the batch
@@ -988,7 +989,8 @@ def build_qdigest_grouped(
                          "blob": pa.array(blobs, type=pa.binary())})
 
     folded = (
-        ds.map_batches(sketch_batch, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(sketch_batch, batch_format="pyarrow",
+                       batch_size=batch_size, zero_copy_batch=True)
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(merge_groups, batch_format="pyarrow")
