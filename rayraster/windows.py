@@ -445,3 +445,52 @@ def rolling_time_aggregate(
 
     fanned = ds.map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True)
     return fanned.groupby("_bkt").map_groups(solve, batch_format="pyarrow")
+
+
+def grouped_ewma(
+    ds: Dataset,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+    adjust: bool = True,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key exponentially weighted moving average ordered by
+    ``order_col`` — the classic streaming smoother (metrics decay,
+    trend baselines, anomaly scores):
+
+        adjust=True :  y_i = Σ_j (1−α)^(i−j)·x_j / Σ_j (1−α)^(i−j)
+        adjust=False:  y_i = (1−α)·y_{i−1} + α·x_i   (y_0 = x_0)
+
+    Same distribution shape as :func:`lag_columns`: ONE hash-partition
+    shuffle on the key, then pandas' C ``groupby(...).ewm(...)`` per
+    partition — pandas IS the kernel here (the recursion has no stable
+    closed-form vectorization: rescaling by (1−α)^(−j) overflows past
+    a few hundred rows), which is this repo's accepted map_groups
+    pattern (`merge_asof`, `pivot_table`).  Per-partition work is
+    bounded by the hash partitioning; never a task per key, no state
+    on the driver.  NULL values propagate pandas-ewm semantics
+    (skipped in the weighting; output NULL until the first value)."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.abs(keys * np.int64(1000003)) % np.int64(num_partitions)
+        return batch.append_column("_part", pa.array(part))
+
+    def solve(part: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        pdf = part.drop_columns(["_part"]).to_pandas()
+        pdf = pdf.sort_values([key_col, order_col], kind="mergesort")
+        pdf[out_col] = (
+            pdf.groupby(key_col, sort=False)[value_col]
+            .transform(lambda s: s.ewm(alpha=alpha, adjust=adjust).mean())
+        )
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return parted.groupby("_part").map_groups(solve, batch_format="pyarrow")

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 import ray.data as rd
@@ -526,3 +527,44 @@ def test_global_rank_coarse_buckets(ray_session):
     ).to_pandas().sort_values("uid").reset_index(drop=True)
     assert fine["rank"].tolist() == coarse["rank"].tolist()
     assert sorted(fine["rank"].tolist()) == list(range(1, n + 1))
+
+
+def test_grouped_ewma_matches_pandas(ray_session):
+    from rayraster.windows import grouped_ewma
+
+    rng = np.random.default_rng(19)
+    n = 20_000
+    keys = rng.integers(0, 37, n)
+    ts = rng.permutation(n).astype(np.int64)
+    vals = rng.normal(0, 5, n)
+    vals[rng.random(n) < 0.02] = np.nan
+    t = pa.table({"k": pa.array(keys, type=pa.int64()),
+                  "ts": pa.array(ts), "v": pa.array(vals)})
+    for adjust in (True, False):
+        got = (
+            grouped_ewma(rd.from_arrow(t).repartition(8), "k", "ts", "v",
+                         alpha=0.3, adjust=adjust, num_partitions=8)
+            .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+        )
+        want = (
+            t.to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+        )
+        want["ewma"] = want.groupby("k")["v"].transform(
+            lambda s: s.ewm(alpha=0.3, adjust=adjust).mean()
+        )
+        assert np.allclose(got.ewma.to_numpy(), want.ewma.to_numpy(),
+                           equal_nan=True)
+
+
+def test_grouped_ewma_validation_and_alpha_one(ray_session):
+    from rayraster.windows import grouped_ewma
+
+    t = pa.table({"k": pa.array([1, 1, 1], type=pa.int64()),
+                  "ts": pa.array([1, 2, 3], type=pa.int64()),
+                  "v": pa.array([1.0, 2.0, 3.0])})
+    with pytest.raises(ValueError, match="alpha"):
+        grouped_ewma(rd.from_arrow(t), "k", "ts", "v", alpha=0.0)
+    # alpha=1: ewma == the value itself
+    out = (grouped_ewma(rd.from_arrow(t), "k", "ts", "v", alpha=1.0)
+           .to_pandas().sort_values("ts"))
+    assert np.allclose(out.ewma, [1.0, 2.0, 3.0])
