@@ -4,7 +4,7 @@ Composes the engine's operator families the way a 100-TB preprocessing
 job would, all streaming Ray Data:
 
   synth pages → extract (byte-invariant) → text features →
-  canonical-url ids (lowercased host, sorted params — the crawl dedup
+  column profile (map-only ingest audit) → canonical-url ids (lowercased host, sorted params — the crawl dedup
   key) → data-driven quality gate (exact distributed 25th percentile
   — no magic constant, no shuffle) → exact dedup → cross-snapshot
   filter (Bloom prefilter + exact anti-join finish on the hits only)
@@ -106,6 +106,18 @@ def main(rows: int = 100_000, out_dir: str | None = None, num_cpus: int | None =
         return t.append_column("doc_id", pa.array(ids))
 
     docs = docs.map_batches(add_id, batch_format="pyarrow").materialize()
+
+    # ingest audit: the profile every real pipeline runs first — one
+    # map-only pass over all columns (+ approx-HLL distinct, no
+    # shuffle); catches schema drift/null storms before any compute
+    from rayraster.agg import profile_table
+
+    prof = profile_table(docs, ["doc_id", "url", "quality"],
+                         distinct_mode="approx")
+    summary["profile"] = {
+        r["column"]: {k: r[k] for k in ("n", "nulls", "n_distinct")}
+        for r in prof.to_pylist()
+    }
 
     # data-driven gate: drop the bottom quality quartile — the exact
     # distributed 25th percentile (histogram refinement, map-only
