@@ -873,3 +873,191 @@ class PCATransformStage:
             pa.array(Y.reshape(-1), type=pa.float64()), Y.shape[1]
         )
         return batch.append_column(self.out_col, arr)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (compressed ANN — the memory-bound scale path)
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_centroids: int = 256,
+    sample_size: int = 65536,
+    iters: int = 8,
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al. 2011): split
+    the (unit-normalized) vector into ``m`` contiguous subspaces, run
+    Lloyd k-means with L2 per subspace on a bounded deterministic
+    sample (same sampling contract as :func:`kmeans_centroids`).
+    Returns ``(m, n_centroids, dim/m)`` float64 codebooks.
+
+    Why PQ at 10^12 vectors: a 256-d float32 corpus is 1 KB/vector;
+    ``m=8`` codes are 8 BYTES/vector (128×), so the scan side of ANN
+    becomes memory-bandwidth-cheap table lookups (ADC) instead of
+    matmuls over raw vectors — compose with the IVF layout for the
+    classic IVF-PQ."""
+    if n_centroids > 256:
+        raise ValueError("n_centroids must fit a uint8 code (<= 256)")
+    sample = np.stack(
+        [r[vec_col] for r in ds.limit(sample_size).take_all()]
+    ).astype(np.float64)
+    X = _normalize(sample)
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, n_centroids, dsub))
+    for s in range(m):
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        # deterministic init: first n_centroids DISTINCT subvectors
+        # (repeated subvectors would pin duplicate centroids)
+        _, first = np.unique(Xs.round(12), axis=0, return_index=True)
+        init = Xs[np.sort(first)[:n_centroids]]
+        C = np.concatenate(
+            [init, Xs[: n_centroids - len(init)]]
+        ) if len(init) < n_centroids else init
+        C = C.copy()
+        for _ in range(iters):
+            d2 = (
+                (Xs * Xs).sum(1)[:, None]
+                - 2.0 * (Xs @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            for j in range(len(C)):
+                mask = assign == j
+                if mask.any():
+                    C[j] = Xs[mask].mean(axis=0)
+        books[s, : len(C)] = C
+        if len(C) < n_centroids:
+            books[s, len(C):] = C[0]  # degenerate tail never wins argmin ties
+    return books
+
+
+class PQEncodeStage:
+    """map_batches stage: vector → ``m``-byte PQ code (nearest codebook
+    entry per subspace, vectorized argmin per batch).  Codebooks ship
+    once per task via the captured ``ray.put`` handle."""
+
+    def __init__(self, books_ref, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        self._ref = books_ref
+        self.books = None
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.books is None:
+            self.books = (ray.get(self._ref)
+                          if isinstance(self._ref, ray.ObjectRef) else self._ref)
+        B = self.books
+        m, nc, dsub = B.shape
+        X = _normalize(list_col_to_matrix(batch[self.vec_col]).astype(np.float64))
+        codes = np.empty((len(X), m), np.uint8)
+        for s in range(m):
+            Xs = X[:, s * dsub:(s + 1) * dsub]
+            C = B[s]
+            d2 = (
+                (Xs * Xs).sum(1)[:, None]
+                - 2.0 * (Xs @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+        arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(m), len(X), [None, pa.py_buffer(codes.tobytes())]
+        )
+        return pa.table(
+            {self.id_col: batch[self.id_col], "pq_code": arr}
+        )
+
+
+def pq_encode(ds: Dataset, books: np.ndarray, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> Dataset:
+    """Encode a vector column to ``m``-byte PQ codes (streaming; the
+    output Dataset carries only (id, pq_code))."""
+    return ds.map_batches(
+        PQEncodeStage(ray.put(books), vec_col, id_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def pq_search(
+    codes: Dataset,
+    books: np.ndarray,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, one
+    (m × 256) table of exact subspace distances to every codebook
+    entry; each code row's approximate L2² is ``Σ_s T[s, code_s]`` —
+    table GATHERS per batch, no per-row matmul, the raw vectors never
+    load.  Per-batch partial top-k folds exactly like
+    :func:`brute_topk` (distance ascending, id-ascending tie-break).
+    On unit vectors L2² = 2 − 2·cos, so ranking matches the cosine
+    family's contract."""
+    m, nc, dsub = books.shape
+    Q = _normalize(np.asarray(query_mat, np.float64))
+    qids = np.asarray(query_ids)
+    # tables[q, s, c] = ||Q[q, s·dsub:(s+1)·dsub] − books[s, c]||²
+    T = np.empty((len(Q), m, nc))
+    for s in range(m):
+        Qs = Q[:, s * dsub:(s + 1) * dsub]
+        C = books[s]
+        T[:, s, :] = (
+            (Qs * Qs).sum(1)[:, None]
+            - 2.0 * (Qs @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
+    tref = ray.put({"T": T, "qids": qids})
+
+    def score(batch: pa.Table) -> pa.Table:
+        obj = ray.get(tref) if isinstance(tref, ray.ObjectRef) else tref
+        TT, qq = obj["T"], obj["qids"]
+        col = batch["pq_code"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        buf = np.frombuffer(
+            col.buffers()[1], np.uint8,
+            count=len(col) * m, offset=col.offset * m,
+        ).reshape(len(col), m)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # dist[q, row] = Σ_s TT[q, s, code[row, s]] — one gather per
+        # subspace, accumulated (nq × nbatch)
+        dist = np.zeros((len(qq), len(ids)))
+        for s in range(m):
+            dist += TT[:, s, buf[:, s]]
+        kk = min(k, dist.shape[1])
+        cut = np.partition(dist, kk - 1, axis=1)[:, kk - 1]
+        mask = dist <= cut[:, None]
+        rows, cols = np.nonzero(mask)
+        return pa.table(
+            {"qid": pa.array(qq[rows]),
+             id_col: pa.array(ids[cols]),
+             "adc": pa.array(dist[rows, cols])}
+        )
+
+    cand = codes.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = pa.concat_tables(
+        [t for t in cand.iter_batches(batch_format="pyarrow", batch_size=65536)]
+    ).combine_chunks()
+    # deterministic final merge: (qid, adc asc, id asc) → rank
+    order = np.lexsort(
+        (tbl[id_col].to_numpy(zero_copy_only=False),
+         tbl["adc"].to_numpy(zero_copy_only=False),
+         tbl["qid"].to_numpy(zero_copy_only=False))
+    )
+    tbl = tbl.take(pa.array(order, type=pa.int64()))
+    q = tbl["qid"].to_numpy(zero_copy_only=False)
+    new = np.ones(len(q), bool)
+    new[1:] = q[1:] != q[:-1]
+    seg = np.cumsum(new) - 1
+    pos = np.arange(len(q)) - np.concatenate([[0], np.nonzero(new)[0][1:]])[seg]
+    keep = pos < k
+    out = tbl.filter(pa.array(keep))
+    rank = (pos[keep] + 1).astype(np.int64)
+    return out.append_column("rank", pa.array(rank))

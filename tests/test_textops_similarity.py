@@ -1069,3 +1069,77 @@ def test_embedding_pca_validations(ray_session):
     one = pa.table({"embedding": pa.array([[1.0, 2.0]], type=pa.list_(pa.float64()))})
     with pytest.raises(ValueError, match="at least 2"):
         embedding_pca(rd.from_arrow(one))
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def test_pq_lossless_when_codebook_covers_data(ray_session):
+    """≤256 distinct vectors ⇒ every subvector is a centroid ⇒ ADC
+    distances are EXACT and PQ top-k equals brute cosine top-k."""
+    from rayraster.similarity import brute_topk, pq_encode, pq_search, pq_train
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    pick = rng.integers(0, 40, 2000)
+    X = base[pick]
+    ids = np.arange(2000, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array([r for r in X], type=pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t).repartition(6).materialize()
+    books = pq_train(ds, m=8, n_centroids=64)
+    codes = pq_encode(ds, books).materialize()
+    qids = np.array([0, 7, 13], dtype=np.int64)
+    Q = X[[0, 7, 13]]
+    got = pq_search(codes, books, qids, Q, k=5).to_pandas()
+    want = brute_topk(ds, qids, Q, k=5).to_pandas()
+    g = got.sort_values(["qid", "rank"]).reset_index(drop=True)
+    w = want.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert list(g.vec_id) == list(w.vec_id)
+    # ADC on unit vectors is 2 − 2·cos, exactly
+    assert np.allclose(g.adc, 2.0 - 2.0 * w.cos, atol=1e-9)
+
+
+def test_pq_recall_on_clustered_corpus(ray_session):
+    from rayraster.similarity import brute_topk, pq_encode, pq_search, pq_train
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(20, 32)) * 4
+    X = np.concatenate([c + rng.normal(size=(300, 32)) for c in centers])
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    ids = np.arange(len(X), dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array([r for r in X], type=pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t).repartition(8).materialize()
+    books = pq_train(ds, m=8, n_centroids=256)
+    codes = pq_encode(ds, books).materialize()
+    # compression: 8 bytes per vector
+    sch = dict(zip(codes.schema().names, codes.schema().types))
+    assert sch["pq_code"] == pa.binary(8)
+    qn = 25
+    qids = np.arange(qn, dtype=np.int64) * 17
+    Q = X[qids]
+    got = pq_search(codes, books, qids, Q, k=10).to_pandas()
+    want = brute_topk(ds, qids, Q, k=10).to_pandas()
+    hits = 0
+    for q in qids:
+        g = set(got[got.qid == q].vec_id)
+        w = set(want[want.qid == q].vec_id)
+        hits += len(g & w)
+    recall = hits / (qn * 10)
+    assert recall >= 0.6, recall
+
+
+def test_pq_validations(ray_session):
+    from rayraster.similarity import pq_train
+
+    t = pa.table({"embedding": pa.array([[1.0] * 10, [2.0] * 10],
+                                        type=pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(ds, m=3)
+    with pytest.raises(ValueError, match="uint8"):
+        pq_train(ds, m=2, n_centroids=512)
