@@ -483,6 +483,37 @@ def pivot_categories(
     return parted.groupby(_PART).map_groups(pivot_partition, batch_format="pandas")
 
 
+def unpivot(
+    ds: "Dataset",
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "feature",
+    value_name: str = "value",
+) -> "Dataset":
+    """WIDE → LONG unpivot/melt (the inverse of :func:`pivot_categories`
+    and SQL UNPIVOT): one output row per (input row × value column),
+    ``var_name`` holding the source column name.  Map-only and
+    vectorized — per batch, one column-slice table per value column
+    concatenated (the label column is a dictionary-friendly constant
+    per slice); no shuffle, order within a batch is column-major."""
+    id_cols = list(id_cols)
+    value_cols = list(value_cols)
+    if not value_cols:
+        raise ValueError("unpivot: need at least one value column")
+
+    def melt(t: pa.Table) -> pa.Table:
+        pieces = []
+        for c in value_cols:
+            piece = t.select(id_cols)
+            piece = piece.append_column(
+                var_name, pa.array([c] * t.num_rows, type=pa.string())
+            )
+            pieces.append(piece.append_column(value_name, t[c]))
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def rollup_quadtree(
     cells: Dataset,
     spec: GridSpec,

@@ -460,3 +460,24 @@ def test_resample_area_weighted_validations(ray_session):
                     "v": pa.array([1 << 50], type=pa.int64())})
     with pytest.raises(Exception, match="overflow"):
         resample_area_weighted(rd.from_arrow(big), 1 << 10, 3, ["v"]).to_pandas()
+
+
+def test_unpivot_inverts_pivot(ray_session):
+    from rayraster.rasterize import unpivot
+
+    t = pa.table(
+        {"cell_id": pa.array([1, 2], type=pa.int64()),
+         "n_en": pa.array([3, 0], type=pa.int64()),
+         "n_fr": pa.array([1, 5], type=pa.int64())}
+    )
+    long = (
+        unpivot(rd.from_arrow(t), ["cell_id"], ["n_en", "n_fr"])
+        .to_pandas().sort_values(["cell_id", "feature"]).reset_index(drop=True)
+    )
+    assert list(long.cell_id) == [1, 1, 2, 2]
+    assert list(long.feature) == ["n_en", "n_fr", "n_en", "n_fr"]
+    assert list(long.value) == [3, 1, 0, 5]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="value column"):
+        unpivot(rd.from_arrow(t), ["cell_id"], [])
