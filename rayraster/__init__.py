@@ -32,9 +32,16 @@ and quantiles, windowed
 aggregation (tumbling/sliding/session/watermark), joins (broadcast,
 bucketed, salted-skew, semi/anti, as-of, dense + bucket-indexed
 range), sketches (HLL distinct counts, mergeable Bloom membership
-for cross-snapshot dedup), real from-scratch multimodal kernels
-(BMP/PPM pixel decode, box-filter resize, PPM-stream frame
-sampling), CSV/JSONL sources and a spatiotemporal raster cube.
+for cross-snapshot dedup, Count-Min frequencies, Misra-Gries heavy
+hitters, q-digest one-pass quantiles — plain and per-group), real
+from-scratch multimodal kernels (BMP/PPM pixel decode, box-filter
+resize, PPM-stream frame sampling, perceptual dHash/aHash image
+near-dup via the generic banded Hamming engine), vector compression
+and post-processing (product quantization with ADC search,
+PCA/whitening), raster analytics (region labeling, zonal sums and
+perimeters, focal convolution, Sobel gradients, Horn hillshade,
+Getis-Ord Gi*, local/global Moran), column profiling, per-key EWMA,
+CSV/JSONL sources and a spatiotemporal raster cube.
 
 None of the modules call ray.init(); the caller owns the Ray session.
 """
