@@ -3435,12 +3435,35 @@ FROM k GROUP BY 1, 2"""
 
 
 def _q_session_windows(sf_dir: str):
-    from rayraster.windows import session_windows
+    """Merged twin (path column): 'session' = gap-based session
+    windows; 'funnel' = the first-touch view→click→purchase conversion
+    funnel (`windows.funnel_match`) coerced onto the same column set
+    (funnel_start→session_start, n_stages→n, max_step_us→max_gap_us) —
+    both event-log analytics over one ordered-log exchange shape."""
+    from rayraster.windows import funnel_match, session_windows
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
-    return session_windows(ev, gap_us=1_800_000_000).select_columns(
-        ["user_id", "session_start", "n", "min_value", "max_value", "max_gap_us"]
+    sess = (
+        session_windows(ev, gap_us=1_800_000_000)
+        .select_columns(
+            ["user_id", "session_start", "n", "min_value", "max_value", "max_gap_us"]
+        )
+        .map_batches(_tagger("session"), batch_format="pyarrow")
     )
+    ev_f = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type", "value"]
+    )
+    fun = (
+        funnel_match(ev_f, ["view", "click", "purchase"])
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["user_id", "session_start", "n", "min_value", "max_value", "max_gap_us"]
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(_tagger("funnel"), batch_format="pyarrow")
+    )
+    return sess.union(fun)
 
 
 def _sql_session_windows() -> str:
@@ -3461,8 +3484,34 @@ s AS (
 )
 SELECT user_id, CAST(min(us) AS BIGINT) AS session_start, COUNT(*) AS n,
        min(value) AS min_value, max(value) AS max_value,
-       CAST(max(gp) AS BIGINT) AS max_gap_us
-FROM s GROUP BY user_id, sid"""
+       CAST(max(gp) AS BIGINT) AS max_gap_us, 'session' AS path
+FROM s GROUP BY user_id, sid
+UNION ALL
+SELECT * FROM (
+  WITH ef AS (SELECT user_id, epoch_us(ts) AS us, value, event_type FROM events),
+  s1 AS (SELECT user_id, min(us) AS ts1 FROM ef WHERE event_type='view' GROUP BY 1),
+  v1 AS (SELECT ef.user_id, min(ef.value) AS v FROM ef JOIN s1 USING(user_id)
+         WHERE event_type='view' AND us=ts1 GROUP BY 1),
+  s2 AS (SELECT ef.user_id, min(us) AS ts2 FROM ef JOIN s1 USING(user_id)
+         WHERE event_type='click' AND us>ts1 GROUP BY 1),
+  v2 AS (SELECT ef.user_id, min(ef.value) AS v FROM ef JOIN s2 USING(user_id)
+         WHERE event_type='click' AND us=ts2 GROUP BY 1),
+  s3 AS (SELECT ef.user_id, min(us) AS ts3 FROM ef JOIN s2 USING(user_id)
+         WHERE event_type='purchase' AND us>ts2 GROUP BY 1),
+  v3 AS (SELECT ef.user_id, min(ef.value) AS v FROM ef JOIN s3 USING(user_id)
+         WHERE event_type='purchase' AND us=ts3 GROUP BY 1)
+  SELECT s1.user_id, CAST(ts1 AS BIGINT) AS session_start,
+    CAST(1 + CASE WHEN ts2 IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN ts3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n,
+    LEAST(v1.v, COALESCE(v2.v, v1.v), COALESCE(v3.v, v1.v)) AS min_value,
+    GREATEST(v1.v, COALESCE(v2.v, v1.v), COALESCE(v3.v, v1.v)) AS max_value,
+    CAST(GREATEST(COALESCE(ts2-ts1,0), COALESCE(ts3-ts2,0)) AS BIGINT) AS max_gap_us,
+    'funnel' AS path
+  FROM s1 LEFT JOIN s2 USING(user_id) LEFT JOIN s3 USING(user_id)
+  LEFT JOIN v1 ON s1.user_id=v1.user_id
+  LEFT JOIN v2 ON s1.user_id=v2.user_id
+  LEFT JOIN v3 ON s1.user_id=v3.user_id
+)"""
 
 
 def _q_bucket_join(sf_dir: str):

@@ -494,3 +494,151 @@ def grouped_ewma(
 
     parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
     return parted.groupby("_part").map_groups(solve, batch_format="pyarrow")
+
+
+def funnel_match(
+    ds: Dataset,
+    stages: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    num_partitions: int = 64,
+) -> Dataset:
+    """First-touch funnel analysis: for each key, match the ordered
+    stage sequence ``stages`` (e.g. ``["view", "click", "purchase"]``)
+    against its event log — stage 1 anchors at the key's EARLIEST
+    stage-1 event, each later stage at its earliest event STRICTLY
+    after the previous matched stage (the classic web-analytics
+    conversion funnel; SQL twin = chained ``min(us) ... WHERE us >
+    prev`` CTEs).  The reference has no event-log analytics at all
+    (SEraster is pure rasterization, R/main.R); this is part of the
+    mandated event/stream family alongside sessions and windows.
+
+    Output, one row per key that reached stage 1::
+
+        key, funnel_start (us of the stage-1 match, int64),
+        n_stages (1..len(stages)),
+        min_value / max_value (least/greatest of the matched stage
+            events' ``value_col``; ties at a matched (stage, ts) break
+            by MIN(value) so the result is set-deterministic),
+        max_step_us (largest gap between consecutive matched stages;
+            0 when n_stages == 1)
+
+    Distribution: ONE hash-partition shuffle on the key, then a fully
+    vectorized per-partition pass — sort by (key, us), per-stage
+    candidate masks + ``np.minimum.reduceat`` over the key segments
+    (2 reduceats per stage), never a task per key and no state on the
+    driver.  Keys, not events, bound the output; 100-TB event logs
+    stream through the exchange.
+
+    NULL ``value_col`` entries are ignored for min/max (SQL MIN/MAX
+    semantics); a matched stage whose tied events are all NULL
+    contributes nothing to the value range.
+    """
+    if len(stages) < 1:
+        raise ValueError("funnel_match: need at least one stage")
+    if len(set(stages)) != len(stages):
+        raise ValueError("funnel_match: stages must be distinct")
+    n_stages = len(stages)
+    stage_arr = pa.array(stages, type=pa.string())
+    i64max = np.iinfo(np.int64).max
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        us = (
+            batch[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        code = pc.index_in(batch[type_col], value_set=stage_arr)
+        code = pc.fill_null(code, -1).cast(pa.int64())
+        keep = pc.not_equal(code, pa.scalar(-1, type=pa.int64()))
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.abs(keys * np.int64(1000003)) % np.int64(num_partitions)
+        t = pa.table(
+            {
+                key_col: batch[key_col],
+                "_us": pa.array(us),
+                "_code": code,
+                value_col: batch[value_col],
+                "_part": pa.array(part),
+            }
+        )
+        return t.filter(keep)  # non-stage events never enter the exchange
+
+    empty = pa.table(
+        {
+            key_col: pa.array([], type=pa.int64()),
+            "funnel_start": pa.array([], type=pa.int64()),
+            "n_stages": pa.array([], type=pa.int64()),
+            f"min_{value_col}": pa.array([], type=pa.float64()),
+            f"max_{value_col}": pa.array([], type=pa.float64()),
+            "max_step_us": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def solve(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["_part"]).sort_by(
+            [(key_col, "ascending"), ("_us", "ascending")]
+        )
+        n = part.num_rows
+        if n == 0:
+            return empty
+        keys = part[key_col].to_numpy(zero_copy_only=False)
+        us = part["_us"].to_numpy(zero_copy_only=False)
+        code = part["_code"].to_numpy(zero_copy_only=False)
+        val = part[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        first = np.ones(n, dtype=bool)
+        first[1:] = keys[1:] != keys[:-1]
+        seg_starts = np.flatnonzero(first)
+        seg_id = np.cumsum(first) - 1
+        n_seg = len(seg_starts)
+
+        prev_ts = np.full(n_seg, np.int64(-(2**62)))  # below any epoch_us
+        stage_ts = np.full((n_stages, n_seg), i64max, dtype=np.int64)
+        stage_val = np.full((n_stages, n_seg), np.inf)
+        for s in range(n_stages):
+            cand = (code == s) & (us > prev_ts[seg_id])
+            tmp = np.where(cand, us, i64max)
+            ts_s = np.minimum.reduceat(tmp, seg_starts)
+            # tie rule: MIN(value) among the matched (stage, ts) events
+            tie = cand & (us == ts_s[seg_id])
+            vtmp = np.where(tie & ~np.isnan(val), val, np.inf)
+            stage_ts[s] = ts_s
+            stage_val[s] = np.minimum.reduceat(vtmp, seg_starts)
+            prev_ts = ts_s  # unreached (i64max) poisons later stages
+
+        reached = stage_ts < i64max
+        depth = reached.sum(axis=0)  # monotone by construction
+        keep = depth > 0
+        if not keep.any():
+            return empty
+        vals = np.where(reached, stage_val, np.inf)
+        vmin = np.min(vals, axis=0)
+        vmax = np.max(np.where(reached & np.isfinite(stage_val), stage_val, -np.inf), axis=0)
+        steps = np.where(
+            reached[1:] & reached[:-1], stage_ts[1:] - stage_ts[:-1], np.int64(0)
+        )
+        max_step = (
+            steps.max(axis=0) if n_stages > 1 else np.zeros(n_seg, dtype=np.int64)
+        )
+        out_keys = part[key_col].take(pa.array(seg_starts[keep], type=pa.int64()))
+        vmin_k, vmax_k = vmin[keep], vmax[keep]
+        return pa.table(
+            {
+                key_col: out_keys,
+                "funnel_start": pa.array(stage_ts[0][keep]),
+                "n_stages": pa.array(depth[keep].astype(np.int64)),
+                f"min_{value_col}": pa.array(
+                    np.where(np.isfinite(vmin_k), vmin_k, np.nan), from_pandas=True
+                ),
+                f"max_{value_col}": pa.array(
+                    np.where(np.isfinite(vmax_k), vmax_k, np.nan), from_pandas=True
+                ),
+                "max_step_us": pa.array(max_step[keep]),
+            }
+        )
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return parted.groupby("_part").map_groups(solve, batch_format="pyarrow")

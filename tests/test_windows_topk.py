@@ -568,3 +568,145 @@ def test_grouped_ewma_validation_and_alpha_one(ray_session):
     out = (grouped_ewma(rd.from_arrow(t), "k", "ts", "v", alpha=1.0)
            .to_pandas().sort_values("ts"))
     assert np.allclose(out.ewma, [1.0, 2.0, 3.0])
+
+
+def _funnel_brute(df, stages):
+    """Reference first-touch funnel in plain pandas (per-user loop)."""
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values("us")
+        prev = -(2**62)
+        ts_list, val_list = [], []
+        for s in stages:
+            cand = g[(g.event_type == s) & (g.us > prev)]
+            if len(cand) == 0:
+                break
+            t = int(cand.us.min())
+            tied = cand[cand.us == t].value
+            tied = tied.dropna()
+            val_list.append(tied.min() if len(tied) else np.nan)
+            ts_list.append(t)
+            prev = t
+        if not ts_list:
+            continue
+        vals = [v for v in val_list if not np.isnan(v)]
+        steps = [b - a for a, b in zip(ts_list, ts_list[1:])]
+        rows.append(
+            {
+                "user_id": uid,
+                "funnel_start": ts_list[0],
+                "n_stages": len(ts_list),
+                "min_value": min(vals) if vals else np.nan,
+                "max_value": max(vals) if vals else np.nan,
+                "max_step_us": max(steps) if steps else 0,
+            }
+        )
+    return pd.DataFrame(rows).sort_values("user_id").reset_index(drop=True)
+
+
+def _funnel_df(seed=7, n=600, users=25):
+    rng = np.random.default_rng(seed)
+    us = rng.integers(0, 10**9, n)
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(us, unit="us"),
+            "us": us,
+            "user_id": rng.integers(1, users + 1, n),
+            "event_type": rng.choice(["view", "click", "purchase", "error"], n),
+            "value": rng.normal(size=n).round(3),
+        }
+    )
+    return df
+
+
+def test_funnel_match_matches_brute(ray_session):
+    from rayraster.windows import funnel_match
+
+    stages = ["view", "click", "purchase"]
+    df = _funnel_df()
+    got = (
+        funnel_match(rd.from_pandas(df.drop(columns=["us"])), stages)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = _funnel_brute(df, stages)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_funnel_match_partition_invariant_and_single_stage(ray_session):
+    from rayraster.windows import funnel_match
+
+    df = _funnel_df(seed=11)
+    a = (
+        funnel_match(rd.from_pandas(df.drop(columns=["us"])), ["click"], num_partitions=3)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        funnel_match(
+            rd.from_pandas(df.drop(columns=["us"])).repartition(13),
+            ["click"],
+            num_partitions=64,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.n_stages == 1).all()
+    assert (a.max_step_us == 0).all()
+    # single stage: funnel_start = first click, values = that event's value
+    want = _funnel_brute(df, ["click"])
+    pd.testing.assert_frame_equal(a, want, check_dtype=False)
+
+
+def test_funnel_match_strict_order_and_ties(ray_session):
+    from rayraster.windows import funnel_match
+
+    base = 1_000_000
+    rows = [
+        # user 1: click at SAME us as first view -> not counted (strict >)
+        (1, base, "view", 5.0),
+        (1, base, "click", 1.0),
+        (1, base + 10, "click", 2.0),
+        (1, base + 20, "purchase", 3.0),
+        # user 2: purchase before any view -> only reaches view
+        (2, base, "purchase", 9.0),
+        (2, base + 5, "view", 1.5),
+        # user 3: no view at all -> excluded
+        (3, base, "click", 4.0),
+        # user 4: two views tie at min ts -> MIN(value) wins
+        (4, base, "view", 7.0),
+        (4, base, "view", 2.5),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "us", "event_type", "value"])
+    df["ts"] = pd.to_datetime(df.us, unit="us")
+    out = (
+        funnel_match(
+            rd.from_pandas(df[["ts", "user_id", "event_type", "value"]]),
+            ["view", "click", "purchase"],
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out.user_id.tolist() == [1, 2, 4]
+    u1 = out.iloc[0]
+    assert (u1.n_stages, u1.funnel_start, u1.max_step_us) == (3, base, 10)
+    assert (u1.min_value, u1.max_value) == (2.0, 5.0)  # tied click excluded
+    u2 = out.iloc[1]
+    assert (u2.n_stages, u2.min_value, u2.max_value) == (1, 1.5, 1.5)
+    u4 = out.iloc[2]
+    assert (u4.min_value, u4.max_value) == (2.5, 2.5)
+
+
+def test_funnel_match_validations(ray_session):
+    from rayraster.windows import funnel_match
+
+    ds = rd.from_items([{"ts": 0, "user_id": 1, "event_type": "a", "value": 1.0}])
+    with pytest.raises(ValueError, match="at least one stage"):
+        funnel_match(ds, [])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_match(ds, ["a", "a"])
