@@ -2815,6 +2815,7 @@ def _q_vocab_topk(sf_dir: str):
         bm25_search,
         build_inverted_index,
         build_scored_index,
+        collocations_topk,
         search_index,
         tfidf_topk_terms,
         vocab_topk,
@@ -2923,7 +2924,31 @@ def _q_vocab_topk(sf_dir: str):
     bm25 = bm25_search(sidx_path, _TERMS, k=10).map_batches(
         bm25_shape, batch_format="pyarrow"
     )
-    return vocab.union(tfidf, search, bm25)
+
+    def colloc_shape(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = t.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(m, -1, dtype=np.int64)),
+                "word": pc.binary_join_element_wise(t["w1"], t["w2"], " "),
+                "n": t["c12"],
+                "df": t["c1"],
+                "score": t["score"],
+                "rnk": t["rnk"],
+                "path": pa.array(["colloc"] * m, type=pa.string()),
+            }
+        )
+
+    # 'colloc' — PMI-ratio collocation mining (textops.collocations_topk):
+    # top-50 bigrams by (c12·T²)/(c1·c2·B), min_count=5; exact integer
+    # products, ONE IEEE division — bit-exact vs the twin's double join
+    colloc = collocations_topk(
+        _docs(sf_dir), k=50, min_count=5, corpus_count=n_docs,
+        num_partitions=_parts_for(n_docs),
+    ).map_batches(colloc_shape, batch_format="pyarrow")
+    return vocab.union(tfidf, search, bm25, colloc)
 
 
 def _sql_vocab_topk() -> str:
@@ -2991,6 +3016,34 @@ FROM (
   SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
          AS BIGINT) AS rnk
   FROM pv QUALIFY rnk <= 10
+)
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS doc_id, w1 || ' ' || w2 AS word, c12 AS n,
+       c1 AS df, score, rnk, 'colloc' AS path
+FROM (
+  WITH tl AS (
+    SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+    FROM documents
+  ),
+  bgp2 AS (
+    SELECT unnest(ws[1:length(ws)-1]) AS w1, unnest(ws[2:length(ws)]) AS w2
+    FROM tl WHERE length(ws) >= 2
+  ),
+  bc2c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bgp2 GROUP BY 1, 2),
+  tot AS (SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM c) AS t,
+                 (SELECT CAST(SUM(c12) AS BIGINT) FROM bc2c) AS b),
+  scc AS (
+    -- PMI ratio (c12·T²)/(c1·c2·B): exact BIGINT products, ONE double
+    -- division — mirrors textops.collocations_topk term for term
+    SELECT bc2c.w1, bc2c.w2, bc2c.c12, u1.n AS c1,
+           CAST(bc2c.c12 * tot.t * tot.t AS DOUBLE)
+             / CAST(u1.n * u2.n * tot.b AS DOUBLE) AS score
+    FROM bc2c JOIN c u1 ON bc2c.w1 = u1.word JOIN c u2 ON bc2c.w2 = u2.word
+    CROSS JOIN tot
+    WHERE bc2c.c12 >= 5
+  )
+  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, w1, w2) AS BIGINT) AS rnk
+  FROM scc QUALIFY rnk <= 50
 )"""
 
 

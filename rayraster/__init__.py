@@ -41,6 +41,7 @@ and post-processing (product quantization with ADC search,
 PCA/whitening), raster analytics (region labeling, zonal sums and
 perimeters, focal convolution, Sobel gradients, Horn hillshade,
 Getis-Ord Gi*, local/global Moran), column profiling, per-key EWMA,
+first-touch conversion funnels, PMI-ratio collocation mining,
 CSV/JSONL sources and a spatiotemporal raster cube.
 
 None of the modules call ray.init(); the caller owns the Ray session.

@@ -2338,3 +2338,210 @@ def bigram_lm_score(
         ),
         batch_format="pyarrow",
     )
+
+
+def bigram_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch consecutive-word-pair counts — the map-side combiner
+    of the bigram count: :func:`_bigram_flat` pairs + one in-batch
+    C++ ``group_by``, so the exchange ships one row per (batch,
+    distinct bigram), not one per token pair."""
+    w1, w2, _ = _bigram_flat(batch[text_col])
+    if len(w1) == 0:
+        return pa.table(
+            {
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    t = pa.table({"w1": w1, "w2": w2, "_c": np.ones(len(w1), dtype=np.int64)})
+    out = t.group_by(["w1", "w2"]).aggregate([("_c", "sum")])
+    return pa.table({"w1": out["w1"], "w2": out["w2"], "n": out["_c_sum"]})
+
+
+def collocations_topk(
+    ds,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    num_partitions: int = 64,
+    corpus_count: int | None = None,
+):
+    """Corpus-level collocation extraction: the top-``k`` word bigrams
+    by pointwise-mutual-information RATIO — the statistic behind
+    phrase detection / multi-word-expression mining in tokenizer and
+    corpus pipelines (Mikolov et al. 2013 word2vec phrases use the
+    same count form).  The score is the PMI argument itself,
+
+        score = (c12 · T²) / (c1 · c2 · B)
+
+    (c12 = bigram count, c1/c2 = unigram counts, T = total tokens,
+    B = total bigrams) — MONOTONE with textbook PMI = ln(score·T²/…)
+    so the ranking is identical, but computable as ONE IEEE division
+    of exact int64 products, which twins bit-exactly against DuckDB
+    (this module's log-free rule; see :func:`tfidf_topk_terms`).
+    ``min_count`` is the standard low-frequency guard (rare pairs
+    otherwise dominate PMI).
+
+    Plan (3 exchanges + 2 partitioned joins, nothing on the driver but
+    two int64 totals and the final k rows):
+      1. bigram counts: per-batch combiner above → hash-partitioned
+         grouped sum; unigram counts: :func:`word_count_partial` →
+         same; both materialized (vocab-bounded post-aggregation
+         tables — the object store spills, the driver never sees them)
+         so the totals pass and the joins share one execution;
+      2. ``c12 >= min_count`` filter FIRST, then two
+         :func:`rayraster.join.bucket_join` hops attach c1 (on w1) and
+         c2 (on w2) — no broadcast: vocabularies at corpus scale
+         don't fit a worker;
+      3. map-only score with an exact-int64 overflow guard
+         (conservative max·max bound; raise → raise ``min_count`` or
+         pre-scale counts), native ``sort(score desc, w1, w2)`` +
+         ``limit(k)``, rank stamped on the k-row result.
+
+    Returns a k-row Dataset: ``w1, w2, c12, c1, score, rnk``.
+
+    Reference: SEraster has no text operators at all (R/main.R —
+    rasterization only); this extends the mandated text-analysis
+    family.  SQL twin: two count CTEs + a double join + one division,
+    ``QUALIFY rnk <= k`` (see ``__ray_entry__._sql_vocab_topk``,
+    path='colloc').
+    """
+    from rayraster.agg import hash_aggregate
+    from rayraster.dedup import _adaptive_parts
+    from rayraster.join import bucket_join
+
+    if k < 1:
+        raise ValueError("collocations_topk: k must be >= 1")
+    if min_count < 1:
+        raise ValueError("collocations_topk: min_count must be >= 1")
+    parts = _adaptive_parts(corpus_count, num_partitions)
+
+    bi_partial = ds.map_batches(
+        lambda t: bigram_count_partial(t, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    bi = hash_aggregate(
+        bi_partial, ["w1", "w2"], sum_cols=["n"], count=False, num_partitions=parts
+    ).map_batches(
+        lambda t: pa.table({"w1": t["w1"], "w2": t["w2"], "c12": t["sum_n"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    uni_partial = ds.map_batches(
+        lambda t: word_count_partial(t, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    uni = hash_aggregate(
+        uni_partial, ["word"], sum_cols=["n"], count=False, num_partitions=parts
+    ).map_batches(
+        lambda t: pa.table({"word": t["word"], "c": t["sum_n"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    total_tokens = int(uni.sum("c") or 0)
+    total_bigrams = int(bi.sum("c12") or 0)
+    if total_bigrams == 0:
+        return ray_data_from_table(
+            pa.table(
+                {
+                    "w1": pa.array([], type=pa.string()),
+                    "w2": pa.array([], type=pa.string()),
+                    "c12": pa.array([], type=pa.int64()),
+                    "c1": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                    "rnk": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+
+    mc = int(min_count)
+    cand = bi.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["c12"], mc)), batch_format="pyarrow"
+    )
+    # explicit schemas: both sides' lineage contains a shuffle, and the
+    # candidate set may be EMPTY (schema probe would return None)
+    bi_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("c12", pa.int64())]
+    )
+    uni_schema = pa.schema([("word", pa.string()), ("c", pa.int64())])
+    j1 = bucket_join(
+        cand, uni, "w1", "word", num_buckets=parts,
+        left_schema=bi_schema, right_schema=uni_schema,
+    ).map_batches(
+        lambda t: t.rename_columns(["w1", "w2", "c12", "c1"]), batch_format="pyarrow"
+    )
+    j1_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("c12", pa.int64()),
+         ("c1", pa.int64())]
+    )
+    j2 = bucket_join(
+        j1, uni, "w2", "word", num_buckets=parts,
+        left_schema=j1_schema, right_schema=uni_schema,
+    ).map_batches(
+        lambda t: t.rename_columns(["w1", "w2", "c12", "c1", "c2"]),
+        batch_format="pyarrow",
+    )
+
+    T, B = total_tokens, total_bigrams
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "w1": t["w1"],
+                    "w2": t["w2"],
+                    "c12": t["c12"],
+                    "c1": t["c1"],
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        c12 = t["c12"].to_numpy(zero_copy_only=False)
+        c1 = t["c1"].to_numpy(zero_copy_only=False)
+        c2 = t["c2"].to_numpy(zero_copy_only=False)
+        # exact-int64 guard in Python ints (no silent numpy wraparound);
+        # conservative (max·max) — raise min_count or pre-scale to pass
+        if int(c12.max()) * T * T > 2**63 - 1 or int(c1.max()) * int(c2.max()) * B > 2**63 - 1:
+            raise ValueError(
+                "collocations_topk: count products exceed int64 — raise "
+                "min_count or pre-scale counts (T=%d, B=%d)" % (T, B)
+            )
+        num = (c12 * np.int64(T) * np.int64(T)).astype(np.float64)
+        den = (c1 * c2 * np.int64(B)).astype(np.float64)
+        return pa.table(
+            {
+                "w1": t["w1"],
+                "w2": t["w2"],
+                "c12": t["c12"],
+                "c1": t["c1"],
+                "score": pa.array(num / den),
+            }
+        )
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+    top = scored.sort(
+        ["score", "w1", "w2"], descending=[True, False, False]
+    ).limit(k)
+    # k rows only — bounded driver stamp for the global rank
+    tbl = pa.Table.from_pylist(top.take_all())
+    if tbl.num_rows == 0:
+        tbl = pa.table(
+            {
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+                "c12": pa.array([], type=pa.int64()),
+                "c1": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+    tbl = tbl.append_column(
+        "rnk", pa.array(np.arange(1, tbl.num_rows + 1, dtype=np.int64))
+    )
+    return ray_data_from_table(tbl)
+
+
+def ray_data_from_table(t: pa.Table):
+    import ray.data as _rd
+
+    return _rd.from_arrow(t)

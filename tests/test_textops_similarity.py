@@ -1143,3 +1143,81 @@ def test_pq_validations(ray_session):
         pq_train(ds, m=3)
     with pytest.raises(ValueError, match="uint8"):
         pq_train(ds, m=2, n_centroids=512)
+
+
+def _colloc_corpus():
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for d in range(40):
+        words = list(rng.choice(vocab, size=60))
+        # plant a strong collocation
+        for j in range(0, 50, 10):
+            words[j], words[j + 1] = "new", "york"
+        docs.append({"doc_id": d, "text": " ".join(words)})
+    return pd.DataFrame(docs)
+
+
+def test_collocations_topk_matches_duckdb(ray_session):
+    import duckdb
+
+    from rayraster.textops import collocations_topk
+
+    df = _colloc_corpus()
+    got = (
+        collocations_topk(rd.from_pandas(df), k=20, min_count=3)
+        .to_pandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+    ora = duckdb.sql(
+        r"""WITH tl AS (
+  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws FROM df),
+uni AS (SELECT unnest(ws) AS word FROM tl),
+c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY 1),
+bgp AS (SELECT unnest(ws[1:length(ws)-1]) AS w1, unnest(ws[2:length(ws)]) AS w2
+        FROM tl WHERE length(ws) >= 2),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bgp GROUP BY 1, 2),
+tot AS (SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM c) AS t,
+               (SELECT CAST(SUM(c12) AS BIGINT) FROM bc) AS b),
+sc AS (SELECT bc.w1, bc.w2, bc.c12, u1.n AS c1,
+              CAST(bc.c12 * tot.t * tot.t AS DOUBLE)
+                / CAST(u1.n * u2.n * tot.b AS DOUBLE) AS score
+       FROM bc JOIN c u1 ON bc.w1 = u1.word JOIN c u2 ON bc.w2 = u2.word
+       CROSS JOIN tot WHERE bc.c12 >= 3)
+SELECT *, CAST(row_number() OVER (ORDER BY score DESC, w1, w2) AS BIGINT) AS rnk
+FROM sc QUALIFY rnk <= 20 ORDER BY rnk"""
+    ).df()
+    assert len(got) == len(ora)
+    for col in ["w1", "w2", "c12", "c1", "score", "rnk"]:
+        assert (got[col].to_numpy() == ora[col].to_numpy()).all(), col
+    # the planted collocation dominates
+    assert (got.w1.iloc[0], got.w2.iloc[0]) == ("new", "york")
+
+
+def test_collocations_topk_partition_invariant_and_min_count(ray_session):
+    from rayraster.textops import collocations_topk
+
+    df = _colloc_corpus()
+    a = collocations_topk(rd.from_pandas(df), k=10, min_count=3).to_pandas()
+    b = collocations_topk(
+        rd.from_pandas(df).repartition(7), k=10, min_count=3, num_partitions=5
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("rnk").reset_index(drop=True),
+        b.sort_values("rnk").reset_index(drop=True),
+    )
+    assert (a.c12 >= 3).all()
+    # a huge min_count empties the result
+    e = collocations_topk(rd.from_pandas(df), k=10, min_count=10**6).to_pandas()
+    assert len(e) == 0
+
+
+def test_collocations_topk_validations(ray_session):
+    from rayraster.textops import collocations_topk
+
+    ds = rd.from_items([{"text": "a b"}])
+    with pytest.raises(ValueError, match="k must"):
+        collocations_topk(ds, k=0)
+    with pytest.raises(ValueError, match="min_count"):
+        collocations_topk(ds, min_count=0)
