@@ -37,8 +37,8 @@ hitters, q-digest one-pass quantiles — plain and per-group), real
 from-scratch multimodal kernels (BMP/PPM pixel decode, box-filter
 resize, PPM-stream frame sampling, perceptual dHash/aHash image
 near-dup via the generic banded Hamming engine), vector compression
-and post-processing (product quantization with ADC search,
-PCA/whitening), raster analytics (region labeling, zonal sums and
+and post-processing (product quantization with ADC search, int8
+scalar quantization, PCA/whitening), raster analytics (region labeling, zonal sums and
 perimeters, focal convolution, Sobel gradients, Horn hillshade,
 Getis-Ord Gi*, local/global Moran), column profiling, per-key EWMA,
 first-touch conversion funnels, PMI-ratio collocation mining,

@@ -1061,3 +1061,140 @@ def pq_search(
     out = tbl.filter(pa.array(keep))
     rank = (pos[keep] + 1).astype(np.int64)
     return out.append_column("rank", pa.array(rank))
+
+
+def sq_train(
+    ds: Dataset, vec_col: str = "embedding", normalize: bool = True
+) -> dict:
+    """Train per-dimension scalar-quantization ranges: ONE map-only
+    pass emitting a (lo, hi) pair of d-vectors per batch, folded to
+    the global ranges on the driver (d doubles — never rows; the same
+    blob-fold shape as :func:`embedding_pca`'s Gram pass).
+
+    ``normalize=True`` trains on unit-normalized vectors (the cosine
+    family's contract); returns ``{"lo": (d,), "hi": (d,),
+    "normalize": bool}`` for :func:`sq_encode` / :func:`sq_search`.
+
+    Why SQ at 10^12 vectors: uint8 codes are 8× smaller than float64
+    (4× vs float32) with NO codebook training or gather tables — the
+    cheap, always-applicable compression tier below PQ (Jégou et al.
+    2011 §II.A calls this the scalar baseline)."""
+
+    def ranges(batch: pa.Table) -> pa.Table:
+        X = list_col_to_matrix(batch[vec_col]).astype(np.float64)
+        if normalize:
+            X = _normalize(X)
+        if len(X) == 0:
+            return pa.table({"lo": pa.array([], type=pa.binary()),
+                             "hi": pa.array([], type=pa.binary())})
+        return pa.table(
+            {
+                "lo": pa.array([X.min(axis=0).tobytes()], type=pa.binary()),
+                "hi": pa.array([X.max(axis=0).tobytes()], type=pa.binary()),
+            }
+        )
+
+    rows = ds.map_batches(ranges, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    if not rows:
+        raise ValueError("sq_train: empty dataset")
+    lo = np.min(np.stack([np.frombuffer(r["lo"]) for r in rows]), axis=0)
+    hi = np.max(np.stack([np.frombuffer(r["hi"]) for r in rows]), axis=0)
+    return {"lo": lo, "hi": hi, "normalize": bool(normalize)}
+
+
+class SQEncodeStage:
+    """map_batches stage: vector → d-byte uint8 scalar-quantized code
+    (``round((x − lo)·255/(hi − lo))``, clipped; degenerate dims with
+    hi == lo encode 0).  Ranges ship once per task via the captured
+    ``ray.put`` handle."""
+
+    def __init__(self, ranges_ref, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        self._ref = ranges_ref
+        self.r = None
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.r is None:
+            self.r = (ray.get(self._ref)
+                      if isinstance(self._ref, ray.ObjectRef) else self._ref)
+        lo, hi = self.r["lo"], self.r["hi"]
+        span = hi - lo
+        safe = np.where(span > 0, span, 1.0)
+        X = list_col_to_matrix(batch[self.vec_col]).astype(np.float64)
+        if self.r["normalize"]:
+            X = _normalize(X)
+        q = np.rint(np.clip((X - lo) / safe, 0.0, 1.0) * 255.0)
+        codes = np.where(span > 0, q, 0.0).astype(np.uint8)
+        d = codes.shape[1]
+        arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(d), len(X), [None, pa.py_buffer(codes.tobytes())]
+        )
+        return pa.table({self.id_col: batch[self.id_col], "sq_code": arr})
+
+
+def sq_encode(ds: Dataset, ranges: dict, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> Dataset:
+    """Encode a vector column to d-byte SQ codes (streaming; the output
+    Dataset carries only (id, sq_code))."""
+    return ds.map_batches(
+        SQEncodeStage(ray.put(ranges), vec_col, id_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def sq_search(
+    codes: Dataset,
+    ranges: dict,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Cosine top-k over SQ codes: per batch, reconstruct
+    ``x̂ = lo + code·(hi − lo)/255`` (one affine op over the uint8
+    matrix — the raw vectors never load), unit-normalize, score
+    against the broadcast query matrix, and fold per-batch partial
+    top-k exactly like :func:`brute_topk` (cos desc, id asc).  When
+    every corpus coordinate sits on the 256-point grid of its range
+    the reconstruction is EXACT and the result equals
+    :func:`brute_topk` bit for bit (pytest-pinned).
+
+    Compute note: reconstruction makes the scan compute-identical to
+    the brute path — SQ's win is the 8× storage/IO/object-store
+    footprint.  For a compute-bound variant, fold the affine map into
+    the query side (``dot(q, x̂) = dot(q·s, c) + dot(q, lo)``) and
+    gather ``‖x̂‖`` from a per-dim table like :func:`pq_search`'s ADC."""
+    Q = _normalize(np.asarray(query_mat, np.float64))
+    qids = np.asarray(query_ids)
+    lo, hi = ranges["lo"], ranges["hi"]
+    scale = (hi - lo) / 255.0
+    d = len(lo)
+    qref = ray.put({"Q": Q, "qids": qids, "lo": lo, "scale": scale})
+
+    def score(batch: pa.Table) -> pa.Table:
+        obj = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+        QQ, qq = obj["Q"], obj["qids"]
+        col = batch["sq_code"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        buf = np.frombuffer(
+            col.buffers()[1], np.uint8,
+            count=len(col) * d, offset=col.offset * d,
+        ).reshape(len(col), d)
+        X = _normalize(obj["lo"] + buf * obj["scale"])
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = QQ @ X.T
+        kk = min(k, sims.shape[1])
+        cut = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
+        mask = sims >= cut[:, None]
+        rows, cols = np.nonzero(mask)
+        return pa.table(
+            {"qid": pa.array(qq[rows]), id_col: pa.array(ids[cols]),
+             "cos": pa.array(sims[rows, cols])}
+        )
+
+    cand = codes.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return _final_topk(_collect_candidates(cand, id_col, k=k), k, id_col)

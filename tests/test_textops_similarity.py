@@ -1221,3 +1221,77 @@ def test_collocations_topk_validations(ray_session):
         collocations_topk(ds, k=0)
     with pytest.raises(ValueError, match="min_count"):
         collocations_topk(ds, min_count=0)
+
+
+def test_sq_lossless_on_grid_equals_brute(ray_session):
+    """Corpus coords on the 256-grid of the trained ranges -> exact
+    reconstruction -> sq_search == brute_topk bit for bit."""
+    from rayraster.similarity import brute_topk, sq_encode, sq_search, sq_train
+
+    rng = np.random.default_rng(5)
+    n, d = 400, 16
+    X = rng.integers(0, 256, size=(n, d)).astype(np.float64)
+    # pin the range ends so lo=0, hi=255 on every dim
+    X[0] = 0.0
+    X[1] = 255.0
+    t = pa.table(
+        {"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+         "embedding": pa.array(list(X), type=pa.list_(pa.float64()))}
+    )
+    ds = rd.from_arrow(t)
+    r = sq_train(ds, normalize=False)
+    assert (r["lo"] == 0.0).all() and (r["hi"] == 255.0).all()
+    codes = sq_encode(ds, r)
+    qids = np.arange(5, dtype=np.int64)
+    Q = X[:5]
+    got = sq_search(codes, r, qids, Q, k=10).to_pandas()
+    want = brute_topk(ds, qids, Q, k=10).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["qid", "rank"]).reset_index(drop=True),
+        want.sort_values(["qid", "rank"]).reset_index(drop=True),
+    )
+
+
+def test_sq_recall_on_gaussian_corpus(ray_session):
+    from rayraster.similarity import brute_topk, sq_encode, sq_search, sq_train
+
+    rng = np.random.default_rng(9)
+    n, d = 1000, 32
+    X = rng.normal(size=(n, d))
+    t = pa.table(
+        {"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+         "embedding": pa.array(list(X), type=pa.list_(pa.float64()))}
+    )
+    ds = rd.from_arrow(t)
+    r = sq_train(ds)
+    codes = sq_encode(ds, r)
+    qids = np.arange(20, dtype=np.int64)
+    Q = X[:20]
+    got = sq_search(codes, r, qids, Q, k=10).to_pandas()
+    want = brute_topk(ds, qids, Q, k=10).to_pandas()
+    hits = sum(
+        len(set(got[got.qid == q].vec_id) & set(want[want.qid == q].vec_id))
+        for q in qids
+    )
+    assert hits / (20 * 10) >= 0.9  # 8-bit/dim loses almost nothing
+
+
+def test_sq_degenerate_dims_and_empty(ray_session):
+    from rayraster.similarity import sq_encode, sq_train
+
+    X = np.array([[1.0, 5.0], [1.0, 7.0], [1.0, 6.0]])
+    t = pa.table(
+        {"vec_id": pa.array(np.arange(3, dtype=np.int64)),
+         "embedding": pa.array(list(X), type=pa.list_(pa.float64()))}
+    )
+    ds = rd.from_arrow(t)
+    r = sq_train(ds, normalize=False)
+    assert r["lo"][0] == r["hi"][0] == 1.0
+    rows = sq_encode(ds, r).take_all()
+    codes = np.stack([np.frombuffer(x["sq_code"], np.uint8) for x in rows])
+    assert (codes[:, 0] == 0).all()  # degenerate dim encodes 0
+    assert codes[:, 1].min() == 0 and codes[:, 1].max() == 255
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty"):
+        sq_train(rd.from_arrow(t.slice(0, 0)))
