@@ -788,3 +788,121 @@ def bucket_join_prebucketed(
     # one block per bucket → one independent task per bucket
     ids = rd.from_items([{"b": b} for b in range(B)], override_num_blocks=B)
     return ids.map_batches(join_buckets, batch_format="pyarrow")
+
+
+def compact_bucketed(
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    concurrency: int | None = None,
+) -> dict:
+    """Compact a :func:`write_bucketed` layout's small files in place:
+    every ``_bucket=<b>/`` dir whose parquet files outnumber
+    ``ceil(rows / target_rows_per_file)`` is rewritten to that many
+    files — the table-maintenance pass every long-lived bucketed store
+    needs (daily :func:`rayraster.pipelines.merge_pixel_stores`-style
+    ingests and checkpoint shards accrete small files; parquet scan
+    cost is per-file footer + row-group overhead, so a 10^4-file
+    bucket reads ~100× slower than a 10-file one at equal bytes).
+
+    One Ray task per bucket (this is FILE-SYSTEM maintenance on
+    directory units with atomic swaps — the unit of work is the
+    bucket dir, not a row batch, so raw tasks are the honest shape;
+    the row data itself never crosses the driver):
+
+    * streams input row groups through one ``pq.ParquetWriter`` at a
+      time, rolling to the next file at the row target — peak heap is
+      ONE row group, not the bucket;
+    * writes into ``<dir>.compact_tmp`` then swaps via two renames —
+      a crash mid-compact leaves either the old or the new complete
+      dir, never a mix, and a re-run skips already-compacted buckets
+      (idempotent resume, same contract as ``checkpoint.py``);
+    * the join-visible layout (``_BUCKETS.json``, bucket dirs, row
+      order within the concatenated bucket) is unchanged —
+      :func:`bucket_join_prebucketed` and
+      :func:`rayraster.textops.search_index`-style probed reads work
+      identically before and after.
+
+    Returns ``{"buckets_compacted", "files_before", "files_after"}``
+    (counts over REWRITTEN buckets only).  ``concurrency`` caps the
+    in-flight tasks (default: all buckets; Ray queues what the
+    cluster can't run).
+    """
+    import glob as _glob
+    import math
+    import os
+
+    if target_rows_per_file < 1:
+        raise ValueError("target_rows_per_file must be >= 1")
+    _read_bucket_manifest(path)  # raises on a non-bucketed dir
+    bucket_dirs = sorted(_glob.glob(os.path.join(path, "_bucket=*")))
+
+    @ray.remote
+    def _compact(bdir: str):
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        files = sorted(_glob.glob(os.path.join(bdir, "*.parquet")))
+        if not files:
+            return (0, 0)
+        total = sum(pq.read_metadata(f).num_rows for f in files)
+        n_out = max(1, math.ceil(total / target_rows_per_file))
+        if len(files) <= n_out:
+            return (0, 0)  # already compact — idempotent resume skip
+        tmp = bdir + ".compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        schema = pq.read_schema(files[0])
+        writer = None
+        out_idx = 0
+        rows_in_file = 0
+        try:
+            for f in files:
+                pf = pq.ParquetFile(f)
+                if not pf.schema_arrow.equals(schema):
+                    raise ValueError(
+                        f"compact_bucketed: schema mismatch in {f} vs {files[0]}"
+                    )
+                for g in range(pf.num_row_groups):
+                    rg = pf.read_row_group(g)
+                    if writer is None:
+                        writer = pq.ParquetWriter(
+                            os.path.join(tmp, f"part-{out_idx:05d}.parquet"), schema
+                        )
+                    writer.write_table(rg)
+                    rows_in_file += rg.num_rows
+                    if rows_in_file >= target_rows_per_file:
+                        writer.close()
+                        writer = None
+                        out_idx += 1
+                        rows_in_file = 0
+        finally:
+            if writer is not None:
+                writer.close()
+        old = bdir + ".compact_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(bdir, old)
+        os.rename(tmp, bdir)
+        shutil.rmtree(old)
+        return (len(files), len(_glob.glob(os.path.join(bdir, "*.parquet"))))
+
+    if concurrency is not None and concurrency >= 1:
+        # bounded submission window (wait-one, submit-next) — caps the
+        # number of IN-FLIGHT tasks, e.g. to limit filesystem pressure
+        it = iter(bucket_dirs)
+        pending = [_compact.remote(d) for _, d in zip(range(concurrency), it)]
+        results = []
+        while pending:
+            done, pending = ray.wait(pending, num_returns=1)
+            results.extend(ray.get(done))
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append(_compact.remote(nxt))
+    else:
+        results = ray.get([_compact.remote(d) for d in bucket_dirs])
+    rewritten = [(b, a) for b, a in results if b > 0]
+    return {
+        "buckets_compacted": len(rewritten),
+        "files_before": sum(b for b, _ in rewritten),
+        "files_after": sum(a for _, a in rewritten),
+    }

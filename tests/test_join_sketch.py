@@ -891,3 +891,107 @@ def test_build_mg_distributed_guarantees(ray_session):
         assert lb <= true[key] and true[key] - lb <= built.err
     # the dominant key is guaranteed present and ranked first
     assert built.topk(1)[0][0] == "0"
+
+
+def _fragment_layout(path):
+    """Split every bucket's parquet files into 1-row-group shards to
+    simulate small-file accretion."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    n_frag = 0
+    for bdir in glob.glob(os.path.join(path, "_bucket=*")):
+        for f in glob.glob(os.path.join(bdir, "*.parquet")):
+            t = pq.read_table(f)
+            os.remove(f)
+            for i in range(t.num_rows):
+                pq.write_table(
+                    t.slice(i, 1), os.path.join(bdir, f"frag-{i:04d}.parquet")
+                )
+                n_frag += 1
+    return n_frag
+
+
+def _read_layout(path):
+    """Read every bucket dir explicitly — `_bucket=*` dirs are
+    underscore-prefixed, which parquet dataset discovery treats as
+    hidden; the layout is only ever read via explicit bucket dirs
+    (exactly what bucket_join_prebucketed / search_index do)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbls = [
+        pq.read_table(f)
+        for b in sorted(glob.glob(os.path.join(path, "_bucket=*")))
+        for f in sorted(glob.glob(os.path.join(b, "*.parquet")))
+    ]
+    return (
+        pa.concat_tables(tbls)
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+
+
+def test_compact_bucketed_reduces_files_and_preserves_data(ray_session, tmp_path):
+    import glob
+    import os
+
+    from rayraster.join import bucket_join_prebucketed, compact_bucketed, write_bucketed
+
+    n = 200
+    t = pa.table(
+        {"k": pa.array(np.arange(n, dtype=np.int64) % 37),
+         "v": pa.array(np.arange(n, dtype=np.int64))}
+    )
+    path = str(tmp_path / "layout")
+    write_bucketed(rd.from_arrow(t), "k", path, num_buckets=8)
+    before = _read_layout(path)
+    n_frag = _fragment_layout(path)
+    assert n_frag == n  # one file per row now
+
+    res = compact_bucketed(path, target_rows_per_file=50)
+    assert res["buckets_compacted"] == 8
+    assert res["files_before"] == n
+    assert res["files_after"] < n / 5
+    after = _read_layout(path)
+    pd.testing.assert_frame_equal(
+        before[["k", "v"]], after[["k", "v"]], check_like=True
+    )
+    # second run is a no-op (idempotent resume)
+    res2 = compact_bucketed(path, target_rows_per_file=50)
+    assert res2["buckets_compacted"] == 0
+    # the layout still joins with zero shuffle
+    other = str(tmp_path / "other")
+    write_bucketed(rd.from_arrow(t.rename_columns(["k2", "w"])), "k2", other,
+                   num_buckets=8)
+    j = bucket_join_prebucketed(path, other).to_pandas()
+    assert len(j) > 0
+    # no stray tmp/old dirs
+    assert not glob.glob(os.path.join(path, "*.compact_*"))
+
+
+def test_compact_bucketed_bounded_concurrency_and_validation(ray_session, tmp_path):
+    import pytest as _pt
+
+    from rayraster.join import compact_bucketed, write_bucketed
+
+    t = pa.table(
+        {"k": pa.array(np.arange(60, dtype=np.int64) % 5),
+         "v": pa.array(np.arange(60, dtype=np.int64))}
+    )
+    path = str(tmp_path / "lay2")
+    write_bucketed(rd.from_arrow(t), "k", path, num_buckets=4)
+    _fragment_layout(path)
+    res = compact_bucketed(path, target_rows_per_file=100, concurrency=2)
+    assert res["buckets_compacted"] == 4
+    a = _read_layout(path).v.tolist()
+    assert a == list(range(60))
+    with _pt.raises(ValueError, match="target_rows_per_file"):
+        compact_bucketed(path, target_rows_per_file=0)
+    with _pt.raises(FileNotFoundError):
+        compact_bucketed(str(tmp_path / "not_a_layout"))
