@@ -42,6 +42,7 @@ scalar quantization, PCA/whitening), raster analytics (region labeling, zonal su
 perimeters, focal convolution, Sobel gradients, Horn hillshade,
 Getis-Ord Gi*, local/global Moran), column profiling, per-key EWMA,
 first-touch conversion funnels, PMI-ratio collocation mining,
+CDC upsert merge + bucketed-layout small-file compaction,
 CSV/JSONL sources and a spatiotemporal raster cube.
 
 None of the modules call ray.init(); the caller owns the Ray session.

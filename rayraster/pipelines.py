@@ -284,3 +284,82 @@ def merge_pixel_stores(
     with open(os.path.join(out_dir, "_SPEC.json"), "w") as f:
         json.dump(want, f)
     return result
+
+
+def upsert_latest(
+    snapshot: Dataset,
+    changes: Dataset,
+    key_col: str,
+    version_col: str,
+    tombstone_col: str | None = None,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Merge a change log into a snapshot (the CDC / SCD-type-1
+    compaction every incrementally-ingested 100-TB store needs): per
+    ``key_col``, keep the row with the HIGHEST ``version_col`` across
+    both inputs; at equal version the CHANGES side wins (a re-emitted
+    version is a correction).  Rows whose winning version carries a
+    true ``tombstone_col`` are deletions and drop out of the result.
+
+    Built on :func:`rayraster.agg.grouped_topk` (k=1): per-batch
+    partial argmax BEFORE the one hash-partition shuffle, so each
+    batch ships at most one row per key it contains — the change log
+    and the snapshot both stream; nothing lands on the driver.  The
+    order key is ``version·2 + source`` (source: snapshot=0,
+    changes=1), one int64 — versions must stay below 2^62 (raises
+    otherwise; epoch-micro versions are fine until year 75 000).
+
+    Ties beyond (version, source) — duplicate (key, version) rows
+    WITHIN one side — are resolved arbitrarily (pass a pre-deduped
+    change log, as every log-compaction contract requires).
+
+    Schemas must match; if only ``changes`` carries ``tombstone_col``,
+    the snapshot gets an all-false column.  Output columns = the input
+    columns (tombstone column included — callers auditing deletes can
+    read it; project it away otherwise).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from rayraster.agg import grouped_topk
+
+    if tombstone_col is not None:
+        snap_cols = set(snapshot.schema().names)
+        if tombstone_col not in snap_cols:
+            snapshot = snapshot.map_batches(
+                lambda t: t.append_column(
+                    tombstone_col, pa.array(np.zeros(t.num_rows, dtype=bool))
+                ),
+                batch_format="pyarrow",
+            )
+
+    _LIM = (2**63 - 2) // 2
+
+    def tag(src: int):
+        def _tag(t: pa.Table) -> pa.Table:
+            v = t[version_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if t.num_rows and (v.max() > _LIM or v.min() < 0):
+                raise ValueError(
+                    f"upsert_latest: {version_col} must be in [0, 2^62)"
+                )
+            return t.append_column("_ord", pa.array(v * 2 + src))
+
+        return _tag
+
+    combined = snapshot.map_batches(tag(0), batch_format="pyarrow").union(
+        changes.map_batches(tag(1), batch_format="pyarrow")
+    )
+    winners = grouped_topk(
+        combined, [key_col], "_ord", k=1, descending=True,
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_ord", "rnk"])
+        if tombstone_col is not None:
+            t = t.filter(
+                pc.invert(pc.fill_null(t[tombstone_col].cast(pa.bool_()), False))
+            )
+        return t
+
+    return winners.map_batches(finish, batch_format="pyarrow")

@@ -207,3 +207,86 @@ def test_rasterize_temporal_composes_extra_keys(ray_session):
         .groupby(["ix", "iy", "window", "src"])
         .size()
     )
+
+
+def _upsert_frames():
+    snap = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 4],
+            "version": [10, 10, 10, 10],
+            "val": ["a", "b", "c", "d"],
+        }
+    )
+    chg = pd.DataFrame(
+        {
+            "k": [2, 3, 3, 5, 4, 1],
+            "version": [11, 11, 12, 11, 10, 9],
+            "val": ["b2", "c2", "c3", "e", "d2", "a_old"],
+            "deleted": [False, False, False, False, False, False],
+        }
+    )
+    return snap, chg
+
+
+def test_upsert_latest_semantics(ray_session):
+    from rayraster.pipelines import upsert_latest
+
+    snap, chg = _upsert_frames()
+    out = (
+        upsert_latest(
+            rd.from_pandas(snap), rd.from_pandas(chg), "k", "version",
+            tombstone_col="deleted",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # k=1: change version 9 < snapshot 10 -> snapshot row survives
+    # k=2: change v11 wins; k=3: highest change v12 wins
+    # k=4: EQUAL version 10 -> changes side wins (correction semantics)
+    # k=5: pure insert
+    assert out.k.tolist() == [1, 2, 3, 4, 5]
+    assert out.val.tolist() == ["a", "b2", "c3", "d2", "e"]
+    assert out.version.tolist() == [10, 11, 12, 10, 11]
+
+
+def test_upsert_latest_tombstones_and_partition_invariance(ray_session):
+    from rayraster.pipelines import upsert_latest
+
+    snap, chg = _upsert_frames()
+    chg2 = chg.copy()
+    chg2.loc[chg2.k == 3, "deleted"] = True  # delete k=3 at its max version
+    a = (
+        upsert_latest(
+            rd.from_pandas(snap), rd.from_pandas(chg2), "k", "version",
+            tombstone_col="deleted",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert a.k.tolist() == [1, 2, 4, 5]
+    b = (
+        upsert_latest(
+            rd.from_pandas(snap).repartition(3),
+            rd.from_pandas(chg2).repartition(4),
+            "k", "version", tombstone_col="deleted", num_partitions=7,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_upsert_latest_version_bounds(ray_session):
+    import pytest
+
+    from rayraster.pipelines import upsert_latest
+
+    snap = pd.DataFrame({"k": [1], "version": [2**62], "val": ["x"]})
+    chg = pd.DataFrame({"k": [1], "version": [1], "val": ["y"]})
+    with pytest.raises(Exception, match="2\\^62"):
+        upsert_latest(
+            rd.from_pandas(snap), rd.from_pandas(chg), "k", "version"
+        ).to_pandas()
