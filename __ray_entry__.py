@@ -3156,8 +3156,16 @@ def _q_exact_quantiles(sf_dir: str):
     pass) must land within the digest's deterministic `err_bound()`
     of ceil(q·N) — a theorem on every merge schedule (Agarwal et al.,
     Mergeable Summaries), so `qd_ok` is deterministic even though the
-    digest's node set is not."""
-    from rayraster.agg import exact_quantiles, rank_interval
+    digest's node set is not.
+
+    Third arm (path='bins'): EQUI-DEPTH BINNING off the same exact
+    cut points (`agg.assign_equidepth_bins`, one map-only
+    searchsorted per batch — the feature-engineering discretizer);
+    the recorded rows are the per-bin populations (q = bin id,
+    value = count), which the twin recomputes with a CASE-sum over
+    the same quantile_disc cuts — strict `>` both sides, so
+    cut-equal values land identically."""
+    from rayraster.agg import assign_equidepth_bins, exact_quantiles, hash_aggregate, rank_interval
     from rayraster.sketch import build_qdigest
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
@@ -3168,19 +3176,48 @@ def _q_exact_quantiles(sf_dir: str):
     n, eb = qd.n, qd.err_bound()
     targets = np.maximum(1, np.ceil(np.array(_QUANTILE_QS) * n)).astype(np.int64)
     qd_ok = (lo - eb <= targets) & (targets <= hi + eb)
-    return pa.table(
+    exact = rd.from_arrow(pa.table(
         {"q": pa.array(list(_QUANTILE_QS), type=pa.float64()),
          "value": pa.array(vals, type=pa.float64()),
-         "qd_ok": pa.array(qd_ok, type=pa.bool_())}
+         "qd_ok": pa.array(qd_ok, type=pa.bool_()),
+         "path": pa.array(["exact"] * len(_QUANTILE_QS), type=pa.string())}
+    ))
+    binned = assign_equidepth_bins(ev, "value", vals)
+    bins = hash_aggregate(binned, ["bin"], count=True, num_partitions=4).map_batches(
+        lambda t: pa.table(
+            {"q": t["bin"].cast(pa.float64()),
+             "value": t["n"].cast(pa.float64()),
+             "qd_ok": pa.array(np.ones(t.num_rows, dtype=bool)),
+             "path": pa.array(["bins"] * t.num_rows, type=pa.string())}
+        ),
+        batch_format="pyarrow",
     )
+    return exact.union(bins)
 
 
 def _sql_exact_quantiles() -> str:
-    return "\nUNION ALL\n".join(
+    quant = "\nUNION ALL\n".join(
         f"SELECT {q!r} AS q, quantile_disc(value, {q!r}) AS value, "
-        f"TRUE AS qd_ok FROM events"
+        f"TRUE AS qd_ok, 'exact' AS path FROM events"
         for q in _QUANTILE_QS
     )
+    case_sum = " + ".join(
+        f"(CASE WHEN e.value > cuts.c{i} THEN 1 ELSE 0 END)"
+        for i in range(len(_QUANTILE_QS))
+    )
+    cut_cols = ", ".join(
+        f"quantile_disc(value, {q!r}) AS c{i}"
+        for i, q in enumerate(_QUANTILE_QS)
+    )
+    return f"""{quant}
+UNION ALL
+SELECT CAST(bin AS DOUBLE) AS q, CAST(COUNT(*) AS DOUBLE) AS value,
+       TRUE AS qd_ok, 'bins' AS path
+FROM (
+  WITH cuts AS (SELECT {cut_cols} FROM events)
+  SELECT {case_sum} AS bin FROM events e CROSS JOIN cuts
+)
+GROUP BY bin"""
 
 
 def _q_window(sf_dir: str):

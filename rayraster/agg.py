@@ -1207,3 +1207,36 @@ def rank_interval_grouped(
     hi = {key: acc[total + offs[i]:total + offs[i + 1]].copy()
           for i, key in enumerate(keys)}
     return lo, hi
+
+
+def assign_equidepth_bins(
+    ds: Dataset, value_col: str, cuts, bin_col: str = "bin"
+) -> Dataset:
+    """Equi-depth (quantile) binning: append ``bin_col`` = the number
+    of cut points STRICTLY below the value (``Σ value > cut`` — the
+    SQL-twin form; values equal to a cut fall in the lower bin, and
+    duplicate cuts from heavy repeated values collapse bins exactly
+    like the CASE-sum would).  With cuts from
+    :func:`exact_quantiles` this is the feature-engineering
+    discretizer (equal-population bins), map-only: one vectorized
+    ``searchsorted`` per batch against the broadcast cut vector — no
+    shuffle, composable with any downstream grouped aggregate.
+
+    ``cuts`` must be sorted ascending (raises otherwise)."""
+    import numpy as np
+
+    c = np.asarray(list(cuts), dtype=np.float64)
+    if len(c) == 0:
+        raise ValueError("assign_equidepth_bins: need at least one cut")
+    if np.any(np.diff(c) < 0):
+        raise ValueError("assign_equidepth_bins: cuts must be sorted ascending")
+
+    def assign(t: pa.Table) -> pa.Table:
+        x = t[value_col].to_numpy(zero_copy_only=False)
+        # searchsorted(side='left') = #cuts strictly below x; NaN/NULL
+        # values sort past every cut — mask them to bin -1
+        b = np.searchsorted(c, x, side="left").astype(np.int64)
+        b = np.where(np.isnan(x), np.int64(-1), b)
+        return t.append_column(bin_col, pa.array(b))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

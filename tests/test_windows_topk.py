@@ -710,3 +710,36 @@ def test_funnel_match_validations(ray_session):
         funnel_match(ds, [])
     with pytest.raises(ValueError, match="distinct"):
         funnel_match(ds, ["a", "a"])
+
+
+def test_assign_equidepth_bins_matches_brute(ray_session):
+    from rayraster.agg import assign_equidepth_bins
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=500).round(2)  # rounding forces duplicates
+    cuts = np.quantile(x, [0.25, 0.5, 0.75], method="lower")
+    ds = rd.from_pandas(pd.DataFrame({"value": x}))
+    out = assign_equidepth_bins(ds, "value", cuts).to_pandas()
+    want = np.array([(c < v).sum() for v, c in zip(out.value, [cuts] * len(out))])
+    assert (out.bin.to_numpy() == want).all()
+    # cut-equal values land in the LOWER bin (strict >)
+    eq = out[out.value == cuts[1]]
+    assert len(eq) > 0 and (eq.bin == 1).all()
+    # populations are near-equal (equi-depth)
+    counts = out.bin.value_counts()
+    assert counts.min() > 80
+
+
+def test_assign_equidepth_bins_nan_and_validations(ray_session):
+    import pytest as _pt
+
+    from rayraster.agg import assign_equidepth_bins
+
+    ds = rd.from_pandas(pd.DataFrame({"value": [1.0, np.nan, 3.0]}))
+    out = assign_equidepth_bins(ds, "value", [2.0]).to_pandas().sort_values("value")
+    assert out.bin.tolist()[:2] == [0, 1]
+    assert out[out.value.isna()].bin.tolist() == [-1]
+    with _pt.raises(ValueError, match="at least one"):
+        assign_equidepth_bins(ds, "value", [])
+    with _pt.raises(ValueError, match="sorted"):
+        assign_equidepth_bins(ds, "value", [3.0, 1.0])
