@@ -363,3 +363,91 @@ def upsert_latest(
         return t
 
     return winners.map_batches(finish, batch_format="pyarrow")
+
+
+def diff_snapshots(
+    old: Dataset,
+    new: Dataset,
+    key_col: str,
+    compare_cols: list[str],
+    num_partitions: int = 64,
+    include_unchanged: bool = False,
+) -> Dataset:
+    """Structural diff of two snapshot tables by key — the audit pass
+    behind every incremental-ingest pipeline (validate yesterday's
+    store + today's changes == today's store; see
+    :func:`upsert_latest`): one FULL-OUTER
+    :func:`rayraster.join.bucket_join` (hash-partitioned, both sides
+    stream), then a map-only per-row classification:
+
+    * ``added``     — key only in ``new``
+    * ``removed``   — key only in ``old``
+    * ``changed``   — key in both, any ``compare_cols`` value differs
+      (NULL-safe: NULL↔value counts as a change, NULL↔NULL does not)
+    * ``unchanged`` — key in both, all equal (emitted only with
+      ``include_unchanged=True``; at 100 TB the diff output should be
+      the CHANGE set, not a copy of the store)
+
+    Output: ``key, change, old_<c>…, new_<c>…``.  Keys must be unique
+    per side (snapshot semantics; duplicate keys produce a row per
+    pair, as SQL would).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from rayraster.join import bucket_join
+
+    if not compare_cols:
+        raise ValueError("diff_snapshots: need at least one compare column")
+
+    def prep(side: str):
+        def _p(t: pa.Table) -> pa.Table:
+            cols = {f"{side}_key": t[key_col], f"_{side}p": pa.array(
+                np.ones(t.num_rows, dtype=bool))}
+            for c in compare_cols:
+                cols[f"{side}_{c}"] = t[c]
+            return pa.table(cols)
+
+        return _p
+
+    o = old.map_batches(prep("old"), batch_format="pyarrow", zero_copy_batch=True)
+    n = new.map_batches(prep("new"), batch_format="pyarrow", zero_copy_batch=True)
+    j = bucket_join(
+        o, n, "old_key", "new_key", num_buckets=num_partitions, join_type="full"
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {key_col: pa.array([], type=pa.int64()),
+                 "change": pa.array([], type=pa.string()),
+                 **{f"old_{c}": pa.array([], type=pa.null()) for c in compare_cols},
+                 **{f"new_{c}": pa.array([], type=pa.null()) for c in compare_cols}}
+            )
+        lp = pc.fill_null(t["_oldp"], False).to_numpy(zero_copy_only=False)
+        rp = pc.fill_null(t["_newp"], False).to_numpy(zero_copy_only=False)
+        differs = np.zeros(t.num_rows, dtype=bool)
+        for c in compare_cols:
+            a, b = t[f"old_{c}"], t[f"new_{c}"]
+            an = pc.is_null(a).to_numpy(zero_copy_only=False)
+            bn = pc.is_null(b).to_numpy(zero_copy_only=False)
+            ne = pc.fill_null(pc.not_equal(a, b), False).to_numpy(
+                zero_copy_only=False
+            )
+            differs |= ne | (an != bn)
+        change = np.where(
+            ~lp, "added", np.where(~rp, "removed",
+                                   np.where(differs, "changed", "unchanged"))
+        )
+        # full-outer pa.Table.join coalesces the key columns into the
+        # left key name — right-only rows carry it too
+        out = {key_col: t["old_key"], "change": pa.array(change)}
+        for c in compare_cols:
+            out[f"old_{c}"] = t[f"old_{c}"]
+            out[f"new_{c}"] = t[f"new_{c}"]
+        tbl = pa.table(out)
+        if not include_unchanged:
+            tbl = tbl.filter(pc.not_equal(tbl["change"], "unchanged"))
+        return tbl
+
+    return j.map_batches(classify, batch_format="pyarrow")

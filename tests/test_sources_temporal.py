@@ -290,3 +290,69 @@ def test_upsert_latest_version_bounds(ray_session):
         upsert_latest(
             rd.from_pandas(snap), rd.from_pandas(chg), "k", "version"
         ).to_pandas()
+
+
+def test_diff_snapshots_matrix(ray_session):
+    from rayraster.pipelines import diff_snapshots
+
+    old = pd.DataFrame(
+        {"k": [1, 2, 3, 4], "v": [10.0, 20.0, 30.0, np.nan], "s": ["a", "b", "c", "d"]}
+    )
+    new = pd.DataFrame(
+        {"k": [2, 3, 4, 5], "v": [20.0, 31.0, np.nan, 50.0], "s": ["b", "c", "d", "e"]}
+    )
+    out = (
+        diff_snapshots(rd.from_pandas(old), rd.from_pandas(new), "k", ["v", "s"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # k=1 removed; k=2 unchanged (dropped); k=3 changed (v 30->31);
+    # k=4 unchanged (NaN==NaN treated as no change); k=5 added
+    assert out.k.tolist() == [1, 3, 5]
+    assert out.change.tolist() == ["removed", "changed", "added"]
+    chg = out[out.k == 3].iloc[0]
+    assert (chg.old_v, chg.new_v) == (30.0, 31.0)
+
+
+def test_diff_snapshots_null_transitions_and_unchanged(ray_session):
+    from rayraster.pipelines import diff_snapshots
+
+    old = pd.DataFrame({"k": [1, 2], "v": [np.nan, 5.0]})
+    new = pd.DataFrame({"k": [1, 2], "v": [7.0, 5.0]})
+    out = (
+        diff_snapshots(
+            rd.from_pandas(old), rd.from_pandas(new), "k", ["v"],
+            include_unchanged=True,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out.change.tolist() == ["changed", "unchanged"]  # NULL->value = change
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="compare column"):
+        diff_snapshots(rd.from_pandas(old), rd.from_pandas(new), "k", [])
+
+
+def test_diff_snapshots_partition_invariance(ray_session):
+    from rayraster.pipelines import diff_snapshots
+
+    rng = np.random.default_rng(4)
+    old = pd.DataFrame({"k": np.arange(200), "v": rng.integers(0, 5, 200)})
+    new = pd.DataFrame({"k": np.arange(50, 250), "v": rng.integers(0, 5, 200)})
+    a = (
+        diff_snapshots(rd.from_pandas(old), rd.from_pandas(new), "k", ["v"])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    b = (
+        diff_snapshots(
+            rd.from_pandas(old).repartition(7), rd.from_pandas(new).repartition(3),
+            "k", ["v"], num_partitions=13,
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a[a.k < 50].change) == {"removed"}
+    assert set(a[a.k >= 200].change) == {"added"}
