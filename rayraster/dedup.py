@@ -1262,3 +1262,77 @@ def ngram_jaccard_pairs(
         batch_format="pyarrow",
         concurrency=(1, 2),
     )
+
+
+def leakage_safe_split(
+    docs: Dataset,
+    clusters: Dataset,
+    id_col: str = "doc_id",
+    val_num: int = 100_000,
+    rate_den: int = 1000003,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Near-dup-aware train/validation split: the split decision is a
+    deterministic hash of the document's NEAR-DUP CLUSTER label, so
+    every member of a cluster lands on the SAME side — the leakage
+    guard every LLM eval needs (a val doc whose near-duplicate sits in
+    train is a contaminated eval point; Lee et al. 2021 §5 measure
+    exactly this inflation).  Documents in no cluster are singletons
+    (cluster = own id).
+
+    ``clusters`` is the (node, cluster) Dataset from
+    :func:`connected_components` / :func:`connected_components_distributed`
+    over any near-dup pair table (MinHash/SimHash/embedding/Hamming).
+    The split keeps the repo's sampling contract: side = ``val`` iff
+    ``(cluster · 2654435761) % rate_den < val_num`` — the same
+    chunk/cluster-size-invariant id arithmetic as
+    :func:`rayraster.agg.deterministic_sample`, exactly reproducible
+    in SQL.  Expected val fraction = ``val_num / rate_den`` of
+    CLUSTERS (not docs — a giant cluster moves as one unit, which is
+    the point).
+
+    Plan: one hash-partitioned LEFT :func:`rayraster.join.bucket_join`
+    (docs ⨝ clusters on id; both sides stream) + a map-only flag —
+    adds exactly one exchange to whatever produced the pairs.
+    Returns the docs with ``cluster`` and ``split`` columns.
+    """
+    from rayraster.agg import _sample_hash
+    from rayraster.join import bucket_join
+
+    doc_schema = docs.schema()
+    names = list(doc_schema.names)
+    if "cluster" in names or "split" in names:
+        raise ValueError("docs already carry a cluster/split column")
+    cl = clusters.map_batches(
+        lambda t: pa.table({id_col: t["node"], "cluster": t["cluster"]}),
+        batch_format="pyarrow",
+    )
+    cl_schema = pa.schema([(id_col, pa.int64()), ("cluster", pa.int64())])
+    joined = bucket_join(
+        docs, cl, id_col, id_col, num_buckets=num_partitions,
+        join_type="left",
+        left_schema=doc_schema.base_schema if hasattr(doc_schema, "base_schema")
+        else None,
+        right_schema=cl_schema,
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        cluster = pc.fill_null(t["cluster"], pa.scalar(None)).to_numpy(
+            zero_copy_only=False
+        )
+        # singletons: cluster = own id
+        cl_eff = np.where(
+            pc.is_null(t["cluster"]).to_numpy(zero_copy_only=False), ids, cluster
+        ).astype(np.int64)
+        is_val = _sample_hash(cl_eff, rate_den) < np.int64(val_num)
+        out = t.drop_columns(["cluster"]).append_column(
+            "cluster", pa.array(cl_eff)
+        )
+        return out.append_column(
+            "split", pa.array(np.where(is_val, "val", "train"))
+        )
+
+    return joined.map_batches(flag, batch_format="pyarrow")

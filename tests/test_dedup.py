@@ -455,3 +455,59 @@ def test_paragraph_dedup_null_and_empty_text(ray_session):
         .to_pandas().sort_values("doc_id")
     )
     assert dict(zip(got.doc_id, got.text)) == {1: "", 3: "real"}
+
+
+def test_leakage_safe_split_keeps_clusters_together(ray_session):
+    from rayraster.dedup import connected_components_distributed, leakage_safe_split
+
+    # pairs chain 0-1-2, pair 10-11; singletons elsewhere
+    pairs = rd.from_pandas(
+        pd.DataFrame({"a": [0, 1, 10], "b": [1, 2, 11]})
+    )
+    clusters = connected_components_distributed(pairs, num_partitions=8)
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                      "text": [f"t{i}" for i in range(40)]})
+    )
+    out = (
+        leakage_safe_split(docs, clusters, val_num=300000, num_partitions=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 40
+    # cluster members share the split AND the cluster label
+    g1 = out[out.doc_id.isin([0, 1, 2])]
+    assert g1.cluster.nunique() == 1 and g1.split.nunique() == 1
+    g2 = out[out.doc_id.isin([10, 11])]
+    assert g2.cluster.nunique() == 1 and g2.split.nunique() == 1
+    # singletons: cluster = own id
+    single = out[~out.doc_id.isin([0, 1, 2, 10, 11])]
+    assert (single.cluster == single.doc_id).all()
+    # split is the documented pure function of the cluster id
+    h = (out.cluster.to_numpy() * 2654435761) % 1000003
+    assert (out.split.to_numpy() == np.where(h < 300000, "val", "train")).all()
+    # both sides populated at this rate
+    assert set(out.split) == {"train", "val"}
+
+
+def test_leakage_safe_split_partition_invariant_and_validations(ray_session):
+    import pytest
+
+    from rayraster.dedup import leakage_safe_split
+
+    clusters = rd.from_pandas(pd.DataFrame({"node": [1, 2], "cluster": [1, 1]}))
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(20, dtype=np.int64)})
+    )
+    a = leakage_safe_split(docs, clusters, num_partitions=4).to_pandas()
+    b = leakage_safe_split(
+        docs.repartition(5), clusters, num_partitions=16
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+    bad = rd.from_pandas(pd.DataFrame({"doc_id": [1], "split": ["x"]}))
+    with pytest.raises(ValueError, match="already carry"):
+        leakage_safe_split(bad, clusters)
