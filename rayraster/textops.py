@@ -2545,3 +2545,172 @@ def ray_data_from_table(t: pa.Table):
     import ray.data as _rd
 
     return _rd.from_arrow(t)
+
+
+def build_positional_index(
+    docs,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> str:
+    """Persisted POSITIONAL inverted index: every ``(word, doc_id,
+    pos)`` occurrence (pos = 0-based token index within the doc),
+    hash-bucketed by word into the same
+    :func:`rayraster.join.write_bucketed` layout as
+    :func:`build_inverted_index` — the storage that makes PHRASE
+    queries (:func:`phrase_search`) a bucket-pruned read instead of a
+    corpus scan.  ~tokens rows instead of distinct pairs; positions
+    are what Lucene calls the ``positions`` posting payload.
+
+    Emission is fully vectorized: one flat-token pass per batch, token
+    positions from the doc-segment offsets (no per-row Python)."""
+    from rayraster.join import write_bucketed
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"word": pa.array([], type=pa.string()),
+             id_col: pa.array([], type=pa.int64()),
+             "pos": pa.array([], type=pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        flat, doc = _split_words_flat(_combined(pc.fill_null(batch[text_col], "")))
+        n = len(flat)
+        if n == 0:
+            return empty
+        first = np.ones(n, dtype=bool)
+        first[1:] = doc[1:] != doc[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        starts = np.maximum.accumulate(np.where(first, idx, 0))
+        return pa.table(
+            {"word": flat, id_col: pa.array(ids[doc]),
+             "pos": pa.array(idx - starts)}
+        )
+
+    occ = docs.map_batches(
+        occurrences, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return write_bucketed(occ, "word", path, num_buckets=num_buckets)
+
+
+def phrase_search(
+    path: str,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    num_partitions: int = 8,
+):
+    """Exact phrase retrieval over a :func:`build_positional_index`
+    layout: docs containing the words of ``phrase`` CONSECUTIVELY, in
+    order.  Returns a Dataset of ``(doc_id, n_hits)`` (n_hits =
+    distinct anchor positions; overlapping matches each count).
+
+    Anchor algebra (the classic positional-postings plan): a posting
+    ``(w, doc, p)`` supports phrase offset ``i`` iff ``w ==
+    phrase[i]``, contributing the anchor ``p − i``; a doc matches at
+    anchor ``a`` iff all ``len(phrase)`` offsets contributed ``(doc,
+    a)``.  Each (doc, anchor, i) triple is unique by construction, so
+    the match test is ONE count per (doc, anchor) — no distinct pass.
+
+    Reads ONLY the bucket dirs the phrase's distinct words hash to
+    (term filter pushed into the parquet read, like
+    :func:`search_index`), then ONE hash-partition exchange keyed by
+    doc — anchors of a doc co-locate, and the per-partition finish is
+    a vectorized lexsort + run-length pass."""
+    import glob as _glob
+    import os
+
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+
+    from rayraster.join import _read_bucket_manifest, key_bucket
+
+    if len(phrase) < 2:
+        raise ValueError("phrase_search: need at least two words")
+    m = _read_bucket_manifest(path)
+    B = m["num_buckets"]
+    written = set(m.get("buckets_written", []))
+    terms = sorted(set(phrase))
+    buckets = sorted(
+        set(int(b) for b in key_bucket(pa.array(terms, type=pa.string()), B))
+        & written
+    )
+    files = [
+        f
+        for b in buckets
+        for f in sorted(_glob.glob(os.path.join(path, f"_bucket={b}", "*.parquet")))
+    ]
+    empty = pa.table(
+        {id_col: pa.array([], type=pa.int64()),
+         "n_hits": pa.array([], type=pa.int64())}
+    )
+    if not files:
+        return rd.from_arrow(empty)
+    hits = rd.read_parquet(
+        files,
+        columns=["word", id_col, "pos"],
+        filter=pads.field("word").isin(terms),
+    )
+    L = len(phrase)
+    offsets_of = {}  # word -> [phrase offsets]
+    for i, w in enumerate(phrase):
+        offsets_of.setdefault(w, []).append(i)
+
+    def anchors(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], type=pa.int64()),
+                 "anchor": pa.array([], type=pa.int64()),
+                 "_part": pa.array([], type=pa.int64())}
+            )
+        doc = t[id_col].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        parts = []
+        for w, offs in offsets_of.items():
+            mask = pc.equal(t["word"], w).to_numpy(zero_copy_only=False)
+            if not mask.any():
+                continue
+            d, p = doc[mask], pos[mask]
+            for i in offs:
+                a = p - i
+                keep = a >= 0
+                parts.append((d[keep], a[keep]))
+        if not parts:
+            return pa.table(
+                {id_col: pa.array([], type=pa.int64()),
+                 "anchor": pa.array([], type=pa.int64()),
+                 "_part": pa.array([], type=pa.int64())}
+            )
+        dd = np.concatenate([x for x, _ in parts])
+        aa = np.concatenate([y for _, y in parts])
+        part = np.abs(dd * np.int64(1000003)) % np.int64(num_partitions)
+        return pa.table(
+            {id_col: pa.array(dd), "anchor": pa.array(aa), "_part": pa.array(part)}
+        )
+
+    def finish(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["_part"])
+        if part.num_rows == 0:
+            return empty
+        d = part[id_col].to_numpy(zero_copy_only=False)
+        a = part["anchor"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((a, d))
+        d, a = d[order], a[order]
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (d[1:] != d[:-1]) | (a[1:] != a[:-1])
+        grp = np.cumsum(new) - 1
+        counts = np.bincount(grp)
+        full = counts == L  # all offsets present at this anchor
+        gd = d[new]  # one doc id per (doc, anchor) group
+        hit_docs = gd[full]
+        if len(hit_docs) == 0:
+            return empty
+        uniq, n_hits = np.unique(hit_docs, return_counts=True)
+        return pa.table(
+            {id_col: pa.array(uniq), "n_hits": pa.array(n_hits.astype(np.int64))}
+        )
+
+    cand = hits.map_batches(anchors, batch_format="pyarrow", zero_copy_batch=True)
+    return cand.groupby("_part").map_groups(finish, batch_format="pyarrow")

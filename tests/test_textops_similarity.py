@@ -1295,3 +1295,69 @@ def test_sq_degenerate_dims_and_empty(ray_session):
 
     with _pt.raises(ValueError, match="empty"):
         sq_train(rd.from_arrow(t.slice(0, 0)))
+
+
+def _phrase_brute(df, phrase):
+    out = {}
+    for r in df.itertuples():
+        words = r.text.split()
+        n = 0
+        for a in range(len(words) - len(phrase) + 1):
+            if words[a:a + len(phrase)] == phrase:
+                n += 1
+        if n:
+            out[r.doc_id] = n
+    return out
+
+
+def test_phrase_search_matches_brute(ray_session, tmp_path):
+    from rayraster.textops import build_positional_index, phrase_search
+
+    rng = np.random.default_rng(8)
+    vocab = ["red", "green", "blue", "fox", "dog"]
+    docs = []
+    for d in range(60):
+        words = list(rng.choice(vocab, size=30))
+        if d % 4 == 0:
+            words[5:7] = ["green", "fox"]
+        docs.append({"doc_id": d, "text": " ".join(words)})
+    df = pd.DataFrame(docs)
+    path = str(tmp_path / "pos_idx")
+    build_positional_index(rd.from_pandas(df), path, num_buckets=8)
+    got = (
+        phrase_search(path, ["green", "fox"], num_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = _phrase_brute(df, ["green", "fox"])
+    assert dict(zip(got.doc_id, got.n_hits)) == want
+    assert len(want) >= 15  # the planted phrase is found
+
+
+def test_phrase_search_overlaps_repeats_and_edges(ray_session, tmp_path):
+    from rayraster.textops import build_positional_index, phrase_search
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a a a b",      # phrase (a,a): anchors 0,1 -> 2 overlapping hits
+                "a b a",        # no consecutive pair
+                "x y",          # terms absent
+                "a a",          # exactly one hit
+            ],
+        }
+    )
+    path = str(tmp_path / "pos_idx2")
+    build_positional_index(rd.from_pandas(df), path, num_buckets=4)
+    got = (
+        phrase_search(path, ["a", "a"], num_partitions=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert dict(zip(got.doc_id, got.n_hits)) == {0: 2, 3: 1}
+    # three-word phrase across the same corpus
+    got3 = phrase_search(path, ["a", "a", "a"], num_partitions=2).to_pandas()
+    assert dict(zip(got3.doc_id, got3.n_hits)) == {0: 1}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="two words"):
+        phrase_search(path, ["solo"])
