@@ -586,6 +586,24 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Compact a write_bucketed layout's small files in place (table
+    maintenance after incremental ingests)."""
+    from rayraster.join import compact_bucketed
+
+    _init_ray(args.num_cpus)
+    try:
+        res = compact_bucketed(
+            args.layout, target_rows_per_file=args.target_rows,
+            concurrency=args.concurrency,
+        )
+    except FileNotFoundError:
+        print(f"{args.layout} is not a write_bucketed layout", file=sys.stderr)
+        return 2
+    print(json.dumps({"layout": args.layout, **res}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rayraster")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -719,6 +737,12 @@ def main(argv=None) -> int:
     pf.add_argument("--columns", required=True, help="comma-separated column list")
     pf.add_argument("--distinct", default="exact", choices=["exact", "approx", "none"])
     pf.set_defaults(fn=cmd_profile)
+
+    cp = sub.add_parser("compact", help="compact a bucketed layout's small files")
+    cp.add_argument("--layout", required=True, help="write_bucketed dir")
+    cp.add_argument("--target-rows", type=int, default=1_000_000)
+    cp.add_argument("--concurrency", type=int, default=None)
+    cp.set_defaults(fn=cmd_compact)
 
     g = sub.add_parser("plot", help="render a pixel table to PNG")
     g.add_argument("--pixels", required=True)

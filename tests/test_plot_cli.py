@@ -608,3 +608,70 @@ def test_cli_profile(tmp_path):
                              "min_v": "0", "max_v": "299"}
     assert out["lang"] == {"n": 300, "nulls": 100, "n_distinct": 2,
                            "min_v": "en", "max_v": "fr"}
+
+
+def test_cli_compact(ray_session, tmp_path):
+    import glob as _glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from rayraster.join import write_bucketed
+
+    t = pa.table({"k": pa.array(np.arange(120, dtype=np.int64) % 9),
+                  "v": pa.array(np.arange(120, dtype=np.int64))})
+    layout = str(tmp_path / "lay")
+    write_bucketed(rd.from_arrow(t), "k", layout, num_buckets=4)
+    # fragment: one row per file
+    for bdir in _glob.glob(os.path.join(layout, "_bucket=*")):
+        for f in _glob.glob(os.path.join(bdir, "*.parquet")):
+            tt = pq.read_table(f)
+            os.remove(f)
+            for i in range(tt.num_rows):
+                pq.write_table(tt.slice(i, 1), os.path.join(bdir, f"f{i:04d}.parquet"))
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "compact", "--layout", layout, "--target-rows", "1000"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["buckets_compacted"] == 4
+    assert out["files_before"] == 120 and out["files_after"] == 4
+    rows = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(
+            _glob.glob(os.path.join(layout, "_bucket=*", "*.parquet")))]
+    )
+    assert sorted(rows["v"].to_pylist()) == list(range(120))
+
+
+def test_incremental_ingest_example(tmp_path):
+    """The examples/ table-ops composition runs end-to-end with exact
+    bookkeeping: day1 = day0 + inserts - deletes; the diff counts are
+    closed-form functions of the change-log construction."""
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    rows = 5000
+    r = subprocess.run(
+        [sys.executable, "/root/repo/examples/incremental_ingest.py",
+         "--rows", str(rows), "--num-cpus", "4", "--out", str(tmp_path / "ing")],
+        capture_output=True, text=True, env=env, timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    n_upd = len([i for i in range(rows) if i % 7 == 0])
+    n_del = len([i for i in range(rows) if i % 131 == 0])
+    n_both = len([i for i in range(rows) if i % 7 == 0 and i % 131 == 0])
+    n_ins = rows // 10
+    assert s["day1_rows"] == rows + n_ins - n_del
+    assert s["diff"] == {
+        "added": n_ins, "removed": n_del, "changed": n_upd - n_both,
+    }
+    assert s["compact"]["buckets_compacted"] == 1
+    assert s["compact"]["files_after"] < s["compact"]["files_before"]
+    assert s["split"]["train"] + s["split"]["val"] == s["day1_rows"]
