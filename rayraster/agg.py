@@ -1240,3 +1240,97 @@ def assign_equidepth_bins(
         return t.append_column(bin_col, pa.array(b))
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_variance(
+    ds: Dataset,
+    keys: Sequence[str],
+    value_col: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-group mean / population variance / population stddev from
+    the algebraic (n, Σx, Σx²) decomposition — the mergeable moments
+    every feature-statistics pass needs, riding the SAME partial →
+    shuffle → fold plan as :func:`hash_aggregate` (the squares column
+    is added map-only before the exchange, so this costs exactly one
+    grouped-sum exchange).
+
+    Exactness contract (this module's twin rule): for INTEGER values
+    the sums are exact int64 and every output is ONE fixed-order
+    float expression —
+
+        mean = Σx / n
+        var  = (n·Σx² − (Σx)²) / n²          (population)
+        std  = sqrt(var)                      (sqrt is libm-bit-exact)
+
+    — reproducible bit-for-bit in SQL from the same BIGINT sums
+    (pytest-pinned).  ``n·Σx²`` and ``(Σx)²`` must stay below 2^63
+    (checked per batch in Python ints; raise → pre-scale or shard).
+    Float inputs work but carry the usual order-dependent-summation
+    caveat (pyarrow's grouped sum order is deterministic per plan, not
+    per algebra).
+
+    Returns one row per key: ``[*keys, n, sum_v, sumsq_v, mean, var,
+    std]``."""
+    import pyarrow.compute as pc
+
+    keys = list(keys)
+
+    def add_sq(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        if pa.types.is_integer(v.type):
+            x = v.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if len(x):
+                m = max(abs(int(x.max())), abs(int(x.min())))
+                if m * m > 2**63 - 1:
+                    raise ValueError(
+                        "grouped_variance: value² exceeds int64 — pre-scale"
+                    )
+            sq = pa.array(x * x)
+        else:
+            sq = pc.multiply(v, v)
+        return pa.table({**{k: t[k] for k in keys}, value_col: v, "_sq": sq})
+
+    prepped = ds.map_batches(add_sq, batch_format="pyarrow", zero_copy_batch=True)
+    agg = hash_aggregate(
+        prepped, keys, sum_cols=[value_col, "_sq"], count=True,
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx_col = t[f"sum_{value_col}"]
+        sx = sx_col.to_numpy(zero_copy_only=False)
+        sx2 = t["sum__sq"].to_numpy(zero_copy_only=False)
+        if pa.types.is_integer(sx_col.type) and len(n):
+            ni = t["n"].to_numpy(zero_copy_only=False)
+            if (
+                max(int(np.abs(sx2).max()) * int(ni.max()), int(np.abs(sx).max()) ** 2)
+                > 2**63 - 1
+            ):
+                raise ValueError(
+                    "grouped_variance: n·Σx² exceeds int64 — pre-scale"
+                )
+            num = ni * sx2 - sx * sx  # exact int64 (guarded above)
+            nf = ni.astype(np.float64)
+            # denominator in float (n² would wrap int64 past n ~ 3e9;
+            # n < 2^53 keeps nf*nf == n² exactly — same as the twin's
+            # CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+            var = num.astype(np.float64) / (nf * nf)
+            mean = sx.astype(np.float64) / nf
+        else:
+            var = (n * sx2 - sx * sx) / (n * n)
+            mean = sx / n
+        return pa.table(
+            {
+                **{k: t[k] for k in keys},
+                "n": t["n"],
+                f"sum_{value_col}": sx_col,
+                f"sumsq_{value_col}": t["sum__sq"],
+                "mean": pa.array(mean),
+                "var": pa.array(var),
+                "std": pa.array(np.sqrt(np.maximum(var, 0.0))),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

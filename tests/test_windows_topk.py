@@ -743,3 +743,54 @@ def test_assign_equidepth_bins_nan_and_validations(ray_session):
         assign_equidepth_bins(ds, "value", [])
     with _pt.raises(ValueError, match="sorted"):
         assign_equidepth_bins(ds, "value", [3.0, 1.0])
+
+
+def test_grouped_variance_matches_duckdb_twin_bit_exact(ray_session):
+    import duckdb
+
+    from rayraster.agg import grouped_variance
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame(
+        {"g": rng.integers(0, 7, 800), "v": rng.integers(-500, 500, 800)}
+    )
+    got = (
+        grouped_variance(rd.from_pandas(df), ["g"], "v", num_partitions=5)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    ora = duckdb.sql(
+        """WITH s AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sx,
+         CAST(SUM(v*v) AS BIGINT) AS sx2
+  FROM df GROUP BY g)
+SELECT g, n, sx, sx2,
+  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+  CAST(n*sx2 - sx*sx AS DOUBLE)
+    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var,
+  sqrt(CAST(n*sx2 - sx*sx AS DOUBLE)
+    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std
+FROM s ORDER BY g"""
+    ).df()
+    for c, o in [("n", "n"), (f"sum_v", "sx"), ("sumsq_v", "sx2"),
+                 ("mean", "mean"), ("var", "var"), ("std", "std")]:
+        assert (got[c].to_numpy() == ora[o].to_numpy()).all(), c
+    # sanity vs numpy population variance
+    for g, grp in df.groupby("g"):
+        row = got[got.g == g].iloc[0]
+        assert abs(row["var"] - grp.v.to_numpy().var()) < 1e-9
+
+
+def test_grouped_variance_floats_and_overflow_guard(ray_session):
+    import pytest as _pt
+
+    from rayraster.agg import grouped_variance
+
+    df = pd.DataFrame({"g": [0, 0, 1], "v": [1.5, 2.5, 4.0]})
+    out = grouped_variance(rd.from_pandas(df), ["g"], "v").to_pandas()
+    r0 = out[out.g == 0].iloc[0]
+    assert abs(r0["var"] - 0.25) < 1e-12 and r0["mean"] == 2.0
+    r1 = out[out.g == 1].iloc[0]
+    assert r1["var"] == 0.0 and r1["std"] == 0.0
+    big = pd.DataFrame({"g": [0], "v": np.array([2**32], dtype=np.int64)})
+    with _pt.raises(Exception, match="int64"):
+        grouped_variance(rd.from_pandas(big), ["g"], "v").to_pandas()
