@@ -2714,3 +2714,47 @@ def phrase_search(
 
     cand = hits.map_batches(anchors, batch_format="pyarrow", zero_copy_batch=True)
     return cand.groupby("_part").map_groups(finish, batch_format="pyarrow")
+
+
+def oov_rate(
+    docs,
+    vocab,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document out-of-vocabulary rate against a fixed vocabulary
+    — the tokenizer-coverage audit run before committing a trained
+    vocab (docs with high OOV either need the vocab extended or get
+    filtered).  MAP-ONLY: the vocab ships once via ``ray.put`` (the
+    small side of a broadcast join, never per batch), each batch does
+    one flat-token pass + one C++ ``is_in`` hash probe + one bincount
+    — no shuffle, no driver state.
+
+    Returns ``(doc_id, n_tokens, n_oov, oov_frac)`` per doc;
+    ``oov_frac`` = n_oov/n_tokens as one IEEE division (0.0 for empty
+    docs).  Tokenization is the module's shared ``\\s+`` RE2 rule."""
+    import ray as _ray
+
+    varr = pa.array(sorted(set(vocab)), type=pa.string())
+    if len(varr) == 0:
+        raise ValueError("oov_rate: vocabulary is empty")
+    vref = _ray.put(varr)
+
+    def score(batch: pa.Table) -> pa.Table:
+        vs = _ray.get(vref) if isinstance(vref, _ray.ObjectRef) else vref
+        ids = batch[id_col]
+        nrows = batch.num_rows
+        flat, doc = _split_words_flat(_combined(pc.fill_null(batch[text_col], "")))
+        total = np.bincount(doc, minlength=nrows).astype(np.int64)
+        if len(flat):
+            known = pc.is_in(flat, value_set=vs).to_numpy(zero_copy_only=False)
+            oov = np.bincount(doc[~known], minlength=nrows).astype(np.int64)
+        else:
+            oov = np.zeros(nrows, dtype=np.int64)
+        frac = np.where(total > 0, oov / np.maximum(total, 1), 0.0)
+        return pa.table(
+            {id_col: ids, "n_tokens": pa.array(total), "n_oov": pa.array(oov),
+             "oov_frac": pa.array(frac)}
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -1361,3 +1361,46 @@ def test_phrase_search_overlaps_repeats_and_edges(ray_session, tmp_path):
 
     with _pt.raises(ValueError, match="two words"):
         phrase_search(path, ["solo"])
+
+
+def test_oov_rate_matches_reference(ray_session):
+    from rayraster.textops import oov_rate
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b c d", "a a zz", "", "qq ww ee"],
+        }
+    )
+    vocab = ["a", "b", "c"]
+    out = (
+        oov_rate(rd.from_pandas(df), vocab)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.n_tokens.tolist() == [4, 3, 0, 3]
+    assert out.n_oov.tolist() == [1, 1, 0, 3]
+    assert out.oov_frac.tolist() == [0.25, 1 / 3, 0.0, 1.0]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty"):
+        oov_rate(rd.from_pandas(df), [])
+
+
+def test_oov_rate_composes_with_trained_vocab(ray_session):
+    from rayraster.textops import oov_rate, vocab_topk
+
+    rng = np.random.default_rng(12)
+    words = [f"w{i}" for i in range(50)]
+    docs = pd.DataFrame(
+        {"doc_id": range(30),
+         "text": [" ".join(rng.choice(words, 40)) for _ in range(30)]}
+    )
+    ds = rd.from_pandas(docs)
+    top = vocab_topk(ds, k=25).to_pandas()
+    out = oov_rate(ds, top.word.tolist()).to_pandas()
+    # every doc's oov fraction is a real fraction of its 40 tokens
+    assert ((out.n_oov <= out.n_tokens) & (out.n_tokens == 40)).all()
+    brute_total = sum(
+        1 for t in docs.text for w in t.split() if w not in set(top.word)
+    )
+    assert out.n_oov.sum() == brute_total
