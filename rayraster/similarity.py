@@ -1198,3 +1198,103 @@ def sq_search(
 
     cand = codes.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return _final_topk(_collect_candidates(cand, id_col, k=k), k, id_col)
+
+
+def semantic_neardup_pairs(
+    ds: Dataset,
+    threshold: float = 0.95,
+    n_clusters: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 65536,
+    max_cluster: int = 100_000,
+) -> Dataset:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
+    2023, arXiv:2303.09540): spherical k-means the embeddings, then
+    compare ONLY within each cluster — cosine ≥ ``threshold`` pairs
+    come out as ``(a, b)`` with a < b, ready for the repo's connected
+    -components → keep-list chain (same contract as
+    ``dedup.minhash_lsh_pairs``).
+
+    Candidate generation is the cluster assignment (map-only, the
+    centroid matrix broadcast once); the pairwise work is per-cluster
+    — O(Σ c_i²) instead of O(n²), the published method's trade.
+    APPROXIMATE by design: a pair straddling a cluster boundary is
+    missed, exactly like an LSH band miss; raise ``n_clusters`` or the
+    ``threshold`` family for tighter recall.
+
+    Distribution: centroids from the bounded deterministic sample
+    (:func:`kmeans_centroids`), ONE cluster-keyed exchange, per-cluster
+    blockwise X·Xᵀ (vectorized, upper triangle only).  A cluster above
+    ``max_cluster`` raises (re-run with more clusters) instead of
+    silently attempting an O(c²) that cannot finish — the documented
+    skew guard.
+
+    Determinism: centroids, assignment, and per-cluster thresholding
+    are all pure functions of the data — pairs are identical across
+    partitionings and cluster sizes (pytest-pinned)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    dim_probe = ds.limit(1).take_all()
+    if not dim_probe:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64()),
+                      "cos": pa.array([], type=pa.float64())})
+        )
+    C = kmeans_centroids(ds, n_clusters, vec_col=vec_col,
+                         sample_size=sample_size)
+    cref = ray.put(C)
+    assigned = ds.map_batches(
+        IVFAssignStage(cref, vec_col, id_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(
+        lambda t: t.select([id_col, vec_col, "bucket"]),
+        batch_format="pyarrow",
+    )
+
+    empty = pa.table(
+        {"a": pa.array([], type=pa.int64()),
+         "b": pa.array([], type=pa.int64()),
+         "cos": pa.array([], type=pa.float64())}
+    )
+
+    def cluster_pairs(grp: pa.Table) -> pa.Table:
+        c = grp.num_rows
+        if c < 2:
+            return empty
+        if c > max_cluster:
+            raise ValueError(
+                f"semantic_neardup_pairs: cluster of {c} rows exceeds "
+                f"max_cluster={max_cluster} — raise n_clusters"
+            )
+        ids = grp[id_col].to_numpy(zero_copy_only=False)
+        X = _normalize(list_col_to_matrix(grp[vec_col]).astype(np.float64))
+        out_a, out_b, out_c = [], [], []
+        block = 2048
+        col = np.arange(c)
+        for s in range(0, c, block):
+            Xb = X[s:s + block]
+            S = Xb @ X.T  # (b, c)
+            # strict upper triangle of the full matrix: col > global row
+            mask = (S >= threshold) & (col[None, :] > (s + np.arange(len(Xb)))[:, None])
+            r, cc = np.nonzero(mask)
+            if len(r):
+                out_a.append(ids[s + r])
+                out_b.append(ids[cc])
+                out_c.append(S[r, cc])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        cs = np.concatenate(out_c)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {"a": pa.array(lo), "b": pa.array(hi), "cos": pa.array(cs)}
+        )
+
+    return assigned.groupby("bucket").map_groups(
+        cluster_pairs, batch_format="pyarrow"
+    )

@@ -1404,3 +1404,59 @@ def test_oov_rate_composes_with_trained_vocab(ray_session):
         1 for t in docs.text for w in t.split() if w not in set(top.word)
     )
     assert out.n_oov.sum() == brute_total
+
+
+def _semdedup_corpus(n=300, d=24, n_dups=40, seed=13):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d))
+    ids = np.arange(n, dtype=np.int64)
+    # planted near-duplicates: id and id+10000 differ by a tiny nudge
+    dup_ids = ids[:n_dups] + 10000
+    Xd = X[:n_dups] + rng.normal(scale=1e-4, size=(n_dups, d))
+    allX = np.concatenate([X, Xd])
+    all_ids = np.concatenate([ids, dup_ids])
+    t = pa.table(
+        {"vec_id": pa.array(all_ids),
+         "embedding": pa.array(list(allX), type=pa.list_(pa.float64()))}
+    )
+    return t, set(zip(ids[:n_dups].tolist(), dup_ids.tolist()))
+
+
+def test_semantic_neardup_finds_planted_pairs(ray_session):
+    from rayraster.similarity import semantic_neardup_pairs
+
+    t, planted = _semdedup_corpus()
+    ds = rd.from_arrow(t)
+    out = semantic_neardup_pairs(ds, threshold=0.999, n_clusters=8).to_pandas()
+    got = set(zip(out.a.tolist(), out.b.tolist()))
+    # every planted twin lands in the same cluster (identical up to 1e-4)
+    # and must be recovered; random Gaussians at d=24 never hit 0.999
+    assert got == planted
+    assert (out.cos >= 0.999).all()
+
+
+def test_semantic_neardup_partition_invariant_and_guards(ray_session):
+    import pytest as _pt
+
+    from rayraster.similarity import semantic_neardup_pairs
+
+    t, _ = _semdedup_corpus(n=150, n_dups=15, seed=21)
+    a = semantic_neardup_pairs(
+        rd.from_arrow(t), threshold=0.999, n_clusters=6
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    b = semantic_neardup_pairs(
+        rd.from_arrow(t).repartition(5), threshold=0.999, n_clusters=6
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["a", "b"]], b[["a", "b"]])
+    with _pt.raises(ValueError, match="threshold"):
+        semantic_neardup_pairs(rd.from_arrow(t), threshold=1.5)
+    with _pt.raises(Exception, match="max_cluster"):
+        semantic_neardup_pairs(
+            rd.from_arrow(t), threshold=0.5, n_clusters=1, max_cluster=10
+        ).to_pandas()
+    # composes with the CC keep-list chain
+    from rayraster.dedup import connected_components_distributed
+
+    pairs = semantic_neardup_pairs(rd.from_arrow(t), threshold=0.999, n_clusters=6)
+    cl = connected_components_distributed(pairs, num_partitions=4).to_pandas()
+    assert (cl.groupby("cluster").size() == 2).all()  # planted twins only
