@@ -2758,3 +2758,40 @@ def oov_rate(
         )
 
     return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pattern_counts(
+    docs,
+    patterns: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document occurrence counts of NAMED regex patterns — the
+    audit pass before :func:`redact_pii` (how much PII is there, per
+    doc and pattern, without touching the bytes) or any policy filter
+    keyed on pattern density.  ``patterns`` maps output column name →
+    RE2 pattern; each becomes one vectorized C++
+    ``count_substring_regex`` kernel per batch — map-only, no shuffle,
+    no Python in the hot path.
+
+    Returns ``(doc_id, n_<name>…)`` plus ``n_total`` (sum across
+    patterns, exact int64).  NULL text counts 0 everywhere (the
+    module's NULL ≡ '' convention)."""
+    if not patterns:
+        raise ValueError("pattern_counts: need at least one named pattern")
+    names = list(patterns)
+    if any(not n or not n.isidentifier() for n in names):
+        raise ValueError("pattern_counts: names must be identifiers")
+
+    def count(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch[text_col], "")
+        cols = {id_col: batch[id_col]}
+        total = np.zeros(batch.num_rows, dtype=np.int64)
+        for name in names:
+            c = pc.count_substring_regex(t, patterns[name]).cast(pa.int64())
+            cols[f"n_{name}"] = c
+            total += c.to_numpy(zero_copy_only=False)
+        cols["n_total"] = pa.array(total)
+        return pa.table(cols)
+
+    return docs.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)

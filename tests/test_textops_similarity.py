@@ -1460,3 +1460,31 @@ def test_semantic_neardup_partition_invariant_and_guards(ray_session):
     pairs = semantic_neardup_pairs(rd.from_arrow(t), threshold=0.999, n_clusters=6)
     cl = connected_components_distributed(pairs, num_partitions=4).to_pandas()
     assert (cl.groupby("cluster").size() == 2).all()  # planted twins only
+
+
+def test_pattern_counts_matches_re_and_nulls(ray_session):
+    import re
+
+    from rayraster.textops import pattern_counts
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["mail a@b.co and c@d.eu ip 1.2.3.4", None, "no hits"],
+        }
+    )
+    pats = {"email": r"[a-z]+@[a-z]+\.[a-z]+", "ipv4": r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"}
+    out = (
+        pattern_counts(rd.from_pandas(df), pats)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for i, txt in enumerate(df.text.fillna("")):
+        assert out.n_email[i] == len(re.findall(pats["email"], txt))
+        assert out.n_ipv4[i] == len(re.findall(pats["ipv4"], txt))
+    assert out.n_total.tolist() == [3, 0, 0]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one"):
+        pattern_counts(rd.from_pandas(df), {})
+    with _pt.raises(ValueError, match="identifiers"):
+        pattern_counts(rd.from_pandas(df), {"bad name": "x"})
