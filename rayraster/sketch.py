@@ -1001,3 +1001,50 @@ def build_qdigest_grouped(
             d = QDigest.from_bytes(blob, k)
             out[key] = d if key not in out else out[key].merge(d)
     return out
+
+
+def build_hll(ds: Dataset, col: str, p: int = 12) -> HLL:
+    """Build ONE corpus-wide HLL for ``col``: one sketch blob per
+    batch, register-max folded on the driver (m bytes each — never
+    rows; the same mergeable blob-fold plumbing as :func:`build_bloom`
+    / :func:`build_cms`).  The result is bit-identical across
+    partitionings and cluster sizes (register max is commutative,
+    associative and idempotent)."""
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        hll = HLL(p).add_hashes(_col_hashes(t, col))
+        return pa.table({"sketch": pa.array([hll.to_bytes()], type=pa.binary())})
+
+    rows = ds.map_batches(sketch_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = HLL(p)
+    for t in rows.iter_batches(batch_format="pyarrow", batch_size=4096):
+        for b in t["sketch"].to_pylist():
+            out.merge(HLL.from_bytes(b, p))
+    return out
+
+
+def hll_set_estimates(a: HLL, b: HLL) -> dict:
+    """Set-relationship estimates between two HLLs built with the
+    same ``p`` — the pre-join cardinality probe (how much do these
+    key sets overlap? is the join worth a shuffle or is a broadcast
+    side small?) without touching either table again:
+
+    * ``union``        — estimate of |A ∪ B| (register max, the
+      LOSSLESS HLL operation)
+    * ``intersection`` — inclusion–exclusion |A| + |B| − |A ∪ B|
+      (clamped at 0; error grows as the overlap shrinks — the
+      documented inclusion–exclusion caveat)
+    * ``jaccard``      — intersection / union (0 when union is 0)
+
+    Inputs are not mutated."""
+    if a.p != b.p:
+        raise ValueError(f"hll precision mismatch: {a.p} vs {b.p}")
+    u = HLL(a.p, a.reg).merge(HLL(b.p, b.reg))
+    union = u.estimate()
+    inter = max(0.0, a.estimate() + b.estimate() - union)
+    return {
+        "union": union,
+        "intersection": inter,
+        "jaccard": (inter / union) if union > 0 else 0.0,
+    }

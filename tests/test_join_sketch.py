@@ -995,3 +995,32 @@ def test_compact_bucketed_bounded_concurrency_and_validation(ray_session, tmp_pa
         compact_bucketed(path, target_rows_per_file=0)
     with _pt.raises(FileNotFoundError):
         compact_bucketed(str(tmp_path / "not_a_layout"))
+
+
+def test_build_hll_and_set_estimates(ray_session):
+    from rayraster.sketch import HLL, build_hll, hll_set_estimates
+
+    n = 20000
+    a_keys = pd.DataFrame({"k": np.arange(n, dtype=np.int64)})
+    b_keys = pd.DataFrame({"k": np.arange(n // 2, n + n // 2, dtype=np.int64)})
+    ha = build_hll(rd.from_pandas(a_keys), "k")
+    hb = build_hll(rd.from_pandas(b_keys), "k")
+    # fold is partition-invariant bit-for-bit
+    ha2 = build_hll(rd.from_pandas(a_keys).repartition(7), "k")
+    assert ha.to_bytes() == ha2.to_bytes()
+    est = hll_set_estimates(ha, hb)
+    # true: union = 1.5n, intersection = 0.5n, jaccard = 1/3
+    assert abs(est["union"] - 1.5 * n) / (1.5 * n) < 0.05
+    assert abs(est["intersection"] - 0.5 * n) / (0.5 * n) < 0.15
+    assert abs(est["jaccard"] - 1 / 3) < 0.05
+    # disjoint sets -> near-zero intersection
+    c_keys = pd.DataFrame({"k": np.arange(5 * n, 6 * n, dtype=np.int64)})
+    hc = build_hll(rd.from_pandas(c_keys), "k")
+    est2 = hll_set_estimates(ha, hc)
+    assert est2["intersection"] < 0.05 * n
+    # inputs not mutated
+    assert ha.to_bytes() == ha2.to_bytes()
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="precision"):
+        hll_set_estimates(ha, HLL(p=10))
