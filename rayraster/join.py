@@ -906,3 +906,93 @@ def compact_bucketed(
         "files_before": sum(b for b, _ in rewritten),
         "files_after": sum(a for _, a in rewritten),
     }
+
+
+def bucket_join_stream_layout(
+    left: Dataset,
+    right_path: str,
+    left_key: str,
+    join_type: str = "inner",
+    left_schema: pa.Schema | None = None,
+) -> Dataset:
+    """Join an IN-FLIGHT Dataset against a persisted
+    :func:`write_bucketed` layout: the stream side pays ONE
+    hash-partition exchange (bucketed with the layout's own hash, so
+    co-location is exact) and the layout side never moves — each
+    bucket task reads only its own ``_bucket=<b>/`` dir.  The
+    fact-stream ⨝ dimension-layout pattern: the dim was bucketed once
+    at ingest; every subsequent pipeline probes it for free without
+    rewriting itself via :func:`write_bucketed` first (compare
+    :func:`bucket_join_prebucketed`, which needs BOTH sides laid out).
+
+    ``join_type``: inner|left|semi|anti (existence joins read only the
+    layout's key column — pruned at the parquet read).  Output:
+    pyarrow's C++ join per bucket, right collisions suffixed ``_r`` —
+    the same kernel as every bucket join here.
+    """
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    rm = _read_bucket_manifest(right_path)
+    if rm.get("hash", _BUCKET_HASH) != _BUCKET_HASH:
+        raise ValueError(
+            f"layout at {right_path} was bucketed with hash {rm['hash']!r};"
+            f" this engine uses {_BUCKET_HASH!r} — rewrite the layout"
+        )
+    pa_join = {
+        "inner": "inner", "left": "left outer",
+        "semi": "left semi", "anti": "left anti",
+    }.get(join_type)
+    if pa_join is None:
+        raise ValueError(
+            f"join_type must be inner|left|semi|anti, got {join_type!r}"
+        )
+    B = rm["num_buckets"]
+    r_key = rm["key"]
+    if "schema_b64" in rm:
+        import base64
+
+        r_schema = pa.ipc.read_schema(
+            pa.py_buffer(base64.b64decode(rm["schema_b64"]))
+        )
+    else:
+        files = sorted(_glob.glob(os.path.join(right_path, "_bucket=*", "*.parquet")))
+        if not files:
+            raise ValueError(f"no bucket files under {right_path}")
+        r_schema = pq.read_schema(files[0])
+    r_cols = [r_key] if pa_join in ("left semi", "left anti") else None
+    if r_cols is not None:
+        r_schema = pa.schema([r_schema.field(r_key)])
+    r_written = set(rm.get("buckets_written", range(B)))
+
+    def addb(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", pa.array(key_bucket(t[left_key], B)))
+
+    tagged = left.map_batches(addb, batch_format="pyarrow", zero_copy_batch=True)
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        b = int(g["_bucket"][0].as_py())
+        lt = g.drop_columns(["_bucket"])
+        files = sorted(
+            _glob.glob(os.path.join(right_path, f"_bucket={b}", "*.parquet"))
+        )
+        if not files:
+            if b in r_written:
+                raise FileNotFoundError(
+                    f"bucket {b} is in {right_path}'s manifest but has no"
+                    " files — the layout is partially lost; refusing to"
+                    " silently drop its rows"
+                )
+            rt = r_schema.empty_table()
+        else:
+            rt = pa.concat_tables(pq.read_table(f, columns=r_cols) for f in files)
+        if pa_join in ("left semi", "left anti"):
+            rt = rt.select([r_key])
+        return lt.join(
+            rt, keys=[left_key], right_keys=[r_key],
+            join_type=pa_join, right_suffix="_r",
+        )
+
+    return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")

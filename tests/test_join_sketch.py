@@ -1024,3 +1024,43 @@ def test_build_hll_and_set_estimates(ray_session):
 
     with _pt.raises(ValueError, match="precision"):
         hll_set_estimates(ha, HLL(p=10))
+
+
+def test_bucket_join_stream_layout_matches_pandas(ray_session, tmp_path):
+    from rayraster.join import bucket_join_stream_layout, write_bucketed
+
+    rng = np.random.default_rng(17)
+    left = pd.DataFrame({"k": rng.integers(0, 60, 400), "lv": np.arange(400)})
+    dim = pd.DataFrame({"dk": np.arange(50), "name": [f"d{i}" for i in range(50)]})
+    layout = str(tmp_path / "dim")
+    write_bucketed(rd.from_pandas(dim), "dk", layout, num_buckets=8)
+
+    got = (
+        bucket_join_stream_layout(rd.from_pandas(left), layout, "k")
+        .to_pandas().sort_values(["lv"]).reset_index(drop=True)
+    )
+    want = (
+        left.merge(dim, left_on="k", right_on="dk").drop(columns=["dk"])
+        .sort_values(["lv"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "lv", "name"]], want[["k", "lv", "name"]])
+
+    # left join keeps unmatched stream rows (keys 50..59)
+    lj = bucket_join_stream_layout(rd.from_pandas(left), layout, "k", "left").to_pandas()
+    assert len(lj) == len(left)
+    assert lj[lj.k >= 50].name.isna().all()
+
+    # semi/anti partition the stream exactly
+    semi = bucket_join_stream_layout(rd.from_pandas(left), layout, "k", "semi").to_pandas()
+    anti = bucket_join_stream_layout(rd.from_pandas(left), layout, "k", "anti").to_pandas()
+    assert len(semi) + len(anti) == len(left)
+    assert (semi.k < 50).all() and (anti.k >= 50).all()
+    # semi/anti never carry layout columns
+    assert "name" not in semi.columns
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="join_type"):
+        bucket_join_stream_layout(rd.from_pandas(left), layout, "k", "full")
+    with _pt.raises(FileNotFoundError):
+        bucket_join_stream_layout(rd.from_pandas(left), str(tmp_path / "nope"), "k")
