@@ -356,3 +356,45 @@ def test_diff_snapshots_partition_invariance(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert set(a[a.k < 50].change) == {"removed"}
     assert set(a[a.k >= 200].change) == {"added"}
+
+
+def test_time_partitioned_store_roundtrip_and_pruning(ray_session, tmp_path):
+    import glob
+    import os
+
+    from rayraster.sources import read_time_range, write_time_partitioned
+
+    base = pd.Timestamp("2024-03-01").value // 1000  # epoch us
+    day = 86_400_000_000
+    n = 3000
+    rng = np.random.default_rng(3)
+    us = base + rng.integers(0, 10 * day, n)  # ten days of events
+    df = pd.DataFrame(
+        {"ts": pd.to_datetime(us, unit="us"), "user_id": rng.integers(0, 50, n),
+         "value": rng.normal(size=n)}
+    )
+    path = str(tmp_path / "events_by_day")
+    write_time_partitioned(rd.from_pandas(df), path, granularity="day")
+    # ten day-dirs
+    assert len(glob.glob(os.path.join(path, "tp=*"))) == 10
+
+    # mid-range window crossing two day boundaries, odd offsets
+    s, e = base + int(2.5 * day), base + int(4.25 * day)
+    got = read_time_range(path, s, e).to_pandas()
+    want = df[(us >= s) & (us < e)]
+    assert len(got) == len(want)
+    got_us = got.ts.astype("int64") // 1000
+    assert sorted(got_us.tolist()) == sorted((us[(us >= s) & (us < e)]).tolist())
+    # column pruning keeps ts for the filter
+    got2 = read_time_range(path, s, e, columns=["user_id"]).to_pandas()
+    assert set(got2.columns) == {"ts", "user_id"} and len(got2) == len(want)
+    # empty range beyond the data
+    far = read_time_range(path, base + 100 * day, base + 101 * day)
+    assert far.count() == 0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="end_us"):
+        read_time_range(path, s, s)
+    with _pt.raises(ValueError, match="granularity"):
+        write_time_partitioned(rd.from_pandas(df), path, granularity="week")
