@@ -183,11 +183,43 @@ def _q_square_sum(sf_dir: str):
 
 
 def _q_square_mean(sf_dir: str):
+    """Per-cell mean raster, TWO surfaces in one recorded row set
+    (path-tagged under the 50-query cap):
+
+    * path='grid' — SEraster's own fun='mean' (cell sees only its OWN
+      points).
+    * path='idw' — inverse-distance-weighted interpolation
+      (:func:`rayraster.spatial.idw_interpolate`): every point
+      SCATTERS a quantized-int 1/d² contribution to each grid centroid
+      within radius (closed-form ring-1 fan-out, no join), one
+      grouped-sum exchange folds them, the single Σwv/Σw float
+      division happens last — so the surface also covers EMPTY
+      neighbor cells and is bit-exact vs the fan-out SQL twin.
+      ``num_cell``=contributors, ``sum_n_chars``=Σw·v,
+      ``mean_n_chars``=the IDW estimate."""
+    from rayraster.spatial import idw_interpolate
+
     pts = load_doc_points(sf_dir)
-    out, _ = _rf(pts, RES, ["n_chars"], fun="mean", with_meta=False)
-    return out.select_columns(
+    out, spec = _rf(pts, RES, ["n_chars"], fun="mean", with_meta=False)
+    base = out.select_columns(
         ["ix", "iy", "cx", "cy", "num_cell", "sum_n_chars", "mean_n_chars"]
+    ).map_batches(_tagger("grid"), batch_format="pyarrow")
+
+    idw = idw_interpolate(
+        pts, spec.x0, spec.y0, RES, "n_chars", num_partitions=8
     )
+
+    def conform(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"ix": t["ix"], "iy": t["iy"], "cx": t["cx"], "cy": t["cy"],
+             "num_cell": t["n"], "sum_n_chars": t["sum_wv"],
+             "mean_n_chars": t["idw"]}
+        )
+
+    idw = idw.map_batches(conform, batch_format="pyarrow").map_batches(
+        _tagger("idw"), batch_format="pyarrow"
+    )
+    return base.union(idw)
 
 
 def _q_celltype(sf_dir: str):
@@ -946,11 +978,25 @@ FROM cells2 GROUP BY ix, iy, cx, cy"""
 
 
 def _sql_square_mean() -> str:
+    from rayraster.spatial import idw_sql
+
+    # the idw arm needs the raw point coords next to the clamped cell
+    # ids and the data-derived origin as COLUMNS (idw_sql contract)
+    idw_pts = """(SELECT p.x, p.y, p.n_chars, b.x0, b.y0,
+      CAST(greatest(ceiling((p.x - b.x0) / 30.0) - 1, 0) AS BIGINT) AS ix,
+      CAST(greatest(ceiling((p.y - b.y0) / 30.0) - 1, 0) AS BIGINT) AS iy
+    FROM pts p CROSS JOIN bb b)"""
+    idw = idw_sql(idw_pts, RES, "p.n_chars")
     return f"""WITH {_PTS}, {_bb(RES)}, {_square_cells(RES)}
 SELECT ix, iy, cx, cy, COUNT(*) AS num_cell,
        CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
-       CAST(SUM(n_chars) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS mean_n_chars
-FROM cells2 GROUP BY ix, iy, cx, cy"""
+       CAST(SUM(n_chars) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS mean_n_chars,
+       'grid' AS path
+FROM cells2 GROUP BY ix, iy, cx, cy
+UNION ALL
+SELECT ix, iy, cx, cy, n AS num_cell, sum_wv AS sum_n_chars,
+       idw AS mean_n_chars, 'idw' AS path
+FROM ({idw})"""
 
 
 def _sql_celltype() -> str:

@@ -1198,3 +1198,177 @@ def hillshade_sql(
         f"CASE WHEN {r} = 0.0 THEN {_flit(255.0 * cz)} "
         f"ELSE greatest({shade}, 0.0) END"
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverse-distance-weighted interpolation (scatter-gather over the grid)
+# ---------------------------------------------------------------------------
+
+
+def _idw_ring(radius: float, res: float) -> int:
+    """Smallest Chebyshev cell ring that provably contains every point
+    within ``radius`` of a cell centroid: a point anywhere in cell
+    ``i±k`` (k ≥ 1) is ≥ (k − 0.5)·res from the centroid of cell
+    ``i`` along that axis, so offsets with max|k| = n+1 are impossible
+    once (n + 0.5)·res > radius."""
+    return max(1, int(math.floor(radius / res - 0.5)) + 1)
+
+
+def idw_interpolate(
+    pts: Dataset,
+    x0: float,
+    y0: float,
+    res: float,
+    value_col: str,
+    radius: float | None = None,
+    scale: float = 1_000_000.0,
+    cap: float = 1_000_000_000.0,
+    x_col: str = "x",
+    y_col: str = "y",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Inverse-distance-weighted (Shepard, power 2) interpolation of a
+    point attribute onto the pixel grid — the gap-filling complement
+    to rasterize's per-cell aggregate (SEraster's mean|sum only sees a
+    cell's OWN points; IDW lets every pixel borrow from the points
+    around it, the standard geostatistical surface).
+
+    100-TB shape: pure SCATTER — each point emits one quantized
+    contribution per grid cell whose centroid lies within ``radius``
+    (a closed-form (2·ring+1)² fan-out, no index, no join; ring 1 for
+    the default radius), then ONE grouped-sum exchange
+    (:func:`rayraster.agg.hash_aggregate`) folds contributions per
+    target cell.  Targets are exactly the cells with ≥ 1 in-radius
+    contributor — interpolation reaches into EMPTY neighbor cells (ix
+    may be −ring at the frame edge), which a join against occupied
+    pixels could never produce.
+
+    Float discipline (the quantized-integer-kernel trick,
+    :func:`gaussian_kernel_int`): the 1/d² weight is quantized to
+    ``w = min(floor(scale / d²), cap)`` (d² < 1e−12 ⇒ cap) — an exact
+    int64, so the shuffled sums Σw·v and Σw are order-free and the ONE
+    float division Σwv/Σw happens after the exchange.  Every float op
+    before quantization (centroid, d²) is a fixed-order expression the
+    SQL twin (:func:`idw_sql`) reproduces bit-for-bit.
+
+    Caller must keep ``cap · max|value| · contributors`` < 2^63 (the
+    default cap leaves ~9·10^9 value-units of headroom).
+
+    Returns (ix, iy, cx, cy, n, sum_wv, sum_w, idw) — ``n`` = in-radius
+    contributor count, ``idw`` = Σwv/Σw.
+    """
+    from rayraster.agg import hash_aggregate
+
+    rad = 1.45 * res if radius is None else float(radius)
+    ring = _idw_ring(rad, res)
+    rad2 = rad * rad
+    offs = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
+
+    def scatter(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ix = np.maximum(np.ceil((x - x0) / res) - 1.0, 0.0).astype(np.int64)
+        iy = np.maximum(np.ceil((y - y0) / res) - 1.0, 0.0).astype(np.int64)
+        o_ix, o_iy, o_wv, o_w = [], [], [], []
+        for dx, dy in offs:
+            tix = ix + dx
+            tiy = iy + dy
+            tcx = x0 + (tix.astype(np.float64) + 0.5) * res
+            tcy = y0 + (tiy.astype(np.float64) + 0.5) * res
+            ddx = x - tcx
+            ddy = y - tcy
+            d2 = ddx * ddx + ddy * ddy
+            m = d2 <= rad2
+            if not m.any():
+                continue
+            d2m = d2[m]
+            near = d2m < 1e-12
+            d2s = np.where(near, 1.0, d2m)  # dodge the 0-division warning
+            w = np.where(near, cap, np.minimum(np.floor(scale / d2s), cap)).astype(
+                np.int64
+            )
+            o_ix.append(tix[m])
+            o_iy.append(tiy[m])
+            o_wv.append(w * v[m])
+            o_w.append(w)
+        if not o_ix:
+            return pa.table(
+                {"ix": pa.array([], pa.int64()), "iy": pa.array([], pa.int64()),
+                 "wv": pa.array([], pa.int64()), "w": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"ix": np.concatenate(o_ix), "iy": np.concatenate(o_iy),
+             "wv": np.concatenate(o_wv), "w": np.concatenate(o_w)}
+        )
+
+    scattered = pts.map_batches(scatter, batch_format="pyarrow", zero_copy_batch=True)
+    agg = hash_aggregate(
+        scattered, ["ix", "iy"], sum_cols=["wv", "w"],
+        count=True, count_name="n", num_partitions=num_partitions,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ix = t["ix"].to_numpy(zero_copy_only=False)
+        iy = t["iy"].to_numpy(zero_copy_only=False)
+        cx = x0 + (ix.astype(np.float64) + 0.5) * res
+        cy = y0 + (iy.astype(np.float64) + 0.5) * res
+        wv = t["sum_wv"].to_numpy(zero_copy_only=False)
+        w = t["sum_w"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"ix": t["ix"], "iy": t["iy"], "cx": pa.array(cx), "cy": pa.array(cy),
+             "n": t["n"], "sum_wv": t["sum_wv"], "sum_w": t["sum_w"],
+             "idw": pa.array(wv / w)}
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def idw_sql(
+    points_cte: str,
+    res: float,
+    value_expr: str,
+    radius: float | None = None,
+    scale: float = 1_000_000.0,
+    cap: float = 1_000_000_000.0,
+    x0_expr: str = "p.x0",
+    y0_expr: str = "p.y0",
+) -> str:
+    """DuckDB twin of :func:`idw_interpolate`: same fan-out offsets,
+    same fixed-order centroid/d² expressions (e-notation literals via
+    :func:`_flit`), same quantized weight — SELECTs
+    (ix, iy, cx, cy, n, sum_wv, sum_w, idw) from ``points_cte``, a
+    relation with columns (x, y, <value>), point cell ids ix, iy (the
+    clamped assign the engine uses) and the grid origin as COLUMNS
+    (``x0_expr``/``y0_expr``, data-derived in the driver twin — the
+    origin is the padded-bbox floor so both sides compute the same
+    exact-integer double)."""
+    rad = 1.45 * res if radius is None else float(radius)
+    ring = _idw_ring(rad, res)
+    rad2 = rad * rad
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in range(-ring, ring + 1)
+        for dy in range(-ring, ring + 1)
+    )
+    tcx = f"({x0_expr} + (CAST(p.ix + o.dx AS DOUBLE) + 0.5) * {_flit(res)})"
+    tcy = f"({y0_expr} + (CAST(p.iy + o.dy AS DOUBLE) + 0.5) * {_flit(res)})"
+    d2 = f"((p.x - {tcx}) * (p.x - {tcx}) + (p.y - {tcy}) * (p.y - {tcy}))"
+    w = (
+        f"CAST(CASE WHEN {d2} < 1e-12 THEN {_flit(cap)} "
+        f"ELSE least(floor({_flit(scale)} / {d2}), {_flit(cap)}) END AS BIGINT)"
+    )
+    return f"""SELECT ix, iy,
+       gx0 + (CAST(ix AS DOUBLE) + 0.5) * {_flit(res)} AS cx,
+       gy0 + (CAST(iy AS DOUBLE) + 0.5) * {_flit(res)} AS cy,
+       COUNT(*) AS n,
+       CAST(SUM(wv) AS BIGINT) AS sum_wv,
+       CAST(SUM(w) AS BIGINT) AS sum_w,
+       CAST(SUM(wv) AS BIGINT) / CAST(SUM(w) AS BIGINT) AS idw
+FROM (
+  SELECT p.ix + o.dx AS ix, p.iy + o.dy AS iy,
+         {x0_expr} AS gx0, {y0_expr} AS gy0,
+         {w} * ({value_expr}) AS wv, {w} AS w
+  FROM {points_cte} p CROSS JOIN (VALUES {offs}) o(dx, dy)
+  WHERE {d2} <= {_flit(rad2)}
+) GROUP BY ix, iy, gx0, gy0"""

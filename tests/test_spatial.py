@@ -634,3 +634,107 @@ def test_hillshade_sql_twin_is_bit_exact(ray_session):
         f"SELECT {hillshade_sql('gx_sum', 'gy_sum')} AS shade FROM g"
     ).df().shade.to_numpy()
     assert np.array_equal(mine.view(np.int64), theirs.view(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# IDW interpolation
+# ---------------------------------------------------------------------------
+
+
+def _idw_brute(x, y, v, x0, y0, res, rad, scale=1e6, cap=1e9):
+    """Driver-side reference: full cross product of points × candidate
+    cells, no fan-out shortcut."""
+    out = {}
+    rad2 = rad * rad
+    ring = 5  # generous
+    for xi, yi, vi in zip(x, y, v):
+        ix = int(max(np.ceil((xi - x0) / res) - 1.0, 0.0))
+        iy = int(max(np.ceil((yi - y0) / res) - 1.0, 0.0))
+        for dx in range(-ring, ring + 1):
+            for dy in range(-ring, ring + 1):
+                tix, tiy = ix + dx, iy + dy
+                tcx = x0 + (float(tix) + 0.5) * res
+                tcy = y0 + (float(tiy) + 0.5) * res
+                ddx = xi - tcx
+                ddy = yi - tcy
+                d2 = ddx * ddx + ddy * ddy
+                if d2 <= rad2:
+                    w = cap if d2 < 1e-12 else min(np.floor(scale / d2), cap)
+                    wv, ws, n = out.get((tix, tiy), (0, 0, 0))
+                    out[(tix, tiy)] = (wv + int(w) * int(vi), ws + int(w), n + 1)
+    return out
+
+
+def test_idw_matches_brute_and_reaches_empty_cells(ray_session):
+    from rayraster.spatial import idw_interpolate
+
+    rng = np.random.default_rng(11)
+    n = 300
+    x = rng.uniform(0, 200, n)
+    y = rng.uniform(0, 200, n)
+    v = rng.integers(1, 500, n).astype(np.int64)
+    x0, y0, res = -3.0, -7.0, 20.0
+    pts = rd.from_arrow(pa.table({"x": x, "y": y, "val": v}))
+    got = (
+        idw_interpolate(pts, x0, y0, res, "val", num_partitions=4)
+        .to_pandas()
+        .set_index(["ix", "iy"])
+        .sort_index()
+    )
+    ref = _idw_brute(x, y, v, x0, y0, res, 1.45 * res)
+    assert set(got.index) == set(ref)
+    for (ix, iy), (wv, ws, cnt) in ref.items():
+        row = got.loc[(ix, iy)]
+        assert int(row.sum_wv) == wv and int(row.sum_w) == ws and int(row.n) == cnt
+        assert row.idw == wv / ws
+    # interpolation must reach at least one cell no point falls in
+    occupied = set()
+    for xi, yi in zip(x, y):
+        occupied.add(
+            (int(max(np.ceil((xi - x0) / res) - 1.0, 0.0)),
+             int(max(np.ceil((yi - y0) / res) - 1.0, 0.0)))
+        )
+    assert set(got.index) - occupied
+
+
+def test_idw_sql_twin_is_bit_exact(ray_session):
+    import duckdb
+
+    from rayraster.spatial import idw_interpolate, idw_sql
+
+    rng = np.random.default_rng(23)
+    n = 500
+    x = rng.uniform(-50, 150, n)
+    y = rng.uniform(0, 90, n)
+    v = rng.integers(1, 1000, n).astype(np.int64)
+    x0, y0, res = -61.0, -11.0, 25.0
+    pts = rd.from_arrow(pa.table({"x": x, "y": y, "val": v}))
+    got = (
+        idw_interpolate(pts, x0, y0, res, "val", radius=2.2 * res, num_partitions=4)
+        .to_pandas()
+        .sort_values(["ix", "iy"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("raw", pa.table({"x": x, "y": y, "val": v}))
+    cte = f"""(SELECT x, y, val, {x0!r} AS x0, {y0!r} AS y0,
+      CAST(greatest(ceiling((x - ({x0!r})) / {res!r}) - 1, 0) AS BIGINT) AS ix,
+      CAST(greatest(ceiling((y - ({y0!r})) / {res!r}) - 1, 0) AS BIGINT) AS iy
+      FROM raw)"""
+    want = con.execute(
+        idw_sql(cte, res, "p.val", radius=2.2 * res) + " ORDER BY ix, iy"
+    ).df()
+    assert len(got) == len(want)
+    for c in ("ix", "iy", "n", "sum_wv", "sum_w"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    for c in ("cx", "cy", "idw"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_idw_ring_bound():
+    from rayraster.spatial import _idw_ring
+
+    assert _idw_ring(1.45 * 30.0, 30.0) == 1
+    assert _idw_ring(30.0, 30.0) == 1
+    assert _idw_ring(2.0 * 30.0, 30.0) == 2
+    assert _idw_ring(2.6 * 30.0, 30.0) == 3
