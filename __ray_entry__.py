@@ -2111,12 +2111,60 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
         }
     )
 
+    # seventh path ('dbscan'): density clustering
+    # (rayraster/cluster.py: ε-tile pair shuffle → grouped core count →
+    # distributed CC → border/noise bucket joins) over a PLANTED
+    # geometry on the doc ids — 5 far singletons + 1 isolated non-core
+    # pair (noise, label −1) + B vertical chains spaced 5ε apart with
+    # 0.4ε intra-chain steps and a 0.9ε border "tail" as last member,
+    # so every DBSCAN role (core/border/noise) is exercised and the
+    # label is analytic: min core id of chain b = 7 + b.
+    from rayraster.cluster import dbscan_labels
+
+    _EPS = 10.0
+    _B = max(4, (n_docs - 7) // 24)
+
+    def place(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.empty(len(ids))
+        y = np.empty(len(ids))
+        single = ids < 5
+        x[single] = -1000.0 - 100.0 * ids[single]
+        y[single] = -500.0
+        pair = (ids == 5) | (ids == 6)
+        x[pair] = 2000.0
+        y[pair] = np.where(ids[pair] == 5, 2000.0, 2000.0 + 0.5 * _EPS)
+        chain = ids >= 7
+        b = (ids[chain] - 7) % _B
+        k = (ids[chain] - 7) // _B
+        kmax = (n_docs - 8 - b) // _B
+        x[chain] = 5.0 * _EPS * b
+        y[chain] = np.where(
+            k == kmax, 0.4 * _EPS * (k - 1) + 0.9 * _EPS, 0.4 * _EPS * k
+        )
+        return pa.table({"id": ids, "x": x, "y": y})
+
+    db = dbscan_labels(
+        doc_ids.map_batches(place, batch_format="pyarrow"),
+        _EPS, min_samples=3, num_partitions=_parts_for(n_docs),
+    )
+
+    def tag_db(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["node"].cast(pa.int64()),
+                "pr": t["label"].cast(pa.int64()),
+                "path": pa.array(["dbscan"] * t.num_rows, type=pa.string()),
+            }
+        )
+
     return rd.from_arrow(driver_keep).union(
         dist_keep,
         pr.map_batches(tag_pr, batch_format="pyarrow"),
         rd.from_arrow(tri_row),
         core.map_batches(tag_kcore, batch_format="pyarrow"),
         bfs.map_batches(tag_bfs, batch_format="pyarrow"),
+        db.map_batches(tag_db, batch_format="pyarrow"),
     )
 
 
@@ -2235,7 +2283,15 @@ FROM (
 UNION ALL
 SELECT doc_id, CAST(0 AS BIGINT) AS pr, 'driver' AS path FROM documents
 UNION ALL
-SELECT doc_id, CAST(0 AS BIGINT) AS pr, 'distributed' AS path FROM documents"""
+SELECT doc_id, CAST(0 AS BIGINT) AS pr, 'distributed' AS path FROM documents
+UNION ALL
+SELECT doc_id,
+       CASE WHEN doc_id < 7 THEN CAST(-1 AS BIGINT)
+            ELSE CAST(7 + ((doc_id - 7) % greatest(
+                   4, (SELECT (COUNT(*) - 7) // 24 FROM documents)
+                 )) AS BIGINT) END AS pr,
+       'dbscan' AS path
+FROM documents"""
 
 
 def _q_embed_neardup(sf_dir: str):

@@ -1,0 +1,261 @@
+"""Density clustering over point sets: distributed ε-radius pairs and
+DBSCAN.
+
+SEraster rasterizes points so downstream tools can find spatial
+structure (vignette: SpatialDE/nnSVG on the pixel matrix —
+``/root/reference/vignettes/getting-started-with-SEraster.Rmd``);
+DBSCAN is that structure-finding step done natively on the raw points,
+and at web scale it's the standard "spatial near-dup" primitive
+(cluster geocoded pages / events by density, label outliers as noise).
+
+100-TB shape — every stage is an existing proven exchange pattern:
+
+* ε-neighbor pairs: the :func:`rayraster.knn.spatial_knn_self` tile
+  fan-out (tile side = ε, queries to own tile, references to the 3×3
+  halo, ONE hash-partitioned shuffle), but with an exact radius
+  predicate instead of top-k — pair recall is provably total because
+  two points within ε always share a tile or adjacent tiles.
+* core flags: one grouped count (:func:`rayraster.agg.hash_aggregate`).
+* clusters: core↔core pairs → the driver-free
+  :func:`rayraster.dedup.connected_components_distributed` (min-label
+  + pointer jumping, one bucket join per round).
+* border/noise: semi/anti/inner :func:`rayraster.join.bucket_join`
+  hops with explicit schemas — labels never land on the driver.
+
+Determinism: every comparison is exact (d² ≤ ε² on IEEE doubles,
+integer ids); the cluster label is the MIN CORE id of the component
+and border points take the MIN label over their core neighbors, so
+the labeling is schedule- and partitioning-invariant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+_I64 = pa.int64()
+
+
+def radius_pairs(
+    pts: Dataset,
+    eps: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    num_partitions: int = 64,
+    query_chunk: int = 1024,
+) -> Dataset:
+    """All ordered pairs (a, b, d2) with ``d2 = (xa−xb)² + (ya−yb)²
+    ≤ eps²`` and ``a ≠ b`` — each unordered neighbor pair appears in
+    BOTH directions (so a grouped count on ``a`` is the neighbor
+    count).
+
+    One shuffle: every point goes to its own ε-tile as a query and to
+    the 3×3 tile halo as a reference; within a co-located tile group
+    the predicate is a chunked dense distance check (numpy, no index —
+    tile populations are O(density·ε²)).  Ties ON the radius are
+    included (``≤``, exact IEEE compare both sides of any twin).
+    """
+    eps2 = eps * eps
+
+    def fanout(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tx = np.floor(x / eps).astype(np.int64)
+        ty = np.floor(y / eps).astype(np.int64)
+        base = pa.table({"_id": ids, "_x": x, "_y": y})
+        pieces = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                p = base.append_column("_tx", pa.array(tx + dx))
+                p = p.append_column("_ty", pa.array(ty + dy))
+                p = p.append_column(
+                    "_is_query",
+                    pa.array(np.full(t.num_rows, dx == 0 and dy == 0)),
+                )
+                pieces.append(p)
+        out = pa.concat_tables(pieces)
+        part = (
+            np.abs(
+                out["_tx"].to_numpy(zero_copy_only=False) * np.int64(73856093)
+                ^ out["_ty"].to_numpy(zero_copy_only=False) * np.int64(19349663)
+            )
+            % np.int64(num_partitions)
+        )
+        return out.append_column("_part", pa.array(part))
+
+    def solve(part: pa.Table) -> pa.Table:
+        part = part.sort_by([("_tx", "ascending"), ("_ty", "ascending")])
+        tx = part["_tx"].to_numpy(zero_copy_only=False)
+        ty = part["_ty"].to_numpy(zero_copy_only=False)
+        isq = part["_is_query"].to_numpy(zero_copy_only=False)
+        x = part["_x"].to_numpy(zero_copy_only=False)
+        y = part["_y"].to_numpy(zero_copy_only=False)
+        ids = part["_id"].to_numpy(zero_copy_only=False)
+        n = len(tx)
+        o_a, o_b, o_d2 = [], [], []
+        brk = np.ones(n, dtype=bool)
+        if n:
+            brk[1:] = (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            q = np.flatnonzero(isq[s:e]) + s
+            if len(q) == 0:
+                continue
+            r = np.arange(s, e)
+            rx, ry, rid = x[r], y[r], ids[r]
+            for c0 in range(0, len(q), query_chunk):
+                qc = q[c0 : c0 + query_chunk]
+                ddx = x[qc][:, None] - rx[None, :]
+                ddy = y[qc][:, None] - ry[None, :]
+                d2 = ddx * ddx + ddy * ddy
+                hit = (d2 <= eps2) & (ids[qc][:, None] != rid[None, :])
+                qi, ri = np.nonzero(hit)
+                if len(qi):
+                    o_a.append(ids[qc][qi])
+                    o_b.append(rid[ri])
+                    o_d2.append(d2[qi, ri])
+        if not o_a:
+            return pa.table(
+                {"a": pa.array([], _I64), "b": pa.array([], _I64),
+                 "d2": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {"a": np.concatenate(o_a), "b": np.concatenate(o_b),
+             "d2": np.concatenate(o_d2)}
+        )
+
+    fanned = pts.map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True)
+    return fanned.groupby("_part").map_groups(solve, batch_format="pyarrow")
+
+
+_PAIR_SCHEMA = pa.schema([("a", _I64), ("b", _I64), ("d2", pa.float64())])
+_NODE_SCHEMA = pa.schema([("node", _I64)])
+_LBL_SCHEMA = pa.schema([("node", _I64), ("label", _I64)])
+
+
+def dbscan_labels(
+    pts: Dataset,
+    eps: float,
+    min_samples: int = 3,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    num_partitions: int = 64,
+) -> Dataset:
+    """DBSCAN (Ester et al. 1996) over a point Dataset → one
+    ``(node, label)`` row per point.
+
+    Semantics (sklearn's counting convention: a point's own row counts
+    toward ``min_samples``): CORE iff |N_ε(p)| ≥ min_samples including
+    p itself; clusters are connected components of the core↔core
+    ε-graph labeled by MIN core id; a non-core point with ≥ 1 core
+    neighbor is BORDER and takes the MIN label among its core
+    neighbors; everything else is NOISE, label −1.  Isolated core
+    points (min_samples = 1 singletons) label themselves.
+
+    Fully distributed: see the module docstring for the per-stage
+    exchange inventory; no stage materializes point or label state on
+    the driver.
+    """
+    from rayraster.agg import hash_aggregate
+    from rayraster.dedup import connected_components_distributed
+    from rayraster.join import bucket_join
+
+    ids = pts.map_batches(
+        lambda t: pa.table({"node": t[id_col].cast(_I64)}),
+        batch_format="pyarrow",
+    )
+    pairs = radius_pairs(
+        pts, eps, id_col=id_col, x_col=x_col, y_col=y_col,
+        num_partitions=num_partitions,
+    ).materialize()  # feeds degree, core-core and border stages
+
+    deg = hash_aggregate(
+        pairs, ["a"], count=True, count_name="nnbr",
+        num_partitions=num_partitions,
+    )
+
+    def core_of(t: pa.Table) -> pa.Table:
+        nn = t["nnbr"].to_numpy(zero_copy_only=False)
+        keep = nn + 1 >= min_samples
+        return pa.table({"node": t["a"].filter(pa.array(keep)).cast(_I64)})
+
+    core = deg.map_batches(core_of, batch_format="pyarrow")
+    if min_samples <= 1:
+        # every point is core (pairs only see points with ≥1 neighbor)
+        core = ids
+    core = core.materialize()
+
+    cc_pairs = bucket_join(
+        bucket_join(
+            pairs, core, "a", "node", join_type="semi",
+            left_schema=_PAIR_SCHEMA, right_schema=_NODE_SCHEMA,
+            num_buckets=num_partitions,
+        ),
+        core, "b", "node", join_type="semi",
+        left_schema=_PAIR_SCHEMA, right_schema=_NODE_SCHEMA,
+        num_buckets=num_partitions,
+    )
+    cc = connected_components_distributed(
+        cc_pairs, "a", "b", num_partitions=num_partitions
+    )  # (node, cluster) — cluster = min core id of the component
+
+    core_in_cc = cc.map_batches(
+        lambda t: pa.table({"node": t["node"].cast(_I64),
+                            "label": t["cluster"].cast(_I64)}),
+        batch_format="pyarrow",
+    )
+    iso_core = bucket_join(
+        core, core_in_cc, "node", "node", join_type="anti",
+        left_schema=_NODE_SCHEMA, right_schema=_LBL_SCHEMA,
+        num_buckets=num_partitions,
+    ).map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+        batch_format="pyarrow",
+    )
+    core_lbl = core_in_cc.union(iso_core)
+
+    # border: non-core a with ≥1 core neighbor b → min core label
+    noncore_pairs = bucket_join(
+        pairs, core, "a", "node", join_type="anti",
+        left_schema=_PAIR_SCHEMA, right_schema=_NODE_SCHEMA,
+        num_buckets=num_partitions,
+    )
+    with_lbl = bucket_join(
+        noncore_pairs,
+        core_lbl.map_batches(
+            lambda t: pa.table({"bnode": t["node"], "label": t["label"]}),
+            batch_format="pyarrow",
+        ),
+        "b", "bnode", join_type="inner",
+        left_schema=_PAIR_SCHEMA,
+        right_schema=pa.schema([("bnode", _I64), ("label", _I64)]),
+        num_buckets=num_partitions,
+    )
+    border = hash_aggregate(
+        with_lbl, ["a"], min_cols=["label"], count=False,
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: pa.table({"node": t["a"].cast(_I64),
+                            "label": t["min_label"].cast(_I64)}),
+        batch_format="pyarrow",
+    )
+
+    labeled = core_lbl.union(border)
+    noise = bucket_join(
+        ids, labeled, "node", "node", join_type="anti",
+        left_schema=_NODE_SCHEMA, right_schema=_LBL_SCHEMA,
+        num_buckets=num_partitions,
+    ).map_batches(
+        lambda t: pa.table(
+            {"node": t["node"],
+             "label": pa.array(np.full(t.num_rows, -1, dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    return labeled.union(noise)

@@ -1,0 +1,113 @@
+"""Distributed ε-pairs + DBSCAN (rayraster/cluster.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from rayraster.cluster import dbscan_labels, radius_pairs
+
+
+def _pts(seed=3, n=400, span=100.0):
+    rng = np.random.default_rng(seed)
+    return (
+        np.arange(n, dtype=np.int64),
+        rng.uniform(0, span, n),
+        rng.uniform(0, span, n),
+    )
+
+
+def _brute_pairs(ids, x, y, eps):
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    hit = (d2 <= eps * eps) & (ids[:, None] != ids[None, :])
+    ai, bi = np.nonzero(hit)
+    return {(ids[i], ids[j]): d2[i, j] for i, j in zip(ai, bi)}
+
+
+def _brute_dbscan(ids, x, y, eps, min_samples):
+    nbrs = {}
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    within = d2 <= eps * eps
+    for i in range(len(ids)):
+        nbrs[ids[i]] = [ids[j] for j in np.nonzero(within[i])[0] if j != i]
+    core = {i for i in ids if len(nbrs[i]) + 1 >= min_samples}
+    # CC over core-core edges, min-id labels
+    parent = {i: i for i in core}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in core:
+        for j in nbrs[i]:
+            if j in core:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    lbl = {i: find(i) for i in core}
+    for i in ids:
+        if i in core:
+            continue
+        cl = [lbl[j] for j in nbrs[i] if j in core]
+        lbl[i] = min(cl) if cl else -1
+    return lbl
+
+
+@pytest.mark.parametrize("eps", [4.0, 9.5])
+def test_radius_pairs_matches_brute(ray_session, eps):
+    ids, x, y = _pts()
+    ds = rd.from_arrow(pa.table({"id": ids, "x": x, "y": y}))
+    got = radius_pairs(ds, eps, num_partitions=4).to_pandas()
+    ref = _brute_pairs(ids, x, y, eps)
+    assert len(got) == len(ref)
+    for a, b, d2 in zip(got.a, got.b, got.d2):
+        assert ref[(a, b)] == d2
+
+
+@pytest.mark.parametrize("min_samples", [1, 3, 5])
+def test_dbscan_matches_brute(ray_session, min_samples):
+    ids, x, y = _pts(seed=9, n=350, span=60.0)  # dense enough for clusters
+    ds = rd.from_arrow(pa.table({"id": ids, "x": x, "y": y}))
+    got = (
+        dbscan_labels(ds, 4.0, min_samples=min_samples, num_partitions=4)
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    ref = _brute_dbscan(ids, x, y, 4.0, min_samples)
+    assert len(got) == len(ids)
+    assert got == ref
+
+
+def test_dbscan_partition_invariant_and_noise(ray_session):
+    # three tight blobs + two isolated points
+    blob = np.array([[0.0, 0.0], [0.5, 0.0], [1.0, 0.1], [0.2, 0.6]])
+    xs, ys, ids = [], [], []
+    for b, (bx, by) in enumerate([(0, 0), (50, 0), (0, 50)]):
+        xs.extend(blob[:, 0] + bx)
+        ys.extend(blob[:, 1] + by)
+        ids.extend(4 * b + np.arange(4))
+    ids.extend([100, 101])
+    xs.extend([500.0, -500.0])
+    ys.extend([500.0, -500.0])
+    t = pa.table(
+        {"id": np.array(ids, dtype=np.int64),
+         "x": np.array(xs), "y": np.array(ys)}
+    )
+    out = {}
+    for parts in (2, 8):
+        ds = rd.from_arrow(t)
+        out[parts] = (
+            dbscan_labels(ds, 2.0, min_samples=3, num_partitions=parts)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+    assert out[2].equals(out[8])
+    lbl = out[2].set_index("node")["label"].to_dict()
+    assert lbl[100] == -1 and lbl[101] == -1
+    for b in range(3):
+        members = {lbl[4 * b + k] for k in range(4)}
+        assert members == {4 * b}
