@@ -2158,6 +2158,37 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
             }
         )
 
+    # eighth path ('flow'): D8 flow direction (one focal-convolve halo
+    # exchange, 8 single-offset kernels) + 16 synchronous-Jacobi
+    # accumulation rounds over the RES raster (elevation =
+    # sum_n_chars) — rayraster/spatial.py flow_direction /
+    # flow_accumulation; the twin unrolls the SAME 16 rounds so the
+    # values match bit-for-bit even where unconverged.  doc_id = the
+    # packed cell key ix·2³² + iy.
+    from rayraster.spatial import flow_accumulation, flow_direction
+
+    fcells, _ = _rf(
+        load_doc_points(sf_dir), RES, ["n_chars"], fun="sum", with_meta=False
+    )
+    facc = flow_accumulation(
+        flow_direction(
+            fcells.select_columns(["ix", "iy", "sum_n_chars"]),
+            "sum_n_chars", num_partitions=8,
+        ),
+        rounds=_FLOW_ROUNDS, num_partitions=8, node_count=n_docs,
+    )
+
+    def tag_flow(t: pa.Table) -> pa.Table:
+        ix = t["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ix * np.int64(1 << 32) + iy),
+                "pr": t["acc"].cast(pa.int64()),
+                "path": pa.array(["flow"] * t.num_rows, type=pa.string()),
+            }
+        )
+
     return rd.from_arrow(driver_keep).union(
         dist_keep,
         pr.map_batches(tag_pr, batch_format="pyarrow"),
@@ -2165,7 +2196,58 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
         core.map_batches(tag_kcore, batch_format="pyarrow"),
         bfs.map_batches(tag_bfs, batch_format="pyarrow"),
         db.map_batches(tag_db, batch_format="pyarrow"),
+        facc.map_batches(tag_flow, batch_format="pyarrow"),
     )
+
+
+_FLOW_ROUNDS = 16
+
+
+def _sql_flow_ctes(rounds: int = _FLOW_ROUNDS) -> tuple[str, str]:
+    """Twin of the d8 'flow' arm: D8 direction as an 8-way self-join +
+    ROW_NUMBER (drop DESC, offset ord ASC = the engine's first-max
+    argmax), then ``rounds`` unrolled synchronous-Jacobi accumulation
+    CTEs (MATERIALIZED — DuckDB re-scans chained CTEs exponentially
+    otherwise)."""
+    offs = ", ".join(
+        f"({i}, {dx}, {dy})"
+        for i, (dx, dy) in enumerate(
+            [(-1, 0), (1, 0), (0, -1), (0, 1),
+             (-1, -1), (-1, 1), (1, -1), (1, 1)]
+        )
+    )
+    ctes = [
+        f"""fpts AS (SELECT n_chars, {_GX} AS x, {_GY} AS y FROM documents)""",
+        """fbb AS (SELECT floor(min(x) - 15.0) AS x0,
+                floor(min(y) - 15.0) AS y0 FROM fpts)""",
+        """fcells AS (
+  SELECT p.n_chars,
+         CAST(greatest(ceiling((p.x - b.x0) / 30.0) - 1, 0) AS BIGINT) AS ix,
+         CAST(greatest(ceiling((p.y - b.y0) / 30.0) - 1, 0) AS BIGINT) AS iy
+  FROM fpts p CROSS JOIN fbb b)""",
+        """fpx AS MATERIALIZED (
+  SELECT ix, iy, CAST(SUM(n_chars) AS BIGINT) AS v
+  FROM fcells GROUP BY ix, iy)""",
+        f"""foffs(ord, dx, dy) AS (VALUES {offs})""",
+        """fdir AS MATERIALIZED (
+  SELECT ix, iy, nix, niy FROM (
+    SELECT p.ix, p.iy, q.ix AS nix, q.iy AS niy,
+           ROW_NUMBER() OVER (PARTITION BY p.ix, p.iy
+                              ORDER BY (p.v - q.v) DESC, o.ord) AS rn
+    FROM fpx p JOIN foffs o ON TRUE
+         JOIN fpx q ON q.ix = p.ix + o.dx AND q.iy = p.iy + o.dy
+    WHERE q.v < p.v
+  ) WHERE rn = 1)""",
+        """facc0 AS MATERIALIZED (
+  SELECT ix, iy, CAST(1 AS BIGINT) AS acc FROM fpx)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""facc{r} AS MATERIALIZED (
+  SELECT p.ix, p.iy, CAST(1 + COALESCE(SUM(a.acc), 0) AS BIGINT) AS acc
+  FROM fpx p LEFT JOIN fdir d ON d.nix = p.ix AND d.niy = p.iy
+       LEFT JOIN facc{r-1} a ON a.ix = d.ix AND a.iy = d.iy
+  GROUP BY p.ix, p.iy)""")
+    return ",\n".join(ctes), f"facc{rounds}"
 
 
 def _sql_pagerank_twin(iterations: int = 3) -> str:
@@ -2261,14 +2343,18 @@ bfsr AS (
     # family; RECURSIVE covers the one recursive member
     head, tail = pr.split("\nSELECT node AS doc_id", 1)
     head = head.replace("WITH ", "WITH RECURSIVE ", 1)
+    fl_ctes, fl_final = _sql_flow_ctes()
     pr = (
-        f"{head},\n{kc_ctes},\n{bfs_ctes}\nSELECT node AS doc_id{tail}\n"
+        f"{head},\n{kc_ctes},\n{fl_ctes},\n{bfs_ctes}\nSELECT node AS doc_id{tail}\n"
         "UNION ALL\n"
         "SELECT node AS doc_id, CAST(0 AS BIGINT) AS pr, 'kcore' AS path "
         f"FROM {kc_final}\n"
         "UNION ALL\n"
         "SELECT node AS doc_id, CAST(MIN(depth) AS BIGINT) AS pr, "
-        "'bfs' AS path FROM bfsr GROUP BY node"
+        "'bfs' AS path FROM bfsr GROUP BY node\n"
+        "UNION ALL\n"
+        "SELECT ix * 4294967296 + iy AS doc_id, acc AS pr, 'flow' AS path "
+        f"FROM {fl_final}"
     )
     return f"""{pr}
 UNION ALL

@@ -1372,3 +1372,192 @@ FROM (
   FROM {points_cte} p CROSS JOIN (VALUES {offs}) o(dx, dy)
   WHERE {d2} <= {_flit(rad2)}
 ) GROUP BY ix, iy, gx0, gy0"""
+
+
+# ---------------------------------------------------------------------------
+# D8 flow routing (direction + accumulation) over sparse rasters
+# ---------------------------------------------------------------------------
+
+#: D8 neighbor order — ties in drop break toward the EARLIEST offset
+#: here (the SQL twin's ROW_NUMBER ... ORDER BY drop DESC, ord ASC).
+FLOW_OFFSETS = tuple(_OFFSETS[8])
+
+
+def flow_direction(
+    pixels: Dataset,
+    value_col: str,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    tile: int = 64,
+    num_partitions: int = 64,
+) -> Dataset:
+    """D8 steepest-descent flow direction (O'Callaghan & Mark 1984) on
+    a sparse integer raster: each pixel points at the 8-neighbor with
+    the LARGEST positive drop ``value(p) − value(q)`` (strictly lower
+    only; missing cells are nodata and never receive flow).  Ties break
+    by :data:`FLOW_OFFSETS` order; pixels with no lower neighbor are
+    pits/outlets (``has_down`` false).
+
+    One exchange: the 8 neighbor values arrive as eight single-offset
+    kernels through :func:`focal_convolve`'s shared tile+halo shuffle
+    (the halo ships once, each offset is one packed-key lookup); the
+    argmax is a local vectorized pass.  All comparisons are exact
+    int64 — the SQL twin (ROW_NUMBER over the 8-way self-join) is
+    value-identical.
+
+    Returns the pixel rows + ``has_down``, ``down_ix``, ``down_iy``
+    (self-coordinates when ``has_down`` is false).
+    """
+    kernels = {}
+    for i, (dx, dy) in enumerate(FLOW_OFFSETS):
+        k = np.zeros((3, 3), dtype=np.int64)
+        k[dx + 1, dy + 1] = 1
+        kernels[f"fd{i}"] = k
+    conv = focal_convolve(
+        pixels, value_col, kernels,
+        ix_col=ix_col, iy_col=iy_col, tile=tile, num_partitions=num_partitions,
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        drops = np.full((len(FLOW_OFFSETS), n), -1, dtype=np.int64)
+        for i in range(len(FLOW_OFFSETS)):
+            nb = t[f"fd{i}_sum"].to_numpy(zero_copy_only=False)
+            wt = t[f"fd{i}_wt"].to_numpy(zero_copy_only=False)
+            valid = (wt > 0) & (nb < v)
+            drops[i, valid] = (v - nb)[valid]
+        best = np.argmax(drops, axis=0)  # first max == twin's tie-break
+        rows = np.arange(n)
+        has = drops[best, rows] > 0
+        offs = np.asarray(FLOW_OFFSETS, dtype=np.int64)
+        ix = t[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dix = np.where(has, ix + offs[best, 0], ix)
+        diy = np.where(has, iy + offs[best, 1], iy)
+        keep = [c for c in t.column_names if not c.startswith("fd")]
+        out = t.select(keep)
+        out = out.append_column("has_down", pa.array(has))
+        out = out.append_column("down_ix", pa.array(dix))
+        return out.append_column("down_iy", pa.array(diy))
+
+    return conv.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def flow_accumulation(
+    flows: Dataset,
+    rounds: int,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    num_partitions: int = 64,
+    node_count: int | None = None,
+    driver_threshold: int = 200_000,
+) -> Dataset:
+    """Synchronous-Jacobi flow accumulation over a D8 direction field
+    (:func:`flow_direction` output): ``acc ← 1 + Σ acc(upstream)``,
+    iterated ``rounds`` times.  At ``rounds ≥`` the longest flow path
+    this is the exact upstream-cell count (+1 for the cell itself) —
+    the hydrology workhorse; below it both engines still agree
+    bit-for-bit with a twin that unrolls the SAME number of rounds.
+
+    Two shapes, picked by ``node_count`` (the graph is the RASTER —
+    already aggregated, O(pixels) ≪ the point table):
+
+    * ≤ ``driver_threshold``: the per-node acc vector lives on the
+      driver (``np.add.at`` per round — the same bounded
+      small-state-on-driver shape as ``bfs_depths``' frontier and
+      ``exact_quantiles``' histograms); ZERO exchanges per round.
+    * above: acc stays a Dataset — one inner
+      :func:`rayraster.join.bucket_join` (edges ⋈ acc on src) plus one
+      grouped sum per round, nothing driver-side.
+
+    Returns ``(ix, iy, acc)``.
+    """
+    from rayraster.agg import hash_aggregate
+    from rayraster.join import bucket_join
+
+    def to_graph(t: pa.Table) -> pa.Table:
+        ix = t[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dix = t["down_ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        diy = t["down_iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        has = t["has_down"].to_numpy(zero_copy_only=False).astype(bool)
+        # packed keys are SIGNED (negative ix/iy are legal raster
+        # coords) — no integer sentinel is safe, carry the bool
+        return pa.table(
+            {"node": _pack(ix, iy), "down": _pack(dix, diy), "has": has}
+        )
+
+    graph = flows.map_batches(to_graph, batch_format="pyarrow")
+    e_schema = pa.schema([("node", pa.int64()), ("down", pa.int64())])
+
+    small = node_count is not None and node_count <= driver_threshold
+    if small:
+        gt = pa.concat_tables(graph.iter_batches(batch_format="pyarrow"))
+        nodes = gt["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        downs = gt["down"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hass = gt["has"].to_numpy(zero_copy_only=False).astype(bool)
+        order = np.argsort(nodes, kind="stable")
+        nodes, downs, has = nodes[order], downs[order], hass[order]
+        src_idx = np.flatnonzero(has)
+        dst_idx = np.searchsorted(nodes, downs[has])
+        acc = np.ones(len(nodes), dtype=np.int64)
+        for _ in range(rounds):
+            inflow = np.zeros(len(nodes), dtype=np.int64)
+            np.add.at(inflow, dst_idx, acc[src_idx])
+            acc = 1 + inflow
+        ix, iy = unpack_cell_key(nodes)
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({ix_col: ix, iy_col: iy, "acc": acc})
+        )
+
+    import ray.data as rd  # noqa: F401 (distributed path below)
+
+    edges = graph.map_batches(
+        lambda t: t.filter(t["has"]).select(["node", "down"]),
+        batch_format="pyarrow",
+    ).materialize()
+    nodes_ds = graph.map_batches(
+        lambda t: t.select(["node"]), batch_format="pyarrow"
+    ).materialize()
+    acc_schema = pa.schema([("node", pa.int64()), ("acc", pa.int64())])
+    acc_ds = nodes_ds.map_batches(
+        lambda t: t.append_column(
+            "acc", pa.array(np.ones(t.num_rows, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    base = nodes_ds.map_batches(
+        lambda t: t.append_column(
+            "acc", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    for _ in range(rounds):
+        contrib = bucket_join(
+            edges, acc_ds, "node", "node", join_type="inner",
+            left_schema=e_schema, right_schema=acc_schema,
+            num_buckets=num_partitions,
+        ).map_batches(
+            lambda t: pa.table({"node": t["down"], "acc": t["acc"]}),
+            batch_format="pyarrow",
+        )
+        folded = hash_aggregate(
+            base.union(contrib), ["node"], sum_cols=["acc"], count=False,
+            num_partitions=num_partitions,
+        )
+        acc_ds = folded.map_batches(
+            lambda t: pa.table(
+                {"node": t["node"],
+                 "acc": pa.compute.add(t["sum_acc"], 1).cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    def unpack(t: pa.Table) -> pa.Table:
+        ix, iy = unpack_cell_key(t["node"].to_numpy(zero_copy_only=False))
+        return pa.table({ix_col: ix, iy_col: iy, "acc": t["acc"]})
+
+    return acc_ds.map_batches(unpack, batch_format="pyarrow")

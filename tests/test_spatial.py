@@ -738,3 +738,96 @@ def test_idw_ring_bound():
     assert _idw_ring(30.0, 30.0) == 1
     assert _idw_ring(2.0 * 30.0, 30.0) == 2
     assert _idw_ring(2.6 * 30.0, 30.0) == 3
+
+
+# ---------------------------------------------------------------------------
+# D8 flow routing
+# ---------------------------------------------------------------------------
+
+
+def _flow_brute(px: pd.DataFrame):
+    """Reference D8 direction + converged accumulation."""
+    from rayraster.spatial import FLOW_OFFSETS
+
+    vals = {(r.ix, r.iy): r.v for r in px.itertuples()}
+    down = {}
+    for r in px.itertuples():
+        best, bd = None, 0
+        for dx, dy in FLOW_OFFSETS:
+            q = (r.ix + dx, r.iy + dy)
+            if q in vals and vals[q] < r.v and r.v - vals[q] > bd:
+                best, bd = q, r.v - vals[q]
+        down[(r.ix, r.iy)] = best
+    acc = {k: 1 for k in vals}
+    changed = True
+    while changed:
+        changed = False
+        new = {k: 1 for k in vals}
+        for k, d in down.items():
+            if d is not None:
+                new[d] = new.get(d, 1)
+        new = {k: 1 for k in vals}
+        for k in vals:
+            s = 1
+            for j, d in down.items():
+                if d == k:
+                    s += acc[j]
+            new[k] = s
+        if new != acc:
+            acc = new
+            changed = True
+    return down, acc
+
+
+def test_flow_direction_and_accumulation_match_brute(ray_session):
+    from rayraster.spatial import flow_accumulation, flow_direction
+
+    px = _raster(seed=17, m=250, span=12)  # dense small DEM
+    ds = rd.from_pandas(px)
+    flows = flow_direction(ds, "v", num_partitions=4).materialize()
+    fdf = flows.to_pandas()
+    down, acc = _flow_brute(px)
+    assert len(fdf) == len(px)
+    for r in fdf.itertuples():
+        want = down[(r.ix, r.iy)]
+        if want is None:
+            assert not r.has_down and (r.down_ix, r.down_iy) == (r.ix, r.iy)
+        else:
+            assert r.has_down and (r.down_ix, r.down_iy) == want
+    got = (
+        flow_accumulation(flows, rounds=64, num_partitions=4,
+                          node_count=len(px))
+        .to_pandas()
+    )
+    gmap = {(r.ix, r.iy): r.acc for r in got.itertuples()}
+    assert gmap == acc
+
+
+def test_flow_direction_tiebreak_first_offset(ray_session):
+    from rayraster.spatial import flow_direction
+
+    # center 10 with two equal drops to (-1,0) and (1,0): ord 0 wins
+    px = pd.DataFrame(
+        {"ix": [0, -1, 1], "iy": [0, 0, 0], "v": [10, 4, 4]}
+    )
+    out = flow_direction(rd.from_pandas(px), "v", num_partitions=2).to_pandas()
+    c = out[(out.ix == 0) & (out.iy == 0)].iloc[0]
+    assert c.has_down and (c.down_ix, c.down_iy) == (-1, 0)
+
+
+def test_flow_accumulation_engines_agree_unconverged_rounds(ray_session):
+    from rayraster.spatial import flow_accumulation, flow_direction
+
+    px = _raster(seed=29, m=300, span=14)
+    flows = flow_direction(rd.from_pandas(px), "v", num_partitions=4).materialize()
+    for rounds in (2, 5):
+        small = (
+            flow_accumulation(flows, rounds=rounds, node_count=len(px))
+            .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+        )
+        big = (
+            flow_accumulation(flows, rounds=rounds, num_partitions=4,
+                              node_count=None)
+            .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+        )
+        assert small.equals(big)
