@@ -911,7 +911,10 @@ def _q_raster_to_vector(sf_dir: str):
     # convergence, like the k-core twin's peeling rounds).
     from rayraster.spatial import label_regions
 
-    reg_cells, _ = _rf(pts, RES, [], fun="sum")  # with_meta → num_cell
+    # with_meta → num_cell; materialized: feeds the region/perimeter
+    # chain AND the contour arm below
+    reg_cells, _ = _rf(pts, RES, [], fun="sum")
+    reg_cells = reg_cells.materialize()
 
     def to_val(t: pa.Table) -> pa.Table:
         nc = t["num_cell"].to_numpy(zero_copy_only=False)
@@ -962,7 +965,30 @@ def _q_raster_to_vector(sf_dir: str):
         )
 
     pm = per.map_batches(vec_perim, batch_format="pyarrow")
-    return sq.union(hx, rg, pm)
+
+    # fifth arm (grid='contour'): marching squares over the num_cell
+    # raster (threshold 1) — per 2×2 block the 4-bit case index, edge
+    # crossing count and the fixed-order isoline interpolation tsum
+    # (rayraster/spatial.py contour_cases: one focal halo exchange)
+    from rayraster.spatial import contour_cases
+
+    cont = contour_cases(
+        reg_cells.select_columns(["ix", "iy", "num_cell"]),
+        "num_cell", threshold=1, num_partitions=8,
+    )
+
+    def vec_cont(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"grid": pa.array(["contour"] * t.num_rows, type=pa.string()),
+             "ix": t["ix"], "iy": t["iy"],
+             "px1": t["case"].cast(pa.float64()),
+             "py1": t["ncross"].cast(pa.float64()),
+             "px2": t["tsum"],
+             "py2": t["v00"].cast(pa.float64())}
+        )
+
+    ct = cont.map_batches(vec_cont, batch_format="pyarrow")
+    return sq.union(hx, rg, pm, ct)
 
 
 # --------------------------------------------------------------------------
@@ -1258,13 +1284,28 @@ SELECT ix, iy,
        (x0 + ix * {RES!r}) + {RES!r} AS x_hi, (y0 + iy * {RES!r}) + {RES!r} AS y_hi
 FROM c"""
     hx = _sql_hex_vector()
+    from rayraster.spatial import contour_sql
+
+    px_rel = f"""(SELECT ix, iy, COUNT(*) AS num_cell FROM (
+  SELECT CAST(greatest(ceiling((p.x - b.x0) / 30.0) - 1, 0) AS BIGINT) AS ix,
+         CAST(greatest(ceiling((p.y - b.y0) / 30.0) - 1, 0) AS BIGINT) AS iy
+  FROM (SELECT {_GX} AS x, {_GY} AS y FROM documents) p
+  CROSS JOIN (SELECT floor(min({_GX}) - 15.0) AS x0,
+                     floor(min({_GY}) - 15.0) AS y0 FROM documents) b
+) GROUP BY ix, iy)"""
+    ct = contour_sql(px_rel, "num_cell", 1)
     return f"""SELECT 'square' AS grid, ix, iy,
        x_lo AS px1, y_lo AS py1, x_hi AS px2, y_hi AS py2 FROM ({sq})
 UNION ALL
 SELECT 'hexagon' AS grid, ix, iy,
        cx AS px1, cy AS py1, v1x AS px2, v1y AS py2 FROM ({hx})
 UNION ALL
-SELECT grid, ix, iy, px1, py1, px2, py2 FROM ({_sql_region_label()})"""
+SELECT grid, ix, iy, px1, py1, px2, py2 FROM ({_sql_region_label()})
+UNION ALL
+SELECT 'contour' AS grid, ix, iy,
+       CAST("case" AS DOUBLE) AS px1, CAST(ncross AS DOUBLE) AS py1,
+       tsum AS px2, CAST(v00 AS DOUBLE) AS py2
+FROM ({ct})"""
 
 
 def _sql_region_label(rounds: int = 16) -> str:

@@ -1561,3 +1561,145 @@ def flow_accumulation(
         return pa.table({ix_col: ix, iy_col: iy, "acc": t["acc"]})
 
     return acc_ds.map_batches(unpack, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Marching squares: per-block contour case index + edge crossings
+# ---------------------------------------------------------------------------
+
+#: fixed edge order (the SQL twin and tsum addition order):
+#: bottom (v00→v10), right (v10→v11), top (v01→v11), left (v00→v01)
+_MS_EDGES = (("b0", "b1", "v00", "v10"), ("b1", "b2", "v10", "v11"),
+             ("b3", "b2", "v01", "v11"), ("b0", "b3", "v00", "v01"))
+
+
+def contour_cases(
+    pixels: Dataset,
+    value_col: str,
+    threshold: int,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    tile: int = 64,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Marching squares (Lorensen-style 2D) over a sparse int raster —
+    the raster→vector isoline front half: for every 2×2 block anchored
+    at an occupied pixel, the 4-bit case index of ``value > threshold``
+    (missing corners are background 0), the number of crossed block
+    edges, and ``tsum`` = the sum of the linear-interpolation
+    parameters ``t = (T − va)/(vb − va)`` over crossed edges in the
+    fixed :data:`_MS_EDGES` order (each t places the isoline crossing
+    on its edge; downstream segment assembly is pure per-case lookup).
+    Blocks with case 0 (all below) or 15 (all above) are dropped.
+
+    ONE exchange: the three non-anchor corners arrive through
+    :func:`focal_convolve`'s shared tile+halo shuffle (single-offset
+    kernels), everything after is a local vectorized pass.  Bit
+    discipline: corner compares and the case index are exact ints; each
+    ``t`` is one double division of exact ints and ``tsum`` adds them
+    in written order — a SQL twin reproduces both bit-for-bit.
+    Crossed edges always have ``va ≠ vb`` (their compare bits differ),
+    so the division is safe.
+    """
+    kernels = {}
+    for name, (dx, dy) in (("e10", (1, 0)), ("e01", (0, 1)), ("e11", (1, 1))):
+        k = np.zeros((3, 3), dtype=np.int64)
+        k[dx + 1, dy + 1] = 1
+        kernels[name] = k
+    conv = focal_convolve(
+        pixels, value_col, kernels,
+        ix_col=ix_col, iy_col=iy_col, tile=tile, num_partitions=num_partitions,
+    )
+    T = int(threshold)
+
+    def cases(t: pa.Table) -> pa.Table:
+        v00 = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v10 = t["e10_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v01 = t["e01_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v11 = t["e11_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        corners = {"v00": v00, "v10": v10, "v01": v01, "v11": v11}
+        bits = {
+            "b0": v00 > T, "b1": v10 > T, "b2": v11 > T, "b3": v01 > T,
+        }
+        case = (
+            bits["b0"].astype(np.int64)
+            + 2 * bits["b1"].astype(np.int64)
+            + 4 * bits["b2"].astype(np.int64)
+            + 8 * bits["b3"].astype(np.int64)
+        )
+        keep = (case != 0) & (case != 15)
+        tsum = np.zeros(len(v00), dtype=np.float64)
+        ncross = np.zeros(len(v00), dtype=np.int64)
+        for ba, bb_, ca, cb in _MS_EDGES:
+            crossed = bits[ba] != bits[bb_]
+            va = corners[ca].astype(np.float64)
+            vb = corners[cb].astype(np.float64)
+            tv = np.where(
+                crossed,
+                (np.float64(T) - va) / np.where(crossed, vb - va, 1.0),
+                0.0,
+            )
+            tsum = tsum + tv
+            ncross = ncross + crossed.astype(np.int64)
+        out = pa.table(
+            {ix_col: t[ix_col], iy_col: t[iy_col],
+             "case": pa.array(case), "ncross": pa.array(ncross),
+             "tsum": pa.array(tsum),
+             "v00": t[value_col].cast(pa.int64())}
+        )
+        return out.filter(pa.array(keep))
+
+    return conv.map_batches(cases, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def contour_sql(
+    px_rel: str,
+    value_col: str,
+    threshold: int,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+) -> str:
+    """DuckDB twin of :func:`contour_cases` over ``px_rel``, a relation
+    of (ix, iy, value) — 3 LEFT self-joins for the corners (COALESCE 0
+    = background), identical bit/edge/tsum expressions."""
+    T = int(threshold)
+    v00, v10, v01, v11 = (
+        f"CAST(p.{value_col} AS BIGINT)",
+        "COALESCE(q10.v, 0)", "COALESCE(q01.v, 0)", "COALESCE(q11.v, 0)",
+    )
+    b = {
+        "b0": f"({v00} > {T})", "b1": f"({v10} > {T})",
+        "b2": f"({v11} > {T})", "b3": f"({v01} > {T})",
+    }
+    corner = {"v00": v00, "v10": v10, "v01": v01, "v11": v11}
+    case = (
+        f"(CAST({b['b0']} AS BIGINT) + 2 * CAST({b['b1']} AS BIGINT)"
+        f" + 4 * CAST({b['b2']} AS BIGINT) + 8 * CAST({b['b3']} AS BIGINT))"
+    )
+    t_terms, n_terms = [], []
+    for ba, bb_, ca, cb in _MS_EDGES:
+        crossed = f"({b[ba]} <> {b[bb_]})"
+        va = f"CAST({corner[ca]} AS DOUBLE)"
+        vb = f"CAST({corner[cb]} AS DOUBLE)"
+        t_terms.append(
+            f"CASE WHEN {crossed} THEN "
+            f"(CAST({T} AS DOUBLE) - {va}) / ({vb} - {va}) ELSE 0.0 END"
+        )
+        n_terms.append(f"CAST({crossed} AS BIGINT)")
+    tsum = " + ".join(t_terms)
+    ncross = " + ".join(n_terms)
+    return f"""SELECT ix, iy, "case", ncross, tsum, v00 FROM (
+  SELECT p.{ix_col} AS ix, p.{iy_col} AS iy,
+         {case} AS "case", {ncross} AS ncross, {tsum} AS tsum,
+         {v00} AS v00
+  FROM {px_rel} p
+  LEFT JOIN (SELECT {ix_col} AS ix, {iy_col} AS iy,
+                    CAST({value_col} AS BIGINT) AS v FROM {px_rel}) q10
+         ON q10.ix = p.{ix_col} + 1 AND q10.iy = p.{iy_col}
+  LEFT JOIN (SELECT {ix_col} AS ix, {iy_col} AS iy,
+                    CAST({value_col} AS BIGINT) AS v FROM {px_rel}) q01
+         ON q01.ix = p.{ix_col} AND q01.iy = p.{iy_col} + 1
+  LEFT JOIN (SELECT {ix_col} AS ix, {iy_col} AS iy,
+                    CAST({value_col} AS BIGINT) AS v FROM {px_rel}) q11
+         ON q11.ix = p.{ix_col} + 1 AND q11.iy = p.{iy_col} + 1
+) WHERE "case" NOT IN (0, 15)"""

@@ -831,3 +831,54 @@ def test_flow_accumulation_engines_agree_unconverged_rounds(ray_session):
             .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
         )
         assert small.equals(big)
+
+
+# ---------------------------------------------------------------------------
+# Marching squares
+# ---------------------------------------------------------------------------
+
+
+def test_contour_cases_matches_sql_twin(ray_session):
+    import duckdb
+
+    from rayraster.spatial import contour_cases, contour_sql
+
+    px = _raster(seed=41, m=500, span=20).rename(columns={"v": "val"})
+    got = (
+        contour_cases(rd.from_pandas(px), "val", threshold=400,
+                      num_partitions=4)
+        .to_pandas()
+        .sort_values(["ix", "iy"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("px", pa.Table.from_pandas(px))
+    want = con.execute(
+        contour_sql("px", "val", 400) + " ORDER BY ix, iy"
+    ).df()
+    assert len(got) == len(want) > 0
+    for c in ("ix", "iy", "case", "ncross", "v00"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert (got["tsum"].to_numpy() == want["tsum"].to_numpy()).all()
+
+
+def test_contour_cases_known_block(ray_session):
+    from rayraster.spatial import contour_cases
+
+    # single pixel above threshold, all neighbors missing: case 1
+    # (only b0), two crossings (bottom t=(1-5)/(0-5)=0.8, left same)
+    px = pd.DataFrame({"ix": [0], "iy": [0], "v": [5]})
+    out = contour_cases(rd.from_pandas(px), "v", threshold=1,
+                        num_partitions=2).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["case"], r.ncross) == (1, 2)
+    assert r.tsum == 0.8 + 0.8
+    # saddle: diagonal above → case 5 (b0 + b2), 4 crossings
+    px2 = pd.DataFrame(
+        {"ix": [0, 1, 0, 1], "iy": [0, 0, 1, 1], "v": [9, 1, 1, 9]}
+    )
+    out2 = contour_cases(rd.from_pandas(px2), "v", threshold=4,
+                         num_partitions=2).to_pandas()
+    blk = out2[(out2.ix == 0) & (out2.iy == 0)].iloc[0]
+    assert (blk["case"], blk.ncross) == (1 + 4, 4)
