@@ -2206,18 +2206,40 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
     # flow_accumulation; the twin unrolls the SAME 16 rounds so the
     # values match bit-for-bit even where unconverged.  doc_id = the
     # packed cell key ix·2³² + iy.
-    from rayraster.spatial import flow_accumulation, flow_direction
+    from rayraster.spatial import basin_labels, flow_accumulation, flow_direction
 
     fcells, _ = _rf(
         load_doc_points(sf_dir), RES, ["n_chars"], fun="sum", with_meta=False
     )
+    fdir = flow_direction(
+        fcells.select_columns(["ix", "iy", "sum_n_chars"]),
+        "sum_n_chars", num_partitions=8,
+    ).materialize()
     facc = flow_accumulation(
-        flow_direction(
-            fcells.select_columns(["ix", "iy", "sum_n_chars"]),
-            "sum_n_chars", num_partitions=8,
-        ),
-        rounds=_FLOW_ROUNDS, num_partitions=8, node_count=n_docs,
+        fdir, rounds=_FLOW_ROUNDS, num_partitions=8, node_count=n_docs,
     )
+
+    # ninth path ('basin'): watershed basin labels over the SAME D8
+    # direction field — pointer doubling (ptr ← ptr(ptr)), 2^5 = 32
+    # steps ≥ any flow path on this raster; the twin unrolls the SAME
+    # doubling count (pure int pointer algebra, exact at any count).
+    # pr = the packed basin cell key.
+    fbasin = basin_labels(
+        fdir, doublings=_BASIN_DOUBLINGS, num_partitions=8, node_count=n_docs,
+    )
+
+    def tag_basin(t: pa.Table) -> pa.Table:
+        ix = t["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bx = t["basin_ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        by = t["basin_iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ix * np.int64(1 << 32) + iy),
+                "pr": pa.array(bx * np.int64(1 << 32) + by),
+                "path": pa.array(["basin"] * t.num_rows, type=pa.string()),
+            }
+        )
 
     def tag_flow(t: pa.Table) -> pa.Table:
         ix = t["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2238,10 +2260,12 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
         bfs.map_batches(tag_bfs, batch_format="pyarrow"),
         db.map_batches(tag_db, batch_format="pyarrow"),
         facc.map_batches(tag_flow, batch_format="pyarrow"),
+        fbasin.map_batches(tag_basin, batch_format="pyarrow"),
     )
 
 
 _FLOW_ROUNDS = 16
+_BASIN_DOUBLINGS = 5
 
 
 def _sql_flow_ctes(rounds: int = _FLOW_ROUNDS) -> tuple[str, str]:
@@ -2289,6 +2313,25 @@ def _sql_flow_ctes(rounds: int = _FLOW_ROUNDS) -> tuple[str, str]:
        LEFT JOIN facc{r-1} a ON a.ix = d.ix AND a.iy = d.iy
   GROUP BY p.ix, p.iy)""")
     return ",\n".join(ctes), f"facc{rounds}"
+
+
+def _sql_basin_ctes(doublings: int = _BASIN_DOUBLINGS) -> tuple[str, str]:
+    """Twin of the d8 'basin' arm: pointer doubling over the SAME
+    ``fdir`` direction field (:func:`_sql_flow_ctes` must precede these
+    CTEs) — ``fb0`` = one step (self at pits), each round composes the
+    pointer with itself, so ``fb{k}`` has walked 2^k steps exactly like
+    :func:`rayraster.spatial.basin_labels`."""
+    ctes = [
+        """fb0 AS MATERIALIZED (
+  SELECT p.ix, p.iy,
+         COALESCE(d.nix, p.ix) AS pix, COALESCE(d.niy, p.iy) AS piy
+  FROM fpx p LEFT JOIN fdir d ON d.ix = p.ix AND d.iy = p.iy)"""
+    ]
+    for r in range(1, doublings + 1):
+        ctes.append(f"""fb{r} AS MATERIALIZED (
+  SELECT a.ix, a.iy, b.pix, b.piy
+  FROM fb{r-1} a JOIN fb{r-1} b ON b.ix = a.pix AND b.iy = a.piy)""")
+    return ",\n".join(ctes), f"fb{doublings}"
 
 
 def _sql_pagerank_twin(iterations: int = 3) -> str:
@@ -2385,8 +2428,10 @@ bfsr AS (
     head, tail = pr.split("\nSELECT node AS doc_id", 1)
     head = head.replace("WITH ", "WITH RECURSIVE ", 1)
     fl_ctes, fl_final = _sql_flow_ctes()
+    fb_ctes, fb_final = _sql_basin_ctes()
     pr = (
-        f"{head},\n{kc_ctes},\n{fl_ctes},\n{bfs_ctes}\nSELECT node AS doc_id{tail}\n"
+        f"{head},\n{kc_ctes},\n{fl_ctes},\n{fb_ctes},\n{bfs_ctes}\n"
+        f"SELECT node AS doc_id{tail}\n"
         "UNION ALL\n"
         "SELECT node AS doc_id, CAST(0 AS BIGINT) AS pr, 'kcore' AS path "
         f"FROM {kc_final}\n"
@@ -2395,7 +2440,11 @@ bfsr AS (
         "'bfs' AS path FROM bfsr GROUP BY node\n"
         "UNION ALL\n"
         "SELECT ix * 4294967296 + iy AS doc_id, acc AS pr, 'flow' AS path "
-        f"FROM {fl_final}"
+        f"FROM {fl_final}\n"
+        "UNION ALL\n"
+        "SELECT ix * 4294967296 + iy AS doc_id, "
+        "pix * 4294967296 + piy AS pr, 'basin' AS path "
+        f"FROM {fb_final}"
     )
     return f"""{pr}
 UNION ALL

@@ -1563,6 +1563,107 @@ def flow_accumulation(
     return acc_ds.map_batches(unpack, batch_format="pyarrow")
 
 
+def basin_labels(
+    flows: Dataset,
+    doublings: int,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    num_partitions: int = 64,
+    node_count: int | None = None,
+    driver_threshold: int = 200_000,
+) -> Dataset:
+    """Watershed basin labeling over a D8 direction field
+    (:func:`flow_direction` output): each cell's basin is the
+    pit/outlet reached by following ``down`` pointers — delineating
+    drainage basins is the standard companion to flow accumulation
+    (r.watershed / terra watershed; the reference's users reach to R's
+    raster stack for it).
+
+    Pointer doubling (``ptr ← ptr(ptr)`` per round) instead of
+    step-at-a-time chasing: after ``doublings`` rounds every cell has
+    walked ``2^doublings`` steps, so O(log longest-path) rounds reach
+    the fixpoint.  D8 flow is acyclic (value strictly decreases along
+    flow) and pits/outlets self-point, so the fixpoint IS the terminal
+    basin cell; below convergence both engines still agree bit-for-bit
+    with a twin that unrolls the SAME doubling count (pure integer
+    pointer algebra, no floats anywhere).
+
+    Same dual engine as :func:`flow_accumulation` (the graph is the
+    RASTER — O(pixels) ≪ the point table):
+
+    * ``node_count ≤ driver_threshold``: sorted node vector + one
+      ``searchsorted`` gather per round on the driver; ZERO exchanges.
+    * above: the pointer table stays a Dataset — ONE inner
+      :func:`rayraster.join.bucket_join` of the table with itself per
+      round (left keyed on ``ptr``, right on ``node``; total because
+      every pointer target is an occupied cell), nothing driver-side.
+
+    Returns ``(ix, iy, basin_ix, basin_iy)``.
+    """
+    from rayraster.join import bucket_join
+
+    if doublings < 0:
+        raise ValueError("doublings must be >= 0")
+
+    def to_ptr(t: pa.Table) -> pa.Table:
+        ix = t[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dix = t["down_ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        diy = t["down_iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # flow_direction emits self-coordinates when has_down is false,
+        # so (down_ix, down_iy) already encodes the self-pointing pit
+        return pa.table({"node": _pack(ix, iy), "ptr": _pack(dix, diy)})
+
+    ptr0 = flows.map_batches(to_ptr, batch_format="pyarrow")
+
+    def emit(nodes: np.ndarray, ptrs: np.ndarray) -> pa.Table:
+        ix, iy = unpack_cell_key(nodes)
+        bix, biy = unpack_cell_key(ptrs)
+        return pa.table(
+            {ix_col: ix, iy_col: iy, "basin_ix": bix, "basin_iy": biy}
+        )
+
+    small = node_count is not None and node_count <= driver_threshold
+    if small:
+        gt = pa.concat_tables(ptr0.iter_batches(batch_format="pyarrow"))
+        nodes = gt["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ptrs = gt["ptr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(nodes, kind="stable")
+        nodes, ptrs = nodes[order], ptrs[order]
+        for _ in range(doublings):
+            ptrs = ptrs[np.searchsorted(nodes, ptrs)]
+        import ray.data as rd
+
+        return rd.from_arrow(emit(nodes, ptrs))
+
+    p_schema = pa.schema([("node", pa.int64()), ("ptr", pa.int64())])
+    h_schema = pa.schema([("node", pa.int64()), ("hop", pa.int64())])
+    ptr_ds = ptr0.materialize()
+    for _ in range(doublings):
+        # zero-copy rename: the right side's value column must not
+        # collide with the left join key (both are "ptr" otherwise)
+        hop = ptr_ds.map_batches(
+            lambda t: pa.table({"node": t["node"], "hop": t["ptr"]}),
+            batch_format="pyarrow",
+        )
+        ptr_ds = bucket_join(
+            ptr_ds, hop, "ptr", "node", join_type="inner",
+            left_schema=p_schema, right_schema=h_schema,
+            num_buckets=num_partitions,
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "ptr": t["hop"]}),
+            batch_format="pyarrow",
+        ).materialize()
+
+    def unpack(t: pa.Table) -> pa.Table:
+        return emit(
+            t["node"].to_numpy(zero_copy_only=False),
+            t["ptr"].to_numpy(zero_copy_only=False),
+        )
+
+    return ptr_ds.map_batches(unpack, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Marching squares: per-block contour case index + edge crossings
 # ---------------------------------------------------------------------------

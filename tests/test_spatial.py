@@ -833,6 +833,65 @@ def test_flow_accumulation_engines_agree_unconverged_rounds(ray_session):
         assert small.equals(big)
 
 
+def _basin_brute(px: pd.DataFrame, down: dict, steps: int):
+    """Follow down pointers exactly ``steps`` times (self at pits)."""
+    out = {}
+    for r in px.itertuples():
+        cur = (r.ix, r.iy)
+        for _ in range(steps):
+            nxt = down[cur]
+            cur = nxt if nxt is not None else cur
+        out[(r.ix, r.iy)] = cur
+    return out
+
+
+def test_basin_labels_converged_matches_brute(ray_session):
+    from rayraster.spatial import basin_labels, flow_direction
+
+    px = _raster(seed=31, m=250, span=12)
+    flows = flow_direction(rd.from_pandas(px), "v", num_partitions=4).materialize()
+    down, _ = _flow_brute(px)
+    # 2^10 = 1024 steps >> any path in a 25x25 raster: converged
+    got = basin_labels(flows, doublings=10, node_count=len(px)).to_pandas()
+    want = _basin_brute(px, down, 1024)
+    assert len(got) == len(px)
+    for r in got.itertuples():
+        assert (r.basin_ix, r.basin_iy) == want[(r.ix, r.iy)]
+        # fixpoint really is a pit/outlet
+        assert down[(r.basin_ix, r.basin_iy)] is None
+
+
+def test_basin_labels_engines_agree_unconverged(ray_session):
+    from rayraster.spatial import basin_labels, flow_direction
+
+    px = _raster(seed=37, m=300, span=14)
+    flows = flow_direction(rd.from_pandas(px), "v", num_partitions=4).materialize()
+    down, _ = _flow_brute(px)
+    for doublings in (0, 1, 2):
+        small = (
+            basin_labels(flows, doublings=doublings, node_count=len(px))
+            .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+        )
+        big = (
+            basin_labels(flows, doublings=doublings, num_partitions=4,
+                         node_count=None)
+            .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+        )
+        assert small.equals(big)
+        want = _basin_brute(px, down, 2 ** doublings)
+        for r in small.itertuples():
+            assert (r.basin_ix, r.basin_iy) == want[(r.ix, r.iy)]
+
+
+def test_basin_labels_validation(ray_session):
+    from rayraster.spatial import basin_labels, flow_direction
+
+    px = _raster(seed=31, m=50, span=6)
+    flows = flow_direction(rd.from_pandas(px), "v", num_partitions=2)
+    with pytest.raises(ValueError, match="doublings"):
+        basin_labels(flows, doublings=-1, node_count=len(px))
+
+
 # ---------------------------------------------------------------------------
 # Marching squares
 # ---------------------------------------------------------------------------
