@@ -196,8 +196,14 @@ def _q_square_mean(sf_dir: str):
       division happens last — so the surface also covers EMPTY
       neighbor cells and is bit-exact vs the fan-out SQL twin.
       ``num_cell``=contributors, ``sum_n_chars``=Σw·v,
-      ``mean_n_chars``=the IDW estimate."""
-    from rayraster.spatial import idw_interpolate
+      ``mean_n_chars``=the IDW estimate.
+    * path='kde' — Epanechnikov kernel-density surface
+      (:func:`rayraster.spatial.kde_surface`): the same scatter /
+      one-exchange shape with the POLYNOMIAL kernel
+      ``floor(scale·(1 − d²/h²))`` (no libm, SQL-exact);
+      ``num_cell``=contributors, ``sum_n_chars``=Σw (quantized mass),
+      ``mean_n_chars``=the density Σw/scale."""
+    from rayraster.spatial import idw_interpolate, kde_surface
 
     pts = load_doc_points(sf_dir)
     out, spec = _rf(pts, RES, ["n_chars"], fun="mean", with_meta=False)
@@ -219,7 +225,20 @@ def _q_square_mean(sf_dir: str):
     idw = idw.map_batches(conform, batch_format="pyarrow").map_batches(
         _tagger("idw"), batch_format="pyarrow"
     )
-    return base.union(idw)
+
+    kde = kde_surface(pts, spec.x0, spec.y0, RES, num_partitions=8)
+
+    def conform_kde(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"ix": t["ix"], "iy": t["iy"], "cx": t["cx"], "cy": t["cy"],
+             "num_cell": t["n"], "sum_n_chars": t["sum_w"],
+             "mean_n_chars": t["density"]}
+        )
+
+    kde = kde.map_batches(conform_kde, batch_format="pyarrow").map_batches(
+        _tagger("kde"), batch_format="pyarrow"
+    )
+    return base.union(idw, kde)
 
 
 def _q_celltype(sf_dir: str):
@@ -1004,15 +1023,16 @@ FROM cells2 GROUP BY ix, iy, cx, cy"""
 
 
 def _sql_square_mean() -> str:
-    from rayraster.spatial import idw_sql
+    from rayraster.spatial import idw_sql, kde_sql
 
-    # the idw arm needs the raw point coords next to the clamped cell
-    # ids and the data-derived origin as COLUMNS (idw_sql contract)
+    # the idw/kde arms need the raw point coords next to the clamped
+    # cell ids and the data-derived origin as COLUMNS (idw_sql contract)
     idw_pts = """(SELECT p.x, p.y, p.n_chars, b.x0, b.y0,
       CAST(greatest(ceiling((p.x - b.x0) / 30.0) - 1, 0) AS BIGINT) AS ix,
       CAST(greatest(ceiling((p.y - b.y0) / 30.0) - 1, 0) AS BIGINT) AS iy
     FROM pts p CROSS JOIN bb b)"""
     idw = idw_sql(idw_pts, RES, "p.n_chars")
+    kde = kde_sql(idw_pts, RES)
     return f"""WITH {_PTS}, {_bb(RES)}, {_square_cells(RES)}
 SELECT ix, iy, cx, cy, COUNT(*) AS num_cell,
        CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
@@ -1022,7 +1042,11 @@ FROM cells2 GROUP BY ix, iy, cx, cy
 UNION ALL
 SELECT ix, iy, cx, cy, n AS num_cell, sum_wv AS sum_n_chars,
        idw AS mean_n_chars, 'idw' AS path
-FROM ({idw})"""
+FROM ({idw})
+UNION ALL
+SELECT ix, iy, cx, cy, n AS num_cell, sum_w AS sum_n_chars,
+       density AS mean_n_chars, 'kde' AS path
+FROM ({kde})"""
 
 
 def _sql_celltype() -> str:

@@ -1374,6 +1374,152 @@ FROM (
 ) GROUP BY ix, iy, gx0, gy0"""
 
 
+def kde_surface(
+    pts: Dataset,
+    x0: float,
+    y0: float,
+    res: float,
+    bandwidth: float | None = None,
+    value_col: str | None = None,
+    scale: float = 1_000_000.0,
+    x_col: str = "x",
+    y_col: str = "y",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Kernel-density surface (spatstat ``density.ppp`` / QGIS heatmap)
+    on the pixel grid with the EPANECHNIKOV kernel
+    ``K(d) = max(0, 1 − d²/h²)`` — the optimal-MSE kernel and, unlike a
+    Gaussian, a POLYNOMIAL: every weight is fixed-order +−×÷ that a SQL
+    twin (:func:`kde_sql`) reproduces bit-for-bit (no libm ``exp``
+    divergence risk).
+
+    Same 100-TB shape as :func:`idw_interpolate`: pure SCATTER — each
+    point emits one quantized contribution per grid centroid with
+    ``d² < h²`` (closed-form (2·ring+1)² fan-out, no index, no join),
+    then ONE grouped-sum exchange.  The weight is quantized to the
+    exact int64 ``w = floor(scale · (1 − d²/h²))`` so the shuffled sum
+    is order-free; the one float division (``density = Σw / scale``)
+    happens after the exchange.  With ``value_col`` the surface is the
+    value-weighted intensity (``sum_wv = Σ w·v`` rides the same
+    exchange; caller keeps ``scale · max|value| · contributors``
+    < 2^63).
+
+    Returns ``(ix, iy, cx, cy, n, sum_w[, sum_wv], density)`` over
+    exactly the cells with ≥ 1 in-bandwidth contributor — density
+    spreads into EMPTY neighbor cells like IDW.
+    """
+    from rayraster.agg import hash_aggregate
+
+    h = 2.0 * res if bandwidth is None else float(bandwidth)
+    ring = _idw_ring(h, res)
+    h2 = h * h
+    offs = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
+    weighted = value_col is not None
+
+    def scatter(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = (
+            t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if weighted else None
+        )
+        ix = np.maximum(np.ceil((x - x0) / res) - 1.0, 0.0).astype(np.int64)
+        iy = np.maximum(np.ceil((y - y0) / res) - 1.0, 0.0).astype(np.int64)
+        o_ix, o_iy, o_w, o_wv = [], [], [], []
+        for dx, dy in offs:
+            tix = ix + dx
+            tiy = iy + dy
+            tcx = x0 + (tix.astype(np.float64) + 0.5) * res
+            tcy = y0 + (tiy.astype(np.float64) + 0.5) * res
+            ddx = x - tcx
+            ddy = y - tcy
+            d2 = ddx * ddx + ddy * ddy
+            m = d2 < h2
+            if not m.any():
+                continue
+            w = np.floor(scale * (1.0 - d2[m] / h2)).astype(np.int64)
+            o_ix.append(tix[m])
+            o_iy.append(tiy[m])
+            o_w.append(w)
+            if weighted:
+                o_wv.append(w * v[m])
+        cols = {"ix": pa.array([], pa.int64()), "iy": pa.array([], pa.int64()),
+                "w": pa.array([], pa.int64())}
+        if weighted:
+            cols["wv"] = pa.array([], pa.int64())
+        if not o_ix:
+            return pa.table(cols)
+        cols = {"ix": np.concatenate(o_ix), "iy": np.concatenate(o_iy),
+                "w": np.concatenate(o_w)}
+        if weighted:
+            cols["wv"] = np.concatenate(o_wv)
+        return pa.table(cols)
+
+    scattered = pts.map_batches(scatter, batch_format="pyarrow", zero_copy_batch=True)
+    agg = hash_aggregate(
+        scattered, ["ix", "iy"], sum_cols=["w", *(["wv"] if weighted else [])],
+        count=True, count_name="n", num_partitions=num_partitions,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ix = t["ix"].to_numpy(zero_copy_only=False)
+        iy = t["iy"].to_numpy(zero_copy_only=False)
+        cx = x0 + (ix.astype(np.float64) + 0.5) * res
+        cy = y0 + (iy.astype(np.float64) + 0.5) * res
+        w = t["sum_w"].to_numpy(zero_copy_only=False)
+        cols = {"ix": t["ix"], "iy": t["iy"],
+                "cx": pa.array(cx), "cy": pa.array(cy),
+                "n": t["n"], "sum_w": t["sum_w"]}
+        if weighted:
+            cols["sum_wv"] = t["sum_wv"]
+        cols["density"] = pa.array(w / scale)
+        return pa.table(cols)
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kde_sql(
+    points_cte: str,
+    res: float,
+    bandwidth: float | None = None,
+    scale: float = 1_000_000.0,
+    x0_expr: str = "p.x0",
+    y0_expr: str = "p.y0",
+) -> str:
+    """DuckDB twin of :func:`kde_surface` (unweighted form): same
+    fan-out offsets, same fixed-order centroid/d²/weight expressions
+    (e-notation literals via :func:`_flit`) — SELECTs
+    (ix, iy, cx, cy, n, sum_w, density) from ``points_cte``, a relation
+    with (x, y), clamped point cell ids ix, iy and the grid origin as
+    columns (see :func:`idw_sql`)."""
+    h = 2.0 * res if bandwidth is None else float(bandwidth)
+    ring = _idw_ring(h, res)
+    h2 = h * h
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in range(-ring, ring + 1)
+        for dy in range(-ring, ring + 1)
+    )
+    tcx = f"({x0_expr} + (CAST(p.ix + o.dx AS DOUBLE) + 0.5) * {_flit(res)})"
+    tcy = f"({y0_expr} + (CAST(p.iy + o.dy AS DOUBLE) + 0.5) * {_flit(res)})"
+    d2 = f"((p.x - {tcx}) * (p.x - {tcx}) + (p.y - {tcy}) * (p.y - {tcy}))"
+    w = (
+        f"CAST(floor({_flit(scale)} * (1.0 - {d2} / {_flit(h2)})) AS BIGINT)"
+    )
+    return f"""SELECT ix, iy,
+       gx0 + (CAST(ix AS DOUBLE) + 0.5) * {_flit(res)} AS cx,
+       gy0 + (CAST(iy AS DOUBLE) + 0.5) * {_flit(res)} AS cy,
+       COUNT(*) AS n,
+       CAST(SUM(w) AS BIGINT) AS sum_w,
+       CAST(SUM(w) AS BIGINT) / {_flit(scale)} AS density
+FROM (
+  SELECT p.ix + o.dx AS ix, p.iy + o.dy AS iy,
+         {x0_expr} AS gx0, {y0_expr} AS gy0, {w} AS w
+  FROM {points_cte} p CROSS JOIN (VALUES {offs}) o(dx, dy)
+  WHERE {d2} < {_flit(h2)}
+) GROUP BY ix, iy, gx0, gy0"""
+
+
 # ---------------------------------------------------------------------------
 # D8 flow routing (direction + accumulation) over sparse rasters
 # ---------------------------------------------------------------------------

@@ -740,6 +740,88 @@ def test_idw_ring_bound():
     assert _idw_ring(2.6 * 30.0, 30.0) == 3
 
 
+def _kde_brute(x, y, x0, y0, res, h, scale=1_000_000.0, v=None):
+    ring = int(np.ceil(h / res + 0.5))
+    h2 = h * h
+    out = {}
+    for i, (xi, yi) in enumerate(zip(x, y)):
+        ix = int(max(np.ceil((xi - x0) / res) - 1.0, 0.0))
+        iy = int(max(np.ceil((yi - y0) / res) - 1.0, 0.0))
+        for dx in range(-ring, ring + 1):
+            for dy in range(-ring, ring + 1):
+                tix, tiy = ix + dx, iy + dy
+                tcx = x0 + (np.float64(tix) + 0.5) * res
+                tcy = y0 + (np.float64(tiy) + 0.5) * res
+                ddx, ddy = xi - tcx, yi - tcy
+                d2 = ddx * ddx + ddy * ddy
+                if d2 < h2:
+                    w = int(np.floor(scale * (1.0 - d2 / h2)))
+                    ws, wv, n = out.get((tix, tiy), (0, 0, 0))
+                    vv = int(v[i]) if v is not None else 0
+                    out[(tix, tiy)] = (ws + w, wv + w * vv, n + 1)
+    return out
+
+
+def test_kde_matches_brute_and_weighted(ray_session):
+    from rayraster.spatial import kde_surface
+
+    rng = np.random.default_rng(41)
+    n = 300
+    x = rng.uniform(0, 200, n)
+    y = rng.uniform(0, 200, n)
+    v = rng.integers(1, 500, n).astype(np.int64)
+    x0, y0, res = -3.0, -7.0, 20.0
+    pts = rd.from_arrow(pa.table({"x": x, "y": y, "val": v}))
+    ref = _kde_brute(x, y, x0, y0, res, 2.0 * res, v=v)
+    got = (
+        kde_surface(pts, x0, y0, res, num_partitions=4)
+        .to_pandas().set_index(["ix", "iy"]).sort_index()
+    )
+    assert set(got.index) == set(ref)
+    for (ix, iy), (ws, _, cnt) in ref.items():
+        row = got.loc[(ix, iy)]
+        assert int(row.sum_w) == ws and int(row.n) == cnt
+        assert row.density == ws / 1_000_000.0
+    gotw = (
+        kde_surface(pts, x0, y0, res, value_col="val", num_partitions=4)
+        .to_pandas().set_index(["ix", "iy"]).sort_index()
+    )
+    for (ix, iy), (ws, wv, cnt) in ref.items():
+        row = gotw.loc[(ix, iy)]
+        assert int(row.sum_w) == ws and int(row.sum_wv) == wv
+
+
+def test_kde_sql_twin_is_bit_exact(ray_session):
+    import duckdb
+
+    from rayraster.spatial import kde_sql, kde_surface
+
+    rng = np.random.default_rng(43)
+    n = 400
+    x = rng.uniform(-50, 150, n)
+    y = rng.uniform(0, 90, n)
+    x0, y0, res = -61.0, -11.0, 25.0
+    pts = rd.from_arrow(pa.table({"x": x, "y": y}))
+    got = (
+        kde_surface(pts, x0, y0, res, bandwidth=1.7 * res, num_partitions=4)
+        .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("raw", pa.table({"x": x, "y": y}))
+    cte = f"""(SELECT x, y, {x0!r} AS x0, {y0!r} AS y0,
+      CAST(greatest(ceiling((x - ({x0!r})) / {res!r}) - 1, 0) AS BIGINT) AS ix,
+      CAST(greatest(ceiling((y - ({y0!r})) / {res!r}) - 1, 0) AS BIGINT) AS iy
+      FROM raw)"""
+    want = con.execute(
+        kde_sql(cte, res, bandwidth=1.7 * res) + " ORDER BY ix, iy"
+    ).df()
+    assert len(got) == len(want)
+    for c in ("ix", "iy", "n", "sum_w"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    for c in ("cx", "cy", "density"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
 # ---------------------------------------------------------------------------
 # D8 flow routing
 # ---------------------------------------------------------------------------
