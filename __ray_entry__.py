@@ -2265,6 +2265,33 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
             }
         )
 
+    # tenth path ('cost'): least-cost distance from the SAME pits
+    # (min-plus Bellman-Jacobi, rayraster/spatial.py cost_distance;
+    # cost of entering a cell = its sum_n_chars) — the twin unrolls
+    # the SAME round count, exact int64 min-plus at any count.
+    from rayraster.spatial import cost_distance
+
+    fpits = fdir.map_batches(
+        lambda t: t.filter(pa.compute.invert(t["has_down"])).select(["ix", "iy"]),
+        batch_format="pyarrow",
+    )
+    fcost = cost_distance(
+        fcells.select_columns(["ix", "iy", "sum_n_chars"]), fpits,
+        rounds=_COST_ROUNDS, cost_col="sum_n_chars",
+        num_partitions=8, node_count=n_docs,
+    )
+
+    def tag_cost(t: pa.Table) -> pa.Table:
+        ix = t["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ix * np.int64(1 << 32) + iy),
+                "pr": t["dist"].cast(pa.int64()),
+                "path": pa.array(["cost"] * t.num_rows, type=pa.string()),
+            }
+        )
+
     def tag_flow(t: pa.Table) -> pa.Table:
         ix = t["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
         iy = t["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2285,11 +2312,13 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
         db.map_batches(tag_db, batch_format="pyarrow"),
         facc.map_batches(tag_flow, batch_format="pyarrow"),
         fbasin.map_batches(tag_basin, batch_format="pyarrow"),
+        fcost.map_batches(tag_cost, batch_format="pyarrow"),
     )
 
 
 _FLOW_ROUNDS = 16
 _BASIN_DOUBLINGS = 5
+_COST_ROUNDS = 8
 
 
 def _sql_flow_ctes(rounds: int = _FLOW_ROUNDS) -> tuple[str, str]:
@@ -2356,6 +2385,30 @@ def _sql_basin_ctes(doublings: int = _BASIN_DOUBLINGS) -> tuple[str, str]:
   SELECT a.ix, a.iy, b.pix, b.piy
   FROM fb{r-1} a JOIN fb{r-1} b ON b.ix = a.pix AND b.iy = a.piy)""")
     return ",\n".join(ctes), f"fb{doublings}"
+
+
+def _sql_cost_ctes(rounds: int = _COST_ROUNDS) -> tuple[str, str]:
+    """Twin of the d8 'cost' arm: min-plus Bellman-Jacobi from the D8
+    pits (cells absent from ``fdir``) over the same ``fpx``/``foffs``
+    (:func:`_sql_flow_ctes` must precede) — each round folds the
+    previous frontier's ``dist + entering-cost`` with a grouped MIN,
+    exactly :func:`rayraster.spatial.cost_distance`."""
+    ctes = [
+        """fcd0 AS MATERIALIZED (
+  SELECT p.ix, p.iy, CAST(0 AS BIGINT) AS dist
+  FROM fpx p LEFT JOIN fdir d ON d.ix = p.ix AND d.iy = p.iy
+  WHERE d.ix IS NULL)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""fcd{r} AS MATERIALIZED (
+  SELECT ix, iy, CAST(MIN(d) AS BIGINT) AS dist FROM (
+    SELECT ix, iy, dist AS d FROM fcd{r-1}
+    UNION ALL
+    SELECT p.ix, p.iy, n.dist + p.v AS d
+    FROM fpx p JOIN foffs o ON TRUE
+         JOIN fcd{r-1} n ON n.ix = p.ix + o.dx AND n.iy = p.iy + o.dy
+  ) GROUP BY ix, iy)""")
+    return ",\n".join(ctes), f"fcd{rounds}"
 
 
 def _sql_pagerank_twin(iterations: int = 3) -> str:
@@ -2453,8 +2506,9 @@ bfsr AS (
     head = head.replace("WITH ", "WITH RECURSIVE ", 1)
     fl_ctes, fl_final = _sql_flow_ctes()
     fb_ctes, fb_final = _sql_basin_ctes()
+    fc_ctes, fc_final = _sql_cost_ctes()
     pr = (
-        f"{head},\n{kc_ctes},\n{fl_ctes},\n{fb_ctes},\n{bfs_ctes}\n"
+        f"{head},\n{kc_ctes},\n{fl_ctes},\n{fb_ctes},\n{fc_ctes},\n{bfs_ctes}\n"
         f"SELECT node AS doc_id{tail}\n"
         "UNION ALL\n"
         "SELECT node AS doc_id, CAST(0 AS BIGINT) AS pr, 'kcore' AS path "
@@ -2468,7 +2522,10 @@ bfsr AS (
         "UNION ALL\n"
         "SELECT ix * 4294967296 + iy AS doc_id, "
         "pix * 4294967296 + piy AS pr, 'basin' AS path "
-        f"FROM {fb_final}"
+        f"FROM {fb_final}\n"
+        "UNION ALL\n"
+        "SELECT ix * 4294967296 + iy AS doc_id, dist AS pr, 'cost' AS path "
+        f"FROM {fc_final}"
     )
     return f"""{pr}
 UNION ALL

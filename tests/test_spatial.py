@@ -965,6 +965,95 @@ def test_basin_labels_engines_agree_unconverged(ray_session):
             assert (r.basin_ix, r.basin_iy) == want[(r.ix, r.iy)]
 
 
+def _cost_brute(px: pd.DataFrame, src: set, rounds: int):
+    """Synchronous min-plus reference."""
+    from rayraster.spatial import FLOW_OFFSETS
+
+    cost = {(r.ix, r.iy): r.v for r in px.itertuples()}
+    INF = float("inf")
+    dist = {k: (0 if k in src else INF) for k in cost}
+    for _ in range(rounds):
+        new = dict(dist)
+        for p in cost:
+            for dx, dy in FLOW_OFFSETS:
+                q = (p[0] + dx, p[1] + dy)
+                if q in dist and dist[q] + cost[p] < new[p]:
+                    new[p] = dist[q] + cost[p]
+        dist = new
+    return {k: v for k, v in dist.items() if v < INF}
+
+
+def test_cost_distance_matches_brute_and_converges(ray_session):
+    from rayraster.spatial import cost_distance, flow_direction
+
+    px = _raster(seed=47, m=250, span=12)
+    ds = rd.from_pandas(px)
+    # sources = the D8 pits of the same raster (the query-arm shape)
+    fd = flow_direction(ds, "v", num_partitions=4).materialize()
+    pits = fd.map_batches(
+        lambda t: t.filter(pa.compute.invert(t["has_down"])).select(["ix", "iy"]),
+        batch_format="pyarrow",
+    )
+    src = set(
+        map(tuple, fd.to_pandas().query("~has_down")[["ix", "iy"]].to_numpy())
+    )
+    got = cost_distance(
+        ds, pits, rounds=64, cost_col="v", node_count=len(px)
+    ).to_pandas()
+    want = _cost_brute(px, src, 64)
+    assert {(r.ix, r.iy): r.dist for r in got.itertuples()} == want
+    # sources are at distance 0, everything else > 0 (costs >= 0)
+    for s in src:
+        assert want[s] == 0
+
+
+def test_cost_distance_engines_agree_unconverged(ray_session):
+    from rayraster.spatial import cost_distance, flow_direction
+
+    px = _raster(seed=53, m=300, span=14)
+    ds = rd.from_pandas(px)
+    fd = flow_direction(ds, "v", num_partitions=4).materialize()
+    pits = fd.map_batches(
+        lambda t: t.filter(pa.compute.invert(t["has_down"])).select(["ix", "iy"]),
+        batch_format="pyarrow",
+    ).materialize()
+    src = set(
+        map(tuple, fd.to_pandas().query("~has_down")[["ix", "iy"]].to_numpy())
+    )
+    for rounds in (0, 1, 3):
+        small = (
+            cost_distance(ds, pits, rounds=rounds, cost_col="v",
+                          node_count=len(px))
+            .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+        )
+        big = (
+            cost_distance(ds, pits, rounds=rounds, cost_col="v",
+                          num_partitions=4, node_count=None)
+            .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+        )
+        assert small.equals(big), rounds
+        want = _cost_brute(px, src, rounds)
+        assert {(r.ix, r.iy): r.dist for r in small.itertuples()} == want
+
+
+def test_cost_distance_validations(ray_session):
+    from rayraster.spatial import cost_distance
+
+    px = pd.DataFrame({"ix": [0, 1], "iy": [0, 0], "v": [1, -2]})
+    srcs = rd.from_pandas(px[["ix", "iy"]].iloc[:1])
+    with pytest.raises(ValueError, match="rounds"):
+        cost_distance(rd.from_pandas(px), srcs, rounds=-1, cost_col="v",
+                      node_count=2)
+    with pytest.raises(Exception, match="non-negative"):
+        cost_distance(rd.from_pandas(px), srcs, rounds=1, cost_col="v",
+                      node_count=2).to_pandas()
+    bad = rd.from_pandas(pd.DataFrame({"ix": [9], "iy": [9]}))
+    ok = pd.DataFrame({"ix": [0, 1], "iy": [0, 0], "v": [1, 2]})
+    with pytest.raises(Exception, match="not an occupied"):
+        cost_distance(rd.from_pandas(ok), bad, rounds=1, cost_col="v",
+                      node_count=2).to_pandas()
+
+
 def test_basin_labels_validation(ray_session):
     from rayraster.spatial import basin_labels, flow_direction
 
