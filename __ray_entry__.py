@@ -3307,7 +3307,33 @@ def _q_vocab_topk(sf_dir: str):
         _docs(sf_dir), k=50, min_count=5, corpus_count=n_docs,
         num_partitions=_parts_for(n_docs),
     ).map_batches(colloc_shape, batch_format="pyarrow")
-    return vocab.union(tfidf, search, bm25, colloc)
+
+    # 'textrank' — corpus keywords by weighted int-fixed-point PageRank
+    # over the bigram co-occurrence graph (textops.keywords_textrank:
+    # ROW_NUMBER word ids, symmetrized edges, 3 rounds at scale 1e6);
+    # n = global count, df = the int64 rank (the bit-exact payload)
+    from rayraster.textops import keywords_textrank
+
+    def textrank_shape(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(m, -1, dtype=np.int64)),
+                "word": t["word"],
+                "n": t["n"],
+                "df": t["pr"],
+                "score": t["score"],
+                "rnk": t["rnk"],
+                "path": pa.array(["textrank"] * m, type=pa.string()),
+            }
+        )
+
+    textrank = keywords_textrank(
+        _docs(sf_dir),
+        _gate_cache_path("textrank_edges_v1", sf_dir, n_docs),
+        k=20, corpus_count=n_docs, num_partitions=_parts_for(n_docs),
+    ).map_batches(textrank_shape, batch_format="pyarrow")
+    return vocab.union(tfidf, search, bm25, colloc, textrank)
 
 
 def _sql_vocab_topk() -> str:
@@ -3403,6 +3429,70 @@ FROM (
   )
   SELECT *, CAST(row_number() OVER (ORDER BY score DESC, w1, w2) AS BIGINT) AS rnk
   FROM scc QUALIFY rnk <= 50
+)
+UNION ALL
+""" + _sql_textrank_arm()
+
+
+def _sql_textrank_arm(iterations: int = 3, scale: int = 1_000_000,
+                      k: int = 20) -> str:
+    """Twin of the t11 'textrank' arm: ROW_NUMBER word ids over the
+    shared unigram CTE ``c``, symmetrized weighted bigram edges, then
+    ``iterations`` unrolled integer PageRank rounds with the engine's
+    exact per-edge arithmetic ``(r*85*w) // (100*W)`` and teleport
+    ``scale*15//100`` (see rayraster/textops.py keywords_textrank and
+    rayraster/graph.py pagerank weighted variant)."""
+    tele = scale * 15 // 100
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(f"""trc{i} AS (
+    SELECT e.dst AS node,
+           CAST(SUM((r.r * 85 * e.w) // (100 * s.W)) AS BIGINT) AS s
+    FROM tre e JOIN trr{i-1} r ON r.node = e.src
+         JOIN trW s ON s.src = e.src
+    GROUP BY e.dst
+  ),
+  trr{i} AS (
+    SELECT p.node, CAST({tele} + COALESCE(cc.s, 0) AS BIGINT) AS r
+    FROM trr{i-1} p LEFT JOIN trc{i} cc ON cc.node = p.node
+  )""")
+    body = ",\n  ".join(rounds)
+    return rf"""SELECT CAST(-1 AS BIGINT) AS doc_id, word, n, pr AS df,
+       score, rnk, 'textrank' AS path
+FROM (
+  WITH tri AS (
+    SELECT word, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS BIGINT) AS wid
+    FROM c
+  ),
+  trl AS (
+    SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+    FROM documents
+  ),
+  trb AS (
+    SELECT unnest(ws[1:length(ws)-1]) AS w1, unnest(ws[2:length(ws)]) AS w2
+    FROM trl WHERE length(ws) >= 2
+  ),
+  trcnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM trb GROUP BY 1, 2),
+  tre0 AS (
+    SELECT i1.wid AS src, i2.wid AS dst, trcnt.c12 AS w
+    FROM trcnt JOIN tri i1 ON i1.word = trcnt.w1
+               JOIN tri i2 ON i2.word = trcnt.w2
+  ),
+  tre AS (SELECT src, dst, w FROM tre0
+          UNION ALL SELECT dst AS src, src AS dst, w FROM tre0),
+  trW AS (SELECT src, CAST(SUM(w) AS BIGINT) AS W FROM tre GROUP BY src),
+  trr0 AS (SELECT wid AS node, CAST({scale} AS BIGINT) AS r FROM tri),
+  {body},
+  trf AS (
+    SELECT i.word, i.n, r.r AS pr,
+           CAST(r.r AS DOUBLE) / {float(scale)!r} AS score
+    FROM trr{iterations} r JOIN tri i ON i.wid = r.node
+  )
+  SELECT word, n, pr, score,
+         CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, word) AS BIGINT) AS rnk
+  FROM trf QUALIFY rnk <= {k}
 )"""
 
 

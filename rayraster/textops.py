@@ -2541,6 +2541,169 @@ def collocations_topk(
     return ray_data_from_table(tbl)
 
 
+def keywords_textrank(
+    ds,
+    edges_path: str,
+    k: int = 20,
+    iterations: int = 3,
+    text_col: str = "text",
+    scale: int = 1_000_000,
+    num_partitions: int = 64,
+    corpus_count: int | None = None,
+):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): rank every
+    vocabulary word by WEIGHTED PageRank over the word co-occurrence
+    graph (bigram adjacency, undirected) and return the top-``k`` —
+    the classic unsupervised corpus-keyword primitive, here as a
+    composition of already-proven distributed stages:
+
+      1. unigram counts (one partitioned grouped sum), then word →
+         dense int64 id via :func:`rayraster.agg.global_rank` ordered
+         ``(count DESC, word ASC)`` — deterministic and
+         SQL-reproducible (``ROW_NUMBER``), no string hashing;
+      2. bigram counts (one grouped sum) + two
+         :func:`rayraster.join.bucket_join` hops to swap endpoints for
+         ids, then a map-only symmetrization (both directions, weight
+         = bigram count — parallel edges fold inside PageRank);
+      3. :func:`rayraster.graph.pagerank` WEIGHTED variant: int64
+         fixed-point (bit-identical across partitionings / cluster
+         sizes), edges persisted bucketed at ``edges_path``, exact
+         overflow bounds checked from recorded layout maxima (the
+         default ``scale`` is 1e6, not PageRank's 1e9 — vocab · scale
+         · 85 · max-bigram-count must stay < 2^63);
+      4. one ``bucket_join`` back to words, native sort + ``limit(k)``,
+         rank stamped on the k-row result.
+
+    Returns ``(word, wid, n, pr, score, rnk)`` — ``n`` the global
+    count, ``pr`` the int64 fixed-point rank after ``iterations``
+    synchronous rounds, ``score = pr / scale`` (ONE IEEE division),
+    ``rnk`` 1-based ordered ``(pr DESC, word ASC)``.
+
+    Reference: SEraster has no text operators (R/main.R); this extends
+    the mandated text-analysis family with graph-based keyword
+    scoring.  SQL twin: unigram/bigram CTEs + ROW_NUMBER ids + 3
+    unrolled integer PageRank rounds (``__ray_entry__._sql_vocab_topk``
+    path='textrank').
+    """
+    from rayraster.agg import global_rank, hash_aggregate
+    from rayraster.dedup import _adaptive_parts
+    from rayraster.graph import pagerank
+    from rayraster.join import bucket_join
+
+    if k < 1:
+        raise ValueError("keywords_textrank: k must be >= 1")
+    if iterations < 1:
+        raise ValueError("keywords_textrank: iterations must be >= 1")
+    parts = _adaptive_parts(corpus_count, num_partitions)
+
+    uni = hash_aggregate(
+        ds.map_batches(
+            lambda t: word_count_partial(t, text_col),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        ["word"], sum_cols=["n"], count=False, num_partitions=parts,
+    ).map_batches(
+        lambda t: pa.table({"word": t["word"], "n": t["sum_n"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    vocab_n = uni.count()
+    empty = pa.table(
+        {
+            "word": pa.array([], type=pa.string()),
+            "wid": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "pr": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+            "rnk": pa.array([], type=pa.int64()),
+        }
+    )
+    if vocab_n == 0:
+        return ray_data_from_table(empty)
+
+    ids = global_rank(
+        uni, [("n", "descending"), ("word", "ascending")],
+        bucket_fn=lambda t: -t["n"].to_numpy(zero_copy_only=False),
+        rank_col="wid", num_partitions=parts,
+    ).materialize()
+    ids_schema = pa.schema(
+        [("word", pa.string()), ("n", pa.int64()), ("wid", pa.int64())]
+    )
+
+    bi = hash_aggregate(
+        ds.map_batches(
+            lambda t: bigram_count_partial(t, text_col),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        ["w1", "w2"], sum_cols=["n"], count=False, num_partitions=parts,
+    ).map_batches(
+        lambda t: pa.table({"w1": t["w1"], "w2": t["w2"], "c12": t["sum_n"]}),
+        batch_format="pyarrow",
+    )
+    bi_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("c12", pa.int64())]
+    )
+    j1 = bucket_join(
+        bi, ids, "w1", "word", num_buckets=parts,
+        left_schema=bi_schema, right_schema=ids_schema,
+    ).map_batches(
+        lambda t: pa.table(
+            {"w2": t["w2"], "c12": t["c12"], "wid1": t["wid"]}
+        ),
+        batch_format="pyarrow",
+    )
+    j1_schema = pa.schema(
+        [("w2", pa.string()), ("c12", pa.int64()), ("wid1", pa.int64())]
+    )
+    pairs = bucket_join(
+        j1, ids, "w2", "word", num_buckets=parts,
+        left_schema=j1_schema, right_schema=ids_schema,
+    ).map_batches(
+        lambda t: pa.table(
+            {"a": t["wid1"], "b": t["wid"], "w": t["c12"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                pa.table({"src": t["a"], "dst": t["b"], "w": t["w"]}),
+                pa.table({"src": t["b"], "dst": t["a"], "w": t["w"]}),
+            ]
+        )
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow")
+    nodes = ids.map_batches(
+        lambda t: pa.table({"node": t["wid"]}), batch_format="pyarrow"
+    )
+    pr = pagerank(
+        edges, edges_path, nodes=nodes, iterations=iterations,
+        scale=scale, num_buckets=parts, node_count=vocab_n,
+        weight_col="w",
+    )
+    pr_schema = pa.schema([("node", pa.int64()), ("pr", pa.int64())])
+    back = bucket_join(
+        pr, ids, "node", "wid", num_buckets=parts,
+        left_schema=pr_schema, right_schema=ids_schema,
+    ).map_batches(
+        lambda t: pa.table(
+            {"word": t["word"], "wid": t["node"], "n": t["n"], "pr": t["pr"]}
+        ),
+        batch_format="pyarrow",
+    )
+    top = back.sort(["pr", "word"], descending=[True, False]).limit(k)
+    tbl = pa.Table.from_pylist(top.take_all())
+    if tbl.num_rows == 0:
+        tbl = empty.drop_columns(["score", "rnk"])
+    prv = tbl["pr"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tbl = tbl.select(["word", "wid", "n", "pr"]).append_column(
+        "score", pa.array(prv.astype(np.float64) / np.float64(scale))
+    ).append_column(
+        "rnk", pa.array(np.arange(1, tbl.num_rows + 1, dtype=np.int64))
+    )
+    return ray_data_from_table(tbl)
+
+
 def ray_data_from_table(t: pa.Table):
     import ray.data as _rd
 

@@ -1488,3 +1488,95 @@ def test_pattern_counts_matches_re_and_nulls(ray_session):
         pattern_counts(rd.from_pandas(df), {})
     with _pt.raises(ValueError, match="identifiers"):
         pattern_counts(rd.from_pandas(df), {"bad name": "x"})
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords
+# ---------------------------------------------------------------------------
+
+
+def _textrank_ref(texts, iterations=3, scale=1_000_000, k=20):
+    """Pure-Python integer TextRank with the engine's exact arithmetic."""
+    import re
+    from collections import Counter
+
+    toks = [[w for w in re.split(r"\s+", t) if w] for t in texts]
+    uni = Counter(w for ws in toks for w in ws)
+    order = sorted(uni, key=lambda w: (-uni[w], w))
+    ids = {w: i + 1 for i, w in enumerate(order)}
+    bi = Counter(
+        (ws[i], ws[i + 1]) for ws in toks for i in range(len(ws) - 1)
+    )
+    edges = []
+    for (a, b), c in bi.items():
+        edges.append((ids[a], ids[b], c))
+        edges.append((ids[b], ids[a], c))
+    W = Counter()
+    for s, _, w in edges:
+        W[s] += w
+    r = {i: scale for i in ids.values()}
+    tele = scale * 15 // 100
+    for _ in range(iterations):
+        c = {i: 0 for i in ids.values()}
+        for s, d, w in edges:
+            c[d] += (r[s] * 85 * w) // (100 * W[s])
+        r = {i: tele + c[i] for i in ids.values()}
+    inv = {i: w for w, i in ids.items()}
+    rows = sorted(
+        ((i, pr) for i, pr in r.items()), key=lambda p: (-p[1], inv[p[0]])
+    )[:k]
+    return [
+        (inv[i], i, uni[inv[i]], pr, pr / scale, j + 1)
+        for j, (i, pr) in enumerate(rows)
+    ]
+
+
+def test_keywords_textrank_matches_integer_reference(ray_session, tmp_path):
+    from rayraster.textops import keywords_textrank
+
+    rng = np.random.default_rng(61)
+    vocab = [f"w{i:02d}" for i in range(30)]
+    # planted hub: "graph" co-occurs with everything
+    texts = []
+    for d in range(40):
+        ws = list(rng.choice(vocab, size=25))
+        for j in range(0, 25, 5):
+            ws.insert(j, "graph")
+        texts.append(" ".join(ws))
+    docs = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(4)
+    got = keywords_textrank(
+        docs, str(tmp_path / "tr_edges"), k=15, num_partitions=8,
+        corpus_count=len(texts),
+    ).to_pandas()
+    want = _textrank_ref(texts, k=15)
+    assert len(got) == 15
+    got_rows = list(
+        got[["word", "wid", "n", "pr", "score", "rnk"]].itertuples(index=False)
+    )
+    for g, w in zip(got_rows, want):
+        assert tuple(g) == w
+    # the planted hub must rank first
+    assert got.iloc[0].word == "graph"
+
+
+def test_keywords_textrank_partition_invariant_and_validations(
+    ray_session, tmp_path
+):
+    from rayraster.textops import keywords_textrank
+
+    texts = ["alpha beta gamma beta", "beta gamma delta", "alpha delta"]
+    docs1 = rd.from_pandas(pd.DataFrame({"text": texts}))
+    docs3 = docs1.repartition(3)
+    a = keywords_textrank(
+        docs1, str(tmp_path / "e1"), k=10, num_partitions=2
+    ).to_pandas()
+    b = keywords_textrank(
+        docs3, str(tmp_path / "e2"), k=10, num_partitions=8
+    ).to_pandas()
+    assert a.equals(b)
+    want = _textrank_ref(texts, k=10)
+    assert [tuple(r) for r in a.itertuples(index=False)] == want
+    with pytest.raises(ValueError, match="k must"):
+        keywords_textrank(docs1, str(tmp_path / "e3"), k=0)
+    with pytest.raises(ValueError, match="iterations"):
+        keywords_textrank(docs1, str(tmp_path / "e4"), iterations=0)
