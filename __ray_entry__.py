@@ -681,17 +681,68 @@ def _hillshade_twin() -> str:
 
 
 def _q_spatial_knn(sf_dir: str):
-    """Tiled per-partition kNN self-join (no broadcast, one shuffle) —
-    the 10^12-row path; at grid-pixel density every result is exact,
-    so it matches the brute-force SQL oracle."""
+    """Tiled per-partition spatial joins (no broadcast, one shuffle
+    each) — the 10^12-row paths, path-tagged under one gate:
+
+    * path='knn' — tiled-halo kNN self-join over pixel centroids
+      (`rayraster.knn.spatial_knn_self`); at grid-pixel density every
+      result is exact, so it matches the brute ROW_NUMBER oracle.
+    * path='radius' — cross-table ST_DWithin join
+      (`rayraster.cluster.radius_join`): pixel centroids × geocoded
+      EVENTS, all pairs within ε=20 — left rows visit their own ε-tile,
+      right rows the 3×3 halo, ONE hash shuffle, recall provably
+      total.  n_ix carries the matched event_id, dist2 the exact d².
+    """
+    from rayraster.cluster import radius_join
+    from rayraster.geo import geocode_id
     from rayraster.knn import spatial_knn_self
 
     pts = load_doc_points(sf_dir, columns=("doc_id",))
     cells, _ = _rf(pts, RES, [], fun="sum", with_meta=False)
-    out = spatial_knn_self(
-        cells.select_columns(["ix", "iy", "cx", "cy"]), k=4, tile_size=3.0 * RES
+    cells = cells.select_columns(["ix", "iy", "cx", "cy"]).materialize()
+    knn = spatial_knn_self(cells, k=4, tile_size=3.0 * RES).select_columns(
+        ["ix", "iy", "rank", "dist2", "n_ix", "n_iy"]
+    ).map_batches(_tagger("knn"), batch_format="pyarrow")
+
+    def cell_pts(t: pa.Table) -> pa.Table:
+        ix = t["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"id": pa.array(ix * np.int64(1 << 32) + iy),
+             "x": t["cx"], "y": t["cy"]}
+        )
+
+    def ev_pts(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        x, y = geocode_id(ids)
+        return pa.table({"id": t["event_id"], "x": pa.array(x), "y": pa.array(y)})
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    pairs = radius_join(
+        cells.map_batches(cell_pts, batch_format="pyarrow"),
+        ev.map_batches(ev_pts, batch_format="pyarrow"),
+        _RJ_EPS, num_partitions=8,
     )
-    return out.select_columns(["ix", "iy", "rank", "dist2", "n_ix", "n_iy"])
+
+    def rj_shape(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        m = t.num_rows
+        return pa.table(
+            {
+                "ix": pa.array(a // np.int64(1 << 32)),
+                "iy": pa.array(a % np.int64(1 << 32)),
+                "rank": pa.array(np.zeros(m, dtype=np.int64)),
+                "dist2": t["d2"],
+                "n_ix": t["b"],
+                "n_iy": pa.array(np.zeros(m, dtype=np.int64)),
+                "path": pa.array(["radius"] * m, type=pa.string()),
+            }
+        )
+
+    return knn.union(pairs.map_batches(rj_shape, batch_format="pyarrow"))
+
+
+_RJ_EPS = 20.0
 
 
 _STRAT_RATES = {"en": 200000, "de": 50000}
@@ -1254,11 +1305,21 @@ def _sql_knn(sphere: bool = True) -> str:
   FROM c a JOIN c b ON NOT (a.ix = b.ix AND a.iy = b.iy)
 ) WHERE "rank" <= 4"""
     if not sphere:
+        # r8b: path-tagged — 'knn' (tiled self-kNN) + 'radius'
+        # (cross-table ST_DWithin vs geocoded events; same fixed-order
+        # d² expression as rayraster/cluster.py radius_join)
+        evx, evy = geocode_sql("event_id")
+        d2r = "(c.cx - e.x) * (c.cx - e.x) + (c.cy - e.y) * (c.cy - e.y)"
         return f"""WITH {_PTS}, {_bb(RES)}, {_square_cells(RES)},
 c AS (
   SELECT ix, iy, cx, cy FROM cells2 GROUP BY ix, iy, cx, cy
-)
-{planar.format(head="")}"""
+),
+ev AS (SELECT event_id, {evx} AS x, {evy} AS y FROM events)
+{planar.format(head="'knn' AS path, ")}
+UNION ALL
+SELECT 'radius' AS path, c.ix, c.iy, CAST(0 AS BIGINT) AS "rank",
+       {d2r} AS dist2, e.event_id AS n_ix, CAST(0 AS BIGINT) AS n_iy
+FROM c JOIN ev e ON {d2r} <= {_RJ_EPS * _RJ_EPS!r}"""
     d2s = (
         "(a.ax - b.ax) * (a.ax - b.ax) + (a.ay - b.ay) * (a.ay - b.ay) "
         "+ (a.az - b.az) * (a.az - b.az)"

@@ -87,6 +87,17 @@ def radius_pairs(
         )
         return out.append_column("_part", pa.array(part))
 
+    fanned = pts.map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True)
+    solve = _make_tile_solve(eps2, query_chunk, exclude_same_id=True)
+    return fanned.groupby("_part").map_groups(solve, batch_format="pyarrow")
+
+
+def _make_tile_solve(eps2: float, query_chunk: int, exclude_same_id: bool):
+    """Per-co-located-tile-group radius scan shared by
+    :func:`radius_pairs` (self, same-id pairs excluded) and
+    :func:`radius_join` (cross-table, ids may legitimately collide):
+    sort by tile, chunked dense distance check per group."""
+
     def solve(part: pa.Table) -> pa.Table:
         part = part.sort_by([("_tx", "ascending"), ("_ty", "ascending")])
         tx = part["_tx"].to_numpy(zero_copy_only=False)
@@ -104,16 +115,21 @@ def radius_pairs(
         ends = np.append(starts[1:], n)
         for s, e in zip(starts, ends):
             q = np.flatnonzero(isq[s:e]) + s
-            if len(q) == 0:
+            if exclude_same_id:  # self-join: every row is a reference
+                r = np.arange(s, e)
+            else:
+                r = np.flatnonzero(~isq[s:e]) + s
+            if len(q) == 0 or len(r) == 0:
                 continue
-            r = np.arange(s, e)
             rx, ry, rid = x[r], y[r], ids[r]
             for c0 in range(0, len(q), query_chunk):
                 qc = q[c0 : c0 + query_chunk]
                 ddx = x[qc][:, None] - rx[None, :]
                 ddy = y[qc][:, None] - ry[None, :]
                 d2 = ddx * ddx + ddy * ddy
-                hit = (d2 <= eps2) & (ids[qc][:, None] != rid[None, :])
+                hit = d2 <= eps2
+                if exclude_same_id:
+                    hit &= ids[qc][:, None] != rid[None, :]
                 qi, ri = np.nonzero(hit)
                 if len(qi):
                     o_a.append(ids[qc][qi])
@@ -129,7 +145,81 @@ def radius_pairs(
              "d2": np.concatenate(o_d2)}
         )
 
-    fanned = pts.map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True)
+    return solve
+
+
+def radius_join(
+    left: Dataset,
+    right: Dataset,
+    eps: float,
+    left_id: str = "id",
+    right_id: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    num_partitions: int = 64,
+    query_chunk: int = 1024,
+) -> Dataset:
+    """Distance-threshold spatial join across TWO point tables — the
+    distributed ``ST_DWithin`` join (PostGIS; sedona's DistanceJoin):
+    every pair ``(a ∈ left, b ∈ right)`` with
+    ``d² = (xa−xb)² + (ya−yb)² ≤ eps²`` — "attach every sensor/event
+    within ε of each site" without broadcasting either side.
+
+    Same provably-total ε-tile shape as :func:`radius_pairs`, but
+    sided: LEFT rows go to their own tile only (1 copy, queries),
+    RIGHT rows to the 3×3 tile halo (9 copies, references) — two
+    points within ε always share a tile or adjacent tiles, so ONE
+    hash-partitioned shuffle co-locates every qualifying pair.  Within
+    a tile group the predicate is a chunked dense distance check.
+    Ties ON the radius are included (``≤``, exact IEEE compare both
+    sides of any twin); ids are NOT deduplicated across tables (a left
+    id may equal a right id — they are different rows).
+
+    Returns ``(a, b, d2)`` — one row per qualifying pair.
+    """
+    eps2 = eps * eps
+
+    def side_fanout(is_query: bool, id_col: str):
+        offs = [(0, 0)] if is_query else [
+            (dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ]
+
+        def fanout(t: pa.Table) -> pa.Table:
+            x = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            y = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            tx = np.floor(x / eps).astype(np.int64)
+            ty = np.floor(y / eps).astype(np.int64)
+            base = pa.table({"_id": ids, "_x": x, "_y": y})
+            pieces = []
+            for dx, dy in offs:
+                p = base.append_column("_tx", pa.array(tx + dx))
+                p = p.append_column("_ty", pa.array(ty + dy))
+                p = p.append_column(
+                    "_is_query", pa.array(np.full(t.num_rows, is_query))
+                )
+                pieces.append(p)
+            out = pa.concat_tables(pieces)
+            part = (
+                np.abs(
+                    out["_tx"].to_numpy(zero_copy_only=False) * np.int64(73856093)
+                    ^ out["_ty"].to_numpy(zero_copy_only=False) * np.int64(19349663)
+                )
+                % np.int64(num_partitions)
+            )
+            return out.append_column("_part", pa.array(part))
+
+        return fanout
+
+    fanned = left.map_batches(
+        side_fanout(True, left_id), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(
+            side_fanout(False, right_id), batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    solve = _make_tile_solve(eps2, query_chunk, exclude_same_id=False)
     return fanned.groupby("_part").map_groups(solve, batch_format="pyarrow")
 
 

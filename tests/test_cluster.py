@@ -111,3 +111,70 @@ def test_dbscan_partition_invariant_and_noise(ray_session):
     for b in range(3):
         members = {lbl[4 * b + k] for k in range(4)}
         assert members == {4 * b}
+
+
+# ---------------------------------------------------------------------------
+# Cross-table radius join
+# ---------------------------------------------------------------------------
+
+
+def test_radius_join_matches_brute(ray_session):
+    from rayraster.cluster import radius_join
+
+    rng = np.random.default_rng(71)
+    nl, nr = 120, 200
+    lx, ly = rng.uniform(0, 100, nl), rng.uniform(0, 100, nl)
+    rx, ry = rng.uniform(0, 100, nr), rng.uniform(0, 100, nr)
+    eps = 7.0
+    left = rd.from_arrow(
+        pa.table({"id": np.arange(nl, dtype=np.int64), "x": lx, "y": ly})
+    ).repartition(3)
+    right = rd.from_arrow(
+        pa.table({"id": np.arange(nr, dtype=np.int64), "x": rx, "y": ry})
+    ).repartition(4)
+    got = radius_join(left, right, eps, num_partitions=8).to_pandas()
+    want = set()
+    for i in range(nl):
+        d2 = (lx[i] - rx) ** 2 + (ly[i] - ry) ** 2
+        for j in np.flatnonzero(d2 <= eps * eps):
+            want.add((i, int(j), d2[j]))
+    assert set(map(tuple, got[["a", "b", "d2"]].to_numpy())) == {
+        (float(a), float(b), d) for a, b, d in want
+    }
+    assert len(got) == len(want)  # no duplicate pairs from the halo
+
+
+def test_radius_join_id_collision_and_partition_invariance(ray_session):
+    from rayraster.cluster import radius_join
+
+    # identical ids on both sides must still pair (different tables)
+    left = rd.from_arrow(
+        pa.table({"id": np.array([5], dtype=np.int64),
+                  "x": [0.0], "y": [0.0]})
+    )
+    right = rd.from_arrow(
+        pa.table({"id": np.array([5], dtype=np.int64),
+                  "x": [1.0], "y": [0.0]})
+    )
+    out = radius_join(left, right, 2.0, num_partitions=4).to_pandas()
+    assert len(out) == 1 and out.iloc[0].a == 5 and out.iloc[0].b == 5
+    rng = np.random.default_rng(73)
+    n = 150
+    t = pa.table(
+        {"id": np.arange(n, dtype=np.int64),
+         "x": rng.uniform(0, 50, n), "y": rng.uniform(0, 50, n)}
+    )
+    a = (
+        radius_join(rd.from_arrow(t), rd.from_arrow(t), 4.0, num_partitions=2)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    b = (
+        radius_join(
+            rd.from_arrow(t).repartition(7), rd.from_arrow(t).repartition(3),
+            4.0, num_partitions=16,
+        )
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # self pair (a==b, d2=0) IS included in a cross-table join
+    assert ((a.a == a.b) & (a.d2 == 0.0)).sum() == n
