@@ -70,15 +70,20 @@ def test_radius_pairs_matches_brute(ray_session, eps):
 def test_dbscan_matches_brute(ray_session, min_samples):
     ids, x, y = _pts(seed=9, n=350, span=60.0)  # dense enough for clusters
     ds = rd.from_arrow(pa.table({"id": ids, "x": x, "y": y}))
-    got = (
-        dbscan_labels(ds, 4.0, min_samples=min_samples, num_partitions=4)
-        .to_pandas()
-        .set_index("node")["label"]
-        .to_dict()
-    )
     ref = _brute_dbscan(ids, x, y, 4.0, min_samples)
-    assert len(got) == len(ids)
-    assert got == ref
+    # both CC engines must reach the same fixpoint
+    for eng in ("driver", "distributed"):
+        got = (
+            dbscan_labels(ds, 4.0, min_samples=min_samples, num_partitions=4,
+                          cc_engine=eng)
+            .to_pandas()
+            .set_index("node")["label"]
+            .to_dict()
+        )
+        assert len(got) == len(ids), eng
+        assert got == ref, eng
+    with pytest.raises(ValueError, match="cc_engine"):
+        dbscan_labels(ds, 4.0, cc_engine="bogus")
 
 
 def test_dbscan_partition_invariant_and_noise(ray_session):
