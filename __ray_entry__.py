@@ -2296,10 +2296,10 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
     fcells, _ = _rf(
         load_doc_points(sf_dir), RES, ["n_chars"], fun="sum", with_meta=False
     )
-    fdir = flow_direction(
-        fcells.select_columns(["ix", "iy", "sum_n_chars"]),
-        "sum_n_chars", num_partitions=8,
-    ).materialize()
+    # materialize: the flow AND cost arms both consume this raster —
+    # one rasterize, not one per arm
+    fcells = fcells.select_columns(["ix", "iy", "sum_n_chars"]).materialize()
+    fdir = flow_direction(fcells, "sum_n_chars", num_partitions=8).materialize()
     facc = flow_accumulation(
         fdir, rounds=_FLOW_ROUNDS, num_partitions=8, node_count=n_docs,
     )
@@ -2337,8 +2337,7 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
         batch_format="pyarrow",
     )
     fcost = cost_distance(
-        fcells.select_columns(["ix", "iy", "sum_n_chars"]), fpits,
-        rounds=_COST_ROUNDS, cost_col="sum_n_chars",
+        fcells, fpits, rounds=_COST_ROUNDS, cost_col="sum_n_chars",
         num_partitions=8, node_count=n_docs,
     )
 
