@@ -604,6 +604,90 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_keywords(args) -> int:
+    """Corpus keywords by TextRank: weighted integer PageRank over the
+    bigram co-occurrence graph (see textops.keywords_textrank); the
+    bucketed edge layout persists beside the output, keyed on an input
+    fingerprint, and is reused on re-runs."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    from rayraster.textops import keywords_textrank
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    docs = rd.read_parquet(files, columns=[args.text_col])
+    fp = hashlib.md5(
+        "|".join(f"{f}:{os.path.getsize(f)}" for f in files).encode()
+    ).hexdigest()[:10]
+    out = keywords_textrank(
+        docs, edges_path=f"{args.out}_edges_{fp}", k=args.k,
+        iterations=args.iterations, text_col=args.text_col,
+    )
+    shutil.rmtree(args.out, ignore_errors=True)
+    out.write_parquet(args.out)
+    top = rd.read_parquet(args.out).sort("rnk").limit(5).to_pandas()
+    print(json.dumps({
+        "out": args.out, "k": args.k,
+        "top": [[r.word, int(r.pr)] for r in top.itertuples()],
+    }))
+    return 0
+
+
+def cmd_dbscan(args) -> int:
+    """Density clustering of a point parquet (id, x, y) → one
+    (node, label) row per point; noise = -1 (see
+    cluster.dbscan_labels — ε-tile pairs, dual label engine)."""
+    import shutil
+
+    import ray.data as rd
+
+    from rayraster.cluster import dbscan_labels
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    pts = rd.read_parquet(
+        files, columns=[args.id_col, args.x_col, args.y_col]
+    )
+    labels = dbscan_labels(
+        pts, args.eps, min_samples=args.min_samples,
+        id_col=args.id_col, x_col=args.x_col, y_col=args.y_col,
+    )
+    shutil.rmtree(args.out, ignore_errors=True)
+    labels.write_parquet(args.out)
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    lab = rd.read_parquet(args.out)
+    n = lab.count()
+    noise = lab.map_batches(
+        lambda t: _pa.table(
+            {"c": _pa.array(
+                [t.filter(_pc.equal(t["label"], -1)).num_rows],
+                type=_pa.int64(),
+            )}
+        ),
+        batch_format="pyarrow",
+    ).sum("c")
+    clusters = lab.map_batches(
+        lambda t: t.filter(_pc.not_equal(t["label"], -1)).select(["label"]),
+        batch_format="pyarrow",
+    ).unique("label")
+    print(json.dumps({
+        "out": args.out, "points": n, "noise": int(noise or 0),
+        "clusters": len(clusters),
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rayraster")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -743,6 +827,24 @@ def main(argv=None) -> int:
     cp.add_argument("--target-rows", type=int, default=1_000_000)
     cp.add_argument("--concurrency", type=int, default=None)
     cp.set_defaults(fn=cmd_compact)
+
+    kw = sub.add_parser("keywords", help="corpus keywords by TextRank")
+    kw.add_argument("--input", required=True, help="docs parquet glob")
+    kw.add_argument("--out", required=True)
+    kw.add_argument("--k", type=int, default=20)
+    kw.add_argument("--iterations", type=int, default=3)
+    kw.add_argument("--text-col", default="text")
+    kw.set_defaults(fn=cmd_keywords)
+
+    db = sub.add_parser("dbscan", help="DBSCAN density clustering of points")
+    db.add_argument("--input", required=True, help="points parquet glob")
+    db.add_argument("--out", required=True)
+    db.add_argument("--eps", type=float, required=True)
+    db.add_argument("--min-samples", type=int, default=3)
+    db.add_argument("--id-col", default="id")
+    db.add_argument("--x-col", default="x")
+    db.add_argument("--y-col", default="y")
+    db.set_defaults(fn=cmd_dbscan)
 
     g = sub.add_parser("plot", help="render a pixel table to PNG")
     g.add_argument("--pixels", required=True)

@@ -675,3 +675,46 @@ def test_incremental_ingest_example(tmp_path):
     assert s["compact"]["buckets_compacted"] == 1
     assert s["compact"]["files_after"] < s["compact"]["files_before"]
     assert s["split"]["train"] + s["split"]["val"] == s["day1_rows"]
+
+
+def test_cli_keywords_and_dbscan(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["graph rank graph node", "rank graph node edge",
+             "node edge graph rank"] * 30
+    pq.write_table(
+        pa.table({"text": pa.array(texts, type=pa.string())}),
+        str(tmp_path / "docs.parquet"),
+    )
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "keywords", "--input", str(tmp_path / "docs.parquet"),
+         "--out", str(tmp_path / "kw"), "--k", "3"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["top"][0][0] == "graph" and len(out["top"]) == 3
+
+    rng = np.random.default_rng(5)
+    n = 60
+    x = np.concatenate([rng.uniform(0, 1, n // 2), rng.uniform(100, 101, n // 2 - 1), [500.0]])
+    y = np.concatenate([rng.uniform(0, 1, n // 2), rng.uniform(100, 101, n // 2 - 1), [500.0]])
+    pq.write_table(
+        pa.table({"id": np.arange(n, dtype=np.int64), "x": x, "y": y}),
+        str(tmp_path / "pts.parquet"),
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "dbscan", "--input", str(tmp_path / "pts.parquet"),
+         "--out", str(tmp_path / "db"), "--eps", "2.0"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out == {"out": str(tmp_path / "db"), "points": n,
+                   "noise": 1, "clusters": 2}
