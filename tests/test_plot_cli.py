@@ -718,3 +718,30 @@ def test_cli_keywords_and_dbscan(tmp_path):
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out == {"out": str(tmp_path / "db"), "points": n,
                    "noise": 1, "clusters": 2}
+
+
+def test_terrain_pipeline_example(tmp_path):
+    """The examples/ geospatial composition runs end-to-end with
+    invariant bookkeeping: cost-distance from the pits reaches every
+    cell (D8 flow always leads to a pit), KDE covers at least the
+    occupied cells, every basin label is a pit."""
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "/root/repo/examples/terrain_pipeline.py",
+         "--rows", "20000", "--num-cpus", "4", "--out", str(tmp_path / "tr")],
+        capture_output=True, text=True, env=env, timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["reached"] == s["cells"]          # min-plus converged
+    assert s["kde_cells"] >= s["cells"]        # density spreads outward
+    assert 0 < s["basins"] <= s["cells"]
+    assert 0 < s["contour_blocks"]
+    import pyarrow.parquet as pq
+
+    basins = pq.read_table(str(tmp_path / "tr/basins")).to_pandas()
+    fa = pq.read_table(str(tmp_path / "tr/flow_acc")).to_pandas()
+    assert len(basins) == s["cells"] and len(fa) == s["cells"]
+    # total accumulation mass = sum over cells of (1 + upstream count)
+    assert fa.acc.min() >= 1
