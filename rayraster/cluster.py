@@ -46,6 +46,8 @@ def radius_pairs(
     y_col: str = "y",
     num_partitions: int = 64,
     query_chunk: int = 1024,
+    time_col: str | None = None,
+    eps_t: float | None = None,
 ) -> Dataset:
     """All ordered pairs (a, b, d2) with ``d2 = (xa−xb)² + (ya−yb)²
     ≤ eps²`` and ``a ≠ b`` — each unordered neighbor pair appears in
@@ -57,8 +59,17 @@ def radius_pairs(
     the predicate is a chunked dense distance check (numpy, no index —
     tile populations are O(density·ε²)).  Ties ON the radius are
     included (``≤``, exact IEEE compare both sides of any twin).
+
+    SPATIOTEMPORAL mode (``time_col`` + ``eps_t``): the neighbor
+    predicate gains ``|ta − tb| ≤ eps_t`` and the tiles gain a time
+    axis (``floor(t / eps_t)``), so references visit a 3×3×3 halo (27
+    copies instead of 9) — the ST-DBSCAN (Birant & Kut 2007) pair
+    kernel; recall stays provably total on both axes.
     """
+    if (time_col is None) != (eps_t is None):
+        raise ValueError("time_col and eps_t must be given together")
     eps2 = eps * eps
+    temporal = time_col is not None
 
     def fanout(t: pa.Table) -> pa.Table:
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -67,50 +78,76 @@ def radius_pairs(
         tx = np.floor(x / eps).astype(np.int64)
         ty = np.floor(y / eps).astype(np.int64)
         base = pa.table({"_id": ids, "_x": x, "_y": y})
+        if temporal:
+            tv = t[time_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            tt = np.floor(tv / eps_t).astype(np.int64)
+            base = base.append_column("_t", pa.array(tv))
+        dts = (-1, 0, 1) if temporal else (0,)
         pieces = []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
-                p = base.append_column("_tx", pa.array(tx + dx))
-                p = p.append_column("_ty", pa.array(ty + dy))
-                p = p.append_column(
-                    "_is_query",
-                    pa.array(np.full(t.num_rows, dx == 0 and dy == 0)),
-                )
-                pieces.append(p)
+                for dz in dts:
+                    p = base.append_column("_tx", pa.array(tx + dx))
+                    p = p.append_column("_ty", pa.array(ty + dy))
+                    if temporal:
+                        p = p.append_column("_tt", pa.array(tt + dz))
+                    p = p.append_column(
+                        "_is_query",
+                        pa.array(np.full(
+                            t.num_rows, dx == 0 and dy == 0 and dz == 0
+                        )),
+                    )
+                    pieces.append(p)
         out = pa.concat_tables(pieces)
         part = (
             np.abs(
                 out["_tx"].to_numpy(zero_copy_only=False) * np.int64(73856093)
                 ^ out["_ty"].to_numpy(zero_copy_only=False) * np.int64(19349663)
+                ^ (out["_tt"].to_numpy(zero_copy_only=False)
+                   * np.int64(83492791) if temporal else np.int64(0))
             )
             % np.int64(num_partitions)
         )
         return out.append_column("_part", pa.array(part))
 
     fanned = pts.map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True)
-    solve = _make_tile_solve(eps2, query_chunk, exclude_same_id=True)
+    solve = _make_tile_solve(
+        eps2, query_chunk, exclude_same_id=True,
+        eps_t=eps_t if temporal else None,
+    )
     return fanned.groupby("_part").map_groups(solve, batch_format="pyarrow")
 
 
-def _make_tile_solve(eps2: float, query_chunk: int, exclude_same_id: bool):
+def _make_tile_solve(eps2: float, query_chunk: int, exclude_same_id: bool,
+                     eps_t: float | None = None):
     """Per-co-located-tile-group radius scan shared by
     :func:`radius_pairs` (self, same-id pairs excluded) and
     :func:`radius_join` (cross-table, ids may legitimately collide):
-    sort by tile, chunked dense distance check per group."""
+    sort by tile, chunked dense distance check per group.  With
+    ``eps_t`` the group key gains the time tile and the predicate the
+    ``|ta − tb| ≤ eps_t`` check (ST mode)."""
+    temporal = eps_t is not None
 
     def solve(part: pa.Table) -> pa.Table:
-        part = part.sort_by([("_tx", "ascending"), ("_ty", "ascending")])
+        keys = [("_tx", "ascending"), ("_ty", "ascending")]
+        if temporal:
+            keys.append(("_tt", "ascending"))
+        part = part.sort_by(keys)
         tx = part["_tx"].to_numpy(zero_copy_only=False)
         ty = part["_ty"].to_numpy(zero_copy_only=False)
         isq = part["_is_query"].to_numpy(zero_copy_only=False)
         x = part["_x"].to_numpy(zero_copy_only=False)
         y = part["_y"].to_numpy(zero_copy_only=False)
         ids = part["_id"].to_numpy(zero_copy_only=False)
+        tv = part["_t"].to_numpy(zero_copy_only=False) if temporal else None
         n = len(tx)
         o_a, o_b, o_d2 = [], [], []
         brk = np.ones(n, dtype=bool)
         if n:
             brk[1:] = (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])
+            if temporal:
+                tt = part["_tt"].to_numpy(zero_copy_only=False)
+                brk[1:] |= tt[1:] != tt[:-1]
         starts = np.flatnonzero(brk)
         ends = np.append(starts[1:], n)
         for s, e in zip(starts, ends):
@@ -128,6 +165,8 @@ def _make_tile_solve(eps2: float, query_chunk: int, exclude_same_id: bool):
                 ddy = y[qc][:, None] - ry[None, :]
                 d2 = ddx * ddx + ddy * ddy
                 hit = d2 <= eps2
+                if temporal:
+                    hit &= np.abs(tv[qc][:, None] - tv[r][None, :]) <= eps_t
                 if exclude_same_id:
                     hit &= ids[qc][:, None] != rid[None, :]
                 qi, ri = np.nonzero(hit)
@@ -271,9 +310,16 @@ def dbscan_labels(
     num_partitions: int = 64,
     cc_engine: str = "auto",
     driver_threshold: int = 2_000_000,
+    time_col: str | None = None,
+    eps_t: float | None = None,
 ) -> Dataset:
     """DBSCAN (Ester et al. 1996) over a point Dataset → one
-    ``(node, label)`` row per point.
+    ``(node, label)`` row per point.  With ``time_col`` + ``eps_t``
+    the neighborhood is SPATIOTEMPORAL (``d² ≤ ε²`` AND ``|Δt| ≤
+    eps_t`` — the ST-DBSCAN neighborhood of Birant & Kut 2007, via
+    :func:`radius_pairs`'s 3×3×3 time-tiled halo); every downstream
+    stage (core flags, CC, border, noise) is predicate-agnostic and
+    unchanged.
 
     Semantics (sklearn's counting convention: a point's own row counts
     toward ``min_samples``): CORE iff |N_ε(p)| ≥ min_samples including
@@ -311,7 +357,7 @@ def dbscan_labels(
     )
     pairs = radius_pairs(
         pts, eps, id_col=id_col, x_col=x_col, y_col=y_col,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, time_col=time_col, eps_t=eps_t,
     ).materialize()  # feeds degree, core-core and border stages
 
     if cc_engine == "auto":

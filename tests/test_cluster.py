@@ -183,3 +183,62 @@ def test_radius_join_id_collision_and_partition_invariance(ray_session):
     assert a.equals(b)
     # self pair (a==b, d2=0) IS included in a cross-table join
     assert ((a.a == a.b) & (a.d2 == 0.0)).sum() == n
+
+
+# ---------------------------------------------------------------------------
+# ST-DBSCAN (spatiotemporal neighborhood)
+# ---------------------------------------------------------------------------
+
+
+def _brute_st_pairs(ids, x, y, tv, eps, eps_t):
+    out = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if i == j:
+                continue
+            d2 = (x[i] - x[j]) ** 2 + (y[i] - y[j]) ** 2
+            if d2 <= eps * eps and abs(tv[i] - tv[j]) <= eps_t:
+                out[(ids[i], ids[j])] = d2
+    return out
+
+
+def test_st_radius_pairs_matches_brute(ray_session):
+    rng = np.random.default_rng(83)
+    n = 200
+    ids = np.arange(n, dtype=np.int64)
+    x = rng.uniform(0, 60, n)
+    y = rng.uniform(0, 60, n)
+    tv = rng.uniform(0, 1000, n)
+    ds = rd.from_arrow(pa.table({"id": ids, "x": x, "y": y, "t": tv}))
+    got = radius_pairs(
+        ds, 6.0, num_partitions=4, time_col="t", eps_t=50.0
+    ).to_pandas()
+    ref = _brute_st_pairs(ids, x, y, tv, 6.0, 50.0)
+    assert len(got) == len(ref)
+    for a, b, d2 in zip(got.a, got.b, got.d2):
+        assert ref[(a, b)] == d2
+    with pytest.raises(ValueError, match="together"):
+        radius_pairs(ds, 6.0, time_col="t")
+
+
+def test_st_dbscan_separates_time_slices(ray_session):
+    # two co-LOCATED blobs far apart in time: plain DBSCAN merges
+    # them, ST-DBSCAN keeps them distinct clusters
+    n = 8
+    x = np.tile(np.linspace(0, 1.4, n), 2)
+    y = np.zeros(2 * n)
+    tv = np.concatenate([np.zeros(n), np.full(n, 10_000.0)])
+    ids = np.arange(2 * n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"id": ids, "x": x, "y": y, "t": tv}))
+    plain = (
+        dbscan_labels(ds, 1.0, min_samples=3, num_partitions=4)
+        .to_pandas().set_index("node")["label"]
+    )
+    st = (
+        dbscan_labels(ds, 1.0, min_samples=3, num_partitions=4,
+                      time_col="t", eps_t=100.0)
+        .to_pandas().set_index("node")["label"]
+    )
+    assert plain.nunique() == 1          # one merged cluster
+    assert st.nunique() == 2             # split on the time axis
+    assert set(st[ids[:n]]) == {0} and set(st[ids[n:]]) == {int(n)}
