@@ -197,6 +197,8 @@ def radius_join(
     y_col: str = "y",
     num_partitions: int = 64,
     query_chunk: int = 1024,
+    time_col: str | None = None,
+    eps_t: float | None = None,
 ) -> Dataset:
     """Distance-threshold spatial join across TWO point tables — the
     distributed ``ST_DWithin`` join (PostGIS; sedona's DistanceJoin):
@@ -214,14 +216,27 @@ def radius_join(
     sides of any twin); ids are NOT deduplicated across tables (a left
     id may equal a right id — they are different rows).
 
+    SPATIOTEMPORAL mode (``time_col`` + ``eps_t``, both tables must
+    carry the column): the predicate gains ``|ta − tb| ≤ eps_t`` and
+    the right-side halo a time axis (27 copies) — "events within ε AND
+    a time window of each site".
+
     Returns ``(a, b, d2)`` — one row per qualifying pair.
     """
+    if (time_col is None) != (eps_t is None):
+        raise ValueError("time_col and eps_t must be given together")
     eps2 = eps * eps
+    temporal = time_col is not None
 
     def side_fanout(is_query: bool, id_col: str):
-        offs = [(0, 0)] if is_query else [
-            (dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-        ]
+        if is_query:
+            offs = [(0, 0, 0)]
+        else:
+            dts = (-1, 0, 1) if temporal else (0,)
+            offs = [
+                (dx, dy, dz)
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in dts
+            ]
 
         def fanout(t: pa.Table) -> pa.Table:
             x = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -230,10 +245,16 @@ def radius_join(
             tx = np.floor(x / eps).astype(np.int64)
             ty = np.floor(y / eps).astype(np.int64)
             base = pa.table({"_id": ids, "_x": x, "_y": y})
+            if temporal:
+                tv = t[time_col].to_numpy(zero_copy_only=False).astype(np.float64)
+                tt = np.floor(tv / eps_t).astype(np.int64)
+                base = base.append_column("_t", pa.array(tv))
             pieces = []
-            for dx, dy in offs:
+            for dx, dy, dz in offs:
                 p = base.append_column("_tx", pa.array(tx + dx))
                 p = p.append_column("_ty", pa.array(ty + dy))
+                if temporal:
+                    p = p.append_column("_tt", pa.array(tt + dz))
                 p = p.append_column(
                     "_is_query", pa.array(np.full(t.num_rows, is_query))
                 )
@@ -243,6 +264,8 @@ def radius_join(
                 np.abs(
                     out["_tx"].to_numpy(zero_copy_only=False) * np.int64(73856093)
                     ^ out["_ty"].to_numpy(zero_copy_only=False) * np.int64(19349663)
+                    ^ (out["_tt"].to_numpy(zero_copy_only=False)
+                       * np.int64(83492791) if temporal else np.int64(0))
                 )
                 % np.int64(num_partitions)
             )
@@ -258,7 +281,10 @@ def radius_join(
             zero_copy_batch=True,
         )
     )
-    solve = _make_tile_solve(eps2, query_chunk, exclude_same_id=False)
+    solve = _make_tile_solve(
+        eps2, query_chunk, exclude_same_id=False,
+        eps_t=eps_t if temporal else None,
+    )
     return fanned.groupby("_part").map_groups(solve, batch_format="pyarrow")
 
 

@@ -242,3 +242,36 @@ def test_st_dbscan_separates_time_slices(ray_session):
     assert plain.nunique() == 1          # one merged cluster
     assert st.nunique() == 2             # split on the time axis
     assert set(st[ids[:n]]) == {0} and set(st[ids[n:]]) == {int(n)}
+
+
+def test_st_radius_join_matches_brute(ray_session):
+    from rayraster.cluster import radius_join
+
+    rng = np.random.default_rng(89)
+    nl, nr = 80, 150
+    lx, ly, lt = (rng.uniform(0, 50, nl), rng.uniform(0, 50, nl),
+                  rng.uniform(0, 500, nl))
+    rx, ry, rt = (rng.uniform(0, 50, nr), rng.uniform(0, 50, nr),
+                  rng.uniform(0, 500, nr))
+    eps, eps_t = 5.0, 40.0
+    left = rd.from_arrow(pa.table(
+        {"id": np.arange(nl, dtype=np.int64), "x": lx, "y": ly, "t": lt}
+    )).repartition(3)
+    right = rd.from_arrow(pa.table(
+        {"id": np.arange(nr, dtype=np.int64), "x": rx, "y": ry, "t": rt}
+    )).repartition(2)
+    got = radius_join(
+        left, right, eps, num_partitions=8, time_col="t", eps_t=eps_t
+    ).to_pandas()
+    want = set()
+    for i in range(nl):
+        d2 = (lx[i] - rx) ** 2 + (ly[i] - ry) ** 2
+        ok = (d2 <= eps * eps) & (np.abs(lt[i] - rt) <= eps_t)
+        for j in np.flatnonzero(ok):
+            want.add((i, int(j), d2[j]))
+    assert set(map(tuple, got[["a", "b", "d2"]].to_numpy())) == {
+        (float(a), float(b), d) for a, b, d in want
+    }
+    assert len(got) == len(want)
+    with pytest.raises(ValueError, match="together"):
+        radius_join(left, right, eps, eps_t=40.0)
