@@ -11,6 +11,7 @@ twins in __ray_entry__.py.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -2702,6 +2703,83 @@ def keywords_textrank(
         "rnk", pa.array(np.arange(1, tbl.num_rows + 1, dtype=np.int64))
     )
     return ray_data_from_table(tbl)
+
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+
+
+def summarize_textrank(
+    ds,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    iterations: int = 30,
+    damping: float = 0.85,
+):
+    """Per-document EXTRACTIVE summarization (TextRank over the
+    sentence-similarity graph, Mihalcea & Tarau 2004 §4): keep each
+    document's ``k`` most central sentences, re-joined in ORIGINAL
+    order — the salient-content extraction stage of a curation
+    pipeline (filter boilerplate-heavy docs to their informative
+    core before token budgeting).
+
+    Embarrassingly parallel map-only stage: the unit of work is one
+    DOCUMENT (a dense |S|×|S| overlap matrix + a fixed-iteration power
+    method in numpy — |S| is sentence count, tiny), so there is no
+    exchange, no state, and the result is deterministic per document
+    regardless of batching/partitioning.  Similarity is Mihalcea's
+    word-overlap normalized by ``1 + log|Si| + log|Sj|`` (the +1
+    guards 1-word sentences); documents with ≤ k sentences pass
+    through whole.
+
+    Returns ``(id, summary, n_sentences, n_kept)``.
+    """
+    if k < 1:
+        raise ValueError("summarize_textrank: k must be >= 1")
+    if iterations < 1:
+        raise ValueError("summarize_textrank: iterations must be >= 1")
+    if not (0.0 < damping < 1.0):
+        raise ValueError("summarize_textrank: damping must be in (0, 1)")
+
+    def kernel(text: str) -> tuple[str, int, int]:
+        sents = [s for s in _SENT_SPLIT.split(text) if s.strip()]
+        n = len(sents)
+        if n == 0:
+            return "", 0, 0
+        if n <= k:
+            return " ".join(sents), n, n
+        words = [set(s.lower().split()) for s in sents]
+        norm = np.array([1.0 + np.log(max(len(w), 1)) for w in words])
+        M = np.zeros((n, n))
+        for i in range(n):
+            for j in range(i + 1, n):
+                ov = len(words[i] & words[j])
+                if ov:
+                    M[i, j] = M[j, i] = ov / (norm[i] + norm[j])
+        col = M.sum(axis=0)
+        col[col == 0.0] = 1.0  # isolated sentences keep teleport mass only
+        P = M / col  # column-stochastic (or zero column)
+        r = np.full(n, 1.0 / n)
+        for _ in range(iterations):
+            r = (1.0 - damping) / n + damping * (P @ r)
+        keep = np.sort(np.lexsort((np.arange(n), -r))[:k])
+        return " ".join(sents[i] for i in keep), n, k
+
+    def run(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        outs = [kernel(x or "") for x in texts]
+        return pa.table(
+            {
+                "id": t[id_col],
+                "summary": pa.array([o[0] for o in outs], type=pa.string()),
+                "n_sentences": pa.array(
+                    [o[1] for o in outs], type=pa.int64()
+                ),
+                "n_kept": pa.array([o[2] for o in outs], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def ray_data_from_table(t: pa.Table):

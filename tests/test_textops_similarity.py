@@ -1580,3 +1580,69 @@ def test_keywords_textrank_partition_invariant_and_validations(
         keywords_textrank(docs1, str(tmp_path / "e3"), k=0)
     with pytest.raises(ValueError, match="iterations"):
         keywords_textrank(docs1, str(tmp_path / "e4"), iterations=0)
+
+
+def test_summarize_textrank_planted_hub_and_passthrough(ray_session):
+    from rayraster.textops import summarize_textrank
+
+    # sentence 2 shares words with every other sentence -> most central
+    doc = ("alpha beta gamma delta. epsilon zeta eta theta. "
+           "alpha epsilon iota kappa. iota lambda mu nu. "
+           "omicron pi rho sigma.")
+    short = "one two. three four."
+    t = pa.table(
+        {"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+         "text": pa.array([doc, short, ""], type=pa.string())}
+    )
+    out = (
+        summarize_textrank(rd.from_arrow(t), k=1)
+        .to_pandas().set_index("id")
+    )
+    assert out.loc[1, "n_sentences"] == 5 and out.loc[1, "n_kept"] == 1
+    assert out.loc[1, "summary"] == "alpha epsilon iota kappa."
+    # 2 sentences, k=1: disconnected tie -> earliest sentence wins
+    assert out.loc[2, "summary"] == "one two." and out.loc[2, "n_kept"] == 1
+    assert out.loc[3, "summary"] == "" and out.loc[3, "n_sentences"] == 0
+    # <= k sentences pass through whole, original order
+    out3 = (
+        summarize_textrank(rd.from_arrow(t), k=3)
+        .to_pandas().set_index("id")
+    )
+    assert out3.loc[2, "summary"] == short and out3.loc[2, "n_kept"] == 2
+
+
+def test_summarize_textrank_order_and_partition_invariance(ray_session):
+    from rayraster.textops import summarize_textrank
+
+    rng = np.random.default_rng(97)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for d in range(30):
+        sents = [
+            " ".join(rng.choice(vocab, size=6)) + "."
+            for _ in range(rng.integers(4, 12))
+        ]
+        docs.append(" ".join(sents))
+    t = pa.table(
+        {"doc_id": pa.array(range(30), type=pa.int64()),
+         "text": pa.array(docs, type=pa.string())}
+    )
+    a = (
+        summarize_textrank(rd.from_arrow(t), k=3)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    b = (
+        summarize_textrank(rd.from_arrow(t).repartition(7), k=3)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # kept sentences appear in original order: summary is a subsequence
+    for r in a.itertuples():
+        doc_sents = [s for s in docs[r.id].split(". ") if s]
+        kept = [s for s in r.summary.split(". ") if s]
+        it = iter([s.rstrip(".") for s in doc_sents])
+        assert all(any(ks.rstrip(".") == ds for ds in it) for ks in kept)
+    with pytest.raises(ValueError, match="k must"):
+        summarize_textrank(rd.from_arrow(t), k=0)
+    with pytest.raises(ValueError, match="damping"):
+        summarize_textrank(rd.from_arrow(t), damping=1.5)
