@@ -43,7 +43,14 @@ perimeters, focal convolution, Sobel gradients, Horn hillshade,
 Getis-Ord Gi*, local/global Moran), column profiling, per-key EWMA,
 first-touch conversion funnels, PMI-ratio collocation mining,
 CDC upsert merge + bucketed-layout small-file compaction,
-CSV/JSONL sources and a spatiotemporal raster cube.
+CSV/JSONL sources and a spatiotemporal raster cube.  The final wave
+completes the terrain/point-pattern family (IDW interpolation,
+Epanechnikov KDE surfaces, D8 flow direction/accumulation, watershed
+basins, least-cost distance, marching-squares contours, DBSCAN +
+ST-DBSCAN with a dual label engine, the cross-table ε-radius join,
+a directory-pruned time-partitioned event store) and the graph-text
+crossover (TextRank corpus keywords over weighted integer PageRank;
+per-document extractive summarization).
 
 None of the modules call ray.init(); the caller owns the Ray session.
 """
