@@ -147,6 +147,14 @@ def main(rows: int = 200_000, out_dir: str | None = None,
     contours.write_parquet(f"{out}/contours")
     summary["contour_blocks"] = rd.read_parquet(f"{out}/contours").count()
     summary["threshold"] = med
+    from rayraster.spatial import contour_segments
+
+    segs = contour_segments(px, "sum_n_chars", med, spec.x0, spec.y0, RES,
+                            num_partitions=16)
+    segs.write_parquet(f"{out}/contour_segments")
+    summary["contour_segments"] = rd.read_parquet(
+        f"{out}/contour_segments"
+    ).count()
 
     print(json.dumps(summary))
     return summary

@@ -2065,6 +2065,160 @@ def contour_cases(
     return conv.map_batches(cases, batch_format="pyarrow", zero_copy_batch=True)
 
 
+#: per-case crossed-edge pairings (edges 0=bottom 1=right 2=top
+#: 3=left); saddles 5/10 use the FIXED two-segment convention
+#: (no center disambiguation — deterministic, documented)
+_MS_SEGMENTS = {
+    1: [(3, 0)], 2: [(0, 1)], 3: [(3, 1)], 4: [(1, 2)],
+    5: [(3, 0), (1, 2)], 6: [(0, 2)], 7: [(3, 2)], 8: [(2, 3)],
+    9: [(0, 2)], 10: [(0, 1), (2, 3)], 11: [(1, 2)], 12: [(3, 1)],
+    13: [(0, 1)], 14: [(3, 0)],
+}
+
+
+def contour_segments(
+    pixels: Dataset,
+    value_col: str,
+    threshold: int,
+    x0: float,
+    y0: float,
+    res: float,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    tile: int = 64,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Marching-squares ISOLINE SEGMENTS in world coordinates — the
+    back half of :func:`contour_cases` (GDAL ``gdal_contour`` / terra
+    ``as.contour``): for every 2×2 block, the 1–2 line segments of the
+    ``value = threshold`` isoline, endpoints linearly interpolated on
+    the crossed edges between cell CENTROIDS.
+
+    Unlike :func:`contour_cases` (blocks anchored at OCCUPIED pixels —
+    the oracle-pinned front half), the segment operator first expands
+    the anchor set to every block with ≥ 1 occupied corner (a map-only
+    4-way shift fan-out + ONE grouped sum; empty anchors carry value
+    0) — without this, loops around cells whose south-west diagonal
+    neighbors are empty would not close.  Then the same tile+halo
+    exchange gathers the three non-anchor corners and everything after
+    is a local vectorized pass over the 14 case patterns.  Saddle
+    cases 5/10 use a fixed two-segment convention (b0/b2 and b1/b3
+    corners isolated, respectively) — deterministic without a center
+    sample.  Every interior edge crossing is shared by exactly TWO
+    blocks, so the emitted segments chain into CLOSED loops around
+    each super-threshold region (pytest-pinned endpoint-degree law).
+
+    Returns ``(ix, iy, seg, x1, y1, x2, y2)`` — ``seg`` is 0/1 within
+    the block.
+    """
+    from rayraster.agg import hash_aggregate
+
+    if threshold < 0:
+        # missing cells are background 0; a negative threshold would
+        # put the UNBOUNDED background above the isoline
+        raise ValueError("threshold must be >= 0 (background is 0)")
+
+    def expand(t: pa.Table) -> pa.Table:
+        ix = t[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(v), dtype=np.int64)
+        pieces = []
+        for dx, dy, val in ((0, 0, v), (-1, 0, z), (0, -1, z), (-1, -1, z)):
+            pieces.append(
+                pa.table({ix_col: ix + dx, iy_col: iy + dy, "_v": val})
+            )
+        return pa.concat_tables(pieces)
+
+    anchors = hash_aggregate(
+        pixels.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True),
+        [ix_col, iy_col], sum_cols=["_v"], count=False,
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: pa.table(
+            {ix_col: t[ix_col], iy_col: t[iy_col], value_col: t["sum__v"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    kernels = {}
+    for name, (dx, dy) in (("e10", (1, 0)), ("e01", (0, 1)), ("e11", (1, 1))):
+        k = np.zeros((3, 3), dtype=np.int64)
+        k[dx + 1, dy + 1] = 1
+        kernels[name] = k
+    conv = focal_convolve(
+        anchors, value_col, kernels,
+        ix_col=ix_col, iy_col=iy_col, tile=tile, num_partitions=num_partitions,
+    )
+    T = int(threshold)
+
+    def segs(t: pa.Table) -> pa.Table:
+        ix = t[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v00 = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v10 = t["e10_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v01 = t["e01_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v11 = t["e11_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        corners = {"v00": v00, "v10": v10, "v01": v01, "v11": v11}
+        bits = {
+            "b0": v00 > T, "b1": v10 > T, "b2": v11 > T, "b3": v01 > T,
+        }
+        case = (
+            bits["b0"].astype(np.int64)
+            + 2 * bits["b1"].astype(np.int64)
+            + 4 * bits["b2"].astype(np.int64)
+            + 8 * bits["b3"].astype(np.int64)
+        )
+        cx = x0 + (ix.astype(np.float64) + 0.5) * res
+        cy = y0 + (iy.astype(np.float64) + 0.5) * res
+        ex, ey = [], []  # crossing point per edge (valid where crossed)
+        for ei, (ba, bb_, ca, cb) in enumerate(_MS_EDGES):
+            crossed = bits[ba] != bits[bb_]
+            va = corners[ca].astype(np.float64)
+            vb = corners[cb].astype(np.float64)
+            tv = np.where(
+                crossed,
+                (np.float64(T) - va) / np.where(crossed, vb - va, 1.0),
+                0.0,
+            )
+            if ei == 0:    # bottom: v00 -> v10
+                ex.append(cx + tv * res); ey.append(cy)
+            elif ei == 1:  # right: v10 -> v11
+                ex.append(cx + res);      ey.append(cy + tv * res)
+            elif ei == 2:  # top: v01 -> v11
+                ex.append(cx + tv * res); ey.append(cy + res)
+            else:          # left: v00 -> v01
+                ex.append(cx);            ey.append(cy + tv * res)
+        o_ix, o_iy, o_seg, o_x1, o_y1, o_x2, o_y2 = [], [], [], [], [], [], []
+        for c, pairs in _MS_SEGMENTS.items():
+            m = case == c
+            if not m.any():
+                continue
+            for si, (e1, e2) in enumerate(pairs):
+                o_ix.append(ix[m]); o_iy.append(iy[m])
+                o_seg.append(np.full(int(m.sum()), si, dtype=np.int64))
+                o_x1.append(ex[e1][m]); o_y1.append(ey[e1][m])
+                o_x2.append(ex[e2][m]); o_y2.append(ey[e2][m])
+        if not o_ix:
+            return pa.table(
+                {ix_col: pa.array([], pa.int64()),
+                 iy_col: pa.array([], pa.int64()),
+                 "seg": pa.array([], pa.int64()),
+                 "x1": pa.array([], pa.float64()),
+                 "y1": pa.array([], pa.float64()),
+                 "x2": pa.array([], pa.float64()),
+                 "y2": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {ix_col: np.concatenate(o_ix), iy_col: np.concatenate(o_iy),
+             "seg": np.concatenate(o_seg),
+             "x1": np.concatenate(o_x1), "y1": np.concatenate(o_y1),
+             "x2": np.concatenate(o_x2), "y2": np.concatenate(o_y2)}
+        )
+
+    return conv.map_batches(segs, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def contour_sql(
     px_rel: str,
     value_col: str,

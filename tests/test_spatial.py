@@ -1112,3 +1112,58 @@ def test_contour_cases_known_block(ray_session):
                          num_partitions=2).to_pandas()
     blk = out2[(out2.ix == 0) & (out2.iy == 0)].iloc[0]
     assert (blk["case"], blk.ncross) == (1 + 4, 4)
+
+
+def test_contour_segments_known_block_and_loop_closure(ray_session):
+    from rayraster.spatial import contour_segments
+
+    # single super-threshold cell at (5,5), value 10, T=4: four blocks
+    # carry one segment each and they chain into ONE closed loop
+    px = pd.DataFrame(
+        {"ix": [5, 4, 6, 5, 5], "iy": [5, 5, 5, 4, 6],
+         "v": [10, 2, 2, 2, 2]}
+    )
+    segs = contour_segments(
+        rd.from_pandas(px), "v", 4, x0=0.0, y0=0.0, res=10.0,
+        num_partitions=2,
+    ).to_pandas()
+    # every crossing endpoint appears exactly twice (closed loops)
+    pts = list(map(tuple, segs[["x1", "y1"]].to_numpy())) + list(
+        map(tuple, segs[["x2", "y2"]].to_numpy())
+    )
+    from collections import Counter
+
+    deg = Counter(pts)
+    assert all(c == 2 for c in deg.values()), deg
+    # the block anchored at the hot cell is case 1 (only v00 above):
+    # segment from left edge to bottom edge, t = (4-10)/(2-10) = 0.75
+    b = segs[(segs.ix == 5) & (segs.iy == 5)]
+    assert len(b) == 1
+    r = b.iloc[0]
+    assert {(r.x1, r.y1), (r.x2, r.y2)} == {(55.0, 55.0 + 7.5), (55.0 + 7.5, 55.0)}
+
+
+def test_contour_segments_counts_match_cases(ray_session):
+    from rayraster.spatial import contour_cases, contour_segments
+
+    px = _raster(seed=67, m=400, span=16)
+    ds = rd.from_pandas(px)
+    cases = contour_cases(ds, "v", 500, num_partitions=4).to_pandas()
+    segs = contour_segments(
+        rd.from_pandas(px), "v", 500, x0=-1.0, y0=-2.0, res=5.0,
+        num_partitions=4,
+    ).to_pandas()
+    # segments per block = ncross / 2 on every occupied-anchor block
+    # (contour_segments additionally covers empty-anchor blocks so
+    # loops close — those are absent from contour_cases by design)
+    want = (cases.set_index(["ix", "iy"]).ncross // 2).sort_index()
+    got = segs.groupby(["ix", "iy"]).size()
+    assert got.loc[want.index].equals(want.astype(np.int64))
+    # closed loops globally (background-bounded regions)
+    from collections import Counter
+
+    pts = list(map(tuple, segs[["x1", "y1"]].to_numpy())) + list(
+        map(tuple, segs[["x2", "y2"]].to_numpy())
+    )
+    deg = Counter(pts)
+    assert all(c == 2 for c in deg.values())
