@@ -1709,6 +1709,81 @@ def flow_accumulation(
     return acc_ds.map_batches(unpack, batch_format="pyarrow")
 
 
+def focal_mode(
+    pixels: Dataset,
+    value_col: str,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    connectivity: int = 8,
+    tile: int = 64,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Focal MAJORITY (modal) filter — the categorical-raster cleanup
+    (GRASS ``r.neighbors method=mode`` / terra ``focal fun="modal"``):
+    each pixel takes the most frequent value among itself and its
+    present neighbors; ties break to the SMALLEST value (terra's
+    ``ties="lowest"`` — deterministic, partitioning-invariant).  The
+    salt-and-pepper smoother for `rasterize_categories` outputs (values
+    = integer category codes).
+
+    One exchange: neighbor VALUES arrive as single-offset kernels
+    through :func:`focal_convolve`'s shared tile+halo shuffle (value =
+    the offset's sum, presence = its weight); the mode is a local pass
+    of 9 constant-width vectorized steps over the sorted value matrix
+    (no per-row Python).  Exact int64 throughout.
+
+    Returns the pixel rows + ``mode`` and ``n_present`` (window size
+    including self).
+    """
+    if connectivity not in _OFFSETS:
+        raise ValueError(
+            f"connectivity must be 4, 8 (square) or 6 (hex axial), got {connectivity}"
+        )
+    offsets = _OFFSETS[connectivity]
+    kernels = {}
+    for i, (dx, dy) in enumerate(offsets):
+        k = np.zeros((3, 3), dtype=np.int64)
+        k[dx + 1, dy + 1] = 1
+        kernels[f"fm{i}"] = k
+    conv = focal_convolve(
+        pixels, value_col, kernels,
+        ix_col=ix_col, iy_col=iy_col, tile=tile, num_partitions=num_partitions,
+    )
+    _SENT = np.int64(2**62)
+
+    def mode_pass(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        center = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = [center]
+        present = np.ones((n, 1), dtype=bool)
+        for i in range(len(offsets)):
+            v = t[f"fm{i}_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+            p = t[f"fm{i}_wt"].to_numpy(zero_copy_only=False).astype(np.int64) > 0
+            cols.append(np.where(p, v, _SENT))
+            present = np.concatenate([present, p[:, None]], axis=1)
+        M = np.sort(np.stack(cols, axis=1), axis=1)  # sentinels sort last
+        best_val = M[:, 0].copy()
+        best_cnt = np.ones(n, dtype=np.int64)
+        cur_cnt = np.ones(n, dtype=np.int64)
+        for j in range(1, M.shape[1]):
+            same = M[:, j] == M[:, j - 1]
+            cur_cnt = np.where(same, cur_cnt + 1, 1)
+            better = (M[:, j] != _SENT) & (cur_cnt > best_cnt)
+            best_cnt = np.where(better, cur_cnt, best_cnt)
+            best_val = np.where(better, M[:, j], best_val)
+        drop = [value_col] + [
+            c for i in range(len(offsets)) for c in (f"fm{i}_sum", f"fm{i}_wt")
+        ]
+        out = t.drop_columns([c for c in drop if c != value_col])
+        return out.append_column(
+            "mode", pa.array(best_val)
+        ).append_column(
+            "n_present", pa.array(present.sum(axis=1).astype(np.int64))
+        )
+
+    return conv.map_batches(mode_pass, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def basin_labels(
     flows: Dataset,
     doublings: int,

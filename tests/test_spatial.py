@@ -1167,3 +1167,54 @@ def test_contour_segments_counts_match_cases(ray_session):
     )
     deg = Counter(pts)
     assert all(c == 2 for c in deg.values())
+
+
+def _mode_brute(px: pd.DataFrame, connectivity=8):
+    from collections import Counter
+
+    offs = {8: [(-1, 0), (1, 0), (0, -1), (0, 1),
+                (-1, -1), (-1, 1), (1, -1), (1, 1)],
+            4: [(-1, 0), (1, 0), (0, -1), (0, 1)]}[connectivity]
+    vals = {(r.ix, r.iy): r.v for r in px.itertuples()}
+    out = {}
+    for r in px.itertuples():
+        window = [r.v] + [
+            vals[(r.ix + dx, r.iy + dy)]
+            for dx, dy in offs if (r.ix + dx, r.iy + dy) in vals
+        ]
+        c = Counter(window)
+        m = max(c.values())
+        out[(r.ix, r.iy)] = (min(v for v, k in c.items() if k == m),
+                             len(window))
+    return out
+
+
+@pytest.mark.parametrize("connectivity", [4, 8])
+def test_focal_mode_matches_brute(ray_session, connectivity):
+    from rayraster.spatial import focal_mode
+
+    rng = np.random.default_rng(101)
+    px = _raster(seed=101, m=400, span=14)
+    px["v"] = rng.integers(0, 5, len(px)).astype(np.int64)  # categorical
+    got = focal_mode(
+        rd.from_pandas(px).repartition(3), "v",
+        connectivity=connectivity, tile=8, num_partitions=8,
+    ).to_pandas()
+    want = _mode_brute(px, connectivity)
+    assert len(got) == len(px)
+    for r in got.itertuples():
+        assert (r.mode, r.n_present) == want[(r.ix, r.iy)]
+
+
+def test_focal_mode_tie_breaks_to_smallest_and_validation(ray_session):
+    from rayraster.spatial import focal_mode
+
+    # 2 and 7 each appear twice in the window of (0,0): smallest wins
+    px = pd.DataFrame(
+        {"ix": [0, 1, 0, 1], "iy": [0, 0, 1, 1],
+         "v": np.array([7, 2, 2, 7], dtype=np.int64)}
+    )
+    out = focal_mode(rd.from_pandas(px), "v", num_partitions=2).to_pandas()
+    assert (out["mode"] == 2).all()
+    with pytest.raises(ValueError, match="connectivity"):
+        focal_mode(rd.from_pandas(px), "v", connectivity=5)
