@@ -864,6 +864,71 @@ def zonal_perimeter(
 # ---------------------------------------------------------------------------
 
 
+def zonal_mode(
+    labeled: Dataset,
+    value_col: str,
+    region_cols: tuple = ("region_ix", "region_iy"),
+    num_partitions: int = 64,
+) -> Dataset:
+    """Majority value per labeled region (the categorical zonal
+    statistic — ArcGIS Zonal Statistics MAJORITY / GRASS ``r.mode``):
+    the most frequent ``value_col`` among each region's pixels, ties
+    to the SMALLEST value (deterministic).  The zonal companion of
+    :func:`focal_mode`; compose with :func:`label_regions` output (or
+    any table carrying zone id columns).
+
+    Two exchanges, both vectorized: ONE grouped count per
+    (region, value) (:func:`rayraster.agg.hash_aggregate`, per-batch
+    combiner inside), then ONE hash-partition by region key + an
+    in-partition lexsort ``(region, count DESC, value ASC)`` whose
+    boundary mask takes each region's first row — no per-key
+    ``map_groups``, nothing on the driver.
+
+    Returns ``(region_cols..., mode, mode_n)``.
+    """
+    from rayraster.agg import hash_aggregate
+
+    rix_col, riy_col = region_cols
+    counts = hash_aggregate(
+        labeled.map_batches(
+            lambda t: t.select([rix_col, riy_col, value_col]),
+            batch_format="pyarrow",
+        ),
+        [rix_col, riy_col, value_col], count=True, count_name="n",
+        num_partitions=num_partitions,
+    )
+    P = np.int64(num_partitions)
+
+    def tag(t: pa.Table) -> pa.Table:
+        rix = t[rix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        riy = t[riy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = ((_pack(rix, riy) % P) + P) % P
+        return t.append_column("_part", pa.array(part))
+
+    def pick(g: pa.Table) -> pa.Table:
+        g = g.sort_by(
+            [(rix_col, "ascending"), (riy_col, "ascending"),
+             ("n", "descending"), (value_col, "ascending")]
+        )
+        rix = g[rix_col].to_numpy(zero_copy_only=False)
+        riy = g[riy_col].to_numpy(zero_copy_only=False)
+        first = np.ones(g.num_rows, dtype=bool)
+        if g.num_rows:
+            first[1:] = (rix[1:] != rix[:-1]) | (riy[1:] != riy[:-1])
+        g = g.filter(pa.array(first))
+        return pa.table(
+            {rix_col: g[rix_col], riy_col: g[riy_col],
+             "mode": g[value_col].cast(pa.int64()),
+             "mode_n": g["n"].cast(pa.int64())}
+        )
+
+    return (
+        counts.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+
+
 def gaussian_kernel_int(radius: int, sigma: float, scale: int = 100) -> np.ndarray:
     """Quantized (2R+1)² integer Gaussian: ``round(scale·exp(−d²/2σ²))``
     — integer weights keep the convolution's sums exact int64, so the

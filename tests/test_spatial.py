@@ -1218,3 +1218,48 @@ def test_focal_mode_tie_breaks_to_smallest_and_validation(ray_session):
     assert (out["mode"] == 2).all()
     with pytest.raises(ValueError, match="connectivity"):
         focal_mode(rd.from_pandas(px), "v", connectivity=5)
+
+
+def test_zonal_mode_matches_brute_and_composes(ray_session):
+    from rayraster.spatial import label_regions, zonal_mode
+
+    rng = np.random.default_rng(103)
+    # blobs of constant REGION value + an independent categorical attr
+    g = np.mgrid[0:12, 0:12].reshape(2, -1)
+    ix, iy = g[0].astype(np.int64), g[1].astype(np.int64)
+    region_val = (ix // 4).astype(np.int64)  # three vertical bands
+    attr = rng.integers(0, 3, len(ix)).astype(np.int64)
+    px = pd.DataFrame({"ix": ix, "iy": iy, "v": region_val, "a": attr})
+    labeled = label_regions(
+        rd.from_pandas(px), "v", num_partitions=4, with_size=False
+    )
+    got = (
+        zonal_mode(labeled, "a", num_partitions=4)
+        .to_pandas().set_index(["region_ix", "region_iy"]).sort_index()
+    )
+    ref = px.copy()
+    ref["region"] = ref.ix // 4
+    want = {}
+    for reg, grp in ref.groupby("region"):
+        c = grp.a.value_counts()
+        m = c.max()
+        want[(4 * reg, 0)] = (min(v for v, k in c.items() if k == m), m)
+    assert len(got) == 3
+    for (rix, riy), r in got.iterrows():
+        assert (r["mode"], r.mode_n) == want[(rix, riy)]
+
+
+def test_zonal_mode_tie_to_smallest_and_partition_invariance(ray_session):
+    from rayraster.spatial import zonal_mode
+
+    px = pd.DataFrame(
+        {"region_ix": np.zeros(4, dtype=np.int64),
+         "region_iy": np.zeros(4, dtype=np.int64),
+         "a": np.array([9, 9, 1, 1], dtype=np.int64)}
+    )
+    a = zonal_mode(rd.from_pandas(px), "a", num_partitions=2).to_pandas()
+    assert len(a) == 1 and a.iloc[0]["mode"] == 1 and a.iloc[0].mode_n == 2
+    b = zonal_mode(
+        rd.from_pandas(px).repartition(4), "a", num_partitions=16
+    ).to_pandas()
+    assert a.equals(b)
