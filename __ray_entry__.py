@@ -496,7 +496,9 @@ def _q_filtered_stats(sf_dir: str):
     per-pixel terms ``lisa_q``/``z2_q`` (int64 — the inputs
     :func:`rayraster.spatial.global_moran` folds order-independently)
     — each float a fixed-order expression the SQL self-join twin
-    reproduces bit-for-bit."""
+    reproduces bit-for-bit.  Round 4: also the single-observer
+    ``vis`` viewshed overlay (:func:`rayraster.spatial.viewshed`,
+    integer-exact discrete line-of-sight from the argmax cell)."""
     import pyarrow.compute as _pc
 
     from rayraster.pipelines import add_geocode_id
@@ -522,7 +524,46 @@ def _q_filtered_stats(sf_dir: str):
     )
     out = out.select_columns(
         ["ix", "iy", "cx", "cy", "num_cell", "sum_n_chars", "min_n_chars", "max_n_chars"]
+    ).materialize()  # consumed twice: viewshed (observer pick + nodes) + conv chain
+    # viewshed overlay (rayraster/spatial.py viewshed: discrete R3
+    # line-of-sight from the argmax-elevation cell — map-only ragged
+    # sample fan-out, ONE left bucket join against the raster, ONE
+    # grouped max); `vis` joins back on the packed cell key and then
+    # RIDES the conv + local-Moran halo exchanges as a passthrough
+    # base column — zero extra exchanges beyond its own two
+    from rayraster.join import bucket_join
+    from rayraster.spatial import viewshed
+
+    vs = viewshed(out, "sum_n_chars", num_partitions=8)
+
+    _PXS = pa.schema(
+        [("ix", pa.int64()), ("iy", pa.int64()), ("cx", pa.float64()),
+         ("cy", pa.float64()), ("num_cell", pa.int64()),
+         ("sum_n_chars", pa.int64()), ("min_n_chars", pa.int64()),
+         ("max_n_chars", pa.int64()), ("vkey", pa.int64())]
     )
+
+    def addkey(t: pa.Table) -> pa.Table:
+        ix = t["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("vkey", pa.array(ix * np.int64(1 << 32) + iy))
+
+    def vskey(t: pa.Table) -> pa.Table:
+        ix = t["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"vkey": pa.array(ix * np.int64(1 << 32) + iy),
+             "vis": t["vis"].cast(pa.int64())}
+        )
+
+    out = bucket_join(
+        out.map_batches(addkey, batch_format="pyarrow"),
+        vs.map_batches(vskey, batch_format="pyarrow"),
+        "vkey", "vkey", join_type="inner",
+        left_schema=_PXS,
+        right_schema=pa.schema([("vkey", pa.int64()), ("vis", pa.int64())]),
+        num_buckets=8,
+    ).map_batches(lambda t: t.drop(["vkey"]), batch_format="pyarrow")
     # weighted (quantized-Gaussian 5×5) focal convolution + BOTH Sobel
     # gradient kernels in ONE exchange (multi-kernel focal_convolve:
     # the halo ships once at the widest radius, each offset looked up
@@ -622,6 +663,7 @@ nb AS (
   FROM px p LEFT JOIN px q ON abs(p.ix - q.ix) + abs(p.iy - q.iy) = 1
   GROUP BY p.ix, p.iy
 ),
+vs AS ({_viewshed_twin()}),
 gs AS (
   SELECT p.ix, p.iy,
          CAST(COALESCE(SUM(w.w * q.sum_n_chars), 0) AS BIGINT) AS conv_sum,
@@ -669,15 +711,23 @@ SELECT px.*, gs.conv_sum, gs.conv_wt, gs.gx_sum, gs.gx_wt,
           * (CAST(px.sum_n_chars AS DOUBLE)
              - CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE)))) AS BIGINT)
          AS z2_q,
-       {_hillshade_twin()} AS shade
+       {_hillshade_twin()} AS shade,
+       vs.vis
 FROM px JOIN nb ON px.ix = nb.ix AND px.iy = nb.iy
-        JOIN gs ON px.ix = gs.ix AND px.iy = gs.iy, g"""
+        JOIN gs ON px.ix = gs.ix AND px.iy = gs.iy
+        JOIN vs ON px.ix = vs.ix AND px.iy = vs.iy, g"""
 
 
 def _hillshade_twin() -> str:
     from rayraster.spatial import hillshade_sql
 
     return hillshade_sql("gs.gx_sum", "gs.gy_sum")
+
+
+def _viewshed_twin() -> str:
+    from rayraster.spatial import viewshed_sql
+
+    return viewshed_sql("px", "sum_n_chars")
 
 
 def _q_spatial_knn(sf_dir: str):

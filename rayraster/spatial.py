@@ -2410,3 +2410,218 @@ def contour_sql(
                     CAST({value_col} AS BIGINT) AS v FROM {px_rel}) q11
          ON q11.ix = p.{ix_col} + 1 AND q11.iy = p.{iy_col} + 1
 ) WHERE "case" NOT IN (0, 15)"""
+
+
+# ---------------------------------------------------------------------------
+# Viewshed: single-observer discrete line-of-sight visibility
+# ---------------------------------------------------------------------------
+
+
+def viewshed_observer(
+    pixels: Dataset,
+    value_col: str,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+) -> tuple[int, int, int]:
+    """Deterministic observer pick for :func:`viewshed`: the cell with
+    the MAXIMUM ``value_col`` (highest elevation), ties broken by the
+    lowest packed ``(ix, iy)`` key — the twin's
+    ``ORDER BY e DESC, ix, iy LIMIT 1``.
+
+    Map-only: each batch reduces to its own one-row champion, the
+    driver folds the tiny per-batch rows (never the raster).  Returns
+    ``(ox, oy, eo)`` Python ints.
+    """
+
+    def best(t: pa.Table) -> pa.Table:
+        ix = t[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(e):
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "e": pa.array([], pa.int64())}
+            )
+        key = _pack(ix, iy)
+        top = e == e.max()
+        i = np.flatnonzero(top)[np.argmin(key[top])]
+        return pa.table({"k": key[i : i + 1], "e": e[i : i + 1]})
+
+    rows = pa.concat_tables(
+        pixels.map_batches(best, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    if not rows.num_rows:
+        raise ValueError("viewshed_observer: empty raster")
+    k = rows["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+    e = rows["e"].to_numpy(zero_copy_only=False).astype(np.int64)
+    top = e == e.max()
+    i = np.flatnonzero(top)[np.argmin(k[top])]
+    ox, oy = unpack_cell_key(k[i : i + 1])
+    return int(ox[0]), int(oy[0]), int(e[i])
+
+
+def viewshed(
+    pixels: Dataset,
+    value_col: str,
+    observer: tuple[int, int, int] | None = None,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Single-observer viewshed (GRASS ``r.viewshed`` semantics, the
+    O(N·L) "R3" exact algorithm of Franklin & Ray 1994) over a sparse
+    elevation raster ``(ix, iy, value_col)`` — reference analogy: the
+    per-pixel visibility overlay a SEraster user would compute from the
+    rasterized surface (R/main.R:139's per-pixel frame).
+
+    Discrete semantics (bit-exact, integer-only comparisons): target
+    ``t`` at Chebyshev distance ``n`` from observer ``o`` is VISIBLE
+    iff for every ``k ∈ [1, n-1]`` the line sample at parameter ``k/n``
+    — the cell ``o + floor(k·(t−o)/n + 0.5)`` component-wise, elevation
+    0 where the raster has no cell — satisfies
+    ``(e_s − e_o)·n < (e_t − e_o)·k`` (cross-multiplied elevation-angle
+    test, no division).  Cells with ``n ≤ 1`` are visible by
+    definition.  Requires ``max|e|·grid_diameter < 2^62`` (int64
+    products; the twin's BIGINT overflows loudly at the same bound).
+
+    100-TB shape: sample generation is a map-only ragged fan-out
+    (Σ(n−1) rows), the elevation lookup is ONE hash-partitioned
+    :func:`rayraster.join.bucket_join` (left, missing ⇒ 0), the
+    per-target reduction is ONE grouped max — two exchanges total, no
+    broadcast of the raster and nothing driver-side (the observer pick
+    folds one row per batch).
+
+    Returns ``(ix, iy, vis)`` with ``vis ∈ {0, 1}`` int64, one row per
+    input cell.
+    """
+    from rayraster.agg import hash_aggregate
+    from rayraster.join import bucket_join
+
+    if observer is None:
+        observer = viewshed_observer(pixels, value_col, ix_col, iy_col)
+    ox, oy, eo = (int(v) for v in observer)
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        ix = t[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": _pack(ix, iy), "es": e})
+
+    nodes = pixels.map_batches(to_nodes, batch_format="pyarrow").materialize()
+    n_schema = pa.schema([("node", pa.int64()), ("es", pa.int64())])
+    s_schema = pa.schema(
+        [("tkey", pa.int64()), ("skey", pa.int64()), ("n", pa.int64()),
+         ("k", pa.int64()), ("et", pa.int64())]
+    )
+
+    def fanout(t: pa.Table) -> pa.Table:
+        key = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t["es"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = unpack_cell_key(key)
+        dx, dy = ix - ox, iy - oy
+        n = np.maximum(np.abs(dx), np.abs(dy))
+        m = np.maximum(n - 1, 0)
+        tot = int(m.sum())
+        if not tot:
+            return s_schema.empty_table()
+        idx = np.repeat(np.arange(len(n)), m)
+        k = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m) + 1
+        nn = n[idx]
+        # float expression order matches the twin exactly:
+        # CAST(dx*k AS DOUBLE) / CAST(n AS DOUBLE) + 0.5, floor
+        sx = ox + np.floor(
+            (dx[idx] * k).astype(np.float64) / nn.astype(np.float64) + 0.5
+        ).astype(np.int64)
+        sy = oy + np.floor(
+            (dy[idx] * k).astype(np.float64) / nn.astype(np.float64) + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"tkey": key[idx], "skey": _pack(sx, sy), "n": nn, "k": k,
+             "et": e[idx]}
+        )
+
+    samples = nodes.map_batches(fanout, batch_format="pyarrow")
+    joined = bucket_join(
+        samples, nodes, "skey", "node", join_type="left",
+        left_schema=s_schema, right_schema=n_schema,
+        num_buckets=num_partitions,
+    )
+
+    def blocked(t: pa.Table) -> pa.Table:
+        es = pa.compute.fill_null(t["es"], 0).to_numpy(zero_copy_only=False)
+        es = es.astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t["et"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = ((es - eo) * n >= (et - eo) * k).astype(np.int64)
+        return pa.table({"tkey": t["tkey"], "blk": blk})
+
+    far = hash_aggregate(
+        joined.map_batches(blocked, batch_format="pyarrow"),
+        ["tkey"], max_cols=["blk"], count=False,
+        num_partitions=num_partitions,
+    )
+
+    def far_out(t: pa.Table) -> pa.Table:
+        ix, iy = unpack_cell_key(t["tkey"].to_numpy(zero_copy_only=False))
+        blk = t["max_blk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({ix_col: ix, iy_col: iy, "vis": 1 - blk})
+
+    def near_out(t: pa.Table) -> pa.Table:
+        key = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = unpack_cell_key(key)
+        keep = np.maximum(np.abs(ix - ox), np.abs(iy - oy)) <= 1
+        return pa.table(
+            {ix_col: ix[keep], iy_col: iy[keep],
+             "vis": np.ones(int(keep.sum()), dtype=np.int64)}
+        )
+
+    return far.map_batches(far_out, batch_format="pyarrow").union(
+        nodes.map_batches(near_out, batch_format="pyarrow")
+    )
+
+
+def viewshed_sql(
+    px_rel: str,
+    value_col: str,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+) -> str:
+    """DuckDB twin of :func:`viewshed` with the
+    :func:`viewshed_observer` pick, over ``px_rel`` (ix, iy, value) —
+    returns a full SELECT of ``(ix, iy, vis)``.  LATERAL
+    ``generate_series`` reproduces the ragged sample fan-out; the
+    rounding expression is the identical IEEE float op sequence."""
+    v = f"CAST({value_col} AS BIGINT)"
+    return f"""SELECT t.{ix_col} AS ix, t.{iy_col} AS iy,
+       CAST(CASE WHEN t.n <= 1 THEN 1
+                 ELSE 1 - COALESCE(b.blocked, 0) END AS BIGINT) AS vis
+FROM (
+  SELECT p.{ix_col}, p.{iy_col}, {v} AS et, o.ox, o.oy, o.eo,
+         greatest(abs(p.{ix_col} - o.ox), abs(p.{iy_col} - o.oy)) AS n
+  FROM {px_rel} p CROSS JOIN
+       (SELECT {ix_col} AS ox, {iy_col} AS oy, {v} AS eo FROM {px_rel}
+        ORDER BY {v} DESC, {ix_col}, {iy_col} LIMIT 1) o
+) t
+LEFT JOIN (
+  SELECT s.ix, s.iy,
+         MAX(CASE WHEN (COALESCE(CAST(p.{value_col} AS BIGINT), 0) - s.eo) * s.n
+                  >= (s.et - s.eo) * s.k THEN 1 ELSE 0 END) AS blocked
+  FROM (
+    SELECT t.{ix_col} AS ix, t.{iy_col} AS iy, t.n, t.et, t.eo, g.k,
+           t.ox + CAST(floor(CAST((t.{ix_col} - t.ox) * g.k AS DOUBLE)
+                             / CAST(t.n AS DOUBLE) + 0.5) AS BIGINT) AS sx,
+           t.oy + CAST(floor(CAST((t.{iy_col} - t.oy) * g.k AS DOUBLE)
+                             / CAST(t.n AS DOUBLE) + 0.5) AS BIGINT) AS sy
+    FROM (
+      SELECT p.{ix_col}, p.{iy_col}, {v} AS et, o.ox, o.oy, o.eo,
+             greatest(abs(p.{ix_col} - o.ox), abs(p.{iy_col} - o.oy)) AS n
+      FROM {px_rel} p CROSS JOIN
+           (SELECT {ix_col} AS ox, {iy_col} AS oy, {v} AS eo FROM {px_rel}
+            ORDER BY {v} DESC, {ix_col}, {iy_col} LIMIT 1) o
+    ) t, LATERAL (SELECT UNNEST(generate_series(1, t.n - 1)) AS k) g
+    WHERE t.n >= 2
+  ) s LEFT JOIN {px_rel} p ON p.{ix_col} = s.sx AND p.{iy_col} = s.sy
+  GROUP BY s.ix, s.iy
+) b ON t.{ix_col} = b.ix AND t.{iy_col} = b.iy"""

@@ -1263,3 +1263,126 @@ def test_zonal_mode_tie_to_smallest_and_partition_invariance(ray_session):
         rd.from_pandas(px).repartition(4), "a", num_partitions=16
     ).to_pandas()
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# viewshed
+# ---------------------------------------------------------------------------
+
+
+def _vs_brute(ix, iy, e, W, H):
+    """Driver-side reference of the discrete R3 visibility rule."""
+    full = np.zeros((W, H), dtype=np.int64)
+    occ = np.zeros((W, H), dtype=bool)
+    full[ix, iy] = e
+    occ[ix, iy] = True
+    cand = np.flatnonzero(e == e.max())
+    key = ix.astype(np.int64) * (1 << 32) + iy
+    i = cand[np.argmin(key[cand])]
+    ox, oy, eo = int(ix[i]), int(iy[i]), int(e[i])
+    out = {}
+    for tx, ty, te in zip(ix, iy, e):
+        n = max(abs(int(tx) - ox), abs(int(ty) - oy))
+        v = 1
+        for k in range(1, n):
+            sx = ox + int(np.floor(float((int(tx) - ox) * k) / float(n) + 0.5))
+            sy = oy + int(np.floor(float((int(ty) - oy) * k) / float(n) + 0.5))
+            es = int(full[sx, sy]) if (0 <= sx < W and 0 <= sy < H and occ[sx, sy]) else 0
+            if (es - eo) * n >= (int(te) - eo) * k:
+                v = 0
+                break
+        out[(int(tx), int(ty))] = v
+    return (ox, oy, eo), out
+
+
+def test_viewshed_matches_sql_twin_and_brute(ray_session):
+    import duckdb
+
+    from rayraster.spatial import viewshed, viewshed_sql
+
+    rng = np.random.default_rng(19)
+    W, H = 18, 22
+    mask = rng.random((W, H)) > 0.35
+    ix, iy = np.nonzero(mask)
+    e = rng.integers(0, 9000, size=len(ix)).astype(np.int64)
+    t = pa.table({"ix": ix.astype(np.int64), "iy": iy.astype(np.int64), "e": e})
+
+    got = (
+        viewshed(rd.from_arrow(t).repartition(5), "e", num_partitions=4)
+        .to_pandas()
+        .sort_values(["ix", "iy"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("px", t)
+    want = con.execute(
+        viewshed_sql("px", "e") + " ORDER BY ix, iy"
+    ).df()
+    assert len(got) == len(want) == int(mask.sum())
+    assert (got["vis"].to_numpy() == want["vis"].to_numpy()).all()
+    assert 0 < int(got["vis"].sum()) < len(got)
+
+    obs, brute = _vs_brute(ix.astype(np.int64), iy.astype(np.int64), e, W, H)
+    bv = np.array([brute[(a, b)] for a, b in zip(got["ix"], got["iy"])])
+    assert (bv == got["vis"].to_numpy()).all()
+
+
+def test_viewshed_ridge_blocks_far_side(ray_session):
+    """A 1-D transect: observer at the left end, a tall ridge mid-way —
+    everything beyond the ridge whose sight-line dips under it is
+    hidden, the ridge itself and the near side are visible."""
+    from rayraster.spatial import viewshed
+
+    # elevations: observer 100 at x=0, flat 0, ridge 500 at x=5, flat 0
+    ixs = np.arange(11, dtype=np.int64)
+    e = np.zeros(11, dtype=np.int64)
+    e[0] = 100
+    e[5] = 500
+    t = pa.table({"ix": ixs, "iy": np.zeros(11, dtype=np.int64), "e": e})
+    # observer = argmax = the RIDGE (x=5, e=500); from the top every
+    # flat cell is visible (angles all negative, monotone k test)
+    got = (
+        viewshed(rd.from_arrow(t), "e", num_partitions=2)
+        .to_pandas()
+        .sort_values("ix")
+        .reset_index(drop=True)
+    )
+    assert (got["vis"] == 1).all()
+    # now force the LOW observer at x=0: the ridge hides x>=6
+    got2 = (
+        viewshed(rd.from_arrow(t), "e", observer=(0, 0, 100),
+                 num_partitions=2)
+        .to_pandas()
+        .sort_values("ix")
+        .reset_index(drop=True)
+    )
+    vis = got2["vis"].to_numpy()
+    assert (vis[:6] == 1).all()          # near side + ridge visible
+    assert (vis[6:] == 0).all()          # far side shadowed
+
+
+def test_viewshed_observer_pick_and_partition_invariance(ray_session):
+    from rayraster.spatial import viewshed, viewshed_observer
+
+    rng = np.random.default_rng(3)
+    ix = rng.integers(0, 30, size=200).astype(np.int64)
+    iy = rng.integers(0, 30, size=200).astype(np.int64)
+    key = ix * (1 << 32) + iy
+    _, u = np.unique(key, return_index=True)
+    ix, iy = ix[u], iy[u]
+    e = np.full(len(ix), 7, dtype=np.int64)  # ALL-TIE: min (ix, iy) wins
+    t = pa.table({"ix": ix, "iy": iy, "e": e})
+    ox, oy, eo = viewshed_observer(rd.from_arrow(t).repartition(7), "e")
+    k = ix * (1 << 32) + iy
+    i = int(np.argmin(k))
+    assert (ox, oy, eo) == (int(ix[i]), int(iy[i]), 7)
+
+    a = (
+        viewshed(rd.from_arrow(t).repartition(2), "e", num_partitions=2)
+        .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+    )
+    b = (
+        viewshed(rd.from_arrow(t).repartition(9), "e", num_partitions=7)
+        .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
