@@ -1108,7 +1108,37 @@ def _q_raster_to_vector(sf_dir: str):
         )
 
     ct = cont.map_batches(vec_cont, batch_format="pyarrow")
-    return sq.union(hx, rg, pm, ct)
+
+    # sixth arm (grid='segment'): supercover LINE rasterization
+    # (rayraster/grid.py segment_cells — vector→raster for segments,
+    # the gdal_rasterize-on-linestrings direction).  Synthetic short
+    # segments: every doc_id ≡ 0 (mod 29) anchors one segment from its
+    # geocoded point with a deterministic ±5.5-cell displacement, so
+    # the bbox candidate fan-out stays O(cells visited).  MAP-ONLY at
+    # any scale (each segment expands independently; zero exchanges);
+    # px/py carry the endpoints, one row per visited cell.
+    from rayraster.grid import segment_cells
+
+    _HRES = RES / 2.0
+
+    def seg_arm(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        keep = did % 29 == 0
+        did, x, y = did[keep], x[keep], y[keep]
+        x1 = x + (did % 23 - 11).astype(np.float64) * _HRES
+        y1 = y + ((did // 23) % 23 - 11).astype(np.float64) * _HRES
+        idx, six, siy = segment_cells(sq_spec, x, y, x1, y1)
+        return pa.table(
+            {"grid": pa.array(["segment"] * len(six), type=pa.string()),
+             "ix": pa.array(six), "iy": pa.array(siy),
+             "px1": pa.array(x[idx]), "py1": pa.array(y[idx]),
+             "px2": pa.array(x1[idx]), "py2": pa.array(y1[idx])}
+        )
+
+    sg = pts.map_batches(seg_arm, batch_format="pyarrow", zero_copy_batch=True)
+    return sq.union(hx, rg, pm, ct, sg)
 
 
 # --------------------------------------------------------------------------
@@ -1440,7 +1470,30 @@ UNION ALL
 SELECT 'contour' AS grid, ix, iy,
        CAST("case" AS DOUBLE) AS px1, CAST(ncross AS DOUBLE) AS py1,
        tsum AS px2, CAST(v00 AS DOUBLE) AS py2
-FROM ({ct})"""
+FROM ({ct})
+UNION ALL
+SELECT 'segment' AS grid, ix, iy,
+       x0 AS px1, y0 AS py1, x1 AS px2, y1 AS py2
+FROM ({_sql_segment_cells()})"""
+
+
+def _sql_segment_cells() -> str:
+    """Twin of the r10 'segment' arm: the deterministic short-segment
+    synthesis + :func:`rayraster.grid.segment_cells_sql`'s LATERAL
+    bbox fan-out and corner-cross-product supercover test."""
+    from rayraster.grid import segment_cells_sql
+
+    h = RES / 2.0
+    seg_rel = f"""(SELECT p.x AS x0, p.y AS y0,
+        p.x + CAST(p.doc_id % 23 - 11 AS DOUBLE) * {h!r} AS x1,
+        p.y + CAST((p.doc_id // 23) % 23 - 11 AS DOUBLE) * {h!r} AS y1,
+        b.x0 AS gx0, b.y0 AS gy0
+ FROM (SELECT doc_id, {_GX} AS x, {_GY} AS y FROM documents
+       WHERE doc_id % 29 = 0) p
+ CROSS JOIN (SELECT floor(min({_GX}) - {RES / 2.0!r}) AS x0,
+                    floor(min({_GY}) - {RES / 2.0!r}) AS y0
+             FROM documents) b)"""
+    return segment_cells_sql(seg_rel, RES, "s.gx0", "s.gy0")
 
 
 def _sql_region_label(rounds: int = 16) -> str:

@@ -315,3 +315,116 @@ def polyfill_polygon(spec: GridSpec, ring: np.ndarray):
     cx, cy = spec.centroid(ii, jj)
     keep = points_in_ring(cx, cy, ring)
     return ii[keep], jj[keep]
+
+
+def segment_cells(
+    spec: GridSpec,
+    x0: np.ndarray,
+    y0: np.ndarray,
+    x1: np.ndarray,
+    y1: np.ndarray,
+):
+    """Supercover line rasterization (vector→raster for segments — the
+    GDAL ``gdal_rasterize``-on-linestrings direction; reference analogy:
+    the ``st_intersects`` spatial predicate of R/main.R:132 applied to a
+    segment instead of a point): every SQUARE grid cell whose closed
+    box the segment touches.
+
+    Exact separating-axis formulation (segment × axis-aligned box needs
+    only the box axes + the line normal): candidate cells are the
+    per-axis ``floor`` index ranges of the segment's bbox (that IS the
+    box-axes test), then a cell survives iff its 4 corners do not lie
+    strictly on one side of the carrying line —
+    ``min(c) * max(c) <= 0`` over the four corner cross products
+    ``c = (x1−x0)·(cy−y0) − (y1−y0)·(cx−x0)``.  Every float expression
+    is a fixed-order IEEE formula the SQL twin
+    (:func:`segment_cells_sql`) reproduces verbatim, so results are
+    bit-identical.  Zero-length segments degrade to their bbox cell.
+
+    Returns ``(row_idx, ix, iy)``: the originating segment row index
+    plus visited cell indices (NOT clamped at 0 — a segment may stray
+    outside the frame; callers clip if the frame is authoritative).
+    Map-only at any scale (each segment expands independently; keep
+    segments short — split long polylines upstream — so the bbox
+    candidate set stays O(cells visited)).
+    """
+    if not spec.square:
+        raise ValueError("segment_cells supports square grids only")
+    res = spec.resolution
+    x0 = np.asarray(x0, dtype=np.float64)
+    y0 = np.asarray(y0, dtype=np.float64)
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    i0 = np.floor((np.minimum(x0, x1) - spec.x0) / res).astype(np.int64)
+    i1 = np.floor((np.maximum(x0, x1) - spec.x0) / res).astype(np.int64)
+    j0 = np.floor((np.minimum(y0, y1) - spec.y0) / res).astype(np.int64)
+    j1 = np.floor((np.maximum(y0, y1) - spec.y0) / res).astype(np.int64)
+    nx = i1 - i0 + 1
+    ny = j1 - j0 + 1
+    m = nx * ny
+    tot = int(m.sum())
+    if not tot:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    idx = np.repeat(np.arange(len(m)), m)
+    c = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+    ix = i0[idx] + c // ny[idx]
+    iy = j0[idx] + c % ny[idx]
+    dx = x1 - x0
+    dy = y1 - y0
+    cx0 = spec.x0 + ix * res
+    cy0 = spec.y0 + iy * res
+    cx1 = spec.x0 + (ix + 1) * res
+    cy1 = spec.y0 + (iy + 1) * res
+    xa, ya, dxa, dya = x0[idx], y0[idx], dx[idx], dy[idx]
+    c00 = dxa * (cy0 - ya) - dya * (cx0 - xa)
+    c10 = dxa * (cy0 - ya) - dya * (cx1 - xa)
+    c01 = dxa * (cy1 - ya) - dya * (cx0 - xa)
+    c11 = dxa * (cy1 - ya) - dya * (cx1 - xa)
+    lo = np.minimum(np.minimum(c00, c10), np.minimum(c01, c11))
+    hi = np.maximum(np.maximum(c00, c10), np.maximum(c01, c11))
+    keep = lo * hi <= 0.0
+    return idx[keep], ix[keep], iy[keep]
+
+
+def segment_cells_sql(
+    seg_rel: str,
+    res: float,
+    gx0: str,
+    gy0: str,
+    x0: str = "x0",
+    y0: str = "y0",
+    x1: str = "x1",
+    y1: str = "y1",
+    extra_cols: str = "",
+) -> str:
+    """DuckDB twin of :func:`segment_cells` over ``seg_rel`` (a relation
+    exposing the segment endpoint columns): two LATERAL
+    ``generate_series`` for the bbox candidate ranges + the identical
+    corner-cross-product keep test.  ``gx0``/``gy0`` are SQL expressions
+    for the grid origin (columns of ``seg_rel`` or literals);
+    ``extra_cols`` (e.g. ``"s.seg_id, "``) is spliced into the SELECT.
+    Emits ``(…extra, ix, iy, x0, y0, x1, y1)``."""
+    r = f"{res!r}"
+
+    def cross(cx: str, cy: str) -> str:
+        return (f"((s.{x1} - s.{x0}) * (({cy}) - s.{y0})"
+                f" - (s.{y1} - s.{y0}) * (({cx}) - s.{x0}))")
+
+    cx0 = f"({gx0}) + gi.ix * {r}"
+    cy0 = f"({gy0}) + gj.iy * {r}"
+    cx1 = f"({gx0}) + (gi.ix + 1) * {r}"
+    cy1 = f"({gy0}) + (gj.iy + 1) * {r}"
+    c00, c10 = cross(cx0, cy0), cross(cx1, cy0)
+    c01, c11 = cross(cx0, cy1), cross(cx1, cy1)
+    return f"""SELECT {extra_cols}gi.ix, gj.iy,
+       s.{x0} AS x0, s.{y0} AS y0, s.{x1} AS x1, s.{y1} AS y1
+FROM {seg_rel} s,
+LATERAL (SELECT UNNEST(generate_series(
+  CAST(floor((least(s.{x0}, s.{x1}) - ({gx0})) / {r}) AS BIGINT),
+  CAST(floor((greatest(s.{x0}, s.{x1}) - ({gx0})) / {r}) AS BIGINT))) AS ix) gi,
+LATERAL (SELECT UNNEST(generate_series(
+  CAST(floor((least(s.{y0}, s.{y1}) - ({gy0})) / {r}) AS BIGINT),
+  CAST(floor((greatest(s.{y0}, s.{y1}) - ({gy0})) / {r}) AS BIGINT))) AS iy) gj
+WHERE least(least({c00}, {c10}), least({c01}, {c11}))
+      * greatest(greatest({c00}, {c10}), greatest({c01}, {c11})) <= 0.0"""

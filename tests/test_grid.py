@@ -221,3 +221,86 @@ def test_spatial_join_polygons_matches_brute(ray_session):
     # overlap region produces two rows for the same point
     counts = out.pid.value_counts()
     assert (counts == 2).any()
+
+
+# ---------------------------------------------------------------------------
+# segment_cells (supercover line rasterization)
+# ---------------------------------------------------------------------------
+
+
+def test_segment_cells_matches_sql_twin_and_axis_shapes():
+    import duckdb
+    import pyarrow as pa
+
+    from rayraster.grid import GridSpec, segment_cells, segment_cells_sql
+
+    spec = GridSpec(x0=-3.7, y0=2.25, resolution=30.0)
+    rng = np.random.default_rng(5)
+    n = 200
+    x0 = rng.uniform(0, 500, n); y0 = rng.uniform(0, 500, n)
+    x1 = x0 + rng.uniform(-150, 150, n); y1 = y0 + rng.uniform(-150, 150, n)
+    x1[0], y1[0] = x0[0], y0[0]            # degenerate point segment
+    y1[1] = y0[1]                          # horizontal
+    x1[2] = x0[2]                          # vertical
+    idx, ix, iy = segment_cells(spec, x0, y0, x1, y1)
+    assert len(ix) > n                     # every segment yields >= 1 cell
+
+    con = duckdb.connect()
+    con.register("segs", pa.table(
+        {"sid": np.arange(n), "x0": x0, "y0": y0, "x1": x1, "y1": y1}))
+    want = con.execute(
+        segment_cells_sql("segs", 30.0, repr(spec.x0), repr(spec.y0),
+                          extra_cols="s.sid, ")
+        + " ORDER BY sid, ix, iy"
+    ).df()
+    order = np.lexsort((iy, ix, idx))
+    assert len(want) == len(ix)
+    assert (want["sid"].to_numpy() == idx[order]).all()
+    assert (want["ix"].to_numpy() == ix[order]).all()
+    assert (want["iy"].to_numpy() == iy[order]).all()
+
+    # axis-aligned segments visit exactly their bbox row/column
+    for s, axis in ((1, "iy"), (2, "ix")):
+        vals = (iy if axis == "iy" else ix)[idx == s]
+        assert len(np.unique(vals)) == 1
+
+
+def test_segment_cells_supercover_known_diagonal():
+    from rayraster.grid import GridSpec, segment_cells
+
+    spec = GridSpec(x0=0.0, y0=0.0, resolution=1.0)
+    # exact diagonal through cell corners: supercover keeps BOTH
+    # corner-touching cells (closed intersection, min*max <= 0)
+    idx, ix, iy = segment_cells(
+        spec, np.array([0.5]), np.array([0.5]), np.array([2.5]), np.array([2.5])
+    )
+    got = set(zip(ix.tolist(), iy.tolist()))
+    assert {(0, 0), (1, 1), (2, 2)} <= got
+    assert got <= {(0, 0), (1, 1), (2, 2), (0, 1), (1, 0), (1, 2), (2, 1)}
+    # an off-corner diagonal visits the classic 4-cell staircase
+    idx, ix, iy = segment_cells(
+        spec, np.array([0.5]), np.array([0.25]), np.array([2.5]), np.array([2.25])
+    )
+    got = set(zip(ix.tolist(), iy.tolist()))
+    assert got == {(0, 0), (1, 0), (1, 1), (2, 1), (2, 2)}
+
+
+def test_segment_cells_length_conservation_and_hex_rejection():
+    from rayraster.grid import GridSpec, segment_cells
+
+    spec = GridSpec(x0=0.0, y0=0.0, resolution=10.0)
+    rng = np.random.default_rng(8)
+    n = 50
+    x0 = rng.uniform(5, 95, n); y0 = rng.uniform(5, 95, n)
+    x1 = x0 + rng.uniform(-40, 40, n); y1 = y0 + rng.uniform(-40, 40, n)
+    idx, ix, iy = segment_cells(spec, x0, y0, x1, y1)
+    # supercover cell count per segment is within [cheb+1, cheb+steps+1]
+    for s in range(n):
+        cells = int((idx == s).sum())
+        di = abs(int(np.floor(x1[s] / 10)) - int(np.floor(x0[s] / 10)))
+        dj = abs(int(np.floor(y1[s] / 10)) - int(np.floor(y0[s] / 10)))
+        assert max(di, dj) + 1 <= cells <= di + dj + 1
+
+    with pytest.raises(ValueError):
+        segment_cells(GridSpec(0.0, 0.0, 10.0, square=False),
+                      x0[:1], y0[:1], x1[:1], y1[:1])
