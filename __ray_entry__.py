@@ -498,7 +498,9 @@ def _q_filtered_stats(sf_dir: str):
     — each float a fixed-order expression the SQL self-join twin
     reproduces bit-for-bit.  Round 4: also the single-observer
     ``vis`` viewshed overlay (:func:`rayraster.spatial.viewshed`,
-    integer-exact discrete line-of-sight from the argmax cell)."""
+    integer-exact discrete line-of-sight from the argmax cell) and the
+    exact-int64 LOCAL GEARY'S C term ``geary`` (+ its ``nbr_sumsq``
+    ingredient, riding the same neighbor exchange)."""
     import pyarrow.compute as _pc
 
     from rayraster.pipelines import add_geocode_id
@@ -579,7 +581,7 @@ def _q_filtered_stats(sf_dir: str):
     )
     lm = local_moran(
         conv, "sum_n_chars", num_partitions=8, with_focal=True,
-        with_gi=True, terms_q=1 << 20,
+        with_gi=True, with_geary=True, terms_q=1 << 20,
     )
 
     def add_gauss(t: pa.Table) -> pa.Table:
@@ -659,7 +661,10 @@ g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
 nb AS (
   SELECT p.ix, p.iy,
          CAST(COUNT(q.ix) AS BIGINT) AS nbr_cnt,
-         CAST(COALESCE(SUM(q.sum_n_chars), 0) AS BIGINT) AS nbr_sum
+         CAST(COALESCE(SUM(q.sum_n_chars), 0) AS BIGINT) AS nbr_sum,
+         CAST(COALESCE(SUM(CAST(q.sum_n_chars AS HUGEINT)
+                           * CAST(q.sum_n_chars AS HUGEINT)), 0)
+              AS BIGINT) AS nbr_sumsq
   FROM px p LEFT JOIN px q ON abs(p.ix - q.ix) + abs(p.iy - q.iy) = 1
   GROUP BY p.ix, p.iy
 ),
@@ -680,7 +685,10 @@ gs AS (
   GROUP BY p.ix, p.iy
 )
 SELECT px.*, gs.conv_sum, gs.conv_wt, gs.gx_sum, gs.gx_wt,
-       gs.gy_sum, gs.gy_wt, nb.nbr_cnt, nb.nbr_sum,
+       gs.gy_sum, gs.gy_wt, nb.nbr_cnt, nb.nbr_sum, nb.nbr_sumsq,
+       CAST(nb.nbr_cnt * (CAST(px.sum_n_chars AS HUGEINT) * px.sum_n_chars)
+            - 2 * CAST(px.sum_n_chars AS HUGEINT) * nb.nbr_sum
+            + nb.nbr_sumsq AS BIGINT) AS geary,
        CAST(gs.conv_sum AS DOUBLE) / CAST(gs.conv_wt AS DOUBLE) AS gauss,
        (CAST(px.sum_n_chars AS DOUBLE) - CAST(g.s AS DOUBLE)/CAST(g.n AS DOUBLE))
        * (CAST(nb.nbr_sum AS DOUBLE)

@@ -63,6 +63,7 @@ def neighbor_stats(
     connectivity: int = 4,
     tile: int = 64,
     num_partitions: int = 64,
+    sumsq: bool = False,
 ) -> Dataset:
     """Append exact ``nbr_cnt`` (existing rook / queen / hex-ring
     neighbors — ``connectivity`` 4, 8 or 6) and ``nbr_sum`` (int64 sum
@@ -73,12 +74,18 @@ def neighbor_stats(
     vectorized packed-key ``searchsorted`` per tile group.  Missing
     neighbors (outside the raster's live set) simply don't count —
     matching a LEFT-JOIN-on-the-lattice SQL twin.
+
+    ``sumsq=True`` additionally emits ``nbr_sumsq`` (exact int64 sum of
+    the neighbors' squared values — the local-Geary ingredient); the
+    exactness contract then requires ``|value| ≤ isqrt((2^63−1)/conn)``
+    (validated — 1,073,741,823 for 8-connectivity).
     """
     if connectivity not in _OFFSETS:
         raise ValueError(
             f"connectivity must be 4, 8 (square) or 6 (hex axial), got {connectivity}"
         )
     offsets = _OFFSETS[connectivity]
+    sq_bound = np.int64(math.isqrt((2**63 - 1) // len(offsets)))
     T = np.int64(tile)
 
     def fanout(t: pa.Table) -> pa.Table:
@@ -147,6 +154,7 @@ def neighbor_stats(
                 **{c: pa.array([], type=group[c].type) for c in base_cols},
                 "nbr_cnt": pa.array([], type=pa.int64()),
                 "nbr_sum": pa.array([], type=pa.int64()),
+                **({"nbr_sumsq": pa.array([], type=pa.int64())} if sumsq else {}),
             }
         )
         if group.num_rows == 0:
@@ -159,6 +167,11 @@ def neighbor_stats(
         ix = group[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
         iy = group[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
         val = group[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if sumsq and len(val) and np.abs(val).max() > sq_bound:
+            raise ValueError(
+                f"neighbor_stats: |{value_col}| must be <= {sq_bound} for an "
+                "exact int64 nbr_sumsq — rescale the raster first"
+            )
         n = group.num_rows
         brk = np.ones(n, dtype=bool)
         brk[1:] = (gtx[1:] != gtx[:-1]) | (gty[1:] != gty[:-1])
@@ -167,6 +180,7 @@ def neighbor_stats(
         keep_rows: list[np.ndarray] = []
         cnts: list[np.ndarray] = []
         sums: list[np.ndarray] = []
+        sqs: list[np.ndarray] = []
         for s, e in zip(starts, ends):
             rows = np.arange(s, e)
             h = rows[home[s:e]]
@@ -187,22 +201,30 @@ def neighbor_stats(
                 )
             cnt = np.zeros(len(h), dtype=np.int64)
             ssum = np.zeros(len(h), dtype=np.int64)
+            ssq = np.zeros(len(h), dtype=np.int64)
             for dx, dy in offsets:
                 want = _pack(ix[h] + dx, iy[h] + dy)
                 pos = np.searchsorted(skeys, want)
                 pos_c = np.minimum(pos, len(skeys) - 1)
                 hit = skeys[pos_c] == want
                 cnt += hit
-                ssum += np.where(hit, svals[pos_c], 0)
+                hv = np.where(hit, svals[pos_c], 0)
+                ssum += hv
+                if sumsq:
+                    ssq += hv * hv  # |v| ≤ sq_bound ⇒ Σ over ≤conn terms exact
             keep_rows.append(h)
             cnts.append(cnt)
             sums.append(ssum)
+            sqs.append(ssq)
         if not keep_rows:
             return empty
         take = np.concatenate(keep_rows)
         out = group.select(base_cols).take(pa.array(take, type=pa.int64()))
         out = out.append_column("nbr_cnt", pa.array(np.concatenate(cnts)))
-        return out.append_column("nbr_sum", pa.array(np.concatenate(sums)))
+        out = out.append_column("nbr_sum", pa.array(np.concatenate(sums)))
+        if sumsq:
+            out = out.append_column("nbr_sumsq", pa.array(np.concatenate(sqs)))
+        return out
 
     fanned = pixels.map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True)
     return fanned.groupby("_part").map_groups(solve, batch_format="pyarrow")
@@ -218,6 +240,7 @@ def local_moran(
     num_partitions: int = 64,
     with_focal: bool = False,
     with_gi: bool = False,
+    with_geary: bool = False,
     terms_q: int | None = None,
 ) -> Dataset:
     """Append ``nbr_cnt``, ``nbr_sum`` and the (unnormalized) local
@@ -241,6 +264,18 @@ def local_moran(
     evaluated in exactly that operation order (every primitive —
     division, multiply, subtract, sqrt — is IEEE correctly rounded, so
     a SQL twin spelling the same tree matches bit-for-bit).
+
+    ``with_geary=True`` additionally appends ``nbr_sumsq`` and the
+    LOCAL GEARY'S C term (Anselin 1995) as an EXACT int64:
+
+        geary = Σ_j (x_i − x_j)²  =  nbr_cnt·x_i² − 2·x_i·nbr_sum + nbr_sumsq
+
+    — small where a pixel matches its neighborhood, large at edges;
+    ``Σ geary`` is the global Geary's C numerator (× 2n²/(n−1)-style
+    normalization left to the caller like ``lisa``).  Pure integer
+    algebra, so the SQL twin is exact by construction; requires
+    ``|value| ≤ isqrt((2^63−1)/(4·conn))`` so the result (≤ conn·(2m)²)
+    and every intermediate stay in int64 (validated).
 
     ``terms_q=Q`` appends the QUANTIZED global-Moran per-pixel terms
     ``lisa_q = floor(Q·lisa)`` and ``z2_q = floor(Q·(x_i − mean)²)``
@@ -294,9 +329,13 @@ def local_moran(
     with_nbrs = neighbor_stats(
         pixels, value_col, ix_col=ix_col, iy_col=iy_col,
         connectivity=connectivity, tile=tile, num_partitions=num_partitions,
+        sumsq=with_geary,
     )
 
     Q = float(terms_q) if terms_q else 0.0
+    geary_bound = np.int64(
+        math.isqrt((2**63 - 1) // (4 * len(_OFFSETS[connectivity])))
+    )
 
     def add_lisa(t: pa.Table) -> pa.Table:
         xi_i = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -315,6 +354,18 @@ def local_moran(
             num = s1 - w * mean
             den = sd * np.sqrt((nf * w - w * w) / (nf - 1.0))
             t = t.append_column("gi_star", pa.array(num / den))
+        if with_geary:
+            if len(xi_i) and np.abs(xi_i).max() > geary_bound:
+                raise ValueError(
+                    f"local_moran: |{value_col}| must be <= {geary_bound} "
+                    "for an exact int64 local Geary term — rescale first"
+                )
+            nsq_i = t["nbr_sumsq"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # Σ_j (x−x_j)² expanded; every intermediate bounded by
+            # 4·conn·m² < 2^63 under the validated m, so exact int64
+            t = t.append_column(
+                "geary", pa.array((nc_i * xi_i * xi_i - 2 * xi_i * ns_i) + nsq_i)
+            )
         if terms_q:
             lisa_q = np.floor(Q * lisa)
             z2_q = np.floor(Q * ((xi - mean) * (xi - mean)))

@@ -175,6 +175,57 @@ def test_neighbor_stats_validation(ray_session):
         neighbor_stats(rd.from_pandas(bad), "v").to_pandas()
 
 
+@pytest.mark.parametrize("connectivity", [4, 8])
+def test_nbr_sumsq_and_local_geary_match_brute(ray_session, connectivity):
+    px = _raster(seed=21)
+    out = (
+        local_moran(
+            rd.from_pandas(px).repartition(3), "v",
+            connectivity=connectivity, tile=16, num_partitions=8,
+            with_geary=True,
+        )
+        .to_pandas()
+        .sort_values(["ix", "iy"])
+        .reset_index(drop=True)
+    )
+    want = px.sort_values(["ix", "iy"]).reset_index(drop=True)
+    offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if connectivity == 8:
+        offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    vals = {(r.ix, r.iy): r.v for r in want.itertuples()}
+    ssq, geary = [], []
+    for r in want.itertuples():
+        ns = [vals.get((r.ix + dx, r.iy + dy)) for dx, dy in offs]
+        ns = [v for v in ns if v is not None]
+        ssq.append(sum(int(v) ** 2 for v in ns))
+        geary.append(sum((int(r.v) - int(v)) ** 2 for v in ns))
+    assert (out["nbr_sumsq"].to_numpy() == np.array(ssq, dtype=np.int64)).all()
+    assert (out["geary"].to_numpy() == np.array(geary, dtype=np.int64)).all()
+    assert (out["geary"].to_numpy() >= 0).all()
+    # constant raster: geary identically zero on every pixel
+    const = px.copy()
+    const["v"] = 7
+    cz = local_moran(
+        rd.from_pandas(const), "v", connectivity=connectivity, with_geary=True
+    ).to_pandas()
+    assert (cz["geary"].to_numpy() == 0).all()
+
+
+def test_local_geary_overflow_guard(ray_session):
+    # 10^9 passes the pre-existing 2^31 Σx² packing guard but exceeds
+    # the 4-connectivity geary bound isqrt((2^63−1)/16) ≈ 7.59e8
+    big = pd.DataFrame(
+        {"ix": np.array([0, 1], dtype=np.int64),
+         "iy": np.array([0, 0], dtype=np.int64),
+         "v": np.array([10**9, 1], dtype=np.int64)}
+    )
+    with pytest.raises(Exception, match="exact int64 local Geary"):
+        local_moran(rd.from_pandas(big), "v", with_geary=True).to_pandas()
+    # without the geary request the same magnitude is fine
+    ok = local_moran(rd.from_pandas(big), "v").to_pandas()
+    assert len(ok) == 2
+
+
 def test_gi_star_matches_dense_reference(ray_session):
     import math
 
