@@ -1900,6 +1900,146 @@ def focal_mode(
     return conv.map_batches(mode_pass, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def focal_stat(
+    pixels: Dataset,
+    value_col: str,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    connectivity: int = 8,
+    tile: int = 64,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Focal MIN / MAX / RANGE (GRASS ``r.neighbors`` methods
+    ``minimum``/``maximum``/``range``, terra ``focal`` min/max): each
+    pixel takes the extreme of its own value and its PRESENT neighbors
+    (4/8 square or hex-6).  ``focal_range = focal_max − focal_min`` is
+    the local-relief / roughness raster; on a 0/1 indicator ``focal_min``
+    is grayscale EROSION and ``focal_max`` DILATION restricted to the
+    occupied set (dilation that CREATES cells is :func:`grow_cells`).
+
+    One exchange: neighbor values arrive as single-offset kernels
+    through :func:`focal_convolve`'s shared tile+halo shuffle (the same
+    plumbing as :func:`focal_mode`); the extremes are sentinel-masked
+    vectorized folds — exact int64, no per-row Python.
+
+    Returns the pixel rows + ``focal_min``, ``focal_max``,
+    ``focal_range`` and ``n_present`` (window size including self).
+    """
+    if connectivity not in _OFFSETS:
+        raise ValueError(
+            f"connectivity must be 4, 8 (square) or 6 (hex axial), got {connectivity}"
+        )
+    offsets = _OFFSETS[connectivity]
+    kernels = {}
+    for i, (dx, dy) in enumerate(offsets):
+        k = np.zeros((3, 3), dtype=np.int64)
+        k[dx + 1, dy + 1] = 1
+        kernels[f"fs{i}"] = k
+    conv = focal_convolve(
+        pixels, value_col, kernels,
+        ix_col=ix_col, iy_col=iy_col, tile=tile, num_partitions=num_partitions,
+    )
+    _SENT = np.int64(2**62)
+
+    def extremes(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        center = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = center.copy()
+        hi = center.copy()
+        npres = np.ones(n, dtype=np.int64)
+        for i in range(len(offsets)):
+            v = t[f"fs{i}_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+            p = t[f"fs{i}_wt"].to_numpy(zero_copy_only=False).astype(np.int64) > 0
+            lo = np.minimum(lo, np.where(p, v, _SENT))
+            hi = np.maximum(hi, np.where(p, v, -_SENT))
+            npres += p
+        out = t.drop_columns(
+            [c for i in range(len(offsets)) for c in (f"fs{i}_sum", f"fs{i}_wt")]
+        )
+        out = out.append_column("focal_min", pa.array(lo))
+        out = out.append_column("focal_max", pa.array(hi))
+        out = out.append_column("focal_range", pa.array(hi - lo))
+        return out.append_column("n_present", pa.array(npres))
+
+    return conv.map_batches(extremes, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grow_cells(
+    pixels: Dataset,
+    radius: int = 1,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    metric: str = "chebyshev",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Raster BUFFER / morphological dilation that CREATES cells
+    (GRASS ``r.grow`` / ``r.buffer``, ArcGIS Expand): emit every cell
+    within ``radius`` of an occupied cell, tagged with ``dist`` = the
+    exact distance (0 ⇒ the cell was occupied) to its nearest occupied
+    cell — i.e. the distance transform TRUNCATED at ``radius``.
+
+    ``metric``: ``"chebyshev"`` (square window, max(|dx|,|dy|) — the
+    8-connected growth) or ``"manhattan"`` (diamond, |dx|+|dy| — the
+    4-connected growth).
+
+    Plan: map-only fan-out of each occupied cell to its (2r+1)² window
+    (diamond-pruned for manhattan) carrying the candidate distance,
+    then ONE grouped MIN per target cell — the fan-out factor is
+    (2r+1)², so keep ``radius`` small (≤ 4 validated; iterate for wide
+    buffers) — at 10^12 cells the window copies stream through the
+    exchange like any rasterize partial, nothing driver-side.
+
+    Returns ``(ix, iy, dist)`` over the DILATED cell set.
+    """
+    from rayraster.agg import hash_aggregate
+
+    if metric not in ("chebyshev", "manhattan"):
+        raise ValueError(f"metric must be chebyshev|manhattan, got {metric!r}")
+    if not 1 <= radius <= 4:
+        raise ValueError("radius must be in 1..4 (iterate grow_cells for wider buffers)")
+    offs = [
+        (dx, dy)
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+        if metric == "chebyshev" or abs(dx) + abs(dy) <= radius
+    ]
+    dists = np.array(
+        [max(abs(dx), abs(dy)) if metric == "chebyshev" else abs(dx) + abs(dy)
+         for dx, dy in offs],
+        dtype=np.int64,
+    )
+
+    def fanout(t: pa.Table) -> pa.Table:
+        ix = t[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ix) and (
+            np.abs(ix).max() + radius >= 1 << 31
+            or np.abs(iy).max() + radius >= 1 << 31
+        ):
+            raise ValueError("grow_cells: |ix|,|iy|+radius must be < 2^31 to pack")
+        pieces = []
+        for (dx, dy), d in zip(offs, dists):
+            pieces.append(
+                pa.table(
+                    {"node": _pack(ix + dx, iy + dy),
+                     "d": pa.array(np.full(len(ix), d, dtype=np.int64))}
+                )
+            )
+        return pa.concat_tables(pieces)
+
+    fanned = pixels.map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True)
+    folded = hash_aggregate(
+        fanned, ["node"], min_cols=["d"], count=False,
+        num_partitions=num_partitions,
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        ix, iy = unpack_cell_key(t["node"].to_numpy(zero_copy_only=False))
+        return pa.table({ix_col: ix, iy_col: iy, "dist": t["min_d"]})
+
+    return folded.map_batches(unpack, batch_format="pyarrow")
+
+
 def basin_labels(
     flows: Dataset,
     doublings: int,

@@ -1437,3 +1437,110 @@ def test_viewshed_observer_pick_and_partition_invariance(ray_session):
         .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.parametrize("connectivity", [4, 8, 6])
+def test_focal_stat_matches_brute(ray_session, connectivity):
+    from rayraster.spatial import focal_stat
+
+    px = _raster(seed=33)
+    got = (
+        focal_stat(
+            rd.from_pandas(px).repartition(3), "v",
+            connectivity=connectivity, tile=16, num_partitions=8,
+        )
+        .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+    )
+    want = px.sort_values(["ix", "iy"]).reset_index(drop=True)
+    if connectivity == 6:
+        offs = [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]
+    else:
+        offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        if connectivity == 8:
+            offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    vals = {(r.ix, r.iy): r.v for r in want.itertuples()}
+    for row, g in zip(want.itertuples(), got.itertuples()):
+        window = [row.v] + [
+            vals[(row.ix + dx, row.iy + dy)]
+            for dx, dy in offs if (row.ix + dx, row.iy + dy) in vals
+        ]
+        assert g.focal_min == min(window)
+        assert g.focal_max == max(window)
+        assert g.focal_range == max(window) - min(window)
+        assert g.n_present == len(window)
+
+
+def test_focal_stat_constant_and_indicator(ray_session):
+    from rayraster.spatial import focal_stat
+
+    # constant raster: range identically 0
+    px = _raster(seed=4)
+    px["v"] = 5
+    out = focal_stat(rd.from_pandas(px), "v").to_pandas()
+    assert (out["focal_range"].to_numpy() == 0).all()
+    assert (out["focal_min"].to_numpy() == 5).all()
+    # 0/1 indicator on a dense block: focal_min is erosion (interior
+    # survives, boundary of the 1-region hits a 0), focal_max dilation
+    g = np.mgrid[0:6, 0:6].reshape(2, -1)
+    ind = ((g[0] >= 1) & (g[0] <= 4) & (g[1] >= 1) & (g[1] <= 4)).astype(np.int64)
+    px2 = pd.DataFrame({"ix": g[0].astype(np.int64), "iy": g[1].astype(np.int64), "v": ind})
+    o2 = focal_stat(rd.from_pandas(px2), "v", connectivity=8).to_pandas()
+    o2 = o2.set_index(["ix", "iy"])
+    eroded = {(i, j) for i in (2, 3) for j in (2, 3)}
+    for (i, j), r in o2.iterrows():
+        assert r["focal_min"] == (1 if (i, j) in eroded else 0)
+        # dilation: any cell 8-adjacent to the 1-block (or in it) gets 1
+        near = any(
+            (1 <= i + a <= 4) and (1 <= j + b <= 4)
+            for a in (-1, 0, 1) for b in (-1, 0, 1)
+        )
+        assert r["focal_max"] == (1 if near else 0)
+    with pytest.raises(ValueError, match="connectivity"):
+        focal_stat(rd.from_pandas(px2), "v", connectivity=3)
+
+
+@pytest.mark.parametrize("metric", ["chebyshev", "manhattan"])
+def test_grow_cells_truncated_distance_transform(ray_session, metric):
+    from rayraster.spatial import grow_cells
+
+    px = _raster(seed=11, m=60, span=12)[["ix", "iy"]]
+    r = 2
+    got = (
+        grow_cells(rd.from_pandas(px).repartition(3), radius=r, metric=metric)
+        .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+    )
+    occ = {(r_.ix, r_.iy) for r_ in px.itertuples()}
+    want = {}
+    for (ox, oy) in occ:
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                d = max(abs(dx), abs(dy)) if metric == "chebyshev" else abs(dx) + abs(dy)
+                if d > r:
+                    continue
+                key = (ox + dx, oy + dy)
+                want[key] = min(want.get(key, r + 1), d)
+    assert len(got) == len(want)
+    for row in got.itertuples():
+        assert want[(row.ix, row.iy)] == row.dist
+    # occupied cells are exactly the dist==0 set
+    zero = {(row.ix, row.iy) for row in got.itertuples() if row.dist == 0}
+    assert zero == occ
+
+
+def test_grow_cells_partition_invariance_and_validation(ray_session):
+    from rayraster.spatial import grow_cells
+
+    px = _raster(seed=14, m=80, span=15)[["ix", "iy"]]
+    a = (
+        grow_cells(rd.from_pandas(px).repartition(2), radius=1, num_partitions=4)
+        .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+    )
+    b = (
+        grow_cells(rd.from_pandas(px).repartition(7), radius=1, num_partitions=16)
+        .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    with pytest.raises(ValueError, match="radius"):
+        grow_cells(rd.from_pandas(px), radius=0)
+    with pytest.raises(ValueError, match="metric"):
+        grow_cells(rd.from_pandas(px), metric="euclid")
