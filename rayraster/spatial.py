@@ -2307,6 +2307,193 @@ def cost_distance(
     return dist_ds.map_batches(unpack, batch_format="pyarrow")
 
 
+def cost_allocation(
+    pixels: Dataset,
+    sources: Dataset,
+    rounds: int,
+    cost_col: str = "cost",
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    num_partitions: int = 64,
+    node_count: int | None = None,
+    driver_threshold: int = 200_000,
+) -> Dataset:
+    """Cost ALLOCATION (ArcGIS Cost Allocation / GRASS ``r.cost``
+    with ``nearest``): label every reached cell with the SOURCE it is
+    cheapest to reach it from, alongside the least-cost distance —
+    the cost-weighted Voronoi partition of the raster.  Ties at equal
+    cost break to the source with the smaller packed ``(ix, iy)`` key
+    (deterministic, partitioning-invariant).
+
+    One trick makes this the SAME min-plus Jacobi as
+    :func:`cost_distance` with zero extra exchanges: the state packs
+    ``(dist << k) | src_idx`` into one int64 (``k`` = bits for the
+    source index, sources enumerated in sorted-key order), so
+
+        relax:  state' = min(state, state_q + (cost_p << k))
+
+    — adding a shifted cost preserves the source bits, and the numeric
+    min of packed states IS the lexicographic ``(dist, src_idx)`` min.
+    Both engines (driver-array below ``driver_threshold``, bucket-join
+    Dataset above) relax the packed state identically, so they agree
+    bit-for-bit at ANY round count.
+
+    Bounds (validated): ≤ 2^20 sources (the idx field), every
+    ``dist < 2^(62−k)``; source keys are enumerated on the driver —
+    a bounded materialization like ``kmeans_centroids``' sample (the
+    source set of an allocation is small by construction; the COST
+    RASTER never lands on the driver in the large engine).
+
+    Returns ``(ix, iy, dist, src_ix, src_iy)`` over cells reached
+    within ``rounds`` hops.
+    """
+    from rayraster.agg import hash_aggregate
+    from rayraster.join import bucket_join
+
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        ix = t[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t[cost_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(c) and c.min() < 0:
+            raise ValueError(f"{cost_col} must be non-negative")
+        return pa.table({"node": _pack(ix, iy), "cost": c})
+
+    def src_nodes(t: pa.Table) -> pa.Table:
+        ix = t[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": _pack(ix, iy)})
+
+    nodes_ds = pixels.map_batches(to_nodes, batch_format="pyarrow")
+    srcs_ds = sources.map_batches(src_nodes, batch_format="pyarrow")
+
+    # enumerate sources deterministically (sorted packed key = idx)
+    st = pa.concat_tables(srcs_ds.iter_batches(batch_format="pyarrow"))
+    sk = np.unique(st["node"].to_numpy(zero_copy_only=False).astype(np.int64))
+    n_src = len(sk)
+    if n_src == 0:
+        raise ValueError("cost_allocation: no sources")
+    if n_src > 1 << 20:
+        raise ValueError("cost_allocation: > 2^20 sources — the packed idx field is 20 bits")
+    k = max(1, int(n_src - 1).bit_length())
+    _SENT = np.int64(1) << 62
+    cost_cap = int(_SENT - 1) >> k
+
+    def emit(nodes: np.ndarray, state: np.ndarray) -> pa.Table:
+        keep = state < _SENT
+        ix, iy = unpack_cell_key(nodes[keep])
+        d = state[keep] >> k
+        si = (state[keep] & ((np.int64(1) << k) - 1)).astype(np.int64)
+        six, siy = unpack_cell_key(sk[si])
+        return pa.table(
+            {ix_col: ix, iy_col: iy, "dist": d, "src_ix": six, "src_iy": siy}
+        )
+
+    small = node_count is not None and node_count <= driver_threshold
+    if small:
+        gt = pa.concat_tables(nodes_ds.iter_batches(batch_format="pyarrow"))
+        nodes = gt["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cost = gt["cost"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(cost) and cost.max() > cost_cap:
+            raise ValueError("cost_allocation: cost too large for the packed state")
+        order = np.argsort(nodes, kind="stable")
+        nodes, cost = nodes[order], cost[order]
+        si = np.searchsorted(nodes, sk)
+        if (si >= len(nodes)).any() or (nodes[np.minimum(si, len(nodes) - 1)] != sk).any():
+            raise ValueError("a source cell is not an occupied pixel")
+        ix_all, iy_all = unpack_cell_key(nodes)
+        pis, qis = [], []
+        for dx, dy in FLOW_OFFSETS:
+            want = _pack(ix_all + dx, iy_all + dy)
+            idx = np.searchsorted(nodes, want)
+            ok = (idx < len(nodes)) & (nodes[np.minimum(idx, len(nodes) - 1)] == want)
+            pis.append(np.flatnonzero(ok))
+            qis.append(idx[ok])
+        pi = np.concatenate(pis) if pis else np.empty(0, np.int64)
+        qi = np.concatenate(qis) if qis else np.empty(0, np.int64)
+        state = np.full(len(nodes), _SENT, dtype=np.int64)
+        state[si] = np.arange(n_src, dtype=np.int64)  # dist 0, own idx
+        shifted = cost << k
+        for _ in range(rounds):
+            new = state.copy()
+            reach = state[qi] < _SENT
+            np.minimum.at(new, pi[reach], state[qi[reach]] + shifted[pi[reach]])
+            state = new
+        import ray.data as rd
+
+        return rd.from_arrow(emit(nodes, state))
+
+    n_schema = pa.schema([("node", pa.int64()), ("cost", pa.int64())])
+    s_schema = pa.schema([("node", pa.int64()), ("d", pa.int64())])
+    e_schema = pa.schema(
+        [("node", pa.int64()), ("cost", pa.int64()), ("q", pa.int64())]
+    )
+
+    def fanout(t: pa.Table) -> pa.Table:
+        n = t["node"].to_numpy(zero_copy_only=False)
+        c = t["cost"].to_numpy(zero_copy_only=False)
+        if len(c) and c.max() > cost_cap:
+            raise ValueError("cost_allocation: cost too large for the packed state")
+        ix, iy = unpack_cell_key(n)
+        pieces = []
+        for dx, dy in FLOW_OFFSETS:
+            pieces.append(
+                pa.table({"node": n, "cost": c, "q": _pack(ix + dx, iy + dy)})
+            )
+        return pa.concat_tables(pieces)
+
+    nodes_mat = nodes_ds.materialize()
+    occupied = nodes_mat.map_batches(
+        lambda t: pa.table({"occ": t["node"]}), batch_format="pyarrow"
+    )
+    edges = bucket_join(
+        nodes_mat.map_batches(fanout, batch_format="pyarrow"),
+        occupied,
+        "q", "occ", join_type="semi",
+        left_schema=e_schema,
+        right_schema=pa.schema([("occ", pa.int64())]),
+        num_buckets=num_partitions,
+    ).materialize()
+    import ray.data as rd
+
+    init = pa.table(
+        {"node": pa.array(sk), "d": pa.array(np.arange(n_src, dtype=np.int64))}
+    )
+    state_ds = rd.from_arrow(init).materialize()
+    kk = np.int64(k)
+    for _ in range(rounds):
+        contrib = bucket_join(
+            edges, state_ds, "q", "node", join_type="inner",
+            left_schema=e_schema, right_schema=s_schema,
+            num_buckets=num_partitions,
+        ).map_batches(
+            lambda t: pa.table(
+                {"node": t["node"],
+                 "d": pa.array(
+                     t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+                     + (t["cost"].to_numpy(zero_copy_only=False).astype(np.int64) << kk)
+                 )}
+            ),
+            batch_format="pyarrow",
+        )
+        state_ds = hash_aggregate(
+            state_ds.union(contrib), ["node"], min_cols=["d"], count=False,
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "d": t["min_d"]}),
+            batch_format="pyarrow",
+        ).materialize()
+
+    def unpack(t: pa.Table) -> pa.Table:
+        nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        state = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return emit(nodes, state)
+
+    return state_ds.map_batches(unpack, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Marching squares: per-block contour case index + edge crossings
 # ---------------------------------------------------------------------------

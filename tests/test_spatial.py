@@ -1544,3 +1544,101 @@ def test_grow_cells_partition_invariance_and_validation(ray_session):
         grow_cells(rd.from_pandas(px), radius=0)
     with pytest.raises(ValueError, match="metric"):
         grow_cells(rd.from_pandas(px), metric="euclid")
+
+
+def _alloc_brute(px, src_keys, rounds):
+    """Per-source synchronous Bellman-Ford, then lexicographic
+    (dist, src_idx) min per cell — the cost_allocation reference."""
+    offs = [(-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (-1, 1), (1, -1), (1, 1)]
+    cost = {(r.ix, r.iy): int(r.cost) for r in px.itertuples()}
+    INF = float("inf")
+    best = {}
+    for idx, (sx, sy) in enumerate(src_keys):
+        d = {c: INF for c in cost}
+        d[(sx, sy)] = 0
+        for _ in range(rounds):
+            nd = dict(d)
+            for (ix, iy), dc in d.items():
+                for dx, dy in offs:
+                    q = (ix + dx, iy + dy)
+                    if q in d and d[q] < INF:
+                        nd[(ix, iy)] = min(nd[(ix, iy)], d[q] + cost[(ix, iy)])
+            d = nd
+        for c, dc in d.items():
+            if dc < INF and (c not in best or (dc, idx) < best[c]):
+                best[c] = (dc, idx)
+    return best
+
+
+@pytest.mark.parametrize("engine", ["driver", "distributed"])
+def test_cost_allocation_matches_brute(ray_session, engine):
+    from rayraster.spatial import cost_allocation
+
+    rng = np.random.default_rng(3)
+    g = np.mgrid[0:9, 0:9].reshape(2, -1)
+    px = pd.DataFrame(
+        {"ix": g[0].astype(np.int64), "iy": g[1].astype(np.int64),
+         "cost": rng.integers(1, 9, 81).astype(np.int64)}
+    )
+    srcs = [(0, 0), (8, 8), (0, 8)]
+    src_df = pd.DataFrame({"ix": [s[0] for s in srcs], "iy": [s[1] for s in srcs]})
+    # sources enumerate in sorted packed-key order — match it
+    sk = sorted(srcs, key=lambda s: s[0] * (1 << 32) + s[1])
+    rounds = 20  # > any optimal path in a 9x9 grid: converged
+    got = cost_allocation(
+        rd.from_pandas(px).repartition(3), rd.from_pandas(src_df), rounds,
+        node_count=(81 if engine == "driver" else None),
+        num_partitions=4,
+    ).to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+    want = _alloc_brute(px, sk, rounds)
+    assert len(got) == 81
+    for r in got.itertuples():
+        d, idx = want[(r.ix, r.iy)]
+        assert r.dist == d
+        assert (r.src_ix, r.src_iy) == sk[idx]
+
+
+def test_cost_allocation_engines_agree_unconverged(ray_session):
+    from rayraster.spatial import cost_allocation
+
+    px = _raster(seed=41, m=200, span=10)
+    px = px.rename(columns={"v": "cost"})
+    px["cost"] = (px["cost"] % 7) + 1
+    src_df = px[["ix", "iy"]].iloc[[0, 5, 11]]
+    for rounds in (0, 1, 3):
+        a = cost_allocation(
+            rd.from_pandas(px), rd.from_pandas(src_df), rounds,
+            node_count=len(px),
+        ).to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+        b = cost_allocation(
+            rd.from_pandas(px).repartition(5), rd.from_pandas(src_df), rounds,
+            node_count=None, num_partitions=8,
+        ).to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_cost_allocation_validations(ray_session):
+    from rayraster.spatial import cost_allocation
+
+    px = pd.DataFrame(
+        {"ix": np.array([0, 1], dtype=np.int64),
+         "iy": np.array([0, 0], dtype=np.int64),
+         "cost": np.array([1, 1], dtype=np.int64)}
+    )
+    src = px[["ix", "iy"]].iloc[[0]]
+    with pytest.raises(ValueError, match="rounds"):
+        cost_allocation(rd.from_pandas(px), rd.from_pandas(src), -1)
+    bad_src = pd.DataFrame({"ix": [99], "iy": [99]})
+    with pytest.raises(Exception, match="not an occupied"):
+        cost_allocation(rd.from_pandas(px), rd.from_pandas(bad_src), 1,
+                        node_count=2).to_pandas()
+    big = px.copy()
+    big["cost"] = np.int64(1) << 61
+    with pytest.raises(Exception, match="cost too large"):
+        cost_allocation(rd.from_pandas(big), rd.from_pandas(src), 1,
+                        node_count=2).to_pandas()
+    neg = px.copy()
+    neg["cost"] = -1
+    with pytest.raises(Exception, match="non-negative"):
+        cost_allocation(rd.from_pandas(neg), rd.from_pandas(src), 1,
+                        node_count=2).to_pandas()
