@@ -3003,3 +3003,102 @@ LEFT JOIN (
   ) s LEFT JOIN {px_rel} p ON p.{ix_col} = s.sx AND p.{iy_col} = s.sy
   GROUP BY s.ix, s.iy
 ) b ON t.{ix_col} = b.ix AND t.{iy_col} = b.iy"""
+
+
+def simplify_lines(
+    lines: Dataset,
+    eps: float,
+    line_col: str = "line_id",
+    seq_col: str = "seq",
+    x_col: str = "x",
+    y_col: str = "y",
+    num_partitions: int = 64,
+    max_line_len: int = 65536,
+) -> Dataset:
+    """Douglas–Peucker polyline simplification (PostGIS
+    ``ST_Simplify`` / terra ``simplifyGeom``): drop every vertex whose
+    perpendicular distance to the kept chord is ≤ ``eps``, recursively
+    splitting at the farthest outlier — the standard generalization
+    pass over :func:`contour_segments`-style isolines, traced
+    boundaries or GPS tracks before plotting/serving them.
+
+    Plan: ONE hash exchange on ``line_col`` co-locates each polyline,
+    then an in-partition ``(line, seq)`` lexsort and a per-line
+    stack-based DP whose distance scan is vectorized numpy (the
+    per-LINE loop is the unit of work, like ``merge_asof``'s per-key
+    pandas kernel — polylines are short by construction; lines longer
+    than ``max_line_len`` raise rather than degrade).  First and last
+    vertex always survive; ties at the farthest outlier break to the
+    LOWEST index (np.argmax-first), so output is deterministic and
+    partitioning-invariant.  Distances compare as exact-float ``d² >
+    eps²`` cross-products — no sqrt.
+
+    Returns the input rows filtered to the kept vertices (same
+    columns, ``(line, seq)``-sorted within each partition).
+    """
+    if not math.isfinite(eps) or eps < 0:
+        raise ValueError("eps must be finite and >= 0")
+    if max_line_len < 2:
+        raise ValueError("max_line_len must be >= 2")
+    eps2 = float(eps) * float(eps)
+    P = np.int64(num_partitions)
+
+    def tag(t: pa.Table) -> pa.Table:
+        lid = t[line_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_part", pa.array(((lid % P) + P) % P))
+
+    def solve(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_part"])
+        if g.num_rows == 0:
+            return g
+        g = g.sort_by([(line_col, "ascending"), (seq_col, "ascending")])
+        lid = g[line_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        seq = g[seq_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = g[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = g[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = g.num_rows
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = lid[1:] != lid[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        if bool((~brk[1:] & (seq[1:] == seq[:-1])).any()):
+            raise ValueError(
+                f"simplify_lines: duplicate {seq_col} within a line — "
+                "vertex order is ambiguous"
+            )
+        keep = np.zeros(n, dtype=bool)
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m > max_line_len:
+                raise ValueError(
+                    f"simplify_lines: a line has {m} vertices > "
+                    f"max_line_len={max_line_len} — split it upstream"
+                )
+            keep[s] = keep[e - 1] = True
+            if m < 3:
+                continue
+            stack = [(s, e - 1)]
+            while stack:
+                i, j = stack.pop()
+                if j - i < 2:
+                    continue
+                dx, dy = x[j] - x[i], y[j] - y[i]
+                L2 = dx * dx + dy * dy
+                xs, ys = x[i + 1 : j], y[i + 1 : j]
+                if L2 == 0.0:  # degenerate chord (closed ring): point distance
+                    d2 = (xs - x[i]) ** 2 + (ys - y[i]) ** 2
+                else:
+                    cr = dx * (ys - y[i]) - dy * (xs - x[i])
+                    d2 = cr * cr / L2
+                k = i + 1 + int(np.argmax(d2))
+                if float(d2[k - i - 1]) > eps2:
+                    keep[k] = True
+                    stack.append((i, k))
+                    stack.append((k, j))
+        return g.filter(pa.array(keep))
+
+    return (
+        lines.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(solve, batch_format="pyarrow")
+    )

@@ -1642,3 +1642,119 @@ def test_cost_allocation_validations(ray_session):
     with pytest.raises(Exception, match="non-negative"):
         cost_allocation(rd.from_pandas(neg), rd.from_pandas(src), 1,
                         node_count=2).to_pandas()
+
+
+def _dp_brute(pts, eps):
+    """Classical recursive Douglas-Peucker reference."""
+    import math as _m
+
+    def rec(lo, hi, keep):
+        if hi - lo < 2:
+            return
+        ax, ay = pts[lo]
+        bx, by = pts[hi]
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        best, bd = -1, -1.0
+        for i in range(lo + 1, hi):
+            px_, py_ = pts[i]
+            if L2 == 0.0:
+                d2 = (px_ - ax) ** 2 + (py_ - ay) ** 2
+            else:
+                cr = dx * (py_ - ay) - dy * (px_ - ax)
+                d2 = cr * cr / L2
+            if d2 > bd:
+                best, bd = i, d2
+        if bd > eps * eps:
+            keep.add(best)
+            rec(lo, best, keep)
+            rec(best, hi, keep)
+
+    keep = {0, len(pts) - 1}
+    rec(0, len(pts) - 1, keep)
+    return keep
+
+
+def test_simplify_lines_matches_brute(ray_session):
+    from rayraster.spatial import simplify_lines
+
+    rng = np.random.default_rng(7)
+    rows = []
+    expected = {}
+    for lid in range(12):
+        m = int(rng.integers(2, 40))
+        xs = np.cumsum(rng.normal(1.0, 0.5, m))
+        ys = rng.normal(0.0, 2.0, m)
+        pts = list(zip(xs.tolist(), ys.tolist()))
+        keep = _dp_brute(pts, 1.5)
+        expected[lid] = {i for i in keep}
+        for i, (px_, py_) in enumerate(pts):
+            rows.append((lid, i, px_, py_))
+    df = pd.DataFrame(rows, columns=["line_id", "seq", "x", "y"])
+    got = (
+        simplify_lines(rd.from_pandas(df).repartition(4), 1.5, num_partitions=8)
+        .to_pandas()
+    )
+    for lid, grp in got.groupby("line_id"):
+        assert set(grp["seq"].tolist()) == expected[lid], lid
+
+
+def test_simplify_lines_straight_collinear_and_ring(ray_session):
+    from rayraster.spatial import simplify_lines
+
+    # noisy-but-within-eps line: only the endpoints survive
+    m = 30
+    df = pd.DataFrame(
+        {"line_id": np.zeros(m, dtype=np.int64), "seq": np.arange(m),
+         "x": np.arange(m, dtype=np.float64),
+         "y": np.sin(np.arange(m)) * 0.01}
+    )
+    out = simplify_lines(rd.from_pandas(df), 0.5).to_pandas()
+    assert sorted(out["seq"].tolist()) == [0, m - 1]
+    # eps=0 drops EXACTLY the collinear interior vertices: an L-shape
+    # keeps only its corner
+    df2 = pd.DataFrame(
+        {"line_id": np.zeros(5, dtype=np.int64), "seq": np.arange(5),
+         "x": np.array([0.0, 1.0, 2.0, 2.0, 2.0]),
+         "y": np.array([0.0, 0.0, 0.0, 1.0, 2.0])}
+    )
+    out2 = simplify_lines(rd.from_pandas(df2), 0.0).to_pandas()
+    assert sorted(out2["seq"].tolist()) == [0, 2, 4]  # the corner at seq 2
+    # closed ring (first == last): degenerate chord handled, ring kept
+    th = np.linspace(0, 2 * np.pi, 17)
+    df3 = pd.DataFrame(
+        {"line_id": np.zeros(17, dtype=np.int64), "seq": np.arange(17),
+         "x": np.cos(th), "y": np.sin(th)}
+    )
+    out3 = simplify_lines(rd.from_pandas(df3), 0.05).to_pandas()
+    assert len(out3) >= 5
+    assert {0, 16} <= set(out3["seq"].tolist())
+
+
+def test_simplify_lines_partition_invariance_and_validation(ray_session):
+    from rayraster.spatial import simplify_lines
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {"line_id": rng.integers(0, 6, 120).astype(np.int64),
+         "seq": np.arange(120), "x": rng.normal(0, 5, 120),
+         "y": rng.normal(0, 5, 120)}
+    )
+    a = (
+        simplify_lines(rd.from_pandas(df).repartition(2), 2.0, num_partitions=4)
+        .to_pandas().sort_values(["line_id", "seq"]).reset_index(drop=True)
+    )
+    b = (
+        simplify_lines(rd.from_pandas(df).repartition(9), 2.0, num_partitions=16)
+        .to_pandas().sort_values(["line_id", "seq"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    with pytest.raises(ValueError, match="eps"):
+        simplify_lines(rd.from_pandas(df), -1.0)
+    dup = pd.DataFrame(
+        {"line_id": [1, 1], "seq": [3, 3], "x": [0.0, 1.0], "y": [0.0, 1.0]}
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        simplify_lines(rd.from_pandas(dup), 1.0).to_pandas()
+    with pytest.raises(Exception, match="max_line_len"):
+        simplify_lines(rd.from_pandas(df), 1.0, max_line_len=5).to_pandas()
