@@ -2463,6 +2463,33 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
             }
         )
 
+    # eleventh path ('alloc'): cost ALLOCATION from the SAME pits
+    # (rayraster/spatial.py cost_allocation) — the packed
+    # (dist << k) | src_idx state rides the identical min-plus Jacobi,
+    # and the twin relaxes the SAME packed integers (pk = 2^k built
+    # from an exact powers table, no log2 floats).  pr = the winning
+    # source's packed cell key — the cost-weighted Voronoi label
+    # ('cost' above already pins the distances themselves).
+    from rayraster.spatial import cost_allocation
+
+    falloc = cost_allocation(
+        fcells, fpits, rounds=_COST_ROUNDS, cost_col="sum_n_chars",
+        num_partitions=8, node_count=n_docs,
+    )
+
+    def tag_alloc(t: pa.Table) -> pa.Table:
+        ix = t["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = t["src_ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = t["src_iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ix * np.int64(1 << 32) + iy),
+                "pr": pa.array(sx * np.int64(1 << 32) + sy),
+                "path": pa.array(["alloc"] * t.num_rows, type=pa.string()),
+            }
+        )
+
     def tag_flow(t: pa.Table) -> pa.Table:
         ix = t["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
         iy = t["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2484,6 +2511,7 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
         facc.map_batches(tag_flow, batch_format="pyarrow"),
         fbasin.map_batches(tag_basin, batch_format="pyarrow"),
         fcost.map_batches(tag_cost, batch_format="pyarrow"),
+        falloc.map_batches(tag_alloc, batch_format="pyarrow"),
     )
 
 
@@ -2582,6 +2610,43 @@ def _sql_cost_ctes(rounds: int = _COST_ROUNDS) -> tuple[str, str]:
     return ",\n".join(ctes), f"fcd{rounds}"
 
 
+def _sql_alloc_ctes(rounds: int = _COST_ROUNDS) -> tuple[str, str]:
+    """Twin of the d8 'alloc' arm: the SAME min-plus Jacobi as
+    :func:`_sql_cost_ctes`, relaxing the packed state
+    ``dist * pk + src_idx`` where ``pk = 2^k`` is the smallest power
+    of two >= max(2, n_sources) — computed EXACTLY from a 21-row
+    powers table (no log2 floats) to match
+    :func:`rayraster.spatial.cost_allocation`'s
+    ``k = max(1, (n_src-1).bit_length())``.  Numeric MIN of packed
+    states IS the lexicographic (dist, src_idx) min; sources are
+    enumerated in sorted-packed-key order exactly like the engine's
+    ``np.unique``.  Requires :func:`_sql_cost_ctes`'s ``fcd0`` (the
+    pit set) to precede."""
+    powers = ", ".join(f"({1 << i})" for i in range(21))
+    ctes = [
+        """asrc AS MATERIALIZED (
+  SELECT ix, iy, ix * 4294967296 + iy AS skey,
+         ROW_NUMBER() OVER (ORDER BY ix * 4294967296 + iy) - 1 AS sidx
+  FROM fcd0)""",
+        f"""apk AS (
+  SELECT GREATEST(2, (SELECT MIN(p) FROM (VALUES {powers}) pw(p)
+                      WHERE p >= (SELECT COUNT(*) FROM asrc))) AS pk)""",
+        """ast0 AS MATERIALIZED (
+  SELECT ix, iy, CAST(sidx AS BIGINT) AS s FROM asrc)""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""ast{r} AS MATERIALIZED (
+  SELECT ix, iy, CAST(MIN(s) AS BIGINT) AS s FROM (
+    SELECT ix, iy, s FROM ast{r-1}
+    UNION ALL
+    SELECT p.ix, p.iy, n.s + p.v * k.pk AS s
+    FROM fpx p JOIN foffs o ON TRUE
+         JOIN ast{r-1} n ON n.ix = p.ix + o.dx AND n.iy = p.iy + o.dy
+         CROSS JOIN apk k
+  ) GROUP BY ix, iy)""")
+    return ",\n".join(ctes), f"ast{rounds}"
+
+
 def _sql_pagerank_twin(iterations: int = 3) -> str:
     """Chained-CTE twin of the fixed-point PageRank path: the SAME
     integer arithmetic per round (per-edge ``(r*85) // (100*d)``
@@ -2678,8 +2743,10 @@ bfsr AS (
     fl_ctes, fl_final = _sql_flow_ctes()
     fb_ctes, fb_final = _sql_basin_ctes()
     fc_ctes, fc_final = _sql_cost_ctes()
+    al_ctes, al_final = _sql_alloc_ctes()
     pr = (
-        f"{head},\n{kc_ctes},\n{fl_ctes},\n{fb_ctes},\n{fc_ctes},\n{bfs_ctes}\n"
+        f"{head},\n{kc_ctes},\n{fl_ctes},\n{fb_ctes},\n{fc_ctes},\n"
+        f"{al_ctes},\n{bfs_ctes}\n"
         f"SELECT node AS doc_id{tail}\n"
         "UNION ALL\n"
         "SELECT node AS doc_id, CAST(0 AS BIGINT) AS pr, 'kcore' AS path "
@@ -2696,7 +2763,12 @@ bfsr AS (
         f"FROM {fb_final}\n"
         "UNION ALL\n"
         "SELECT ix * 4294967296 + iy AS doc_id, dist AS pr, 'cost' AS path "
-        f"FROM {fc_final}"
+        f"FROM {fc_final}\n"
+        "UNION ALL\n"
+        "SELECT a.ix * 4294967296 + a.iy AS doc_id, s.skey AS pr, "
+        "'alloc' AS path "
+        f"FROM {al_final} a CROSS JOIN apk k "
+        "JOIN asrc s ON s.sidx = a.s % k.pk"
     )
     return f"""{pr}
 UNION ALL
