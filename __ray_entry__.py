@@ -1146,7 +1146,144 @@ def _q_raster_to_vector(sf_dir: str):
         )
 
     sg = pts.map_batches(seg_arm, batch_format="pyarrow", zero_copy_batch=True)
-    return sq.union(hx, rg, pm, ct, sg)
+
+    # seventh arm (grid='fstat'): focal MIN/MAX/RANGE over the
+    # num_cell raster (8-conn incl self — GRASS r.neighbors
+    # minimum/maximum/range; rayraster/spatial.py focal_stat:
+    # sentinel-masked extremes on the shared single-offset-kernel halo
+    # exchange).  The twin is the 8-neighbor window self-join.
+    from rayraster.spatial import focal_mode, focal_stat, grow_cells, zonal_mode
+
+    nc_px = reg_cells.select_columns(["ix", "iy", "num_cell"])
+    fst = focal_stat(nc_px, "num_cell", connectivity=8, num_partitions=8)
+
+    def vec_fstat(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"grid": pa.array(["fstat"] * t.num_rows, type=pa.string()),
+             "ix": t["ix"], "iy": t["iy"],
+             "px1": t["focal_min"].cast(pa.float64()),
+             "py1": t["focal_max"].cast(pa.float64()),
+             "px2": t["focal_range"].cast(pa.float64()),
+             "py2": t["n_present"].cast(pa.float64())}
+        )
+
+    fs = fst.map_batches(vec_fstat, batch_format="pyarrow")
+
+    # eighth arm (grid='fmode'): focal MAJORITY filter over a
+    # categorical code (num_cell % 5) — ties to the SMALLEST value
+    # (rayraster/spatial.py focal_mode: 9 constant-width vectorized
+    # passes over the row-sorted value matrix on the same halo
+    # exchange); the twin is the window self-join + ROW_NUMBER
+    # (count DESC, value ASC) pick.
+    def to_cat(t: pa.Table) -> pa.Table:
+        nc = t["num_cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"ix": t["ix"], "iy": t["iy"], "cat": pa.array(nc % 5)})
+
+    fmd = focal_mode(
+        nc_px.map_batches(to_cat, batch_format="pyarrow"),
+        "cat", connectivity=8, num_partitions=8,
+    )
+
+    def vec_fmode(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"grid": pa.array(["fmode"] * t.num_rows, type=pa.string()),
+             "ix": t["ix"], "iy": t["iy"],
+             "px1": t["mode"].cast(pa.float64()),
+             "py1": t["n_present"].cast(pa.float64()),
+             "px2": t["cat"].cast(pa.float64()),
+             "py2": pa.array(np.zeros(t.num_rows))}
+        )
+
+    fm = fmd.map_batches(vec_fmode, batch_format="pyarrow")
+
+    # ninth arm (grid='grow'): raster buffer / dilation that CREATES
+    # cells (GRASS r.grow — rayraster/spatial.py grow_cells): every
+    # cell within Chebyshev radius 2 of an occupied cell with dist =
+    # the truncated distance transform (map-only (2r+1)² fan-out +
+    # ONE grouped min); the twin is the same window fan-out in SQL.
+    grw = grow_cells(
+        reg_cells.select_columns(["ix", "iy"]), radius=2,
+        metric="chebyshev", num_partitions=8,
+    )
+
+    def vec_grow(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows))
+        return pa.table(
+            {"grid": pa.array(["grow"] * t.num_rows, type=pa.string()),
+             "ix": t["ix"], "iy": t["iy"],
+             "px1": t["dist"].cast(pa.float64()),
+             "py1": z, "px2": z, "py2": z}
+        )
+
+    gw = grw.map_batches(vec_grow, batch_format="pyarrow")
+
+    # tenth arm (grid='zmode'): zonal MAJORITY (ArcGIS Zonal Statistics
+    # MAJORITY / r.mode — rayraster/spatial.py zonal_mode): the most
+    # frequent num_cell value per labeled region, ties to the
+    # SMALLEST; one grouped (region, value) count + one region-keyed
+    # lexsort boundary pick, over the SAME CC labels as the 'region'
+    # arm (the twin extends the shared CC chain).
+    zm = zonal_mode(labeled, "num_cell", num_partitions=8)
+
+    def vec_zmode(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows))
+        return pa.table(
+            {"grid": pa.array(["zmode"] * t.num_rows, type=pa.string()),
+             "ix": t["region_ix"], "iy": t["region_iy"],
+             "px1": t["mode"].cast(pa.float64()),
+             "py1": t["mode_n"].cast(pa.float64()),
+             "px2": z, "py2": z}
+        )
+
+    zd = zm.map_batches(vec_zmode, batch_format="pyarrow")
+
+    # eleventh arm (grid='simplify'): Douglas-Peucker polyline
+    # simplification (rayraster/spatial.py simplify_lines) over a
+    # PLANTED analytic corpus: every doc_id ≡ 0 (mod 37) anchors a
+    # 7-vertex polyline at its floored geocode with EXACT-integer
+    # double coordinates (step 32.0 = a power of two) — even ids are
+    # exactly collinear (slope s = id%5−2: every cross product is an
+    # exact-FP zero, so eps=0 keeps ONLY the endpoints), odd ids ride
+    # the strictly convex parabola y = y0 + j²·32 (no 3 vertices
+    # collinear ⇒ eps=0 keeps ALL 7).  The oracle is the planted keep
+    # rule; the ENGINE runs the real distributed DP (one line-keyed
+    # exchange + vectorized stack DP).  ix=line_id, iy=seq.
+    def mk_lines(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        keep = did % 37 == 0
+        did, x, y = did[keep], np.floor(x[keep]), np.floor(y[keep])
+        j = np.arange(7, dtype=np.int64)
+        lid = np.repeat(did, 7)
+        jj = np.tile(j, len(did))
+        xs = np.repeat(x, 7) + jj.astype(np.float64) * 32.0
+        s = (did % 5 - 2).astype(np.float64)
+        y_lin = y[:, None] + j[None, :].astype(np.float64) * s[:, None] * 32.0
+        y_par = y[:, None] + (j * j)[None, :].astype(np.float64) * 32.0
+        ys = np.where((did % 2 == 0)[:, None], y_lin, y_par).reshape(-1)
+        return pa.table(
+            {"line_id": pa.array(lid), "seq": pa.array(jj),
+             "x": pa.array(xs), "y": pa.array(ys)}
+        )
+
+    from rayraster.spatial import simplify_lines
+
+    simp = simplify_lines(
+        pts.map_batches(mk_lines, batch_format="pyarrow", zero_copy_batch=True),
+        eps=0.0, num_partitions=8,
+    )
+
+    def vec_simp(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows))
+        return pa.table(
+            {"grid": pa.array(["simplify"] * t.num_rows, type=pa.string()),
+             "ix": t["line_id"], "iy": t["seq"],
+             "px1": t["x"], "py1": t["y"], "px2": z, "py2": z}
+        )
+
+    sp = simp.map_batches(vec_simp, batch_format="pyarrow")
+    return sq.union(hx, rg, pm, ct, sg, fs, fm, gw, zd, sp)
 
 
 # --------------------------------------------------------------------------
@@ -1482,7 +1619,43 @@ FROM ({ct})
 UNION ALL
 SELECT 'segment' AS grid, ix, iy,
        x0 AS px1, y0 AS py1, x1 AS px2, y1 AS py2
-FROM ({_sql_segment_cells()})"""
+FROM ({_sql_segment_cells()})
+UNION ALL
+SELECT * FROM (WITH cpx AS {px_rel}
+SELECT 'fstat' AS grid, p.ix, p.iy,
+       CAST(MIN(q.num_cell) AS DOUBLE) AS px1,
+       CAST(MAX(q.num_cell) AS DOUBLE) AS py1,
+       CAST(MAX(q.num_cell) - MIN(q.num_cell) AS DOUBLE) AS px2,
+       CAST(COUNT(*) AS DOUBLE) AS py2
+FROM cpx p JOIN cpx q
+  ON abs(q.ix - p.ix) <= 1 AND abs(q.iy - p.iy) <= 1
+GROUP BY p.ix, p.iy)
+UNION ALL
+SELECT * FROM (WITH cpx AS {px_rel},
+wc AS (SELECT p.ix, p.iy, q.num_cell % 5 AS v, COUNT(*) AS cnt
+       FROM cpx p JOIN cpx q
+         ON abs(q.ix - p.ix) <= 1 AND abs(q.iy - p.iy) <= 1
+       GROUP BY p.ix, p.iy, q.num_cell % 5),
+md AS (SELECT ix, iy, v, cnt,
+              ROW_NUMBER() OVER (PARTITION BY ix, iy
+                                 ORDER BY cnt DESC, v ASC) AS rn,
+              SUM(cnt) OVER (PARTITION BY ix, iy) AS np
+       FROM wc)
+SELECT 'fmode' AS grid, m.ix, m.iy,
+       CAST(m.v AS DOUBLE) AS px1, CAST(m.np AS DOUBLE) AS py1,
+       CAST(b.num_cell % 5 AS DOUBLE) AS px2, 0.0 AS py2
+FROM md m JOIN cpx b ON b.ix = m.ix AND b.iy = m.iy
+WHERE m.rn = 1)
+UNION ALL
+SELECT * FROM (WITH cpx AS {px_rel}
+SELECT 'grow' AS grid,
+       t.ix + dx.d AS ix, t.iy + dy.d AS iy,
+       CAST(MIN(greatest(abs(dx.d), abs(dy.d))) AS DOUBLE) AS px1,
+       0.0 AS py1, 0.0 AS px2, 0.0 AS py2
+FROM cpx t CROSS JOIN range(-2, 3) dx(d) CROSS JOIN range(-2, 3) dy(d)
+GROUP BY t.ix + dx.d, t.iy + dy.d)
+UNION ALL
+SELECT grid, ix, iy, px1, py1, px2, py2 FROM ({_sql_simplify_lines()})"""
 
 
 def _sql_segment_cells() -> str:
@@ -1502,6 +1675,30 @@ def _sql_segment_cells() -> str:
                     floor(min({_GY}) - {RES / 2.0!r}) AS y0
              FROM documents) b)"""
     return segment_cells_sql(seg_rel, RES, "s.gx0", "s.gy0")
+
+
+def _sql_simplify_lines() -> str:
+    """Twin of the r10 'simplify' arm: the PLANTED keep rule.  The
+    engine runs the real Douglas-Peucker
+    (:func:`rayraster.spatial.simplify_lines`); the corpus is
+    constructed so the DP answer is analytic — even line ids are
+    exactly collinear (every cross product an exact-FP zero because
+    all coordinates are exact-integer doubles with step 32 = 2^5), so
+    eps=0 keeps only seq 0 and 6; odd ids are strictly convex
+    (y = y0 + j²·32, no 3 vertices collinear), so eps=0 keeps all 7
+    vertices."""
+    return f"""WITH sl AS (
+  SELECT d.doc_id, t.j,
+         floor({_GX}) + t.j * 32.0 AS x,
+         CASE WHEN d.doc_id % 2 = 0
+              THEN floor({_GY}) + t.j * (d.doc_id % 5 - 2) * 32.0
+              ELSE floor({_GY}) + t.j * t.j * 32.0 END AS y
+  FROM documents d CROSS JOIN range(0, 7) t(j)
+  WHERE d.doc_id % 37 = 0
+)
+SELECT 'simplify' AS grid, doc_id AS ix, j AS iy,
+       x AS px1, y AS py1, 0.0 AS px2, 0.0 AS py2
+FROM sl WHERE doc_id % 2 = 1 OR j IN (0, 6)"""
 
 
 def _sql_region_label(rounds: int = 16) -> str:
@@ -1561,7 +1758,21 @@ SELECT 'perimeter' AS grid,
        CAST(COALESCE(b.adj2, 0) // 2 AS DOUBLE) AS px2,
        CAST(vv.val AS DOUBLE) AS py2
 FROM sz LEFT JOIN bcnt b ON b.lab = sz.lab
-        JOIN v vv ON vv.k = sz.lab""")
+        JOIN v vv ON vv.k = sz.lab
+UNION ALL
+SELECT 'zmode' AS grid,
+       CAST(z.lab // 4294967296 AS BIGINT) AS ix,
+       CAST(z.lab % 4294967296 AS BIGINT) AS iy,
+       CAST(z.v AS DOUBLE) AS px1,
+       CAST(z.cnt AS DOUBLE) AS py1,
+       0.0 AS px2, 0.0 AS py2
+FROM (SELECT r.lab, c.n AS v, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY r.lab
+                                ORDER BY COUNT(*) DESC, c.n ASC) AS rn
+      FROM {prev} r JOIN v ON v.k = r.k
+           JOIN c ON c.ix = v.ix AND c.iy = v.iy
+      GROUP BY r.lab, c.n) z
+WHERE z.rn = 1""")
     return "".join(parts)
 
 
