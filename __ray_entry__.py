@@ -2216,10 +2216,53 @@ def _q_exact_dedup(sf_dir: str):
             }
         )
 
+    # fifth path ('split'): leakage-safe train/val split
+    # (rayraster/dedup.py leakage_safe_split — Lee et al. 2021 §5's
+    # contamination guard) over the SAME doubled corpus.  Clusters =
+    # the corpus's analytic exact-dup pairs {i, i+OFFSET} (cluster =
+    # min = i; the CC engines that produce real cluster tables are
+    # d8-gated); the operator under test is the one LEFT bucket_join +
+    # map-only Knuth-hash side flag, whose arithmetic the twin
+    # reproduces exactly.  fp carries "split:cluster".
+    from rayraster.dedup import leakage_safe_split
+
+    def mk_clusters(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"node": pa.array(ids),
+             "cluster": pa.array(np.where(ids >= _DUP_OFFSET, ids - _DUP_OFFSET, ids))}
+        )
+
+    doubled_ids = _with_exact_copies(base).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+    sp = leakage_safe_split(
+        doubled_ids,
+        doubled_ids.map_batches(mk_clusters, batch_format="pyarrow"),
+        num_partitions=_parts_for(2 * n),
+    )
+
+    def tag_split(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        fp = pc.binary_join_element_wise(
+            t["split"].cast(pa.string()),
+            pc.cast(t["cluster"], pa.string()),
+            ":",
+        )
+        return pa.table(
+            {
+                "path": pa.array(["split"] * t.num_rows, type=pa.string()),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "fp": fp,
+            }
+        )
+
     return keep.map_batches(tag_exact, batch_format="pyarrow").union(
         rebuilt.map_batches(tag_para, batch_format="pyarrow"),
         bloom_rows,
         cleaned.map_batches(tag_spanrm, batch_format="pyarrow"),
+        sp.map_batches(tag_split, batch_format="pyarrow"),
     )
 
 
@@ -3951,13 +3994,47 @@ FROM (
 
 
 def _q_langid(sf_dir: str):
-    from rayraster.textops import LangIdStage
+    """Two path-tagged arms: 'lang' = the n-gram language-ID actor
+    stage; 'oov' = tokenizer-coverage audit
+    (rayraster/textops.py oov_rate — vocab broadcast ONCE via
+    ray.put, per batch one flat-token pass + one C++ is_in probe +
+    bincount, map-only) against the corpus's own top-500
+    vocab_topk vocabulary (trained in-pipeline: grouped sum + native
+    sort/limit; the 500-row result is the one driver materialization,
+    the broadcast-side contract).  oov rows pack "n_tokens:n_oov"
+    into lang_pred and oov_frac (one IEEE division) into lang_conf."""
+    from rayraster.textops import LangIdStage, oov_rate, vocab_topk
 
     ds = _docs(sf_dir)
     out = ds.map_batches(
         LangIdStage(), batch_format="pyarrow", zero_copy_batch=True, concurrency=2
     )
-    return out.select_columns(["doc_id", "lang_pred", "lang_conf"])
+    lang = out.select_columns(["doc_id", "lang_pred", "lang_conf"]).map_batches(
+        _tagger("lang"), batch_format="pyarrow"
+    )
+
+    n = ds.count()
+    vt = vocab_topk(ds, k=500, corpus_count=n)
+    vocab = [r["word"] for r in vt.take_all()]  # bounded: k rows
+    ov = oov_rate(ds, vocab)
+
+    def conform_oov(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        no = t["n_oov"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lp = pc.binary_join_element_wise(
+            pa.array(nt.astype("U"), type=pa.string()),
+            pa.array(no.astype("U"), type=pa.string()),
+            ":",
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang_pred": lp,
+             "lang_conf": t["oov_frac"],
+             "path": pa.array(["oov"] * t.num_rows, type=pa.string())}
+        )
+
+    return lang.union(ov.map_batches(conform_oov, batch_format="pyarrow"))
 
 
 def _q_fingerprint(sf_dir: str):
@@ -3978,13 +4055,25 @@ def _q_fingerprint(sf_dir: str):
     import pyarrow.compute as pc
 
     from rayraster.textops import (
+        PII_PATTERNS,
         _md5_hex,
         c4_line_filter,
         normalize_text,
+        pattern_counts,
         redact_pii,
     )
 
-    ds = _docs(sf_dir)
+    # PII/policy pattern AUDIT (rayraster/textops.py pattern_counts):
+    # per-doc occurrence counts of the named redaction patterns ride
+    # the same per-doc row set as extra int64 columns (keep_cols
+    # passes text through so the md5 stage chains map-only, no join);
+    # the twin counts with length(regexp_extract_all(...)) — same RE2.
+    ds = pattern_counts(
+        _docs(sf_dir),
+        {"email": PII_PATTERNS[0][0], "ip": PII_PATTERNS[1][0],
+         "phone": PII_PATTERNS[2][0]},
+        keep_cols=("text",),
+    )
 
     def fp(t: pa.Table) -> pa.Table:
         red = redact_pii(t)["text_redacted"]
@@ -4009,6 +4098,10 @@ def _q_fingerprint(sf_dir: str):
                 "redacted_md5": pa.array(_md5_hex(red), type=pa.string()),
                 "norm_md5": pa.array(_md5_hex(norm), type=pa.string()),
                 "c4_md5": pa.array(_md5_hex(c4), type=pa.string()),
+                "n_email": t["n_email"],
+                "n_ip": t["n_ip"],
+                "n_phone": t["n_phone"],
+                "n_total": t["n_total"],
             }
         )
 
@@ -4933,7 +5026,16 @@ spanrm AS (
   ) s ON d.doc_id = s.doc_id
 )
 SELECT * FROM exact UNION ALL SELECT * FROM para
-UNION ALL SELECT * FROM bloom UNION ALL SELECT * FROM spanrm"""
+UNION ALL SELECT * FROM bloom UNION ALL SELECT * FROM spanrm
+UNION ALL
+SELECT 'split' AS path, doc_id,
+       (CASE WHEN cl * 2654435761 % 1000003 < 100000
+             THEN 'val' ELSE 'train' END)
+       || ':' || CAST(cl AS VARCHAR) AS fp
+FROM (SELECT doc_id,
+             CASE WHEN doc_id >= {_DUP_OFFSET} THEN doc_id - {_DUP_OFFSET}
+                  ELSE doc_id END AS cl
+      FROM corpus)"""
 
 
 def _sql_minhash() -> str:
@@ -5068,12 +5170,42 @@ def _sql_langid() -> str:
     from rayraster.textops import langid_sql
 
     cte_cols, pred, conf = langid_sql("text")
+    # second arm 'oov': tokenizer-coverage audit against the corpus's
+    # own top-500 vocabulary — same \s+ RE2 tokenization, (count desc,
+    # word asc) tie-break, and n_oov/n_tokens IEEE division as
+    # textops.vocab_topk + textops.oov_rate.  Packs "n_tokens:n_oov"
+    # into lang_pred so both arms share one schema.
     return f"""WITH m AS (
   SELECT doc_id, {cte_cols}
   FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+  FROM documents
+),
+vocab AS (
+  SELECT word FROM toks WHERE word <> ''
+  GROUP BY word ORDER BY COUNT(*) DESC, word LIMIT 500
+),
+cov AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) FILTER (v.word IS NULL) AS BIGINT) AS n_oov
+  FROM toks t LEFT JOIN vocab v USING (word)
+  WHERE t.word <> ''
+  GROUP BY t.doc_id
 )
-SELECT doc_id, {pred} AS lang_pred, {conf} AS lang_conf
-FROM m"""
+SELECT doc_id, {pred} AS lang_pred, {conf} AS lang_conf, 'lang' AS path
+FROM m
+UNION ALL
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_tokens, 0) AS VARCHAR) || ':'
+         || CAST(COALESCE(c.n_oov, 0) AS VARCHAR) AS lang_pred,
+       CASE WHEN COALESCE(c.n_tokens, 0) > 0
+            THEN CAST(c.n_oov AS DOUBLE) / CAST(c.n_tokens AS DOUBLE)
+            ELSE 0.0 END AS lang_conf,
+       'oov' AS path
+FROM documents d LEFT JOIN cov c USING (doc_id)"""
 
 
 def _sql_fingerprint() -> str:
@@ -5099,8 +5231,22 @@ c4r AS (
 SELECT d.doc_id, md5(d.text) AS fingerprint,
        md5({pii_sql_expr('d.text')}) AS redacted_md5,
        md5({normalize_sql_expr('d.text')}) AS norm_md5,
-       md5(COALESCE(c.rebuilt, '')) AS c4_md5
+       md5(COALESCE(c.rebuilt, '')) AS c4_md5,
+       {_pattern_count_sql('d.text', 0)} AS n_email,
+       {_pattern_count_sql('d.text', 1)} AS n_ip,
+       {_pattern_count_sql('d.text', 2)} AS n_phone,
+       {_pattern_count_sql('d.text', 0)} + {_pattern_count_sql('d.text', 1)}
+         + {_pattern_count_sql('d.text', 2)} AS n_total
 FROM documents d LEFT JOIN c4r c USING (doc_id)"""
+
+
+def _pattern_count_sql(col: str, idx: int) -> str:
+    """Occurrence count of PII_PATTERNS[idx] — same RE2 pattern text
+    as the engine's count_substring_regex kernel."""
+    from rayraster.textops import PII_PATTERNS
+
+    p = PII_PATTERNS[idx][0].replace("'", "''")
+    return f"CAST(length(regexp_extract_all({col}, '{p}')) AS BIGINT)"
 
 
 def _sql_window() -> str:

@@ -109,6 +109,13 @@ def fnv1a64(strings) -> np.ndarray:
     out = np.empty(n, dtype=np.uint64)
     if n == 0:
         return out
+    # numpy 'S' storage drops trailing NUL bytes (b"a\x00" and b"a"
+    # store identically), so any NUL-bearing input must take the exact
+    # Arrow buffer path — one C-speed containment pass decides
+    if any("\x00" in s for s in strings):
+        import pyarrow as pa
+
+        return fnv1a64_arrow(pa.array(list(strings), type=pa.string()))
     # numpy 'S' dtype gives a zero-padded fixed-width byte matrix in C
     try:
         arr = np.asarray(strings, dtype="S")
@@ -140,9 +147,9 @@ def fnv1a64_arrow(col) -> np.ndarray:
     a call site never changes partition assignments or sketch bits.
 
     NOTE: utf-8 strings with embedded NUL bytes hash those bytes here
-    (exact), where the numpy-'S' path would stop at the first NUL; no
-    synthetic or web corpus column contains NULs, and the two paths
-    are never mixed for one column within a pipeline.
+    (exact); :func:`fnv1a64` detects NUL-bearing sequence input and
+    routes it through this path, so both entry points agree on every
+    string.
     """
     import pyarrow as pa
     import pyarrow.compute as pc

@@ -3006,6 +3006,7 @@ def pattern_counts(
     patterns: dict,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ):
     """Per-document occurrence counts of NAMED regex patterns — the
     audit pass before :func:`redact_pii` (how much PII is there, per
@@ -3016,8 +3017,10 @@ def pattern_counts(
     no Python in the hot path.
 
     Returns ``(doc_id, n_<name>…)`` plus ``n_total`` (sum across
-    patterns, exact int64).  NULL text counts 0 everywhere (the
-    module's NULL ≡ '' convention)."""
+    patterns, exact int64) and any ``keep_cols`` passed through
+    unchanged (so the audit can ride an existing per-doc row set
+    without a join).  NULL text counts 0 everywhere (the module's
+    NULL ≡ '' convention)."""
     if not patterns:
         raise ValueError("pattern_counts: need at least one named pattern")
     names = list(patterns)
@@ -3027,6 +3030,8 @@ def pattern_counts(
     def count(batch: pa.Table) -> pa.Table:
         t = pc.fill_null(batch[text_col], "")
         cols = {id_col: batch[id_col]}
+        for kc in keep_cols:
+            cols[kc] = batch[kc]
         total = np.zeros(batch.num_rows, dtype=np.int64)
         for name in names:
             c = pc.count_substring_regex(t, patterns[name]).cast(pa.int64())
