@@ -4217,13 +4217,101 @@ GROUP BY bin"""
 
 
 def _q_window(sf_dir: str):
+    """Three path-tagged arms under one oracle:
+
+    * 'tumbling' — the hourly tumbling-window aggregate (window id as
+      a pure ts function riding the one grouped exchange).
+    * 'zstats' — per-type moments via `rayraster/agg.py
+      grouped_variance` (algebraic (n, Σx, Σx²) on ONE grouped-sum
+      exchange; exact int64 sums over ×100 floor-quantized values,
+      fixed-order float finish — the module's bit-exact twin rule).
+      Row packing: window=n, min_value=mean, max_value=std, n=Σqv.
+    * 'zout' — the anomaly-score composition: per-event z-score
+      (qv − mean)/std from the broadcast stats (one `ray.put` small
+      side, never per batch) → top-10 |z| outliers per type via
+      `grouped_topk` (|z| desc, event_id tie).  Row packing:
+      window=rnk, min_value=z, max_value=qv, n=event_id."""
+    from rayraster.agg import grouped_topk, grouped_variance
+    from rayraster.join import broadcast_join
     from rayraster.windows import tumbling_aggregate
 
     ev = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
-    return tumbling_aggregate(ev).select_columns(
-        ["event_type", "window", "min_value", "max_value", "n"]
+    tumb = (
+        tumbling_aggregate(ev)
+        .select_columns(["event_type", "window", "min_value", "max_value", "n"])
+        .map_batches(_tagger("tumbling"), batch_format="pyarrow")
+    )
+
+    def quant(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "qv": pa.array(np.floor(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    q = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+    stats = pa.Table.from_pandas(
+        grouped_variance(q, ["event_type"], "qv", num_partitions=8).to_pandas()
+    )  # post-aggregation: one row per event_type
+
+    def zstats_rows() -> pa.Table:
+        return pa.table(
+            {
+                "event_type": stats["event_type"],
+                "window": stats["n"].cast(pa.int64()),
+                "min_value": stats["mean"],
+                "max_value": stats["std"],
+                "n": stats["sum_qv"].cast(pa.int64()),
+                "path": pa.array(["zstats"] * stats.num_rows, type=pa.string()),
+            }
+        )
+
+    joined = broadcast_join(
+        q, stats.select(["event_type", "mean", "std"]), keys=["event_type"]
+    )
+
+    def zmap(t: pa.Table) -> pa.Table:
+        qv = t["qv"].to_numpy(zero_copy_only=False)
+        z = (qv.astype(np.float64) - t["mean"].to_numpy(zero_copy_only=False)) / (
+            t["std"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "event_id": t["event_id"],
+                "qv": t["qv"],
+                "z": pa.array(z),
+                "az": pa.array(np.abs(z)),
+            }
+        )
+
+    top = grouped_topk(
+        joined.map_batches(zmap, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], "az", k=10, tie_col="event_id", num_partitions=8,
+    )
+
+    def zout_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window": t["rnk"].cast(pa.int64()),
+                "min_value": t["z"],
+                "max_value": t["qv"].cast(pa.float64()),
+                "n": t["event_id"].cast(pa.int64()),
+                "path": pa.array(["zout"] * t.num_rows, type=pa.string()),
+            }
+        )
+
+    return tumb.union(
+        rd.from_arrow(zstats_rows()),
+        top.map_batches(zout_rows, batch_format="pyarrow"),
     )
 
 
@@ -5250,10 +5338,50 @@ def _pattern_count_sql(col: str, idx: int) -> str:
 
 
 def _sql_window() -> str:
-    return """SELECT event_type, epoch_us(ts) // 3600000000 AS window,
+    # 'zstats'/'zout' twins reproduce grouped_variance's exact rule:
+    # BIGINT (n, Σx, Σx²) over ×100 floor-quantized values, then the
+    # fixed-order float expressions mean = Σx/n, var = (n·Σx²−Σx²̲)/n²,
+    # std = sqrt(var), z = (qv − mean)/std — identical op order to the
+    # engine, so every float is bit-equal.
+    return """WITH q AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100e0) AS BIGINT) AS qv
+  FROM events
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qv) AS BIGINT) AS sx, CAST(SUM(qv*qv) AS BIGINT) AS sx2
+  FROM q GROUP BY event_type
+),
+st AS (
+  SELECT event_type, n, sx,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         sqrt(CAST(n*sx2 - sx*sx AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std
+  FROM s
+),
+z AS (
+  SELECT q.event_id, q.event_type, q.qv,
+         (CAST(q.qv AS DOUBLE) - st.mean) / st.std AS z
+  FROM q JOIN st USING (event_type)
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY abs(z) DESC, event_id
+  ) AS BIGINT) AS rnk FROM z
+)
+SELECT event_type, epoch_us(ts) // 3600000000 AS window,
        min(value) AS min_value, max(value) AS max_value,
-       COUNT(*) AS n
-FROM events GROUP BY 1, 2"""
+       COUNT(*) AS n, 'tumbling' AS path
+FROM events GROUP BY 1, 2
+UNION ALL
+SELECT event_type, n AS window, mean AS min_value, std AS max_value,
+       sx AS n, 'zstats' AS path
+FROM st
+UNION ALL
+SELECT event_type, rnk AS window, z AS min_value,
+       CAST(qv AS DOUBLE) AS max_value, event_id AS n, 'zout' AS path
+FROM r WHERE rnk <= 10"""
 
 
 def _sql_join() -> str:
