@@ -3830,7 +3830,44 @@ def _q_vocab_topk(sf_dir: str):
         _gate_cache_path("textrank_edges_v1", sf_dir, n_docs),
         k=20, corpus_count=n_docs, num_partitions=_parts_for(n_docs),
     ).map_batches(textrank_shape, batch_format="pyarrow")
-    return vocab.union(tfidf, search, bm25, colloc, textrank)
+
+    # 'phrase' — exact phrase retrieval over the PERSISTED positional
+    # index (textops.build_positional_index: every (word, doc, pos)
+    # occurrence hash-bucketed by word; textops.phrase_search reads
+    # ONLY the phrase terms' bucket dirs, anchor algebra p−i, one
+    # doc-keyed exchange).  n = n_hits (overlapping matches count).
+    from rayraster.textops import build_positional_index, phrase_search
+
+    pidx_path = _gate_cache_path("pos_index_v1", sf_dir, n_docs)
+    rebuild = True
+    try:
+        mm = _read_bucket_manifest(pidx_path)
+        rebuild = not (mm["key"] == "word" and mm.get("hash") == _BUCKET_HASH)
+    except Exception:
+        pass
+    if rebuild:
+        build_positional_index(_docs(sf_dir), pidx_path,
+                               num_buckets=_parts_for(n_docs))
+    _PHRASE = ["hash", "join"]
+
+    def phrase_shape(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "word": pa.array([" ".join(_PHRASE)] * m, type=pa.string()),
+                "n": t["n_hits"],
+                "df": pa.array(np.zeros(m, dtype=np.int64)),
+                "score": pa.array(np.zeros(m, dtype=np.float64)),
+                "rnk": pa.array(np.zeros(m, dtype=np.int64)),
+                "path": pa.array(["phrase"] * m, type=pa.string()),
+            }
+        )
+
+    phrase = phrase_search(pidx_path, _PHRASE).map_batches(
+        phrase_shape, batch_format="pyarrow"
+    )
+    return vocab.union(tfidf, search, bm25, colloc, textrank, phrase)
 
 
 def _sql_vocab_topk() -> str:
@@ -3928,7 +3965,26 @@ FROM (
   FROM scc QUALIFY rnk <= 50
 )
 UNION ALL
-""" + _sql_textrank_arm()
+""" + _sql_textrank_arm() + r"""
+UNION ALL
+SELECT doc_id, 'hash join' AS word, n_hits AS n, CAST(0 AS BIGINT) AS df,
+       CAST(0.0 AS DOUBLE) AS score, CAST(0 AS BIGINT) AS rnk,
+       'phrase' AS path
+FROM (
+  -- twin of textops.phrase_search: 0-based positions over NONEMPTY
+  -- tokens (same filter as the engine's _split_words_flat), adjacent
+  -- positional self-join; overlapping matches each count
+  WITH tp AS (
+    SELECT doc_id, unnest(ws) AS word, unnest(range(0, len(ws))) AS p
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+          FROM documents)
+  )
+  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM tp a JOIN tp b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.word = 'hash' AND b.word = 'join'
+  GROUP BY a.doc_id
+)"""
 
 
 def _sql_textrank_arm(iterations: int = 3, scale: int = 1_000_000,
