@@ -4970,10 +4970,19 @@ def _q_approx_distinct(sf_dir: str):
       same hottest pair satisfies the mergeable-summary guarantee
       ``exact − err ≤ counter ≤ exact`` with ``err ≤ N/(k+1)`` — a
       theorem on EVERY merge schedule, so the flag is deterministic
-      even though MG counters themselves are schedule-dependent."""
+      even though MG counters themselves are schedule-dependent;
+    * ``hs_union_ok`` / ``hs_inter_ok`` / ``hs_jacc_ok`` — the HLL
+      SET-OPERATION probe (`rayraster/sketch.py build_hll_grouped` +
+      `hll_set_estimates`, the pre-join cardinality check): per-type
+      user-set HLL vs the global fold — union within 5% of the exact
+      global distinct, inclusion–exclusion intersection within 5% of
+      the type's exact distinct (a subset's intersection estimate
+      reduces to its own estimate — the identity the flag pins),
+      jaccard within 0.1 of the exact ratio.  Register-max folds are
+      schedule-invariant, so all three flags are deterministic."""
     from rayraster.agg import distinct, grouped_topk, hash_aggregate
-    from rayraster.sketch import build_cms, build_mg, cms_estimate
-    from rayraster.sketch import approx_distinct
+    from rayraster.sketch import HLL, build_cms, build_mg, cms_estimate
+    from rayraster.sketch import approx_distinct, build_hll_grouped, hll_set_estimates
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
     est = approx_distinct(ev, "user_id", group_col="event_type").to_pandas()
@@ -5031,6 +5040,20 @@ def _q_approx_distinct(sf_dir: str):
                        "cms_ok": cms_ok, "mg_ok": mg_ok}),
         on="event_type",
     ).sort_values("event_type")
+
+    # HLL set-operation probe: per-type user HLLs in one pass, global
+    # = register-max fold of the per-type sketches (lossless)
+    hlls = build_hll_grouped(ev, "user_id", "event_type")
+    glob = HLL(12)
+    for h in hlls.values():
+        glob.merge(HLL.from_bytes(h.to_bytes(), 12))
+    n_global = distinct(ev, ["user_id"]).count()
+    hs_union_ok, hs_inter_ok, hs_jacc_ok = [], [], []
+    for et, nx in zip(m.event_type, m.n_users_exact):
+        est = hll_set_estimates(hlls[str(et)], glob)
+        hs_union_ok.append(abs(est["union"] - n_global) / n_global <= 0.05)
+        hs_inter_ok.append(abs(est["intersection"] - nx) / nx <= 0.05)
+        hs_jacc_ok.append(abs(est["jaccard"] - nx / n_global) <= 0.1)
     return pa.table(
         {
             "event_type": pa.array(m.event_type, type=pa.string()),
@@ -5039,6 +5062,9 @@ def _q_approx_distinct(sf_dir: str):
             "top_user_n": pa.array(m.top_user_n, type=pa.int64()),
             "cms_ok": pa.array(m.cms_ok.to_numpy(), type=pa.bool_()),
             "mg_ok": pa.array(m.mg_ok.to_numpy(), type=pa.bool_()),
+            "hs_union_ok": pa.array(hs_union_ok, type=pa.bool_()),
+            "hs_inter_ok": pa.array(hs_inter_ok, type=pa.bool_()),
+            "hs_jacc_ok": pa.array(hs_jacc_ok, type=pa.bool_()),
         }
     )
 
@@ -5052,7 +5078,8 @@ SELECT e.event_type, COUNT(DISTINCT e.user_id) AS n_users_exact,
        TRUE AS hll_ok,
        (SELECT CAST(MAX(n_ev) AS BIGINT) FROM pc
         WHERE pc.event_type = e.event_type) AS top_user_n,
-       TRUE AS cms_ok, TRUE AS mg_ok
+       TRUE AS cms_ok, TRUE AS mg_ok,
+       TRUE AS hs_union_ok, TRUE AS hs_inter_ok, TRUE AS hs_jacc_ok
 FROM events e GROUP BY 1"""
 
 

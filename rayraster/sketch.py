@@ -113,21 +113,22 @@ class HLL:
         return cls(p, np.frombuffer(b, dtype=np.uint8))
 
 
-def approx_distinct(
-    ds: Dataset, col: str, group_col: str | None = None, p: int = 12
-) -> pa.Table:
-    """Approximate distinct count of ``col`` (optionally per
-    ``group_col``): one serialized sketch per (batch[, group]) → tiny
-    final merge on the driver.  Returns an arrow table
-    ``[group_col,] approx_distinct``."""
+def build_hll_grouped(
+    ds: Dataset, col: str, group_col: str, p: int = 12
+) -> dict:
+    """Per-group HyperLogLogs of ``col`` in ONE pass: one serialized
+    sketch per (batch, group) → the tiny blob stream register-max
+    folded on the driver (m bytes per (batch, group) — never rows).
+    Returns ``{str(group_key): HLL}``; null group keys fold under
+    ``"None"``.  Each returned sketch is bit-identical across
+    partitionings/cluster sizes (register max is commutative,
+    associative, idempotent), so anything derived from it —
+    :func:`approx_distinct` estimates, :func:`hll_set_estimates`
+    union/intersection/jaccard probes between groups — is
+    deterministic too."""
 
     def sketch_batch(t: pa.Table) -> pa.Table:
         vals = t[col].to_pylist()
-        if group_col is None:
-            hll = HLL(p).add_values(vals)
-            return pa.table(
-                {"_g": pa.array(["_all"]), "sketch": pa.array([hll.to_bytes()], type=pa.binary())}
-            )
         if t.num_rows == 0:
             return pa.table(
                 {"_g": pa.array([], type=pa.string()),
@@ -171,13 +172,35 @@ def approx_distinct(
                 merged[g].merge(HLL.from_bytes(b, p))
             else:
                 merged[g] = HLL.from_bytes(b, p)
-    names = sorted(merged)
-    out = {
-        "approx_distinct": pa.array([merged[g].estimate() for g in names]),
-    }
+    return merged
+
+
+def approx_distinct(
+    ds: Dataset, col: str, group_col: str | None = None, p: int = 12
+) -> pa.Table:
+    """Approximate distinct count of ``col`` (optionally per
+    ``group_col``): one serialized sketch per (batch[, group]) → tiny
+    final merge on the driver (grouped path =
+    :func:`build_hll_grouped`).  Returns an arrow table
+    ``[group_col,] approx_distinct``."""
     if group_col is not None:
-        return pa.table({group_col: pa.array(names), **out})
-    return pa.table(out)
+        merged = build_hll_grouped(ds, col, group_col, p)
+        names = sorted(merged)
+        return pa.table(
+            {group_col: pa.array(names),
+             "approx_distinct": pa.array([merged[g].estimate() for g in names])}
+        )
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        hll = HLL(p).add_values(t[col].to_pylist())
+        return pa.table({"sketch": pa.array([hll.to_bytes()], type=pa.binary())})
+
+    rows = ds.map_batches(sketch_batch, batch_format="pyarrow", zero_copy_batch=True)
+    folded = HLL(p)
+    for t in rows.iter_batches(batch_format="pyarrow", batch_size=4096):
+        for b in t["sketch"].to_pylist():
+            folded.merge(HLL.from_bytes(b, p))
+    return pa.table({"approx_distinct": pa.array([folded.estimate()])})
 
 
 _NULL_INT_SENTINEL = -(2**63)  # int64 min — nulls hash as this value
