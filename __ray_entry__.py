@@ -4482,10 +4482,20 @@ def _q_sliding_window(sf_dir: str):
       rayraster/windows.py rolling_time_aggregate), then reduced to
       the gate's (event_type, hour) min/max/n shape.  Values are
       floor-quantized to int64 thousandths so the rolling sums are
-      order-independent and match the SQL twin bit-for-bit."""
+      order-independent and match the SQL twin bit-for-bit.
+    * path='ewma' — closed-form dyadic-decay EWMA
+      (rayraster/windows.py grouped_ewma_dyadic: β=1/2, exact int64
+      shifted cumsums, ONE IEEE division — the oracle-exact twin of
+      the pandas-kernel grouped_ewma) over each type's first 32
+      events (grouped_topk ascending on ts, event_id tie).  Row
+      packing: window=rank, min_value=ewma, max_value=qv, n=event_id."""
     import pyarrow.compute as pc
-    from rayraster.agg import hash_aggregate
-    from rayraster.windows import rolling_time_aggregate, sliding_aggregate
+    from rayraster.agg import grouped_topk, hash_aggregate
+    from rayraster.windows import (
+        grouped_ewma_dyadic,
+        rolling_time_aggregate,
+        sliding_aggregate,
+    )
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
     slid = (
@@ -4536,7 +4546,42 @@ def _q_sliding_window(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    return slid.union(roll)
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        qv = pc.cast(pc.floor(t["value"]), pa.int64())
+        return pa.table(
+            {"event_type": t["event_type"], "event_id": t["event_id"],
+             "us": us, "qv": qv}
+        )
+
+    sel = grouped_topk(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["ts", "event_type", "event_id", "value"],
+        ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], "us", k=32, descending=False, tie_col="event_id",
+        num_partitions=8,
+    )
+    ew = grouped_ewma_dyadic(
+        sel, "event_type", ["us", "event_id"], "qv", s=1, num_partitions=4
+    )
+
+    def ewma_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window": t["rnk"].cast(pa.int64()),
+                "min_value": t["ewma"],
+                "max_value": t["qv"].cast(pa.float64()),
+                "n": t["event_id"].cast(pa.int64()),
+                "path": pa.array(["ewma"] * t.num_rows, type=pa.string()),
+            }
+        )
+
+    return slid.union(
+        roll, ew.map_batches(ewma_rows, batch_format="pyarrow")
+    )
 
 
 def _sql_sliding_window() -> str:
@@ -4563,7 +4608,28 @@ FROM fan GROUP BY 1, 2
 UNION ALL
 SELECT event_type, "window", CAST(min(rs) AS DOUBLE) AS min_value,
        CAST(max(rs) AS DOUBLE) AS max_value, COUNT(*) AS n, 'rolling' AS path
-FROM rolled GROUP BY 1, 2"""
+FROM rolled GROUP BY 1, 2
+UNION ALL
+SELECT event_type, rn AS "window",
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS min_value,
+       CAST(qv AS DOUBLE) AS max_value, event_id AS n, 'ewma' AS path
+FROM (
+  -- dyadic-decay EWMA twin: β=1/2 ⇒ y = Σ v_j·2^j / (2^(i+1) − 1),
+  -- exact BIGINT shifted cumsums, one division — same arithmetic as
+  -- windows.grouped_ewma_dyadic
+  WITH esel AS (
+    SELECT event_type, event_id, CAST(floor(value) AS BIGINT) AS qv,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+           ) AS BIGINT) AS rn
+    FROM events QUALIFY rn <= 32
+  )
+  SELECT event_type, event_id, qv, rn,
+         CAST(SUM(qv * (CAST(1 AS BIGINT) << (rn - 1))) OVER (
+           PARTITION BY event_type ORDER BY rn) AS BIGINT) AS num,
+         (CAST(1 AS BIGINT) << rn) - 1 AS den
+  FROM esel
+)"""
 
 
 def _q_grouped_quantiles(sf_dir: str):

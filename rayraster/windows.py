@@ -496,6 +496,101 @@ def grouped_ewma(
     return parted.groupby("_part").map_groups(solve, batch_format="pyarrow")
 
 
+def grouped_ewma_dyadic(
+    ds: Dataset,
+    key_col: str,
+    order_cols,
+    value_col: str,
+    s: int = 1,
+    out_col: str = "ewma",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key EWMA (``adjust=True``) with a DYADIC decay ``β = 2^−s``
+    — the module's oracle-exact twin of :func:`grouped_ewma`
+    (pandas' iterative kernel divides at every step, so its floats
+    can't be reproduced in SQL; a dyadic β admits a CLOSED FORM whose
+    only float op is one final division):
+
+        y_i = Σ_j v_j·β^(i−j) / Σ_j β^(i−j)
+            = Σ_j v_j·2^(s·j) / Σ_j 2^(s·j)     (scale 2^(s·i) out)
+
+    Numerator = within-key cumulative sum of ``v << (s·j)``,
+    denominator = the geometric sum ``((1 << s·(i+1)) − 1)/(2^s − 1)``
+    — both EXACT int64 (overflow-guarded: per-key position and |v|
+    must satisfy ``s·(L−1) + bits(v) + ceil(log2 L) ≤ 62``; past that
+    the dropped weights are < 2^−60, split the series upstream), so
+    the output is ONE IEEE division the SQL twin reproduces
+    bit-for-bit (``CAST(num AS BIGINT << shifts) / den``).  Matches
+    pandas ``ewm(alpha=1−β, adjust=True).mean()`` to float tolerance
+    (pytest-pinned).
+
+    ONE hash-partition shuffle on the key (`agg._part_of`, so string
+    keys work), one vectorized lexsort + segment-cumsum pass per
+    partition — never a task per key.  Integer values only; NULLs
+    rejected.  Appends ``out_col`` and the 0-based within-key
+    position ``{out_col}_pos``."""
+    from rayraster.agg import _part_of
+
+    if s < 1:
+        raise ValueError(f"s must be >= 1, got {s}")
+    order_cols = list(order_cols)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_part", pa.array(_part_of(batch, [key_col], num_partitions))
+        )
+
+    def solve(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["_part"])
+        n = part.num_rows
+        if n == 0:
+            return part.append_column(out_col, pa.array([], type=pa.float64())) \
+                       .append_column(f"{out_col}_pos", pa.array([], type=pa.int64()))
+        vc = part[value_col]
+        if not pa.types.is_integer(vc.type):
+            raise ValueError("grouped_ewma_dyadic: integer values only "
+                             "(quantize floats upstream — the twin rule)")
+        if vc.null_count:
+            raise ValueError("grouped_ewma_dyadic: NULL values unsupported")
+        part = part.sort_by([(key_col, "ascending")]
+                            + [(c, "ascending") for c in order_cols])
+        v = part[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = part[key_col]
+        if pa.types.is_integer(keys.type):
+            kv = keys.to_numpy(zero_copy_only=False)
+            new = np.ones(n, dtype=bool)
+            new[1:] = kv[1:] != kv[:-1]
+        else:
+            import pyarrow.compute as pc
+
+            codes = pc.dictionary_encode(
+                keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+            ).indices.to_numpy(zero_copy_only=False)
+            new = np.ones(n, dtype=bool)
+            new[1:] = codes[1:] != codes[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        starts = np.maximum.accumulate(np.where(new, idx, 0))
+        j = idx - starts  # 0-based within-key position
+        L = int(j.max()) + 1
+        vmax = int(np.abs(v).max()) if n else 0
+        if s * (L - 1) + max(vmax, 1).bit_length() + (L - 1).bit_length() > 62:
+            raise ValueError(
+                f"grouped_ewma_dyadic: int64 overflow at key length {L} "
+                f"with |v|max {vmax} (s={s}) — split the series upstream"
+            )
+        term = v << (s * j)
+        run = np.cumsum(term)
+        seg0 = run - term  # exclusive prefix sum
+        num = run - seg0[starts]  # within-key inclusive cumsum, exact
+        den = ((np.int64(1) << (s * (j + 1))) - 1) // ((1 << s) - 1)
+        ew = num.astype(np.float64) / den.astype(np.float64)
+        return part.append_column(out_col, pa.array(ew)) \
+                   .append_column(f"{out_col}_pos", pa.array(j))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return parted.groupby("_part").map_groups(solve, batch_format="pyarrow")
+
+
 def funnel_match(
     ds: Dataset,
     stages: list[str],

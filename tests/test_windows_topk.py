@@ -570,6 +570,69 @@ def test_grouped_ewma_validation_and_alpha_one(ray_session):
     assert np.allclose(out.ewma, [1.0, 2.0, 3.0])
 
 
+def test_grouped_ewma_dyadic_matches_pandas_and_is_partition_invariant(ray_session):
+    from rayraster.windows import grouped_ewma_dyadic
+
+    rng = np.random.default_rng(23)
+    n = 5_000
+    keys = rng.integers(0, 29, n)
+    ts = rng.permutation(n).astype(np.int64)
+    vals = rng.integers(-200, 200, n).astype(np.int64)
+    # bound per-key length so the dyadic closed form stays exact int64
+    df = pd.DataFrame({"k": keys, "ts": ts, "v": vals})
+    df["pos"] = df.sort_values(["k", "ts"]).groupby("k").cumcount().reindex(df.index)
+    df = df[df.pos < 40].drop(columns=["pos"]).reset_index(drop=True)
+    t = pa.Table.from_pandas(df)
+
+    outs = []
+    for parts in (3, 8):
+        got = (
+            grouped_ewma_dyadic(rd.from_arrow(t).repartition(6), "k", ["ts"],
+                                "v", s=1, num_partitions=parts)
+            .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+        )
+        outs.append(got)
+    # partition invariance is BIT-exact (pure int arithmetic + one division)
+    assert (outs[0].ewma.to_numpy() == outs[1].ewma.to_numpy()).all()
+    assert (outs[0].ewma_pos.to_numpy() == outs[1].ewma_pos.to_numpy()).all()
+
+    want = df.sort_values(["k", "ts"]).reset_index(drop=True)
+    want["ewma"] = want.groupby("k")["v"].transform(
+        lambda s: s.ewm(alpha=0.5, adjust=True).mean()
+    )
+    assert np.allclose(outs[0].ewma.to_numpy(), want.ewma.to_numpy(),
+                       rtol=1e-12, atol=1e-12)
+
+
+def test_grouped_ewma_dyadic_string_keys_and_guards(ray_session):
+    from rayraster.windows import grouped_ewma_dyadic
+
+    t = pa.table({
+        "k": pa.array(["a", "b", "a", "b", "a"], type=pa.string()),
+        "ts": pa.array([1, 1, 2, 2, 3], type=pa.int64()),
+        "v": pa.array([4, 10, 8, 2, 1], type=pa.int64()),
+    })
+    out = (grouped_ewma_dyadic(rd.from_arrow(t), "k", ["ts"], "v",
+                               num_partitions=2)
+           .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True))
+    # hand values: a: 4, (4+2*8)/3, (4+2*8+4*1)/7 ; b: 10, (10+2*2)/3
+    assert np.allclose(out[out.k == "a"].ewma.to_numpy(),
+                       [4.0, 20.0 / 3.0, 24.0 / 7.0])
+    assert np.allclose(out[out.k == "b"].ewma.to_numpy(), [10.0, 14.0 / 3.0])
+    assert list(out[out.k == "a"].ewma_pos) == [0, 1, 2]
+
+    big = pa.table({"k": pa.array([1] * 70, type=pa.int64()),
+                    "ts": pa.array(range(70), type=pa.int64()),
+                    "v": pa.array([1] * 70, type=pa.int64())})
+    with pytest.raises(Exception, match="overflow"):
+        grouped_ewma_dyadic(rd.from_arrow(big), "k", ["ts"], "v").to_pandas()
+    flt = pa.table({"k": pa.array([1], type=pa.int64()),
+                    "ts": pa.array([1], type=pa.int64()),
+                    "v": pa.array([1.5])})
+    with pytest.raises(Exception, match="integer"):
+        grouped_ewma_dyadic(rd.from_arrow(flt), "k", ["ts"], "v").to_pandas()
+
+
 def _funnel_brute(df, stages):
     """Reference first-touch funnel in plain pandas (per-user loop)."""
     rows = []
