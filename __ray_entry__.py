@@ -4735,8 +4735,14 @@ def _q_session_windows(sf_dir: str):
     windows; 'funnel' = the first-touch view→click→purchase conversion
     funnel (`windows.funnel_match`) coerced onto the same column set
     (funnel_start→session_start, n_stages→n, max_step_us→max_gap_us) —
-    both event-log analytics over one ordered-log exchange shape."""
-    from rayraster.windows import funnel_match, session_windows
+    both event-log analytics over one ordered-log exchange shape;
+    'cohort' = the daily cohort-retention matrix
+    (`windows.cohort_retention`: distinct (user, day) pairs → MIN-day
+    cohorts → one bucket_join → grouped count; rate = ONE IEEE
+    division of exact counts).  Row packing: user_id=cohort,
+    session_start=offset, n=n_active, min_value=rate,
+    max_value/max_gap_us=cohort_size."""
+    from rayraster.windows import cohort_retention, funnel_match, session_windows
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
     sess = (
@@ -4759,7 +4765,25 @@ def _q_session_windows(sf_dir: str):
         )
         .map_batches(_tagger("funnel"), batch_format="pyarrow")
     )
-    return sess.union(fun)
+
+    def cohort_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["cohort"].cast(pa.int64()),
+                "session_start": t["offset"].cast(pa.int64()),
+                "n": t["n_active"].cast(pa.int64()),
+                "min_value": t["rate"],
+                "max_value": t["cohort_size"].cast(pa.float64()),
+                "max_gap_us": t["cohort_size"].cast(pa.int64()),
+                "path": pa.array(["cohort"] * t.num_rows, type=pa.string()),
+            }
+        )
+
+    coh = cohort_retention(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"]),
+        num_partitions=8,
+    ).map_batches(cohort_rows, batch_format="pyarrow")
+    return sess.union(fun, coh)
 
 
 def _sql_session_windows() -> str:
@@ -4807,7 +4831,26 @@ SELECT * FROM (
   LEFT JOIN v1 ON s1.user_id=v1.user_id
   LEFT JOIN v2 ON s1.user_id=v2.user_id
   LEFT JOIN v3 ON s1.user_id=v3.user_id
-)"""
+)
+UNION ALL
+SELECT ro.cohort AS user_id, ro."offset" AS session_start,
+       ro.n_active AS n,
+       CAST(ro.n_active AS DOUBLE) / CAST(sz.n0 AS DOUBLE) AS min_value,
+       CAST(sz.n0 AS DOUBLE) AS max_value,
+       sz.n0 AS max_gap_us, 'cohort' AS path
+FROM (
+  WITH dp AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS period
+              FROM events),
+  ch AS (SELECT user_id, min(period) AS cohort FROM dp GROUP BY user_id)
+  SELECT ch.cohort, dp.period - ch.cohort AS "offset",
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM dp JOIN ch USING (user_id) GROUP BY 1, 2
+) ro JOIN (
+  WITH dp2 AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS period
+               FROM events),
+  ch2 AS (SELECT user_id, min(period) AS cohort FROM dp2 GROUP BY user_id)
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n0 FROM ch2 GROUP BY cohort
+) sz ON ro.cohort = sz.cohort"""
 
 
 def _q_bucket_join(sf_dir: str):

@@ -591,6 +591,97 @@ def grouped_ewma_dyadic(
     return parted.groupby("_part").map_groups(solve, batch_format="pyarrow")
 
 
+def cohort_retention(
+    ds: Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_us: int = 86_400_000_000,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Cohort retention matrix — the product-analytics staple next to
+    sessions (:func:`session_windows`) and funnels
+    (:func:`funnel_match`): users are grouped into COHORTS by their
+    first-seen period (``epoch_us(ts) // period_us``), and for each
+    ``(cohort, offset)`` the output counts how many of that cohort's
+    users were active ``offset`` periods later, plus the retention
+    rate ``n_active / cohort_size`` (one IEEE division of exact
+    int64 counts — SQL-twin-exact).  No reference analog (SEraster is
+    pure rasterization, R/main.R); part of the mandated event-stream
+    analytics family.
+
+    Distributed plan (everything exact-integer, nothing driver-side
+    except the tiny per-cohort size table):
+
+    1. map-only ``(user, period)`` projection;
+    2. ONE hash-partitioned distinct (a user active 50× in a day
+       counts once);
+    3. cohort per user = grouped MIN period (one more exchange over
+       distinct pairs);
+    4. ONE ``bucket_join`` pairs ⨝ cohorts → ``offset = period −
+       cohort``;
+    5. grouped count by ``(cohort, offset)``;
+    6. cohort sizes = the ``offset == 0`` rows (bounded by #cohorts),
+       broadcast once via ``ray.put`` for the rate column.
+
+    Returns ``(cohort, offset, n_active, rate, cohort_size)`` rows."""
+    import pyarrow.compute as pc
+
+    from rayraster.agg import distinct, hash_aggregate
+    from rayraster.join import broadcast_join, bucket_join
+
+    if period_us <= 0:
+        raise ValueError(f"period_us must be positive, got {period_us}")
+
+    def proj(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        period = pc.divide(us, pa.scalar(period_us, type=pa.int64()))
+        return pa.table({user_col: t[user_col], "period": period})
+
+    dp = distinct(
+        ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True),
+        [user_col, "period"],
+        num_partitions=num_partitions,
+    )
+    cohorts = hash_aggregate(
+        dp, [user_col], min_cols=["period"], count=False,
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: pa.table({user_col: t[user_col], "cohort": t["min_period"]}),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(
+        dp, cohorts, left_key=user_col, right_key=user_col,
+        num_buckets=num_partitions,
+        left_schema=pa.schema([(user_col, pa.int64()), ("period", pa.int64())]),
+        right_schema=pa.schema([(user_col, pa.int64()), ("cohort", pa.int64())]),
+    )
+
+    def off(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cohort": t["cohort"],
+             "offset": pc.subtract(t["period"], t["cohort"])}
+        )
+
+    ret = hash_aggregate(
+        joined.map_batches(off, batch_format="pyarrow", zero_copy_batch=True),
+        ["cohort", "offset"], count=True, count_name="n_active",
+        num_partitions=num_partitions,
+    )
+    sizes = ret.filter(lambda r: r["offset"] == 0).map_batches(
+        lambda t: pa.table({"cohort": t["cohort"], "cohort_size": t["n_active"]}),
+        batch_format="pyarrow",
+    )
+    sizes_tbl = pa.Table.from_pandas(sizes.to_pandas())  # bounded: #cohorts rows
+    out = broadcast_join(ret, sizes_tbl, keys=["cohort"])
+
+    def rate(t: pa.Table) -> pa.Table:
+        na = t["n_active"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cs = t["cohort_size"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("rate", pa.array(na / cs))
+
+    return out.map_batches(rate, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def funnel_match(
     ds: Dataset,
     stages: list[str],

@@ -633,6 +633,52 @@ def test_grouped_ewma_dyadic_string_keys_and_guards(ray_session):
         grouped_ewma_dyadic(rd.from_arrow(flt), "k", ["ts"], "v").to_pandas()
 
 
+def test_cohort_retention_matches_brute_and_partition_invariant(ray_session):
+    from rayraster.windows import cohort_retention
+
+    rng = np.random.default_rng(31)
+    n = 4_000
+    P = 1_000_000  # 1-second periods over a ~20-period span
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 60, n),
+            "ts": pd.to_datetime(rng.integers(0, 20 * P, n), unit="us"),
+        }
+    )
+    # brute: distinct (user, period) → min-period cohorts → counts
+    b = df.assign(period=(df.ts.astype(np.int64) // 1000) // P)
+    dp = b[["user_id", "period"]].drop_duplicates()
+    ch = dp.groupby("user_id").period.min().rename("cohort")
+    j = dp.join(ch, on="user_id")
+    j["offset"] = j.period - j.cohort
+    want = (
+        j.groupby(["cohort", "offset"]).size().rename("n_active").reset_index()
+    )
+    sizes = want[want.offset == 0].set_index("cohort").n_active
+    want["rate"] = want.n_active / want.cohort.map(sizes)
+
+    outs = []
+    for parts in (3, 8):
+        got = (
+            cohort_retention(
+                rd.from_pandas(df).repartition(5), period_us=P,
+                num_partitions=parts,
+            )
+            .to_pandas().sort_values(["cohort", "offset"]).reset_index(drop=True)
+        )
+        outs.append(got)
+    for got in outs:
+        w = want.sort_values(["cohort", "offset"]).reset_index(drop=True)
+        assert (got.cohort.to_numpy() == w.cohort.to_numpy()).all()
+        assert (got.offset.to_numpy() == w.offset.to_numpy()).all()
+        assert (got.n_active.to_numpy() == w.n_active.to_numpy()).all()
+        assert (got.rate.to_numpy() == w.rate.to_numpy()).all()  # one IEEE div
+        assert (got.cohort_size.to_numpy()
+                == w.cohort.map(sizes).to_numpy()).all()
+    with pytest.raises(ValueError, match="period_us"):
+        cohort_retention(rd.from_pandas(df), period_us=0)
+
+
 def _funnel_brute(df, stages):
     """Reference first-touch funnel in plain pandas (per-user loop)."""
     rows = []
