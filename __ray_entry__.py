@@ -2233,9 +2233,11 @@ def _q_exact_dedup(sf_dir: str):
              "cluster": pa.array(np.where(ids >= _DUP_OFFSET, ids - _DUP_OFFSET, ids))}
         )
 
-    doubled_ids = _with_exact_copies(base).map_batches(
-        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
-    )
+    # ids-only job: prune to the doc_id column AT THE READ (doubling
+    # the text corpus here would pay two full-text scans for nothing);
+    # _docs also sizes the block count — a raw read's SplitBlocks(64)
+    # default doubles this gate's wall time (see _docs docstring)
+    doubled_ids = _with_exact_copies(_docs(sf_dir, columns=("doc_id",)))
     sp = leakage_safe_split(
         doubled_ids,
         doubled_ids.map_batches(mk_clusters, batch_format="pyarrow"),
