@@ -1941,22 +1941,113 @@ def _q_ivf_topk(sf_dir: str):
         }
     )
 
+    # fourth/fifth paths ('pq'/'sq'): the compressed-ANN tiers over a
+    # PLANTED LOSSLESS corpus (the repo's planted-analytic-gate
+    # pattern).  48 int vectors on the exact 0..255 grid with per-dim
+    # 0/255 anchors ⇒ SQ reconstruction is EXACT; ≤256 distinct
+    # subvectors per subspace ⇒ the PQ codebooks COVER the corpus and
+    # ADC distances are exact — so both searches rank by TRUE cosine
+    # and the twin reproduces the ranking from the same integers
+    # (dot/sqrt(ssq), distinct cosines, id tie-break).  The real
+    # distributed train → encode → search stages all execute.
+    from rayraster.similarity import (
+        pq_encode,
+        pq_search,
+        pq_train,
+        sq_encode,
+        sq_search,
+        sq_train,
+    )
+
+    P = _planted_grid_vectors()
+    pds = rd.from_arrow(
+        pa.table(
+            {"vec_id": pa.array(np.arange(len(P), dtype=np.int64)),
+             "embedding": pa.array(list(P.astype(np.float64)))}
+        )
+    ).repartition(4)
+    pqids = np.arange(3, dtype=np.int64)
+    pQ = P[:3].astype(np.float64)
+
+    books = pq_train(pds, m=4, n_centroids=256)
+    pq_rows = pq_search(pq_encode(pds, books), books, pqids, pQ, k=10)
+    ranges = sq_train(pds, normalize=False)
+    sq_rows = sq_search(sq_encode(pds, ranges), ranges, pqids, pQ, k=10)
+
+    def conform(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"qid": t["qid"], "vec_id": t["vec_id"],
+             "rank": t["rank"].cast(pa.int64())}
+        )
+
     return pa.concat_tables(
         [
             _tag_table(inmem, "inmem"),
             _tag_table(persisted, "persisted"),
             _tag_table(text_rows, "text"),
+            _tag_table(conform(pq_rows), "pq"),
+            _tag_table(conform(sq_rows), "sq"),
         ]
     )
 
 
+def _planted_grid_vectors(n: int = 48, d: int = 16) -> np.ndarray:
+    """The s2 'pq'/'sq' planted corpus: ids 0/1 are alternating 0/255
+    anchors (every dim attains the range ends, so the SQ grid step is
+    exactly 1); ids ≥ 2 are ``1 + (id·37 + j·91 + id·j·13) % 254`` —
+    all coordinates EXACT integers on the 0..255 grid, all 48 vectors
+    distinct, smallest nonzero top-12 cosine gap ≈ 1e-3 (so both
+    engines' float rankings agree; exact-duplicate ties cannot occur).
+    The SQL twin rebuilds the same integers with the same
+    expression."""
+    ids = np.arange(n, dtype=np.int64)[:, None]
+    j = np.arange(d, dtype=np.int64)[None, :]
+    v = 1 + (ids * 37 + j * 91 + ids * j * 13) % 254
+    v[0] = np.where(np.arange(d) % 2 == 1, 255, 0)
+    v[1] = np.where(np.arange(d) % 2 == 0, 255, 0)
+    return v
+
+
 def _sql_ivf_topk() -> str:
     base = _sql_ivf_base()
+    planted = _sql_planted_cosine_rank()
     return f"""SELECT qid, vec_id, "rank", 'inmem' AS path FROM ({base})
 UNION ALL
 SELECT qid, vec_id, "rank", 'persisted' AS path FROM ({base})
 UNION ALL
-SELECT qid, vec_id, "rank", 'text' AS path FROM ({_sql_text_embed_topk()})"""
+SELECT qid, vec_id, "rank", 'text' AS path FROM ({_sql_text_embed_topk()})
+UNION ALL
+SELECT qid, vec_id, "rank", 'pq' AS path FROM ({planted})
+UNION ALL
+SELECT qid, vec_id, "rank", 'sq' AS path FROM ({planted})"""
+
+
+def _sql_planted_cosine_rank(n: int = 48, d: int = 16, k: int = 10) -> str:
+    """Twin of the s2 'pq'/'sq' arms: rebuild `_planted_grid_vectors`'
+    integers, rank by exact-integer cosine (dot/sqrt(ssq) — the query
+    norm divides out per partition) with the id tie-break.  Lossless
+    PQ (codebook covers the corpus) and lossless SQ (on-grid
+    reconstruction) both rank by TRUE cosine, so the twin holds for
+    both engines."""
+    return f"""WITH pl AS MATERIALIZED (
+  SELECT id, j,
+         CASE WHEN id = 0 THEN CASE WHEN j % 2 = 1 THEN 255 ELSE 0 END
+              WHEN id = 1 THEN CASE WHEN j % 2 = 0 THEN 255 ELSE 0 END
+              ELSE 1 + (id*37 + j*91 + id*j*13) % 254 END AS v
+  FROM range(0, {n}) t(id) CROSS JOIN range(0, {d}) u(j)
+),
+pssq AS (SELECT id, CAST(SUM(v*v) AS BIGINT) AS s FROM pl GROUP BY id),
+pdots AS (
+  SELECT q.id AS qid, c.id AS vec_id, CAST(SUM(q.v * c.v) AS BIGINT) AS dp
+  FROM pl q JOIN pl c USING (j)
+  WHERE q.id < 3 GROUP BY 1, 2
+)
+SELECT qid, vec_id, CAST(ROW_NUMBER() OVER (
+    PARTITION BY qid
+    ORDER BY CAST(dp AS DOUBLE) / sqrt(CAST(s AS DOUBLE)) DESC, vec_id
+  ) AS BIGINT) AS "rank"
+FROM pdots JOIN pssq ON pssq.id = pdots.vec_id
+QUALIFY "rank" <= {k}"""
 
 
 def _sql_text_embed_topk(dim: int = 64, k: int = 10, n_queries: int = 3) -> str:
