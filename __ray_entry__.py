@@ -750,14 +750,31 @@ def _q_spatial_knn(sf_dir: str):
       EVENTS, all pairs within ε=20 — left rows visit their own ε-tile,
       right rows the 3×3 halo, ONE hash shuffle, recall provably
       total.  n_ix carries the matched event_id, dist2 the exact d².
+    * path='ripley' — Ripley's K/L over the doc points
+      (`rayraster.pointpattern.ripley_k`): one ε-pair exchange at
+      max(radii) serves all radii; ix=radius index, iy=ordered pair
+      count, rank=n, dist2=K(r), n_ix=2^20-quantized L(r).
+    * path='ce' — censored Clark–Evans nearest-neighbor index
+      (`rayraster.pointpattern.nn_censored`): pair exchange → grouped
+      MIN → int64 quantized sum; iy=covered points, rank=n,
+      dist2=R index, n_ix=qsum.
+    * path='vario' — empirical semivariogram of pixel densities
+      (`rayraster.pointpattern.semivariogram`): num_cell rides the
+      pair exchange as payload; ix=distance bin, iy=pair count,
+      dist2=γ(h), n_ix=exact int64 Σ(Δv)².
     """
     from rayraster.cluster import radius_join
     from rayraster.geo import geocode_id
     from rayraster.knn import spatial_knn_self
+    from rayraster.pointpattern import (
+        extent_stats, nn_censored, ripley_k, semivariogram,
+    )
 
-    pts = load_doc_points(sf_dir, columns=("doc_id",))
+    pts = load_doc_points(sf_dir, columns=("doc_id",)).materialize()
     cells, _ = _rf(pts, RES, [], fun="sum", with_meta=False)
-    cells = cells.select_columns(["ix", "iy", "cx", "cy"]).materialize()
+    cells = cells.select_columns(
+        ["ix", "iy", "cx", "cy", "num_cell"]
+    ).materialize()
     knn = spatial_knn_self(cells, k=4, tile_size=3.0 * RES).select_columns(
         ["ix", "iy", "rank", "dist2", "n_ix", "n_iy"]
     ).map_batches(_tagger("knn"), batch_format="pyarrow")
@@ -797,10 +814,76 @@ def _q_spatial_knn(sf_dir: str):
             }
         )
 
-    return knn.union(pairs.map_batches(rj_shape, batch_format="pyarrow"))
+    # point-pattern arms: ONE extent pass shared by ripley + ce; each
+    # heavy stage (pair exchange, grouped min, bin folds) is
+    # distributed — the driver assembles only len(radii)/len(bins)
+    # result rows.
+    ext = extent_stats(pts, "x", "y")
+    rip = ripley_k(
+        pts, _RIPLEY_RADII, id_col="doc_id", num_partitions=8, extent=ext
+    )
+    nr = rip.num_rows
+    zeros = np.zeros(nr, dtype=np.int64)
+    rip_t = pa.table(
+        {
+            "ix": rip["ri"],
+            "iy": rip["npairs"],
+            "rank": rip["n"],
+            "dist2": rip["k_est"],
+            "n_ix": rip["l_q"],
+            "n_iy": pa.array(zeros),
+            "path": pa.array(["ripley"] * nr, type=pa.string()),
+        }
+    )
+    ce = nn_censored(
+        pts, _RJ_EPS, id_col="doc_id", num_partitions=8, extent=ext
+    )
+    ce_t = pa.table(
+        {
+            "ix": pa.array([0], type=pa.int64()),
+            "iy": pa.array([ce["ncov"]], type=pa.int64()),
+            "rank": pa.array([ce["n"]], type=pa.int64()),
+            "dist2": pa.array([ce["r_index"]], type=pa.float64()),
+            "n_ix": pa.array([ce["qsum"]], type=pa.int64()),
+            "n_iy": pa.array([0], type=pa.int64()),
+            "path": pa.array(["ce"], type=pa.string()),
+        }
+    )
+
+    def vario_pts(t: pa.Table) -> pa.Table:
+        ix = t["ix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t["iy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"id": pa.array(ix * np.int64(1 << 32) + iy),
+             "x": t["cx"], "y": t["cy"],
+             "v": t["num_cell"].cast(pa.int64())}
+        )
+
+    vg = semivariogram(
+        cells.map_batches(vario_pts, batch_format="pyarrow"),
+        "v", _VARIO_BIN, _VARIO_MAX, num_partitions=8,
+    )
+    nv = vg.num_rows
+    vg_t = pa.table(
+        {
+            "ix": vg["h"],
+            "iy": vg["cnt"],
+            "rank": pa.array(np.zeros(nv, dtype=np.int64)),
+            "dist2": vg["gamma"],
+            "n_ix": vg["sqsum"],
+            "n_iy": pa.array(np.zeros(nv, dtype=np.int64)),
+            "path": pa.array(["vario"] * nv, type=pa.string()),
+        }
+    )
+
+    pp = rd.from_arrow(pa.concat_tables([rip_t, ce_t, vg_t]))
+    return knn.union(pairs.map_batches(rj_shape, batch_format="pyarrow"), pp)
 
 
 _RJ_EPS = 20.0
+_RIPLEY_RADII = (10.0, 20.0, 30.0, 40.0)
+_VARIO_BIN = 30.0
+_VARIO_MAX = 75.0
 
 
 _STRAT_RATES = {"en": 200000, "de": 50000}
@@ -1532,19 +1615,85 @@ def _sql_knn(sphere: bool = True) -> str:
     if not sphere:
         # r8b: path-tagged — 'knn' (tiled self-kNN) + 'radius'
         # (cross-table ST_DWithin vs geocoded events; same fixed-order
-        # d² expression as rayraster/cluster.py radius_join)
+        # d² expression as rayraster/cluster.py radius_join) +
+        # point-pattern statistics twins ('ripley'/'ce'/'vario' —
+        # rayraster/pointpattern.py: integer pair counts + quantized
+        # sums, single-expression floats; radius/eps constants in
+        # e-notation so DuckDB's DOUBLE parser sees them)
         evx, evy = geocode_sql("event_id")
         d2r = "(c.cx - e.x) * (c.cx - e.x) + (c.cy - e.y) * (c.cy - e.y)"
+        from rayraster.spatial import _flit
+
+        rr_vals = ", ".join(
+            f"(CAST({i} AS BIGINT), {_flit(r * r)})"
+            for i, r in enumerate(_RIPLEY_RADII)
+        )
+        d2v = ("(a.cx - b.cx) * (a.cx - b.cx) "
+               "+ (a.cy - b.cy) * (a.cy - b.cy)")
         return f"""WITH {_PTS}, {_bb(RES)}, {_square_cells(RES)},
 c AS (
   SELECT ix, iy, cx, cy FROM cells2 GROUP BY ix, iy, cx, cy
 ),
-ev AS (SELECT event_id, {evx} AS x, {evy} AS y FROM events)
+ev AS (SELECT event_id, {evx} AS x, {evy} AS y FROM events),
+ext AS (SELECT CAST(COUNT(*) AS BIGINT) AS ni,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               (max(x) - min(x)) * (max(y) - min(y)) AS area FROM pts),
+pp AS MATERIALIZED (
+  SELECT a.doc_id AS ia,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a JOIN pts b ON a.doc_id <> b.doc_id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {_flit(_RIPLEY_RADII[-1] ** 2)}
+),
+rr AS (SELECT * FROM (VALUES {rr_vals}) AS t(ri, r2)),
+ripk AS (
+  SELECT ri, npairs,
+         (ext.area * CAST(npairs AS DOUBLE)) / (ext.n * (ext.n - 1.0)) AS k
+  FROM (SELECT rr.ri, COUNT(pp.d2) AS npairs
+        FROM rr LEFT JOIN pp ON pp.d2 <= rr.r2 GROUP BY rr.ri), ext
+),
+nn AS (SELECT ia, min(d2) AS m FROM pp
+       WHERE d2 <= {_flit(_RJ_EPS * _RJ_EPS)} GROUP BY ia),
+ceq AS (SELECT CAST(COUNT(*) AS BIGINT) AS ncov,
+               CAST(SUM(CAST(floor(1048576.0 * sqrt(m)) AS BIGINT))
+                    AS BIGINT) AS qsum
+        FROM nn),
+cv AS (SELECT ix, iy, min(cx) AS cx, min(cy) AS cy,
+              CAST(COUNT(*) AS BIGINT) AS v
+       FROM cells2 GROUP BY ix, iy),
+vg AS (
+  SELECT CAST(hf AS BIGINT) AS h, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(sq) AS BIGINT) AS sqsum
+  FROM (SELECT floor(sqrt({d2v}) / {_flit(_VARIO_BIN)}) AS hf,
+               (a.v - b.v) * (a.v - b.v) AS sq
+        FROM cv a JOIN cv b ON NOT (a.ix = b.ix AND a.iy = b.iy)
+        WHERE {d2v} <= {_flit(_VARIO_MAX * _VARIO_MAX)})
+  GROUP BY hf
+)
 {planar.format(head="'knn' AS path, ")}
 UNION ALL
 SELECT 'radius' AS path, c.ix, c.iy, CAST(0 AS BIGINT) AS "rank",
        {d2r} AS dist2, e.event_id AS n_ix, CAST(0 AS BIGINT) AS n_iy
-FROM c JOIN ev e ON {d2r} <= {_RJ_EPS * _RJ_EPS!r}"""
+FROM c JOIN ev e ON {d2r} <= {_RJ_EPS * _RJ_EPS!r}
+UNION ALL
+SELECT 'ripley' AS path, ripk.ri AS ix, CAST(ripk.npairs AS BIGINT) AS iy,
+       ext.ni AS "rank", ripk.k AS dist2,
+       CAST(floor(1048576.0 * sqrt(ripk.k / {_flit(math.pi)})) AS BIGINT)
+         AS n_ix,
+       CAST(0 AS BIGINT) AS n_iy
+FROM ripk, ext
+UNION ALL
+SELECT 'ce' AS path, CAST(0 AS BIGINT) AS ix, ceq.ncov AS iy,
+       ext.ni AS "rank",
+       ((CAST(ceq.qsum AS DOUBLE) / 1048576.0) / CAST(ceq.ncov AS DOUBLE))
+         / (0.5 * sqrt(ext.area / ext.n)) AS dist2,
+       ceq.qsum AS n_ix, CAST(0 AS BIGINT) AS n_iy
+FROM ceq, ext
+UNION ALL
+SELECT 'vario' AS path, vg.h AS ix, vg.cnt AS iy, CAST(0 AS BIGINT) AS "rank",
+       CAST(vg.sqsum AS DOUBLE) / (2.0 * CAST(vg.cnt AS DOUBLE)) AS dist2,
+       vg.sqsum AS n_ix, CAST(0 AS BIGINT) AS n_iy
+FROM vg"""
     d2s = (
         "(a.ax - b.ax) * (a.ax - b.ax) + (a.ay - b.ay) * (a.ay - b.ay) "
         "+ (a.az - b.az) * (a.az - b.az)"

@@ -48,11 +48,17 @@ def radius_pairs(
     query_chunk: int = 1024,
     time_col: str | None = None,
     eps_t: float | None = None,
+    payload_cols: "tuple[str, ...] | list[str]" = (),
 ) -> Dataset:
     """All ordered pairs (a, b, d2) with ``d2 = (xa−xb)² + (ya−yb)²
     ≤ eps²`` and ``a ≠ b`` — each unordered neighbor pair appears in
     BOTH directions (so a grouped count on ``a`` is the neighbor
     count).
+
+    ``payload_cols``: numeric point attributes carried through the
+    tile exchange and emitted per pair as ``a_<col>`` / ``b_<col>``
+    (both endpoints' values) — the semivariogram / co-occurrence
+    shape, avoiding two value joins back onto the pair table.
 
     One shuffle: every point goes to its own ε-tile as a query and to
     the 3×3 tile halo as a reference; within a co-located tile group
@@ -78,6 +84,8 @@ def radius_pairs(
         tx = np.floor(x / eps).astype(np.int64)
         ty = np.floor(y / eps).astype(np.int64)
         base = pa.table({"_id": ids, "_x": x, "_y": y})
+        for c in payload_cols:
+            base = base.append_column(f"_pv_{c}", t[c].combine_chunks())
         if temporal:
             tv = t[time_col].to_numpy(zero_copy_only=False).astype(np.float64)
             tt = np.floor(tv / eps_t).astype(np.int64)
@@ -114,12 +122,14 @@ def radius_pairs(
     solve = _make_tile_solve(
         eps2, query_chunk, exclude_same_id=True,
         eps_t=eps_t if temporal else None,
+        payload_names=tuple(payload_cols),
     )
     return fanned.groupby("_part").map_groups(solve, batch_format="pyarrow")
 
 
 def _make_tile_solve(eps2: float, query_chunk: int, exclude_same_id: bool,
-                     eps_t: float | None = None):
+                     eps_t: float | None = None,
+                     payload_names: "tuple[str, ...]" = ()):
     """Per-co-located-tile-group radius scan shared by
     :func:`radius_pairs` (self, same-id pairs excluded) and
     :func:`radius_join` (cross-table, ids may legitimately collide):
@@ -140,8 +150,14 @@ def _make_tile_solve(eps2: float, query_chunk: int, exclude_same_id: bool,
         y = part["_y"].to_numpy(zero_copy_only=False)
         ids = part["_id"].to_numpy(zero_copy_only=False)
         tv = part["_t"].to_numpy(zero_copy_only=False) if temporal else None
+        pv = {
+            c: part[f"_pv_{c}"].to_numpy(zero_copy_only=False)
+            for c in payload_names
+        }
         n = len(tx)
         o_a, o_b, o_d2 = [], [], []
+        o_pa = {c: [] for c in payload_names}
+        o_pb = {c: [] for c in payload_names}
         brk = np.ones(n, dtype=bool)
         if n:
             brk[1:] = (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])
@@ -174,15 +190,23 @@ def _make_tile_solve(eps2: float, query_chunk: int, exclude_same_id: bool,
                     o_a.append(ids[qc][qi])
                     o_b.append(rid[ri])
                     o_d2.append(d2[qi, ri])
+                    for c in payload_names:
+                        o_pa[c].append(pv[c][qc][qi])
+                        o_pb[c].append(pv[c][r][ri])
         if not o_a:
-            return pa.table(
-                {"a": pa.array([], _I64), "b": pa.array([], _I64),
-                 "d2": pa.array([], pa.float64())}
-            )
-        return pa.table(
-            {"a": np.concatenate(o_a), "b": np.concatenate(o_b),
-             "d2": np.concatenate(o_d2)}
-        )
+            cols: dict = {"a": pa.array([], _I64), "b": pa.array([], _I64),
+                          "d2": pa.array([], pa.float64())}
+            for c in payload_names:
+                empty = pv[c][:0]
+                cols[f"a_{c}"] = pa.array(empty)
+                cols[f"b_{c}"] = pa.array(empty)
+            return pa.table(cols)
+        cols = {"a": np.concatenate(o_a), "b": np.concatenate(o_b),
+                "d2": np.concatenate(o_d2)}
+        for c in payload_names:
+            cols[f"a_{c}"] = np.concatenate(o_pa[c])
+            cols[f"b_{c}"] = np.concatenate(o_pb[c])
+        return pa.table(cols)
 
     return solve
 
