@@ -762,12 +762,16 @@ def _q_spatial_knn(sf_dir: str):
       (`rayraster.pointpattern.semivariogram`): num_cell rides the
       pair exchange as payload; ix=distance bin, iy=pair count,
       dist2=γ(h), n_ix=exact int64 Σ(Δv)².
+    * path='crossk' — bivariate cross-K between docs and events
+      (`rayraster.pointpattern.cross_k`, sided ε-tile exchange via
+      `radius_join`): ix=radius index, iy=cross-pair count, rank=n₂,
+      dist2=K₁₂(r), n_ix=quantized L, n_iy=n₁.
     """
     from rayraster.cluster import radius_join
     from rayraster.geo import geocode_id
     from rayraster.knn import spatial_knn_self
     from rayraster.pointpattern import (
-        extent_stats, nn_censored, ripley_k, semivariogram,
+        cross_k, extent_stats, nn_censored, ripley_k, semivariogram,
     )
 
     pts = load_doc_points(sf_dir, columns=("doc_id",)).materialize()
@@ -793,10 +797,10 @@ def _q_spatial_knn(sf_dir: str):
         return pa.table({"id": t["event_id"], "x": pa.array(x), "y": pa.array(y)})
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    evp = ev.map_batches(ev_pts, batch_format="pyarrow").materialize()
     pairs = radius_join(
         cells.map_batches(cell_pts, batch_format="pyarrow"),
-        ev.map_batches(ev_pts, batch_format="pyarrow"),
-        _RJ_EPS, num_partitions=8,
+        evp, _RJ_EPS, num_partitions=8,
     )
 
     def rj_shape(t: pa.Table) -> pa.Table:
@@ -876,7 +880,24 @@ def _q_spatial_knn(sf_dir: str):
         }
     )
 
-    pp = rd.from_arrow(pa.concat_tables([rip_t, ce_t, vg_t]))
+    ck = cross_k(
+        pts, evp, _RIPLEY_RADII, left_id="doc_id", right_id="id",
+        num_partitions=8, extent=ext, n_right=int(evp.count()),
+    )
+    nc = ck.num_rows
+    ck_t = pa.table(
+        {
+            "ix": ck["ri"],
+            "iy": ck["npairs"],
+            "rank": ck["n2"],
+            "dist2": ck["k_est"],
+            "n_ix": ck["l_q"],
+            "n_iy": ck["n1"],
+            "path": pa.array(["crossk"] * nc, type=pa.string()),
+        }
+    )
+
+    pp = rd.from_arrow(pa.concat_tables([rip_t, ce_t, vg_t, ck_t]))
     return knn.union(pairs.map_batches(rj_shape, batch_format="pyarrow"), pp)
 
 
@@ -1658,6 +1679,20 @@ ceq AS (SELECT CAST(COUNT(*) AS BIGINT) AS ncov,
                CAST(SUM(CAST(floor(1048576.0 * sqrt(m)) AS BIGINT))
                     AS BIGINT) AS qsum
         FROM nn),
+ex2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2i,
+               CAST(COUNT(*) AS DOUBLE) AS n2 FROM events),
+cpp AS MATERIALIZED (
+  SELECT (p.x - e.x) * (p.x - e.x) + (p.y - e.y) * (p.y - e.y) AS d2
+  FROM pts p JOIN ev e
+    ON (p.x - e.x) * (p.x - e.x) + (p.y - e.y) * (p.y - e.y)
+       <= {_flit(_RIPLEY_RADII[-1] ** 2)}
+),
+ckk AS (
+  SELECT ri, npairs,
+         (ext.area * CAST(npairs AS DOUBLE)) / (ext.n * ex2.n2) AS k
+  FROM (SELECT rr.ri, COUNT(cpp.d2) AS npairs
+        FROM rr LEFT JOIN cpp ON cpp.d2 <= rr.r2 GROUP BY rr.ri), ext, ex2
+),
 cv AS (SELECT ix, iy, min(cx) AS cx, min(cy) AS cy,
               CAST(COUNT(*) AS BIGINT) AS v
        FROM cells2 GROUP BY ix, iy),
@@ -1693,7 +1728,14 @@ UNION ALL
 SELECT 'vario' AS path, vg.h AS ix, vg.cnt AS iy, CAST(0 AS BIGINT) AS "rank",
        CAST(vg.sqsum AS DOUBLE) / (2.0 * CAST(vg.cnt AS DOUBLE)) AS dist2,
        vg.sqsum AS n_ix, CAST(0 AS BIGINT) AS n_iy
-FROM vg"""
+FROM vg
+UNION ALL
+SELECT 'crossk' AS path, ckk.ri AS ix, CAST(ckk.npairs AS BIGINT) AS iy,
+       ex2.n2i AS "rank", ckk.k AS dist2,
+       CAST(floor(1048576.0 * sqrt(ckk.k / {_flit(math.pi)})) AS BIGINT)
+         AS n_ix,
+       ext.ni AS n_iy
+FROM ckk, ext, ex2"""
     d2s = (
         "(a.ax - b.ax) * (a.ax - b.ax) + (a.ay - b.ay) * (a.ay - b.ay) "
         "+ (a.az - b.az) * (a.az - b.az)"

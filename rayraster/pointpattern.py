@@ -95,13 +95,39 @@ def ripley_k(
     if extent is None:
         extent = extent_stats(pts, x_col, y_col)
     n, area = extent["n"], extent["area"]
-    r2 = np.asarray([r * r for r in radii])
     nr = len(radii)
 
     pairs = radius_pairs(
         pts, radii[-1], id_col=id_col, x_col=x_col, y_col=y_col,
         num_partitions=num_partitions, query_chunk=query_chunk,
     )
+    npairs = _radii_counts(pairs, radii, num_partitions)
+
+    denom = float(n) * (float(n) - 1.0)
+    k_est = np.array([(area * float(c)) / denom for c in npairs])
+    l_q = np.array(
+        [math.floor(float(NN_SCALE) * math.sqrt(k / math.pi)) for k in k_est],
+        dtype=np.int64,
+    )
+    return pa.table(
+        {
+            "ri": pa.array(np.arange(nr, dtype=np.int64)),
+            "radius": pa.array(np.asarray(radii)),
+            "npairs": pa.array(npairs),
+            "n": pa.array(np.full(nr, n, dtype=np.int64)),
+            "k_est": pa.array(k_est),
+            "l_q": pa.array(l_q),
+        }
+    )
+
+
+def _radii_counts(
+    pairs: Dataset, radii: "list[float]", num_partitions: int
+) -> np.ndarray:
+    """Fold a (…, d2) pair stream to int64 counts per radius: per-batch
+    numpy count → one tiny grouped sum; missing radii fill 0."""
+    r2 = np.asarray([r * r for r in radii])
+    nr = len(radii)
 
     def fold(t: pa.Table) -> pa.Table:
         d2 = t["d2"].to_numpy(zero_copy_only=False)
@@ -116,12 +142,63 @@ def ripley_k(
         keys=["ri"], sum_cols=["cnt"], count=False,
         num_partitions=min(num_partitions, nr),
     ).take_all()  # ≤ len(radii) rows — bounded, not corpus-sized
-
     npairs = np.zeros(nr, dtype=np.int64)
     for row in merged:
         npairs[int(row["ri"])] = int(row["sum_cnt"])
+    return npairs
 
-    denom = float(n) * (float(n) - 1.0)
+
+def cross_k(
+    left: Dataset,
+    right: Dataset,
+    radii: "list[float] | tuple[float, ...]",
+    left_id: str = "id",
+    right_id: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    num_partitions: int = 64,
+    query_chunk: int = 1024,
+    extent: dict | None = None,
+    n_right: int | None = None,
+) -> pa.Table:
+    """Bivariate (cross-type) Ripley's K between TWO point sets —
+    "do events concentrate around documents?": ``K₁₂(r) = A ·
+    |{(a ∈ left, b ∈ right): d ≤ r}| / (n₁ · n₂)``; under independence
+    K₁₂(r) ≈ πr², above ⇒ attraction, below ⇒ repulsion (Lotwick &
+    Silverman 1982).
+
+    ONE sided ε-tile exchange at max(radii)
+    (:func:`rayraster.cluster.radius_join` — left rows visit their own
+    tile, right rows the 3×3 halo, neither side broadcast) serves all
+    radii via the same bounded count fold as :func:`ripley_k`.
+
+    ``extent`` (study area + n₁) defaults to the LEFT set's bounding
+    box — pass a shared frame for a symmetric-area convention.
+    ``n_right`` skips the right-count pass when the caller knows it.
+
+    Returns ``(ri, radius, npairs, n1, n2, k_est, l_q)`` sorted by
+    ``ri`` with the same int-count / single-expression-float /
+    quantized-L contract as :func:`ripley_k`.
+    """
+    from .cluster import radius_join
+
+    radii = [float(r) for r in radii]
+    if not radii or sorted(radii) != radii or radii[0] <= 0.0:
+        raise ValueError("radii must be positive and ascending")
+    if extent is None:
+        extent = extent_stats(left, x_col, y_col)
+    n1, area = extent["n"], extent["area"]
+    if n_right is None:
+        n_right = int(right.count())
+
+    pairs = radius_join(
+        left, right, radii[-1], left_id=left_id, right_id=right_id,
+        x_col=x_col, y_col=y_col,
+        num_partitions=num_partitions, query_chunk=query_chunk,
+    )
+    npairs = _radii_counts(pairs, radii, num_partitions)
+    nr = len(radii)
+    denom = float(n1) * float(n_right)
     k_est = np.array([(area * float(c)) / denom for c in npairs])
     l_q = np.array(
         [math.floor(float(NN_SCALE) * math.sqrt(k / math.pi)) for k in k_est],
@@ -132,7 +209,8 @@ def ripley_k(
             "ri": pa.array(np.arange(nr, dtype=np.int64)),
             "radius": pa.array(np.asarray(radii)),
             "npairs": pa.array(npairs),
-            "n": pa.array(np.full(nr, n, dtype=np.int64)),
+            "n1": pa.array(np.full(nr, n1, dtype=np.int64)),
+            "n2": pa.array(np.full(nr, n_right, dtype=np.int64)),
             "k_est": pa.array(k_est),
             "l_q": pa.array(l_q),
         }

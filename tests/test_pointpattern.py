@@ -71,6 +71,39 @@ def test_ripley_k_validates_radii(ray_session):
         ripley_k(_ds(ids, x, y), [])
 
 
+def test_cross_k_matches_brute(ray_session):
+    from rayraster.pointpattern import cross_k
+
+    ids1, x1, y1 = _pts(seed=21, n=150)
+    ids2, x2, y2 = _pts(seed=22, n=400)
+    radii = [4.0, 9.0]
+    out = cross_k(
+        _ds(ids1, x1, y1), _ds(ids2, x2, y2), radii, num_partitions=6
+    )
+    d2 = (x1[:, None] - x2[None, :]) ** 2 + (y1[:, None] - y2[None, :]) ** 2
+    n1, n2 = len(ids1), len(ids2)
+    area = (x1.max() - x1.min()) * (y1.max() - y1.min())
+    for i, r in enumerate(radii):
+        want = int(np.count_nonzero(d2 <= r * r))
+        assert out["npairs"][i].as_py() == want
+        k = (area * float(want)) / (float(n1) * float(n2))
+        assert out["k_est"][i].as_py() == k
+        assert out["l_q"][i].as_py() == math.floor(
+            float(NN_SCALE) * math.sqrt(k / math.pi)
+        )
+    assert out["n1"][0].as_py() == n1 and out["n2"][0].as_py() == n2
+
+
+def test_cross_k_independence_scale(ray_session):
+    from rayraster.pointpattern import cross_k
+
+    ids1, x1, y1 = _pts(seed=31, n=300)
+    ids2, x2, y2 = _pts(seed=32, n=600)
+    out = cross_k(_ds(ids1, x1, y1), _ds(ids2, x2, y2), [12.0])
+    k = out["k_est"][0].as_py()
+    assert abs(k - math.pi * 144.0) / (math.pi * 144.0) < 0.35
+
+
 def test_nn_censored_matches_brute(ray_session):
     ids, x, y = _pts(seed=5, n=250)
     eps = 15.0
