@@ -3745,8 +3745,10 @@ def _q_decontaminate(sf_dir: str):
     hash-set membership kernel per batch); 'crossdoc' = Lee et al.
     2021 cross-document duplicate n-grams (textops.
     cross_doc_ngram_stats — 2 hash-partitioned shuffles, gram strings
-    exact).  Shared schema: (doc_id, ngram_hits, ngram_total, frac,
-    flagged, path)."""
+    exact); 'novelty' = temporal n-gram novelty (distinct grams first
+    seen in an EARLIER doc_id — recycled-text fraction), from the SAME
+    two shuffles via with_novelty=True.  Shared schema: (doc_id,
+    ngram_hits, ngram_total, frac, flagged, path)."""
     import duckdb
 
     import pyarrow.compute as pc
@@ -3786,10 +3788,16 @@ def _q_decontaminate(sf_dir: str):
 
     b = dec.map_batches(bench_path, batch_format="pyarrow")
 
-    # path 2: Lee et al. 2021 cross-document duplicate n-grams — same
-    # tokenization/ngram rule, 2 hash-partitioned shuffles, LEFT join
-    # back to all ids (docs with < 8 words have no stats row)
-    stats = cross_doc_ngram_stats(_docs(sf_dir), n=8, corpus_count=n_docs)
+    # paths 2+3 from ONE stats pipeline: Lee et al. 2021 cross-document
+    # duplicate n-grams ('crossdoc') AND temporal n-gram novelty
+    # ('novelty' — distinct grams whose FIRST occurrence is an earlier
+    # doc_id, the recycled-text signal).  Same tokenization/ngram
+    # rule; the per-gram min id comes from the SAME two
+    # hash-partitioned shuffles (with_novelty=True); LEFT join back to
+    # all ids (docs with < 8 words have no stats row)
+    stats = cross_doc_ngram_stats(
+        _docs(sf_dir), n=8, corpus_count=n_docs, with_novelty=True
+    )
     joined = bucket_join(
         _docs(sf_dir, columns=("doc_id",)),
         stats,
@@ -3803,22 +3811,26 @@ def _q_decontaminate(sf_dir: str):
                 ("doc_id", pa.int64()),
                 ("shared_ngrams", pa.int64()),
                 ("total_ngrams", pa.int64()),
+                ("old_ngrams", pa.int64()),
             ]
         ),
     )
 
     def cross_path(t: pa.Table) -> pa.Table:
-        sh = (
-            pc.fill_null(t["shared_ngrams"], 0)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
+        def col(name):
+            return (
+                pc.fill_null(t[name], 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+
+        sh, tot, old = col("shared_ngrams"), col("total_ngrams"), col("old_ngrams")
+        return pa.concat_tables(
+            [
+                _tag_table(norm(sh, tot, t["doc_id"]), "crossdoc"),
+                _tag_table(norm(old, tot, t["doc_id"]), "novelty"),
+            ]
         )
-        tot = (
-            pc.fill_null(t["total_ngrams"], 0)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        return _tag_table(norm(sh, tot, t["doc_id"]), "crossdoc")
 
     c = joined.map_batches(cross_path, batch_format="pyarrow")
     return b.union(c)
@@ -3878,8 +3890,26 @@ def _sql_decontaminate() -> str:
          COALESCE(cd.shared, 0) > 0 AS flagged,
          'crossdoc' AS path
   FROM documents d LEFT JOIN cd ON d.doc_id = cd.doc_id
+), gm AS (
+  SELECT ng, min(doc_id) AS mn FROM dd GROUP BY ng
+), nv AS (
+  SELECT dd.doc_id,
+         CAST(SUM(CASE WHEN dd.doc_id > gm.mn THEN 1 ELSE 0 END) AS BIGINT)
+           AS old,
+         CAST(count(*) AS BIGINT) AS total
+  FROM dd JOIN gm USING (ng) GROUP BY dd.doc_id
+), novel AS (
+  SELECT d.doc_id,
+         COALESCE(nv.old, 0)   AS ngram_hits,
+         COALESCE(nv.total, 0) AS ngram_total,
+         CAST(COALESCE(nv.old, 0) AS DOUBLE)
+           / CAST(GREATEST(COALESCE(nv.total, 0), 1) AS DOUBLE) AS frac,
+         COALESCE(nv.old, 0) > 0 AS flagged,
+         'novelty' AS path
+  FROM documents d LEFT JOIN nv ON d.doc_id = nv.doc_id
 )
-SELECT * FROM bench UNION ALL SELECT * FROM crossdoc"""
+SELECT * FROM bench UNION ALL SELECT * FROM crossdoc
+UNION ALL SELECT * FROM novel"""
 
 
 def _q_priority_sample(sf_dir: str):

@@ -1538,6 +1538,7 @@ def cross_doc_ngram_stats(
     id_col: str = "doc_id",
     num_partitions: int = 64,
     corpus_count: int | None = None,
+    with_novelty: bool = False,
 ):
     """Per-document cross-document duplicate n-gram statistics — the
     substring-level duplication signal of Lee et al. 2021
@@ -1567,6 +1568,14 @@ def cross_doc_ngram_stats(
     ``dedup.word_ngram_hashes`` int64s for the strings to cut exchange
     bytes — documented trade: 64-bit collisions can over-mark
     ~|grams|²/2⁶⁵ pairs.
+
+    ``with_novelty=True`` additionally emits ``old_ngrams`` — how many
+    of the doc's distinct n-grams FIRST occurred in an earlier
+    document (smaller ``id_col`` = earlier crawl): the temporal
+    novelty / recency-dedup signal ("how much of this page is recycled
+    text?").  Computed in the SAME two exchanges — the gram partition
+    already co-locates every (gram, doc) pair, so the per-gram MIN id
+    and the doc-count come from one group pass.
     """
     from rayraster.agg import hash_aggregate
     from rayraster.dedup import _adaptive_parts
@@ -1608,13 +1617,14 @@ def cross_doc_ngram_stats(
 
     def mark(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return pa.table(
-                {
-                    id_col: pa.array([], type=pa.int64()),
-                    "shared": pa.array([], type=pa.int64()),
-                    "total": pa.array([], type=pa.int64()),
-                }
-            )
+            cols = {
+                id_col: pa.array([], type=pa.int64()),
+                "shared": pa.array([], type=pa.int64()),
+                "total": pa.array([], type=pa.int64()),
+            }
+            if with_novelty:
+                cols["old"] = pa.array([], type=pa.int64())
+            return pa.table(cols)
         codes = (
             pc.dictionary_encode(_combined(group["gram"]))
             .indices.to_numpy()
@@ -1626,20 +1636,35 @@ def cross_doc_ngram_stats(
         uniq, inv = np.unique(d, return_inverse=True)
         sh = np.bincount(inv, weights=shared.astype(np.int64)).astype(np.int64)
         tot = np.bincount(inv).astype(np.int64)
-        return pa.table(
-            {id_col: pa.array(uniq), "shared": pa.array(sh), "total": pa.array(tot)}
-        )
+        cols = {
+            id_col: pa.array(uniq), "shared": pa.array(sh),
+            "total": pa.array(tot),
+        }
+        if with_novelty:
+            # per-gram MIN doc id — the gram partition sees every doc
+            # of the gram, so the min is global
+            minv = np.full(len(ndocs), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(minv, codes, d)
+            old = d > minv[codes]
+            cols["old"] = pa.array(
+                np.bincount(inv, weights=old.astype(np.int64)).astype(np.int64)
+            )
+        return pa.table(cols)
 
     partials = pairs.groupby("_part").map_groups(mark, batch_format="pyarrow")
+    sum_cols = ["shared", "total"] + (["old"] if with_novelty else [])
+    out_names = [id_col, "shared_ngrams", "total_ngrams"] + (
+        ["old_ngrams"] if with_novelty else []
+    )
     agg = hash_aggregate(
         partials,
         [id_col],
-        sum_cols=["shared", "total"],
+        sum_cols=sum_cols,
         count=False,
         num_partitions=P,
     )
     return agg.map_batches(
-        lambda t: t.rename_columns([id_col, "shared_ngrams", "total_ngrams"]),
+        lambda t: t.rename_columns(out_names),
         batch_format="pyarrow",
     )
 

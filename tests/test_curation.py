@@ -364,6 +364,52 @@ def test_cross_doc_ngram_stats_matches_twin(ray_session, tmp_path):
     assert by.loc[5, "shared_ngrams"] < by.loc[5, "total_ngrams"]
 
 
+def test_cross_doc_novelty_matches_brute(ray_session, tmp_path):
+    """with_novelty: old_ngrams = distinct grams whose first occurrence
+    (min doc_id) is an earlier doc; shared/total unchanged."""
+    from rayraster.textops import cross_doc_ngram_stats
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(6), type=pa.int64()),
+            "text": [
+                "a b c d e f g h i j",        # earliest: nothing old
+                "a b c d e f g h i j k",      # 3 grams seen in doc 0
+                "z y x w v u t s r q",        # unique → 0 old
+                "short doc",
+                None,
+                "a b c d e f g h a b c d e f g h",  # gram 'a..h' first in 0
+            ],
+        }
+    )
+    p = _write(tmp_path, "novel.parquet", docs)
+    got = (
+        cross_doc_ngram_stats(
+            rd.read_parquet(p), n=8, corpus_count=6, with_novelty=True
+        )
+        .to_pandas().sort_values("doc_id").set_index("doc_id")
+    )
+    # brute in SQL: per-gram min doc, count grams with min < own doc
+    want = duckdb.sql(rf"""WITH dw AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM read_parquet('{p}')
+), dg AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[k+1:k+8], ' ') AS ng
+  FROM dw, range(0, 64) t(k) WHERE k + 8 <= len(ws)
+), gm AS (SELECT ng, min(doc_id) AS mn FROM dg GROUP BY ng)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN doc_id > mn THEN 1 ELSE 0 END) AS BIGINT) AS old
+FROM dg JOIN gm USING (ng) GROUP BY doc_id ORDER BY doc_id""").df().set_index("doc_id")
+    assert (got["old_ngrams"] == want["old"]).all()
+    assert got.loc[0, "old_ngrams"] == 0          # earliest doc
+    assert got.loc[1, "old_ngrams"] == 3          # the 3 grams of doc 0
+    assert got.loc[2, "old_ngrams"] == 0
+    assert got.loc[5, "old_ngrams"] > 0           # 'a..h' first in doc 0
+    # a gram old for this doc is by definition shared with its first doc
+    assert (got["old_ngrams"] <= got["shared_ngrams"]).all()
+
+
 def test_cross_doc_stats_chunking_invariant(ray_session, tmp_path):
     """Identical results at 1 block and many blocks (the partial
     per-partition sums must fold associatively)."""
