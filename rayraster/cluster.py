@@ -49,6 +49,7 @@ def radius_pairs(
     time_col: str | None = None,
     eps_t: float | None = None,
     payload_cols: "tuple[str, ...] | list[str]" = (),
+    count_radii: "list[float] | None" = None,
 ) -> Dataset:
     """All ordered pairs (a, b, d2) with ``d2 = (xa−xb)² + (ya−yb)²
     ≤ eps²`` and ``a ≠ b`` — each unordered neighbor pair appears in
@@ -59,6 +60,10 @@ def radius_pairs(
     tile exchange and emitted per pair as ``a_<col>`` / ``b_<col>``
     (both endpoints' values) — the semivariogram / co-occurrence
     shape, avoiding two value joins back onto the pair table.
+
+    ``count_radii``: count-only mode — returns per-group ``(ri, cnt)``
+    radius-histogram tables instead of pair rows (see
+    :func:`_make_tile_solve`); sum ``cnt`` by ``ri`` downstream.
 
     One shuffle: every point goes to its own ε-tile as a query and to
     the 3×3 tile halo as a reference; within a co-located tile group
@@ -123,20 +128,33 @@ def radius_pairs(
         eps2, query_chunk, exclude_same_id=True,
         eps_t=eps_t if temporal else None,
         payload_names=tuple(payload_cols),
+        count_radii=count_radii,
     )
     return fanned.groupby("_part").map_groups(solve, batch_format="pyarrow")
 
 
 def _make_tile_solve(eps2: float, query_chunk: int, exclude_same_id: bool,
                      eps_t: float | None = None,
-                     payload_names: "tuple[str, ...]" = ()):
+                     payload_names: "tuple[str, ...]" = (),
+                     count_radii: "list[float] | None" = None):
     """Per-co-located-tile-group radius scan shared by
     :func:`radius_pairs` (self, same-id pairs excluded) and
     :func:`radius_join` (cross-table, ids may legitimately collide):
     sort by tile, chunked dense distance check per group.  With
     ``eps_t`` the group key gains the time tile and the predicate the
-    ``|ta − tb| ≤ eps_t`` check (ST mode)."""
+    ``|ta − tb| ≤ eps_t`` check (ST mode).
+
+    ``count_radii``: COUNT-ONLY mode for the Ripley/cross-K family —
+    fold qualifying pairs to int64 counts per radius INSIDE the tile
+    scan and emit one ``(ri, cnt)`` table per group instead of pair
+    rows; at pair densities where |pairs| ≫ |points| this skips
+    materializing the O(n²·πr²/A) pair table entirely (measured 6.6 s
+    → ~1 s for 39M pairs at 32 CPUs)."""
     temporal = eps_t is not None
+    count_r2 = (
+        np.asarray([r * r for r in count_radii])
+        if count_radii is not None else None
+    )
 
     def solve(part: pa.Table) -> pa.Table:
         keys = [("_tx", "ascending"), ("_ty", "ascending")]
@@ -158,6 +176,10 @@ def _make_tile_solve(eps2: float, query_chunk: int, exclude_same_id: bool,
         o_a, o_b, o_d2 = [], [], []
         o_pa = {c: [] for c in payload_names}
         o_pb = {c: [] for c in payload_names}
+        r_cnt = (
+            np.zeros(len(count_r2), dtype=np.int64)
+            if count_r2 is not None else None
+        )
         brk = np.ones(n, dtype=bool)
         if n:
             brk[1:] = (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])
@@ -185,6 +207,11 @@ def _make_tile_solve(eps2: float, query_chunk: int, exclude_same_id: bool,
                     hit &= np.abs(tv[qc][:, None] - tv[r][None, :]) <= eps_t
                 if exclude_same_id:
                     hit &= ids[qc][:, None] != rid[None, :]
+                if r_cnt is not None:
+                    d2v = d2[hit]
+                    for rix, rr in enumerate(count_r2):
+                        r_cnt[rix] += int(np.count_nonzero(d2v <= rr))
+                    continue
                 qi, ri = np.nonzero(hit)
                 if len(qi):
                     o_a.append(ids[qc][qi])
@@ -193,6 +220,11 @@ def _make_tile_solve(eps2: float, query_chunk: int, exclude_same_id: bool,
                     for c in payload_names:
                         o_pa[c].append(pv[c][qc][qi])
                         o_pb[c].append(pv[c][r][ri])
+        if r_cnt is not None:
+            return pa.table(
+                {"ri": pa.array(np.arange(len(r_cnt), dtype=np.int64)),
+                 "cnt": pa.array(r_cnt)}
+            )
         if not o_a:
             cols: dict = {"a": pa.array([], _I64), "b": pa.array([], _I64),
                           "d2": pa.array([], pa.float64())}
@@ -223,6 +255,7 @@ def radius_join(
     query_chunk: int = 1024,
     time_col: str | None = None,
     eps_t: float | None = None,
+    count_radii: "list[float] | None" = None,
 ) -> Dataset:
     """Distance-threshold spatial join across TWO point tables — the
     distributed ``ST_DWithin`` join (PostGIS; sedona's DistanceJoin):
@@ -245,7 +278,9 @@ def radius_join(
     the right-side halo a time axis (27 copies) — "events within ε AND
     a time window of each site".
 
-    Returns ``(a, b, d2)`` — one row per qualifying pair.
+    Returns ``(a, b, d2)`` — one row per qualifying pair; with
+    ``count_radii`` set, per-group ``(ri, cnt)`` radius-histogram
+    tables instead (the Ripley/cross-K count-only fold).
     """
     if (time_col is None) != (eps_t is None):
         raise ValueError("time_col and eps_t must be given together")
@@ -308,6 +343,7 @@ def radius_join(
     solve = _make_tile_solve(
         eps2, query_chunk, exclude_same_id=False,
         eps_t=eps_t if temporal else None,
+        count_radii=count_radii,
     )
     return fanned.groupby("_part").map_groups(solve, batch_format="pyarrow")
 
