@@ -1387,7 +1387,31 @@ def _q_raster_to_vector(sf_dir: str):
         )
 
     sp = simp.map_batches(vec_simp, batch_format="pyarrow")
-    return sq.union(hx, rg, pm, ct, sg, fs, fm, gw, zd, sp)
+
+    # twelfth arm (grid='jc'): Cliff–Ord JOIN-COUNT statistics over the
+    # binary mask (num_cell >= 2) — the categorical-raster
+    # autocorrelation diagnostic (rayraster/spatial.py join_counts:
+    # one rook tile+halo exchange + vectorized finish, int64-exact);
+    # the twin is the rook LEFT self-join over the same mask.
+    from rayraster.spatial import join_counts
+
+    jc = join_counts(
+        labeled.select_columns(["ix", "iy", "val"]), "val",
+        connectivity=4, num_partitions=8,
+    )
+
+    def vec_jc(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"grid": pa.array(["jc"] * t.num_rows, type=pa.string()),
+             "ix": t["ix"], "iy": t["iy"],
+             "px1": t["jc_bb"].cast(pa.float64()),
+             "py1": t["jc_bw"].cast(pa.float64()),
+             "px2": t["jc_ww"].cast(pa.float64()),
+             "py2": t["nbr_cnt"].cast(pa.float64())}
+        )
+
+    jcd = jc.map_batches(vec_jc, batch_format="pyarrow")
+    return sq.union(hx, rg, pm, ct, sg, fs, fm, gw, zd, sp, jcd)
 
 
 # --------------------------------------------------------------------------
@@ -1846,7 +1870,20 @@ SELECT 'grow' AS grid,
 FROM cpx t CROSS JOIN range(-2, 3) dx(d) CROSS JOIN range(-2, 3) dy(d)
 GROUP BY t.ix + dx.d, t.iy + dy.d)
 UNION ALL
-SELECT grid, ix, iy, px1, py1, px2, py2 FROM ({_sql_simplify_lines()})"""
+SELECT grid, ix, iy, px1, py1, px2, py2 FROM ({_sql_simplify_lines()})
+UNION ALL
+SELECT * FROM (WITH cpx AS {px_rel},
+jcv AS (SELECT ix, iy, CASE WHEN num_cell >= 2 THEN 1 ELSE 0 END AS v
+        FROM cpx)
+SELECT 'jc' AS grid, p.ix, p.iy,
+       CAST(p.v * COALESCE(SUM(q.v), 0) AS DOUBLE) AS px1,
+       CAST(p.v * (COUNT(q.ix) - COALESCE(SUM(q.v), 0))
+            + (1 - p.v) * COALESCE(SUM(q.v), 0) AS DOUBLE) AS py1,
+       CAST((1 - p.v) * (COUNT(q.ix) - COALESCE(SUM(q.v), 0)) AS DOUBLE)
+         AS px2,
+       CAST(COUNT(q.ix) AS DOUBLE) AS py2
+FROM jcv p LEFT JOIN jcv q ON abs(q.ix - p.ix) + abs(q.iy - p.iy) = 1
+GROUP BY p.ix, p.iy, p.v)"""
 
 
 def _sql_segment_cells() -> str:

@@ -230,6 +230,53 @@ def neighbor_stats(
     return fanned.groupby("_part").map_groups(solve, batch_format="pyarrow")
 
 
+def join_counts(
+    pixels: Dataset,
+    value_col: str,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    connectivity: int = 4,
+    tile: int = 64,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Cliff–Ord JOIN-COUNT statistics for a BINARY (0/1) lattice
+    variable — the categorical-raster autocorrelation diagnostic
+    ("are black pixels next to black pixels more often than chance?",
+    Cliff & Ord 1981 §1.3): per pixel, the same-color and cross-color
+    neighbor-join contributions
+
+      ``jc_bb = v · Σnbr v``        (black–black joins touching it)
+      ``jc_bw = v · (cnt − Σv) + (1−v) · Σv``   (black–white)
+      ``jc_ww = (1−v) · (cnt − Σv)``            (white–white)
+
+    ONE tile+halo exchange (:func:`neighbor_stats`) and a vectorized
+    local finish — all int64-exact.  Every unordered lattice join is
+    counted from BOTH endpoints, so the global statistics are
+    ``BB = Σ jc_bb / 2``, ``BW = Σ jc_bw / 2``, ``WW = Σ jc_ww / 2``.
+    Non-binary values raise (recode first — e.g. ``num_cell >= 2``).
+    """
+    ns = neighbor_stats(
+        pixels, value_col, ix_col=ix_col, iy_col=iy_col,
+        connectivity=connectivity, tile=tile,
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) and not np.all((v == 0) | (v == 1)):
+            raise ValueError(
+                f"join_counts: {value_col!r} must be binary 0/1 "
+                "(recode the raster first)"
+            )
+        s = t["nbr_sum"].to_numpy(zero_copy_only=False)
+        c = t["nbr_cnt"].to_numpy(zero_copy_only=False)
+        t = t.append_column("jc_bb", pa.array(v * s))
+        t = t.append_column("jc_bw", pa.array(v * (c - s) + (1 - v) * s))
+        return t.append_column("jc_ww", pa.array((1 - v) * (c - s)))
+
+    return ns.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def local_moran(
     pixels: Dataset,
     value_col: str,

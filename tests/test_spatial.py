@@ -1758,3 +1758,56 @@ def test_simplify_lines_partition_invariance_and_validation(ray_session):
         simplify_lines(rd.from_pandas(dup), 1.0).to_pandas()
     with pytest.raises(Exception, match="max_line_len"):
         simplify_lines(rd.from_pandas(df), 1.0, max_line_len=5).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# join-count statistics (Cliff–Ord categorical autocorrelation)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("connectivity", [4, 8])
+def test_join_counts_matches_brute(ray_session, connectivity):
+    from rayraster.spatial import join_counts
+
+    px = _raster(seed=44)
+    px["v"] = (px["v"] % 2).astype("int64")  # binary recode
+    got = (
+        join_counts(
+            rd.from_pandas(px).repartition(3), "v",
+            connectivity=connectivity, tile=16, num_partitions=8,
+        )
+        .to_pandas().sort_values(["ix", "iy"]).reset_index(drop=True)
+    )
+    want = px.sort_values(["ix", "iy"]).reset_index(drop=True)
+    offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if connectivity == 8:
+        offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    vals = {(r.ix, r.iy): r.v for r in want.itertuples()}
+    for row, g in zip(want.itertuples(), got.itertuples()):
+        nb = [
+            vals[(row.ix + dx, row.iy + dy)]
+            for dx, dy in offs if (row.ix + dx, row.iy + dy) in vals
+        ]
+        s, c = sum(nb), len(nb)
+        assert g.jc_bb == row.v * s
+        assert g.jc_bw == row.v * (c - s) + (1 - row.v) * s
+        assert g.jc_ww == (1 - row.v) * (c - s)
+    # per-pixel contributions partition every join twice over endpoints
+    assert (got.jc_bb + got.jc_bw + got.jc_ww == got.nbr_cnt).all()
+    # global BB/BW/WW: each unordered join counted from both ends
+    assert int(got.jc_bb.sum()) % 2 == 0 and int(got.jc_ww.sum()) % 2 == 0
+    assert int(got.jc_bw.sum()) % 2 == 0
+
+
+def test_join_counts_all_black_and_rejects_nonbinary(ray_session):
+    from rayraster.spatial import join_counts
+
+    px = _raster(seed=45, m=120, span=10)
+    px["v"] = np.int64(1)
+    got = join_counts(rd.from_pandas(px), "v", connectivity=4).to_pandas()
+    assert (got.jc_bw == 0).all() and (got.jc_ww == 0).all()
+    assert (got.jc_bb == got.nbr_cnt).all()
+    px2 = _raster(seed=46, m=50, span=8)
+    px2["v"] = np.int64(3)
+    with pytest.raises(Exception):
+        join_counts(rd.from_pandas(px2), "v").to_pandas()
