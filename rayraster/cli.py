@@ -639,6 +639,62 @@ def cmd_keywords(args) -> int:
     return 0
 
 
+def cmd_pointstats(args) -> int:
+    """Point-pattern diagnostics of a point parquet (id, x, y):
+    Ripley's K/L at the given radii + the censored Clark–Evans index
+    (+ the empirical semivariogram when --value-col is given) — one
+    JSON line (see rayraster/pointpattern.py; all heavy stages are
+    ε-tile exchanges, the driver sees len(radii)/len(bins) rows)."""
+    import ray.data as rd
+
+    from rayraster.pointpattern import (
+        extent_stats, nn_censored, ripley_k, semivariogram,
+    )
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    cols = [args.id_col, args.x_col, args.y_col]
+    if args.value_col:
+        cols.append(args.value_col)
+    pts = rd.read_parquet(files, columns=cols).materialize()
+    radii = sorted(float(r) for r in args.radii.split(","))
+    ext = extent_stats(pts, args.x_col, args.y_col)
+    rip = ripley_k(
+        pts, radii, id_col=args.id_col, x_col=args.x_col, y_col=args.y_col,
+        extent=ext,
+    )
+    ce = nn_censored(
+        pts, radii[-1], id_col=args.id_col, x_col=args.x_col,
+        y_col=args.y_col, extent=ext,
+    )
+    out = {
+        "n": ext["n"], "area": ext["area"],
+        "ripley": [
+            {"r": rip["radius"][i].as_py(),
+             "npairs": rip["npairs"][i].as_py(),
+             "k": rip["k_est"][i].as_py()}
+            for i in range(rip.num_rows)
+        ],
+        "clark_evans": {"r_index": ce["r_index"], "covered": ce["ncov"]},
+    }
+    if args.value_col:
+        vg = semivariogram(
+            pts, args.value_col, bin_width=args.bin_width or radii[0],
+            max_dist=radii[-1], id_col=args.id_col,
+            x_col=args.x_col, y_col=args.y_col,
+        )
+        out["variogram"] = [
+            {"h": vg["h"][i].as_py(), "cnt": vg["cnt"][i].as_py(),
+             "gamma": vg["gamma"][i].as_py()}
+            for i in range(vg.num_rows)
+        ]
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_dbscan(args) -> int:
     """Density clustering of a point parquet (id, x, y) → one
     (node, label) row per point; noise = -1 (see
@@ -835,6 +891,19 @@ def main(argv=None) -> int:
     kw.add_argument("--iterations", type=int, default=3)
     kw.add_argument("--text-col", default="text")
     kw.set_defaults(fn=cmd_keywords)
+
+    ps = sub.add_parser(
+        "pointstats", help="Ripley K/L + Clark-Evans (+ variogram) of points"
+    )
+    ps.add_argument("--input", required=True, help="points parquet glob")
+    ps.add_argument("--radii", default="10,20,40", help="comma-separated")
+    ps.add_argument("--id-col", default="id")
+    ps.add_argument("--x-col", default="x")
+    ps.add_argument("--y-col", default="y")
+    ps.add_argument("--value-col", default=None,
+                    help="integer column: also emit the semivariogram")
+    ps.add_argument("--bin-width", type=float, default=None)
+    ps.set_defaults(fn=cmd_pointstats)
 
     db = sub.add_parser("dbscan", help="DBSCAN density clustering of points")
     db.add_argument("--input", required=True, help="points parquet glob")

@@ -745,3 +745,47 @@ def test_terrain_pipeline_example(tmp_path):
     assert len(basins) == s["cells"] and len(fa) == s["cells"]
     # total accumulation mass = sum over cells of (1 + upstream count)
     assert fa.acc.min() >= 1
+
+
+def test_cli_pointstats(tmp_path):
+    """pointstats subcommand: Ripley/CE/variogram JSON over a point
+    parquet, cross-checked against brute numpy."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(8)
+    n = 250
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "x": pa.array(rng.uniform(0, 80, n)),
+            "y": pa.array(rng.uniform(0, 80, n)),
+            "v": pa.array(rng.integers(0, 9, n).astype(np.int64)),
+        }
+    )
+    p = tmp_path / "pts.parquet"
+    pq.write_table(t, p)
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "pointstats", "--input", str(p), "--radii", "5,10",
+         "--value-col", "v"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    x = t["x"].to_numpy()
+    y = t["y"].to_numpy()
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    np.fill_diagonal(d2, np.inf)
+    assert out["n"] == n
+    for row, rr in zip(out["ripley"], (5.0, 10.0)):
+        assert row["r"] == rr
+        assert row["npairs"] == int(np.count_nonzero(d2 <= rr * rr))
+    assert 0.5 < out["clark_evans"]["r_index"] < 1.5  # CSR-ish input
+    assert len(out["variogram"]) >= 1
+    assert all(v["gamma"] >= 0.0 for v in out["variogram"])
