@@ -3475,12 +3475,18 @@ def _q_token_metrics(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    # + the REAL perplexity-style signal: add-one bigram LM trained on
-    # this corpus and scored per doc as an order-independent int64
-    # fixed-point log-likelihood (textops.bigram_lm_score; the SQL twin
-    # retrains the same model in two CTEs)
-    lm = bigram_lm_score(_docs(sf_dir), corpus_count=n_docs).map_batches(
-        lambda t: t.select(["doc_id", "bigram_count", "lm_logprob_q"]),
+    # + the REAL perplexity-style signals: add-one AND interpolated
+    # Kneser–Ney (D=3/4) bigram LMs trained on this corpus and scored
+    # per doc as order-independent int64 fixed-point log-likelihoods —
+    # BOTH from one model build / one scoring pass
+    # (textops.bigram_lm_score smoothing="both"; the SQL twin retrains
+    # the same models in five CTEs)
+    lm = bigram_lm_score(
+        _docs(sf_dir), corpus_count=n_docs, smoothing="both"
+    ).map_batches(
+        lambda t: t.select(
+            ["doc_id", "bigram_count", "lm_logprob_q", "kn_logprob_q"]
+        ),
         batch_format="pyarrow",
     )
     left_schema = pa.schema(
@@ -3530,6 +3536,7 @@ def _q_token_metrics(sf_dir: str):
                 ("doc_id", pa.int64()),
                 ("bigram_count", pa.int64()),
                 ("lm_logprob_q", pa.int64()),
+                ("kn_logprob_q", pa.int64()),
             ]
         ),
     )
@@ -3540,6 +3547,7 @@ def _q_token_metrics(sf_dir: str):
             ("mean_freq", 0.0),
             ("bigram_count", 0),
             ("lm_logprob_q", 0),
+            ("kn_logprob_q", 0),
         ):
             t = t.set_column(
                 t.schema.get_field_index(c), c, pc.fill_null(t[c], z)
@@ -5766,14 +5774,27 @@ def _sql_token_metrics() -> str:
   SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bgp GROUP BY 1, 2
 ), bc1 AS (
   SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bc2 GROUP BY 1
+), bn1 AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1p FROM bc2 GROUP BY 1
+), bnr AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS nr FROM bc2 GROUP BY 1
+), bb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bc2
 ), lmq AS (
   SELECT p.doc_id,
          CAST(count(*) AS BIGINT) AS bigram_count,
          CAST(SUM(CAST(floor(1048576.0 * ln((CAST(bc2.c2 AS DOUBLE) + 1.0)
                / (CAST(bc1.c1 AS DOUBLE) + CAST(vv.v AS DOUBLE)))) AS BIGINT))
-           AS BIGINT) AS lm_logprob_q
+           AS BIGINT) AS lm_logprob_q,
+         CAST(SUM(CAST(floor(1048576.0 * ln(
+               (CAST(GREATEST(4 * bc2.c2 - 3, 0) AS DOUBLE)
+                  / CAST(4 * bc1.c1 AS DOUBLE))
+             + (CAST(3 * bn1.n1p AS DOUBLE) / CAST(4 * bc1.c1 AS DOUBLE))
+               * (CAST(bnr.nr + 1 AS DOUBLE) / CAST(bb.b + vv.v AS DOUBLE))
+             )) AS BIGINT)) AS BIGINT) AS kn_logprob_q
   FROM bgp p JOIN bc2 ON p.w1 = bc2.w1 AND p.w2 = bc2.w2
-  JOIN bc1 ON p.w1 = bc1.w1 CROSS JOIN vv
+  JOIN bc1 ON p.w1 = bc1.w1 JOIN bn1 ON p.w1 = bn1.w1
+  JOIN bnr ON p.w2 = bnr.w2 CROSS JOIN bb CROSS JOIN vv
   GROUP BY p.doc_id
 )
 SELECT m.doc_id, n_chars_m, token_count, digit_count, punct_count, upper_count,
@@ -5791,7 +5812,8 @@ SELECT m.doc_id, n_chars_m, token_count, digit_count, punct_count, upper_count,
        COALESCE(CAST(fq.freq_sum AS DOUBLE)
                 / CAST(GREATEST(fq.tcq, 1) AS DOUBLE), 0.0) AS mean_freq,
        COALESCE(lmq.bigram_count, 0) AS bigram_count,
-       COALESCE(lmq.lm_logprob_q, 0) AS lm_logprob_q
+       COALESCE(lmq.lm_logprob_q, 0) AS lm_logprob_q,
+       COALESCE(lmq.kn_logprob_q, 0) AS kn_logprob_q
 FROM m JOIN la ON m.doc_id = la.doc_id LEFT JOIN wa ON m.doc_id = wa.doc_id
 LEFT JOIN fq ON m.doc_id = fq.doc_id
 LEFT JOIN lmq ON m.doc_id = lmq.doc_id"""

@@ -50,7 +50,13 @@ basins, least-cost distance, marching-squares contours, DBSCAN +
 ST-DBSCAN with a dual label engine, the cross-table ε-radius join,
 a directory-pruned time-partitioned event store) and the graph-text
 crossover (TextRank corpus keywords over weighted integer PageRank;
-per-document extractive summarization).
+per-document extractive summarization).  Round-4 closing additions:
+point-pattern statistics on the ε-pair exchange (Ripley's K/L,
+bivariate cross-K, censored Clark–Evans, Matheron semivariogram —
+rayraster.pointpattern), Cliff–Ord join-count lattice
+autocorrelation, and temporal n-gram novelty scoring (grams first
+seen in an earlier document) folded into the cross-document
+duplicate-gram exchanges.
 
 None of the modules call ray.init(); the caller owns the Ray session.
 """

@@ -2103,6 +2103,32 @@ def _floor_q_log(r: np.ndarray, q: int = _LM_Q) -> np.ndarray:
     return out.astype(np.int64)
 
 
+def _kn_pair_logq(
+    c2: np.ndarray, c1x: np.ndarray, n1px: np.ndarray, nrx: np.ndarray,
+    bv: int,
+) -> np.ndarray:
+    """Quantized log-probs of interpolated Kneser–Ney bigrams with the
+    dyadic discount D = 3/4 (so every term is a ratio of exact ints):
+
+      ``P = max(4·c2−3, 0)/(4·c1) + (3·N1+(w1·))/(4·c1)
+            · (N1+(·w2)+1)/(B+V)``
+
+    — absolute discounting of the ML estimate, mass redistributed to
+    the CONTINUATION probability (how many distinct contexts each w2
+    follows; Kneser & Ney 1995; Chen & Goodman 1999 interpolated
+    form), with add-one on the continuation counts so P > 0 always.
+    The expression tree is fixed (two divisions, one multiply, one
+    add — same left-assoc shape in the SQL twin) and the floor of the
+    quantized log is libm-repaired (:func:`_floor_q_log`), so scores
+    are bit-exact against DuckDB and across partitionings."""
+    af = np.maximum(4 * c2 - 3, 0).astype(np.float64)
+    c1qf = (4 * c1x).astype(np.float64)
+    p = af / c1qf + ((3 * n1px).astype(np.float64) / c1qf) * (
+        (nrx + 1).astype(np.float64) / float(bv)
+    )
+    return _floor_q_log(p)
+
+
 def _bigram_flat(batch_text):
     """(w1, w2, doc_row_index) for every consecutive nonempty-token
     pair within each document — pure Arrow slicing over the flat token
@@ -2128,6 +2154,7 @@ def bigram_lm_score(
     corpus_count: int | None = None,
     mode: str = "auto",
     broadcast_threshold: int = 4_000_000,
+    smoothing: str = "addone",
 ):
     """Per-document bigram language-model log-likelihood — the actual
     perplexity-style quality filter (CCNet, Wenzek et al. 2020 filter
@@ -2162,6 +2189,17 @@ def bigram_lm_score(
 
     ``mode="auto"`` broadcasts iff the bigram vocabulary fits
     ``broadcast_threshold``.
+
+    ``smoothing``: ``"addone"`` (above), ``"kn"`` — interpolated
+    Kneser–Ney with dyadic discount D=3/4 (:func:`_kn_pair_logq`;
+    output column ``kn_logprob_q``), or ``"both"`` — BOTH scores from
+    ONE model build / ONE scoring pass (the t1 gate shape).  KN needs
+    two model sidecars beyond add-one: ``N1+(w1·)`` (distinct
+    continuations per left context — local to the w1 partition) and
+    ``N1+(·w2)`` (distinct contexts per right word — an O(vocab)
+    table built from the distributed pair counts and broadcast via
+    ``ray.put``, like the model side of the broadcast path; never the
+    corpus).
     """
     import ray
 
@@ -2171,6 +2209,13 @@ def bigram_lm_score(
 
     if mode not in ("auto", "broadcast", "partitioned"):
         raise ValueError(f"mode must be auto|broadcast|partitioned, got {mode!r}")
+    if smoothing not in ("addone", "kn", "both"):
+        raise ValueError(f"smoothing must be addone|kn|both, got {smoothing!r}")
+    want_a1 = smoothing in ("addone", "both")
+    want_kn = smoothing in ("kn", "both")
+    lp_cols = (["lm_logprob_q"] if want_a1 else []) + (
+        ["kn_logprob_q"] if want_kn else []
+    )
     P = _adaptive_parts(corpus_count, num_partitions)
 
     # V: corpus distinct-token count (both paths; one SMALL exchange —
@@ -2193,6 +2238,7 @@ def bigram_lm_score(
         out = t.group_by(["w1", "w2"]).aggregate([("_c", "sum")])
         return pa.table({"w1": out["w1"], "w2": out["w2"], "n": out["_c_sum"]})
 
+    c2ds = None
     if mode in ("auto", "broadcast"):
         c2ds = hash_aggregate(
             ds.map_batches(
@@ -2213,25 +2259,37 @@ def bigram_lm_score(
             u2, inv2 = np.unique(bt["w2"].to_numpy(), return_inverse=True)
             c1 = np.zeros(len(u1), dtype=np.int64)
             np.add.at(c1, inv1, c2)
-            r = (c2 + 1.0) / (c1[inv1] + float(V))
-            logq = _floor_q_log(r)
+            mlogs = {}
+            kn_side = None
+            if want_a1:
+                r = (c2 + 1.0) / (c1[inv1] + float(V))
+                mlogs["lm_logprob_q"] = _floor_q_log(r)
+            if want_kn:
+                n1p = np.bincount(inv1).astype(np.int64)
+                nr = np.bincount(inv2).astype(np.int64)
+                bv = n_bigram_vocab + V
+                mlogs["kn_logprob_q"] = _kn_pair_logq(
+                    c2, c1[inv1], n1p[inv1], nr[inv2], bv
+                )
+                kn_side = (nr, n1p, c1, bv)
             keys = inv1.astype(np.int64) * np.int64(len(u2)) + inv2.astype(np.int64)
             ref = ray.put(
                 (
                     pa.array(u1, type=pa.string()),
                     pa.array(u2, type=pa.string()),
                     pa.array(keys, type=pa.int64()),
-                    logq,
+                    mlogs,
+                    kn_side,
                 )
             )
 
             def score_broadcast(batch: pa.Table) -> pa.Table:
-                a1, a2, mkeys, mlog = ray.get(ref)
+                a1, a2, mkeys, mlog, kns = ray.get(ref)
                 empty = pa.table(
                     {
                         id_col: pa.array([], type=pa.int64()),
                         "bigram_count": pa.array([], type=pa.int64()),
-                        "lm_logprob_q": pa.array([], type=pa.int64()),
+                        **{c: pa.array([], type=pa.int64()) for c in lp_cols},
                     }
                 )
                 if batch.num_rows == 0:
@@ -2258,29 +2316,85 @@ def bigram_lm_score(
                 )
                 # scoring the training corpus ⇒ every bigram is in the
                 # model; an out-of-model pair (scoring NEW text) falls
-                # back to the add-one floor P = 1/V
-                oov = _floor_q_log(np.array([1.0 / float(V)]))[0]
+                # back to the add-one floor P = 1/V, and for KN to the
+                # backoff λ(w1)·Pcont(w2) (pure continuation when w1
+                # itself is unseen)
                 hit = (i1 >= 0) & (i2 >= 0) & (pos >= 0)
-                lp = np.where(hit, mlog[np.clip(pos, 0, len(mlog) - 1)], oov)
+                cpos = np.clip(pos, 0, len(mkeys) - 1)
+                lps = {}
+                if want_a1:
+                    oov = _floor_q_log(np.array([1.0 / float(V)]))[0]
+                    lps["lm_logprob_q"] = np.where(
+                        hit, mlog["lm_logprob_q"][cpos], oov
+                    )
+                if want_kn:
+                    nr_u2, n1p_u1, c1_u1, bv = kns
+                    nr_i = np.where(
+                        i2 >= 0, nr_u2[np.clip(i2, 0, len(nr_u2) - 1)], 0
+                    )
+                    cont = (nr_i + 1).astype(np.float64) / float(bv)
+                    lam = np.where(
+                        i1 >= 0,
+                        (3 * n1p_u1[np.clip(i1, 0, len(n1p_u1) - 1)]).astype(
+                            np.float64
+                        )
+                        / (4 * c1_u1[np.clip(i1, 0, len(c1_u1) - 1)]).astype(
+                            np.float64
+                        ),
+                        1.0,
+                    )
+                    lps["kn_logprob_q"] = np.where(
+                        hit,
+                        mlog["kn_logprob_q"][cpos],
+                        _floor_q_log(lam * cont),
+                    )
                 nrows = batch.num_rows
-                acc = np.zeros(nrows, dtype=np.int64)
-                np.add.at(acc, doc, lp)
                 cnt = np.bincount(doc, minlength=nrows).astype(np.int64)
                 keep = cnt > 0
-                return pa.table(
-                    {
-                        id_col: pa.array(ids[keep]),
-                        "bigram_count": pa.array(cnt[keep]),
-                        "lm_logprob_q": pa.array(acc[keep]),
-                    }
-                )
+                cols = {
+                    id_col: pa.array(ids[keep]),
+                    "bigram_count": pa.array(cnt[keep]),
+                }
+                for c in lp_cols:
+                    acc = np.zeros(nrows, dtype=np.int64)
+                    np.add.at(acc, doc, lps[c])
+                    cols[c] = pa.array(acc[keep])
+                return pa.table(cols)
 
             return ds.map_batches(
                 score_broadcast, batch_format="pyarrow", zero_copy_batch=True
             )
 
     # partitioned path: exchange (w1, w2, doc) by hash(w1) so c2 AND c1
-    # are exact locally; fold per-doc partials through one more exchange
+    # are exact locally; fold per-doc partials through one more exchange.
+    # KN additionally needs the RIGHT-continuation counts N1+(·w2),
+    # which the w1 partition cannot see: build them from the
+    # DISTRIBUTED distinct-pair table (one grouped count by w2 — an
+    # O(vocab) table, broadcast once via ray.put like the model side)
+    nr_ref = None
+    bv_global = 0
+    if want_kn:
+        if c2ds is None:
+            c2ds = hash_aggregate(
+                ds.map_batches(
+                    bigram_partial, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                ["w1", "w2"],
+                sum_cols=["n"],
+                count=False,
+                num_partitions=P,
+            ).materialize()
+        bv_global = int(c2ds.count()) + V
+        nr_pd = hash_aggregate(
+            c2ds, ["w2"], count=True, count_name="nr", num_partitions=P
+        ).to_pandas()  # O(vocab) on the driver — a model sidecar
+        nr_ref = ray.put(
+            (
+                pa.array(nr_pd["w2"].to_numpy(), type=pa.string()),
+                nr_pd["nr"].to_numpy().astype(np.int64),
+            )
+        )
+
     def emit(batch: pa.Table) -> pa.Table:
         w1, w2, doc = _bigram_flat(batch[text_col])
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -2300,7 +2414,7 @@ def bigram_lm_score(
                 {
                     id_col: pa.array([], type=pa.int64()),
                     "bigram_count": pa.array([], type=pa.int64()),
-                    "lm_logprob_q": pa.array([], type=pa.int64()),
+                    **{c: pa.array([], type=pa.int64()) for c in lp_cols},
                 }
             )
         g = part.group_by(["w1", "w2"]).aggregate([([], "count_all")])
@@ -2308,9 +2422,29 @@ def bigram_lm_score(
         u1, inv1 = np.unique(g["w1"].to_numpy(), return_inverse=True)
         c1 = np.zeros(len(u1), dtype=np.int64)
         np.add.at(c1, inv1, c2)
-        logq = _floor_q_log((c2 + 1.0) / (c1[inv1] + float(V)))
         # per-occurrence score: look each row's (w1,w2) up in g
         u2, inv2 = np.unique(g["w2"].to_numpy(), return_inverse=True)
+        logqs = {}
+        if want_a1:
+            logqs["lm_logprob_q"] = _floor_q_log(
+                (c2 + 1.0) / (c1[inv1] + float(V))
+            )
+        if want_kn:
+            # local: c2, c1, N1+(w1·) — every (w1, ·) is in this
+            # partition; global: N1+(·w2) from the broadcast sidecar
+            nr_w2a, nr_cnt = ray.get(nr_ref)
+            n1p = np.bincount(inv1).astype(np.int64)
+            j2 = (
+                pc.fill_null(pc.index_in(pa.array(u2), value_set=nr_w2a), -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            nr_u2 = np.where(
+                j2 >= 0, nr_cnt[np.clip(j2, 0, max(len(nr_cnt) - 1, 0))], 0
+            )
+            logqs["kn_logprob_q"] = _kn_pair_logq(
+                c2, c1[inv1], n1p[inv1], nr_u2[inv2], bv_global
+            )
         gkey = inv1.astype(np.int64) * np.int64(len(u2)) + inv2
         i1 = (
             pc.fill_null(pc.index_in(part["w1"], value_set=pa.array(u1)), -1)
@@ -2332,17 +2466,21 @@ def bigram_lm_score(
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        lp = logq[pos]  # every occurrence is in its own partition's model
-        t = pa.table(
-            {id_col: part[id_col], "_lp": pa.array(lp),
-             "_one": pa.array(np.ones(part.num_rows, dtype=np.int64))}
-        )
-        out = t.group_by([id_col]).aggregate([("_lp", "sum"), ("_one", "sum")])
+        # every occurrence is in its own partition's model
+        cols = {
+            id_col: part[id_col],
+            "_one": pa.array(np.ones(part.num_rows, dtype=np.int64)),
+        }
+        for c in lp_cols:
+            cols[f"_{c}"] = pa.array(logqs[c][pos])
+        t = pa.table(cols)
+        aggs = [("_one", "sum")] + [(f"_{c}", "sum") for c in lp_cols]
+        out = t.group_by([id_col]).aggregate(aggs)
         return pa.table(
             {
                 id_col: out[id_col],
                 "bigram_count": out["_one_sum"],
-                "lm_logprob_q": out["_lp_sum"],
+                **{c: out[f"_{c}_sum"] for c in lp_cols},
             }
         )
 
@@ -2351,7 +2489,7 @@ def bigram_lm_score(
     return hash_aggregate(
         partials,
         [id_col],
-        sum_cols=["bigram_count", "lm_logprob_q"],
+        sum_cols=["bigram_count", *lp_cols],
         count=False,
         num_partitions=P,
     ).map_batches(
@@ -2359,7 +2497,7 @@ def bigram_lm_score(
             {
                 id_col: t[id_col],
                 "bigram_count": t["sum_bigram_count"],
-                "lm_logprob_q": t["sum_lm_logprob_q"],
+                **{c: t[f"sum_{c}"] for c in lp_cols},
             }
         ),
         batch_format="pyarrow",

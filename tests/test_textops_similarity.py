@@ -1646,3 +1646,124 @@ def test_summarize_textrank_order_and_partition_invariance(ray_session):
         summarize_textrank(rd.from_arrow(t), k=0)
     with pytest.raises(ValueError, match="damping"):
         summarize_textrank(rd.from_arrow(t), damping=1.5)
+
+
+def _kn_brute(table: pa.Table):
+    """Reference interpolated Kneser-Ney (D=3/4) in plain Python,
+    mirroring _kn_pair_logq's expression tree exactly."""
+    import math
+    from collections import Counter
+
+    toks = {r["doc_id"]: r["text"].split() for r in table.to_pylist()}
+    vocab = {w for ws in toks.values() for w in ws}
+    c2, c1 = Counter(), Counter()
+    for ws in toks.values():
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    n1p = Counter(p[0] for p in c2)   # distinct continuations per w1
+    nr = Counter(p[1] for p in c2)    # distinct contexts per w2
+    bv = len(c2) + len(vocab)
+    out = {}
+    for d, ws in toks.items():
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            continue
+        s = 0
+        for p in pairs:
+            prob = (
+                max(4 * c2[p] - 3, 0) / (4 * c1[p[0]])
+                + (3 * n1p[p[0]]) / (4 * c1[p[0]]) * ((nr[p[1]] + 1) / bv)
+            )
+            s += math.floor((1 << 20) * math.log(prob))
+        out[d] = (len(pairs), s)
+    return out
+
+
+def test_kn_bigram_matches_brute_both_paths(ray_session):
+    from rayraster.textops import bigram_lm_score
+
+    want = _kn_brute(_LM_DOCS)
+    for mode in ("broadcast", "partitioned"):
+        got = (
+            bigram_lm_score(
+                rd.from_arrow(_LM_DOCS), mode=mode, num_partitions=4,
+                smoothing="kn",
+            )
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert set(got.index) == set(want)
+        assert "lm_logprob_q" not in got.columns
+        for d, (n, s) in want.items():
+            assert got.loc[d, "bigram_count"] == n, (mode, d)
+            assert got.loc[d, "kn_logprob_q"] == s, (mode, d)
+    # fluent text still beats garbage per-bigram under KN
+    fluent = got.loc[0, "kn_logprob_q"] / got.loc[0, "bigram_count"]
+    garbage = got.loc[6, "kn_logprob_q"] / got.loc[6, "bigram_count"]
+    assert fluent > garbage
+
+
+def test_kn_smoothing_both_and_validation(ray_session):
+    from rayraster.textops import bigram_lm_score
+
+    both = (
+        bigram_lm_score(
+            rd.from_arrow(_LM_DOCS), mode="broadcast", smoothing="both"
+        )
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    a1 = _lm_brute(_LM_DOCS)
+    kn = _kn_brute(_LM_DOCS)
+    for d in a1:
+        assert both.loc[d, "lm_logprob_q"] == a1[d][1]
+        assert both.loc[d, "kn_logprob_q"] == kn[d][1]
+    with pytest.raises(ValueError):
+        bigram_lm_score(rd.from_arrow(_LM_DOCS), smoothing="katz")
+
+
+def test_kn_is_a_proper_distribution():
+    """The interpolated-KN model with add-one continuation smoothing
+    sums to EXACTLY 1 over the vocabulary for every seen context
+    (1 - lambda discount mass + lambda * 1)."""
+    from collections import Counter
+    from fractions import Fraction
+
+    toks = {r["doc_id"]: r["text"].split() for r in _LM_DOCS.to_pylist()}
+    vocab = sorted({w for ws in toks.values() for w in ws})
+    c2, c1 = Counter(), Counter()
+    for ws in toks.values():
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    n1p = Counter(p[0] for p in c2)
+    nr = Counter(p[1] for p in c2)
+    bv = len(c2) + len(vocab)
+    for w1 in c1:
+        tot = sum(
+            Fraction(max(4 * c2[(w1, w2)] - 3, 0), 4 * c1[w1])
+            + Fraction(3 * n1p[w1], 4 * c1[w1]) * Fraction(nr[w2] + 1, bv)
+            for w2 in vocab
+        )
+        assert tot == 1
+
+
+def test_kn_partition_invariance(ray_session):
+    from rayraster.textops import bigram_lm_score
+
+    rng = np.random.default_rng(11)
+    words = np.array(["alpha", "beta", "gamma", "delta", "xq", "zz"])
+    texts = [" ".join(rng.choice(words, rng.integers(0, 24))) for _ in range(200)]
+    t = pa.table({"doc_id": np.arange(200, dtype=np.int64), "text": texts})
+    ref = None
+    for mode, P in (("broadcast", 4), ("partitioned", 3), ("partitioned", 11)):
+        got = (
+            bigram_lm_score(
+                rd.from_arrow(t), mode=mode, num_partitions=P, smoothing="both"
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        got = got[["doc_id", "bigram_count", "lm_logprob_q", "kn_logprob_q"]]
+        if ref is None:
+            ref = got
+        else:
+            pd.testing.assert_frame_equal(got, ref)
