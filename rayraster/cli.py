@@ -498,6 +498,27 @@ def cmd_curate(args) -> int:
              ("mean_freq", pa.float64())]
         ),
     )
+    if args.lm != "none":
+        from rayraster.textops import bigram_lm_score
+
+        lp = (["lm_logprob_q"] if args.lm in ("addone", "both") else []) + (
+            ["kn_logprob_q"] if args.lm in ("kn", "both") else []
+        )
+        lm = bigram_lm_score(
+            rd.read_parquet(files, columns=[args.id_col, args.text_col]),
+            text_col=args.text_col, id_col=args.id_col,
+            corpus_count=n_docs, smoothing=args.lm,
+        ).map_batches(
+            lambda t: t.select([args.id_col, "bigram_count", *lp]),
+            batch_format="pyarrow",
+        )
+        out = bucket_join(
+            out, lm, args.id_col, args.id_col, join_type="left",
+            right_schema=pa.schema(
+                [(args.id_col, pa.int64()), ("bigram_count", pa.int64())]
+                + [(c, pa.int64()) for c in lp]
+            ),
+        )
     shutil.rmtree(args.out, ignore_errors=True)
     out.write_parquet(args.out)
     n = rd.read_parquet(args.out).count()
@@ -803,6 +824,9 @@ def main(argv=None) -> int:
     u.add_argument("--out", required=True)
     u.add_argument("--id-col", default="doc_id")
     u.add_argument("--text-col", default="text")
+    u.add_argument("--lm", choices=["none", "addone", "kn", "both"],
+                   default="none",
+                   help="also train+score a bigram LM on the corpus")
     u.set_defaults(fn=cmd_curate)
 
     k = sub.add_parser("pack", help="chunk + token-budget shard packing")

@@ -314,6 +314,19 @@ def test_cli_curate_and_pack(tmp_path):
 
     r = subprocess.run(
         [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "curate", "--input", str(corpus / "*.parquet"),
+         "--out", str(tmp_path / "feats_lm"), "--lm", "both"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    flm = pd.read_parquet(str(tmp_path / "feats_lm")).set_index("doc_id")
+    assert {"bigram_count", "lm_logprob_q", "kn_logprob_q"} <= set(flm.columns)
+    assert flm.loc[0, "bigram_count"] > 0 and flm.loc[0, "lm_logprob_q"] < 0
+    assert flm.loc[0, "kn_logprob_q"] < 0
+    assert pd.isna(flm.loc[2, "lm_logprob_q"])  # no bigrams: unscored
+
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
          "pack", "--input", str(corpus / "*.parquet"),
          "--out", str(tmp_path / "packed"),
          "--window", "100", "--stride", "80", "--budget", "200"],
