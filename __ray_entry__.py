@@ -202,14 +202,25 @@ def _q_square_mean(sf_dir: str):
       one-exchange shape with the POLYNOMIAL kernel
       ``floor(scale·(1 − d²/h²))`` (no libm, SQL-exact);
       ``num_cell``=contributors, ``sum_n_chars``=Σw (quantized mass),
-      ``mean_n_chars``=the density Σw/scale."""
-    from rayraster.spatial import idw_interpolate, kde_surface
+      ``mean_n_chars``=the density Σw/scale.
+    * path='trend' — first-order TREND SURFACE (ArcGIS Trend / OLS
+      ``v ~ x + y``; :func:`rayraster.spatial.trend_moments` +
+      :func:`~rayraster.spatial.trend_surface_fit`): int64 moment
+      sums on the 1/256° lattice (one map-only pass + 9-scalar
+      aggregate), Cramer's-rule coefficients as a FIXED float tree,
+      evaluated at every occupied pixel centroid.
+      ``num_cell``=n, ``sum_n_chars``=floor(2^20·pred),
+      ``mean_n_chars``=the trend prediction."""
+    from rayraster.spatial import (
+        idw_interpolate, kde_surface, trend_moments, trend_surface_fit,
+    )
 
-    pts = load_doc_points(sf_dir)
+    pts = load_doc_points(sf_dir).materialize()
     out, spec = _rf(pts, RES, ["n_chars"], fun="mean", with_meta=False)
-    base = out.select_columns(
+    out = out.select_columns(
         ["ix", "iy", "cx", "cy", "num_cell", "sum_n_chars", "mean_n_chars"]
-    ).map_batches(_tagger("grid"), batch_format="pyarrow")
+    ).materialize()  # feeds the 'grid' AND 'trend' arms
+    base = out.map_batches(_tagger("grid"), batch_format="pyarrow")
 
     idw = idw_interpolate(
         pts, spec.x0, spec.y0, RES, "n_chars", num_partitions=8
@@ -238,7 +249,32 @@ def _q_square_mean(sf_dir: str):
     kde = kde.map_batches(conform_kde, batch_format="pyarrow").map_batches(
         _tagger("kde"), batch_format="pyarrow"
     )
-    return base.union(idw, kde)
+
+    m = trend_moments(pts, "n_chars", scale=_TREND_SCALE)
+    a, b, c = trend_surface_fit(m)
+    n_pts = m["n"]
+
+    def conform_trend(t: pa.Table) -> pa.Table:
+        cxq = np.floor(
+            t["cx"].to_numpy(zero_copy_only=False) * float(_TREND_SCALE)
+        ).astype(np.int64)
+        cyq = np.floor(
+            t["cy"].to_numpy(zero_copy_only=False) * float(_TREND_SCALE)
+        ).astype(np.int64)
+        pred = a + b * cxq.astype(np.float64) + c * cyq.astype(np.float64)
+        return pa.table(
+            {"ix": t["ix"], "iy": t["iy"], "cx": t["cx"], "cy": t["cy"],
+             "num_cell": pa.array(
+                 np.full(t.num_rows, n_pts, dtype=np.int64)),
+             "sum_n_chars": pa.array(
+                 np.floor(1048576.0 * pred).astype(np.int64)),
+             "mean_n_chars": pa.array(pred)}
+        )
+
+    trend = out.map_batches(conform_trend, batch_format="pyarrow").map_batches(
+        _tagger("trend"), batch_format="pyarrow"
+    )
+    return base.union(idw, kde, trend)
 
 
 def _q_celltype(sf_dir: str):
@@ -905,6 +941,7 @@ _RJ_EPS = 20.0
 _RIPLEY_RADII = (10.0, 20.0, 30.0, 40.0)
 _VARIO_BIN = 30.0
 _VARIO_MAX = 75.0
+_TREND_SCALE = 256
 
 
 _STRAT_RATES = {"en": 200000, "de": 50000}
@@ -1427,7 +1464,9 @@ FROM cells2 GROUP BY ix, iy, cx, cy"""
 
 
 def _sql_square_mean() -> str:
-    from rayraster.spatial import idw_sql, kde_sql
+    from rayraster.spatial import _flit, idw_sql, kde_sql
+
+    _TS = _flit(float(_TREND_SCALE))
 
     # the idw/kde arms need the raw point coords next to the clamped
     # cell ids and the data-derived origin as COLUMNS (idw_sql contract)
@@ -1450,7 +1489,55 @@ FROM ({idw})
 UNION ALL
 SELECT ix, iy, cx, cy, n AS num_cell, sum_w AS sum_n_chars,
        density AS mean_n_chars, 'kde' AS path
-FROM ({kde})"""
+FROM ({kde})
+UNION ALL
+SELECT ix, iy, cx, cy, num_cell,
+       CAST(floor(1048576.0 * pred) AS BIGINT) AS sum_n_chars,
+       pred AS mean_n_chars, 'trend' AS path
+FROM (
+  WITH tq AS (
+    SELECT CAST(floor(x * {_TS}) AS BIGINT) AS xq,
+           CAST(floor(y * {_TS}) AS BIGINT) AS yq,
+           n_chars AS v
+    FROM pts
+  ), tm AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+           CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+           CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+           CAST(SUM(yq * yq) AS BIGINT) AS syy,
+           CAST(SUM(v) AS BIGINT) AS sv,
+           CAST(SUM(v * xq) AS BIGINT) AS svx,
+           CAST(SUM(v * yq) AS BIGINT) AS svy
+    FROM tq
+  ), tf AS (
+    SELECT n, CAST(n AS DOUBLE) AS nf,
+           CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+           CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+           CAST(syy AS DOUBLE) AS syy, CAST(sv AS DOUBLE) AS sv,
+           CAST(svx AS DOUBLE) AS svx, CAST(svy AS DOUBLE) AS svy
+    FROM tm
+  ), tc AS (
+    SELECT n,
+      (sv * (sxx * syy - sxy * sxy) - sx * (svx * syy - sxy * svy)
+         + sy * (svx * sxy - sxx * svy))
+        / (nf * (sxx * syy - sxy * sxy) - sx * (sx * syy - sxy * sy)
+             + sy * (sx * sxy - sxx * sy)) AS a,
+      (nf * (svx * syy - sxy * svy) - sv * (sx * syy - sxy * sy)
+         + sy * (sx * svy - svx * sy))
+        / (nf * (sxx * syy - sxy * sxy) - sx * (sx * syy - sxy * sy)
+             + sy * (sx * sxy - sxx * sy)) AS b,
+      (nf * (sxx * svy - svx * sxy) - sx * (sx * svy - svx * sy)
+         + sv * (sx * sxy - sxx * sy))
+        / (nf * (sxx * syy - sxy * sxy) - sx * (sx * syy - sxy * sy)
+             + sy * (sx * sxy - sxx * sy)) AS c
+    FROM tf
+  )
+  SELECT c2.ix, c2.iy, c2.cx, c2.cy, tc.n AS num_cell,
+         tc.a + tc.b * floor(c2.cx * {_TS})
+              + tc.c * floor(c2.cy * {_TS}) AS pred
+  FROM (SELECT ix, iy, cx, cy FROM cells2 GROUP BY 1, 2, 3, 4) c2, tc
+)"""
 
 
 def _sql_celltype() -> str:

@@ -277,6 +277,103 @@ def join_counts(
     return ns.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def trend_moments(
+    pts: Dataset,
+    value_col: str,
+    x_col: str = "x",
+    y_col: str = "y",
+    scale: int = 256,
+) -> dict:
+    """Exact integer moment sums for a first-order TREND SURFACE fit
+    (ArcGIS Trend / R ``lm(v ~ x + y)``): coordinates are quantized to
+    the int lattice ``q = floor(c · scale)`` (floor of one IEEE
+    product — deterministic per value), so every normal-equation
+    moment (n, Σx, Σy, Σx², Σxy, Σy², Σv, Σvx, Σvy) is an int64 sum —
+    associative, schedule-invariant, and exactly reproducible in SQL.
+
+    ONE map-only pass (per-batch single-row partials) + one tiny
+    aggregate; nothing driver-side but 9 scalars.  Exactness contract:
+    ``n · max(q)² < 2^63`` — with the default scale 256 on world
+    coordinates (|c| ≤ 360) that holds to ~4·10^9 points; shrink
+    ``scale`` for bigger corpora (the fit is then defined on the
+    coarser lattice — a documented, deterministic statistic).
+    ``value_col`` must be an integer column.
+    """
+    sc = float(scale)
+
+    def fold(t: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(t.schema.field(value_col).type):
+            raise TypeError(
+                f"trend_moments: {value_col!r} must be an integer column"
+            )
+        x = t[x_col].to_numpy(zero_copy_only=False)
+        y = t[y_col].to_numpy(zero_copy_only=False)
+        xq = np.floor(x * sc).astype(np.int64)
+        yq = np.floor(y * sc).astype(np.int64)
+        if len(xq) and max(
+            np.abs(xq).max(), np.abs(yq).max()
+        ) >= np.int64(1) << 31:
+            raise ValueError(
+                "trend_moments: |coord·scale| must be < 2^31 "
+                "(shrink scale)"
+            )
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        row = {
+            "n": len(xq), "sx": xq.sum(), "sy": yq.sum(),
+            "sxx": (xq * xq).sum(), "sxy": (xq * yq).sum(),
+            "syy": (yq * yq).sum(), "sv": v.sum(),
+            "svx": (v * xq).sum(), "svy": (v * yq).sum(),
+        }
+        return pa.table(
+            {k: pa.array([int(val)], type=pa.int64())
+             for k, val in row.items()}
+        )
+
+    from ray.data.aggregate import Sum
+
+    keys = ("n", "sx", "sy", "sxx", "sxy", "syy", "sv", "svx", "svy")
+    agg = pts.map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(*[Sum(k) for k in keys])
+    return {k: int(agg[f"sum({k})"] or 0) for k in keys}
+
+
+def trend_surface_fit(m: dict) -> "tuple[float, float, float]":
+    """Closed-form OLS solve of the first-order trend normal equations
+    by Cramer's rule over the :func:`trend_moments` int sums — a FIXED
+    float expression tree (the same cofactor expansion, term order and
+    divisions in the SQL twin), so (a, b, c) are bit-deterministic.
+    The prediction at a quantized point is ``a + b·xq + c·yq``.
+    Raises on a singular design (degenerate point sets)."""
+    n = float(m["n"])
+    sx, sy = float(m["sx"]), float(m["sy"])
+    sxx, sxy, syy = float(m["sxx"]), float(m["sxy"]), float(m["syy"])
+    sv, svx, svy = float(m["sv"]), float(m["svx"]), float(m["svy"])
+    det = (
+        n * (sxx * syy - sxy * sxy)
+        - sx * (sx * syy - sxy * sy)
+        + sy * (sx * sxy - sxx * sy)
+    )
+    if det == 0.0:
+        raise ValueError("trend_surface_fit: singular design matrix")
+    det_a = (
+        sv * (sxx * syy - sxy * sxy)
+        - sx * (svx * syy - sxy * svy)
+        + sy * (svx * sxy - sxx * svy)
+    )
+    det_b = (
+        n * (svx * syy - sxy * svy)
+        - sv * (sx * syy - sxy * sy)
+        + sy * (sx * svy - svx * sy)
+    )
+    det_c = (
+        n * (sxx * svy - svx * sxy)
+        - sx * (sx * svy - svx * sy)
+        + sv * (sx * sxy - sxx * sy)
+    )
+    return det_a / det, det_b / det, det_c / det
+
+
 def local_moran(
     pixels: Dataset,
     value_col: str,

@@ -1811,3 +1811,74 @@ def test_join_counts_all_black_and_rejects_nonbinary(ray_session):
     px2["v"] = np.int64(3)
     with pytest.raises(Exception):
         join_counts(rd.from_pandas(px2), "v").to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# first-order trend surface (ArcGIS Trend / OLS v ~ x + y)
+# ---------------------------------------------------------------------------
+
+
+def test_trend_surface_recovers_exact_plane(ray_session):
+    from rayraster.spatial import trend_moments, trend_surface_fit
+
+    rng = np.random.default_rng(3)
+    n = 400
+    x = rng.uniform(-50, 50, n)
+    y = rng.uniform(-50, 50, n)
+    xq = np.floor(x * 256.0).astype(np.int64)
+    yq = np.floor(y * 256.0).astype(np.int64)
+    v = 7 + 2 * xq + 5 * yq  # exact plane on the quantized lattice
+    ds = rd.from_pandas(
+        pd.DataFrame({"x": x, "y": y, "v": v})
+    ).repartition(4)
+    m = trend_moments(ds, "v", scale=256)
+    a, b, c = trend_surface_fit(m)
+    assert abs(a - 7) < 1e-6 and abs(b - 2) < 1e-9 and abs(c - 5) < 1e-9
+
+
+def test_trend_moments_match_numpy_and_partition_invariant(ray_session):
+    from rayraster.spatial import trend_moments, trend_surface_fit
+
+    rng = np.random.default_rng(9)
+    n = 300
+    x = rng.uniform(-30, 30, n)
+    y = rng.uniform(-30, 30, n)
+    v = rng.integers(0, 1000, n).astype(np.int64)
+    df = pd.DataFrame({"x": x, "y": y, "v": v})
+    m1 = trend_moments(rd.from_pandas(df), "v", scale=256)
+    m2 = trend_moments(rd.from_pandas(df).repartition(7), "v", scale=256)
+    assert m1 == m2  # int sums: associative, partition-invariant
+    xq = np.floor(x * 256.0).astype(np.int64)
+    yq = np.floor(y * 256.0).astype(np.int64)
+    assert m1["n"] == n and m1["sx"] == int(xq.sum())
+    assert m1["sxy"] == int((xq * yq).sum())
+    assert m1["svx"] == int((v * xq).sum())
+    # fit agrees with lstsq on the quantized design
+    a, b, c = trend_surface_fit(m1)
+    A = np.stack([np.ones(n), xq.astype(float), yq.astype(float)], axis=1)
+    ref, *_ = np.linalg.lstsq(A, v.astype(float), rcond=None)
+    assert np.allclose([a, b, c], ref, rtol=1e-8, atol=1e-8)
+
+
+def test_trend_surface_validations(ray_session):
+    from rayraster.spatial import trend_moments, trend_surface_fit
+
+    df = pd.DataFrame({"x": [1.0, 2.0], "y": [1.0, 2.0], "v": [1.0, 2.0]})
+    with pytest.raises(Exception):
+        trend_moments(rd.from_pandas(df), "v")  # float value column
+    # collinear design (all points on one line) is singular
+    n = 20
+    df2 = pd.DataFrame(
+        {"x": np.arange(n, dtype=float), "y": np.arange(n, dtype=float),
+         "v": np.arange(n, dtype=np.int64)}
+    )
+    m = trend_moments(rd.from_pandas(df2), "v", scale=1)
+    with pytest.raises(ValueError):
+        trend_surface_fit(m)
+    with pytest.raises(Exception):  # ValueError wrapped in RayTaskError
+        trend_moments(
+            rd.from_pandas(pd.DataFrame(
+                {"x": [1e9], "y": [0.0], "v": np.array([1], dtype=np.int64)}
+            )),
+            "v", scale=256,
+        )  # |coord*scale| >= 2^31
