@@ -210,9 +210,17 @@ def _q_square_mean(sf_dir: str):
       aggregate), Cramer's-rule coefficients as a FIXED float tree,
       evaluated at every occupied pixel centroid.
       ``num_cell``=n, ``sum_n_chars``=floor(2^20·pred),
-      ``mean_n_chars``=the trend prediction."""
+      ``mean_n_chars``=the trend prediction.
+    * path='resample' — bilinear RESAMPLING of the char-sum raster
+      onto a finer 20° grid (:func:`rayraster.spatial.
+      resample_bilinear`): quantized tent-weight scatter (each source
+      pixel fans out closed-form, no join) + ONE grouped-sum exchange;
+      renormalized ``Σwv/Σw`` so partial stencils at the raster edge
+      stay exact.  ``num_cell``=contributing corners,
+      ``sum_n_chars``=Σ wq·v, ``mean_n_chars``=the resampled value."""
     from rayraster.spatial import (
-        idw_interpolate, kde_surface, trend_moments, trend_surface_fit,
+        idw_interpolate, kde_surface, resample_bilinear, trend_moments,
+        trend_surface_fit,
     )
 
     pts = load_doc_points(sf_dir).materialize()
@@ -274,7 +282,23 @@ def _q_square_mean(sf_dir: str):
     trend = out.map_batches(conform_trend, batch_format="pyarrow").map_batches(
         _tagger("trend"), batch_format="pyarrow"
     )
-    return base.union(idw, kde, trend)
+
+    rs = resample_bilinear(
+        out, "sum_n_chars", x0=spec.x0, y0=spec.y0,
+        src_res=RES, dst_res=_RS_RES, num_partitions=8,
+    )
+
+    def conform_rs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"ix": t["ix"], "iy": t["iy"], "cx": t["cx"], "cy": t["cy"],
+             "num_cell": t["n"], "sum_n_chars": t["sum_wv"],
+             "mean_n_chars": t["value"]}
+        )
+
+    rs = rs.map_batches(conform_rs, batch_format="pyarrow").map_batches(
+        _tagger("resample"), batch_format="pyarrow"
+    )
+    return base.union(idw, kde, trend, rs)
 
 
 def _q_celltype(sf_dir: str):
@@ -942,6 +966,7 @@ _RIPLEY_RADII = (10.0, 20.0, 30.0, 40.0)
 _VARIO_BIN = 30.0
 _VARIO_MAX = 75.0
 _TREND_SCALE = 256
+_RS_RES = 20.0  # resample-arm target resolution (RES 30° → 20°)
 
 
 _STRAT_RATES = {"en": 200000, "de": 50000}
@@ -1467,6 +1492,9 @@ def _sql_square_mean() -> str:
     from rayraster.spatial import _flit, idw_sql, kde_sql
 
     _TS = _flit(float(_TREND_SCALE))
+    _WSQ = _flit(1024.0)   # resample weight scale
+    _RSL = _flit(_RS_RES)  # target resolution
+    _SRL = _flit(RES)      # source resolution
 
     # the idw/kde arms need the raw point coords next to the clamped
     # cell ids and the data-derived origin as COLUMNS (idw_sql contract)
@@ -1537,6 +1565,44 @@ FROM (
          tc.a + tc.b * floor(c2.cx * {_TS})
               + tc.c * floor(c2.cy * {_TS}) AS pred
   FROM (SELECT ix, iy, cx, cy FROM cells2 GROUP BY 1, 2, 3, 4) c2, tc
+)
+UNION ALL
+SELECT ix, iy, cx, cy, num_cell, sum_wv AS sum_n_chars,
+       val AS mean_n_chars, 'resample' AS path
+FROM (
+  WITH rsrc AS (
+    SELECT ix, iy, CAST(SUM(n_chars) AS BIGINT) AS v
+    FROM cells2 GROUP BY ix, iy
+  ), rtx AS (
+    -- constant superset (generate_series takes no correlated bounds —
+    -- the chunk-windows kmax pattern); wq > 0 does the real bounding.
+    -- geocode coords are in [-180,180]x[-90,90], so 30-degree source
+    -- ix <= 12 and 20-degree target jx <= ceil(13*1.5)+2
+    SELECT jx FROM generate_series(-8, 48) t(jx)
+  ), rty AS (
+    SELECT jy FROM generate_series(-8, 48) t(jy)
+  ), rcand AS (
+    SELECT t1.jx, t2.jy, s.v,
+      CAST(floor({_WSQ} * greatest(
+        1.0 - abs(((b.x0 + (CAST(t1.jx AS DOUBLE) + 0.5) * {_RSL}) - b.x0)
+                  / {_SRL} - 0.5 - CAST(s.ix AS DOUBLE)), 0.0)) AS BIGINT)
+      * CAST(floor({_WSQ} * greatest(
+        1.0 - abs(((b.y0 + (CAST(t2.jy AS DOUBLE) + 0.5) * {_RSL}) - b.y0)
+                  / {_SRL} - 0.5 - CAST(s.iy AS DOUBLE)), 0.0)) AS BIGINT)
+        AS wq
+    FROM rtx t1, rty t2, rsrc s, bb b
+  ), ragg AS (
+    SELECT jx, jy, CAST(SUM(wq * v) AS BIGINT) AS sum_wv,
+           CAST(SUM(wq) AS BIGINT) AS sum_w,
+           CAST(COUNT(*) AS BIGINT) AS num_cell
+    FROM rcand WHERE wq > 0 GROUP BY jx, jy
+  )
+  SELECT r.jx AS ix, r.jy AS iy,
+         b.x0 + (CAST(r.jx AS DOUBLE) + 0.5) * {_RSL} AS cx,
+         b.y0 + (CAST(r.jy AS DOUBLE) + 0.5) * {_RSL} AS cy,
+         r.num_cell, r.sum_wv,
+         CAST(r.sum_wv AS DOUBLE) / CAST(r.sum_w AS DOUBLE) AS val
+  FROM ragg r, bb b
 )"""
 
 

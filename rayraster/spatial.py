@@ -277,6 +277,122 @@ def join_counts(
     return ns.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def resample_bilinear(
+    pixels: Dataset,
+    value_col: str,
+    x0: float,
+    y0: float,
+    src_res: float,
+    dst_res: float,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    weight_scale: int = 1024,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Bilinear raster RESAMPLING onto a new resolution sharing the
+    same origin — terra ``resample(method="bilinear")`` / gdalwarp
+    ``-r bilinear``: every target centroid takes the tent-weighted
+    mean of the ≤ 4 surrounding source pixel centroids.
+
+    Per-axis weight at target coordinate ``u = (t − x0)/src_res − ½``
+    (continuous source-index space): ``w = 1 − |u − ix|`` clipped at 0
+    — exactly the classical ``(1−fx)``/``fx`` pair, branch-free.
+    Weights are QUANTIZED (``wq = floor(scale·wx)·floor(scale·wy)``)
+    so per-target folds are int64 sums, and the single division
+    ``Σ wq·v / Σ wq`` happens last — RENORMALIZED bilinear: missing
+    corners simply don't contribute (the GDAL nodata convention), and
+    the ≤1-ulp floor loss cancels in the ratio.  Quantized-to-zero
+    corners are dropped on BOTH engines (``wq > 0``).
+
+    100-TB shape: pure SCATTER — each source pixel fans out to its
+    ≤ (2·src/dst+2)² candidate targets closed-form (no index, no
+    join), ONE grouped-sum exchange folds contributions
+    (:func:`rayraster.agg.hash_aggregate`).  ``value_col`` must be an
+    integer column (quantize float rasters first).
+
+    Returns ``(ix, iy, cx, cy, n, sum_wv, sum_w, value)`` — target
+    indices/centroids, contributing corner count, exact int64 sums,
+    and the resampled value.
+    """
+    from .agg import hash_aggregate
+
+    if src_res <= 0 or dst_res <= 0:
+        raise ValueError("resolutions must be positive")
+    ws = float(weight_scale)
+    rr = src_res / dst_res
+    kx = int(math.ceil(2.0 * rr)) + 2  # candidate targets per axis
+
+    def fan(t: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(t.schema.field(value_col).type):
+            raise TypeError(
+                f"resample_bilinear: {value_col!r} must be an integer column"
+            )
+        ix = t[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iy = t[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ix)
+        if n == 0:
+            return pa.table(
+                {"jx": pa.array([], pa.int64()), "jy": pa.array([], pa.int64()),
+                 "wv": pa.array([], pa.int64()), "w": pa.array([], pa.int64()),
+                 "one": pa.array([], pa.int64())}
+            )
+        # candidate target range per axis: wq > 0 requires
+        # |u − i| < 1 ⟺ t ∈ (x0+(i−½)·src, x0+(i+1½)·src)
+        jx_lo = np.ceil((ix.astype(np.float64) - 0.5) * rr - 0.5).astype(np.int64) - 1
+        jy_lo = np.ceil((iy.astype(np.float64) - 0.5) * rr - 0.5).astype(np.int64) - 1
+        offs = np.arange(kx, dtype=np.int64)
+        jxs = jx_lo[:, None] + offs[None, :]          # (n, kx)
+        jys = jy_lo[:, None] + offs[None, :]
+        # per-axis quantized tent weights at each candidate target
+        tx = x0 + (jxs.astype(np.float64) + 0.5) * dst_res
+        ux = (tx - x0) / src_res - 0.5
+        wx = np.floor(ws * np.maximum(1.0 - np.abs(ux - ix[:, None]), 0.0)
+                      ).astype(np.int64)
+        ty = y0 + (jys.astype(np.float64) + 0.5) * dst_res
+        uy = (ty - y0) / src_res - 0.5
+        wy = np.floor(ws * np.maximum(1.0 - np.abs(uy - iy[:, None]), 0.0)
+                      ).astype(np.int64)
+        # cross the axes: (n, kx, kx) contributions, keep wq > 0
+        wq = wx[:, :, None] * wy[:, None, :]
+        src = np.repeat(np.arange(n), kx * kx)
+        jx_f = np.repeat(jxs, kx, axis=1).reshape(-1)
+        jy_f = np.tile(jys, (1, kx)).reshape(-1)
+        wq_f = wq.reshape(-1)
+        keep = wq_f > 0
+        src, jx_f, jy_f, wq_f = src[keep], jx_f[keep], jy_f[keep], wq_f[keep]
+        return pa.table(
+            {"jx": pa.array(jx_f), "jy": pa.array(jy_f),
+             "wv": pa.array(wq_f * v[src]), "w": pa.array(wq_f),
+             "one": pa.array(np.ones(len(src), dtype=np.int64))}
+        )
+
+    folded = hash_aggregate(
+        pixels.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["jx", "jy"], sum_cols=["wv", "w", "one"], count=False,
+        num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        jx = t["jx"].to_numpy(zero_copy_only=False)
+        jy = t["jy"].to_numpy(zero_copy_only=False)
+        wv = t["sum_wv"].to_numpy(zero_copy_only=False)
+        w = t["sum_w"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"ix": pa.array(jx), "iy": pa.array(jy),
+             "cx": pa.array(x0 + (jx.astype(np.float64) + 0.5) * dst_res),
+             "cy": pa.array(y0 + (jy.astype(np.float64) + 0.5) * dst_res),
+             "n": t["sum_one"], "sum_wv": pa.array(wv), "sum_w": pa.array(w),
+             "value": pa.array(
+                 wv.astype(np.float64) / w.astype(np.float64)),
+             }
+        )
+
+    return folded.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def trend_moments(
     pts: Dataset,
     value_col: str,

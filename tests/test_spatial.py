@@ -1882,3 +1882,94 @@ def test_trend_surface_validations(ray_session):
             )),
             "v", scale=256,
         )  # |coord*scale| >= 2^31
+
+
+# ---------------------------------------------------------------------------
+# bilinear resampling (terra resample / gdalwarp -r bilinear)
+# ---------------------------------------------------------------------------
+
+
+def _brute_resample(px: dict, x0, y0, sres, dres, ws=1024.0):
+    """Pure-python renormalized bilinear with quantized tent weights."""
+    out = {}
+    ixs = [k[0] for k in px]
+    iys = [k[1] for k in px]
+    import math as m
+
+    jx_lo = m.floor((min(ixs) - 0.5) * sres / dres) - 2
+    jx_hi = m.ceil((max(ixs) + 1.5) * sres / dres) + 2
+    jy_lo = m.floor((min(iys) - 0.5) * sres / dres) - 2
+    jy_hi = m.ceil((max(iys) + 1.5) * sres / dres) + 2
+    for jx in range(jx_lo, jx_hi + 1):
+        for jy in range(jy_lo, jy_hi + 1):
+            tx = x0 + (jx + 0.5) * dres
+            ty = y0 + (jy + 0.5) * dres
+            ux = (tx - x0) / sres - 0.5
+            uy = (ty - y0) / sres - 0.5
+            wv = w = n = 0
+            for (ix, iy), v in px.items():
+                wx = m.floor(ws * max(1.0 - abs(ux - ix), 0.0))
+                wy = m.floor(ws * max(1.0 - abs(uy - iy), 0.0))
+                wq = wx * wy
+                if wq > 0:
+                    wv += wq * v
+                    w += wq
+                    n += 1
+            if n:
+                out[(jx, jy)] = (n, wv, w, wv / w)
+    return out
+
+
+def test_resample_bilinear_matches_brute(ray_session):
+    from rayraster.spatial import resample_bilinear
+
+    rng = np.random.default_rng(17)
+    keys = {(int(i), int(j)) for i, j in rng.integers(-6, 7, (60, 2))}
+    px = {k: int(rng.integers(1, 500)) for k in keys}
+    df = pd.DataFrame(
+        {"ix": [k[0] for k in px], "iy": [k[1] for k in px],
+         "v": np.array(list(px.values()), dtype=np.int64)}
+    )
+    got = (
+        resample_bilinear(
+            rd.from_pandas(df).repartition(3), "v",
+            x0=-10.0, y0=5.0, src_res=30.0, dst_res=20.0, num_partitions=6,
+        )
+        .to_pandas().set_index(["ix", "iy"]).sort_index()
+    )
+    want = _brute_resample(px, -10.0, 5.0, 30.0, 20.0)
+    assert set(got.index) == set(want)
+    for k, (n, wv, w, val) in want.items():
+        assert got.loc[k, "n"] == n
+        assert got.loc[k, "sum_wv"] == wv
+        assert got.loc[k, "sum_w"] == w
+        assert got.loc[k, "value"] == val
+
+
+def test_resample_bilinear_laws(ray_session):
+    from rayraster.spatial import resample_bilinear
+
+    # constant raster resamples to the constant exactly (renormalized)
+    df = pd.DataFrame(
+        {"ix": np.repeat(np.arange(5), 5), "iy": np.tile(np.arange(5), 5),
+         "v": np.full(25, 37, dtype=np.int64)}
+    )
+    got = resample_bilinear(
+        rd.from_pandas(df), "v", x0=0.0, y0=0.0, src_res=10.0, dst_res=7.0
+    ).to_pandas()
+    assert (got["value"] == 37.0).all()
+    # identity at equal resolutions: every aligned target equals its source
+    same = resample_bilinear(
+        rd.from_pandas(df), "v", x0=0.0, y0=0.0, src_res=10.0, dst_res=10.0
+    ).to_pandas().set_index(["ix", "iy"])
+    for i in range(5):
+        for j in range(5):
+            assert same.loc[(i, j), "value"] == 37.0
+            assert same.loc[(i, j), "n"] == 1  # only its own source
+    # float value column rejected
+    dff = df.assign(v=df["v"].astype(float))
+    with pytest.raises(Exception):
+        resample_bilinear(
+            rd.from_pandas(dff), "v", x0=0.0, y0=0.0, src_res=10.0,
+            dst_res=7.0,
+        ).to_pandas()
