@@ -3058,6 +3058,36 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
             }
         )
 
+    # twelfth path ('sssp'): weighted shortest-path distances over the
+    # SAME degree-varied graph with deterministic edge weights
+    # w = 1 + (src·7 + dst) mod 13 from seeds {0,1,2} — 12 synchronous
+    # min-plus Bellman-Jacobi rounds (graph.sssp; the twin unrolls the
+    # SAME 12 grouped-MIN folds, exact int64 at any round count, so
+    # the values match bit-for-bit even where unconverged)
+    from rayraster.graph import sssp
+
+    def edges_w(t: pa.Table) -> pa.Table:
+        e = edges_var(t)
+        s = e["src"].to_numpy(zero_copy_only=False)
+        d = e["dst"].to_numpy(zero_copy_only=False)
+        return e.append_column("w", pa.array(1 + (s * 7 + d) % np.int64(13)))
+
+    sp = sssp(
+        doc_ids.map_batches(edges_w, batch_format="pyarrow"),
+        [0, 1, 2],
+        rounds=_SSSP_ROUNDS,
+        edge_count=3 * n_docs,
+    )
+
+    def tag_sssp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["node"].cast(pa.int64()),
+                "pr": t["dist"].cast(pa.int64()),
+                "path": pa.array(["sssp"] * t.num_rows, type=pa.string()),
+            }
+        )
+
     # fourth path: exact distributed triangle count of the same graph's
     # undirected support (degree-oriented wedges — see graph.py) as a
     # single scalar row; the twin is the classic 3-way self-join
@@ -3235,6 +3265,7 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
         rd.from_arrow(tri_row),
         core.map_batches(tag_kcore, batch_format="pyarrow"),
         bfs.map_batches(tag_bfs, batch_format="pyarrow"),
+        sp.map_batches(tag_sssp, batch_format="pyarrow"),
         db.map_batches(tag_db, batch_format="pyarrow"),
         facc.map_batches(tag_flow, batch_format="pyarrow"),
         fbasin.map_batches(tag_basin, batch_format="pyarrow"),
@@ -3246,6 +3277,7 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
 _FLOW_ROUNDS = 16
 _BASIN_DOUBLINGS = 5
 _COST_ROUNDS = 8
+_SSSP_ROUNDS = 12
 
 
 def _sql_flow_ctes(rounds: int = _FLOW_ROUNDS) -> tuple[str, str]:
@@ -3442,6 +3474,31 @@ def _sql_kcore_ctes(k: int = 3, rounds: int = 12) -> tuple[str, str]:
     return ",\n".join(ctes), f"kcs{rounds}"
 
 
+def _sql_sssp_ctes(rounds: int = _SSSP_ROUNDS) -> tuple[str, str]:
+    """Unrolled-CTE twin of the d8 'sssp' arm: ``rounds`` synchronous
+    min-plus Bellman-Jacobi folds over the degree-varied graph (the
+    kcore twin's ``kce`` must precede) with the engine's deterministic
+    weights ``1 + (src·7 + dst) mod 13`` — each round is a grouped MIN
+    over (previous table ∪ relaxed candidates), identical iteration to
+    :func:`rayraster.graph.sssp`, exact int64 at any round count."""
+    ctes = [
+        """sse AS MATERIALIZED (
+  SELECT src, dst, 1 + (src*7 + dst) % 13 AS w FROM kce)""",
+        """ss0 AS MATERIALIZED (
+  SELECT CAST(v AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+  FROM (VALUES (0), (1), (2)) t(v))""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""ss{r} AS MATERIALIZED (
+  SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM (
+    SELECT node, dist AS d FROM ss{r-1}
+    UNION ALL
+    SELECT e.dst AS node, n.dist + e.w AS d
+    FROM sse e JOIN ss{r-1} n ON n.node = e.src
+  ) GROUP BY node)""")
+    return ",\n".join(ctes), f"ss{rounds}"
+
+
 def _sql_neardup_dedup_pipeline() -> str:
     # the CTE chain must head the WHOLE query (WITH cannot start a
     # UNION ALL arm), so the twin is spliced in as the leading SELECT
@@ -3472,8 +3529,9 @@ bfsr AS (
     fb_ctes, fb_final = _sql_basin_ctes()
     fc_ctes, fc_final = _sql_cost_ctes()
     al_ctes, al_final = _sql_alloc_ctes()
+    sp_ctes, sp_final = _sql_sssp_ctes()
     pr = (
-        f"{head},\n{kc_ctes},\n{fl_ctes},\n{fb_ctes},\n{fc_ctes},\n"
+        f"{head},\n{kc_ctes},\n{sp_ctes},\n{fl_ctes},\n{fb_ctes},\n{fc_ctes},\n"
         f"{al_ctes},\n{bfs_ctes}\n"
         f"SELECT node AS doc_id{tail}\n"
         "UNION ALL\n"
@@ -3482,6 +3540,9 @@ bfsr AS (
         "UNION ALL\n"
         "SELECT node AS doc_id, CAST(MIN(depth) AS BIGINT) AS pr, "
         "'bfs' AS path FROM bfsr GROUP BY node\n"
+        "UNION ALL\n"
+        "SELECT node AS doc_id, dist AS pr, 'sssp' AS path "
+        f"FROM {sp_final}\n"
         "UNION ALL\n"
         "SELECT ix * 4294967296 + iy AS doc_id, acc AS pr, 'flow' AS path "
         f"FROM {fl_final}\n"

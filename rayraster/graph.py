@@ -991,3 +991,222 @@ def k_core(
         f"k_core did not converge within {max_rounds} kill-rounds — "
         "raise max_rounds for pathologically deep peeling chains"
     )
+
+
+def sssp(
+    edges: Dataset,
+    sources,
+    weight_col: str = "w",
+    rounds: int = 12,
+    num_buckets: int = 64,
+    edge_count: int | None = None,
+    broadcast_threshold: int = 1_000_000,
+) -> Dataset:
+    """Multi-source weighted shortest-path distances (directed) —
+    link-distance from a seed set over a weighted crawl graph, the
+    weighted companion of :func:`bfs_depths` (hops) and the
+    general-graph companion of :func:`rayraster.spatial.cost_distance`
+    (grid min-plus).  No reference counterpart (SEraster has no graph
+    ops); the pattern is the textbook synchronous Bellman–Ford /
+    min-plus Jacobi.
+
+    Runs EXACTLY ``rounds`` synchronous relaxation rounds (with an
+    early exit once a round changes nothing — bit-identical to the
+    fixed unroll because relaxation is idempotent at the fixpoint):
+    after round ``r`` every node holds the cheapest path that uses at
+    most ``r`` edges, so the result equals the true distance for all
+    nodes whose shortest path has ≤ ``rounds`` edges.  Grouped-MIN
+    folds are order-independent ⇒ the result is bit-identical across
+    partitionings, cluster sizes and an unrolled-CTE SQL twin.
+
+    Weights must be int64 ≥ 0 (checked on every batch — a negative
+    weight would silently break the ≤-r-edges invariant).  Distances
+    are exact int64 sums; every relaxation checks the exact
+    ``dist + weight`` bound with Python ints and raises before an
+    int64 wrap could corrupt a MIN fold.
+
+    Like :func:`bfs_depths`, the distance table is O(reachable nodes)
+    — tiny next to the edge table — so the round has two shapes picked
+    by the CURRENT state size:
+
+    * state ≤ ``broadcast_threshold`` rows (the usual case): the
+      (sorted ids, dists) pair lives on the driver, ships once per
+      round via ``ray.put``, and the whole round is ONE map-only
+      relax pass over the distributed edge Dataset with per-batch
+      grouped-MIN combiners — ZERO exchanges per round.
+    * above it: state spills into a Dataset mid-flight; each round is
+      a src-bucket co-location exchange (per-bucket local join +
+      relax + combiner) followed by one grouped-MIN fold — nothing
+      driver-side.
+
+    Returns a Dataset of ``(node, dist)``; unreached nodes are absent.
+    """
+    import ray
+    import ray.data as rd
+
+    if rounds < 1:
+        raise ValueError(f"sssp: rounds must be >= 1, got {rounds}")
+    src_ids = np.unique(np.asarray(list(sources), dtype=np.int64))
+    if len(src_ids) == 0:
+        raise ValueError("sssp: need at least one source node")
+
+    P = _adaptive_parts(edge_count, num_buckets)
+    ecols = ["src", "dst", weight_col]
+
+    def _relax_np(
+        s: np.ndarray, d: np.ndarray, w: np.ndarray,
+        ids: np.ndarray, dv: np.ndarray,
+    ) -> pa.Table:
+        """Candidate (dst, dist+w) rows for edges whose src is settled,
+        pre-folded to one MIN per dst — the per-batch combiner."""
+        if w.size and int(w.min()) < 0:
+            raise ValueError("sssp: edge weights must be >= 0")
+        if len(ids) == 0 or s.size == 0:
+            return pa.table({"node": pa.array([], type=pa.int64()),
+                             "dist": pa.array([], type=pa.int64())})
+        pos = np.searchsorted(ids, s).clip(0, len(ids) - 1)
+        hit = ids[pos] == s
+        if not hit.any():
+            return pa.table({"node": pa.array([], type=pa.int64()),
+                             "dist": pa.array([], type=pa.int64())})
+        hd = dv[pos[hit]]
+        hw = w[hit]
+        if int(hd.max()) + int(hw.max()) >= 2**63:  # exact Python ints
+            raise ValueError(
+                "sssp: dist + weight would overflow int64 — rescale weights"
+            )
+        cand = hd + hw
+        dsts = d[hit]
+        order = np.argsort(dsts, kind="stable")
+        u, start = np.unique(dsts[order], return_index=True)
+        return pa.table({"node": pa.array(u),
+                         "dist": pa.array(np.minimum.reduceat(cand[order], start))})
+
+    def _edge_np(t: pa.Table):
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return s, d, w
+
+    # driver-mode state (None once spilled)
+    ids: np.ndarray | None = src_ids
+    dv: np.ndarray | None = np.zeros(len(src_ids), dtype=np.int64)
+    dist_ds: Dataset | None = None
+    if len(src_ids) > broadcast_threshold:
+        dist_ds = rd.from_arrow(
+            pa.table({"node": pa.array(src_ids),
+                      "dist": pa.array(np.zeros(len(src_ids), dtype=np.int64))})
+        ).materialize()
+        ids = dv = None
+
+    for _ in range(rounds):
+        if ids is not None:
+            ref = ray.put((ids, dv))
+
+            def relax(t: pa.Table, _ref=ref) -> pa.Table:
+                i, v = ray.get(_ref)
+                return _relax_np(*_edge_np(t), i, v)
+
+            parts = [
+                b for b in edges.select_columns(ecols).map_batches(
+                    relax, batch_format="pyarrow", zero_copy_batch=True
+                ).iter_batches(batch_format="pyarrow")
+                if b.num_rows
+            ]
+            if not parts:
+                break
+            cand = pa.concat_tables(parts)
+            cn = cand["node"].to_numpy(zero_copy_only=False)
+            cd = cand["dist"].to_numpy(zero_copy_only=False)
+            order = np.argsort(cn, kind="stable")
+            u, start = np.unique(cn[order], return_index=True)
+            m = np.minimum.reduceat(cd[order], start)
+            # fold with the settled table: min per node, new nodes enter
+            all_ids = np.union1d(ids, u)
+            nd = np.full(len(all_ids), np.iinfo(np.int64).max, dtype=np.int64)
+            nd[np.searchsorted(all_ids, ids)] = dv
+            cpos = np.searchsorted(all_ids, u)
+            np.minimum.at(nd, cpos, m)
+            if len(all_ids) == len(ids) and np.array_equal(nd, dv):
+                break  # fixpoint: further rounds are identity
+            ids, dv = all_ids, nd
+            if len(ids) > broadcast_threshold:
+                dist_ds = rd.from_arrow(
+                    pa.table({"node": pa.array(ids), "dist": pa.array(dv)})
+                ).materialize()
+                ids = dv = None
+            continue
+
+        # partitioned shape: co-locate dist rows with their src bucket
+        def tag(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_bucket",
+                pa.array(key_bucket(t["node"].combine_chunks(), P)),
+            )
+
+        def tag_edges(t: pa.Table) -> pa.Table:
+            return t.select(ecols).append_column(
+                "_bucket",
+                pa.array(key_bucket(t["src"].cast(pa.int64()).combine_chunks(), P)),
+            )
+
+        def relax_bucket(g: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            st = g.filter(pc.invert(pc.is_null(g["dist"])))
+            ed = g.filter(pc.is_null(g["dist"]))
+            if st.num_rows == 0 or ed.num_rows == 0:
+                return pa.table({"node": pa.array([], type=pa.int64()),
+                                 "dist": pa.array([], type=pa.int64())})
+            i = st["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = st["dist"].to_numpy(zero_copy_only=False).astype(np.int64)
+            o = np.argsort(i, kind="stable")
+            s = ed["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = ed["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = ed[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return _relax_np(s, d, w, i[o], v[o])
+
+        # one co-location exchange: dist rows (src=dst=w NULL) union
+        # edge rows (dist NULL) grouped by the src bucket
+        def dist_rows(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            null = pa.nulls(n, pa.int64())
+            return pa.table({"node": t["node"], "dist": t["dist"],
+                             "src": null, "dst": null, weight_col: null})
+
+        def edge_rows(t: pa.Table) -> pa.Table:
+            t = t.select(ecols)
+            n = t.num_rows
+            null = pa.nulls(n, pa.int64())
+            return pa.table({"node": t["src"].cast(pa.int64()), "dist": null,
+                             "src": t["src"].cast(pa.int64()),
+                             "dst": t["dst"].cast(pa.int64()),
+                             weight_col: t[weight_col].cast(pa.int64())})
+
+        mixed = dist_ds.map_batches(dist_rows, batch_format="pyarrow").union(
+            edges.map_batches(edge_rows, batch_format="pyarrow")
+        )
+        cands = (
+            mixed.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(relax_bucket, batch_format="pyarrow")
+        )
+        folded = hash_aggregate(
+            cands.union(dist_ds),
+            keys=["node"],
+            min_cols=["dist"],
+            count=False,
+            num_partitions=P,
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "dist": t["min_dist"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        # monotone checksum: count can only grow, sum(dist) only shrink
+        if (folded.count() == dist_ds.count()
+                and folded.sum("dist") == dist_ds.sum("dist")):
+            break
+        dist_ds = folded
+
+    if ids is not None:
+        return rd.from_arrow(pa.table({"node": pa.array(ids), "dist": pa.array(dv)}))
+    return dist_ds

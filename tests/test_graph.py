@@ -450,3 +450,92 @@ def test_k_core_all_round_shapes_agree(ray_session):
     assert run(edge_count=m) == want                      # driver rounds
     assert run(broadcast_threshold=0) == want             # all-dataset
     assert run(edge_count=m, broadcast_threshold=2) == want  # mixed
+
+
+def _local_sssp(src, dst, w, sources, rounds):
+    """Synchronous Bellman-Jacobi in plain Python — exact per-round
+    semantics (<= r edges after round r), Python ints so no overflow."""
+    dist = {int(s): 0 for s in sources}
+    for _ in range(rounds):
+        nd = dict(dist)
+        for a, b, ww in zip(src, dst, w):
+            a, b, ww = int(a), int(b), int(ww)
+            if a in dist:
+                c = dist[a] + ww
+                if b not in nd or c < nd[b]:
+                    nd[b] = c
+        if nd == dist:
+            break
+        dist = nd
+    return dist
+
+
+def test_sssp_matches_local_reference(ray_session):
+    from rayraster.graph import sssp
+
+    rng = np.random.default_rng(17)
+    n, m = 200, 900
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    w = rng.integers(0, 25, m).astype(np.int64)
+    edges = rd.from_arrow(
+        pa.table({"src": src, "dst": dst, "w": w})
+    ).repartition(6)
+    want = _local_sssp(src, dst, w, [0, 3], rounds=40)
+
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp(edges, [0, 3], rounds=40).take_all()
+    }
+    assert got == want
+
+
+def test_sssp_shapes_agree_even_unconverged(ray_session):
+    """Driver-state and partitioned rounds are the SAME synchronous
+    relaxation — bit-equal per round, including before convergence."""
+    from rayraster.graph import sssp
+
+    rng = np.random.default_rng(23)
+    n, m = 120, 500
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    w = rng.integers(1, 9, m).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst, "w": w}))
+
+    for rounds in (2, 5):
+        a = sorted(
+            (r["node"], r["dist"])
+            for r in sssp(edges, [7], rounds=rounds).take_all()
+        )
+        b = sorted(
+            (r["node"], r["dist"])
+            for r in sssp(
+                edges, [7], rounds=rounds, broadcast_threshold=1
+            ).take_all()
+        )
+        assert a == b == sorted(
+            _local_sssp(src, dst, w, [7], rounds).items()
+        )
+
+
+def test_sssp_validations(ray_session):
+    from rayraster.graph import sssp
+
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array([0], type=pa.int64()),
+                  "dst": pa.array([1], type=pa.int64()),
+                  "w": pa.array([-1], type=pa.int64())})
+    )
+    with pytest.raises(ValueError, match="at least one source"):
+        sssp(edges, [])
+    with pytest.raises(ValueError, match="rounds"):
+        sssp(edges, [0], rounds=0)
+    with pytest.raises(Exception, match="weights must be >= 0"):
+        sssp(edges, [0]).materialize()
+    big = rd.from_arrow(
+        pa.table({"src": pa.array([0, 1], type=pa.int64()),
+                  "dst": pa.array([1, 2], type=pa.int64()),
+                  "w": pa.array([2**62, 2**62], type=pa.int64())})
+    )
+    with pytest.raises(Exception, match="overflow"):
+        sssp(big, [0], rounds=3).materialize()
