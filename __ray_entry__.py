@@ -4663,7 +4663,31 @@ def _q_langid(sf_dir: str):
              "path": pa.array(["oov"] * t.num_rows, type=pa.string())}
         )
 
-    return lang.union(ov.map_batches(conform_oov, batch_format="pyarrow"))
+    # third arm 'nb': supervised multinomial Naive Bayes
+    # (textops.nb_train / nb_score) trained on the corpus's own lang
+    # labels and scored back over the corpus — distributed
+    # (label, word) count fold, model = the one bounded driver
+    # materialization, scoring map-only with the model broadcast via
+    # ray.put.  Scores are exact int64 sums of libm-repaired
+    # floor(q·ln((c+1)/(tot+V))) terms, so the twin (same IEEE
+    # divisions in SQL) matches bit-for-bit; lang_conf carries the
+    # score (|score| « 2^53 ⇒ the double cast is exact).
+    from rayraster.textops import nb_score, nb_train
+
+    labeled = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+    nb = nb_score(labeled, nb_train(labeled, num_partitions=16))
+
+    def conform_nb(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang_pred": t["nb_pred"],
+             "lang_conf": t["nb_score_q"].cast(pa.float64()),
+             "path": pa.array(["nb"] * t.num_rows, type=pa.string())}
+        )
+
+    return lang.union(
+        ov.map_batches(conform_oov, batch_format="pyarrow"),
+        nb.map_batches(conform_nb, batch_format="pyarrow"),
+    )
 
 
 def _q_fingerprint(sf_dir: str):
@@ -6061,6 +6085,47 @@ cov AS (
   FROM toks t LEFT JOIN vocab v USING (word)
   WHERE t.word <> ''
   GROUP BY t.doc_id
+),
+nbt AS (
+  SELECT t.doc_id, d.lang, t.word
+  FROM toks t JOIN documents d USING (doc_id) WHERE t.word <> ''
+),
+nbv AS (SELECT COUNT(DISTINCT word) AS V FROM nbt),
+nbc AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+        FROM nbt GROUP BY lang, word),
+nbp AS (
+  SELECT d.lang,
+         CAST(FLOOR(1048576 * LN(CAST(COUNT(*) AS DOUBLE)
+              / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)))
+              AS BIGINT) AS pq
+  FROM documents d GROUP BY d.lang
+),
+nbtot AS (
+  SELECT p.lang, COALESCE(t.tot, 0) AS tot
+  FROM nbp p LEFT JOIN (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS tot FROM nbt GROUP BY lang
+  ) t USING (lang)
+),
+nblq AS (
+  SELECT tt.lang, w.word,
+         CAST(FLOOR(1048576 * LN(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+              / CAST(tt.tot + v.V AS DOUBLE))) AS BIGINT) AS lq
+  FROM (SELECT DISTINCT word FROM nbt) w
+  CROSS JOIN nbtot tt CROSS JOIN nbv v
+  LEFT JOIN nbc c ON c.lang = tt.lang AND c.word = w.word
+),
+nbs AS (
+  SELECT tk.doc_id, l.lang, CAST(SUM(l.lq) AS BIGINT) AS s
+  FROM nbt tk JOIN nblq l ON l.word = tk.word
+  GROUP BY tk.doc_id, l.lang
+),
+nbbest AS (
+  SELECT d.doc_id, p.lang, COALESCE(s.s, 0) + p.pq AS score,
+         ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                            ORDER BY COALESCE(s.s, 0) + p.pq DESC,
+                                     p.lang ASC) AS rn
+  FROM documents d CROSS JOIN nbp p
+  LEFT JOIN nbs s ON s.doc_id = d.doc_id AND s.lang = p.lang
 )
 SELECT doc_id, {pred} AS lang_pred, {conf} AS lang_conf, 'lang' AS path
 FROM m
@@ -6072,7 +6137,11 @@ SELECT d.doc_id,
             THEN CAST(c.n_oov AS DOUBLE) / CAST(c.n_tokens AS DOUBLE)
             ELSE 0.0 END AS lang_conf,
        'oov' AS path
-FROM documents d LEFT JOIN cov c USING (doc_id)"""
+FROM documents d LEFT JOIN cov c USING (doc_id)
+UNION ALL
+SELECT doc_id, lang AS lang_pred, CAST(score AS DOUBLE) AS lang_conf,
+       'nb' AS path
+FROM nbbest WHERE rn = 1"""
 
 
 def _sql_fingerprint() -> str:

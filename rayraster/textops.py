@@ -3204,3 +3204,174 @@ def pattern_counts(
         return pa.table(cols)
 
     return docs.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def nb_train(
+    ds,
+    text_col: str = "text",
+    label_col: str = "lang",
+    num_partitions: int = 64,
+    max_vocab: int | None = None,
+    q: int = _LM_Q,
+) -> dict:
+    """Train a multinomial Naive Bayes text classifier — the classic
+    supervised companion of the heuristic :class:`LangIdStage`
+    (McCallum & Nigam 1998; language/domain/topic classification in
+    curation pipelines).  No reference counterpart (SEraster has no
+    text ops); the distributed shape is the same grouped-count fold as
+    :func:`vocab_topk`.
+
+    Counts are gathered distributedly — per-batch ``(label, word)``
+    partial ``group_by`` counts folded through ONE hash-partitioned
+    exchange — and only the model itself (vocab × classes) lands on
+    the driver: the broadcast-side contract.  ``max_vocab`` caps the
+    feature space to the top-V words by (corpus frequency desc, word
+    asc) — the standard feature-selection escape hatch when the full
+    vocabulary would not fit a worker heap; out-of-vocab tokens are
+    then dropped at both train and score time.
+
+    Probabilities are add-one smoothed exact integer ratios
+    ``(c+1)/(tot_c+V)`` quantized through :func:`_floor_q_log`
+    (libm-repaired ``floor(q·ln r)``), so every score is an exact
+    int64 sum — bit-identical across partitionings, cluster sizes and
+    a SQL twin using ``FLOOR(q*LN(...))`` on the same IEEE divisions.
+
+    Returns the model dict consumed by :func:`nb_score`.
+    """
+    from rayraster.agg import hash_aggregate
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        flat, doc = _split_words_flat(_combined(t[text_col]))
+        labels = _combined(t[label_col]).take(pa.array(doc))
+        g = (
+            pa.table({"label": labels, "word": flat})
+            .group_by(["label", "word"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"label": g["label"], "word": g["word"],
+             "c": g["count_all"].cast(pa.int64())}
+        )
+
+    folded = hash_aggregate(
+        ds.map_batches(pair_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["label", "word"],
+        sum_cols=["c"],
+        count=False,
+        num_partitions=num_partitions,
+    )
+    # the model is the ONE driver materialization (vocab × classes —
+    # the broadcast side), same contract as vocab_topk's k rows
+    counts = pa.concat_tables(folded.iter_batches(batch_format="pyarrow"))
+    lab = np.asarray(counts["label"].to_pylist(), dtype=object)
+    wrd = np.asarray(counts["word"].to_pylist(), dtype=object)
+    cnt = counts["sum_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    if max_vocab is not None:
+        if max_vocab < 1:
+            raise ValueError(f"nb_train: max_vocab must be >= 1, got {max_vocab}")
+        uw, inv = np.unique(wrd, return_inverse=True)
+        freq = np.bincount(inv, weights=cnt.astype(np.float64)).astype(np.int64)
+        order = np.lexsort((uw, -freq))[:max_vocab]  # freq desc, word asc
+        keep_words = set(uw[order].tolist())
+        m = np.fromiter((w in keep_words for w in wrd), dtype=bool, count=len(wrd))
+        lab, wrd, cnt = lab[m], wrd[m], cnt[m]
+    if len(wrd) == 0:
+        raise ValueError("nb_train: empty corpus (no tokens)")
+
+    # priors from per-label doc counts (second tiny fold)
+    def lab_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"label": t[label_col]})
+
+    pri = pa.concat_tables(
+        hash_aggregate(
+            ds.map_batches(lab_rows, batch_format="pyarrow"),
+            keys=["label"], count=True, count_name="nd",
+            num_partitions=min(num_partitions, 16),
+        ).iter_batches(batch_format="pyarrow")
+    )
+    plab = np.asarray(pri["label"].to_pylist(), dtype=object)
+    pnd = pri["nd"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_docs = int(pnd.sum())
+
+    # classes = ALL labels seen in docs (a label whose every doc is
+    # empty text still gets a column — its likelihoods are the pure
+    # add-one floor 1/V, matching a twin that outer-joins token totals)
+    classes = np.unique(np.concatenate([lab, plab]))
+    vocab = np.unique(wrd)
+    V, C = len(vocab), len(classes)
+    M = np.zeros((V, C), dtype=np.int64)
+    M[np.searchsorted(vocab, wrd), np.searchsorted(classes, lab)] = cnt
+    tot = M.sum(axis=0)
+    nd = np.zeros(C, dtype=np.int64)
+    nd[np.searchsorted(classes, plab)] = pnd
+
+    # the FIXED expression tree both engines evaluate: one IEEE
+    # division, then floor(q·ln) with libm boundary repair
+    denom = (tot + V).astype(np.float64)
+    lq = _floor_q_log(((M + 1).astype(np.float64) / denom).reshape(-1), q)
+    lq = lq.reshape(V, C)
+    miss_lq = _floor_q_log(1.0 / denom, q)
+    with np.errstate(divide="ignore"):
+        prior_lq = _floor_q_log(
+            np.where(nd > 0, nd, 1).astype(np.float64) / float(n_docs), q
+        )
+    prior_lq = np.where(nd > 0, prior_lq, np.int64(np.iinfo(np.int64).min // 4))
+    return {
+        "classes": classes.tolist(),
+        "vocab": pa.array(vocab.tolist(), type=pa.string()),
+        "lq": lq,
+        "miss_lq": miss_lq,
+        "prior_lq": prior_lq,
+        "q": int(q),
+        "drop_oov": max_vocab is not None,
+    }
+
+
+def nb_score(
+    ds,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Score documents with an :func:`nb_train` model — map-only, the
+    model broadcast ONCE via ``ray.put`` and read per actor, one C++
+    ``index_in`` vocab probe + one matrix gather per batch.
+
+    Returns ``(id_col, nb_pred, nb_score_q)``: the argmax class (ties
+    → lexicographically smallest, matching a ``ROW_NUMBER(score DESC,
+    class ASC)`` twin) and its exact int64 quantized log-score
+    ``floor_q_log(prior) + Σ_tokens floor_q_log(P(w|class))``.
+    Out-of-vocab tokens contribute the add-one floor ``1/(tot_c+V)``
+    unless the model was vocab-capped (then they are dropped, the
+    feature-selection semantics)."""
+    import ray
+
+    classes = model["classes"]
+    ref = ray.put((model["vocab"], model["lq"], model["miss_lq"],
+                   model["prior_lq"], model["drop_oov"]))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, lq, miss_lq, prior_lq, drop_oov = ray.get(ref)
+        n = t.num_rows
+        flat, doc = _split_words_flat(_combined(t[text_col]))
+        scores = np.tile(prior_lq, (n, 1))
+        if len(flat):
+            idx = pc.index_in(flat, value_set=vocab)
+            valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+            iv = idx.to_numpy(zero_copy_only=False)
+            if valid.any():
+                np.add.at(scores, doc[valid], lq[iv[valid].astype(np.int64)])
+            if not drop_oov and (~valid).any():
+                nmiss = np.bincount(doc[~valid], minlength=n).astype(np.int64)
+                scores += nmiss[:, None] * miss_lq[None, :]
+        best = np.argmax(scores, axis=1)  # first max = smallest class
+        return pa.table({
+            id_col: t[id_col],
+            "nb_pred": pa.array(np.asarray(classes, dtype=object)[best],
+                                type=pa.string()),
+            "nb_score_q": pa.array(scores[np.arange(n), best]),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

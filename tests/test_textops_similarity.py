@@ -1767,3 +1767,126 @@ def test_kn_partition_invariance(ray_session):
             ref = got
         else:
             pd.testing.assert_frame_equal(got, ref)
+
+
+def _nb_local(docs, q=None):
+    """Plain-Python NB reference: add-one smoothing, floor(q*ln)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from rayraster.textops import _LM_Q
+
+    q = q or _LM_Q
+    cnt = defaultdict(Counter)
+    nd = Counter()
+    vocab = set()
+    for _, lab, txt in docs:
+        nd[lab] += 1
+        for w in txt.split():
+            cnt[lab][w] += 1
+            vocab.add(w)
+    V = len(vocab)
+    classes = sorted(nd)
+    n = len(docs)
+
+    def fql(r):
+        return math.floor(q * math.log(r))
+
+    out = {}
+    for i, _, txt in docs:
+        best = None
+        for c in classes:
+            tot = sum(cnt[c].values())
+            s = fql(nd[c] / n)
+            for w in txt.split():
+                s += fql((cnt[c][w] + 1) / (tot + V))
+            if best is None or s > best[1]:
+                best = (c, s)
+        out[i] = best
+    return out
+
+
+def test_nb_matches_local_reference(ray_session):
+    from rayraster.textops import nb_score, nb_train
+
+    docs = [
+        (0, "en", "the cat sat on the mat"),
+        (1, "en", "the dog ate the bone"),
+        (2, "fr", "le chat est sur le tapis"),
+        (3, "fr", "le chien mange le os"),
+        (4, "de", "der hund isst den knochen"),
+        (5, "en", "cat and dog and mat"),
+        (6, "fr", "chat et chien"),
+        (7, "de", ""),  # empty text: prior-only score, still classed
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "lang": pa.array([d[1] for d in docs]),
+        "text": pa.array([d[2] for d in docs]),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    model = nb_train(ds, num_partitions=4)
+    got = {
+        r["doc_id"]: (r["nb_pred"], r["nb_score_q"])
+        for r in nb_score(ds, model).take_all()
+    }
+    assert got == _nb_local(docs)
+    # non-empty training docs classify as their own language here
+    assert all(got[i][0] == docs[i][1] for i in range(7))
+
+
+def test_nb_unseen_words_and_vocab_cap(ray_session):
+    from rayraster.textops import nb_score, nb_train, _LM_Q
+    import math
+
+    train = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "lang": pa.array(["a", "b"]),
+        "text": pa.array(["x x y", "z z w"]),
+    })
+    ds = rd.from_arrow(train)
+    model = nb_train(ds, num_partitions=2)
+    # score a doc whose words were never trained: every token takes the
+    # add-one floor 1/(tot_c+V) — still deterministic and comparable
+    test = rd.from_arrow(pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "text": pa.array(["qq rr"]),
+    }))
+    [row] = nb_score(test, model).take_all()
+    fql = lambda r: math.floor(_LM_Q * math.log(r))
+    want = fql(1 / 2) + 2 * fql(1 / (3 + 4))  # both classes equal …
+    assert row["nb_score_q"] == want
+    assert row["nb_pred"] == "a"  # … tie → lexicographically smallest
+
+    # cap to top-2 words (freq desc, word asc): x and z survive; OOV
+    # tokens are DROPPED under a cap (feature-selection semantics)
+    capped = nb_train(ds, num_partitions=2, max_vocab=2)
+    assert capped["vocab"].to_pylist() == ["x", "z"]
+    [r2] = nb_score(test, capped).take_all()
+    assert r2["nb_score_q"] == fql(1 / 2)  # prior only: both tokens OOV
+
+    with pytest.raises(ValueError, match="max_vocab"):
+        nb_train(ds, max_vocab=0)
+
+
+def test_nb_partitioning_invariance(ray_session):
+    from rayraster.textops import nb_score, nb_train
+
+    rng = np.random.default_rng(11)
+    words = np.array(["alpha", "beta", "gamma", "delta", "eps"])
+    texts = [" ".join(rng.choice(words, rng.integers(1, 12))) for _ in range(80)]
+    t = pa.table({
+        "doc_id": pa.array(range(80), pa.int64()),
+        "lang": pa.array([("x" if i % 3 else "y") for i in range(80)]),
+        "text": pa.array(texts),
+    })
+
+    def run(parts, np_):
+        ds = rd.from_arrow(t).repartition(parts)
+        m = nb_train(ds, num_partitions=np_)
+        return sorted(
+            (r["doc_id"], r["nb_pred"], r["nb_score_q"])
+            for r in nb_score(ds, m).take_all()
+        )
+
+    assert run(2, 4) == run(7, 16)
