@@ -1473,7 +1473,76 @@ def _q_raster_to_vector(sf_dir: str):
         )
 
     jcd = jc.map_batches(vec_jc, batch_format="pyarrow")
-    return sq.union(hx, rg, pm, ct, sg, fs, fm, gw, zd, sp, jcd)
+
+    # thirteenth arm (grid='overlay') + fourteenth (grid='crosstab'):
+    # two-raster local map algebra + the contingency table
+    # (rayraster/spatial.py raster_overlay / raster_crosstab — ONE
+    # co-location exchange each, union fold instead of a join).
+    # Layer A = sum(n_chars) over ALL docs; layer B = the SAME
+    # statistic over the lang='en' subset on the SHARED GridSpec
+    # (spec=aspec — the two-layer alignment contract); overlay is
+    # outer with fill 0 (B's extent ⊆ A's, so the twin is a LEFT
+    # JOIN + COALESCE), crosstab classes are sum%5 × sum%3 over the
+    # inner extent.
+    from rayraster.spatial import raster_crosstab, raster_overlay
+
+    vpts = load_doc_points(sf_dir)
+    acells, aspec = _rf(vpts, RES, ["n_chars"], fun="sum", with_meta=False)
+
+    def only_en(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["lang"], "en"))
+
+    ecells, _ = _rf(
+        vpts.map_batches(only_en, batch_format="pyarrow"),
+        RES, ["n_chars"], spec=aspec, fun="sum", with_meta=False,
+    )
+    # both layers feed the overlay AND the crosstab — rasterize once
+    acells = acells.select_columns(["ix", "iy", "sum_n_chars"]).materialize()
+    ecells = ecells.select_columns(["ix", "iy", "sum_n_chars"]).materialize()
+
+    ov = raster_overlay(
+        acells, ecells, "sum_n_chars", "sum_n_chars",
+        ops={"v_add": "add", "v_min": "min"}, how="outer",
+        num_partitions=8,
+    )
+
+    def vec_ov(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"grid": pa.array(["overlay"] * t.num_rows, type=pa.string()),
+             "ix": t["ix"], "iy": t["iy"],
+             "px1": t["a"].cast(pa.float64()),
+             "py1": t["b"].cast(pa.float64()),
+             "px2": t["v_add"].cast(pa.float64()),
+             "py2": t["v_min"].cast(pa.float64())}
+        )
+
+    ovd = ov.map_batches(vec_ov, batch_format="pyarrow")
+
+    def cls_mod(m: int):
+        def f(t: pa.Table) -> pa.Table:
+            s = t["sum_n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"ix": t["ix"], "iy": t["iy"],
+                             "cls": pa.array(s % np.int64(m))})
+        return f
+
+    ctab = raster_crosstab(
+        acells.map_batches(cls_mod(5), batch_format="pyarrow"),
+        ecells.map_batches(cls_mod(3), batch_format="pyarrow"),
+        "cls", "cls", num_partitions=8,
+    )
+
+    def vec_ctab(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, dtype=np.float64))
+        return pa.table(
+            {"grid": pa.array(["crosstab"] * t.num_rows, type=pa.string()),
+             "ix": t["ca"], "iy": t["cb"],
+             "px1": t["n"].cast(pa.float64()), "py1": z, "px2": z, "py2": z}
+        )
+
+    ctd = ctab.map_batches(vec_ctab, batch_format="pyarrow")
+    return sq.union(hx, rg, pm, ct, sg, fs, fm, gw, zd, sp, jcd, ovd, ctd)
 
 
 # --------------------------------------------------------------------------
@@ -2036,7 +2105,45 @@ SELECT 'jc' AS grid, p.ix, p.iy,
          AS px2,
        CAST(COUNT(q.ix) AS DOUBLE) AS py2
 FROM jcv p LEFT JOIN jcv q ON abs(q.ix - p.ix) + abs(q.iy - p.iy) = 1
-GROUP BY p.ix, p.iy, p.v)"""
+GROUP BY p.ix, p.iy, p.v)
+UNION ALL
+SELECT * FROM (WITH {_ovl_px()}
+SELECT 'overlay' AS grid, a.ix, a.iy,
+       CAST(a.s AS DOUBLE) AS px1,
+       CAST(COALESCE(e.s, 0) AS DOUBLE) AS py1,
+       CAST(a.s + COALESCE(e.s, 0) AS DOUBLE) AS px2,
+       CAST(LEAST(a.s, COALESCE(e.s, 0)) AS DOUBLE) AS py2
+FROM opx a LEFT JOIN epx e USING (ix, iy))
+UNION ALL
+SELECT * FROM (WITH {_ovl_px()}
+SELECT 'crosstab' AS grid,
+       CAST(a.s % 5 AS BIGINT) AS ix, CAST(e.s % 3 AS BIGINT) AS iy,
+       CAST(COUNT(*) AS DOUBLE) AS px1, 0.0 AS py1, 0.0 AS px2, 0.0 AS py2
+FROM opx a JOIN epx e USING (ix, iy)
+GROUP BY a.s % 5, e.s % 3)"""
+
+
+def _ovl_px() -> str:
+    """Shared CTEs of the r10 'overlay'/'crosstab' arms: sum(n_chars)
+    rasters over all docs (opx) and the lang='en' subset (epx), BOTH
+    on the full-corpus bbox (the engine passes the shared GridSpec)."""
+    h = RES / 2.0
+    return f"""ob AS (SELECT floor(min({_GX}) - {h!r}) AS x0,
+            floor(min({_GY}) - {h!r}) AS y0 FROM documents),
+opx AS (
+  SELECT ix, iy, SUM(n_chars) AS s FROM (
+    SELECT d.n_chars,
+           CAST(greatest(ceiling(({_GX} - b.x0) / {RES!r}) - 1, 0) AS BIGINT) AS ix,
+           CAST(greatest(ceiling(({_GY} - b.y0) / {RES!r}) - 1, 0) AS BIGINT) AS iy
+    FROM documents d CROSS JOIN ob b
+  ) GROUP BY ix, iy),
+epx AS (
+  SELECT ix, iy, SUM(n_chars) AS s FROM (
+    SELECT d.n_chars,
+           CAST(greatest(ceiling(({_GX} - b.x0) / {RES!r}) - 1, 0) AS BIGINT) AS ix,
+           CAST(greatest(ceiling(({_GY} - b.y0) / {RES!r}) - 1, 0) AS BIGINT) AS iy
+    FROM documents d CROSS JOIN ob b WHERE d.lang = 'en'
+  ) GROUP BY ix, iy)"""
 
 
 def _sql_segment_cells() -> str:

@@ -3362,3 +3362,193 @@ def simplify_lines(
         .groupby("_part")
         .map_groups(solve, batch_format="pyarrow")
     )
+
+
+_OVERLAY_OPS = {
+    "add": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+    "mul": lambda a, b: a * b,
+    "min": np.minimum,
+    "max": np.maximum,
+}
+
+
+def raster_overlay(
+    a: Dataset,
+    b: Dataset,
+    value_a: str,
+    value_b: str,
+    ops: "dict[str, str] | None" = None,
+    how: str = "inner",
+    fill_a: int = 0,
+    fill_b: int = 0,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Local map algebra over two pixel tables — the two-raster
+    raster-calculator (ArcGIS Raster Calculator / GRASS r.mapcalc
+    ``A op B``), the overlay a SEraster user runs to combine two
+    rasterized layers (reference rasters are dgCMatrix layers combined
+    in R; here each layer is a distributed ``(ix, iy, value)`` table).
+
+    ONE hash exchange total: both sides are tagged and co-partitioned
+    by cell key in a single union fold (cheaper than a join — the
+    combiner sums values and presence counts per cell), then every op
+    is evaluated vectorized in the finalize pass.
+
+    ``ops`` maps output column → op in ``{add, sub, mul, min, max}``
+    (int64-exact, so results are bit-stable and SQL-twinnable; compose
+    a float division downstream if needed).  Default ``{"v_add":
+    "add"}``.  ``how="inner"`` keeps cells present in BOTH layers;
+    ``"outer"`` keeps all cells, absent sides take ``fill_a`` /
+    ``fill_b``.  Duplicate cell keys WITHIN a layer fold by sum (the
+    rasterize contract emits unique cells; documented for raw input).
+
+    Returns ``(ix, iy, a, b, <ops...>)``.
+    """
+    from rayraster.agg import hash_aggregate
+
+    ops = dict(ops or {"v_add": "add"})
+    if not ops:
+        raise ValueError("raster_overlay: need at least one op")
+    for name, op in ops.items():
+        if op not in _OVERLAY_OPS:
+            raise ValueError(
+                f"raster_overlay: unknown op {op!r} for {name!r} "
+                f"(valid: {sorted(_OVERLAY_OPS)})"
+            )
+        if name in ("ix", "iy", "a", "b"):
+            raise ValueError(f"raster_overlay: output name {name!r} reserved")
+    if how not in ("inner", "outer"):
+        raise ValueError(f"raster_overlay: how must be inner|outer, got {how!r}")
+
+    def tag_a(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "ix": t["ix"].cast(pa.int64()), "iy": t["iy"].cast(pa.int64()),
+            "va": t[value_a].cast(pa.int64()),
+            "vb": pa.array(np.zeros(n, dtype=np.int64)),
+            "ca": pa.array(np.ones(n, dtype=np.int64)),
+            "cb": pa.array(np.zeros(n, dtype=np.int64)),
+        })
+
+    def tag_b(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "ix": t["ix"].cast(pa.int64()), "iy": t["iy"].cast(pa.int64()),
+            "va": pa.array(np.zeros(n, dtype=np.int64)),
+            "vb": t[value_b].cast(pa.int64()),
+            "ca": pa.array(np.zeros(n, dtype=np.int64)),
+            "cb": pa.array(np.ones(n, dtype=np.int64)),
+        })
+
+    folded = hash_aggregate(
+        a.map_batches(tag_a, batch_format="pyarrow").union(
+            b.map_batches(tag_b, batch_format="pyarrow")
+        ),
+        keys=["ix", "iy"],
+        sum_cols=["va", "vb", "ca", "cb"],
+        count=False,
+        num_partitions=num_partitions,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        va = t["sum_va"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vb = t["sum_vb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = t["sum_ca"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = t["sum_cb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if how == "inner":
+            keep = (ca > 0) & (cb > 0)
+            t, va, vb = t.filter(pa.array(keep)), va[keep], vb[keep]
+            ca, cb = ca[keep], cb[keep]
+        va = np.where(ca > 0, va, np.int64(fill_a))
+        vb = np.where(cb > 0, vb, np.int64(fill_b))
+        cols = {"ix": t["ix"], "iy": t["iy"],
+                "a": pa.array(va), "b": pa.array(vb)}
+        for name, op in ops.items():
+            cols[name] = pa.array(_OVERLAY_OPS[op](va, vb))
+        return pa.table(cols)
+
+    return folded.map_batches(finalize, batch_format="pyarrow")
+
+
+def raster_crosstab(
+    a: Dataset,
+    b: Dataset,
+    class_a: str,
+    class_b: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Cross-tabulate two categorical rasters — cells counted per
+    (class-in-A, class-in-B) pair over the cells present in BOTH
+    layers (ArcGIS Combine / Tabulate Area; land-cover-change
+    matrices).  The change/confusion matrix of two rasterized layers.
+
+    Same single co-location exchange as :func:`raster_overlay`, then
+    the (class_a, class_b) counts fold through per-batch partial
+    counts + one TINY second exchange (≤ |classes|² rows).  Duplicate
+    cell keys within a layer are an error (raised — a doubled cell
+    would silently corrupt the contingency table).
+
+    Returns ``(ca, cb, n)``.
+    """
+    from rayraster.agg import hash_aggregate
+
+    def tag_a(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "ix": t["ix"].cast(pa.int64()), "iy": t["iy"].cast(pa.int64()),
+            "va": t[class_a].cast(pa.int64()),
+            "vb": pa.array(np.zeros(n, dtype=np.int64)),
+            "ca": pa.array(np.ones(n, dtype=np.int64)),
+            "cb": pa.array(np.zeros(n, dtype=np.int64)),
+        })
+
+    def tag_b(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "ix": t["ix"].cast(pa.int64()), "iy": t["iy"].cast(pa.int64()),
+            "va": pa.array(np.zeros(n, dtype=np.int64)),
+            "vb": t[class_b].cast(pa.int64()),
+            "ca": pa.array(np.zeros(n, dtype=np.int64)),
+            "cb": pa.array(np.ones(n, dtype=np.int64)),
+        })
+
+    folded = hash_aggregate(
+        a.map_batches(tag_a, batch_format="pyarrow").union(
+            b.map_batches(tag_b, batch_format="pyarrow")
+        ),
+        keys=["ix", "iy"],
+        sum_cols=["va", "vb", "ca", "cb"],
+        count=False,
+        num_partitions=num_partitions,
+    )
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        ca = t["sum_ca"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = t["sum_cb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (ca > 1).any() or (cb > 1).any():
+            raise ValueError(
+                "raster_crosstab: duplicate cell keys within a layer — "
+                "each (ix, iy) must appear at most once per raster"
+            )
+        keep = (ca == 1) & (cb == 1)
+        t = t.filter(pa.array(keep))
+        g = (
+            pa.table({"ca": t["sum_va"], "cb": t["sum_vb"]})
+            .group_by(["ca", "cb"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({"ca": g["ca"], "cb": g["cb"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    out = hash_aggregate(
+        folded.map_batches(partial_counts, batch_format="pyarrow"),
+        keys=["ca", "cb"],
+        sum_cols=["n"],
+        count=False,
+        num_partitions=min(num_partitions, 8),
+    )
+    return out.map_batches(
+        lambda t: pa.table({"ca": t["ca"], "cb": t["cb"], "n": t["sum_n"]}),
+        batch_format="pyarrow",
+    )

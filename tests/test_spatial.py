@@ -1973,3 +1973,91 @@ def test_resample_bilinear_laws(ray_session):
             rd.from_pandas(dff), "v", x0=0.0, y0=0.0, src_res=10.0,
             dst_res=7.0,
         ).to_pandas()
+
+
+def _px(rows):
+    ix, iy, v = zip(*rows)
+    return rd.from_arrow(pa.table({
+        "ix": pa.array(ix, pa.int64()), "iy": pa.array(iy, pa.int64()),
+        "v": pa.array(v, pa.int64()),
+    }))
+
+
+def test_raster_overlay_inner_outer(ray_session):
+    from rayraster.spatial import raster_overlay
+
+    a = _px([(0, 0, 10), (1, 0, 20), (2, 2, 5)])
+    b = _px([(0, 0, 3), (1, 0, 7), (9, 9, 100)])
+
+    inner = sorted(
+        (r["ix"], r["iy"], r["a"], r["b"], r["v_add"], r["v_min"])
+        for r in raster_overlay(
+            a, b, "v", "v", ops={"v_add": "add", "v_min": "min"},
+            num_partitions=4,
+        ).take_all()
+    )
+    assert inner == [(0, 0, 10, 3, 13, 3), (1, 0, 20, 7, 27, 7)]
+
+    outer = sorted(
+        (r["ix"], r["iy"], r["a"], r["b"], r["d"])
+        for r in raster_overlay(
+            a, b, "v", "v", ops={"d": "sub"}, how="outer",
+            fill_a=0, fill_b=0, num_partitions=4,
+        ).take_all()
+    )
+    assert outer == [
+        (0, 0, 10, 3, 7), (1, 0, 20, 7, 13),
+        (2, 2, 5, 0, 5), (9, 9, 0, 100, -100),
+    ]
+
+    with pytest.raises(ValueError, match="unknown op"):
+        raster_overlay(a, b, "v", "v", ops={"x": "pow"})
+    with pytest.raises(ValueError, match="reserved"):
+        raster_overlay(a, b, "v", "v", ops={"a": "add"})
+    with pytest.raises(ValueError, match="inner|outer"):
+        raster_overlay(a, b, "v", "v", how="left")
+
+
+def test_raster_overlay_partition_invariance(ray_session):
+    from rayraster.spatial import raster_overlay
+
+    rng = np.random.default_rng(3)
+    cells = [(int(x), int(y), int(v)) for x, y, v in
+             zip(rng.integers(0, 20, 200), rng.integers(0, 20, 200),
+                 rng.integers(1, 50, 200))]
+    # dedup cell keys (overlay folds dups by sum; keep the test exact)
+    a = {(x, y): v for x, y, v in cells[:120]}
+    b = {(x, y): v for x, y, v in cells[80:]}
+
+    def run(parts):
+        return sorted(
+            tuple(r.values()) for r in raster_overlay(
+                _px([(x, y, v) for (x, y), v in a.items()]).repartition(parts),
+                _px([(x, y, v) for (x, y), v in b.items()]).repartition(parts),
+                "v", "v", ops={"m": "mul"}, num_partitions=parts + 2,
+            ).take_all()
+        )
+
+    r1, r2 = run(2), run(9)
+    assert r1 == r2
+    want = sorted(
+        (x, y, a[(x, y)], b[(x, y)], a[(x, y)] * b[(x, y)])
+        for (x, y) in set(a) & set(b)
+    )
+    assert r1 == want
+
+
+def test_raster_crosstab_counts_and_duplicate_guard(ray_session):
+    from rayraster.spatial import raster_crosstab
+
+    a = _px([(0, 0, 1), (1, 0, 1), (2, 0, 2), (3, 0, 2), (4, 4, 9)])
+    b = _px([(0, 0, 5), (1, 0, 6), (2, 0, 5), (3, 0, 5), (8, 8, 1)])
+    got = sorted(
+        (r["ca"], r["cb"], r["n"])
+        for r in raster_crosstab(a, b, "v", "v", num_partitions=4).take_all()
+    )
+    assert got == [(1, 5, 1), (1, 6, 1), (2, 5, 2)]
+
+    dup = _px([(0, 0, 1), (0, 0, 2)])
+    with pytest.raises(Exception, match="duplicate cell keys"):
+        raster_crosstab(dup, b, "v", "v").take_all()
