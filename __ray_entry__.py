@@ -2621,6 +2621,23 @@ SELECT qid, vec_id, "rank" FROM (
 
 _DUP_OFFSET = 1_000_000
 
+# d1 'cdc' arm plant: the 6-byte MAGIC forces the Gear avg_bits=6
+# boundary (h & 63 == 0) at its final byte from ANY preceding context
+# (the condition depends only on the last 6 bytes), and each pool
+# segment is statically verified boundary-free — including the
+# windows crossing a preceding magic tail and a following magic head
+# (pinned by test_cdc_gate_plant_is_boundary_clean).
+_CDC_MAGIC = "udaxiz"
+_CDC_POOL = (
+    "ember moss umber bravo carbon ridge",
+    "lumen slate bravo quartz",
+    "bravo carbon nadir nadir carbon",
+    "carbon ridge nadir bravo slate",
+    "hollow umber umber slate",
+    "bravo ridge ember jolt nadir",
+    "ridge delta slate jolt ridge",
+)
+
 
 def _docs(sf_dir: str, columns=("doc_id", "text"), blocks: int | None = None):
     """documents.parquet, column-pruned, block count sized to the
@@ -2839,11 +2856,56 @@ def _q_exact_dedup(sf_dir: str):
             }
         )
 
+    # sixth path ('cdc'): content-defined chunking (Gear rolling hash,
+    # rayraster/dedup.py cdc_chunks — map-only, avg_bits vectorized
+    # shifted adds over the flat byte buffer) over a PLANTED corpus
+    # with analytic boundaries: doc = MAGIC + Σ_j (POOL[idx_j] +
+    # MAGIC), where the magic forces a cut at its end from any context
+    # and every segment is statically boundary-free, so the chunk set
+    # is exactly [MAGIC] + [seg_j + MAGIC] — enumerable in SQL via
+    # DuckDB md5() over the same literals while the engine runs the
+    # real CDC kernel.
+    from rayraster.dedup import cdc_chunks
+
+    def mk_cdc(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = []
+        for d in ids:
+            parts = [_CDC_MAGIC]
+            for j in range(2 + int(d) % 3):
+                parts.append(_CDC_POOL[(int(d) * 7 + j * 11) % len(_CDC_POOL)])
+                parts.append(_CDC_MAGIC)
+            texts.append("".join(parts))
+        return pa.table(
+            {"doc_id": pa.array(ids),
+             "text": pa.array(texts, type=pa.string())}
+        )
+
+    cdc = cdc_chunks(
+        base.select_columns(["doc_id"]).map_batches(
+            mk_cdc, batch_format="pyarrow"
+        ),
+        min_size=1, avg_bits=6, max_size=1 << 30,
+    )
+
+    def tag_cdc(t: pa.Table) -> pa.Table:
+        fp = pc.binary_join_element_wise(
+            pc.cast(t["chunk_idx"], pa.string()),
+            t["chunk_md5"],
+            pc.cast(t["chunk_len"], pa.string()),
+            ":",
+        )
+        return pa.table(
+            {"path": pa.array(["cdc"] * t.num_rows, type=pa.string()),
+             "doc_id": t["doc_id"], "fp": fp}
+        )
+
     return keep.map_batches(tag_exact, batch_format="pyarrow").union(
         rebuilt.map_batches(tag_para, batch_format="pyarrow"),
         bloom_rows,
         cleaned.map_batches(tag_spanrm, batch_format="pyarrow"),
         sp.map_batches(tag_split, batch_format="pyarrow"),
+        cdc.map_batches(tag_cdc, batch_format="pyarrow"),
     )
 
 
@@ -6019,7 +6081,28 @@ SELECT 'split' AS path, doc_id,
 FROM (SELECT doc_id,
              CASE WHEN doc_id >= {_DUP_OFFSET} THEN doc_id - {_DUP_OFFSET}
                   ELSE doc_id END AS cl
-      FROM corpus)"""
+      FROM corpus)
+UNION ALL
+SELECT 'cdc' AS path, doc_id,
+       CAST(j AS VARCHAR) || ':' || md5(txt) || ':'
+         || CAST(LENGTH(txt) AS VARCHAR) AS fp
+FROM (
+  SELECT d.doc_id, t.j,
+         CASE WHEN t.j = 0 THEN '{_CDC_MAGIC}'
+              ELSE CASE (d.doc_id * 7 + (t.j - 1) * 11) % {len(_CDC_POOL)}
+{_cdc_seg_cases()}
+              END
+         END AS txt
+  FROM documents d JOIN range(0, 6) t(j) ON t.j <= 2 + d.doc_id % 3
+)"""
+
+
+def _cdc_seg_cases() -> str:
+    """WHEN arms of the d1 'cdc' twin: pool segment + trailing magic."""
+    return "\n".join(
+        f"                WHEN {i} THEN '{seg}{_CDC_MAGIC}'"
+        for i, seg in enumerate(_CDC_POOL)
+    )
 
 
 def _sql_minhash() -> str:

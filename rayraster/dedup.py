@@ -1336,3 +1336,127 @@ def leakage_safe_split(
         )
 
     return joined.map_batches(flag, batch_format="pyarrow")
+
+
+_GEAR_SEED = 0x9E3779B9
+_gear_cache: "np.ndarray | None" = None
+
+
+def gear_table() -> np.ndarray:
+    """The 256-entry uint64 Gear table (deterministic: PCG64 seeded
+    with the golden-ratio constant) shared by every CDC call site —
+    chunk boundaries are stable across processes, partitions and
+    cluster sizes by construction."""
+    global _gear_cache
+    if _gear_cache is None:
+        rng = np.random.Generator(np.random.PCG64(_GEAR_SEED))
+        _gear_cache = rng.integers(0, 2**64, size=256, dtype=np.uint64)
+    return _gear_cache
+
+
+def cdc_chunks(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_size: int = 64,
+    avg_bits: int = 13,
+    max_size: int = 65536,
+) -> Dataset:
+    """Content-defined chunking (Gear rolling hash — FastCDC's base
+    gear, Xia et al. 2016): split every document at positions where
+    the rolling hash's low ``avg_bits`` bits are zero (expected chunk
+    ≈ ``2^avg_bits`` bytes), bounded by ``min_size``/``max_size``.
+    The storage-dedup primitive brought to corpus curation: shared
+    chunks survive INSERTIONS AND DELETIONS (boundaries re-synchronize
+    after an edit), which fixed-window shingles cannot do.
+
+    MAP-ONLY — no shuffle: the boundary condition at byte ``i``
+    depends only on the last ``avg_bits`` bytes (``h_i = Σ_{k<bits}
+    G[b_{i-k}]·2^k mod 2^bits``), so the rolling hash is computed as
+    ``avg_bits`` vectorized shifted adds over the flat byte buffer of
+    the whole batch (windows crossing document starts are masked), and
+    only the SPARSE candidate positions (≈ ``n/2^avg_bits``) are
+    walked to enforce the size bounds.  Chunk identity is the md5 of
+    the chunk bytes — dedup across docs is then any of the engine's
+    hash-partitioned folds on ``chunk_md5``.
+
+    Returns ``(id_col, chunk_idx, chunk_len, chunk_md5)`` — one row
+    per chunk, ``chunk_idx`` 0-based within its document; empty
+    documents emit no rows.
+
+    Determinism: boundaries are a pure function of the bytes and the
+    shared :func:`gear_table`, so the chunk set is bit-identical
+    across partitionings and cluster sizes.
+    """
+    if not (1 <= avg_bits <= 30):
+        raise ValueError(f"cdc_chunks: avg_bits must be in [1, 30], got {avg_bits}")
+    if min_size < 1:
+        raise ValueError(f"cdc_chunks: min_size must be >= 1, got {min_size}")
+    if max_size < min_size:
+        raise ValueError(
+            f"cdc_chunks: max_size ({max_size}) < min_size ({min_size})"
+        )
+    from rayraster.textops import _texts_as_bytes
+
+    bits = int(avg_bits)
+    mask = np.uint64((1 << bits) - 1)
+
+    def chunk(t: pa.Table) -> pa.Table:
+        G = gear_table() & mask  # only the low bits can ever matter
+        b, offs = _texts_as_bytes(t[text_col])
+        n = len(b)
+        ids_out: list = []
+        idx_parts: list = []
+        len_parts: list = []
+        md5_parts: list = []
+        if n:
+            gv = G[b]
+            hm = gv.copy()
+            # position-in-doc per flat byte (to mask cross-doc windows)
+            starts = offs[:-1]
+            doc_of = np.repeat(
+                np.arange(len(starts), dtype=np.int64), np.diff(offs)
+            )
+            pos_in_doc = np.arange(n, dtype=np.int64) - starts[doc_of]
+            for k in range(1, bits):
+                c = np.zeros(n, dtype=np.uint64)
+                c[k:] = gv[:-k] << np.uint64(k)
+                c[pos_in_doc < k] = 0
+                hm += c
+            cand = (hm & mask) == 0
+            ids_np = t[id_col].to_numpy(zero_copy_only=False)
+            raw = b.tobytes()
+            for d in range(len(starts)):
+                s, e = int(offs[d]), int(offs[d + 1])
+                if e == s:
+                    continue
+                cuts = []
+                last = s
+                for p in np.nonzero(cand[s:e])[0]:
+                    pos = s + int(p) + 1  # cut AFTER the matching byte
+                    while pos - last > max_size:
+                        cuts.append(last + max_size)
+                        last += max_size
+                    if pos - last >= min_size:
+                        cuts.append(pos)
+                        last = pos
+                while e - last > max_size:
+                    cuts.append(last + max_size)
+                    last += max_size
+                if last < e:
+                    cuts.append(e)
+                prev = s
+                for ci, cut in enumerate(cuts):
+                    ids_out.append(ids_np[d])
+                    idx_parts.append(ci)
+                    len_parts.append(cut - prev)
+                    md5_parts.append(hashlib.md5(raw[prev:cut]).hexdigest())
+                    prev = cut
+        return pa.table({
+            id_col: pa.array(ids_out, type=pa.int64()),
+            "chunk_idx": pa.array(idx_parts, type=pa.int64()),
+            "chunk_len": pa.array(len_parts, type=pa.int64()),
+            "chunk_md5": pa.array(md5_parts, type=pa.string()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)

@@ -3,6 +3,7 @@ embedding near-dup — over constructed corpora with known answers."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 import ray.data as rd
@@ -511,3 +512,119 @@ def test_leakage_safe_split_partition_invariant_and_validations(ray_session):
     bad = rd.from_pandas(pd.DataFrame({"doc_id": [1], "split": ["x"]}))
     with pytest.raises(ValueError, match="already carry"):
         leakage_safe_split(bad, clusters)
+
+
+def _cdc_brute(text: str, bits: int, mn: int, mx: int):
+    import hashlib
+
+    from rayraster.dedup import gear_table
+
+    G = gear_table()
+    mask = (1 << bits) - 1
+    b = text.encode()
+    h = 0
+    cuts = []
+    last = 0
+    for i, byte in enumerate(b):
+        h = ((h << 1) + int(G[byte])) & 0xFFFFFFFFFFFFFFFF
+        if (h & mask) == 0:
+            pos = i + 1
+            while pos - last > mx:
+                cuts.append(last + mx)
+                last += mx
+            if pos - last >= mn:
+                cuts.append(pos)
+                last = pos
+    e = len(b)
+    while e - last > mx:
+        cuts.append(last + mx)
+        last += mx
+    if last < e:
+        cuts.append(e)
+    out = []
+    prev = 0
+    for ci, c in enumerate(cuts):
+        out.append((ci, c - prev, hashlib.md5(b[prev:c]).hexdigest()))
+        prev = c
+    return out
+
+
+def test_cdc_chunks_matches_brute(ray_session):
+    from rayraster.dedup import cdc_chunks
+
+    rng = np.random.default_rng(5)
+    texts = ["".join(chr(c) for c in rng.integers(32, 127, int(L)))
+             for L in rng.integers(0, 400, 50)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    for bits, mn, mx in ((4, 1, 10**9), (4, 8, 64), (6, 1, 100)):
+        got = {}
+        for r in cdc_chunks(rd.from_arrow(t).repartition(5),
+                            min_size=mn, avg_bits=bits,
+                            max_size=mx).take_all():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["chunk_len"], r["chunk_md5"]))
+        for d in got:
+            got[d].sort()
+        exp = {i: _cdc_brute(texts[i], bits, mn, mx)
+               for i in range(len(texts)) if texts[i]}
+        assert got == exp, (bits, mn, mx)
+
+
+def test_cdc_chunks_edit_resilience_and_validation(ray_session):
+    """The CDC property fixed windows lack: boundaries re-synchronize
+    after an insertion, so all chunks off the edit site still match."""
+    from rayraster.dedup import cdc_chunks
+
+    rng = np.random.default_rng(9)
+    base = "".join(chr(c) for c in rng.integers(97, 123, 3000))
+    edited = base[:100] + "XYZXYZ" + base[100:]
+    t = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([base, edited]),
+    }))
+    rows = cdc_chunks(t, min_size=16, avg_bits=6, max_size=1024).take_all()
+    a = {r["chunk_md5"] for r in rows if r["doc_id"] == 0}
+    b = {r["chunk_md5"] for r in rows if r["doc_id"] == 1}
+    assert len(a & b) / max(len(a), 1) > 0.5
+
+    with pytest.raises(ValueError, match="avg_bits"):
+        cdc_chunks(t, avg_bits=0)
+    with pytest.raises(ValueError, match="min_size"):
+        cdc_chunks(t, min_size=0)
+    with pytest.raises(ValueError, match="max_size"):
+        cdc_chunks(t, min_size=64, max_size=32)
+
+
+def test_cdc_gate_plant_is_boundary_clean():
+    """Static pin of the d1 'cdc' plant: with avg_bits=6 the boundary
+    condition is a pure function of the LAST 6 BYTES, the magic forces
+    a cut at its final byte from any context, and every pool segment
+    (with its surrounding magics) contains no other cut — so the
+    oracle's analytic chunk enumeration is exact."""
+    import __ray_entry__ as e
+    from rayraster.dedup import gear_table
+
+    G = gear_table()
+    magic = e._CDC_MAGIC.encode()
+    assert len(magic) == 6
+
+    def hv(window: bytes) -> int:
+        s = 0
+        for byte in window[-6:]:
+            s = ((s << 1) + int(G[byte])) & 0xFFFFFFFFFFFFFFFF
+        return s & 63
+
+    # magic cuts at its end from arbitrary contexts, not before
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        ctx = bytes(rng.integers(97, 123, 5).tolist())
+        assert hv(ctx + magic) == 0
+    for i in range(5):
+        assert hv(magic[: i + 1]) != 0  # doc-initial partial windows
+
+    for seg in e._CDC_POOL:
+        doc = magic + seg.encode() + magic
+        cuts = [i + 1 for i in range(len(doc))
+                if hv(doc[: i + 1] if i + 1 < 6 else doc[i - 5: i + 1]) == 0]
+        assert cuts == [6, len(doc)], seg
