@@ -513,7 +513,11 @@ def test_sssp_shapes_agree_even_unconverged(ray_session):
                 edges, [7], rounds=rounds, broadcast_threshold=1
             ).take_all()
         )
-        assert a == b == sorted(
+        c = sorted(  # edge-gather fast path (edge_count known + small)
+            (r["node"], r["dist"])
+            for r in sssp(edges, [7], rounds=rounds, edge_count=m).take_all()
+        )
+        assert a == b == c == sorted(
             _local_sssp(src, dst, w, [7], rounds).items()
         )
 
