@@ -5549,7 +5549,49 @@ def _q_session_windows(sf_dir: str):
         rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"]),
         num_partitions=8,
     ).map_batches(cohort_rows, batch_format="pyarrow")
-    return sess.union(fun, coh)
+
+    # fourth path ('trans'): the first-order Markov transition matrix
+    # (windows.transition_counts — one key exchange + lexsort/shift
+    # pairs + tiny fold); event types are coded by their rank in the
+    # sorted distinct-type set on BOTH sides so the string matrix fits
+    # the gate's int columns.  min_value = p (one IEEE division of
+    # exact counts), max_gap_us = the from-type total.
+    from rayraster.agg import distinct
+    from rayraster.windows import transition_counts
+
+    tm = transition_counts(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["ts", "user_id", "event_id", "event_type"],
+        ),
+        num_partitions=8,
+    )
+    types = sorted(
+        r["event_type"]
+        for r in distinct(
+            rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"]),
+            ["event_type"], num_partitions=4,
+        ).take_all()
+    )
+    code = {t: i for i, t in enumerate(types)}
+
+    def trans_rows(t: pa.Table) -> pa.Table:
+        f = [code[x] for x in t["from_type"].to_pylist()]
+        to = [code[x] for x in t["to_type"].to_pylist()]
+        return pa.table(
+            {
+                "user_id": pa.array(f, type=pa.int64()),
+                "session_start": pa.array(to, type=pa.int64()),
+                "n": t["n"].cast(pa.int64()),
+                "min_value": t["p"],
+                "max_value": pa.array(np.zeros(t.num_rows, dtype=np.float64)),
+                "max_gap_us": t["n_from"].cast(pa.int64()),
+                "path": pa.array(["trans"] * t.num_rows, type=pa.string()),
+            }
+        )
+
+    trn = tm.map_batches(trans_rows, batch_format="pyarrow")
+    return sess.union(fun, coh, trn)
 
 
 def _sql_session_windows() -> str:
@@ -5616,7 +5658,28 @@ FROM (
                FROM events),
   ch2 AS (SELECT user_id, min(period) AS cohort FROM dp2 GROUP BY user_id)
   SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n0 FROM ch2 GROUP BY cohort
-) sz ON ro.cohort = sz.cohort"""
+) sz ON ro.cohort = sz.cohort
+UNION ALL
+SELECT * FROM (
+  WITH tr AS (
+    SELECT event_type AS ft,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS tt
+    FROM events),
+  trc AS (SELECT ft, tt, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tr WHERE tt IS NOT NULL GROUP BY ft, tt),
+  trf AS (SELECT ft, CAST(SUM(n) AS BIGINT) AS nf FROM trc GROUP BY ft),
+  cds AS (SELECT event_type,
+                 CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS BIGINT)
+                   AS code
+          FROM (SELECT DISTINCT event_type FROM events))
+  SELECT cf.code AS user_id, ct.code AS session_start, c.n AS n,
+         CAST(c.n AS DOUBLE) / CAST(f.nf AS DOUBLE) AS min_value,
+         0.0 AS max_value, f.nf AS max_gap_us, 'trans' AS path
+  FROM trc c JOIN trf f USING (ft)
+  JOIN cds cf ON cf.event_type = c.ft
+  JOIN cds ct ON ct.event_type = c.tt
+)"""
 
 
 def _q_bucket_join(sf_dir: str):

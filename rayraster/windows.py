@@ -828,3 +828,86 @@ def funnel_match(
 
     parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
     return parted.groupby("_part").map_groups(solve, batch_format="pyarrow")
+
+
+def transition_counts(
+    ds: Dataset,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: "tuple[str, ...]" = ("ts", "event_id"),
+    num_partitions: int = 64,
+) -> Dataset:
+    """First-order Markov transition matrix of an event log: for every
+    consecutive pair of events WITHIN a key (ordered by
+    ``order_cols``), count ``from_type → to_type`` — the clickstream /
+    user-journey transition mining step (next-event prediction priors,
+    funnel discovery, bot-pattern detection).
+
+    ONE hash-partition exchange on the key, then a vectorized
+    in-partition lexsort + shift (the :func:`lag_columns` shape) with
+    per-partition partial counts, folded through a tiny second
+    exchange; the final matrix is ≤ ``|types|²`` rows, so per-row
+    probabilities (``p = n / n_from``, one IEEE division of exact
+    counts) are finished in a single-partition pass.  Pass a unique
+    trailing order column (e.g. ``event_id``) for deterministic ties —
+    the matrix COUNTS are tie-invariant only when ties cannot
+    interleave across types.
+
+    Returns ``(from_type, to_type, n, n_from, p)``.
+    """
+    from rayraster.agg import hash_aggregate
+
+    if not order_cols:
+        raise ValueError("transition_counts: need at least one order column")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.abs(keys * np.int64(1000003)) % np.int64(num_partitions)
+        return batch.append_column("_part", pa.array(part))
+
+    def pairs(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["_part"]).sort_by(
+            [(key_col, "ascending")] + [(c, "ascending") for c in order_cols]
+        )
+        n = part.num_rows
+        if n < 2:
+            e = pa.array([], type=pa.string())
+            return pa.table({"from_type": e, "to_type": e,
+                             "n": pa.array([], type=pa.int64())})
+        keys = part[key_col].to_numpy(zero_copy_only=False)
+        same = pa.array(keys[1:] == keys[:-1])
+        types = part[type_col]
+        g = (
+            pa.table({
+                "from_type": types.slice(0, n - 1).filter(same),
+                "to_type": types.slice(1).filter(same),
+            })
+            .group_by(["from_type", "to_type"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table({"from_type": g["from_type"], "to_type": g["to_type"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    folded = hash_aggregate(
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(pairs, batch_format="pyarrow"),
+        keys=["from_type", "to_type"],
+        sum_cols=["n"],
+        count=False,
+        num_partitions=min(num_partitions, 8),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        f = t["from_type"].to_numpy(zero_copy_only=False)
+        n = t["sum_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uf, inv = np.unique(f, return_inverse=True)
+        nf = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)[inv]
+        return pa.table({
+            "from_type": t["from_type"], "to_type": t["to_type"],
+            "n": pa.array(n), "n_from": pa.array(nf),
+            "p": pa.array(n.astype(np.float64) / nf.astype(np.float64)),
+        })
+
+    # the matrix is |types|^2-bounded — one partition finishes it
+    return folded.repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -903,3 +903,55 @@ def test_grouped_variance_floats_and_overflow_guard(ray_session):
     big = pd.DataFrame({"g": [0], "v": np.array([2**32], dtype=np.int64)})
     with _pt.raises(Exception, match="int64"):
         grouped_variance(rd.from_pandas(big), ["g"], "v").to_pandas()
+
+
+def test_transition_counts_matches_duckdb(ray_session):
+    import duckdb
+
+    from rayraster.windows import transition_counts
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 40, n), type=pa.int64()),
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "ts": pa.array(rng.integers(0, 10_000, n), type=pa.int64()),
+        "event_type": pa.array(
+            np.array(["view", "click", "buy", "scroll"])[rng.integers(0, 4, n)]
+        ),
+    })
+    got = sorted(
+        (r["from_type"], r["to_type"], r["n"], r["n_from"], r["p"])
+        for r in transition_counts(
+            rd.from_arrow(t).repartition(6), num_partitions=8
+        ).take_all()
+    )
+    con = duckdb.connect()
+    con.register("ev", t)
+    want = sorted(
+        tuple(r) for r in con.sql("""
+        WITH tr AS (
+          SELECT event_type AS f,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS t2
+          FROM ev),
+        c AS (SELECT f, t2, CAST(COUNT(*) AS BIGINT) AS n
+              FROM tr WHERE t2 IS NOT NULL GROUP BY f, t2),
+        tot AS (SELECT f, CAST(SUM(n) AS BIGINT) AS nf FROM c GROUP BY f)
+        SELECT c.f, c.t2, c.n, tot.nf,
+               CAST(c.n AS DOUBLE) / CAST(tot.nf AS DOUBLE)
+        FROM c JOIN tot USING (f)
+        """).fetchall()
+    )
+    assert got == want
+    # partition invariance
+    again = sorted(
+        (r["from_type"], r["to_type"], r["n"], r["n_from"], r["p"])
+        for r in transition_counts(
+            rd.from_arrow(t).repartition(2), num_partitions=3
+        ).take_all()
+    )
+    assert again == got
+
+    with pytest.raises(ValueError, match="order column"):
+        transition_counts(rd.from_arrow(t), order_cols=())
