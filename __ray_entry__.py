@@ -3839,15 +3839,19 @@ def _q_token_metrics(sf_dir: str):
 
     import pyarrow.compute as pc
 
+    from rayraster.textops import flesch_score
+
     ds = _docs(sf_dir)
     n_docs = ds.count()  # parquet metadata count — no execution
-    out = ds.map_batches(
-        quality_score, batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(repetition_metrics, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        ds.map_batches(quality_score, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(repetition_metrics, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(flesch_score, batch_format="pyarrow", zero_copy_batch=True)
+    )
     out = out.select_columns(
         ["doc_id", "n_chars_m", "token_count", "digit_count", "punct_count",
          "upper_count", "quality", "n_lines", "dup_line_frac",
-         "dup_line_char_frac", "top_word_frac"]
+         "dup_line_char_frac", "top_word_frac", "flesch"]
     )
 
     # + the CCNet-style LM-lite fluency signal (mean corpus frequency
@@ -3885,6 +3889,7 @@ def _q_token_metrics(sf_dir: str):
             ("dup_line_frac", pa.float64()),
             ("dup_line_char_frac", pa.float64()),
             ("top_word_frac", pa.float64()),
+            ("flesch", pa.float64()),
         ]
     )
     joined = bucket_join(
@@ -6223,7 +6228,16 @@ def _sql_token_metrics() -> str:
        CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS token_count,
        CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_count,
        CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct_count,
-       CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS upper_count
+       CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS upper_count,
+       206.835
+         - 1.015 * (CAST(GREATEST(length(regexp_extract_all(text, '\S+')), 1)
+                         AS DOUBLE)
+                    / CAST(GREATEST(length(regexp_extract_all(text, '[.!?]+')), 1)
+                           AS DOUBLE))
+         - 84.6 * (CAST(length(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                        AS DOUBLE)
+                   / CAST(GREATEST(length(regexp_extract_all(text, '\S+')), 1)
+                          AS DOUBLE)) AS flesch
   FROM documents
 ), l AS (
   SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
@@ -6299,6 +6313,7 @@ SELECT m.doc_id, n_chars_m, token_count, digit_count, punct_count, upper_count,
        CAST(dup_lines AS DOUBLE) / n_lines                AS dup_line_frac,
        CAST(rep_chars AS DOUBLE) / GREATEST(tot_chars, 1) AS dup_line_char_frac,
        COALESCE(CAST(max_c AS DOUBLE) / tot_w, 0.0)       AS top_word_frac,
+       m.flesch,
        COALESCE(fq.freq_sum, 0) AS freq_sum,
        COALESCE(CAST(fq.freq_sum AS DOUBLE)
                 / CAST(GREATEST(fq.tcq, 1) AS DOUBLE), 0.0) AS mean_freq,

@@ -3375,3 +3375,35 @@ def nb_score(
         })
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def flesch_score(
+    batch: pa.Table, text_col: str = "text", out_col: str = "flesch"
+) -> pa.Table:
+    """Flesch reading-ease with the standard regex surrogates
+    (readability filtering for curation, Flesch 1948): words =
+    ``\\S+`` runs, sentences = ``[.!?]+`` runs, syllables =
+    ``[aeiouyAEIOUY]+`` vowel groups — all three are single RE2
+    ``count_substring_regex`` passes (the SAME RE2 DuckDB links, so a
+    twin using ``regexp_extract_all`` lengths counts identically).
+
+    ``score = 206.835 − 1.015·(W/S) − 84.6·(Y/W)`` with W and S
+    floored at 1 — a FIXED IEEE expression tree (two divisions, two
+    multiplies, two subtractions, no libm), bit-equal to the same SQL
+    expression.  Map-only; appends ``out_col``."""
+    t = pc.fill_null(batch[text_col], "")
+    one = pa.scalar(1, type=pa.int64())
+    W = pc.max_element_wise(
+        pc.count_substring_regex(t, r"\S+").cast(pa.int64()), one
+    ).to_numpy(zero_copy_only=False).astype(np.float64)
+    S = pc.max_element_wise(
+        pc.count_substring_regex(t, r"[.!?]+").cast(pa.int64()), one
+    ).to_numpy(zero_copy_only=False).astype(np.float64)
+    Y = (
+        pc.count_substring_regex(t, r"[aeiouyAEIOUY]+")
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    score = 206.835 - 1.015 * (W / S) - 84.6 * (Y / W)
+    return batch.append_column(out_col, pa.array(score))

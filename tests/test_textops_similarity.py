@@ -1890,3 +1890,31 @@ def test_nb_partitioning_invariance(ray_session):
         )
 
     assert run(2, 4) == run(7, 16)
+
+
+def test_flesch_score_matches_duckdb_expression(ray_session):
+    import duckdb
+
+    from rayraster.textops import flesch_score
+
+    texts = [
+        "The cat sat. It was happy!",
+        "no terminal punctuation here at all",
+        "",
+        "One? Two! Three. Yyy aeiou.",
+        None,
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    got = flesch_score(t)["flesch"].to_pylist()
+    con = duckdb.connect()
+    con.register("d", t)
+    want = [r[0] for r in con.sql(r"""
+      SELECT 206.835
+        - 1.015 * (CAST(GREATEST(length(regexp_extract_all(COALESCE(text, '') , '\S+')), 1) AS DOUBLE)
+                   / CAST(GREATEST(length(regexp_extract_all(COALESCE(text, ''), '[.!?]+')), 1) AS DOUBLE))
+        - 84.6 * (CAST(length(regexp_extract_all(COALESCE(text, ''), '[aeiouyAEIOUY]+')) AS DOUBLE)
+                  / CAST(GREATEST(length(regexp_extract_all(COALESCE(text, ''), '\S+')), 1) AS DOUBLE))
+      FROM d ORDER BY doc_id
+    """).fetchall()]
+    assert got == want  # bit-equal: same RE2 counts, same IEEE tree
