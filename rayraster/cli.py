@@ -765,6 +765,147 @@ def cmd_dbscan(args) -> int:
     return 0
 
 
+def cmd_classify(args) -> int:
+    """Train a multinomial Naive Bayes on a labeled parquet corpus and
+    score every document (textops.nb_train / nb_score): writes
+    (id, nb_pred, nb_score_q) parquet + a JSON summary with the class
+    set and training accuracy."""
+    import shutil
+
+    import pyarrow.compute as _pc
+
+    import ray.data as rd
+
+    from rayraster.textops import nb_score, nb_train
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    ds = rd.read_parquet(
+        files, columns=[args.id_col, args.text_col, args.label_col]
+    )
+    model = nb_train(
+        ds, text_col=args.text_col, label_col=args.label_col,
+        max_vocab=args.max_vocab,
+    )
+    scored = nb_score(ds, model, text_col=args.text_col, id_col=args.id_col)
+    shutil.rmtree(args.out, ignore_errors=True)
+    scored.write_parquet(args.out)
+    # training accuracy: one co-located compare of pred vs label
+    from rayraster.join import bucket_join
+
+    truth = ds.map_batches(
+        lambda t: t.select([args.id_col, args.label_col]),
+        batch_format="pyarrow",
+    )
+    import pyarrow as _pa
+
+    joined = bucket_join(
+        rd.read_parquet(args.out), truth, args.id_col, args.id_col,
+        left_schema=_pa.schema([
+            (args.id_col, _pa.int64()), ("nb_pred", _pa.string()),
+            ("nb_score_q", _pa.int64()),
+        ]),
+        right_schema=_pa.schema([
+            (args.id_col, _pa.int64()), (args.label_col, _pa.string()),
+        ]),
+    )
+    hits = joined.map_batches(
+        lambda t: _pa.table({"h": _pc.equal(
+            t["nb_pred"], t[args.label_col]).cast(_pa.int64())}),
+        batch_format="pyarrow",
+    ).sum("h")
+    n = ds.count()
+    print(json.dumps({
+        "out": args.out, "docs": n, "classes": model["classes"],
+        "vocab": len(model["vocab"]),
+        "train_accuracy": (int(hits or 0)) / max(n, 1),
+    }))
+    return 0
+
+
+def cmd_cdc(args) -> int:
+    """Content-defined chunking of a corpus (dedup.cdc_chunks): writes
+    the chunk table parquet + a JSON dedup summary (total vs distinct
+    chunk bytes — the storage-dedup ratio)."""
+    import shutil
+
+    import pyarrow as _pa
+
+    import ray.data as rd
+
+    from rayraster.agg import hash_aggregate
+    from rayraster.dedup import cdc_chunks
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    ds = rd.read_parquet(files, columns=[args.id_col, args.text_col])
+    chunks = cdc_chunks(
+        ds, text_col=args.text_col, id_col=args.id_col,
+        min_size=args.min_size, avg_bits=args.avg_bits,
+        max_size=args.max_size,
+    ).materialize()
+    shutil.rmtree(args.out, ignore_errors=True)
+    chunks.write_parquet(args.out)
+    total = chunks.sum("chunk_len") or 0
+    per = hash_aggregate(
+        chunks.map_batches(
+            lambda t: t.select(["chunk_md5", "chunk_len"]),
+            batch_format="pyarrow",
+        ),
+        keys=["chunk_md5"], min_cols=["chunk_len"], count=False,
+        num_partitions=16,
+    )
+    distinct_bytes = per.sum("min_chunk_len") or 0
+    n_chunks = chunks.count()
+    print(json.dumps({
+        "out": args.out, "chunks": n_chunks,
+        "total_bytes": int(total), "distinct_bytes": int(distinct_bytes),
+        "dedup_ratio": (int(total)) / max(int(distinct_bytes), 1),
+    }))
+    return 0
+
+
+def cmd_transitions(args) -> int:
+    """First-order Markov transition matrix of an event parquet
+    (windows.transition_counts): writes (from_type, to_type, n,
+    n_from, p) parquet + a JSON line with the top transitions."""
+    import shutil
+
+    import ray.data as rd
+
+    from rayraster.windows import transition_counts
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    ev = rd.read_parquet(
+        files,
+        columns=[args.key_col, args.order_col, args.type_col],
+    )
+    tm = transition_counts(
+        ev, key_col=args.key_col, type_col=args.type_col,
+        order_cols=(args.order_col,),
+    ).materialize()
+    shutil.rmtree(args.out, ignore_errors=True)
+    tm.write_parquet(args.out)
+    top = sorted(
+        tm.take_all(), key=lambda r: (-r["n"], r["from_type"], r["to_type"])
+    )[:5]
+    print(json.dumps({
+        "out": args.out, "transitions": tm.count(),
+        "top": [[r["from_type"], r["to_type"], r["n"]] for r in top],
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rayraster")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -938,6 +1079,39 @@ def main(argv=None) -> int:
     db.add_argument("--x-col", default="x")
     db.add_argument("--y-col", default="y")
     db.set_defaults(fn=cmd_dbscan)
+
+    cf = sub.add_parser(
+        "classify", help="train + score a Naive Bayes text classifier"
+    )
+    cf.add_argument("--input", required=True, help="labeled parquet glob")
+    cf.add_argument("--out", required=True)
+    cf.add_argument("--id-col", default="doc_id")
+    cf.add_argument("--text-col", default="text")
+    cf.add_argument("--label-col", default="lang")
+    cf.add_argument("--max-vocab", type=int, default=None)
+    cf.set_defaults(fn=cmd_classify)
+
+    cd = sub.add_parser(
+        "cdc", help="content-defined chunking (Gear/FastCDC) of a corpus"
+    )
+    cd.add_argument("--input", required=True)
+    cd.add_argument("--out", required=True)
+    cd.add_argument("--id-col", default="doc_id")
+    cd.add_argument("--text-col", default="text")
+    cd.add_argument("--min-size", type=int, default=64)
+    cd.add_argument("--avg-bits", type=int, default=13)
+    cd.add_argument("--max-size", type=int, default=65536)
+    cd.set_defaults(fn=cmd_cdc)
+
+    tr = sub.add_parser(
+        "transitions", help="Markov event-type transition matrix"
+    )
+    tr.add_argument("--input", required=True, help="event parquet glob")
+    tr.add_argument("--out", required=True)
+    tr.add_argument("--key-col", default="user_id")
+    tr.add_argument("--order-col", default="ts")
+    tr.add_argument("--type-col", default="event_type")
+    tr.set_defaults(fn=cmd_transitions)
 
     g = sub.add_parser("plot", help="render a pixel table to PNG")
     g.add_argument("--pixels", required=True)

@@ -802,3 +802,62 @@ def test_cli_pointstats(tmp_path):
     assert 0.5 < out["clark_evans"]["r_index"] < 1.5  # CSR-ish input
     assert len(out["variogram"]) >= 1
     assert all(v["gamma"] >= 0.0 for v in out["variogram"])
+
+
+def test_cli_classify_cdc_transitions(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(6)), type=pa.int64()),
+        "lang": pa.array(["en", "en", "fr", "fr", "en", "fr"]),
+        "text": pa.array([
+            "the cat sat", "the dog ran", "le chat dort", "le chien court",
+            "cat and dog", "chat et chien",
+        ]),
+    })
+    pq.write_table(docs, str(tmp_path / "docs.parquet"))
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "RAY_ADDRESS": "local"}
+
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "classify", "--input", str(tmp_path / "docs.parquet"),
+         "--out", str(tmp_path / "cls")],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["classes"] == ["en", "fr"]
+    assert out["train_accuracy"] == 1.0  # separable vocabulary
+
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "cdc", "--input", str(tmp_path / "docs.parquet"),
+         "--out", str(tmp_path / "chunks"),
+         "--min-size", "1", "--avg-bits", "3", "--max-size", "64"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["chunks"] >= 6 and out["total_bytes"] >= out["distinct_bytes"]
+
+    ev = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+        "ts": pa.array([1, 2, 3, 1, 2], type=pa.int64()),
+        "event_type": pa.array(["view", "click", "buy", "view", "click"]),
+    })
+    pq.write_table(ev, str(tmp_path / "ev.parquet"))
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "transitions", "--input", str(tmp_path / "ev.parquet"),
+         "--out", str(tmp_path / "tm")],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["transitions"] == 2
+    assert [["view", "click", 2], ["click", "buy", 1]] == sorted(
+        out["top"], key=lambda x: -x[2]
+    )
