@@ -4266,7 +4266,74 @@ def _q_decontaminate(sf_dir: str):
         )
 
     c = joined.map_batches(cross_path, batch_format="pyarrow")
-    return b.union(c)
+
+    # fourth path ('fuzzy'): FUZZY decontamination — the MinHash
+    # cross-corpus near-dup join (dedup.minhash_lsh_pairs_cross; the
+    # exact-blocklist 'bench' arm catches only verbatim 8-gram
+    # overlap, this catches perturbed copies).  Planted truth: the
+    # benchmark is perturbed copies of the doc_id % 89 = 5 slice over
+    # the zero-overlap synthetic texts, so the contaminated set is
+    # exactly that slice.  hits = per-train-doc match count from one
+    # grouped fold; ngram_total = 1 so frac = hits.
+    from rayraster.agg import hash_aggregate
+    from rayraster.dedup import minhash_lsh_pairs_cross
+
+    ids_only = _docs(sf_dir, columns=("doc_id",))
+
+    def synth_train(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(_synth_neardup_text(ids))}
+        )
+
+    def mk_bench(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ids = ids[ids % 89 == 5]
+        if len(ids) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "text": pa.array([], type=pa.string())})
+        texts = pc.binary_join_element_wise(
+            pa.array(_synth_neardup_text(ids), type=pa.string()),
+            " qz9xqz9x", "",
+        )
+        return pa.table({"doc_id": pa.array(ids), "text": texts})
+
+    n_bench = sum(1 for i in range(n_docs) if i % 89 == 5)
+    fpairs = minhash_lsh_pairs_cross(
+        ids_only.map_batches(synth_train, batch_format="pyarrow"),
+        ids_only.map_batches(mk_bench, batch_format="pyarrow"),
+        threshold=0.8,
+        left_count=n_docs,
+        right_count=n_bench,
+        num_buckets=_parts_for(n_docs),
+    )
+    fhits = hash_aggregate(
+        fpairs.map_batches(
+            lambda t: pa.table({"doc_id": t["left_id"]}),
+            batch_format="pyarrow",
+        ),
+        keys=["doc_id"], count=True, count_name="h",
+        num_partitions=8,
+    )
+    fz = bucket_join(
+        ids_only, fhits, "doc_id", "doc_id",
+        join_type="left", num_buckets=_parts_for(n_docs),
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("h", pa.int64())]),
+    )
+
+    def fuzzy_path(t: pa.Table) -> pa.Table:
+        hits = (
+            pc.fill_null(t["h"], 0)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return _tag_table(
+            norm(hits, np.ones(len(hits), dtype=np.int64), t["doc_id"]),
+            "fuzzy",
+        )
+
+    f = fz.map_batches(fuzzy_path, batch_format="pyarrow")
+    return b.union(c, f)
 
 
 def _sql_decontaminate() -> str:
@@ -4342,7 +4409,16 @@ def _sql_decontaminate() -> str:
   FROM documents d LEFT JOIN nv ON d.doc_id = nv.doc_id
 )
 SELECT * FROM bench UNION ALL SELECT * FROM crossdoc
-UNION ALL SELECT * FROM novel"""
+UNION ALL SELECT * FROM novel
+UNION ALL
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 89 = 5 THEN 1 ELSE 0 END AS BIGINT)
+         AS ngram_hits,
+       CAST(1 AS BIGINT) AS ngram_total,
+       CASE WHEN doc_id % 89 = 5 THEN 1.0 ELSE 0.0 END AS frac,
+       doc_id % 89 = 5 AS flagged,
+       'fuzzy' AS path
+FROM documents"""
 
 
 def _q_priority_sample(sf_dir: str):

@@ -1460,3 +1460,122 @@ def cdc_chunks(
         })
 
     return ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_CROSS_SIDE = np.int64(1) << np.int64(60)
+
+
+def minhash_lsh_pairs_cross(
+    left: Dataset,
+    right: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 8,
+    verify_mode: str = "auto",
+    broadcast_threshold: int = 50_000,
+    num_buckets: int = 64,
+    left_count: int | None = None,
+    right_count: int | None = None,
+) -> Dataset:
+    """Cross-corpus near-duplicate pairs — FUZZY decontamination
+    (train×benchmark near-dup join, the MinHash generalization of the
+    exact n-gram blocklist in :func:`rayraster.textops.decontaminate`;
+    GPT-3/PaLM-style eval decontamination catches only verbatim
+    overlap, this catches paraphrased/perturbed copies too).
+
+    Pure composition: the right side's ids are tagged into bit 60 of a
+    combined key space, the union runs the WHOLE self-join machinery
+    (:func:`minhash_lsh_pairs` — banding, hash-partitioned candidate
+    buckets, exact-Jaccard verify in either shape) unchanged, and
+    same-side pairs are dropped at the end.  Because the side bit
+    dominates the ``a < b`` pair order, every surviving pair is
+    already ``(left_id, right_id)``.  Ids must be in ``[0, 2^60)`` on
+    both sides (checked).
+
+    Returns ``(left_id, right_id)`` — one row per cross pair with
+    exact char-shingle Jaccard ≥ ``threshold``.
+    """
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if len(ids) and (int(ids.min()) < 0
+                             or int(ids.max()) >= int(_CROSS_SIDE)):
+                raise ValueError(
+                    "minhash_lsh_pairs_cross: ids must be in [0, 2^60)"
+                )
+            return pa.table({
+                id_col: pa.array(ids + np.int64(side) * _CROSS_SIDE),
+                text_col: t[text_col],
+            })
+        return f
+
+    u = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+    total = (
+        left_count + right_count
+        if left_count is not None and right_count is not None else None
+    )
+    pairs = minhash_lsh_pairs(
+        u, text_col, id_col, threshold, num_perm, bands, k,
+        verify_mode=verify_mode, broadcast_threshold=broadcast_threshold,
+        num_buckets=num_buckets, corpus_count=total,
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cross = (a < _CROSS_SIDE) & (b >= _CROSS_SIDE)
+        return pa.table({
+            "left_id": pa.array(a[cross]),
+            "right_id": pa.array(b[cross] - _CROSS_SIDE),
+        })
+
+    return pairs.map_batches(unpack, batch_format="pyarrow")
+
+
+def fuzzy_decontaminate(
+    train: Dataset,
+    bench: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    train_schema: "pa.Schema | None" = None,
+    num_buckets: int = 64,
+    **cross_kwargs,
+):
+    """Drop every train document near-duplicate to a benchmark
+    document: :func:`minhash_lsh_pairs_cross` → distinct contaminated
+    train ids → one anti bucket-join (the contaminated set stays a
+    Dataset — never a driver keep-list).  ``train_schema`` avoids a
+    lineage re-execution when ``train`` is not a raw read; omitted, it
+    is probed from the Dataset (cheap on a fresh ``read_parquet``).
+
+    Returns the cleaned train Dataset (all original columns).
+    """
+    from rayraster.join import bucket_join
+
+    pairs = minhash_lsh_pairs_cross(
+        train, bench, text_col, id_col, threshold,
+        num_buckets=num_buckets, **cross_kwargs,
+    )
+    contaminated = distinct(
+        pairs.map_batches(
+            lambda t: pa.table({"left_id": t["left_id"]}),
+            batch_format="pyarrow",
+        ),
+        ["left_id"],
+        num_partitions=num_buckets,
+    )
+    if train_schema is None:
+        train_schema = train.schema()
+    return bucket_join(
+        train, contaminated, id_col, "left_id",
+        join_type="anti", num_buckets=num_buckets,
+        left_schema=train_schema,
+        right_schema=pa.schema([("left_id", pa.int64())]),
+    )

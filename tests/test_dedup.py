@@ -628,3 +628,51 @@ def test_cdc_gate_plant_is_boundary_clean():
         cuts = [i + 1 for i in range(len(doc))
                 if hv(doc[: i + 1] if i + 1 < 6 else doc[i - 5: i + 1]) == 0]
         assert cuts == [6, len(doc)], seg
+
+
+def _synth_hex(i: int) -> str:
+    r = np.random.default_rng(i * 977 + 13)
+    return " ".join(format(x, "08x") for x in r.integers(0, 2**32, 40))
+
+
+def test_minhash_cross_pairs_and_fuzzy_decontaminate(ray_session):
+    """Cross-corpus near-dup join: only the planted (train, bench)
+    copies match, in BOTH verify shapes; fuzzy_decontaminate drops
+    exactly the contaminated train docs via the anti bucket-join."""
+    from rayraster.dedup import fuzzy_decontaminate, minhash_lsh_pairs_cross
+
+    train_texts = [_synth_hex(i) for i in range(150)]
+    bench_ids = [5, 50, 120]
+    bench_texts = [train_texts[i] + " qz9xqz9x" for i in bench_ids] + [
+        _synth_hex(10_000 + j) for j in range(3)
+    ]
+    train = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(150), pa.int64()),
+        "text": pa.array(train_texts),
+    })).repartition(4)
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(bench_texts),
+    }))
+
+    for vm in ("broadcast", "partitioned"):
+        pairs = sorted(
+            (r["left_id"], r["right_id"])
+            for r in minhash_lsh_pairs_cross(
+                train, bench, threshold=0.8, verify_mode=vm
+            ).take_all()
+        )
+        assert pairs == [(5, 0), (50, 1), (120, 2)], vm
+
+    kept = sorted(
+        r["doc_id"]
+        for r in fuzzy_decontaminate(train, bench, threshold=0.8)
+        .select_columns(["doc_id"]).take_all()
+    )
+    assert kept == [i for i in range(150) if i not in bench_ids]
+
+    bad = rd.from_arrow(pa.table({
+        "doc_id": pa.array([-1], pa.int64()), "text": pa.array(["x"]),
+    }))
+    with pytest.raises(Exception, match="2\\^60"):
+        minhash_lsh_pairs_cross(bad, bench).take_all()
