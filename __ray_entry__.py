@@ -6137,10 +6137,64 @@ def _q_multimodal(sf_dir: str):
         concurrency=2,
         num_cpus=1,
     )
-    return out.select_columns(
+    pix = out.select_columns(
         ["doc_id", "width", "height", "channels", "px_mean",
          "px_mode_bin", "hist_l2"]
+    ).map_batches(_tagger("pix"), batch_format="pyarrow")
+
+    # second arm ('audio'): REAL RIFF/WAVE PCM16 decode + exact-int
+    # audio features (multimodal.decode_wav / AudioFeatureStage).
+    # Every doc_id % 3 == 1 row carries a crafted WAV with planted
+    # samples s(t) = ((doc_id·31 + 7t²) mod 65536) − 32768 (n = 20 +
+    # doc_id % 50, 8 kHz mono); other rows carry text bytes and prove
+    # the no-false-positive magic check (valid=false, filtered).
+    # Packing: width=n_samples, height=zero_crossings, channels=
+    # n_channels, px_mean=amp_mean (exact int sum ÷ n), px_mode_bin=
+    # max 16-sample window energy, hist_l2=max |sample|.
+    from rayraster.multimodal import AudioFeatureStage, encode_wav
+
+    def to_audio(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out_p = []
+        for i, s in zip(ids, texts):
+            if i % 3 == 1:
+                n = 20 + int(i) % 50
+                tt = np.arange(n, dtype=np.int64)
+                samp = ((int(i) * 31 + 7 * tt * tt) % 65536) - 32768
+                out_p.append(encode_wav(samp.astype(np.int16), rate=8000))
+            else:
+                out_p.append(s.encode("utf-8"))
+        return pa.table(
+            {"doc_id": t["doc_id"], "payload": pa.array(out_p, type=pa.binary())}
+        )
+
+    au = ds.map_batches(to_audio, batch_format="pyarrow").map_batches(
+        AudioFeatureStage("payload", win=16),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
     )
+
+    def audio_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        t = t.filter(t["valid"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "width": t["n_samples"],
+                "height": t["zero_crossings"],
+                "channels": t["n_channels"],
+                "px_mean": t["amp_mean"],
+                "px_mode_bin": t["win_energy_max"],
+                "hist_l2": pc2.cast(t["amp_max"], pa.int64()),
+                "path": pa.array(["audio"] * t.num_rows, type=pa.string()),
+            }
+        )
+
+    return pix.union(au.map_batches(audio_rows, batch_format="pyarrow"))
 
 
 def _sql_exact_dedup() -> str:
@@ -6637,9 +6691,42 @@ SELECT d.doc_id, d.width, d.height, CAST(3 AS BIGINT) AS channels,
        CASE WHEN d.doc_id % 3 = 0 THEN hm.px_mode_bin
             ELSE CAST(-1 AS BIGINT) END AS px_mode_bin,
        CASE WHEN d.doc_id % 3 = 0 THEN hs.hist_l2
-            ELSE CAST(0 AS BIGINT) END AS hist_l2
+            ELSE CAST(0 AS BIGINT) END AS hist_l2,
+       'pix' AS path
 FROM dims d LEFT JOIN sums s USING (doc_id)
-LEFT JOIN hstats hs USING (doc_id) LEFT JOIN hmode hm USING (doc_id)"""
+LEFT JOIN hstats hs USING (doc_id) LEFT JOIN hmode hm USING (doc_id)
+UNION ALL
+SELECT * FROM (
+  WITH au AS (
+    SELECT d.doc_id, t.k AS t,
+           ((d.doc_id * 31 + 7 * t.k * t.k) % 65536) - 32768 AS s
+    FROM documents d JOIN range(0, 70) t(k) ON t.k < 20 + d.doc_id % 50
+    WHERE d.doc_id % 3 = 1
+  ),
+  nxt AS (
+    SELECT doc_id, t, s,
+           LEAD(s) OVER (PARTITION BY doc_id ORDER BY t) AS s2
+    FROM au
+  ),
+  agg AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(s) AS BIGINT) AS tot,
+           CAST(MAX(ABS(s)) AS BIGINT) AS amax,
+           CAST(SUM(CASE WHEN s * s2 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zc
+    FROM nxt GROUP BY doc_id
+  ),
+  wins AS (
+    SELECT doc_id, t // 16 AS w, CAST(SUM(s * s) AS BIGINT) AS e
+    FROM au GROUP BY 1, 2
+  ),
+  wmax AS (SELECT doc_id, CAST(MAX(e) AS BIGINT) AS we FROM wins GROUP BY doc_id)
+  SELECT a.doc_id, a.n AS width, a.zc AS height,
+         CAST(1 AS BIGINT) AS channels,
+         CAST(a.tot AS DOUBLE) / CAST(a.n AS DOUBLE) AS px_mean,
+         w.we AS px_mode_bin, a.amax AS hist_l2, 'audio' AS path
+  FROM agg a JOIN wmax w USING (doc_id)
+)"""
 
 
 # --------------------------------------------------------------------------

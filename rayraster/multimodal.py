@@ -505,3 +505,127 @@ def synth_image(doc_id: int, perturb: bool = False) -> np.ndarray:
         px = px.copy()
         px[0, 0, 0] ^= 1
     return px
+
+
+# ---------------------------------------------------------------------------
+# audio: RIFF/WAVE PCM16 — real from-scratch codec + feature stage
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000, channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE writer: 16-bit PCM, interleaved.  ``samples``
+    is int16 (total values, i.e. frames × channels)."""
+    import struct
+
+    s = np.ascontiguousarray(np.asarray(samples, dtype=np.int16))
+    data = s.tobytes()
+    block = 2 * channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block, block, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(p: bytes):
+    """Real RIFF chunk-walk parser for 16-bit PCM WAVE payloads:
+    returns ``(rate, channels, int16 sample array)`` or ``None`` when
+    the payload is not a PCM16 WAV this kernel covers (wrong magic,
+    compressed codec, other bit depths) — the same
+    plausibility-checked-magic contract as the image decoders (no
+    false positives on text)."""
+    import struct
+
+    if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = channels = bits = None
+    data = None
+    while pos + 8 <= len(p):
+        cid = p[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", p, pos + 4)
+        body = p[pos + 8: pos + 8 + clen]
+        if cid == b"fmt " and clen >= 16:
+            codec, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if codec != 1:  # PCM only
+                return None
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data is None or bits != 16 or not channels:
+        return None
+    n = len(data) // 2
+    if n == 0:
+        return None
+    return int(rate), int(channels), np.frombuffer(data[: 2 * n], dtype="<i2")
+
+
+class AudioFeatureStage:
+    """binary payload → per-clip audio features from a REAL PCM16 WAV
+    decode (``decode_wav``); non-WAV payloads emit ``valid=false`` with
+    zeroed features so arbitrary binaries still flow (filter on
+    ``valid`` for the decoded slice).
+
+    Features (all exact-integer folds, so every value is bit-exact
+    against a SQL twin over the same planted samples):
+
+    * ``sample_rate`` / ``n_samples`` / ``n_channels``
+    * ``amp_mean`` — exact int64 sample sum ÷ n (one IEEE division)
+    * ``amp_max`` — max |sample| as double
+    * ``zero_crossings`` — count of adjacent pairs with
+      ``s[t]·s[t+1] < 0``
+    * ``win_energy_max`` — max over non-overlapping ``win``-sample
+      windows of the exact int64 sum of squares (the peak-energy
+      detector; RMS = sqrt(e/win) downstream if a float is wanted)
+    """
+
+    def __init__(self, bin_col: str = "payload", win: int = 16):
+        if win < 1:
+            raise ValueError(f"AudioFeatureStage: win must be >= 1, got {win}")
+        self.bin_col = bin_col
+        self.win = win
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.bin_col].to_pylist()
+        n = len(payloads)
+        valid = np.zeros(n, dtype=bool)
+        rate = np.zeros(n, dtype=np.int64)
+        nsamp = np.zeros(n, dtype=np.int64)
+        nch = np.zeros(n, dtype=np.int64)
+        amp_mean = np.zeros(n, dtype=np.float64)
+        amp_max = np.zeros(n, dtype=np.float64)
+        zc = np.zeros(n, dtype=np.int64)
+        wmax = np.zeros(n, dtype=np.int64)
+        for i, p in enumerate(payloads):
+            dec = decode_wav(p)
+            if dec is None:
+                continue
+            r, c, s = dec
+            s64 = s.astype(np.int64)
+            valid[i] = True
+            rate[i], nch[i], nsamp[i] = r, c, len(s)
+            amp_mean[i] = float(int(s64.sum())) / float(len(s))
+            amp_max[i] = float(np.abs(s64).max())
+            if len(s) > 1:
+                zc[i] = int((s64[1:] * s64[:-1] < 0).sum())
+            sq = s64 * s64
+            starts = np.arange(0, len(s), self.win)
+            wmax[i] = int(np.add.reduceat(sq, starts).max())
+        for name, col in (
+            ("valid", pa.array(valid)),
+            ("sample_rate", pa.array(rate)),
+            ("n_samples", pa.array(nsamp)),
+            ("n_channels", pa.array(nch)),
+            ("amp_mean", pa.array(amp_mean)),
+            ("amp_max", pa.array(amp_max)),
+            ("zero_crossings", pa.array(zc)),
+            ("win_energy_max", pa.array(wmax)),
+        ):
+            batch = batch.append_column(name, col)
+        return batch

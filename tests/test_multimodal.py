@@ -374,3 +374,48 @@ def test_hamming_neardup_validations(ray_session):
         hamming_neardup_pairs(ds, n_bands=7)
     with pytest.raises(ValueError, match="pigeonhole"):
         hamming_neardup_pairs(ds, max_dist=8, n_bands=8)
+
+
+def test_wav_roundtrip_and_magic():
+    from rayraster.multimodal import decode_wav, encode_wav
+
+    s = np.array([0, 100, -200, 32767, -32768, 5], dtype=np.int16)
+    r, c, out = decode_wav(encode_wav(s, rate=44100, channels=2))
+    assert (r, c) == (44100, 2) and np.array_equal(out, s)
+    # plausibility-checked magic: no false positives on text/garbage
+    assert decode_wav(b"some plain text that is long enough to matter..") is None
+    assert decode_wav(b"RIFF" + b"x" * 100) is None          # not WAVE
+    assert decode_wav(b"") is None
+    # non-PCM codec id rejected
+    bad = bytearray(encode_wav(s))
+    bad[20] = 3  # codec = IEEE float
+    assert decode_wav(bytes(bad)) is None
+
+
+def test_audio_feature_stage_exact(ray_session):
+    from rayraster.multimodal import AudioFeatureStage, encode_wav
+
+    rng = np.random.default_rng(4)
+    clips = [rng.integers(-32768, 32768, int(n)).astype(np.int16)
+             for n in rng.integers(1, 200, 12)]
+    payloads = [encode_wav(c, rate=8000) for c in clips] + [b"not audio"]
+    t = pa.table({"doc_id": pa.array(range(len(payloads)), pa.int64()),
+                  "payload": pa.array(payloads, type=pa.binary())})
+    out = AudioFeatureStage("payload", win=16)(t)
+    assert out["valid"].to_pylist() == [True] * 12 + [False]
+    for i, c in enumerate(clips):
+        s = c.astype(np.int64)
+        assert out["n_samples"][i].as_py() == len(s)
+        assert out["amp_mean"][i].as_py() == int(s.sum()) / len(s)
+        assert out["amp_max"][i].as_py() == float(np.abs(s).max())
+        assert out["zero_crossings"][i].as_py() == int(
+            (s[1:] * s[:-1] < 0).sum()
+        )
+        want_w = max(
+            int((s[j:j + 16].astype(np.int64) ** 2).sum())
+            for j in range(0, len(s), 16)
+        )
+        assert out["win_energy_max"][i].as_py() == want_w
+
+    with pytest.raises(ValueError, match="win"):
+        AudioFeatureStage(win=0)
