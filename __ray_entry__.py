@@ -5091,7 +5091,34 @@ def _q_exact_quantiles(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    return exact.union(bins)
+
+    # fourth/fifth arms ('trim'/'winsor'): exact distributed trimmed +
+    # winsorized means (agg.trimmed_mean — stats pass + one
+    # exact_quantiles selection at 4 ranks + tail pass, ALL map-only)
+    # over the ×100 floor-quantized values with the exact rational
+    # trim k = n // 20; the twin is the ROW_NUMBER-filtered average.
+    from rayraster.agg import trimmed_mean
+
+    def qv(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(v)
+        return pa.table(
+            {"qv": pa.array(np.floor(v[keep] * 100).astype(np.int64))}
+        )
+
+    tmres = trimmed_mean(
+        ev.map_batches(qv, batch_format="pyarrow"), "qv", 1, 20
+    )
+    robust = rd.from_arrow(pa.table(
+        {"q": pa.array([0.05, 0.05], type=pa.float64()),
+         "value": pa.array(
+             [tmres["trimmed_mean"], tmres["winsorized_mean"]],
+             type=pa.float64(),
+         ),
+         "qd_ok": pa.array([True, True]),
+         "path": pa.array(["trim", "winsor"], type=pa.string())}
+    ))
+    return exact.union(bins, robust)
 
 
 def _sql_exact_quantiles() -> str:
@@ -5116,7 +5143,30 @@ FROM (
   WITH cuts AS (SELECT {cut_cols} FROM events)
   SELECT {case_sum} AS bin FROM events e CROSS JOIN cuts
 )
-GROUP BY bin"""
+GROUP BY bin
+UNION ALL
+SELECT * FROM (
+  WITH tv AS (
+    SELECT CAST(floor(value * 100) AS BIGINT) AS qv
+    FROM events WHERE value IS NOT NULL
+  ),
+  rk AS (SELECT qv, ROW_NUMBER() OVER (ORDER BY qv) AS r FROM tv),
+  nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(COUNT(*) // 20 AS BIGINT) AS k FROM tv),
+  kept AS (SELECT rk.qv FROM rk CROSS JOIN nn
+           WHERE rk.r > nn.k AND rk.r <= nn.n - nn.k),
+  tm AS (SELECT CAST(SUM(qv) AS BIGINT) AS s,
+                CAST(COUNT(*) AS BIGINT) AS m FROM kept),
+  cl AS (SELECT MIN(qv) AS lo, MAX(qv) AS hi FROM kept)
+  SELECT 0.05 AS q, CAST(tm.s AS DOUBLE) / CAST(tm.m AS DOUBLE) AS value,
+         TRUE AS qd_ok, 'trim' AS path FROM tm
+  UNION ALL
+  SELECT 0.05 AS q,
+         CAST(tm.s + nn.k * cl.lo + nn.k * cl.hi AS DOUBLE)
+           / CAST(nn.n AS DOUBLE) AS value,
+         TRUE AS qd_ok, 'winsor' AS path
+  FROM tm CROSS JOIN cl CROSS JOIN nn
+)"""
 
 
 def _q_window(sf_dir: str):

@@ -1334,3 +1334,130 @@ def grouped_variance(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def trimmed_mean(
+    ds: Dataset,
+    col: str,
+    trim_num: int = 1,
+    trim_den: int = 20,
+    batch_size: int = 262144,
+) -> dict:
+    """EXACT distributed trimmed AND winsorized mean of an integer
+    column with NO shuffle — the robust-statistics companion of
+    :func:`exact_quantiles` (outlier-proof corpus averages: mean doc
+    length / value / latency with the tails cut).
+
+    ``k = (n · trim_num) // trim_den`` rows are trimmed from EACH
+    tail (exact integer rational — no float trim fraction), so the
+    result is the textbook trimmed mean: mean of ranks ``k … n−k−1``
+    in sorted order, ties handled by rank arithmetic, identical to a
+    ``ROW_NUMBER``-filtered SQL twin.  The winsorized mean replaces
+    each trimmed tail by ``k`` copies of the nearest kept value.
+
+    Shape: one map-only stats pass (n, total, max |v|), ONE
+    :func:`exact_quantiles` call resolving all four cut ranks
+    (iterative histogram refinement — itself map-only), and one final
+    map-only pass counting/summing the strict tails; every sum is an
+    exact int64-per-batch → Python-int driver fold, so the two means
+    are single IEEE divisions of exact integers — bit-identical
+    across partitionings, cluster sizes and the SQL twin.
+
+    Integer columns only (float sums are order-dependent; quantize
+    upstream — the engine's established ``floor(v·100)`` pattern).
+
+    Returns ``{n, k, lower, upper, trimmed_n, trimmed_sum,
+    trimmed_mean, winsorized_sum, winsorized_mean}``.
+    """
+    import pyarrow.compute as pc
+
+    if not (0 <= trim_num * 2 < trim_den):
+        raise ValueError(
+            f"trimmed_mean: need 0 <= 2·trim_num/trim_den < 1, got "
+            f"{trim_num}/{trim_den}"
+        )
+
+    def stats_batch(t: pa.Table) -> pa.Table:
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if not pa.types.is_integer(c.type):
+            raise ValueError(
+                f"trimmed_mean: {col!r} must be an integer column "
+                "(float sums are order-dependent; quantize upstream)"
+            )
+        x = pc.drop_null(c).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) == 0:
+            row = np.zeros(3, dtype=np.int64)
+        else:
+            if int(np.abs(x).max()) * len(x) >= 2**63:
+                raise ValueError(
+                    "trimmed_mean: per-batch sum could overflow int64 — "
+                    "rescale the column or lower batch_size"
+                )
+            row = np.array([len(x), x.sum(), np.abs(x).max()], dtype=np.int64)
+        return pa.table({"blob": pa.array([row.tobytes()], type=pa.binary())})
+
+    n = 0
+    total = 0
+    for t in ds.map_batches(
+        stats_batch, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in t["blob"].to_pylist():
+            r = np.frombuffer(blob, np.int64)
+            n += int(r[0])
+            total += int(r[1])
+    if n == 0:
+        raise ValueError("trimmed_mean: no non-null rows")
+
+    k = (n * trim_num) // trim_den
+    if k == 0:
+        m = total / n
+        return {"n": n, "k": 0, "lower": None, "upper": None,
+                "trimmed_n": n, "trimmed_sum": total, "trimmed_mean": m,
+                "winsorized_sum": total, "winsorized_mean": m}
+
+    # ranks (0-based): k−1 = largest trimmed low, k = first kept (the
+    # winsor lower clamp), n−k−1 = last kept (upper clamp), n−k =
+    # smallest trimmed high.  q = (rank + 0.5)/n makes ceil(n·q)−1 hit
+    # each rank robustly against float rounding.
+    ranks = [k - 1, k, n - k - 1, n - k]
+    vb, lo_keep, hi_keep, vt = (
+        int(v) for v in exact_quantiles(
+            ds, col, [(r + 0.5) / n for r in ranks], batch_size=batch_size,
+        )
+    )
+
+    def tail_batch(t: pa.Table) -> pa.Table:
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        x = pc.drop_null(c).to_numpy(zero_copy_only=False).astype(np.int64)
+        lt = x < vb
+        gt = x > vt
+        row = np.array(
+            [lt.sum(), x[lt].sum(), gt.sum(), x[gt].sum()], dtype=np.int64
+        )
+        return pa.table({"blob": pa.array([row.tobytes()], type=pa.binary())})
+
+    c_lt = s_lt = c_gt = s_gt = 0
+    for t in ds.map_batches(
+        tail_batch, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in t["blob"].to_pylist():
+            r = np.frombuffer(blob, np.int64)
+            c_lt += int(r[0]); s_lt += int(r[1])
+            c_gt += int(r[2]); s_gt += int(r[3])
+
+    bottom = s_lt + (k - c_lt) * vb
+    top = s_gt + (k - c_gt) * vt
+    tsum = total - bottom - top
+    tn = n - 2 * k
+    wsum = tsum + k * lo_keep + k * hi_keep
+    return {
+        "n": n, "k": k, "lower": lo_keep, "upper": hi_keep,
+        "trimmed_n": tn, "trimmed_sum": tsum, "trimmed_mean": tsum / tn,
+        "winsorized_sum": wsum, "winsorized_mean": wsum / n,
+    }

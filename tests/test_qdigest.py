@@ -183,3 +183,45 @@ def test_build_qdigest_grouped_skips_nulls(ray_session):
     qds = build_qdigest_grouped(rd.from_arrow(t), "g", "v", k=64)
     assert set(qds) == {"a", "b"}
     assert qds["a"].n == 1 and qds["b"].n == 1
+
+
+def test_trimmed_mean_matches_sorted_brute(ray_session):
+    import ray.data as rd
+
+    from rayraster.agg import trimmed_mean
+
+    rng = np.random.default_rng(6)
+    for n, tn_, td in ((1000, 1, 20), (997, 1, 10), (53, 1, 4), (10, 0, 20)):
+        x = rng.integers(-500, 5000, n).astype(np.int64)
+        x[rng.integers(0, n, n // 3)] = 42  # heavy ties
+        ds = rd.from_arrow(pa.table({"v": x})).repartition(5)
+        got = trimmed_mean(ds, "v", tn_, td)
+        s = np.sort(x)
+        k = (n * tn_) // td
+        kept = s[k:n - k]
+        assert got["k"] == k and got["trimmed_n"] == len(kept)
+        assert got["trimmed_sum"] == int(kept.sum())
+        assert got["trimmed_mean"] == int(kept.sum()) / len(kept)
+        if k:
+            w = int(kept.sum()) + k * int(s[k]) + k * int(s[n - k - 1])
+            assert got["winsorized_sum"] == w
+            assert got["winsorized_mean"] == w / n
+            assert got["lower"] == int(s[k]) and got["upper"] == int(s[n - k - 1])
+
+
+def test_trimmed_mean_validations(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from rayraster.agg import trimmed_mean
+
+    ds = rd.from_arrow(pa.table({"v": np.array([1.5, 2.5])}))
+    with pytest.raises(Exception, match="integer column"):
+        trimmed_mean(ds, "v")
+    with pytest.raises(ValueError, match="trim_num"):
+        trimmed_mean(ds, "v", 1, 2)
+    empty = rd.from_arrow(
+        pa.table({"v": pa.array([None, None], type=pa.int64())})
+    )
+    with pytest.raises(ValueError, match="no non-null rows"):
+        trimmed_mean(empty, "v")
