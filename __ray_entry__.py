@@ -1542,7 +1542,41 @@ def _q_raster_to_vector(sf_dir: str):
         )
 
     ctd = ctab.map_batches(vec_ctab, batch_format="pyarrow")
-    return sq.union(hx, rg, pm, ct, sg, fs, fm, gw, zd, sp, jcd, ovd, ctd)
+
+    # fifteenth arm (grid='hull'): EXACT distributed convex hull
+    # (spatial.convex_hull — per-batch vectorized triple-prune hulls,
+    # tiny driver merge, no shuffle).  Plant: 8 integer octagon
+    # vertices at radius ~10^6 strictly contain the whole geocode
+    # frame ([-180,180]×[-90,90]), so the hull of docs ∪ octagon is
+    # exactly the octagon in CCW-from-lexmin order — analytic — while
+    # the engine reduces the full point table for real.
+    from rayraster.spatial import convex_hull
+
+    _OCT = [
+        (1000000.0, 0.0), (707107.0, 707107.0), (0.0, 1000000.0),
+        (-707107.0, 707107.0), (-1000000.0, 0.0), (-707107.0, -707107.0),
+        (0.0, -1000000.0), (707107.0, -707107.0),
+    ]
+    hull_in = (
+        load_doc_points(sf_dir, columns=("doc_id",))
+        .select_columns(["x", "y"])
+        .union(rd.from_arrow(pa.table({
+            "x": pa.array([p[0] for p in _OCT]),
+            "y": pa.array([p[1] for p in _OCT]),
+        })))
+    )
+    hxs, hys = convex_hull(hull_in)
+    nh = len(hxs)
+    hull_rows = rd.from_arrow(pa.table(
+        {"grid": pa.array(["hull"] * nh, type=pa.string()),
+         "ix": pa.array(np.arange(nh, dtype=np.int64)),
+         "iy": pa.array(np.zeros(nh, dtype=np.int64)),
+         "px1": pa.array(hxs), "py1": pa.array(hys),
+         "px2": pa.array(np.zeros(nh)), "py2": pa.array(np.zeros(nh))}
+    ))
+    return sq.union(
+        hx, rg, pm, ct, sg, fs, fm, gw, zd, sp, jcd, ovd, ctd, hull_rows
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2120,7 +2154,14 @@ SELECT 'crosstab' AS grid,
        CAST(a.s % 5 AS BIGINT) AS ix, CAST(e.s % 3 AS BIGINT) AS iy,
        CAST(COUNT(*) AS DOUBLE) AS px1, 0.0 AS py1, 0.0 AS px2, 0.0 AS py2
 FROM opx a JOIN epx e USING (ix, iy)
-GROUP BY a.s % 5, e.s % 3)"""
+GROUP BY a.s % 5, e.s % 3)
+UNION ALL
+SELECT 'hull' AS grid, CAST(i AS BIGINT) AS ix, CAST(0 AS BIGINT) AS iy,
+       CAST(vx AS DOUBLE) AS px1, CAST(vy AS DOUBLE) AS py1,
+       0.0 AS px2, 0.0 AS py2
+FROM (VALUES (0, -1000000, 0), (1, -707107, -707107), (2, 0, -1000000),
+             (3, 707107, -707107), (4, 1000000, 0), (5, 707107, 707107),
+             (6, 0, 1000000), (7, -707107, 707107)) v(i, vx, vy)"""
 
 
 def _ovl_px() -> str:

@@ -3552,3 +3552,87 @@ def raster_crosstab(
         lambda t: pa.table({"ca": t["ca"], "cb": t["cb"], "n": t["sum_n"]}),
         batch_format="pyarrow",
     )
+
+
+def _chain_prune(px: np.ndarray, py: np.ndarray, upper: bool) -> np.ndarray:
+    """Indices (into the x-sorted order) of one hull chain by repeated
+    vectorized triple-pruning: drop every interior point whose
+    consecutive triple fails the strict-turn test, until stable.  Each
+    round is pure numpy over the surviving candidates; rounds needed ≈
+    log of the longest concave run, and the candidate set shrinks
+    geometrically — the vectorized form of Andrew's monotone chain."""
+    idx = np.arange(len(px), dtype=np.int64)
+    while len(idx) > 2:
+        x, y = px[idx], py[idx]
+        cross = (x[1:-1] - x[:-2]) * (y[2:] - y[:-2]) - (
+            y[1:-1] - y[:-2]
+        ) * (x[2:] - x[:-2])
+        bad = cross >= 0 if upper else cross <= 0  # strict turns only
+        if not bad.any():
+            break
+        keep = np.ones(len(idx), dtype=bool)
+        keep[1:-1] = ~bad
+        idx = idx[keep]
+    return idx
+
+
+def _hull_points(x: np.ndarray, y: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """Exact strict convex hull of a point set, CCW from the
+    lexicographic minimum; collinear boundary points excluded."""
+    pts = np.unique(np.stack([x, y], axis=1), axis=0)  # lexsorted (x, y)
+    if len(pts) <= 2:
+        return pts[:, 0], pts[:, 1]
+    px, py = pts[:, 0], pts[:, 1]
+    lo = _chain_prune(px, py, upper=False)
+    hi = _chain_prune(px, py, upper=True)
+    # CCW: lower chain left→right, then upper chain right→left, drop
+    # the shared endpoints from the second chain
+    order = np.concatenate([lo, hi[::-1][1:-1]])
+    return px[order], py[order]
+
+
+def convex_hull(
+    ds: Dataset,
+    x_col: str = "x",
+    y_col: str = "y",
+    batch_size: int = 262144,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """EXACT distributed convex hull of a point table with NO shuffle
+    (ST_ConvexHull over the whole layer — coverage footprints, study
+    region outlines).  Hull of a union = hull of the per-part hulls,
+    so each batch reduces to its own hull (vectorized triple-pruning —
+    no per-row Python) and the driver merges the tiny candidate union
+    (≤ Σ per-batch hull sizes — hundreds, not rows) with one final
+    chain.  Exact for integer coordinates and for doubles whose cross
+    products are exactly representable; collinear boundary points are
+    excluded (strict hull), duplicates collapse.
+
+    Returns ``(hx, hy)`` in CCW order starting from the lexicographic
+    minimum vertex; degenerate inputs reduce accordingly (all points
+    collinear → the two extreme endpoints; ≤ 2 distinct points → the
+    distinct point set in lexicographic order).
+    """
+
+    def batch_hull(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        if not ok.any():
+            return pa.table({"hx": pa.array([], type=pa.float64()),
+                             "hy": pa.array([], type=pa.float64())})
+        hx, hy = _hull_points(x[ok], y[ok])
+        return pa.table({"hx": pa.array(hx), "hy": pa.array(hy)})
+
+    parts = [
+        b for b in ds.map_batches(
+            batch_hull, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        ).iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    if not parts:
+        raise ValueError("convex_hull: no finite points")
+    cand = pa.concat_tables(parts)
+    return _hull_points(
+        cand["hx"].to_numpy(zero_copy_only=False),
+        cand["hy"].to_numpy(zero_copy_only=False),
+    )

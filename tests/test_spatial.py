@@ -2061,3 +2061,57 @@ def test_raster_crosstab_counts_and_duplicate_guard(ray_session):
     dup = _px([(0, 0, 1), (0, 0, 2)])
     with pytest.raises(Exception, match="duplicate cell keys"):
         raster_crosstab(dup, b, "v", "v").take_all()
+
+
+def _brute_hull(pts):
+    pts = sorted(set(map(tuple, pts)))
+    if len(pts) <= 2:
+        return pts
+
+    def chain(ps):
+        out = []
+        for p in ps:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lo = chain(pts)
+    hi = chain(pts[::-1])
+    return lo[:-1] + hi[:-1]
+
+
+def test_convex_hull_matches_brute(ray_session):
+    from rayraster.spatial import convex_hull
+
+    rng = np.random.default_rng(8)
+    for trial in range(6):
+        n = int(rng.integers(3, 3000))
+        x = rng.integers(-1000, 1000, n).astype(np.float64)
+        y = rng.integers(-1000, 1000, n).astype(np.float64)
+        ds = rd.from_arrow(pa.table({"x": x, "y": y})).repartition(
+            int(rng.integers(1, 7))
+        )
+        got = list(zip(*(a.tolist() for a in convex_hull(ds, batch_size=256))))
+        assert got == _brute_hull(list(zip(x.tolist(), y.tolist()))), trial
+
+
+def test_convex_hull_degenerate(ray_session):
+    from rayraster.spatial import convex_hull
+
+    # all collinear (+ duplicates): strict hull = the two endpoints
+    ds = rd.from_arrow(pa.table({"x": [0.0, 1, 2, 3, 3, 2],
+                                 "y": [0.0, 1, 2, 3, 3, 2]}))
+    hx, hy = convex_hull(ds)
+    assert list(zip(hx, hy)) == [(0, 0), (3, 3)]
+    one = rd.from_arrow(pa.table({"x": [5.0], "y": [7.0]}))
+    hx, hy = convex_hull(one)
+    assert list(zip(hx, hy)) == [(5.0, 7.0)]
+    with pytest.raises(ValueError, match="no finite points"):
+        convex_hull(rd.from_arrow(pa.table(
+            {"x": pa.array([None], type=pa.float64()),
+             "y": pa.array([None], type=pa.float64())}
+        )))
