@@ -3014,11 +3014,29 @@ def _neardup_corpus_build(sf_dir: str, perturb: bool):
 
 
 def _q_minhash(sf_dir: str):
-    from rayraster.dedup import minhash_lsh_pairs
+    """Two path-tagged verifies of the SAME MinHash-banded candidates
+    under one analytic oracle: 'jaccard' = exact char-shingle Jaccard
+    ≥ 0.8 (the original arm); 'edit' = exact byte-level Levenshtein
+    similarity ≥ 0.95 (dedup.minhash_edit_pairs — the batch-vectorized
+    DP with the prefix-min row trick, partitioned payload attach).
+    The planted perturbation is a 9-byte suffix on ~360-byte docs, so
+    edit similarity ≈ 0.976 for every planted pair and ~0 for false
+    candidates — both arms must return exactly the planted pairs."""
+    from rayraster.dedup import minhash_edit_pairs, minhash_lsh_pairs
 
     corpus = _neardup_corpus(sf_dir, perturb=True)
-    pairs = minhash_lsh_pairs(corpus, threshold=0.8, corpus_count=corpus.count())
-    return pairs.select_columns(["a", "b"])
+    n2 = corpus.count()
+    pairs = minhash_lsh_pairs(
+        corpus, threshold=0.8, corpus_count=n2
+    ).select_columns(["a", "b"]).map_batches(
+        _tagger("jaccard"), batch_format="pyarrow"
+    )
+    epairs = minhash_edit_pairs(
+        corpus, threshold=0.95, corpus_count=n2
+    ).select_columns(["a", "b"]).map_batches(
+        _tagger("edit"), batch_format="pyarrow"
+    )
+    return pairs.union(epairs)
 
 
 # d2b: the partitioned-verify proof — a corpus ABOVE the 50k broadcast
@@ -6395,7 +6413,11 @@ def _cdc_seg_cases() -> str:
 
 
 def _sql_minhash() -> str:
-    return f"""SELECT doc_id AS a, doc_id + {_DUP_OFFSET} AS b
+    return f"""SELECT doc_id AS a, doc_id + {_DUP_OFFSET} AS b,
+       'jaccard' AS path
+FROM documents
+UNION ALL
+SELECT doc_id AS a, doc_id + {_DUP_OFFSET} AS b, 'edit' AS path
 FROM documents"""
 
 

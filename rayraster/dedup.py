@@ -1579,3 +1579,156 @@ def fuzzy_decontaminate(
         left_schema=train_schema,
         right_schema=pa.schema([("left_id", pa.int64())]),
     )
+
+
+def levenshtein_batch(a_texts, b_texts, chunk: int = 256) -> np.ndarray:
+    """Exact byte-level Levenshtein distances for a batch of string
+    pairs, fully vectorized ACROSS the batch: the classic row DP runs
+    one row per iteration over ALL pairs at once, with the
+    left-neighbor (insertion) dependency resolved by the prefix-min
+    identity ``c[i] = min-over-k≤i (t[k] + (i−k))`` — one
+    ``np.minimum.accumulate`` per row instead of a per-cell loop.
+    Distances are over UTF-8 BYTES (document the unit when mixing
+    scripts); memory is bounded by processing ``chunk`` pairs at a
+    time."""
+    n = len(a_texts)
+    out = np.zeros(n, dtype=np.int64)
+    for s in range(0, n, chunk):
+        aa = [(x or "").encode() for x in a_texts[s:s + chunk]]
+        bb = [(x or "").encode() for x in b_texts[s:s + chunk]]
+        P = len(aa)
+        la = np.array([len(x) for x in aa], dtype=np.int64)
+        lb = np.array([len(x) for x in bb], dtype=np.int64)
+        La, Lb = int(la.max(initial=0)), int(lb.max(initial=0))
+        res = la.copy()  # blen == 0 rows: distance = alen
+        if Lb == 0 or P == 0:
+            out[s:s + P] = res
+            continue
+        A = np.zeros((P, La), dtype=np.uint8)
+        B = np.zeros((P, Lb), dtype=np.uint8)
+        for i, x in enumerate(aa):
+            A[i, : len(x)] = np.frombuffer(x, dtype=np.uint8)
+        for i, x in enumerate(bb):
+            B[i, : len(x)] = np.frombuffer(x, dtype=np.uint8)
+        prev = np.broadcast_to(
+            np.arange(La + 1, dtype=np.int64), (P, La + 1)
+        ).copy()
+        ar = np.arange(1, La + 1, dtype=np.int64)
+        for j in range(1, Lb + 1):
+            neq = (A != B[:, j - 1: j]).astype(np.int64)
+            t = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + neq)
+            cur = np.empty_like(prev)
+            cur[:, 0] = j
+            d = np.minimum.accumulate(
+                np.concatenate([cur[:, :1], t - ar[None, :]], axis=1), axis=1
+            )
+            cur[:, 1:] = d[:, 1:] + ar[None, :]
+            done = lb == j
+            if done.any():
+                res[done] = cur[done, la[done]]
+            prev = cur
+        out[s:s + P] = res
+    return out
+
+
+class _VerifyEditPartitioned:
+    """Exact edit-similarity verify over pairs carrying their own
+    payloads (``_pa``/``_pb``): keep pairs with
+    ``1 − dist/max(len_a, len_b) ≥ threshold`` (byte lengths; empty
+    vs empty = similarity 1)."""
+
+    def __init__(self, threshold: float):
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        ta = batch["_pa"].to_pylist()
+        tb = batch["_pb"].to_pylist()
+        dist = levenshtein_batch(ta, tb)
+        mla = np.array(
+            [max(len((x or "").encode()), len((y or "").encode()))
+             for x, y in zip(ta, tb)], dtype=np.int64,
+        )
+        sim = np.where(mla > 0, 1.0 - dist / np.maximum(mla, 1), 1.0)
+        keep = sim >= self.threshold if len(a) else np.zeros(0, dtype=bool)
+        return pa.table(
+            {"a": pa.array(a[keep]),
+             "b": pa.array(batch["b"].to_numpy(zero_copy_only=False)[keep]),
+             "edit_sim": pa.array(sim[keep], type=pa.float64())}
+        )
+
+
+def edit_verify_pairs(
+    pairs: Dataset,
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    num_partitions: int = 64,
+) -> Dataset:
+    """EDIT-SIMILARITY verification of ANY candidate pair table: keep
+    pairs with exact byte-level Levenshtein similarity
+    ``1 - dist/max(len_a, len_b) >= threshold`` -- the character-edit
+    companion of the Jaccard verify (catches small in-place edits that
+    shingle sets under-weigh; the similarity used by SimHash dedup in
+    the Gyawali et al. 2024 / BigCode pipelines).
+
+    Always the PARTITIONED shape: candidates are co-located with their
+    two payloads via :func:`attach_pair_payloads` (two bucket hops),
+    then the batch-vectorized DP (:func:`levenshtein_batch`) verifies
+    inside each task -- the corpus never lands on the driver.
+
+    Returns ``(a, b, edit_sim)``.
+    """
+    joined = attach_pair_payloads(
+        pairs, ds.select_columns([id_col, text_col]), id_col, text_col,
+        num_partitions,
+    )
+    return joined.map_batches(
+        _VerifyEditPartitioned(threshold), batch_format="pyarrow"
+    )
+
+
+def minhash_edit_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 8,
+    num_buckets: int = 64,
+    corpus_count: int | None = None,
+) -> Dataset:
+    """MinHash-LSH candidates + exact edit-similarity verify
+    (:func:`edit_verify_pairs`) -- near-dup pairs under the EDIT
+    metric with the banded generator's recall guarantees."""
+    parts = _adaptive_parts(corpus_count, num_buckets)
+    rows = ds.map_batches(
+        MinHashStage(text_col, id_col, num_perm, bands, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = candidate_pairs(rows, id_col, num_partitions=parts)
+    return edit_verify_pairs(pairs, ds, text_col, id_col, threshold, parts)
+
+
+def simhash_edit_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    num_buckets: int = 64,
+    corpus_count: int | None = None,
+) -> Dataset:
+    """SimHash-banded candidates + exact edit-similarity verify --
+    note the 4x16 banding guarantees recall only for pairs within
+    SimHash Hamming <= 3; for heavier edits use the MinHash generator
+    (:func:`minhash_edit_pairs`)."""
+    parts = _adaptive_parts(corpus_count, num_buckets)
+    rows = ds.map_batches(
+        SimHashStage(text_col, id_col), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = candidate_pairs(rows, id_col, num_partitions=parts)
+    return edit_verify_pairs(pairs, ds, text_col, id_col, threshold, parts)

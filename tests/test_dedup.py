@@ -676,3 +676,57 @@ def test_minhash_cross_pairs_and_fuzzy_decontaminate(ray_session):
     }))
     with pytest.raises(Exception, match="2\\^60"):
         minhash_lsh_pairs_cross(bad, bench).take_all()
+
+
+def _lev_brute(a: str, b: str) -> int:
+    a, b = a.encode(), b.encode()
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b, 1):
+        cur = [j] + [0] * len(a)
+        for i, ca in enumerate(a, 1):
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (ca != cb))
+        prev = cur
+    return prev[len(a)]
+
+
+def test_levenshtein_batch_matches_brute():
+    import string
+
+    from rayraster.dedup import levenshtein_batch
+
+    rng = np.random.default_rng(3)
+    alpha = list(string.ascii_lowercase + " é")
+    pairs = []
+    for _ in range(120):
+        n1, n2 = rng.integers(0, 60, 2)
+        pairs.append((
+            "".join(rng.choice(alpha) for _ in range(n1)),
+            "".join(rng.choice(alpha) for _ in range(n2)),
+        ))
+    pairs += [("", ""), ("abc", ""), ("", "xyz"), ("same", "same")]
+    got = levenshtein_batch([p[0] for p in pairs], [p[1] for p in pairs],
+                            chunk=37)
+    assert got.tolist() == [_lev_brute(a, b) for a, b in pairs]
+
+
+def test_minhash_edit_pairs_planted(ray_session):
+    """MinHash candidates + edit verify return exactly the planted
+    suffix-perturbed copies (the d2 corpus construction): planted
+    edit similarity ≈ 0.976, false candidates ≈ 0."""
+    import __ray_entry__ as e
+    from rayraster.dedup import minhash_edit_pairs
+
+    ids = np.arange(150, dtype=np.int64)
+    texts = e._synth_neardup_text(ids)
+    all_ids = list(ids) + [int(i) + 1000 for i in ids]
+    all_texts = texts + [t + " qz9xqz9x" for t in texts]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(all_ids, pa.int64()),
+        "text": pa.array(all_texts),
+    })).repartition(4)
+    out = sorted(
+        (r["a"], r["b"], round(r["edit_sim"], 4))
+        for r in minhash_edit_pairs(ds, threshold=0.95).take_all()
+    )
+    assert [(a, b) for a, b, _ in out] == [(int(i), int(i) + 1000) for i in ids]
+    assert all(s > 0.97 for _, _, s in out)
