@@ -3636,3 +3636,32 @@ def convex_hull(
         cand["hx"].to_numpy(zero_copy_only=False),
         cand["hy"].to_numpy(zero_copy_only=False),
     )
+
+
+def hull_metrics(hx: np.ndarray, hy: np.ndarray) -> dict:
+    """Exact shape metrics of a convex hull (:func:`convex_hull`
+    output, CCW): ``area2`` = twice the shoelace area (exact for
+    integer coordinates — no halving, no floats), ``diameter_sq`` =
+    the squared max pairwise vertex distance (the hull realizes the
+    point set's diameter), ``n_vertices``, and ``perimeter`` (the one
+    float — a sum of sqrt terms).  Hull sizes are tiny, so the O(h²)
+    pair scan is vectorized driver math."""
+    hx = np.asarray(hx, dtype=np.float64)
+    hy = np.asarray(hy, dtype=np.float64)
+    h = len(hx)
+    if h == 0:
+        raise ValueError("hull_metrics: empty hull")
+    if h == 1:
+        return {"n_vertices": 1, "area2": 0.0, "diameter_sq": 0.0,
+                "perimeter": 0.0}
+    nx, ny = np.roll(hx, -1), np.roll(hy, -1)
+    area2 = float(np.sum(hx * ny - nx * hy))
+    dx = hx[:, None] - hx[None, :]
+    dy = hy[:, None] - hy[None, :]
+    diameter_sq = float((dx * dx + dy * dy).max())
+    per = float(np.sqrt((nx - hx) ** 2 + (ny - hy) ** 2).sum())
+    if h == 2:  # degenerate open "hull": one segment, not a ring
+        per = per / 2.0
+        area2 = 0.0
+    return {"n_vertices": h, "area2": area2, "diameter_sq": diameter_sq,
+            "perimeter": per}

@@ -2115,3 +2115,25 @@ def test_convex_hull_degenerate(ray_session):
             {"x": pa.array([None], type=pa.float64()),
              "y": pa.array([None], type=pa.float64())}
         )))
+
+
+def test_hull_metrics_exact(ray_session):
+    from rayraster.spatial import convex_hull, hull_metrics
+
+    # unit square + interior noise: area2 = 2·100², diameter² = 2·100²
+    rng = np.random.default_rng(12)
+    xs = np.concatenate([[0, 100, 100, 0], rng.integers(1, 99, 50)]).astype(float)
+    ys = np.concatenate([[0, 0, 100, 100], rng.integers(1, 99, 50)]).astype(float)
+    hx, hy = convex_hull(rd.from_arrow(pa.table({"x": xs, "y": ys})))
+    m = hull_metrics(hx, hy)
+    assert m["n_vertices"] == 4
+    assert m["area2"] == 20000.0 and m["diameter_sq"] == 20000.0
+    assert m["perimeter"] == 400.0
+
+    # degenerate: segment and single point
+    m2 = hull_metrics(np.array([0.0, 3.0]), np.array([0.0, 4.0]))
+    assert m2["area2"] == 0.0 and m2["diameter_sq"] == 25.0 and m2["perimeter"] == 5.0
+    m1 = hull_metrics(np.array([7.0]), np.array([7.0]))
+    assert m1["diameter_sq"] == 0.0
+    with pytest.raises(ValueError, match="empty"):
+        hull_metrics(np.array([]), np.array([]))
