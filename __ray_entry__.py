@@ -3021,8 +3021,18 @@ def _q_minhash(sf_dir: str):
     DP with the prefix-min row trick, partitioned payload attach).
     The planted perturbation is a 9-byte suffix on ~360-byte docs, so
     edit similarity ≈ 0.976 for every planted pair and ~0 for false
-    candidates — both arms must return exactly the planted pairs."""
-    from rayraster.dedup import minhash_edit_pairs, minhash_lsh_pairs
+    candidates — both arms must return exactly the planted pairs.
+    'ppjoin' = the EXACT (100%-recall) AllPairs/PPJoin prefix-filter
+    set-similarity join at word-unigram Jaccard ≥ 0.9 — no MinHash
+    anywhere in its plan; planted pairs score 40/41 ≈ 0.9756 (the
+    9-byte suffix is one extra word) and the shared ' qz9xqz9x' token
+    has df = n so it never enters a (rarest-first) prefix — the same
+    analytic oracle covers the banded AND the exact engine."""
+    from rayraster.dedup import (
+        minhash_edit_pairs,
+        minhash_lsh_pairs,
+        set_similarity_pairs,
+    )
 
     corpus = _neardup_corpus(sf_dir, perturb=True)
     n2 = corpus.count()
@@ -3036,7 +3046,12 @@ def _q_minhash(sf_dir: str):
     ).select_columns(["a", "b"]).map_batches(
         _tagger("edit"), batch_format="pyarrow"
     )
-    return pairs.union(epairs)
+    spairs = set_similarity_pairs(
+        corpus, threshold=0.9, corpus_count=n2
+    ).select_columns(["a", "b"]).map_batches(
+        _tagger("ppjoin"), batch_format="pyarrow"
+    )
+    return pairs.union(epairs).union(spairs)
 
 
 # d2b: the partitioned-verify proof — a corpus ABOVE the 50k broadcast
@@ -6418,6 +6433,9 @@ def _sql_minhash() -> str:
 FROM documents
 UNION ALL
 SELECT doc_id AS a, doc_id + {_DUP_OFFSET} AS b, 'edit' AS path
+FROM documents
+UNION ALL
+SELECT doc_id AS a, doc_id + {_DUP_OFFSET} AS b, 'ppjoin' AS path
 FROM documents"""
 
 

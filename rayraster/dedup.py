@@ -1732,3 +1732,254 @@ def simhash_edit_pairs(
     )
     pairs = candidate_pairs(rows, id_col, num_partitions=parts)
     return edit_verify_pairs(pairs, ds, text_col, id_col, threshold, parts)
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity self-join (AllPairs / PPJoin prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def _word_token_units(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """One row per (doc, distinct word-token hash): columns
+    ``doc / tok / sz`` where ``sz`` is the doc's distinct-token count.
+
+    The token universe is EXACTLY ``word_ngram_hashes(text, 1)`` (the
+    module's word-unigram verify metric): Python ``str.split()``
+    semantics via ``utf8_split_whitespace`` + empty-token filter, the
+    same FNV-1a hash, the same mix.  A whole document sits in one
+    input row, so per-doc distinctness is local to the batch — this
+    stage is map-only."""
+    from rayraster.geo import fnv1a64_arrow
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    words = pc.utf8_split_whitespace(pc.fill_null(batch[text_col], ""))
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(words)
+    doc_rep = np.repeat(ids, lens)
+    nonempty = pc.not_equal(pc.utf8_length(flat), 0)
+    flat = flat.filter(nonempty)
+    doc_rep = doc_rep[nonempty.to_numpy(zero_copy_only=False)]
+    h = fnv1a64_arrow(flat) if len(flat) else np.zeros(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        tok = ((h ^ (h >> np.uint64(33))) * _MIX).view(np.int64)
+    order = np.lexsort((tok, doc_rep))
+    d, t = doc_rep[order], tok[order]
+    keep = np.empty(len(d), dtype=bool)
+    if len(d):
+        keep[0] = True
+        keep[1:] = (d[1:] != d[:-1]) | (t[1:] != t[:-1])
+    d, t = d[keep], t[keep]
+    if len(d):
+        seg = np.empty(len(d), dtype=bool)
+        seg[0] = True
+        seg[1:] = d[1:] != d[:-1]
+        counts = np.diff(np.append(np.flatnonzero(seg), len(d)))
+        sz = np.repeat(counts, counts).astype(np.int64)
+    else:
+        sz = np.zeros(0, dtype=np.int64)
+    return pa.table(
+        {"doc": pa.array(d), "tok": pa.array(t), "sz": pa.array(sz)}
+    )
+
+
+def set_similarity_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    num_buckets: int = 64,
+    corpus_count: int | None = None,
+    verify_mode: str = "auto",
+    broadcast_threshold: int = 50_000,
+    max_token_group: int = 100_000,
+) -> Dataset:
+    """EXACT set-similarity self-join: every pair (a < b) with
+    word-unigram Jaccard >= ``threshold`` — the AllPairs/PPJoin
+    prefix-filtering design (Bayardo et al., WWW 2007; Xiao et al.,
+    WWW 2008), the 100%-recall complement to :func:`minhash_lsh_pairs`
+    (whose banding can miss a true pair with probability
+    (1-t^r)^b > 0).
+
+    Losslessness (the prefix-filter lemma): order every token set by
+    global (df ASC, token ASC).  If J(a,b) >= t, then the FIRST common
+    token in that order sits within position |x| - ceil(t*|x|) + 1 of
+    BOTH sets — all tokens before it are non-shared, and a set with
+    more than |x| - ceil(t*|x|) non-shared tokens cannot reach
+    J >= t.  So indexing only each doc's first p tokens (its rarest
+    ones) still generates every qualifying pair; an exact verify
+    finishes the job.
+
+    Distributed plan (nothing on the driver, no broadcast of any
+    corpus-sized side):
+
+    1. map-only tokenize -> (doc, tok, sz) distinct unit rows;
+    2. token df: one hash-partitioned grouped count;
+    3. df attach: one :func:`~rayraster.join.bucket_join` on ``tok``;
+    4. prefix mark: one doc-keyed exchange, per-doc lexsort by
+       (df, tok), keep the first ``|T| - ceil(t*|T|) + 1`` rows;
+    5. pair-gen: one token-keyed exchange over PREFIX postings only —
+       rare tokens by construction, so hot tokens (stopwords) never
+       enter a pair loop; size filter ``min >= t*max`` prunes early;
+    6. distinct pairs -> the module's shared exact-Jaccard verify
+       (broadcast or partitioned per ``verify_mode``), metric
+       ``word_ngram_hashes(text, 1)`` — identical to the candidate
+       token universe, so the composition is exact end-to-end.
+
+    Docs with an empty token set are EXCLUDED (a prefix of nothing
+    indexes nothing); exact dedup owns empty documents.  A token
+    group larger than ``max_token_group`` RAISES (never silently
+    drops — that would break exactness); at default settings that
+    means >100k docs sharing a token that is among the RAREST ~10%
+    of at least one of them, a corpus pathology worth surfacing.
+
+    Scale: the only quadratic-risk stage is 5, bounded by prefix
+    rarity; every exchange is a hash partition keyed by int64.  At
+    10^12 docs raise ``num_buckets`` (all exchanges scale with it)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from rayraster.join import bucket_join
+
+    parts = _adaptive_parts(corpus_count, num_buckets)
+
+    units = ds.map_batches(
+        lambda t: _word_token_units(t, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    df = hash_aggregate(
+        units, ["tok"], count=True, count_name="df", num_partitions=parts
+    )
+    unit_schema = pa.schema(
+        [("doc", pa.int64()), ("tok", pa.int64()), ("sz", pa.int64())]
+    )
+    df_schema = pa.schema([("tok", pa.int64()), ("df", pa.int64())])
+    with_df = bucket_join(
+        units, df, "tok", "tok", num_buckets=parts,
+        left_schema=unit_schema, right_schema=df_schema,
+    )
+
+    def _doc_part(t: pa.Table) -> pa.Table:
+        d = t["doc"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_part", pa.array((d * np.int64(2654435761)) % np.int64(parts))
+        )
+
+    def _prefix(g: pa.Table) -> pa.Table:
+        d = g["doc"].to_numpy(zero_copy_only=False)
+        tok = g["tok"].to_numpy(zero_copy_only=False)
+        dfv = g["df"].to_numpy(zero_copy_only=False)
+        sz = g["sz"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, dfv, d))
+        d, tok, dfv, sz = d[order], tok[order], dfv[order], sz[order]
+        n = len(d)
+        if n == 0:
+            return pa.table(
+                {"tok": pa.array([], type=pa.int64()),
+                 "doc": pa.array([], type=pa.int64()),
+                 "sz": pa.array([], type=pa.int64())}
+            )
+        seg = np.empty(n, dtype=bool)
+        seg[0] = True
+        seg[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(seg)
+        pos = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, n))
+        )
+        # prefix length p = |T| - ceil(t*|T|) + 1.  The epsilon guards
+        # the conservative direction: 40*0.9 rounds to 36.0000…006 in
+        # IEEE, whose ceil (37) would SHRINK the prefix and break the
+        # losslessness lemma; over-long prefixes only add candidates.
+        p = sz - np.ceil(sz * np.float64(threshold) - 1e-9).astype(np.int64) + 1
+        keep = pos < p
+        return pa.table(
+            {"tok": pa.array(tok[keep]), "doc": pa.array(d[keep]),
+             "sz": pa.array(sz[keep])}
+        )
+
+    prefix = with_df.map_batches(
+        _doc_part, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("_part").map_groups(_prefix, batch_format="pyarrow")
+
+    def _tok_part(t: pa.Table) -> pa.Table:
+        tok = t["tok"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_part",
+            pa.array(np.abs(tok * np.int64(1000003)) % np.int64(parts)),
+        )
+
+    def _emit_pairs(g: pa.Table) -> pa.Table:
+        tok = g["tok"].to_numpy(zero_copy_only=False)
+        doc = g["doc"].to_numpy(zero_copy_only=False)
+        sz = g["sz"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, tok))
+        tok, doc, sz = tok[order], doc[order], sz[order]
+        n = len(tok)
+        empty = pa.table(
+            {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+        )
+        if n == 0:
+            return empty
+        seg = np.empty(n, dtype=bool)
+        seg[0] = True
+        seg[1:] = tok[1:] != tok[:-1]
+        starts = np.flatnonzero(seg)
+        ends = np.append(starts[1:], n)
+        sizes = ends - starts
+        big = sizes.max() if len(sizes) else 0
+        if big > max_token_group:
+            raise ValueError(
+                f"set_similarity_pairs: a prefix token is shared by {big} docs "
+                f"(> max_token_group={max_token_group}); raise the cap or "
+                "pre-dedup exact duplicates first"
+            )
+        outs_a, outs_b = [], []
+        s2 = starts[sizes == 2]
+        if len(s2):
+            x, y = doc[s2], doc[s2 + 1]
+            sx, sy = sz[s2], sz[s2 + 1]
+            lo = np.minimum(x, y)
+            hi = np.maximum(x, y)
+            keep = (lo != hi) & (
+                np.minimum(sx, sy).astype(np.float64)
+                >= threshold * np.maximum(sx, sy) - 1e-9
+            )
+            outs_a.append(lo[keep])
+            outs_b.append(hi[keep])
+        for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
+            u, first = np.unique(doc[s:e], return_index=True)
+            su = sz[s:e][first]
+            if len(u) < 2:
+                continue
+            ai, bi = np.triu_indices(len(u), k=1)
+            keep = (
+                np.minimum(su[ai], su[bi]).astype(np.float64)
+                >= threshold * np.maximum(su[ai], su[bi]) - 1e-9
+            )
+            outs_a.append(u[ai][keep])
+            outs_b.append(u[bi][keep])
+        if not outs_a:
+            return empty
+        return pa.table(
+            {"a": pa.array(np.concatenate(outs_a)),
+             "b": pa.array(np.concatenate(outs_b))}
+        )
+
+    cand = prefix.map_batches(
+        _tok_part, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("_part").map_groups(_emit_pairs, batch_format="pyarrow")
+    pairs = distinct(cand, ["a", "b"], num_partitions=parts)
+
+    if _pick_verify_mode(ds, verify_mode, broadcast_threshold, corpus_count) == "partitioned":
+        joined = attach_pair_payloads(
+            pairs, ds.select_columns([id_col, text_col]), id_col, text_col, parts
+        )
+        return joined.map_batches(
+            _VerifyJaccardPartitioned(threshold, "word", n=1),
+            batch_format="pyarrow",
+        )
+    pdf = ds.select_columns([id_col, text_col]).to_pandas()
+    texts_ref = ray.put(dict(zip(pdf[id_col], pdf[text_col])))
+    return pairs.map_batches(
+        _VerifyJaccard(texts_ref, threshold, "word", n=1),
+        batch_format="pyarrow",
+    )

@@ -730,3 +730,116 @@ def test_minhash_edit_pairs_planted(ray_session):
     )
     assert [(a, b) for a, b, _ in out] == [(int(i), int(i) + 1000) for i in ids]
     assert all(s > 0.97 for _, _, s in out)
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity self-join (AllPairs / PPJoin prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def _brute_word_jaccard_pairs(df, threshold):
+    from rayraster.dedup import jaccard, word_ngram_hashes
+
+    sets = {r.doc_id: word_ngram_hashes(r.text or "", 1) for r in df.itertuples()}
+    ids = sorted(sets)
+    out = []
+    for i, a in enumerate(ids):
+        if len(sets[a]) == 0:
+            continue
+        for b in ids[i + 1:]:
+            if len(sets[b]) == 0:
+                continue
+            j = jaccard(sets[a], sets[b])
+            if j >= threshold:
+                out.append((a, b, j))
+    return sorted(out)
+
+
+def _setsim_corpus(n=80):
+    """Word sets drawn from a SMALL pool so many pairs sit near the
+    threshold (overlapping, not planted) — the adversarial case for a
+    prefix filter."""
+    rng = np.random.default_rng(11)
+    pool = [f"t{k:02d}" for k in range(40)]
+    rows = []
+    for i in range(n):
+        k = int(rng.integers(5, 25))
+        words = list(rng.choice(pool, size=k, replace=False))
+        rows.append({"doc_id": i, "text": " ".join(words)})
+        if i % 4 == 0:  # a near-dup twin: drop one word
+            rows.append({"doc_id": i + 5000, "text": " ".join(words[:-1] or words)})
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "partitioned"])
+def test_set_similarity_pairs_matches_brute(ray_session, mode):
+    from rayraster.dedup import set_similarity_pairs
+
+    df = _setsim_corpus()
+    for tau in (0.7, 0.9):
+        got = set_similarity_pairs(
+            rd.from_pandas(df).repartition(5), threshold=tau,
+            verify_mode=mode, corpus_count=len(df),
+        ).to_pandas()
+        got_t = sorted(zip(got.a, got.b, got.jac))
+        want = _brute_word_jaccard_pairs(df, tau)
+        assert [(a, b) for a, b, _ in got_t] == [(a, b) for a, b, _ in want]
+        assert np.allclose([j for *_, j in got_t], [j for *_, j in want])
+        # bit-exact jac (both are inter/union IEEE divisions)
+        assert [j for *_, j in got_t] == [j for *_, j in want]
+
+
+def test_set_similarity_exact_duplicates_and_tau_one(ray_session):
+    from rayraster.dedup import set_similarity_pairs
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["x y z", "x y z", "z y x q", "totally different words"],
+        }
+    )
+    got = set_similarity_pairs(
+        rd.from_pandas(df), threshold=1.0, corpus_count=4
+    ).to_pandas()
+    assert sorted(zip(got.a, got.b)) == [(1, 2)]
+    # tau=1.0 prefix length is exactly 1 token — the rarest one
+
+
+def test_set_similarity_empty_docs_excluded_and_validation(ray_session):
+    from rayraster.dedup import set_similarity_pairs
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["", None, "a b c"]}
+    )
+    got = set_similarity_pairs(
+        rd.from_pandas(df), threshold=0.5, corpus_count=3
+    ).to_pandas()
+    assert len(got) == 0  # empty-token docs never join
+    with pytest.raises(ValueError, match="threshold"):
+        set_similarity_pairs(rd.from_pandas(df), threshold=0.0)
+
+
+def test_set_similarity_partition_invariance(ray_session):
+    from rayraster.dedup import set_similarity_pairs
+
+    df = _setsim_corpus(40)
+    outs = []
+    for parts in (1, 7):
+        got = set_similarity_pairs(
+            rd.from_pandas(df).repartition(parts), threshold=0.8,
+            corpus_count=len(df), num_buckets=16,
+        ).to_pandas()
+        outs.append(sorted(zip(got.a, got.b, got.jac)))
+    assert outs[0] == outs[1]
+
+
+def test_set_similarity_hot_token_guard(ray_session):
+    from rayraster.dedup import set_similarity_pairs
+
+    # every doc is the same single token: the prefix IS the hot token
+    df = pd.DataFrame({"doc_id": range(30), "text": ["same"] * 30})
+    with pytest.raises(ValueError, match="max_token_group"):
+        set_similarity_pairs(
+            rd.from_pandas(df), threshold=0.9, corpus_count=30,
+            max_token_group=10,
+        ).to_pandas()
