@@ -3902,7 +3902,13 @@ def _q_token_metrics(sf_dir: str):
     from the former t2 in round 3; repetition + mean_freq added later
     — all derive per document from the same text column, and one row
     set covers four operators within the driver's 50-row sweep
-    cap)."""
+    cap).  Round 4 (continued): also the per-lang OLS fit of token
+    count on n_chars (``agg.grouped_linreg`` — exact bivariate int64
+    moments, ONE grouped-sum exchange) stamped back on every doc row
+    as ``lr_n/lr_slope/lr_intercept/lr_r/lr_r2`` via a map-only
+    broadcast of the ≤|langs|-row fit table; the twin recomputes the
+    same HUGEINT→BIGINT moments and the identical fixed-order float
+    expressions per lang."""
     from rayraster.join import bucket_join
     from rayraster.textops import (
         bigram_lm_score,
@@ -3915,7 +3921,7 @@ def _q_token_metrics(sf_dir: str):
 
     from rayraster.textops import flesch_score
 
-    ds = _docs(sf_dir)
+    ds = _docs(sf_dir, ("doc_id", "text", "lang"))
     n_docs = ds.count()  # parquet metadata count — no execution
     out = (
         ds.map_batches(quality_score, batch_format="pyarrow", zero_copy_batch=True)
@@ -3923,7 +3929,7 @@ def _q_token_metrics(sf_dir: str):
         .map_batches(flesch_score, batch_format="pyarrow", zero_copy_batch=True)
     )
     out = out.select_columns(
-        ["doc_id", "n_chars_m", "token_count", "digit_count", "punct_count",
+        ["doc_id", "lang", "n_chars_m", "token_count", "digit_count", "punct_count",
          "upper_count", "quality", "n_lines", "dup_line_frac",
          "dup_line_char_frac", "top_word_frac", "flesch"]
     )
@@ -3953,6 +3959,7 @@ def _q_token_metrics(sf_dir: str):
     left_schema = pa.schema(
         [
             ("doc_id", pa.int64()),
+            ("lang", pa.string()),
             ("n_chars_m", pa.int64()),
             ("token_count", pa.int64()),
             ("digit_count", pa.int64()),
@@ -4016,7 +4023,45 @@ def _q_token_metrics(sf_dir: str):
             )
         return t
 
-    return joined2.map_batches(fin, batch_format="pyarrow")
+    # per-lang OLS of token count on n_chars: exact bivariate moments
+    # through ONE grouped-sum exchange (agg.grouped_linreg), then the
+    # ≤|langs|-row fit table stamped map-only onto every doc row (the
+    # corpus_freq pattern, but the join side is aggregate-small so it
+    # broadcasts instead of paying a bucket join)
+    from rayraster.agg import grouped_linreg
+
+    def lrprep(t: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(
+            pc.fill_null(t["text"], ""), r"\S+"
+        ).cast(pa.int64())
+        return pa.table({"lang": t["lang"], "x": t["n_chars"], "y": toks})
+
+    lr = grouped_linreg(
+        _docs(sf_dir, ("lang", "text", "n_chars")).map_batches(
+            lrprep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["lang"], "x", "y", num_partitions=8,
+    ).to_pandas()  # post-aggregation: one row per lang
+    lr_langs = pa.array(lr["lang"].tolist(), type=pa.string())
+    lr_cols = {
+        "lr_n": (lr["n"].to_numpy(np.int64), pa.int64()),
+        "lr_slope": (lr["slope"].to_numpy(np.float64), pa.float64()),
+        "lr_intercept": (lr["intercept"].to_numpy(np.float64), pa.float64()),
+        "lr_r": (lr["r"].to_numpy(np.float64), pa.float64()),
+        "lr_r2": (lr["r2"].to_numpy(np.float64), pa.float64()),
+    }
+
+    def stamp(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["lang"], value_set=lr_langs).to_numpy(
+            zero_copy_only=False
+        )
+        for name, (vals, typ) in lr_cols.items():
+            t = t.append_column(name, pa.array(vals[idx], type=typ))
+        return t
+
+    return joined2.map_batches(fin, batch_format="pyarrow").map_batches(
+        stamp, batch_format="pyarrow"
+    )
 
 
 _BPE_TRAIN_DOCS = 200  # deterministic training sample: doc_id < N
@@ -6484,7 +6529,7 @@ def _sql_token_metrics() -> str:
     # fractions are the literal twin of textops.repetition_metrics
     # (exact integer line/word counts, one IEEE division each)
     return r"""WITH m AS (
-  SELECT doc_id,
+  SELECT doc_id, lang,
        length(text) AS n_chars_m,
        CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS token_count,
        CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_count,
@@ -6562,8 +6607,39 @@ def _sql_token_metrics() -> str:
   JOIN bc1 ON p.w1 = bc1.w1 JOIN bn1 ON p.w1 = bn1.w1
   JOIN bnr ON p.w2 = bnr.w2 CROSS JOIN bb CROSS JOIN vv
   GROUP BY p.doc_id
+), lrm AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS lr_n,
+         CAST(SUM(n_chars) AS BIGINT) AS sx,
+         CAST(SUM(tc) AS BIGINT) AS sy,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx,
+         CAST(SUM(tc * tc) AS BIGINT) AS syy,
+         CAST(SUM(n_chars * tc) AS BIGINT) AS sxy
+  FROM (SELECT lang, n_chars,
+               CAST(length(regexp_extract_all(COALESCE(text, ''), '\S+'))
+                    AS BIGINT) AS tc
+        FROM documents)
+  GROUP BY lang
+), lrr AS (
+  SELECT lang, lr_n, sx, sy,
+         (CAST(lr_n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(lr_n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS lr_slope,
+         (CAST(lr_n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(lr_n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(lr_n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS lr_r
+  FROM lrm
+), lrr2 AS (
+  SELECT lang, lr_n, lr_slope,
+         (CAST(sy AS DOUBLE) - lr_slope * CAST(sx AS DOUBLE))
+           / CAST(lr_n AS DOUBLE) AS lr_intercept,
+         lr_r, lr_r * lr_r AS lr_r2
+  FROM lrr
 )
-SELECT m.doc_id, n_chars_m, token_count, digit_count, punct_count, upper_count,
+SELECT m.doc_id, m.lang, n_chars_m, token_count, digit_count, punct_count, upper_count,
        0.4 * least(1.0, CAST(token_count AS DOUBLE) / 100.0)
        + 0.3 * (1.0 - least(1.0, CAST(digit_count AS DOUBLE)
                                  / greatest(CAST(n_chars_m AS DOUBLE), 1.0) * 5.0))
@@ -6580,10 +6656,12 @@ SELECT m.doc_id, n_chars_m, token_count, digit_count, punct_count, upper_count,
                 / CAST(GREATEST(fq.tcq, 1) AS DOUBLE), 0.0) AS mean_freq,
        COALESCE(lmq.bigram_count, 0) AS bigram_count,
        COALESCE(lmq.lm_logprob_q, 0) AS lm_logprob_q,
-       COALESCE(lmq.kn_logprob_q, 0) AS kn_logprob_q
+       COALESCE(lmq.kn_logprob_q, 0) AS kn_logprob_q,
+       lrr2.lr_n, lrr2.lr_slope, lrr2.lr_intercept, lrr2.lr_r, lrr2.lr_r2
 FROM m JOIN la ON m.doc_id = la.doc_id LEFT JOIN wa ON m.doc_id = wa.doc_id
 LEFT JOIN fq ON m.doc_id = fq.doc_id
-LEFT JOIN lmq ON m.doc_id = lmq.doc_id"""
+LEFT JOIN lmq ON m.doc_id = lmq.doc_id
+JOIN lrr2 ON m.lang = lrr2.lang"""
 
 
 def _sql_langid() -> str:

@@ -1461,3 +1461,99 @@ def trimmed_mean(
         "trimmed_n": tn, "trimmed_sum": tsum, "trimmed_mean": tsum / tn,
         "winsorized_sum": wsum, "winsorized_mean": wsum / n,
     }
+
+
+def grouped_linreg(
+    ds: Dataset,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-group ordinary least squares y = slope·x + intercept plus
+    the Pearson correlation — from the algebraic bivariate moments
+    (n, Σx, Σy, Σx², Σy², Σxy), riding ONE grouped-sum exchange (the
+    square/product columns are added map-only before it, exactly like
+    :func:`grouped_variance`).
+
+    Exactness contract: INTEGER inputs keep every moment an exact
+    int64 (per-batch |x|·|y| / x² / y² bound checks raise instead of
+    wrapping), and each output is one fixed-order float expression —
+
+        cov_n  = n·Σxy − Σx·Σy       (each moment cast to double FIRST:
+        varx_n = n·Σx² − (Σx)²        the int64 product n·Σxy can pass
+        vary_n = n·Σy² − (Σy)²        2^63 long before the doubles lose
+        slope  = cov_n / varx_n       anything a twin could detect)
+        intercept = (Σy − slope·Σx) / n
+        r  = cov_n / (sqrt(varx_n) · sqrt(vary_n))
+        r² = r·r
+
+    — reproducible bit-for-bit in SQL from the same BIGINT sums.
+    Degenerate groups (constant x) yield ±inf/NaN in BOTH engines the
+    same IEEE way; sqrt is libm-bit-exact (the module's twin rule).
+
+    Returns one row per key: ``[*keys, n, sum_x, sum_y, sum_xx,
+    sum_yy, sum_xy, slope, intercept, r, r2]``."""
+    import pyarrow.compute as pc
+
+    keys = list(keys)
+
+    def add_moments(t: pa.Table) -> pa.Table:
+        xa, ya = t[x_col], t[y_col]
+        if pa.types.is_integer(xa.type) and pa.types.is_integer(ya.type):
+            x = xa.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            y = ya.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if len(x):
+                mx = max(abs(int(x.max())), abs(int(x.min())))
+                my = max(abs(int(y.max())), abs(int(y.min())))
+                if max(mx * mx, my * my, mx * my) > 2**63 - 1:
+                    raise ValueError(
+                        "grouped_linreg: value product exceeds int64 — pre-scale"
+                    )
+            xx, yy, xy = pa.array(x * x), pa.array(y * y), pa.array(x * y)
+        else:
+            xx, yy, xy = (
+                pc.multiply(xa, xa), pc.multiply(ya, ya), pc.multiply(xa, ya)
+            )
+        return pa.table(
+            {**{k: t[k] for k in keys}, "_x": xa, "_y": ya,
+             "_xx": xx, "_yy": yy, "_xy": xy}
+        )
+
+    prepped = ds.map_batches(add_moments, batch_format="pyarrow", zero_copy_batch=True)
+    agg = hash_aggregate(
+        prepped, keys, sum_cols=["_x", "_y", "_xx", "_yy", "_xy"],
+        count=True, num_partitions=num_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ni = t["n"].to_numpy(zero_copy_only=False)
+        sx = t["sum__x"].to_numpy(zero_copy_only=False)
+        sy = t["sum__y"].to_numpy(zero_copy_only=False)
+        sxx = t["sum__xx"].to_numpy(zero_copy_only=False)
+        syy = t["sum__yy"].to_numpy(zero_copy_only=False)
+        sxy = t["sum__xy"].to_numpy(zero_copy_only=False)
+        nf = ni.astype(np.float64)
+        sxf, syf = sx.astype(np.float64), sy.astype(np.float64)
+        sxxf, syyf = sxx.astype(np.float64), syy.astype(np.float64)
+        sxyf = sxy.astype(np.float64)
+        cov_n = nf * sxyf - sxf * syf
+        varx_n = nf * sxxf - sxf * sxf
+        vary_n = nf * syyf - syf * syf
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = cov_n / varx_n
+            intercept = (syf - slope * sxf) / nf
+            r = cov_n / (np.sqrt(varx_n) * np.sqrt(vary_n))
+        return pa.table(
+            {
+                **{k: t[k] for k in keys},
+                "n": t["n"],
+                "sum_x": t["sum__x"], "sum_y": t["sum__y"],
+                "sum_xx": t["sum__xx"], "sum_yy": t["sum__yy"],
+                "sum_xy": t["sum__xy"],
+                "slope": pa.array(slope), "intercept": pa.array(intercept),
+                "r": pa.array(r), "r2": pa.array(r * r),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -955,3 +955,79 @@ def test_transition_counts_matches_duckdb(ray_session):
 
     with pytest.raises(ValueError, match="order column"):
         transition_counts(rd.from_arrow(t), order_cols=())
+
+
+def test_grouped_linreg_matches_duckdb_twin_bit_exact(ray_session):
+    import duckdb
+
+    from rayraster.agg import grouped_linreg
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(-300, 300, 900)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 6, 900),
+            "x": x,
+            "y": 3 * x + rng.integers(-40, 40, 900),
+        }
+    )
+    got = (
+        grouped_linreg(rd.from_pandas(df).repartition(4), ["g"], "x", "y",
+                       num_partitions=5)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    ora = duckdb.sql(
+        """WITH s AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy
+  FROM df GROUP BY g),
+r AS (
+  SELECT g, n, sx, sy, sxx, syy, sxy,
+    (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+      AS slope,
+    (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+         * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r
+  FROM s)
+SELECT g, n, sx, sy, sxx, syy, sxy, slope,
+       (CAST(sy AS DOUBLE) - slope*CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+         AS intercept,
+       r, r*r AS r2
+FROM r ORDER BY g"""
+    ).df()
+    for c, o in [("n", "n"), ("sum_x", "sx"), ("sum_y", "sy"),
+                 ("sum_xx", "sxx"), ("sum_yy", "syy"), ("sum_xy", "sxy"),
+                 ("slope", "slope"), ("intercept", "intercept"),
+                 ("r", "r"), ("r2", "r2")]:
+        assert (got[c].to_numpy() == ora[o].to_numpy()).all(), c
+    # sanity vs numpy polyfit / corrcoef
+    for g, grp in df.groupby("g"):
+        row = got[got.g == g].iloc[0]
+        m, b = np.polyfit(grp.x, grp.y, 1)
+        assert abs(row.slope - m) < 1e-8 and abs(row.intercept - b) < 1e-6
+        assert abs(row.r - np.corrcoef(grp.x, grp.y)[0, 1]) < 1e-10
+
+
+def test_grouped_linreg_degenerate_and_guard(ray_session):
+    import pytest as _pt
+
+    from rayraster.agg import grouped_linreg
+
+    # constant x in one group: slope/r are NaN or inf the IEEE way
+    df = pd.DataFrame(
+        {"g": [0, 0, 0, 1, 1], "x": [5, 5, 5, 1, 2], "y": [1, 2, 3, 10, 20]}
+    )
+    got = grouped_linreg(rd.from_pandas(df), ["g"], "x", "y").to_pandas()
+    row0 = got[got.g == 0].iloc[0]
+    assert not np.isfinite(row0.slope) or np.isnan(row0.slope)
+    row1 = got[got.g == 1].iloc[0]
+    assert row1.slope == 10.0 and row1.intercept == 0.0
+    # overflow guard raises instead of wrapping
+    big = pd.DataFrame({"g": [0, 0], "x": [2**32, 2**32], "y": [1, 1]})
+    with _pt.raises(Exception, match="pre-scale"):  # ValueError via RayTaskError
+        grouped_linreg(rd.from_pandas(big), ["g"], "x", "y").to_pandas()
