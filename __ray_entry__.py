@@ -3923,15 +3923,19 @@ def _q_token_metrics(sf_dir: str):
 
     ds = _docs(sf_dir, ("doc_id", "text", "lang"))
     n_docs = ds.count()  # parquet metadata count — no execution
+    from rayraster.textops import char_entropy
+
     out = (
         ds.map_batches(quality_score, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(repetition_metrics, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(flesch_score, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(char_entropy, batch_format="pyarrow", zero_copy_batch=True)
     )
     out = out.select_columns(
         ["doc_id", "lang", "n_chars_m", "token_count", "digit_count", "punct_count",
          "upper_count", "quality", "n_lines", "dup_line_frac",
-         "dup_line_char_frac", "top_word_frac", "flesch"]
+         "dup_line_char_frac", "top_word_frac", "flesch",
+         "n_cp", "ln_n_q", "ent_sum_q", "entropy"]
     )
 
     # + the CCNet-style LM-lite fluency signal (mean corpus frequency
@@ -3971,6 +3975,10 @@ def _q_token_metrics(sf_dir: str):
             ("dup_line_char_frac", pa.float64()),
             ("top_word_frac", pa.float64()),
             ("flesch", pa.float64()),
+            ("n_cp", pa.int64()),
+            ("ln_n_q", pa.int64()),
+            ("ent_sum_q", pa.int64()),
+            ("entropy", pa.float64()),
         ]
     )
     joined = bucket_join(
@@ -6607,6 +6615,27 @@ def _sql_token_metrics() -> str:
   JOIN bc1 ON p.w1 = bc1.w1 JOIN bn1 ON p.w1 = bn1.w1
   JOIN bnr ON p.w2 = bnr.w2 CROSS JOIN bb CROSS JOIN vv
   GROUP BY p.doc_id
+), ebi AS (
+  SELECT doc_id, COALESCE(text, '') AS s,
+         unnest(range(1, length(COALESCE(text, '')) + 1)) AS i
+  FROM documents
+), ebc AS (
+  SELECT doc_id, unicode(substr(s, CAST(i AS BIGINT), 1)) AS cp,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM ebi GROUP BY 1, 2
+), ebq AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(floor(1048576.0 * (CAST(c AS DOUBLE)
+              * ln(CAST(c AS DOUBLE)))) AS BIGINT)) AS BIGINT) AS ent_sum_q
+  FROM ebc GROUP BY 1
+), ebe AS (
+  SELECT d.doc_id, length(COALESCE(d.text, '')) AS n_cp,
+         CASE WHEN length(COALESCE(d.text, '')) > 0
+              THEN CAST(floor(1048576.0
+                   * ln(CAST(length(COALESCE(d.text, '')) AS DOUBLE)))
+                   AS BIGINT) ELSE 0 END AS ln_n_q,
+         COALESCE(ebq.ent_sum_q, 0) AS ent_sum_q
+  FROM documents d LEFT JOIN ebq ON d.doc_id = ebq.doc_id
 ), lrm AS (
   SELECT lang, CAST(COUNT(*) AS BIGINT) AS lr_n,
          CAST(SUM(n_chars) AS BIGINT) AS sx,
@@ -6657,11 +6686,18 @@ SELECT m.doc_id, m.lang, n_chars_m, token_count, digit_count, punct_count, upper
        COALESCE(lmq.bigram_count, 0) AS bigram_count,
        COALESCE(lmq.lm_logprob_q, 0) AS lm_logprob_q,
        COALESCE(lmq.kn_logprob_q, 0) AS kn_logprob_q,
+       ebe.n_cp, ebe.ln_n_q, ebe.ent_sum_q,
+       CASE WHEN ebe.n_cp > 0 THEN
+         (CAST(ebe.ln_n_q AS DOUBLE)
+          - CAST(ebe.ent_sum_q AS DOUBLE) / CAST(ebe.n_cp AS DOUBLE))
+         / (1048576.0 * ln(2.0))
+       ELSE 0.0 END AS entropy,
        lrr2.lr_n, lrr2.lr_slope, lrr2.lr_intercept, lrr2.lr_r, lrr2.lr_r2
 FROM m JOIN la ON m.doc_id = la.doc_id LEFT JOIN wa ON m.doc_id = wa.doc_id
 LEFT JOIN fq ON m.doc_id = fq.doc_id
 LEFT JOIN lmq ON m.doc_id = lmq.doc_id
-JOIN lrr2 ON m.lang = lrr2.lang"""
+JOIN lrr2 ON m.lang = lrr2.lang
+JOIN ebe ON m.doc_id = ebe.doc_id"""
 
 
 def _sql_langid() -> str:

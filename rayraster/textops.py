@@ -3407,3 +3407,103 @@ def flesch_score(
     )
     score = 206.835 - 1.015 * (W / S) - 84.6 * (Y / W)
     return batch.append_column(out_col, pa.array(score))
+
+
+def _utf8_codepoints(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized UTF-8 → codepoints over a flat byte buffer (Arrow
+    strings are guaranteed valid UTF-8).  Returns (codepoints,
+    start_positions) — both one entry per character."""
+    is_start = (data & np.uint8(0xC0)) != np.uint8(0x80)
+    start_idx = np.flatnonzero(is_start)
+    if len(start_idx) == 0:
+        return np.zeros(0, dtype=np.int64), start_idx
+    nb = np.diff(np.append(start_idx, len(data)))
+    bp = np.concatenate([data, np.zeros(3, dtype=np.uint8)]).astype(np.int64)
+    b0 = bp[start_idx]
+    b1, b2, b3 = bp[start_idx + 1], bp[start_idx + 2], bp[start_idx + 3]
+    cp = np.select(
+        [nb == 1, nb == 2, nb == 3],
+        [
+            b0,
+            ((b0 & 0x1F) << 6) | (b1 & 0x3F),
+            ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F),
+        ],
+        default=((b0 & 0x07) << 18) | ((b1 & 0x3F) << 12)
+        | ((b2 & 0x3F) << 6) | (b3 & 0x3F),
+    )
+    return cp, start_idx
+
+
+def char_entropy(
+    batch: pa.Table, text_col: str = "text", q: int = _LM_Q
+) -> pa.Table:
+    """Per-document character (codepoint) Shannon entropy — the
+    classic gibberish / compressibility quality signal (≈0 bits =
+    repeated boilerplate, high = diverse text; the SQL-reproducible
+    stand-in for the zlib-ratio filter in Gopher-style curation
+    stacks).
+
+    Exactness contract: entropy in bits is
+
+        H = (ln n − (1/n)·Σ_c k_c·ln k_c) / ln 2
+
+    over the per-doc codepoint counts ``k_c``.  Every per-codepoint
+    term is quantized to int64 — ``floor(q·(k·ln k))`` with the
+    module's libm-boundary repair (the :func:`_floor_q_log` rule) —
+    so the per-doc sum ``ent_sum_q`` is an ORDER-INDEPENDENT exact
+    integer, and the final float is one fixed-order expression the
+    DuckDB twin (``unicode(substr(text, i, 1))`` unnest) reproduces
+    bit-for-bit:
+
+        entropy = (ln_n_q − ent_sum_q / n_cp) / (q · ln 2)
+
+    Map-only — one vectorized pass over the flat Arrow byte buffer
+    (UTF-8 decoded by bit ops, np.unique on ``doc·2^21 + codepoint``
+    keys), no per-row Python.  Appends ``n_cp``, ``ln_n_q``,
+    ``ent_sum_q``, ``entropy``; empty/NULL docs get 0s and 0.0."""
+    import math
+
+    col = pc.fill_null(batch[text_col], "")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.cast(pa.large_binary())
+    n_docs = len(col)
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[col.offset : col.offset + n_docs + 1]
+    blens = np.diff(offs)
+    ent_sum = np.zeros(n_docs, dtype=np.int64)
+    ln_n_q = np.zeros(n_docs, dtype=np.int64)
+    n_cp = np.zeros(n_docs, dtype=np.int64)
+    if blens.sum() > 0:
+        data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]]
+        doc_rep = np.repeat(np.arange(n_docs, dtype=np.int64), blens)
+        cp, start_idx = _utf8_codepoints(data)
+        doc_of_char = doc_rep[start_idx]
+        n_cp = np.bincount(doc_of_char, minlength=n_docs).astype(np.int64)
+        key = doc_of_char * np.int64(1 << 21) + cp
+        uniq, counts = np.unique(key, return_counts=True)
+        cf = counts.astype(np.float64)
+        v = float(q) * (cf * np.log(cf))
+        terms = np.floor(v)
+        sus = np.abs(v - np.rint(v)) < 1e-6
+        if sus.any():
+            idx = np.nonzero(sus)[0]
+            terms[idx] = [
+                math.floor(q * (float(counts[i]) * math.log(float(counts[i]))))
+                for i in idx
+            ]
+        np.add.at(ent_sum, uniq >> np.int64(21), terms.astype(np.int64))
+        nz = n_cp > 0
+        ln_n_q[nz] = _floor_q_log(n_cp[nz].astype(np.float64), q)
+    nf = n_cp.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ent = (ln_n_q.astype(np.float64) - ent_sum.astype(np.float64) / nf) / (
+            float(q) * math.log(2.0)
+        )
+    ent = np.where(n_cp > 0, ent, 0.0)
+    return (
+        batch.append_column("n_cp", pa.array(n_cp))
+        .append_column("ln_n_q", pa.array(ln_n_q))
+        .append_column("ent_sum_q", pa.array(ent_sum))
+        .append_column("entropy", pa.array(ent))
+    )

@@ -858,3 +858,70 @@ def test_remove_duplicate_ngram_spans_keep_cols(ray_session):
     assert list(out["url"]) == ["u1", "u2"]
     assert list(out["quality"]) == [0.5, 0.9]
     assert list(out["text"]) == ["d", "z q"]
+
+
+# ---------------------------------------------------------------------------
+# character-entropy quality signal
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_matches_duckdb_twin_bit_exact():
+    import math
+
+    import pandas as pd
+
+    from rayraster.textops import char_entropy
+
+    texts = [
+        "hello world", "", "aaaaaaa", "abcabcabc \xe9\xe8 mixed \U0001F600",
+        None, "x", "日本語テキスト 日本", "abab", "a b\nc\td  e",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts, type=pa.string())}
+    )
+    got = char_entropy(t).to_pandas()
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    want = duckdb.sql(
+        """WITH bi AS (
+  SELECT doc_id, COALESCE(text,'') AS s,
+         unnest(range(1, length(COALESCE(text,'')) + 1)) AS i FROM df
+), bc AS (
+  SELECT doc_id, unicode(substr(s, CAST(i AS BIGINT), 1)) AS cp,
+         CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY 1, 2
+), bq AS (
+  SELECT doc_id, CAST(SUM(CAST(floor(1048576.0 * (CAST(c AS DOUBLE)
+       * ln(CAST(c AS DOUBLE)))) AS BIGINT)) AS BIGINT) AS ent_sum_q
+  FROM bc GROUP BY 1
+)
+SELECT d.doc_id, length(COALESCE(d.text,'')) AS n_cp,
+  CASE WHEN length(COALESCE(d.text,'')) > 0
+       THEN CAST(floor(1048576.0 * ln(CAST(length(COALESCE(d.text,''))
+            AS DOUBLE))) AS BIGINT) ELSE 0 END AS ln_n_q,
+  COALESCE(bq.ent_sum_q, 0) AS ent_sum_q,
+  CASE WHEN length(COALESCE(d.text,'')) > 0 THEN
+    (CAST(CASE WHEN length(COALESCE(d.text,'')) > 0
+          THEN CAST(floor(1048576.0 * ln(CAST(length(COALESCE(d.text,''))
+               AS DOUBLE))) AS BIGINT) ELSE 0 END AS DOUBLE)
+     - CAST(COALESCE(bq.ent_sum_q, 0) AS DOUBLE)
+       / CAST(length(COALESCE(d.text,'')) AS DOUBLE))
+    / (1048576.0 * ln(2.0))
+  ELSE 0.0 END AS entropy
+FROM df d LEFT JOIN bq ON d.doc_id = bq.doc_id ORDER BY d.doc_id"""
+    ).df()
+    for c in ("n_cp", "ln_n_q", "ent_sum_q", "entropy"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # hand values: "abab" → exactly 1 bit (up to the q-quantization);
+    # constant text → ~0; k equiprobable symbols → ~log2 k
+    assert abs(got.entropy[7] - 1.0) < 1e-5
+    assert abs(got.entropy[2]) < 1e-5
+    assert abs(got.entropy[0] - 2.8453505) < 1e-4  # "hello world" classic
+
+
+def test_char_entropy_utf8_decoder_matches_python():
+    from rayraster.textops import _utf8_codepoints
+
+    s = "a\xe9€\U0001F600 日本 b\x00c"
+    b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+    cp, starts = _utf8_codepoints(b)
+    assert cp.tolist() == [ord(c) for c in s]
