@@ -1074,13 +1074,20 @@ def _q_sort_limit(sf_dir: str):
       distributed ROW_NUMBER that needs NO all-to-all sort: a coarse
       monotone bucket key (here ``-num_cell``) + one small histogram +
       driver prefix offsets + per-bucket local sort.  The arm emits
-      ``rank <= 20`` and must reproduce the sort arm's rows exactly."""
+      ``rank <= 20`` and must reproduce the sort arm's rows exactly.
+    * path='sky' — the 2-D SKYLINE (Pareto frontier) of the same
+      pixel table maximizing (num_cell, iy): per-batch local
+      frontiers folded through one single-group reduce
+      (``agg.skyline`` — sky(A∪B) = sky(sky(A)∪sky(B))); the twin is
+      the classic NOT EXISTS dominance query."""
     import pyarrow.compute as pc
     from rayraster.agg import global_rank
 
     pts = load_doc_points(sf_dir, columns=("doc_id",))
     cells, _ = _rf(pts, RES, [], fun="sum", with_meta=False)
-    cells = cells.select_columns(["ix", "iy", "num_cell"])
+    # three consumers (sort / rank / sky) — materialize the tiny pixel
+    # table once instead of re-rasterizing per arm
+    cells = cells.select_columns(["ix", "iy", "num_cell"]).materialize()
     top = (
         cells.sort(["num_cell", "ix", "iy"], descending=[True, False, False])
         .limit(20)
@@ -1100,7 +1107,13 @@ def _q_sort_limit(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    return top.union(rank_top)
+
+    from rayraster.agg import skyline
+
+    sky = skyline(cells, "num_cell", "iy").map_batches(
+        _tagger("sky"), batch_format="pyarrow"
+    )
+    return top.union(rank_top).union(sky)
 
 
 def _sql_sort_limit() -> str:
@@ -1111,7 +1124,13 @@ top AS (SELECT ix, iy, num_cell FROM c
     return f"""{base}
 SELECT ix, iy, num_cell, 'sort' AS path FROM top
 UNION ALL
-SELECT ix, iy, num_cell, 'rank' AS path FROM top"""
+SELECT ix, iy, num_cell, 'rank' AS path FROM top
+UNION ALL
+SELECT ix, iy, num_cell, 'sky' AS path FROM c p
+WHERE NOT EXISTS (
+  SELECT 1 FROM c q
+  WHERE q.num_cell >= p.num_cell AND q.iy >= p.iy
+    AND (q.num_cell > p.num_cell OR q.iy > p.iy))"""
 
 
 POLYFILL_SPEC = GridSpec(-180.0, -90.0, 10.0)

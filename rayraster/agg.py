@@ -1557,3 +1557,67 @@ def grouped_linreg(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def skyline(
+    ds: Dataset,
+    a_col: str,
+    b_col: str,
+    num_partitions: int = 8,
+    max_candidates: int = 1_000_000,
+) -> Dataset:
+    """Distributed 2-D skyline (Pareto frontier, both objectives
+    MAXIMIZED): rows for which no other row is ≥ on both columns and
+    > on at least one.  Duplicated frontier points (equal on both
+    objectives) are all kept — neither dominates the other.
+
+    The skyline operator is self-decomposing: ``sky(A ∪ B) =
+    sky(sky(A) ∪ sky(B))``, so the plan is per-batch local skylines
+    (vectorized: one lexsort + a strict prefix-max over the per-a-group
+    b maxima — no pairwise loop) folded through ONE single-group
+    reduce over the pruned candidates.  Candidate volume is the sum of
+    per-batch skyline sizes — typically a few points per batch on
+    real-valued data; ``max_candidates`` raises (never truncates) if a
+    degenerate input (e.g. perfectly anti-correlated objectives) makes
+    the frontier itself huge, in which case pre-bucket by a coarse
+    ``a`` range and skyline each bucket with a b-threshold handoff.
+
+    To MINIMIZE an objective, negate the column first (map-only)."""
+
+    def _local(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False)
+        b = t[b_col].to_numpy(zero_copy_only=False)
+        n = len(a)
+        if n == 0:
+            return t
+        order = np.lexsort((-b, -a))
+        a_s, b_s = a[order], b[order]
+        grp = np.empty(n, dtype=bool)
+        grp[0] = True
+        grp[1:] = a_s[1:] != a_s[:-1]
+        starts = np.flatnonzero(grp)
+        bmax = b_s[starts]  # per-a-group max (b sorted desc in group)
+        # strict prefix max over groups with larger a
+        prev = np.concatenate(([np.iinfo(np.int64).min if bmax.dtype.kind == "i"
+                                else -np.inf], np.maximum.accumulate(bmax)[:-1]))
+        keep_grp = bmax > prev
+        gidx = np.cumsum(grp) - 1
+        keep = keep_grp[gidx] & (b_s == bmax[gidx])
+        return t.take(pa.array(order[keep]))
+
+    pruned = ds.map_batches(_local, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_one"])
+        if g.num_rows > max_candidates:
+            raise ValueError(
+                f"skyline: {g.num_rows} fold candidates > max_candidates="
+                f"{max_candidates} — pre-bucket by a-range"
+            )
+        return _local(g)
+
+    tagged = pruned.map_batches(
+        lambda t: t.append_column("_one", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+    return tagged.groupby("_one").map_groups(_fold, batch_format="pyarrow")

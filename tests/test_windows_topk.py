@@ -1031,3 +1031,55 @@ def test_grouped_linreg_degenerate_and_guard(ray_session):
     big = pd.DataFrame({"g": [0, 0], "x": [2**32, 2**32], "y": [1, 1]})
     with _pt.raises(Exception, match="pre-scale"):  # ValueError via RayTaskError
         grouped_linreg(rd.from_pandas(big), ["g"], "x", "y").to_pandas()
+
+
+def _brute_skyline(df, a, b):
+    pts = df[[a, b]].to_numpy()
+    keep = []
+    for i, (x, y) in enumerate(pts):
+        dom = ((pts[:, 0] >= x) & (pts[:, 1] >= y)
+               & ((pts[:, 0] > x) | (pts[:, 1] > y))).any()
+        if not dom:
+            keep.append(i)
+    return df.iloc[keep]
+
+
+def test_skyline_matches_brute_and_partition_invariant(ray_session):
+    from rayraster.agg import skyline
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {"id": np.arange(400),
+         "a": rng.integers(0, 50, 400),
+         "b": rng.integers(0, 50, 400)}
+    )
+    want = _brute_skyline(df, "a", "b").sort_values(["id"]).reset_index(drop=True)
+    for parts in (1, 6):
+        got = (
+            skyline(rd.from_pandas(df).repartition(parts), "a", "b")
+            .to_pandas().sort_values(["id"]).reset_index(drop=True)
+        )
+        assert got[["id", "a", "b"]].values.tolist() == want[["id", "a", "b"]].values.tolist()
+
+
+def test_skyline_duplicates_and_edges(ray_session):
+    from rayraster.agg import skyline
+
+    # duplicated frontier point kept twice; dominated duplicates dropped
+    df = pd.DataFrame(
+        {"id": [1, 2, 3, 4, 5],
+         "a": [5, 5, 4, 9, 9],
+         "b": [7, 7, 7, 1, 1]}
+    )
+    got = skyline(rd.from_pandas(df), "a", "b").to_pandas().sort_values("id")
+    assert sorted(got.id) == [1, 2, 4, 5]
+    # single row, and floats
+    one = pd.DataFrame({"id": [1], "a": [0.5], "b": [-2.5]})
+    g1 = skyline(rd.from_pandas(one), "a", "b").to_pandas()
+    assert g1.id.tolist() == [1]
+    # anti-correlated worst case still exact (whole set IS the frontier)
+    n = 300
+    anti = pd.DataFrame({"id": np.arange(n), "a": np.arange(n),
+                         "b": n - np.arange(n)})
+    ga = skyline(rd.from_pandas(anti).repartition(4), "a", "b").to_pandas()
+    assert len(ga) == n
