@@ -5408,9 +5408,47 @@ def _q_window(sf_dir: str):
             }
         )
 
+    # 'rollup' — GROUP BY ROLLUP(event_type, hour) over the quantized
+    # values via agg.rollup_aggregate: finest groupby = ONE row
+    # exchange, coarser levels re-aggregate the previous level's tiny
+    # output; sentinels '__all__'/-1 stand in for ROLLUP NULLs (the
+    # compare convention).  Row packing: window=hour/-1,
+    # min_value=lvl, max_value=Σqv, n=count.
+    from rayraster.agg import rollup_aggregate
+
+    def hq(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "h": pa.array(ts // np.int64(3_600_000_000)),
+                "qv": pa.array(np.floor(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    ru = rollup_aggregate(
+        ev.map_batches(hq, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "h"], "qv",
+        sentinels={"event_type": "__all__", "h": -1}, num_partitions=8,
+    )
+
+    def rollup_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window": t["h"].cast(pa.int64()),
+                "min_value": t["lvl"].cast(pa.float64()),
+                "max_value": t["rsum"].cast(pa.float64()),
+                "n": t["n"].cast(pa.int64()),
+                "path": pa.array(["rollup"] * t.num_rows, type=pa.string()),
+            }
+        )
+
     return tumb.union(
         rd.from_arrow(zstats_rows()),
         top.map_batches(zout_rows, batch_format="pyarrow"),
+        ru.map_batches(rollup_rows, batch_format="pyarrow"),
     )
 
 
@@ -6891,7 +6929,17 @@ FROM st
 UNION ALL
 SELECT event_type, rnk AS window, z AS min_value,
        CAST(qv AS DOUBLE) AS max_value, event_id AS n, 'zout' AS path
-FROM r WHERE rnk <= 10"""
+FROM r WHERE rnk <= 10
+UNION ALL
+SELECT COALESCE(event_type, '__all__') AS event_type,
+       CASE WHEN GROUPING(h) = 1 THEN CAST(-1 AS BIGINT) ELSE h END AS window,
+       CAST(2 - GROUPING(event_type) - GROUPING(h) AS DOUBLE) AS min_value,
+       CAST(CAST(SUM(qv) AS BIGINT) AS DOUBLE) AS max_value,
+       COUNT(*) AS n, 'rollup' AS path
+FROM (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(floor(value * 100e0) AS BIGINT) AS qv
+      FROM events)
+GROUP BY ROLLUP(event_type, h)"""
 
 
 def _sql_join() -> str:

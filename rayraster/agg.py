@@ -1621,3 +1621,100 @@ def skyline(
         batch_format="pyarrow",
     )
     return tagged.groupby("_one").map_groups(_fold, batch_format="pyarrow")
+
+
+def rollup_aggregate(
+    ds: Dataset,
+    keys: Sequence[str],
+    sum_col: str,
+    sentinels: dict,
+    num_partitions: int = 64,
+) -> Dataset:
+    """GROUP BY ROLLUP: the (count, sum) aggregate at EVERY prefix of
+    ``keys`` — (k1,…,kd), (k1,…,k(d−1)), …, (), the warehouse
+    multi-level rollup — from ONE row exchange.  Only the finest level
+    aggregates the input; every coarser level re-aggregates the
+    previous level's already-reduced output (sums of sums, sums of
+    counts — the same geometric-tail argument as the tile pyramid), so
+    the whole rollup costs the finest groupby + a vanishing tail.
+
+    Rolled-up key columns carry caller ``sentinels`` (never NULL — a
+    NULL numeric would break NaN-equality in oracle compares) and
+    every row carries ``lvl`` = number of keys retained.  The DuckDB
+    twin is native ``GROUP BY ROLLUP`` with ``GROUPING()`` mapped to
+    the same sentinels."""
+    keys = list(keys)
+    if not keys:
+        raise ValueError("rollup_aggregate: need at least one key")
+    missing = [k for k in keys if k not in sentinels]
+    if missing:
+        raise ValueError(f"rollup_aggregate: no sentinel for {missing}")
+
+    finest = hash_aggregate(
+        ds, keys, sum_cols=[sum_col], count=True, num_partitions=num_partitions
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["rsum" if c == f"sum_{sum_col}" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _project(lvl: int):
+        kept = keys[:lvl]
+
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                if k in kept:
+                    cols[k] = t[k]
+                else:
+                    cols[k] = pa.array(
+                        [sentinels[k]] * t.num_rows,
+                        type=pa.array([sentinels[k]]).type,
+                    )
+            cols["rsum"] = t["rsum"]
+            cols["n"] = t["n"]
+            cols["lvl"] = pa.array(np.full(t.num_rows, lvl, dtype=np.int64))
+            return pa.table(cols)
+
+        return fn
+
+    levels = [finest.map_batches(_project(len(keys)), batch_format="pyarrow")]
+    prev = finest
+    for lvl in range(len(keys) - 1, 0, -1):
+        prev = hash_aggregate(
+            prev, keys[:lvl], sum_cols=["rsum", "n"], count=False,
+            num_partitions=max(8, num_partitions // 4),
+        ).map_batches(
+            lambda t: t.rename_columns(
+                [c.removeprefix("sum_") for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+        levels.append(prev.map_batches(_project(lvl), batch_format="pyarrow"))
+
+    # grand total: one single-group fold over the lvl-1 output
+    def _total(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_one"])
+        cols = {
+            k: pa.array([sentinels[k]], type=pa.array([sentinels[k]]).type)
+            for k in keys
+        }
+        cols["rsum"] = pa.array(
+            [int(np.sum(g["rsum"].to_numpy(zero_copy_only=False)))], type=pa.int64()
+        )
+        cols["n"] = pa.array(
+            [int(np.sum(g["n"].to_numpy(zero_copy_only=False)))], type=pa.int64()
+        )
+        cols["lvl"] = pa.array([0], type=pa.int64())
+        return pa.table(cols)
+
+    total = prev.map_batches(
+        lambda t: t.append_column("_one", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    ).groupby("_one").map_groups(_total, batch_format="pyarrow")
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out.union(total)

@@ -1083,3 +1083,56 @@ def test_skyline_duplicates_and_edges(ray_session):
                          "b": n - np.arange(n)})
     ga = skyline(rd.from_pandas(anti).repartition(4), "a", "b").to_pandas()
     assert len(ga) == n
+
+
+def test_rollup_aggregate_matches_duckdb_rollup(ray_session):
+    import duckdb
+
+    from rayraster.agg import rollup_aggregate
+
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], 600),
+            "b": rng.integers(0, 5, 600),
+            "v": rng.integers(-20, 20, 600),
+        }
+    )
+    got = (
+        rollup_aggregate(
+            rd.from_pandas(df).repartition(5), ["a", "b"], "v",
+            sentinels={"a": "__all__", "b": -1}, num_partitions=8,
+        )
+        .to_pandas().sort_values(["lvl", "a", "b"]).reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """SELECT COALESCE(a, '__all__') AS a,
+                  CASE WHEN GROUPING(b) = 1 THEN -1 ELSE b END AS b,
+                  CAST(SUM(v) AS BIGINT) AS rsum,
+                  COUNT(*) AS n,
+                  2 - GROUPING(a) - GROUPING(b) AS lvl
+           FROM df GROUP BY ROLLUP(a, b)
+           ORDER BY lvl, a, b"""
+    ).df()
+    for c in ("a", "b", "rsum", "n", "lvl"):
+        assert got[c].tolist() == want[c].tolist(), c
+    # mass conservation across every level
+    for lvl in (0, 1, 2):
+        assert got[got.lvl == lvl].rsum.sum() == df.v.sum()
+        assert got[got.lvl == lvl].n.sum() == 600
+
+
+def test_rollup_aggregate_single_key_and_validation(ray_session):
+    from rayraster.agg import rollup_aggregate
+
+    df = pd.DataFrame({"a": ["p", "p", "q"], "v": [1, 2, 4]})
+    got = (
+        rollup_aggregate(rd.from_pandas(df), ["a"], "v", sentinels={"a": "__all__"})
+        .to_pandas().sort_values(["lvl", "a"]).reset_index(drop=True)
+    )
+    assert got[got.lvl == 0].rsum.tolist() == [7]
+    assert sorted(got[got.lvl == 1].rsum) == [3, 4]
+    with pytest.raises(ValueError, match="sentinel"):
+        rollup_aggregate(rd.from_pandas(df), ["a"], "v", sentinels={})
+    with pytest.raises(ValueError, match="at least one key"):
+        rollup_aggregate(rd.from_pandas(df), [], "v", sentinels={})
