@@ -5,7 +5,7 @@
         [--geocode id|url]   # resume is automatic via the manifest
     python -m rayraster.cli synth --out /tmp/pages --rows 1000000
     python -m rayraster.cli dedup --input '<glob>' --out /tmp/keep \
-        [--method exact|minhash] [--verify-mode auto|broadcast|partitioned]
+        [--method exact|minhash|ppjoin|spanrm] [--verify-mode auto|broadcast|partitioned]
     python -m rayraster.cli chunk --input '<glob>' --out /tmp/chunks \
         [--window 512 --stride 384]
     python -m rayraster.cli vocab --input '<glob>' --out /tmp/vocab [--k 100]
@@ -138,10 +138,21 @@ def cmd_dedup(args) -> int:
     elif args.method == "exact":
         keep = exact_dedup_keep_ids(ds, args.text_col, args.id_col)
     else:
-        pairs = minhash_lsh_pairs(
-            ds, args.text_col, args.id_col, threshold=args.threshold,
-            verify_mode=args.verify_mode, corpus_count=n_in,
-        ).select_columns(["a", "b"])
+        if args.method == "ppjoin":
+            # EXACT set-similarity join (AllPairs/PPJoin prefix
+            # filter): 100% recall at word-unigram Jaccard >= t — no
+            # LSH banding miss; same CC + anti-join finish
+            from rayraster.dedup import set_similarity_pairs
+
+            pairs = set_similarity_pairs(
+                ds, args.text_col, args.id_col, threshold=args.threshold,
+                verify_mode=args.verify_mode, corpus_count=n_in,
+            ).select_columns(["a", "b"])
+        else:
+            pairs = minhash_lsh_pairs(
+                ds, args.text_col, args.id_col, threshold=args.threshold,
+                verify_mode=args.verify_mode, corpus_count=n_in,
+            ).select_columns(["a", "b"])
         clusters = connected_components_distributed(pairs)
         # losers = nodes whose cluster label is another doc.  On a real
         # crawl duplicates are 30-50% of the corpus, so the loser list
@@ -934,7 +945,7 @@ def main(argv=None) -> int:
     d = sub.add_parser("dedup", help="exact, near, or duplicated-span dedup of a corpus")
     d.add_argument("--input", required=True)
     d.add_argument("--out", required=True)
-    d.add_argument("--method", choices=["exact", "minhash", "spanrm"], default="exact")
+    d.add_argument("--method", choices=["exact", "minhash", "ppjoin", "spanrm"], default="exact")
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--text-col", default="text")
     d.add_argument("--threshold", type=float, default=0.8)

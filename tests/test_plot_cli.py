@@ -861,3 +861,38 @@ def test_cli_classify_cdc_transitions(tmp_path):
     assert [["view", "click", 2], ["click", "buy", 1]] == sorted(
         out["top"], key=lambda x: -x[2]
     )
+
+
+def test_cli_dedup_ppjoin(tmp_path):
+    """CLI dedup --method ppjoin: exact set-similarity near-dup — a
+    one-word-suffix twin must cluster with its base (no LSH recall
+    luck involved), and distinct docs survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    rows = []
+    for i in range(30):
+        words = " ".join(f"w{i}x{j}" for j in range(20))
+        rows.append({"doc_id": i, "text": words})
+        rows.append({"doc_id": i + 1000, "text": words + " extra"})
+    pq.write_table(
+        pa.table({"doc_id": [r["doc_id"] for r in rows],
+                  "text": [r["text"] for r in rows]}),
+        str(corpus / "d.parquet"),
+    )
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "dedup", "--input", str(corpus / "*.parquet"),
+         "--out", str(tmp_path / "keep"),
+         "--method", "ppjoin", "--threshold", "0.9"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rows_in"] == 60 and summary["rows_kept"] == 30
+    kept = pq.read_table(str(tmp_path / "keep")).to_pandas()
+    assert sorted(kept.doc_id) == list(range(30))
