@@ -4479,7 +4479,50 @@ def _q_decontaminate(sf_dir: str):
         )
 
     f = fz.map_batches(fuzzy_path, batch_format="pyarrow")
-    return b.union(c, f)
+
+    # fifth path ('ppx'): the same fuzzy-decontamination join through
+    # the EXACT prefix-filter engine (dedup.set_similarity_pairs_cross
+    # — 100% recall, no banding luck): one extra word on ~40-word docs
+    # gives word-Jaccard 40/41 ≈ 0.976 ≥ 0.9, and the zero-overlap
+    # synthetic texts share no words otherwise, so the planted truth
+    # is the SAME doc_id % 89 = 5 slice.
+    from rayraster.dedup import set_similarity_pairs_cross
+
+    ppairs = set_similarity_pairs_cross(
+        ids_only.map_batches(synth_train, batch_format="pyarrow"),
+        ids_only.map_batches(mk_bench, batch_format="pyarrow"),
+        threshold=0.9,
+        left_count=n_docs,
+        right_count=n_bench,
+        num_buckets=_parts_for(n_docs),
+    )
+    phits = hash_aggregate(
+        ppairs.map_batches(
+            lambda t: pa.table({"doc_id": t["left_id"]}),
+            batch_format="pyarrow",
+        ),
+        keys=["doc_id"], count=True, count_name="h",
+        num_partitions=8,
+    )
+    pz = bucket_join(
+        ids_only, phits, "doc_id", "doc_id",
+        join_type="left", num_buckets=_parts_for(n_docs),
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("h", pa.int64())]),
+    )
+
+    def ppx_path(t: pa.Table) -> pa.Table:
+        hits = (
+            pc.fill_null(t["h"], 0)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return _tag_table(
+            norm(hits, np.ones(len(hits), dtype=np.int64), t["doc_id"]),
+            "ppx",
+        )
+
+    p = pz.map_batches(ppx_path, batch_format="pyarrow")
+    return b.union(c, f, p)
 
 
 def _sql_decontaminate() -> str:
@@ -4564,6 +4607,15 @@ SELECT doc_id,
        CASE WHEN doc_id % 89 = 5 THEN 1.0 ELSE 0.0 END AS frac,
        doc_id % 89 = 5 AS flagged,
        'fuzzy' AS path
+FROM documents
+UNION ALL
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 89 = 5 THEN 1 ELSE 0 END AS BIGINT)
+         AS ngram_hits,
+       CAST(1 AS BIGINT) AS ngram_total,
+       CASE WHEN doc_id % 89 = 5 THEN 1.0 ELSE 0.0 END AS frac,
+       doc_id % 89 = 5 AS flagged,
+       'ppx' AS path
 FROM documents"""
 
 

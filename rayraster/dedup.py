@@ -1983,3 +1983,70 @@ def set_similarity_pairs(
         _VerifyJaccard(texts_ref, threshold, "word", n=1),
         batch_format="pyarrow",
     )
+
+
+def set_similarity_pairs_cross(
+    left: Dataset,
+    right: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    num_buckets: int = 64,
+    verify_mode: str = "auto",
+    broadcast_threshold: int = 50_000,
+    left_count: int | None = None,
+    right_count: int | None = None,
+    max_token_group: int = 100_000,
+) -> Dataset:
+    """Cross-corpus EXACT set-similarity join (R×S at word-unigram
+    Jaccard >= threshold) — the 100%-recall companion of
+    :func:`minhash_lsh_pairs_cross` for fuzzy decontamination where a
+    banding miss is unacceptable (e.g. legal/compliance screens).
+
+    Pure composition (the module's cross pattern): the right side's
+    ids are tagged into bit 60 of a shared key space, the whole
+    prefix-filter self-join (:func:`set_similarity_pairs` — df
+    ordering, prefix postings, size filter, exact verify) runs
+    unchanged, and same-side pairs are dropped at the end; the side
+    bit dominates the ``a < b`` order so survivors are already
+    ``(left_id, right_id)``.  Ids must be in ``[0, 2^60)`` (checked).
+    """
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if len(ids) and (int(ids.min()) < 0
+                             or int(ids.max()) >= int(_CROSS_SIDE)):
+                raise ValueError(
+                    "set_similarity_pairs_cross: ids must be in [0, 2^60)"
+                )
+            return pa.table({
+                id_col: pa.array(ids + np.int64(side) * _CROSS_SIDE),
+                text_col: t[text_col],
+            })
+        return f
+
+    u = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+    total = (
+        left_count + right_count
+        if left_count is not None and right_count is not None else None
+    )
+    pairs = set_similarity_pairs(
+        u, text_col, id_col, threshold, num_buckets,
+        corpus_count=total, verify_mode=verify_mode,
+        broadcast_threshold=broadcast_threshold,
+        max_token_group=max_token_group,
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cross = (a < _CROSS_SIDE) & (b >= _CROSS_SIDE)
+        return pa.table({
+            "left_id": pa.array(a[cross]),
+            "right_id": pa.array(b[cross] - _CROSS_SIDE),
+        })
+
+    return pairs.map_batches(unpack, batch_format="pyarrow")

@@ -843,3 +843,46 @@ def test_set_similarity_hot_token_guard(ray_session):
             rd.from_pandas(df), threshold=0.9, corpus_count=30,
             max_token_group=10,
         ).to_pandas()
+
+
+def test_set_similarity_cross_matches_brute(ray_session):
+    from rayraster.dedup import jaccard, set_similarity_pairs_cross, word_ngram_hashes
+
+    rng = np.random.default_rng(17)
+    pool = [f"c{k:02d}" for k in range(30)]
+    L, R = [], []
+    for i in range(40):
+        k = int(rng.integers(6, 18))
+        words = list(rng.choice(pool, size=k, replace=False))
+        L.append({"doc_id": i, "text": " ".join(words)})
+        if i % 3 == 0:  # near-copy crosses the corpora
+            R.append({"doc_id": i, "text": " ".join(words[:-1] or words)})
+        R.append({"doc_id": 500 + i,
+                  "text": " ".join(rng.choice(pool, size=k, replace=False))})
+    ldf, rdf = pd.DataFrame(L), pd.DataFrame(R)
+    tau = 0.75
+    got = set_similarity_pairs_cross(
+        rd.from_pandas(ldf), rd.from_pandas(rdf), threshold=tau,
+        left_count=len(ldf), right_count=len(rdf),
+    ).to_pandas()
+    lsets = {r.doc_id: word_ngram_hashes(r.text, 1) for r in ldf.itertuples()}
+    rsets = {r.doc_id: word_ngram_hashes(r.text, 1) for r in rdf.itertuples()}
+    want = sorted(
+        (a, b)
+        for a, sa in lsets.items() for b, sb in rsets.items()
+        if len(sa) and len(sb) and jaccard(sa, sb) >= tau
+    )
+    assert sorted(zip(got.left_id, got.right_id)) == want
+    assert len(want) > 0  # the corpus actually exercises cross pairs
+
+
+def test_set_similarity_cross_id_validation(ray_session):
+    from rayraster.dedup import set_similarity_pairs_cross
+
+    bad = pd.DataFrame({"doc_id": [1 << 61], "text": ["a b"]})
+    ok = pd.DataFrame({"doc_id": [1], "text": ["a b"]})
+    with pytest.raises(Exception, match="2\\^60"):
+        set_similarity_pairs_cross(
+            rd.from_pandas(bad), rd.from_pandas(ok),
+            left_count=1, right_count=1,
+        ).to_pandas()
