@@ -5485,22 +5485,37 @@ def _q_window(sf_dir: str):
         sentinels={"event_type": "__all__", "h": -1}, num_partitions=8,
     )
 
-    def rollup_rows(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": t["event_type"],
-                "window": t["h"].cast(pa.int64()),
-                "min_value": t["lvl"].cast(pa.float64()),
-                "max_value": t["rsum"].cast(pa.float64()),
-                "n": t["n"].cast(pa.int64()),
-                "path": pa.array(["rollup"] * t.num_rows, type=pa.string()),
-            }
-        )
+    # 'cube' — GROUP BY CUBE over the same keys (adds the hour-only
+    # grouping set; every subset re-aggregates the finest output, the
+    # input is still read once)
+    from rayraster.agg import cube_aggregate
+
+    cu = cube_aggregate(
+        ev.map_batches(hq, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "h"], "qv",
+        sentinels={"event_type": "__all__", "h": -1}, num_partitions=8,
+    )
+
+    def gs_rows(tag: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "window": t["h"].cast(pa.int64()),
+                    "min_value": t["lvl"].cast(pa.float64()),
+                    "max_value": t["rsum"].cast(pa.float64()),
+                    "n": t["n"].cast(pa.int64()),
+                    "path": pa.array([tag] * t.num_rows, type=pa.string()),
+                }
+            )
+
+        return fn
 
     return tumb.union(
         rd.from_arrow(zstats_rows()),
         top.map_batches(zout_rows, batch_format="pyarrow"),
-        ru.map_batches(rollup_rows, batch_format="pyarrow"),
+        ru.map_batches(gs_rows("rollup"), batch_format="pyarrow"),
+        cu.map_batches(gs_rows("cube"), batch_format="pyarrow"),
     )
 
 
@@ -6991,7 +7006,17 @@ SELECT COALESCE(event_type, '__all__') AS event_type,
 FROM (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
              CAST(floor(value * 100e0) AS BIGINT) AS qv
       FROM events)
-GROUP BY ROLLUP(event_type, h)"""
+GROUP BY ROLLUP(event_type, h)
+UNION ALL
+SELECT COALESCE(event_type, '__all__') AS event_type,
+       CASE WHEN GROUPING(h) = 1 THEN CAST(-1 AS BIGINT) ELSE h END AS window,
+       CAST(2 - GROUPING(event_type) - GROUPING(h) AS DOUBLE) AS min_value,
+       CAST(CAST(SUM(qv) AS BIGINT) AS DOUBLE) AS max_value,
+       COUNT(*) AS n, 'cube' AS path
+FROM (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(floor(value * 100e0) AS BIGINT) AS qv
+      FROM events)
+GROUP BY CUBE(event_type, h)"""
 
 
 def _sql_join() -> str:

@@ -1718,3 +1718,95 @@ def rollup_aggregate(
     for lv in levels[1:]:
         out = out.union(lv)
     return out.union(total)
+
+
+def cube_aggregate(
+    ds: Dataset,
+    keys: Sequence[str],
+    sum_col: str,
+    sentinels: dict,
+    num_partitions: int = 64,
+) -> Dataset:
+    """GROUP BY CUBE: the (count, sum) aggregate at EVERY subset of
+    ``keys`` (2^d grouping sets).  Same plan shape as
+    :func:`rollup_aggregate` — the finest groupby is the only row
+    exchange; every other subset re-aggregates the finest output
+    (already one row per distinct key combination), so the input is
+    read once no matter how many grouping sets the cube spans.
+    ``lvl`` = number of keys retained (subsets of equal size are
+    distinguished by their sentinel pattern, exactly like GROUPING()).
+    d is capped at 4 (16 sets) — past that use explicit rollups."""
+    from itertools import combinations
+
+    keys = list(keys)
+    if not keys:
+        raise ValueError("cube_aggregate: need at least one key")
+    if len(keys) > 4:
+        raise ValueError("cube_aggregate: more than 4 keys (2^d sets) — "
+                         "use explicit rollup_aggregate calls")
+    missing = [k for k in keys if k not in sentinels]
+    if missing:
+        raise ValueError(f"cube_aggregate: no sentinel for {missing}")
+
+    finest = hash_aggregate(
+        ds, keys, sum_cols=[sum_col], count=True, num_partitions=num_partitions
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["rsum" if c == f"sum_{sum_col}" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _project(kept: tuple):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                if k in kept:
+                    cols[k] = t[k]
+                else:
+                    cols[k] = pa.array(
+                        [sentinels[k]] * t.num_rows,
+                        type=pa.array([sentinels[k]]).type,
+                    )
+            cols["rsum"] = t["rsum"]
+            cols["n"] = t["n"]
+            cols["lvl"] = pa.array(np.full(t.num_rows, len(kept), dtype=np.int64))
+            return pa.table(cols)
+
+        return fn
+
+    out = finest.map_batches(_project(tuple(keys)), batch_format="pyarrow")
+    parts2 = max(8, num_partitions // 4)
+    for size in range(len(keys) - 1, 0, -1):
+        for kept in combinations(keys, size):
+            sub = hash_aggregate(
+                finest, list(kept), sum_cols=["rsum", "n"], count=False,
+                num_partitions=parts2,
+            ).map_batches(
+                lambda t: t.rename_columns(
+                    [c.removeprefix("sum_") for c in t.column_names]
+                ),
+                batch_format="pyarrow",
+            )
+            out = out.union(sub.map_batches(_project(kept), batch_format="pyarrow"))
+
+    def _total(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_one"])
+        cols = {
+            k: pa.array([sentinels[k]], type=pa.array([sentinels[k]]).type)
+            for k in keys
+        }
+        cols["rsum"] = pa.array(
+            [int(np.sum(g["rsum"].to_numpy(zero_copy_only=False)))], type=pa.int64()
+        )
+        cols["n"] = pa.array(
+            [int(np.sum(g["n"].to_numpy(zero_copy_only=False)))], type=pa.int64()
+        )
+        cols["lvl"] = pa.array([0], type=pa.int64())
+        return pa.table(cols)
+
+    total = finest.map_batches(
+        lambda t: t.append_column("_one", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    ).groupby("_one").map_groups(_total, batch_format="pyarrow")
+    return out.union(total)

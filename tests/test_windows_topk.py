@@ -1136,3 +1136,38 @@ def test_rollup_aggregate_single_key_and_validation(ray_session):
         rollup_aggregate(rd.from_pandas(df), ["a"], "v", sentinels={})
     with pytest.raises(ValueError, match="at least one key"):
         rollup_aggregate(rd.from_pandas(df), [], "v", sentinels={})
+
+
+def test_cube_aggregate_matches_duckdb_cube(ray_session):
+    import duckdb
+
+    from rayraster.agg import cube_aggregate
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y"], 400),
+            "b": rng.integers(0, 4, 400),
+            "v": rng.integers(-9, 9, 400),
+        }
+    )
+    got = (
+        cube_aggregate(
+            rd.from_pandas(df).repartition(3), ["a", "b"], "v",
+            sentinels={"a": "__all__", "b": -1}, num_partitions=8,
+        )
+        .to_pandas().sort_values(["lvl", "a", "b"]).reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """SELECT COALESCE(a, '__all__') AS a,
+                  CASE WHEN GROUPING(b) = 1 THEN -1 ELSE b END AS b,
+                  CAST(SUM(v) AS BIGINT) AS rsum, COUNT(*) AS n,
+                  2 - GROUPING(a) - GROUPING(b) AS lvl
+           FROM df GROUP BY CUBE(a, b) ORDER BY lvl, a, b"""
+    ).df()
+    for c in ("a", "b", "rsum", "n", "lvl"):
+        assert got[c].tolist() == want[c].tolist(), c
+    # cube = rollup + the hour-only set: 4 grouping sets for d=2
+    assert (got.lvl == 0).sum() == 1
+    with pytest.raises(ValueError, match="more than 4"):
+        cube_aggregate(rd.from_pandas(df), list("abcde"), "v", sentinels={})
