@@ -3521,12 +3521,33 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
             }
         )
 
+    # thirteenth path ('lpa'): semi-synchronous label-propagation
+    # communities over the SAME degree-varied graph, 2 deterministic
+    # rounds (graph.label_propagation — exact counts + smallest-label
+    # ties, so the twin's 2 unrolled mode-CTE rounds match bit-exact)
+    from rayraster.graph import label_propagation
+
+    lpa = label_propagation(
+        doc_ids.map_batches(edges_var, batch_format="pyarrow"),
+        rounds=2, num_buckets=_parts_for(n_docs), edge_count=3 * n_docs,
+    )
+
+    def tag_lpa(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["node"].cast(pa.int64()),
+                "pr": t["lab"].cast(pa.int64()),
+                "path": pa.array(["lpa"] * t.num_rows, type=pa.string()),
+            }
+        )
+
     return rd.from_arrow(driver_keep).union(
         dist_keep,
         pr.map_batches(tag_pr, batch_format="pyarrow"),
         rd.from_arrow(tri_row),
         core.map_batches(tag_kcore, batch_format="pyarrow"),
         bfs.map_batches(tag_bfs, batch_format="pyarrow"),
+        lpa.map_batches(tag_lpa, batch_format="pyarrow"),
         sp.map_batches(tag_sssp, batch_format="pyarrow"),
         db.map_batches(tag_db, batch_format="pyarrow"),
         facc.map_batches(tag_flow, batch_format="pyarrow"),
@@ -3782,6 +3803,30 @@ bfsr AS (
   FROM bfsr JOIN kadj ON kadj.a = bfsr.node
   WHERE bfsr.depth < 12
 )"""
+    # LPA twin: 2 unrolled semi-synchronous mode rounds over kadj —
+    # argmax by (count DESC, label ASC), labels start as node ids (so
+    # round 1's per-(node, neighbor) counts are all 1 and the argmax
+    # is the min neighbor — exactly the engine's identity-label round)
+    lpa_ctes = """lpc1 AS MATERIALIZED (
+  SELECT a AS node, b AS lab, CAST(count(*) AS BIGINT) AS c
+  FROM kadj GROUP BY 1, 2
+),
+lpa1 AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT node, lab, ROW_NUMBER() OVER (
+      PARTITION BY node ORDER BY c DESC, lab) AS rn
+    FROM lpc1) WHERE rn = 1
+),
+lpc2 AS MATERIALIZED (
+  SELECT kadj.a AS node, l.lab, CAST(count(*) AS BIGINT) AS c
+  FROM kadj JOIN lpa1 l ON kadj.b = l.node GROUP BY 1, 2
+),
+lpa2 AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT node, lab, ROW_NUMBER() OVER (
+      PARTITION BY node ORDER BY c DESC, lab) AS rn
+    FROM lpc2) WHERE rn = 1
+)"""
     # splice the kcore + bfs CTEs into the pagerank WITH chain: the
     # chain heads the whole UNION, so all arms can reference every
     # family; RECURSIVE covers the one recursive member
@@ -3794,7 +3839,7 @@ bfsr AS (
     sp_ctes, sp_final = _sql_sssp_ctes()
     pr = (
         f"{head},\n{kc_ctes},\n{sp_ctes},\n{fl_ctes},\n{fb_ctes},\n{fc_ctes},\n"
-        f"{al_ctes},\n{bfs_ctes}\n"
+        f"{al_ctes},\n{bfs_ctes},\n{lpa_ctes}\n"
         f"SELECT node AS doc_id{tail}\n"
         "UNION ALL\n"
         "SELECT node AS doc_id, CAST(0 AS BIGINT) AS pr, 'kcore' AS path "
@@ -3802,6 +3847,8 @@ bfsr AS (
         "UNION ALL\n"
         "SELECT node AS doc_id, CAST(MIN(depth) AS BIGINT) AS pr, "
         "'bfs' AS path FROM bfsr GROUP BY node\n"
+        "UNION ALL\n"
+        "SELECT node AS doc_id, lab AS pr, 'lpa' AS path FROM lpa2\n"
         "UNION ALL\n"
         "SELECT node AS doc_id, dist AS pr, 'sssp' AS path "
         f"FROM {sp_final}\n"

@@ -543,3 +543,73 @@ def test_sssp_validations(ray_session):
     )
     with pytest.raises(Exception, match="overflow"):
         sssp(big, [0], rounds=3).materialize()
+
+
+def _lpa_local(edges, rounds):
+    """Reference semi-synchronous LPA with (count desc, label asc)."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    lab = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v in adj:
+            c = Counter(lab[u] for u in adj[v])
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_local_reference(ray_session):
+    import ray.data as rd
+
+    from rayraster.graph import label_propagation
+
+    rng = np.random.default_rng(8)
+    # two planted dense blobs + a sparse bridge
+    edges = []
+    for base in (0, 40):
+        for _ in range(220):
+            a, b = rng.integers(base, base + 40, 2)
+            if a != b:
+                edges.append((int(a), int(b)))
+    edges.append((5, 45))  # bridge
+    t = pa.table({"src": pa.array([e[0] for e in edges], type=pa.int64()),
+                  "dst": pa.array([e[1] for e in edges], type=pa.int64())})
+    for rounds in (1, 3):
+        want = _lpa_local(edges, rounds)
+        got = (
+            label_propagation(rd.from_arrow(t).repartition(5), rounds=rounds)
+            .to_pandas().set_index("node")["lab"].to_dict()
+        )
+        assert got == want, rounds
+    # partition invariance
+    g1 = label_propagation(rd.from_arrow(t).repartition(1), rounds=2).to_pandas()
+    g7 = label_propagation(rd.from_arrow(t).repartition(7), rounds=2).to_pandas()
+    assert sorted(zip(g1.node, g1.lab)) == sorted(zip(g7.node, g7.lab))
+
+
+def test_label_propagation_star_and_validation(ray_session):
+    import ray.data as rd
+
+    from rayraster.graph import label_propagation
+
+    # star: after round 1 every leaf takes the hub's id... the hub
+    # takes its min leaf; round 2 re-centers — pinned by the local ref
+    edges = [(100, i) for i in range(5)]
+    t = pa.table({"src": pa.array([e[0] for e in edges], type=pa.int64()),
+                  "dst": pa.array([e[1] for e in edges], type=pa.int64())})
+    for rounds in (1, 2):
+        want = _lpa_local(edges, rounds)
+        got = (
+            label_propagation(rd.from_arrow(t), rounds=rounds)
+            .to_pandas().set_index("node")["lab"].to_dict()
+        )
+        assert got == want
+    with pytest.raises(ValueError, match="rounds"):
+        label_propagation(rd.from_arrow(t), rounds=0)
