@@ -5858,20 +5858,40 @@ def _q_grouped_quantiles(sf_dir: str):
         bool(ok[g][list(_QUANTILE_QS).index(q)])
         for g, q in zip(exact.event_type, exact.q)
     ]
+    # third arm: per-group MEDIAN ABSOLUTE DEVIATION (agg.grouped_mad
+    # — two grouped-quantile passes, residuals = one IEEE subtraction
+    # of the broadcast exact median), packed as q = −1.0 rows; the
+    # twin nests quantile_disc(abs(v − med), 0.5)
+    from rayraster.agg import grouped_mad
+
+    mad = grouped_mad(ev, "event_type", "value").to_pandas()
     return pa.table(
-        {"event_type": pa.array(exact.event_type, type=pa.string()),
-         "q": pa.array(exact.q, type=pa.float64()),
-         "value": pa.array(exact.value, type=pa.float64()),
-         "qd_ok": pa.array(qd_ok, type=pa.bool_())}
+        {"event_type": pa.array(
+            list(exact.event_type) + list(mad.event_type), type=pa.string()),
+         "q": pa.array(
+            list(exact.q) + [-1.0] * len(mad), type=pa.float64()),
+         "value": pa.array(
+            list(exact.value) + list(mad["mad"]), type=pa.float64()),
+         "qd_ok": pa.array(
+            qd_ok + [True] * len(mad), type=pa.bool_())}
     )
 
 
 def _sql_grouped_quantiles() -> str:
-    return "\nUNION ALL\n".join(
+    qs = "\nUNION ALL\n".join(
         f"SELECT event_type, {q!r} AS q, quantile_disc(value, {q!r}) AS value, "
         "TRUE AS qd_ok FROM events GROUP BY event_type"
         for q in _QUANTILE_QS
     )
+    return f"""{qs}
+UNION ALL
+SELECT m.event_type, -1.0 AS q,
+       quantile_disc(abs(e.value - m.med), 0.5) AS value, TRUE AS qd_ok
+FROM events e JOIN (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events GROUP BY event_type
+) m USING (event_type)
+GROUP BY m.event_type, m.med"""
 
 
 def _q_anti_join(sf_dir: str):

@@ -1810,3 +1810,60 @@ def cube_aggregate(
         batch_format="pyarrow",
     ).groupby("_one").map_groups(_total, batch_format="pyarrow")
     return out.union(total)
+
+
+def grouped_mad(
+    ds: Dataset,
+    group_col: str,
+    value_col: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-group MEDIAN ABSOLUTE DEVIATION — the robust spread
+    statistic (outliers move a variance arbitrarily; they move the
+    MAD not at all until they are half the data): ``mad =
+    median(|x − median(x)|)`` with :func:`grouped_quantiles`' exact
+    ``quantile_disc`` rank rule (``k = ceil(n/2) − 1``) at both
+    levels.
+
+    Two grouped-quantile passes: medians (one grouped exchange),
+    broadcast once via ``ray.put`` (one small row per group), map-only
+    vectorized ``|x − med|`` (C++ ``index_in`` group lookup — no
+    per-row Python), then the second grouped exchange.  Every residual
+    is one IEEE subtraction of the group's exact discrete median —
+    reproducible bit-for-bit by a nested ``quantile_disc`` SQL twin.
+
+    Returns one row per group: ``[group_col, med, mad]``."""
+    import ray
+
+    med = grouped_quantiles(
+        ds, [group_col], value_col, [0.5], num_partitions=num_partitions
+    ).to_pandas()  # post-aggregation: one row per group
+    med_ref = ray.put(
+        (med[group_col].to_numpy(), med["value"].to_numpy(dtype=np.float64))
+    )
+
+    class _Resid:
+        def __init__(self, ref):
+            self._g, self._m = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            idx = pc.index_in(
+                t[group_col], value_set=pa.array(self._g)
+            ).to_numpy(zero_copy_only=False)
+            v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table(
+                {group_col: t[group_col],
+                 "_r": pa.array(np.abs(v - self._m[idx]))}
+            )
+
+    resid = ds.map_batches(_Resid(med_ref), batch_format="pyarrow")
+    mad = grouped_quantiles(
+        resid, [group_col], "_r", [0.5], num_partitions=num_partitions
+    ).to_pandas()
+    mmap = dict(zip(mad[group_col], mad["value"]))
+    out = med[[group_col]].copy()
+    out["med"] = med["value"].to_numpy()
+    out["mad"] = [mmap[x] for x in med[group_col]]
+    return pa.Table.from_pandas(out, preserve_index=False)

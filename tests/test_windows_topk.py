@@ -1171,3 +1171,32 @@ def test_cube_aggregate_matches_duckdb_cube(ray_session):
     assert (got.lvl == 0).sum() == 1
     with pytest.raises(ValueError, match="more than 4"):
         cube_aggregate(rd.from_pandas(df), list("abcde"), "v", sentinels={})
+
+
+def test_grouped_mad_matches_duckdb_twin(ray_session):
+    import duckdb
+
+    from rayraster.agg import grouped_mad
+
+    rng = np.random.default_rng(14)
+    df = pd.DataFrame(
+        {"g": rng.choice(["a", "b", "c"], 700),
+         "v": np.round(rng.standard_normal(700) * 10, 3)}
+    )
+    # plant outliers that wreck the variance but not the MAD
+    df.loc[df.index[:5], "v"] = 1e6
+    got = grouped_mad(rd.from_pandas(df).repartition(4), "g", "v").to_pandas()
+    got = got.sort_values("g").reset_index(drop=True)
+    want = duckdb.sql(
+        """WITH m AS (
+  SELECT g, quantile_disc(v, 0.5) AS med FROM df GROUP BY g
+)
+SELECT m.g, m.med,
+       quantile_disc(abs(v - m.med), 0.5) AS mad
+FROM df JOIN m USING (g) GROUP BY m.g, m.med ORDER BY m.g"""
+    ).df()
+    assert got.g.tolist() == want.g.tolist()
+    assert (got.med.to_numpy() == want.med.to_numpy()).all()
+    assert (got["mad"].to_numpy() == want["mad"].to_numpy()).all()
+    # robustness: the outlier group's mad stays ~10, its std would be ~1e5
+    assert got["mad"].max() < 50
