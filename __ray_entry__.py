@@ -4845,9 +4845,60 @@ def _q_vocab_topk(sf_dir: str):
             }
         )
 
-    bm25 = bm25_search(sidx_path, _TERMS, k=10).map_batches(
-        bm25_shape, batch_format="pyarrow"
+    bm25_ranked = bm25_search(sidx_path, _TERMS, k=10).materialize()
+    bm25 = bm25_ranked.map_batches(bm25_shape, batch_format="pyarrow")
+
+    # 'rrf' — reciprocal-rank fusion (textops.rrf_fuse, Cormack et al.
+    # 2009) of the bm25 RELEVANCE ranking with a doc_id-ascending
+    # FRESHNESS ranking of the boolean AND set: one full-outer bucket
+    # join + a fixed-order 1/(60+r) + 1/(60+r) expression — the
+    # calibration-free multi-signal retrieval combiner
+    from rayraster.textops import rrf_fuse
+
+    def _fresh_rank(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_one"]).sort_by([("doc_id", "ascending")])
+        return pa.table(
+            {"doc_id": g["doc_id"],
+             "rank": pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64))}
+        )
+
+    fresh = (
+        search_index(idx_path, _TERMS, mode="and")
+        .map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"],
+                 "_one": pa.array(np.zeros(t.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_one")
+        .map_groups(_fresh_rank, batch_format="pyarrow")
     )
+    fused = rrf_fuse(
+        bm25_ranked.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"], "rank": t["rank"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        fresh, k0=60,
+    )
+
+    def rrf_shape(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "word": pa.array([" ".join(sorted(_TERMS))] * m, type=pa.string()),
+                "n": pa.array(np.zeros(m, dtype=np.int64)),
+                "df": pa.array(np.zeros(m, dtype=np.int64)),
+                "score": t["score"],
+                "rnk": t["rnk"],
+                "path": pa.array(["rrf"] * m, type=pa.string()),
+            }
+        )
+
+    rrf = fused.map_batches(rrf_shape, batch_format="pyarrow")
 
     def colloc_shape(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -4935,7 +4986,7 @@ def _q_vocab_topk(sf_dir: str):
     phrase = phrase_search(pidx_path, _PHRASE).map_batches(
         phrase_shape, batch_format="pyarrow"
     )
-    return vocab.union(tfidf, search, bm25, colloc, textrank, phrase)
+    return vocab.union(tfidf, search, bm25, rrf, colloc, textrank, phrase)
 
 
 def _sql_vocab_topk() -> str:
@@ -5003,6 +5054,56 @@ FROM (
   SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
          AS BIGINT) AS rnk
   FROM pv QUALIFY rnk <= 10
+)
+UNION ALL
+SELECT doc_id, 'batch hash join' AS word, CAST(0 AS BIGINT) AS n,
+       CAST(0 AS BIGINT) AS df, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+       'rrf' AS path
+FROM (
+  SELECT COALESCE(bm.doc_id, fr.doc_id) AS doc_id,
+         COALESCE(1.0/(60.0 + CAST(bm.rnk AS DOUBLE)), 0.0)
+         + COALESCE(1.0/(60.0 + CAST(fr.frnk AS DOUBLE)), 0.0) AS score
+  FROM (
+  WITH dlt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks
+               WHERE word <> '' GROUP BY doc_id),
+  stt AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                 (SELECT CAST(SUM(dl) AS DOUBLE)
+                    / GREATEST((SELECT COUNT(*) FROM documents), 1)
+                  FROM dlt) AS avgdl),
+  sc AS (
+    -- every constant CAST to DOUBLE (DuckDB parses 1.2 as DECIMAL and
+    -- would compute 3*(1.2+1.0) EXACTLY as 6.6 while IEEE doubles give
+    -- 6.6000000000000005 — a measured last-ulp hash break), and the
+    -- tree mirrors the engine's op order term for term
+    SELECT t.doc_id, t.word,
+           ((stt.n - f.df + CAST(0.5 AS DOUBLE))
+              / (f.df + CAST(0.5 AS DOUBLE)))
+             * (t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                / (t.tf + CAST(1.2 AS DOUBLE)
+                   * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                      + CAST(0.75 AS DOUBLE) * (d.dl / stt.avgdl))))
+             AS s
+    FROM tf t JOIN df f USING (word) JOIN dlt d USING (doc_id), stt
+    WHERE t.word IN ('batch', 'hash', 'join')
+  ),
+  pv AS (
+    SELECT doc_id,
+           COALESCE(MAX(CASE WHEN word = 'batch' THEN s END), 0)
+           + COALESCE(MAX(CASE WHEN word = 'hash' THEN s END), 0)
+           + COALESCE(MAX(CASE WHEN word = 'join' THEN s END), 0) AS score
+    FROM sc GROUP BY doc_id
+  )
+  SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         AS BIGINT) AS rnk
+  FROM pv QUALIFY rnk <= 10
+  ) bm
+  FULL OUTER JOIN (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS frnk
+    FROM tf WHERE word IN ('join', 'hash', 'batch')
+    GROUP BY doc_id HAVING COUNT(*) = 3
+  ) fr ON bm.doc_id = fr.doc_id
 )
 UNION ALL
 SELECT CAST(-1 AS BIGINT) AS doc_id, w1 || ' ' || w2 AS word, c12 AS n,

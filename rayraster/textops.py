@@ -3507,3 +3507,86 @@ def char_entropy(
         .append_column("ent_sum_q", pa.array(ent_sum))
         .append_column("entropy", pa.array(ent))
     )
+
+
+def rrf_fuse(
+    rank_a: "Dataset",
+    rank_b: "Dataset",
+    k0: int = 60,
+    num_buckets: int = 8,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> "Dataset":
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) of TWO rankings — the standard way to combine heterogeneous
+    retrieval signals (BM25 × freshness, lexical × vector) without
+    score calibration:
+
+        rrf(d) = 1/(k0 + rank_a(d)) + 1/(k0 + rank_b(d))
+
+    with a missing ranking contributing exactly 0.  One FULL-OUTER
+    hash-partitioned :func:`rayraster.join.bucket_join` on the doc id
+    (both sides stream — ranked lists are usually tiny but nothing
+    here assumes it), then a map-only FIXED-ORDER float expression
+    (a-term + b-term — never a grouped float sum, whose order would
+    be plan-dependent), then one single-group sort assigning the
+    fused rank by (score DESC, doc_id).  Bit-reproducible in SQL.
+    Fuse more than two rankings by folding pairwise.
+
+    Returns ``(doc_id, score, rnk)``."""
+    from rayraster.join import bucket_join
+
+    if k0 < 1:
+        raise ValueError("rrf_fuse: k0 must be >= 1")
+
+    def prep(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {
+                f"{side}_key": t[id_col].cast(pa.int64()),
+                f"{side}_r": t[rank_col].cast(pa.int64()),
+            }
+            if side == "b":  # the join drops the right KEY column
+                cols["b_id"] = t[id_col].cast(pa.int64())
+            return pa.table(cols)
+
+        return f
+
+    a = rank_a.map_batches(prep("a"), batch_format="pyarrow")
+    b = rank_b.map_batches(prep("b"), batch_format="pyarrow")
+    j = bucket_join(
+        a, b, "a_key", "b_key", num_buckets=num_buckets, join_type="full",
+        left_schema=pa.schema([("a_key", pa.int64()), ("a_r", pa.int64())]),
+        right_schema=pa.schema(
+            [("b_key", pa.int64()), ("b_r", pa.int64()), ("b_id", pa.int64())]
+        ),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        # presence from the RANK columns: pyarrow's full-outer join may
+        # coalesce the key into the left key column, so a_key validity
+        # is not "row came from a"
+        a_has = pc.is_valid(t["a_r"]).to_numpy(zero_copy_only=False)
+        b_has = pc.is_valid(t["b_r"]).to_numpy(zero_copy_only=False)
+        ak = pc.fill_null(t["a_key"], 0).to_numpy(zero_copy_only=False)
+        ar = pc.fill_null(t["a_r"], 0).to_numpy(zero_copy_only=False)
+        bi = pc.fill_null(t["b_id"], 0).to_numpy(zero_copy_only=False)
+        br = pc.fill_null(t["b_r"], 0).to_numpy(zero_copy_only=False)
+        key = np.where(a_has, ak, bi).astype(np.int64)
+        sa = np.where(a_has, 1.0 / (np.float64(k0) + ar.astype(np.float64)), 0.0)
+        sb = np.where(b_has, 1.0 / (np.float64(k0) + br.astype(np.float64)), 0.0)
+        return pa.table(
+            {"doc_id": pa.array(key), "score": pa.array(sa + sb),
+             "_one": pa.array(np.zeros(len(key), dtype=np.int64))}
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_one"]).sort_by(
+            [("score", "descending"), ("doc_id", "ascending")]
+        )
+        return g.append_column(
+            "rnk", pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64))
+        )
+
+    return j.map_batches(score, batch_format="pyarrow").groupby("_one").map_groups(
+        finish, batch_format="pyarrow"
+    )

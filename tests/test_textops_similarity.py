@@ -1918,3 +1918,35 @@ def test_flesch_score_matches_duckdb_expression(ray_session):
       FROM d ORDER BY doc_id
     """).fetchall()]
     assert got == want  # bit-equal: same RE2 counts, same IEEE tree
+
+
+def test_rrf_fuse_matches_duckdb_twin(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rayraster.textops import rrf_fuse
+
+    a = pd.DataFrame({"doc_id": [10, 20, 30, 40], "rank": [1, 2, 3, 4]})
+    b = pd.DataFrame({"doc_id": [30, 10, 99], "rank": [1, 2, 3]})
+    got = (
+        rrf_fuse(rd.from_pandas(a), rd.from_pandas(b), k0=60)
+        .to_pandas().sort_values("rnk").reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """WITH f AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(1.0/(60.0 + CAST(a.rank AS DOUBLE)), 0.0)
+         + COALESCE(1.0/(60.0 + CAST(b.rank AS DOUBLE)), 0.0) AS score
+  FROM a FULL OUTER JOIN b USING (doc_id)
+)
+SELECT doc_id, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+FROM f ORDER BY rnk"""
+    ).df()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert (got.score.to_numpy() == want.score.to_numpy()).all()
+    assert got.rnk.tolist() == want.rnk.tolist()
+    # the doc in BOTH lists outranks every single-list doc here
+    assert got.doc_id.iloc[0] in (10, 30)
+    with pytest.raises(ValueError, match="k0"):
+        rrf_fuse(rd.from_pandas(a), rd.from_pandas(b), k0=0)
