@@ -3521,6 +3521,30 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
             }
         )
 
+    # fourteenth/fifteenth paths ('hub'/'auth'): exact-integer HITS
+    # (graph.hits, Kleinberg 1999) over the SAME 3-out-regular
+    # directed graph as pagerank, 2 unnormalized mutual-reinforcement
+    # rounds — both scores from one computation, twin = 4 unrolled
+    # join-sum CTEs
+    from rayraster.graph import hits as _hits
+
+    ha = _hits(
+        doc_ids.map_batches(edges3, batch_format="pyarrow"),
+        rounds=2, num_buckets=_parts_for(n_docs), edge_count=3 * n_docs,
+    ).materialize()  # consumed twice (hub rows + auth rows)
+
+    def tag_hits(col: str, tag: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t["node"].cast(pa.int64()),
+                    "pr": t[col].cast(pa.int64()),
+                    "path": pa.array([tag] * t.num_rows, type=pa.string()),
+                }
+            )
+
+        return fn
+
     # thirteenth path ('lpa'): semi-synchronous label-propagation
     # communities over the SAME degree-varied graph, 2 deterministic
     # rounds (graph.label_propagation — exact counts + smallest-label
@@ -3548,6 +3572,8 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
         core.map_batches(tag_kcore, batch_format="pyarrow"),
         bfs.map_batches(tag_bfs, batch_format="pyarrow"),
         lpa.map_batches(tag_lpa, batch_format="pyarrow"),
+        ha.map_batches(tag_hits("hub", "hub"), batch_format="pyarrow"),
+        ha.map_batches(tag_hits("auth", "auth"), batch_format="pyarrow"),
         sp.map_batches(tag_sssp, batch_format="pyarrow"),
         db.map_batches(tag_db, batch_format="pyarrow"),
         facc.map_batches(tag_flow, batch_format="pyarrow"),
@@ -3827,6 +3853,19 @@ lpa2 AS MATERIALIZED (
       PARTITION BY node ORDER BY c DESC, lab) AS rn
     FROM lpc2) WHERE rn = 1
 )"""
+    # HITS twin: 2 unrolled mutual-reinforcement rounds over the
+    # DISTINCT directed pagerank edges (h₀ ≡ 1 ⇒ a₁ = in-degree)
+    hits_ctes = """hde AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+ha1 AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS a
+        FROM hde GROUP BY dst),
+hh1 AS (SELECT e.src AS node, CAST(SUM(a1.a) AS BIGINT) AS h
+        FROM hde e JOIN ha1 a1 ON e.dst = a1.node GROUP BY e.src),
+ha2 AS (SELECT e.dst AS node, CAST(SUM(h1.h) AS BIGINT) AS a
+        FROM hde e JOIN hh1 h1 ON e.src = h1.node GROUP BY e.dst),
+hh2 AS (SELECT e.src AS node, CAST(SUM(a2.a) AS BIGINT) AS h
+        FROM hde e JOIN ha2 a2 ON e.dst = a2.node GROUP BY e.src),
+hnodes AS (SELECT DISTINCT node FROM (
+           SELECT src AS node FROM hde UNION ALL SELECT dst FROM hde))"""
     # splice the kcore + bfs CTEs into the pagerank WITH chain: the
     # chain heads the whole UNION, so all arms can reference every
     # family; RECURSIVE covers the one recursive member
@@ -3839,7 +3878,7 @@ lpa2 AS MATERIALIZED (
     sp_ctes, sp_final = _sql_sssp_ctes()
     pr = (
         f"{head},\n{kc_ctes},\n{sp_ctes},\n{fl_ctes},\n{fb_ctes},\n{fc_ctes},\n"
-        f"{al_ctes},\n{bfs_ctes},\n{lpa_ctes}\n"
+        f"{al_ctes},\n{bfs_ctes},\n{lpa_ctes},\n{hits_ctes}\n"
         f"SELECT node AS doc_id{tail}\n"
         "UNION ALL\n"
         "SELECT node AS doc_id, CAST(0 AS BIGINT) AS pr, 'kcore' AS path "
@@ -3849,6 +3888,12 @@ lpa2 AS MATERIALIZED (
         "'bfs' AS path FROM bfsr GROUP BY node\n"
         "UNION ALL\n"
         "SELECT node AS doc_id, lab AS pr, 'lpa' AS path FROM lpa2\n"
+        "UNION ALL\n"
+        "SELECT n.node AS doc_id, CAST(COALESCE(hh2.h, 0) AS BIGINT) AS pr, "
+        "'hub' AS path FROM hnodes n LEFT JOIN hh2 ON n.node = hh2.node\n"
+        "UNION ALL\n"
+        "SELECT n.node AS doc_id, CAST(COALESCE(ha2.a, 0) AS BIGINT) AS pr, "
+        "'auth' AS path FROM hnodes n LEFT JOIN ha2 ON n.node = ha2.node\n"
         "UNION ALL\n"
         "SELECT node AS doc_id, dist AS pr, 'sssp' AS path "
         f"FROM {sp_final}\n"

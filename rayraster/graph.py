@@ -1338,3 +1338,145 @@ def label_propagation(
             batch_format="pyarrow",
         ).materialize()  # O(V) rows; reused by the next round's join
     return labels
+
+
+def hits(
+    edges: Dataset,
+    rounds: int = 2,
+    num_buckets: int = 64,
+    edge_count: int | None = None,
+) -> Dataset:
+    """HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    edge set — the query-independent link-analysis companion of
+    :func:`pagerank` (PageRank scores endorsement flow; HITS separates
+    *pointing well* (hub) from *being pointed at* (authority)).
+
+    Exact-integer variant: scores start at 1 and stay UNNORMALIZED
+    int64 through ``rounds`` synchronous mutual-reinforcement rounds
+
+        a_r(u) = Σ_{(v,u)∈E} h_{r−1}(v);   h_r(v) = Σ_{(v,u)∈E} a_r(u)
+
+    — every value is an exact integer (the classic L2 normalization
+    only rescales the ranking, and floats would break the bit-exact
+    twin rule), so results are bit-identical across partitionings and
+    reproducible by unrolled SQL joins.  Scores grow like
+    (max degree)^(2·rounds); a post-round driver max check RAISES
+    past 2^46 (one more fold of degree ≤ 2^17 still fits int64) —
+    normalize by shifting in the caller if you need more rounds.
+
+    Plan: one distinct-directed-edge exchange up front (materialized,
+    reused 2·rounds − 1 times); per half-round ONE score co-location
+    ``bucket_join`` + ONE grouped-sum fold.  Round 1's a-update skips
+    the join (h₀ ≡ 1 ⇒ a₁ = in-degree).
+
+    Returns ``(node, hub, auth)`` for every endpoint node (0 = no
+    out-/in-edges)."""
+    import pyarrow.compute as pc
+
+    from rayraster.agg import distinct, hash_aggregate
+    from rayraster.join import bucket_join
+
+    if rounds < 1:
+        raise ValueError("hits: rounds must be >= 1")
+    P = _adaptive_parts(edge_count, num_buckets)
+
+    def dropnull(t: pa.Table) -> pa.Table:
+        valid = pc.and_(pc.is_valid(t["src"]), pc.is_valid(t["dst"]))
+        t = t.filter(valid)
+        return pa.table(
+            {"src": t["src"].cast(pa.int64()), "dst": t["dst"].cast(pa.int64())}
+        )
+
+    e = distinct(
+        edges.map_batches(dropnull, batch_format="pyarrow", zero_copy_batch=True),
+        ["src", "dst"], num_partitions=P,
+    ).materialize()
+    e_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    s_schema = pa.schema([("node", pa.int64()), ("s", pa.int64())])
+    _BOUND = np.int64(1) << np.int64(46)
+
+    def _check(state: Dataset, what: str) -> Dataset:
+        m = state.max("s")
+        if m is not None and m > _BOUND:
+            raise ValueError(
+                f"hits: {what} score {m} exceeds 2^46 after a round — "
+                "reduce rounds or rescale"
+            )
+        return state
+
+    def _fold(contrib: Dataset, key: str) -> Dataset:
+        agg = hash_aggregate(
+            contrib, [key], sum_cols=["s"], count=False, num_partitions=P
+        )
+        return agg.map_batches(
+            lambda t: pa.table({"node": t[key], "s": t["sum_s"]}),
+            batch_format="pyarrow",
+        ).materialize()
+
+    a = _fold(  # a₁ = in-degree (h₀ ≡ 1)
+        e.map_batches(
+            lambda t: pa.table(
+                {"dst": t["dst"],
+                 "s": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+            ),
+            batch_format="pyarrow",
+        ),
+        "dst",
+    )
+    h: Dataset | None = None
+    for r in range(rounds):
+        if r > 0:
+            ja = bucket_join(
+                e, h, "src", "node", num_buckets=P,
+                left_schema=e_schema, right_schema=s_schema,
+            )
+            a = _check(_fold(
+                ja.map_batches(
+                    lambda t: pa.table({"dst": t["dst"], "s": t["s"]}),
+                    batch_format="pyarrow",
+                ), "dst",
+            ), "authority")
+        jh = bucket_join(
+            e, a, "dst", "node", num_buckets=P,
+            left_schema=e_schema, right_schema=s_schema,
+        )
+        h = _check(_fold(
+            jh.map_batches(
+                lambda t: pa.table({"src": t["src"], "s": t["s"]}),
+                batch_format="pyarrow",
+            ), "src",
+        ), "hub")
+
+    nodes = distinct(
+        e.map_batches(
+            lambda t: pa.table(
+                {"node": pa.array(np.concatenate(
+                    [t["src"].to_numpy(zero_copy_only=False),
+                     t["dst"].to_numpy(zero_copy_only=False)]))}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["node"], num_partitions=P,
+    )
+    nh = bucket_join(
+        nodes, h, "node", "node", join_type="left", num_buckets=P,
+        left_schema=pa.schema([("node", pa.int64())]), right_schema=s_schema,
+    ).map_batches(
+        lambda t: pa.table(
+            {"node": t["node"],
+             "hub": pc.fill_null(t["s"], 0).cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    out = bucket_join(
+        nh, a, "node", "node", join_type="left", num_buckets=P,
+        left_schema=pa.schema([("node", pa.int64()), ("hub", pa.int64())]),
+        right_schema=s_schema,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"node": t["node"], "hub": t["hub"],
+             "auth": pc.fill_null(t["s"], 0).cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )

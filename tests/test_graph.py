@@ -613,3 +613,62 @@ def test_label_propagation_star_and_validation(ray_session):
         assert got == want
     with pytest.raises(ValueError, match="rounds"):
         label_propagation(rd.from_arrow(t), rounds=0)
+
+
+def _hits_local(edges, rounds):
+    from collections import defaultdict
+
+    e = sorted(set(edges))
+    h = defaultdict(lambda: 1)
+    a = {}
+    for r in range(rounds):
+        a = defaultdict(int)
+        for s, d in e:
+            a[d] += h[s]
+        h2 = defaultdict(int)
+        for s, d in e:
+            h2[s] += a[d]
+        h = h2
+    nodes = {v for st in e for v in st}
+    return {v: (h.get(v, 0), a.get(v, 0)) for v in nodes}
+
+
+def test_hits_matches_local_reference(ray_session):
+    import ray.data as rd
+
+    from rayraster.graph import hits
+
+    rng = np.random.default_rng(19)
+    edges = [tuple(map(int, rng.integers(0, 60, 2))) for _ in range(400)]
+    edges += [(i, 7) for i in range(20)]  # a planted authority
+    edges += [(3, i) for i in range(30, 50)]  # a planted hub
+    t = pa.table({"src": pa.array([e[0] for e in edges], type=pa.int64()),
+                  "dst": pa.array([e[1] for e in edges], type=pa.int64())})
+    for rounds in (1, 2):
+        want = _hits_local(edges, rounds)
+        got = {
+            r.node: (r.hub, r.auth)
+            for r in hits(rd.from_arrow(t).repartition(5), rounds=rounds)
+            .to_pandas().itertuples()
+        }
+        assert got == want, rounds
+    got2 = hits(rd.from_arrow(t), rounds=2).to_pandas()
+    # the planted authority has the top auth score, the hub the top hub
+    assert got2.sort_values("auth").iloc[-1]["node"] == 7
+    assert got2.sort_values("hub").iloc[-1]["node"] == 3
+
+
+def test_hits_overflow_guard_and_validation(ray_session):
+    import ray.data as rd
+
+    from rayraster.graph import hits
+
+    # complete bipartite 200×200: scores blow past 2^46 within 5 rounds
+    n = 200
+    src = np.repeat(np.arange(n, dtype=np.int64), n)
+    dst = np.tile(np.arange(n, 2 * n, dtype=np.int64), n)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    with pytest.raises(Exception, match="2\\^46"):
+        hits(rd.from_arrow(t), rounds=5).to_pandas()
+    with pytest.raises(ValueError, match="rounds"):
+        hits(rd.from_arrow(t), rounds=0)
