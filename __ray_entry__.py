@@ -6708,7 +6708,43 @@ def _q_multimodal(sf_dir: str):
             }
         )
 
-    return pix.union(au.map_batches(audio_rows, batch_format="pyarrow"))
+    # third arm ('qoi'): REAL from-scratch QOI codec (public spec,
+    # qoiformat.org — multimodal.encode_qoi/decode_qoi, all six chunk
+    # ops).  Every doc_id % 3 == 2 row carries a QOI image with
+    # planted pixels v_k = (doc_id*5 + 37k) % 256 over the flattened
+    # RGB array (w = 3·((id%4)+1), h = (id·3)%7 + 1), so the decoded
+    # stats have the same closed SQL form as the BMP arm while the
+    # bytes travel a genuinely different compressed wire format.
+    from rayraster.multimodal import encode_qoi
+
+    def to_qoi(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 3 == 2))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out = []
+        for i in ids:
+            w, h = 3 * (int(i % 4) + 1), int(i * 3) % 7 + 1
+            img = ((int(i) * 5 + 37 * np.arange(3 * w * h, dtype=np.int64))
+                   % 256).astype(np.uint8).reshape(h, w, 3)
+            out.append(encode_qoi(img))
+        return pa.table(
+            {"doc_id": t["doc_id"], "payload": pa.array(out, type=pa.binary())}
+        )
+
+    qo = ds.map_batches(to_qoi, batch_format="pyarrow").map_batches(
+        ImageDecodeStage(
+            bin_col="payload", with_pixel_stats=True, with_histogram=True
+        ),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    ).select_columns(
+        ["doc_id", "width", "height", "channels", "px_mean",
+         "px_mode_bin", "hist_l2"]
+    ).map_batches(_tagger("qoi"), batch_format="pyarrow")
+
+    return pix.union(au.map_batches(audio_rows, batch_format="pyarrow"), qo)
 
 
 def _sql_exact_dedup() -> str:
@@ -7328,6 +7364,45 @@ SELECT * FROM (
          CAST(a.tot AS DOUBLE) / CAST(a.n AS DOUBLE) AS px_mean,
          w.we AS px_mode_bin, a.amax AS hist_l2, 'audio' AS path
   FROM agg a JOIN wmax w USING (doc_id)
+)
+UNION ALL
+SELECT * FROM (
+  -- QOI-arm twin: pixels (doc_id*5 + 37k) % 256 over k in [0, 3wh)
+  -- with w = 3*((id%4)+1), h = (id*3)%7 + 1 (max 3wh = 252); the
+  -- engine side round-trips the SAME array through the from-scratch
+  -- QOI encoder+decoder, so equality here proves the codec lossless
+  WITH qdims AS (
+    SELECT doc_id, 3 * ((doc_id % 4) + 1) AS width,
+           (doc_id * 3) % 7 + 1 AS height
+    FROM documents WHERE doc_id % 3 = 2
+  ),
+  qpx AS (
+    SELECT d.doc_id, d.width, d.height,
+           (d.doc_id * 5 + 37 * t.k) % 256 AS v
+    FROM qdims d JOIN range(0, 252) t(k) ON t.k < 3 * d.width * d.height
+  ),
+  qsum AS (
+    SELECT doc_id, CAST(SUM(v) AS DOUBLE) AS tot, COUNT(*) AS n
+    FROM qpx GROUP BY doc_id
+  ),
+  qhb AS (
+    SELECT doc_id, v // 4 AS bin, COUNT(*) AS c FROM qpx GROUP BY 1, 2
+  ),
+  qhs AS (
+    SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS hist_l2
+    FROM qhb GROUP BY doc_id
+  ),
+  qhm AS (
+    SELECT doc_id, bin AS px_mode_bin FROM (
+      SELECT doc_id, bin,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bin) AS rn
+      FROM qhb
+    ) WHERE rn = 1
+  )
+  SELECT d.doc_id, d.width, d.height, CAST(3 AS BIGINT) AS channels,
+         s.tot / s.n AS px_mean, m.px_mode_bin, h.hist_l2, 'qoi' AS path
+  FROM qdims d JOIN qsum s USING (doc_id)
+  JOIN qhs h USING (doc_id) JOIN qhm m USING (doc_id)
 )"""
 
 

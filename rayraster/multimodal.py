@@ -7,8 +7,9 @@ payloads — from-scratch stdlib/numpy parsers and pixel transforms
 (the sandbox has no image libraries):
 
 * :func:`decode_image_pixels` — 24-bit BMP (bottom-up or top-down,
-  uncompressed) and binary PPM (``P6``) → an (H, W, 3) uint8 RGB
-  array
+  uncompressed), binary PPM (``P6``), and QOI (spec-complete
+  :func:`encode_qoi`/:func:`decode_qoi`, all six chunk ops) → an
+  (H, W, 3) uint8 RGB array
 * :class:`ResizeStage` — exact area-average (box-filter) downscale on
   decoded pixels via an integral image, re-encoded to BMP
 * :class:`FrameSampleStage` — PPM *stream* payloads (concatenated P6
@@ -141,6 +142,9 @@ def decode_image_header(p: bytes):
         ppm = _parse_ppm(p)
         if ppm is not None:
             return ppm[0], ppm[1], 3
+        qoi = _parse_qoi_header(p)
+        if qoi is not None:
+            return qoi
         return None
     except (struct.error, ValueError):
         return None
@@ -170,6 +174,8 @@ def decode_image_pixels(p: bytes) -> np.ndarray | None:
                 .reshape(h, w, 3)
                 .copy()
             )
+        if _parse_qoi_header(p) is not None:
+            return decode_qoi(p)
         return None
     except (struct.error, ValueError):
         return None
@@ -629,3 +635,148 @@ class AudioFeatureStage:
         ):
             batch = batch.append_column(name, col)
         return batch
+
+
+# --------------------------------------------------------------------------
+# QOI — the "Quite OK Image" format (public spec, qoiformat.org/qoi-specification.pdf)
+# --------------------------------------------------------------------------
+
+_QOI_END = b"\x00\x00\x00\x00\x00\x00\x00\x01"
+
+
+def encode_qoi(img: np.ndarray, channels: int = 3) -> bytes:
+    """(H, W, 3|4) uint8 array → QOI bytes — a spec-complete
+    from-scratch encoder (all six chunk ops: RGB, RGBA, INDEX, DIFF,
+    LUMA, RUN).  Lossless: ``decode_qoi(encode_qoi(img))`` is
+    bit-identical.  Per-pixel Python loop — QOI is inherently
+    sequential (each chunk depends on the running index/previous
+    pixel); the payloads this engine crafts are small, and a
+    production deployment would swap in a compiled codec behind the
+    same stage signature."""
+    h, w, c = img.shape
+    if c not in (3, 4) or channels not in (3, 4):
+        raise ValueError(f"encode_qoi needs (H, W, 3|4), got {img.shape}")
+    out = bytearray(b"qoif")
+    out += struct.pack(">IIBB", w, h, channels, 0)
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa_ = 0, 0, 0, 255
+    run = 0
+    flat = img.reshape(-1, c)
+    for px in flat:
+        r, g, b = int(px[0]), int(px[1]), int(px[2])
+        a = int(px[3]) if c == 4 else 255
+        if (r, g, b, a) == (pr, pg, pb, pa_):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        ih = (r * 3 + g * 5 + b * 7 + a * 11) % 64
+        if index[ih] == (r, g, b, a):
+            out.append(ih)
+        elif a != pa_:
+            out.append(0xFF)
+            out += bytes((r, g, b, a))
+        else:
+            dr = (r - pr + 256) % 256
+            dg = (g - pg + 256) % 256
+            db = (b - pb + 256) % 256
+            dr = dr - 256 if dr > 127 else dr
+            dg = dg - 256 if dg > 127 else dg
+            db = db - 256 if db > 127 else db
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7:
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out.append(0xFE)
+                out += bytes((r, g, b))
+        index[ih] = (r, g, b, a)
+        pr, pg, pb, pa_ = r, g, b, a
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += _QOI_END
+    return bytes(out)
+
+
+def _parse_qoi_header(p: bytes):
+    """(width, height, channels) for a PLAUSIBLE QOI payload, else
+    None.  Beyond the magic: sane bounded dims, valid channels /
+    colorspace bytes, and the 8-byte end marker — random binaries that
+    merely start with 'qoif' must not parse (same contract as
+    :func:`_parse_bmp`)."""
+    if len(p) < 14 + 8 or p[:4] != b"qoif":
+        return None
+    w, h, channels, colorspace = struct.unpack_from(">IIBB", p, 4)
+    if not (0 < w < 1 << 24 and 0 < h < 1 << 24):
+        return None
+    if channels not in (3, 4) or colorspace not in (0, 1):
+        return None
+    if p[-8:] != _QOI_END:
+        return None
+    return int(w), int(h), int(channels)
+
+
+def decode_qoi(p: bytes) -> np.ndarray | None:
+    """REAL QOI decode: QOI bytes → (H, W, 3) uint8 RGB (alpha
+    dropped for 4-channel payloads — ``channels`` in the header is
+    informative per the spec; the chunk stream is always RGBA-state).
+    Returns None unless the chunk stream decodes to EXACTLY
+    width×height pixels and ends at the end marker — a truncated or
+    trailing-garbage payload never half-decodes."""
+    hd = _parse_qoi_header(p)
+    if hd is None:
+        return None
+    w, h, _channels = hd
+    n = w * h
+    out = np.empty((n, 4), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    i, k, end = 14, 0, len(p) - 8
+    try:
+        while k < n:
+            if i >= end:
+                return None
+            byte = p[i]
+            i += 1
+            if byte == 0xFE:  # QOI_OP_RGB
+                r, g, b = p[i], p[i + 1], p[i + 2]
+                i += 3
+            elif byte == 0xFF:  # QOI_OP_RGBA
+                r, g, b, a = p[i], p[i + 1], p[i + 2], p[i + 3]
+                i += 4
+            else:
+                tag = byte >> 6
+                if tag == 0:  # QOI_OP_INDEX
+                    r, g, b, a = index[byte]
+                elif tag == 1:  # QOI_OP_DIFF (bias 2)
+                    r = (r + ((byte >> 4) & 3) - 2) % 256
+                    g = (g + ((byte >> 2) & 3) - 2) % 256
+                    b = (b + (byte & 3) - 2) % 256
+                elif tag == 2:  # QOI_OP_LUMA (bias 32 / 8)
+                    dg = (byte & 0x3F) - 32
+                    b2 = p[i]
+                    i += 1
+                    r = (r + dg + ((b2 >> 4) & 0xF) - 8) % 256
+                    g = (g + dg) % 256
+                    b = (b + dg + (b2 & 0xF) - 8) % 256
+                else:  # QOI_OP_RUN (bias -1)
+                    run = (byte & 0x3F) + 1
+                    if k + run > n:
+                        return None
+                    out[k : k + run] = (r, g, b, a)
+                    k += run
+                    index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+                    continue
+            index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+            out[k] = (r, g, b, a)
+            k += 1
+    except IndexError:
+        return None  # chunk ran off the end of the stream
+    if i != end:
+        return None  # trailing bytes before the end marker
+    return np.ascontiguousarray(out[:, :3]).reshape(h, w, 3)

@@ -419,3 +419,84 @@ def test_audio_feature_stage_exact(ray_session):
 
     with pytest.raises(ValueError, match="win"):
         AudioFeatureStage(win=0)
+
+
+# --------------------------------------------------------------------------
+# QOI codec (public spec, qoiformat.org)
+# --------------------------------------------------------------------------
+
+def test_qoi_roundtrip_random_images():
+    from rayraster.multimodal import decode_qoi, encode_qoi
+
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        h, w = int(rng.integers(1, 9)), int(rng.integers(1, 9))
+        img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        p = encode_qoi(img)
+        got = decode_qoi(p)
+        assert got is not None and np.array_equal(got, img), trial
+
+
+def test_qoi_all_chunk_ops_exercised():
+    """One image per chunk family, each roundtripping bit-exactly."""
+    from rayraster.multimodal import decode_qoi, encode_qoi
+
+    # RUN: long constant stretches (incl. a >62-px run needing 2 chunks)
+    img = np.full((10, 10, 3), 9, dtype=np.uint8)
+    assert np.array_equal(decode_qoi(encode_qoi(img)), img)
+    # DIFF: +1 steps stay within the 2-bit window
+    ramp = (np.arange(24, dtype=np.uint8) // 3).reshape(2, 4, 3) + 100
+    assert np.array_equal(decode_qoi(encode_qoi(ramp)), ramp)
+    # LUMA: +17 green steps with small dr-dg / db-dg
+    v = (np.arange(8) * 17 % 256).astype(np.uint8)
+    luma = np.stack([v, v, v], axis=-1).reshape(2, 4, 3)
+    assert np.array_equal(decode_qoi(encode_qoi(luma)), luma)
+    # INDEX: alternating colors revisit the running index
+    a = np.array([10, 20, 30], dtype=np.uint8)
+    b = np.array([200, 150, 99], dtype=np.uint8)
+    alt = np.stack([a, b] * 8).reshape(4, 4, 3)
+    enc = encode_qoi(alt)
+    assert np.array_equal(decode_qoi(enc), alt)
+    assert any(x < 0x40 for x in enc[14:-8])  # an INDEX byte appears
+    # RGBA path: 4-channel input with varying alpha (alpha dropped on decode)
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[..., :3] = [[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [250, 0, 128]]]
+    rgba[..., 3] = [[255, 10], [10, 200]]
+    assert np.array_equal(decode_qoi(encode_qoi(rgba, channels=4)),
+                          rgba[..., :3])
+
+
+def test_qoi_plausibility_rejects_corrupt_payloads():
+    from rayraster.multimodal import decode_image_pixels, decode_qoi, encode_qoi
+
+    img = (np.arange(36, dtype=np.uint8) * 37 % 256).reshape(3, 4, 3)
+    p = encode_qoi(img)
+    assert decode_qoi(p[:-1]) is None            # end marker broken
+    assert decode_qoi(p[:20]) is None            # truncated stream
+    assert decode_qoi(p + b"x") is None          # trailing garbage
+    assert decode_qoi(b"qoif" + b"\x00" * 30) is None  # zero dims
+    assert decode_qoi(b"qoifgarbagegarbagegarbage") is None
+    # a chunk stream that decodes too few pixels must not half-decode
+    bad = bytearray(p)
+    bad[14:] = bytes([0xC0]) + p[-8:]  # one 1-px run for a 12-px image
+    assert decode_qoi(bytes(bad)) is None
+    # the generic entry points pick QOI up
+    assert decode_image_pixels(p) is not None
+    assert np.array_equal(decode_image_pixels(p), img)
+
+
+def test_qoi_through_decode_stage(ray_session):
+    from rayraster.multimodal import ImageDecodeStage, encode_qoi
+
+    imgs = [(np.arange(3 * 4 * h, dtype=np.int64) * 37 % 256)
+            .astype(np.uint8).reshape(h, 4, 3) for h in (1, 2, 3)]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                  "payload": pa.array([encode_qoi(i) for i in imgs],
+                                      type=pa.binary())})
+    out = rd.from_arrow(t).map_batches(
+        ImageDecodeStage("payload", with_pixel_stats=True, with_histogram=True),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values("doc_id")
+    for row, img in zip(out.itertuples(), imgs):
+        assert (row.width, row.height, row.channels) == (4, img.shape[0], 3)
+        assert row.px_mean == img.astype(np.int64).sum() / img.size
