@@ -3565,6 +3565,44 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
             }
         )
 
+    # sixteenth path ('scc'): strongly connected components
+    # (graph.scc — Trim + FW-BW min-label, dual engine) over a planted
+    # directed-cycle forest: block b = id//6 holds one cycle over its
+    # first c = 2 + (b%5) ids (r = id%6 < c participates, edge
+    # v → 6b + (r+1) mod c), so SCC(v) = the cycle min = 6b.  The gate
+    # runs engine='auto' (bounded Tarjan pull below the threshold —
+    # the same adaptive-shape pattern as kcore/bfs/dbscan; the
+    # distributed Trim+FW-BW engine is pytest-proven bit-identical);
+    # the twin recomputes GENERIC SCCs by recursive reachability
+    # closure + mutual-reach min, not the plant.
+    from rayraster.graph import scc as _scc_op
+
+    def scc_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b, r = ids // 6, ids % 6
+        c = 2 + (b % 5)
+        # only complete blocks: a ragged last block would point at an
+        # id past the universe and break its cycle
+        m = (r < c) & (ids < (n_docs // 6) * 6)
+        return pa.table(
+            {"src": pa.array(ids[m]),
+             "dst": pa.array(b[m] * 6 + (r[m] + 1) % c[m])}
+        )
+
+    sccres = _scc_op(
+        doc_ids.map_batches(scc_edges, batch_format="pyarrow"),
+        num_buckets=_parts_for(n_docs), edge_count=n_docs,
+    )
+
+    def tag_scc(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["node"].cast(pa.int64()),
+                "pr": t["scc"].cast(pa.int64()),
+                "path": pa.array(["scc"] * t.num_rows, type=pa.string()),
+            }
+        )
+
     return rd.from_arrow(driver_keep).union(
         dist_keep,
         pr.map_batches(tag_pr, batch_format="pyarrow"),
@@ -3572,6 +3610,7 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
         core.map_batches(tag_kcore, batch_format="pyarrow"),
         bfs.map_batches(tag_bfs, batch_format="pyarrow"),
         lpa.map_batches(tag_lpa, batch_format="pyarrow"),
+        sccres.map_batches(tag_scc, batch_format="pyarrow"),
         ha.map_batches(tag_hits("hub", "hub"), batch_format="pyarrow"),
         ha.map_batches(tag_hits("auth", "auth"), batch_format="pyarrow"),
         sp.map_batches(tag_sssp, batch_format="pyarrow"),
@@ -3866,6 +3905,28 @@ hh2 AS (SELECT e.src AS node, CAST(SUM(a2.a) AS BIGINT) AS h
         FROM hde e JOIN ha2 a2 ON e.dst = a2.node GROUP BY e.src),
 hnodes AS (SELECT DISTINCT node FROM (
            SELECT src AS node FROM hde UNION ALL SELECT dst FROM hde))"""
+    # SCC twin: GENERIC strongly-connected components over the planted
+    # cycle-forest edges — recursive reachability closure, then
+    # scc(v) = min{u : u reaches v AND v reaches u} (mutual reach);
+    # nothing about the plant's block structure leaks into the SQL
+    scc_ctes = """scce AS MATERIALIZED (
+  SELECT doc_id AS src,
+         (doc_id // 6) * 6 +
+         ((doc_id % 6) + 1) % (2 + ((doc_id // 6) % 5)) AS dst
+  FROM documents
+  WHERE doc_id % 6 < 2 + ((doc_id // 6) % 5)
+    AND doc_id < (SELECT (COUNT(*) // 6) * 6 FROM documents)
+),
+sccreach AS (
+  SELECT src AS a, dst AS b FROM scce
+  UNION
+  SELECT r.a, e.dst FROM sccreach r JOIN scce e ON r.b = e.src
+),
+sccmin AS MATERIALIZED (
+  SELECT r1.b AS node, MIN(r1.a) AS mn
+  FROM sccreach r1 JOIN sccreach r2 ON r1.a = r2.b AND r1.b = r2.a
+  GROUP BY r1.b
+)"""
     # splice the kcore + bfs CTEs into the pagerank WITH chain: the
     # chain heads the whole UNION, so all arms can reference every
     # family; RECURSIVE covers the one recursive member
@@ -3878,7 +3939,7 @@ hnodes AS (SELECT DISTINCT node FROM (
     sp_ctes, sp_final = _sql_sssp_ctes()
     pr = (
         f"{head},\n{kc_ctes},\n{sp_ctes},\n{fl_ctes},\n{fb_ctes},\n{fc_ctes},\n"
-        f"{al_ctes},\n{bfs_ctes},\n{lpa_ctes},\n{hits_ctes}\n"
+        f"{al_ctes},\n{bfs_ctes},\n{lpa_ctes},\n{hits_ctes},\n{scc_ctes}\n"
         f"SELECT node AS doc_id{tail}\n"
         "UNION ALL\n"
         "SELECT node AS doc_id, CAST(0 AS BIGINT) AS pr, 'kcore' AS path "
@@ -3894,6 +3955,11 @@ hnodes AS (SELECT DISTINCT node FROM (
         "UNION ALL\n"
         "SELECT n.node AS doc_id, CAST(COALESCE(ha2.a, 0) AS BIGINT) AS pr, "
         "'auth' AS path FROM hnodes n LEFT JOIN ha2 ON n.node = ha2.node\n"
+        "UNION ALL\n"
+        "SELECT n.src AS doc_id, "
+        "LEAST(n.src, COALESCE(m.mn, n.src)) AS pr, 'scc' AS path "
+        "FROM (SELECT DISTINCT src FROM scce) n "
+        "LEFT JOIN sccmin m ON n.src = m.node\n"
         "UNION ALL\n"
         "SELECT node AS doc_id, dist AS pr, 'sssp' AS path "
         f"FROM {sp_final}\n"

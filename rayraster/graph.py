@@ -1480,3 +1480,397 @@ def hits(
         ),
         batch_format="pyarrow",
     )
+
+
+def _scc_local(src: np.ndarray, dst: np.ndarray):
+    """Iterative Tarjan over int64 edge arrays → (nodes, scc_id)
+    where ``scc_id`` is the MIN node id of each strongly connected
+    component (the same canonical labeling the distributed engine
+    emits).  Driver-side fast path for small (sub)graphs."""
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    n = len(nodes)
+    cs = inv[: len(src)]
+    cd = inv[len(src):]
+    order = np.argsort(cs, kind="stable")
+    cs, cd = cs[order], cd[order]
+    starts = np.searchsorted(cs, np.arange(n + 1))
+    index = np.full(n, -1, dtype=np.int64)
+    low = np.zeros(n, dtype=np.int64)
+    on_stack = np.zeros(n, dtype=bool)
+    comp = np.full(n, -1, dtype=np.int64)
+    stack: list[int] = []
+    counter = 0
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        # explicit DFS stack of (node, next-edge-cursor)
+        work = [(root, starts[root])]
+        index[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        on_stack[root] = True
+        while work:
+            v, cur = work[-1]
+            if cur < starts[v + 1]:
+                work[-1] = (v, cur + 1)
+                w = int(cd[cur])
+                if index[w] == -1:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    on_stack[w] = True
+                    work.append((w, starts[w]))
+                elif on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            else:
+                work.pop()
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+                if low[v] == index[v]:
+                    members = []
+                    while True:
+                        w = stack.pop()
+                        on_stack[w] = False
+                        members.append(w)
+                        if w == v:
+                            break
+                    m = np.asarray(members)
+                    comp[m] = nodes[m].min()
+    return nodes, comp
+
+
+def scc(
+    edges: Dataset,
+    num_buckets: int = 64,
+    edge_count: int | None = None,
+    engine: str = "auto",
+    max_outer: int = 50,
+    label_rounds: int = 64,
+    broadcast_threshold: int = 100_000,
+) -> Dataset:
+    """Strongly connected components of a DIRECTED graph; each node is
+    labeled with the MIN node id of its SCC (link rings / redirect
+    cycles in a web graph are exactly its non-trivial SCCs).
+
+    Dual engine.  ``engine='local'`` (or 'auto' with ``edge_count`` ≤
+    ``broadcast_threshold``): one bounded driver pull + iterative
+    Tarjan.  ``engine='distributed'``: the published Trim + FW-BW
+    scheme (Hong et al. 2013; McLendon et al. 2005) in min-label form,
+    every step a Dataset op:
+
+    * **trim** — endpoints missing an in- or out-degree row in the
+      surviving edge set are singleton SCCs (one degree aggregate +
+      two left joins per round; their edges drop via anti joins)
+    * **FW/BW min-label fixpoint** — F(v) = min ancestor-or-self id
+      via rounds of (in-neighbor min ⊕ pointer jump F(F(v)) — the
+      jump is sound because ancestors compose, and shortcuts the
+      fixpoint to O(log diameter) rounds); B(v) likewise over
+      reversed edges.  One int64 label-sum checksum per round on the
+      driver (labels only ever decrease, so an unchanged sum IS the
+      fixpoint)
+    * **resolve** — F(v) == B(v) ⟺ v is in the SCC of pivot F(v)
+      (F(v) reaches v, v reaches B(v) = F(v)); resolved nodes leave
+      the graph and the outer loop repeats.  Every outer round
+      resolves at least the whole SCC of the minimum surviving id, so
+      ≤ #SCC rounds; ``max_outer`` bounds adversarial chains.
+
+    Isolated nodes never appear in the edge table — inject self-loops
+    to label them (a self-loop trivially resolves F = B = self).
+
+    Returns ``(node, scc)``.  Distributed and local engines are
+    bit-identical (pytest-proven on random digraphs).
+    """
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from rayraster.agg import distinct, hash_aggregate
+    from rayraster.join import bucket_join
+
+    if engine not in ("auto", "local", "distributed"):
+        raise ValueError(f"unknown engine {engine!r}")
+    P = _adaptive_parts(edge_count, num_buckets)
+
+    def dropnull(t: pa.Table) -> pa.Table:
+        valid = pc.and_(pc.is_valid(t["src"]), pc.is_valid(t["dst"]))
+        t = t.filter(valid)
+        return pa.table(
+            {"src": t["src"].cast(pa.int64()), "dst": t["dst"].cast(pa.int64())}
+        )
+
+    e = distinct(
+        edges.map_batches(dropnull, batch_format="pyarrow", zero_copy_batch=True),
+        ["src", "dst"], num_partitions=P,
+    ).materialize()
+
+    if engine == "local" or (
+        engine == "auto"
+        and (edge_count if edge_count is not None else e.count())
+        <= broadcast_threshold
+    ):
+        parts = [
+            (b["src"].to_numpy(zero_copy_only=False),
+             b["dst"].to_numpy(zero_copy_only=False))
+            for b in e.iter_batches(batch_format="pyarrow")
+        ]
+        if parts:
+            src = np.concatenate([p[0] for p in parts])
+            dst = np.concatenate([p[1] for p in parts])
+        else:
+            src = dst = np.zeros(0, dtype=np.int64)
+        nodes, comp = _scc_local(src, dst)
+        return rd.from_arrow(
+            pa.table({"node": pa.array(nodes), "scc": pa.array(comp)})
+        )
+
+    e_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    node_schema = pa.schema([("node", pa.int64())])
+    lab_schema = pa.schema([("node", pa.int64()), ("lab", pa.int64())])
+    out_parts: list[Dataset] = []
+    rem = e
+
+    def _ends(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.array(np.concatenate(
+                [t["src"].to_numpy(zero_copy_only=False),
+                 t["dst"].to_numpy(zero_copy_only=False)]
+            ))}
+        )
+
+    def _nodes_of(es: Dataset) -> Dataset:
+        return distinct(
+            es.map_batches(_ends, batch_format="pyarrow"),
+            ["node"], num_partitions=P,
+        )
+
+    def _drop_nodes(es: Dataset, gone: Dataset) -> Dataset:
+        es = bucket_join(
+            es, gone, "src", "node", num_buckets=P, join_type="anti",
+            left_schema=e_schema, right_schema=node_schema,
+        )
+        return bucket_join(
+            es, gone, "dst", "node", num_buckets=P, join_type="anti",
+            left_schema=e_schema, right_schema=node_schema,
+        ).materialize()
+
+    def _fb_fixpoint(es: Dataset, nodes: Dataset) -> Dataset:
+        """Forward AND backward min-label fixpoints in ONE loop: the
+        graph is lifted to a packed node space (F-copy of v = 2v,
+        B-copy = 2v+1; forward edges 2u→2v carry ancestor labels, the
+        reversed pair 2v+1→2u+1 carries descendant labels), so every
+        round is a single materialized execution covering both
+        directions instead of two sequential fixpoints.
+
+        A round is: in-neighbor min fold ⊕ pointer jump
+        lab(v) ← lab(lab(v)) (sound — an ancestor's ancestor is an
+        ancestor; the jump probes the PREVIOUS round's labels, which
+        are valid bounds, so hop coverage still grows 2h+1 per round
+        → O(log diameter) rounds).  One int64 label-sum checksum per
+        round on the driver: labels only ever decrease, so an
+        unchanged sum IS the fixpoint.
+
+        Returns packed ``(node, lab)``: even rows F, odd rows B, with
+        ``lab`` in the ORIGINAL id space."""
+        pk_schema = pa.schema([("node", pa.int64()), ("lab", pa.int64())])
+
+        def lift_edges(t: pa.Table) -> pa.Table:
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"src": pa.array(np.concatenate([2 * s, 2 * d + 1])),
+                 "dst": pa.array(np.concatenate([2 * d, 2 * s + 1]))}
+            )
+
+        pes = es.map_batches(lift_edges, batch_format="pyarrow").materialize()
+
+        def lift_nodes(t: pa.Table) -> pa.Table:
+            v = t["node"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"node": pa.array(np.concatenate([2 * v, 2 * v + 1])),
+                 "lab": pa.array(np.concatenate([v, v]))}
+            )
+
+        labs = nodes.map_batches(lift_nodes, batch_format="pyarrow").materialize()
+        i64max = np.iinfo(np.int64).max
+        prev = None
+        for _ in range(label_rounds):
+            offer = bucket_join(
+                pes, labs, "src", "node", num_buckets=P,
+                left_schema=e_schema, right_schema=pk_schema,
+            )
+            inc = hash_aggregate(
+                offer.map_batches(
+                    lambda t: pa.table({"node": t["dst"], "lab": t["lab"]}),
+                    batch_format="pyarrow",
+                ),
+                ["node"], min_cols=["lab"], count=False, num_partitions=P,
+            )
+
+            def merge_and_key(t: pa.Table) -> pa.Table:
+                lab = pc.min_element_wise(
+                    t["lab"], pc.fill_null(t["min_lab"], i64max)
+                )
+                v = t["node"].to_numpy(zero_copy_only=False)
+                jk = 2 * lab.to_numpy(zero_copy_only=False) + (v & 1)
+                return pa.table(
+                    {"node": t["node"], "lab": lab, "jkey": pa.array(jk)}
+                )
+
+            merged = bucket_join(
+                labs, inc, "node", "node", num_buckets=P, join_type="left",
+                left_schema=pk_schema,
+                right_schema=pa.schema(
+                    [("node", pa.int64()), ("min_lab", pa.int64())]
+                ),
+            ).map_batches(merge_and_key, batch_format="pyarrow")
+            probe = labs.map_batches(
+                lambda t: pa.table({"jn": t["node"], "jlab": t["lab"]}),
+                batch_format="pyarrow",
+            )
+            jumped = bucket_join(
+                merged, probe, "jkey", "jn", num_buckets=P, join_type="left",
+                left_schema=pa.schema(
+                    [("node", pa.int64()), ("lab", pa.int64()),
+                     ("jkey", pa.int64())]
+                ),
+                right_schema=pa.schema([("jn", pa.int64()), ("jlab", pa.int64())]),
+            ).map_batches(
+                lambda t: pa.table(
+                    {"node": t["node"],
+                     "lab": pc.min_element_wise(
+                         t["lab"], pc.fill_null(t["jlab"], i64max)
+                     )}
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            chk = jumped.sum("lab")
+            labs = jumped
+            if prev is not None and chk == prev:
+                break
+            prev = chk
+        return labs
+
+    def _as_singletons(ns: Dataset) -> Dataset:
+        return ns.map_batches(
+            lambda t: pa.table({"node": t["node"], "scc": t["node"]}),
+            batch_format="pyarrow",
+        ).materialize()
+
+    # the pending universe: nodes seen in edges but not yet resolved —
+    # a node whose LAST edge is dropped (e.g. the middle of a trimmed
+    # chain) leaves the endpoint set without ever being resolved, so
+    # every round starts by emitting pending \ endpoints as singletons
+    pending = _nodes_of(e).materialize()
+    for _ in range(max_outer):
+        nodes = _nodes_of(rem).materialize()
+        orphans = bucket_join(
+            pending, nodes, "node", "node", num_buckets=P, join_type="anti",
+            left_schema=node_schema, right_schema=node_schema,
+        ).materialize()
+        if orphans.count() > 0:
+            out_parts.append(_as_singletons(orphans))
+        pending = nodes
+        n_edges = rem.count()
+        if n_edges == 0:
+            break
+        # --- trim: endpoints with no in-edge or no out-edge are
+        # singleton SCCs (scc = own id)
+        indeg = hash_aggregate(
+            rem.map_batches(
+                lambda t: pa.table({"node": t["dst"]}), batch_format="pyarrow"
+            ),
+            ["node"], count=True, count_name="ind", num_partitions=P,
+        )
+        outdeg = hash_aggregate(
+            rem.map_batches(
+                lambda t: pa.table({"node": t["src"]}), batch_format="pyarrow"
+            ),
+            ["node"], count=True, count_name="outd", num_partitions=P,
+        )
+        deg_schema_i = pa.schema([("node", pa.int64()), ("ind", pa.int64())])
+        deg_schema_o = pa.schema([("node", pa.int64()), ("outd", pa.int64())])
+        nd = bucket_join(
+            nodes, indeg, "node", "node", num_buckets=P, join_type="left",
+            left_schema=node_schema, right_schema=deg_schema_i,
+        )
+        nd = bucket_join(
+            nd, outdeg, "node", "node", num_buckets=P, join_type="left",
+            left_schema=deg_schema_i, right_schema=deg_schema_o,
+        ).materialize()
+        singles = nd.map_batches(
+            lambda t: t.filter(
+                pc.or_(pc.is_null(t["ind"]), pc.is_null(t["outd"]))
+            ).select(["node"]),
+            batch_format="pyarrow",
+        ).materialize()
+        if singles.count() > 0:
+            out_parts.append(_as_singletons(singles))
+            pending = bucket_join(
+                pending, singles, "node", "node", num_buckets=P,
+                join_type="anti",
+                left_schema=node_schema, right_schema=node_schema,
+            ).materialize()
+            rem = _drop_nodes(rem, singles)
+            continue
+        # --- FW/BW min-label fixpoints (one packed loop) + resolve
+        fb_labs = _fb_fixpoint(rem, nodes)
+
+        def _unpack_f(t: pa.Table) -> pa.Table:
+            v = t["node"].to_numpy(zero_copy_only=False)
+            keep = t.filter(pa.array(v % 2 == 0))
+            return pa.table(
+                {"node": pa.array(
+                    keep["node"].to_numpy(zero_copy_only=False) >> 1),
+                 "lab": keep["lab"]}
+            )
+
+        def _unpack_b(t: pa.Table) -> pa.Table:
+            v = t["node"].to_numpy(zero_copy_only=False)
+            keep = t.filter(pa.array(v % 2 == 1))
+            return pa.table(
+                {"node": pa.array(
+                    keep["node"].to_numpy(zero_copy_only=False) >> 1),
+                 "blab": keep["lab"]}
+            )
+
+        f = fb_labs.map_batches(_unpack_f, batch_format="pyarrow")
+        b2 = fb_labs.map_batches(_unpack_b, batch_format="pyarrow")
+        fb = bucket_join(
+            f, b2, "node", "node", num_buckets=P,
+            left_schema=lab_schema,
+            right_schema=pa.schema([("node", pa.int64()), ("blab", pa.int64())]),
+        ).materialize()
+
+        def _resolve(t: pa.Table) -> pa.Table:
+            hit = t.filter(pc.equal(t["lab"], t["blab"]))
+            return pa.table({"node": hit["node"], "scc": hit["lab"]})
+
+        resolved = fb.map_batches(_resolve, batch_format="pyarrow").materialize()
+        if resolved.count() == 0:
+            raise RuntimeError(
+                "scc: FW/BW round resolved nothing — raise label_rounds "
+                "(the min-label fixpoint did not converge)"
+            )
+        out_parts.append(resolved)
+        rnodes = resolved.map_batches(
+            lambda t: t.select(["node"]), batch_format="pyarrow"
+        ).materialize()
+        pending = bucket_join(
+            pending, rnodes, "node", "node", num_buckets=P, join_type="anti",
+            left_schema=node_schema, right_schema=node_schema,
+        ).materialize()
+        rem = _drop_nodes(rem, rnodes)
+    else:
+        raise RuntimeError(
+            f"scc did not converge within {max_outer} outer rounds — "
+            "raise max_outer for graphs with very many SCCs"
+        )
+    if not out_parts:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], type=pa.int64()),
+                      "scc": pa.array([], type=pa.int64())})
+        )
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.union(p)
+    return out

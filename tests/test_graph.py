@@ -672,3 +672,81 @@ def test_hits_overflow_guard_and_validation(ray_session):
         hits(rd.from_arrow(t), rounds=5).to_pandas()
     with pytest.raises(ValueError, match="rounds"):
         hits(rd.from_arrow(t), rounds=0)
+
+
+def _scc_brute(edges, nodes):
+    """Reachability-closure reference: scc(v) = min{u : u↔v} ∪ {v}."""
+    adj = {v: set() for v in nodes}
+    for s, d in edges:
+        adj[s].add(d)
+    reach = {}
+    for v in nodes:
+        seen, st = {v}, [v]
+        while st:
+            u = st.pop()
+            for w in adj.get(u, ()):
+                if w not in seen:
+                    seen.add(w)
+                    st.append(w)
+        reach[v] = seen
+    return {
+        v: min([u for u in nodes if v in reach[u] and u in reach[v]] + [v])
+        for v in nodes
+    }
+
+
+def test_scc_local_matches_brute(ray_session):
+    import ray.data as rd
+
+    from rayraster.graph import scc
+
+    rng = np.random.default_rng(23)
+    edges = sorted({tuple(map(int, rng.integers(0, 40, 2))) for _ in range(90)})
+    nodes = sorted({v for e in edges for v in e})
+    want = _scc_brute(edges, nodes)
+    t = pa.table({"src": pa.array([e[0] for e in edges], type=pa.int64()),
+                  "dst": pa.array([e[1] for e in edges], type=pa.int64())})
+    got = {r.node: r.scc for r in scc(rd.from_arrow(t), engine="local")
+           .to_pandas().itertuples()}
+    assert got == want
+
+
+def test_scc_distributed_matches_local(ray_session):
+    import ray.data as rd
+
+    from rayraster.graph import scc
+
+    # cycles of varied length + 2-level tails + a self-loop + a DAG part
+    edges = []
+    for b in range(4):
+        base, c = 20 * b, 3 + b
+        edges += [(base + r, base + (r + 1) % c) for r in range(c)]
+        edges += [(base + c + j, base + (j % c)) for j in range(4)]   # tails→cycle
+        edges += [(base + c + 10 + j, base + c + j) for j in range(2)]  # 2nd level
+    edges += [(99, 99), (95, 96), (96, 97)]  # self-loop + pure chain
+    t = pa.table({"src": pa.array([e[0] for e in edges], type=pa.int64()),
+                  "dst": pa.array([e[1] for e in edges], type=pa.int64())})
+    ds = rd.from_arrow(t)
+    local = scc(ds, engine="local").to_pandas().sort_values("node")
+    dist = scc(ds.repartition(5), engine="distributed", num_buckets=4) \
+        .to_pandas().sort_values("node")
+    assert local.values.tolist() == dist.values.tolist()
+    got = dict(zip(local.node, local.scc))
+    assert got[99] == 99            # self-loop singleton
+    assert got[95] == 95 and got[96] == 96 and got[97] == 97  # chain
+    for b in range(4):
+        base, c = 20 * b, 3 + b
+        assert all(got[base + r] == base for r in range(c))   # cycles collapse
+        assert got[base + c + 1] == base + c + 1              # tails singleton
+
+
+def test_scc_validation_and_empty(ray_session):
+    import ray.data as rd
+
+    from rayraster.graph import scc
+
+    t = pa.table({"src": pa.array([], type=pa.int64()),
+                  "dst": pa.array([], type=pa.int64())})
+    assert scc(rd.from_arrow(t), engine="local").count() == 0
+    with pytest.raises(ValueError, match="engine"):
+        scc(rd.from_arrow(t), engine="bogus")
