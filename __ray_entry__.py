@@ -5770,11 +5770,49 @@ def _q_window(sf_dir: str):
 
         return fn
 
+    # 'ntile' — global NTILE(16) OVER (ORDER BY qv, event_id) via
+    # agg.ntile (global_rank histogram-offset plan: no all-to-all
+    # sort, driver state = one bucket histogram) over the same
+    # quantized values; recorded per tile as (count, min qv, Σqv) —
+    # the Σ pins the exact membership under the deterministic
+    # event_id tie-break.  Row packing: window=tile, min_value=min qv,
+    # max_value=Σqv, n=count.
+    import pyarrow.parquet as _pq
+
+    from rayraster.agg import hash_aggregate as _ha
+    from rayraster.agg import ntile
+
+    n_events = _pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    tiles = ntile(
+        q.select_columns(["event_id", "qv"]), 16,
+        [("qv", "ascending"), ("event_id", "ascending")],
+        lambda b: b["qv"].to_numpy(zero_copy_only=False),
+        total=n_events, num_partitions=8,
+    )
+    tagg = _ha(
+        tiles, ["tile"], sum_cols=["qv"], min_cols=["qv"], count=True,
+        num_partitions=4,
+    )
+
+    def ntile_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": pa.array(["__ntile__"] * t.num_rows,
+                                       type=pa.string()),
+                "window": t["tile"].cast(pa.int64()),
+                "min_value": t["min_qv"].cast(pa.float64()),
+                "max_value": t["sum_qv"].cast(pa.float64()),
+                "n": t["n"].cast(pa.int64()),
+                "path": pa.array(["ntile"] * t.num_rows, type=pa.string()),
+            }
+        )
+
     return tumb.union(
         rd.from_arrow(zstats_rows()),
         top.map_batches(zout_rows, batch_format="pyarrow"),
         ru.map_batches(gs_rows("rollup"), batch_format="pyarrow"),
         cu.map_batches(gs_rows("cube"), batch_format="pyarrow"),
+        tagg.map_batches(ntile_rows, batch_format="pyarrow"),
     )
 
 
@@ -7331,7 +7369,15 @@ SELECT COALESCE(event_type, '__all__') AS event_type,
 FROM (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
              CAST(floor(value * 100e0) AS BIGINT) AS qv
       FROM events)
-GROUP BY CUBE(event_type, h)"""
+GROUP BY CUBE(event_type, h)
+UNION ALL
+SELECT '__ntile__' AS event_type, tile AS window,
+       CAST(MIN(qv) AS DOUBLE) AS min_value,
+       CAST(CAST(SUM(qv) AS BIGINT) AS DOUBLE) AS max_value,
+       COUNT(*) AS n, 'ntile' AS path
+FROM (SELECT qv, CAST(NTILE(16) OVER (ORDER BY qv, event_id) AS BIGINT) AS tile
+      FROM q)
+GROUP BY tile"""
 
 
 def _sql_join() -> str:

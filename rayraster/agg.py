@@ -998,6 +998,56 @@ def global_rank(
     return withb.groupby("_rbkt").map_groups(solve, batch_format="pyarrow")
 
 
+def ntile(
+    ds: Dataset,
+    k: int,
+    sort_cols: Sequence[tuple],
+    bucket_fn,
+    total: int | None = None,
+    out_col: str = "tile",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Distributed ``NTILE(k) OVER (ORDER BY ...)`` — the equi-COUNT
+    partitioner (vs :func:`assign_equidepth_bins`, which cuts by VALUE
+    and splits ties by value only): :func:`global_rank` supplies the
+    exact 1-based total-order rank without an all-to-all sort, then the
+    SQL tile rule is a closed form over (rank, n, k) — the first
+    ``n % k`` tiles get ``n//k + 1`` rows, the rest ``n//k`` — applied
+    map-only.  Ties MUST be broken by the trailing sort key (same
+    contract as ``global_rank``), so the assignment is bit-identical
+    to the window function at any partitioning.
+
+    ``total``: pass the (known) row count to skip the counting pass —
+    e.g. parquet metadata; ``None`` counts ``ds`` (map-only).
+
+    Returns the input rows + ``rank`` + ``out_col`` (1-based tile id).
+    """
+    if k < 1:
+        raise ValueError(f"ntile: k must be >= 1, got {k}")
+    n = int(total) if total is not None else ds.count()
+    if n <= 0:
+        raise ValueError("ntile: empty input")
+    q, rem = divmod(n, k)
+    big = rem * (q + 1)  # rows covered by the size-(q+1) tiles
+
+    ranked = global_rank(
+        ds, sort_cols, bucket_fn, rank_col="rank",
+        num_partitions=num_partitions,
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        r0 = t["rank"].to_numpy(zero_copy_only=False) - 1  # 0-based
+        if q == 0:
+            tile = r0 + 1  # n < k: one row per tile
+        else:
+            tile = np.where(
+                r0 < big, r0 // (q + 1) + 1, rem + (r0 - big) // q + 1
+            )
+        return t.append_column(out_col, pa.array(tile.astype(np.int64)))
+
+    return ranked.map_batches(assign, batch_format="pyarrow")
+
+
 def rank_interval(
     ds: Dataset, col: str, values: Sequence[float], batch_size: int = 262144,
 ) -> tuple[np.ndarray, np.ndarray]:

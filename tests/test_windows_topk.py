@@ -1200,3 +1200,41 @@ FROM df JOIN m USING (g) GROUP BY m.g, m.med ORDER BY m.g"""
     assert (got["mad"].to_numpy() == want["mad"].to_numpy()).all()
     # robustness: the outlier group's mad stays ~10, its std would be ~1e5
     assert got["mad"].max() < 50
+
+
+def test_ntile_matches_sql_window(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rayraster.agg import ntile
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 25, 500)  # heavy ties
+    ids = np.arange(500, dtype=np.int64)
+    t = pa.table({"event_id": pa.array(ids), "qv": pa.array(vals.astype(np.int64))})
+    for k in (1, 7, 16):
+        got = (
+            ntile(
+                rd.from_arrow(t).repartition(6), k,
+                [("qv", "ascending"), ("event_id", "ascending")],
+                lambda b: b["qv"].to_numpy(zero_copy_only=False),
+                num_partitions=4,
+            )
+            .to_pandas().sort_values("event_id")
+        )
+        want = duckdb.sql(
+            f"SELECT event_id, NTILE({k}) OVER (ORDER BY qv, event_id) AS tile "
+            "FROM t ORDER BY event_id"
+        ).df()
+        assert got["tile"].tolist() == want["tile"].tolist(), k
+    # n < k: one row per tile, rank order
+    small = pa.table({"event_id": pa.array([3, 1, 2], type=pa.int64()),
+                      "qv": pa.array([9, 9, 9], type=pa.int64())})
+    got = ntile(
+        rd.from_arrow(small), 10,
+        [("qv", "ascending"), ("event_id", "ascending")],
+        lambda b: b["qv"].to_numpy(zero_copy_only=False),
+    ).to_pandas().sort_values("event_id")
+    assert got["tile"].tolist() == [1, 2, 3]
+    with pytest.raises(ValueError, match="k must be"):
+        ntile(rd.from_arrow(small), 0, [("qv", "ascending")], lambda b: None)
