@@ -3603,8 +3603,40 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
             }
         )
 
+    # seventeenth/eighteenth paths ('recip'/'assort'): whole-graph
+    # link statistics as pinned scalar rows — edge reciprocity of the
+    # directed pagerank graph (graph.reciprocity: one semi bucket_join
+    # of the distinct edge set against its own swap) and Newman
+    # degree-assortativity moments of the degree-varied graph's
+    # undirected support (graph.degree_moments: degree aggregate + two
+    # join hops + map-only int64 folds — M, S1, S2, S3, Se all exact)
+    from rayraster.graph import degree_moments, reciprocity
+
+    rst = reciprocity(
+        doc_ids.map_batches(edges3, batch_format="pyarrow"),
+        num_buckets=_parts_for(n_docs), edge_count=3 * n_docs,
+    )
+    dm = degree_moments(
+        doc_ids.map_batches(edges_var, batch_format="pyarrow"),
+        num_buckets=_parts_for(n_docs), edge_count=3 * n_docs,
+    )
+    stat_rows = pa.table(
+        {
+            "doc_id": pa.array([-2, -3, -4, -5, -6, -7], type=pa.int64()),
+            "pr": pa.array(
+                [rst["mutual"], dm["m"], dm["s1"], dm["s2"], dm["s3"],
+                 dm["se"]],
+                type=pa.int64(),
+            ),
+            "path": pa.array(
+                ["recip"] + ["assort"] * 5, type=pa.string()
+            ),
+        }
+    )
+
     return rd.from_arrow(driver_keep).union(
         dist_keep,
+        rd.from_arrow(stat_rows),
         pr.map_batches(tag_pr, batch_format="pyarrow"),
         rd.from_arrow(tri_row),
         core.map_batches(tag_kcore, batch_format="pyarrow"),
@@ -3926,6 +3958,31 @@ sccmin AS MATERIALIZED (
   SELECT r1.b AS node, MIN(r1.a) AS mn
   FROM sccreach r1 JOIN sccreach r2 ON r1.a = r2.b AND r1.b = r2.a
   GROUP BY r1.b
+),
+adeg AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT lo AS node FROM kc0 UNION ALL SELECT hi FROM kc0
+  ) GROUP BY node
+),
+astat AS MATERIALIZED (
+  SELECT * FROM (VALUES
+    (CAST(-2 AS BIGINT),
+     (SELECT CAST(COUNT(*) AS BIGINT) FROM hde a JOIN hde b
+      ON a.src = b.dst AND a.dst = b.src WHERE a.src <> a.dst),
+     'recip'),
+    (CAST(-3 AS BIGINT), (SELECT CAST(COUNT(*) AS BIGINT) FROM kc0),
+     'assort'),
+    (CAST(-4 AS BIGINT), (SELECT CAST(SUM(d) AS BIGINT) FROM adeg),
+     'assort'),
+    (CAST(-5 AS BIGINT), (SELECT CAST(SUM(d*d) AS BIGINT) FROM adeg),
+     'assort'),
+    (CAST(-6 AS BIGINT), (SELECT CAST(SUM(d*d*d) AS BIGINT) FROM adeg),
+     'assort'),
+    (CAST(-7 AS BIGINT),
+     (SELECT CAST(SUM(da.d * db.d) AS BIGINT) FROM kc0 e
+      JOIN adeg da ON da.node = e.lo JOIN adeg db ON db.node = e.hi),
+     'assort')
+  ) v(doc_id, pr, path)
 )"""
     # splice the kcore + bfs CTEs into the pagerank WITH chain: the
     # chain heads the whole UNION, so all arms can reference every
@@ -3960,6 +4017,8 @@ sccmin AS MATERIALIZED (
         "LEAST(n.src, COALESCE(m.mn, n.src)) AS pr, 'scc' AS path "
         "FROM (SELECT DISTINCT src FROM scce) n "
         "LEFT JOIN sccmin m ON n.src = m.node\n"
+        "UNION ALL\n"
+        "SELECT doc_id, pr, path FROM astat\n"
         "UNION ALL\n"
         "SELECT node AS doc_id, dist AS pr, 'sssp' AS path "
         f"FROM {sp_final}\n"

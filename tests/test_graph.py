@@ -750,3 +750,43 @@ def test_scc_validation_and_empty(ray_session):
     assert scc(rd.from_arrow(t), engine="local").count() == 0
     with pytest.raises(ValueError, match="engine"):
         scc(rd.from_arrow(t), engine="bogus")
+
+
+def test_reciprocity_exact(ray_session):
+    import ray.data as rd
+
+    from rayraster.graph import reciprocity
+
+    edges = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2), (4, 4), (0, 1), (5, 0)]
+    t = pa.table({"src": pa.array([e[0] for e in edges], type=pa.int64()),
+                  "dst": pa.array([e[1] for e in edges], type=pa.int64())})
+    r = reciprocity(rd.from_arrow(t).repartition(3), num_buckets=4)
+    # distinct non-self edges: 01 10 12 23 32 50 -> 6; mutual: 01,10,23,32
+    assert r == {"n_edges": 6, "mutual": 4, "reciprocity": 4 / 6}
+
+
+def test_degree_moments_matches_brute(ray_session):
+    import ray.data as rd
+
+    from rayraster.graph import degree_moments
+
+    rng = np.random.default_rng(3)
+    edges = {tuple(sorted(map(int, rng.integers(0, 30, 2)))) for _ in range(80)}
+    edges = sorted(e for e in edges if e[0] != e[1])
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    s1 = sum(deg.values())
+    s2 = sum(d * d for d in deg.values())
+    s3 = sum(d ** 3 for d in deg.values())
+    se = sum(deg[a] * deg[b] for a, b in edges)
+    m = len(edges)
+    t = pa.table({"src": pa.array([e[0] for e in edges], type=pa.int64()),
+                  "dst": pa.array([e[1] for e in edges], type=pa.int64())})
+    got = degree_moments(rd.from_arrow(t).repartition(4), num_buckets=4)
+    assert (got["m"], got["s1"], got["s2"], got["s3"], got["se"]) == (
+        m, s1, s2, s3, se)
+    num = 4 * m * se - s2 * s2
+    den = 2 * m * s3 - s2 * s2
+    assert got["assortativity"] == num / den
