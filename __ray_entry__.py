@@ -6174,15 +6174,44 @@ def _q_grouped_quantiles(sf_dir: str):
     from rayraster.agg import grouped_mad
 
     mad = grouped_mad(ev, "event_type", "value").to_pandas()
+    # fourth arm: the classic rank tests' shared ingredient — exact
+    # DOUBLED per-group rank sums over the combined ×100-quantized
+    # sample with average-rank ties (agg.grouped_rank_sums: one
+    # (group,value) exchange + a bounded value-histogram prefix fold),
+    # packed as q = −2.0 rows; plus the Mann-Whitney 2·U statistic for
+    # the two lexicographically-first groups as the q = −3.0 row
+    # ('__mwu__') — one closed form over the exact ints.
+    from rayraster.agg import grouped_rank_sums
+
+    def qv(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(v)
+        return pa.table(
+            {"event_type": t["event_type"].filter(pa.array(keep)),
+             "qv": pa.array(np.floor(v[keep] * 100).astype(np.int64))}
+        )
+
+    rs = grouped_rank_sums(
+        ev.map_batches(qv, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", "qv", num_partitions=8,
+    ).to_pandas().sort_values("event_type")  # one tiny row per group
+    ga, gb = rs.event_type.iloc[0], rs.event_type.iloc[1]
+    na, ra2 = int(rs.n_g.iloc[0]), int(rs.two_rsum.iloc[0])
+    nb = int(rs.n_g.iloc[1])
+    two_u = 2 * na * nb + na * (na + 1) - ra2
     return pa.table(
         {"event_type": pa.array(
-            list(exact.event_type) + list(mad.event_type), type=pa.string()),
+            list(exact.event_type) + list(mad.event_type)
+            + list(rs.event_type) + ["__mwu__"], type=pa.string()),
          "q": pa.array(
-            list(exact.q) + [-1.0] * len(mad), type=pa.float64()),
+            list(exact.q) + [-1.0] * len(mad) + [-2.0] * len(rs) + [-3.0],
+            type=pa.float64()),
          "value": pa.array(
-            list(exact.value) + list(mad["mad"]), type=pa.float64()),
+            list(exact.value) + list(mad["mad"])
+            + [float(x) for x in rs.two_rsum] + [float(two_u)],
+            type=pa.float64()),
          "qd_ok": pa.array(
-            qd_ok + [True] * len(mad), type=pa.bool_())}
+            qd_ok + [True] * (len(mad) + len(rs) + 1), type=pa.bool_())}
     )
 
 
@@ -6200,7 +6229,49 @@ FROM events e JOIN (
   SELECT event_type, quantile_disc(value, 0.5) AS med
   FROM events GROUP BY event_type
 ) m USING (event_type)
-GROUP BY m.event_type, m.med"""
+GROUP BY m.event_type, m.med
+UNION ALL
+SELECT * FROM (
+  WITH rq AS (
+    SELECT event_type, CAST(floor(value * 100e0) AS BIGINT) AS qv
+    FROM events WHERE NOT isnan(value)
+  ),
+  rvh AS (
+    SELECT qv, CAST(COUNT(*) AS BIGINT) AS tv FROM rq GROUP BY qv
+  ),
+  rvc AS (  -- doubled average rank of each distinct value
+    SELECT qv,
+           CAST(2 * (SUM(tv) OVER (ORDER BY qv) - tv) + tv + 1 AS BIGINT)
+             AS two_r
+    FROM rvh
+  ),
+  rgv AS (
+    SELECT event_type, qv, CAST(COUNT(*) AS BIGINT) AS c
+    FROM rq GROUP BY 1, 2
+  ),
+  rrs AS (
+    SELECT g.event_type, CAST(SUM(g.c) AS BIGINT) AS n_g,
+           CAST(SUM(g.c * v.two_r) AS BIGINT) AS two_rsum
+    FROM rgv g JOIN rvc v USING (qv) GROUP BY g.event_type
+  ),
+  rab AS (
+    SELECT * FROM (
+      SELECT event_type, n_g, two_rsum,
+             ROW_NUMBER() OVER (ORDER BY event_type) AS rn
+      FROM rrs
+    ) WHERE rn <= 2
+  )
+  SELECT event_type, -2.0 AS q, CAST(two_rsum AS DOUBLE) AS value,
+         TRUE AS qd_ok
+  FROM rrs
+  UNION ALL
+  SELECT '__mwu__' AS event_type, -3.0 AS q,
+         CAST(2 * a.n_g * b.n_g + a.n_g * (a.n_g + 1) - a.two_rsum
+              AS DOUBLE) AS value,
+         TRUE AS qd_ok
+  FROM (SELECT * FROM rab WHERE rn = 1) a,
+       (SELECT * FROM rab WHERE rn = 2) b
+)"""
 
 
 def _q_anti_join(sf_dir: str):

@@ -1048,6 +1048,80 @@ def ntile(
     return ranked.map_batches(assign, batch_format="pyarrow")
 
 
+def grouped_rank_sums(
+    ds: Dataset,
+    group_col: str,
+    value_col: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-group DOUBLED rank sums over the COMBINED sample with
+    average-rank tie handling — the shared ingredient of the classic
+    rank tests (Mann-Whitney U / Wilcoxon rank-sum, Kruskal-Wallis H):
+
+        2·R_g = Σ_v cnt_{g,v} · (2·count(< v) + count(= v) + 1)
+
+    Doubling keeps tied average ranks (…·.5) exact int64.
+    ``value_col`` must be integer-valued (quantize floats first) with
+    BOUNDED distinct cardinality: the plan is one (group, value)
+    grouped count exchange, one tiny value-histogram re-aggregate, a
+    driver prefix fold over the distinct-value histogram broadcast
+    once via ``ray.put`` (the same driver-state bound as
+    :func:`global_rank`), and one final per-group sum — row data never
+    lands on the driver.
+
+    Returns ``(group_col, n_g, two_rsum)`` — exact int64, identical at
+    any partitioning (all folds are order-independent sums)."""
+    import ray
+
+    gv = hash_aggregate(
+        ds.map_batches(
+            lambda t: t.select([group_col, value_col]),
+            batch_format="pyarrow",
+        ),
+        [group_col, value_col], count=True, count_name="c",
+        num_partitions=num_partitions,
+    ).materialize()
+    vh = (
+        hash_aggregate(
+            gv.map_batches(
+                lambda t: t.select([value_col, "c"]), batch_format="pyarrow"
+            ),
+            [value_col], sum_cols=["c"], count=False,
+            num_partitions=num_partitions,
+        )
+        .to_pandas()
+        .sort_values(value_col)
+    )  # bounded by the distinct-value cardinality
+    vals = vh[value_col].to_numpy(dtype=np.int64)
+    tv = vh["sum_c"].to_numpy(dtype=np.int64)
+    before = np.concatenate([[0], np.cumsum(tv)[:-1]]).astype(np.int64)
+    two_r = 2 * before + tv + 1  # doubled average rank of each value
+    ref = ray.put((vals, two_r))
+
+    def stamp(t: pa.Table) -> pa.Table:
+        v, r2 = ray.get(ref)
+        x = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(v, x)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {group_col: t[group_col], "n_g": t["c"],
+             "two_rsum": pa.array(c * r2[pos])}
+        )
+
+    out = hash_aggregate(
+        gv.map_batches(stamp, batch_format="pyarrow"),
+        [group_col], sum_cols=["n_g", "two_rsum"], count=False,
+        num_partitions=min(num_partitions, 8),
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {group_col: t[group_col], "n_g": t["sum_n_g"],
+             "two_rsum": t["sum_two_rsum"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def rank_interval(
     ds: Dataset, col: str, values: Sequence[float], batch_size: int = 262144,
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -1238,3 +1238,39 @@ def test_ntile_matches_sql_window(ray_session):
     assert got["tile"].tolist() == [1, 2, 3]
     with pytest.raises(ValueError, match="k must be"):
         ntile(rd.from_arrow(small), 0, [("qv", "ascending")], lambda b: None)
+
+
+def test_grouped_rank_sums_vs_scipy_free_reference(ray_session):
+    import ray.data as rd
+
+    from rayraster.agg import grouped_rank_sums
+
+    rng = np.random.default_rng(5)
+    g = rng.choice(["a", "b", "c"], 400).tolist()
+    v = rng.integers(0, 20, 400).astype(np.int64)  # heavy ties
+    t = pa.table({"grp": pa.array(g), "qv": pa.array(v)})
+    got = {
+        r.grp: (r.n_g, r.two_rsum)
+        for r in grouped_rank_sums(
+            rd.from_arrow(t).repartition(5), "grp", "qv", num_partitions=4
+        ).to_pandas().itertuples()
+    }
+    # reference: average ranks over the combined sorted sample
+    order = np.argsort(v, kind="stable")
+    ranks = np.empty(len(v), dtype=np.float64)
+    sv = v[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # average of ranks i+1..j
+        i = j
+    for grp in "abc":
+        mask = np.array([x == grp for x in g])
+        assert got[grp] == (int(mask.sum()), int(round(2 * ranks[mask].sum())))
+    # Mann-Whitney 2U for (a, b) from the doubled rank sums
+    na, ra2 = got["a"]
+    nb, _ = got["b"]
+    two_u = 2 * na * nb + na * (na + 1) - ra2
+    assert 0 <= two_u <= 2 * na * nb
