@@ -1113,7 +1113,48 @@ def _q_sort_limit(sf_dir: str):
     sky = skyline(cells, "num_cell", "iy").map_batches(
         _tagger("sky"), batch_format="pyarrow"
     )
-    return top.union(rank_top).union(sky)
+
+    # path='hilbert' — locality-preserving curve ordering
+    # (grid.hilbert_key, the rook-continuous alternative to the
+    # Morton/quad-tree packing — the shard key that keeps spatial
+    # neighbors together at scale): first 20 pixels ALONG THE CURVE,
+    # plus one Σhkey pin row (ix=iy=-1) so every pixel's key — not
+    # just the selected 20 — is hash-checked against the unrolled
+    # bit-level SQL twin.
+    from rayraster.grid import hilbert_key
+
+    def hkey(t: pa.Table) -> pa.Table:
+        d = hilbert_key(
+            t["ix"].to_numpy(zero_copy_only=False),
+            t["iy"].to_numpy(zero_copy_only=False), order=10,
+        )
+        return t.append_column("hkey", pa.array(d))
+
+    hk = cells.map_batches(hkey, batch_format="pyarrow").materialize()
+    htop = (
+        hk.sort(["hkey"])
+        .limit(20)
+        .map_batches(
+            lambda t: _tag_table(t.drop_columns(["hkey"]), "hilbert"),
+            batch_format="pyarrow",
+        )
+    )
+
+    def hsum(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"s": pa.array(
+                [int(t["hkey"].to_numpy(zero_copy_only=False).sum())],
+                type=pa.int64())}
+        )
+
+    tot = sum(r["s"] for r in hk.map_batches(hsum, batch_format="pyarrow").take_all())
+    pin = rd.from_arrow(pa.table(
+        {"ix": pa.array([-1], type=pa.int64()),
+         "iy": pa.array([-1], type=pa.int64()),
+         "num_cell": pa.array([tot], type=pa.int64()),
+         "path": pa.array(["hilbert"], type=pa.string())}
+    ))
+    return top.union(rank_top).union(sky).union(htop, pin)
 
 
 def _sql_sort_limit() -> str:
@@ -1121,7 +1162,13 @@ def _sql_sort_limit() -> str:
 c AS (SELECT ix, iy, COUNT(*) AS num_cell FROM cells2 GROUP BY ix, iy),
 top AS (SELECT ix, iy, num_cell FROM c
         ORDER BY num_cell DESC, ix, iy LIMIT 20)"""
-    return f"""{base}
+    from rayraster.grid import hilbert_sql_ctes
+
+    hctes, hfinal = hilbert_sql_ctes(
+        "c", ["ix", "iy", "num_cell"], "ix", "iy", order=10
+    )
+    return f"""{base},
+{hctes}
 SELECT ix, iy, num_cell, 'sort' AS path FROM top
 UNION ALL
 SELECT ix, iy, num_cell, 'rank' AS path FROM top
@@ -1130,7 +1177,14 @@ SELECT ix, iy, num_cell, 'sky' AS path FROM c p
 WHERE NOT EXISTS (
   SELECT 1 FROM c q
   WHERE q.num_cell >= p.num_cell AND q.iy >= p.iy
-    AND (q.num_cell > p.num_cell OR q.iy > p.iy))"""
+    AND (q.num_cell > p.num_cell OR q.iy > p.iy))
+UNION ALL
+SELECT ix, iy, num_cell, 'hilbert' AS path
+FROM (SELECT ix, iy, num_cell FROM {hfinal} ORDER BY hkey LIMIT 20)
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS ix, CAST(-1 AS BIGINT) AS iy,
+       (SELECT CAST(SUM(hkey) AS BIGINT) FROM {hfinal}) AS num_cell,
+       'hilbert' AS path"""
 
 
 POLYFILL_SPEC = GridSpec(-180.0, -90.0, 10.0)

@@ -428,3 +428,116 @@ LATERAL (SELECT UNNEST(generate_series(
   CAST(floor((greatest(s.{y0}, s.{y1}) - ({gy0})) / {r}) AS BIGINT))) AS iy) gj
 WHERE least(least({c00}, {c10}), least({c01}, {c11}))
       * greatest(greatest({c00}, {c10}), greatest({c01}, {c11})) <= 0.0"""
+
+
+def hilbert_key(ix, iy, order: int = 10) -> "np.ndarray":
+    """Hilbert space-filling-curve index of grid cells: (ix, iy) in
+    [0, 2^order)² → d in [0, 4^order) along the curve — the
+    locality-preserving alternative to the Morton/quad-tree packing of
+    :func:`pack_cell` (every curve step moves exactly one rook hop, so
+    a contiguous d-range is a compact tile: the partitioning key that
+    keeps spatial neighbors in the same shard at 10^12 rows).
+
+    Vectorized level loop of the classic bit-twiddling xy→d walk
+    (Wikipedia/Warren, public domain): per level s, quadrant bits
+    (rx, ry) contribute s²·((3·rx) XOR ry) and the frame rotates.
+    Raises when a coordinate falls outside [0, 2^order) — silently
+    wrapping would alias far-apart tiles."""
+    ix = np.asarray(ix, dtype=np.int64)
+    iy = np.asarray(iy, dtype=np.int64)
+    if not (1 <= order <= 31):
+        raise ValueError(f"order must be in [1, 31], got {order}")
+    n = np.int64(1) << order
+    if len(ix) and (
+        ix.min(initial=0) < 0 or iy.min(initial=0) < 0
+        or ix.max(initial=0) >= n or iy.max(initial=0) >= n
+    ):
+        raise ValueError(f"hilbert_key: coordinates must be in [0, 2^{order})")
+    x = ix.copy()
+    y = iy.copy()
+    d = np.zeros_like(x)
+    s = n >> 1
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate the sub-quadrant frame
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        xf = np.where(flip, s - 1 - x, x)
+        yf = np.where(flip, s - 1 - y, y)
+        x = np.where(swap, yf, xf)
+        y = np.where(swap, xf, yf)
+        s >>= 1
+    return d
+
+
+def hilbert_xy(d, order: int = 10) -> "tuple[np.ndarray, np.ndarray]":
+    """Inverse of :func:`hilbert_key`: curve index d → (ix, iy)."""
+    d = np.asarray(d, dtype=np.int64)
+    if not (1 <= order <= 31):
+        raise ValueError(f"order must be in [1, 31], got {order}")
+    n = np.int64(1) << order
+    if len(d) and (d.min(initial=0) < 0 or d.max(initial=0) >= n * n):
+        raise ValueError(f"hilbert_xy: d must be in [0, 4^{order})")
+    t = d.copy()
+    x = np.zeros_like(d)
+    y = np.zeros_like(d)
+    s = np.int64(1)
+    while s < n:
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        # rotate back
+        flip = (ry == 0) & (rx == 1)
+        xf = np.where(flip, s - 1 - x, x)
+        yf = np.where(flip, s - 1 - y, y)
+        xs = np.where(ry == 0, yf, xf)
+        ys = np.where(ry == 0, xf, yf)
+        x = xs + s * rx
+        y = ys + s * ry
+        t //= 4
+        s <<= 1
+    return x, y
+
+
+def hilbert_sql_ctes(
+    src_cte: str,
+    carry_cols: "Sequence[str]",
+    x_col: str,
+    y_col: str,
+    order: int = 10,
+    prefix: str = "hb",
+) -> "tuple[str, str]":
+    """DuckDB twin of :func:`hilbert_key`: one generated CTE per bit
+    level applying the same quadrant-contribution + frame-rotation
+    step with CASE/xor arithmetic.  Returns ``(ctes, final_cte)``;
+    the final CTE carries ``carry_cols`` + ``hkey``."""
+    carry = ", ".join(carry_cols)
+    ctes = [
+        f"{prefix}0 AS (SELECT {carry}, CAST({x_col} AS BIGINT) AS hx, "
+        f"CAST({y_col} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd "
+        f"FROM {src_cte})"
+    ]
+    lev = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        p, q = f"{prefix}{lev}", f"{prefix}{lev + 1}"
+        ctes.append(f"""{q} AS (
+  SELECT {carry},
+    CASE WHEN (hy & {s}) = 0
+         THEN (CASE WHEN (hx & {s}) > 0 THEN {s} - 1 - hy ELSE hy END)
+         ELSE hx END AS hx,
+    CASE WHEN (hy & {s}) = 0
+         THEN (CASE WHEN (hx & {s}) > 0 THEN {s} - 1 - hx ELSE hx END)
+         ELSE hy END AS hy,
+    hd + {s}::BIGINT * {s}::BIGINT *
+      xor(3 * (CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END),
+          (CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)) AS hd
+  FROM {p})""")
+        lev += 1
+        s >>= 1
+    final = f"{prefix}k"
+    ctes.append(
+        f"{final} AS (SELECT {carry}, hd AS hkey FROM {prefix}{lev})"
+    )
+    return ",\n".join(ctes), final

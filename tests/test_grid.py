@@ -304,3 +304,47 @@ def test_segment_cells_length_conservation_and_hex_rejection():
     with pytest.raises(ValueError):
         segment_cells(GridSpec(0.0, 0.0, 10.0, square=False),
                       x0[:1], y0[:1], x1[:1], y1[:1])
+
+
+def test_hilbert_bijective_and_continuous():
+    from rayraster.grid import hilbert_key, hilbert_xy
+
+    order = 5
+    n = 1 << order
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    d = hilbert_key(xs.ravel(), ys.ravel(), order)
+    # bijection onto [0, 4^order)
+    assert sorted(d.tolist()) == list(range(n * n))
+    # inverse round-trips
+    rx, ry = hilbert_xy(d, order)
+    assert np.array_equal(rx, xs.ravel()) and np.array_equal(ry, ys.ravel())
+    # curve continuity: consecutive indices are rook neighbors
+    ox, oy = hilbert_xy(np.arange(n * n), order)
+    step = np.abs(np.diff(ox)) + np.abs(np.diff(oy))
+    assert step.max() == 1 and step.min() == 1
+    # order-1 canonical U shape
+    ux, uy = hilbert_xy(np.arange(4), 1)
+    assert list(zip(ux.tolist(), uy.tolist())) == [(0, 0), (0, 1), (1, 1), (1, 0)]
+    with pytest.raises(ValueError, match="coordinates"):
+        hilbert_key(np.array([n]), np.array([0]), order)
+    with pytest.raises(ValueError, match="order"):
+        hilbert_key(np.array([0]), np.array([0]), 0)
+
+
+def test_hilbert_sql_twin_matches_kernel():
+    import duckdb
+
+    from rayraster.grid import hilbert_key, hilbert_sql_ctes
+
+    rng = np.random.default_rng(9)
+    ix = rng.integers(0, 1 << 10, 300)
+    iy = rng.integers(0, 1 << 10, 300)
+    want = hilbert_key(ix, iy, order=10)
+    con = duckdb.connect()
+    con.register("pts", __import__("pandas").DataFrame({"ix": ix, "iy": iy}))
+    ctes, final = hilbert_sql_ctes("pts", ["ix", "iy"], "ix", "iy", order=10)
+    got = con.sql(
+        f"WITH {ctes} SELECT hkey FROM {final} ORDER BY ix, iy"
+    ).df()["hkey"].to_numpy()
+    order_idx = np.lexsort((iy, ix))
+    assert np.array_equal(got, want[order_idx])
