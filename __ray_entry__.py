@@ -5582,9 +5582,20 @@ def _q_fingerprint(sf_dir: str):
 
 
 def _q_json_extract(sf_dir: str):
-    """JSON field extraction from the events props column + grouped
-    stats (the scalar-function family the reference lacks entirely —
-    SURVEY.md §2 'no date/json/map functions')."""
+    """Structured-extraction family, two path-tagged arms:
+
+    * 'json' — JSON field extraction from the events props column +
+      grouped stats (the scalar-function family the reference lacks
+      entirely — SURVEY.md §2 'no date/json/map functions').
+    * 'links' — anchor-href extraction from raw HTML
+      (extract.extract_links: ONE vectorized split_pattern scan per
+      page + offset arithmetic + quote-class carving; decoy prose
+      ``href=``, unquoted and unterminated attributes never become
+      edges).  Pages are synthesized per doc with planted links to
+      other docs (both quote styles), the host digits parse back to
+      dst ids, and the edge list is pinned per dst%7 bucket by exact
+      packed-pair sums — the twin regenerates the plant in SQL, so
+      equality proves the extractor byte-faithful."""
     from rayraster.agg import hash_aggregate
     from rayraster.textops import json_extract_int
 
@@ -5594,19 +5605,93 @@ def _q_json_extract(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return hash_aggregate(
+    js = hash_aggregate(
         parsed, ["event_type"], sum_cols=["k"], min_cols=["k"], max_cols=["k"], count=True
-    )
+    ).map_batches(_tagger("json"), batch_format="pyarrow")
+
+    import pyarrow.parquet as _pq
+
+    from rayraster.extract import extract_links
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def mk_html(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out = []
+        for i in ids.tolist():
+            d1 = (i * 7 + 3) % n_docs
+            d2 = (i * 13 + 11) % n_docs
+            a = (
+                f'<html><body><p>see https://decoy-{i}.test/x and href= '
+                f'prose</p><a href="https://example-{d1:08d}.test/page">a</a>'
+                f"<a href='https://example-{d2:08d}.test/page'>b</a>"
+            )
+            if i % 3 != 2:
+                d3 = (i * 29 + 5) % n_docs
+                a += f'<a href="https://example-{d3:08d}.test/page">c</a>'
+            out.append((a + "<a href=bare>skip</a></body></html>").encode())
+        return pa.table(
+            {"doc_id": t["doc_id"], "html": pa.array(out, type=pa.binary())}
+        )
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        e = extract_links(t)
+        got = pc.extract_regex(e["link"], r"example-(?P<d>\d{8})\.test")
+        ok = pc.is_valid(got)
+        dst = pc.cast(pc.struct_field(got, "d"), pa.int64()).filter(ok)
+        src = e["doc_id"].filter(ok)
+        packed = (src.to_numpy(zero_copy_only=False)
+                  * np.int64(n_docs)
+                  + dst.to_numpy(zero_copy_only=False))
+        b = dst.to_numpy(zero_copy_only=False) % 7
+        return pa.table(
+            {"event_type": pa.array([f"L{x}" for x in b.tolist()],
+                                    type=pa.string()),
+             "k": pa.array(packed)}
+        )
+
+    ln = hash_aggregate(
+        _docs(sf_dir, columns=["doc_id"])
+        .map_batches(mk_html, batch_format="pyarrow")
+        .map_batches(to_edges, batch_format="pyarrow"),
+        ["event_type"], sum_cols=["k"], min_cols=["k"], max_cols=["k"],
+        count=True, num_partitions=4,
+    ).map_batches(_tagger("links"), batch_format="pyarrow")
+    return js.union(ln)
 
 
 def _sql_json_extract() -> str:
+    # 'links' twin regenerates the PLANTED edge formula directly (the
+    # engine side parses the actual HTML bytes) — equality proves the
+    # vectorized href extractor recovers exactly the planted anchors
     return """WITH p AS (
   SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+lnk AS (
+  SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT n FROM nn) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 11) % (SELECT n FROM nn) FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 29 + 5) % (SELECT n FROM nn) FROM documents
+  WHERE doc_id % 3 <> 2
+),
+pk AS (
+  SELECT 'L' || CAST(dst % 7 AS VARCHAR) AS event_type,
+         src * (SELECT n FROM nn) + dst AS k
+  FROM lnk
 )
 SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k,
-       min(k) AS min_k, max(k) AS max_k, COUNT(*) AS n
-FROM p GROUP BY 1"""
+       min(k) AS min_k, max(k) AS max_k, COUNT(*) AS n, 'json' AS path
+FROM p GROUP BY 1
+UNION ALL
+SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k, COUNT(*) AS n, 'links' AS path
+FROM pk GROUP BY 1"""
 
 
 _QUANTILE_QS = (0.01, 0.25, 0.5, 0.75, 0.99)

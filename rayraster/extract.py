@@ -77,3 +77,72 @@ def text_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
     digs = pc.count_substring_regex(t, r"[0-9]")
     batch = batch.append_column("digit_count", digs.cast(pa.int64()))
     return batch
+
+
+def extract_links(
+    batch: pa.Table,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Anchor-href extraction from raw HTML bytes — the web-graph edge
+    builder (every ``href="…"`` / ``href='…'`` attribute value, one
+    output row per link, carrying the source ``id_col``).
+
+    Fully vectorized Arrow plan (no per-row Python): one
+    ``split_pattern`` on ``href=`` (the C++ kernel scans each page
+    once), offset arithmetic drops the pre-attribute fragment of every
+    page, a 1-codeunit slice classifies the quote style, and one more
+    bounded split per quote style carves the value.  Fragments whose
+    first byte is not a quote (unquoted or prose ``href=``) are
+    dropped — decoy text never becomes an edge.
+
+    Returns ``(id_col, link)`` with links in page order within each
+    quote class (downstream aggregation is order-independent)."""
+    import pyarrow.compute as pc
+
+    h = pc.cast(batch[html_col], pa.string())
+    parts = pc.split_pattern(h, pattern="href=").combine_chunks()
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    lens = (
+        pc.fill_null(pc.list_value_length(parts), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )  # null html → 0 fragments
+    flat = pc.list_flatten(parts)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    src = np.repeat(ids, lens)
+    # mask out fragment 0 of every page (text before the first href=)
+    total = int(lens.sum())
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    keep = np.ones(total, dtype=bool)
+    keep[starts[(lens > 0) & (starts < total)]] = False
+    frags = flat.filter(pa.array(keep))
+    src = src[keep]
+    q = pc.utf8_slice_codeunits(frags, 0, 1)
+    out_src: list[np.ndarray] = []
+    out_url: list[pa.Array] = []
+    for quote in ('"', "'"):
+        sel = pc.equal(q, quote).fill_null(False)
+        sub = frags.filter(sel)
+        if len(sub) == 0:
+            continue
+        body = pc.utf8_slice_codeunits(sub, 1, 1 << 30)
+        sp = pc.split_pattern(body, pattern=quote, max_splits=1)
+        closed = pc.equal(pc.list_value_length(sp), 2)  # unterminated → drop
+        url = pc.list_element(sp, 0).filter(closed)
+        out_src.append(src[sel.to_numpy(zero_copy_only=False)][
+            closed.to_numpy(zero_copy_only=False)])
+        out_url.append(url)
+    if not out_src:
+        return pa.table(
+            {id_col: pa.array([], type=pa.int64()),
+             "link": pa.array([], type=pa.string())}
+        )
+    return pa.table(
+        {id_col: pa.array(np.concatenate(out_src)),
+         "link": pa.concat_arrays(
+             [u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
+              for u in out_url]
+         )}
+    )

@@ -106,3 +106,34 @@ def test_prepare_pages_fused(ray_session):
     )
     with pytest.raises(AssertionError):
         prepare_pages(bad)
+
+
+def test_extract_links_quotes_and_decoys():
+    import numpy as np
+    import pyarrow as pa
+
+    from rayraster.extract import extract_links
+
+    htmls = [
+        b'<html><body><a href="https://a.test/1">x</a> href= prose '
+        b"<a href='https://b.test/2'>y</a> plain https://decoy.test/z"
+        b"</body></html>",
+        None,
+        b"<html><body>no links</body></html>",
+        b'<html><body><a href="https://c.test/3">z</a>'
+        b'<a href="https://c.test/4">w</a>'
+        b'<a href=unquoted>drop</a><a href="unterminated</body></html>',
+    ]
+    t = pa.table({"doc_id": pa.array([10, 13, 11, 12], type=pa.int64()),
+                  "html": pa.array(htmls, type=pa.binary())})
+    out = extract_links(t)
+    pairs = sorted(zip(out["doc_id"].to_pylist(), out["link"].to_pylist()))
+    assert pairs == [
+        (10, "https://a.test/1"), (10, "https://b.test/2"),
+        (12, "https://c.test/3"), (12, "https://c.test/4"),
+    ]
+    empty = extract_links(pa.table(
+        {"doc_id": pa.array([], type=pa.int64()),
+         "html": pa.array([], type=pa.binary())}
+    ))
+    assert empty.num_rows == 0
