@@ -3688,9 +3688,34 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
         }
     )
 
+    # nineteenth path ('support'): per-edge triangle support over the
+    # degree-varied graph's undirected support (graph.edge_support —
+    # the k-truss ingredient: the same skew-safe oriented wedge plan
+    # as triangle_count, every closed wedge crediting its three edges
+    # through one packed-key grouped count).  Rows: doc_id = the
+    # packed lo·2³²+hi edge key, pr = support.
+    from rayraster.graph import edge_support
+
+    sup = edge_support(
+        doc_ids.map_batches(edges_var, batch_format="pyarrow"),
+        num_buckets=_parts_for(n_docs), edge_count=3 * n_docs,
+    )
+
+    def tag_support(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(lo * np.int64(1 << 32) + hi),
+                "pr": t["support"].cast(pa.int64()),
+                "path": pa.array(["support"] * t.num_rows, type=pa.string()),
+            }
+        )
+
     return rd.from_arrow(driver_keep).union(
         dist_keep,
         rd.from_arrow(stat_rows),
+        sup.map_batches(tag_support, batch_format="pyarrow"),
         pr.map_batches(tag_pr, batch_format="pyarrow"),
         rd.from_arrow(tri_row),
         core.map_batches(tag_kcore, batch_format="pyarrow"),
@@ -4073,6 +4098,17 @@ astat AS MATERIALIZED (
         "LEFT JOIN sccmin m ON n.src = m.node\n"
         "UNION ALL\n"
         "SELECT doc_id, pr, path FROM astat\n"
+        "UNION ALL\n"
+        "SELECT e.lo * 4294967296 + e.hi AS doc_id, "
+        "CAST(COALESCE(s.s, 0) AS BIGINT) AS pr, 'support' AS path "
+        "FROM kc0 e LEFT JOIN ("
+        "SELECT e2.lo, e2.hi, COUNT(*) AS s FROM kc0 e2 "
+        "JOIN (SELECT lo AS a, hi AS b FROM kc0 "
+        "      UNION ALL SELECT hi, lo FROM kc0) x ON x.a = e2.lo "
+        "JOIN (SELECT lo AS a, hi AS b FROM kc0 "
+        "      UNION ALL SELECT hi, lo FROM kc0) y "
+        "  ON y.a = e2.hi AND y.b = x.b "
+        "GROUP BY e2.lo, e2.hi) s ON s.lo = e.lo AND s.hi = e.hi\n"
         "UNION ALL\n"
         "SELECT node AS doc_id, dist AS pr, 'sssp' AS path "
         f"FROM {sp_final}\n"

@@ -790,3 +790,35 @@ def test_degree_moments_matches_brute(ray_session):
     num = 4 * m * se - s2 * s2
     den = 2 * m * s3 - s2 * s2
     assert got["assortativity"] == num / den
+
+
+def _support_brute(edges):
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    nbr = {}
+    for a, b in und:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    return {(a, b): len(nbr[a] & nbr[b]) for a, b in und}
+
+
+def test_edge_support_matches_brute_both_paths(ray_session):
+    import ray.data as rd
+
+    from rayraster.graph import edge_support, triangle_count
+
+    rng = np.random.default_rng(31)
+    edges = [tuple(map(int, rng.integers(0, 25, 2))) for _ in range(120)]
+    edges += [(0, i) for i in range(1, 12)] + [(i, i + 1) for i in range(1, 11)]
+    want = _support_brute(edges)
+    t = pa.table({"src": pa.array([e[0] for e in edges], type=pa.int64()),
+                  "dst": pa.array([e[1] for e in edges], type=pa.int64())})
+    ds = rd.from_arrow(t).repartition(4)
+    for thr in (2_000_000, 0):  # broadcast path / partitioned path
+        got = {
+            (r.lo, r.hi): r.support
+            for r in edge_support(ds, num_buckets=4, broadcast_threshold=thr)
+            .to_pandas().itertuples()
+        }
+        assert got == want, thr
+    # sum of supports = 3 × triangle count (each triangle has 3 edges)
+    assert sum(want.values()) == 3 * triangle_count(ds, num_buckets=4)
