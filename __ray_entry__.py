@@ -5246,7 +5246,52 @@ def _q_vocab_topk(sf_dir: str):
     phrase = phrase_search(pidx_path, _PHRASE).map_batches(
         phrase_shape, batch_format="pyarrow"
     )
-    return vocab.union(tfidf, search, bm25, rrf, colloc, textrank, phrase)
+
+    # 'zipf' — the whole-vocabulary rank-frequency profile
+    # (textops.zipf_stats: global_rank over (freq DESC, word ASC) with
+    # NO all-to-all sort, then exact int64 folds over EVERY vocab row
+    # — Σ rank·freq, V, hapax, token mass — so one rank or count off
+    # anywhere in the vocabulary breaks the hash).  Rows: top-10 along
+    # the ranking (rnk carries the rank) + four sentinel stat rows.
+    from rayraster.textops import zipf_stats
+
+    ztop, zst = zipf_stats(
+        _docs(sf_dir), k=10, corpus_count=n_docs,
+        num_partitions=_parts_for(n_docs),
+    )
+
+    def zipf_shape(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(m, -2, dtype=np.int64)),
+                "word": t["word"],
+                "n": t["n"],
+                "df": pa.array(np.zeros(m, dtype=np.int64)),
+                "score": pa.array(np.zeros(m, dtype=np.float64)),
+                "rnk": t["rank"].cast(pa.int64()),
+                "path": pa.array(["zipf"] * m, type=pa.string()),
+            }
+        )
+
+    zrows = rd.from_arrow(pa.table(
+        {
+            "doc_id": pa.array([-2] * 4, type=pa.int64()),
+            "word": pa.array(
+                ["__rank_dot_freq__", "__vocab_size__", "__hapax__",
+                 "__tokens__"], type=pa.string()),
+            "n": pa.array(
+                [zst["rank_dot_freq"], zst["vocab_size"], zst["hapax"],
+                 zst["tokens"]], type=pa.int64()),
+            "df": pa.array([0] * 4, type=pa.int64()),
+            "score": pa.array([0.0] * 4, type=pa.float64()),
+            "rnk": pa.array([0] * 4, type=pa.int64()),
+            "path": pa.array(["zipf"] * 4, type=pa.string()),
+        }
+    ))
+    zipf = ztop.map_batches(zipf_shape, batch_format="pyarrow").union(zrows)
+    return vocab.union(tfidf, search, bm25, rrf, colloc, textrank, phrase,
+                       zipf)
 
 
 def _sql_vocab_topk() -> str:
@@ -5413,6 +5458,29 @@ FROM (
   FROM tp a JOIN tp b ON b.doc_id = a.doc_id AND b.p = a.p + 1
   WHERE a.word = 'hash' AND b.word = 'join'
   GROUP BY a.doc_id
+)
+UNION ALL
+SELECT doc_id, word, n, df, score, rnk, 'zipf' AS path FROM (
+  WITH zr AS (
+    SELECT word, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS BIGINT) AS rnk
+    FROM c
+  )
+  SELECT CAST(-2 AS BIGINT) AS doc_id, word, n, CAST(0 AS BIGINT) AS df,
+         CAST(0.0 AS DOUBLE) AS score, rnk
+  FROM zr WHERE rnk <= 10
+  UNION ALL
+  SELECT -2, s.word, s.n, 0, 0.0, 0 FROM (
+    SELECT '__rank_dot_freq__' AS word,
+           CAST(SUM(rnk * n) AS BIGINT) AS n FROM zr
+    UNION ALL
+    SELECT '__vocab_size__', CAST(COUNT(*) AS BIGINT) FROM zr
+    UNION ALL
+    SELECT '__hapax__', CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM zr
+    UNION ALL
+    SELECT '__tokens__', CAST(SUM(n) AS BIGINT) FROM zr
+  ) s
 )"""
 
 

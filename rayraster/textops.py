@@ -3590,3 +3590,75 @@ def rrf_fuse(
     return j.map_batches(score, batch_format="pyarrow").groupby("_one").map_groups(
         finish, batch_format="pyarrow"
     )
+
+
+def zipf_stats(
+    ds,
+    text_col: str = "text",
+    k: int = 10,
+    num_partitions: int = 64,
+    corpus_count: int | None = None,
+):
+    """Zipf rank-frequency profile of the WHOLE vocabulary — the
+    corpus-health diagnostic (a natural corpus follows freq ∝ 1/rank;
+    template spam and synthetic floods bend the curve):
+
+    * the full vocabulary is ranked distributively by (freq DESC,
+      word ASC) with :func:`rayraster.agg.global_rank` — no all-to-all
+      sort; driver state = one frequency histogram
+    * the profile is pinned by exact int64 folds over EVERY vocab
+      row: Σ rank·freq (the rank-weighted mass — any rank or count
+      off by one changes it), vocabulary size V, hapax count H
+      (freq = 1), and total token mass T = Σ freq
+
+    Returns ``(topk, stats)``: ``topk`` = the first ``k`` (rank, word,
+    n) rows along the ranking; ``stats`` = ``{"rank_dot_freq",
+    "vocab_size", "hapax", "tokens"}`` — all exact ints, identical at
+    any partitioning."""
+    import pyarrow.compute as _pc
+
+    from rayraster.agg import global_rank, hash_aggregate
+    from rayraster.dedup import _adaptive_parts
+
+    P = _adaptive_parts(corpus_count, num_partitions)
+    partial = ds.map_batches(
+        lambda t: word_count_partial(t, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    counts = hash_aggregate(
+        partial, ["word"], sum_cols=["n"], count=False, num_partitions=P,
+    ).map_batches(
+        lambda t: pa.table({"word": t["word"], "n": t["sum_n"]}),
+        batch_format="pyarrow",
+    )
+    ranked = global_rank(
+        counts,
+        [("n", "descending"), ("word", "ascending")],
+        bucket_fn=lambda t: -t["n"].to_numpy(zero_copy_only=False),
+        rank_col="rank",
+        num_partitions=P,
+    ).materialize()  # consumed twice: top-k + the stats folds
+
+    def fold(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"rdf": pa.array([int((r * n).sum())], type=pa.int64()),
+             "v": pa.array([len(n)], type=pa.int64()),
+             "h": pa.array([int((n == 1).sum())], type=pa.int64()),
+             "tok": pa.array([int(n.sum())], type=pa.int64())}
+        )
+
+    parts = ranked.map_batches(fold, batch_format="pyarrow").take_all()
+    stats = {
+        "rank_dot_freq": sum(p["rdf"] for p in parts),
+        "vocab_size": sum(p["v"] for p in parts),
+        "hapax": sum(p["h"] for p in parts),
+        "tokens": sum(p["tok"] for p in parts),
+    }
+    topk = ranked.map_batches(
+        lambda t: t.filter(_pc.less_equal(t["rank"], k)),
+        batch_format="pyarrow",
+    )
+    return topk, stats

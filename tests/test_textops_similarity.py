@@ -1950,3 +1950,23 @@ FROM f ORDER BY rnk"""
     assert got.doc_id.iloc[0] in (10, 30)
     with pytest.raises(ValueError, match="k0"):
         rrf_fuse(rd.from_pandas(a), rd.from_pandas(b), k0=0)
+
+
+def test_zipf_stats_exact(ray_session):
+    import ray.data as rd
+
+    from rayraster.textops import zipf_stats
+
+    docs = ["a b b c c c", "c d a", "e e e e b"]
+    t = pa.table({"text": pa.array(docs)})
+    topk, stats = zipf_stats(rd.from_arrow(t).repartition(3), k=2,
+                             num_partitions=4)
+    # counts: a2 b3 c4 d1 e4 -> rank by (n desc, word): c1 e2 b3 a4 d5
+    assert stats == {
+        "rank_dot_freq": 1 * 4 + 2 * 4 + 3 * 3 + 4 * 2 + 5 * 1,
+        "vocab_size": 5, "hapax": 1, "tokens": 14,
+    }
+    got = sorted(
+        (r.rank, r.word, r.n) for r in topk.to_pandas().itertuples()
+    )
+    assert got == [(1, "c", 4), (2, "e", 4)]
