@@ -856,7 +856,7 @@ def _q_spatial_knn(sf_dir: str):
         x, y = geocode_id(ids)
         return pa.table({"id": t["event_id"], "x": pa.array(x), "y": pa.array(y)})
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    ev = _events(sf_dir, columns=["event_id"])
     evp = ev.map_batches(ev_pts, batch_format="pyarrow").materialize()
     pairs = radius_join(
         cells.map_batches(cell_pts, batch_format="pyarrow"),
@@ -2768,6 +2768,24 @@ def _docs(sf_dir: str, columns=("doc_id", "text"), blocks: int | None = None):
         blocks = max(8, min(32, n // 256))
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=list(columns),
+        override_num_blocks=blocks,
+    )
+
+
+def _events(sf_dir: str, columns=("event_id",), blocks: int | None = None):
+    """events.parquet, column-pruned, block count sized to the table —
+    the same read-block cap as :func:`_docs`: Ray's default
+    SplitBlocks(64) hands every downstream sort exchange 64 tiny
+    blocks at these event-table sizes and the per-block fixed cost
+    dominates (measured on w1: the Sort stage alone 9.8 s → sub-second
+    at sf0.01 going 64 → 16 read blocks)."""
+    if blocks is None:
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+        blocks = max(8, min(32, n // 256))
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=list(columns),
         override_num_blocks=blocks,
     )
 
@@ -5703,7 +5721,7 @@ def _q_json_extract(sf_dir: str):
     from rayraster.agg import hash_aggregate
     from rayraster.textops import json_extract_int
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    ev = _events(sf_dir, columns=["event_type", "props"])
     parsed = ev.map_batches(
         lambda t: json_extract_int(t, "props", "k", "k").drop_columns(["props"]),
         batch_format="pyarrow",
@@ -5826,7 +5844,7 @@ def _q_exact_quantiles(sf_dir: str):
     from rayraster.agg import assign_equidepth_bins, exact_quantiles, hash_aggregate, rank_interval
     from rayraster.sketch import build_qdigest
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ev = _events(sf_dir, columns=["value"])
     vals = exact_quantiles(ev, "value", list(_QUANTILE_QS))
     qd = build_qdigest(ev, "value", k=4096)
     ests = qd.quantiles(list(_QUANTILE_QS))
@@ -5947,8 +5965,8 @@ def _q_window(sf_dir: str):
     from rayraster.join import broadcast_join
     from rayraster.windows import tumbling_aggregate
 
-    ev = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    ev = _events(
+        sf_dir, columns=["ts", "event_type", "value"]
     )
     tumb = (
         tumbling_aggregate(ev)
@@ -5966,8 +5984,8 @@ def _q_window(sf_dir: str):
             }
         )
 
-    q = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    q = _events(
+        sf_dir, columns=["event_id", "event_type", "value"]
     ).map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
     stats = pa.Table.from_pandas(
         grouped_variance(q, ["event_type"], "qv", num_partitions=8).to_pandas()
@@ -6085,10 +6103,13 @@ def _q_window(sf_dir: str):
     from rayraster.agg import ntile
 
     n_events = _pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    # bucket = qv >> 7: the coarse key only needs to be MONOTONE in
+    # the sort order; raw qv would make ~10^5 one-row map_groups
+    # buckets (measured +8 s on this gate)
     tiles = ntile(
         q.select_columns(["event_id", "qv"]), 16,
         [("qv", "ascending"), ("event_id", "ascending")],
-        lambda b: b["qv"].to_numpy(zero_copy_only=False),
+        lambda b: b["qv"].to_numpy(zero_copy_only=False) >> 7,
         total=n_events, num_partitions=8,
     )
     tagg = _ha(
@@ -6244,7 +6265,7 @@ def _q_sliding_window(sf_dir: str):
         sliding_aggregate,
     )
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
     slid = (
         sliding_aggregate(ev, size_us=7_200_000_000, step_us=3_600_000_000)
         .select_columns(["event_type", "window", "min_value", "max_value", "n"])
@@ -6303,9 +6324,8 @@ def _q_sliding_window(sf_dir: str):
         )
 
     sel = grouped_topk(
-        rd.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["ts", "event_type", "event_id", "value"],
+        _events(
+            sf_dir, columns=["ts", "event_type", "event_id", "value"]
         ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         ["event_type"], "us", k=32, descending=False, tie_col="event_id",
         num_partitions=8,
@@ -6393,7 +6413,7 @@ def _q_grouped_quantiles(sf_dir: str):
     from rayraster.agg import grouped_quantiles, rank_interval_grouped
     from rayraster.sketch import build_qdigest_grouped
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ev = _events(sf_dir, columns=["event_type", "value"])
     exact = grouped_quantiles(
         ev, ["event_type"], "value", list(_QUANTILE_QS)
     ).to_pandas()  # post-aggregation: groups × ranks rows
@@ -6548,8 +6568,8 @@ def _q_watermark_window(sf_dir: str):
     no global sort; driver state is one int64 per chunk."""
     from rayraster.windows import watermark_tumbling
 
-    ev = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
+    ev = _events(
+        sf_dir, columns=["event_id", "ts", "event_type", "value"]
     )
     out = watermark_tumbling(ev, delay_us=_W4_DELAY)
     return out.select_columns(["event_type", "window", "min_value", "max_value", "n"])
@@ -6582,7 +6602,7 @@ def _q_session_windows(sf_dir: str):
     max_value/max_gap_us=cohort_size."""
     from rayraster.windows import cohort_retention, funnel_match, session_windows
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
+    ev = _events(sf_dir, columns=["ts", "user_id", "value"])
     sess = (
         session_windows(ev, gap_us=1_800_000_000)
         .select_columns(
@@ -6590,8 +6610,8 @@ def _q_session_windows(sf_dir: str):
         )
         .map_batches(_tagger("session"), batch_format="pyarrow")
     )
-    ev_f = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type", "value"]
+    ev_f = _events(
+        sf_dir, columns=["ts", "user_id", "event_type", "value"]
     )
     fun = (
         funnel_match(ev_f, ["view", "click", "purchase"])
@@ -6618,7 +6638,7 @@ def _q_session_windows(sf_dir: str):
         )
 
     coh = cohort_retention(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"]),
+        _events(sf_dir, columns=["ts", "user_id"]),
         num_partitions=8,
     ).map_batches(cohort_rows, batch_format="pyarrow")
 
@@ -6632,16 +6652,15 @@ def _q_session_windows(sf_dir: str):
     from rayraster.windows import transition_counts
 
     tm = transition_counts(
-        rd.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["ts", "user_id", "event_id", "event_type"],
+        _events(
+            sf_dir, columns=["ts", "user_id", "event_id", "event_type"]
         ),
         num_partitions=8,
     )
     types = sorted(
         r["event_type"]
         for r in distinct(
-            rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"]),
+            _events(sf_dir, columns=["event_type"]),
             ["event_type"], num_partitions=4,
         ).take_all()
     )
@@ -6825,7 +6844,7 @@ def _q_salted_join(sf_dir: str):
     from rayraster.agg import distinct, hash_aggregate
     from rayraster.join import bucket_join
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
+    ev = _events(sf_dir, columns=["event_id", "user_id", "value"])
 
     def remap(t: pa.Table) -> pa.Table:
         eid = t["event_id"].to_numpy(zero_copy_only=False)
@@ -6881,8 +6900,8 @@ def _q_asof_join(sf_dir: str):
 
     from rayraster.join import asof_join
 
-    ev = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value", "event_type"]
+    ev = _events(
+        sf_dir, columns=["event_id", "user_id", "ts", "value", "event_type"]
     )
 
     def split(kind):
@@ -6994,7 +7013,7 @@ def _q_approx_distinct(sf_dir: str):
     from rayraster.sketch import HLL, build_cms, build_mg, cms_estimate
     from rayraster.sketch import approx_distinct, build_hll_grouped, hll_set_estimates
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    ev = _events(sf_dir, columns=["event_type", "user_id"])
     est = approx_distinct(ev, "user_id", group_col="event_type").to_pandas()
     exact = hash_aggregate(
         distinct(ev, ["event_type", "user_id"]), ["event_type"],
