@@ -3157,7 +3157,7 @@ _D2B_OFFSET = 10**12
 def _q_minhash_partitioned(sf_dir: str):
     from rayraster.dedup import minhash_lsh_pairs
 
-    base_ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    base_ids = _docs(sf_dir, columns=["doc_id"])
     n = base_ids.count()
     K = (_D2B_TARGET + n - 1) // n
 
@@ -3306,7 +3306,7 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
         .map_batches(_tagger("distributed"), batch_format="pyarrow")
     )
 
-    doc_ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    doc_ids = _docs(sf_dir, columns=["doc_id"])
     n_docs = doc_ids.count()  # parquet metadata count
 
     def edges3(t: pa.Table) -> pa.Table:
@@ -6222,7 +6222,7 @@ def _q_join(sf_dir: str):
 def _q_grouped_topk(sf_dir: str):
     from rayraster.agg import grouped_topk
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    docs = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
     out = grouped_topk(docs, ["lang"], "n_chars", k=3, descending=True, tie_col="doc_id",
                        num_partitions=_parts_for(docs.count()))
     return out.select_columns(["lang", "doc_id", "n_chars", "rnk"])

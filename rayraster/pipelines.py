@@ -32,12 +32,31 @@ def add_geocode_url(batch: pa.Table, url_col: str = "url") -> pa.Table:
 def load_doc_points(
     sf_dir: str,
     columns: tuple = ("doc_id", "lang", "n_chars"),
+    blocks: "int | str | None" = "auto",
 ) -> Dataset:
     """documents.parquet → point Dataset with (x, y).
 
     Columns are pruned AT THE READ (only the requested ones leave
-    storage) — the 100-TB rule in the task brief."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    storage) — the 100-TB rule in the task brief.
+
+    ``blocks="auto"`` sizes the read block count from parquet
+    metadata (``max(8, min(32, rows // 256))``) — Ray's default
+    SplitBlocks(64) hands every downstream sort exchange 64 tiny
+    blocks at these table sizes and the per-block fixed cost dominates
+    (the same measured rationale as the documents/events gate
+    helpers).  Pass ``blocks=None`` at real scale to let Ray size
+    blocks from byte targets."""
+    kwargs = {}
+    if blocks == "auto":
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        kwargs["override_num_blocks"] = max(8, min(32, n // 256))
+    elif blocks is not None:
+        kwargs["override_num_blocks"] = int(blocks)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=list(columns), **kwargs
+    )
     return ds.map_batches(add_geocode_id, batch_format="pyarrow", zero_copy_batch=True)
 
 
