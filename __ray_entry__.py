@@ -3730,10 +3730,56 @@ def _q_neardup_dedup_pipeline(sf_dir: str):
             }
         )
 
+    # twentieth path ('truss'): 4-truss decomposition (graph.k_truss —
+    # iterative edge_support peeling; every surviving edge sits in
+    # ≥ 2 triangles).  The graph plants structure the peel must
+    # separate: the degree-varied random graph (mostly peels), a K8
+    # clique on ids < 8 (survives, support 6), and an isolated-
+    # triangle strip (support 1 — peels at k=4).  Twin = 8 unrolled
+    # MATERIALIZED support+filter rounds (idempotent at fixpoint).
+    from rayraster.graph import k_truss
+
+    def truss_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = edges_var(t)
+        srcs = [base["src"].to_numpy(zero_copy_only=False)]
+        dsts = [base["dst"].to_numpy(zero_copy_only=False)]
+        for i in ids[ids < 8].tolist():  # K8 clique
+            js = np.arange(i + 1, 8, dtype=np.int64)
+            srcs.append(np.full(len(js), i, dtype=np.int64))
+            dsts.append(js)
+        gmax = max(1, n_docs // 30)
+        strip = ids[(ids >= 60) & (ids < 60 + 3 * gmax)]
+        r = (strip - 60) % 3
+        for sel, off in (((r == 0), 1), ((r == 0), 2), ((r == 1), 1)):
+            srcs.append(strip[sel])
+            dsts.append(strip[sel] + off)
+        return pa.table(
+            {"src": pa.array(np.concatenate(srcs)),
+             "dst": pa.array(np.concatenate(dsts))}
+        )
+
+    truss = k_truss(
+        doc_ids.map_batches(truss_edges, batch_format="pyarrow"),
+        k=4, num_buckets=_parts_for(n_docs), edge_count=4 * n_docs,
+    )
+
+    def tag_truss(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False)
+        hi = t["hi"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(lo * np.int64(1 << 32) + hi),
+                "pr": t["support"].cast(pa.int64()),
+                "path": pa.array(["truss"] * t.num_rows, type=pa.string()),
+            }
+        )
+
     return rd.from_arrow(driver_keep).union(
         dist_keep,
         rd.from_arrow(stat_rows),
         sup.map_batches(tag_support, batch_format="pyarrow"),
+        truss.map_batches(tag_truss, batch_format="pyarrow"),
         pr.map_batches(tag_pr, batch_format="pyarrow"),
         rd.from_arrow(tri_row),
         core.map_batches(tag_kcore, batch_format="pyarrow"),
@@ -3919,6 +3965,48 @@ def _sql_pagerank_twin(iterations: int = 3) -> str:
     )
 
 
+def _sql_truss_ctes(rounds: int = 8) -> tuple[str, str]:
+    """Unrolled-CTE twin of the d8 'truss' arm: round r computes every
+    surviving edge's common-neighbor count over round r-1's edge set
+    (adjacency double-join) and keeps support >= 2 — identical
+    iteration to graph.k_truss(k=4); peel is idempotent once
+    converged, so the generous unroll equals run-to-fixpoint.  The
+    final round's support rows ARE the emitted (edge, support) pairs.
+    Returns (ctes, final_support_cte)."""
+    ctes = [
+        """tr0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM (
+    SELECT src, dst FROM kce
+    UNION ALL
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id AND b.doc_id < 8
+    UNION ALL
+    SELECT 60 + 3 * t.doc_id + o.a AS src, 60 + 3 * t.doc_id + o.b AS dst
+    FROM documents t JOIN (VALUES (0, 1), (0, 2), (1, 2)) o(a, b) ON TRUE
+    WHERE t.doc_id < GREATEST(1, (SELECT COUNT(*) // 30 FROM documents))
+  ) WHERE src <> dst
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""tsup{r} AS MATERIALIZED (
+  SELECT e.lo, e.hi, COALESCE(s.c, 0) AS sup FROM tr{r-1} e
+  LEFT JOIN (
+    SELECT e2.lo, e2.hi, COUNT(*) AS c FROM tr{r-1} e2
+    JOIN (SELECT lo AS a, hi AS b FROM tr{r-1}
+          UNION ALL SELECT hi, lo FROM tr{r-1}) x ON x.a = e2.lo
+    JOIN (SELECT lo AS a, hi AS b FROM tr{r-1}
+          UNION ALL SELECT hi, lo FROM tr{r-1}) y
+      ON y.a = e2.hi AND y.b = x.b
+    GROUP BY e2.lo, e2.hi
+  ) s ON s.lo = e.lo AND s.hi = e.hi
+)""")
+        ctes.append(
+            f"tr{r} AS MATERIALIZED (SELECT lo, hi FROM tsup{r} WHERE sup >= 2)"
+        )
+    return ",\n".join(ctes), f"tsup{rounds}"
+
+
 def _sql_kcore_ctes(k: int = 3, rounds: int = 12) -> tuple[str, str]:
     """Unrolled-CTE twin of the iterative k-core peeling: round r keeps
     the edges whose BOTH endpoints had degree >= k in round r-1 —
@@ -3981,6 +4069,7 @@ def _sql_neardup_dedup_pipeline() -> str:
     # UNION ALL arm), so the twin is spliced in as the leading SELECT
     pr = _sql_pagerank_twin(3)
     kc_ctes, kc_final = _sql_kcore_ctes()
+    tr_ctes, tr_final = _sql_truss_ctes()
     # BFS twin: depth-bounded recursive CTE over the same kcore graph's
     # undirected support; UNION dedups (node, depth) pairs so cycles
     # terminate at the bound, MIN(depth) per node = the BFS distance
@@ -4093,7 +4182,8 @@ astat AS MATERIALIZED (
     sp_ctes, sp_final = _sql_sssp_ctes()
     pr = (
         f"{head},\n{kc_ctes},\n{sp_ctes},\n{fl_ctes},\n{fb_ctes},\n{fc_ctes},\n"
-        f"{al_ctes},\n{bfs_ctes},\n{lpa_ctes},\n{hits_ctes},\n{scc_ctes}\n"
+        f"{al_ctes},\n{bfs_ctes},\n{lpa_ctes},\n{hits_ctes},\n{scc_ctes},\n"
+        f"{tr_ctes}\n"
         f"SELECT node AS doc_id{tail}\n"
         "UNION ALL\n"
         "SELECT node AS doc_id, CAST(0 AS BIGINT) AS pr, 'kcore' AS path "
@@ -4127,6 +4217,9 @@ astat AS MATERIALIZED (
         "      UNION ALL SELECT hi, lo FROM kc0) y "
         "  ON y.a = e2.hi AND y.b = x.b "
         "GROUP BY e2.lo, e2.hi) s ON s.lo = e.lo AND s.hi = e.hi\n"
+        "UNION ALL\n"
+        "SELECT lo * 4294967296 + hi AS doc_id, CAST(sup AS BIGINT) AS pr, "
+        f"'truss' AS path FROM {tr_final} WHERE sup >= 2\n"
         "UNION ALL\n"
         "SELECT node AS doc_id, dist AS pr, 'sssp' AS path "
         f"FROM {sp_final}\n"

@@ -822,3 +822,50 @@ def test_edge_support_matches_brute_both_paths(ray_session):
         assert got == want, thr
     # sum of supports = 3 × triangle count (each triangle has 3 edges)
     assert sum(want.values()) == 3 * triangle_count(ds, num_buckets=4)
+
+
+def _truss_brute(edges, k):
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        nbr = {}
+        for a, b in und:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        sup = {(a, b): len(nbr[a] & nbr[b]) for a, b in und}
+        drop = {e for e, s in sup.items() if s < k - 2}
+        if not drop:
+            return {e: sup[e] for e in und}
+        und -= drop
+
+
+def test_k_truss_matches_brute(ray_session):
+    import ray.data as rd
+
+    from rayraster.graph import k_truss
+
+    rng = np.random.default_rng(41)
+    edges = [tuple(map(int, rng.integers(0, 18, 2))) for _ in range(70)]
+    # a planted clique K5 on 20..24 survives any k <= 5
+    import itertools
+    edges += list(itertools.combinations(range(20, 25), 2))
+    # a triangle chain that 4-truss peels away
+    edges += [(30, 31), (31, 32), (30, 32), (32, 33), (31, 33)]
+    t = pa.table({"src": pa.array([e[0] for e in edges], type=pa.int64()),
+                  "dst": pa.array([e[1] for e in edges], type=pa.int64())})
+    ds = rd.from_arrow(t).repartition(3)
+    for k in (3, 4, 5):
+        want = _truss_brute(edges, k)
+        got = {
+            (r.lo, r.hi): r.support
+            for r in k_truss(ds, k, num_buckets=4).to_pandas().itertuples()
+        }
+        assert got == want, k
+    # K5 edges survive k=5 with support exactly 3
+    got5 = {
+        (r.lo, r.hi): r.support
+        for r in k_truss(ds, 5, num_buckets=4).to_pandas().itertuples()
+    }
+    for a, b in itertools.combinations(range(20, 25), 2):
+        assert got5[(a, b)] == 3
+    with pytest.raises(ValueError, match="k must be"):
+        k_truss(ds, 1)
