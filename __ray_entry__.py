@@ -6439,8 +6439,44 @@ def _q_sliding_window(sf_dir: str):
             }
         )
 
+    # path='scd2' — type-2 slowly-changing-dimension historization
+    # (windows.scd2_history): each user's ×500-coarsened value states
+    # compress into interval rows (one per run of equal states) with
+    # valid_from/valid_to; ONE key-hash exchange + vectorized shifts.
+    # Row packing: window = valid_from µs, min_value = state,
+    # max_value = valid_to µs (open run → −1), n = user_id.
+    from rayraster.windows import scd2_history
+
+    def scd2_prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        st = pc.cast(pc.floor(pc.divide(t["value"], 500.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"], "us": us, "st": st})
+
+    hist = scd2_history(
+        _events(sf_dir, columns=["ts", "user_id", "value"]).map_batches(
+            scd2_prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "user_id", "us", "st", num_partitions=8,
+    )
+
+    def scd2_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": pa.array(["scd2"] * t.num_rows,
+                                       type=pa.string()),
+                "window": t["valid_from"].cast(pa.int64()),
+                "min_value": t["st"].cast(pa.float64()),
+                "max_value": pc.fill_null(
+                    t["valid_to"].cast(pa.int64()), -1
+                ).cast(pa.float64()),
+                "n": t["user_id"].cast(pa.int64()),
+                "path": pa.array(["scd2"] * t.num_rows, type=pa.string()),
+            }
+        )
+
     return slid.union(
-        roll, ew.map_batches(ewma_rows, batch_format="pyarrow")
+        roll, ew.map_batches(ewma_rows, batch_format="pyarrow"),
+        hist.map_batches(scd2_rows, batch_format="pyarrow"),
     )
 
 
@@ -6489,6 +6525,28 @@ FROM (
            PARTITION BY event_type ORDER BY rn) AS BIGINT) AS num,
          (CAST(1 AS BIGINT) << rn) - 1 AS den
   FROM esel
+)
+UNION ALL
+SELECT 'scd2' AS event_type, valid_from AS "window",
+       CAST(st AS DOUBLE) AS min_value,
+       CAST(COALESCE(valid_to, -1) AS DOUBLE) AS max_value,
+       user_id AS n, 'scd2' AS path
+FROM (
+  WITH sr AS (
+    SELECT user_id, epoch_us(ts) AS us,
+           CAST(floor(value / 500e0) AS BIGINT) AS st,
+           LAG(CAST(floor(value / 500e0) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)) AS ps
+    FROM events
+  ),
+  sstart AS (
+    SELECT user_id, us AS valid_from, st FROM sr
+    WHERE ps IS NULL OR st <> ps
+  )
+  SELECT user_id, st, valid_from,
+         LEAD(valid_from) OVER (
+           PARTITION BY user_id ORDER BY valid_from) AS valid_to
+  FROM sstart
 )"""
 
 

@@ -911,3 +911,69 @@ def transition_counts(
 
     # the matrix is |types|^2-bounded — one partition finishes it
     return folded.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def scd2_history(
+    ds: Dataset,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Type-2 slowly-changing-dimension historization: compress a
+    per-key ordered change log into interval rows — one row per RUN of
+    equal ``state_col`` values, carrying ``valid_from`` (the run's
+    first ``order_col``) and ``valid_to`` (the NEXT run's first
+    ``order_col``; NULL on each key's current/last run).  The
+    warehouse history-table builder (MERGE…SCD2), expressed as pure
+    shuffle + vectorized shifts.
+
+    ONE hash-partition shuffle on the key (the :func:`lag_columns`
+    shape), then in-partition ``sort_by(key, order) +`` three
+    vectorized masks — never a task per key, no state on the driver.
+    ``order_col`` must be unique per key for a deterministic result
+    (same contract as the SQL ``LAG/LEAD`` twin).
+
+    Returns ``(key_col, state_col, valid_from, valid_to)``."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.abs(keys * np.int64(1000003)) % np.int64(num_partitions)
+        return batch.append_column("_part", pa.array(part))
+
+    def solve(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["_part"]).sort_by(
+            [(key_col, "ascending"), (order_col, "ascending")]
+        )
+        n = part.num_rows
+        ot = part[order_col].type
+        if n == 0:
+            return pa.table(
+                {key_col: part[key_col], state_col: part[state_col],
+                 "valid_from": pa.array([], type=ot),
+                 "valid_to": pa.array([], type=ot)}
+            )
+        keys = part[key_col].to_numpy(zero_copy_only=False)
+        st = part[state_col].to_numpy(zero_copy_only=False)
+        first = np.ones(n, dtype=bool)
+        first[1:] = keys[1:] != keys[:-1]
+        change = first.copy()
+        change[1:] |= st[1:] != st[:-1]
+        starts = np.flatnonzero(change)
+        # valid_to = the NEXT change row's order value, unless that
+        # row starts a new key (then NULL — the run is current)
+        nxt = np.concatenate([starts[1:], [n]])
+        to_idx = np.minimum(nxt, n - 1)
+        open_run = (nxt >= n) | first[to_idx]
+        kept = part.take(pa.array(starts))
+        to_vals = part[order_col].take(pa.array(to_idx))
+        valid_to = pc.if_else(
+            pa.array(open_run), pa.nulls(len(starts), type=ot), to_vals
+        )
+        return pa.table(
+            {key_col: kept[key_col], state_col: kept[state_col],
+             "valid_from": kept[order_col], "valid_to": valid_to}
+        )
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return parted.groupby("_part").map_groups(solve, batch_format="pyarrow")

@@ -1274,3 +1274,45 @@ def test_grouped_rank_sums_vs_scipy_free_reference(ray_session):
     nb, _ = got["b"]
     two_u = 2 * na * nb + na * (na + 1) - ra2
     assert 0 <= two_u <= 2 * na * nb
+
+
+def test_scd2_history_matches_sql_windows(ray_session):
+    import duckdb
+
+    from rayraster.windows import scd2_history
+
+    rng = np.random.default_rng(13)
+    n = 400
+    key = rng.integers(0, 12, n).astype(np.int64)
+    order = np.arange(n, dtype=np.int64)
+    rng.shuffle(order)  # unique per key, arbitrary arrival
+    state = rng.integers(0, 3, n).astype(np.int64)
+    t = pa.table({"k": pa.array(key), "o": pa.array(order),
+                  "s": pa.array(state)})
+    got = (
+        scd2_history(rd.from_arrow(t).repartition(5), "k", "o", "s",
+                     num_partitions=4)
+        .to_pandas().sort_values(["k", "valid_from"]).reset_index(drop=True)
+    )
+    want = duckdb.sql("""
+        WITH r AS (
+          SELECT k, o, s,
+                 LAG(s) OVER (PARTITION BY k ORDER BY o) AS ps
+          FROM t
+        ),
+        starts AS (
+          SELECT k, o AS valid_from, s FROM r WHERE ps IS NULL OR s <> ps
+        )
+        SELECT k, s, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY k ORDER BY valid_from)
+                 AS valid_to
+        FROM starts ORDER BY k, valid_from
+    """).df()
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["s"].tolist() == want["s"].tolist()
+    assert got["valid_from"].tolist() == want["valid_from"].tolist()
+    gt = got["valid_to"].fillna(-1).astype(np.int64).tolist()
+    wt = want["valid_to"].fillna(-1).astype(np.int64).tolist()
+    assert gt == wt
+    # every key's last run is open
+    assert (got.groupby("k")["valid_to"].apply(lambda s: s.isna().sum() == 1)).all()
