@@ -7391,7 +7391,40 @@ def _q_multimodal(sf_dir: str):
          "px_mode_bin", "hist_l2"]
     ).map_batches(_tagger("qoi"), batch_format="pyarrow")
 
-    return pix.union(au.map_batches(audio_rows, batch_format="pyarrow"), qo)
+    # fourth arm ('patch'): ViT-style patchification of the SAME QOI
+    # payloads (multimodal.PatchStage — real decode, one reshape into
+    # 2×2 patch blocks, exact int64 per-patch sums; ragged edges
+    # dropped, undecodable payloads contribute no rows).  Packing:
+    # width=patch_row, height=patch_col, channels=n_px(=12),
+    # px_mean=patch_mean, px_mode_bin=patch_sum, hist_l2=0.
+    from rayraster.multimodal import PatchStage
+
+    pt = ds.map_batches(to_qoi, batch_format="pyarrow").map_batches(
+        PatchStage("payload", patch=2),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+    def patch_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "width": t["patch_row"],
+                "height": t["patch_col"],
+                "channels": t["patch_px"],
+                "px_mean": t["patch_mean"],
+                "px_mode_bin": t["patch_sum"],
+                "hist_l2": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "path": pa.array(["patch"] * t.num_rows, type=pa.string()),
+            }
+        )
+
+    return pix.union(
+        au.map_batches(audio_rows, batch_format="pyarrow"), qo,
+        pt.map_batches(patch_rows, batch_format="pyarrow"),
+    )
 
 
 def _sql_exact_dedup() -> str:
@@ -8058,6 +8091,30 @@ SELECT * FROM (
          s.tot / s.n AS px_mean, m.px_mode_bin, h.hist_l2, 'qoi' AS path
   FROM qdims d JOIN qsum s USING (doc_id)
   JOIN qhs h USING (doc_id) JOIN qhm m USING (doc_id)
+)
+UNION ALL
+SELECT * FROM (
+  -- patch-arm twin: flatten index k of the TOP-DOWN RGB array maps to
+  -- (y, x) = (k // 3w, (k % 3w) // 3); full 2x2 patches only
+  WITH pdims AS (
+    SELECT doc_id, 3 * ((doc_id % 4) + 1) AS width,
+           (doc_id * 3) % 7 + 1 AS height
+    FROM documents WHERE doc_id % 3 = 2
+  ),
+  pblk AS (
+    SELECT d.doc_id,
+           (t.k // (3 * d.width)) // 2 AS pr,
+           ((t.k % (3 * d.width)) // 3) // 2 AS pc,
+           CAST(SUM((d.doc_id * 5 + 37 * t.k) % 256) AS BIGINT) AS s
+    FROM pdims d JOIN range(0, 252) t(k) ON t.k < 3 * d.width * d.height
+    WHERE (t.k // (3 * d.width)) < 2 * (d.height // 2)
+      AND ((t.k % (3 * d.width)) // 3) < 2 * (d.width // 2)
+    GROUP BY 1, 2, 3
+  )
+  SELECT doc_id, pr AS width, pc AS height, CAST(12 AS BIGINT) AS channels,
+         CAST(s AS DOUBLE) / 12e0 AS px_mean, s AS px_mode_bin,
+         CAST(0 AS BIGINT) AS hist_l2, 'patch' AS path
+  FROM pblk
 )"""
 
 

@@ -780,3 +780,67 @@ def decode_qoi(p: bytes) -> np.ndarray | None:
     if i != end:
         return None  # trailing bytes before the end marker
     return np.ascontiguousarray(out[:, :3]).reshape(h, w, 3)
+
+
+class PatchStage:
+    """Decoded image → non-overlapping p×p patch rows (the ViT-style
+    patchifier: one output row per full patch, ragged edges dropped) —
+    the map_batches fan-out that turns an image corpus into a patch
+    corpus for embedding/training.
+
+    Per image: REAL decode (BMP/PPM/QOI via
+    :func:`decode_image_pixels`), one numpy reshape into
+    (rows, p, cols, p, 3) patch blocks, exact int64 per-patch sums.
+    Rows: ``(…, patch_row, patch_col, patch_px, patch_sum,
+    patch_mean)`` with ``patch_mean`` = one double division of the
+    exact sum.  Undecodable payloads contribute no rows (the
+    image-stage fallback contract is ImageDecodeStage's job; a
+    patchifier must never invent pixels).
+
+    Scale note: output is ~(H·W)/(p²) rows per image — run with small
+    ``batch_size`` actors like the other pixel stages."""
+
+    def __init__(self, bin_col: str = "payload", patch: int = 2):
+        if patch < 1:
+            raise ValueError(f"patch must be >= 1, got {patch}")
+        self.bin_col = bin_col
+        self.patch = patch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p = self.patch
+        carry = [c for c in batch.column_names if c != self.bin_col]
+        out_carry: dict[str, list] = {c: [] for c in carry}
+        prows: list[int] = []
+        pcols: list[int] = []
+        psums: list[int] = []
+        for i, payload in enumerate(batch[self.bin_col].to_pylist()):
+            img = decode_image_pixels(payload) if payload is not None else None
+            if img is None:
+                continue
+            h, w, _ = img.shape
+            rows, cols = h // p, w // p
+            if rows == 0 or cols == 0:
+                continue
+            blocks = (
+                img[: rows * p, : cols * p]
+                .astype(np.int64)
+                .reshape(rows, p, cols, p, 3)
+                .sum(axis=(1, 3, 4))
+            )  # (rows, cols) exact int64 patch sums
+            pr, pc_ = np.meshgrid(np.arange(rows), np.arange(cols),
+                                  indexing="ij")
+            prows.extend(pr.ravel().tolist())
+            pcols.extend(pc_.ravel().tolist())
+            psums.extend(blocks.ravel().tolist())
+            for c in carry:
+                out_carry[c].extend([batch[c][i].as_py()] * (rows * cols))
+        n_px = p * p * 3
+        sums = np.asarray(psums, dtype=np.int64)
+        cols_out = {c: pa.array(out_carry[c]) for c in carry}
+        cols_out["patch_row"] = pa.array(np.asarray(prows, dtype=np.int64))
+        cols_out["patch_col"] = pa.array(np.asarray(pcols, dtype=np.int64))
+        cols_out["patch_px"] = pa.array(
+            np.full(len(sums), n_px, dtype=np.int64))
+        cols_out["patch_sum"] = pa.array(sums)
+        cols_out["patch_mean"] = pa.array(sums / float(n_px))
+        return pa.table(cols_out)

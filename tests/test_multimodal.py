@@ -500,3 +500,30 @@ def test_qoi_through_decode_stage(ray_session):
     for row, img in zip(out.itertuples(), imgs):
         assert (row.width, row.height, row.channels) == (4, img.shape[0], 3)
         assert row.px_mean == img.astype(np.int64).sum() / img.size
+
+
+def test_patch_stage_exact_sums(ray_session):
+    from rayraster.multimodal import PatchStage, encode_qoi
+
+    # 5x4 image: 2x2 patches -> 2 rows x 2 cols of full patches
+    img = (np.arange(5 * 4 * 3, dtype=np.int64) * 37 % 256).astype(
+        np.uint8).reshape(5, 4, 3)
+    t = pa.table({"doc_id": pa.array([7], type=pa.int64()),
+                  "payload": pa.array([encode_qoi(img)], type=pa.binary()),
+                  "junk": pa.array([b"notanimage"], type=pa.binary())})
+    t = pa.table({"doc_id": pa.array([7, 8], type=pa.int64()),
+                  "payload": pa.array([encode_qoi(img), b"notanimage"],
+                                      type=pa.binary())})
+    out = rd.from_arrow(t).map_batches(
+        PatchStage("payload", patch=2), batch_format="pyarrow"
+    ).to_pandas().sort_values(["patch_row", "patch_col"])
+    assert set(out.doc_id) == {7}  # undecodable -> no rows
+    assert len(out) == 4
+    for row in out.itertuples():
+        blk = img[row.patch_row * 2:(row.patch_row + 1) * 2,
+                  row.patch_col * 2:(row.patch_col + 1) * 2]
+        assert row.patch_sum == int(blk.astype(np.int64).sum())
+        assert row.patch_px == 12
+        assert row.patch_mean == row.patch_sum / 12.0
+    with pytest.raises(ValueError, match="patch"):
+        PatchStage(patch=0)
