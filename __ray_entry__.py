@@ -6793,6 +6793,47 @@ def _q_session_windows(sf_dir: str):
         num_partitions=8,
     ).map_batches(cohort_rows, batch_format="pyarrow")
 
+    # fifth path ('trip'): spatial trip segmentation — the geo × log
+    # composition (windows.trajectory_trips): each user's events
+    # geocode to points (geo.geocode_id on event_id), ordered by ts; a
+    # squared step > 80² cuts a new trip; per-trip qlen = Σ of the
+    # ×10⁶ floor-quantized within-trip squared steps (each step's
+    # float is the same fixed-order expression as the SQL twin, the
+    # sum is exact int64).  Packing: session_start=start µs,
+    # min_value=trip id, max_value=qlen, max_gap_us=end µs.
+    from rayraster.geo import geocode_id as _geo_id
+    from rayraster.windows import trajectory_trips
+
+    def trip_prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        x, y = _geo_id(t["event_id"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"user_id": t["user_id"], "us": us,
+             "x": pa.array(x), "y": pa.array(y)}
+        )
+
+    trips = trajectory_trips(
+        _events(sf_dir, columns=["ts", "user_id", "event_id"]).map_batches(
+            trip_prep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "user_id", "us", jump_threshold=80.0, num_partitions=8,
+    )
+
+    def trip_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].cast(pa.int64()),
+                "session_start": t["start"].cast(pa.int64()),
+                "n": t["n"].cast(pa.int64()),
+                "min_value": t["trip"].cast(pa.float64()),
+                "max_value": t["qlen"].cast(pa.float64()),
+                "max_gap_us": t["end"].cast(pa.int64()),
+                "path": pa.array(["trip"] * t.num_rows, type=pa.string()),
+            }
+        )
+
+    trip = trips.map_batches(trip_rows, batch_format="pyarrow")
+
     # fourth path ('trans'): the first-order Markov transition matrix
     # (windows.transition_counts — one key exchange + lexsort/shift
     # pairs + tiny fold); event types are coded by their rank in the
@@ -6833,7 +6874,7 @@ def _q_session_windows(sf_dir: str):
         )
 
     trn = tm.map_batches(trans_rows, batch_format="pyarrow")
-    return sess.union(fun, coh, trn)
+    return sess.union(fun, coh, trn, trip)
 
 
 def _sql_session_windows() -> str:
@@ -6921,6 +6962,45 @@ SELECT * FROM (
   FROM trc c JOIN trf f USING (ft)
   JOIN cds cf ON cf.event_type = c.ft
   JOIN cds ct ON ct.event_type = c.tt
+)
+UNION ALL
+SELECT user_id, start AS session_start, n,
+       CAST(trip AS DOUBLE) AS min_value, CAST(qlen AS DOUBLE) AS max_value,
+       "end" AS max_gap_us, 'trip' AS path
+FROM (
+  WITH tp AS (
+    SELECT user_id, epoch_us(ts) AS us,
+           (-180.0 + ((((event_id) * 2654435761) % 1000003) / 1000003.0)
+            * 360.0) AS x,
+           (-90.0 + ((((event_id) * 97003 + 7919) % 1000033) / 1000033.0)
+            * 180.0) AS y
+    FROM events
+  ),
+  tpl AS (
+    SELECT *, LAG(x) OVER w AS px, LAG(y) OVER w AS py
+    FROM tp WINDOW w AS (PARTITION BY user_id ORDER BY us)
+  ),
+  tpf AS (
+    SELECT *,
+      CASE WHEN px IS NULL
+             OR ((x-px)*(x-px) + (y-py)*(y-py)) > 6400.0
+           THEN 1 ELSE 0 END AS f,
+      CASE WHEN px IS NULL
+             OR ((x-px)*(x-px) + (y-py)*(y-py)) > 6400.0
+           THEN CAST(0 AS BIGINT)
+           ELSE CAST(floor(((x-px)*(x-px) + (y-py)*(y-py)) * 1000000.0)
+                     AS BIGINT) END AS qd
+    FROM tpl
+  ),
+  tpt AS (
+    SELECT *, CAST(SUM(f) OVER (PARTITION BY user_id ORDER BY us)
+                   AS BIGINT) AS trip
+    FROM tpf
+  )
+  SELECT user_id, trip, CAST(COUNT(*) AS BIGINT) AS n,
+         MIN(us) AS start, MAX(us) AS "end",
+         CAST(SUM(qd) AS BIGINT) AS qlen
+  FROM tpt GROUP BY user_id, trip
 )"""
 
 

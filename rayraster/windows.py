@@ -977,3 +977,89 @@ def scd2_history(
 
     parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
     return parted.groupby("_part").map_groups(solve, batch_format="pyarrow")
+
+
+def trajectory_trips(
+    ds: Dataset,
+    key_col: str,
+    order_col: str,
+    x_col: str = "x",
+    y_col: str = "y",
+    jump_threshold: float = 30.0,
+    qscale: float = 1_000_000.0,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Spatial trip segmentation of per-key point streams — the
+    geo × event-log composition: order each key's points by
+    ``order_col`` and cut a new TRIP whenever the squared euclidean
+    step to the previous point exceeds ``jump_threshold²`` (a vehicle
+    teleporting between sightings, a user hopping cities).
+
+    ONE key-hash exchange (the :func:`lag_columns` shape), then
+    in-partition sort + vectorized step distances, boundary cumsum,
+    and ``np.add.reduceat`` per-trip folds — never a task per key.
+    Per-trip ``qlen`` is the sum of the ×``qscale`` floor-quantized
+    within-trip squared steps: each step's float is a fixed-order
+    expression (bit-equal to the SQL twin) and the SUM is over exact
+    int64s, so the result is order-independent and hash-exact at any
+    partitioning.  ``order_col`` must be unique per key.
+
+    Returns ``(key_col, trip, n, start, end, qlen)`` — trip ids are
+    1-based per key in stream order."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = np.abs(keys * np.int64(1000003)) % np.int64(num_partitions)
+        return batch.append_column("_part", pa.array(part))
+
+    thr2 = float(jump_threshold) * float(jump_threshold)
+
+    def solve(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["_part"]).sort_by(
+            [(key_col, "ascending"), (order_col, "ascending")]
+        )
+        n = part.num_rows
+        if n == 0:
+            return pa.table(
+                {key_col: part[key_col],
+                 "trip": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64()),
+                 "start": pa.array([], type=part[order_col].type),
+                 "end": pa.array([], type=part[order_col].type),
+                 "qlen": pa.array([], type=pa.int64())}
+            )
+        keys = part[key_col].to_numpy(zero_copy_only=False)
+        x = part[x_col].to_numpy(zero_copy_only=False)
+        y = part[y_col].to_numpy(zero_copy_only=False)
+        first = np.ones(n, dtype=bool)
+        first[1:] = keys[1:] != keys[:-1]
+        d2 = np.zeros(n, dtype=np.float64)
+        dx = x[1:] - x[:-1]
+        dy = y[1:] - y[:-1]
+        d2[1:] = dx * dx + dy * dy  # same op order as the SQL twin
+        boundary = first | (d2 > thr2)
+        qd = np.where(
+            boundary, np.int64(0),
+            np.floor(d2 * qscale).astype(np.int64),
+        )
+        starts = np.flatnonzero(boundary)
+        ends = np.concatenate([starts[1:], [n]])
+        trip_n = ends - starts
+        # 1-based trip rank within each key
+        key_first_pos = starts[first[starts]]
+        key_of_start = np.searchsorted(key_first_pos, starts, side="right") - 1
+        brank = np.cumsum(boundary)  # 1-based global boundary count
+        trip_id = brank[starts] - brank[key_first_pos[key_of_start]] + 1
+        order_np = part[order_col].to_numpy(zero_copy_only=False)
+        qsum = np.add.reduceat(qd, starts)
+        return pa.table(
+            {key_col: part[key_col].take(pa.array(starts)),
+             "trip": pa.array(trip_id.astype(np.int64)),
+             "n": pa.array(trip_n.astype(np.int64)),
+             "start": pa.array(order_np[starts]),
+             "end": pa.array(order_np[ends - 1]),
+             "qlen": pa.array(qsum.astype(np.int64))}
+        )
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return parted.groupby("_part").map_groups(solve, batch_format="pyarrow")

@@ -1316,3 +1316,58 @@ def test_scd2_history_matches_sql_windows(ray_session):
     assert gt == wt
     # every key's last run is open
     assert (got.groupby("k")["valid_to"].apply(lambda s: s.isna().sum() == 1)).all()
+
+
+def test_trajectory_trips_matches_sql_windows(ray_session):
+    import duckdb
+
+    from rayraster.windows import trajectory_trips
+
+    rng = np.random.default_rng(17)
+    n = 500
+    key = rng.integers(0, 9, n).astype(np.int64)
+    order = np.arange(n, dtype=np.int64)
+    rng.shuffle(order)
+    x = rng.uniform(-180, 180, n)
+    y = rng.uniform(-90, 90, n)
+    t = pa.table({"k": pa.array(key), "o": pa.array(order),
+                  "x": pa.array(x), "y": pa.array(y)})
+    got = (
+        trajectory_trips(rd.from_arrow(t).repartition(5), "k", "o",
+                         jump_threshold=80.0, num_partitions=4)
+        .to_pandas().sort_values(["k", "trip"]).reset_index(drop=True)
+    )
+    want = duckdb.sql("""
+        WITH tl AS (
+          SELECT k, o, x, y,
+                 LAG(x) OVER w AS px, LAG(y) OVER w AS py
+          FROM t WINDOW w AS (PARTITION BY k ORDER BY o)
+        ),
+        tf AS (
+          SELECT *,
+            CASE WHEN px IS NULL
+                   OR ((x-px)*(x-px) + (y-py)*(y-py)) > 6400.0
+                 THEN 1 ELSE 0 END AS f,
+            CASE WHEN px IS NULL
+                   OR ((x-px)*(x-px) + (y-py)*(y-py)) > 6400.0
+                 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(floor(((x-px)*(x-px) + (y-py)*(y-py))
+                                 * 1000000.0) AS BIGINT) END AS qd
+          FROM tl
+        ),
+        tt AS (
+          SELECT *, CAST(SUM(f) OVER (PARTITION BY k ORDER BY o)
+                         AS BIGINT) AS trip
+          FROM tf
+        )
+        SELECT k, trip, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(o) AS start, MAX(o) AS "end",
+               CAST(SUM(qd) AS BIGINT) AS qlen
+        FROM tt GROUP BY k, trip ORDER BY k, trip
+    """).df()
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["trip"].tolist() == want["trip"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["start"].tolist() == want["start"].tolist()
+    assert got["end"].tolist() == want["end"].tolist()
+    assert got["qlen"].tolist() == want["qlen"].tolist()
