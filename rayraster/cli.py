@@ -419,6 +419,48 @@ def cmd_kcore(args) -> int:
     return 0
 
 
+def cmd_graphstats(args) -> int:
+    """One-stop link-graph analytics over an (src, dst) edge parquet:
+    SCC labels + k-truss edges written as parquet, plus a JSON line of
+    whole-graph statistics (reciprocity, degree-assortativity moments,
+    triangle count) — the web-graph health report."""
+    import shutil
+
+    import ray.data as rd
+
+    from rayraster.graph import (
+        degree_moments,
+        k_truss,
+        reciprocity,
+        scc,
+        triangle_count,
+    )
+
+    _init_ray(args.num_cpus)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    edges = rd.read_parquet(files, columns=["src", "dst"])
+    comps = scc(edges, num_buckets=args.num_buckets, engine=args.engine)
+    shutil.rmtree(f"{args.out}/scc", ignore_errors=True)
+    comps.write_parquet(f"{args.out}/scc")
+    truss = k_truss(edges, args.truss_k, num_buckets=args.num_buckets)
+    shutil.rmtree(f"{args.out}/truss", ignore_errors=True)
+    truss.write_parquet(f"{args.out}/truss")
+    rec = reciprocity(edges, num_buckets=args.num_buckets)
+    mom = degree_moments(edges, num_buckets=args.num_buckets)
+    tri = triangle_count(edges, num_buckets=args.num_buckets)
+    n_scc = rd.read_parquet(f"{args.out}/scc").count()
+    n_truss = rd.read_parquet(f"{args.out}/truss").count()
+    print(json.dumps({
+        "out": args.out, "nodes": n_scc, "truss_k": args.truss_k,
+        "truss_edges": n_truss, "triangles": tri,
+        "reciprocity": rec, "assortativity": mom,
+    }))
+    return 0
+
+
 def cmd_s2(args) -> int:
     """Spherical S2-style cell aggregate of a points parquet: encode
     lon/lat to level-`--level` Hilbert cells, one hash-shuffle sum per
@@ -1037,6 +1079,19 @@ def main(argv=None) -> int:
     kc.add_argument("--k", type=int, default=3)
     kc.add_argument("--num-buckets", type=int, default=64)
     kc.set_defaults(fn=cmd_kcore)
+
+    gs = sub.add_parser(
+        "graphstats",
+        help="SCC + k-truss + whole-graph link statistics of (src,dst) edges",
+    )
+    gs.add_argument("--input", required=True)
+    gs.add_argument("--out", required=True)
+    gs.add_argument("--truss-k", type=int, default=3)
+    gs.add_argument("--num-buckets", type=int, default=64)
+    gs.add_argument("--engine", default="auto",
+                    choices=["auto", "local", "distributed"],
+                    help="SCC engine (auto = bounded Tarjan pull below threshold)")
+    gs.set_defaults(fn=cmd_graphstats)
 
     s2 = sub.add_parser("s2", help="spherical S2-style cell aggregate")
     s2.add_argument("--input", required=True, help="input parquet glob")

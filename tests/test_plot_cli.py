@@ -896,3 +896,41 @@ def test_cli_dedup_ppjoin(tmp_path):
     assert summary["rows_in"] == 60 and summary["rows_kept"] == 30
     kept = pq.read_table(str(tmp_path / "keep")).to_pandas()
     assert sorted(kept.doc_id) == list(range(30))
+
+
+def test_cli_graphstats(tmp_path):
+    """graphstats: SCC + truss parquet outputs + the JSON stats line."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    edir = tmp_path / "edges"
+    edir.mkdir()
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4)]          # one 3-cycle + a chain
+    edges += [(10, 11), (11, 10)]                     # a mutual pair
+    edges += [(a, b) for a, b in itertools.combinations(range(20, 24), 2)]
+    pq.write_table(
+        pa.table({"src": pa.array([e[0] for e in edges], type=pa.int64()),
+                  "dst": pa.array([e[1] for e in edges], type=pa.int64())}),
+        str(edir / "e.parquet"),
+    )
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "--num-cpus", "4",
+         "graphstats", "--input", str(edir / "*.parquet"),
+         "--out", str(tmp_path / "gs"), "--truss-k", "4"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    # K4 clique: 6 edges survive 4-truss; 4 triangles + the 3-cycle = 5
+    assert info["truss_edges"] == 6
+    assert info["triangles"] == 5
+    # mutual pair + the 3-cycle are the reciprocated directed edges
+    assert info["reciprocity"]["mutual"] == 2
+    scc = pq.read_table(str(tmp_path / "gs" / "scc")).to_pydict()
+    lab = dict(zip(scc["node"], scc["scc"]))
+    assert lab[0] == lab[1] == lab[2] == 0 and lab[3] == 3 and lab[4] == 4
