@@ -2582,6 +2582,37 @@ def _q_ivf_topk(sf_dir: str):
              "rank": t["rank"].cast(pa.int64())}
         )
 
+    # sixth path ('kmeans'): distributed Lloyd's k-means over the FULL
+    # embeddings table in exact integer arithmetic
+    # (cluster.kmeans_lloyd_int: ×100 floor-quantized vectors, exact
+    # int distances with lowest-id tie-break, half-up rational-mean
+    # rounding — every iteration bit-identical at any partitioning).
+    # Rows: every vector's final assignment (qid=cluster, rank=0) +
+    # the k×dim centroid pins (vec_id = −1−dim, rank = the centroid
+    # coordinate).
+    from rayraster.cluster import kmeans_lloyd_int
+
+    km_assign, km_C = kmeans_lloyd_int(
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM,
+    )
+    km_rows = km_assign.map_batches(
+        lambda t: pa.table(
+            {"qid": t["cluster"], "vec_id": t["vec_id"],
+             "rank": pa.array(np.zeros(t.num_rows, dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    cent_rows = pa.table(
+        {"qid": pa.array(
+            np.repeat(np.arange(_KM_K, dtype=np.int64), _KM_DIM)),
+         "vec_id": pa.array(
+            np.tile(-1 - np.arange(_KM_DIM, dtype=np.int64), _KM_K)),
+         "rank": pa.array(km_C.reshape(-1).astype(np.int64))}
+    )
+
     return pa.concat_tables(
         [
             _tag_table(inmem, "inmem"),
@@ -2589,8 +2620,15 @@ def _q_ivf_topk(sf_dir: str):
             _tag_table(text_rows, "text"),
             _tag_table(conform(pq_rows), "pq"),
             _tag_table(conform(sq_rows), "sq"),
+            _tag_table(
+                pa.Table.from_pandas(km_rows, preserve_index=False), "kmeans"
+            ),
+            _tag_table(cent_rows, "kmeans"),
         ]
     )
+
+
+_KM_K, _KM_ITERS, _KM_DIM = 4, 2, 8
 
 
 def _planted_grid_vectors(n: int = 48, d: int = 16) -> np.ndarray:
@@ -2610,6 +2648,65 @@ def _planted_grid_vectors(n: int = 48, d: int = 16) -> np.ndarray:
     return v
 
 
+def _sql_kmeans_arm(k: int = _KM_K, iters: int = _KM_ITERS,
+                    dim: int = _KM_DIM) -> str:
+    """Twin of the s2 'kmeans' arm: unrolled exact-integer Lloyd
+    iterations — x100 floor-quantized per-dim columns, ROW_NUMBER
+    argmin with the cluster-id tie-break, and the same half-up
+    rational-mean rounding ``(2*sum + n) // (2n)`` per update."""
+    # +200 shift mirrors the engine's non-negative domain (DuckDB //
+    # truncates, numpy floors — they agree only on non-negatives)
+    dcols = ", ".join(
+        f"CAST(floor(CAST(embedding[{d+1}] AS DOUBLE) * 100) AS BIGINT)"
+        f" + 200 AS d{d}"
+        for d in range(dim)
+    )
+    ctes = [
+        f"ke AS MATERIALIZED (SELECT vec_id AS id, {dcols} FROM embeddings)",
+        "kc0 AS (SELECT id AS j, "
+        + ", ".join(f"d{d} AS m{d}" for d in range(dim))
+        + f" FROM ke WHERE id < {k})",
+    ]
+    for it in range(1, iters + 1):
+        dist = " + ".join(
+            f"(e.d{d} - c.m{d}) * (e.d{d} - c.m{d})" for d in range(dim)
+        )
+        ctes.append(f"""ka{it} AS MATERIALIZED (
+  SELECT id, j FROM (
+    SELECT e.id, c.j,
+           ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {dist}, c.j) AS rn
+    FROM ke e CROSS JOIN kc{it-1} c
+  ) WHERE rn = 1
+)""")
+        means = ", ".join(
+            f"(2 * CAST(SUM(e.d{d}) AS BIGINT) + COUNT(*)) // (2 * COUNT(*))"
+            f" AS m{d}"
+            for d in range(dim)
+        )
+        ctes.append(
+            f"kc{it} AS MATERIALIZED (SELECT a.j, {means} "
+            f"FROM ka{it} a JOIN ke e USING (id) GROUP BY a.j)"
+        )
+    dist_f = " + ".join(
+        f"(e.d{d} - c.m{d}) * (e.d{d} - c.m{d})" for d in range(dim)
+    )
+    ctes.append(f"""kaf AS (
+  SELECT id, j FROM (
+    SELECT e.id, c.j,
+           ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {dist_f}, c.j) AS rn
+    FROM ke e CROSS JOIN kc{iters} c
+  ) WHERE rn = 1
+)""")
+    cent_arms = "\nUNION ALL\n".join(
+        f"SELECT j AS qid, CAST({-1-d} AS BIGINT) AS vec_id, "
+        f'CAST(m{d} AS BIGINT) AS "rank" FROM kc{iters}'
+        for d in range(dim)
+    )
+    return ("WITH " + ",\n".join(ctes)
+            + '\nSELECT j AS qid, id AS vec_id, CAST(0 AS BIGINT) AS "rank" '
+            + "FROM kaf\nUNION ALL\n" + cent_arms)
+
+
 def _sql_ivf_topk() -> str:
     base = _sql_ivf_base()
     planted = _sql_planted_cosine_rank()
@@ -2621,7 +2718,9 @@ SELECT qid, vec_id, "rank", 'text' AS path FROM ({_sql_text_embed_topk()})
 UNION ALL
 SELECT qid, vec_id, "rank", 'pq' AS path FROM ({planted})
 UNION ALL
-SELECT qid, vec_id, "rank", 'sq' AS path FROM ({planted})"""
+SELECT qid, vec_id, "rank", 'sq' AS path FROM ({planted})
+UNION ALL
+SELECT qid, vec_id, "rank", 'kmeans' AS path FROM ({_sql_kmeans_arm()})"""
 
 
 def _sql_planted_cosine_rank(n: int = 48, d: int = 16, k: int = 10) -> str:

@@ -581,3 +581,130 @@ def dbscan_labels(
         batch_format="pyarrow",
     )
     return labeled.union(noise)
+
+
+def kmeans_lloyd_int(
+    ds,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+    dim: int,
+    qscale: float = 100.0,
+    num_partitions: int = 8,
+):
+    """Distributed Lloyd's k-means over the FULL corpus in EXACT
+    INTEGER arithmetic — the deterministic clustering companion of the
+    float/sample-based :func:`rayraster.similarity.kmeans_centroids`:
+    vectors are ×``qscale`` floor-quantized int64, distances are exact
+    integer sums of squares (argmin ties break to the lowest cluster
+    id), and each update rounds the exact rational mean half-up per
+    dimension (``(2·Σx + n) // (2n)`` — floor division, matching SQL
+    ``//``), so every iteration is bit-identical at any partitioning
+    and reproducible by an unrolled SQL twin.
+
+    Per iteration: centroids ship once via ``ray.put``; one map pass
+    emits k·(dim+1) partial-sum rows per batch (assignment sums +
+    counts, never row data); one tiny grouped sum lands k·(dim+1) rows
+    on the driver.  An empty cluster raises (the twin cannot represent
+    carry-forward; seed from data ids 0..k−1 so it never triggers on
+    real corpora).
+
+    Returns ``(assignments, centroids)``: a Dataset of ``(id_col,
+    cluster)`` under the FINAL centroids, and the (k, dim) int64
+    centroid matrix in the shifted quantized domain (subtract
+    ``2·qscale`` and divide by ``qscale`` for approximate original
+    coordinates)."""
+    import ray
+    import ray.data as rd
+
+    from rayraster.agg import hash_aggregate
+    from rayraster.similarity import list_col_to_matrix
+
+    if k < 1 or iters < 1 or dim < 1:
+        raise ValueError("kmeans_lloyd_int: k, iters, dim must be >= 1")
+
+    def qmat(t: pa.Table) -> np.ndarray:
+        # +2*qscale shift: keeps every quantized coordinate (and hence
+        # every sum) non-negative for unit-scale embeddings, so the
+        # update's floor division agrees with SQL's truncating `//`
+        # (they diverge on negatives); distances are shift-invariant
+        # and the shift passes through the rounded mean exactly
+        # (adding a multiple of 2n never changes the remainder)
+        X = list_col_to_matrix(t[vec_col]).astype(np.float64)[:, :dim]
+        return (np.floor(X * float(qscale)).astype(np.int64)
+                + np.int64(2 * int(qscale)))
+
+    seed_rows = ds.map_batches(
+        lambda t: t.filter(
+            pa.array(t[id_col].to_numpy(zero_copy_only=False) < k)
+        ),
+        batch_format="pyarrow",
+    ).take_all()  # exactly k seed rows — bounded driver pull
+    seed_rows.sort(key=lambda r: r[id_col])
+    if len(seed_rows) != k:
+        raise ValueError(
+            f"kmeans_lloyd_int: need seed ids 0..{k-1} present, "
+            f"got {len(seed_rows)} rows"
+        )
+    seed_t = pa.table(
+        {id_col: pa.array([r[id_col] for r in seed_rows]),
+         vec_col: pa.array([r[vec_col] for r in seed_rows])}
+    )
+    centroids = qmat(seed_t)
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            C = ray.get(_ref)
+            X = qmat(t)
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d, axis=1)  # ties -> lowest cluster id
+            keys: list[int] = []
+            vals: list[int] = []
+            for j in range(k):
+                m = a == j
+                if not m.any():
+                    continue
+                s = X[m].sum(axis=0)
+                keys.extend((j * dim + dd) for dd in range(dim))
+                vals.extend(int(v) for v in s)
+                keys.append(k * dim + j)  # count slot
+                vals.append(int(m.sum()))
+            return pa.table(
+                {"key": pa.array(keys, type=pa.int64()),
+                 "s": pa.array(vals, type=pa.int64())}
+            )
+
+        agg = hash_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["key"], sum_cols=["s"], count=False,
+            num_partitions=min(num_partitions, 4),
+        ).to_pandas()  # k*(dim+1) rows
+        got = dict(zip(agg["key"], agg["sum_s"]))
+        new_c = np.empty_like(centroids)
+        for j in range(k):
+            n_j = int(got.get(k * dim + j, 0))
+            if n_j == 0:
+                raise ValueError(
+                    f"kmeans_lloyd_int: cluster {j} emptied — reseed or "
+                    "lower k"
+                )
+            for dd in range(dim):
+                s = int(got[j * dim + dd])
+                new_c[j, dd] = (2 * s + n_j) // (2 * n_j)
+        centroids = new_c
+
+    ref = ray.put(centroids)
+
+    def assign(t: pa.Table, _ref=ref) -> pa.Table:
+        C = ray.get(_ref)
+        X = qmat(t)
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {id_col: t[id_col],
+             "cluster": pa.array(np.argmin(d, axis=1).astype(np.int64))}
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow"), centroids

@@ -275,3 +275,51 @@ def test_st_radius_join_matches_brute(ray_session):
     assert len(got) == len(want)
     with pytest.raises(ValueError, match="together"):
         radius_join(left, right, eps, eps_t=40.0)
+
+
+def _kmeans_ref(X, k, iters):
+    C = X[:k].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d, axis=1)
+        for j in range(k):
+            m = a == j
+            assert m.any()
+            s = X[m].sum(axis=0)
+            n = int(m.sum())
+            C[j] = (2 * s + n) // (2 * n)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d, axis=1), C
+
+
+def test_kmeans_lloyd_int_exact(ray_session):
+    import ray.data as rd
+
+    from rayraster.cluster import kmeans_lloyd_int
+
+    rng = np.random.default_rng(29)
+    n, dim, k = 300, 6, 4
+    X = rng.uniform(-1, 1, (n, dim)).astype(np.float32)
+    Xq = np.floor(X.astype(np.float64) * 100.0).astype(np.int64) + 200
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([row.tolist() for row in X],
+                              type=pa.list_(pa.float32())),
+    })
+    want_a, want_c = _kmeans_ref(Xq, k, 2)
+    assign, C = kmeans_lloyd_int(
+        rd.from_arrow(t).repartition(5), "vec_id", "embedding",
+        k=k, iters=2, dim=dim,
+    )
+    got = assign.to_pandas().sort_values("vec_id")
+    assert got["cluster"].to_numpy().tolist() == want_a.tolist()
+    assert np.array_equal(C, want_c)
+    # partitioning invariance
+    assign2, C2 = kmeans_lloyd_int(
+        rd.from_arrow(t).repartition(11), "vec_id", "embedding",
+        k=k, iters=2, dim=dim,
+    )
+    assert np.array_equal(C2, C)
+    with pytest.raises(ValueError, match="k, iters, dim"):
+        kmeans_lloyd_int(rd.from_arrow(t), "vec_id", "embedding",
+                         k=0, iters=1, dim=2)
