@@ -934,3 +934,28 @@ def test_cli_graphstats(tmp_path):
     scc = pq.read_table(str(tmp_path / "gs" / "scc")).to_pydict()
     lab = dict(zip(scc["node"], scc["scc"]))
     assert lab[0] == lab[1] == lab[2] == 0 and lab[3] == 3 and lab[4] == 4
+
+
+def test_webgraph_pipeline_example(tmp_path):
+    """The examples/ web-graph composition runs end-to-end from raw
+    HTML bytes with invariant bookkeeping: 3 planted anchors per page
+    all extract (edges = 3n), the 3-out-regular graph is one giant
+    SCC, and the whole-graph scalars are sane."""
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "/root/repo/examples/webgraph_pipeline.py",
+         "--rows", "2000", "--num-cpus", "4", "--out", str(tmp_path / "wg")],
+        capture_output=True, text=True, env=env, timeout=400,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["edges"] == 3 * s["pages"]  # every planted anchor extracted
+    assert s["scc_nontrivial"] > s["pages"] // 2
+    assert 0.0 <= s["reciprocity"]["reciprocity"] <= 1.0
+    import pyarrow.parquet as pq
+
+    pr = pq.read_table(str(tmp_path / "wg/pagerank")).to_pandas()
+    assert len(pr) == s["pages"] and (pr.pr > 0).all()
+    hi = pq.read_table(str(tmp_path / "wg/hits")).to_pandas()
+    assert len(hi) == s["pages"]
