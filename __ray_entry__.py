@@ -6788,22 +6788,48 @@ SELECT * FROM (
 
 
 def _q_anti_join(sf_dir: str):
-    """Large × large ANTI join through the bucketed shuffle (orders
-    with no lineitems) — existence joins need only the right keys per
-    bucket, no broadcast of either side."""
-    from rayraster.join import bucket_join
+    """Two path-tagged ANTI-join engines under one oracle (orders with
+    no lineitems):
+
+    * 'bucket' — the plain bucketed shuffle (existence joins need only
+      the right keys per bucket, no broadcast of either side).
+    * 'bloom' — the Bloom runtime-filter pushdown
+      (join.bloom_anti_join): a blob-folded filter of the right keys
+      ships once, definite-miss left rows are CORRECT output with ZERO
+      shuffle (no false negatives), and only the hit sliver pays the
+      exact anti join — the exchange carries ~|matches| + ε·|left|
+      rows instead of |left| + |right|."""
+    from rayraster.join import bloom_anti_join, bucket_join
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    P = _parts_for(li.count())
     out = bucket_join(orders, li, "o_orderkey", "l_orderkey",
-                      num_buckets=_parts_for(li.count()), join_type="anti")
-    return out.select_columns(["o_orderkey", "o_totalprice"])
+                      num_buckets=P, join_type="anti")
+    bl = bloom_anti_join(
+        orders, li, "o_orderkey", "l_orderkey", num_buckets=P,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_totalprice", pa.float64())]
+        ),
+    )
+    return (
+        out.select_columns(["o_orderkey", "o_totalprice"])
+        .map_batches(_tagger("bucket"), batch_format="pyarrow")
+        .union(
+            bl.select_columns(["o_orderkey", "o_totalprice"]).map_batches(
+                _tagger("bloom"), batch_format="pyarrow"
+            )
+        )
+    )
 
 
 def _sql_anti_join() -> str:
-    return """SELECT o_orderkey, o_totalprice FROM orders
+    return """SELECT o_orderkey, o_totalprice, 'bucket' AS path FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+UNION ALL
+SELECT o_orderkey, o_totalprice, 'bloom' AS path FROM orders
 WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)"""
 
 

@@ -1064,3 +1064,29 @@ def test_bucket_join_stream_layout_matches_pandas(ray_session, tmp_path):
         bucket_join_stream_layout(rd.from_pandas(left), layout, "k", "full")
     with _pt.raises(FileNotFoundError):
         bucket_join_stream_layout(rd.from_pandas(left), str(tmp_path / "nope"), "k")
+
+
+def test_bloom_anti_join_identical_to_exact(ray_session):
+    import ray.data as rd
+
+    from rayraster.join import bloom_anti_join, bucket_join
+
+    rng = np.random.default_rng(37)
+    lk = rng.integers(0, 5000, 2000).astype(np.int64)
+    rk = rng.integers(2500, 7500, 1500).astype(np.int64)
+    left = pa.table({"k": pa.array(lk),
+                     "v": pa.array(np.arange(2000, dtype=np.int64))})
+    right = pa.table({"rk": pa.array(rk)})
+    lds = rd.from_arrow(left).repartition(5)
+    rds = rd.from_arrow(right).repartition(4)
+    exact = bucket_join(lds, rds, "k", "rk", num_buckets=4,
+                        join_type="anti").to_pandas()
+    # tiny filter (2^10 bits for 1500 keys) -> heavy false positives;
+    # output must STILL be identical, only the shuffle size changes
+    for bits in (10, 20):
+        got = bloom_anti_join(lds, rds, "k", "rk", num_buckets=4,
+                              log2_bits=bits).to_pandas()
+        assert (
+            sorted(map(tuple, got.values.tolist()))
+            == sorted(map(tuple, exact.values.tolist()))
+        ), bits
