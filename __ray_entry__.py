@@ -5818,9 +5818,38 @@ def _q_langid(sf_dir: str):
              "path": pa.array(["nb"] * t.num_rows, type=pa.string())}
         )
 
+    # fourth arm 'bitmap': the persisted chunked bitmap index
+    # (rayraster/bitmap.py — one bitset blob per (column, value,
+    # chunk), built by a map pass + ONE grouped OR-fold, queried by
+    # reading ONLY the probed values' blobs and ANDing bitsets per
+    # chunk; the exchange carries 8 KiB blobs, never rows)
+    import os as _os
+
+    from rayraster.bitmap import bitmap_index_build, bitmap_query
+
+    bm_path = _gate_cache_path("bitmap_idx_v1", sf_dir, n)
+    if not _os.path.isdir(bm_path) or not _os.listdir(bm_path):
+        bitmap_index_build(
+            _docs(sf_dir, columns=["doc_id", "lang", "source"]),
+            ["lang", "source"], "doc_id", bm_path, chunk_bits=12,
+        )
+    bm = bitmap_query(
+        bm_path, {"lang": "en", "source": "src1"}, "and", chunk_bits=12
+    )
+
+    def conform_bm(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "lang_pred": pa.array(["en&src1"] * m, type=pa.string()),
+             "lang_conf": pa.array(np.zeros(m, dtype=np.float64)),
+             "path": pa.array(["bitmap"] * m, type=pa.string())}
+        )
+
     return lang.union(
         ov.map_batches(conform_oov, batch_format="pyarrow"),
         nb.map_batches(conform_nb, batch_format="pyarrow"),
+        bm.map_batches(conform_bm, batch_format="pyarrow"),
     )
 
 
@@ -8042,7 +8071,11 @@ FROM documents d LEFT JOIN cov c USING (doc_id)
 UNION ALL
 SELECT doc_id, lang AS lang_pred, CAST(score AS DOUBLE) AS lang_conf,
        'nb' AS path
-FROM nbbest WHERE rn = 1"""
+FROM nbbest WHERE rn = 1
+UNION ALL
+SELECT doc_id, 'en&src1' AS lang_pred, 0.0 AS lang_conf,
+       'bitmap' AS path
+FROM documents WHERE lang = 'en' AND source = 'src1'"""
 
 
 def _sql_fingerprint() -> str:

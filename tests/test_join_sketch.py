@@ -1090,3 +1090,34 @@ def test_bloom_anti_join_identical_to_exact(ray_session):
             sorted(map(tuple, got.values.tolist()))
             == sorted(map(tuple, exact.values.tolist()))
         ), bits
+
+
+def test_bitmap_index_build_and_query(ray_session, tmp_path):
+    import ray.data as rd
+
+    from rayraster.bitmap import bitmap_index_build, bitmap_query
+
+    rng = np.random.default_rng(43)
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    lang = rng.choice(["en", "de", "fr"], n)
+    src = rng.choice(["a", "b"], n)
+    t = pa.table({"doc_id": pa.array(ids), "lang": pa.array(lang),
+                  "source": pa.array(src)})
+    idx = str(tmp_path / "bm")
+    # tiny chunks so many chunk blobs exist
+    bitmap_index_build(rd.from_arrow(t).repartition(7), ["lang", "source"],
+                       "doc_id", idx, chunk_bits=8)
+    want_and = set(ids[(lang == "en") & (src == "b")].tolist())
+    got = bitmap_query(idx, {"lang": "en", "source": "b"}, "and",
+                       chunk_bits=8).to_pandas()
+    assert set(got["doc_id"]) == want_and
+    want_or = set(ids[(lang == "de") | (src == "a")].tolist())
+    got_or = bitmap_query(idx, {"lang": "de", "source": "a"}, "or",
+                          chunk_bits=8).to_pandas()
+    assert set(got_or["doc_id"]) == want_or
+    # missing value -> empty under AND
+    assert bitmap_query(idx, {"lang": "zz", "source": "a"}, "and",
+                        chunk_bits=8).count() == 0
+    with pytest.raises(ValueError, match="mode"):
+        bitmap_query(idx, {"lang": "en"}, "xor")
