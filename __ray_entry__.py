@@ -6877,7 +6877,54 @@ def _q_watermark_window(sf_dir: str):
         sf_dir, columns=["event_id", "ts", "event_type", "value"]
     )
     out = watermark_tumbling(ev, delay_us=_W4_DELAY)
-    return out.select_columns(["event_type", "window", "min_value", "max_value", "n"])
+    water = out.select_columns(
+        ["event_type", "window", "min_value", "max_value", "n"]
+    ).map_batches(_tagger("water"), batch_format="pyarrow")
+
+    # second arm ('acf'): lag-k autocorrelation product sums of each
+    # type's HOURLY count series (windows.lagged_products — the series
+    # fans out once per lag with the shifted key, ONE string-keyed
+    # bucket_join co-locates every (t, t−k) pair, exact int64 product
+    # folds; absent hours contribute 0 via the inner join).  lag 0 =
+    # the Σc² denominator.  Packing: window=lag, min_value=num,
+    # max_value=0, n=series length T.
+    from rayraster.agg import hash_aggregate as _ha4
+    from rayraster.windows import lagged_products
+
+    def hourly(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"event_type": t["event_type"],
+             "h": pc.divide(us, pa.scalar(3_600_000_000, type=pa.int64()))}
+        )
+
+    counts = _ha4(
+        ev.map_batches(hourly, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "h"], count=True, count_name="c", num_partitions=8,
+    ).materialize()  # consumed twice: products + series lengths
+    tlen = {
+        r["event_type"]: r["n"]
+        for r in _ha4(
+            counts, ["event_type"], count=True, num_partitions=2
+        ).take_all()
+    }  # bounded: one row per event type
+    lp = lagged_products(counts, "event_type", "h", "c", [0, 1, 2, 3],
+                         num_partitions=8)
+
+    def acf_rows(t: pa.Table) -> pa.Table:
+        ets = t["event_type"].to_pylist()
+        return pa.table(
+            {"event_type": t["event_type"],
+             "window": t["lag"].cast(pa.int64()),
+             "min_value": t["num"].cast(pa.float64()),
+             "max_value": pa.array(np.zeros(t.num_rows, dtype=np.float64)),
+             "n": pa.array([int(tlen[e]) for e in ets], type=pa.int64()),
+             "path": pa.array(["acf"] * t.num_rows, type=pa.string())}
+        )
+
+    return water.union(lp.map_batches(acf_rows, batch_format="pyarrow"))
 
 
 def _sql_watermark_window() -> str:
@@ -6887,10 +6934,26 @@ def _sql_watermark_window() -> str:
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
   FROM events
 ),
-k AS (SELECT * FROM m WHERE wm IS NULL OR ts_us >= wm - {_W4_DELAY})
+k AS (SELECT * FROM m WHERE wm IS NULL OR ts_us >= wm - {_W4_DELAY}),
+hc AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+ht AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t FROM hc GROUP BY 1)
 SELECT event_type, ts_us // 3600000000 AS "window",
-       min(value) AS min_value, max(value) AS max_value, COUNT(*) AS n
-FROM k GROUP BY 1, 2"""
+       min(value) AS min_value, max(value) AS max_value, COUNT(*) AS n,
+       'water' AS path
+FROM k GROUP BY 1, 2, 6
+UNION ALL
+SELECT a.event_type, l.lag AS "window",
+       CAST(SUM(a.c * b.c) AS DOUBLE) AS min_value, 0.0 AS max_value,
+       any_value(ht.t) AS n, 'acf' AS path
+FROM (VALUES (0), (1), (2), (3)) l(lag)
+JOIN hc a ON TRUE
+JOIN hc b ON b.event_type = a.event_type AND b.h = a.h - l.lag
+JOIN ht ON ht.event_type = a.event_type
+GROUP BY a.event_type, l.lag"""
 
 
 def _q_session_windows(sf_dir: str):

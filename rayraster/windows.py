@@ -1063,3 +1063,86 @@ def trajectory_trips(
 
     parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
     return parted.groupby("_part").map_groups(solve, batch_format="pyarrow")
+
+
+def lagged_products(
+    ds: Dataset,
+    group_col: str,
+    t_col: str,
+    val_col: str,
+    lags: "list[int]",
+    num_partitions: int = 8,
+) -> Dataset:
+    """Per-group lag-k product sums over an integer time grid — the
+    autocorrelation ingredient: ``num_k(g) = Σ_t v(g, t) · v(g, t−k)``
+    with absent grid cells contributing 0 (the inner join drops
+    them).  With v = per-hour event counts, ``num_k / num_0`` is the
+    raw lag-k autocorrelation of the series.
+
+    Plan: the series fans out once per lag with the shifted key
+    ``g:(t−k)``, ONE string-keyed ``bucket_join`` co-locates every
+    (t, t−k) pair, and exact int64 product partials fold per
+    (group, lag).  Everything is a Dataset op; the fan-out is
+    |lags| × |series rows|.
+
+    Returns ``(group_col, lag, num)`` — include lag 0 in ``lags`` for
+    the Σv² denominator."""
+    import pyarrow.compute as pc
+
+    from rayraster.agg import hash_aggregate
+    from rayraster.join import bucket_join
+
+    if not lags:
+        raise ValueError("lagged_products: need at least one lag")
+
+    def rside(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(t[group_col], pa.string()),
+            pc.cast(t[t_col], pa.string()), ":",
+        )
+        return pa.table({"rk": k, "rv": t[val_col].cast(pa.int64())})
+
+    def lside(t: pa.Table) -> pa.Table:
+        parts = []
+        tt = t[t_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        for lag in lags:
+            k = pc.binary_join_element_wise(
+                pc.cast(t[group_col], pa.string()),
+                pc.cast(pa.array(tt - lag), pa.string()), ":",
+            )
+            parts.append(pa.table(
+                {"lk": k, "grp": pc.cast(t[group_col], pa.string()),
+                 "lag": pa.array(np.full(t.num_rows, lag, dtype=np.int64)),
+                 "lv": t[val_col].cast(pa.int64())}
+            ))
+        return pa.concat_tables(parts)
+
+    rds = ds.map_batches(rside, batch_format="pyarrow")
+    lds = ds.map_batches(lside, batch_format="pyarrow")
+    j = bucket_join(
+        lds, rds, "lk", "rk", num_buckets=num_partitions,
+        left_schema=pa.schema(
+            [("lk", pa.string()), ("grp", pa.string()),
+             ("lag", pa.int64()), ("lv", pa.int64())]
+        ),
+        right_schema=pa.schema([("rk", pa.string()), ("rv", pa.int64())]),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        prod = (t["lv"].to_numpy(zero_copy_only=False)
+                * t["rv"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"grp": t["grp"], "lag": t["lag"], "p": pa.array(prod)}
+        )
+
+    out = hash_aggregate(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["grp", "lag"], sum_cols=["p"], count=False,
+        num_partitions=min(num_partitions, 4),
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {group_col: t["grp"], "lag": t["lag"], "num": t["sum_p"]}
+        ),
+        batch_format="pyarrow",
+    )

@@ -1371,3 +1371,31 @@ def test_trajectory_trips_matches_sql_windows(ray_session):
     assert got["start"].tolist() == want["start"].tolist()
     assert got["end"].tolist() == want["end"].tolist()
     assert got["qlen"].tolist() == want["qlen"].tolist()
+
+
+def test_lagged_products_matches_brute(ray_session):
+    from rayraster.windows import lagged_products
+
+    rng = np.random.default_rng(47)
+    rows = []
+    for g in ("a", "b"):
+        hours = sorted(rng.choice(200, 60, replace=False).tolist())
+        for h in hours:
+            rows.append((g, h, int(rng.integers(1, 9))))
+    t = pa.table({"g": pa.array([r[0] for r in rows]),
+                  "h": pa.array([r[1] for r in rows], type=pa.int64()),
+                  "v": pa.array([r[2] for r in rows], type=pa.int64())})
+    got = {
+        (r.g, r.lag): r.num
+        for r in lagged_products(
+            rd.from_arrow(t).repartition(4), "g", "h", "v", [0, 1, 2, 3],
+            num_partitions=4,
+        ).to_pandas().itertuples()
+    }
+    series = {}
+    for g, h, v in rows:
+        series.setdefault(g, {})[h] = v
+    for g, s in series.items():
+        for k in (0, 1, 2, 3):
+            want = sum(v * s.get(h - k, 0) for h, v in s.items())
+            assert got.get((g, k), 0) == want, (g, k)
