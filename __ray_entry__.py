@@ -2889,6 +2889,23 @@ def _events(sf_dir: str, columns=("event_id",), blocks: int | None = None):
     )
 
 
+def _tbl(sf_dir: str, name: str, columns, blocks: int | None = None):
+    """Any gate table, column-pruned, read-block count sized from
+    parquet metadata — the same per-block fixed-cost rationale as
+    :func:`_docs` / :func:`_events`, applied to the TPC-H-ish join
+    tables (an uncapped lineitem read hands the j-gates 64+ tiny
+    blocks per exchange)."""
+    if blocks is None:
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(f"{sf_dir}/{name}.parquet").num_rows
+        blocks = max(8, min(32, n // 4096))
+    return rd.read_parquet(
+        f"{sf_dir}/{name}.parquet", columns=list(columns),
+        override_num_blocks=blocks,
+    )
+
+
 def _gate_cache_path(name: str, sf_dir: str, n: int) -> str:
     """Reusable-layout cache path BOUND to the corpus identity: two sf
     dirs can share a row count (sf0.001 and sf0.01 both hold 500 docs)
@@ -6372,9 +6389,7 @@ def _q_join(sf_dir: str):
     from rayraster.agg import hash_aggregate
     from rayraster.join import broadcast_join
 
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-    )
+    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
@@ -6401,9 +6416,7 @@ def _q_join(sf_dir: str):
             }
         )
 
-    custf = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
-    )
+    custf = _tbl(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
     ).rename_columns(["c_nationkey", "n_regionkey"])
@@ -6830,10 +6843,8 @@ def _q_anti_join(sf_dir: str):
       rows instead of |left| + |right|."""
     from rayraster.join import bloom_anti_join, bucket_join
 
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
-    )
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey"])
     P = _parts_for(li.count())
     out = bucket_join(orders, li, "o_orderkey", "l_orderkey",
                       num_buckets=P, join_type="anti")
@@ -7231,12 +7242,8 @@ def _q_bucket_join(sf_dir: str):
     from rayraster.agg import hash_aggregate
     from rayraster.join import bucket_join, bucket_join_prebucketed, write_bucketed
 
-    li = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
-    )
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
-    )
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     parts = _parts_for(li.count())
 
     def agg(joined):
@@ -7403,7 +7410,7 @@ def _q_range_join(sf_dir: str):
     from rayraster.agg import hash_aggregate
     from rayraster.join import range_join
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    orders = _tbl(sf_dir, "orders", ["o_totalprice"])
     bands = pa.table(
         {
             "band": pa.array([b[0] for b in PRICE_BANDS]),
