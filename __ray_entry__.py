@@ -298,7 +298,63 @@ def _q_square_mean(sf_dir: str):
     rs = rs.map_batches(conform_rs, batch_format="pyarrow").map_batches(
         _tagger("resample"), batch_format="pyarrow"
     )
-    return base.union(idw, kde, trend, rs)
+    # path='tmom' — spatiotemporal CHANGE-DETECTION moments: events
+    # geocode to a fixed 30° grid, per (cell, hour) activity counts
+    # fold into per-cell exact OLS-over-time ingredients (n active
+    # hours, Σh', Σh'², Σv·h', Σv with h' rebased to the corpus min
+    # hour) — slope = the standard closed form over five exact ints;
+    # TWO grouped exchanges, nothing driver-side but one min-hour
+    # scalar.  Packing: cx=Σh', cy=Σh'², num_cell=n,
+    # sum_n_chars=Σv·h', mean_n_chars=Σv.
+    from rayraster.agg import hash_aggregate as _ha2
+    from rayraster.geo import geocode_id as _geo2
+
+    def tprep(t: pa.Table) -> pa.Table:
+        x, y = _geo2(t["event_id"].to_numpy(zero_copy_only=False))
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        h = us.to_numpy(zero_copy_only=False) // np.int64(3_600_000_000)
+        return pa.table(
+            {"ix": pa.array(np.floor((x + 180.0) / 30.0).astype(np.int64)),
+             "iy": pa.array(np.floor((y + 90.0) / 30.0).astype(np.int64)),
+             "h": pa.array(h)}
+        )
+
+    tcounts = _ha2(
+        _events(sf_dir, columns=["event_id", "ts"]).map_batches(
+            tprep, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["ix", "iy", "h"], count=True, count_name="v", num_partitions=8,
+    ).materialize()  # consumed twice: min-hour scalar + moments
+    hmin = tcounts.min("h")
+
+    def tmom_cols(t: pa.Table) -> pa.Table:
+        hp = t["h"].to_numpy(zero_copy_only=False) - np.int64(hmin)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"ix": t["ix"], "iy": t["iy"], "sh": pa.array(hp),
+             "sh2": pa.array(hp * hp), "svh": pa.array(v * hp),
+             "sv": pa.array(v)}
+        )
+
+    tm2 = _ha2(
+        tcounts.map_batches(tmom_cols, batch_format="pyarrow"),
+        ["ix", "iy"], sum_cols=["sh", "sh2", "svh", "sv"], count=True,
+        count_name="n", num_partitions=4,
+    )
+
+    def tmom_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"ix": t["ix"], "iy": t["iy"],
+             "cx": t["sum_sh"].cast(pa.float64()),
+             "cy": t["sum_sh2"].cast(pa.float64()),
+             "num_cell": t["n"].cast(pa.int64()),
+             "sum_n_chars": t["sum_svh"].cast(pa.int64()),
+             "mean_n_chars": t["sum_sv"].cast(pa.float64()),
+             "path": pa.array(["tmom"] * t.num_rows, type=pa.string())}
+        )
+
+    tmom = tm2.map_batches(tmom_rows, batch_format="pyarrow")
+    return base.union(idw, kde, trend, rs, tmom)
 
 
 def _q_celltype(sf_dir: str):
@@ -1779,6 +1835,31 @@ FROM (
          r.num_cell, r.sum_wv,
          CAST(r.sum_wv AS DOUBLE) / CAST(r.sum_w AS DOUBLE) AS val
   FROM ragg r, bb b
+)
+UNION ALL
+SELECT ix, iy, cx, cy, num_cell, sum_n_chars, mean_n_chars,
+       'tmom' AS path
+FROM (
+  WITH tev AS (
+    SELECT CAST(floor(((-180.0 + ((((event_id) * 2654435761) % 1000003)
+             / 1000003.0) * 360.0) + 180.0) / 30.0) AS BIGINT) AS ix,
+           CAST(floor(((-90.0 + ((((event_id) * 97003 + 7919) % 1000033)
+             / 1000033.0) * 180.0) + 90.0) / 30.0) AS BIGINT) AS iy,
+           epoch_us(ts) // 3600000000 AS h
+    FROM events
+  ),
+  tcn AS (
+    SELECT ix, iy, h, CAST(COUNT(*) AS BIGINT) AS v
+    FROM tev GROUP BY 1, 2, 3
+  ),
+  tmn AS (SELECT MIN(h) AS m FROM tcn)
+  SELECT ix, iy,
+         CAST(SUM(h - m) AS DOUBLE) AS cx,
+         CAST(SUM((h - m) * (h - m)) AS DOUBLE) AS cy,
+         COUNT(*) AS num_cell,
+         CAST(SUM(v * (h - m)) AS BIGINT) AS sum_n_chars,
+         CAST(SUM(v) AS DOUBLE) AS mean_n_chars
+  FROM tcn, tmn GROUP BY ix, iy
 )"""
 
 
