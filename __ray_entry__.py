@@ -6449,12 +6449,35 @@ def _q_window(sf_dir: str):
             }
         )
 
+    # 'qnorm' — per-row quantile normalization (agg.grouped_ranks):
+    # every event's DOUBLED average rank within its type (exact int64
+    # under ties) + the group size — two_rank/(2·n_g) is the uniform
+    # transform.  One group-hash exchange + in-partition tie runs.
+    # Packing: window=event_id, min_value=two_rank, max_value=qv,
+    # n=n_g.
+    from rayraster.agg import grouped_ranks
+
+    qn = grouped_ranks(q, "event_type", "qv", num_partitions=8)
+
+    def qnorm_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window": t["event_id"].cast(pa.int64()),
+                "min_value": t["two_rank"].cast(pa.float64()),
+                "max_value": t["qv"].cast(pa.float64()),
+                "n": t["n_g"].cast(pa.int64()),
+                "path": pa.array(["qnorm"] * t.num_rows, type=pa.string()),
+            }
+        )
+
     return tumb.union(
         rd.from_arrow(zstats_rows()),
         top.map_batches(zout_rows, batch_format="pyarrow"),
         ru.map_batches(gs_rows("rollup"), batch_format="pyarrow"),
         cu.map_batches(gs_rows("cube"), batch_format="pyarrow"),
         tagg.map_batches(ntile_rows, batch_format="pyarrow"),
+        qn.map_batches(qnorm_rows, batch_format="pyarrow"),
     )
 
 
@@ -8342,7 +8365,21 @@ SELECT '__ntile__' AS event_type, tile AS window,
        COUNT(*) AS n, 'ntile' AS path
 FROM (SELECT qv, CAST(NTILE(16) OVER (ORDER BY qv, event_id) AS BIGINT) AS tile
       FROM q)
-GROUP BY tile"""
+GROUP BY tile
+UNION ALL
+SELECT event_type, event_id AS window,
+       CAST(two_rank AS DOUBLE) AS min_value,
+       CAST(qv AS DOUBLE) AS max_value, n_g AS n, 'qnorm' AS path
+FROM (
+  SELECT event_type, event_id, qv,
+         CAST(2 * AVG(CAST(r AS DOUBLE)) OVER (PARTITION BY event_type, qv)
+              AS BIGINT) AS two_rank,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_g
+  FROM (SELECT event_type, event_id, qv,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY qv, event_id) AS r
+        FROM q)
+)"""
 
 
 def _sql_join() -> str:

@@ -1399,3 +1399,35 @@ def test_lagged_products_matches_brute(ray_session):
         for k in (0, 1, 2, 3):
             want = sum(v * s.get(h - k, 0) for h, v in s.items())
             assert got.get((g, k), 0) == want, (g, k)
+
+
+def test_grouped_ranks_matches_sql_window(ray_session):
+    import duckdb
+
+    from rayraster.agg import grouped_ranks
+
+    rng = np.random.default_rng(53)
+    n = 400
+    g = rng.choice(["a", "b", "c"], n).tolist()
+    v = rng.integers(0, 15, n).astype(np.int64)  # heavy ties
+    eid = np.arange(n, dtype=np.int64)
+    t = pa.table({"g": pa.array(g), "v": pa.array(v), "eid": pa.array(eid)})
+    got = (
+        grouped_ranks(rd.from_arrow(t).repartition(5), "g", "v",
+                      num_partitions=4)
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    want = duckdb.sql("""
+        SELECT eid,
+               CAST(2 * avg_r AS BIGINT) AS two_rank,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n_g
+        FROM (SELECT g, eid,
+                     AVG(CAST(r AS DOUBLE)) OVER (PARTITION BY g, v) AS avg_r
+              FROM (SELECT g, v, eid,
+                           ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, eid)
+                             AS r
+                    FROM t))
+        ORDER BY eid
+    """).df()
+    assert got["two_rank"].tolist() == want["two_rank"].tolist()
+    assert got["n_g"].tolist() == want["n_g"].tolist()
