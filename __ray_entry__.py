@@ -2694,6 +2694,26 @@ def _q_ivf_topk(sf_dir: str):
          "rank": pa.array(km_C.reshape(-1).astype(np.int64))}
     )
 
+    # seventh path ('kcenter'): greedy farthest-point CORE-SET
+    # selection (cluster.kcenter_select — the diversity sampler): k=6
+    # picks in order, exact int distances in the same quantized domain
+    # as 'kmeans', lowest-id tie-break; per round one map pass emits
+    # each batch's champion scalar.  Rows: (qid=pick index,
+    # vec_id=selected id).
+    from rayraster.cluster import kcenter_select
+
+    picks = kcenter_select(
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        "vec_id", "embedding", k=6, dim=_KM_DIM,
+    )
+    kc_rows = pa.table(
+        {"qid": pa.array(np.arange(len(picks), dtype=np.int64)),
+         "vec_id": pa.array(picks, type=pa.int64()),
+         "rank": pa.array(np.zeros(len(picks), dtype=np.int64))}
+    )
+
     return pa.concat_tables(
         [
             _tag_table(inmem, "inmem"),
@@ -2705,6 +2725,7 @@ def _q_ivf_topk(sf_dir: str):
                 pa.Table.from_pandas(km_rows, preserve_index=False), "kmeans"
             ),
             _tag_table(cent_rows, "kmeans"),
+            _tag_table(kc_rows, "kcenter"),
         ]
     )
 
@@ -2788,6 +2809,44 @@ def _sql_kmeans_arm(k: int = _KM_K, iters: int = _KM_ITERS,
             + "FROM kaf\nUNION ALL\n" + cent_arms)
 
 
+def _sql_kcenter_arm(k: int = 6, dim: int = _KM_DIM) -> str:
+    """Twin of the s2 'kcenter' arm: unrolled greedy farthest-point
+    rounds — same quantized domain as the kmeans twin, max-min
+    distance argmax with the lowest-id tie-break per round."""
+    dcols = ", ".join(
+        f"CAST(floor(CAST(embedding[{d+1}] AS DOUBLE) * 100) AS BIGINT)"
+        f" + 200 AS d{d}"
+        for d in range(dim)
+    )
+    dist = " + ".join(
+        f"(e.d{d} - s.d{d}) * (e.d{d} - s.d{d})" for d in range(dim)
+    )
+    ctes = [
+        f"fce AS MATERIALIZED (SELECT vec_id AS id, {dcols} FROM embeddings)",
+        "fsel0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS r)",
+    ]
+    for r in range(1, k):
+        ctes.append(f"""fmd{r} AS MATERIALIZED (
+  SELECT e.id, MIN({dist}) AS d
+  FROM fce e CROSS JOIN (
+    SELECT kk.* FROM fce kk JOIN fsel{r-1} s0 ON kk.id = s0.id
+  ) s
+  GROUP BY e.id
+)""")
+        ctes.append(f"""fpick{r} AS (
+  SELECT id FROM fmd{r}
+  WHERE id NOT IN (SELECT id FROM fsel{r-1})
+  ORDER BY d DESC, id LIMIT 1
+)""")
+        ctes.append(
+            f"fsel{r} AS (SELECT id, r FROM fsel{r-1} "
+            f"UNION ALL SELECT id, CAST({r} AS BIGINT) AS r FROM fpick{r})"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f'\nSELECT r AS qid, id AS vec_id, CAST(0 AS BIGINT) AS "rank" '
+            + f"FROM fsel{k-1}")
+
+
 def _sql_ivf_topk() -> str:
     base = _sql_ivf_base()
     planted = _sql_planted_cosine_rank()
@@ -2801,7 +2860,9 @@ SELECT qid, vec_id, "rank", 'pq' AS path FROM ({planted})
 UNION ALL
 SELECT qid, vec_id, "rank", 'sq' AS path FROM ({planted})
 UNION ALL
-SELECT qid, vec_id, "rank", 'kmeans' AS path FROM ({_sql_kmeans_arm()})"""
+SELECT qid, vec_id, "rank", 'kmeans' AS path FROM ({_sql_kmeans_arm()})
+UNION ALL
+SELECT qid, vec_id, "rank", 'kcenter' AS path FROM ({_sql_kcenter_arm()})"""
 
 
 def _sql_planted_cosine_rank(n: int = 48, d: int = 16, k: int = 10) -> str:

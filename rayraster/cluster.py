@@ -708,3 +708,90 @@ def kmeans_lloyd_int(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow"), centroids
+
+
+def kcenter_select(
+    ds,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dim: int,
+    seed_id: int = 0,
+    qscale: float = 100.0,
+):
+    """Greedy k-center (farthest-point) CORE-SET selection — the
+    diversity sampler for training data (Sener & Savarese 2018: pick
+    the point farthest from the chosen set, k times).  Exact integer
+    arithmetic end-to-end: vectors share :func:`kmeans_lloyd_int`'s
+    ×``qscale`` floor-quantized non-negative domain, distances are
+    int64 sums of squares, and the argmax breaks ties to the LOWEST
+    id — so the selected set is bit-identical at any partitioning and
+    reproducible by an unrolled SQL twin.
+
+    Per round: the chosen matrix ships via ``ray.put``, one map pass
+    emits each batch's (farthest-distance, id) champion — k scalars
+    per round land on the driver, never rows.
+
+    Returns the list of k selected ids in pick order (seed first)."""
+    import ray
+
+    from rayraster.similarity import list_col_to_matrix
+
+    if k < 1 or dim < 1:
+        raise ValueError("kcenter_select: k and dim must be >= 1")
+
+    def qmat(t: pa.Table) -> np.ndarray:
+        X = list_col_to_matrix(t[vec_col]).astype(np.float64)[:, :dim]
+        return (np.floor(X * float(qscale)).astype(np.int64)
+                + np.int64(2 * int(qscale)))
+
+    chosen_ids = [int(seed_id)]
+    seed_rows = ds.map_batches(
+        lambda t: t.filter(pa.array(
+            t[id_col].to_numpy(zero_copy_only=False) == seed_id
+        )),
+        batch_format="pyarrow",
+    ).take_all()
+    if len(seed_rows) != 1:
+        raise ValueError(f"kcenter_select: seed id {seed_id} not unique")
+    seed_t = pa.table({id_col: pa.array([seed_rows[0][id_col]]),
+                       vec_col: pa.array([seed_rows[0][vec_col]])})
+    chosen_mat = qmat(seed_t)
+
+    for _ in range(k - 1):
+        ref = ray.put((chosen_mat, np.asarray(chosen_ids, dtype=np.int64)))
+
+        def champ(t: pa.Table, _ref=ref) -> pa.Table:
+            C, cids = ray.get(_ref)
+            X = qmat(t)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+            d[np.isin(ids, cids)] = -1  # already chosen
+            order = np.lexsort((ids, -d))  # max dist, then lowest id
+            b = order[0] if len(order) else None
+            if b is None:
+                return pa.table({"d": pa.array([], type=pa.int64()),
+                                 "i": pa.array([], type=pa.int64())})
+            return pa.table({"d": pa.array([int(d[b])], type=pa.int64()),
+                             "i": pa.array([int(ids[b])], type=pa.int64())})
+
+        best_d, best_i = -1, None
+        for b in ds.map_batches(champ, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for dd, ii in zip(b["d"].to_pylist(), b["i"].to_pylist()):
+                if dd > best_d or (dd == best_d and (best_i is None or ii < best_i)):
+                    best_d, best_i = dd, ii
+        if best_i is None or best_d < 0:
+            break  # fewer distinct points than k
+        chosen_ids.append(int(best_i))
+        pick = ds.map_batches(
+            lambda t, _i=best_i: t.filter(pa.array(
+                t[id_col].to_numpy(zero_copy_only=False) == _i
+            )),
+            batch_format="pyarrow",
+        ).take_all()
+        pick_t = pa.table({id_col: pa.array([pick[0][id_col]]),
+                           vec_col: pa.array([pick[0][vec_col]])})
+        chosen_mat = np.concatenate([chosen_mat, qmat(pick_t)])
+    return chosen_ids

@@ -323,3 +323,34 @@ def test_kmeans_lloyd_int_exact(ray_session):
     with pytest.raises(ValueError, match="k, iters, dim"):
         kmeans_lloyd_int(rd.from_arrow(t), "vec_id", "embedding",
                          k=0, iters=1, dim=2)
+
+
+def test_kcenter_select_matches_greedy_reference(ray_session):
+    import ray.data as rd
+
+    from rayraster.cluster import kcenter_select
+
+    rng = np.random.default_rng(61)
+    n, dim = 200, 5
+    X = rng.uniform(-1, 1, (n, dim)).astype(np.float32)
+    Xq = np.floor(X.astype(np.float64) * 100.0).astype(np.int64) + 200
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in X],
+                              type=pa.list_(pa.float32())),
+    })
+    # greedy reference
+    chosen = [0]
+    for _ in range(5):
+        d = ((Xq[:, None, :] - Xq[chosen][None, :, :]) ** 2).sum(2).min(1)
+        d[chosen] = -1
+        best = np.lexsort((np.arange(n), -d))[0]
+        chosen.append(int(best))
+    got = kcenter_select(rd.from_arrow(t).repartition(6), "vec_id",
+                         "embedding", k=6, dim=dim)
+    assert got == chosen
+    got2 = kcenter_select(rd.from_arrow(t).repartition(13), "vec_id",
+                          "embedding", k=6, dim=dim)
+    assert got2 == chosen  # partitioning-invariant
+    with pytest.raises(ValueError, match="k and dim"):
+        kcenter_select(rd.from_arrow(t), "vec_id", "embedding", k=0, dim=2)
