@@ -27,6 +27,9 @@ from __future__ import annotations
 import os
 import shutil
 
+import numpy as np
+import pyarrow as pa
+
 from ray.data import Dataset
 
 FORMATS = ("parquet", "csv", "json")
@@ -208,3 +211,82 @@ def read_time_range(
         pads.field(ts_col) < pa.scalar(end_us, pa.timestamp("us"))
     )
     return rd.read_parquet(files, columns=cols, filter=flt)
+
+
+def write_hilbert_clustered(
+    ds: Dataset,
+    path: str,
+    ix_col: str = "ix",
+    iy_col: str = "iy",
+    order: int = 10,
+    key_col: str = "hkey",
+) -> None:
+    """Spatially-CLUSTERED parquet layout: rows sorted by their
+    Hilbert curve key before writing, so each output file (and each
+    row group inside it) covers a compact contiguous key range — the
+    Z-order/liquid-clustering trick with the better curve (every
+    Hilbert step is one rook hop, so a key range IS a compact tile).
+    A windowed read then prunes at BOTH the file and row-group level
+    from parquet min/max stats, without any manifest.
+
+    One global sort (the only exchange) + the standard parquet sink;
+    the key column is persisted for predicate pushdown."""
+    from rayraster.grid import hilbert_key
+
+    def add_key(t: pa.Table) -> pa.Table:
+        d = hilbert_key(
+            t[ix_col].to_numpy(zero_copy_only=False),
+            t[iy_col].to_numpy(zero_copy_only=False), order,
+        )
+        return t.append_column(key_col, pa.array(d))
+
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    ds.map_batches(add_key, batch_format="pyarrow").sort(key_col).write_parquet(path)
+
+
+def hilbert_ranges_for_rect(
+    ix0: int, iy0: int, ix1: int, iy1: int, order: int = 10,
+) -> "list[tuple[int, int]]":
+    """The sorted, run-compressed Hilbert-key intervals covering the
+    inclusive cell rectangle [ix0..ix1] × [iy0..iy1] — the query-side
+    companion of :func:`write_hilbert_clustered` (each interval is one
+    contiguous scan of the clustered layout).  Enumerates the rect's
+    cells (bounded by the window size, not the grid), keys them, and
+    merges consecutive runs."""
+    from rayraster.grid import hilbert_key
+
+    if ix1 < ix0 or iy1 < iy0:
+        raise ValueError("empty rectangle")
+    xs, ys = np.meshgrid(
+        np.arange(ix0, ix1 + 1, dtype=np.int64),
+        np.arange(iy0, iy1 + 1, dtype=np.int64),
+    )
+    keys = np.sort(hilbert_key(xs.ravel(), ys.ravel(), order))
+    breaks = np.flatnonzero(np.diff(keys) > 1)
+    starts = np.concatenate([[0], breaks + 1])
+    ends = np.concatenate([breaks, [len(keys) - 1]])
+    return [(int(keys[s]), int(keys[e])) for s, e in zip(starts, ends)]
+
+
+def read_hilbert_rect(
+    path: str,
+    ix0: int, iy0: int, ix1: int, iy1: int,
+    order: int = 10,
+    key_col: str = "hkey",
+    columns=None,
+) -> Dataset:
+    """Windowed read of a :func:`write_hilbert_clustered` layout: the
+    rect's key intervals become ONE pushed-down OR-of-BETWEEN filter —
+    files and row groups whose min/max stats miss every interval never
+    leave storage."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    flt = None
+    for lo, hi in hilbert_ranges_for_rect(ix0, iy0, ix1, iy1, order):
+        term = (pads.field(key_col) >= lo) & (pads.field(key_col) <= hi)
+        flt = term if flt is None else (flt | term)
+    cols = list(columns) + [key_col] if columns else None
+    return rd.read_parquet(path, columns=cols, filter=flt)

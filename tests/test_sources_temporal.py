@@ -398,3 +398,50 @@ def test_time_partitioned_store_roundtrip_and_pruning(ray_session, tmp_path):
         read_time_range(path, s, s)
     with _pt.raises(ValueError, match="granularity"):
         write_time_partitioned(rd.from_pandas(df), path, granularity="week")
+
+
+def test_hilbert_clustered_layout_roundtrip_and_pruning(ray_session, tmp_path):
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from rayraster.sources import (
+        hilbert_ranges_for_rect,
+        read_hilbert_rect,
+        write_hilbert_clustered,
+    )
+
+    rng = np.random.default_rng(67)
+    n = 4000
+    ix = rng.integers(0, 64, n).astype(np.int64)
+    iy = rng.integers(0, 64, n).astype(np.int64)
+    v = np.arange(n, dtype=np.int64)
+    t = pa.table({"ix": pa.array(ix), "iy": pa.array(iy), "v": pa.array(v)})
+    out = str(tmp_path / "hc")
+    write_hilbert_clustered(rd.from_arrow(t).repartition(6), out, order=6)
+    # windowed read returns exactly the rect's rows
+    got = read_hilbert_rect(out, 10, 20, 25, 40, order=6).to_pandas()
+    want = ((ix >= 10) & (ix <= 25) & (iy >= 20) & (iy <= 40)).sum()
+    assert len(got) == want
+    assert ((got.ix >= 10) & (got.ix <= 25)
+            & (got.iy >= 20) & (got.iy <= 40)).all()
+    # clustering: per-file key ranges are disjoint (the sort guarantee)
+    spans = []
+    for f in _glob.glob(out + "/*.parquet"):
+        md = _pq.ParquetFile(f).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        ki = cols["hkey"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ki).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            spans.append((min(mins), max(maxs)))
+    spans.sort()
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 <= b0  # contiguous, non-overlapping tiles
+    # range compression: a full square decomposes into few intervals
+    rngs = hilbert_ranges_for_rect(0, 0, 15, 15, order=6)
+    assert rngs[0][0] >= 0 and len(rngs) < 40
