@@ -1121,3 +1121,64 @@ def test_bitmap_index_build_and_query(ray_session, tmp_path):
                         chunk_bits=8).count() == 0
     with pytest.raises(ValueError, match="mode"):
         bitmap_query(idx, {"lang": "en"}, "xor")
+
+
+def test_bitmap_build_no_per_row_python(monkeypatch):
+    """Scale guard for the vectorized bitmap build: the partial stage's
+    Python loop count is O(#distinct (col,value,chunk) segments), NOT
+    O(rows) — proven by counting np.packbits calls — and the fold
+    stage issues exactly ONE bitwise_or.reduceat per partition call.
+    Runs the stage functions in-process (no Ray) so monkeypatching
+    observes the worker-side code path."""
+    import rayraster.bitmap as bm
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    ids = np.arange(n, dtype=np.int64)
+    lang = rng.choice(["en", "de", "fr"], n)
+    t = pa.table({"doc_id": pa.array(ids), "lang": pa.array(lang)})
+
+    calls = {"packbits": 0, "reduceat": 0}
+    real_packbits = np.packbits
+
+    def counting_packbits(*a, **k):
+        calls["packbits"] += 1
+        return real_packbits(*a, **k)
+
+    monkeypatch.setattr(np, "packbits", counting_packbits)
+    partial = bm._make_partial(["lang"], "doc_id", 8, 4)
+    part_out = partial(t)
+    # 3 distinct values x ceil(20000/256) chunks >= segments >> but
+    # crucially the bound is segments (<= 3 * 79), never rows (20000)
+    n_chunks = (n + 255) // 256
+    assert calls["packbits"] == part_out.num_rows
+    assert part_out.num_rows <= 3 * n_chunks
+    assert part_out.num_rows < n // 10
+
+    real_or = np.bitwise_or
+
+    class CountingOr:
+        def reduceat(self, *a, **k):
+            calls["reduceat"] += 1
+            return real_or.reduceat(*a, **k)
+
+        def __call__(self, *a, **k):
+            return real_or(*a, **k)
+
+    monkeypatch.setattr(np, "bitwise_or", CountingOr())
+    fold = bm._make_fold(8)
+    folded = fold(part_out.drop_columns(["_part"]).append_column(
+        "_part", pa.array(np.zeros(part_out.num_rows, dtype=np.int64))))
+    assert calls["reduceat"] == 1  # one vectorized fold per group call
+    monkeypatch.setattr(np, "bitwise_or", real_or)
+    monkeypatch.setattr(np, "packbits", real_packbits)
+
+    # correctness of the in-process path vs brute force
+    got = {}
+    for c, v, ch, b in zip(folded["col"].to_pylist(), folded["val"].to_pylist(),
+                           folded["chunk"].to_pylist(), folded["bits"].to_pylist()):
+        pos = np.flatnonzero(np.unpackbits(
+            np.frombuffer(b, dtype=np.uint8), bitorder="little"))
+        got.setdefault((c, v), []).extend(((ch << 8) | p) for p in pos)
+    for v in ("en", "de", "fr"):
+        assert sorted(got[("lang", v)]) == ids[lang == v].tolist()
