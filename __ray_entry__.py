@@ -4243,6 +4243,9 @@ def _sql_truss_ctes(rounds: int = 8) -> tuple[str, str]:
     SELECT 60 + 3 * t.doc_id + o.a AS src, 60 + 3 * t.doc_id + o.b AS dst
     FROM documents t JOIN (VALUES (0, 1), (0, 2), (1, 2)) o(a, b) ON TRUE
     WHERE t.doc_id < GREATEST(1, (SELECT COUNT(*) // 30 FROM documents))
+      -- the engine emits a strip edge only when its SOURCE id exists
+      -- in the doc table; clamp so the twin agrees at any corpus size
+      AND 60 + 3 * t.doc_id + o.a < (SELECT COUNT(*) FROM documents)
   ) WHERE src <> dst
 )"""
     ]

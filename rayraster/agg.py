@@ -1843,6 +1843,18 @@ def rollup_aggregate(
     if missing:
         raise ValueError(f"rollup_aggregate: no sentinel for {missing}")
 
+    sch = ds.schema()
+
+    def _ktype(k):
+        # Ray Schema.types may hold Python classes for pandas-backed
+        # blocks; only trust real Arrow types, else infer from sentinel
+        if sch is not None and k in sch.names:
+            t = sch.types[sch.names.index(k)]
+            if isinstance(t, pa.DataType):
+                return t
+        return pa.array([sentinels[k]]).type
+
+    key_types = {k: _ktype(k) for k in keys}
     finest = hash_aggregate(
         ds, keys, sum_cols=[sum_col], count=True, num_partitions=num_partitions
     ).map_batches(
@@ -1862,8 +1874,7 @@ def rollup_aggregate(
                     cols[k] = t[k]
                 else:
                     cols[k] = pa.array(
-                        [sentinels[k]] * t.num_rows,
-                        type=pa.array([sentinels[k]]).type,
+                        [sentinels[k]] * t.num_rows, type=key_types[k],
                     )
             cols["rsum"] = t["rsum"]
             cols["n"] = t["n"]
@@ -1890,8 +1901,7 @@ def rollup_aggregate(
     def _total(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["_one"])
         cols = {
-            k: pa.array([sentinels[k]], type=pa.array([sentinels[k]]).type)
-            for k in keys
+            k: pa.array([sentinels[k]], type=key_types[k]) for k in keys
         }
         cols["rsum"] = pa.array(
             [int(np.sum(g["rsum"].to_numpy(zero_copy_only=False)))], type=pa.int64()
@@ -1941,6 +1951,18 @@ def cube_aggregate(
     if missing:
         raise ValueError(f"cube_aggregate: no sentinel for {missing}")
 
+    sch = ds.schema()
+
+    def _ktype(k):
+        # Ray Schema.types may hold Python classes for pandas-backed
+        # blocks; only trust real Arrow types, else infer from sentinel
+        if sch is not None and k in sch.names:
+            t = sch.types[sch.names.index(k)]
+            if isinstance(t, pa.DataType):
+                return t
+        return pa.array([sentinels[k]]).type
+
+    key_types = {k: _ktype(k) for k in keys}
     finest = hash_aggregate(
         ds, keys, sum_cols=[sum_col], count=True, num_partitions=num_partitions
     ).map_batches(
@@ -1958,8 +1980,7 @@ def cube_aggregate(
                     cols[k] = t[k]
                 else:
                     cols[k] = pa.array(
-                        [sentinels[k]] * t.num_rows,
-                        type=pa.array([sentinels[k]]).type,
+                        [sentinels[k]] * t.num_rows, type=key_types[k],
                     )
             cols["rsum"] = t["rsum"]
             cols["n"] = t["n"]
@@ -1986,8 +2007,7 @@ def cube_aggregate(
     def _total(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["_one"])
         cols = {
-            k: pa.array([sentinels[k]], type=pa.array([sentinels[k]]).type)
-            for k in keys
+            k: pa.array([sentinels[k]], type=key_types[k]) for k in keys
         }
         cols["rsum"] = pa.array(
             [int(np.sum(g["rsum"].to_numpy(zero_copy_only=False)))], type=pa.int64()
@@ -2059,4 +2079,6 @@ def grouped_mad(
     out = med[[group_col]].copy()
     out["med"] = med["value"].to_numpy()
     out["mad"] = [mmap[x] for x in med[group_col]]
-    return pa.Table.from_pandas(out, preserve_index=False)
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))

@@ -836,7 +836,10 @@ class PatchStage:
                 out_carry[c].extend([batch[c][i].as_py()] * (rows * cols))
         n_px = p * p * 3
         sums = np.asarray(psums, dtype=np.int64)
-        cols_out = {c: pa.array(out_carry[c]) for c in carry}
+        # type carry columns from the input so all-undecodable batches
+        # keep the batch schema (pa.array([]) alone would infer null)
+        cols_out = {c: pa.array(out_carry[c], type=batch[c].type)
+                    for c in carry}
         cols_out["patch_row"] = pa.array(np.asarray(prows, dtype=np.int64))
         cols_out["patch_col"] = pa.array(np.asarray(pcols, dtype=np.int64))
         cols_out["patch_px"] = pa.array(

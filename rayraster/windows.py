@@ -18,6 +18,21 @@ from ray.data import Dataset
 from rayraster.agg import hash_aggregate
 
 
+def _key_part(col, num_partitions: int) -> np.ndarray:
+    """Partition id for a key column: integer keys multiply-hash
+    (masked to stay non-negative under int64 wraparound); non-integer
+    keys fall back to FNV-1a over their string form (the
+    grouped_ranks convention in agg.py)."""
+    try:
+        keys = col.to_numpy(zero_copy_only=False).astype(np.int64)
+    except (ValueError, TypeError):
+        from rayraster.geo import fnv1a64
+
+        keys = fnv1a64([str(v) for v in col.to_pylist()]).view(np.int64)
+    prod = (keys * np.int64(1000003)) & np.int64(0x7FFFFFFFFFFFFFFF)
+    return prod % np.int64(num_partitions)
+
+
 def add_tumbling_window(
     batch: pa.Table, ts_col: str = "ts", window_us: int = 3_600_000_000
 ) -> pa.Table:
@@ -237,8 +252,7 @@ def lag_columns(
         raise ValueError("lag_columns: need at least one column to lag")
 
     def add_part(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = np.abs(keys * np.int64(1000003)) % np.int64(num_partitions)
+        part = _key_part(batch[key_col], num_partitions)
         return batch.append_column("_part", pa.array(part))
 
     def solve(part: pa.Table) -> pa.Table:
@@ -295,8 +309,7 @@ def session_windows(
             .cast(pa.int64())
             .to_numpy(zero_copy_only=False)
         )
-        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = np.abs(keys * np.int64(1000003)) % np.int64(num_partitions)
+        part = _key_part(batch[key_col], num_partitions)
         return pa.table(
             {
                 key_col: batch[key_col],
@@ -477,8 +490,7 @@ def grouped_ewma(
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
 
     def add_part(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = np.abs(keys * np.int64(1000003)) % np.int64(num_partitions)
+        part = _key_part(batch[key_col], num_partitions)
         return batch.append_column("_part", pa.array(part))
 
     def solve(part: pa.Table) -> pa.Table:
@@ -740,8 +752,7 @@ def funnel_match(
         code = pc.index_in(batch[type_col], value_set=stage_arr)
         code = pc.fill_null(code, -1).cast(pa.int64())
         keep = pc.not_equal(code, pa.scalar(-1, type=pa.int64()))
-        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = np.abs(keys * np.int64(1000003)) % np.int64(num_partitions)
+        part = _key_part(batch[key_col], num_partitions)
         t = pa.table(
             {
                 key_col: batch[key_col],
@@ -861,8 +872,7 @@ def transition_counts(
         raise ValueError("transition_counts: need at least one order column")
 
     def add_part(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = np.abs(keys * np.int64(1000003)) % np.int64(num_partitions)
+        part = _key_part(batch[key_col], num_partitions)
         return batch.append_column("_part", pa.array(part))
 
     def pairs(part: pa.Table) -> pa.Table:
@@ -937,8 +947,7 @@ def scd2_history(
     Returns ``(key_col, state_col, valid_from, valid_to)``."""
 
     def add_part(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = np.abs(keys * np.int64(1000003)) % np.int64(num_partitions)
+        part = _key_part(batch[key_col], num_partitions)
         return batch.append_column("_part", pa.array(part))
 
     def solve(part: pa.Table) -> pa.Table:
@@ -1008,8 +1017,7 @@ def trajectory_trips(
     1-based per key in stream order."""
 
     def add_part(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        part = np.abs(keys * np.int64(1000003)) % np.int64(num_partitions)
+        part = _key_part(batch[key_col], num_partitions)
         return batch.append_column("_part", pa.array(part))
 
     thr2 = float(jump_threshold) * float(jump_threshold)

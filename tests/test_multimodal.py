@@ -527,3 +527,26 @@ def test_patch_stage_exact_sums(ray_session):
         assert row.patch_mean == row.patch_sum / 12.0
     with pytest.raises(ValueError, match="patch"):
         PatchStage(patch=0)
+
+
+def test_patch_stage_all_undecodable_keeps_schema(ray_session):
+    """A batch where NO payload decodes must emit an empty table with
+    the CARRY columns' input types (a null-typed doc_id would break
+    union/write against non-empty batches)."""
+    from rayraster.multimodal import PatchStage, encode_qoi
+
+    stage = PatchStage("payload", patch=2)
+    bad = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                    "payload": pa.array([b"junk", None], type=pa.binary())})
+    empty = stage(bad)
+    assert empty.num_rows == 0
+    assert empty["doc_id"].type == pa.int64()
+
+    # and a mixed dataset (one all-bad block + one good block) unions
+    img = (np.arange(4 * 4 * 3, dtype=np.int64) % 256).astype(
+        np.uint8).reshape(4, 4, 3)
+    good = pa.table({"doc_id": pa.array([3], type=pa.int64()),
+                     "payload": pa.array([encode_qoi(img)], type=pa.binary())})
+    ds = rd.from_arrow(bad).union(rd.from_arrow(good))
+    out = ds.map_batches(stage, batch_format="pyarrow").to_pandas()
+    assert set(out.doc_id) == {3} and len(out) == 4

@@ -1431,3 +1431,66 @@ def test_grouped_ranks_matches_sql_window(ray_session):
     """).df()
     assert got["two_rank"].tolist() == want["two_rank"].tolist()
     assert got["n_g"].tolist() == want["n_g"].tolist()
+
+
+def test_scd2_history_string_key(ray_session):
+    """String key columns must hash through the FNV fallback (no
+    astype(int64) crash) and produce the same history as int keys."""
+    from rayraster.windows import scd2_history
+
+    df = pd.DataFrame(
+        {"k": ["a", "a", "b", "b", "b"],
+         "o": [1, 2, 1, 2, 3],
+         "s": ["x", "y", "p", "p", "q"]}
+    )
+    got = (
+        scd2_history(rd.from_pandas(df).repartition(3), "k", "o", "s",
+                     num_partitions=4)
+        .to_pandas().sort_values(["k", "valid_from"]).reset_index(drop=True)
+    )
+    assert got[got.k == "a"].s.tolist() == ["x", "y"]
+    assert got[got.k == "b"].s.tolist() == ["p", "q"]
+
+
+def test_key_part_no_negative_on_overflow():
+    """The multiply-hash must mask int64 wraparound: no negative
+    partition ids for any key (incl. ones that overflow keys*1000003)."""
+    from rayraster.windows import _key_part
+
+    keys = pa.chunked_array([pa.array(
+        [np.iinfo(np.int64).min, np.iinfo(np.int64).max, -1, 0,
+         9223372036854775807 // 1000003 + 1], type=pa.int64())])
+    part = _key_part(keys, 64)
+    assert part.min() >= 0 and part.max() < 64
+
+
+def test_rollup_sentinel_keeps_source_key_type(ray_session):
+    """Rolled-up levels must carry the INPUT key column type (int32
+    keys + int sentinel must not promote some levels to int64)."""
+    from rayraster.agg import rollup_aggregate
+
+    t = pa.table(
+        {"a": pa.array([1, 1, 2], type=pa.int32()),
+         "b": pa.array([1, 2, 2], type=pa.int32()),
+         "v": pa.array([10, 20, 30], type=pa.int64())}
+    )
+    out = rollup_aggregate(
+        rd.from_arrow(t), ["a", "b"], "v", {"a": -1, "b": -1},
+        num_partitions=4,
+    ).to_pandas()
+    # every level unioned without schema conflict; totals correct
+    assert out[out.lvl == 0].rsum.tolist() == [60]
+    assert sorted(out[out.lvl == 1].rsum.tolist()) == [30, 30]
+
+
+def test_grouped_mad_returns_dataset(ray_session):
+    """grouped_mad is annotated -> Dataset; chaining Dataset ops must
+    work (the pa.Table return broke union/map_batches)."""
+    from ray.data import Dataset
+
+    from rayraster.agg import grouped_mad
+
+    df = pd.DataFrame({"g": [1, 1, 1, 2, 2], "v": [1.0, 2.0, 9.0, 4.0, 8.0]})
+    res = grouped_mad(rd.from_pandas(df).repartition(2), "g", "v")
+    assert isinstance(res, Dataset)
+    assert res.count() == 2
