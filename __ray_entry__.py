@@ -6783,9 +6783,90 @@ def _q_sliding_window(sf_dir: str):
             }
         )
 
+    # path='upsert' — CDC log compaction (pipelines.upsert_latest):
+    # snapshot = even event_ids, change log = odd, version =
+    # event_id // 2 so each change COLLIDES with its snapshot twin's
+    # version and must win on the source tie-break (_ord = ver·2+src);
+    # odd multiples of 17 are tombstones and delete their user.  Twin:
+    # QUALIFY row_number() over the same _ord + NOT tomb.
+    from rayraster.pipelines import diff_snapshots, upsert_latest
+
+    def up_split(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            tt = pa.table(
+                {"user_id": t["user_id"], "ver": pa.array(e // 2),
+                 "event_type": t["event_type"], "value": t["value"],
+                 "event_id": pa.array(e),
+                 "tomb": pa.array((e % 2 == 1) & (e % 17 == 0))}
+            )
+            return tt.filter(pa.array(e % 2 == parity))
+
+        return fn
+
+    ev_u = _events(sf_dir, columns=["event_id", "user_id", "event_type", "value"])
+    up = upsert_latest(
+        ev_u.map_batches(up_split(0), batch_format="pyarrow"),
+        ev_u.map_batches(up_split(1), batch_format="pyarrow"),
+        "user_id", "ver", tombstone_col="tomb", num_partitions=8,
+    )
+
+    def upsert_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window": t["user_id"].cast(pa.int64()),
+                "min_value": t["value"].cast(pa.float64()),
+                "max_value": t["value"].cast(pa.float64()),
+                "n": t["event_id"].cast(pa.int64()),
+                "path": pa.array(["upsert"] * t.num_rows, type=pa.string()),
+            }
+        )
+
+    # path='diffsnap' — snapshot diff (pipelines.diff_snapshots): old =
+    # per-user count of even event_ids, new = per-user count of
+    # multiples of 3; FULL-OUTER bucket join + NULL-safe classify.
+    # Twin: FULL OUTER JOIN + CASE.  Row packing: event_type = change,
+    # window = n = user_id, min/max = old/new count (−1 when absent).
+    from rayraster.agg import hash_aggregate as _hagg
+
+    ev_d = _events(sf_dir, columns=["event_id", "user_id"])
+
+    def mod_keep(m: int, udrop: int):
+        # keep events with event_id % m == 0 from users whose id is
+        # NOT a multiple of udrop — the user-level sparsity makes all
+        # three change classes (added/removed/changed) non-vacuous
+        def fn(t: pa.Table) -> pa.Table:
+            e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array((e % m == 0) & (u % udrop != 0)))
+
+        return fn
+
+    old_c = _hagg(ev_d.map_batches(mod_keep(2, 5), batch_format="pyarrow"),
+                  ["user_id"], count=True, num_partitions=8)
+    new_c = _hagg(ev_d.map_batches(mod_keep(3, 7), batch_format="pyarrow"),
+                  ["user_id"], count=True, num_partitions=8)
+    dff = diff_snapshots(old_c, new_c, "user_id", ["n"], num_partitions=8)
+
+    def diff_rows(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64())
+        return pa.table(
+            {
+                "event_type": t["change"],
+                "window": uid,
+                "min_value": pc.fill_null(t["old_n"].cast(pa.float64()), -1.0),
+                "max_value": pc.fill_null(t["new_n"].cast(pa.float64()), -1.0),
+                "n": uid,
+                "path": pa.array(["diffsnap"] * t.num_rows, type=pa.string()),
+            }
+        )
+
     return slid.union(
         roll, ew.map_batches(ewma_rows, batch_format="pyarrow"),
         hist.map_batches(scd2_rows, batch_format="pyarrow"),
+        up.map_batches(upsert_rows, batch_format="pyarrow"),
+        dff.map_batches(diff_rows, batch_format="pyarrow"),
     )
 
 
@@ -6856,7 +6937,45 @@ FROM (
          LEAD(valid_from) OVER (
            PARTITION BY user_id ORDER BY valid_from) AS valid_to
   FROM sstart
-)"""
+)
+UNION ALL
+-- upsert_latest twin: per user keep the max (version*2 + source) row
+-- (version = event_id // 2, source = parity — a change at the SAME
+-- version as its snapshot twin wins the tie), drop tombstoned winners
+SELECT event_type, user_id AS "window", value AS min_value,
+       value AS max_value, event_id AS n, 'upsert' AS path
+FROM (
+  SELECT *, (event_id % 2 = 1 AND event_id % 17 = 0) AS tomb
+  FROM events
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY user_id
+    ORDER BY (event_id // 2) * 2 + (event_id % 2) DESC
+  ) = 1
+) WHERE NOT tomb
+UNION ALL
+-- diff_snapshots twin: FULL OUTER JOIN of two per-user count
+-- snapshots + NULL-safe CASE classification, unchanged rows dropped
+SELECT chg AS event_type, uid AS "window",
+       CAST(COALESCE(o_n, -1) AS DOUBLE) AS min_value,
+       CAST(COALESCE(n_n, -1) AS DOUBLE) AS max_value,
+       uid AS n, 'diffsnap' AS path
+FROM (
+  WITH dold AS (
+    SELECT user_id, COUNT(*) AS n FROM events
+    WHERE event_id % 2 = 0 AND user_id % 5 <> 0 GROUP BY 1
+  ),
+  dnew AS (
+    SELECT user_id, COUNT(*) AS n FROM events
+    WHERE event_id % 3 = 0 AND user_id % 7 <> 0 GROUP BY 1
+  )
+  SELECT COALESCE(dold.user_id, dnew.user_id) AS uid,
+         dold.n AS o_n, dnew.n AS n_n,
+         CASE WHEN dold.user_id IS NULL THEN 'added'
+              WHEN dnew.user_id IS NULL THEN 'removed'
+              WHEN dold.n <> dnew.n THEN 'changed'
+              ELSE 'unchanged' END AS chg
+  FROM dold FULL OUTER JOIN dnew ON dold.user_id = dnew.user_id
+) WHERE chg <> 'unchanged'"""
 
 
 def _q_grouped_quantiles(sf_dir: str):

@@ -437,11 +437,15 @@ def diff_snapshots(
 
     def classify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
+            # carry the joined columns' real types so empty blocks
+            # union cleanly with non-empty ones
             return pa.table(
-                {key_col: pa.array([], type=pa.int64()),
+                {key_col: pa.array([], type=t["old_key"].type),
                  "change": pa.array([], type=pa.string()),
-                 **{f"old_{c}": pa.array([], type=pa.null()) for c in compare_cols},
-                 **{f"new_{c}": pa.array([], type=pa.null()) for c in compare_cols}}
+                 **{f"old_{c}": pa.array([], type=t[f"old_{c}"].type)
+                    for c in compare_cols},
+                 **{f"new_{c}": pa.array([], type=t[f"new_{c}"].type)
+                    for c in compare_cols}}
             )
         lp = pc.fill_null(t["_oldp"], False).to_numpy(zero_copy_only=False)
         rp = pc.fill_null(t["_newp"], False).to_numpy(zero_copy_only=False)
