@@ -4543,8 +4543,46 @@ def _q_embed_neardup(sf_dir: str):
     corpus = emb.union(emb.map_batches(copies, batch_format="pyarrow"))
     pairs = embedding_neardup_pairs(
         corpus, threshold=0.99, dim=64, corpus_count=n + (n + 4) // 5
+    ).select_columns(["a", "b"]).map_batches(
+        _tagger("lsh"), batch_format="pyarrow"
     )
-    return pairs.select_columns(["a", "b"])
+
+    # path='semdedup' — SemDeDup cluster-then-compare
+    # (similarity.semantic_neardup_pairs) over a PLANTED ANALYTIC
+    # corpus (the s2 pq/sq pattern): 256 integer vectors, dim 8 —
+    # group g = id % 4 owns axis dim g at amplitude 96, dims 4..7
+    # carry a shared ≤22 jitter.  Row 0..3 are the pure axis anchors,
+    # so kmeans_centroids' first-rows init puts ONE centroid per cone;
+    # every intra-cone cosine ≥ 0.923 while every cross-cone cosine is
+    # ≤ 0.148, so Lloyd keeps centroids in their cones and the final
+    # assignment is analytically id % 4 for ANY in-cone centroid
+    # floats.  Threshold 0.97 splits the intra range with a min
+    # |cos−thr| gap of 5.9e-6 (≫ engine-vs-SQL float rounding), and
+    # cross pairs can never pass — so the twin is a plain all-pairs
+    # integer-cosine filter.  The real distributed stages (sampled
+    # spherical k-means, broadcast assignment, per-cluster blockwise
+    # X·Xᵀ) all execute.
+    from rayraster.similarity import semantic_neardup_pairs
+
+    sem_n, sem_a = 256, 96
+    sids = np.arange(sem_n, dtype=np.int64)
+    V = np.zeros((sem_n, 8), dtype=np.float64)
+    V[sids, sids % 4] = sem_a
+    mm = np.arange(4, dtype=np.int64)
+    jit = (sids[:, None] * 31 + mm[None, :] * 17
+           + sids[:, None] * mm[None, :] * 7) % 23
+    jit[:4] = 0
+    V[:, 4:] = jit
+    sem_ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(sids), "embedding": pa.array(list(V))})
+    )
+    sem = semantic_neardup_pairs(
+        sem_ds, threshold=0.97, n_clusters=4, sample_size=sem_n
+    ).select_columns(["a", "b"]).map_batches(
+        _tagger("semdedup"), batch_format="pyarrow"
+    )
+
+    return pairs.union(sem)
 
 
 def _q_ann_topk(sf_dir: str):
@@ -5662,8 +5700,61 @@ def _q_vocab_topk(sf_dir: str):
         }
     ))
     zipf = ztop.map_batches(zipf_shape, batch_format="pyarrow").union(zrows)
+
+    # 'summ' — per-document extractive summarization
+    # (textops.summarize_textrank — REAL sentence split, word-overlap
+    # graph, 30-round damped power method per doc) over a PLANTED
+    # ANALYTIC star corpus: each doc has 6 sentences, sentence
+    # h = doc_id % 6 is a hub sharing exactly one connector word with
+    # each leaf, leaves share nothing with each other.  The star makes
+    # all leaf ranks bit-identical (symmetric float paths) and the hub
+    # rank strictly dominant, so the kept set is analytically
+    # {0,1,2} for h < 3 else {0,1,h} (stable index tie-break) and the
+    # twin rebuilds the summary string from the same id expressions.
+    # Packing: word = summary, n = n_sentences, df = n_kept.
+    from rayraster.textops import summarize_textrank
+
+    def summ_plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = []
+        for i in ids.tolist():
+            h = i % 6
+            sents = []
+            for j in range(6):
+                if j == h:
+                    toks = [f"u{m}" for m in range(6) if m != h] + [f"y{i}."]
+                else:
+                    toks = [f"u{j}", f"x{i}x{j}."]
+                sents.append(" ".join(toks))
+            texts.append(" ".join(sents))
+        return pa.table(
+            {"doc_id": pa.array(ids),
+             "text": pa.array(texts, type=pa.string())}
+        )
+
+    def summ_shape(t: pa.Table) -> pa.Table:
+        m = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["id"],
+                "word": t["summary"],
+                "n": t["n_sentences"],
+                "df": t["n_kept"],
+                "score": pa.array(np.zeros(m, dtype=np.float64)),
+                "rnk": pa.array(np.zeros(m, dtype=np.int64)),
+                "path": pa.array(["summ"] * m, type=pa.string()),
+            }
+        )
+
+    summ = summarize_textrank(
+        _docs(sf_dir, columns=["doc_id"]).map_batches(
+            summ_plant, batch_format="pyarrow"
+        ),
+        k=3,
+    ).map_batches(summ_shape, batch_format="pyarrow")
+
     return vocab.union(tfidf, search, bm25, rrf, colloc, textrank, phrase,
-                       zipf)
+                       zipf, summ)
 
 
 def _sql_vocab_topk() -> str:
@@ -5853,7 +5944,36 @@ SELECT doc_id, word, n, df, score, rnk, 'zipf' AS path FROM (
     UNION ALL
     SELECT '__tokens__', CAST(SUM(n) AS BIGINT) FROM zr
   ) s
-)"""
+)
+UNION ALL
+""" + _sql_summ_arm()
+
+
+def _sql_summ_arm() -> str:
+    """Twin of the t11 'summ' arm: the planted star corpus makes the
+    TextRank selection analytic — kept sentences are {0,1,2} when the
+    hub index h = doc_id % 6 < 3, else {0,1,h} — so the twin rebuilds
+    each doc's summary string from the same id expressions (hub
+    sentence = the five connector words + 'y<id>.', leaf j =
+    'u<j> x<id>x<j>.'), joined in original order."""
+
+    def hub(h: int) -> str:
+        toks = " ".join(f"u{m}" for m in range(6) if m != h)
+        return f"'{toks} y' || doc_id || '.'"
+
+    def leaf(j: int) -> str:
+        return f"'u{j} x' || doc_id || 'x{j}.'"
+
+    cases = []
+    for h in range(6):
+        kept = [0, 1, 2] if h < 3 else [0, 1, h]
+        parts = [hub(h) if j == h else leaf(j) for j in kept]
+        cases.append(f"WHEN {h} THEN " + " || ' ' || ".join(parts))
+    case = "CASE doc_id % 6 " + " ".join(cases) + " END"
+    return f"""SELECT doc_id, {case} AS word, CAST(6 AS BIGINT) AS n,
+       CAST(3 AS BIGINT) AS df, CAST(0.0 AS DOUBLE) AS score,
+       CAST(0 AS BIGINT) AS rnk, 'summ' AS path
+FROM documents"""
 
 
 def _sql_textrank_arm(iterations: int = 3, scale: int = 1_000_000,
@@ -8145,8 +8265,29 @@ FROM documents WHERE doc_id % 3 = 0"""
 
 
 def _sql_embed_neardup() -> str:
-    return f"""SELECT vec_id AS a, vec_id + {_DUP_OFFSET} AS b
-FROM embeddings WHERE vec_id % 5 = 0"""
+    # semdedup twin: rebuild the 256 planted integer vectors from the
+    # id expression and filter all pairs by integer-exact cosine —
+    # cross-cone pairs (cos <= 0.148) can never reach 0.97, so the
+    # analytic cluster restriction needs no explicit clause
+    jd = " + ".join(
+        f"(CASE WHEN a.i < 4 THEN 0 ELSE (a.i*31 + {m}*17 + a.i*{m}*7) % 23 END)"
+        f" * (CASE WHEN b.i < 4 THEN 0 ELSE (b.i*31 + {m}*17 + b.i*{m}*7) % 23 END)"
+        for m in range(4)
+    )
+    n2 = lambda s: " + ".join(  # noqa: E731
+        f"(CASE WHEN {s}.i < 4 THEN 0 ELSE ({s}.i*31 + {m}*17 + {s}.i*{m}*7) % 23 END)"
+        f" * (CASE WHEN {s}.i < 4 THEN 0 ELSE ({s}.i*31 + {m}*17 + {s}.i*{m}*7) % 23 END)"
+        for m in range(4)
+    )
+    return f"""SELECT vec_id AS a, vec_id + {_DUP_OFFSET} AS b, 'lsh' AS path
+FROM embeddings WHERE vec_id % 5 = 0
+UNION ALL
+SELECT a, b, 'semdedup' AS path FROM (
+  SELECT a.i AS a, b.i AS b,
+         (CASE WHEN a.i % 4 = b.i % 4 THEN 9216 ELSE 0 END + {jd})
+         / sqrt((9216.0 + {n2('a')}) * (9216.0 + {n2('b')})) AS cos
+  FROM range(0, 256) a(i) JOIN range(0, 256) b(i) ON a.i < b.i
+) WHERE cos >= 0.97"""
 
 
 def _sql_ann_topk() -> str:

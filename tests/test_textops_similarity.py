@@ -1970,3 +1970,80 @@ def test_zipf_stats_exact(ray_session):
         (r.rank, r.word, r.n) for r in topk.to_pandas().itertuples()
     )
     assert got == [(1, "c", 4), (2, "e", 4)]
+
+
+def test_summarize_textrank_star_corpus_analytic_selection(ray_session):
+    """The t11 'summ' oracle arm's planted star corpus: 6 sentences,
+    hub h = id % 6 sharing one connector word per leaf, leaves
+    disjoint.  The kept set must be exactly {0,1,2} for h < 3 else
+    {0,1,h} — hub rank strictly dominant, leaf ties broken by index."""
+    from rayraster.textops import summarize_textrank
+
+    ids, texts = [], []
+    for i in range(12):
+        h = i % 6
+        sents = []
+        for j in range(6):
+            if j == h:
+                toks = [f"u{m}" for m in range(6) if m != h] + [f"y{i}."]
+            else:
+                toks = [f"u{j}", f"x{i}x{j}."]
+            sents.append(" ".join(toks))
+        ids.append(i)
+        texts.append(" ".join(sents))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    out = summarize_textrank(rd.from_arrow(t), k=3).to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    for i in range(12):
+        h = i % 6
+        kept = [0, 1, 2] if h < 3 else [0, 1, h]
+        want = []
+        for j in kept:
+            if j == h:
+                want.append(" ".join(
+                    [f"u{m}" for m in range(6) if m != h] + [f"y{i}."]))
+            else:
+                want.append(f"u{j} x{i}x{j}.")
+        assert out.loc[i, "summary"] == " ".join(want), i
+        assert out.loc[i, "n_sentences"] == 6
+        assert out.loc[i, "n_kept"] == 3
+
+
+def test_semantic_neardup_planted_cone_corpus(ray_session):
+    """The d5 'semdedup' oracle arm's planted corpus: 4 orthogonal
+    axis cones (amplitude 96, shared jitter <= 22 in dims 4..7) with
+    row 0..3 pure anchors.  Pins the analytic claims the twin relies
+    on: every intra-cone cosine >= 0.92, every cross-cone cosine
+    <= 0.15, min |cos - 0.97| gap > 1e-6, and the engine's pairs equal
+    the brute-force intra filter exactly."""
+    from rayraster.similarity import semantic_neardup_pairs
+
+    n = 128
+    sids = np.arange(n, dtype=np.int64)
+    V = np.zeros((n, 8), dtype=np.float64)
+    V[sids, sids % 4] = 96
+    mm = np.arange(4, dtype=np.int64)
+    jit = (sids[:, None] * 31 + mm[None, :] * 17
+           + sids[:, None] * mm[None, :] * 7) % 23
+    jit[:4] = 0
+    V[:, 4:] = jit
+    X = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = X @ X.T
+    same = (sids[:, None] % 4) == (sids[None, :] % 4)
+    iu = np.triu(np.ones((n, n), bool), 1)
+    assert S[same & iu].min() >= 0.92
+    assert S[~same & iu].max() <= 0.15
+    assert np.abs(S[same & iu] - 0.97).min() > 1e-6
+
+    want = sorted(map(tuple, np.argwhere((S >= 0.97) & iu)))
+    got = (
+        semantic_neardup_pairs(
+            rd.from_arrow(pa.table(
+                {"vec_id": pa.array(sids), "embedding": pa.array(list(V))}
+            )),
+            threshold=0.97, n_clusters=4, sample_size=n,
+        )
+        .to_pandas()
+    )
+    assert sorted(zip(got.a, got.b)) == want
