@@ -137,3 +137,61 @@ def test_extract_links_quotes_and_decoys():
          "html": pa.array([], type=pa.binary())}
     ))
     assert empty.num_rows == 0
+
+
+def test_extract_vectorized_byte_identical_incl_adversarial():
+    """The Arrow-kernel extractor twin must be byte-identical to the
+    per-row reference on every input: escape images (fast path),
+    semicolon-less entities, unknown entities, bare ampersands, and
+    multi-body pages (index/rindex semantics) — all via fallback."""
+    import html as H
+
+    import pyarrow as pa
+
+    from rayraster.extract import _extract_texts_vectorized, extract_text
+
+    texts = [
+        "hello world", "", "a&b<c>d\"e'f", "&amp; literal", "&lt;tag&gt;",
+        "&xlt; unknown", "&ampx noSemi", "x" * 10000 + " & <>" * 50,
+        "unicode ☃ ünïcode", "&#39; decimal", "&ltcc;", "&quot;&#x27;",
+    ]
+    pages = [
+        f"<html><head><title>x</title></head><body>{H.escape(t)}</body></html>"
+        .encode() for t in texts
+    ]
+    pages += [
+        b"<body>&ampx</body>",           # semicolon-less entity
+        b"<body>&nbsp;</body>",          # entity outside the escape set
+        b"<body>a&b</body>",             # bare ampersand
+        b"<body>x</body><body>y</body>", # rindex semantics
+    ]
+    arr = pa.array(pages, type=pa.binary())
+    got = _extract_texts_vectorized(arr).to_pylist()
+    want = [extract_text(p) for p in pages]
+    assert got == want
+
+
+def test_extract_stage_vectorized_flag(ray_session):
+    """Both ExtractStage kernels produce the same text column through
+    a real map_batches run."""
+    import html as H
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayraster.extract import ExtractStage
+
+    texts = [f"doc {i} body & <tag> 'q'" for i in range(64)]
+    t = pa.table({
+        "url": pa.array([f"u{i}" for i in range(64)]),
+        "html": pa.array(
+            [f"<html><head></head><body>{H.escape(x)}</body></html>".encode()
+             for x in texts], type=pa.binary()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    for vec in (False, True):
+        out = rd.from_arrow(t).map_batches(
+            ExtractStage(verify_against="text", vectorized=vec),
+            batch_format="pyarrow",
+        ).to_pandas()
+        assert out.text.tolist() == texts, vec
