@@ -7679,7 +7679,42 @@ def _q_bucket_join(sf_dir: str):
     pre = agg(bucket_join_prebucketed(f"{scratch}/li", f"{scratch}/orders")).map_batches(
         _tagger("prebucketed"), batch_format="pyarrow"
     )
-    return shuffled.union(pre)
+
+    # path='compacted' — table maintenance (join.compact_bucketed):
+    # fragment the persisted left layout into 3 small files per bucket
+    # (the daily-ingest accretion shape), compact in place (streaming
+    # row-group rewrite + atomic dir swap), then run the SAME
+    # zero-shuffle join over the compacted layout — identical rows
+    # under the unchanged oracle proves the join-visible layout
+    # contract (manifest, bucket dirs, row multiset) survives both the
+    # fragmentation and the rewrite.
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from rayraster.join import compact_bucketed
+
+    scratch2 = f"/tmp/rayraster_compact_j2_{_os.getpid()}"
+    write_bucketed(li, "l_orderkey", f"{scratch2}/li", num_buckets=4)
+    write_bucketed(orders, "o_orderkey", f"{scratch2}/orders", num_buckets=4)
+    for bdir in _glob.glob(f"{scratch2}/li/_bucket=*"):
+        files = sorted(_glob.glob(f"{bdir}/*.parquet"))
+        t = pa.concat_tables([_pq.read_table(f) for f in files])
+        for f in files:
+            _os.remove(f)
+        step = max(1, -(-t.num_rows // 3))
+        for k in range(0, max(t.num_rows, 1), step):
+            _pq.write_table(
+                t.slice(k, step), f"{bdir}/frag-{k:08d}.parquet"
+            )
+    st = compact_bucketed(f"{scratch2}/li", target_rows_per_file=1 << 30)
+    if st["buckets_compacted"] == 0:
+        raise RuntimeError("j2 'compacted' arm vacuous: nothing rewritten")
+    comp = agg(
+        bucket_join_prebucketed(f"{scratch2}/li", f"{scratch2}/orders")
+    ).map_batches(_tagger("compacted"), batch_format="pyarrow")
+
+    return shuffled.union(pre, comp)
 
 
 def _sql_bucket_join() -> str:
@@ -7693,7 +7728,9 @@ def _sql_bucket_join() -> str:
 )
 SELECT *, 'shuffle' AS path FROM j
 UNION ALL
-SELECT *, 'prebucketed' AS path FROM j"""
+SELECT *, 'prebucketed' AS path FROM j
+UNION ALL
+SELECT *, 'compacted' AS path FROM j"""
 
 
 def _q_salted_join(sf_dir: str):
