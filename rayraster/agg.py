@@ -1816,6 +1816,24 @@ def skyline(
     return tagged.groupby("_one").map_groups(_fold, batch_format="pyarrow")
 
 
+def _sentinel_key_types(ds, keys, sentinels) -> dict:
+    """Arrow type per rollup/cube key: the input schema's type when it
+    is a real Arrow type (Ray Schema.types may hold Python classes for
+    pandas-backed blocks), else inferred from the sentinel value —
+    shared by rollup_aggregate and cube_aggregate so their rolled-up
+    sentinel columns always union with the retained levels."""
+    sch = ds.schema()
+
+    def _ktype(k):
+        if sch is not None and k in sch.names:
+            t = sch.types[sch.names.index(k)]
+            if isinstance(t, pa.DataType):
+                return t
+        return pa.array([sentinels[k]]).type
+
+    return {k: _ktype(k) for k in keys}
+
+
 def rollup_aggregate(
     ds: Dataset,
     keys: Sequence[str],
@@ -1843,18 +1861,7 @@ def rollup_aggregate(
     if missing:
         raise ValueError(f"rollup_aggregate: no sentinel for {missing}")
 
-    sch = ds.schema()
-
-    def _ktype(k):
-        # Ray Schema.types may hold Python classes for pandas-backed
-        # blocks; only trust real Arrow types, else infer from sentinel
-        if sch is not None and k in sch.names:
-            t = sch.types[sch.names.index(k)]
-            if isinstance(t, pa.DataType):
-                return t
-        return pa.array([sentinels[k]]).type
-
-    key_types = {k: _ktype(k) for k in keys}
+    key_types = _sentinel_key_types(ds, keys, sentinels)
     finest = hash_aggregate(
         ds, keys, sum_cols=[sum_col], count=True, num_partitions=num_partitions
     ).map_batches(
@@ -1951,18 +1958,7 @@ def cube_aggregate(
     if missing:
         raise ValueError(f"cube_aggregate: no sentinel for {missing}")
 
-    sch = ds.schema()
-
-    def _ktype(k):
-        # Ray Schema.types may hold Python classes for pandas-backed
-        # blocks; only trust real Arrow types, else infer from sentinel
-        if sch is not None and k in sch.names:
-            t = sch.types[sch.names.index(k)]
-            if isinstance(t, pa.DataType):
-                return t
-        return pa.array([sentinels[k]]).type
-
-    key_types = {k: _ktype(k) for k in keys}
+    key_types = _sentinel_key_types(ds, keys, sentinels)
     finest = hash_aggregate(
         ds, keys, sum_cols=[sum_col], count=True, num_partitions=num_partitions
     ).map_batches(

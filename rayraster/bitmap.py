@@ -44,8 +44,10 @@ def _binary_col_to_matrix(col: pa.ChunkedArray, nbytes: int) -> np.ndarray:
     n = len(arr)
     if n == 0:
         return np.zeros((0, nbytes), dtype=np.uint8)
-    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=n + 1,
-                         offset=arr.offset * 4)
+    large = pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type)
+    off_dtype, off_width = (np.int64, 8) if large else (np.int32, 4)
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype, count=n + 1,
+                         offset=arr.offset * off_width)
     widths = np.diff(offs)
     if not np.all(widths == nbytes):
         raise ValueError("bitmap: blob width mismatch (corrupt index?)")

@@ -42,7 +42,13 @@ def _extract_texts_vectorized(col) -> pa.Array:
     ampersand, and no longer HTML5 entity can extend past a known
     entity's terminating ``;``).  Rows violating that — or with a
     non-unique body tag pair — fall back to the per-row reference
-    extractor, so output is byte-identical to it for EVERY input.
+    extractor, so output is byte-identical to it for EVERY valid
+    input; a carved span that is not valid UTF-8 raises at the final
+    binary→string cast (``ArrowInvalid``) where the reference raises
+    ``UnicodeDecodeError`` — both refuse, neither emits poison.
+    Handles both 32-bit (``binary``/``string``) and 64-bit
+    (``large_binary``/``large_string``) offset layouts; other column
+    types raise.
 
     MEASURED SLOWER than the per-row kernel and therefore NOT the
     default (round-5 A/B, single core): 20.9 vs 2.1 µs/row at ~600 B
@@ -59,6 +65,14 @@ def _extract_texts_vectorized(col) -> pa.Array:
     n = len(a)
     if n == 0:
         return pa.array([], type=pa.string())
+    t = a.type
+    if pa.types.is_large_binary(t) or pa.types.is_large_string(t):
+        off_dtype, off_width = np.int64, 8
+    elif pa.types.is_binary(t) or pa.types.is_string(t):
+        off_dtype, off_width = np.int32, 4
+    else:
+        raise TypeError(f"extract: expected a (large_)binary/string "
+                        f"column, got {t}")
     fi = pc.fill_null(pc.find_substring(a, "<body>"), -1).to_numpy(
         zero_copy_only=False).astype(np.int64)
     fj = pc.fill_null(pc.find_substring(a, "</body>"), -1).to_numpy(
@@ -68,8 +82,8 @@ def _extract_texts_vectorized(col) -> pa.Array:
     ce = pc.fill_null(pc.count_substring(a, "</body>"), 0).to_numpy(
         zero_copy_only=False)
     fallback = (cb != 1) | (ce != 1) | (fi < 0) | (fj < fi + 6)
-    offs = np.frombuffer(a.buffers()[1], dtype=np.int32, count=n + 1,
-                         offset=a.offset * 4).astype(np.int64)
+    offs = np.frombuffer(a.buffers()[1], dtype=off_dtype, count=n + 1,
+                         offset=a.offset * off_width).astype(np.int64)
     data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
     src_start = offs[:-1] + fi + 6
     length = np.where(fallback, 0, fj - fi - 6)
@@ -78,14 +92,17 @@ def _extract_texts_vectorized(col) -> pa.Array:
     np.cumsum(length, out=out_offs[1:])
     if tot > (1 << 31) - 8:  # int32 offset ceiling — carve per row
         fallback[:] = True
-        body = pa.array([""] * n, type=pa.string())
+        body = pa.array([b""] * n, type=pa.binary())
     else:
         idx = (np.arange(tot, dtype=np.int64)
                - np.repeat(out_offs[:-1], length)
                + np.repeat(src_start, length))
         carved = np.ascontiguousarray(data[idx])
+        # stay BINARY until the final cast: the cast-to-string at the
+        # end is the utf8 validation the reference's .decode() does —
+        # invalid bytes raise instead of poisoning a string column
         body = pa.Array.from_buffers(
-            pa.utf8(), n,
+            pa.binary(), n,
             [None, pa.py_buffer(out_offs.astype(np.int32).tobytes()),
              pa.py_buffer(carved.tobytes())],
         )
@@ -103,11 +120,11 @@ def _extract_texts_vectorized(col) -> pa.Array:
     if fallback.any():
         rows = np.flatnonzero(fallback)
         repl = pa.array(
-            [extract_text(a[int(k)].as_py()) for k in rows],
-            type=pa.string(),
+            [extract_text(a[int(k)].as_py()).encode("utf-8") for k in rows],
+            type=pa.binary(),
         )
         texts = pc.replace_with_mask(texts, pa.array(fallback), repl)
-    return texts
+    return texts.cast(pa.string())  # validates utf8; raises like .decode()
 
 
 class ExtractStage:

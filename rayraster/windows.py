@@ -19,13 +19,17 @@ from rayraster.agg import hash_aggregate
 
 
 def _key_part(col, num_partitions: int) -> np.ndarray:
-    """Partition id for a key column: integer keys multiply-hash
-    (masked to stay non-negative under int64 wraparound); non-integer
-    keys fall back to FNV-1a over their string form (the
-    grouped_ranks convention in agg.py)."""
-    try:
+    """Partition id for a key column: integer-typed keys multiply-hash
+    (masked to stay non-negative under int64 wraparound); every other
+    type hashes FNV-1a over its string form (the grouped_ranks
+    convention in agg.py).  The dispatch keys off the column TYPE, not
+    batch content — a content-based try/except would route the same
+    key value through different hash functions in different batches
+    (e.g. a string column whose batches are sometimes all-numeric) and
+    silently fragment per-key results across partitions."""
+    if pa.types.is_integer(col.type):
         keys = col.to_numpy(zero_copy_only=False).astype(np.int64)
-    except (ValueError, TypeError):
+    else:
         from rayraster.geo import fnv1a64
 
         keys = fnv1a64([str(v) for v in col.to_pylist()]).view(np.int64)

@@ -195,3 +195,27 @@ def test_extract_stage_vectorized_flag(ray_session):
             batch_format="pyarrow",
         ).to_pandas()
         assert out.text.tolist() == texts, vec
+
+
+def test_extract_vectorized_large_binary_and_invalid_utf8():
+    """large_binary columns must carve through int64 offsets (not be
+    silently misread as int32), and an invalid-UTF-8 body must RAISE
+    (the reference raises UnicodeDecodeError; the vectorized path
+    raises at the validating binary->string cast) — never emit poison."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from rayraster.extract import _extract_texts_vectorized, extract_text
+
+    pages = [b"<body>hello</body>", b"<body>world</body>", b"<body>third</body>"]
+    got = _extract_texts_vectorized(pa.array(pages, type=pa.large_binary()))
+    assert got.to_pylist() == [extract_text(p) for p in pages]
+
+    bad = pa.array([b"<body>\xff\xfeabc</body>"], type=pa.binary())
+    with _pytest.raises(Exception):
+        _extract_texts_vectorized(bad)
+    with _pytest.raises(UnicodeDecodeError):
+        extract_text(b"<body>\xff\xfeabc</body>")
+
+    with _pytest.raises(TypeError):
+        _extract_texts_vectorized(pa.array([1, 2], type=pa.int64()))

@@ -1494,3 +1494,18 @@ def test_grouped_mad_returns_dataset(ray_session):
     res = grouped_mad(rd.from_pandas(df).repartition(2), "g", "v")
     assert isinstance(res, Dataset)
     assert res.count() == 2
+
+
+def test_key_part_type_based_dispatch_is_batch_invariant():
+    """The hash-path choice must depend on the column TYPE only: the
+    same string key must land in the same partition whether its batch
+    happens to be all-numeric-looking or not (a content-based
+    dispatch fragmented per-key results across partitions)."""
+    from rayraster.windows import _key_part
+
+    a = _key_part(pa.chunked_array([pa.array(["1", "2"])]), 8)
+    b = _key_part(pa.chunked_array([pa.array(["1", "2", "x"])]), 8)
+    assert a.tolist() == b[:2].tolist()
+    # integer-typed columns keep the multiply-hash path
+    c = _key_part(pa.chunked_array([pa.array([1, 2], type=pa.int64())]), 8)
+    assert c.min() >= 0 and c.max() < 8
