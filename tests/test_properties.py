@@ -390,3 +390,43 @@ def test_fnv_arrow_nulls_slices_chunks_and_empties():
     assert len(fnv1a64_arrow(pa.array([], type=pa.string()))) == 0
     # fnv1a64 itself dispatches Arrow input to the buffer path
     np.testing.assert_array_equal(fnv1a64(arr), got)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(0, 5000), min_size=1, max_size=300, unique=True),
+    st.lists(st.sampled_from(["a", "b", "c", None]), min_size=300, max_size=300),
+    st.integers(3, 8),
+)
+def test_bitmap_partial_fold_query_matches_brute_force(ids, vals, chunk_bits):
+    """In-process property for the vectorized bitmap index: for ANY
+    id set, value assignment and chunk size, partial-blob build + OR
+    fold + AND/OR query reproduce the brute-force row sets exactly
+    (incl. null values folding under 'None')."""
+    import pyarrow as pa
+
+    import rayraster.bitmap as bm
+
+    n = len(ids)
+    vals = vals[:n]
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "val": pa.array(vals, type=pa.string())})
+    # split into two batches to force the fold to merge partials
+    partial = bm._make_partial(["val"], "doc_id", chunk_bits, 4)
+    p1 = partial(t.slice(0, n // 2))
+    p2 = partial(t.slice(n // 2))
+    both = pa.concat_tables([p1, p2]).drop_columns(["_part"])
+    both = both.append_column(
+        "_part", pa.array(np.zeros(both.num_rows, dtype=np.int64)))
+    folded = bm._make_fold(chunk_bits)(both)
+    got: dict = {}
+    for v, ch, b in zip(folded["val"].to_pylist(), folded["chunk"].to_pylist(),
+                        folded["bits"].to_pylist()):
+        pos = np.flatnonzero(np.unpackbits(
+            np.frombuffer(b, dtype=np.uint8), bitorder="little"))
+        got.setdefault(v, set()).update(
+            (int(ch) << chunk_bits) | int(p) for p in pos)
+    want: dict = {}
+    for i, v in zip(ids, vals):
+        want.setdefault(str(v), set()).add(i)
+    assert got == want
