@@ -290,13 +290,22 @@ def _perm_salts(num_perm: int) -> np.ndarray:
 
 
 def minhash_signature(shingles: np.ndarray, num_perm: int = 64) -> np.ndarray:
-    """num_perm × uint64 signature: min over shingles of mixed hashes."""
+    """num_perm × uint64 signature: min over shingles of mixed hashes.
+
+    Memory-bounded: the naive ``(|shingles|, num_perm)`` outer product
+    amplifies a 10 MB document to ~5 GB transient at num_perm=64; the
+    shingle axis is processed in 64k-row blocks with a running min —
+    identical output (min is associative), O(block · num_perm) peak."""
     salts = _perm_salts(num_perm)
     if len(shingles) == 0:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    out = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    block = 65536
     with np.errstate(over="ignore"):
-        m = (shingles[:, None] ^ salts[None, :]) * _MIX
-    return m.min(axis=0)
+        for s in range(0, len(shingles), block):
+            m = (shingles[s:s + block, None] ^ salts[None, :]) * _MIX
+            np.minimum(out, m.min(axis=0), out=out)
+    return out
 
 
 class MinHashStage:
@@ -613,6 +622,8 @@ class _VerifyJaccard:
     def _sh(self, i):
         s = self._cache.get(i)
         if s is None:
+            if len(self._cache) > 100_000:  # bounded like the
+                self._cache.clear()        # partitioned twin
             s = self._cache[i] = self._fn(self._texts[i] or "")  # NULL ≡ ''
         return s
 
@@ -845,13 +856,15 @@ def _banded_hamming_pairs(
                 self.sigs = ray.get(sig_ref)
             a = batch["a"].to_numpy(zero_copy_only=False)
             b = batch["b"].to_numpy(zero_copy_only=False)
-            dist = np.array(
-                [
-                    int(self.sigs[x] ^ self.sigs[y]).bit_count()
-                    for x, y in zip(a.tolist(), b.tolist())
-                ],
-                dtype=np.int64,
-            )
+            # popcount over the UNSIGNED view — int.bit_count() on a
+            # signed xor popcounts the absolute value, which is wrong
+            # whenever bit 63 differs (same arithmetic as the
+            # partitioned twin _verify_hamming_partitioned)
+            sa = np.array([self.sigs[x] for x in a.tolist()],
+                          dtype=np.int64).view(np.uint64)
+            sb = np.array([self.sigs[y] for y in b.tolist()],
+                          dtype=np.int64).view(np.uint64)
+            dist = _popcount64(np.bitwise_xor(sa, sb))
             keep = dist <= max_dist
             return pa.table(
                 {
@@ -1320,13 +1333,15 @@ def leakage_safe_split(
         import pyarrow.compute as pc
 
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        cluster = pc.fill_null(t["cluster"], pa.scalar(None)).to_numpy(
-            zero_copy_only=False
-        )
-        # singletons: cluster = own id
-        cl_eff = np.where(
-            pc.is_null(t["cluster"]).to_numpy(zero_copy_only=False), ids, cluster
-        ).astype(np.int64)
+        # singletons: cluster = own id.  Fill nulls IN ARROW before
+        # to_numpy — a null-bearing int64 column round-trips through
+        # float64 and silently corrupts ids >= 2^53 (the key_bucket
+        # trap); coalescing to 0 first keeps the int64 path exact
+        isnull = pc.is_null(t["cluster"]).to_numpy(zero_copy_only=False)
+        cluster = pc.fill_null(
+            t["cluster"].cast(pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
+        cl_eff = np.where(isnull, ids, cluster).astype(np.int64)
         is_val = _sample_hash(cl_eff, rate_den) < np.int64(val_num)
         out = t.drop_columns(["cluster"]).append_column(
             "cluster", pa.array(cl_eff)
@@ -1979,9 +1994,20 @@ def set_similarity_pairs(
         )
     pdf = ds.select_columns([id_col, text_col]).to_pandas()
     texts_ref = ray.put(dict(zip(pdf[id_col], pdf[text_col])))
+    if len(pdf) <= broadcast_threshold:
+        # tiny corpus: task form beats actor-pool spin-up
+        return pairs.map_batches(
+            _VerifyJaccard(texts_ref, threshold, "word", n=1),
+            batch_format="pyarrow",
+        )
+    # forced-broadcast above the threshold: actor pool so the text map
+    # is fetched once per ACTOR, not per task (the _VerifyJaccard
+    # class contract — same handling as minhash_lsh_pairs)
     return pairs.map_batches(
-        _VerifyJaccard(texts_ref, threshold, "word", n=1),
+        _VerifyJaccard,
+        fn_constructor_args=(texts_ref, threshold, "word", 8, 1),
         batch_format="pyarrow",
+        concurrency=(1, 2),
     )
 
 

@@ -128,6 +128,14 @@ class _BatchTopK:
             Q = np.asarray(obj["mat"], dtype=np.float64)
             self.Q = _normalize(Q) if self.normalize else Q
             self.probe = obj.get("probe")
+        if batch.num_rows == 0:
+            # a fully-filtered block (e.g. no probed bucket present)
+            # must yield the empty candidate table, not a matmul crash
+            return pa.table(
+                {"qid": pa.array([], type=pa.int64()),
+                 self.id_col: pa.array([], type=batch[self.id_col].type),
+                 "cos": pa.array([], type=pa.float64())}
+            )
         vecs = list_col_to_matrix(batch[self.vec_col]).astype(np.float64)
         if self.normalize:
             vecs = _normalize(vecs)
@@ -1026,6 +1034,12 @@ def pq_search(
             count=len(col) * m, offset=col.offset * m,
         ).reshape(len(col), m)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:  # empty code block: no candidates, no crash
+            return pa.table(
+                {"qid": pa.array([], type=pa.int64()),
+                 id_col: pa.array([], type=batch[id_col].type),
+                 "adc": pa.array([], type=pa.float64())}
+            )
         # dist[q, row] = Σ_s TT[q, s, code[row, s]] — one gather per
         # subspace, accumulated (nq × nbatch)
         dist = np.zeros((len(qq), len(ids)))
@@ -1042,9 +1056,16 @@ def pq_search(
         )
 
     cand = codes.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-    tbl = pa.concat_tables(
-        [t for t in cand.iter_batches(batch_format="pyarrow", batch_size=65536)]
-    ).combine_chunks()
+    batches = [t for t in cand.iter_batches(batch_format="pyarrow",
+                                            batch_size=65536)]
+    if not batches:  # empty corpus: the typed empty result, like siblings
+        return pa.table(
+            {"qid": pa.array([], type=pa.int64()),
+             id_col: pa.array([], type=pa.int64()),
+             "rank": pa.array([], type=pa.int64()),
+             "adc": pa.array([], type=pa.float64())}
+        )
+    tbl = pa.concat_tables(batches).combine_chunks()
     # deterministic final merge: (qid, adc asc, id asc) → rank
     order = np.lexsort(
         (tbl[id_col].to_numpy(zero_copy_only=False),
@@ -1184,8 +1205,14 @@ def sq_search(
             col.buffers()[1], np.uint8,
             count=len(col) * d, offset=col.offset * d,
         ).reshape(len(col), d)
-        X = _normalize(obj["lo"] + buf * obj["scale"])
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:  # empty code block: no candidates, no crash
+            return pa.table(
+                {"qid": pa.array([], type=pa.int64()),
+                 id_col: pa.array([], type=batch[id_col].type),
+                 "cos": pa.array([], type=pa.float64())}
+            )
+        X = _normalize(obj["lo"] + buf * obj["scale"])
         sims = QQ @ X.T
         kk = min(k, sims.shape[1])
         cut = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
@@ -1291,8 +1318,10 @@ def semantic_neardup_pairs(
         b = np.concatenate(out_b)
         cs = np.concatenate(out_c)
         lo, hi = np.minimum(a, b), np.maximum(a, b)
+        nz = lo != hi  # duplicate ids in a cluster: no self-pairs
         return pa.table(
-            {"a": pa.array(lo), "b": pa.array(hi), "cos": pa.array(cs)}
+            {"a": pa.array(lo[nz]), "b": pa.array(hi[nz]),
+             "cos": pa.array(cs[nz])}
         )
 
     return assigned.groupby("bucket").map_groups(

@@ -886,3 +886,66 @@ def test_set_similarity_cross_id_validation(ray_session):
             rd.from_pandas(bad), rd.from_pandas(ok),
             left_count=1, right_count=1,
         ).to_pandas()
+
+
+def test_hamming_broadcast_verify_handles_sign_bit(ray_session):
+    """Regression: the broadcast Hamming verifier used int.bit_count()
+    on a SIGNED xor, which popcounts the absolute value — wrong
+    whenever bit 63 differs.  Signatures differing only in bits
+    {63, 0} are TRUE distance 2 and must be kept; signatures with the
+    whole top band flipped are TRUE distance 16 and must be dropped —
+    on BOTH verify paths."""
+    import pandas as pd
+
+    from rayraster.dedup import hamming_neardup_pairs
+
+    base = np.uint64(0x1234ABCD)
+    near = (base ^ np.uint64(1) ^ np.uint64(1 << 63)).astype(np.int64)  # bits {0, 63}
+    far = (base ^ np.uint64(0xFFFF000000000000)).astype(np.int64)  # top band
+    base = base.astype(np.int64)
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "phash": np.array([base, near, far], dtype=np.int64)})
+    for mode in ("broadcast", "partitioned"):
+        got = hamming_neardup_pairs(
+            rd.from_pandas(df).repartition(2), "phash", "doc_id",
+            max_dist=4, n_bands=8, verify_mode=mode,
+        ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        assert list(zip(got.a, got.b)) == [(1, 2)], mode
+        assert got.hamming.tolist() == [2], mode
+
+
+def test_leakage_safe_split_preserves_ids_above_2_53(ray_session):
+    """Regression: the split's cluster coalesce round-tripped int64
+    through float64 (null-promotion), corrupting ids >= 2^53.  A
+    snowflake-scale id must keep its exact value in the cluster
+    column on both the joined and the singleton path."""
+    import pandas as pd
+
+    from rayraster.dedup import leakage_safe_split
+
+    big = (1 << 60) + 1
+    docs = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([big, 7], type=pa.int64()),
+         "text": pa.array(["a", "b"])}))
+    clusters = rd.from_arrow(pa.table(
+        {"node": pa.array([7], type=pa.int64()),
+         "cluster": pa.array([big], type=pa.int64())}))
+    got = leakage_safe_split(docs, clusters, num_partitions=4).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    # id 7 is clustered under the big id; the big doc is a singleton
+    assert got.loc[0, "cluster"] == big          # joined path, exact
+    assert got.loc[1, "cluster"] == big          # singleton path, exact
+
+
+def test_minhash_signature_blocked_equals_unblocked():
+    """The 64k-block running-min form must equal the one-shot outer
+    product bit for bit (min is associative)."""
+    from rayraster.dedup import _MIX, _perm_salts, minhash_signature
+
+    rng = np.random.default_rng(3)
+    sh = rng.integers(0, 2**63, 200_000, dtype=np.int64).astype(np.uint64)
+    got = minhash_signature(sh, 16)
+    salts = _perm_salts(16)
+    with np.errstate(over="ignore"):
+        want = ((sh[:, None] ^ salts[None, :]) * _MIX).min(axis=0)
+    assert (got == want).all()

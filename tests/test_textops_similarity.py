@@ -2047,3 +2047,58 @@ def test_semantic_neardup_planted_cone_corpus(ray_session):
         .to_pandas()
     )
     assert sorted(zip(got.a, got.b)) == want
+
+
+def test_batch_topk_and_quantized_search_survive_empty_blocks(ray_session):
+    """Regression: _BatchTopK / pq_search / sq_search crashed on
+    0-row blocks (np.partition kth=-1) and pq_search raised on an
+    all-empty codes dataset instead of returning the typed empty
+    table."""
+    from rayraster.similarity import (
+        brute_topk,
+        pq_encode,
+        pq_search,
+        pq_train,
+        sq_encode,
+        sq_search,
+        sq_train,
+    )
+
+    rng = np.random.default_rng(5)
+    V = rng.integers(0, 256, (40, 8)).astype(np.float64)
+    t = pa.table({"vec_id": pa.array(np.arange(40, dtype=np.int64)),
+                  "embedding": pa.array(list(V))})
+    empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                      "embedding": pa.array([], type=pa.list_(pa.float64()))})
+    ds = rd.from_arrow(empty).union(rd.from_arrow(t))  # one 0-row block
+    out = brute_topk(ds, np.arange(2), V[:2], k=5)
+    assert out.num_rows == 10
+
+    books = pq_train(rd.from_arrow(t).repartition(2), m=4, n_centroids=16)
+    codes = pq_encode(rd.from_arrow(empty), books).union(
+        pq_encode(rd.from_arrow(t), books))
+    assert pq_search(codes, books, np.arange(2), V[:2], k=5).num_rows == 10
+    # all-empty corpus: typed empty result, not ArrowInvalid
+    e = pq_search(pq_encode(rd.from_arrow(empty), books), books,
+                  np.arange(2), V[:2], k=5)
+    assert e.num_rows == 0 and "rank" in e.column_names
+
+    ranges = sq_train(rd.from_arrow(t), normalize=False)
+    sq_codes = sq_encode(rd.from_arrow(empty), ranges).union(
+        sq_encode(rd.from_arrow(t), ranges))
+    assert sq_search(sq_codes, ranges, np.arange(2), V[:2], k=5).num_rows == 10
+
+
+def test_semantic_neardup_no_self_pairs_on_duplicate_ids(ray_session):
+    """Regression: a vec_id appearing on two rows produced (id, id)
+    self-pairs from the cluster compare, violating the a < b
+    contract."""
+    from rayraster.similarity import semantic_neardup_pairs
+
+    V = np.zeros((4, 4)); V[:, 0] = 1.0
+    t = pa.table({"vec_id": pa.array([1, 1, 2, 3], type=pa.int64()),
+                  "embedding": pa.array(list(V))})
+    got = semantic_neardup_pairs(rd.from_arrow(t), threshold=0.9,
+                                 n_clusters=1, sample_size=4).to_pandas()
+    assert (got.a < got.b).all()
+    assert sorted(set(zip(got.a, got.b))) == [(1, 2), (1, 3), (2, 3)]
