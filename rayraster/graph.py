@@ -301,8 +301,13 @@ def pagerank(
         from rayraster.agg import distinct
 
         def endpoints(t: pa.Table) -> pa.Table:
-            s = t["src"].cast(pa.int64())
-            d = t["dst"].cast(pa.int64())
+            import pyarrow.compute as _pc
+
+            # drop NULL endpoints: a null would survive distinct() as
+            # its own group (a phantom node collecting teleport mass)
+            # and float-promote downstream int64 node batches
+            s = _pc.drop_null(t["src"].cast(pa.int64()))
+            d = _pc.drop_null(t["dst"].cast(pa.int64()))
             return pa.table(
                 {"node": pa.chunked_array(list(s.chunks) + list(d.chunks), pa.int64())}
             )
@@ -753,7 +758,11 @@ def bfs_depths(
         out = rd.from_arrow(pa.concat_tables(done_tables))
         return out.union(*ds_levels) if ds_levels else out
 
-    for depth in range(1, max_depth + 1):
+    # max_depth + 1 rounds: the LAST round only verifies the frontier
+    # is empty, so a graph whose deepest node sits at exactly
+    # max_depth hops converges instead of spuriously raising (the
+    # k_core fixpoint-check convention)
+    for depth in range(1, max_depth + 2):
         if frontier_ids is not None:
             ref = ray.put(frontier_ids)
 
@@ -781,6 +790,8 @@ def bfs_depths(
             n_frontier = len(nxt_ids)
             if n_frontier == 0:
                 return _finish()
+            if depth > max_depth:
+                break  # genuinely deeper than max_depth: raise below
             done_tables.append(
                 pa.table({"node": pa.array(nxt_ids),
                           "depth": pa.array(np.full(n_frontier, depth,
@@ -827,6 +838,8 @@ def bfs_depths(
         n_frontier = nxt.count()
         if n_frontier == 0:
             return _finish()
+        if depth > max_depth:
+            break  # genuinely deeper than max_depth: raise below
         frontier_ds = nxt
         ds_levels.append(
             frontier_ds.map_batches(
@@ -1090,6 +1103,18 @@ def sssp(
                          "dist": pa.array(np.minimum.reduceat(cand[order], start))})
 
     def _edge_np(t: pa.Table):
+        import pyarrow.compute as _pc
+
+        # NULL endpoints/weights never relax (engine-wide NULL-keys-
+        # never-match rule); dropping them keeps to_numpy on the int64
+        # path — a null-bearing batch float-promotes and corrupts ids
+        # >= 2^53 while fabricating an INT64_MIN phantom source
+        ok = _pc.and_(
+            _pc.and_(_pc.is_valid(t["src"]), _pc.is_valid(t["dst"])),
+            _pc.is_valid(t[weight_col]),
+        )
+        if not _pc.all(ok).as_py():
+            t = t.filter(ok)
         s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
         w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1393,14 +1418,19 @@ def hits(
     ).materialize()
     e_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
     s_schema = pa.schema([("node", pa.int64()), ("s", pa.int64())])
-    _BOUND = np.int64(1) << np.int64(46)
+    # the per-round bound must make the NEXT fold wrap-free, not just
+    # cap the current scores: a fold sums up to deg_max terms, so the
+    # check runs at min(2^46, 2^62 / deg_max) — with the old flat 2^46
+    # a hub of degree > 2^17 could wrap int64 IN the fold and the
+    # wrapped (negative/small) max would sail past the post-fold check
+    _BOUND = np.int64(1) << np.int64(46)  # tightened below via deg_max
 
     def _check(state: Dataset, what: str) -> Dataset:
         m = state.max("s")
         if m is not None and m > _BOUND:
             raise ValueError(
-                f"hits: {what} score {m} exceeds 2^46 after a round — "
-                "reduce rounds or rescale"
+                f"hits: {what} score {m} exceeds the wrap-safe bound "
+                f"{_BOUND} after a round — reduce rounds or rescale"
             )
         return state
 
@@ -1423,6 +1453,18 @@ def hits(
         ),
         "dst",
     )
+    dout = _fold(
+        e.map_batches(
+            lambda t: pa.table(
+                {"src": t["src"],
+                 "s": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+            ),
+            batch_format="pyarrow",
+        ),
+        "src",
+    )
+    deg_max = max(int(a.max("s") or 1), int(dout.max("s") or 1))
+    _BOUND = np.int64(min(1 << 46, (1 << 62) // max(deg_max, 1)))
     h: Dataset | None = None
     for r in range(rounds):
         if r > 0:
@@ -1982,9 +2024,21 @@ def degree_moments(
 
     def mom_fold(t: pa.Table) -> pa.Table:
         d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # exactness gate: per-element d³ must fit int64 (a wrapped d³
+        # can land POSITIVE, so a sign check alone is not sound), and
+        # the batch fold is cross-checked against a float64 shadow sum
+        # that detects any ±2^64 wrap in the int64 accumulation
+        if len(d) and int(d.max()) >= (1 << 21):
+            raise OverflowError(
+                f"degree_moments: max degree {int(d.max())} >= 2^21 — "
+                "Σd³ terms would exceed int64"
+            )
         d2 = d * d
-        s3 = int((d2 * d).sum())
-        if s3 < 0:
+        d3 = d2 * d
+        s3 = int(d3.sum())
+        if abs(float(s3) - float(d3.astype(np.float64).sum())) > max(
+            1.0, abs(float(s3))
+        ) * 1e-6:
             raise OverflowError("degree_moments: Σd³ overflowed int64")
         return pa.table(
             {"s1": pa.array([int(d.sum())], type=pa.int64()),

@@ -35,6 +35,11 @@ class BroadcastJoinStage:
                  right_suffix: str = "_r"):
         self._ref = small_ref
         self.keys = [keys] if isinstance(keys, str) else list(keys)
+        if join_type not in ("inner", "left", "left outer"):
+            raise ValueError(
+                f"broadcast_join supports join_type 'inner' or 'left', "
+                f"got {join_type!r} (use bucket_join for other types)"
+            )
         self.join_type = "inner" if join_type == "inner" else "left outer"
         self.right_suffix = right_suffix
         self._small = None
@@ -177,8 +182,16 @@ def bucket_join(
     right_cols = list(r_schema.names)
     types = {**dict(zip(r_schema.names, r_schema.types)),
              **dict(zip(l_schema.names, l_schema.types))}
-    r_types = dict(zip(r_schema.names, r_schema.types))
-    right_carry = [c for c in right_cols if c != right_key]
+    # a right carry column whose name collides with a LEFT column
+    # (incl. one literally named left_key) is suffixed _r here, driver
+    # side — previously such a column was silently dropped because the
+    # union schema collapsed the duplicate name
+    _orig_r_types = dict(zip(r_schema.names, r_schema.types))
+    _carry_orig = [c for c in right_cols if c != right_key]
+    _carry_out = {c: (c + "_r" if c in left_cols else c) for c in _carry_orig}
+    _carry_inv = {v: k for k, v in _carry_out.items()}
+    right_carry = [_carry_out[c] for c in _carry_orig]
+    r_types = {_carry_out[c]: _orig_r_types[c] for c in _carry_orig}
     all_cols = [*left_cols, *right_carry]
 
     def bucket_of(keys: pa.ChunkedArray, salt_ids: np.ndarray | None = None) -> np.ndarray:
@@ -206,8 +219,9 @@ def bucket_join(
                     cols[name] = t[name]
                 elif not side_is_left and name == left_key:
                     cols[name] = t[right_key]  # key under the left name
-                elif not side_is_left and name in t.column_names and name in right_carry:
-                    cols[name] = t[name]
+                elif (not side_is_left and name in _carry_inv
+                      and _carry_inv[name] in t.column_names):
+                    cols[name] = t[_carry_inv[name]]
                 else:
                     typ = r_types[name] if name in right_carry else types[name]
                     if not isinstance(typ, pa.DataType):
@@ -338,6 +352,16 @@ def asof_join(
 
     def unify(is_left: bool):
         def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            # NULL keys / timestamps never match (engine-wide rule);
+            # dropping them HERE keeps both to_numpy paths int64 — a
+            # null-bearing batch otherwise float-promotes, corrupting
+            # ids >= 2^53 and emitting float _ts_us blocks that clash
+            # with int64 blocks at the exchange
+            ok = _pc.and_(_pc.is_valid(t[key]), _pc.is_valid(t[ts_col]))
+            if not _pc.all(ok).as_py():
+                t = t.filter(ok)
             us = (
                 t[ts_col]
                 .cast(pa.timestamp("us"))
@@ -834,7 +858,24 @@ def compact_bucketed(
     if target_rows_per_file < 1:
         raise ValueError("target_rows_per_file must be >= 1")
     _read_bucket_manifest(path)  # raises on a non-bucketed dir
-    bucket_dirs = sorted(_glob.glob(os.path.join(path, "_bucket=*")))
+    # crash repair BEFORE compacting: a worker dying between the two
+    # swap renames leaves the data in _bucket=<b>.compact_old with no
+    # main dir — restore it; a stale .compact_old WITH a main dir is
+    # post-swap debris — drop it; .compact_tmp is always incomplete
+    import shutil as _shutil
+
+    for old_dir in _glob.glob(os.path.join(path, "_bucket=*.compact_old")):
+        main = old_dir[: -len(".compact_old")]
+        if os.path.isdir(main):
+            _shutil.rmtree(old_dir)
+        else:
+            os.rename(old_dir, main)
+    for tmp_dir in _glob.glob(os.path.join(path, "_bucket=*.compact_tmp")):
+        _shutil.rmtree(tmp_dir)
+    bucket_dirs = sorted(
+        d for d in _glob.glob(os.path.join(path, "_bucket=*"))
+        if ".compact" not in os.path.basename(d)
+    )
 
     @ray.remote
     def _compact(bdir: str):

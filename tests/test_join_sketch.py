@@ -1182,3 +1182,89 @@ def test_bitmap_build_no_per_row_python(monkeypatch):
         got.setdefault((c, v), []).extend(((ch << 8) | p) for p in pos)
     for v in ("en", "de", "fr"):
         assert sorted(got[("lang", v)]) == ids[lang == v].tolist()
+
+
+def test_broadcast_join_rejects_unknown_join_type(ray_session):
+    """Regression: any join_type other than 'inner' was silently
+    coerced to LEFT OUTER (e.g. a 'semi' or a typo) — must raise."""
+    from rayraster.join import broadcast_join
+
+    ds = rd.from_arrow(pa.table({"k": pa.array([1, 2], type=pa.int64())}))
+    small = pa.table({"k": pa.array([1], type=pa.int64()),
+                      "v": pa.array(["x"])})
+    with pytest.raises(ValueError, match="join_type"):
+        broadcast_join(ds, small, "k", join_type="semi")
+    with pytest.raises(ValueError, match="join_type"):
+        broadcast_join(ds, small, "k", join_type="innr")
+
+
+def test_bucket_join_right_column_named_left_key_is_suffixed(ray_session):
+    """Regression: a right DATA column literally named left_key was
+    silently replaced by the join key; it must come through as _r."""
+    from rayraster.join import bucket_join
+
+    left = rd.from_arrow(pa.table(
+        {"user_id": pa.array([1, 2], type=pa.int64()),
+         "post": pa.array(["p1", "p2"])}))
+    right = rd.from_arrow(pa.table(
+        {"id": pa.array([1, 2], type=pa.int64()),
+         "user_id": pa.array([77, 88], type=pa.int64())}))  # referrer ids
+    got = bucket_join(left, right, "user_id", "id",
+                      num_buckets=4).to_pandas().sort_values("user_id")
+    assert "user_id_r" in got.columns
+    assert got.user_id_r.tolist() == [77, 88]
+    assert got.user_id.tolist() == [1, 2]
+
+
+def test_asof_join_ignores_null_keys_and_timestamps(ray_session):
+    """Regression: a null key or ts float-promoted the batch (ids >=
+    2^53 would partition inconsistently) and emitted float _ts_us
+    blocks; null rows must simply never match."""
+    import pandas as pd
+
+    from rayraster.join import asof_join
+
+    left = pd.DataFrame({
+        "k": pd.array([1, None, 2], dtype="Int64"),
+        "ts": pd.to_datetime([10, 20, 30], unit="s"),
+        "lv": [100, 200, 300],
+    })
+    right = pd.DataFrame({
+        "k": pd.array([1, 2, 2], dtype="Int64"),
+        "ts": pd.to_datetime([5, pd.NaT, 25], unit="s", errors="coerce"),
+        "rv": [7, 8, 9],
+    })
+    got = asof_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                    num_partitions=4).to_pandas().sort_values("k")
+    assert got.k.tolist() == [1, 2]
+    assert got.rv.tolist() == [7, 9]
+
+
+def test_compact_bucketed_repairs_crashed_swap(ray_session, tmp_path):
+    """Regression: a crash between the two swap renames left the data
+    in _bucket=<b>.compact_old with no main dir; the next run globbed
+    the debris as a real bucket and never restored the missing one.
+    The repair pass must restore crashed buckets and drop stale tmp."""
+    import os
+    import shutil
+
+    from rayraster.join import bucket_join_prebucketed, compact_bucketed, write_bucketed
+
+    t = pa.table({"k": pa.array(np.arange(100, dtype=np.int64)),
+                  "v": pa.array(np.arange(100, dtype=np.int64) * 2)})
+    lay = str(tmp_path / "lay")
+    write_bucketed(rd.from_arrow(t), "k", lay, num_buckets=4)
+    bdirs = sorted(d for d in os.listdir(lay) if d.startswith("_bucket="))
+    # simulate the crash window on one bucket + stale tmp on another
+    crashed = os.path.join(lay, bdirs[0])
+    os.rename(crashed, crashed + ".compact_old")
+    os.makedirs(os.path.join(lay, bdirs[1]) + ".compact_tmp")
+    compact_bucketed(lay, target_rows_per_file=1 << 20)
+    names = set(os.listdir(lay))
+    assert bdirs[0] in names
+    assert not any(".compact" in n for n in names)
+    # the layout still joins completely after repair
+    other = str(tmp_path / "rhs")
+    write_bucketed(rd.from_arrow(t.select(["k"])), "k", other, num_buckets=4)
+    joined = bucket_join_prebucketed(lay, other).to_pandas()
+    assert len(joined) == 100
