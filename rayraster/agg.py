@@ -516,9 +516,19 @@ def grouped_quantiles(
 
     def add_part(t: pa.Table) -> pa.Table:
         keep = t.select([*group_cols, value_col])
-        return keep.append_column(
+        keep = keep.append_column(
             _PART, pa.array(_part_of(t, group_cols, num_partitions))
         )
+        # NULL values are ignored (quantile_disc semantics, and the
+        # giant-group exact_quantiles path already drops them) — kept,
+        # they would inflate n and sort to the end, so q=1.0 selected
+        # NULL and every other q was rank-shifted
+        import pyarrow.compute as _pc
+
+        v = keep[value_col]
+        if v.null_count:
+            keep = keep.filter(_pc.is_valid(v))
+        return keep
 
     def solve(part: pa.Table) -> pa.Table:
         part = part.sort_by(
@@ -960,7 +970,12 @@ def global_rank(
         b = np.asarray(bucket_fn(t), dtype=np.int64)
         return t.append_column("_rbkt", pa.array(b))
 
-    withb = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize ONCE: the histogram pass and the ranking exchange
+    # both consume this lineage — unmaterialized, an expensive
+    # upstream (e.g. a corpus wordcount shuffle) would execute twice
+    withb = ds.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     hist = (
         hash_aggregate(
@@ -1275,7 +1290,7 @@ def profile_table(
             # (stringifying first would order ints lexicographically)
             mn = pc.min(arr).as_py() if valid else None
             mx = pc.max(arr).as_py() if valid else None
-            typ = arr.type if isinstance(arr, pa.ChunkedArray) else arr.type
+            typ = arr.type
             cols[f"min_{c}"] = pa.array([mn], type=typ)
             cols[f"max_{c}"] = pa.array([mx], type=typ)
         return pa.table(cols)
@@ -1480,13 +1495,22 @@ def grouped_variance(
                         "grouped_variance: value² exceeds int64 — pre-scale"
                     )
             sq = pa.array(x * x)
-        else:
-            sq = pc.multiply(v, v)
-        return pa.table({**{k: t[k] for k in keys}, value_col: v, "_sq": sq})
+            # float64 SHADOW of the squares: the grouped int64 sum can
+            # wrap silently even when every term fits (two 9.2e18
+            # terms), and a post-fold bound check would inspect the
+            # already-wrapped value — finish() compares the int sum to
+            # this shadow (a wrap shifts it by ~2^64, float drift is
+            # orders of magnitude smaller) and raises
+            sqf = pa.array((x * x).astype(np.float64))
+            return pa.table({**{k: t[k] for k in keys}, value_col: v,
+                             "_sq": sq, "_sqf": sqf})
+        sq = pc.multiply(v, v)
+        return pa.table({**{k: t[k] for k in keys}, value_col: v,
+                         "_sq": sq, "_sqf": sq.cast(pa.float64())})
 
     prepped = ds.map_batches(add_sq, batch_format="pyarrow", zero_copy_batch=True)
     agg = hash_aggregate(
-        prepped, keys, sum_cols=[value_col, "_sq"], count=True,
+        prepped, keys, sum_cols=[value_col, "_sq", "_sqf"], count=True,
         num_partitions=num_partitions,
     )
 
@@ -1497,6 +1521,13 @@ def grouped_variance(
         sx2 = t["sum__sq"].to_numpy(zero_copy_only=False)
         if pa.types.is_integer(sx_col.type) and len(n):
             ni = t["n"].to_numpy(zero_copy_only=False)
+            sx2f = t["sum__sqf"].to_numpy(zero_copy_only=False)
+            drift = np.abs(sx2.astype(np.float64) - sx2f)
+            if (drift > 0.01 * np.maximum(1.0, np.abs(sx2f))).any():
+                raise ValueError(
+                    "grouped_variance: Σx² wrapped int64 in the "
+                    "grouped sum — pre-scale or shard the group"
+                )
             if (
                 max(int(np.abs(sx2).max()) * int(ni.max()), int(np.abs(sx).max()) ** 2)
                 > 2**63 - 1
@@ -1708,14 +1739,20 @@ def grouped_linreg(
             xx, yy, xy = (
                 pc.multiply(xa, xa), pc.multiply(ya, ya), pc.multiply(xa, ya)
             )
+        # float64 shadow of the largest moment: the grouped int64 sums
+        # can wrap even when every per-row product fits int64 — see
+        # grouped_variance's shadow for the detection rationale
         return pa.table(
             {**{k: t[k] for k in keys}, "_x": xa, "_y": ya,
-             "_xx": xx, "_yy": yy, "_xy": xy}
+             "_xx": xx, "_yy": yy, "_xy": xy,
+             "_xxf": xx.cast(pa.float64()), "_yyf": yy.cast(pa.float64()),
+             "_xyf": xy.cast(pa.float64())}
         )
 
     prepped = ds.map_batches(add_moments, batch_format="pyarrow", zero_copy_batch=True)
     agg = hash_aggregate(
-        prepped, keys, sum_cols=["_x", "_y", "_xx", "_yy", "_xy"],
+        prepped, keys,
+        sum_cols=["_x", "_y", "_xx", "_yy", "_xy", "_xxf", "_yyf", "_xyf"],
         count=True, num_partitions=num_partitions,
     )
 
@@ -1726,6 +1763,17 @@ def grouped_linreg(
         sxx = t["sum__xx"].to_numpy(zero_copy_only=False)
         syy = t["sum__yy"].to_numpy(zero_copy_only=False)
         sxy = t["sum__xy"].to_numpy(zero_copy_only=False)
+        if pa.types.is_integer(t["sum__xx"].type):
+            for s_int, shadow in (
+                (sxx, "sum__xxf"), (syy, "sum__yyf"), (sxy, "sum__xyf")
+            ):
+                sf = t[shadow].to_numpy(zero_copy_only=False)
+                drift = np.abs(s_int.astype(np.float64) - sf)
+                if (drift > 0.01 * np.maximum(1.0, np.abs(sf))).any():
+                    raise ValueError(
+                        "grouped_linreg: a moment sum wrapped int64 in "
+                        "the grouped fold — pre-scale or shard the group"
+                    )
         nf = ni.astype(np.float64)
         sxf, syf = sx.astype(np.float64), sy.astype(np.float64)
         sxxf, syyf = sxx.astype(np.float64), syy.astype(np.float64)
@@ -1869,7 +1917,7 @@ def rollup_aggregate(
             ["rsum" if c == f"sum_{sum_col}" else c for c in t.column_names]
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()  # every level re-aggregates THIS, never the input
 
     def _project(lvl: int):
         kept = keys[:lvl]
@@ -1966,7 +2014,7 @@ def cube_aggregate(
             ["rsum" if c == f"sum_{sum_col}" else c for c in t.column_names]
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()  # every level re-aggregates THIS, never the input
 
     def _project(kept: tuple):
         def fn(t: pa.Table) -> pa.Table:

@@ -402,13 +402,16 @@ def build_scored_index(
     out = write_bucketed(pairs, "word", path, num_buckets=num_buckets)
 
     # corpus stats sidecar: one (docs, tokens) int64 pair per batch
-    # reaches the driver
+    # reaches the driver.  Token count = Σ count_substring_regex(\S+)
+    # — the same value as len(_split_words_flat(...)) but a single RE2
+    # counting pass instead of re-tokenizing the whole corpus a
+    # second time (no token array materialized)
     def stats(batch: pa.Table) -> pa.Table:
         text = _combined(pc.fill_null(batch[text_col], ""))
-        flat, _ = _split_words_flat(text)
+        tok = pc.sum(pc.count_substring_regex(text, r"\S+")).as_py() or 0
         return pa.table(
             {"n": pa.array([batch.num_rows], type=pa.int64()),
-             "tok": pa.array([len(flat)], type=pa.int64())}
+             "tok": pa.array([int(tok)], type=pa.int64())}
         )
 
     n_docs = tokens = 0
@@ -419,6 +422,29 @@ def build_scored_index(
     with open(os.path.join(path, "_bm25_stats.json"), "w") as f:
         _json.dump({"n_docs": n_docs, "total_tokens": tokens}, f)
     return out
+
+
+def _probed_bucket_files(path: str, terms) -> "list[str]":
+    """Parquet files of ONLY the buckets the given terms hash into
+    (intersected with the manifest's written set) — the shared
+    bucket-pruned listing used by every probed index read."""
+    import glob as _glob
+    import os
+
+    from rayraster.join import _read_bucket_manifest, key_bucket
+
+    m = _read_bucket_manifest(path)
+    B = m["num_buckets"]
+    written = set(m.get("buckets_written", []))
+    buckets = sorted(
+        set(int(b) for b in key_bucket(pa.array(list(terms), type=pa.string()), B))
+        & written
+    )
+    return [
+        f
+        for b in buckets
+        for f in sorted(_glob.glob(os.path.join(path, f"_bucket={b}", "*.parquet")))
+    ]
 
 
 def bm25_search(
@@ -460,18 +486,7 @@ def bm25_search(
         st = _json.load(f)
     N = int(st["n_docs"])
     avgdl = st["total_tokens"] / max(1, N)  # ONE division, shared with the twin
-    m = _read_bucket_manifest(path)
-    B = m["num_buckets"]
-    written = set(m.get("buckets_written", []))
-    buckets = sorted(
-        set(int(x) for x in key_bucket(pa.array(terms, type=pa.string()), B))
-        & written
-    )
-    files = [
-        f
-        for bb in buckets
-        for f in sorted(_glob.glob(os.path.join(path, f"_bucket={bb}", "*.parquet")))
-    ]
+    files = _probed_bucket_files(path, terms)
     s_cols = [f"s_{i}" for i in range(len(terms))]
     empty = pa.table(
         {id_col: pa.array([], type=pa.int64()),
@@ -850,16 +865,17 @@ def json_extract_int(batch: pa.Table, json_col: str, key: str, out_col: str) -> 
     if pc.any(misses).as_py():
         import json as _json
 
-        vnp = vals.to_numpy(zero_copy_only=False)
-        out = vnp.astype(object)
-        out[np.asarray(pc.is_null(vals).to_numpy(zero_copy_only=False))] = None
+        # to_pylist keeps the regex hits EXACT int64 — to_numpy on a
+        # null-bearing int64 column float-promotes and corrupts
+        # values above 2^53
+        out = vals.to_pylist()
         for i in np.nonzero(misses.to_numpy(zero_copy_only=False))[0]:
             try:
                 v = _json.loads(col[int(i)].as_py()).get(key)
                 out[i] = int(v) if v is not None else None
             except (ValueError, TypeError, AttributeError):
                 out[i] = None
-        vals = pa.array(out.tolist(), type=pa.int64())
+        vals = pa.array(out, type=pa.int64())
     return batch.append_column(out_col, vals)
 
 
@@ -1279,18 +1295,7 @@ def search_index(
     terms = sorted(set(terms))
     if not terms:
         raise ValueError("search_index: need at least one term")
-    m = _read_bucket_manifest(path)
-    B = m["num_buckets"]
-    written = set(m.get("buckets_written", []))
-    buckets = sorted(
-        set(int(b) for b in key_bucket(pa.array(terms, type=pa.string()), B))
-        & written
-    )
-    files = [
-        f
-        for b in buckets
-        for f in sorted(_glob.glob(os.path.join(path, f"_bucket={b}", "*.parquet")))
-    ]
+    files = _probed_bucket_files(path, terms)
     empty = pa.table(
         {id_col: pa.array([], type=pa.int64()),
          "n_matched": pa.array([], type=pa.int64())}
@@ -2231,12 +2236,8 @@ def bigram_lm_score(
     V = vocab.count()
 
     def bigram_partial(batch: pa.Table) -> pa.Table:
-        w1, w2, _ = _bigram_flat(batch[text_col])
-        t = pa.table(
-            {"w1": w1, "w2": w2, "_c": np.ones(len(w1), dtype=np.int64)}
-        )
-        out = t.group_by(["w1", "w2"]).aggregate([("_c", "sum")])
-        return pa.table({"w1": out["w1"], "w2": out["w2"], "n": out["_c_sum"]})
+        # the module-level combiner (incl. its empty-batch guard)
+        return bigram_count_partial(batch, text_col)
 
     c2ds = None
     if mode in ("auto", "broadcast"):
@@ -3033,19 +3034,8 @@ def phrase_search(
 
     if len(phrase) < 2:
         raise ValueError("phrase_search: need at least two words")
-    m = _read_bucket_manifest(path)
-    B = m["num_buckets"]
-    written = set(m.get("buckets_written", []))
     terms = sorted(set(phrase))
-    buckets = sorted(
-        set(int(b) for b in key_bucket(pa.array(terms, type=pa.string()), B))
-        & written
-    )
-    files = [
-        f
-        for b in buckets
-        for f in sorted(_glob.glob(os.path.join(path, f"_bucket={b}", "*.parquet")))
-    ]
+    files = _probed_bucket_files(path, terms)
     empty = pa.table(
         {id_col: pa.array([], type=pa.int64()),
          "n_hits": pa.array([], type=pa.int64())}

@@ -2102,3 +2102,16 @@ def test_semantic_neardup_no_self_pairs_on_duplicate_ids(ray_session):
                                  n_clusters=1, sample_size=4).to_pandas()
     assert (got.a < got.b).all()
     assert sorted(set(zip(got.a, got.b))) == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_json_extract_int_exact_above_2_53_with_fallback_rows(ray_session):
+    """Regression: a malformed sibling row sent the whole batch's
+    already-exact regex hits through a float64 round-trip, silently
+    corrupting integers above 2^53."""
+    from rayraster.textops import json_extract_int
+
+    big = (1 << 53) + 1
+    t = pa.table({"j": pa.array([f'{{"k": {big}}}', "not json",
+                                 '{"k": 5, "x": 1}'])})
+    out = json_extract_int(t, "j", "k", "v")
+    assert out["v"].to_pylist() == [big, None, 5]

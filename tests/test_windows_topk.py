@@ -1509,3 +1509,45 @@ def test_key_part_type_based_dispatch_is_batch_invariant():
     # integer-typed columns keep the multiply-hash path
     c = _key_part(pa.chunked_array([pa.array([1, 2], type=pa.int64())]), 8)
     assert c.min() >= 0 and c.max() < 8
+
+
+def test_grouped_variance_raises_on_wrapped_sum(ray_session):
+    """Regression: two values whose squares individually fit int64 can
+    WRAP in the grouped sum; the old post-fold bound inspected the
+    wrapped (small) value and passed, returning garbage silently."""
+    from rayraster.agg import grouped_variance
+
+    v = 3_037_000_499  # v*v ~ 9.22e18 < 2^63, but 2*v*v wraps
+    df = pd.DataFrame({"g": [1, 1], "v": np.array([v, v], dtype=np.int64)})
+    with pytest.raises(Exception, match="wrap|pre-scale"):
+        grouped_variance(rd.from_pandas(df), ["g"], "v").to_pandas()
+    # sane inputs still work and stay exact
+    df2 = pd.DataFrame({"g": [1, 1, 2], "v": np.array([1, 3, 5], dtype=np.int64)})
+    out = grouped_variance(rd.from_pandas(df2), ["g"], "v").to_pandas()
+    out = out.sort_values("g").reset_index(drop=True)
+    assert out.loc[0, "var"] == 1.0 and out.loc[1, "var"] == 0.0
+
+
+def test_grouped_linreg_raises_on_wrapped_moment(ray_session):
+    """Same wrap class for the regression moments."""
+    from rayraster.agg import grouped_linreg
+
+    v = 3_037_000_499
+    df = pd.DataFrame({"g": [1, 1], "x": np.array([v, v], dtype=np.int64),
+                       "y": np.array([v, v], dtype=np.int64)})
+    with pytest.raises(Exception, match="wrap|pre-scale"):
+        grouped_linreg(rd.from_pandas(df), ["g"], "x", "y").to_pandas()
+
+
+def test_grouped_quantiles_ignores_null_values(ray_session):
+    """Regression: NULL values inflated n and sorted last, so q=1.0
+    returned NULL and every other rank shifted; quantile_disc
+    semantics ignore NULLs."""
+    from rayraster.agg import grouped_quantiles
+
+    t = pa.table({"g": pa.array([1, 1, 1], type=pa.int64()),
+                  "v": pa.array([1.0, 2.0, None], type=pa.float64())})
+    out = grouped_quantiles(rd.from_arrow(t), ["g"], "v", [0.5, 1.0],
+                            num_partitions=2).to_pandas()
+    out = out.sort_values("q").reset_index(drop=True)
+    assert out.value.tolist() == [1.0, 2.0]
