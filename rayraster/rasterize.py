@@ -339,10 +339,13 @@ def rasterize_features(
     """
     if fun not in VALID_FUNS:
         raise ValueError(f"fun must be one of {VALID_FUNS}, got {fun!r}")
-    if spec is None:
-        spec = derive_grid_spec(ds, resolution, square, x_col, y_col)
+    # validate BEFORE derive_grid_spec: the spec derivation is an
+    # eager full-input Min/Max aggregate — a bad argument must fail in
+    # microseconds, not after a complete scan
     if not set(extra_stats) <= {"min", "max"}:
         raise ValueError(f"extra_stats must be within {{'min','max'}}, got {extra_stats}")
+    if spec is None:
+        spec = derive_grid_spec(ds, resolution, square, x_col, y_col)
     cells = _partial_then_finalize(
         ds, spec, x_col, y_col, value_cols, extra_keys, num_partitions, batch_size,
         extra_stats, combine_batch_size,
@@ -509,7 +512,10 @@ def unpivot(
                 var_name, pa.array([c] * t.num_rows, type=pa.string())
             )
             pieces.append(piece.append_column(value_name, t[c]))
-        return pa.concat_tables(pieces)
+        # permissive promotion: mixed value-column types (e.g. the
+        # engine's own sum_v int64 + mean_v float64) unify instead of
+        # crashing concat on unequal schemas
+        return pa.concat_tables(pieces, promote_options="permissive")
 
     return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
 

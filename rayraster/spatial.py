@@ -584,7 +584,14 @@ def local_moran(
         raise ValueError("local_moran: empty pixel table")
     mean = s_px / n_px  # ONE IEEE division of exact ints (< 2^53)
     nf = float(n_px)
-    sd = math.sqrt(float(ssq_px) / nf - mean * mean) if with_gi else 0.0
+    sd = math.sqrt(max(float(ssq_px) / nf - mean * mean, 0.0)) if with_gi else 0.0
+    if with_gi and (sd == 0.0 or n_px < 2):
+        # a constant or single-pixel raster has no z-score — raise like
+        # global_moran's degenerate case instead of emitting inf/nan
+        raise ValueError(
+            "local_moran: gi_star undefined for a constant or "
+            "single-pixel raster (sd = 0)"
+        )
 
     with_nbrs = neighbor_stats(
         pixels, value_col, ix_col=ix_col, iy_col=iy_col,
@@ -1062,6 +1069,8 @@ def zonal_perimeter(
             return e.append_column("_part", pa.array([], type=pa.int64()))
         ix = t[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)
         iy = t[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if np.abs(ix).max(initial=0) >= 1 << 31 or np.abs(iy).max(initial=0) >= 1 << 31:
+            raise ValueError("zonal_perimeter: |ix|,|iy| must be < 2^31 to pack")
         tx, ty = ix // T, iy // T
         lx, ly = ix - tx * T, iy - ty * T
         pieces = []
@@ -1134,6 +1143,14 @@ def zonal_perimeter(
             keys = _pack(ix[rows], iy[rows])
             order = np.argsort(keys)
             skeys, svals = keys[order], val[rows][order]
+            if len(skeys) > 1 and (skeys[1:] == skeys[:-1]).any():
+                # same contract as neighbor_stats/region_edges:
+                # searchsorted would match only one duplicate, silently
+                # double-counting perimeters — refuse
+                raise ValueError(
+                    "zonal_perimeter: duplicate (ix, iy) pixels in the"
+                    " input — the raster must be unique per cell"
+                )
             hk = _pack(ix[h], iy[h])
             hv = val[h]
             same = np.zeros(len(h), np.int64)
@@ -1570,8 +1587,11 @@ def hillshade_sql(
         f"(255.0 * ({_flit(cz)} / {denom} + ({_flit(sz)} * ({m} / {denom}))"
         f" * ({_flit(ca)} * ((0.0 - {dx}) / {r}) + {_flit(sa)} * ({dy} / {r}))))"
     )
+    # the flat branch clamps at 0 too — the Python engine applies
+    # np.maximum(..., 0) AFTER the flat substitution, so a sun below
+    # the horizon (255·cos(zenith) < 0) must clamp in both engines
     return (
-        f"CASE WHEN {r} = 0.0 THEN {_flit(255.0 * cz)} "
+        f"CASE WHEN {r} = 0.0 THEN {_flit(max(255.0 * cz, 0.0))} "
         f"ELSE greatest({shade}, 0.0) END"
     )
 
@@ -2035,8 +2055,11 @@ def flow_accumulation(
             pa.table({ix_col: ix, iy_col: iy, "acc": acc})
         )
 
-    import ray.data as rd  # noqa: F401 (distributed path below)
-
+    # materialize the shared parent ONCE: edges and nodes_ds both
+    # derive from `graph`, and two independent .materialize() children
+    # would execute the upstream flow_direction tile+halo exchange
+    # twice (the local_moran materialize-once pattern)
+    graph = graph.materialize()
     edges = graph.map_batches(
         lambda t: t.filter(t["has"]).select(["node", "down"]),
         batch_format="pyarrow",
@@ -2503,7 +2526,6 @@ def cost_distance(
 
         return rd.from_arrow(emit(nodes, dist))
 
-    n_schema = pa.schema([("node", pa.int64()), ("cost", pa.int64())])
     d_schema = pa.schema([("node", pa.int64()), ("d", pa.int64())])
     e_schema = pa.schema(
         [("node", pa.int64()), ("cost", pa.int64()), ("q", pa.int64())]
@@ -2534,7 +2556,20 @@ def cost_distance(
         right_schema=pa.schema([("occ", pa.int64())]),
         num_buckets=num_partitions,
     ).materialize()
-    dist_ds = srcs_ds.map_batches(
+    # the driver engine validates every source against the occupied
+    # set; the distributed engine must enforce the SAME contract or
+    # the two diverge (a phantom (src, 0) row for an unoccupied cell)
+    srcs_mat = srcs_ds.materialize()
+    n_src = srcs_mat.count()
+    n_hit = bucket_join(
+        srcs_mat, occupied, "node", "node", join_type="semi",
+        left_schema=pa.schema([("node", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64())]),
+        num_buckets=num_partitions,
+    ).count()
+    if n_hit != n_src:
+        raise ValueError("a source cell is not an occupied pixel")
+    dist_ds = srcs_mat.map_batches(
         lambda t: t.append_column(
             "d", pa.array(np.zeros(t.num_rows, dtype=np.int64))
         ),
@@ -2685,7 +2720,6 @@ def cost_allocation(
 
         return rd.from_arrow(emit(nodes, state))
 
-    n_schema = pa.schema([("node", pa.int64()), ("cost", pa.int64())])
     s_schema = pa.schema([("node", pa.int64()), ("d", pa.int64())])
     e_schema = pa.schema(
         [("node", pa.int64()), ("cost", pa.int64()), ("q", pa.int64())]
@@ -2718,6 +2752,21 @@ def cost_allocation(
     ).materialize()
     import ray.data as rd
 
+    # same source-occupancy contract as the driver engine (sk is
+    # already on the driver here): every source must be an occupied
+    # pixel or the engines diverge
+    skv = pa.array(np.unique(sk))
+    hit = 0
+    for t in occupied.map_batches(
+        lambda t: pa.table({"h": pa.array(
+            [int(pa.compute.sum(
+                pa.compute.is_in(t["occ"], value_set=skv)
+            ).as_py() or 0)], type=pa.int64())}),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        hit += int(pa.compute.sum(t["h"]).as_py() or 0)
+    if hit != len(skv):
+        raise ValueError("a source cell is not an occupied pixel")
     init = pa.table(
         {"node": pa.array(sk), "d": pa.array(np.arange(n_src, dtype=np.int64))}
     )

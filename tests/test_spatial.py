@@ -2137,3 +2137,71 @@ def test_hull_metrics_exact(ray_session):
     assert m1["diameter_sq"] == 0.0
     with pytest.raises(ValueError, match="empty"):
         hull_metrics(np.array([]), np.array([]))
+
+
+def test_zonal_perimeter_rejects_duplicates_and_wide_coords(ray_session):
+    """Regression: zonal_perimeter's fanout lacked both sibling
+    guards — duplicate (ix,iy) pixels silently double-counted
+    perimeters, and |ix| >= 2^31 aliased packed keys."""
+    from rayraster.spatial import zonal_perimeter
+
+    dup = pa.table({"ix": pa.array([0, 0, 1], type=pa.int64()),
+                    "iy": pa.array([0, 0, 0], type=pa.int64()),
+                    "v": pa.array([1, 1, 1], type=pa.int64()),
+                    "rx": pa.array([0, 0, 0], type=pa.int64()),
+                    "ry": pa.array([0, 0, 0], type=pa.int64())})
+    with pytest.raises(Exception, match="duplicate"):
+        zonal_perimeter(rd.from_arrow(dup), "v", region_cols=("rx", "ry"),
+                        num_partitions=2).to_pandas()
+    wide = pa.table({"ix": pa.array([1 << 31], type=pa.int64()),
+                     "iy": pa.array([0], type=pa.int64()),
+                     "v": pa.array([1], type=pa.int64()),
+                     "rx": pa.array([0], type=pa.int64()),
+                     "ry": pa.array([0], type=pa.int64())})
+    with pytest.raises(Exception, match="2\\^31"):
+        zonal_perimeter(rd.from_arrow(wide), "v", region_cols=("rx", "ry"),
+                        num_partitions=2).to_pandas()
+
+
+def test_cost_distance_distributed_validates_sources(ray_session):
+    """Regression: the distributed engine emitted a phantom (src, 0)
+    row for a source outside the raster where the driver engine
+    raises — both engines must enforce the occupancy contract."""
+    from rayraster.spatial import cost_distance
+
+    px = pa.table({"ix": pa.array([0, 1, 2], type=pa.int64()),
+                   "iy": pa.array([0, 0, 0], type=pa.int64()),
+                   "cost": pa.array([1, 1, 1], type=pa.int64())})
+    bad_src = pa.table({"ix": pa.array([10], type=pa.int64()),
+                        "iy": pa.array([10], type=pa.int64())})
+    for node_count in (3, None):  # driver engine, then distributed
+        with pytest.raises(Exception, match="occupied"):
+            cost_distance(rd.from_arrow(px), rd.from_arrow(bad_src),
+                          rounds=2, node_count=node_count,
+                          num_partitions=2).to_pandas()
+
+
+def test_local_moran_gi_rejects_constant_raster(ray_session):
+    """Regression: a constant raster produced inf/nan gi_star with
+    only a numpy warning; must raise like global_moran's degenerate."""
+    from rayraster.spatial import local_moran
+
+    px = pa.table({"ix": pa.array([0, 1], type=pa.int64()),
+                   "iy": pa.array([0, 0], type=pa.int64()),
+                   "v": pa.array([5, 5], type=pa.int64())})
+    with pytest.raises(ValueError, match="constant"):
+        local_moran(rd.from_arrow(px), "v", with_gi=True,
+                    num_partitions=2).to_pandas()
+
+
+def test_unpivot_mixed_value_column_types(ray_session):
+    """Regression: mixed int64/float64 value columns (the engine's
+    own sum_/mean_ outputs) crashed pa.concat_tables."""
+    from rayraster.rasterize import unpivot
+
+    t = pa.table({"cell_id": pa.array([1, 2], type=pa.int64()),
+                  "sum_v": pa.array([10, 20], type=pa.int64()),
+                  "mean_v": pa.array([1.5, 2.5], type=pa.float64())})
+    out = unpivot(rd.from_arrow(t), ["cell_id"], ["sum_v", "mean_v"]).to_pandas()
+    assert len(out) == 4
+    assert sorted(out.feature.unique()) == ["mean_v", "sum_v"]
