@@ -79,6 +79,13 @@ def radius_pairs(
     """
     if (time_col is None) != (eps_t is None):
         raise ValueError("time_col and eps_t must be given together")
+    if count_radii is not None and count_radii and max(count_radii) > eps:
+        # the histogram only sees pairs that passed d2 <= eps² — a
+        # radius beyond eps would silently undercount
+        raise ValueError(
+            f"max(count_radii) = {max(count_radii)} exceeds eps = "
+            f"{eps}; buckets beyond eps cannot be counted"
+        )
     eps2 = eps * eps
     temporal = time_col is not None
 
@@ -284,6 +291,13 @@ def radius_join(
     """
     if (time_col is None) != (eps_t is None):
         raise ValueError("time_col and eps_t must be given together")
+    if count_radii is not None and count_radii and max(count_radii) > eps:
+        # the histogram only sees pairs that passed d2 <= eps² — a
+        # radius beyond eps would silently undercount
+        raise ValueError(
+            f"max(count_radii) = {max(count_radii)} exceeds eps = "
+            f"{eps}; buckets beyond eps cannot be counted"
+        )
     eps2 = eps * eps
     temporal = time_col is not None
 
@@ -540,7 +554,11 @@ def dbscan_labels(
         lambda t: pa.table({"node": t["node"], "label": t["node"]}),
         batch_format="pyarrow",
     )
-    core_lbl = core_in_cc.union(iso_core)
+    # materialize the multi-consumer states: core_in_cc feeds both
+    # iso_core's anti join and this union; labeled (below) feeds both
+    # the noise anti join and the final union — un-materialized, the
+    # whole post-CC join chain executes twice
+    core_lbl = core_in_cc.materialize().union(iso_core).materialize()
 
     # border: non-core a with ≥1 core neighbor b → min core label
     noncore_pairs = bucket_join(
@@ -568,7 +586,7 @@ def dbscan_labels(
         batch_format="pyarrow",
     )
 
-    labeled = core_lbl.union(border)
+    labeled = core_lbl.union(border).materialize()
     noise = bucket_join(
         ids, labeled, "node", "node", join_type="anti",
         left_schema=_NODE_SCHEMA, right_schema=_LBL_SCHEMA,
@@ -771,27 +789,28 @@ def kcenter_select(
             b = order[0] if len(order) else None
             if b is None:
                 return pa.table({"d": pa.array([], type=pa.int64()),
-                                 "i": pa.array([], type=pa.int64())})
+                                 "i": pa.array([], type=pa.int64()),
+                                 "v": pa.array([], type=pa.list_(pa.int64()))})
+            # carry the champion's QUANTIZED vector in the row — the
+            # driver previously ran a second full-corpus filter pass
+            # per round just to re-fetch it
             return pa.table({"d": pa.array([int(d[b])], type=pa.int64()),
-                             "i": pa.array([int(ids[b])], type=pa.int64())})
+                             "i": pa.array([int(ids[b])], type=pa.int64()),
+                             "v": pa.array([X[b].tolist()],
+                                           type=pa.list_(pa.int64()))})
 
-        best_d, best_i = -1, None
+        best_d, best_i, best_v = -1, None, None
         for b in ds.map_batches(champ, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow"
         ):
-            for dd, ii in zip(b["d"].to_pylist(), b["i"].to_pylist()):
+            for dd, ii, vv in zip(b["d"].to_pylist(), b["i"].to_pylist(),
+                                  b["v"].to_pylist()):
                 if dd > best_d or (dd == best_d and (best_i is None or ii < best_i)):
-                    best_d, best_i = dd, ii
+                    best_d, best_i, best_v = dd, ii, vv
         if best_i is None or best_d < 0:
             break  # fewer distinct points than k
         chosen_ids.append(int(best_i))
-        pick = ds.map_batches(
-            lambda t, _i=best_i: t.filter(pa.array(
-                t[id_col].to_numpy(zero_copy_only=False) == _i
-            )),
-            batch_format="pyarrow",
-        ).take_all()
-        pick_t = pa.table({id_col: pa.array([pick[0][id_col]]),
-                           vec_col: pa.array([pick[0][vec_col]])})
-        chosen_mat = np.concatenate([chosen_mat, qmat(pick_t)])
+        chosen_mat = np.concatenate(
+            [chosen_mat, np.asarray([best_v], dtype=np.int64)]
+        )
     return chosen_ids

@@ -647,7 +647,11 @@ def build_mg(ds: Dataset, col: str, k: int = 256, fold_batch: int = 32) -> MG:
     import pyarrow.compute as pc
 
     def sketch_batch(t: pa.Table) -> pa.Table:
-        vc = pc.value_counts(pc.cast(t[col], pa.string()))
+        # NULLs are not items (engine-wide NULL rule) — kept, the None
+        # key crashes to_bytes' sorted-json serialization and would
+        # drift to the string "null" across a round-trip
+        v = pc.drop_null(pc.cast(t[col], pa.string()))
+        vc = pc.value_counts(v)
         s = MG(k).add_counts(vc.field("values").to_pylist(),
                              vc.field("counts").to_numpy())
         return pa.table({"blob": pa.array([s.to_bytes()], type=pa.binary())})

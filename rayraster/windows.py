@@ -19,22 +19,18 @@ from rayraster.agg import hash_aggregate
 
 
 def _key_part(col, num_partitions: int) -> np.ndarray:
-    """Partition id for a key column: integer-typed keys multiply-hash
-    (masked to stay non-negative under int64 wraparound); every other
-    type hashes FNV-1a over its string form (the grouped_ranks
-    convention in agg.py).  The dispatch keys off the column TYPE, not
-    batch content — a content-based try/except would route the same
-    key value through different hash functions in different batches
-    (e.g. a string column whose batches are sometimes all-numeric) and
+    """Partition id for a key column — delegates to ``agg._part_of``
+    so windows.py shares ONE key-hash convention with every grouped
+    aggregate (type-based dispatch, −0.0 float normalization, the
+    string buffer path; NULL hashes like "None").  Type-based dispatch
+    matters: a content-based try/except would route the same key
+    value through different hash functions in different batches and
     silently fragment per-key results across partitions."""
-    if pa.types.is_integer(col.type):
-        keys = col.to_numpy(zero_copy_only=False).astype(np.int64)
-    else:
-        from rayraster.geo import fnv1a64
+    from rayraster.agg import _part_of
 
-        keys = fnv1a64([str(v) for v in col.to_pylist()]).view(np.int64)
-    prod = (keys * np.int64(1000003)) & np.int64(0x7FFFFFFFFFFFFFFF)
-    return prod % np.int64(num_partitions)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return _part_of(pa.table({"_k": col}), ["_k"], num_partitions)
 
 
 def add_tumbling_window(
@@ -451,6 +447,16 @@ def rolling_time_aggregate(
         us = part["_us"].to_numpy(zero_copy_only=False)
         vals = part[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         cum = np.cumsum(vals)
+        # np.cumsum wraps silently — a float64 shadow of the final
+        # prefix detects any ±2^64 wrap (float drift is orders of
+        # magnitude smaller), making the documented overflow check real
+        if len(cum):
+            tail = float(np.cumsum(vals.astype(np.float64))[-1])
+            if abs(float(cum[-1]) - tail) > 0.01 * max(1.0, abs(tail)):
+                raise ValueError(
+                    "rolling_time_aggregate: prefix sum wrapped int64 "
+                    "— pre-scale the quantized values"
+                )
         lo = np.searchsorted(us, us - np.int64(window_us), side="left")
         hi = np.searchsorted(us, us, side="right")
         rsum = cum[hi - 1] - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
@@ -649,15 +655,21 @@ def cohort_retention(
         raise ValueError(f"period_us must be positive, got {period_us}")
 
     def proj(t: pa.Table) -> pa.Table:
-        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
-        period = pc.divide(us, pa.scalar(period_us, type=pa.int64()))
+        us = (t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        # numpy FLOOR division — the documented `epoch_us // period`
+        # semantics (pc.divide truncates toward zero, which would
+        # mis-cohort pre-1970 timestamps)
+        period = pa.array(us // np.int64(period_us))
         return pa.table({user_col: t[user_col], "period": period})
 
+    # materialized ONCE: dp feeds both the cohort aggregate and the
+    # period join; un-materialized, the distinct shuffle runs twice
     dp = distinct(
         ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True),
         [user_col, "period"],
         num_partitions=num_partitions,
-    )
+    ).materialize()
     cohorts = hash_aggregate(
         dp, [user_col], min_cols=["period"], count=False,
         num_partitions=num_partitions,
@@ -678,11 +690,12 @@ def cohort_retention(
              "offset": pc.subtract(t["period"], t["cohort"])}
         )
 
+    # materialized: consumed by the sizes pull AND the broadcast join
     ret = hash_aggregate(
         joined.map_batches(off, batch_format="pyarrow", zero_copy_batch=True),
         ["cohort", "offset"], count=True, count_name="n_active",
         num_partitions=num_partitions,
-    )
+    ).materialize()
     sizes = ret.filter(lambda r: r["offset"] == 0).map_batches(
         lambda t: pa.table({"cohort": t["cohort"], "cohort_size": t["n_active"]}),
         batch_format="pyarrow",
@@ -768,16 +781,19 @@ def funnel_match(
         )
         return t.filter(keep)  # non-stage events never enter the exchange
 
-    empty = pa.table(
-        {
-            key_col: pa.array([], type=pa.int64()),
-            "funnel_start": pa.array([], type=pa.int64()),
-            "n_stages": pa.array([], type=pa.int64()),
-            f"min_{value_col}": pa.array([], type=pa.float64()),
-            f"max_{value_col}": pa.array([], type=pa.float64()),
-            "max_step_us": pa.array([], type=pa.int64()),
-        }
-    )
+    def _empty(ktype: pa.DataType) -> pa.Table:
+        # key column typed from the INPUT — a hardcoded int64 would
+        # clash with string-keyed partitions at schema unification
+        return pa.table(
+            {
+                key_col: pa.array([], type=ktype),
+                "funnel_start": pa.array([], type=pa.int64()),
+                "n_stages": pa.array([], type=pa.int64()),
+                f"min_{value_col}": pa.array([], type=pa.float64()),
+                f"max_{value_col}": pa.array([], type=pa.float64()),
+                "max_step_us": pa.array([], type=pa.int64()),
+            }
+        )
 
     def solve(part: pa.Table) -> pa.Table:
         part = part.drop_columns(["_part"]).sort_by(
@@ -785,7 +801,7 @@ def funnel_match(
         )
         n = part.num_rows
         if n == 0:
-            return empty
+            return _empty(part[key_col].type)
         keys = part[key_col].to_numpy(zero_copy_only=False)
         us = part["_us"].to_numpy(zero_copy_only=False)
         code = part["_code"].to_numpy(zero_copy_only=False)
@@ -814,7 +830,7 @@ def funnel_match(
         depth = reached.sum(axis=0)  # monotone by construction
         keep = depth > 0
         if not keep.any():
-            return empty
+            return _empty(part[key_col].type)
         vals = np.where(reached, stage_val, np.inf)
         vmin = np.min(vals, axis=0)
         vmax = np.max(np.where(reached & np.isfinite(stage_val), stage_val, -np.inf), axis=0)
@@ -876,6 +892,12 @@ def transition_counts(
         raise ValueError("transition_counts: need at least one order column")
 
     def add_part(batch: pa.Table) -> pa.Table:
+        # NULL event types never transition (engine-wide NULL rule) —
+        # kept, a None would crash finish()'s np.unique over the
+        # object-typed type column
+        v = batch[type_col]
+        if v.null_count:
+            batch = batch.filter(pc.is_valid(v))
         part = _key_part(batch[key_col], num_partitions)
         return batch.append_column("_part", pa.array(part))
 

@@ -354,3 +354,15 @@ def test_kcenter_select_matches_greedy_reference(ray_session):
     assert got2 == chosen  # partitioning-invariant
     with pytest.raises(ValueError, match="k and dim"):
         kcenter_select(rd.from_arrow(t), "vec_id", "embedding", k=0, dim=2)
+
+
+def test_radius_pairs_rejects_count_radii_beyond_eps(ray_session):
+    """Regression: a count_radii bucket beyond eps silently
+    undercounted (pairs past eps never enter the histogram)."""
+    from rayraster.cluster import radius_pairs
+
+    pts = pa.table({"id": pa.array([1, 2], type=pa.int64()),
+                    "x": pa.array([0.0, 1.5]),
+                    "y": pa.array([0.0, 0.0])})
+    with pytest.raises(ValueError, match="count_radii"):
+        radius_pairs(rd.from_arrow(pts), eps=1.0, count_radii=[0.5, 2.0])

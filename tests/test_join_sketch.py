@@ -1268,3 +1268,15 @@ def test_compact_bucketed_repairs_crashed_swap(ray_session, tmp_path):
     write_bucketed(rd.from_arrow(t.select(["k"])), "k", other, num_buckets=4)
     joined = bucket_join_prebucketed(lay, other).to_pandas()
     assert len(joined) == 100
+
+
+def test_build_mg_ignores_nulls(ray_session):
+    """Regression: a null value crashed MG serialization (None key in
+    sorted-json) or drifted to the string 'null' after a round-trip."""
+    from rayraster.sketch import build_mg
+
+    t = pa.table({"v": pa.array(["a", None, "a", "b", None])})
+    mg = build_mg(rd.from_arrow(t).repartition(2), "v", k=4)
+    est = mg.counters
+    assert set(est) == {"a", "b"}
+    assert est["a"] >= est["b"]

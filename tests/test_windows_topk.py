@@ -1551,3 +1551,65 @@ def test_grouped_quantiles_ignores_null_values(ray_session):
                             num_partitions=2).to_pandas()
     out = out.sort_values("q").reset_index(drop=True)
     assert out.value.tolist() == [1.0, 2.0]
+
+
+def test_transition_counts_drops_null_event_types(ray_session):
+    """Regression: a null event_type crashed finish()'s np.unique;
+    null types never transition."""
+    from rayraster.windows import transition_counts
+
+    df = pd.DataFrame({"user_id": [1, 1, 1, 1],
+                       "event_type": ["a", None, "b", "a"],
+                       "ts": pd.to_datetime([1, 2, 3, 4], unit="s"),
+                       "event_id": [1, 2, 3, 4]})
+    got = transition_counts(rd.from_pandas(df), num_partitions=2).to_pandas()
+    got = got.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    assert list(zip(got.from_type, got.to_type)) == [("a", "b"), ("b", "a")]
+
+
+def test_funnel_match_string_keys_and_empty_partitions(ray_session):
+    """Regression: the hardcoded int64 empty-result schema clashed
+    with string-keyed partitions."""
+    from rayraster.windows import funnel_match
+
+    df = pd.DataFrame({
+        "user_id": ["u1", "u1", "u2", "u3"],
+        "event_type": ["view", "click", "other", "view"],
+        "ts": pd.to_datetime([1, 2, 3, 4], unit="s"),
+        "value": [1.0, 2.0, 3.0, 4.0],
+    })
+    got = funnel_match(rd.from_pandas(df), ["view", "click"],
+                       num_partitions=8).to_pandas()
+    got = got.sort_values("user_id").reset_index(drop=True)
+    assert got.user_id.tolist() == ["u1", "u3"]
+    assert got.n_stages.tolist() == [2, 1]
+
+
+def test_cohort_retention_floors_negative_periods(ray_session):
+    """Regression: pc.divide truncated toward zero, mis-cohorting
+    pre-1970 timestamps vs the documented floor semantics."""
+    from rayraster.windows import cohort_retention
+
+    df = pd.DataFrame({
+        "user_id": [1, 1],
+        "ts": pd.to_datetime([-1_000_000, 1_000_000], unit="us"),
+    })
+    got = cohort_retention(rd.from_pandas(df), period_us=1_000_000,
+                           num_partitions=2).to_pandas()
+    # cohort = floor(-1.0) = -1; offsets 0 (period -1) and 2 (period 1)
+    assert sorted(got.cohort.unique()) == [-1]
+    assert sorted(got.offset.tolist()) == [0, 2]
+
+
+def test_rolling_time_aggregate_raises_on_wrapped_prefix(ray_session):
+    """Regression: the documented overflow check did not exist; a
+    window whose prefix sum exceeds int64 must raise, not wrap."""
+    from rayraster.windows import rolling_time_aggregate
+
+    big = np.int64(1) << 62
+    t = pa.table({"ts": pa.array(
+        pd.to_datetime([1, 2, 3], unit="s")),
+        "v": pa.array([big, big, big], type=pa.int64())})
+    with pytest.raises(Exception, match="wrap"):
+        rolling_time_aggregate(rd.from_arrow(t), ts_col="ts", value_col="v",
+                               window_us=10_000_000).to_pandas()
