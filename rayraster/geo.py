@@ -39,7 +39,17 @@ def geocode_id(ids: np.ndarray):
     SQL twin (keep operation order identical):
       x = -180.0 + (((id * 2654435761) % 1000003) / 1000003.0) * 360.0
       y =  -90.0 + (((id * 97003 + 7919) % 1000033) / 1000033.0) * 180.0
-    """
+
+    EXACT-TWIN DOMAIN: the simple twin above matches bit-for-bit only
+    while ``id * 2654435761`` fits int64, i.e. ``id < 2^63/2654435761
+    ≈ 3.47e9`` (all driver test scales are far below).  Beyond that
+    numpy wraps int64 (deterministically — the engine itself stays
+    consistent at any scale) while DuckDB BIGINT multiplication
+    errors; an id-scale oracle there must reproduce the wrap
+    explicitly: ``s = ((id::HUGEINT * 2654435761 + 2^63) %% 2^64)
+    - 2^63`` then ``((s %% 1000003) + 1000003) %% 1000003`` (numpy's
+    ``%%`` is non-negative; DuckDB's is truncated — hence the double
+    mod)."""
     ids = np.asarray(ids, dtype=np.int64)
     ux = (ids * np.int64(_PX)) % np.int64(_MX)
     uy = (ids * np.int64(_PY) + np.int64(_QY)) % np.int64(_MY)
@@ -208,7 +218,14 @@ def geocode_hash(h: np.ndarray):
         idx = (h[hot] % np.uint64(len(HOTSPOTS))).astype(np.int64)
         cx = HOTSPOTS[idx, 0]
         cy = HOTSPOTS[idx, 1]
-        # deterministic jitter from the high bits
+        # deterministic jitter.  KNOWN QUIRK, kept for golden/BASELINE
+        # continuity: j1 reads bits 16-31 of the same low word whose
+        # `u1 < HOTSPOT_FRACTION` cut selected hotness, so hot rows'
+        # x-offsets span only [-sigma, -sigma/2) (west-shifted quarter
+        # range) while y-offsets span the full [-sigma, +sigma).  The
+        # clusters stay deterministic, skewed and tile-concentrated —
+        # which is all the skew machinery needs — but they are NOT
+        # centered on the HOTSPOTS coordinates.
         j1 = ((h[hot] >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.float64) / 65536.0
         j2 = ((h[hot] >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.float64) / 65536.0
         x[hot] = cx + (j1 - 0.5) * 2.0 * HOTSPOT_SIGMA

@@ -52,6 +52,10 @@ class GridIndex:
         # a row-count-based multiplier can collide when the y-extent
         # exceeds the x-extent
         key = (bx << np.int64(32)) | by
+        # occupied bucket bounding box — far-outside queries clamp
+        # their search center onto it (see query())
+        self._bx_lo, self._bx_hi = int(bx.min()), int(bx.max())
+        self._by_lo, self._by_hi = int(by.min()), int(by.max())
         order = np.argsort(key, kind="stable")
         self._order = order
         skey = key[order]
@@ -95,6 +99,15 @@ class GridIndex:
         for u in range(len(uniq)):
             members = order[starts[u] : starts[u + 1]]
             bx, by = int(qbx[members[0]]), int(qby[members[0]])
+            # clamp the search center onto the occupied bucket box: a
+            # far-outside query otherwise walks O((dist/s)²) empty
+            # rings in Python (measured: one (5000,5000) query against
+            # a [-10,10]² index stalled > 60 s).  Exactness holds — in
+            # any clamped dim the true query is strictly FARTHER from
+            # every reference than the clamped center, so the
+            # ring-termination bound still under-estimates distances.
+            bx = min(max(bx, self._bx_lo), self._bx_hi)
+            by = min(max(by, self._by_lo), self._by_hi)
             r = 1
             cand = self._ring_members(bx, by, 0, 1)
             while True:
@@ -310,8 +323,13 @@ class KnnStage:
         exclude_self: bool = False,
         brute_force: bool = False,
     ):
-        ref = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        self.ref = ref
+        # store the REF (possibly an ObjectRef) and build lazily on
+        # first __call__: a driver-side ray.get here would pickle the
+        # materialized arrays + the bucket dict into the stage closure,
+        # defeating the ray.put broadcast (each actor should fetch the
+        # small ObjectRef and build its own index)
+        self._ref_handle = ref
+        self.ref = None
         self.k = k
         self.query_x = query_x
         self.query_y = query_y
@@ -319,15 +337,27 @@ class KnnStage:
         self.ref_id_cols = list(ref_id_cols)
         self.exclude_self = exclude_self
         self.brute = brute_force
+        self.rx = self.ry = None
+        self.index = None
+        self._ref_row = None
+
+    def _ensure(self):
+        if self.ref is not None:
+            return
+        ref = self._ref_handle
+        ref = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.ref = ref
         self.rx = np.asarray(ref["x"], dtype=np.float64)
         self.ry = np.asarray(ref["y"], dtype=np.float64)
-        self.index = None if brute_force else GridIndex(self.rx, self.ry)
-        if exclude_self:
+        if not self.brute:
+            self.index = GridIndex(self.rx, self.ry)
+        if self.exclude_self:
             # map ref id tuple → row for self-exclusion lookups
             keys = list(zip(*(np.asarray(ref[c]).tolist() for c in self.ref_id_cols)))
             self._ref_row = {t: i for i, t in enumerate(keys)}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        self._ensure()
         qx = batch[self.query_x].to_numpy(zero_copy_only=False)
         qy = batch[self.query_y].to_numpy(zero_copy_only=False)
         exclude = None

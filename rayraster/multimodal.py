@@ -219,6 +219,7 @@ class ImageDecodeStage:
         mode_bin: list[int | None] | None = [] if self.with_histogram else None
         hist_l2: list[int | None] | None = [] if self.with_histogram else None
         for i, p in enumerate(payloads):
+            p = p if p is not None else b""  # null payload ≡ empty
             nb = len(p)
             real = decode_image_header(p)
             if real is not None:
@@ -337,7 +338,7 @@ class ResizeStage:
         h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64).copy()
         out_payloads = []
         for i, p in enumerate(payloads):
-            px = decode_image_pixels(p)
+            px = decode_image_pixels(p) if p is not None else None
             if px is None:
                 # metadata-only fallback (aspect-preserving box fit)
                 scale = min(1.0, self.max_side / max(float(w[i]), float(h[i]), 1.0))
@@ -408,6 +409,7 @@ class FrameSampleStage:
         fh: list[int] = []
         fmean: list[float] = []
         for i, p in enumerate(payloads):
+            p = p if p is not None else b""  # null payload ≡ empty
             frames = _ppm_stream_frames(p)
             if frames:
                 for j in range(0, len(frames), self.stride):
@@ -480,7 +482,7 @@ class ImagePHashStage:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         keep_ids, hashes = [], []
         for i, p in zip(ids, batch[self.bin_col].to_pylist()):
-            px = decode_image_pixels(p)
+            px = decode_image_pixels(p) if p is not None else None
             if px is None:
                 continue
             keep_ids.append(int(i))
@@ -521,8 +523,6 @@ def synth_image(doc_id: int, perturb: bool = False) -> np.ndarray:
 def encode_wav(samples: np.ndarray, rate: int = 8000, channels: int = 1) -> bytes:
     """Minimal RIFF/WAVE writer: 16-bit PCM, interleaved.  ``samples``
     is int16 (total values, i.e. frames × channels)."""
-    import struct
-
     s = np.ascontiguousarray(np.asarray(samples, dtype=np.int16))
     data = s.tobytes()
     block = 2 * channels
@@ -544,8 +544,6 @@ def decode_wav(p: bytes):
     compressed codec, other bit depths) — the same
     plausibility-checked-magic contract as the image decoders (no
     false positives on text)."""
-    import struct
-
     if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         return None
     pos = 12
@@ -556,6 +554,8 @@ def decode_wav(p: bytes):
         (clen,) = struct.unpack_from("<I", p, pos + 4)
         body = p[pos + 8: pos + 8 + clen]
         if cid == b"fmt " and clen >= 16:
+            if len(body) < 16:  # declared length beyond the payload
+                return None
             codec, channels, rate, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
@@ -609,7 +609,7 @@ class AudioFeatureStage:
         zc = np.zeros(n, dtype=np.int64)
         wmax = np.zeros(n, dtype=np.int64)
         for i, p in enumerate(payloads):
-            dec = decode_wav(p)
+            dec = decode_wav(p) if p is not None else None
             if dec is None:
                 continue
             r, c, s = dec
@@ -733,6 +733,12 @@ def decode_qoi(p: bytes) -> np.ndarray | None:
         return None
     w, h, _channels = hd
     n = w * h
+    # a QOI_OP_RUN chunk encodes at most 62 pixels per payload byte,
+    # so a stream of len(p)-22 chunk bytes can NEVER produce more —
+    # bounding BEFORE np.empty stops a crafted header (2^24 × 2^24
+    # dims = a ~1 PB allocation / MemoryError) cold
+    if n > 62 * max(len(p) - 22, 0):
+        return None
     out = np.empty((n, 4), dtype=np.uint8)
     index = [(0, 0, 0, 0)] * 64
     r, g, b, a = 0, 0, 0, 255

@@ -550,3 +550,63 @@ def test_patch_stage_all_undecodable_keeps_schema(ray_session):
     ds = rd.from_arrow(bad).union(rd.from_arrow(good))
     out = ds.map_batches(stage, batch_format="pyarrow").to_pandas()
     assert set(out.doc_id) == {3} and len(out) == 4
+
+
+def test_decoders_survive_hostile_payloads(ray_session):
+    """Regression set: (a) a 22-byte QOI payload declaring 2^24×2^24
+    dims must return None, not attempt a ~1 PB allocation; (b) a RIFF
+    whose fmt chunk declares 16 bytes but truncates must yield
+    valid=false, not crash; (c) null payloads flow through every
+    stage."""
+    import struct as _s
+
+    from rayraster.multimodal import (
+        AudioFeatureStage,
+        FrameSampleStage,
+        ImageDecodeStage,
+        ResizeStage,
+        decode_qoi,
+        decode_wav,
+    )
+
+    bomb = b"qoif" + _s.pack(">IIBB", 1 << 24, 1 << 24, 3, 0) + b"\0" * 7 + b"\x01"
+    assert decode_qoi(bomb) is None
+
+    trunc = (b"RIFF" + _s.pack("<I", 40) + b"WAVE"
+             + b"LIST" + _s.pack("<I", 4) + b"\0" * 4
+             + b"fmt " + _s.pack("<I", 16) + b"\0" * 8)
+    assert decode_wav(trunc) is None
+
+    t = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                  "payload": pa.array([None], type=pa.binary()),
+                  "width": pa.array([4], type=pa.int64()),
+                  "height": pa.array([4], type=pa.int64())})
+    dec = ImageDecodeStage()(t.select(["doc_id", "payload"]))
+    assert dec.num_rows == 1  # deterministic fake path, no crash
+    rz = ResizeStage()(t)
+    assert rz.num_rows == 1
+    fs = FrameSampleStage()(t.select(["doc_id", "payload"]))
+    assert fs.num_rows == 1  # the deterministic-fake path (null ≡ b"")
+    au = AudioFeatureStage()(t.select(["doc_id", "payload"]))
+    assert bool(au["valid"][0].as_py()) is False
+
+
+def test_grid_index_far_query_is_fast_and_exact(ray_session):
+    """Regression: a query far outside the reference extent walked
+    O((dist/s)^2) empty rings; the clamped search must return the
+    same exact answer quickly."""
+    import time
+
+    from rayraster.knn import GridIndex, brute_force_knn
+
+    rng = np.random.default_rng(11)
+    rx = rng.uniform(-10, 10, 2000)
+    ry = rng.uniform(-10, 10, 2000)
+    gi = GridIndex(rx, ry)
+    qx = np.array([5000.0, -4000.0, 0.0])
+    qy = np.array([5000.0, 3000.0, 0.0])
+    t0 = time.perf_counter()
+    idx, d2 = gi.query(qx, qy, 3)
+    assert time.perf_counter() - t0 < 2.0
+    bidx, bd2 = brute_force_knn(qx, qy, rx, ry, 3)
+    assert (idx == bidx).all() and np.allclose(d2, bd2)
