@@ -164,6 +164,17 @@ def rasterize_checkpointed(
         )
         processed += 1
     done = read_manifest(out_dir)
+    stale = set(done) - set(range(len(shards)))
+    if stale:
+        # the input SHRANK under an existing out_dir: current shards
+        # can all be done yet complete would stay False forever while
+        # load_pixels serves the previous (larger) merge — refuse,
+        # like the remap guard above
+        raise RuntimeError(
+            f"rasterize_checkpointed: manifest has shard(s) {sorted(stale)} "
+            f"beyond the current {len(shards)}-shard input — the input set "
+            "shrank; use a fresh out_dir (or clear the stale manifest)"
+        )
     complete = len(done) == len(shards)
     summary = {
         "shards_total": len(shards),

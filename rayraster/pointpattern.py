@@ -106,6 +106,8 @@ def ripley_k(
     )
     npairs = _radii_counts(counts, nr, num_partitions)
 
+    if n < 2:
+        raise ValueError(f"ripley_k: need at least 2 points, got {n}")
     denom = float(n) * (float(n) - 1.0)
     k_est = np.array([(area * float(c)) / denom for c in npairs])
     l_q = np.array(
@@ -194,6 +196,11 @@ def cross_k(
         count_radii=radii,
     )
     npairs = _radii_counts(counts, nr, num_partitions)
+    if n1 < 1 or n_right < 1:
+        raise ValueError(
+            f"cross_k: both point sets must be non-empty "
+            f"(n1={n1}, n2={n_right})"
+        )
     denom = float(n1) * float(n_right)
     k_est = np.array([(area * float(c)) / denom for c in npairs])
     l_q = np.array(
@@ -330,6 +337,9 @@ def semivariogram(
                 "squared-diff sums could overflow; rescale the values"
             )
         sq = dv * dv
+        # the per-pair guard bounds dv, not the per-bin SUM — shadow
+        # the int64 bin sums in float64 and raise on wrap (a bin with
+        # >2^23 pairs at the permitted |dv| boundary wraps silently)
         if not len(h):
             return pa.table(
                 {"h": pa.array([], _I64), "cnt": pa.array([], _I64),
@@ -342,6 +352,13 @@ def semivariogram(
         starts = np.concatenate(([0], brk))
         ends = np.concatenate((brk, [len(hs)]))
         csum = np.concatenate(([0], np.cumsum(sqo)))
+        if len(sqo):
+            shadow = float(np.cumsum(sqo.astype(np.float64))[-1])
+            if abs(float(csum[-1]) - shadow) > 0.01 * max(1.0, abs(shadow)):
+                raise OverflowError(
+                    "semivariogram: Σdiff² wrapped int64 in a batch "
+                    "fold — rescale the values"
+                )
         return pa.table(
             {"h": pa.array(hs[starts]),
              "cnt": pa.array((ends - starts).astype(np.int64)),
@@ -358,6 +375,11 @@ def semivariogram(
     h = np.array([int(r["h"]) for r in merged], dtype=np.int64)
     cnt = np.array([int(r["sum_cnt"]) for r in merged], dtype=np.int64)
     sqsum = np.array([int(r["sum_sqsum"]) for r in merged], dtype=np.int64)
+    if (sqsum < 0).any():
+        raise OverflowError(
+            "semivariogram: Σdiff² wrapped int64 in the grouped fold "
+            "— rescale the values"
+        )
     gamma = np.array(
         [float(s) / (2.0 * float(c)) for s, c in zip(sqsum, cnt)]
     )

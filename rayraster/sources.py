@@ -145,19 +145,40 @@ def write_time_partitioned(
     g = _GRAN_US[granularity]
 
     def addp(t):
+        import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
 
-        us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
-        return t.append_column("tp", pc.divide(us, g))
+        # FLOOR bucketing (numpy //) — pc.divide truncates toward
+        # zero, which would put pre-epoch rows in a bucket the floor-
+        # dividing reader never prunes to (silently missing rows)
+        us = (t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        return t.append_column("tp", pa.array(us // np.int64(g)))
 
     shutil.rmtree(path, ignore_errors=True)
     tagged = ds.map_batches(addp, batch_format="pyarrow", zero_copy_batch=True)
     tagged.sort("tp").write_parquet(path, partition_cols=["tp"])
     os.makedirs(path, exist_ok=True)
+    # probe the WRITTEN files' schema (no extra lineage execution —
+    # Dataset.schema() on a lazy input would run a partial pipeline)
+    import glob as _glob
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    ts_is = True
+    any_f = sorted(_glob.glob(os.path.join(path, "tp=*", "*.parquet")))
+    if any_f:
+        _sch = _pq.read_schema(any_f[0])
+        if ts_col in _sch.names:
+            ts_is = bool(_pa.types.is_timestamp(_sch.field(ts_col).type))
     with open(os.path.join(path, _TIME_MANIFEST), "w") as f:
         json.dump({"ts_col": ts_col, "granularity": granularity,
-                   "granularity_us": g}, f)
+                   "granularity_us": g,
+                   # readers build their boundary-filter scalars from
+                   # this — an int64 epoch column must be compared as
+                   # int64, not timestamp[us]
+                   "ts_is_timestamp": ts_is}, f)
     return path
 
 
@@ -198,18 +219,34 @@ def read_time_range(
         f for _, d in sorted(dirs)
         for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))
     ]
-    if not files:
-        import ray.data as rd
-
-        return rd.from_items([]).limit(0)
     cols = None
     if columns is not None:
         cols = list(columns) if ts_col in columns else [ts_col, *columns]
     import ray.data as rd
 
-    flt = (pads.field(ts_col) >= pa.scalar(start_us, pa.timestamp("us"))) & (
-        pads.field(ts_col) < pa.scalar(end_us, pa.timestamp("us"))
-    )
+    if not files:
+        # schema-preserving empty result: any file in the store (even
+        # outside the range) carries the schema, so downstream
+        # select_columns/union doesn't crash only on empty days
+        import pyarrow.parquet as _pq
+
+        any_f = sorted(_glob.glob(os.path.join(path, "tp=*", "*.parquet")))
+        if any_f:
+            sch = _pq.read_schema(any_f[0])
+            names = cols if cols is not None else [
+                n for n in sch.names if n != "tp"]
+            empty = pa.table(
+                {n: pa.array([], type=sch.field(n).type) for n in names}
+            )
+            return rd.from_arrow(empty)
+        return rd.from_items([]).limit(0)
+    if m.get("ts_is_timestamp", True):
+        lo_s = pa.scalar(start_us, pa.timestamp("us"))
+        hi_s = pa.scalar(end_us, pa.timestamp("us"))
+    else:  # int64 epoch-us column: compare as int64
+        lo_s = pa.scalar(start_us, pa.int64())
+        hi_s = pa.scalar(end_us, pa.int64())
+    flt = (pads.field(ts_col) >= lo_s) & (pads.field(ts_col) < hi_s)
     return rd.read_parquet(files, columns=cols, filter=flt)
 
 
@@ -240,10 +277,18 @@ def write_hilbert_clustered(
         )
         return t.append_column(key_col, pa.array(d))
 
+    import json
+    import os
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
     ds.map_batches(add_key, batch_format="pyarrow").sort(key_col).write_parquet(path)
+    # record the curve parameters: a reader on a DIFFERENT order would
+    # compute intervals on a different curve and silently return the
+    # wrong window contents
+    with open(os.path.join(path, "_HILBERT.json"), "w") as f:
+        json.dump({"order": order, "key_col": key_col,
+                   "ix_col": ix_col, "iy_col": iy_col}, f)
 
 
 def hilbert_ranges_for_rect(
@@ -281,9 +326,23 @@ def read_hilbert_rect(
     rect's key intervals become ONE pushed-down OR-of-BETWEEN filter —
     files and row groups whose min/max stats miss every interval never
     leave storage."""
+    import json
+    import os
+
     import pyarrow.dataset as pads
     import ray.data as rd
 
+    mf = os.path.join(path, "_HILBERT.json")
+    if os.path.exists(mf):
+        with open(mf) as f:
+            hm = json.load(f)
+        if hm.get("order") != order or hm.get("key_col") != key_col:
+            raise ValueError(
+                f"read_hilbert_rect: layout was written with order="
+                f"{hm.get('order')}, key_col={hm.get('key_col')!r} but the "
+                f"read asked for order={order}, key_col={key_col!r} — "
+                "intervals on a different curve return wrong contents"
+            )
     flt = None
     for lo, hi in hilbert_ranges_for_rect(ix0, iy0, ix1, iy1, order):
         term = (pads.field(key_col) >= lo) & (pads.field(key_col) <= hi)

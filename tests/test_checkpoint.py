@@ -141,3 +141,21 @@ def test_resume_cleans_corrupt_tmp(sharded_input, tmp_path, ray_session):
     got = load_pixels(out).to_pandas()
     assert got["num_cell"].sum() == 500  # all rows accounted for
     assert not os.path.exists(os.path.join(out, "partials", "shard=0.tmp"))
+
+
+def test_checkpointed_run_detects_shrunken_input(sharded_input, tmp_path, ray_session):
+    """Regression: stale manifest shards beyond the current input set
+    left the run complete=False forever while load_pixels served the
+    previous merge — must raise like the remap guard."""
+    out = str(tmp_path / "ckpt2")
+    r1 = rasterize_checkpointed(
+        sharded_input, out, SPEC, ["n_chars"], fun="sum",
+        prepare=add_geocode_id, files_per_shard=2,
+    )
+    assert r1["complete"]
+    # input shrinks: same out_dir, fewer files -> stale manifest shard
+    with pytest.raises(RuntimeError, match="shrank"):
+        rasterize_checkpointed(
+            sharded_input[:2], out, SPEC, ["n_chars"], fun="sum",
+            prepare=add_geocode_id, files_per_shard=2,
+        )

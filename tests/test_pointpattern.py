@@ -201,3 +201,21 @@ def test_payload_pairs_roundtrip(ray_session):
     b = t["b"].to_numpy(zero_copy_only=False)
     assert np.array_equal(t["a_v"].to_numpy(zero_copy_only=False), a * 3 + 1)
     assert np.array_equal(t["b_v"].to_numpy(zero_copy_only=False), b * 3 + 1)
+
+
+def test_ripley_and_crossk_reject_degenerate_sizes(ray_session):
+    """Regression: n<=1 (or an empty cross side) raised a bare
+    ZeroDivisionError deep in the estimator."""
+    from rayraster.pointpattern import cross_k, ripley_k
+
+    one = pa.table({"id": pa.array([1], type=pa.int64()),
+                    "x": pa.array([0.0]), "y": pa.array([0.0])})
+    with pytest.raises(ValueError, match="at least 2"):
+        ripley_k(rd.from_arrow(one), [1.0],
+                 extent={"n": 1, "area": 1.0})
+    empty = pa.table({"id": pa.array([], type=pa.int64()),
+                      "x": pa.array([], type=pa.float64()),
+                      "y": pa.array([], type=pa.float64())})
+    with pytest.raises(ValueError, match="non-empty"):
+        cross_k(rd.from_arrow(one), rd.from_arrow(empty), [1.0],
+                extent={"n": 1, "area": 1.0}, n_right=0)

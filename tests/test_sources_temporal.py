@@ -445,3 +445,53 @@ def test_hilbert_clustered_layout_roundtrip_and_pruning(ray_session, tmp_path):
     # range compression: a full square decomposes into few intervals
     rngs = hilbert_ranges_for_rect(0, 0, 15, 15, order=6)
     assert rngs[0][0] >= 0 and len(rngs) < 40
+
+
+def test_time_store_pre_epoch_rows_and_int64_ts(ray_session, tmp_path):
+    """Regressions: (a) write bucketed with truncating division while
+    the reader floor-divided, silently excluding pre-epoch rows; (b)
+    an int64 epoch-us ts column wrote fine but every range read
+    crashed on the hardcoded timestamp filter type."""
+    import pandas as pd
+
+    from rayraster.sources import read_time_range, write_time_partitioned
+
+    day = 86_400_000_000
+    # (a) pre-epoch timestamps round-trip
+    df = pd.DataFrame({
+        "ts": pd.to_datetime([-12 * 3_600_000_000, 3_600_000_000], unit="us"),
+        "v": [1, 2],
+    })
+    p1 = str(tmp_path / "pre")
+    write_time_partitioned(rd.from_pandas(df), p1, "ts", "day")
+    got = read_time_range(p1, -day, 0).to_pandas()
+    assert got.v.tolist() == [1]
+    # (b) int64 epoch-us column
+    t = pa.table({"ts": pa.array([100, day + 5], type=pa.int64()),
+                  "v": pa.array([10, 20], type=pa.int64())})
+    p2 = str(tmp_path / "i64")
+    write_time_partitioned(rd.from_arrow(t), p2, "ts", "day")
+    got2 = read_time_range(p2, 0, day).to_pandas()
+    assert got2.v.tolist() == [10]
+    # empty-range read preserves the DATASET schema (Ray's to_pandas
+    # drops columns on 0-row datasets, so assert on schema())
+    e = read_time_range(p2, 40 * day, 41 * day)
+    assert "v" in e.schema().names and e.count() == 0
+
+
+def test_hilbert_layout_rejects_mismatched_order(ray_session, tmp_path):
+    """Regression: a read with a different curve order silently
+    returned wrong window contents; the layout manifest now pins it."""
+    import pytest
+
+    from rayraster.sources import read_hilbert_rect, write_hilbert_clustered
+
+    t = pa.table({"ix": pa.array(np.arange(16), type=pa.int64()),
+                  "iy": pa.array(np.arange(16), type=pa.int64()),
+                  "v": pa.array(np.arange(16), type=pa.int64())})
+    p = str(tmp_path / "hil")
+    write_hilbert_clustered(rd.from_arrow(t), p, order=12)
+    with pytest.raises(ValueError, match="order"):
+        read_hilbert_rect(p, 0, 0, 3, 3, order=10)
+    got = read_hilbert_rect(p, 0, 0, 3, 3, order=12).to_pandas()
+    assert sorted(got.v.tolist()) == [0, 1, 2, 3]
