@@ -66,6 +66,7 @@ def cmd_rasterize(args) -> int:
     spec = GridSpec(args.x0, args.y0, args.resolution, square=not args.hex)
     value_cols = args.value_cols.split(",") if args.value_cols else ["text_len"]
 
+    read_cols = None
     if args.geocode == "url":
         def prepare(t):
             t = ExtractStage(verify_against=None)(t) if "html" in t.column_names else t
@@ -75,6 +76,19 @@ def cmd_rasterize(args) -> int:
                 [c for c in ("html", "text", "url") if c in t.column_names]
             )
     else:
+        # the default value column only exists on the url path (it is
+        # derived by text_features) — fail FAST with an argument error
+        # instead of a KeyError deep inside a distributed shard task
+        if not args.value_cols:
+            print(
+                "rasterize --geocode id needs --value-cols (the default "
+                "'text_len' is derived only on the url path)",
+                file=sys.stderr,
+            )
+            return 2
+        # prune at the read: this path touches only the id + values
+        read_cols = [args.id_col, *value_cols]
+
         def prepare(t):
             return add_geocode_id(t, id_col=args.id_col)
 
@@ -85,6 +99,7 @@ def cmd_rasterize(args) -> int:
         value_cols,
         fun=args.fun,
         prepare=prepare,
+        columns=read_cols,
         files_per_shard=args.files_per_shard,
     )
     print(json.dumps(summary))
@@ -357,9 +372,7 @@ def cmd_embed(args) -> int:
     )
     shutil.rmtree(args.out, ignore_errors=True)
     out.write_parquet(args.out)
-    import ray.data as _rd
-
-    n = _rd.read_parquet(args.out).count()
+    n = rd.read_parquet(args.out).count()
     print(json.dumps({"out": args.out, "rows": n, "dim": args.dim}))
     return 0
 
@@ -551,6 +564,20 @@ def cmd_curate(args) -> int:
              ("mean_freq", pa.float64())]
         ),
     )
+    # capture the joined schema DRIVER-SIDE for the optional second
+    # join: out is a shuffle lineage, and bucket_join's schema() probe
+    # on it would execute the whole feats+freq pipeline once just to
+    # fetch one block (the documented 3x-wall trap).  feats.schema()
+    # is a map-only one-block probe — cheap.
+    out_schema = None
+    f_sch = feats.schema()
+    if f_sch is not None and all(
+        isinstance(t, pa.DataType) for t in f_sch.types
+    ):
+        out_schema = pa.schema(
+            list(zip(f_sch.names, f_sch.types))
+            + [("freq_sum", pa.int64()), ("mean_freq", pa.float64())]
+        )
     if args.lm != "none":
         from rayraster.textops import bigram_lm_score
 
@@ -567,6 +594,7 @@ def cmd_curate(args) -> int:
         )
         out = bucket_join(
             out, lm, args.id_col, args.id_col, join_type="left",
+            left_schema=out_schema,
             right_schema=pa.schema(
                 [(args.id_col, pa.int64()), ("bigram_count", pa.int64())]
                 + [(c, pa.int64()) for c in lp]

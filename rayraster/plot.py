@@ -304,8 +304,10 @@ def plot_raster(
     if show_legend:
         if limits is not None:
             legend = ("continuous", lo_lim, hi_lim)
-        else:
+        elif len(finite):
             legend = ("continuous", float(finite.min()), float(finite.max()))
+        else:  # all-NaN / fully censored column: NA-only render
+            legend = ("continuous", 0.0, 0.0)
     else:
         legend = None
     if log_scale:  # heavy-tailed fills (hot tiles) wash out linearly
@@ -348,6 +350,11 @@ def plot_raster_categorical(
         for k, lv in enumerate(levels)
     }
     codes = pixel_df[cat_col].map({lv: k for k, lv in enumerate(levels)}).to_numpy()
+    codes = np.asarray(codes, dtype=np.float64)
+    # a category absent from factor_levels maps to NaN: the
+    # prenormalized _paint branch passes values straight to colormap,
+    # where floor(NaN).astype(int) is INT64_MIN (IndexError) — keep
+    # NaN for the NA-color mask but clamp the color-table index path
     norm = codes / max(1, len(levels) - 1)
     ixv, iyv = pixel_df["ix"].to_numpy(), pixel_df["iy"].to_numpy()
     legend = ("categorical", [(lv, lut[lv]) for lv in levels]) if show_legend else None
@@ -382,7 +389,10 @@ def _paint(ix, iy, values, path, max_px, background, prenormalized=False,
     values = np.asarray(values, dtype=np.float64)
     na_mask = ~np.isfinite(values)
     if prenormalized:
-        norm = values
+        # neutralize NaN BEFORE colormap (floor(NaN).astype(int) is
+        # INT64_MIN -> IndexError); the na_mask override below paints
+        # these cells the NA color, matching the reference's na.value
+        norm = np.where(na_mask, 0.0, values)
     else:
         finite = values[~na_mask]
         if norm_limits is not None:

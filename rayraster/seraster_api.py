@@ -37,6 +37,10 @@ _DSID = "dataset_id"
 
 
 def _tag_union(members: Mapping[str, Dataset]) -> Dataset:
+    if not members:
+        raise ValueError(
+            "need at least one named dataset (the members dict is empty)"
+        )
     parts = []
     for name, ds in members.items():
         def tag(t: pa.Table, _name=name) -> pa.Table:

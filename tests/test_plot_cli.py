@@ -959,3 +959,63 @@ def test_webgraph_pipeline_example(tmp_path):
     assert len(pr) == s["pages"] and (pr.pr > 0).all()
     hi = pq.read_table(str(tmp_path / "wg/hits")).to_pandas()
     assert len(hi) == s["pages"]
+
+
+def test_categorical_plot_handles_unlisted_level(ray_session, tmp_path):
+    """Regression: a category absent from factor_levels produced NaN
+    codes that crashed colormap (floor(NaN) -> INT64_MIN index); it
+    must render as the NA color like the reference's na.value."""
+    import pandas as pd
+
+    from rayraster.plot import plot_raster_categorical
+
+    df = pd.DataFrame({"ix": [0, 1, 2], "iy": [0, 0, 0],
+                       "lang": ["fr", "en", "de"]})
+    path, w, h, lut = plot_raster_categorical(
+        df, str(tmp_path / "c.png"), "lang", factor_levels=["fr", "en"])
+    assert w >= 3 and set(lut) == {"fr", "en"}
+
+
+def test_plot_raster_all_nan_column_with_legend(ray_session, tmp_path):
+    """Regression: an all-NaN value column with show_legend=True
+    raised on an empty reduction."""
+    import pandas as pd
+
+    from rayraster.plot import plot_raster
+
+    df = pd.DataFrame({"ix": [0, 1], "iy": [0, 0],
+                       "v": [float("nan"), float("nan")]})
+    path, w, h = plot_raster(df, str(tmp_path / "n.png"), "v",
+                             show_legend=True)
+    assert w >= 2
+
+
+def test_seraster_api_rejects_empty_members(ray_session):
+    from rayraster.seraster_api import rasterize_gene_expression
+
+    with pytest.raises(ValueError, match="empty"):
+        rasterize_gene_expression({}, 10.0, ["f1"])
+
+
+def test_cli_rasterize_geocode_id_requires_value_cols(tmp_path):
+    """Regression: --geocode id with the default value column failed
+    with a KeyError deep inside a shard task; now a fast arg error."""
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "v": pa.array([1.0, 2.0])}),
+        str(tmp_path / "in.parquet"),
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "rayraster.cli", "rasterize",
+         "--input", str(tmp_path / "*.parquet"), "--out",
+         str(tmp_path / "o"), "--resolution", "1.0", "--geocode", "id"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 2
+    assert "value-cols" in r.stderr
